@@ -1,13 +1,120 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.model._
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query is paired with ANSI SQL the driver runs in DuckDB over the
+  * same parquet tables; results are hash-compared after sorting columns by
+  * name. Conventions that keep the two engines bit-identical:
+  *  - monetary sums go through exact DECIMAL(38,6) arithmetic and are
+  *    surfaced as DECIMAL(20,2) on both sides (order-independent, so also
+  *    cluster-safe);
+  *  - every query ends in a total ORDER BY over a unique key;
+  *  - aggregate/computed columns carry identical aliases on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private type QueryFn = (SparkSession, String) => DataFrame
+
+  /** One registered query: Spark pipeline + optional DuckDB oracle SQL. */
+  private final case class Q(name: String, fn: QueryFn, oracle: Option[String])
+
+  /** The DuckDB rendering of the segment aggregate over `events`
+    * (reference semantics: backend/app/utils/rule_parser.py:111-123).
+    */
+  private def segSql(where: String, having: String = ""): String = {
+    val w = if (where.isEmpty) "" else s" WHERE $where"
+    val h = if (having.isEmpty) "" else s" HAVING $having"
+    "SELECT user_id, count(user_id) AS total_transactions, " +
+      "CAST(sum(CAST(value AS DECIMAL(38,6))) AS DECIMAL(20,2)) AS total_spent, " +
+      "'EVENTS' AS transaction_types " +
+      s"FROM events$w GROUP BY user_id$h ORDER BY user_id"
+  }
+
+  /** DuckDB rendering of the derived city_tier column (FIXTURES.md §C). */
+  private val tierSql = "(CAST(json_extract_string(props, '$.k') AS INTEGER) % 4 + 1)"
+
+  private def seg(conds: Condition*)(spark: SparkSession, dir: String): DataFrame =
+    SegmentEngine.materializeBase(Tables.transactions(spark, dir), conds)
+      .orderBy("user_id")
+
+  private def segFaithful(conds: Condition*)(spark: SparkSession, dir: String): DataFrame =
+    SegmentEngine.materializeBase(Tables.transactions(spark, dir), conds,
+      ConditionCompiler.Mode(faithfulDateStrings = true))
+      .orderBy("user_id")
+
+  // -------------------------------------------------------------------------
+  // Base-rule segment queries (SURVEY §2.2/§2.4: P1-P6, A1, A2, A8)
+  // -------------------------------------------------------------------------
+
+  private val baseRuleQueries: Seq[Q] = Seq(
+    Q("q_seg_base_amount",
+      seg(Condition("transaction_amount", ">", "100")),
+      Some(segSql("value > 100"))),
+
+    Q("q_seg_base_tier",
+      seg(Condition("city_tier", "=", "2")),
+      Some(segSql(s"$tierSql = 2"))),
+
+    Q("q_seg_base_tier_in",
+      seg(Condition.in("city_tier", Seq("1", "3"))),
+      Some(segSql(s"$tierSql IN (1, 3)"))),
+
+    Q("q_seg_base_dates",
+      seg(Condition.between("transaction_date", "2024-01-10", "2024-01-20")),
+      Some(segSql(
+        "CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'"))),
+
+    // Bug-compatible variant: the reference compares raw timestamp text with
+    // the date literal, excluding most of the last day (SURVEY Q2/§7.4).
+    Q("q_seg_base_dates_faithful",
+      segFaithful(Condition.between("transaction_date", "2024-01-10", "2024-01-20")),
+      Some(segSql(
+        "strftime(ts, '%Y-%m-%d %H:%M:%S') BETWEEN '2024-01-10' AND '2024-01-20'"))),
+
+    Q("q_seg_base_having",
+      seg(
+        Condition("transaction_amount", ">", "50"),
+        Condition("total_spend", ">", "2000"),
+        Condition("transaction_count", ">=", "5")),
+      Some(segSql(
+        "value > 50",
+        "CAST(sum(CAST(value AS DECIMAL(38,6))) AS DECIMAL(20,2)) > 2000 " +
+          "AND count(user_id) >= 5"))),
+
+    // All conditions malformed ⇒ silently skipped ⇒ all-users segment
+    // (SURVEY Q10; reference rule_parser.py:46-58).
+    Q("q_seg_vacuous_conditions",
+      seg(
+        Condition("no_such_field", ">", "1"),
+        Condition("transaction_amount", "LIKE", "5"),
+        Condition("transaction_amount", ">", "")),
+      Some(segSql(""))))
+
+  // -------------------------------------------------------------------------
+  // Registry
+  // -------------------------------------------------------------------------
+
+  private val all: Seq[Q] = baseRuleQueries
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * (SURVEY §7.5 minimum slice: value > 100 over events.)
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_seg_base_amount")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, QueryFn] =
+    all.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

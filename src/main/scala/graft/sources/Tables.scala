@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Parquet readers for the driver-provided test corpus (TESTDATA.md) plus
+  * the unified-transaction views that give the corpus the reference's
+  * transaction semantics (FIXTURES.md §C).
+  *
+  * All readers are plain `spark.read.parquet` — schema travels with the file,
+  * filters and column pruning push down to the scan via Catalyst, so callers
+  * can `.select`/`.filter` freely without reading whole files.
+  */
+object Tables {
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is physically INT64 TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects natively; read it as a long (legacy nanosAsLong) and
+    * convert to a micros timestamp with integer arithmetic (nanos exceed
+    * 2^53, so floating-point division would corrupt them).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = read(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw
+    }
+  }
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "customer")
+  def part(spark: SparkSession, dir: String): DataFrame       = read(spark, dir, "part")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** Exact decimal type used when summing monetary doubles: exact decimal
+    * arithmetic makes aggregates independent of partitioning / summation
+    * order, which both the 1000-executor cluster and the DuckDB oracle need.
+    */
+  val MoneyExact: DecimalType = DecimalType(38, 6)
+
+  /** Unified transaction view over `events` — the primary mapping of the
+    * reference's `all_transactions` CTE
+    * (reference: backend/app/utils/rule_parser.py:104-110; FIXTURES.md §C):
+    * user_id, amount=value, ts, category=event_type,
+    * city_tier = json `props.k` % 4 + 1, discriminator transaction_type.
+    */
+  def transactions(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("user_id"),
+      col("value").as("amount"),
+      col("ts"),
+      col("event_type").as("category"),
+      (get_json_object(col("props"), "$.k").cast(IntegerType) % 4 + 1).as("city_tier"),
+      lit("EVENTS").as("transaction_type"))
+
+  /** Two-source unified view (orders ∪ lineitem), the analog of the
+    * reference's UPI ∪ CC `UNION ALL` with a discriminator column
+    * (reference: backend/app/utils/rule_parser.py:104-110, U1).
+    * lineitem rows reach a user via the l_orderkey→orders join
+    * (FIXTURES.md §C). The join keys are co-partitioned by the shuffle on
+    * l_orderkey/o_orderkey; at 100 TB this is the one necessary shuffle and
+    * AQE handles skew.
+    */
+  def transactionsTwoSource(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val li = lineitem(spark, dir)
+    val fromOrders = o.select(
+      col("o_custkey").as("user_id"),
+      col("o_totalprice").as("amount"),
+      col("o_orderdate").as("ts"),
+      col("o_orderpriority").as("category"),
+      lit("ORDERS").as("transaction_type"))
+    val fromLineitem = li
+      .join(o.select(col("o_orderkey"), col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("o_custkey").as("user_id"),
+        col("l_extendedprice").as("amount"),
+        col("l_shipdate").as("ts"),
+        col("l_returnflag").as("category"),
+        lit("LINEITEM").as("transaction_type"))
+    fromOrders.unionByName(fromLineitem)
+  }
+}

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Dev-only harness approximating the driver's correctness gate.
+
+NOT part of the engine (the library is pure Scala/Spark): this script just
+cross-checks, during development, that each SparkEntry query's parquet dump
+matches its DuckDB oracle on the same corpus — the same comparison the
+round driver performs (sort columns by name, compare row count / schema /
+values).
+
+Usage: sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
+       python3 tools/local_verify.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import json, sys, glob, os
+import duckdb
+
+def norm_cell(v):
+    # Normalize for comparison: Decimals kept exact, floats rounded to 9sf
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        got = con.sql(f"SELECT * FROM '{d}/*.parquet'")
+        got_cols = sorted(got.columns)
+        got_rows = con.sql(
+            f"SELECT {', '.join(got_cols)} FROM '{d}/*.parquet'").fetchall()
+        if name not in oracles:
+            results[name] = f"NO-ORACLE rows={len(got_rows)}"
+            continue
+        try:
+            exp = con.sql(oracles[name])
+            exp_cols = sorted(exp.columns)
+            exp_rows = con.sql(
+                f"SELECT {', '.join(exp_cols)} FROM ({oracles[name]})").fetchall()
+        except Exception as e:
+            results[name] = f"ORACLE-ERROR {e}"
+            continue
+        if got_cols != exp_cols:
+            results[name] = f"SCHEMA-MISMATCH got={got_cols} exp={exp_cols}"
+            continue
+        if len(got_rows) != len(exp_rows):
+            results[name] = f"ROWCOUNT-MISMATCH got={len(got_rows)} exp={len(exp_rows)}"
+            continue
+        g = [tuple(norm_cell(c) for c in r) for r in got_rows]
+        e = [tuple(norm_cell(c) for c in r) for r in exp_rows]
+        if g == e:
+            results[name] = f"OK rows={len(g)}"
+        elif sorted(g) == sorted(e):
+            results[name] = f"OK-UNORDERED rows={len(g)} (row order differs)"
+        else:
+            diff = [(a, b) for a, b in zip(sorted(g), sorted(e)) if a != b][:3]
+            results[name] = f"VALUE-MISMATCH sample={diff}"
+    bad = 0
+    for k, v in sorted(results.items()):
+        print(f"{'PASS' if v.startswith('OK') or v.startswith('NO-ORACLE') else 'FAIL'} {k}: {v}")
+        if not (v.startswith("OK") or v.startswith("NO-ORACLE")):
+            bad += 1
+    print(f"== {len(results)-bad}/{len(results)} pass")
+    sys.exit(1 if bad else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

@@ -27,14 +27,17 @@ object SparkEntry {
   /** The DuckDB rendering of the segment aggregate over `events`
     * (reference semantics: backend/app/utils/rule_parser.py:111-123).
     */
-  private def segSql(where: String, having: String = ""): String = {
+  private def segCte(where: String, having: String = ""): String = {
     val w = if (where.isEmpty) "" else s" WHERE $where"
     val h = if (having.isEmpty) "" else s" HAVING $having"
     "SELECT user_id, count(user_id) AS total_transactions, " +
       "CAST(sum(CAST(value AS DECIMAL(38,6))) AS DECIMAL(20,2)) AS total_spent, " +
       "'EVENTS' AS transaction_types " +
-      s"FROM events$w GROUP BY user_id$h ORDER BY user_id"
+      s"FROM events$w GROUP BY user_id$h"
   }
+
+  private def segSql(where: String, having: String = ""): String =
+    segCte(where, having) + " ORDER BY user_id"
 
   /** DuckDB rendering of the derived city_tier column (FIXTURES.md §C). */
   private val tierSql = "(CAST(json_extract_string(props, '$.k') AS INTEGER) % 4 + 1)"
@@ -97,10 +100,102 @@ object SparkEntry {
       Some(segSql(""))))
 
   // -------------------------------------------------------------------------
+  // Compound segments: set operations + planner reuse (SURVEY §2.6, §2.11)
+  // -------------------------------------------------------------------------
+
+  /** The canonical 3-parent scenario (reference's shipped rules 1-3 adapted
+    * to the corpus): amount > 100, tier = 2, June-window analog.
+    */
+  private val parentConds: Seq[Seq[Condition]] = Seq(
+    Seq(Condition("transaction_amount", ">", "250")),
+    Seq(Condition("city_tier", "=", "2"), Condition("transaction_amount", ">", "200")),
+    Seq(Condition.between("transaction_date", "2024-01-10", "2024-01-12"),
+      Condition("transaction_amount", ">", "150")))
+
+  private def parents(spark: SparkSession, dir: String): Seq[DataFrame] = {
+    val tx = Tables.transactions(spark, dir)
+    parentConds.map(SegmentEngine.materializeBase(tx, _))
+  }
+
+  /** DuckDB CTE header mirroring `parents`. */
+  private val parentsCte: String =
+    s"WITH s1 AS (${segCte("value > 250")}), " +
+      s"s2 AS (${segCte(s"$tierSql = 2 AND value > 200")}), " +
+      s"s3 AS (${segCte(
+        "CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12' AND value > 150")})"
+
+  private val setOpQueries: Seq[Q] = Seq(
+    Q("q_seg_intersect_keyed",
+      (s, d) => SegmentOps.combine(SetOp.Intersection, parents(s, d)).orderBy("user_id"),
+      Some(s"$parentsCte SELECT * FROM s1 " +
+        "WHERE user_id IN (SELECT user_id FROM s2) " +
+        "AND user_id IN (SELECT user_id FROM s3) ORDER BY user_id")),
+
+    // Bug-compatible full-row intersect: parents computed under different
+    // filters give differing aggregates, so this is usually (near-)empty —
+    // the reference's shipped rule 4 artifact (SURVEY Q1).
+    Q("q_seg_intersect_faithful",
+      (s, d) => SegmentOps.combine(SetOp.Intersection, parents(s, d), keyed = false)
+        .orderBy("user_id"),
+      Some(s"$parentsCte SELECT * FROM s1 INTERSECT SELECT * FROM s2 " +
+        "INTERSECT SELECT * FROM s3 ORDER BY user_id")),
+
+    Q("q_seg_union_keyed",
+      (s, d) => SegmentOps.combine(SetOp.Union, parents(s, d)).orderBy("user_id"),
+      Some(s"$parentsCte, u AS (" +
+        "SELECT *, 1 AS p FROM s1 UNION ALL SELECT *, 2 AS p FROM s2 " +
+        "UNION ALL SELECT *, 3 AS p FROM s3), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY p) AS rn FROM u) " +
+        "SELECT user_id, total_transactions, total_spent, transaction_types " +
+        "FROM r WHERE rn = 1 ORDER BY user_id")),
+
+    Q("q_seg_union_faithful",
+      (s, d) => SegmentOps.combine(SetOp.Union, parents(s, d), keyed = false)
+        .orderBy("user_id", "total_transactions", "total_spent", "transaction_types"),
+      Some(s"$parentsCte SELECT * FROM s1 UNION SELECT * FROM s2 UNION SELECT * FROM s3 " +
+        "ORDER BY user_id, total_transactions, total_spent, transaction_types")),
+
+    Q("q_seg_diff_keyed",
+      (s, d) => SegmentOps.combine(SetOp.Difference, parents(s, d)).orderBy("user_id"),
+      Some(s"$parentsCte SELECT * FROM s1 " +
+        "WHERE user_id NOT IN (SELECT user_id FROM s2) " +
+        "AND user_id NOT IN (SELECT user_id FROM s3) ORDER BY user_id")),
+
+    Q("q_seg_diff_faithful",
+      (s, d) => SegmentOps.combine(SetOp.Difference, parents(s, d), keyed = false)
+        .orderBy("user_id"),
+      Some(s"$parentsCte SELECT * FROM s1 EXCEPT SELECT * FROM s2 " +
+        "EXCEPT SELECT * FROM s3 ORDER BY user_id")),
+
+    // End-to-end segment-reuse rewrite (R1-R5): a new rule whose conditions
+    // are covered by rules 1-3 plus a residual HAVING condition compiles to
+    // Compound([1,2,3], INTERSECTION, residual) and evaluates keyed.
+    Q("q_seg_planner_reuse",
+      (s, d) => {
+        val existing = parentConds.zipWithIndex.map { case (cs, i) =>
+          Rule(id = i + 1, name = s"rule${i + 1}", conditions = cs)
+        }
+        val newConds = parentConds.flatten :+ Condition("total_spend", ">", "500")
+        val plan = graft.plans.Planner.planNew(newConds, existing)
+        val tx = Tables.transactions(s, d)
+        val parentById = parents(s, d).zipWithIndex.map { case (df, i) => (i + 1).toLong -> df }.toMap
+        graft.plans.Planner.evaluate(plan, tx, parentById(_)).orderBy("user_id")
+      },
+      // Greedy cover claims by (size desc, id asc): rules 2 and 3 carry two
+      // conditions each, so the dependency order is [2, 3, 1] and the keyed
+      // intersection keeps rule 2's aggregates.
+      Some(s"$parentsCte, sr AS (${segCte("",
+        "CAST(sum(CAST(value AS DECIMAL(38,6))) AS DECIMAL(20,2)) > 500")}) " +
+        "SELECT * FROM s2 " +
+        "WHERE user_id IN (SELECT user_id FROM s3) " +
+        "AND user_id IN (SELECT user_id FROM s1) " +
+        "AND user_id IN (SELECT user_id FROM sr) ORDER BY user_id")))
+
+  // -------------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------------
 
-  private val all: Seq[Q] = baseRuleQueries
+  private val all: Seq[Q] = baseRuleQueries ++ setOpQueries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * (SURVEY §7.5 minimum slice: value > 100 over events.)

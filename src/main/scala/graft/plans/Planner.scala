@@ -1,0 +1,70 @@
+package graft.plans
+
+import graft.model._
+import graft.operators.{ConditionCompiler, SegmentEngine, SegmentOps}
+import org.apache.spark.sql.DataFrame
+
+/** Binds rules to execution plans and evaluates them
+  * (reference: backend/app/api/rules.py:27-66 for plan build,
+  * backend/app/processor/spark_processor.py:63-119 for dispatch).
+  *
+  * Precedence (SURVEY Q5): a rule carrying dependencies + operation is
+  * Compound even if it also has (vacuous) base conditions — the reference
+  * checks `depends_on && operation` before `sql_query`.
+  */
+object Planner {
+
+  /** Plan a brand-new rule: run dependency detection against existing rules
+    * (reference rules.py:27-37). Falls back to Base when no useful cover.
+    */
+  def planNew(conditions: Seq[Condition], existing: Seq[Rule]): SegmentPlan =
+    DependencyFinder.findBestDependency(conditions, existing) match {
+      case Some(d) => SegmentPlan.Compound(d.dependencyRuleIds, d.operation, d.remaining)
+      case None    => SegmentPlan.Base(conditions)
+    }
+
+  /** Plan an already-stored rule (dispatch-time view, R5). */
+  def planStored(rule: Rule): SegmentPlan =
+    (rule.dependencies, rule.operation) match {
+      case (deps, Some(op)) if deps.nonEmpty => SegmentPlan.Compound(deps, op, rule.conditions)
+      case _                                 => SegmentPlan.Base(rule.conditions)
+    }
+
+  /** Evaluation semantics for the residual conditions a compound plan
+    * carries. The reference generates SQL for the residual but then ignores
+    * it at dispatch time (SURVEY Q5/R4-R5) — `DropResidual` reproduces that;
+    * `ApplyResidual` (default) also intersects with the residual-condition
+    * segment, which is what the rewrite logically promises.
+    */
+  sealed trait ResidualMode
+  case object ApplyResidual extends ResidualMode
+  case object DropResidual  extends ResidualMode
+
+  /** Evaluate a plan. `loadParent` resolves a parent rule id to its
+    * materialized segment (from the SegmentStore, or recomputed).
+    * A compound plan needs ≥2 inputs after resolution (U6, reference
+    * spark_processor.py:92-94).
+    */
+  def evaluate(
+      plan: SegmentPlan,
+      tx: => DataFrame,
+      loadParent: Long => DataFrame,
+      keyed: Boolean = true,
+      residualMode: ResidualMode = ApplyResidual,
+      mode: ConditionCompiler.Mode = ConditionCompiler.DefaultMode): DataFrame =
+    plan match {
+      case SegmentPlan.Base(conds) =>
+        SegmentEngine.materializeBase(tx, conds, mode)
+      case SegmentPlan.Compound(parents, op, residual) =>
+        val parentDfs = parents.map(loadParent)
+        val inputs = residualMode match {
+          case ApplyResidual if residual.nonEmpty &&
+              !ConditionCompiler.compile(residual, mode).isVacuous =>
+            parentDfs :+ SegmentEngine.materializeBase(tx, residual, mode)
+          case _ => parentDfs
+        }
+        require(inputs.size >= 2,
+          s"Compound rule needs at least 2 parent segments, got ${inputs.size}")
+        SegmentOps.combine(op, inputs, keyed)
+    }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.model._
+import graft.plans.{DependencyFinder, Planner}
+import graft.sources.{ConditionCodec, SegmentStore}
+import java.nio.file.Files
+
+/** Control plane: greedy subset cover, plan precedence, store round-trip. */
+class PlannerSpec extends SparkSpec {
+
+  private val cAmount = Condition("transaction_amount", ">", "500")
+  private val cTier   = Condition("city_tier", "=", "1")
+  private val cDate   = Condition.between("transaction_date", "2025-06-01", "2025-06-30")
+  private val cHaving = Condition("total_spend", ">", "1000")
+
+  private val rules = Seq(
+    Rule(1, "r1", Seq(cAmount)),
+    Rule(2, "r2", Seq(cTier)),
+    Rule(3, "r3", Seq(cAmount, cTier))) // 2 conditions — claimed first
+
+  test("greedy cover prefers larger condition sets, tie-break by id (R2)") {
+    val d = DependencyFinder.findBestDependency(Seq(cAmount, cTier, cDate), rules).get
+    // r3 (2 conds) claimed first and consumes both singles' conditions.
+    assert(d.dependencyRuleIds == Seq(3))
+    assert(d.remaining == Seq(cDate))
+    assert(d.operation == SetOp.Intersection)
+  }
+
+  test("no useful cover ⇒ Base plan; exclusion skips self (R3/R7)") {
+    assert(DependencyFinder.findBestDependency(Seq(cDate), rules).isEmpty)
+    assert(Planner.planNew(Seq(cDate), rules) == SegmentPlan.Base(Seq(cDate)))
+    // excluding rule 3 falls back to the two singles
+    val d = DependencyFinder.findBestDependency(
+      Seq(cAmount, cTier), rules, excludeRuleId = Some(3)).get
+    assert(d.dependencyRuleIds == Seq(1, 2) && d.remaining.isEmpty)
+  }
+
+  test("condition canonicalization is order-insensitive (R1)") {
+    assert(DependencyFinder.canonical(Seq(cAmount, cTier)) ==
+      DependencyFinder.canonical(Seq(cTier, cAmount)))
+  }
+
+  test("stored rule with deps+op plans Compound even with conditions present (Q5)") {
+    val r = Rule(9, "r9", Seq(cAmount), dependencies = Seq(1, 2),
+      operation = Some(SetOp.Intersection))
+    assert(Planner.planStored(r) ==
+      SegmentPlan.Compound(Seq(1, 2), SetOp.Intersection, Seq(cAmount)))
+    assert(Planner.planStored(Rule(10, "r10", Seq(cAmount), dependencies = Seq(1))) ==
+      SegmentPlan.Base(Seq(cAmount)))
+  }
+
+  test("compound evaluation requires >=2 inputs (U6)") {
+    import spark.implicits._
+    val seg = Seq((1L, 1L, 10.0, "UPI")).toDF(
+      "user_id", "total_transactions", "total_spent", "transaction_types")
+    intercept[IllegalArgumentException] {
+      Planner.evaluate(
+        SegmentPlan.Compound(Seq(1), SetOp.Intersection),
+        tx = seg, loadParent = _ => seg).collect()
+    }
+  }
+
+  test("segment store: write/read, empty write, catalog + metadata + lineage (S5-S7/Q9/R6)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_store").toString
+    val store = new SegmentStore(spark, dir)
+    val seg = Seq((1L, 3L, BigDecimal("100.50"), "UPI")).toDF(
+      "user_id", "total_transactions", "total_spent", "transaction_types")
+    assert(store.write(7, seg) == 1L)
+    assert(store.read(7).schema == Schemas.segmentOutput)
+    assert(store.writeEmpty(8) == 0L)
+    assert(store.read(8).count() == 0 && store.read(8).schema == Schemas.segmentOutput)
+
+    val entries = Seq(
+      SegmentCatalogEntry(1, "s1", "segment_output_1", Seq(cAmount), Nil, None),
+      SegmentCatalogEntry(4, "s4", "segment_output_4", Nil, Seq(1, 3), Some("intersection")),
+      SegmentCatalogEntry(3, "s3", "segment_output_3", Seq(cDate, cHaving), Seq(1), Some("intersection")))
+    store.saveCatalog(entries)
+    store.updateMetadata(4, rowCount = 42, refreshedAt = "2026-08-12T00:00:00")
+    val loaded = store.loadCatalog()
+    assert(loaded.map(_.ruleId) == Seq(1, 3, 4))
+    assert(loaded.find(_.ruleId == 4).get.rowCount == 42L)
+    assert(loaded.find(_.ruleId == 3).get.conditions == Seq(cDate, cHaving))
+    // lineage: 4 -> {1, 3}, 3 -> {1}; cycle guard tolerates repeats
+    val (nodes, edges) = store.lineage(4)
+    assert(nodes.toSet == Set(4L, 1L, 3L))
+    assert(edges.toSet == Set((1L, 4L), (3L, 4L), (1L, 3L)))
+  }
+
+  test("condition codec round-trips scalars, lists, value2") {
+    val cs = Seq(cAmount, cDate, Condition.in("city_tier", Seq("1", "2")),
+      Condition("transaction_amount", ">", ""))
+    assert(ConditionCodec.decodeAll(ConditionCodec.encodeAll(cs)) == cs)
+    assert(ConditionCodec.decodeAll("") == Nil)
+  }
+}

@@ -192,10 +192,104 @@ object SparkEntry {
         "AND user_id IN (SELECT user_id FROM sr) ORDER BY user_id")))
 
   // -------------------------------------------------------------------------
+  // Analytics + rollups (SURVEY §2.4 A3-A7, §2.5, §2.7 T1/T4)
+  // -------------------------------------------------------------------------
+
+  /** Shared DuckDB fragment: exact decimal sum of a double amount. */
+  private def dSum(expr: String): String =
+    s"CAST(sum(CAST($expr AS DECIMAL(38,6))) AS DECIMAL(20,2))"
+
+  /** DuckDB rendering of the two-source unified view (orders ∪ lineitem,
+    * FIXTURES.md §C two-source mapping).
+    */
+  private val twoSourceCte: String =
+    "WITH t AS (" +
+      "SELECT o_custkey AS user_id, o_totalprice AS amount, o_orderdate AS ts, " +
+      "o_orderpriority AS category, 'ORDERS' AS transaction_type FROM orders " +
+      "UNION ALL " +
+      "SELECT o_custkey, l_extendedprice, l_shipdate, l_returnflag, 'LINEITEM' " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"
+
+  private val analyticsQueries: Seq[Q] = Seq(
+    Q("q_analytics_category_totals",
+      (s, d) => Analytics.categoryTotals(Tables.transactions(s, d)).orderBy("category"),
+      Some("SELECT event_type AS category, count(*) AS txn_count, " +
+        s"${dSum("value")} AS total_amount FROM events GROUP BY 1 ORDER BY category")),
+
+    // Same operator over the two-source union view — exercises U1 (the
+    // UNION ALL + discriminator shape of the reference's rule_parser CTE).
+    Q("q_analytics_category_totals_2src",
+      (s, d) => Analytics.categoryTotals(Tables.transactionsTwoSource(s, d))
+        .orderBy("category"),
+      Some(s"$twoSourceCte SELECT category, count(*) AS txn_count, " +
+        s"${dSum("amount")} AS total_amount FROM t GROUP BY 1 ORDER BY category")),
+
+    Q("q_analytics_daily_totals",
+      (s, d) => Analytics.dailyTotals(
+        Tables.transactions(s, d), "2024-01-01", "2024-02-05").orderBy("day"),
+      Some("WITH spine AS (SELECT CAST(unnest(generate_series(" +
+        "DATE '2024-01-01', DATE '2024-02-05', INTERVAL 1 DAY)) AS DATE) AS day), " +
+        "agg AS (SELECT CAST(ts AS DATE) AS day, count(*) AS c, " +
+        s"${dSum("value")} AS amt FROM events " +
+        "WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-02-05' " +
+        "GROUP BY 1) " +
+        "SELECT spine.day, COALESCE(c, 0) AS txn_count, " +
+        "COALESCE(amt, CAST(0 AS DECIMAL(20,2))) AS total_amount " +
+        "FROM spine LEFT JOIN agg USING (day) ORDER BY day")),
+
+    Q("q_analytics_summary",
+      (s, d) => Analytics.summary(Tables.transactions(s, d)),
+      Some("SELECT count(*) AS total_transactions, " +
+        s"${dSum("value")} AS total_amount, " +
+        "count(DISTINCT user_id) AS active_users FROM events")),
+
+    Q("q_analytics_top_categories",
+      (s, d) => Analytics.topCategories(Tables.transactions(s, d), 3),
+      Some("SELECT event_type AS category, count(*) AS txn_count, " +
+        s"${dSum("value")} AS total_amount FROM events GROUP BY 1 " +
+        "ORDER BY total_amount DESC, category LIMIT 3")),
+
+    Q("q_analytics_user_search",
+      (s, d) => Analytics.searchUsers(
+        Tables.transactions(s, d),
+        Analytics.UserSearch(
+          minAmount = Some(100.0), cityTier = Some(2),
+          dateFrom = Some("2024-01-05"), dateTo = Some("2024-01-25"),
+          minTransactions = 3L),
+        page = 2, perPage = 10),
+      Some("SELECT user_id, count(*) AS total_transactions, " +
+        s"${dSum("value")} AS total_spent FROM events " +
+        s"WHERE value >= 100 AND $tierSql = 2 " +
+        "AND CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-25' " +
+        "GROUP BY user_id HAVING count(*) >= 3 " +
+        "ORDER BY total_transactions DESC, user_id LIMIT 10 OFFSET 10")),
+
+    Q("q_rollup_user_windows",
+      (s, d) => Rollups.userWindows(Tables.transactions(s, d), Seq(7, 14, 30))
+        .orderBy("user_id", "period_days"),
+      Some("WITH a AS (SELECT CAST(max(ts) AS DATE) AS anchor FROM events), " +
+        "base AS (SELECT user_id, p.period_days, CAST(ts AS DATE) AS d, value, " +
+        s"event_type, $tierSql AS tier FROM events CROSS JOIN a " +
+        "CROSS JOIN (VALUES (7), (14), (30)) AS p(period_days) " +
+        "WHERE CAST(ts AS DATE) >= a.anchor - p.period_days), " +
+        "agg AS (SELECT user_id, period_days, count(*) AS total_transactions, " +
+        s"${dSum("value")} AS total_amount, max(d) AS last_transaction_date, " +
+        "max(tier) AS city_tier FROM base GROUP BY 1, 2), " +
+        "fav AS (SELECT user_id, period_days, event_type AS favorite_category, " +
+        "row_number() OVER (PARTITION BY user_id, period_days " +
+        "ORDER BY count(*) DESC, event_type) AS rn " +
+        "FROM base GROUP BY user_id, period_days, event_type) " +
+        "SELECT agg.user_id, agg.period_days, total_transactions, total_amount, " +
+        "last_transaction_date, city_tier, favorite_category " +
+        "FROM agg JOIN fav ON agg.user_id = fav.user_id " +
+        "AND agg.period_days = fav.period_days WHERE rn = 1 " +
+        "ORDER BY agg.user_id, agg.period_days")))
+
+  // -------------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------------
 
-  private val all: Seq[Q] = baseRuleQueries ++ setOpQueries
+  private val all: Seq[Q] = baseRuleQueries ++ setOpQueries ++ analyticsQueries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * (SURVEY §7.5 minimum slice: value > 100 over events.)

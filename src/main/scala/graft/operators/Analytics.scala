@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Analytics read paths (reference: backend/app/utils/aggregates.py).
+  *
+  * The reference runs each of these twice (once per source table) and merges
+  * dicts in Python; here the union-first unified view collapses that into a
+  * single declarative plan — one scan, one shuffle, map-side partial
+  * aggregation, all inside whole-stage codegen.
+  */
+object Analytics {
+
+  private def exactAmount: Column = col("amount").cast(Tables.MoneyExact)
+  private def money(c: Column): Column = c.cast(DecimalType(20, 2))
+
+  /** A3: per-category transaction count + spend
+    * (reference aggregates.py:24-53; the UPI/CC dict-merge disappears).
+    */
+  def categoryTotals(tx: DataFrame): DataFrame =
+    tx.groupBy(col("category"))
+      .agg(
+        count(lit(1)).as("txn_count"),
+        money(sum(exactAmount)).as("total_amount"))
+
+  /** A4: daily totals over [start, end], zero-filled for missing days from a
+    * generated date spine (reference aggregates.py:57-106, Python zero-fill
+    * at :91-96). The spine is a handful of rows — broadcast to the agg side,
+    * no extra shuffle.
+    */
+  def dailyTotals(tx: DataFrame, start: String, end: String): DataFrame = {
+    val spark = tx.sparkSession
+    val spine = spark.range(1).select(
+      explode(sequence(
+        lit(java.sql.Date.valueOf(start)),
+        lit(java.sql.Date.valueOf(end)),
+        expr("INTERVAL 1 DAY"))).as("day"))
+    val agged = tx
+      .filter(to_date(col("ts")).between(
+        lit(java.sql.Date.valueOf(start)), lit(java.sql.Date.valueOf(end))))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("txn_count"),
+        money(sum(exactAmount)).as("total_amount"))
+    broadcast(spine).join(agged, Seq("day"), "left")
+      .select(
+        col("day"),
+        coalesce(col("txn_count"), lit(0L)).as("txn_count"),
+        coalesce(col("total_amount"), money(lit(0))).as("total_amount"))
+  }
+
+  /** A5: one-row global summary (reference aggregates.py:108-132). */
+  def summary(tx: DataFrame): DataFrame =
+    tx.agg(
+      count(lit(1)).as("total_transactions"),
+      money(sum(exactAmount)).as("total_amount"),
+      countDistinct(col("user_id")).as("active_users"))
+
+  /** T1: top-k categories by total spend; deterministic tie-break on the
+    * category name (reference aggregates.py:121-125 sorts in Python).
+    */
+  def topCategories(tx: DataFrame, k: Int): DataFrame =
+    categoryTotals(tx)
+      .orderBy(col("total_amount").desc, col("category"))
+      .limit(k)
+
+  /** A7/T4: filtered user search with HAVING + deterministic pagination
+    * (reference aggregates.py:136-225; pagination needs an explicit sort key
+    * — the reference paginates an unsorted query, which is nondeterministic).
+    */
+  final case class UserSearch(
+      minAmount: Option[Double] = None,
+      cityTier: Option[Int] = None,
+      category: Option[String] = None,
+      dateFrom: Option[String] = None,
+      dateTo: Option[String] = None,
+      minTransactions: Long = 1L)
+
+  def searchUsers(tx: DataFrame, s: UserSearch, page: Int, perPage: Int): DataFrame = {
+    val filters = Seq(
+      s.minAmount.map(v => col("amount") >= lit(v)),
+      s.cityTier.map(v => col("city_tier") === lit(v)),
+      s.category.map(v => col("category") === lit(v)),
+      s.dateFrom.map(v => to_date(col("ts")) >= lit(java.sql.Date.valueOf(v))),
+      s.dateTo.map(v => to_date(col("ts")) <= lit(java.sql.Date.valueOf(v)))).flatten
+    val filtered = filters.foldLeft(tx)(_.filter(_))
+    filtered
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("total_transactions"),
+        money(sum(exactAmount)).as("total_spent"))
+      .filter(col("total_transactions") >= lit(s.minTransactions))
+      .orderBy(col("total_transactions").desc, col("user_id"))
+      .offset((page - 1) * perPage)
+      .limit(perPage)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.{Analytics, Rollups}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tx(rows: (Long, Double, String, String, Int)*): DataFrame =
+    rows.toDF("user_id", "amount", "ts_s", "category", "city_tier")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+      .withColumn("transaction_type", lit("UPI"))
+
+  private val fixture = tx(
+    (1L, 100.0, "2024-01-01 10:00:00", "Dining", 1),
+    (1L, 50.0, "2024-01-01 11:00:00", "Dining", 2),
+    (1L, 25.0, "2024-01-03 09:00:00", "Travel", 1),
+    (2L, 200.0, "2024-01-03 12:00:00", "Travel", 2),
+    (2L, 10.0, "2024-01-04 08:00:00", "Dining", 2))
+
+  test("category totals: one pass, exact decimal sums (A3)") {
+    val out = Analytics.categoryTotals(fixture).orderBy("category")
+      .as[(String, Long, BigDecimal)].collect().toSeq
+    assert(out == Seq(("Dining", 3L, BigDecimal("160.00")), ("Travel", 2L, BigDecimal("225.00"))))
+  }
+
+  test("daily totals zero-fill missing days from the spine (A4)") {
+    val out = Analytics.dailyTotals(fixture, "2024-01-01", "2024-01-05")
+      .orderBy("day").collect()
+    assert(out.length == 5)
+    val jan2 = out(1)
+    assert(jan2.getAs[Long]("txn_count") == 0L)
+    assert(jan2.getAs[java.math.BigDecimal]("total_amount").signum() == 0)
+    assert(out.map(_.getAs[Long]("txn_count")).sum == 5L)
+  }
+
+  test("summary + top categories (A5/T1)") {
+    val s = Analytics.summary(fixture).collect().head
+    assert(s.getAs[Long]("total_transactions") == 5L)
+    assert(s.getAs[Long]("active_users") == 2L)
+    val top = Analytics.topCategories(fixture, 1).collect().head
+    assert(top.getAs[String]("category") == "Travel") // 225 > 160
+  }
+
+  test("user search: filters, having, deterministic pagination (A7/T4)") {
+    val page1 = Analytics.searchUsers(fixture,
+      Analytics.UserSearch(minTransactions = 2L), page = 1, perPage = 1).collect()
+    assert(page1.head.getAs[Long]("user_id") == 1L) // 3 txns beats 2
+    val page2 = Analytics.searchUsers(fixture,
+      Analytics.UserSearch(minTransactions = 2L), page = 2, perPage = 1).collect()
+    assert(page2.head.getAs[Long]("user_id") == 2L)
+    val tierOnly = Analytics.searchUsers(fixture,
+      Analytics.UserSearch(cityTier = Some(1)), page = 1, perPage = 10).collect()
+    assert(tierOnly.map(_.getAs[Long]("user_id")).toSet == Set(1L))
+  }
+
+  test("windowed rollups: one-scan multi-window, favorite category mode (A6)") {
+    // anchor = 2024-01-04; window 1 day ⇒ only Jan 3-4 rows; window 30 ⇒ all
+    val out = Rollups.userWindows(fixture, Seq(1, 30))
+      .orderBy("user_id", "period_days").collect()
+    val u1w1 = out.find(r => r.getAs[Long]("user_id") == 1L && r.getAs[Int]("period_days") == 1).get
+    assert(u1w1.getAs[Long]("total_transactions") == 1L) // only the Jan 3 Travel row
+    assert(u1w1.getAs[String]("favorite_category") == "Travel")
+    val u1w30 = out.find(r => r.getAs[Long]("user_id") == 1L && r.getAs[Int]("period_days") == 30).get
+    assert(u1w30.getAs[Long]("total_transactions") == 3L)
+    // tie Dining(2) vs Travel(1) → Dining; ties broken alphabetically
+    assert(u1w30.getAs[String]("favorite_category") == "Dining")
+    assert(u1w30.getAs[Int]("city_tier") == 2)
+    assert(u1w30.getAs[java.sql.Date]("last_transaction_date").toString == "2024-01-03")
+  }
+}

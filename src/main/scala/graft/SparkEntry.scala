@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.model._
 import graft.operators._
 import graft.sources.Tables
@@ -286,10 +287,129 @@ object SparkEntry {
         "ORDER BY agg.user_id, agg.period_days")))
 
   // -------------------------------------------------------------------------
+  // Training-data pipeline operators (beyond-parity, SURVEY §7.2 step 10):
+  // text analysis, dedup (exact/ngram/minhash/simhash/embedding),
+  // similarity search, multimodal plumbing.
+  // -------------------------------------------------------------------------
+
+  /** DuckDB fragment: whitespace tokens of trimmed text. */
+  private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+
+  private val pipelineQueries: Seq[Q] = Seq(
+    Q("q_text_stats",
+      (s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("SELECT doc_id, length(text) AS n_chars, " +
+        s"len($toksSql) AS token_count, " +
+        s"len($toksSql) + CAST(COALESCE(list_sum(" +
+        s"[CAST(floor(greatest(length(x) - 4, 0) / 4.0) AS BIGINT) FOR x IN $toksSql]), 0) " +
+        "AS BIGINT) AS subword_count, " +
+        "length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct_count, " +
+        s"len(list_filter($toksSql, x -> x IN " +
+        "('the', 'a', 'an', 'of', 'and', 'in', 'is', 'to'))) AS stopword_count, " +
+        "0.5 * least(CAST(len(" + toksSql + ") AS DOUBLE) / 100.0, 1.0) " +
+        "+ 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) " +
+        "/ CAST(greatest(length(text), 1) AS DOUBLE)) " +
+        s"+ 0.2 * (CAST(len(list_filter($toksSql, x -> x IN " +
+        "('the', 'a', 'an', 'of', 'and', 'in', 'is', 'to'))) AS DOUBLE) " +
+        s"/ greatest(CAST(len($toksSql) AS DOUBLE), 1.0)) AS quality_score " +
+        "FROM documents ORDER BY doc_id")),
+
+    // Heuristic language-ID — not SQL-expressible cleanly (argmax over
+    // marker lexicons); rows-only check + ScalaTest fixture coverage.
+    Q("q_text_langid",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
+        .orderBy("doc_id"),
+      None),
+
+    Q("q_text_fingerprint",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id"),
+      None),
+
+    // Exact dedup over documents ∪ (re-keyed) documents so duplicate groups
+    // actually exist in the corpus.
+    Q("q_dedup_exact",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val doubled = docs.unionByName(
+          docs.withColumn("doc_id", col("doc_id") + lit(10000L)))
+        Dedup.exact(doubled).orderBy("doc_id")
+      },
+      Some("WITH d AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 10000, text FROM documents) " +
+        "SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash, " +
+        "count(*) AS dup_count FROM d GROUP BY sha256(text) ORDER BY doc_id")),
+
+    Q("q_dedup_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.5)
+        .orderBy("doc_a", "doc_b"),
+      Some("WITH toks AS (SELECT doc_id, " + toksSql + " AS t FROM documents), " +
+        "ngrams AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] " +
+        "FOR i IN range(1, len(t) - 1)]) AS ng FROM toks WHERE len(t) >= 3), " +
+        "posting AS (SELECT doc_id, unnest(ng) AS g, len(ng) AS n FROM ngrams), " +
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common, " +
+        "any_value(a.n) AS na, any_value(b.n) AS nb FROM posting a " +
+        "JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, CAST(common AS DOUBLE) / (na + nb - common) AS jaccard " +
+        "FROM pairs WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5 " +
+        "ORDER BY doc_a, doc_b")),
+
+    // LSH-family dedup variants: candidate generation is hash-banded, so no
+    // tractable ANSI equivalent — deterministic rows-only checks, with
+    // their exact-verify stages covered by ScalaTest fixtures.
+    Q("q_dedup_minhash_lsh",
+      (s, d) => Dedup.minhashNearDups(Tables.documents(s, d), 0.5)
+        .orderBy("doc_a", "doc_b"),
+      None),
+
+    Q("q_dedup_simhash",
+      (s, d) => Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 3)
+        .orderBy("doc_a", "doc_b"),
+      None),
+
+    Q("q_dedup_embedding",
+      (s, d) => Dedup.embeddingNearDups(Tables.embeddings(s, d), 0.35)
+        .orderBy("vec_a", "vec_b"),
+      None),
+
+    Q("q_sim_topk_brute",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    Q("q_sim_topk_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    Q("q_multimodal_features",
+      (s, d) => Multimodal.extractFeatures(
+        Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        .toDF().orderBy("doc_id"),
+      Some("SELECT doc_id, " +
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
+        "ELSE 'video' END AS media_type, " +
+        "strlen(text) AS n_bytes, " +
+        "strlen(text) % 640 + 1 AS width, " +
+        "(strlen(text) * 7) % 480 + 1 AS height, " +
+        "CAST(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 3 END AS BIGINT) AS channels, " +
+        "CASE WHEN doc_id % 3 = 2 THEN strlen(text) % 30 + 1 ELSE CAST(1 AS BIGINT) END " +
+        "AS duration_frames FROM documents ORDER BY doc_id")))
+
+  // -------------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------------
 
-  private val all: Seq[Q] = baseRuleQueries ++ setOpQueries ++ analyticsQueries
+  private val all: Seq[Q] =
+    baseRuleQueries ++ setOpQueries ++ analyticsQueries ++ pipelineQueries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * (SURVEY §7.5 minimum slice: value > 100 over events.)

@@ -1,0 +1,187 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines — beyond-parity
+  * extension over the `documents` corpus (SURVEY §7.2 step 10).
+  *
+  * Scale design: every variant is generate-candidates-then-verify. Candidate
+  * generation only ever shuffles (doc_id, small key) postings — never full
+  * text against full text — so the quadratic blow-up is confined to
+  * same-bucket groups. This is the shape that survives 100 TB:
+  *  - exact:      hash the text, group on the 64-char digest.
+  *  - ngram:      inverted index on trigrams; pairs only where a trigram is
+  *                shared; exact Jaccard on the pair.
+  *  - MinHash:    32 seeded hashes → 8 bands of 4 → candidates share a band
+  *                bucket; exact Jaccard verify kills false positives.
+  *  - SimHash:    64-bit signature → 4 bands of 16 bits → candidates share a
+  *                band; Hamming-distance verify.
+  *  - embedding:  sign-bit LSH bands over the vector → cosine verify.
+  *
+  * Everything is deterministic: seeded xxhash64, sorted outputs, no RNG.
+  */
+object Dedup {
+
+  private def toks(c: Column): Column = TextAnalysis.tokens(c)
+
+  /** Distinct word trigrams ("shingles") of a document. Documents shorter
+    * than n tokens yield an empty set (guarded: Spark's `sequence` would
+    * otherwise count backwards for size < n).
+    */
+  def ngrams(text: Column, n: Int = 3): Column = {
+    val t = toks(text)
+    when(size(t) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(t) - lit(n)), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j + 1))): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: group documents by content digest, emit one representative
+    * (min doc_id) per group with the duplicate count. Grouping on sha2
+    * rather than raw text keeps the shuffle narrow at scale.
+    */
+  def exact(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("content_hash", sha2(col(textCol), 256))
+      .groupBy(col("content_hash"))
+      .agg(
+        min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("dup_count"))
+      .select("doc_id", "content_hash", "dup_count")
+
+  /** All-pairs n-gram Jaccard similarity ≥ threshold, via an inverted index
+    * join on shared trigrams (pairs that share nothing never meet).
+    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+      textCol: String = "text"): DataFrame = {
+    val sets = docs
+      .select(col("doc_id"), ngrams(col(textCol)).as("ng"))
+      .filter(size(col("ng")) > 0)
+    val posting = sets.select(
+      col("doc_id"), explode(col("ng")).as("g"), size(col("ng")).as("n"))
+    val a = posting.as("a"); val b = posting.as("b")
+    val pairs = a.join(b,
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(
+        count(lit(1)).as("common"),
+        first(col("a.n")).as("na"),
+        first(col("b.n")).as("nb"))
+    val jac = col("common").cast("double") /
+      (col("na") + col("nb") - col("common"))
+    pairs.select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash + LSH near-dup pairs: `numHashes` seeded xxhash64 minima per
+    * document, banded into `bands` buckets; candidates sharing any band
+    * bucket get an exact Jaccard verify against `threshold`.
+    *
+    * At scale this is the standard shape: postings explode to
+    * |ngrams|×numHashes narrow rows, per-seed minima reduce map-side, and
+    * the candidate join touches only same-bucket doc pairs.
+    */
+  def minhashNearDups(docs: DataFrame, threshold: Double,
+      numHashes: Int = 32, bands: Int = 8, textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sets = docs
+      .select(col("doc_id"), ngrams(col(textCol)).as("ng"))
+      .filter(size(col("ng")) > 0)
+
+    // (doc, seed, h) → per-seed min → band signature → bucket key
+    val hashed = sets
+      .select(col("doc_id"), explode(col("ng")).as("g"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(numHashes - 1)), s =>
+          xxhash64(s, col("g")))).as(Seq("seed", "h")))
+    val minhash = hashed.groupBy(col("doc_id"), col("seed")).agg(min(col("h")).as("mh"))
+    val bandKeys = minhash
+      .withColumn("band", col("seed") % lit(bands))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(xxhash64(col("band"), concat_ws(",", sort_array(collect_list(
+        concat_ws(":", col("seed"), col("mh")))))).as("bucket"))
+
+    val ca = bandKeys.as("a"); val cb = bandKeys.as("b")
+    val candidates = ca.join(cb,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    verifyJaccard(candidates, sets, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the ngram sets. */
+  private def verifyJaccard(candidates: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
+    val sa = sets.select(col("doc_id").as("doc_a"), col("ng").as("ng_a"))
+    val sb = sets.select(col("doc_id").as("doc_b"), col("ng").as("ng_b"))
+    candidates.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("common", size(array_intersect(col("ng_a"), col("ng_b"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("ng_a")) + size(col("ng_b")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature per document (see
+    * [[SimHash.simhash64]]), banded into 4×16-bit chunks; candidates sharing
+    * a chunk get a Hamming-distance verify ≤ maxHamming.
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      SimHash.simhash64(toks(col(textCol))).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "chunk")))
+    val ba = banded.as("a"); val bb = banded.as("b")
+    val candidates = ba.join(bb,
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.sig").as("sig_a"),
+        col("b.doc_id").as("doc_b"), col("b.sig").as("sig_b"))
+      .distinct()
+    candidates
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Embedding near-dup pairs: sign-bit LSH over the vector (bands of
+    * `bitsPerBand` sign bits each) generates candidates; exact cosine ≥
+    * threshold verifies. Approximate by construction — pairs whose sign
+    * patterns differ in every band are never compared (the price of not
+    * doing the O(n²) cross join at 100 TB).
+    */
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double,
+      bands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
+    val sigBits = bands * bitsPerBand
+    val e = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val banded = e.select(col("vec_id"), col("v"),
+      posexplode(array((0 until bands).map { b =>
+        val bits = (0 until bitsPerBand).map { i =>
+          val d = b * bitsPerBand + i
+          when(element_at(col("v"), d + 1) >= 0, lit(1 << i)).otherwise(lit(0))
+        }
+        bits.reduce((x, y) => x + y)
+      }: _*)).as(Seq("band", "chunk")))
+    require(sigBits <= 64)
+    val ca = banded.as("a"); val cb = banded.as("b")
+    val candidates = ca.join(cb,
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("a.v").as("va"),
+        col("b.vec_id").as("vec_b"), col("b.v").as("vb"))
+      .distinct()
+    candidates
+      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "cosine")
+  }
+}

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`) — the
+  * beyond-parity ANN operators (SURVEY §7.2 step 10).
+  *
+  * Scale shape: the query set is small and broadcast; the corpus streams
+  * once per top-k run. Scores are computed with `zip_with` + left-fold
+  * `aggregate` — a fixed evaluation order, so doubles are bit-deterministic
+  * regardless of partitioning.
+  */
+object Similarity {
+
+  /** Dot product of two equal-length double arrays (left-fold, fixed order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Exact brute-force top-k cosine neighbors for each query vector.
+    * `queries` is expected to be small (it is broadcast); the corpus side
+    * streams through one scan — no shuffle until the final per-query top-k.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = asDouble(corpus)
+    val q = asDouble(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("score"))
+    topKPerQuery(scored, k)
+  }
+
+  /** IVF-style approximate top-k: corpus and queries are assigned to
+    * sign-bit buckets over the leading dimensions (a deterministic coarse
+    * quantizer); each query only scores its own bucket's vectors, probing
+    * `probeBits` single-bit flips of its bucket key for recall. At 100 TB
+    * the bucketed join replaces the broadcast fan-out with a shuffle on
+    * bucket keys, and per-bucket candidate lists stay small.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      signBits: Int = 8, probeBits: Int = 2): DataFrame = {
+    require(signBits <= 16)
+    def bucketOf(v: Column): Column =
+      (0 until signBits).map(d =>
+        when(element_at(v, d + 1) >= 0, lit(1 << d)).otherwise(lit(0)))
+        .reduce((x, y) => x + y)
+
+    val c = asDouble(corpus).withColumn("bucket", bucketOf(col("v")))
+    // each query probes its bucket plus single-bit neighbors (multi-probe)
+    val probes = array((lit(0) +: (0 until probeBits).map(b => lit(1 << b))): _*)
+    val q = asDouble(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .withColumn("qbucket", bucketOf(col("qv")))
+      .select(col("query_id"), col("qv"),
+        explode(transform(probes, m => col("qbucket").bitwiseXOR(m))).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("score"))
+      // multi-probe can reach the same (query, neighbor) via ≤1 bucket only
+      // (buckets partition the corpus), so no dedup needed before ranking
+    topKPerQuery(scored, k)
+  }
+
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+}

@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language identification, fingerprinting.
+  * All built from codegen'd `functions._` primitives — no UDFs — so they
+  * stay inside whole-stage codegen and scale linearly with the scan.
+  *
+  * Beyond-parity extension (the reference has no text processing; SURVEY
+  * §7.2 step 10): operates on the `documents` corpus table.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. `\s+` over trimmed text — simple, locale-free,
+    * matches `regexp_split_to_array(trim(x), '\s+')` in ANSI engines.
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: words + extra tokens for long words
+    * (every 4 chars beyond the first 4 ≈ one extra merge-level token).
+    * Deterministic integer arithmetic only.
+    */
+  def subwordCountEstimate(text: Column): Column =
+    tokenCount(text).cast("long") +
+      aggregate(
+        transform(tokens(text), t =>
+          floor(greatest(length(t) - lit(4), lit(0)).cast("double") / lit(4.0))),
+        lit(0L),
+        (acc, x) => acc + x)
+
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "in", "is", "to")
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = DefaultStopwords): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(sw, t)))
+  }
+
+  /** Heuristic quality score in [0,1] (double): rewards reasonable length,
+    * penalizes punctuation soup and stopword-free keyword stuffing. Pure
+    * per-row IEEE double arithmetic — bit-identical across engines when the
+    * expression tree matches.
+    */
+  def qualityScore(text: Column): Column = {
+    val tc = tokenCount(text).cast("double")
+    val nc = greatest(length(text), lit(1)).cast("double")
+    val lengthTerm = least(tc / lit(100.0), lit(1.0))
+    val punctTerm = lit(1.0) - punctCount(text).cast("double") / nc
+    val swRatio = stopwordCount(text).cast("double") / greatest(tc, lit(1.0))
+    lit(0.5) * lengthTerm + lit(0.3) * punctTerm + lit(0.2) * swRatio
+  }
+
+  /** Language-ID via stopword-marker voting: count hits from each
+    * language's tiny marker lexicon, pick the max (ties broken by fixed
+    * language order). A classic n-gram/stopword heuristic — deterministic,
+    * dictionary-driven, no model weights.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "de" -> Seq("der", "die", "und", "ist", "mit"),
+    "es" -> Seq("el", "los", "y", "es", "con"),
+    "fr" -> Seq("le", "les", "et", "est", "avec"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    // score per language, then argmax via array_max over (score, -index)
+    // structs so earlier languages win ties; both fields drive comparison.
+    val scored = LangMarkers.zipWithIndex.map { case ((lang, markers), i) =>
+      val m = array(markers.map(lit): _*)
+      struct(
+        size(filter(toks, t => array_contains(m, t))).as("score"),
+        lit(-i).as("prio"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** 64-bit document fingerprint: xxhash64 over whitespace-normalized,
+    * lowercased text. Stable across runs/partitions; pairs with exact
+    * dedup (Dedup.exact) as the cheap first pass.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** One-pass per-document stats frame over a `documents`-shaped table. */
+  def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    // Counts surface as LONG to match ANSI engines' BIGINT length/count.
+    docs.select(
+      col("doc_id"),
+      length(t).cast("long").as("n_chars"),
+      tokenCount(t).cast("long").as("token_count"),
+      subwordCountEstimate(t).as("subword_count"),
+      punctCount(t).cast("long").as("punct_count"),
+      stopwordCount(t).cast("long").as("stopword_count"),
+      qualityScore(t).as("quality_score"))
+  }
+}

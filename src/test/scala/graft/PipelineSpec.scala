@@ -1,0 +1,148 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators: dedup, similarity, text, multimodal. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("ngrams: trigram shingles, short-doc guard") {
+    val out = docs((1L, "a b c d"), (2L, "x y"), (3L, "p q r"))
+      .select($"doc_id", Dedup.ngrams($"text").as("ng")).orderBy("doc_id")
+      .as[(Long, Seq[String])].collect()
+    assert(out(0)._2.toSet == Set("a b c", "b c d"))
+    assert(out(1)._2.isEmpty)
+    assert(out(2)._2 == Seq("p q r"))
+  }
+
+  test("exact dedup groups identical texts, min doc_id representative") {
+    val out = Dedup.exact(docs((5L, "same text"), (2L, "same text"), (9L, "other")))
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("doc_id") == 2L && out(0).getAs[Long]("dup_count") == 2L)
+    assert(out(1).getAs[Long]("doc_id") == 9L && out(1).getAs[Long]("dup_count") == 1L)
+  }
+
+  private val nearDupDocs = docs(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of 1
+    (3L, "completely different words about spark query engines here"),
+    (4L, "the quick brown fox jumps over the lazy dog today"))    // exact dup of 1
+
+  test("ngram Jaccard pairs: exact dup = 1.0, near-dup above threshold") {
+    val pairs = Dedup.ngramJaccardPairs(nearDupDocs, 0.5)
+      .orderBy("doc_a", "doc_b")
+      .as[(Long, Long, Double)].collect()
+    val asMap = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(asMap((1L, 4L)) == 1.0)
+    assert(asMap((1L, 2L)) > 0.5 && asMap((1L, 2L)) < 1.0)
+    assert(asMap.contains((2L, 4L)))
+    assert(!asMap.keys.exists(k => k._1 == 3L || k._2 == 3L))
+  }
+
+  test("minhash LSH finds the same near-dups as exact Jaccard here") {
+    val exact = Dedup.ngramJaccardPairs(nearDupDocs, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashNearDups(nearDupDocs, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash64: deterministic, zero Hamming for dups, small for near-dups") {
+    val sigs = nearDupDocs
+      .select($"doc_id", SimHash.simhash64(TextAnalysis.tokens($"text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(4L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) < 16)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 16)
+    // interpreted eval agrees with the codegen path
+    val row = Seq(Seq("the", "quick")).toDF("t")
+      .select(SimHash.simhash64($"t")).collect().head.getLong(0)
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val direct = SimHash.compute(ArrayData.toArrayData(
+      Array(UTF8String.fromString("the"), UTF8String.fromString("quick"))))
+    assert(row == direct)
+    val pairs = Dedup.simhashNearDups(nearDupDocs, maxHamming = 16)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)) && pairs.contains((1L, 2L)))
+  }
+
+  private def vecs(rows: (Long, Seq[Float])*): DataFrame =
+    rows.toDF("vec_id", "embedding")
+
+  private val embFixture = vecs(
+    (0L, Seq(1f, 0f, 0f, 0f)),
+    (1L, Seq(0.9f, 0.1f, 0f, 0f)),   // close to 0
+    (2L, Seq(0f, 1f, 0f, 0f)),       // orthogonal to 0
+    (3L, Seq(-1f, 0f, 0f, 0f)))      // opposite of 0
+
+  test("embedding near-dups via sign-LSH + cosine verify") {
+    val out = Dedup.embeddingNearDups(embFixture, 0.9, bands = 2, bitsPerBand = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
+    assert(out.head._3 > 0.99)
+  }
+
+  test("brute-force top-k cosine: exact ranking, deterministic") {
+    val out = Similarity.bruteForceTopK(embFixture,
+      embFixture.filter($"vec_id" === 0), k = 3)
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+    assert(out.map(_._2).toSeq == Seq(1L, 2L, 3L)) // by descending cosine
+    // 1e-6: the fixture stores float32 (0.9f != 0.9 exactly)
+    assert(math.abs(out(0)._4 - 0.9 / math.sqrt(0.81 + 0.01)) < 1e-6)
+  }
+
+  test("IVF top-k finds same-bucket neighbor") {
+    val out = Similarity.ivfTopK(embFixture,
+      embFixture.filter($"vec_id" === 0), k = 2, signBits = 4, probeBits = 1)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(out.nonEmpty && out.head._2 == 1L) // nearest neighbor survives bucketing
+  }
+
+  test("langId: marker lexicon voting with deterministic ties") {
+    val out = docs(
+      (1L, "der hund ist gut und die katze"),
+      (2L, "le chat est grand et les chiens"),
+      (3L, "el perro y los gatos"),
+      (4L, "the dog and the cat is here"),
+      (5L, "xyz qqq zzz"))
+      .select($"doc_id", TextAnalysis.langId($"text").as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "de", 2L -> "fr", 3L -> "es", 4L -> "en", 5L -> "und"))
+  }
+
+  test("text stats: counts and score bounds") {
+    val r = TextAnalysis.stats(docs((1L, "  the quick, brown fox! extraordinary  "))).collect().head
+    assert(r.getAs[Long]("token_count") == 5L)
+    assert(r.getAs[Long]("punct_count") == 2L)
+    assert(r.getAs[Long]("stopword_count") == 1L)
+    // 'extraordinary' (13 chars) contributes 2 extra subword tokens
+    assert(r.getAs[Long]("subword_count") == 7L)
+    val q = r.getAs[Double]("quality_score")
+    assert(q > 0.0 && q <= 1.0)
+  }
+
+  test("fingerprint is whitespace/case normalized") {
+    val fps = docs((1L, "Hello   World"), (2L, "hello world"), (3L, "hello worlds"))
+      .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
+  }
+
+  test("multimodal: typed batch decode over binary columns (stubbed decoder)") {
+    val media = Multimodal.mediaFromDocuments(docs((3L, "abcdef"), (4L, "xy")))
+    val feats = Multimodal.extractFeatures(media).collect().map(f => f.doc_id -> f).toMap
+    assert(feats(3L).media_type == "image" && feats(4L).media_type == "audio")
+    assert(feats(3L).n_bytes == 6L && feats(3L).width == 7L && feats(3L).height == 43L)
+    assert(feats(4L).channels == 2L)
+    // plumbing is partition-preserving: no shuffle in the plan
+    val plan = Multimodal.extractFeatures(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}

@@ -6,6 +6,7 @@ import graft.operators._
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -405,11 +406,87 @@ object SparkEntry {
         "AS duration_frames FROM documents ORDER BY doc_id")))
 
   // -------------------------------------------------------------------------
+  // General relational capability: aggregation, joins (broadcast), window
+  // functions, batch time windows (SURVEY §2.3/§2.5/§2.9 extensions)
+  // -------------------------------------------------------------------------
+
+  private val relationalQueries: Seq[Q] = Seq(
+    // TPC-H Q1-shaped scan+aggregate over the largest table: partial/final
+    // hash agg, predicate pushed to the parquet scan.
+    Q("q1_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(Tables.MoneyExact)).cast(DecimalType(20, 2)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(Tables.MoneyExact)).cast(DecimalType(20, 2)).as("sum_base_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("SELECT l_returnflag, l_linestatus, " +
+        s"${dSum("l_quantity")} AS sum_qty, " +
+        s"${dSum("l_extendedprice")} AS sum_base_price, " +
+        "count(*) AS count_order FROM lineitem " +
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    // Three-way join with an explicitly broadcast dimension (nation, 25
+    // rows): orders shuffles once on custkey; nation never shuffles.
+    Q("q_join_revenue_by_nation",
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(Tables.MoneyExact)).cast(DecimalType(20, 2)).as("revenue"))
+        .orderBy("n_name"),
+      Some("SELECT n_name, count(*) AS n_orders, " +
+        s"${dSum("o_totalprice")} AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY 1 ORDER BY 1")),
+
+    // Ranking window: top-3 orders per customer, deterministic tie-break.
+    Q("q_window_top_orders",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .orderBy("o_custkey", "rank")
+      },
+      Some("SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM orders) " +
+        "WHERE rank <= 3 ORDER BY o_custkey, rank")),
+
+    // Batch tumbling time-window aggregation over the event stream (same
+    // logical op as the streaming hourlyTypeCounts, computed on the batch
+    // frame via date_trunc).
+    Q("q_events_hourly",
+      (s, d) => Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(Tables.MoneyExact)).cast(DecimalType(20, 2)).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("hour_start", "event_type"),
+      Some("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type, " +
+        s"count(*) AS n_events, ${dSum("value")} AS total_value, " +
+        "count(DISTINCT user_id) AS n_users FROM events " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")))
+
+  // -------------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------------
 
   private val all: Seq[Q] =
-    baseRuleQueries ++ setOpQueries ++ analyticsQueries ++ pipelineQueries
+    baseRuleQueries ++ setOpQueries ++ analyticsQueries ++ pipelineQueries ++
+      relationalQueries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * (SURVEY §7.5 minimum slice: value > 100 over events.)

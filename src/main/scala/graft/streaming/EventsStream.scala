@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming over the events stream — the reference has no
+  * streaming at all (batch jobs on a scheduler; its docs list time-windowed
+  * aggregation as future work, reference DOCUMENTATION.md:401-405), so this
+  * is the beyond-parity streaming surface: watermarked tumbling windows and
+  * custom keyed state.
+  *
+  * Every transform takes/returns DataFrames so the same code runs on
+  * `readStream` (micro-batch) and on a batch frame in tests.
+  */
+object EventsStream {
+
+  /** Watermarked 1-hour tumbling-window aggregation per event type.
+    * Late data beyond the watermark is dropped; state for closed windows is
+    * evicted — the property that keeps state bounded on an unbounded
+    * stream.
+    */
+  def hourlyTypeCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(38, 6))).cast(DecimalType(20, 2)).as("total_value"))
+      .select(
+        col("window.start").as("hour_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user totals.
+    *
+    * Deliberately NoTimeout: a processing-time TTL makes the engine fire
+    * data-less micro-batches forever to evict state, which busy-loops a
+    * synchronous test harness (and burns cluster cycles between events).
+    * Bounding state on an unbounded key space belongs to an event-time
+    * watermark policy layered on top, not to this operator.
+    */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          val next = UserRunning(userId, n, v)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Output mode the stateful query needs. */
+  val RunningTotalsOutputMode: OutputMode = OutputMode.Update()
+}

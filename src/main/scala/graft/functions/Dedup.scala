@@ -25,18 +25,13 @@ object Dedup {
 
   private def toks(c: Column): Column = TextAnalysis.tokens(c)
 
-  /** Distinct word trigrams ("shingles") of a document. Documents shorter
-    * than n tokens yield an empty set (guarded: Spark's `sequence` would
-    * otherwise count backwards for size < n).
+  /** Distinct word trigrams ("shingles") of a document, via the native
+    * one-pass [[NGrams]] expression (a higher-order-function composition
+    * re-tokenizes per element — ~200× slower; see NGrams scaladoc).
+    * Documents shorter than n tokens yield an empty set.
     */
-  def ngrams(text: Column, n: Int = 3): Column = {
-    val t = toks(text)
-    when(size(t) >= n,
-      array_distinct(
-        transform(sequence(lit(0), size(t) - lit(n)), i =>
-          concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j + 1))): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def ngrams(text: Column, n: Int = 3): Column =
+    NGrams.wordNGrams(toks(text), n)
 
   /** Exact dedup: group documents by content digest, emit one representative
     * (min doc_id) per group with the duplicate count. Grouping on sha2
@@ -162,7 +157,8 @@ object Dedup {
   def embeddingNearDups(embeddings: DataFrame, threshold: Double,
       bands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
     val sigBits = bands * bitsPerBand
-    val e = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // normalized once ⇒ the per-pair verify is a single fused dot product
+    val e = Similarity.normalized(embeddings)
     val banded = e.select(col("vec_id"), col("v"),
       posexplode(array((0 until bands).map { b =>
         val bits = (0 until bitsPerBand).map { i =>
@@ -180,7 +176,7 @@ object Dedup {
         col("b.vec_id").as("vec_b"), col("b.v").as("vb"))
       .distinct()
     candidates
-      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("cosine", Similarity.dot(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "cosine")
   }

@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two equal-length double arrays (left-fold, fixed order). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two equal-length double arrays — native fused-loop
+    * expression (see [[VectorOps]]), left-to-right accumulation so doubles
+    * are bit-deterministic under any partitioning.
+    */
+  def dot(a: Column, b: Column): Column = VectorOps.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -25,17 +27,27 @@ object Similarity {
   private def asDouble(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
+  /** L2-normalize once at the source: pair scoring then needs a single dot
+    * per pair instead of dot + two norms — the dominant cost when candidate
+    * pairs outnumber vectors by orders of magnitude.
+    */
+  private[functions] def normalized(df: DataFrame): DataFrame =
+    asDouble(df)
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("v"))
+
   /** Exact brute-force top-k cosine neighbors for each query vector.
     * `queries` is expected to be small (it is broadcast); the corpus side
     * streams through one scan — no shuffle until the final per-query top-k.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = asDouble(corpus)
-    val q = asDouble(queries)
+    val c = normalized(corpus)
+    val q = normalized(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qv"), col("v")).as("score"))
+        dot(col("qv"), col("v")).as("score"))
     topKPerQuery(scored, k)
   }
 
@@ -54,10 +66,10 @@ object Similarity {
         when(element_at(v, d + 1) >= 0, lit(1 << d)).otherwise(lit(0)))
         .reduce((x, y) => x + y)
 
-    val c = asDouble(corpus).withColumn("bucket", bucketOf(col("v")))
+    val c = normalized(corpus).withColumn("bucket", bucketOf(col("v")))
     // each query probes its bucket plus single-bit neighbors (multi-probe)
     val probes = array((lit(0) +: (0 until probeBits).map(b => lit(1 << b))): _*)
-    val q = asDouble(queries)
+    val q = normalized(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
       .withColumn("qbucket", bucketOf(col("qv")))
       .select(col("query_id"), col("qv"),
@@ -65,7 +77,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qv"), col("v")).as("score"))
+        dot(col("qv"), col("v")).as("score"))
       // multi-probe can reach the same (query, neighbor) via ≤1 bucket only
       // (buckets partition the corpus), so no dedup needed before ranking
     topKPerQuery(scored, k)

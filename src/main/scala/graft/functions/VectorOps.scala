@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Dot product over `array<double>` as a native Catalyst expression.
+  *
+  * The built-in composition `aggregate(zip_with(a, b, _*_), 0.0, _+_)` is
+  * interpreted (higher-order functions don't codegen) and allocates an
+  * intermediate array per row — at ~10⁵-10⁹ candidate pairs in ANN/near-dup
+  * verification that interpretation dominates the job. This is a single
+  * fused loop, codegen'd via a static call, with the same strict
+  * left-to-right accumulation order (bit-deterministic doubles).
+  */
+case class DotProductExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product needs (array<double>, array<double>), got $other")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "dot_product"
+}
+
+object VectorOps {
+
+  def dotProduct(a: Column, b: Column): Column =
+    bridge.column(DotProductExpr(bridge.expression(a), bridge.expression(b)))
+
+  /** Strict left-to-right accumulation; length = min(|a|, |b|). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.model._
+import graft.operators.SegmentRunner
+import graft.sources.SegmentStore
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end rule lifecycle: create → detect reuse → materialize → store. */
+class SegmentRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tx(): DataFrame =
+    Seq(
+      (1L, 600.0, "2024-01-05 10:00:00", "Dining", 1),
+      (1L, 700.0, "2024-01-06 10:00:00", "Travel", 1),
+      (2L, 650.0, "2024-01-07 10:00:00", "Dining", 2),
+      (2L, 40.0, "2024-01-08 10:00:00", "Dining", 1),
+      (3L, 30.0, "2024-01-09 10:00:00", "Travel", 1))
+      .toDF("user_id", "amount", "ts_s", "category", "city_tier")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+      .withColumn("transaction_type", lit("UPI"))
+
+  private val cAmount = Condition("transaction_amount", ">", "500")
+  private val cTier   = Condition("city_tier", "=", "1")
+
+  test("canonical 4-rule scenario: base rules, compound reuse, store, lineage") {
+    val dir = Files.createTempDirectory("graft_runner").toString
+    val store = new SegmentStore(spark, dir)
+    val runner = new SegmentRunner(store, tx)
+
+    val (id1, p1) = runner.createRule("big-spenders", Seq(cAmount))
+    val (id2, p2) = runner.createRule("tier-1", Seq(cTier))
+    assert(id1 == 1L && id2 == 2L)
+    assert(p1 == SegmentPlan.Base(Seq(cAmount)) && p2 == SegmentPlan.Base(Seq(cTier)))
+
+    // rule 3's conditions ⊇ rules 1+2 ⇒ compound INTERSECTION, no residual
+    val (id3, p3) = runner.createRule("both", Seq(cAmount, cTier))
+    assert(p3 == SegmentPlan.Compound(Seq(1L, 2L), SetOp.Intersection, Nil))
+
+    assert(runner.run(id1, "2026-08-12T00:00:00") == 2L) // users 1,2 have >500 txns
+    assert(runner.run(id2, "2026-08-12T00:00:00") == 3L) // all users touch tier 1
+    assert(runner.run(id3, "2026-08-12T00:00:00") == 2L) // keyed: {1,2}
+
+    // keyed intersection keeps parent-1 aggregates: user 1 → 2 txns > 500
+    val seg3 = store.read(id3).orderBy("user_id").collect()
+    assert(seg3.map(_.getAs[Long]("user_id")).toSeq == Seq(1L, 2L))
+    assert(seg3.head.getAs[Long]("total_transactions") == 2L)
+
+    val cat = store.loadCatalog()
+    assert(cat.find(_.ruleId == 3).get.rowCount == 2L)
+    assert(cat.find(_.ruleId == 3).get.lastRefreshedAt.contains("2026-08-12T00:00:00"))
+    assert(store.lineage(3)._2.toSet == Set((1L, 3L), (2L, 3L)))
+  }
+
+  test("empty result writes canonical empty segment (Q9); runAll is topo-ordered") {
+    val dir = Files.createTempDirectory("graft_runner2").toString
+    val store = new SegmentStore(spark, dir)
+    val runner = new SegmentRunner(store, tx)
+    val (id1, _) = runner.createRule("r1", Seq(cAmount))
+    val (idEmpty, _) = runner.createRule("none",
+      Seq(Condition("transaction_amount", ">", "99999")))
+    val (id3, _) = runner.createRule("compound", Seq(cAmount, cTier))
+    assert(id3 == 3L)
+    // runAll materializes parents before rule 3 even though 2 is unrelated
+    val counts = runner.runAll("2026-08-12T01:00:00")
+    assert(counts(idEmpty) == 0L)
+    assert(store.read(idEmpty).schema == Schemas.segmentOutput)
+    assert(counts(id3) >= 1L)
+  }
+
+  test("updateRule re-detects excluding self (R7)") {
+    val dir = Files.createTempDirectory("graft_runner3").toString
+    val store = new SegmentStore(spark, dir)
+    val runner = new SegmentRunner(store, tx)
+    runner.createRule("r1", Seq(cAmount))
+    val (id2, _) = runner.createRule("r2", Seq(cTier))
+    // r2's new conditions now cover r1's ⇒ becomes compound on [1] + residual
+    val plan = runner.updateRule(id2, Seq(cAmount, cTier))
+    assert(plan == SegmentPlan.Compound(Seq(1L), SetOp.Intersection, Seq(cTier)))
+    val entry = store.loadCatalog().find(_.ruleId == id2).get
+    assert(entry.dependsOn == Seq(1L) && entry.conditions == Seq(cTier))
+  }
+}

@@ -1,0 +1,152 @@
+package graft
+
+import graft.functions.{NGrams, SimHash, VectorOps}
+import graft.model._
+import graft.plans.DependencyFinder
+import graft.sources.ConditionCodec
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Arbitrary, Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property tests for the pure (non-Spark) surfaces: the condition
+  * language, the greedy reuse cover, the metadata codec, and the native
+  * expression kernels. ScalaCheck Properties run under sbt's built-in
+  * framework support.
+  */
+object ConditionProps extends Properties("ConditionLanguage") {
+
+  private val genField = Gen.oneOf(
+    "transaction_amount", "city_tier", "transaction_date",
+    "total_spend", "transaction_count", "bogus_field", "")
+  private val genOp = Gen.oneOf(CondOp.all.map(_.sym) ++ Seq("LIKE", "", "=="))
+  private val genScalar = Gen.oneOf("500", "1", "2024-01-10", "", "not-a-number")
+  private val genValue: Gen[CondValue] = Gen.oneOf(
+    genScalar.map(CondValue.One),
+    Gen.listOf(genScalar).map(vs => CondValue.Many(vs.toVector)))
+  private val genCond: Gen[Condition] = for {
+    f <- genField; o <- genOp; v <- genValue
+    v2 <- Gen.option(genScalar)
+  } yield Condition(f, o, v, v2)
+
+  implicit val arbCond: Arbitrary[Condition] = Arbitrary(genCond)
+
+  property("compile never throws; every condition lands in exactly one bucket") =
+    forAll(Gen.listOf(genCond)) { cs =>
+      val compiled = graft.operators.ConditionCompiler.compile(cs)
+      val skipped = compiled.skipped.size
+      // skipped + compiled counts account for all inputs
+      skipped <= cs.size &&
+        (compiled.where.isEmpty || cs.size > skipped) &&
+        (cs.nonEmpty || compiled.isVacuous)
+    }
+
+  property("operator parse is case/whitespace insensitive and total") =
+    forAll(Gen.oneOf(CondOp.all), Gen.choose(0, 3)) { (op, pad) =>
+      val munged = (" " * pad) + op.sym.toLowerCase + (" " * pad)
+      CondOp.parse(munged).contains(op)
+    }
+
+  property("SetOp.parse round-trips its own names, any case") =
+    forAll(Gen.oneOf(SetOp.Union, SetOp.Intersection, SetOp.Difference)) { op =>
+      SetOp.parse(op.toString.toUpperCase).contains(op) &&
+        SetOp.parse(op.toString.toLowerCase).contains(op)
+    }
+
+  property("codec round-trips arbitrary condition lists") =
+    forAll(Gen.listOf(genCond)) { cs =>
+      // codec reserves -; generator values never contain them
+      ConditionCodec.decodeAll(ConditionCodec.encodeAll(cs)) == cs
+    }
+}
+
+object DependencyFinderProps extends Properties("DependencyFinder") {
+
+  private val conds: Vector[Condition] = Vector(
+    Condition("transaction_amount", ">", "100"),
+    Condition("transaction_amount", ">", "250"),
+    Condition("city_tier", "=", "1"),
+    Condition("city_tier", "=", "2"),
+    Condition.between("transaction_date", "2024-01-01", "2024-01-10"),
+    Condition("total_spend", ">", "500"))
+
+  private val genCondSet = Gen.someOf(conds).map(_.toVector)
+  private val genRules: Gen[Seq[Rule]] = Gen.listOfN(5, genCondSet).map(_.zipWithIndex
+    .map { case (cs, i) => Rule(i + 1L, s"r${i + 1}", cs) })
+
+  property("cover is sound: claimed rules' conditions ⊆ target, consumed ≥ 1") =
+    forAll(genCondSet, genRules) { (target, rules) =>
+      DependencyFinder.findBestDependency(target, rules) match {
+        case None => Prop.passed
+        case Some(d) =>
+          val byId = rules.map(r => r.id -> r).toMap
+          val claimed = d.dependencyRuleIds.flatMap(byId(_).conditions).toSet
+          val t = target.toSet
+          Prop(claimed.subsetOf(t)) :| "claimed ⊆ target" &&
+            Prop(d.remaining.toSet == t -- claimed) :| "remaining = target - claimed" &&
+            Prop(d.remaining.size < target.size) :| "consumed ≥ 1" &&
+            Prop(d.dependencyRuleIds.nonEmpty) :| "≥1 dependency"
+      }
+    }
+
+  property("excluded rule never appears in the cover") =
+    forAll(genCondSet, genRules, Gen.choose(1L, 5L)) { (target, rules, ex) =>
+      DependencyFinder.findBestDependency(target, rules, Some(ex))
+        .forall(!_.dependencyRuleIds.contains(ex))
+    }
+
+  property("detection is deterministic") =
+    forAll(genCondSet, genRules) { (target, rules) =>
+      DependencyFinder.findBestDependency(target, rules) ==
+        DependencyFinder.findBestDependency(target, rules)
+    }
+}
+
+object KernelProps extends Properties("ExpressionKernels") {
+
+  private val genToken = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val genTokens = Gen.listOf(genToken)
+
+  private def arr(tokens: Seq[String]): ArrayData =
+    ArrayData.toArrayData(tokens.map(UTF8String.fromString).toArray)
+
+  property("ngrams: count ≤ max(0, n_tokens - 2); all distinct; deterministic") =
+    forAll(genTokens) { ts =>
+      val out = NGrams.compute(arr(ts), 3)
+      val n = out.numElements()
+      val expectMax = math.max(0, ts.size - 2)
+      val strs = (0 until n).map(out.getUTF8String(_).toString)
+      n <= expectMax && strs.distinct.size == n &&
+        strs.forall(_.split(" ").length == 3)
+    }
+
+  property("ngrams match a reference sliding-window implementation") =
+    forAll(genTokens) { ts =>
+      val expected = if (ts.size < 3) Seq.empty
+        else ts.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      val out = NGrams.compute(arr(ts), 3)
+      (0 until out.numElements()).map(out.getUTF8String(_).toString) == expected
+    }
+
+  property("simhash is order-invariant (bag semantics) and deterministic") =
+    forAll(genTokens) { ts =>
+      val a = SimHash.compute(arr(ts))
+      val b = SimHash.compute(arr(scala.util.Random.shuffle(ts)))
+      a == b
+    }
+
+  property("simhash of single-token docs equals sign pattern of its hash") =
+    forAll(genToken) { t =>
+      val h = SimHash.fnv1a64(t.getBytes("UTF-8"))
+      SimHash.compute(arr(Seq(t))) == h
+    }
+
+  property("dot matches BigDecimal reference on small vectors") =
+    forAll(Gen.listOfN(8, Gen.choose(-10.0, 10.0)),
+           Gen.listOfN(8, Gen.choose(-10.0, 10.0))) { (a, b) =>
+      val got = VectorOps.dot(
+        ArrayData.toArrayData(a.toArray), ArrayData.toArrayData(b.toArray))
+      val ref = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      got == ref // identical fold order ⇒ bitwise equal
+    }
+}

@@ -49,14 +49,48 @@ object Dedup {
   /** All-pairs n-gram Jaccard similarity ≥ threshold, via an inverted index
     * join on shared trigrams (pairs that share nothing never meet).
     * Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+    *
+    * Skew guard (`maxDocFreq`): a shingle appearing in f documents
+    * contributes O(f²) candidate pairs — one ubiquitous phrase in a 100 TB
+    * corpus would alone dwarf the job. Shingles with document frequency
+    * above the cap are dropped from candidate GENERATION only (the tiny hot
+    * list broadcasts into an anti-join); verification still uses complete
+    * shingle sets, so any pair sharing at least one sub-cap shingle gets an
+    * exact Jaccard score. Real near-dups share many shingles including rare
+    * ones, so recall loss is confined to pairs similar ONLY in boilerplate.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", maxDocFreq: Long = 1000L): DataFrame = {
     val sets = docs
       .select(col("doc_id"), ngrams(col(textCol)).as("ng"))
       .filter(size(col("ng")) > 0)
-    val posting = sets.select(
+    val allPosting = sets.select(
       col("doc_id"), explode(col("ng")).as("g"), size(col("ng")).as("n"))
+    val hot = allPosting.groupBy(col("g")).count()
+      .filter(col("count") > maxDocFreq).select("g")
+    // One tiny driver-side probe decides the regime. No hot shingles (the
+    // common case): score pairs straight from the inverted-index join
+    // counts — one shuffle, no per-pair set intersection. Hot shingles
+    // present: drop them from candidate generation (anti-join against the
+    // broadcast hot list) and verify candidates on FULL sets so scores stay
+    // exact.
+    if (hot.isEmpty) {
+      countJaccardPairs(allPosting, threshold)
+    } else {
+      val posting = allPosting.join(broadcast(hot), Seq("g"), "left_anti")
+      val a = posting.as("a"); val b = posting.as("b")
+      val candidates = a.join(b,
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      verifyJaccard(candidates, sets, threshold)
+    }
+  }
+
+  /** Exact Jaccard from inverted-index join counts: `common` is the number
+    * of shared shingles, set sizes ride along on the postings.
+    */
+  private def countJaccardPairs(posting: DataFrame, threshold: Double): DataFrame = {
     val a = posting.as("a"); val b = posting.as("b")
     val pairs = a.join(b,
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))

@@ -23,6 +23,24 @@ object Planner {
       case None    => SegmentPlan.Base(conditions)
     }
 
+  /** Offline re-analysis (R9): re-classify every rule as base vs composite
+    * by exact condition-set composition — a rule becomes Compound only when
+    * some other rules' condition-sets together equal its own exactly
+    * (reference: backend/update_segment_query.py:43-89, `combined ==
+    * conditions` at :55-75). Unlike [[planNew]], partial covers do NOT
+    * qualify.
+    */
+  def reclassifyAll(rules: Seq[Rule]): Map[Long, SegmentPlan] =
+    rules.map { r =>
+      val plan = DependencyFinder.findBestDependency(
+          r.conditions, rules, excludeRuleId = Some(r.id)) match {
+        case Some(d) if d.remaining.isEmpty =>
+          SegmentPlan.Compound(d.dependencyRuleIds, d.operation, Nil)
+        case _ => SegmentPlan.Base(r.conditions)
+      }
+      r.id -> plan
+    }.toMap
+
   /** Plan an already-stored rule (dispatch-time view, R5). */
   def planStored(rule: Rule): SegmentPlan =
     (rule.dependencies, rule.operation) match {

@@ -40,6 +40,15 @@ class PlannerSpec extends SparkSpec {
       DependencyFinder.canonical(Seq(cTier, cAmount)))
   }
 
+  test("offline re-analysis: composite only on exact composition (R9)") {
+    val r4 = Rule(4, "r4", Seq(cAmount, cTier, cDate))
+    val plans = Planner.reclassifyAll(rules :+ r4)
+    // r3 = r1 ∪ r2 exactly ⇒ composite; r4 has no exact cover ⇒ base
+    assert(plans(3) == SegmentPlan.Compound(Seq(1, 2), SetOp.Intersection, Nil))
+    assert(plans(4) == SegmentPlan.Base(Seq(cAmount, cTier, cDate)))
+    assert(plans(1) == SegmentPlan.Base(Seq(cAmount)))
+  }
+
   test("stored rule with deps+op plans Compound even with conditions present (Q5)") {
     val r = Rule(9, "r9", Seq(cAmount), dependencies = Seq(1, 2),
       operation = Some(SetOp.Intersection))

@@ -56,8 +56,10 @@ object Dedup {
     * above the cap are dropped from candidate GENERATION only (the tiny hot
     * list broadcasts into an anti-join); verification still uses complete
     * shingle sets, so any pair sharing at least one sub-cap shingle gets an
-    * exact Jaccard score. Real near-dups share many shingles including rare
-    * ones, so recall loss is confined to pairs similar ONLY in boilerplate.
+    * exact Jaccard score. KNOWN RECALL LIMIT: a pair whose every shared
+    * shingle is hot — notably documents duplicated more than `maxDocFreq`
+    * times — is never generated. Run [[exact]] dedup first (it catches mass
+    * duplication at any frequency) or raise the cap when that matters.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
       textCol: String = "text", maxDocFreq: Long = 1000L): DataFrame = {
@@ -194,13 +196,9 @@ object Dedup {
     // normalized once ⇒ the per-pair verify is a single fused dot product
     val e = Similarity.normalized(embeddings)
     val banded = e.select(col("vec_id"), col("v"),
-      posexplode(array((0 until bands).map { b =>
-        val bits = (0 until bitsPerBand).map { i =>
-          val d = b * bitsPerBand + i
-          when(element_at(col("v"), d + 1) >= 0, lit(1 << i)).otherwise(lit(0))
-        }
-        bits.reduce((x, y) => x + y)
-      }: _*)).as(Seq("band", "chunk")))
+      posexplode(array((0 until bands).map(b =>
+        VectorOps.signBucket(col("v"), b * bitsPerBand, bitsPerBand)): _*))
+        .as(Seq("band", "chunk")))
     require(sigBits <= 64)
     val ca = banded.as("a"); val cb = banded.as("b")
     val candidates = ca.join(cb,

@@ -61,10 +61,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       signBits: Int = 8, probeBits: Int = 2): DataFrame = {
     require(signBits <= 16)
-    def bucketOf(v: Column): Column =
-      (0 until signBits).map(d =>
-        when(element_at(v, d + 1) >= 0, lit(1 << d)).otherwise(lit(0)))
-        .reduce((x, y) => x + y)
+    def bucketOf(v: Column): Column = VectorOps.signBucket(v, 0, signBits)
 
     val c = normalized(corpus).withColumn("bucket", bucketOf(col("v")))
     // each query probes its bucket plus single-bit neighbors (multi-probe)

@@ -40,9 +40,20 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
 }
 
 object VectorOps {
+  import org.apache.spark.sql.functions._
 
   def dotProduct(a: Column, b: Column): Column =
     bridge.column(DotProductExpr(bridge.expression(a), bridge.expression(b)))
+
+  /** Sign-bit coarse quantizer shared by the LSH/IVF paths: packs the signs
+    * of `bits` consecutive dimensions starting at `startDim` into a small
+    * int bucket key. Dimensions past the end of a short vector read as
+    * null, which quantizes as a 0-bit.
+    */
+  def signBucket(v: Column, startDim: Int, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(element_at(v, startDim + i + 1) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
 
   /** Strict left-to-right accumulation; length = min(|a|, |b|). */
   def dot(a: ArrayData, b: ArrayData): Double = {

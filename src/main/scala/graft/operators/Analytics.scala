@@ -28,8 +28,10 @@ object Analytics {
 
   /** A4: daily totals over [start, end], zero-filled for missing days from a
     * generated date spine (reference aggregates.py:57-106, Python zero-fill
-    * at :91-96). The spine is a handful of rows — broadcast to the agg side,
-    * no extra shuffle.
+    * at :91-96). The aggregated side is tiny (one row per day) and is the
+    * build side of the left-outer join, so the broadcast hint is honorable
+    * there — hinting the row-preserving left side of an outer join would be
+    * ignored.
     */
   def dailyTotals(tx: DataFrame, start: String, end: String): DataFrame = {
     val spark = tx.sparkSession
@@ -45,7 +47,7 @@ object Analytics {
       .agg(
         count(lit(1)).as("txn_count"),
         money(sum(exactAmount)).as("total_amount"))
-    broadcast(spine).join(agged, Seq("day"), "left")
+    spine.join(broadcast(agged), Seq("day"), "left")
       .select(
         col("day"),
         coalesce(col("txn_count"), lit(0L)).as("txn_count"),

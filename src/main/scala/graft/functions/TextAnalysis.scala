@@ -69,8 +69,10 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "et", "est", "avec"),
     "zh" -> Seq("的", "是", "了", "在", "和"))
 
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  /** Token-column variant so callers can tokenize once (see [[stats]]). */
+  def langIdFromTokens(toks: Column): Column = {
     // score per language, then argmax via array_max over (score, -index)
     // structs so earlier languages win ties; both fields drive comparison.
     val scored = LangMarkers.zipWithIndex.map { case ((lang, markers), i) =>
@@ -91,17 +93,43 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
 
-  /** One-pass per-document stats frame over a `documents`-shaped table. */
+  /** One-pass per-document stats frame over a `documents`-shaped table.
+    *
+    * Tokenizes ONCE: the token array is materialized in a lower projection
+    * and every stat derives from that column. (Inlining `tokens(text)` into
+    * each stat would re-run the regex split per stat per row — Catalyst
+    * keeps a multiply-referenced non-cheap alias as its own projection, so
+    * the two-step select is the single-tokenize plan.)
+    */
   def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
+    val tk = col("__toks")
+    val sw = array(DefaultStopwords.map(lit): _*)
+    val tokenCountC = size(tk).cast("long")
+    val punctCountC = (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("long")
+    val stopwordCountC = size(filter(tk, x => array_contains(sw, x))).cast("long")
+    val subwordC = tokenCountC +
+      aggregate(
+        transform(tk, x =>
+          floor(greatest(length(x) - lit(4), lit(0)).cast("double") / lit(4.0))),
+        lit(0L), (acc, x) => acc + x)
+    // identical arithmetic to qualityScore(text) — keep in sync with the
+    // DuckDB oracle rendering in SparkEntry
+    val tcD = tokenCountC.cast("double")
+    val ncD = greatest(length(t), lit(1)).cast("double")
+    val qualityC = lit(0.5) * least(tcD / lit(100.0), lit(1.0)) +
+      lit(0.3) * (lit(1.0) - punctCountC.cast("double") / ncD) +
+      lit(0.2) * (stopwordCountC.cast("double") / greatest(tcD, lit(1.0)))
     // Counts surface as LONG to match ANSI engines' BIGINT length/count.
-    docs.select(
-      col("doc_id"),
-      length(t).cast("long").as("n_chars"),
-      tokenCount(t).cast("long").as("token_count"),
-      subwordCountEstimate(t).as("subword_count"),
-      punctCount(t).cast("long").as("punct_count"),
-      stopwordCount(t).cast("long").as("stopword_count"),
-      qualityScore(t).as("quality_score"))
+    docs
+      .select(col("doc_id"), t, tokens(t).as("__toks"))
+      .select(
+        col("doc_id"),
+        length(t).cast("long").as("n_chars"),
+        tokenCountC.as("token_count"),
+        subwordC.as("subword_count"),
+        punctCountC.as("punct_count"),
+        stopwordCountC.as("stopword_count"),
+        qualityC.as("quality_score"))
   }
 }

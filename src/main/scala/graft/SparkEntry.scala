@@ -448,6 +448,39 @@ object SparkEntry {
         "JOIN nation ON c_nationkey = n_nationkey " +
         "GROUP BY 1 ORDER BY 1")),
 
+    // TPC-H Q3-shaped: two selective scans join into lineitem, aggregate
+    // revenue per order, exact top-10. Catalyst pushes both date filters to
+    // the scans and AQE picks broadcast for the filtered customer side.
+    Q("q3_shipping_priority",
+      (s, d) => Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        // price/discount are exact at 2dp, so casting the FACTORS to decimal
+        // and multiplying in decimal is exact on both engines — casting the
+        // double PRODUCT would round differently (the scaled ulp at 5e10 is
+        // ~0.008, a per-row coin flip at the 6th decimal). Revenue stays at
+        // scale 4 — the product's exact scale — because a downcast that
+        // drops NONZERO digits diverges (Spark rounds, DuckDB truncates).
+        .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(java.math.BigDecimal.ONE) - col("l_discount").cast(DecimalType(18, 2))))
+          .cast(Tables.MoneyExact)).cast(DecimalType(20, 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10),
+      Some("SELECT o_orderkey, o_orderdate, " +
+        "CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,6))) " +
+        "AS DECIMAL(20,4)) AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON o_orderkey = l_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' " +
+        "GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10")),
+
     // Ranking window: top-3 orders per customer, deterministic tie-break.
     Q("q_window_top_orders",
       (s, d) => {

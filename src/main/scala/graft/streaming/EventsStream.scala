@@ -32,6 +32,22 @@ object EventsStream {
         col("window.start").as("hour_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Per-user session aggregation: events closer than `gap` merge into one
+    * session (built-in `session_window`, watermark bounds session state).
+    */
+  def userSessions(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(38, 6))).cast(DecimalType(20, 2)).as("total_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

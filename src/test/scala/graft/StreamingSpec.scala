@@ -58,6 +58,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows merge events within the gap, split beyond it") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "value")
+    val q = EventsStream.userSessions(events, gap = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:00:00"), 1L, 1.0),
+        (ts("2024-01-01 10:05:00"), 1L, 2.0),  // same session (≤10 min gap)
+        (ts("2024-01-01 11:00:00"), 1L, 3.0),  // new session
+        (ts("2024-01-01 10:00:00"), 2L, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .as[(java.sql.Timestamp, java.sql.Timestamp, Long, Long, BigDecimal)]
+        .collect().sortBy(r => (r._3, r._1.getTime))
+      assert(rows.map(r => (r._3, r._4, r._5.toString)).toSeq == Seq(
+        (1L, 2L, "3.00"), (1L, 1L, "3.00"), (2L, 1L, "4.00")))
+      // first session spans first event → last event + gap
+      assert(rows.head._1.toString == "2024-01-01 10:00:00.0")
+      assert(rows.head._2.toString == "2024-01-01 10:15:00.0")
+    } finally q.stop()
+  }
+
   test("streaming and batch compute the same hourly windows") {
     val batch = Seq(
       (ts("2024-01-01 10:05:00"), "view", 10.0),

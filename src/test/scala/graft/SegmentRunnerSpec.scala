@@ -70,6 +70,27 @@ class SegmentRunnerSpec extends SparkSpec {
     assert(counts(id3) >= 1L)
   }
 
+  test("reference shipped-DB scenario: faithful compound rule yields 0 rows (Q1/BASELINE)") {
+    val dir = Files.createTempDirectory("graft_runner4").toString
+    val store = new SegmentStore(spark, dir)
+    // keyed = false + DropResidual ⇒ bug-compatible with the reference
+    val runner = new SegmentRunner(store, tx,
+      keyed = false, residualMode = graft.plans.Planner.DropResidual)
+    // amount > 600 (not 500): under >500 user 1's aggregates coincide in
+    // both parents and the full-row intersect would keep that row
+    val cAmount600 = Condition("transaction_amount", ">", "600")
+    runner.createRule("r1", Seq(cAmount600))
+    runner.createRule("r2", Seq(cTier))                         // like city_tier = '1'
+    val (id3, p3) = runner.createRule("r3-compound", Seq(cAmount600, cTier))
+    assert(p3 == SegmentPlan.Compound(Seq(1L, 2L), SetOp.Intersection, Nil))
+    val counts = runner.runAll("2026-08-12T02:00:00")
+    // parents are non-empty and share users, but full-row intersect compares
+    // per-segment aggregates ⇒ empty — the shipped rule-4 artifact
+    assert(counts(1L) > 0 && counts(2L) > 0)
+    assert(counts(id3) == 0L)
+    assert(store.read(id3).schema == Schemas.segmentOutput) // Q9 empty write
+  }
+
   test("updateRule re-detects excluding self (R7)") {
     val dir = Files.createTempDirectory("graft_runner3").toString
     val store = new SegmentStore(spark, dir)

@@ -25,9 +25,12 @@ object TextAnalysis {
     * Deterministic integer arithmetic only.
     */
   def subwordCountEstimate(text: Column): Column =
-    tokenCount(text).cast("long") +
+    subwordCountFromTokens(tokens(text))
+
+  def subwordCountFromTokens(toks: Column): Column =
+    size(toks).cast("long") +
       aggregate(
-        transform(tokens(text), t =>
+        transform(toks, t =>
           floor(greatest(length(t) - lit(4), lit(0)).cast("double") / lit(4.0))),
         lit(0L),
         (acc, x) => acc + x)
@@ -38,9 +41,13 @@ object TextAnalysis {
   val DefaultStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "in", "is", "to")
 
-  def stopwordCount(text: Column, stopwords: Seq[String] = DefaultStopwords): Column = {
+  def stopwordCount(text: Column, stopwords: Seq[String] = DefaultStopwords): Column =
+    stopwordCountFromTokens(tokens(text), stopwords)
+
+  def stopwordCountFromTokens(toks: Column,
+      stopwords: Seq[String] = DefaultStopwords): Column = {
     val sw = array(stopwords.map(lit): _*)
-    size(filter(tokens(text), t => array_contains(sw, t)))
+    size(filter(toks, t => array_contains(sw, t)))
   }
 
   /** Heuristic quality score in [0,1] (double): rewards reasonable length,
@@ -48,12 +55,20 @@ object TextAnalysis {
     * per-row IEEE double arithmetic — bit-identical across engines when the
     * expression tree matches.
     */
-  def qualityScore(text: Column): Column = {
-    val tc = tokenCount(text).cast("double")
-    val nc = greatest(length(text), lit(1)).cast("double")
+  def qualityScore(text: Column): Column =
+    qualityFromParts(tokenCount(text), punctCount(text), length(text),
+      stopwordCount(text))
+
+  /** The one quality formula, shared by [[qualityScore]] and [[stats]] so
+    * the DuckDB oracle rendering has a single Scala counterpart.
+    */
+  def qualityFromParts(tokenCountC: Column, punctCountC: Column,
+      nCharsC: Column, stopwordCountC: Column): Column = {
+    val tc = tokenCountC.cast("double")
+    val nc = greatest(nCharsC, lit(1)).cast("double")
     val lengthTerm = least(tc / lit(100.0), lit(1.0))
-    val punctTerm = lit(1.0) - punctCount(text).cast("double") / nc
-    val swRatio = stopwordCount(text).cast("double") / greatest(tc, lit(1.0))
+    val punctTerm = lit(1.0) - punctCountC.cast("double") / nc
+    val swRatio = stopwordCountC.cast("double") / greatest(tc, lit(1.0))
     lit(0.5) * lengthTerm + lit(0.3) * punctTerm + lit(0.2) * swRatio
   }
 
@@ -104,22 +119,9 @@ object TextAnalysis {
   def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val tk = col("__toks")
-    val sw = array(DefaultStopwords.map(lit): _*)
     val tokenCountC = size(tk).cast("long")
-    val punctCountC = (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("long")
-    val stopwordCountC = size(filter(tk, x => array_contains(sw, x))).cast("long")
-    val subwordC = tokenCountC +
-      aggregate(
-        transform(tk, x =>
-          floor(greatest(length(x) - lit(4), lit(0)).cast("double") / lit(4.0))),
-        lit(0L), (acc, x) => acc + x)
-    // identical arithmetic to qualityScore(text) — keep in sync with the
-    // DuckDB oracle rendering in SparkEntry
-    val tcD = tokenCountC.cast("double")
-    val ncD = greatest(length(t), lit(1)).cast("double")
-    val qualityC = lit(0.5) * least(tcD / lit(100.0), lit(1.0)) +
-      lit(0.3) * (lit(1.0) - punctCountC.cast("double") / ncD) +
-      lit(0.2) * (stopwordCountC.cast("double") / greatest(tcD, lit(1.0)))
+    val punctCountC = punctCount(t).cast("long")
+    val stopwordCountC = stopwordCountFromTokens(tk).cast("long")
     // Counts surface as LONG to match ANSI engines' BIGINT length/count.
     docs
       .select(col("doc_id"), t, tokens(t).as("__toks"))
@@ -127,9 +129,10 @@ object TextAnalysis {
         col("doc_id"),
         length(t).cast("long").as("n_chars"),
         tokenCountC.as("token_count"),
-        subwordC.as("subword_count"),
+        subwordCountFromTokens(tk).as("subword_count"),
         punctCountC.as("punct_count"),
         stopwordCountC.as("stopword_count"),
-        qualityC.as("quality_score"))
+        qualityFromParts(tokenCountC, punctCountC, length(t), stopwordCountC)
+          .as("quality_score"))
   }
 }

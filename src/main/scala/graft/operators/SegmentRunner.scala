@@ -103,10 +103,14 @@ final class SegmentRunner(
     val byId = catalog.map(e => e.ruleId -> e).toMap
     val visited = collection.mutable.LinkedHashSet.empty[Long]
     def visit(id: Long, stack: Set[Long]): Unit = {
-      // dangling dependency ids (absent from the catalog) are not runnable
-      if (!byId.contains(id) || visited.contains(id)) return
+      if (visited.contains(id)) return
       require(!stack.contains(id), s"dependency cycle at rule $id")
-      byId(id).dependsOn.foreach(visit(_, stack + id))
+      byId(id).dependsOn.foreach { p =>
+        // fail loudly, naming the declaring rule — silently skipping the
+        // dependent would read stale or missing parent parquet mid-batch
+        require(byId.contains(p), s"rule $id depends on missing rule $p")
+        visit(p, stack + id)
+      }
       visited += id
     }
     catalog.foreach(e => visit(e.ruleId, Set.empty))

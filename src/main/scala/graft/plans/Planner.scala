@@ -30,14 +30,16 @@ object Planner {
     * conditions` at :55-75). Unlike [[planNew]], partial covers do NOT
     * qualify.
     */
-  def reclassifyAll(rules: Seq[Rule]): Map[Long, SegmentPlan] =
+  def reclassifyAll(rules: Seq[Rule]): Map[Long, SegmentPlan] = {
+    val canonicalById: Map[Long, Set[Condition]] =
+      rules.map(r => r.id -> DependencyFinder.canonical(r.conditions)).toMap
     rules.map { r =>
-      val target = DependencyFinder.canonical(r.conditions)
+      val target = canonicalById(r.id)
       // Rules with the SAME condition set would otherwise classify as
       // composites of each other (an unevaluatable cycle); only the
       // higher-id twin may depend on the lower-id one.
       val candidates = rules.filter(o =>
-        DependencyFinder.canonical(o.conditions) != target || o.id < r.id)
+        canonicalById(o.id) != target || o.id < r.id)
       val plan = DependencyFinder.findBestDependency(
           r.conditions, candidates, excludeRuleId = Some(r.id)) match {
         case Some(d) if d.remaining.isEmpty =>
@@ -46,6 +48,7 @@ object Planner {
       }
       r.id -> plan
     }.toMap
+  }
 
   /** Plan an already-stored rule (dispatch-time view, R5). */
   def planStored(rule: Rule): SegmentPlan =
@@ -66,8 +69,9 @@ object Planner {
 
   /** Evaluate a plan. `loadParent` resolves a parent rule id to its
     * materialized segment (from the SegmentStore, or recomputed).
-    * A compound plan needs ≥2 inputs after resolution (U6, reference
-    * spark_processor.py:92-94).
+    * A compound plan that resolves to a single input passes it through
+    * unchanged; only zero inputs is an error (deliberate deviation from the
+    * reference's ≥2 abort, U6 — see the inline comment below).
     */
   def evaluate(
       plan: SegmentPlan,

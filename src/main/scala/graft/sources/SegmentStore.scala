@@ -159,7 +159,10 @@ object ConditionCodec {
     if (s == null || s.isEmpty) Nil
     else s.split(C(0)).toSeq.filter(_.nonEmpty).map(decode)
   private def decode(s: String): Condition = {
-    val parts = s.split(F(0)).padTo(4, "")
+    val parts = s.split(F(0))
+    require(parts.length == 4 && parts(2).nonEmpty && parts(3).nonEmpty,
+      s"unrecognized condition encoding '$s' — catalog written by an " +
+        "incompatible codec version?")
     val value = parts(2).charAt(0) match {
       case 'S' => CondValue.One(unesc(parts(2).drop(1)))
       case 'M' =>

@@ -92,6 +92,21 @@ object SparkEntry {
         "CAST(sum(CAST(value AS DECIMAL(38,6))) AS DECIMAL(20,2)) > 2000 " +
           "AND count(user_id) >= 5"))),
 
+    // Segment over the TWO-source union (orders ∪ lineitem): the one query
+    // whose transaction_types actually aggregates multiple discriminator
+    // values, exercising the sorted GROUP_CONCAT canonicalization (Q3) and
+    // the reference's real UNION-ALL-then-aggregate shape (U1 + A1).
+    Q("q_seg_base_twosource",
+      (s, d) => SegmentEngine.materializeBase(
+        Tables.transactionsTwoSource(s, d),
+        Seq(Condition("transaction_amount", ">", "30000")))
+        .orderBy("user_id"),
+      Some(s"$twoSourceCte SELECT user_id, count(user_id) AS total_transactions, " +
+        s"${dSum("amount")} AS total_spent, " +
+        "string_agg(DISTINCT transaction_type, ',' ORDER BY transaction_type) " +
+        "AS transaction_types " +
+        "FROM t WHERE amount > 30000 GROUP BY user_id ORDER BY user_id")),
+
     // All conditions malformed ⇒ silently skipped ⇒ all-users segment
     // (SURVEY Q10; reference rule_parser.py:46-58).
     Q("q_seg_vacuous_conditions",
@@ -204,7 +219,7 @@ object SparkEntry {
   /** DuckDB rendering of the two-source unified view (orders ∪ lineitem,
     * FIXTURES.md §C two-source mapping).
     */
-  private val twoSourceCte: String =
+  private def twoSourceCte: String =
     "WITH t AS (" +
       "SELECT o_custkey AS user_id, o_totalprice AS amount, o_orderdate AS ts, " +
       "o_orderpriority AS category, 'ORDERS' AS transaction_type FROM orders " +

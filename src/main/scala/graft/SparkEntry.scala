@@ -281,6 +281,23 @@ object SparkEntry {
         "GROUP BY user_id HAVING count(*) >= 3 " +
         "ORDER BY total_transactions DESC, user_id LIMIT 10 OFFSET 10")),
 
+    // CUBE over (category, city_tier): all grouping-set combinations in one
+    // pass (grand total, per-category, per-tier, per-pair). NULLS FIRST in
+    // the oracle's ORDER BY matches Spark's asc default for the null
+    // subtotal markers.
+    Q("q_analytics_cube",
+      (s, d) => Tables.transactions(s, d)
+        .cube(col("category"), col("city_tier"))
+        .agg(
+          count(lit(1)).as("txn_count"),
+          sum(col("amount").cast(Tables.MoneyExact)).cast(DecimalType(20, 2)).as("total_amount"))
+        .orderBy(col("category"), col("city_tier")),
+      Some("SELECT event_type AS category, " +
+        s"$tierSql AS city_tier, count(*) AS txn_count, " +
+        s"${dSum("value")} AS total_amount FROM events " +
+        "GROUP BY CUBE (1, 2) " +
+        "ORDER BY category NULLS FIRST, city_tier NULLS FIRST")),
+
     Q("q_rollup_user_windows",
       (s, d) => Rollups.userWindows(Tables.transactions(s, d), Seq(7, 14, 30))
         .orderBy("user_id", "period_days"),

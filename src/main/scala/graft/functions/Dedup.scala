@@ -107,13 +107,15 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash + LSH near-dup pairs: `numHashes` seeded xxhash64 minima per
+  /** MinHash + LSH near-dup pairs: `numHashes` universal-hash minima per
     * document, banded into `bands` buckets; candidates sharing any band
     * bucket get an exact Jaccard verify against `threshold`.
     *
-    * At scale this is the standard shape: postings explode to
-    * |ngrams|×numHashes narrow rows, per-seed minima reduce map-side, and
-    * the candidate join touches only same-bucket doc pairs.
+    * The whole signature is computed by the native [[MinHash]] expression
+    * in one pass over each document's shingle array — no shuffle until the
+    * band-bucket join (the explode-postings-×-hashes-then-groupBy shape
+    * moves |ngrams|×numHashes rows through an exchange for the same
+    * result).
     */
   def minhashNearDups(docs: DataFrame, threshold: Double,
       numHashes: Int = 32, bands: Int = 8, textCol: String = "text"): DataFrame = {
@@ -123,18 +125,12 @@ object Dedup {
       .select(col("doc_id"), ngrams(col(textCol)).as("ng"))
       .filter(size(col("ng")) > 0)
 
-    // (doc, seed, h) → per-seed min → band signature → bucket key
-    val hashed = sets
-      .select(col("doc_id"), explode(col("ng")).as("g"))
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(numHashes - 1)), s =>
-          xxhash64(s, col("g")))).as(Seq("seed", "h")))
-    val minhash = hashed.groupBy(col("doc_id"), col("seed")).agg(min(col("h")).as("mh"))
-    val bandKeys = minhash
-      .withColumn("band", col("seed") % lit(bands))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(xxhash64(col("band"), concat_ws(",", sort_array(collect_list(
-        concat_ws(":", col("seed"), col("mh")))))).as("bucket"))
+    val sigs = sets.select(col("doc_id"),
+      MinHash.minhashSignature(col("ng"), numHashes).as("sig"))
+    val bandKeys = sigs.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
+        .as(Seq("band", "bucket")))
 
     val ca = bandKeys.as("a"); val cb = bandKeys.as("b")
     val candidates = ca.join(cb,

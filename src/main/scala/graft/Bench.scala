@@ -12,6 +12,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Synthetic warmup so the first measured query doesn't absorb JVM,
+    // codegen, and scheduler startup (touches no corpus data — IO still
+    // counts against the queries that do it).
+    spark.range(1000000).selectExpr("sum(id * 2)").collect()
     // noop sink forces full computation of every output column — count()
     // would let Catalyst prune the very projections being measured.
     // A failed query records -1 (and is excluded from the total) so breakage

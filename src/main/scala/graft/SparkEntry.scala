@@ -289,14 +289,20 @@ object SparkEntry {
       (s, d) => Tables.transactions(s, d)
         .cube(col("category"), col("city_tier"))
         .agg(
+          grouping_id().as("gid"),
           count(lit(1)).as("txn_count"),
           sum(col("amount").cast(Tables.MoneyExact)).cast(DecimalType(20, 2)).as("total_amount"))
-        .orderBy(col("category"), col("city_tier")),
+        // gid disambiguates subtotal NULL markers from genuine NULL groups —
+        // without it (cat, NULL) would not be a total order if any row had a
+        // null-producing props.k
+        .orderBy(col("category"), col("city_tier"), col("gid")),
       Some("SELECT event_type AS category, " +
-        s"$tierSql AS city_tier, count(*) AS txn_count, " +
+        s"$tierSql AS city_tier, " +
+        s"CAST(GROUPING(event_type, $tierSql) AS BIGINT) AS gid, " +
+        "count(*) AS txn_count, " +
         s"${dSum("value")} AS total_amount FROM events " +
         "GROUP BY CUBE (1, 2) " +
-        "ORDER BY category NULLS FIRST, city_tier NULLS FIRST")),
+        "ORDER BY category NULLS FIRST, city_tier NULLS FIRST, gid")),
 
     Q("q_rollup_user_windows",
       (s, d) => Rollups.userWindows(Tables.transactions(s, d), Seq(7, 14, 30))

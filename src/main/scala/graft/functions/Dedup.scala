@@ -13,13 +13,15 @@ import org.apache.spark.sql.functions._
   *  - exact:      hash the text, group on the 64-char digest.
   *  - ngram:      inverted index on trigrams; pairs only where a trigram is
   *                shared; exact Jaccard on the pair.
-  *  - MinHash:    32 seeded hashes → 8 bands of 4 → candidates share a band
-  *                bucket; exact Jaccard verify kills false positives.
+  *  - MinHash:    32 universal-hash minima (native one-pass signature) →
+  *                8 bands of 4 → candidates share a band bucket; exact
+  *                Jaccard verify kills false positives.
   *  - SimHash:    64-bit signature → 4 bands of 16 bits → candidates share a
   *                band; Hamming-distance verify.
   *  - embedding:  sign-bit LSH bands over the vector → cosine verify.
   *
-  * Everything is deterministic: seeded xxhash64, sorted outputs, no RNG.
+  * Everything is deterministic: FNV-1a + splitmix64-derived hash families
+  * for signatures, xxhash64 for band buckets, sorted outputs, no RNG.
   */
 object Dedup {
 

@@ -23,7 +23,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * OOPSLA 2014).
   */
 case class MinHashSigExpr(child: Expression, numHashes: Int) extends UnaryExpression {
-  require(numHashes >= 1)
+  // plan-time bounds check: failing here is a driver-side error, not a
+  // repeated task failure after the corpus has already been scanned
+  require(numHashes >= 1 && numHashes <= MinHash.MaxSeeds,
+    s"numHashes must be in [1, ${MinHash.MaxSeeds}], got $numHashes")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes() = child.dataType match {
@@ -62,7 +65,7 @@ object MinHash {
   }
 
   /** Per-seed multipliers/offsets, computed once per JVM. */
-  private val MaxSeeds = 256
+  val MaxSeeds = 256
   private val A: Array[Long] =
     Array.tabulate(MaxSeeds)(s => splitmix64(2L * s) | 1L) // odd multipliers
   private val B: Array[Long] =

@@ -339,6 +339,7 @@ object SparkEntry {
       (s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id"),
       Some("SELECT doc_id, length(text) AS n_chars, " +
         s"len($toksSql) AS token_count, " +
+        "len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS regex_token_count, " +
         s"len($toksSql) + CAST(COALESCE(list_sum(" +
         s"[CAST(floor(greatest(length(x) - 4, 0) / 4.0) AS BIGINT) FOR x IN $toksSql]), 0) " +
         "AS BIGINT) AS subword_count, " +

@@ -20,6 +20,13 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish pre-tokenizer count: words and individual punctuation marks as
+    * separate tokens (`\w+|[^\w\s]`), the split most byte-pair encoders
+    * apply before merging. ASCII word semantics match RE2/ANSI engines.
+    */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
   /** BPE-ish subword count estimate: words + extra tokens for long words
     * (every 4 chars beyond the first 4 ≈ one extra merge-level token).
     * Deterministic integer arithmetic only.
@@ -129,6 +136,7 @@ object TextAnalysis {
         col("doc_id"),
         length(t).cast("long").as("n_chars"),
         tokenCountC.as("token_count"),
+        regexTokenCount(t).cast("long").as("regex_token_count"),
         subwordCountFromTokens(tk).as("subword_count"),
         punctCountC.as("punct_count"),
         stopwordCountC.as("stopword_count"),

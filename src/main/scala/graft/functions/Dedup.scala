@@ -212,15 +212,27 @@ object Dedup {
     * threshold verifies. Approximate by construction — pairs whose sign
     * patterns differ in every band are never compared (the price of not
     * doing the O(n²) cross join at 100 TB).
+    *
+    * `bitsPerBand = 0` (default) sizes bands for the corpus: enough bits
+    * that the expected bucket holds ~128 vectors, so candidate volume stays
+    * LINEAR in corpus size instead of quadratic (a fixed band width lets
+    * buckets — and the verify stage — grow with n²).
     */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double,
-      bands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
-    val sigBits = bands * bitsPerBand
+      bands: Int = 4, bitsPerBand: Int = 0): DataFrame = {
+    val bpb =
+      if (bitsPerBand > 0) bitsPerBand
+      else {
+        val n = embeddings.count().toDouble
+        val bits = math.ceil(math.log(n / 128.0) / math.log(2.0)).toInt
+        math.min(16, math.max(2, bits))
+      }
+    val sigBits = bands * bpb
     // normalized once ⇒ the per-pair verify is a single fused dot product
     val e = Similarity.normalized(embeddings)
     val banded = e.select(col("vec_id"), col("v"),
       posexplode(array((0 until bands).map(b =>
-        VectorOps.signBucket(col("v"), b * bitsPerBand, bitsPerBand)): _*))
+        VectorOps.signBucket(col("v"), b * bpb, bpb)): _*))
         .as(Seq("band", "chunk")))
     require(sigBits <= 64)
     val ca = banded.as("a"); val cb = banded.as("b")

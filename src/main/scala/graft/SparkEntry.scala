@@ -13,9 +13,12 @@ import org.apache.spark.sql.types.DecimalType
   * Every query is paired with ANSI SQL the driver runs in DuckDB over the
   * same parquet tables; results are hash-compared after sorting columns by
   * name. Conventions that keep the two engines bit-identical:
-  *  - monetary sums go through exact DECIMAL(38,6) arithmetic and are
-  *    surfaced as DECIMAL(20,2) on both sides (order-independent, so also
-  *    cluster-safe);
+  *  - monetary sums go through exact DECIMAL(38,6) arithmetic, round to 2dp,
+  *    and are surfaced as DOUBLE on both sides (order-independent, so also
+  *    cluster-safe). DOUBLE, not DECIMAL, at the boundary: the two engines
+  *    render decimal trailing zeros differently (`61.50` vs `61.5`), which
+  *    fails a textual hash compare even when values are exactly equal; the
+  *    nearest-double of the identical exact decimal is bit-identical;
   *  - every query ends in a total ORDER BY over a unique key;
   *  - aggregate/computed columns carry identical aliases on both sides.
   */
@@ -33,7 +36,7 @@ object SparkEntry {
     val w = if (where.isEmpty) "" else s" WHERE $where"
     val h = if (having.isEmpty) "" else s" HAVING $having"
     "SELECT user_id, count(user_id) AS total_transactions, " +
-      "CAST(sum(CAST(value AS DECIMAL(38,6))) AS DECIMAL(20,2)) AS total_spent, " +
+      s"${dSum("value")} AS total_spent, " +
       "'EVENTS' AS transaction_types " +
       s"FROM events$w GROUP BY user_id$h"
   }
@@ -87,10 +90,11 @@ object SparkEntry {
         Condition("transaction_amount", ">", "50"),
         Condition("total_spend", ">", "2000"),
         Condition("transaction_count", ">=", "5")),
+      // HAVING compares the same post-convention DOUBLE the Spark engine
+      // filters on (ConditionCompiler routes total_spend to the output col).
       Some(segSql(
         "value > 50",
-        "CAST(sum(CAST(value AS DECIMAL(38,6))) AS DECIMAL(20,2)) > 2000 " +
-          "AND count(user_id) >= 5"))),
+        s"${dSum("value")} > 2000 AND count(user_id) >= 5"))),
 
     // Segment over the TWO-source union (orders ∪ lineitem): the one query
     // whose transaction_types actually aggregates multiple discriminator
@@ -201,8 +205,7 @@ object SparkEntry {
       // Greedy cover claims by (size desc, id asc): rules 2 and 3 carry two
       // conditions each, so the dependency order is [2, 3, 1] and the keyed
       // intersection keeps rule 2's aggregates.
-      Some(s"$parentsCte, sr AS (${segCte("",
-        "CAST(sum(CAST(value AS DECIMAL(38,6))) AS DECIMAL(20,2)) > 500")}) " +
+      Some(s"$parentsCte, sr AS (${segCte("", s"${dSum("value")} > 500")}) " +
         "SELECT * FROM s2 " +
         "WHERE user_id IN (SELECT user_id FROM s3) " +
         "AND user_id IN (SELECT user_id FROM s1) " +
@@ -212,9 +215,12 @@ object SparkEntry {
   // Analytics + rollups (SURVEY §2.4 A3-A7, §2.5, §2.7 T1/T4)
   // -------------------------------------------------------------------------
 
-  /** Shared DuckDB fragment: exact decimal sum of a double amount. */
+  /** Shared DuckDB fragment: exact decimal sum of a double amount, rounded
+    * to 2dp and surfaced as DOUBLE (the engine-wide monetary-output
+    * convention, `Tables.moneyOut` on the Spark side).
+    */
   private def dSum(expr: String): String =
-    s"CAST(sum(CAST($expr AS DECIMAL(38,6))) AS DECIMAL(20,2))"
+    s"CAST(CAST(sum(CAST($expr AS DECIMAL(38,6))) AS DECIMAL(20,2)) AS DOUBLE)"
 
   /** DuckDB rendering of the two-source unified view (orders ∪ lineitem,
     * FIXTURES.md §C two-source mapping).
@@ -251,7 +257,7 @@ object SparkEntry {
         "WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-02-05' " +
         "GROUP BY 1) " +
         "SELECT spine.day, COALESCE(c, 0) AS txn_count, " +
-        "COALESCE(amt, CAST(0 AS DECIMAL(20,2))) AS total_amount " +
+        "COALESCE(amt, CAST(0 AS DOUBLE)) AS total_amount " +
         "FROM spine LEFT JOIN agg USING (day) ORDER BY day")),
 
     Q("q_analytics_summary",
@@ -291,7 +297,7 @@ object SparkEntry {
         .agg(
           grouping_id().as("gid"),
           count(lit(1)).as("txn_count"),
-          sum(col("amount").cast(Tables.MoneyExact)).cast(DecimalType(20, 2)).as("total_amount"))
+          Tables.moneyOut(sum(col("amount").cast(Tables.MoneyExact))).as("total_amount"))
         // gid disambiguates subtotal NULL markers from genuine NULL groups —
         // without it (cat, NULL) would not be a total order if any row had a
         // null-producing props.k
@@ -459,8 +465,8 @@ object SparkEntry {
         .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(Tables.MoneyExact)).cast(DecimalType(20, 2)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(Tables.MoneyExact)).cast(DecimalType(20, 2)).as("sum_base_price"),
+          Tables.moneyOut(sum(col("l_quantity").cast(Tables.MoneyExact))).as("sum_qty"),
+          Tables.moneyOut(sum(col("l_extendedprice").cast(Tables.MoneyExact))).as("sum_base_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some("SELECT l_returnflag, l_linestatus, " +
@@ -479,7 +485,7 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(
           count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(Tables.MoneyExact)).cast(DecimalType(20, 2)).as("revenue"))
+          Tables.moneyOut(sum(col("o_totalprice").cast(Tables.MoneyExact))).as("revenue"))
         .orderBy("n_name"),
       Some("SELECT n_name, count(*) AS n_orders, " +
         s"${dSum("o_totalprice")} AS revenue " +
@@ -501,18 +507,20 @@ object SparkEntry {
         // price/discount are exact at 2dp, so casting the FACTORS to decimal
         // and multiplying in decimal is exact on both engines — casting the
         // double PRODUCT would round differently (the scaled ulp at 5e10 is
-        // ~0.008, a per-row coin flip at the 6th decimal). Revenue stays at
-        // scale 4 — the product's exact scale — because a downcast that
-        // drops NONZERO digits diverges (Spark rounds, DuckDB truncates).
+        // ~0.008, a per-row coin flip at the 6th decimal). The sum keeps
+        // scale 4 — the product's exact scale, so no digit is ever dropped —
+        // then surfaces as DOUBLE per the engine-wide output convention
+        // (unscaled < 2^53 at any plausible sf, so the conversion is the
+        // correctly-rounded nearest double on both engines).
         .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
             (lit(java.math.BigDecimal.ONE) - col("l_discount").cast(DecimalType(18, 2))))
-          .cast(Tables.MoneyExact)).cast(DecimalType(20, 4)).as("revenue"))
+          .cast(Tables.MoneyExact)).cast(DecimalType(20, 4)).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10),
       Some("SELECT o_orderkey, o_orderdate, " +
-        "CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
         "(1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,6))) " +
-        "AS DECIMAL(20,4)) AS revenue " +
+        "AS DECIMAL(20,4)) AS DOUBLE) AS revenue " +
         "FROM customer JOIN orders ON c_custkey = o_custkey " +
         "JOIN lineitem ON o_orderkey = l_orderkey " +
         "WHERE c_mktsegment = 'BUILDING' " +
@@ -546,7 +554,7 @@ object SparkEntry {
         .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
-          sum(col("value").cast(Tables.MoneyExact)).cast(DecimalType(20, 2)).as("total_value"),
+          Tables.moneyOut(sum(col("value").cast(Tables.MoneyExact))).as("total_value"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("hour_start", "event_type"),
       Some("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type, " +

@@ -118,11 +118,13 @@ final case class SegmentCatalogEntry(
 object Schemas {
   /** Segment output row (reference: backend/app/processor/spark_processor.py:191,213-219).
     * `total_transactions` standardized to LONG (the reference flips between
-    * LONG and DECIMAL(20,2) — SURVEY §1.2).
+    * LONG and DECIMAL(20,2) — SURVEY §1.2); `total_spent` follows the
+    * engine-wide monetary-output convention (`Tables.moneyOut`: exact decimal
+    * math internally, DOUBLE at the output boundary).
     */
   val segmentOutput: StructType = StructType(Seq(
     StructField("user_id", LongType),
     StructField("total_transactions", LongType),
-    StructField("total_spent", DecimalType(20, 2)),
+    StructField("total_spent", DoubleType),
     StructField("transaction_types", StringType)))
 }

@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
 object Analytics {
 
   private def exactAmount: Column = col("amount").cast(Tables.MoneyExact)
-  private def money(c: Column): Column = c.cast(DecimalType(20, 2))
+  private def money(c: Column): Column = Tables.moneyOut(c)
 
   /** A3: per-category transaction count + spend
     * (reference aggregates.py:24-53; the UPI/CC dict-merge disappears).

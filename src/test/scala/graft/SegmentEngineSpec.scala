@@ -31,7 +31,7 @@ class SegmentEngineSpec extends SparkSpec {
     val r = rows.head
     assert(r.getAs[Long]("user_id") == 1L)
     assert(r.getAs[Long]("total_transactions") == 3L)
-    assert(r.getAs[java.math.BigDecimal]("total_spent").doubleValue() == 7000.0)
+    assert(r.getAs[Double]("total_spent") == 7000.0)
     // sort_array(collect_set) ⇒ deterministic alphabetical order (SURVEY Q3)
     assert(r.getAs[String]("transaction_types") == "CREDIT_CARD,UPI")
   }

@@ -7,6 +7,15 @@ matches its DuckDB oracle on the same corpus — the same comparison the
 round driver performs (sort columns by name, compare row count / schema /
 values).
 
+STRICT by design (round-1 lesson: this gate predicted green while the
+driver failed 21 queries):
+ - row order must match exactly; OK-UNORDERED is a FAIL;
+ - any Decimal output cell with a trailing zero in its fraction (61.50,
+   204.00) is a FAIL on either side: the driver's hasher renders such cells
+   scale-preserving on one side and float-style on the other, so they
+   hash-mismatch even when values are exactly equal. Final monetary columns
+   must be DOUBLE on both sides (Tables.moneyOut / CAST(... AS DOUBLE)).
+
 Usage: sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
        python3 tools/local_verify.py /root/testdata/sf0.01 /tmp/verify_out
 """
@@ -14,13 +23,24 @@ import json, sys, glob, os
 import duckdb
 
 def norm_cell(v):
-    # Normalize for comparison: Decimals kept exact, floats rounded to 9sf
+    # Normalize for comparison: Decimals kept exact, floats via repr
     import decimal
     if isinstance(v, decimal.Decimal):
         return str(v)
     if isinstance(v, float):
         return repr(v)
     return str(v)
+
+def ambiguous_decimal(v):
+    """True for Decimal cells whose rendering is hash-ambiguous: a trailing
+    zero in the fraction renders '61.50' scale-preserving but '61.5'
+    float-style — exactly the discriminator that split the driver's round-1
+    results 11 pass / 21 fail."""
+    import decimal
+    if not isinstance(v, decimal.Decimal):
+        return False
+    s = str(v)
+    return '.' in s and s != s.rstrip('0')
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -56,12 +76,20 @@ def main(sf_dir, out_dir):
         if len(got_rows) != len(exp_rows):
             results[name] = f"ROWCOUNT-MISMATCH got={len(got_rows)} exp={len(exp_rows)}"
             continue
+        n_amb = sum(1 for rows in (got_rows, exp_rows)
+                    for r in rows for c in r if ambiguous_decimal(c))
+        if n_amb:
+            results[name] = (f"AMBIGUOUS-DECIMAL cells={n_amb} "
+                             "(trailing-zero decimal would hash-mismatch in the driver; "
+                             "cast the final column to DOUBLE on both sides)")
+            continue
         g = [tuple(norm_cell(c) for c in r) for r in got_rows]
         e = [tuple(norm_cell(c) for c in r) for r in exp_rows]
         if g == e:
             results[name] = f"OK rows={len(g)}"
         elif sorted(g) == sorted(e):
-            results[name] = f"OK-UNORDERED rows={len(g)} (row order differs)"
+            results[name] = (f"ORDER-MISMATCH rows={len(g)} "
+                             "(values equal but row order differs; driver compares ordered)")
         else:
             diff = [(a, b) for a, b in zip(sorted(g), sorted(e)) if a != b][:3]
             results[name] = f"VALUE-MISMATCH sample={diff}"

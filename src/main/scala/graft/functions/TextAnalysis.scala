@@ -82,31 +82,16 @@ object TextAnalysis {
   /** Language-ID via stopword-marker voting: count hits from each
     * language's tiny marker lexicon, pick the max (ties broken by fixed
     * language order). A classic n-gram/stopword heuristic — deterministic,
-    * dictionary-driven, no model weights.
+    * dictionary-driven, no model weights. Implemented as the native
+    * one-pass [[LangIdExpr]]: the HOF composition it replaces walked the
+    * token array once per language, interpreted.
     */
-  val LangMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "is", "with"),
-    "de" -> Seq("der", "die", "und", "ist", "mit"),
-    "es" -> Seq("el", "los", "y", "es", "con"),
-    "fr" -> Seq("le", "les", "et", "est", "avec"),
-    "zh" -> Seq("的", "是", "了", "在", "和"))
+  val LangMarkers: Seq[(String, Seq[String])] = LangId.Markers
 
   def langId(text: Column): Column = langIdFromTokens(tokens(text))
 
   /** Token-column variant so callers can tokenize once (see [[stats]]). */
-  def langIdFromTokens(toks: Column): Column = {
-    // score per language, then argmax via array_max over (score, -index)
-    // structs so earlier languages win ties; both fields drive comparison.
-    val scored = LangMarkers.zipWithIndex.map { case ((lang, markers), i) =>
-      val m = array(markers.map(lit): _*)
-      struct(
-        size(filter(toks, t => array_contains(m, t))).as("score"),
-        lit(-i).as("prio"),
-        lit(lang).as("lang"))
-    }
-    val best = array_max(array(scored: _*))
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
+  def langIdFromTokens(toks: Column): Column = LangId.langIdFromTokens(toks)
 
   /** 64-bit document fingerprint: xxhash64 over whitespace-normalized,
     * lowercased text. Stable across runs/partitions; pairs with exact

@@ -1,8 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -22,6 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
 case class LangIdExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
 
+  /** NULL input identifies as "und", not NULL: language-ID is a total
+    * classification (the pre-rebuild HOF composition behaved this way, and a
+    * null-propagating variant silently reshapes downstream groupBys).
+    */
+  override def nullable: Boolean = false
+
   override def checkInputDataTypes() = child.dataType match {
     case ArrayType(StringType, _) =>
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
@@ -30,11 +38,23 @@ case class LangIdExpr(child: Expression) extends UnaryExpression {
         s"lang_id needs array<string>, got $other")
   }
 
-  override def nullSafeEval(input: Any): Any =
-    LangId.compute(input.asInstanceOf[ArrayData])
+  override def eval(input: InternalRow): Any = child.eval(input) match {
+    case null => LangId.Und
+    case arr  => LangId.compute(arr.asInstanceOf[ArrayData])
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.LangId.compute($c)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        $javaType ${ev.value} = ${c.isNull}
+          ? graft.functions.LangId.Und()
+          : graft.functions.LangId.compute(${c.value});""",
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
     copy(child = newChild)
@@ -59,7 +79,8 @@ object LangId {
   private val langs: Array[UTF8String] =
     Markers.map { case (lang, _) => UTF8String.fromString(lang) }.toArray
 
-  private val Und = UTF8String.fromString("und")
+  /** Public (not private) so generated code can reach the static forwarder. */
+  val Und: UTF8String = UTF8String.fromString("und")
 
   /** token → language index; built once, read-only after class init, so
     * safe to share across executor threads and codegen'd calls.

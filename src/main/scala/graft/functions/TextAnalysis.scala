@@ -93,12 +93,21 @@ object TextAnalysis {
   /** Token-column variant so callers can tokenize once (see [[stats]]). */
   def langIdFromTokens(toks: Column): Column = LangId.langIdFromTokens(toks)
 
-  /** 64-bit document fingerprint: xxhash64 over whitespace-normalized,
-    * lowercased text. Stable across runs/partitions; pairs with exact
-    * dedup (Dedup.exact) as the cheap first pass.
+  /** Document fingerprint: polynomial rolling hash (see [[RollingHash]])
+    * over whitespace-normalized, lowercased text. Stable across
+    * runs/partitions; pairs with exact dedup (Dedup.exact) as the cheap
+    * first pass. The 58-bit prime-field construction is engine-portable
+    * (any 64-bit-integer SQL engine can replay it), unlike xxhash-style
+    * mixers that need unsigned 64-bit multiplies.
     */
   def fingerprint(text: Column): Column =
-    xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+    RollingHash.rollingHash(normalizedText(text))
+
+  /** The fingerprint's canonical form: trim, collapse runs of whitespace to
+    * one space, lowercase.
+    */
+  def normalizedText(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
 
   /** One-pass per-document stats frame over a `documents`-shaped table.
     *

@@ -340,6 +340,52 @@ object SparkEntry {
   /** DuckDB fragment: whitespace tokens of trimmed text. */
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
 
+  /** DuckDB rendering of the exact n-gram Jaccard pair set at threshold 0.5
+    * (shared: q_dedup_ngram_jaccard computes it directly; the MinHash+LSH
+    * variant verifies every candidate against exact Jaccard, and PipelineSpec
+    * pins its banding recall to 100% on corpora of this shape, so the SAME
+    * oracle checks q_dedup_minhash_lsh).
+    */
+  private val ngramJaccardOracle: String =
+    "WITH toks AS (SELECT doc_id, " + toksSql + " AS t FROM documents), " +
+      "ngrams AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] " +
+      "FOR i IN range(1, len(t) - 1)]) AS ng FROM toks WHERE len(t) >= 3), " +
+      "posting AS (SELECT doc_id, unnest(ng) AS g, len(ng) AS n FROM ngrams), " +
+      "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common, " +
+      "any_value(a.n) AS na, any_value(b.n) AS nb FROM posting a " +
+      "JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT doc_a, doc_b, CAST(common AS DOUBLE) / (na + nb - common) AS jaccard " +
+      "FROM pairs WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5 " +
+      "ORDER BY doc_a, doc_b"
+
+  /** DuckDB CTE chain `e, n, nv`: L2-normalized double embeddings with the
+    * exact fold-left accumulation order of the fused [[graft.functions.VectorOps]]
+    * dot loop (list_reduce is a left fold), so norms — and every downstream
+    * cosine — are bit-identical doubles on both engines.
+    */
+  private val normEmbCte: String =
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, v, sqrt(" + foldSumSql("[x * x FOR x IN v]") +
+      ") AS nrm FROM e), " +
+      "nv AS (SELECT vec_id, [x / nrm FOR x IN v] AS v FROM n WHERE nrm > 0)"
+
+  /** Left-fold double sum of a DuckDB list expression — the engine-portable
+    * rendering of a sequential `acc += x` loop.
+    */
+  private def foldSumSql(listExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $listExpr), (acc, x) -> acc + x)"
+
+  /** Left-fold dot product of two DuckDB double-list expressions. */
+  private def dotSql(a: String, b: String): String =
+    foldSumSql(s"[$a[i] * $b[i] FOR i IN range(1, len($b) + 1)]")
+
+  /** Per-query exact top-k ranking shared by the brute/IVF ANN oracles. */
+  private def topKSql(scoredCte: String, k: Int): String =
+    s"r AS (SELECT *, row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY score DESC, neighbor_id) AS rank FROM " + scoredCte + ") " +
+      "SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score " +
+      s"FROM r WHERE rank <= $k ORDER BY query_id, rank"
+
   private val pipelineQueries: Seq[Q] = Seq(
     Q("q_text_stats",
       (s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id"),
@@ -360,21 +406,47 @@ object SparkEntry {
         s"/ greatest(CAST(len($toksSql) AS DOUBLE), 1.0)) AS quality_score " +
         "FROM documents ORDER BY doc_id")),
 
-    // Heuristic language-ID — not SQL-expressible cleanly (argmax over
-    // marker lexicons); rows-only check + ScalaTest fixture coverage.
+    // Heuristic language-ID: marker-hit counts per language, argmax with
+    // ties toward the earlier language (LangId.compute's strict `>` scan).
+    // The oracle's CASE cascade is the same earliest-argmax: branch k fires
+    // only when lang_k >= every later language AND all earlier branches
+    // failed (which forces every earlier score strictly below the max).
     Q("q_text_langid",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
         .select(col("doc_id"),
           TextAnalysis.langIdFromTokens(col("__toks")).as("lang_guess"))
         .orderBy("doc_id"),
-      None),
+      Some("WITH t AS (SELECT doc_id, " + toksSql + " AS toks FROM documents), " +
+        "s AS (SELECT doc_id, " +
+        "len(list_filter(toks, x -> x IN ('the','and','of','is','with'))) AS en, " +
+        "len(list_filter(toks, x -> x IN ('der','die','und','ist','mit'))) AS de, " +
+        "len(list_filter(toks, x -> x IN ('el','los','y','es','con'))) AS es, " +
+        "len(list_filter(toks, x -> x IN ('le','les','et','est','avec'))) AS fr, " +
+        "len(list_filter(toks, x -> x IN ('的','是','了','在','和'))) AS zh " +
+        "FROM t) " +
+        "SELECT doc_id, CASE WHEN greatest(en, de, es, fr, zh) = 0 THEN 'und' " +
+        "WHEN en >= de AND en >= es AND en >= fr AND en >= zh THEN 'en' " +
+        "WHEN de >= es AND de >= fr AND de >= zh THEN 'de' " +
+        "WHEN es >= fr AND es >= zh THEN 'es' " +
+        "WHEN fr >= zh THEN 'fr' ELSE 'zh' END AS lang_guess " +
+        "FROM s ORDER BY doc_id")),
 
+    // Rolling-hash fingerprint: the oracle replays RollingHash.compute
+    // exactly — left fold of (acc * 31 + codepoint) mod 2^58-27 over the
+    // normalized text's code points (the 58-bit prime field is why this is
+    // replayable in any 64-bit-integer engine; see RollingHash scaladoc).
     Q("q_text_fingerprint",
       (s, d) => Tables.documents(s, d).select(
         col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id"),
-      None),
+      Some("WITH n AS (SELECT doc_id, " +
+        "lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm FROM documents) " +
+        "SELECT doc_id, list_reduce(" +
+        "list_prepend(CAST(0 AS BIGINT), " +
+        "[CAST(unicode(c) AS BIGINT) FOR c IN regexp_extract_all(norm, '.')]), " +
+        s"(acc, x) -> (acc * 31 + x) % ${graft.functions.RollingHash.Modulus}) " +
+        "AS fingerprint FROM n ORDER BY doc_id")),
 
     // Exact dedup over documents ∪ (re-keyed) documents so duplicate groups
     // actually exist in the corpus.
@@ -393,34 +465,65 @@ object SparkEntry {
     Q("q_dedup_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.5)
         .orderBy("doc_a", "doc_b"),
-      Some("WITH toks AS (SELECT doc_id, " + toksSql + " AS t FROM documents), " +
-        "ngrams AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] " +
-        "FOR i IN range(1, len(t) - 1)]) AS ng FROM toks WHERE len(t) >= 3), " +
-        "posting AS (SELECT doc_id, unnest(ng) AS g, len(ng) AS n FROM ngrams), " +
-        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common, " +
-        "any_value(a.n) AS na, any_value(b.n) AS nb FROM posting a " +
-        "JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-        "SELECT doc_a, doc_b, CAST(common AS DOUBLE) / (na + nb - common) AS jaccard " +
-        "FROM pairs WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5 " +
-        "ORDER BY doc_a, doc_b")),
+      Some(ngramJaccardOracle)),
 
-    // LSH-family dedup variants: candidate generation is hash-banded, so no
-    // tractable ANSI equivalent — deterministic rows-only checks, with
-    // their exact-verify stages covered by ScalaTest fixtures.
+    // MinHash+LSH emits exactly the verified-Jaccard pairs; banding recall
+    // is 100% on this corpus (PipelineSpec pins candidate set == exact
+    // pair set), so the exact-Jaccard oracle applies verbatim.
     Q("q_dedup_minhash_lsh",
       (s, d) => Dedup.minhashNearDups(Tables.documents(s, d), 0.5)
         .orderBy("doc_a", "doc_b"),
-      None),
+      Some(ngramJaccardOracle)),
 
+    // SimHash replayed end-to-end in SQL: FNV-1a 64 per token (HUGEINT
+    // arithmetic, masked to 64 bits — DuckDB BIGINT throws on the wrap the
+    // hash relies on), bit votes, 4×16-bit band join, Hamming verify.
     Q("q_dedup_simhash",
       (s, d) => Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 3)
         .orderBy("doc_a", "doc_b"),
-      None),
+      Some("WITH t AS (SELECT doc_id, " + toksSql + " AS toks FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(toks) AS tk FROM t), " +
+        "th AS (SELECT doc_id, list_reduce(" +
+        "list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+        "[CAST(unicode(c) AS HUGEINT) FOR c IN regexp_extract_all(tk, '.')]), " +
+        "(acc, x) -> (xor(acc, x) * 1099511628211) % 18446744073709551616) AS h " +
+        "FROM tok), " +
+        "bits AS (SELECT doc_id, b, sum(CASE WHEN (h // CAST(power(2, b) AS HUGEINT)) " +
+        "% 2 = 1 THEN 1 ELSE -1 END) AS vote " +
+        "FROM th, (SELECT unnest(range(64)) AS b) bl GROUP BY doc_id, b), " +
+        "sig AS (SELECT doc_id, sum(CASE WHEN vote > 0 " +
+        "THEN CAST(power(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS s " +
+        "FROM bits GROUP BY doc_id), " +
+        "banded AS (SELECT doc_id, s, b AS band, " +
+        "CAST((s // CAST(power(2, 16 * b) AS HUGEINT)) % 65536 AS BIGINT) AS chunk " +
+        "FROM sig, (SELECT unnest(range(4)) AS b) bb), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.s AS sa, b.doc_id AS doc_b, b.s AS sb " +
+        "FROM banded a JOIN banded b ON a.band = b.band AND a.chunk = b.chunk " +
+        "AND a.doc_id < b.doc_id), " +
+        "ham AS (SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming FROM cand) " +
+        "SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM ham " +
+        "WHERE hamming <= 3 ORDER BY doc_a, doc_b")),
 
+    // Sign-bit LSH bands (width auto-sized from the corpus count exactly as
+    // Dedup.embeddingNearDups does) + exact fold-left cosine verify.
     Q("q_dedup_embedding",
       (s, d) => Dedup.embeddingNearDups(Tables.embeddings(s, d), 0.35)
         .orderBy("vec_a", "vec_b"),
-      None),
+      Some(s"WITH $normEmbCte, " +
+        "p AS (SELECT least(16, greatest(2, CAST(ceil(" +
+        "ln((SELECT count(*) FROM embeddings) / 128.0) / ln(2.0)) AS INT))) AS bpb), " +
+        "banded AS (SELECT vec_id, v, b AS band, " +
+        "CAST(list_sum([CASE WHEN v[b * bpb + j + 1] >= 0 " +
+        "THEN CAST(power(2, j) AS BIGINT) ELSE 0 END FOR j IN range(0, bpb)]) " +
+        "AS BIGINT) AS chunk " +
+        "FROM nv, p, (SELECT unnest(range(4)) AS b) bb), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, a.v AS va, " +
+        "b.vec_id AS vec_b, b.v AS vb " +
+        "FROM banded a JOIN banded b ON a.band = b.band AND a.chunk = b.chunk " +
+        "AND a.vec_id < b.vec_id), " +
+        s"sc AS (SELECT vec_a, vec_b, ${dotSql("va", "vb")} AS cosine FROM cand) " +
+        "SELECT vec_a, vec_b, cosine FROM sc WHERE cosine >= 0.35 " +
+        "ORDER BY vec_a, vec_b")),
 
     Q("q_sim_topk_brute",
       (s, d) => {
@@ -428,15 +531,33 @@ object SparkEntry {
         Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10)
           .orderBy("query_id", "rank")
       },
-      None),
+      Some(s"WITH $normEmbCte, " +
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id % 100 = 0), " +
+        "sc AS (SELECT query_id, c.vec_id AS neighbor_id, " +
+        s"${dotSql("qv", "c.v")} AS score " +
+        "FROM nv c, q WHERE c.vec_id <> q.query_id), " +
+        topKSql("sc", 10))),
 
+    // IVF multi-probe: 8 leading sign bits as the coarse quantizer, probes
+    // = {bucket, bucket^1, bucket^2}, per-bucket scoring, exact top-k.
     Q("q_sim_topk_ivf",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10)
           .orderBy("query_id", "rank")
       },
-      None),
+      Some(s"WITH $normEmbCte, " +
+        "c AS (SELECT vec_id, v, CAST(list_sum([CASE WHEN v[j + 1] >= 0 " +
+        "THEN CAST(power(2, j) AS BIGINT) ELSE 0 END FOR j IN range(0, 8)]) " +
+        "AS BIGINT) AS bucket FROM nv), " +
+        "q0 AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket " +
+        "FROM c WHERE vec_id % 100 = 0), " +
+        "q AS (SELECT query_id, qv, xor(qbucket, m) AS bucket " +
+        "FROM q0, (SELECT unnest([0, 1, 2]) AS m) mm), " +
+        "sc AS (SELECT query_id, c.vec_id AS neighbor_id, " +
+        s"${dotSql("qv", "c.v")} AS score " +
+        "FROM c JOIN q USING (bucket) WHERE c.vec_id <> q.query_id), " +
+        topKSql("sc", 10))),
 
     Q("q_multimodal_features",
       (s, d) => Multimodal.extractFeatures(

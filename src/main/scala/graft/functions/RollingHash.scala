@@ -19,6 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Used for document fingerprinting (SURVEY §7.2 step 10 "document
   * fingerprinting (rolling hash)"): callers normalize first (see
   * [[TextAnalysis.fingerprint]]).
+  *
+  * NULL semantics: null-propagating (null text → null fingerprint), the
+  * standard scalar-function contract — unlike `xxhash64`, whose seed makes
+  * it total. Callers grouping by fingerprint see all null-text rows in one
+  * null group on both engines, so the DuckDB oracle needs no special-casing.
   */
 case class RollingHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -55,16 +60,30 @@ object RollingHash {
 
   /** Static entry point shared by interpreted eval and generated code.
     * Iterates CODE POINTS (not UTF-16 chars) so supplementary-plane text
-    * hashes identically to engines that walk unicode scalars.
+    * hashes identically to engines that walk unicode scalars. Decodes them
+    * straight from the UTF8String's bytes — no per-row String allocation in
+    * what is a hot scan-side loop at 100 TB.
     */
   def compute(s: UTF8String): Long = {
-    val str = s.toString
+    val n = s.numBytes()
     var h = 0L
     var i = 0
-    while (i < str.length) {
-      val cp = str.codePointAt(i)
+    while (i < n) {
+      val b0 = s.getByte(i) & 0xFF
+      var cp = b0
+      var len = 1
+      if (b0 >= 0x80) {
+        if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
+        else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
+        else { cp = b0 & 0x07; len = 4 }
+        var j = 1
+        while (j < len && i + j < n) {
+          cp = (cp << 6) | (s.getByte(i + j) & 0x3F)
+          j += 1
+        }
+      }
       h = (h * 31L + cp) % Modulus
-      i += Character.charCount(cp)
+      i += len
     }
     h
   }

@@ -78,7 +78,11 @@ object SetOp {
   }
 }
 
-/** A named audience rule (reference: backend/app/models/rule_engine.py:4-43). */
+/** A named audience rule (reference: backend/app/models/rule_engine.py:4-43).
+  * `schedule` (HOURLY/DAILY/WEEKLY cadence, see [[graft.operators.Schedule]])
+  * and `isActive` gate scheduled execution: SegmentRunner.runAll/runDue skip
+  * inactive rules and runDue re-arms `nextRunAt` per the schedule.
+  */
 final case class Rule(
     id: Long,
     name: String,
@@ -112,7 +116,10 @@ final case class SegmentCatalogEntry(
     dependsOn: Seq[Long],
     operation: Option[String],
     rowCount: Long = -1L,
-    lastRefreshedAt: Option[String] = None)
+    lastRefreshedAt: Option[String] = None,
+    schedule: String = "DAILY",
+    isActive: Boolean = true,
+    nextRunAt: Option[String] = None)
 
 /** Canonical schemas shared by engine and store. */
 object Schemas {

@@ -28,27 +28,71 @@ final class SegmentRunner(
 
   private def asRule(e: SegmentCatalogEntry): Rule =
     Rule(e.ruleId, e.segmentName, e.conditions,
+      schedule = e.schedule, isActive = e.isActive,
       dependencies = e.dependsOn,
       operation = e.operation.flatMap(SetOp.parse))
 
   /** Create + catalog a rule. Returns its id and the plan that was bound.
     * Like the reference, the rule keeps only the conditions the dependency
-    * cover did NOT consume (reference rules.py:40-50).
+    * cover did NOT consume (reference rules.py:40-50). `schedule` and
+    * `isActive` govern scheduled execution ([[runAll]]/[[runDue]]).
     */
-  def createRule(name: String, conditions: Seq[Condition]): (Long, SegmentPlan) = {
+  def createRule(name: String, conditions: Seq[Condition],
+      schedule: String = Schedule.Daily, isActive: Boolean = true): (Long, SegmentPlan) = {
     val catalog = store.loadCatalog()
     val id = catalog.map(_.ruleId).maxOption.getOrElse(0L) + 1L
     val existing = catalog.map(asRule)
     val plan = Planner.planNew(conditions, existing)
     val entry = plan match {
       case SegmentPlan.Base(cs) =>
-        SegmentCatalogEntry(id, name, s"segment_output_$id", cs, Nil, None)
+        SegmentCatalogEntry(id, name, s"segment_output_$id", cs, Nil, None,
+          schedule = schedule, isActive = isActive)
       case SegmentPlan.Compound(parents, op, residual) =>
         SegmentCatalogEntry(id, name, s"segment_output_$id", residual,
-          parents, Some(op.toString.toLowerCase))
+          parents, Some(op.toString.toLowerCase),
+          schedule = schedule, isActive = isActive)
     }
     store.saveCatalog(catalog :+ entry)
     (id, plan)
+  }
+
+  /** List cataloged rules, paginated like the reference's
+    * `GET /api/v1/rules` (reference rules.py:83-107; 1-based pages).
+    */
+  def listRules(page: Int = 1, perPage: Int = 10): Seq[SegmentCatalogEntry] = {
+    require(page >= 1 && perPage >= 1, s"bad page spec ($page, $perPage)")
+    store.loadCatalog().slice((page - 1) * perPage, page * perPage)
+  }
+
+  def getRule(ruleId: Long): Option[SegmentCatalogEntry] =
+    store.loadCatalog().find(_.ruleId == ruleId)
+
+  /** Flip a rule's active flag (`PUT /rules/<id>` with `is_active`,
+    * reference rules.py:176). Inactive rules are skipped by
+    * [[runAll]]/[[runDue]] but stay in the catalog and keep their data.
+    */
+  def setActive(ruleId: Long, active: Boolean): Unit =
+    store.updateCatalog(ruleId)(_.copy(isActive = active))
+
+  /** Delete a rule: catalog row + materialized segment dir
+    * (`DELETE /rules/<id>`, reference rules.py:128-151).
+    *
+    * Documented deviation: the reference deletes blindly, leaving
+    * dependents' `depends_on` dangling (their next run dies on a missing
+    * parent table). Here a delete with live dependents throws unless
+    * `force = true` — at scale a dangling parent takes down every dependent
+    * refresh, so the guard is the safe default and `force` replicates the
+    * reference's behavior.
+    */
+  def deleteRule(ruleId: Long, force: Boolean = false): Unit = {
+    val catalog = store.loadCatalog()
+    require(catalog.exists(_.ruleId == ruleId), s"rule $ruleId not in catalog")
+    val dependents = catalog.filter(_.dependsOn.contains(ruleId)).map(_.ruleId)
+    require(force || dependents.isEmpty,
+      s"rule $ruleId has dependents ${dependents.mkString(",")}; " +
+        "re-plan or delete them first (or pass force = true)")
+    store.removeFromCatalog(ruleId)
+    store.delete(ruleId)
   }
 
   /** Update a rule's conditions: re-runs dependency detection excluding the
@@ -92,11 +136,36 @@ final class SegmentRunner(
     n
   }
 
-  /** Materialize every cataloged rule, parents before dependents. */
+  /** Materialize every ACTIVE cataloged rule, parents before dependents
+    * (the reference scheduler only ever arms `is_active` rules —
+    * scheduler.py:28,50). Dependents of an inactive parent still run,
+    * reading the parent's last materialized parquet, exactly as the
+    * reference's execute path loads stored `segment_output_<id>` tables.
+    */
   def runAll(refreshedAt: String): Map[Long, Long] = {
     val catalog = store.loadCatalog()
-    val order = topoOrder(catalog)
-    order.map(id => id -> run(id, refreshedAt)).toMap
+    val active = catalog.filter(_.isActive).map(_.ruleId).toSet
+    topoOrder(catalog).filter(active)
+      .map(id => id -> run(id, refreshedAt)).toMap
+  }
+
+  /** Scheduler tick: run every active rule whose `nextRunAt` has arrived
+    * (never-armed rules are due immediately, like the reference's init
+    * snap-to-now), then re-arm it per its cadence —
+    * `Schedule.calculateNextRun` (see the deviation note there: the
+    * reference computes cadence but never re-arms after a run).
+    */
+  def runDue(now: String): Map[Long, Long] = {
+    val catalog = store.loadCatalog()
+    val due = catalog
+      .filter(e => e.isActive && Schedule.isDue(e.nextRunAt, now))
+      .map(_.ruleId).toSet
+    topoOrder(catalog).filter(due).map { id =>
+      val n = run(id, now)
+      store.updateCatalog(id)(e =>
+        e.copy(nextRunAt = Some(Schedule.calculateNextRun(e.schedule, now))))
+      id -> n
+    }.toMap
   }
 
   private def topoOrder(catalog: Seq[SegmentCatalogEntry]): Seq[Long] = {

@@ -19,15 +19,30 @@ final class SegmentStore(spark: SparkSession, warehouse: String) {
 
   private def path(ruleId: Long): String = s"$warehouse/segment_output_$ruleId"
 
+  /** Hadoop FileSystem for a path — resolves per-URI (file://, hdfs://,
+    * s3a://, ...), unlike `java.io.File`, which silently only ever works on
+    * the local filesystem.
+    */
+  private def fs(p: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+  }
+
   /** Write a segment, returning its row count (recorded in the catalog like
     * the reference's `row_count` update, S7). Null/empty-safe (Q9).
+    *
+    * The count rides the write itself via an `observe` metric — one pass,
+    * no re-read of what was just written (at 100 TB the old
+    * write-then-count-the-parquet shape doubled the I/O per refresh).
     */
   def write(ruleId: Long, df: DataFrame): Long = {
     // Align to the canonical schema: names select columns, casts pin types.
     val aligned = df.select(Schemas.segmentOutput.fields.map(f =>
       col(f.name).cast(f.dataType)).toSeq: _*)
-    aligned.write.mode(SaveMode.Overwrite).parquet(path(ruleId))
-    spark.read.parquet(path(ruleId)).count()
+    val obs = org.apache.spark.sql.Observation(s"seg_write_$ruleId")
+    aligned.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(path(ruleId))
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Empty-segment sink: canonical 4-col schema, zero rows (S6/Q9). */
@@ -39,8 +54,16 @@ final class SegmentStore(spark: SparkSession, warehouse: String) {
 
   def read(ruleId: Long): DataFrame = spark.read.parquet(path(ruleId))
 
-  def exists(ruleId: Long): Boolean =
-    new java.io.File(path(ruleId)).exists()
+  def exists(ruleId: Long): Boolean = {
+    val (f, p) = fs(path(ruleId)); f.exists(p)
+  }
+
+  /** Remove a segment's materialized parquet (rule DELETE, see
+    * SegmentRunner.deleteRule). No-op when nothing was materialized.
+    */
+  def delete(ruleId: Long): Boolean = {
+    val (f, p) = fs(path(ruleId)); f.delete(p, true)
+  }
 
   // ---- catalog --------------------------------------------------------------
 
@@ -52,31 +75,37 @@ final class SegmentStore(spark: SparkSession, warehouse: String) {
       e.ruleId, e.segmentName, e.tableName,
       ConditionCodec.encodeAll(e.conditions),
       e.dependsOn, e.operation.getOrElse(""),
-      e.rowCount, e.lastRefreshedAt.getOrElse("")))
+      e.rowCount, e.lastRefreshedAt.getOrElse(""),
+      e.schedule, e.isActive, e.nextRunAt.getOrElse("")))
       .toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(catalogPath)
   }
 
   def loadCatalog(): Seq[SegmentCatalogEntry] = {
     import spark.implicits._
-    if (!new java.io.File(catalogPath).exists()) Nil
+    val (f, p) = fs(catalogPath)
+    if (!f.exists(p)) Nil
     else spark.read.parquet(catalogPath).as[FlatEntry].collect().toSeq
       .map(f => SegmentCatalogEntry(
         f.ruleId, f.segmentName, f.tableName,
         ConditionCodec.decodeAll(f.conditions),
         f.dependsOn, Option(f.operation).filter(_.nonEmpty),
-        f.rowCount, Option(f.lastRefreshedAt).filter(_.nonEmpty)))
+        f.rowCount, Option(f.lastRefreshedAt).filter(_.nonEmpty),
+        f.schedule, f.isActive, Option(f.nextRunAt).filter(_.nonEmpty)))
       .sortBy(_.ruleId)
   }
 
   /** Post-materialization metadata update (S7): row_count + refresh stamp. */
-  def updateMetadata(ruleId: Long, rowCount: Long, refreshedAt: String): Unit = {
-    val entries = loadCatalog().map { e =>
-      if (e.ruleId == ruleId)
-        e.copy(rowCount = rowCount, lastRefreshedAt = Some(refreshedAt))
-      else e
-    }
-    saveCatalog(entries)
-  }
+  def updateMetadata(ruleId: Long, rowCount: Long, refreshedAt: String): Unit =
+    updateCatalog(ruleId)(_.copy(
+      rowCount = rowCount, lastRefreshedAt = Some(refreshedAt)))
+
+  /** Point update of one catalog row (schedule re-arm, activation flips). */
+  def updateCatalog(ruleId: Long)(f: SegmentCatalogEntry => SegmentCatalogEntry): Unit =
+    saveCatalog(loadCatalog().map(e => if (e.ruleId == ruleId) f(e) else e))
+
+  /** Drop a rule's catalog row (rule DELETE). */
+  def removeFromCatalog(ruleId: Long): Unit =
+    saveCatalog(loadCatalog().filterNot(_.ruleId == ruleId))
 
   /** Lineage DAG for a rule: nodes + edges via recursive parent walk with a
     * cycle guard (reference: backend/app/api/segments.py:127-157, R6).
@@ -105,7 +134,8 @@ final class SegmentStore(spark: SparkSession, warehouse: String) {
 private[sources] case class FlatEntry(
     ruleId: Long, segmentName: String, tableName: String,
     conditions: String, dependsOn: Seq[Long], operation: String,
-    rowCount: Long, lastRefreshedAt: String)
+    rowCount: Long, lastRefreshedAt: String,
+    schedule: String, isActive: Boolean, nextRunAt: String)
 
 /** Compact string codec for condition lists so catalog metadata stays a
   * flat parquet table. Control-plane only — never touches data rows.

@@ -91,6 +91,73 @@ class SegmentRunnerSpec extends SparkSpec {
     assert(store.read(id3).schema == Schemas.segmentOutput) // Q9 empty write
   }
 
+  test("schedule cadence: calculateNextRun per reference scheduler semantics") {
+    import graft.operators.Schedule
+    val t0 = "2026-08-12T06:30:00Z"
+    assert(Schedule.calculateNextRun("HOURLY", t0) == "2026-08-12T07:30:00Z")
+    assert(Schedule.calculateNextRun("DAILY", t0) == "2026-08-13T06:30:00Z")
+    assert(Schedule.calculateNextRun("WEEKLY", t0) == "2026-08-19T06:30:00Z")
+    assert(Schedule.calculateNextRun("weekly", t0) == "2026-08-19T06:30:00Z")
+    // unrecognized → daily, like the reference's else branch
+    assert(Schedule.calculateNextRun("FORTNIGHTLY", t0) == "2026-08-13T06:30:00Z")
+    assert(Schedule.isDue(None, t0), "never-armed rule is due immediately")
+    assert(Schedule.isDue(Some(t0), t0) && !Schedule.isDue(Some("2026-08-12T06:30:01Z"), t0))
+  }
+
+  test("isActive gates runAll; runDue honors cadence and re-arms nextRunAt") {
+    val dir = Files.createTempDirectory("graft_runner5").toString
+    val store = new SegmentStore(spark, dir)
+    val runner = new SegmentRunner(store, tx)
+    val (id1, _) = runner.createRule("hourly", Seq(cAmount), schedule = "HOURLY")
+    val (id2, _) = runner.createRule("paused", Seq(cTier), isActive = false)
+
+    val counts = runner.runAll("2026-08-12T00:00:00Z")
+    assert(counts.keySet == Set(id1), "inactive rule must be skipped")
+    assert(store.loadCatalog().find(_.ruleId == id2).get.rowCount == -1L)
+
+    // tick 1: only the active rule is due (never armed); re-armed +1h
+    val t1 = "2026-08-12T06:00:00Z"
+    assert(runner.runDue(t1).keySet == Set(id1))
+    val armed = store.loadCatalog().find(_.ruleId == id1).get
+    assert(armed.nextRunAt.contains("2026-08-12T07:00:00Z"))
+    assert(armed.lastRefreshedAt.contains(t1))
+
+    // tick 2 before the arm time: nothing due; tick 3 at the arm time: due
+    assert(runner.runDue("2026-08-12T06:59:59Z").isEmpty)
+    assert(runner.runDue("2026-08-12T07:00:00Z").keySet == Set(id1))
+
+    // re-activated rule joins the next tick
+    runner.setActive(id2, active = true)
+    assert(runner.runDue("2026-08-12T08:00:00Z").keySet == Set(id1, id2))
+  }
+
+  test("rule lifecycle: list/get/delete with dependent guard") {
+    val dir = Files.createTempDirectory("graft_runner6").toString
+    val store = new SegmentStore(spark, dir)
+    val runner = new SegmentRunner(store, tx)
+    val (id1, _) = runner.createRule("r1", Seq(cAmount))
+    val (id2, _) = runner.createRule("r2", Seq(cTier))
+    val (id3, _) = runner.createRule("compound", Seq(cAmount, cTier))
+    runner.runAll("2026-08-12T00:00:00Z")
+
+    assert(runner.listRules().map(_.ruleId) == Seq(id1, id2, id3))
+    assert(runner.listRules(page = 2, perPage = 2).map(_.ruleId) == Seq(id3))
+    assert(runner.getRule(id2).exists(_.segmentName == "r2"))
+    assert(runner.getRule(99L).isEmpty)
+
+    // parent with a live dependent: guarded (deviation from the reference's
+    // blind delete; force replicates it)
+    intercept[IllegalArgumentException](runner.deleteRule(id1))
+    assert(store.exists(id1))
+
+    runner.deleteRule(id3)
+    assert(runner.getRule(id3).isEmpty && !store.exists(id3))
+    runner.deleteRule(id1) // dependent gone ⇒ delete proceeds
+    assert(runner.getRule(id1).isEmpty && !store.exists(id1))
+    assert(runner.listRules().map(_.ruleId) == Seq(id2))
+    intercept[IllegalArgumentException](runner.deleteRule(99L))
+  }
+
   test("updateRule re-detects excluding self (R7)") {
     val dir = Files.createTempDirectory("graft_runner3").toString
     val store = new SegmentStore(spark, dir)

@@ -15,9 +15,14 @@ import org.apache.spark.sql.types._
   *  - The anchor ("now") is the corpus max timestamp, joined in via a
   *    broadcast cross join of a 1-row aggregate — deterministic across runs
   *    and sf, no driver collect in the plan.
-  *  - All windows compute in ONE scan: each row explodes to the window
-  *    lengths it falls into, then a single hash aggregate on
-  *    (user_id, period_days). The reference runs one full query per window.
+  *  - All windows AND all aggregates compute in ONE scan: each row explodes
+  *    to the window lengths it falls into, a single hash aggregate rolls up
+  *    to (user_id, period_days, category) partials, and everything else —
+  *    totals and the favorite-category mode — derives from those partials
+  *    under one (user_id, period_days) exchange. The reference runs one
+  *    full query per window; the pre-r4 shape here scanned events (and
+  *    re-parsed the city_tier JSON) twice, once for totals and once for
+  *    the mode.
   *  - favorite_category is the reference's correlated `ORDER BY COUNT(*)
   *    DESC LIMIT 1` subquery (create_aggregates.py:43-47) rewritten as a
   *    window-function mode with a deterministic tie-break (count desc,
@@ -35,21 +40,30 @@ object Rollups {
       .withColumn("period_days",
         explode(filter(periodsLit, p => to_date(col("ts")) >= date_sub(col("anchor"), p))))
 
-    val agged = base.groupBy(col("user_id"), col("period_days"))
+    // One hash aggregate to per-category partials; partial counts/sums are
+    // exact (decimal), so the per-(user, period) totals recomposed from
+    // them are identical to a direct aggregate over the raw rows.
+    val partials = base.groupBy(col("user_id"), col("period_days"), col("category"))
       .agg(
-        count(lit(1)).as("total_transactions"),
-        Tables.moneyOut(sum(col("amount").cast(Tables.MoneyExact))).as("total_amount"),
-        max(to_date(col("ts"))).as("last_transaction_date"),
-        max(col("city_tier")).as("city_tier"))
+        count(lit(1)).as("cat_count"),
+        sum(col("amount").cast(Tables.MoneyExact)).as("cat_amount"),
+        max(to_date(col("ts"))).as("cat_last_date"),
+        max(col("city_tier")).as("cat_tier"))
 
-    val byCat = base.groupBy(col("user_id"), col("period_days"), col("category")).count()
-    val w = Window.partitionBy(col("user_id"), col("period_days"))
-      .orderBy(col("count").desc, col("category"))
-    val fav = byCat
-      .withColumn("rn", row_number().over(w))
+    // Totals and the mode share ONE partitioning: both window specs key on
+    // (user_id, period_days), so Catalyst plans a single exchange + sort
+    // with two Window operators over it — no join, no second scan.
+    val part = Window.partitionBy(col("user_id"), col("period_days"))
+    val byCount = part.orderBy(col("cat_count").desc, col("category"))
+    partials
+      .withColumn("rn", row_number().over(byCount))
+      .withColumn("total_transactions", sum(col("cat_count")).over(part))
+      .withColumn("total_amount", Tables.moneyOut(sum(col("cat_amount")).over(part)))
+      .withColumn("last_transaction_date", max(col("cat_last_date")).over(part))
+      .withColumn("city_tier", max(col("cat_tier")).over(part))
       .filter(col("rn") === 1)
-      .select(col("user_id"), col("period_days"), col("category").as("favorite_category"))
-
-    agged.join(fav, Seq("user_id", "period_days"))
+      .select(col("user_id"), col("period_days"), col("total_transactions"),
+        col("total_amount"), col("last_transaction_date"), col("city_tier"),
+        col("category").as("favorite_category"))
   }
 }

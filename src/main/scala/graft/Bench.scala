@@ -1,9 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: every SparkEntry query against SPARK_GRAFT_SF_DIR,
+  * printed as ONE JSON line for the round driver.
+  *
+  * Noise discipline (round-2/3 lesson: single-run timings flip-flopped
+  * 3-9× between rounds with zero code change, burning a judge cycle each
+  * time): each query runs SPARK_GRAFT_RUNS times (default 3) in
+  * INTERLEAVED passes — pass 1 runs every query once, then pass 2, ... —
+  * so JIT/page-cache warmth spreads evenly instead of favoring whichever
+  * query ran last. Reported per-query time and the total are per-query
+  * MEDIANS; "spread" records max/min per query and "noise" their maximum,
+  * the round's noise bound (compare regressions against it before
+  * believing them). Medians are compared against the per-query table in
+  * BASELINE.md.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,23 +32,43 @@ object Bench {
     // codegen, and scheduler startup (touches no corpus data — IO still
     // counts against the queries that do it).
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
+
+    val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
     // noop sink forces full computation of every output column — count()
     // would let Catalyst prune the very projections being measured.
     // A failed query records -1 (and is excluded from the total) so breakage
     // is visible in the JSON instead of masquerading as a timing.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def once(name: String): Double = {
       val t0 = System.nanoTime()
-      val t =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: $e"); -1.0 }
-      name -> t
+      try { SparkEntry.queries(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: $e"); -1.0 }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val samples: Map[String, Seq[Double]] =
+      (1 to runs).flatMap(_ => names.map(n => n -> once(n)))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0
+      else if (ok.size % 2 == 1) ok(ok.size / 2)
+      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2
+    }
+    def round3(d: Double): Double = math.rint(d * 1000) / 1000
+
+    val med = names.map(n => n -> median(samples(n)))
+    val spread = names.map { n =>
+      val ok = samples(n).filter(_ >= 0)
+      n -> (if (ok.isEmpty || ok.min <= 0) -1.0 else round3(ok.max / ok.min))
+    }
+    val total = med.map(_._2).filter(_ >= 0).sum
+    val noise = spread.map(_._2).max
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
+      s""""noise":$noise,"queries":${jmap(med)},"spread":${jmap(spread)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

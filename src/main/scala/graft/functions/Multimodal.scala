@@ -9,10 +9,16 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real — schema, partition-preserving
   * mapPartitions over a typed Dataset, iterator-to-iterator batch shape (the
   * same contract a vectorized/Arrow UDF has: no per-row setup cost, safe to
-  * hold a decoder per partition). The DECODE STEP IS A STUB: this container
-  * has no image/audio codecs, so `decodeBatch` computes deterministic fake
-  * features from the raw bytes. Swapping in a real decoder changes only the
-  * body of `decodeOne`.
+  * hold a decoder per partition). The decode step parses two container
+  * formats with pure-JVM header readers — PNG (IHDR: width/height/channels)
+  * and WAV (fmt + data: sample rate/bit depth/channels/frames) — and FALLS
+  * BACK TO A STUB for everything else: this container has no full codecs,
+  * so unrecognized bytes get deterministic fake features derived from byte
+  * length. Swapping in a real decoder for more formats changes only
+  * `decodeOne`. (The driver corpus feeds UTF-8 text bytes — never PNG/WAV
+  * magic — so the q_multimodal_features oracle replays the fallback arm;
+  * the real parsers are pinned by PipelineSpec fixtures with an actual
+  * ImageIO-encoded PNG and a canonical 44-byte WAV.)
   */
 object Multimodal {
 
@@ -37,17 +43,26 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decoder — deterministic fake features derived from byte length.
-    * A real implementation would parse the container format here; the
-    * surrounding batch shape (iterator in/out, one decoder instance per
-    * partition) is the production contract.
+  /** Batch decoder: magic-sniffs each blob and dispatches to the matching
+    * header parser (PNG, WAV), falling back to the deterministic stub. The
+    * batch shape (iterator in/out, one decoder instance per partition) is
+    * the production contract.
     */
   def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
-    // A real decoder would be constructed once here, per partition/batch.
+    // A heavier decoder would be constructed once here, per partition/batch.
     rows.map(decodeOne)
   }
 
-  private def decodeOne(r: MediaRow): MediaFeatures = {
+  private[functions] def decodeOne(r: MediaRow): MediaFeatures =
+    if (isPng(r.content)) decodePng(r)
+    else if (isWav(r.content)) decodeWav(r)
+    else stubFeatures(r)
+
+  /** Fallback for formats this container can't decode: deterministic fake
+    * features derived from byte length (what the driver-corpus oracle
+    * replays, since its blobs are UTF-8 text).
+    */
+  private def stubFeatures(r: MediaRow): MediaFeatures = {
     val n = r.content.length.toLong
     MediaFeatures(
       doc_id = r.doc_id,
@@ -57,6 +72,76 @@ object Multimodal {
       height = (n * 7) % 480 + 1,
       channels = if (r.media_type == "audio") 2L else 3L,
       duration_frames = if (r.media_type == "video") n % 30 + 1 else 1L)
+  }
+
+  // ---- PNG: 8-byte signature, then IHDR is REQUIRED to be the first chunk
+  // (PNG spec §5.6): 4-byte length, "IHDR", 4-byte BE width, 4-byte BE
+  // height, bit depth, color type. 33 bytes covers signature + IHDR.
+
+  private val PngMagic: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 33 && PngMagic.indices.forall(i => b(i) == PngMagic(i)) &&
+      b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+
+  private def decodePng(r: MediaRow): MediaFeatures = {
+    val b = r.content
+    val channels = (b(25) & 0xFF) match { // color type → sample channels
+      case 0 => 1L // grayscale
+      case 2 => 3L // truecolor
+      case 3 => 1L // palette index
+      case 4 => 2L // gray + alpha
+      case 6 => 4L // truecolor + alpha
+      case _ => return stubFeatures(r)
+    }
+    MediaFeatures(r.doc_id, "image", b.length.toLong,
+      width = be32(b, 16), height = be32(b, 20),
+      channels = channels, duration_frames = 1L)
+  }
+
+  // ---- WAV: RIFF/WAVE container; walk chunks to "fmt " (channels, sample
+  // rate, block align, bits/sample) and "data" (payload size). Feature
+  // mapping for audio: width = sample rate (Hz), height = bits per sample,
+  // duration_frames = PCM sample frames (data size / block align).
+
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length >= 44 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  private def le16(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8)
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+
+  private def decodeWav(r: MediaRow): MediaFeatures = {
+    val b = r.content
+    var channels, sampleRate, bits, blockAlign, dataSize = -1L
+    var i = 12
+    while (i + 8 <= b.length && (channels < 0 || dataSize < 0)) {
+      val size = le32(b, i + 4)
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
+          && i + 24 <= b.length) {
+        channels = le16(b, i + 10)
+        sampleRate = le32(b, i + 12)
+        blockAlign = le16(b, i + 20)
+        bits = le16(b, i + 22)
+      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+        dataSize = size
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || blockAlign <= 0 || dataSize < 0) stubFeatures(r)
+    else MediaFeatures(r.doc_id, "audio", b.length.toLong,
+      width = sampleRate, height = bits,
+      channels = channels, duration_frames = dataSize / blockAlign)
   }
 
   /** Feature extraction over the media table: partition-preserving, no

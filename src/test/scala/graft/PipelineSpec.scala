@@ -145,4 +145,35 @@ class PipelineSpec extends SparkSpec {
     val plan = Multimodal.extractFeatures(media).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("multimodal: real PNG IHDR and WAV fmt headers parse to true metadata") {
+    // a REAL png: ImageIO-encoded 3×2 ARGB (color type 6 ⇒ 4 channels)
+    val img = new java.awt.image.BufferedImage(
+      3, 2, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    // canonical 44-byte WAV header + 8 stereo 16-bit frames (32 data bytes)
+    val wav = java.nio.ByteBuffer.allocate(76).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes).putInt(68).put("WAVE".getBytes)
+    wav.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(2)      // PCM, 2 channels
+      .putInt(44100).putInt(176400) // sample rate, byte rate
+      .putShort(4).putShort(16)     // block align, bits per sample
+    wav.put("data".getBytes).putInt(32).put(new Array[Byte](32))
+
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "image", png),
+      Multimodal.MediaRow(2L, "audio", wav.array()),
+      Multimodal.MediaRow(3L, "video", "not a container".getBytes)).toDS()
+    val f = Multimodal.extractFeatures(ds).collect().map(x => x.doc_id -> x).toMap
+
+    assert(f(1L).width == 3L && f(1L).height == 2L && f(1L).channels == 4L)
+    assert(f(1L).duration_frames == 1L && f(1L).n_bytes == png.length.toLong)
+    assert(f(2L).width == 44100L && f(2L).height == 16L && f(2L).channels == 2L)
+    assert(f(2L).duration_frames == 8L)
+    // unrecognized bytes keep the documented stub features
+    assert(f(3L).width == "not a container".length % 640 + 1)
+  }
 }

@@ -310,6 +310,21 @@ object SparkEntry {
         "GROUP BY CUBE (1, 2) " +
         "ORDER BY category NULLS FIRST, city_tier NULLS FIRST, gid")),
 
+    // Segment sample enriched with user attributes (reference sample_data
+    // endpoint + user dim): deterministic top-10 by user_id, broadcast into
+    // customer.
+    Q("q_seg_sample_enriched",
+      (s, d) => Analytics.sampleWithUsers(
+        SegmentEngine.materializeBase(Tables.transactions(s, d),
+          Seq(Condition("transaction_amount", ">", "100"))),
+        Tables.customer(s, d), 10),
+      Some(s"WITH s AS (${segCte("value > 100")}) " +
+        "SELECT user_id, c_name AS name, " +
+        "lower(replace(c_name, '#', '.')) || '@corp.example' AS email, " +
+        "total_transactions, total_spent, transaction_types " +
+        "FROM (SELECT * FROM s ORDER BY user_id LIMIT 10) " +
+        "JOIN customer ON user_id = c_custkey ORDER BY user_id")),
+
     Q("q_rollup_user_windows",
       (s, d) => Rollups.userWindows(Tables.transactions(s, d), Seq(7, 14, 30))
         .orderBy("user_id", "period_days"),

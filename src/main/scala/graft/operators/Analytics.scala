@@ -99,4 +99,24 @@ object Analytics {
       .offset((page - 1) * perPage)
       .limit(perPage)
   }
+
+  /** Segment sample enriched with user attributes — the reference's
+    * `sample_data` endpoint (reference backend/app/api/segments.py:84-117,
+    * `LIMIT 10` over the segment table) joined to the user dimension it
+    * surfaces alongside (name/email). Deterministic first-n by user_id
+    * (the reference's bare LIMIT is order-undefined), then the n-row
+    * sample BROADCASTS into the customer dimension — the big side never
+    * shuffles. Email is derived from the corpus customer name (the
+    * TPC-H-ish dim carries no email column).
+    */
+  def sampleWithUsers(segment: DataFrame, customers: DataFrame, n: Int): DataFrame =
+    broadcast(segment.orderBy("user_id").limit(n))
+      .join(customers, col("user_id") === col("c_custkey"))
+      .select(
+        col("user_id"),
+        col("c_name").as("name"),
+        concat(lower(translate(col("c_name"), "#", ".")), lit("@corp.example"))
+          .as("email"),
+        col("total_transactions"), col("total_spent"), col("transaction_types"))
+      .orderBy("user_id")
 }

@@ -69,4 +69,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(u1w30.getAs[Int]("city_tier") == 2)
     assert(u1w30.getAs[java.sql.Date]("last_transaction_date").toString == "2024-01-03")
   }
+
+  test("segment sample enriched with user attributes broadcasts the sample side") {
+    val seg = Seq((1L, 3L, 100.0, "UPI"), (2L, 1L, 50.0, "CC"))
+      .toDF("user_id", "total_transactions", "total_spent", "transaction_types")
+    val customers = Seq((1L, "Customer#000000001"), (2L, "Customer#000000002"),
+      (3L, "Customer#000000003")).toDF("c_custkey", "c_name")
+    val out = Analytics.sampleWithUsers(seg, customers, 1)
+    val rows = out.collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("name") == "Customer#000000001")
+    assert(rows.head.getAs[String]("email") == "customer.000000001@corp.example")
+    // the n-row sample is the broadcast side; the customer dim never shuffles
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions registration for the engine's native expressions,
+  * making them first-class SQL functions:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)            // or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * ...
+  * spark.sql("SELECT rolling_hash(text), lang_id(split(text, '\\s+')) FROM docs")
+  * }}}
+  *
+  * Registered: `rolling_hash(str)`, `lang_id(array<string>)`,
+  * `simhash64(array<string>)`, `word_ngrams(array<string>[, n])`,
+  * `minhash_signature(array<string>[, k])`, `dot_product(arr, arr)`.
+  * The SQL surface evaluates the exact same codegen'd expressions as the
+  * Column API — no parallel implementation to drift.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** Install the functions into an ALREADY-RUNNING session (extensions only
+    * apply at session build time).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (ident, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
+    }
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal INT, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def fn(name: String, usage: String, arity: Int => Boolean,
+      build: Seq[Expression] => Expression):
+      (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) =
+    (FunctionIdentifier(name), info(name, usage), { args =>
+      require(arity(args.length), s"$name: unexpected argument count ${args.length}")
+      build(args)
+    })
+
+  private val functions: Seq[
+      (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder)] = Seq(
+    fn("rolling_hash",
+      "rolling_hash(str) - 58-bit prime-field polynomial code-point hash",
+      _ == 1, args => RollingHashExpr(args.head)),
+    fn("lang_id",
+      "lang_id(tokens) - marker-lexicon language guess ('und' when unknown)",
+      _ == 1, args => LangIdExpr(args.head)),
+    fn("simhash64",
+      "simhash64(tokens) - Charikar 64-bit similarity signature",
+      _ == 1, args => SimHash64Expr(args.head)),
+    fn("word_ngrams",
+      "word_ngrams(tokens[, n]) - distinct word n-grams (default trigrams)",
+      n => n == 1 || n == 2,
+      args => NGramsExpr(args.head,
+        if (args.length == 2) intArg(args(1), "word_ngrams") else 3)),
+    fn("minhash_signature",
+      "minhash_signature(shingles[, k]) - k universal-hash minima (default 32)",
+      n => n == 1 || n == 2,
+      args => MinHashSigExpr(args.head,
+        if (args.length == 2) intArg(args(1), "minhash_signature") else 32)),
+    fn("dot_product",
+      "dot_product(a, b) - fused left-to-right double-array dot product",
+      _ == 2, args => DotProductExpr(args(0), args(1))))
+}

@@ -71,6 +71,36 @@ object Tables {
       (get_json_object(col("props"), "$.k").cast(IntegerType) % 4 + 1).as("city_tier"),
       lit("EVENTS").as("transaction_type"))
 
+  /** Ingest-time materialization of the transaction view: parses the
+    * `props` JSON ONCE and writes plain typed columns, so every downstream
+    * segment/analytics query scans `city_tier` as a parquet column (with
+    * pushdown/pruning) instead of re-running `get_json_object` per row per
+    * query. At 100 TB the JSON parse is the dominant per-row cost on the
+    * segment path — pay it once at ingest, not per query. Bucketing by
+    * `user_id` additionally pre-shuffles for the segment aggregate.
+    *
+    * The driver-contract queries keep reading the raw corpus (the oracle
+    * computes the derived column itself); this is the production ingest
+    * path a deployment would run first.
+    */
+  def materializeTransactions(spark: SparkSession, dir: String, outPath: String,
+      userBuckets: Int = 0): Unit = {
+    val tx = transactions(spark, dir)
+    if (userBuckets > 0)
+      tx.write.mode("overwrite")
+        .bucketBy(userBuckets, "user_id").sortBy("user_id")
+        .option("path", outPath)
+        .saveAsTable(s"graft_tx_${math.abs(outPath.hashCode)}")
+    else
+      tx.write.mode("overwrite").parquet(outPath)
+  }
+
+  /** Read back a [[materializeTransactions]] output: identical schema to
+    * [[transactions]], minus the per-query JSON parse.
+    */
+  def transactionsMaterialized(spark: SparkSession, outPath: String): DataFrame =
+    spark.read.parquet(outPath)
+
   /** Two-source unified view (orders ∪ lineitem), the analog of the
     * reference's UPI ∪ CC `UNION ALL` with a discriminator column
     * (reference: backend/app/utils/rule_parser.py:104-110, U1).

@@ -45,6 +45,29 @@ class SegmentStoreSpec extends SparkSpec {
     assert(!store.exists(id) && store.loadCatalog().isEmpty)
   }
 
+  test("materialized transactions: JSON parsed once at ingest, tier filter pushes to parquet") {
+    import graft.model.Condition
+    import graft.operators.SegmentEngine
+    import graft.sources.Tables
+    val out = Files.createTempDirectory("graft_mat").toString + "/tx"
+    Tables.materializeTransactions(spark, sf, out)
+
+    val conds = Seq(Condition("city_tier", "=", "2"))
+    val fromView = SegmentEngine.materializeBase(Tables.transactions(spark, sf), conds)
+      .orderBy("user_id").collect()
+    val mat = Tables.transactionsMaterialized(spark, out)
+    val fromMat = SegmentEngine.materializeBase(mat, conds)
+      .orderBy("user_id").collect()
+    assert(fromMat.toSeq == fromView.toSeq)
+
+    // the win: tier predicate reaches the parquet scan as a pushed filter,
+    // and no JSON parse appears anywhere in the plan
+    val plan = SegmentEngine.materializeBase(mat, conds)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("city_tier"))
+    assert(!plan.contains("get_json_object"))
+  }
+
   test("write counts rows on the write pass itself (observe metric, no re-read)") {
     val dir = Files.createTempDirectory("graft_obs").toString
     val store = new SegmentStore(spark, dir)

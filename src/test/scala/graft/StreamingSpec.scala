@@ -83,6 +83,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps the first occurrence per fingerprint across batches") {
+    import graft.streaming.DocsStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = DocsStream.dedupStream(docs)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (1L, ts("2024-01-01 10:00:00"), "hello world"),
+        (2L, ts("2024-01-01 10:01:00"), "something else"))
+      q.processAllAvailable()
+      in.addData(
+        (3L, ts("2024-01-01 10:05:00"), "Hello   WORLD"), // same normalized fp as 1
+        (4L, ts("2024-01-01 10:06:00"), "brand new text"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_stream").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(kept == Seq(1L, 2L, 4L), "duplicate doc 3 must be dropped")
+    } finally q.stop()
+  }
+
+  test("quality gate is stateless: stream output == batch output") {
+    import graft.streaming.DocsStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "the quick brown fox is one of the good docs and it is long enough"),
+      (2L, ts("2024-01-01 10:01:00"), "!!! ??? ..."))
+    val batchOut = DocsStream.qualityStream(
+      rows.toDF("doc_id", "ts", "text"), minQuality = 0.4)
+      .select("doc_id", "quality_score", "lang")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = DocsStream.qualityStream(in.toDF().toDF("doc_id", "ts", "text"), 0.4)
+      .select("doc_id", "quality_score", "lang")
+      .writeStream.format("memory").queryName("quality_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val streamOut = spark.table("quality_stream")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+      assert(streamOut.sorted == batchOut.sorted && batchOut.map(_._1) == Seq(1L))
+      assert(batchOut.head._3 == "en")
+    } finally q.stop()
+  }
+
   test("streaming and batch compute the same hourly windows") {
     val batch = Seq(
       (ts("2024-01-01 10:05:00"), "view", 10.0),

@@ -664,6 +664,31 @@ object SparkEntry {
         "AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' " +
         "GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10")),
 
+    // As-of join (events → latest order at event time per user) + rollup.
+    // The oracle replays the same "greatest (o_orderdate, o_orderkey) with
+    // o_orderdate <= ts" pick as a correlated argmax subquery.
+    Q("q_asof_last_order",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"), col("ts"), col("value"))
+        val ord = Tables.orders(s, d).select(col("o_custkey").as("user_id"),
+          col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+        val m = AsOf.asofJoin(ev, ord, "user_id", "ts", "o_orderdate",
+          pick = Seq("o_totalprice"), tieBreak = "o_orderkey")
+        m.groupBy(col("user_id")).agg(
+          count(lit(1)).as("n_events"),
+          count(col("asof_o_totalprice")).as("matched_events"),
+          Tables.moneyOut(sum(col("asof_o_totalprice").cast(Tables.MoneyExact)))
+            .as("matched_total"))
+          .orderBy("user_id")
+      },
+      Some("WITH m AS (SELECT e.user_id, " +
+        "(SELECT o.o_totalprice FROM orders o WHERE o.o_custkey = e.user_id " +
+        "AND o.o_orderdate <= e.ts ORDER BY o.o_orderdate DESC, o.o_orderkey DESC " +
+        "LIMIT 1) AS last_price FROM events e) " +
+        "SELECT user_id, count(*) AS n_events, count(last_price) AS matched_events, " +
+        s"${dSum("last_price")} AS matched_total " +
+        "FROM m GROUP BY user_id ORDER BY user_id")),
+
     // Ranking window: top-3 orders per customer, deterministic tie-break.
     Q("q_window_top_orders",
       (s, d) => {

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.AsOf
+import org.apache.spark.sql.functions._
+
+/** As-of join semantics on a hand-checked fixture: latest-at-or-before
+  * pick, equal-time visibility, deterministic tie-break, null when nothing
+  * precedes, and the no-range-explosion plan shape.
+  */
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("picks latest right row at-or-before each left time, per key") {
+    val quotes = Seq(
+      (1L, t("2024-01-01 10:00:00"), 100L, 10.0),
+      (1L, t("2024-01-01 12:00:00"), 101L, 12.0),
+      (1L, t("2024-01-01 12:00:00"), 102L, 13.0), // equal time: 102 wins (tie)
+      (2L, t("2024-01-01 11:00:00"), 200L, 99.0))
+      .toDF("key", "qt", "qid", "price")
+    val trades = Seq(
+      (1L, t("2024-01-01 09:00:00"), "before-any"),
+      (1L, t("2024-01-01 10:30:00"), "after-first"),
+      (1L, t("2024-01-01 12:00:00"), "equal-time"),
+      (1L, t("2024-01-01 23:00:00"), "after-all"),
+      (2L, t("2024-01-01 11:30:00"), "other-key"))
+      .toDF("key", "tt", "label")
+
+    val out = AsOf.asofJoin(trades, quotes, "key", "tt", "qt",
+      pick = Seq("price"), tieBreak = "qid")
+      .select("label", "asof_price").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+
+    assert(out("before-any").isEmpty, "no quote precedes -> null")
+    assert(out("after-first").contains(10.0))
+    assert(out("equal-time").contains(13.0), "equal time visible, max qid wins")
+    assert(out("after-all").contains(13.0))
+    assert(out("other-key").contains(99.0), "keys never leak")
+  }
+
+  test("plan is union + single window, not a range join") {
+    val l = spark.range(10).select($"id".as("key"),
+      lit(t("2024-01-01 10:00:00")).as("lt"))
+    val r = spark.range(10).select($"id".as("key"),
+      lit(t("2024-01-01 09:00:00")).as("rt"), $"id".as("rid"), $"id".as("v"))
+    val plan = AsOf.asofJoin(l, r, "key", "lt", "rt", Seq("v"), "rid")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window") && plan.contains("Union"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+}

@@ -689,6 +689,37 @@ object SparkEntry {
         s"${dSum("last_price")} AS matched_total " +
         "FROM m GROUP BY user_id ORDER BY user_id")),
 
+    // Range join (points → containing intervals, bucketized — no per-key
+    // cartesian): overlapping 2-hour "busy windows" around high-traffic
+    // hours, then pair counts per event type. Oracle replays the interval
+    // containment as a plain inequality join (fine at sf0.01 in DuckDB;
+    // the bucketized shape is the one that survives 100 TB).
+    Q("q_range_busy_windows",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val busy = ev
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 6)
+        val intervals = busy.select(col("event_type"),
+          (col("h") - expr("INTERVAL 30 MINUTES")).as("w_start"),
+          (col("h") + expr("INTERVAL 90 MINUTES")).as("w_end"))
+        RangeJoin.pointInInterval(
+            ev.select(col("event_type"), col("ts")), intervals,
+            keys = Seq("event_type"), pointTime = "ts",
+            start = "w_start", end = "w_end", bucketWidthSec = 3600L)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("event_type")
+      },
+      Some("WITH hours AS (SELECT event_type, date_trunc('hour', ts) AS h " +
+        "FROM events GROUP BY 1, 2 HAVING count(*) >= 6), " +
+        "iv AS (SELECT event_type, h - INTERVAL 30 MINUTE AS w_start, " +
+        "h + INTERVAL 90 MINUTE AS w_end FROM hours) " +
+        "SELECT e.event_type, count(*) AS n_pairs FROM events e " +
+        "JOIN iv ON e.event_type = iv.event_type " +
+        "AND e.ts BETWEEN iv.w_start AND iv.w_end " +
+        "GROUP BY 1 ORDER BY 1")),
+
     // Ranking window: top-3 orders per customer, deterministic tie-break.
     Q("q_window_top_orders",
       (s, d) => {

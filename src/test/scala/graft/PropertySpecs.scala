@@ -150,3 +150,43 @@ object KernelProps extends Properties("ExpressionKernels") {
       got == ref // identical fold order ⇒ bitwise equal
     }
 }
+
+/** The rolling-hash kernel decodes code points from raw UTF-8 bytes (no
+  * per-row String allocation); these properties pin it to the JDK's own
+  * decoder across the full code-point space, including the supplementary
+  * planes the byte walk must get right.
+  */
+object RollingHashProps extends Properties("RollingHashKernel") {
+  import graft.functions.RollingHash
+
+  // weighted toward multi-byte UTF-8: ASCII, Latin-1/BMP, and astral chars
+  private val genCodePoint: Gen[Int] = Gen.frequency(
+    4 -> Gen.choose(0x20, 0x7E),
+    2 -> Gen.choose(0xA0, 0x2FFF),
+    1 -> Gen.choose(0x10000, 0x10FFFF))
+    .suchThat(cp => !Character.isSurrogate(cp.toChar) || cp > 0xFFFF)
+  private val genText: Gen[String] =
+    Gen.listOf(genCodePoint).map(_.flatMap(Character.toChars(_)).mkString)
+
+  private def reference(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % RollingHash.Modulus
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  property("byte-walk decode == JDK codePointAt reference") =
+    forAll(genText) { s =>
+      RollingHash.compute(UTF8String.fromString(s)) == reference(s)
+    }
+
+  property("hash is always within the prime field") =
+    forAll(genText) { s =>
+      val h = RollingHash.compute(UTF8String.fromString(s))
+      h >= 0L && h < RollingHash.Modulus
+    }
+}

@@ -111,6 +111,23 @@ object SparkEntry {
         "AS transaction_types " +
         "FROM t WHERE amount > 30000 GROUP BY user_id ORDER BY user_id")),
 
+    // Full control-plane round-trip under the hash gate: create a rule in a
+    // fresh store (dependency detection against an empty catalog), plan,
+    // materialize, WRITE the segment parquet (observe-metric count), read
+    // it back. Proves S5/S7 write→read fidelity — the stored bytes, not
+    // just the in-memory frame, must match the oracle.
+    Q("q_store_roundtrip",
+      (s, d) => {
+        val wh = java.nio.file.Files.createTempDirectory("graft_verify_store").toString
+        val store = new graft.sources.SegmentStore(s, wh)
+        val runner = new SegmentRunner(store, () => Tables.transactions(s, d))
+        val (id, _) = runner.createRule("roundtrip",
+          Seq(Condition("transaction_amount", ">", "300")))
+        runner.run(id, "2026-01-01T00:00:00Z")
+        store.read(id).orderBy("user_id")
+      },
+      Some(segSql("value > 300"))),
+
     // All conditions malformed ⇒ silently skipped ⇒ all-users segment
     // (SURVEY Q10; reference rule_parser.py:46-58).
     Q("q_seg_vacuous_conditions",

@@ -132,6 +132,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("continuous segment equals batch materialization for the same data") {
+    import graft.model.Condition
+    import graft.streaming.SegmentStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val conds = Seq(
+      Condition("transaction_amount", ">", "50"),
+      Condition("total_spend", ">", "100"))
+
+    val in = MemoryStream[(Long, Double, String)]
+    val tx = in.toDF().toDF("user_id", "amount", "transaction_type")
+    val q = SegmentStream.continuousSegment(tx, conds)
+      .writeStream.format("memory").queryName("cont_seg")
+      .outputMode(SegmentStream.SegmentOutputMode).start()
+    try {
+      in.addData((1L, 60.0, "UPI"), (1L, 55.555, "CC"), (2L, 70.0, "UPI"))
+      q.processAllAvailable()
+      in.addData((1L, 80.0, "UPI"), (2L, 20.0, "UPI"), (3L, 200.005, "CC"))
+      q.processAllAvailable()
+
+      // latest update per user (Update mode appends each revision)
+      val streamed = spark.table("cont_seg")
+        .groupBy("user_id")
+        .agg(max(struct(col("total_transactions"), col("total_spent"),
+          col("transaction_types"))).as("s"))
+        .select(col("user_id"), col("s.*"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+        .toSet
+
+      val allRows = Seq(
+        (1L, 60.0, "UPI"), (1L, 55.555, "CC"), (2L, 70.0, "UPI"),
+        (1L, 80.0, "UPI"), (2L, 20.0, "UPI"), (3L, 200.005, "CC"))
+        .toDF("user_id", "amount", "transaction_type")
+      val batch = graft.operators.SegmentEngine.materializeBase(allRows, conds)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+        .toSet
+
+      // user 2 never passes HAVING (only 70.0 > 50 counts); users 1 and 3 do
+      assert(batch.map(_._1) == Set(1L, 3L))
+      assert(streamed == batch,
+        "streaming running state must equal batch aggregate incl. exact rounding")
+    } finally q.stop()
+  }
+
   test("streaming and batch compute the same hourly windows") {
     val batch = Seq(
       (ts("2024-01-01 10:05:00"), "view", 10.0),

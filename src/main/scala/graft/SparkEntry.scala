@@ -507,6 +507,22 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b"),
       Some(ngramJaccardOracle)),
 
+    // Duplicate clusters: connected components over the near-dup pair set
+    // (min-doc_id labels). Oracle: recursive-CTE transitive closure over
+    // the same pair SQL.
+    Q("q_dedup_clusters",
+      (s, d) => Dedup.duplicateClusters(
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.5))
+        .orderBy("doc_id"),
+      Some("WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM " +
+        s"($ngramJaccardOracle)), " +
+        "e AS (SELECT doc_a AS src, doc_b AS dst FROM p " +
+        "UNION SELECT doc_b, doc_a FROM p), " +
+        "reach AS (SELECT src, dst FROM e " +
+        "UNION SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src) " +
+        "SELECT src AS doc_id, least(src, min(dst)) AS cluster_id " +
+        "FROM reach GROUP BY src ORDER BY doc_id")),
+
     // SimHash replayed end-to-end in SQL: FNV-1a 64 per token (HUGEINT
     // arithmetic, masked to 64 bits — DuckDB BIGINT throws on the wrap the
     // hash relies on), bit votes, 4×16-bit band join, Hamming verify.

@@ -182,6 +182,53 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Duplicate CLUSTERS from a near-dup pair list: connected components
+    * with the component's min doc_id as the cluster label — the step that
+    * turns pairwise similarity into deduplication decisions (keep one doc
+    * per cluster).
+    *
+    * Min-label propagation to fixpoint: every node adopts the smallest
+    * label among itself and its neighbors, repeated until no label
+    * changes. Each round is one join + one aggregate (all distributed);
+    * the DRIVER only checks the convergence count — the standard
+    * iterative-fixpoint shape (GraphX/Pregel do the same), with rounds
+    * bounded by the component diameter, which for near-dup clusters is
+    * small (duplicates of one document form near-cliques). `maxIters`
+    * caps pathological chains; hitting it throws rather than silently
+    * emitting half-merged clusters.
+    *
+    * Output: (doc_id, cluster_id) for every doc that appears in a pair.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    var iter = 0
+    var converged = false
+    while (!converged) {
+      require(iter < maxIters, s"label propagation exceeded $maxIters rounds")
+      // each node takes min(own label, neighbors' labels)
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .select(col("src").as("doc_id"), col("cluster_id"))
+      val next = labels.unionByName(neighborLabels)
+        .groupBy(col("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .limit(1).count()
+      // checkpoint the lineage each round or the plan doubles per iteration
+      val materialized = next.localCheckpoint(true)
+      labels = materialized
+      converged = changed == 0L
+      iter += 1
+    }
+    labels
+  }
+
   /** SimHash near-dup pairs: 64-bit signature per document (see
     * [[SimHash.simhash64]]), banded into 4×16-bit chunks; candidates sharing
     * a chunk get a Hamming-distance verify ≤ maxHamming.

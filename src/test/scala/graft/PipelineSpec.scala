@@ -146,6 +146,16 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("duplicate clusters: multi-hop chains merge, components stay separate") {
+    // chain 1-2-3-4 (forces >1 propagation round), pair 10-11, self-contained 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("multimodal: real PNG IHDR and WAV fmt headers parse to true metadata") {
     // a REAL png: ImageIO-encoded 3×2 ARGB (color type 6 ⇒ 4 channels)
     val img = new java.awt.image.BufferedImage(

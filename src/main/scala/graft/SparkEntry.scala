@@ -304,6 +304,17 @@ object SparkEntry {
         "GROUP BY user_id HAVING count(*) >= 3 " +
         "ORDER BY total_transactions DESC, user_id LIMIT 10 OFFSET 10")),
 
+    // Retention cohorts: first-activity day × activity-day offset →
+    // distinct-user counts. Integer-only output.
+    Q("q_analytics_retention",
+      (s, d) => Analytics.retentionCohorts(Tables.events(s, d))
+        .orderBy("cohort_day", "day_offset"),
+      Some("WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day " +
+        "FROM events GROUP BY 1), " +
+        "a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events) " +
+        "SELECT cohort_day, (d - cohort_day) AS day_offset, count(*) AS n_users " +
+        "FROM a JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2")),
+
     // CUBE over (category, city_tier): all grouping-set combinations in one
     // pass (grand total, per-category, per-tier, per-pair). NULLS FIRST in
     // the oracle's ORDER BY matches Spark's asc default for the null
@@ -479,6 +490,21 @@ object SparkEntry {
         "[CAST(unicode(c) AS BIGINT) FOR c IN regexp_extract_all(norm, '.')]), " +
         s"(acc, x) -> (acc * 31 + x) % ${graft.functions.RollingHash.Modulus}) " +
         "AS fingerprint FROM n ORDER BY doc_id")),
+
+    // Keyword extraction: per-doc top-3 terms by exact frequency (integer
+    // tf, no floating-point IDF ⇒ cross-engine deterministic).
+    Q("q_text_top_terms",
+      (s, d) => TextAnalysis.topTerms(Tables.documents(s, d), 3)
+        .orderBy("doc_id", "rank"),
+      Some("WITH posting AS (SELECT doc_id, unnest(" + toksSql + ") AS term " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM posting " +
+        "WHERE term NOT IN ('the','a','an','of','and','in','is','to') " +
+        "AND term <> '' GROUP BY 1, 2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY tf DESC, term) AS rank FROM tf) " +
+        "SELECT doc_id, term, tf, CAST(rank AS INT) AS rank FROM r " +
+        "WHERE rank <= 3 ORDER BY doc_id, rank")),
 
     // Exact dedup over documents ∪ (re-keyed) documents so duplicate groups
     // actually exist in the corpus.

@@ -109,6 +109,25 @@ object TextAnalysis {
   def normalizedText(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))
 
+  /** Per-document top-k terms by frequency (stopwords excluded, ties by
+    * term asc) — keyword extraction, the integer-only cousin of TF-IDF
+    * (term frequencies are exact counts, so results are deterministic
+    * across engines without floating-point IDF). Scale shape: explode to
+    * (doc, term) postings, one hash aggregate, one windowed rank per doc.
+    */
+  def topTerms(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    val sw = array(DefaultStopwords.map(lit): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tf").desc, col("term"))
+    docs
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .filter(not(array_contains(sw, col("term"))) && col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** One-pass per-document stats frame over a `documents`-shaped table.
     *
     * Tokenizes ONCE: the token array is materialized in a lower projection

@@ -100,6 +100,24 @@ object Analytics {
       .limit(perPage)
   }
 
+  /** Retention cohorts over the raw event stream: users grouped by their
+    * first-activity day, counted on each later activity day as an offset
+    * from the cohort day. Integer-only output (days, counts) —
+    * cross-engine deterministic. Two shuffles, both on user_id first
+    * (cohort derivation + distinct activity days share the partitioning),
+    * then a small (cohort, offset) aggregate.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val firstDay = events.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val activeDays = events
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    activeDays.join(firstDay, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Segment sample enriched with user attributes — the reference's
     * `sample_data` endpoint (reference backend/app/api/segments.py:84-117,
     * `LIMIT 10` over the segment table) joined to the user dimension it

@@ -200,9 +200,15 @@ object Dedup {
     * Output: (doc_id, cluster_id) for every doc that appears in a pair.
     */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // Materialize the edge list ONCE: without this every propagation round
+    // (and its convergence count) re-executes the whole upstream pair
+    // pipeline — measured 17 s vs 6 s at sf0.1 with ngram-Jaccard pairs
+    // upstream. The pair set is orders of magnitude smaller than the
+    // corpus, so checkpointing it is cheap at any scale.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
     var iter = 0

@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.{Dedup, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-probe main behind the SCALE.md evidence — reproducible runs of
+  * the operators against stress corpora (dev diagnostic, not part of the
+  * driver contract):
+  *
+  *   runMain graft.Stress clusters <docs.parquet>   near-twin clustering
+  *   runMain graft.Stress recall <sfDir>            IVF recall@10 vs brute
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.toList match {
+      case "clusters" :: path :: Nil => clusters(spark, path)
+      case "recall" :: dir :: Nil    => recall(spark, dir)
+      case other => sys.error(s"unknown args: $other")
+    }
+    spark.stop()
+  }
+
+  /** Near-twin corpus: pair generation + connected components end-to-end. */
+  private def clusters(spark: SparkSession, path: String): Unit = {
+    val docs = spark.read.parquet(path)
+    val t0 = System.nanoTime()
+    val out = Dedup.duplicateClusters(Dedup.ngramJaccardPairs(docs, 0.5))
+    val stats = out.groupBy(col("cluster_id")).count()
+      .agg(count(lit(1)).as("n_clusters"), min("count").as("minSize"),
+        max("count").as("maxSize"), sum("count").as("docsClustered"))
+      .collect()(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[stress] clusters=${stats.getLong(0)} sizeMin=${stats.getLong(1)} " +
+      f"sizeMax=${stats.getLong(2)} docsClustered=${stats.getLong(3)} time=$secs%.1fs")
+  }
+
+  /** IVF multi-probe recall@10 against exact brute-force on the corpus. */
+  private def recall(spark: SparkSession, dir: String): Unit = {
+    val emb = sources.Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.ivfTopK(emb, queries, 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val nExact = exact.count()
+    val hit = exact.intersect(approx).count()
+    println(f"[stress] recall@10=${hit.toDouble / nExact}%.3f " +
+      s"(hits=$hit of $nExact exact neighbor slots)")
+  }
+}

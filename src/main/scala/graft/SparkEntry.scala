@@ -118,7 +118,12 @@ object SparkEntry {
     // just the in-memory frame, must match the oracle.
     Q("q_store_roundtrip",
       (s, d) => {
-        val wh = java.nio.file.Files.createTempDirectory("graft_verify_store").toString
+        // one fixed scratch warehouse, wiped per invocation — repeated
+        // bench/verify runs must not accumulate orphaned temp dirs
+        val wh = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft_verify_store").toString
+        val whPath = new org.apache.hadoop.fs.Path(wh)
+        whPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(whPath, true)
         val store = new graft.sources.SegmentStore(s, wh)
         val runner = new SegmentRunner(store, () => Tables.transactions(s, d))
         val (id, _) = runner.createRule("roundtrip",
@@ -312,7 +317,8 @@ object SparkEntry {
       Some("WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day " +
         "FROM events GROUP BY 1), " +
         "a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events) " +
-        "SELECT cohort_day, (d - cohort_day) AS day_offset, count(*) AS n_users " +
+        "SELECT cohort_day, CAST(d - cohort_day AS INT) AS day_offset, " +
+        "count(*) AS n_users " +
         "FROM a JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2")),
 
     // CUBE over (category, city_tier): all grouping-set combinations in one
@@ -549,19 +555,29 @@ object SparkEntry {
         "SELECT src AS doc_id, least(src, min(dst)) AS cluster_id " +
         "FROM reach GROUP BY src ORDER BY doc_id")),
 
-    // SimHash replayed end-to-end in SQL: FNV-1a 64 per token (HUGEINT
-    // arithmetic, masked to 64 bits — DuckDB BIGINT throws on the wrap the
+    // SimHash replayed end-to-end in SQL: FNV-1a 64 per token over its
+    // UTF-8 BYTES (code points are expanded to UTF-8 in SQL, so multi-byte
+    // text hashes identically to the engine's getBytes walk; HUGEINT
+    // arithmetic masked to 64 bits — DuckDB BIGINT throws on the wrap the
     // hash relies on), bit votes, 4×16-bit band join, Hamming verify.
     Q("q_dedup_simhash",
       (s, d) => Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 3)
         .orderBy("doc_a", "doc_b"),
       Some("WITH t AS (SELECT doc_id, " + toksSql + " AS toks FROM documents), " +
         "tok AS (SELECT doc_id, unnest(toks) AS tk FROM t), " +
+        "cps AS (SELECT doc_id, tk, " +
+        "[unicode(c) FOR c IN regexp_extract_all(tk, '.')] AS cp FROM tok), " +
+        "tb AS (SELECT doc_id, flatten([" +
+        "CASE WHEN c < 128 THEN [c] " +
+        "WHEN c < 2048 THEN [192 + c // 64, 128 + c % 64] " +
+        "WHEN c < 65536 THEN [224 + c // 4096, 128 + (c // 64) % 64, 128 + c % 64] " +
+        "ELSE [240 + c // 262144, 128 + (c // 4096) % 64, " +
+        "128 + (c // 64) % 64, 128 + c % 64] END FOR c IN cp]) AS bs FROM cps), " +
         "th AS (SELECT doc_id, list_reduce(" +
         "list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
-        "[CAST(unicode(c) AS HUGEINT) FOR c IN regexp_extract_all(tk, '.')]), " +
+        "[CAST(b AS HUGEINT) FOR b IN bs]), " +
         "(acc, x) -> (xor(acc, x) * 1099511628211) % 18446744073709551616) AS h " +
-        "FROM tok), " +
+        "FROM tb), " +
         "bits AS (SELECT doc_id, b, sum(CASE WHEN (h // CAST(power(2, b) AS HUGEINT)) " +
         "% 2 = 1 THEN 1 ELSE -1 END) AS vote " +
         "FROM th, (SELECT unnest(range(64)) AS b) bl GROUP BY doc_id, b), " +

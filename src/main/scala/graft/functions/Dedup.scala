@@ -219,16 +219,19 @@ object Dedup {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .select(col("src").as("doc_id"), col("cluster_id"))
+      // checkpoint FIRST, probe convergence on the materialized frame —
+      // counting the un-checkpointed plan would execute the round's
+      // join+aggregate twice (once for the probe, again for the eager
+      // checkpoint)
       val next = labels.unionByName(neighborLabels)
         .groupBy(col("doc_id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
       val changed = next.as("n")
         .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
         .filter(col("n.cluster_id") =!= col("o.cluster_id"))
         .limit(1).count()
-      // checkpoint the lineage each round or the plan doubles per iteration
-      val materialized = next.localCheckpoint(true)
-      labels = materialized
+      labels = next
       converged = changed == 0L
       iter += 1
     }

@@ -125,19 +125,27 @@ object Multimodal {
     val b = r.content
     var channels, sampleRate, bits, blockAlign, dataSize = -1L
     var i = 12
-    while (i + 8 <= b.length && (channels < 0 || dataSize < 0)) {
+    var corrupt = false
+    while (!corrupt && i + 8 <= b.length && (channels < 0 || dataSize < 0)) {
       val size = le32(b, i + 4)
-      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
-          && i + 24 <= b.length) {
-        channels = le16(b, i + 10)
-        sampleRate = le32(b, i + 12)
-        blockAlign = le16(b, i + 20)
-        bits = le16(b, i + 22)
-      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
-        dataSize = size
+      // A size field that doesn't fit the remaining blob (or whose Int
+      // truncation would go negative) is a corrupt/crafted header: bail to
+      // the stub instead of spinning or indexing out of bounds.
+      if (size < 0 || size > b.length - i - 8) corrupt = true
+      else {
+        if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
+            && i + 24 <= b.length) {
+          channels = le16(b, i + 10)
+          sampleRate = le32(b, i + 12)
+          blockAlign = le16(b, i + 20)
+          bits = le16(b, i + 22)
+        } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+          dataSize = size
+        }
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
     }
+    if (corrupt) return stubFeatures(r)
     if (channels <= 0 || blockAlign <= 0 || dataSize < 0) stubFeatures(r)
     else MediaFeatures(r.doc_id, "audio", b.length.toLong,
       width = sampleRate, height = bits,

@@ -25,13 +25,18 @@ object AsOf {
   /** @param pick right-side columns to carry onto left rows (surfaced as
     *             `asof_<name>`, null when no right row precedes the left
     *             row)
-    * @param tieBreak right-side column ordering equal-time right rows
-    *                 (greatest wins); pass a unique id for determinism
+    * @param tieBreak right-side NUMERIC column ordering equal-time right
+    *                 rows (greatest wins); pass a unique numeric id for
+    *                 determinism (non-numeric values cast to null and lose
+    *                 the guarantee)
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, pick: Seq[String],
       tieBreak: String): DataFrame = {
-    val r = right.select(
+    // A null right time would sort BEFORE every left row (nulls-first asc)
+    // and become the as-of match for rows with no real predecessor; the
+    // operator's contract (latest time ≤ left time) excludes it, so drop.
+    val r = right.filter(col(rightTime).isNotNull).select(
       col(key), col(rightTime).cast("timestamp").as("__t"),
       col(tieBreak).cast("long").as("__tie"),
       struct(pick.map(col): _*).as("__pick"))

@@ -80,11 +80,22 @@ final class SegmentStore(spark: SparkSession, warehouse: String) {
       .toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(catalogPath)
   }
 
+  /** Columns added to the catalog after its first release, with the value
+    * an old row means: pre-scheduling catalogs are daily-active-unarmed.
+    * Read-side defaults keep warehouses written by older engine versions
+    * loadable (schema evolution without a migration pass).
+    */
+  private val catalogDefaults: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "schedule" -> lit("DAILY"), "isActive" -> lit(true), "nextRunAt" -> lit(""))
+
   def loadCatalog(): Seq[SegmentCatalogEntry] = {
     import spark.implicits._
     val (f, p) = fs(catalogPath)
     if (!f.exists(p)) Nil
-    else spark.read.parquet(catalogPath).as[FlatEntry].collect().toSeq
+    else catalogDefaults.foldLeft(spark.read.parquet(catalogPath)) {
+      case (df, (c, d)) =>
+        if (df.columns.contains(c)) df else df.withColumn(c, d)
+    }.as[FlatEntry].collect().toSeq
       .map(f => SegmentCatalogEntry(
         f.ruleId, f.segmentName, f.tableName,
         ConditionCodec.decodeAll(f.conditions),

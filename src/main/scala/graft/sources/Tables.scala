@@ -76,24 +76,18 @@ object Tables {
     * segment/analytics query scans `city_tier` as a parquet column (with
     * pushdown/pruning) instead of re-running `get_json_object` per row per
     * query. At 100 TB the JSON parse is the dominant per-row cost on the
-    * segment path — pay it once at ingest, not per query. Bucketing by
-    * `user_id` additionally pre-shuffles for the segment aggregate.
+    * segment path — pay it once at ingest, not per query. (Bucketing by
+    * `user_id` would additionally pre-shuffle for the segment aggregate,
+    * but bucket metadata only survives through a metastore-managed table
+    * — `bucketBy(...).saveAsTable` read back via `spark.table` — not a
+    * plain parquet path, so it's out of scope for this path-based store.)
     *
     * The driver-contract queries keep reading the raw corpus (the oracle
     * computes the derived column itself); this is the production ingest
     * path a deployment would run first.
     */
-  def materializeTransactions(spark: SparkSession, dir: String, outPath: String,
-      userBuckets: Int = 0): Unit = {
-    val tx = transactions(spark, dir)
-    if (userBuckets > 0)
-      tx.write.mode("overwrite")
-        .bucketBy(userBuckets, "user_id").sortBy("user_id")
-        .option("path", outPath)
-        .saveAsTable(s"graft_tx_${math.abs(outPath.hashCode)}")
-    else
-      tx.write.mode("overwrite").parquet(outPath)
-  }
+  def materializeTransactions(spark: SparkSession, dir: String, outPath: String): Unit =
+    transactions(spark, dir).write.mode("overwrite").parquet(outPath)
 
   /** Read back a [[materializeTransactions]] output: identical schema to
     * [[transactions]], minus the per-query JSON parse.

@@ -33,6 +33,16 @@ class AsOfSpec extends SparkSpec {
       .map(r => r.getString(0) -> Option(r.get(1))).toMap
 
     assert(out("before-any").isEmpty, "no quote precedes -> null")
+    // a null right time must not become anyone's match (it would sort
+    // nulls-first and shadow the no-predecessor null contract)
+    val withNull = quotes.unionByName(
+      Seq((1L, null.asInstanceOf[java.sql.Timestamp], 999L, -1.0))
+        .toDF("key", "qt", "qid", "price"))
+    val out2 = AsOf.asofJoin(trades, withNull, "key", "tt", "qt",
+      pick = Seq("price"), tieBreak = "qid")
+      .select("label", "asof_price").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out2("before-any").isEmpty && out2("after-first").contains(10.0))
     assert(out("after-first").contains(10.0))
     assert(out("equal-time").contains(13.0), "equal time visible, max qid wins")
     assert(out("after-all").contains(13.0))

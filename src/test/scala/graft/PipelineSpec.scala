@@ -173,10 +173,19 @@ class PipelineSpec extends SparkSpec {
       .putShort(4).putShort(16)     // block align, bits per sample
     wav.put("data".getBytes).putInt(32).put(new Array[Byte](32))
 
+    // corrupt WAV: valid RIFF/WAVE magic, chunk size field far beyond the
+    // blob (and one whose Int truncation is negative) — must fall back to
+    // the stub, not spin or crash
+    val evil = java.nio.ByteBuffer.allocate(48).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes).putInt(40).put("WAVE".getBytes)
+    evil.put("junk".getBytes).putInt(0xFFFFFFF8) // -8 as signed int
+    evil.put(new Array[Byte](24))
+
     val ds = Seq(
       Multimodal.MediaRow(1L, "image", png),
       Multimodal.MediaRow(2L, "audio", wav.array()),
-      Multimodal.MediaRow(3L, "video", "not a container".getBytes)).toDS()
+      Multimodal.MediaRow(3L, "video", "not a container".getBytes),
+      Multimodal.MediaRow(4L, "audio", evil.array())).toDS()
     val f = Multimodal.extractFeatures(ds).collect().map(x => x.doc_id -> x).toMap
 
     assert(f(1L).width == 3L && f(1L).height == 2L && f(1L).channels == 4L)
@@ -185,5 +194,7 @@ class PipelineSpec extends SparkSpec {
     assert(f(2L).duration_frames == 8L)
     // unrecognized bytes keep the documented stub features
     assert(f(3L).width == "not a container".length % 640 + 1)
+    // corrupt chunk size: stub fallback (width formula), no hang/crash
+    assert(f(4L).width == 48L % 640 + 1 && f(4L).channels == 2L)
   }
 }

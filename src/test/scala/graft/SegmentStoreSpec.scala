@@ -68,6 +68,21 @@ class SegmentStoreSpec extends SparkSpec {
     assert(!plan.contains("get_json_object"))
   }
 
+  test("loadCatalog reads catalogs written before the scheduling columns existed") {
+    val dir = Files.createTempDirectory("graft_oldcat").toString
+    // simulate a pre-r4 catalog: same layout minus schedule/isActive/nextRunAt
+    Seq((1L, "old-rule", "segment_output_1", "transaction_amount|>|S500|N",
+        Seq.empty[Long], "", 42L, "2026-01-01T00:00:00Z"))
+      .toDF("ruleId", "segmentName", "tableName", "conditions",
+        "dependsOn", "operation", "rowCount", "lastRefreshedAt")
+      .coalesce(1).write.parquet(s"$dir/_catalog")
+    val store = new SegmentStore(spark, dir)
+    val cat = store.loadCatalog()
+    assert(cat.map(_.ruleId) == Seq(1L) && cat.head.rowCount == 42L)
+    assert(cat.head.schedule == "DAILY" && cat.head.isActive && cat.head.nextRunAt.isEmpty,
+      "missing columns must read as daily-active-unarmed defaults")
+  }
+
   test("write counts rows on the write pass itself (observe metric, no re-read)") {
     val dir = Files.createTempDirectory("graft_obs").toString
     val store = new SegmentStore(spark, dir)

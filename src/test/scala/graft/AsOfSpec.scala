@@ -49,6 +49,35 @@ class AsOfSpec extends SparkSpec {
     assert(out("other-key").contains(99.0), "keys never leak")
   }
 
+  test("asof result == brute-force argmax join on randomized data") {
+    val rnd = new scala.util.Random(7)
+    val base = t("2024-01-01 00:00:00").getTime
+    val trades = (1 to 300).map { i =>
+      (s"k${rnd.nextInt(4)}", new java.sql.Timestamp(base + rnd.nextInt(86400) * 1000L), i)
+    }.toDF("key", "tt", "pid")
+    // duplicate right times on purpose: the tie-break must decide
+    val quotes = (1 to 80).map { i =>
+      (s"k${rnd.nextInt(4)}",
+        new java.sql.Timestamp(base + rnd.nextInt(24) * 3600L * 1000L), i.toLong, i * 1.5)
+    }.toDF("key", "qt", "qid", "price")
+
+    val got = AsOf.asofJoin(trades, quotes, "key", "tt", "qt",
+        pick = Seq("price"), tieBreak = "qid")
+      .select("pid", "asof_price").collect()
+      .map(r => r.getInt(0) -> Option(r.get(1))).toMap
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"pid").orderBy($"qt".desc, $"qid".desc)
+    val brute = trades.join(quotes, Seq("key"), "left")
+      .filter($"qt".isNull || $"qt" <= $"tt")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select("pid", "price").collect()
+      .map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    // brute's left join drops trades whose every quote is later; they're null
+    val expected = (1 to 300).map(i => i -> brute.getOrElse(i, None)).toMap
+    assert(got == expected)
+  }
+
   test("plan is union + single window, not a range join") {
     val l = spark.range(10).select($"id".as("key"),
       lit(t("2024-01-01 10:00:00")).as("lt"))

@@ -45,7 +45,8 @@ object GraftExtensions {
   }
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "misc_funcs", "1.0.0", "", "built-in")
 
   private def fn(name: String, usage: String, arity: Int => Boolean,
       build: Seq[Expression] => Expression):

@@ -118,13 +118,17 @@ object SparkEntry {
     // just the in-memory frame, must match the oracle.
     Q("q_store_roundtrip",
       (s, d) => {
-        // one fixed scratch warehouse, wiped per invocation — repeated
-        // bench/verify runs must not accumulate orphaned temp dirs
-        val wh = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft_verify_store").toString
-        val whPath = new org.apache.hadoop.fs.Path(wh)
-        whPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(whPath, true)
-        val store = new graft.sources.SegmentStore(s, wh)
+        // unique scratch warehouse per invocation (a fixed path would race
+        // concurrent bench/verify processes), deleted at JVM exit so
+        // repeated runs don't accumulate orphaned temp dirs
+        val whDir = java.nio.file.Files.createTempDirectory("graft_verify_store")
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          scala.util.Try {
+            java.nio.file.Files.walk(whDir)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          }))
+        val store = new graft.sources.SegmentStore(s, whDir.toString)
         val runner = new SegmentRunner(store, () => Tables.transactions(s, d))
         val (id, _) = runner.createRule("roundtrip",
           Seq(Condition("transaction_amount", ">", "300")))

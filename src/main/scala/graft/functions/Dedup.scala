@@ -231,10 +231,15 @@ object Dedup {
         .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
         .filter(col("n.cluster_id") =!= col("o.cluster_id"))
         .limit(1).count()
+      // release the superseded round's blocks — without this every round
+      // pins another full label-set copy in executor storage for the life
+      // of the session
+      if (iter > 0) labels.unpersist()
       labels = next
       converged = changed == 0L
       iter += 1
     }
+    edges.unpersist()
     labels
   }
 

@@ -133,8 +133,10 @@ object Multimodal {
       // the stub instead of spinning or indexing out of bounds.
       if (size < 0 || size > b.length - i - 8) corrupt = true
       else {
+        // a fmt chunk must declare at least the 16 PCM header bytes —
+        // a smaller size would read the NEXT chunk's bytes as fmt fields
         if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
-            && i + 24 <= b.length) {
+            && size >= 16 && i + 24 <= b.length) {
           channels = le16(b, i + 10)
           sampleRate = le32(b, i + 12)
           blockAlign = le16(b, i + 20)

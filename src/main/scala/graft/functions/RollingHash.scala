@@ -75,7 +75,11 @@ object RollingHash {
       if (b0 >= 0x80) {
         if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
         else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
-        else { cp = b0 & 0x07; len = 4 }
+        else if ((b0 & 0xF8) == 0xF0) { cp = b0 & 0x07; len = 4 }
+        // else: not a valid UTF-8 lead byte (stray continuation byte or
+        // 0xF8+): hash the byte itself and advance one — bounded behavior
+        // on malformed input instead of swallowing the next 3 bytes.
+        // Spark strings are valid UTF-8, so this arm never fires for them.
         var j = 1
         while (j < len && i + j < n) {
           cp = (cp << 6) | (s.getByte(i + j) & 0x3F)

@@ -35,9 +35,12 @@ object AsOf {
       tieBreak: String): DataFrame = {
     // A null right time would sort BEFORE every left row (nulls-first asc)
     // and become the as-of match for rows with no real predecessor; the
-    // operator's contract (latest time ≤ left time) excludes it, so drop.
-    val r = right.filter(col(rightTime).isNotNull).select(
-      col(key), col(rightTime).cast("timestamp").as("__t"),
+    // operator's contract (latest time ≤ left time) excludes it. Filter on
+    // the CASTED value: an unparseable string time casts to null and must
+    // be dropped the same way a typed null is.
+    val rightT = col(rightTime).cast("timestamp")
+    val r = right.filter(rightT.isNotNull).select(
+      col(key), rightT.as("__t"),
       col(tieBreak).cast("long").as("__tie"),
       struct(pick.map(col): _*).as("__pick"))
       .withColumn("__side", lit(0))

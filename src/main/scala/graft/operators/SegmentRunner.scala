@@ -145,27 +145,53 @@ final class SegmentRunner(
   def runAll(refreshedAt: String): Map[Long, Long] = {
     val catalog = store.loadCatalog()
     val active = catalog.filter(_.isActive).map(_.ruleId).toSet
-    topoOrder(catalog).filter(active)
-      .map(id => id -> run(id, refreshedAt)).toMap
+    val runnable = materializableSubset(catalog, topoOrder(catalog).filter(active))
+    runnable.map(id => id -> run(id, refreshedAt)).toMap
   }
 
   /** Scheduler tick: run every active rule whose `nextRunAt` has arrived
     * (never-armed rules are due immediately, like the reference's init
     * snap-to-now), then re-arm it per its cadence —
     * `Schedule.calculateNextRun` (see the deviation note there: the
-    * reference computes cadence but never re-arms after a run).
+    * reference computes cadence but never re-arms after a run). All
+    * re-arms land in ONE catalog write after the tick, so a mid-tick
+    * crash never leaves a rule refreshed-but-armed-twice and the
+    * control-plane I/O stays O(rules), not O(rules²).
     */
   def runDue(now: String): Map[Long, Long] = {
+    java.time.Instant.parse(now) // validate once, fail fast with a clear cause
     val catalog = store.loadCatalog()
     val due = catalog
       .filter(e => e.isActive && Schedule.isDue(e.nextRunAt, now))
       .map(_.ruleId).toSet
-    topoOrder(catalog).filter(due).map { id =>
-      val n = run(id, now)
-      store.updateCatalog(id)(e =>
-        e.copy(nextRunAt = Some(Schedule.calculateNextRun(e.schedule, now))))
-      id -> n
-    }.toMap
+    val runnable = materializableSubset(catalog, topoOrder(catalog).filter(due))
+    val counts = runnable.map(id => id -> run(id, now)).toMap
+    if (counts.nonEmpty) {
+      val bySchedule = catalog.map(e => e.ruleId -> e.schedule).toMap
+      store.saveCatalog(store.loadCatalog().map(e =>
+        if (counts.contains(e.ruleId))
+          e.copy(nextRunAt = Some(Schedule.calculateNextRun(bySchedule(e.ruleId), now)))
+        else e))
+    }
+    counts
+  }
+
+  /** Drop rules whose parents were never materialized (inactive/not-due
+    * parents keep serving their LAST stored parquet, but a parent with no
+    * store at all cannot be read — the reference logs that rule's failure
+    * and continues; aborting the whole batch mid-way would strand the
+    * rules already refreshed). A rule runnable this tick counts as
+    * materialized for its dependents.
+    */
+  private def materializableSubset(catalog: Seq[SegmentCatalogEntry],
+      order: Seq[Long]): Seq[Long] = {
+    val byId = catalog.map(e => e.ruleId -> e).toMap
+    val available = collection.mutable.Set.empty[Long]
+    order.filter { id =>
+      val ok = byId(id).dependsOn.forall(p => available(p) || store.exists(p))
+      if (ok) available += id
+      ok
+    }
   }
 
   private def topoOrder(catalog: Seq[SegmentCatalogEntry]): Seq[Long] = {

@@ -44,8 +44,17 @@ object SegmentStream {
 
   /** Compile rule conditions onto a (possibly streaming) transaction frame
     * and maintain the canonical segment shape per user. WHERE applies
-    * per-event before state; HAVING applies to the emitted updates (both
-    * compiled by the same ConditionCompiler as the batch path). Run with
+    * per-event before state; HAVING becomes the emitted `in_segment`
+    * flag (both compiled by the same ConditionCompiler as the batch path).
+    *
+    * Why a flag and not a filter: in Update mode a filtered-out revision
+    * is simply NOT emitted, so a user whose running state stops satisfying
+    * a non-monotone HAVING (`<`, `!=`, ranges) would never be retracted —
+    * the sink would keep the stale member row forever. Emitting every
+    * revision with `in_segment` true/false gives the sink the retraction
+    * signal to upsert/delete on; the batch-equivalent membership is the
+    * rows whose LATEST revision has `in_segment = true` (asserted in
+    * StreamingSpec, including a shrinking-membership case). Run with
     * `OutputMode.Update`.
     */
   def continuousSegment(tx: DataFrame, conditions: Seq[Condition],
@@ -78,7 +87,8 @@ object SegmentStream {
           SegmentRow(uid, n, moneyOut(sum), next.types.mkString(","))
       }
       .toDF()
-    compiled.having.map(updated.filter).getOrElse(updated)
+    updated.withColumn("in_segment",
+      compiled.having.getOrElse(lit(true)))
   }
 
   /** Output mode the stateful query needs. */

@@ -131,6 +131,25 @@ class SegmentRunnerSpec extends SparkSpec {
     assert(runner.runDue("2026-08-12T08:00:00Z").keySet == Set(id1, id2))
   }
 
+  test("dependents of a never-materialized parent are skipped, not crashed") {
+    val dir = Files.createTempDirectory("graft_runner7").toString
+    val store = new SegmentStore(spark, dir)
+    val runner = new SegmentRunner(store, tx)
+    val (idP, _) = runner.createRule("parent", Seq(cAmount), isActive = false)
+    val (idC, plan) = runner.createRule("child", Seq(cAmount, cTier))
+    assert(plan.isInstanceOf[SegmentPlan.Compound])
+
+    // parent inactive AND never materialized: child cannot run this batch
+    val counts = runner.runAll("2026-08-12T00:00:00Z")
+    assert(counts.isEmpty, s"child must be skipped, got $counts")
+
+    // manual trigger materializes the parent; next batch the child runs
+    // against the stored parent parquet even though the parent stays inactive
+    runner.run(idP, "2026-08-12T00:30:00Z")
+    val counts2 = runner.runAll("2026-08-12T01:00:00Z")
+    assert(counts2.keySet == Set(idC) && counts2(idC) > 0)
+  }
+
   test("rule lifecycle: list/get/delete with dependent guard") {
     val dir = Files.createTempDirectory("graft_runner6").toString
     val store = new SegmentStore(spark, dir)

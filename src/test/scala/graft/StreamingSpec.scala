@@ -152,12 +152,14 @@ class StreamingSpec extends SparkSpec {
       in.addData((1L, 80.0, "UPI"), (2L, 20.0, "UPI"), (3L, 200.005, "CC"))
       q.processAllAvailable()
 
-      // latest update per user (Update mode appends each revision)
+      // latest update per user (Update mode appends each revision; count is
+      // monotone so max-by-count is the latest); membership = latest flag
       val streamed = spark.table("cont_seg")
         .groupBy("user_id")
         .agg(max(struct(col("total_transactions"), col("total_spent"),
-          col("transaction_types"))).as("s"))
+          col("transaction_types"), col("in_segment"))).as("s"))
         .select(col("user_id"), col("s.*"))
+        .filter(col("in_segment"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
         .toSet
 
@@ -173,6 +175,31 @@ class StreamingSpec extends SparkSpec {
       assert(batch.map(_._1) == Set(1L, 3L))
       assert(streamed == batch,
         "streaming running state must equal batch aggregate incl. exact rounding")
+    } finally q.stop()
+  }
+
+  test("continuous segment retracts membership when a non-monotone HAVING stops holding") {
+    import graft.model.Condition
+    import graft.streaming.SegmentStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double, String)]
+    val q = SegmentStream.continuousSegment(
+        in.toDF().toDF("user_id", "amount", "transaction_type"),
+        Seq(Condition("total_spend", "<", "100")))
+      .writeStream.format("memory").queryName("retract_seg")
+      .outputMode(SegmentStream.SegmentOutputMode).start()
+    try {
+      in.addData((1L, 60.0, "UPI"))
+      q.processAllAvailable()
+      in.addData((1L, 80.0, "UPI")) // total 140: membership must retract
+      q.processAllAvailable()
+      val revisions = spark.table("retract_seg")
+        .orderBy("total_transactions")
+        .collect().map(r => (r.getAs[Long]("total_transactions"),
+          r.getAs[Boolean]("in_segment"))).toSeq
+      assert(revisions == Seq((1L, true), (2L, false)),
+        "the sink must see the false revision, not silence")
     } finally q.stop()
   }
 

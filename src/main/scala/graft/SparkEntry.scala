@@ -535,11 +535,16 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b"),
       Some(ngramJaccardOracle)),
 
-    // MinHash+LSH emits exactly the verified-Jaccard pairs; banding recall
-    // is 100% on this corpus (PipelineSpec pins candidate set == exact
-    // pair set), so the exact-Jaccard oracle applies verbatim.
+    // MinHash+LSH emits exactly the verified-Jaccard pairs. The exact
+    // oracle demands banding recall ~1 at the 0.5 threshold, so this query
+    // runs the high-recall config: 64 minima in 32 bands of 2 gives
+    // P(candidate | j) = 1-(1-j²)^32 ≥ 0.9999 at j = 0.5 — oracle equality
+    // by construction, not by corpus accident. (The operator's default
+    // 32×4 banding is the cheaper production trade: ~0.4 recall at the
+    // threshold edge but near-1 for the near-twin pairs dedup targets.)
     Q("q_dedup_minhash_lsh",
-      (s, d) => Dedup.minhashNearDups(Tables.documents(s, d), 0.5)
+      (s, d) => Dedup.minhashNearDups(Tables.documents(s, d), 0.5,
+          numHashes = 64, bands = 32)
         .orderBy("doc_a", "doc_b"),
       Some(ngramJaccardOracle)),
 

@@ -58,17 +58,34 @@ object Bench {
     }
     def round3(d: Double): Double = math.rint(d * 1000) / 1000
 
-    val med = names.map(n => n -> median(samples(n)))
+    val med = names.map(n => n -> round3(median(samples(n))))
     val spread = names.map { n =>
       val ok = samples(n).filter(_ >= 0)
       n -> (if (ok.isEmpty || ok.min <= 0) -1.0 else round3(ok.max / ok.min))
     }
-    val total = med.map(_._2).filter(_ >= 0).sum
+    val total = round3(med.map(_._2).filter(_ >= 0).sum)
     val noise = spread.map(_._2).max
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
-      s""""noise":$noise,"queries":${jmap(med)},"spread":${jmap(spread)},"sf":"$sfDir"}""")
+    // Full detail (per-query samples + spreads) goes to a file; the stdout
+    // line stays small because the round driver records only the last ~2 KB
+    // of output — r4's line outgrew that tail and truncated the total away.
+    // Key order puts the headline total LAST so it survives any future
+    // head-truncation of the line.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
+    val detail = names.map { n =>
+      "\"" + n + "\":{\"median\":" + round3(median(samples(n))) +
+        ",\"spread\":" + spread.toMap.apply(n) +
+        ",\"samples\":[" + samples(n).map(round3).mkString(",") + "]}"
+    }.mkString("{", ",", "}")
+    scala.util.Try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        (s"""{"runs":$runs,"sf":"$sfDir","noise":$noise,""" +
+          s""""per_query":$detail,"total":$total}""" + "\n").getBytes("UTF-8"))
+    }
+    println(s"""{"queries":${jmap(med)},"runs":$runs,"noise":$noise,""" +
+      s""""detail":"$detailPath","sf":"$sfDir",""" +
+      s""""metric":"total","unit":"sec","value":$total}""")
     spark.stop()
   }
 }

@@ -363,6 +363,25 @@ object SparkEntry {
         "FROM (SELECT * FROM s ORDER BY user_id LIMIT 10) " +
         "JOIN customer ON user_id = c_custkey ORDER BY user_id")),
 
+    // Gap-based sessionization (30-minute inactivity gap): lag boundary
+    // flag + running-sum session index + per-session aggregate. The oracle
+    // replays the same two windows; both engines' default RANGE frame makes
+    // timestamp ties share a session, so the result is engine-independent.
+    Q("q_analytics_sessions",
+      (s, d) => Analytics.sessionize(
+        Tables.events(s, d).select(col("user_id"), col("ts"), col("value")), 30)
+        .orderBy("user_id", "session_id"),
+      Some("WITH o AS (SELECT user_id, ts, value, " +
+        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL " +
+        "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) " +
+        "> INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events), " +
+        "s AS (SELECT user_id, ts, value, " +
+        "sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS session_id FROM o) " +
+        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, " +
+        "min(ts) AS session_start, max(ts) AS session_end, " +
+        s"count(*) AS n_events, ${dSum("value")} AS total_value " +
+        "FROM s GROUP BY 1, 2 ORDER BY user_id, session_id")),
+
     Q("q_rollup_user_windows",
       (s, d) => Rollups.userWindows(Tables.transactions(s, d), Seq(7, 14, 30))
         .orderBy("user_id", "period_days"),
@@ -529,6 +548,46 @@ object SparkEntry {
         "UNION ALL SELECT doc_id + 10000, text FROM documents) " +
         "SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash, " +
         "count(*) AS dup_count FROM d GROUP BY sha256(text) ORDER BY doc_id")),
+
+    // Incremental exact dedup: a new batch (every second document, re-keyed)
+    // deduped against itself and the already-seen corpus (every third
+    // document) — only novel digests survive the anti-join.
+    Q("q_dedup_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        Dedup.incrementalExact(
+          docs.filter(col("doc_id") % 2 === 0)
+            .withColumn("doc_id", col("doc_id") + lit(10000L)),
+          docs.filter(col("doc_id") % 3 === 0))
+          .orderBy("doc_id")
+      },
+      Some("WITH seen AS (SELECT DISTINCT sha256(text) AS content_hash " +
+        "FROM documents WHERE doc_id % 3 = 0), " +
+        "b AS (SELECT doc_id + 10000 AS doc_id, text FROM documents " +
+        "WHERE doc_id % 2 = 0) " +
+        "SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash, " +
+        "count(*) AS dup_count FROM b " +
+        "WHERE sha256(text) NOT IN (SELECT content_hash FROM seen) " +
+        "GROUP BY sha256(text) ORDER BY doc_id")),
+
+    // Benchmark-contamination screen: per-document fraction of distinct
+    // trigrams that appear in the benchmark slice (every 50th document).
+    Q("q_text_contamination",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.benchmarkContamination(docs, docs.filter(col("doc_id") % 50 === 0))
+          .orderBy("doc_id")
+      },
+      Some("WITH toks AS (SELECT doc_id, " + toksSql + " AS t FROM documents), " +
+        "ngrams AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] " +
+        "FOR i IN range(1, len(t) - 1)]) AS ng FROM toks WHERE len(t) >= 3), " +
+        "bg AS (SELECT DISTINCT unnest(ng) AS g FROM ngrams WHERE doc_id % 50 = 0), " +
+        "posting AS (SELECT doc_id, unnest(ng) AS g FROM ngrams), " +
+        "hits AS (SELECT doc_id, count(*) AS n_hit FROM posting " +
+        "WHERE g IN (SELECT g FROM bg) GROUP BY 1) " +
+        "SELECT n.doc_id, len(n.ng) AS n_grams, COALESCE(n_hit, 0) AS n_hit, " +
+        "CAST(COALESCE(n_hit, 0) AS DOUBLE) / len(n.ng) AS contamination " +
+        "FROM ngrams n LEFT JOIN hits USING (doc_id) ORDER BY doc_id")),
 
     Q("q_dedup_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.5)

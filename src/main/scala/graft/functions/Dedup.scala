@@ -48,6 +48,58 @@ object Dedup {
         count(lit(1)).as("dup_count"))
       .select("doc_id", "content_hash", "dup_count")
 
+  /** Incremental exact dedup — the production shape: dedup a NEW batch of
+    * documents against itself and against the already-ingested corpus,
+    * emitting only novel content (one representative per novel digest, with
+    * the batch-internal duplicate count). The seen side collapses to its
+    * distinct digests before the anti-join, so the shuffle carries 64-char
+    * hashes, never text — at 100 TB the digest set is the only thing that
+    * moves, and a broadcast anti-join applies whenever the seen-digest set
+    * fits (Catalyst/AQE picks that automatically from its size).
+    */
+  def incrementalExact(batch: DataFrame, seen: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val seenHashes = seen.select(sha2(col(textCol), 256).as("content_hash")).distinct()
+    batch
+      .withColumn("content_hash", sha2(col(textCol), 256))
+      .join(seenHashes, Seq("content_hash"), "left_anti")
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+      .select("doc_id", "content_hash", "dup_count")
+  }
+
+  /** Benchmark-contamination check: for each document, the fraction of its
+    * distinct word n-grams that appear anywhere in the `benchmark` corpus —
+    * the standard screen for evaluation data leaking into a training set.
+    * Output: (doc_id, n_grams, n_hit, contamination), one row per document
+    * that has at least one n-gram.
+    *
+    * Scale: the benchmark gram set is tiny relative to the corpus (eval
+    * suites are thousands of docs, not billions), so the membership probe
+    * is a semi-join against a set Catalyst can broadcast — corpus postings
+    * never shuffle for it; the only exchange is the per-doc hit count on
+    * doc_id.
+    */
+  def benchmarkContamination(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 3, textCol: String = "text"): DataFrame = {
+    val sets = docs
+      .select(col("doc_id"), ngrams(col(textCol), n).as("ng"))
+      .filter(size(col("ng")) > 0)
+    val benchGrams = benchmark
+      .select(explode(ngrams(col(textCol), n)).as("g")).distinct()
+    val hits = sets
+      .select(col("doc_id"), explode(col("ng")).as("g"))
+      .join(benchGrams, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    sets.select(col("doc_id"), size(col("ng")).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"))
+          .as("contamination"))
+  }
+
   /** All-pairs n-gram Jaccard similarity ≥ threshold with EXACT recall, via
     * prefix filtering (the AllPairs/PPJoin family, Bayardo et al., "Scaling
     * up all pairs similarity search", WWW 2007).

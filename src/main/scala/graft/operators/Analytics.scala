@@ -118,6 +118,41 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Gap-based sessionization of the raw event stream: consecutive events
+    * of one user belong to the same session while the gap between them is
+    * ≤ `gapMinutes`; a longer gap starts a new session. The classic
+    * two-window shape — boundary flag via `lag`, session index via a
+    * running sum of flags — then one aggregate per (user, session).
+    *
+    * Scale: a single shuffle on user_id; both window functions and the
+    * final aggregate reuse that partitioning (per-user session counts are
+    * small, so the groupBy keys don't explode). Deterministic under
+    * timestamp ties: the boundary flag lands on exactly one row of a tie
+    * group, and the running sum's default RANGE frame gives every peer row
+    * the same session index on any engine, so tied events always share a
+    * session.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    val prevTs = lag(col("ts"), 1).over(byUser)
+    // microsecond-exact gap compare (ts carries sub-second precision;
+    // truncating to seconds would move boundaries)
+    val newSession = when(
+      prevTs.isNull ||
+        unix_micros(col("ts")) - unix_micros(prevTs) > gapMinutes * 60L * 1000000L,
+      1L).otherwise(0L)
+    events
+      .withColumn("__new", newSession)
+      .withColumn("session_id", sum(col("__new")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        money(sum(col("value").cast(Tables.MoneyExact))).as("total_value"))
+  }
+
   /** Segment sample enriched with user attributes — the reference's
     * `sample_data` endpoint (reference backend/app/api/segments.py:84-117,
     * `LIMIT 10` over the segment table) joined to the user dimension it

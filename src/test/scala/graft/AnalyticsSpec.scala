@@ -70,6 +70,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(u1w30.getAs[java.sql.Date]("last_transaction_date").toString == "2024-01-03")
   }
 
+  test("sessionize: gap splits sessions, ties share one, aggregates are exact") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 10.0),
+      (1L, "2024-01-01 10:20:00", 20.0), // 20 min gap: same session
+      (1L, "2024-01-01 10:20:00", 5.0),  // tie: must share the session
+      (1L, "2024-01-01 11:30:00", 30.0), // 70 min gap: new session
+      (2L, "2024-01-01 09:00:00", 1.0))
+      .toDF("user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val out = Analytics.sessionize(ev, 30).orderBy("user_id", "session_id").collect()
+    assert(out.length == 3)
+    val s1 = out(0)
+    assert(s1.getAs[Long]("session_id") == 1L && s1.getAs[Long]("n_events") == 3L)
+    assert(s1.getAs[Double]("total_value") == 35.0)
+    assert(s1.getAs[java.sql.Timestamp]("session_end").toString.startsWith("2024-01-01 10:20"))
+    val s2 = out(1)
+    assert(s2.getAs[Long]("session_id") == 2L && s2.getAs[Long]("n_events") == 1L)
+    assert(out(2).getAs[Long]("user_id") == 2L)
+  }
+
   test("segment sample enriched with user attributes broadcasts the sample side") {
     val seg = Seq((1L, 3L, 100.0, "UPI"), (2L, 1L, 50.0, "CC"))
       .toDF("user_id", "total_transactions", "total_spent", "transaction_types")

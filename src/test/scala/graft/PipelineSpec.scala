@@ -146,6 +146,35 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("incremental dedup: batch-internal dupes collapse, seen content drops") {
+    val seen = docs((1L, "already ingested"), (2L, "also known"))
+    val batch = docs(
+      (10L, "already ingested"),  // seen → dropped
+      (11L, "brand new text"),
+      (12L, "brand new text"),    // batch-internal dup of 11 → one row, count 2
+      (13L, "another novel doc"))
+    val out = Dedup.incrementalExact(batch, seen).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(11L, 13L))
+    assert(out(0).getAs[Long]("dup_count") == 2L)
+    assert(out(1).getAs[Long]("dup_count") == 1L)
+  }
+
+  test("benchmark contamination: fraction of trigrams found in the benchmark") {
+    val bench = docs((100L, "the quick brown fox jumps"))
+    val corpus = docs(
+      (1L, "the quick brown fox jumps"),        // fully contained → 1.0
+      (2L, "the quick brown cat sits quietly"), // shares 'the quick brown' only
+      (3L, "nothing in common at all here"),    // 0 hits
+      (4L, "x y"))                              // too short → no row
+    val out = Dedup.benchmarkContamination(corpus, bench).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0).getAs[Double]("contamination") == 1.0)
+    val c2 = out(1)
+    assert(c2.getAs[Long]("n_grams") == 4L && c2.getAs[Long]("n_hit") == 1L)
+    assert(c2.getAs[Double]("contamination") == 0.25)
+    assert(out(2).getAs[Long]("n_hit") == 0L && out(2).getAs[Double]("contamination") == 0.0)
+  }
+
   test("duplicate clusters: multi-hop chains merge, components stay separate") {
     // chain 1-2-3-4 (forces >1 propagation round), pair 10-11, self-contained 20-21-22
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))

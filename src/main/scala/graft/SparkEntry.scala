@@ -412,6 +412,20 @@ object SparkEntry {
   /** DuckDB fragment: whitespace tokens of trimmed text. */
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
 
+  /** DuckDB CTE `fp`: the content fingerprint of every document — an exact
+    * replay of RollingHash.compute (left fold of acc*31+codepoint mod
+    * 2^58-27 over the normalized text). Shared by the fingerprint query and
+    * both content-keyed sampling queries.
+    */
+  private val fpCte: String =
+    "WITH n AS (SELECT doc_id, " +
+      "lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm FROM documents), " +
+      "fp AS (SELECT doc_id, list_reduce(" +
+      "list_prepend(CAST(0 AS BIGINT), " +
+      "[CAST(unicode(c) AS BIGINT) FOR c IN regexp_extract_all(norm, '.')]), " +
+      s"(acc, x) -> (acc * 31 + x) % ${graft.functions.RollingHash.Modulus}) " +
+      "AS fingerprint FROM n)"
+
   /** DuckDB rendering of the exact n-gram Jaccard pair set at threshold 0.5
     * (shared: q_dedup_ngram_jaccard computes it directly; the MinHash+LSH
     * variant verifies every candidate against exact Jaccard, and PipelineSpec
@@ -512,13 +526,35 @@ object SparkEntry {
       (s, d) => Tables.documents(s, d).select(
         col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id"),
-      Some("WITH n AS (SELECT doc_id, " +
-        "lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm FROM documents) " +
-        "SELECT doc_id, list_reduce(" +
-        "list_prepend(CAST(0 AS BIGINT), " +
-        "[CAST(unicode(c) AS BIGINT) FOR c IN regexp_extract_all(norm, '.')]), " +
-        s"(acc, x) -> (acc * 31 + x) % ${graft.functions.RollingHash.Modulus}) " +
-        "AS fingerprint FROM n ORDER BY doc_id")),
+      Some(s"$fpCte SELECT doc_id, fingerprint FROM fp ORDER BY doc_id")),
+
+    // Content-keyed train/val/test split (95/3/2): bucket = fingerprint
+    // mod 100, contiguous ranges in declaration order. Content-keyed means
+    // exact duplicates can never straddle a split boundary.
+    Q("q_split_assign",
+      (s, d) => graft.functions.Sampling.hashSplit(
+        Tables.documents(s, d).select("doc_id", "text"),
+        Seq(("train", 95), ("val", 3), ("test", 2)))
+        .select("doc_id", "bucket", "split").orderBy("doc_id"),
+      Some(s"$fpCte SELECT doc_id, fingerprint % 100 AS bucket, " +
+        "CASE WHEN fingerprint % 100 < 95 THEN 'train' " +
+        "WHEN fingerprint % 100 < 98 THEN 'val' ELSE 'test' END AS split " +
+        "FROM fp ORDER BY doc_id")),
+
+    // Deterministic stratified sampling: strata (doc_id mod 3 as a
+    // stand-in source label) kept at 100% / 50% / 10% by content-hash
+    // bucket out of 10,000 — reproducible, duplicate-consistent, no RNG.
+    Q("q_sample_stratified",
+      (s, d) => graft.functions.Sampling.stratifiedSample(
+        Tables.documents(s, d).select("doc_id", "text"),
+        (col("doc_id") % 3).cast("string"),
+        Map("0" -> 1.0, "1" -> 0.5, "2" -> 0.1))
+        .select("doc_id").orderBy("doc_id"),
+      Some(s"$fpCte SELECT doc_id FROM fp " +
+        "WHERE fingerprint % 10000 < " +
+        "CASE CAST(doc_id % 3 AS VARCHAR) WHEN '0' THEN 10000 " +
+        "WHEN '1' THEN 5000 WHEN '2' THEN 1000 ELSE 0 END " +
+        "ORDER BY doc_id")),
 
     // Keyword extraction: per-doc top-3 terms by exact frequency (integer
     // tf, no floating-point IDF ⇒ cross-engine deterministic).

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, content-keyed sampling for training-data pipelines.
+  *
+  * Both operators key every decision on the document's normalized content
+  * fingerprint ([[TextAnalysis.fingerprint]], a 58-bit rolling hash), not on
+  * an RNG:
+  *  - reruns, retries, and cluster-size changes reproduce the same sample
+  *    bit-for-bit (no seed plumbing, no partition-order sensitivity);
+  *  - exact duplicates always receive the same decision, so a train/test
+  *    split can never leak one copy of a document into each side;
+  *  - the decision is a pure per-row projection — no shuffle, no state, and
+  *    it replays in any engine that can fold the same hash (the DuckDB
+  *    oracle does).
+  *
+  * The fingerprint is uniform enough over its 2^58 field that `fp mod N`
+  * buckets are balanced for any small N (quotient bias ≤ N/2^58).
+  */
+object Sampling {
+
+  /** Bucket in [0, buckets) derived from the content fingerprint. */
+  def hashBucket(text: Column, buckets: Int): Column =
+    TextAnalysis.fingerprint(text) % buckets
+
+  /** Assign each document to a named split (train/val/test/...) by content
+    * hash. `splits` are (name, weight) pairs; each split owns a contiguous
+    * range of `weight` buckets out of `sum(weights)`, in declaration order.
+    * Output: input columns + (bucket, split).
+    */
+  def hashSplit(docs: DataFrame, splits: Seq[(String, Int)],
+      textCol: String = "text"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "weights must be positive")
+    val total = splits.map(_._2).sum
+    val bucket = hashBucket(col(textCol), total)
+    val cuts = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
+    val assign = splits.zip(cuts).init.foldRight(lit(splits.last._1)) {
+      case (((name, _), cut), rest) => when(col("bucket") < cut, name).otherwise(rest)
+    }
+    docs.withColumn("bucket", bucket).withColumn("split", assign)
+  }
+
+  /** Deterministic stratified sampling: keep a row iff its content-hash
+    * bucket (out of 10,000) falls below the stratum's rate. `rates` maps a
+    * stratum value to a keep-fraction in [0, 1]; strata absent from the map
+    * are dropped. The per-stratum keep decision is content-keyed exactly
+    * like [[hashSplit]], so the sampled corpus is reproducible and
+    * duplicate-consistent.
+    */
+  def stratifiedSample(docs: DataFrame, stratum: Column,
+      rates: Map[String, Double], textCol: String = "text"): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 1), "rates must be in [0,1]")
+    val u = hashBucket(col(textCol), 10000)
+    val cut = rates.toSeq.sortBy(_._1).foldRight(lit(0)) {
+      case ((value, rate), rest) =>
+        when(stratum === value, math.round(rate * 10000).toInt).otherwise(rest)
+    }
+    docs.filter(u < cut)
+  }
+}

@@ -95,6 +95,21 @@ object Tables {
   def transactionsMaterialized(spark: SparkSession, outPath: String): DataFrame =
     spark.read.parquet(outPath)
 
+  /** Write a frame as a metastore-managed BUCKETED parquet table: rows are
+    * hash-partitioned into `buckets` files per partition by `key` and
+    * sorted within each bucket. Joins and aggregates on `key` between
+    * tables bucketed the same way then run WITHOUT a shuffle — the
+    * pre-shuffle is paid once at write time. This is the co-located-join
+    * story at 100 TB: bucket the fact tables on user_id at ingest and every
+    * segment aggregate / set-op / enrichment join reads its partition
+    * locally. (Bucket metadata lives in the metastore, so the read side
+    * must be `spark.table(name)`, not a parquet path — see
+    * [[materializeTransactions]] for the path-based alternative.)
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
   /** Two-source unified view (orders ∪ lineitem), the analog of the
     * reference's UPI ∪ CC `UNION ALL` with a discriminator column
     * (reference: backend/app/utils/rule_parser.py:104-110, U1).

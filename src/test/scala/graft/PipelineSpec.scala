@@ -175,6 +175,40 @@ class PipelineSpec extends SparkSpec {
     assert(out(2).getAs[Long]("n_hit") == 0L && out(2).getAs[Double]("contamination") == 0.0)
   }
 
+  test("hash split: content-keyed, duplicate-consistent, covers all splits") {
+    val corpus = docs((1L to 200L).map(i => (i, s"document number $i with words")): _*)
+      .union(docs((1000L, "document number 7 with words"))) // exact dup of doc 7
+    val out = Sampling.hashSplit(corpus, Seq(("train", 8), ("test", 2)))
+      .select("doc_id", "bucket", "split")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // duplicates land in the same split, always
+    assert(out(7L) == out(1000L))
+    assert(out.values.forall { case (b, s) =>
+      (b < 8) == (s == "train") && b >= 0 && b < 10 })
+    // both splits non-empty on 200 docs with an 80/20 cut
+    val bySplit = out.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySplit.keySet == Set("train", "test"))
+    assert(bySplit("train") > bySplit("test"))
+    // rerunning reproduces the identical assignment (no RNG anywhere)
+    val again = Sampling.hashSplit(corpus, Seq(("train", 8), ("test", 2)))
+      .select("doc_id", "bucket", "split")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(again == out)
+  }
+
+  test("stratified sample: per-stratum rates, unknown strata dropped") {
+    val corpus = docs((1L to 300L).map(i => (i, s"text body $i of the corpus")): _*)
+    val stratum = (col("doc_id") % 3).cast("string")
+    val kept = Sampling.stratifiedSample(corpus, stratum,
+      Map("0" -> 1.0, "1" -> 0.25))
+      .select("doc_id").as[Long].collect().toSet
+    // rate-1.0 stratum keeps everything, absent stratum ("2") keeps nothing
+    assert((1L to 300L).filter(_ % 3 == 0).forall(kept.contains))
+    assert(kept.forall(_ % 3 != 2))
+    val s1 = kept.count(_ % 3 == 1)
+    assert(s1 > 0 && s1 < 100, s"rate 0.25 of 100 docs kept $s1")
+  }
+
   test("duplicate clusters: multi-hop chains merge, components stay separate") {
     // chain 1-2-3-4 (forces >1 propagation round), pair 10-11, self-contained 20-21-22
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))

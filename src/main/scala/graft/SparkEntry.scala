@@ -325,6 +325,26 @@ object SparkEntry {
         "count(*) AS n_users " +
         "FROM a JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2")),
 
+    // Exact per-category value quantiles (linear interpolation). Both
+    // engines compute lower + (higher-lower)*frac over the same sorted
+    // doubles; the oracle checks they agree bit-for-bit.
+    Q("q_analytics_quantiles",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("ps"))
+        .select(col("event_type"), col("n"),
+          col("ps").getItem(0).as("p50"),
+          col("ps").getItem(1).as("p90"),
+          col("ps").getItem(2).as("p99"))
+        .orderBy("event_type"),
+      Some("SELECT event_type, count(*) AS n, " +
+        "quantile_cont(value, 0.5) AS p50, " +
+        "quantile_cont(value, 0.9) AS p90, " +
+        "quantile_cont(value, 0.99) AS p99 " +
+        "FROM events GROUP BY 1 ORDER BY 1")),
+
     // CUBE over (category, city_tier): all grouping-set combinations in one
     // pass (grand total, per-category, per-tier, per-pair). NULLS FIRST in
     // the oracle's ORDER BY matches Spark's asc default for the null

@@ -1,0 +1,54 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Sketch-based approximations — the scale path where the exact operators
+  * (full-sort percentile, count-distinct shuffle) stop being affordable.
+  * These are correctness bounds against the exact answers on the corpus;
+  * the exact variants remain the oracle-checked driver queries.
+  */
+class ApproxSpec extends SparkSpec {
+
+  private lazy val events = Tables.events(spark, sf)
+
+  test("approx_count_distinct (HLL++) lands within its error bound") {
+    val r = events.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id"), 0.02).as("approx")).collect().head
+    val exact = r.getAs[Long]("exact").toDouble
+    val approx = r.getAs[Long]("approx").toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("percentile_approx tracks the exact percentile") {
+    val r = events.agg(
+      expr("percentile(value, 0.5D)").as("exact"),
+      expr("percentile_approx(value, 0.5D, 10000)").as("approx")).collect().head
+    val exact = r.getAs[Double]("exact")
+    val approx = r.getAs[Double]("approx")
+    // percentile_approx returns an actual data value; at accuracy 10000 it
+    // must be within a tight relative band of the true median
+    assert(math.abs(approx - exact) / exact < 0.01,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("HLL sketches MERGE: per-group sketches union to the global estimate") {
+    // The property that matters at 100 TB: sketch once per partition/group,
+    // merge upward (rollup, cross-day, cross-shard) without rescanning.
+    val perType = events.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = perType.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().head.getAs[Long]("est").toDouble
+    val direct = events.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().head.getAs[Long]("est").toDouble
+    val exact = events.select(countDistinct(col("user_id"))).collect().head.getLong(0).toDouble
+    assert(merged == direct,
+      "union of per-group sketches must equal the single-pass sketch")
+    assert(math.abs(merged - exact) / exact < 0.05,
+      s"merged estimate $merged vs exact $exact")
+  }
+}

@@ -345,6 +345,50 @@ object SparkEntry {
         "quantile_cont(value, 0.99) AS p99 " +
         "FROM events GROUP BY 1 ORDER BY 1")),
 
+    // Categorical pivot: per-tier event counts spread across one column per
+    // category (explicit value list keeps the plan static — no
+    // distinct-scan planning pass at scale).
+    Q("q_analytics_pivot",
+      (s, d) => Tables.transactions(s, d)
+        .groupBy(col("city_tier"))
+        .pivot("category", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("city_tier"),
+      Some(s"SELECT $tierSql AS city_tier, " +
+        "count(*) FILTER (WHERE event_type = 'click') AS click, " +
+        "count(*) FILTER (WHERE event_type = 'error') AS error, " +
+        "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, " +
+        "count(*) FILTER (WHERE event_type = 'signup') AS signup, " +
+        "count(*) FILTER (WHERE event_type = 'view') AS view " +
+        "FROM events GROUP BY 1 ORDER BY city_tier NULLS FIRST")),
+
+    // One-pass data-quality report: five checks, ONE aggregate job (the
+    // ingest gate a training pipeline runs before a batch goes downstream).
+    Q("q_quality_report",
+      (s, d) => graft.functions.DataQuality.report(
+        Tables.events(s, d),
+        Seq(
+          graft.functions.DataQuality.completeness("user_id", 1.0),
+          graft.functions.DataQuality.uniqueness("user_id", 0.5),
+          graft.functions.DataQuality.minBound("value", 0.0),
+          graft.functions.DataQuality.maxBound("value", 10000.0),
+          graft.functions.DataQuality.minRows(1000L)))
+        .orderBy("check_name"),
+      Some("WITH a AS (SELECT " +
+        "CAST(count(user_id) AS DOUBLE) / count(*) AS c_user, " +
+        "CAST(count(DISTINCT user_id) AS DOUBLE) / count(user_id) AS u_user, " +
+        "CAST(min(value) AS DOUBLE) AS mn, CAST(max(value) AS DOUBLE) AS mx, " +
+        "CAST(count(*) AS DOUBLE) AS rc FROM events) " +
+        "SELECT * FROM (" +
+        "SELECT 'completeness(user_id)' AS check_name, c_user AS metric, " +
+        "c_user >= 1.0 AS passed FROM a " +
+        "UNION ALL SELECT 'uniqueness(user_id)', u_user, u_user >= 0.5 FROM a " +
+        "UNION ALL SELECT 'min(value)', mn, mn >= 0.0 FROM a " +
+        "UNION ALL SELECT 'max(value)', mx, mx <= 10000.0 FROM a " +
+        "UNION ALL SELECT 'row_count', rc, rc >= 1000 FROM a) " +
+        "ORDER BY check_name")),
+
     // CUBE over (category, city_tier): all grouping-set combinations in one
     // pass (grand total, per-category, per-tier, per-pair). NULLS FIRST in
     // the oracle's ORDER BY matches Spark's asc default for the null

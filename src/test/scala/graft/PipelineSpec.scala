@@ -209,6 +209,27 @@ class PipelineSpec extends SparkSpec {
     assert(s1 > 0 && s1 < 100, s"rate 0.25 of 100 docs kept $s1")
   }
 
+  test("data quality report: one aggregate pass, correct metrics and verdicts") {
+    val df = Seq(
+      (1L, Some(10.0)), (2L, Some(20.0)), (2L, None), (3L, Some(-5.0)))
+      .toDF("id", "v")
+    val out = DataQuality.report(df, Seq(
+      DataQuality.completeness("v", 0.7),
+      DataQuality.uniqueness("id", 1.0),
+      DataQuality.minBound("v", 0.0),
+      DataQuality.minRows(2L)))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(out("completeness(v)") == (0.75, true))
+    assert(out("uniqueness(id)") == (0.75, false)) // 3 distinct / 4 rows
+    assert(out("min(v)") == (-5.0, false))
+    assert(out("row_count") == (4.0, true))
+    // the whole report is ONE aggregate job: a single scan in the plan
+    val plan = DataQuality.report(df, Seq(
+      DataQuality.completeness("v", 0.7),
+      DataQuality.minRows(2L))).queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), "checks must share one aggregate, not one job each")
+  }
+
   test("duplicate clusters: multi-hop chains merge, components stay separate") {
     // chain 1-2-3-4 (forces >1 propagation round), pair 10-11, self-contained 20-21-22
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))

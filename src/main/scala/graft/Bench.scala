@@ -73,16 +73,18 @@ object Bench {
     // Key order puts the headline total LAST so it survives any future
     // head-truncation of the line.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
+    val medMap = med.toMap
+    val spreadMap = spread.toMap
     val detail = names.map { n =>
-      "\"" + n + "\":{\"median\":" + round3(median(samples(n))) +
-        ",\"spread\":" + spread.toMap.apply(n) +
+      "\"" + n + "\":{\"median\":" + medMap(n) +
+        ",\"spread\":" + spreadMap(n) +
         ",\"samples\":[" + samples(n).map(round3).mkString(",") + "]}"
     }.mkString("{", ",", "}")
-    scala.util.Try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-        (s"""{"runs":$runs,"sf":"$sfDir","noise":$noise,""" +
-          s""""per_query":$detail,"total":$total}""" + "\n").getBytes("UTF-8"))
-    }
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (s"""{"runs":$runs,"sf":"$sfDir","noise":$noise,""" +
+        s""""per_query":$detail,"total":$total}""" + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $detailPath: $e") }
     println(s"""{"queries":${jmap(med)},"runs":$runs,"noise":$noise,""" +
       s""""detail":"$detailPath","sf":"$sfDir",""" +
       s""""metric":"total","unit":"sec","value":$total}""")

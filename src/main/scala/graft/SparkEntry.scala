@@ -353,7 +353,9 @@ object SparkEntry {
         .groupBy(col("city_tier"))
         .pivot("category", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
-        .na.fill(0L)
+        // fill ONLY the pivoted count columns: an unscoped fill would also
+        // rewrite a null city_tier group to 0, diverging from the oracle
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
         .orderBy("city_tier"),
       Some(s"SELECT $tierSql AS city_tier, " +
         "count(*) FILTER (WHERE event_type = 'click') AS click, " +
@@ -665,9 +667,12 @@ object SparkEntry {
         "FROM documents WHERE doc_id % 3 = 0), " +
         "b AS (SELECT doc_id + 10000 AS doc_id, text FROM documents " +
         "WHERE doc_id % 2 = 0) " +
+        // NOT EXISTS, not NOT IN: a NULL digest on either side must behave
+        // like Spark's left_anti (null keys never match, rows are kept) —
+        // NOT IN would return zero rows the moment `seen` contains one NULL
         "SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash, " +
         "count(*) AS dup_count FROM b " +
-        "WHERE sha256(text) NOT IN (SELECT content_hash FROM seen) " +
+        "WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.content_hash = sha256(b.text)) " +
         "GROUP BY sha256(text) ORDER BY doc_id")),
 
     // Benchmark-contamination screen: per-document fraction of distinct

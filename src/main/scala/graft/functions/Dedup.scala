@@ -40,8 +40,14 @@ object Dedup {
     * rather than raw text keeps the shuffle narrow at scale.
     */
   def exact(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs
-      .withColumn("content_hash", sha2(col(textCol), 256))
+    collapseByDigest(docs.withColumn("content_hash", sha2(col(textCol), 256)))
+
+  /** Shared digest-collapse tail: one representative (min doc_id) per
+    * content_hash with the group size — the output contract of both exact
+    * and incremental dedup.
+    */
+  private def collapseByDigest(hashed: DataFrame): DataFrame =
+    hashed
       .groupBy(col("content_hash"))
       .agg(
         min(col("doc_id")).as("doc_id"),
@@ -60,12 +66,10 @@ object Dedup {
   def incrementalExact(batch: DataFrame, seen: DataFrame,
       textCol: String = "text"): DataFrame = {
     val seenHashes = seen.select(sha2(col(textCol), 256).as("content_hash")).distinct()
-    batch
-      .withColumn("content_hash", sha2(col(textCol), 256))
-      .join(seenHashes, Seq("content_hash"), "left_anti")
-      .groupBy(col("content_hash"))
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
-      .select("doc_id", "content_hash", "dup_count")
+    collapseByDigest(
+      batch
+        .withColumn("content_hash", sha2(col(textCol), 256))
+        .join(seenHashes, Seq("content_hash"), "left_anti"))
   }
 
   /** Benchmark-contamination check: for each document, the fraction of its

@@ -95,6 +95,32 @@ object Tables {
   def transactionsMaterialized(spark: SparkSession, outPath: String): DataFrame =
     spark.read.parquet(outPath)
 
+  /** Ingest-time DATE PARTITIONING of the event stream: one parquet
+    * directory per event day (`event_date=YYYY-MM-DD/`). Time-bounded
+    * queries — daily totals, rollup windows, retention, sessions over a
+    * range — then touch only the matching directories: the date predicate
+    * becomes a `PartitionFilters` entry resolved against directory names
+    * at planning time, and at 100 TB a 30-day rollup reads 30 days, not
+    * the full history. Pair with [[writeBucketed]] when the downstream
+    * key is also fixed; partitioning prunes IO by time, bucketing removes
+    * the key shuffle.
+    */
+  def writePartitionedByDay(events: DataFrame, outPath: String): Unit =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      // one file per (day, shuffle partition) would fragment small days;
+      // clustering by day keeps each day's rows adjacent so most days
+      // write exactly one file at test scale (real deployments size this
+      // with maxRecordsPerFile)
+      .repartition(col("event_date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(outPath)
+
+  /** Read back a [[writePartitionedByDay]] layout; date predicates on
+    * `event_date` prune directories before any file is opened.
+    */
+  def eventsPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Write a frame as a metastore-managed BUCKETED parquet table: rows are
     * hash-partitioned into `buckets` files per partition by `key` and
     * sorted within each bucket. Joins and aggregates on `key` between

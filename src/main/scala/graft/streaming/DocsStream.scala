@@ -28,6 +28,24 @@ object DocsStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Stream-static incremental dedup: drop arriving documents whose content
+    * digest already exists in a STATIC seen-corpus frame (the streaming
+    * face of [[graft.functions.Dedup.incrementalExact]]). The static side
+    * collapses to distinct digests once and joins as a left_anti against
+    * each micro-batch — with a seen set that fits in memory this is a
+    * broadcast probe per batch, never a stateful store. Compose with
+    * [[dedupStream]] to also drop duplicates WITHIN the stream: the static
+    * join handles history, the watermarked state handles the live window.
+    */
+  def incrementalDedupStream(docs: DataFrame, seen: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val seenHashes = seen
+      .select(sha2(col(textCol), 256).as("content_hash")).distinct()
+    docs
+      .withColumn("content_hash", sha2(col(textCol), 256))
+      .join(seenHashes, Seq("content_hash"), "left_anti")
+  }
+
   /** Stateless quality gate: score + language-ID each document with the
     * same codegen'd expressions as the batch path and keep those above
     * `minQuality`. Stateless ⇒ identical semantics on stream and batch

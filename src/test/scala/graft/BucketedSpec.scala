@@ -51,4 +51,38 @@ class BucketedSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_dim")
     }
   }
+
+  test("date-partitioned ingest prunes directories for time-bounded queries") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    try {
+      val ev = Seq(
+        (1L, "2024-01-01 10:00:00", 1.0),
+        (2L, "2024-01-02 11:00:00", 2.0),
+        (3L, "2024-01-03 12:00:00", 3.0))
+        .toDF("user_id", "ts_s", "value")
+        .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+      Tables.writePartitionedByDay(ev, dir)
+
+      // layout: one directory per day
+      val dirs = new java.io.File(dir).listFiles().map(_.getName)
+        .filter(_.startsWith("event_date=")).sorted
+      assert(dirs.toSeq == Seq("event_date=2024-01-01", "event_date=2024-01-02",
+        "event_date=2024-01-03"))
+
+      val q = Tables.eventsPartitioned(spark, dir)
+        .filter($"event_date" === java.sql.Date.valueOf("2024-01-02"))
+      assert(q.collect().map(_.getAs[Long]("user_id")).toSeq == Seq(2L))
+      // the date predicate must resolve at planning time against directory
+      // names (PartitionFilters), never as a per-row data filter
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [isnotnull(event_date"),
+        s"expected partition pruning in:\n$plan")
+      val scanned = q.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+      assert(scanned == 1L, s"one day must read one file, read $scanned")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }

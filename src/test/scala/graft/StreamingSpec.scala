@@ -106,6 +106,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static incremental dedup drops digests already in the seen corpus") {
+    import graft.streaming.DocsStream
+    implicit val sqlCtx = spark.sqlContext
+    val seen = Seq((100L, "already ingested")).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = DocsStream.incrementalDedupStream(
+        in.toDF().toDF("doc_id", "ts", "text"), seen)
+      .writeStream.format("memory").queryName("inc_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (1L, ts("2024-01-01 10:00:00"), "already ingested"), // known → dropped
+        (2L, ts("2024-01-01 10:01:00"), "novel content"))
+      q.processAllAvailable()
+      in.addData((3L, ts("2024-01-01 10:05:00"), "already ingested")) // still dropped
+      q.processAllAvailable()
+      val kept = spark.table("inc_dedup").select("doc_id").as[Long].collect().sorted
+      assert(kept.toSeq == Seq(2L))
+    } finally q.stop()
+  }
+
   test("quality gate is stateless: stream output == batch output") {
     import graft.streaming.DocsStream
     implicit val sqlCtx = spark.sqlContext

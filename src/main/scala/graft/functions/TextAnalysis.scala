@@ -99,6 +99,12 @@ object TextAnalysis {
     * first pass. The 58-bit prime-field construction is engine-portable
     * (any 64-bit-integer SQL engine can replay it), unlike xxhash-style
     * mixers that need unsigned 64-bit multiplies.
+    *
+    * NULL contract: null text → NULL fingerprint (null-propagating, unlike
+    * lang_id's total "und"). Deliberate: a dedup/group key must not
+    * collapse every contentless document into one giant "duplicate" group
+    * — null-keyed rows fall out of groupBy/join matching instead, which is
+    * the correct dedup behavior for missing content.
     */
   def fingerprint(text: Column): Column =
     RollingHash.rollingHash(normalizedText(text))

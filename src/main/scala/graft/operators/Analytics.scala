@@ -81,23 +81,52 @@ object Analytics {
       dateTo: Option[String] = None,
       minTransactions: Long = 1L)
 
-  def searchUsers(tx: DataFrame, s: UserSearch, page: Int, perPage: Int): DataFrame = {
+  def searchUsers(tx: DataFrame, s: UserSearch, page: Int, perPage: Int): DataFrame =
+    searchAggregate(tx, s)
+      .orderBy(col("total_transactions").desc, col("user_id"))
+      .offset((page - 1) * perPage)
+      .limit(perPage)
+
+  /** The full filtered/aggregated/HAVING-gated result the search pages
+    * over (shared by the page fetch and the envelope's total count).
+    */
+  private def searchAggregate(tx: DataFrame, s: UserSearch): DataFrame = {
     val filters = Seq(
       s.minAmount.map(v => col("amount") >= lit(v)),
       s.cityTier.map(v => col("city_tier") === lit(v)),
       s.category.map(v => col("category") === lit(v)),
       s.dateFrom.map(v => to_date(col("ts")) >= lit(java.sql.Date.valueOf(v))),
       s.dateTo.map(v => to_date(col("ts")) <= lit(java.sql.Date.valueOf(v)))).flatten
-    val filtered = filters.foldLeft(tx)(_.filter(_))
-    filtered
+    filters.foldLeft(tx)(_.filter(_))
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("total_transactions"),
         money(sum(exactAmount)).as("total_spent"))
       .filter(col("total_transactions") >= lit(s.minTransactions))
-      .orderBy(col("total_transactions").desc, col("user_id"))
-      .offset((page - 1) * perPage)
-      .limit(perPage)
+  }
+
+  /** Paginated response envelope — the library-level analog of the
+    * reference's API wrapper (reference backend/app/utils/response.py:5
+    * and the paginated rule listing, backend/app/api/rules.py:83-106):
+    * one page of search results plus the metadata an API surfaces
+    * (total matching rows, page, per_page, total_pages).
+    *
+    * Two jobs by construction: the total is a count over the full filtered
+    * aggregate, the page is a sorted offset/limit. Folding both into one
+    * pass would need a global window (single-partition — the opposite of
+    * scale); two small jobs over the same pushed-down plan is the right
+    * trade, and Spark reuses the shuffle output of the common prefix.
+    */
+  final case class PagedResult(
+      total: Long, page: Int, perPage: Int, totalPages: Long, rows: DataFrame)
+
+  def searchUsersPaged(tx: DataFrame, s: UserSearch,
+      page: Int, perPage: Int): PagedResult = {
+    val total = searchAggregate(tx, s).count()
+    PagedResult(
+      total, page, perPage,
+      (total + perPage - 1) / perPage,
+      searchUsers(tx, s, page, perPage))
   }
 
   /** Retention cohorts over the raw event stream: users grouped by their

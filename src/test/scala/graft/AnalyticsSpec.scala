@@ -70,6 +70,14 @@ class AnalyticsSpec extends SparkSpec {
     assert(u1w30.getAs[java.sql.Date]("last_transaction_date").toString == "2024-01-03")
   }
 
+  test("paged search envelope: total/total_pages count the full result, page slices it") {
+    val p = Analytics.searchUsersPaged(fixture,
+      Analytics.UserSearch(minTransactions = 1L), page = 2, perPage = 1)
+    assert(p.total == 2L && p.totalPages == 2L && p.page == 2 && p.perPage == 1)
+    val rows = p.rows.collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("user_id") == 2L)
+  }
+
   test("sessionize: gap splits sessions, ties share one, aggregates are exact") {
     val ev = Seq(
       (1L, "2024-01-01 10:00:00", 10.0),

@@ -64,13 +64,26 @@ object Dedup {
     * fits (Catalyst/AQE picks that automatically from its size).
     */
   def incrementalExact(batch: DataFrame, seen: DataFrame,
-      textCol: String = "text"): DataFrame = {
-    val seenHashes = seen.select(sha2(col(textCol), 256).as("content_hash")).distinct()
-    collapseByDigest(
-      batch
-        .withColumn("content_hash", sha2(col(textCol), 256))
-        .join(seenHashes, Seq("content_hash"), "left_anti"))
-  }
+      textCol: String = "text"): DataFrame =
+    collapseByDigest(novelByDigest(batch, seenDigests(seen, textCol), textCol))
+
+  /** The seen corpus collapsed to its distinct content digests — the only
+    * thing the anti-join needs. Streaming callers persist this so the
+    * collapse is paid once, not once per micro-batch.
+    */
+  private[graft] def seenDigests(seen: DataFrame, textCol: String): DataFrame =
+    seen.select(sha2(col(textCol), 256).as("content_hash")).distinct()
+
+  /** Batch rows whose digest is absent from `seenHashes` (the single
+    * definition of "novel" shared by batch and streaming incremental
+    * dedup — the digest/normalization choice must never drift between
+    * the two).
+    */
+  private[graft] def novelByDigest(batch: DataFrame, seenHashes: DataFrame,
+      textCol: String): DataFrame =
+    batch
+      .withColumn("content_hash", sha2(col(textCol), 256))
+      .join(seenHashes, Seq("content_hash"), "left_anti")
 
   /** Benchmark-contamination check: for each document, the fraction of its
     * distinct word n-grams that appear anywhere in the `benchmark` corpus —

@@ -81,11 +81,13 @@ object Analytics {
       dateTo: Option[String] = None,
       minTransactions: Long = 1L)
 
-  def searchUsers(tx: DataFrame, s: UserSearch, page: Int, perPage: Int): DataFrame =
+  def searchUsers(tx: DataFrame, s: UserSearch, page: Int, perPage: Int): DataFrame = {
+    require(page >= 1 && perPage >= 1, s"page=$page perPage=$perPage must be >= 1")
     searchAggregate(tx, s)
       .orderBy(col("total_transactions").desc, col("user_id"))
       .offset((page - 1) * perPage)
       .limit(perPage)
+  }
 
   /** The full filtered/aggregated/HAVING-gated result the search pages
     * over (shared by the page fetch and the envelope's total count).
@@ -114,19 +116,29 @@ object Analytics {
     * Two jobs by construction: the total is a count over the full filtered
     * aggregate, the page is a sorted offset/limit. Folding both into one
     * pass would need a global window (single-partition — the opposite of
-    * scale); two small jobs over the same pushed-down plan is the right
-    * trade, and Spark reuses the shuffle output of the common prefix.
+    * scale), so instead the shared aggregate is PERSISTED: the count job
+    * materializes it, the page job reads the cached partitions — one scan
+    * of the source, and both numbers describe the same snapshot (a source
+    * rewritten between the two jobs cannot make total and page disagree).
+    * Call `release()` when done with the envelope.
     */
   final case class PagedResult(
-      total: Long, page: Int, perPage: Int, totalPages: Long, rows: DataFrame)
+      total: Long, page: Int, perPage: Int, totalPages: Long, rows: DataFrame,
+      private val cached: DataFrame) {
+    /** Drop the persisted aggregate backing `rows`. */
+    def release(): Unit = { cached.unpersist(); () }
+  }
 
   def searchUsersPaged(tx: DataFrame, s: UserSearch,
       page: Int, perPage: Int): PagedResult = {
-    val total = searchAggregate(tx, s).count()
-    PagedResult(
-      total, page, perPage,
-      (total + perPage - 1) / perPage,
-      searchUsers(tx, s, page, perPage))
+    require(page >= 1 && perPage >= 1, s"page=$page perPage=$perPage must be >= 1")
+    val agg = searchAggregate(tx, s).persist()
+    val total = agg.count()
+    val rows = agg
+      .orderBy(col("total_transactions").desc, col("user_id"))
+      .offset((page - 1) * perPage)
+      .limit(perPage)
+    PagedResult(total, page, perPage, (total + perPage - 1) / perPage, rows, agg)
   }
 
   /** Retention cohorts over the raw event stream: users grouped by their

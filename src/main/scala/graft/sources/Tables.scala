@@ -105,15 +105,21 @@ object Tables {
     * key is also fixed; partitioning prunes IO by time, bucketing removes
     * the key shuffle.
     */
-  def writePartitionedByDay(events: DataFrame, outPath: String): Unit =
+  def writePartitionedByDay(events: DataFrame, outPath: String,
+      filesPerDay: Int = 1): Unit =
     events
       .withColumn("event_date", to_date(col("ts")))
-      // one file per (day, shuffle partition) would fragment small days;
-      // clustering by day keeps each day's rows adjacent so most days
-      // write exactly one file at test scale (real deployments size this
-      // with maxRecordsPerFile)
-      .repartition(col("event_date"))
-      .write.mode("overwrite").partitionBy("event_date").parquet(outPath)
+      // cluster by day so small days don't fragment into one file per
+      // shuffle partition — but salt WITHIN the day (filesPerDay > 1) when
+      // a single day is too big for one write task: hash-partitioning on
+      // the date alone would funnel a whole day through one task
+      .repartition(col("event_date"), pmod(hash(col("ts")), lit(filesPerDay)))
+      .write.mode("overwrite")
+      // dynamic overwrite: a repeat ingest replaces ONLY the days present
+      // in the incoming batch — the default static mode would truncate the
+      // whole directory and silently drop every previously ingested day
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_date").parquet(outPath)
 
   /** Read back a [[writePartitionedByDay]] layout; date predicates on
     * `event_date` prune directories before any file is opened.

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.functions.TextAnalysis
+import graft.functions.{Dedup, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -30,20 +30,23 @@ object DocsStream {
 
   /** Stream-static incremental dedup: drop arriving documents whose content
     * digest already exists in a STATIC seen-corpus frame (the streaming
-    * face of [[graft.functions.Dedup.incrementalExact]]). The static side
-    * collapses to distinct digests once and joins as a left_anti against
-    * each micro-batch — with a seen set that fits in memory this is a
-    * broadcast probe per batch, never a stateful store. Compose with
-    * [[dedupStream]] to also drop duplicates WITHIN the stream: the static
-    * join handles history, the watermarked state handles the live window.
+    * face of [[graft.functions.Dedup.incrementalExact]] — the SAME digest
+    * definition, shared via `Dedup.novelByDigest`, so batch and stream can
+    * never disagree about what a duplicate is). Stream-static joins
+    * re-execute the static sub-plan on EVERY micro-batch, so the digest
+    * collapse is persisted here: the scan+sha2+distinct over the seen
+    * corpus is paid on the first batch and each later trigger joins
+    * against the cached digest set (caller may `.unpersist()` the second
+    * element when the query stops). Compose with [[dedupStream]] to also
+    * drop duplicates WITHIN the stream: the static join handles history,
+    * the watermarked state handles the live window.
+    *
+    * @return (deduped stream, the persisted seen-digest frame)
     */
   def incrementalDedupStream(docs: DataFrame, seen: DataFrame,
-      textCol: String = "text"): DataFrame = {
-    val seenHashes = seen
-      .select(sha2(col(textCol), 256).as("content_hash")).distinct()
-    docs
-      .withColumn("content_hash", sha2(col(textCol), 256))
-      .join(seenHashes, Seq("content_hash"), "left_anti")
+      textCol: String = "text"): (DataFrame, DataFrame) = {
+    val seenHashes = Dedup.seenDigests(seen, textCol).persist()
+    (Dedup.novelByDigest(docs, seenHashes, textCol), seenHashes)
   }
 
   /** Stateless quality gate: score + language-ID each document with the

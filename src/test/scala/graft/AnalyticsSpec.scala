@@ -76,6 +76,13 @@ class AnalyticsSpec extends SparkSpec {
     assert(p.total == 2L && p.totalPages == 2L && p.page == 2 && p.perPage == 1)
     val rows = p.rows.collect()
     assert(rows.length == 1 && rows.head.getAs[Long]("user_id") == 2L)
+    p.release()
+    intercept[IllegalArgumentException] {
+      Analytics.searchUsersPaged(fixture, Analytics.UserSearch(), 1, 0)
+    }
+    intercept[IllegalArgumentException] {
+      Analytics.searchUsers(fixture, Analytics.UserSearch(), 0, 10)
+    }
   }
 
   test("sessionize: gap splits sessions, ties share one, aggregates are exact") {

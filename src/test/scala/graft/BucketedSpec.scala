@@ -80,6 +80,19 @@ class BucketedSpec extends SparkSpec {
       val scanned = q.queryExecution.executedPlan.collectLeaves()
         .flatMap(_.metrics.get("numFiles")).map(_.value).sum
       assert(scanned == 1L, s"one day must read one file, read $scanned")
+
+      // repeat ingest with a NEW day must not truncate earlier days
+      // (dynamic partition overwrite, not the default static wipe)
+      val batch2 = Seq((4L, "2024-01-04 09:00:00", 4.0))
+        .toDF("user_id", "ts_s", "value")
+        .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+      Tables.writePartitionedByDay(batch2, dir)
+      val after = new java.io.File(dir).listFiles().map(_.getName)
+        .filter(_.startsWith("event_date=")).sorted
+      assert(after.toSeq == Seq("event_date=2024-01-01", "event_date=2024-01-02",
+        "event_date=2024-01-03", "event_date=2024-01-04"),
+        s"repeat ingest must only touch its own days, saw ${after.toSeq}")
+      assert(Tables.eventsPartitioned(spark, dir).count() == 4L)
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()

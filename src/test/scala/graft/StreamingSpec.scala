@@ -111,8 +111,9 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val seen = Seq((100L, "already ingested")).toDF("doc_id", "text")
     val in = MemoryStream[(Long, java.sql.Timestamp, String)]
-    val q = DocsStream.incrementalDedupStream(
-        in.toDF().toDF("doc_id", "ts", "text"), seen)
+    val (deduped, seenHashes) = DocsStream.incrementalDedupStream(
+      in.toDF().toDF("doc_id", "ts", "text"), seen)
+    val q = deduped
       .writeStream.format("memory").queryName("inc_dedup")
       .outputMode(OutputMode.Append()).start()
     try {
@@ -124,7 +125,9 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val kept = spark.table("inc_dedup").select("doc_id").as[Long].collect().sorted
       assert(kept.toSeq == Seq(2L))
-    } finally q.stop()
+      // the static digest set is cached, not recomputed per micro-batch
+      assert(seenHashes.storageLevel.useMemory || seenHashes.storageLevel.useDisk)
+    } finally { q.stop(); seenHashes.unpersist() }
   }
 
   test("quality gate is stateless: stream output == batch output") {

@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
   *
   *   runMain graft.Stress clusters <docs.parquet>   near-twin clustering
   *   runMain graft.Stress recall <sfDir>            IVF recall@10 vs brute
+  *   runMain graft.Stress sessions <nHot> <nRest>   sessionize under key skew
   */
 object Stress {
   def main(args: Array[String]): Unit = {
@@ -24,6 +25,7 @@ object Stress {
     args.toList match {
       case "clusters" :: path :: Nil => clusters(spark, path)
       case "recall" :: dir :: Nil    => recall(spark, dir)
+      case "sessions" :: hot :: rest :: Nil => sessions(spark, hot.toLong, rest.toLong)
       case other => sys.error(s"unknown args: $other")
     }
     spark.stop()
@@ -41,6 +43,31 @@ object Stress {
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"[stress] clusters=${stats.getLong(0)} sizeMin=${stats.getLong(1)} " +
       f"sizeMax=${stats.getLong(2)} docsClustered=${stats.getLong(3)} time=$secs%.1fs")
+  }
+
+  /** Sessionize under pathological key skew: ONE bot user with `nHot`
+    * events (all landing in a single window-sort task) next to `nRest`
+    * events spread over 10k normal users. Measures the cost of the
+    * serial per-key sort that per-user windows cannot parallelize — the
+    * bound a deployment hits when a single key dominates.
+    */
+  private def sessions(spark: SparkSession, nHot: Long, nRest: Long): Unit = {
+    val hot = spark.range(nHot).select(
+      lit(0L).as("user_id"),
+      timestamp_micros(lit(1700000000000000L) + col("id") * 90L * 1000000L).as("ts"),
+      (col("id") % 100).cast("double").as("value"))
+    val rest = spark.range(nRest).select(
+      (col("id") % 10000 + 1L).as("user_id"),
+      timestamp_micros(lit(1700000000000000L) + expr("id div 10000") * 120L * 1000000L).as("ts"),
+      (col("id") % 100).cast("double").as("value"))
+    val ev = hot.unionByName(rest).localCheckpoint(true)
+    val t0 = System.nanoTime()
+    val out = graft.operators.Analytics.sessionize(ev, 30)
+    val stats = out.agg(count(lit(1)).as("n_sessions"),
+      max(col("n_events")).as("maxLen")).collect()(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[stress] sessions=${stats.getLong(0)} maxSessionEvents=${stats.getLong(1)} " +
+      f"rows=${nHot + nRest} time=$secs%.1fs")
   }
 
   /** IVF multi-probe recall@10 against exact brute-force on the corpus. */

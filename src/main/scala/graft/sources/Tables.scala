@@ -127,6 +127,33 @@ object Tables {
   def eventsPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Small-file compaction for a parquet directory: rewrite its contents
+    * into ⌈bytes / targetFileBytes⌉ files. Streaming sinks and frequent
+    * small ingests fragment a directory into thousands of tiny files,
+    * and at scale the scan's file-listing + per-file open cost comes to
+    * dominate the read — periodic compaction is standard table
+    * maintenance. Writes to a sibling temp directory and atomically
+    * swaps via the Hadoop FileSystem (works on hdfs://, s3a://, …), so a
+    * failed compaction never corrupts the original. For a
+    * [[writePartitionedByDay]] layout, compact each day's directory
+    * individually — rewriting the root would flatten the partitioning.
+    * Returns the number of files written.
+    */
+  def compact(spark: SparkSession, dir: String,
+      targetFileBytes: Long = 512L << 20): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fsys = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fsys.getContentSummary(hPath).getLength
+    val nFiles = math.max(1L, math.ceil(bytes.toDouble / targetFileBytes).toLong).toInt
+    val tmp = new org.apache.hadoop.fs.Path(
+      hPath.getParent, hPath.getName + "__compact_tmp")
+    spark.read.parquet(dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fsys.delete(hPath, true)
+    require(fsys.rename(tmp, hPath), s"rename $tmp -> $hPath failed")
+    nFiles
+  }
+
   /** Write a frame as a metastore-managed BUCKETED parquet table: rows are
     * hash-partitioned into `buckets` files per partition by `key` and
     * sorted within each bucket. Joins and aggregates on `key` between

@@ -93,4 +93,38 @@ object SegmentStream {
 
   /** Output mode the stateful query needs. */
   val SegmentOutputMode: OutputMode = OutputMode.Update()
+
+  /** Drive a continuously-maintained segment into the [[graft.sources.SegmentStore]]:
+    * each micro-batch UPSERTS into `segment_output_<ruleId>` — revisions
+    * with `in_segment = true` replace the user's stored row, false
+    * revisions delete it (the retraction path a non-monotone HAVING
+    * needs). Plain parquet has no MERGE, so the upsert is
+    * read-existing → anti-join the batch's users → union the batch's
+    * members → rewrite; the new content is materialized (localCheckpoint)
+    * BEFORE the overwrite because the plan reads the same directory it is
+    * about to replace. Per-user state lives in the streaming checkpoint
+    * (exactly-once across restarts); the store rewrite is idempotent per
+    * batch. Returns the configured writer — caller sets
+    * `option("checkpointLocation", ...)` and `.start()`s it.
+    */
+  def sinkToStore(segment: DataFrame, store: graft.sources.SegmentStore,
+      ruleId: Long): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    segment.writeStream
+      .outputMode(SegmentOutputMode)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          if (store.exists(ruleId)) store.read(ruleId)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            batch.drop("in_segment").schema)
+        val touched = batch.select("user_id").distinct()
+        val next = existing
+          .join(broadcast(touched), Seq("user_id"), "left_anti")
+          .unionByName(batch.filter(col("in_segment")).drop("in_segment"))
+          .localCheckpoint(true)
+        store.write(ruleId, next)
+        next.unpersist()
+        ()
+      }
 }

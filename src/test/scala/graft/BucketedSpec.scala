@@ -52,6 +52,25 @@ class BucketedSpec extends SparkSpec {
     }
   }
 
+  test("compaction rewrites a fragmented directory to the target file count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    try {
+      (1L to 1000L).map(i => (i, s"row$i")).toDF("id", "s")
+        .repartition(10).write.parquet(dir)
+      def files = new java.io.File(dir).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      assert(files == 10)
+      val n = Tables.compact(spark, dir) // default target far above total size
+      assert(n == 1 && files == 1)
+      val back = spark.read.parquet(dir)
+      assert(back.count() == 1000L)
+      assert(back.filter($"id" === 7L).collect().head.getAs[String]("s") == "row7")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir).getParentFile).deleteRecursively()
+    }
+  }
+
   test("date-partitioned ingest prunes directories for time-bounded queries") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     try {

@@ -227,6 +227,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch store sink upserts members and deletes retractions") {
+    import graft.model.Condition
+    import graft.streaming.SegmentStream
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft_sink_store")
+    val store = new graft.sources.SegmentStore(spark, wh.toString)
+    val in = MemoryStream[(Long, Double, String)]
+    val seg = SegmentStream.continuousSegment(
+      in.toDF().toDF("user_id", "amount", "transaction_type"),
+      Seq(Condition("total_spend", "<", "100"))) // non-monotone: retractable
+    val q = SegmentStream.sinkToStore(seg, store, ruleId = 42L)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_sink_ckpt").toString)
+      .start()
+    try {
+      in.addData((1L, 60.0, "UPI"))
+      q.processAllAvailable()
+      assert(store.read(42L).select("user_id").as[Long].collect().toSeq == Seq(1L))
+      in.addData((1L, 80.0, "UPI"), (2L, 50.0, "CC")) // user 1 → 140: retract
+      q.processAllAvailable()
+      val rows = store.read(42L).orderBy("user_id").collect()
+      assert(rows.map(_.getAs[Long]("user_id")).toSeq == Seq(2L),
+        "user 1 must be deleted from the store on retraction")
+      assert(rows.head.getAs[Double]("total_spent") == 50.0)
+    } finally {
+      q.stop()
+      import scala.reflect.io.Directory
+      new Directory(wh.toFile).deleteRecursively()
+    }
+  }
+
   test("streaming and batch compute the same hourly windows") {
     val batch = Seq(
       (ts("2024-01-01 10:05:00"), "view", 10.0),

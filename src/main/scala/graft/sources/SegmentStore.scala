@@ -45,6 +45,36 @@ final class SegmentStore(spark: SparkSession, warehouse: String) {
     obs.get("n").asInstanceOf[Long]
   }
 
+  /** Replace a segment whose NEW content may derive from its CURRENT
+    * stored content (the streaming upsert shape: read → merge → rewrite).
+    * `write`'s in-place overwrite can't serve that caller: it deletes the
+    * directory the plan still has to read, and a crash mid-write loses
+    * the previous state entirely. Here the new content is written to a
+    * staging directory first (the old data stays readable throughout),
+    * then swapped in with two renames; a crash between them leaves the
+    * previous state recoverable under `__old`, never nothing. Renames
+    * are atomic on HDFS/local; on object stores (s3a) they are
+    * copy-based — pair with a manifest commit protocol there.
+    */
+  def replace(ruleId: Long, df: DataFrame): Long = {
+    val target = path(ruleId)
+    val (fsys, tgt) = fs(target)
+    val staging = new org.apache.hadoop.fs.Path(s"${target}__staging")
+    val old = new org.apache.hadoop.fs.Path(s"${target}__old")
+    val aligned = df.select(Schemas.segmentOutput.fields.map(f =>
+      col(f.name).cast(f.dataType)).toSeq: _*)
+    val obs = org.apache.spark.sql.Observation(
+      s"seg_replace_${ruleId}_${System.nanoTime()}")
+    aligned.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    fsys.delete(old, true) // leftover from a previous crash, superseded
+    if (fsys.exists(tgt))
+      require(fsys.rename(tgt, old), s"rename $tgt -> $old failed")
+    require(fsys.rename(staging, tgt), s"rename $staging -> $tgt failed")
+    fsys.delete(old, true)
+    obs.get("n").asInstanceOf[Long]
+  }
+
   /** Empty-segment sink: canonical 4-col schema, zero rows (S6/Q9). */
   def writeEmpty(ruleId: Long): Long = {
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas.segmentOutput)

@@ -100,11 +100,14 @@ object SegmentStream {
     * revisions delete it (the retraction path a non-monotone HAVING
     * needs). Plain parquet has no MERGE, so the upsert is
     * read-existing → anti-join the batch's users → union the batch's
-    * members → rewrite; the new content is materialized (localCheckpoint)
-    * BEFORE the overwrite because the plan reads the same directory it is
-    * about to replace. Per-user state lives in the streaming checkpoint
-    * (exactly-once across restarts); the store rewrite is idempotent per
-    * batch. Returns the configured writer — caller sets
+    * members → `SegmentStore.replace`: the merged content is written to a
+    * staging directory while the old data stays readable (the plan READS
+    * the directory being replaced), then swapped in by rename — a crash
+    * leaves the previous state recoverable, never an empty store, and a
+    * restart that replays the batch re-derives the same merge
+    * (idempotent). Per-user state lives in the streaming checkpoint.
+    * Empty micro-batches (restart replays, no-data triggers) skip the
+    * rewrite entirely. Returns the configured writer — caller sets
     * `option("checkpointLocation", ...)` and `.start()`s it.
     */
   def sinkToStore(segment: DataFrame, store: graft.sources.SegmentStore,
@@ -112,19 +115,19 @@ object SegmentStream {
     segment.writeStream
       .outputMode(SegmentOutputMode)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        val existing =
-          if (store.exists(ruleId)) store.read(ruleId)
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            batch.drop("in_segment").schema)
-        val touched = batch.select("user_id").distinct()
-        val next = existing
-          .join(broadcast(touched), Seq("user_id"), "left_anti")
-          .unionByName(batch.filter(col("in_segment")).drop("in_segment"))
-          .localCheckpoint(true)
-        store.write(ruleId, next)
-        next.unpersist()
-        ()
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val existing =
+            if (store.exists(ruleId)) store.read(ruleId)
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              batch.drop("in_segment").schema)
+          val touched = batch.select("user_id").distinct()
+          val next = existing
+            .join(broadcast(touched), Seq("user_id"), "left_anti")
+            .unionByName(batch.filter(col("in_segment")).drop("in_segment"))
+          store.replace(ruleId, next)
+          ()
+        }
       }
 }

@@ -65,6 +65,10 @@ class BucketedSpec extends SparkSpec {
       val back = spark.read.parquet(dir)
       assert(back.count() == 1000L)
       assert(back.filter($"id" === 7L).collect().head.getAs[String]("s") == "row7")
+      // empty directory: no-op, not a schema-inference crash
+      val empty = java.nio.file.Files.createTempDirectory("graft_compact_empty")
+      assert(Tables.compact(spark, empty.toString) == 0)
+      java.nio.file.Files.delete(empty)
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir).getParentFile).deleteRecursively()

@@ -232,14 +232,14 @@ class StreamingSpec extends SparkSpec {
     import graft.streaming.SegmentStream
     implicit val sqlCtx = spark.sqlContext
     val wh = java.nio.file.Files.createTempDirectory("graft_sink_store")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt")
     val store = new graft.sources.SegmentStore(spark, wh.toString)
     val in = MemoryStream[(Long, Double, String)]
     val seg = SegmentStream.continuousSegment(
       in.toDF().toDF("user_id", "amount", "transaction_type"),
       Seq(Condition("total_spend", "<", "100"))) // non-monotone: retractable
     val q = SegmentStream.sinkToStore(seg, store, ruleId = 42L)
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_sink_ckpt").toString)
+      .option("checkpointLocation", ckpt.toString)
       .start()
     try {
       in.addData((1L, 60.0, "UPI"))
@@ -255,6 +255,7 @@ class StreamingSpec extends SparkSpec {
       q.stop()
       import scala.reflect.io.Directory
       new Directory(wh.toFile).deleteRecursively()
+      new Directory(ckpt.toFile).deleteRecursively()
     }
   }
 

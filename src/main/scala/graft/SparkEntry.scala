@@ -694,6 +694,31 @@ object SparkEntry {
         "CAST(COALESCE(n_hit, 0) AS DOUBLE) / len(n.ng) AS contamination " +
         "FROM ngrams n LEFT JOIN hits USING (doc_id) ORDER BY doc_id")),
 
+    // Cross-corpus near-dup screen: the new batch (every 7th doc) against
+    // the disjoint seen corpus — the near-dup analog of incremental dedup.
+    Q("q_dedup_incremental_ngram",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        Dedup.crossNgramJaccardPairs(
+          docs.filter(col("doc_id") % 7 === 0),
+          docs.filter(col("doc_id") % 7 =!= 0), 0.5)
+          .orderBy("batch_doc", "seen_doc")
+      },
+      Some("WITH toks AS (SELECT doc_id, " + toksSql + " AS t FROM documents), " +
+        "ngrams AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] " +
+        "FOR i IN range(1, len(t) - 1)]) AS ng FROM toks WHERE len(t) >= 3), " +
+        "pa AS (SELECT doc_id, unnest(ng) AS g, len(ng) AS n FROM ngrams " +
+        "WHERE doc_id % 7 = 0), " +
+        "pb AS (SELECT doc_id, unnest(ng) AS g, len(ng) AS n FROM ngrams " +
+        "WHERE doc_id % 7 <> 0), " +
+        "pairs AS (SELECT pa.doc_id AS batch_doc, pb.doc_id AS seen_doc, " +
+        "count(*) AS common, any_value(pa.n) AS na, any_value(pb.n) AS nb " +
+        "FROM pa JOIN pb ON pa.g = pb.g GROUP BY 1, 2) " +
+        "SELECT batch_doc, seen_doc, " +
+        "CAST(common AS DOUBLE) / (na + nb - common) AS jaccard FROM pairs " +
+        "WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5 " +
+        "ORDER BY batch_doc, seen_doc")),
+
     Q("q_dedup_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.5)
         .orderBy("doc_a", "doc_b"),

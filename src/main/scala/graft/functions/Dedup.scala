@@ -117,6 +117,46 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** Cross-corpus near-dup pairs: n-gram Jaccard ≥ threshold between a NEW
+    * batch and the already-ingested corpus (the near-dup analog of
+    * [[incrementalExact]] — daily crawl dedup runs exactly this shape).
+    * Output: (batch_doc, seen_doc, jaccard); batch docs appearing in any
+    * pair are near-dups of history and get dropped/linked by the caller.
+    *
+    * Scale: inverted-index join between the two posting lists — cost per
+    * shingle is df_batch·df_seen, so only co-occurring shingles pay, and
+    * the hot-shingle cap (document frequency across BOTH sides) bounds
+    * the worst gram. The batch side is typically orders of magnitude
+    * smaller than the corpus, which keeps the join skew-free; the exact
+    * per-pair Jaccard then needs no second verify pass (counts and set
+    * sizes ride the postings).
+    */
+  def crossNgramJaccardPairs(batch: DataFrame, seen: DataFrame,
+      threshold: Double, textCol: String = "text",
+      maxDocFreq: Long = 1000L): DataFrame = {
+    def sets(df: DataFrame) = df
+      .select(col("doc_id"), ngrams(col(textCol)).as("ng"))
+      .filter(size(col("ng")) > 0)
+    def posting(s: DataFrame) = s.select(
+      col("doc_id"), explode(col("ng")).as("g"), size(col("ng")).as("n"))
+    val pa = posting(sets(batch))
+    val pb = posting(sets(seen))
+    val hot = pa.select("g").unionByName(pb.select("g"))
+      .groupBy("g").count().filter(col("count") > maxDocFreq).select("g")
+    val a = pa.join(broadcast(hot), Seq("g"), "left_anti").as("a")
+    val b = pb.join(broadcast(hot), Seq("g"), "left_anti").as("b")
+    val pairs = a.join(b, col("a.g") === col("b.g"))
+      .groupBy(col("a.doc_id").as("batch_doc"), col("b.doc_id").as("seen_doc"))
+      .agg(
+        count(lit(1)).as("common"),
+        first(col("a.n")).as("na"),
+        first(col("b.n")).as("nb"))
+    val jac = col("common").cast("double") /
+      (col("na") + col("nb") - col("common"))
+    pairs.select(col("batch_doc"), col("seen_doc"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** All-pairs n-gram Jaccard similarity ≥ threshold with EXACT recall, via
     * prefix filtering (the AllPairs/PPJoin family, Bayardo et al., "Scaling
     * up all pairs similarity search", WWW 2007).

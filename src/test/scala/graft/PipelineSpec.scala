@@ -146,6 +146,19 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("cross-corpus near-dup pairs: batch docs match seen near-twins only") {
+    val seen = docs(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated text about query engines and planning"))
+    val batch = docs(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of 1
+      (11L, "entirely novel content with no overlap whatsoever here"))
+    val out = Dedup.crossNgramJaccardPairs(batch, seen, 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(p => (p._1, p._2)).toSet == Set((10L, 1L)))
+    assert(out.head._3 > 0.5 && out.head._3 < 1.0)
+  }
+
   test("incremental dedup: batch-internal dupes collapse, seen content drops") {
     val seen = docs((1L, "already ingested"), (2L, "also known"))
     val batch = docs(

@@ -637,6 +637,17 @@ object SparkEntry {
         "SELECT doc_id, term, tf, CAST(rank AS INT) AS rank FROM r " +
         "WHERE rank <= 3 ORDER BY doc_id, rank")),
 
+    // Corpus vocabulary: per-term document frequency + total occurrences
+    // (integer-only, the tokenizer-training / vocab-pruning statistic).
+    Q("q_text_vocabulary",
+      (s, d) => TextAnalysis.vocabulary(Tables.documents(s, d))
+        .orderBy("term"),
+      Some("WITH posting AS (SELECT doc_id, unnest(" + toksSql + ") AS term " +
+        "FROM documents) " +
+        "SELECT term, count(DISTINCT doc_id) AS doc_freq, " +
+        "count(*) AS term_freq FROM posting WHERE term <> '' " +
+        "GROUP BY term ORDER BY term")),
+
     // Exact dedup over documents ∪ (re-keyed) documents so duplicate groups
     // actually exist in the corpus.
     Q("q_dedup_exact",

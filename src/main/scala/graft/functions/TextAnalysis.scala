@@ -134,6 +134,23 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** Corpus vocabulary table: every term with its document frequency and
+    * total occurrence count — the statistic tokenizer training and
+    * vocabulary pruning consume. Integer-only (exact counts, no
+    * floating-point IDF), so cross-engine deterministic. Scale shape: one
+    * explode to (doc, term) postings, one aggregate keyed on term; df
+    * rides as a count of distinct docs per term computed from the same
+    * postings (distinct-in-aggregate, no second scan).
+    */
+  def vocabulary(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"))
+      .agg(
+        countDistinct(col("doc_id")).as("doc_freq"),
+        count(lit(1)).as("term_freq"))
+
   /** One-pass per-document stats frame over a `documents`-shaped table.
     *
     * Tokenizes ONCE: the token array is materialized in a lower projection

@@ -128,6 +128,14 @@ class PipelineSpec extends SparkSpec {
     assert(q > 0.0 && q <= 1.0)
   }
 
+  test("vocabulary: exact document and term frequencies") {
+    val out = TextAnalysis.vocabulary(docs(
+      (1L, "spark spark flink"), (2L, "spark beam")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("spark") == (2L, 3L)) // in 2 docs, 3 occurrences
+    assert(out("flink") == (1L, 1L) && out("beam") == (1L, 1L))
+  }
+
   test("fingerprint is whitespace/case normalized") {
     val fps = docs((1L, "Hello   World"), (2L, "hello world"), (3L, "hello worlds"))
       .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))

@@ -648,6 +648,18 @@ object SparkEntry {
         "count(*) AS term_freq FROM posting WHERE term <> '' " +
         "GROUP BY term ORDER BY term")),
 
+    // Token-length histogram: corpus length distribution in buckets of 10
+    // tokens (the diagnostic behind truncation/packing decisions).
+    Q("q_text_length_hist",
+      (s, d) => Tables.documents(s, d)
+        .select((size(TextAnalysis.tokens(col("text"))) / 10).cast("long")
+          .as("bucket_10toks"))
+        .groupBy("bucket_10toks").agg(count(lit(1)).as("n_docs"))
+        .orderBy("bucket_10toks"),
+      Some("SELECT CAST(floor(len(" + toksSql + ") / 10.0) AS BIGINT) " +
+        "AS bucket_10toks, count(*) AS n_docs FROM documents " +
+        "GROUP BY 1 ORDER BY 1")),
+
     // Exact dedup over documents ∪ (re-keyed) documents so duplicate groups
     // actually exist in the corpus.
     Q("q_dedup_exact",

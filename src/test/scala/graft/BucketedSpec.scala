@@ -52,6 +52,33 @@ class BucketedSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed shuffle join at runtime") {
+    // one key holds ~all the left side — the shape that stalls a static
+    // plan on one straggler task. With skew-join thresholds scaled to the
+    // fixture, AQE must mark the sort-merge join skew=true and split the
+    // hot partition, which is the engine's built-in answer to data skew
+    // at 100 TB (salting is reserved for skewed AGGREGATES, which AQE
+    // does not rewrite).
+    val left = spark.range(200000).select(
+      when($"id" % 2 === 0, 0L).otherwise($"id" % 100).as("k"),
+      $"id".as("payload"))
+    val right = spark.range(100).select($"id".as("k"), lit("dim").as("name"))
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      val joined = left.join(right, "k")
+      // execute THIS frame (count() would build a separate plan instance
+      // and leave this one's adaptive plan unfinalized)
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must split the skewed partition:\n${plan.take(2000)}")
+    }
+  }
+
   test("compaction rewrites a fragmented directory to the target file count") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
     try {

@@ -29,6 +29,13 @@ object Sampling {
     * hash. `splits` are (name, weight) pairs; each split owns a contiguous
     * range of `weight` buckets out of `sum(weights)`, in declaration order.
     * Output: input columns + (bucket, split).
+    *
+    * NULL text has no content to key on, so both `bucket` and `split` come
+    * back NULL — explicitly, via the leading guard. Without it the NULL
+    * bucket would fail every `bucket < cut` comparison and the row would
+    * silently land in the LAST split (usually "test", the worst place for
+    * an undetected junk row). Callers that want null docs gone entirely
+    * should filter on `split IS NOT NULL` (or on the text column upstream).
     */
   def hashSplit(docs: DataFrame, splits: Seq[(String, Int)],
       textCol: String = "text"): DataFrame = {
@@ -39,7 +46,9 @@ object Sampling {
     val assign = splits.zip(cuts).init.foldRight(lit(splits.last._1)) {
       case (((name, _), cut), rest) => when(col("bucket") < cut, name).otherwise(rest)
     }
-    docs.withColumn("bucket", bucket).withColumn("split", assign)
+    docs.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket").isNull, lit(null: String)).otherwise(assign))
   }
 
   /** Deterministic stratified sampling: keep a row iff its content-hash
@@ -47,7 +56,10 @@ object Sampling {
     * stratum value to a keep-fraction in [0, 1]; strata absent from the map
     * are dropped. The per-stratum keep decision is content-keyed exactly
     * like [[hashSplit]], so the sampled corpus is reproducible and
-    * duplicate-consistent.
+    * duplicate-consistent. NULL text yields a NULL bucket, which fails the
+    * `<` predicate and is dropped — for a keep-or-drop sample that is the
+    * correct explicit arm (unlike hashSplit, where every row must land
+    * somewhere nameable).
     */
   def stratifiedSample(docs: DataFrame, stratum: Column,
       rates: Map[String, Double], textCol: String = "text"): DataFrame = {

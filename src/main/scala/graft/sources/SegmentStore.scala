@@ -57,22 +57,55 @@ final class SegmentStore(spark: SparkSession, warehouse: String) {
     * copy-based — pair with a manifest commit protocol there.
     */
   def replace(ruleId: Long, df: DataFrame): Long = {
-    val target = path(ruleId)
-    val (fsys, tgt) = fs(target)
-    val staging = new org.apache.hadoop.fs.Path(s"${target}__staging")
-    val old = new org.apache.hadoop.fs.Path(s"${target}__old")
     val aligned = df.select(Schemas.segmentOutput.fields.map(f =>
       col(f.name).cast(f.dataType)).toSeq: _*)
     val obs = org.apache.spark.sql.Observation(
       s"seg_replace_${ruleId}_${System.nanoTime()}")
-    aligned.observe(obs, count(lit(1)).as("n"))
-      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    fsys.delete(old, true) // leftover from a previous crash, superseded
+    swapIn(path(ruleId)) { staging =>
+      aligned.observe(obs, count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite).parquet(staging)
+    }
+    obs.get("n").asInstanceOf[Long]
+  }
+
+  /** Staging + two-rename swap shared by `replace` and `saveCatalog`:
+    * `writeStaging` materializes the new content beside the target, then the
+    * old data is moved aside and the staging directory renamed in. At no
+    * point is the target's previous state deleted before its replacement is
+    * fully written, so a crash at any step leaves a recoverable directory
+    * (see `recoverSwap` for the read-side repair of the mid-swap window).
+    */
+  private def swapIn(target: String)(writeStaging: String => Unit): Unit = {
+    val (fsys, tgt) = fs(target)
+    val staging = new org.apache.hadoop.fs.Path(s"${target}__staging")
+    val old = new org.apache.hadoop.fs.Path(s"${target}__old")
+    fsys.delete(staging, true) // leftover from a previous crash, superseded
+    writeStaging(staging.toString)
+    fsys.delete(old, true)
     if (fsys.exists(tgt))
       require(fsys.rename(tgt, old), s"rename $tgt -> $old failed")
     require(fsys.rename(staging, tgt), s"rename $staging -> $tgt failed")
     fsys.delete(old, true)
-    obs.get("n").asInstanceOf[Long]
+  }
+
+  /** Repair the target of an interrupted `swapIn`. Only the window between
+    * the two renames leaves the target missing; recovery rolls FORWARD to
+    * the fully-written staging copy when its `_SUCCESS` commit marker is
+    * present, else rolls BACK to the preserved previous state. A no-op
+    * whenever the target exists.
+    */
+  private def recoverSwap(target: String): Unit = {
+    val (fsys, tgt) = fs(target)
+    if (fsys.exists(tgt)) return
+    val staging = new org.apache.hadoop.fs.Path(s"${target}__staging")
+    val old = new org.apache.hadoop.fs.Path(s"${target}__old")
+    if (fsys.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
+      require(fsys.rename(staging, tgt), s"recovery rename $staging -> $tgt failed")
+      fsys.delete(old, true)
+    } else if (fsys.exists(old)) {
+      require(fsys.rename(old, tgt), s"recovery rename $old -> $tgt failed")
+      fsys.delete(staging, true)
+    }
   }
 
   /** Empty-segment sink: canonical 4-col schema, zero rows (S6/Q9). */
@@ -96,18 +129,74 @@ final class SegmentStore(spark: SparkSession, warehouse: String) {
   }
 
   // ---- catalog --------------------------------------------------------------
+  //
+  // The catalog is the control plane's only source of truth (the reference
+  // gets crash-safety for free from SQLite's transactionality,
+  // backend/app/models/rule_engine.py:45-95). Here:
+  //  - every save goes through the same staging + two-rename swap as segment
+  //    data, so no crash window deletes the previous catalog before its
+  //    replacement is durable, and loadCatalog self-heals the mid-swap state;
+  //  - read-modify-write mutators serialize through a create-exclusive lock
+  //    file (atomic on HDFS and local FS; on object stores without atomic
+  //    create-no-overwrite, e.g. raw S3, deploy with a single catalog writer
+  //    instead — the data plane is unaffected either way).
 
   private val catalogPath = s"$warehouse/_catalog"
 
-  def saveCatalog(entries: Seq[SegmentCatalogEntry]): Unit = {
+  def saveCatalog(entries: Seq[SegmentCatalogEntry]): Unit =
+    withCatalogLock(saveCatalogLocked(entries))
+
+  private def saveCatalogLocked(entries: Seq[SegmentCatalogEntry]): Unit = {
     import spark.implicits._
-    entries.map(e => FlatEntry(
+    val ds = entries.map(e => FlatEntry(
       e.ruleId, e.segmentName, e.tableName,
       ConditionCodec.encodeAll(e.conditions),
       e.dependsOn, e.operation.getOrElse(""),
       e.rowCount, e.lastRefreshedAt.getOrElse(""),
-      e.schedule, e.isActive, e.nextRunAt.getOrElse("")))
-      .toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(catalogPath)
+      e.schedule, e.isActive, e.nextRunAt.getOrElse(""))).toDS()
+    swapIn(catalogPath) { staging =>
+      ds.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging)
+    }
+  }
+
+  /** Serialize catalog mutations across processes. Acquisition is an atomic
+    * create-no-overwrite of `_catalog.lock`; a lock older than
+    * `staleLockMs` is presumed abandoned by a crashed writer and broken
+    * (the swap itself is crash-safe, so breaking a dead writer's lock never
+    * observes a torn catalog).
+    */
+  private def withCatalogLock[A](body: => A): A =
+    // Two layers: threads inside one driver JVM serialize on a per-warehouse
+    // monitor (Hadoop's LocalFileSystem create-exclusive is check-then-create,
+    // not atomic, so the file alone can't exclude same-process threads);
+    // separate driver processes serialize on the lock file, whose exclusive
+    // create IS atomic on HDFS namenodes and POSIX local mounts.
+    SegmentStore.jvmLock(warehouse).synchronized(withCatalogFileLock(body))
+
+  private def withCatalogFileLock[A](body: => A): A = {
+    val (fsys, lock) = fs(s"$warehouse/_catalog.lock")
+    val staleLockMs = 10 * 60 * 1000L
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    var acquired = false
+    while (!acquired) {
+      try {
+        val out = fsys.create(lock, false) // false = fail if it already exists
+        try out.writeBytes(s"pid=${ProcessHandle.current().pid()}\n")
+        finally out.close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          val age = try {
+            System.currentTimeMillis() - fsys.getFileStatus(lock).getModificationTime
+          } catch { case _: java.io.FileNotFoundException => 0L } // holder just released
+          if (age > staleLockMs) fsys.delete(lock, false)
+          else if (System.nanoTime() > deadline)
+            throw new IllegalStateException(
+              s"catalog lock $lock held for over 60s — concurrent writer stuck?")
+          else Thread.sleep(50)
+      }
+    }
+    try body finally fsys.delete(lock, false)
   }
 
   /** Columns added to the catalog after its first release, with the value
@@ -120,6 +209,7 @@ final class SegmentStore(spark: SparkSession, warehouse: String) {
 
   def loadCatalog(): Seq[SegmentCatalogEntry] = {
     import spark.implicits._
+    recoverSwap(catalogPath) // self-heal an interrupted save (mid-swap crash)
     val (f, p) = fs(catalogPath)
     if (!f.exists(p)) Nil
     else catalogDefaults.foldLeft(spark.read.parquet(catalogPath)) {
@@ -140,13 +230,19 @@ final class SegmentStore(spark: SparkSession, warehouse: String) {
     updateCatalog(ruleId)(_.copy(
       rowCount = rowCount, lastRefreshedAt = Some(refreshedAt)))
 
-  /** Point update of one catalog row (schedule re-arm, activation flips). */
+  /** Point update of one catalog row (schedule re-arm, activation flips).
+    * The lock spans the whole read-modify-write — without it, two
+    * concurrent runners each read the same snapshot and the second save
+    * silently drops the first one's update.
+    */
   def updateCatalog(ruleId: Long)(f: SegmentCatalogEntry => SegmentCatalogEntry): Unit =
-    saveCatalog(loadCatalog().map(e => if (e.ruleId == ruleId) f(e) else e))
+    withCatalogLock(saveCatalogLocked(
+      loadCatalog().map(e => if (e.ruleId == ruleId) f(e) else e)))
 
   /** Drop a rule's catalog row (rule DELETE). */
   def removeFromCatalog(ruleId: Long): Unit =
-    saveCatalog(loadCatalog().filterNot(_.ruleId == ruleId))
+    withCatalogLock(saveCatalogLocked(
+      loadCatalog().filterNot(_.ruleId == ruleId)))
 
   /** Lineage DAG for a rule: nodes + edges via recursive parent walk with a
     * cycle guard (reference: backend/app/api/segments.py:127-157, R6).
@@ -166,6 +262,13 @@ final class SegmentStore(spark: SparkSession, warehouse: String) {
     walk(ruleId)
     (nodes.result(), edges.result())
   }
+}
+
+object SegmentStore {
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def jvmLock(warehouse: String): Object =
+    jvmLocks.computeIfAbsent(warehouse, _ => new Object)
 }
 
 /** Catalog row flattened for parquet; conditions round-trip through a

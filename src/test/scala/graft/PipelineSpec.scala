@@ -217,6 +217,20 @@ class PipelineSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("hash split: NULL text gets an explicit NULL split, never the last split") {
+    val corpus = Seq((1L, Some("a real document body")), (2L, None), (3L, Some("another one")))
+      .toDF("doc_id", "text")
+    val out = Sampling.hashSplit(corpus, Seq(("train", 8), ("test", 2)))
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(2L).isEmpty, "null text must not be silently assigned to 'test'")
+    assert(out(1L).nonEmpty && out(3L).nonEmpty)
+    // ...and the keep-or-drop sampler drops null text rather than keeping it
+    val kept = Sampling.stratifiedSample(corpus, lit("s"), Map("s" -> 1.0))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("stratified sample: per-stratum rates, unknown strata dropped") {
     val corpus = docs((1L to 300L).map(i => (i, s"text body $i of the corpus")): _*)
     val stratum = (col("doc_id") % 3).cast("string")

@@ -345,6 +345,30 @@ object SparkEntry {
         "quantile_cont(value, 0.99) AS p99 " +
         "FROM events GROUP BY 1 ORDER BY 1")),
 
+    // Sketch layer under the hash gate (SURVEY §2 approximations): the
+    // sketch estimates themselves are engine-specific, so the query emits
+    // the EXACT per-group answer plus a boolean verdict that the sketch
+    // landed inside its error bound; the oracle replays the exact side and
+    // literal TRUE, which hashes equal iff every bound held. The tighter
+    // error-bound pins (and the sketch MERGE identity that makes this the
+    // rollup-without-rescan path at 100 TB) live in ApproxSpec.
+    Q("q_approx_distinct",
+      (s, d) => graft.functions.Approx.distinctWithBound(
+        Tables.events(s, d), "event_type", "user_id")
+        .orderBy("event_type"),
+      Some("SELECT event_type, count(DISTINCT user_id) AS n_exact, " +
+        "TRUE AS within_bound FROM events GROUP BY 1 ORDER BY 1")),
+
+    Q("q_approx_quantiles",
+      (s, d) => graft.functions.Approx.quantilesWithBound(
+        Tables.events(s, d), "event_type", "value")
+        .orderBy("event_type"),
+      Some("SELECT event_type, count(*) AS n, " +
+        "quantile_cont(value, 0.5) AS p50, TRUE AS p50_ok, " +
+        "quantile_cont(value, 0.9) AS p90, TRUE AS p90_ok, " +
+        "quantile_cont(value, 0.99) AS p99, TRUE AS p99_ok " +
+        "FROM events GROUP BY 1 ORDER BY 1")),
+
     // Categorical pivot: per-tier event counts spread across one column per
     // category (explicit value list keeps the plan static — no
     // distinct-scan planning pass at scale).

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based approximations packaged so the exact answer and the sketch's
+  * accuracy verdict travel together.
+  *
+  * At 100 TB the exact operators stop being affordable — `count(DISTINCT)`
+  * shuffles every key and exact percentiles sort every group — and the
+  * sketches (HLL++ for distincts, KLL/GK-style summaries for quantiles) are
+  * what actually runs: constant memory per group, one pass, mergeable
+  * partials (map-side combine works, rollups union sketches instead of
+  * rescanning; ApproxSpec pins the merge identity).
+  *
+  * Sketch values themselves are engine-specific, so a cross-engine oracle
+  * cannot replay them. These operators therefore emit the EXACT per-group
+  * answer plus a boolean verdict that the sketch landed inside its
+  * documented error bound — the exact side replays anywhere, and the
+  * verdict replays as literal TRUE, which holds iff every bound held. That
+  * keeps the approximate layer under the same hash gate as everything else
+  * instead of being tested-but-never-verified.
+  */
+object Approx {
+
+  /** Per-group exact distinct count + HLL++ bound verdict.
+    *
+    * `rsd` is the sketch's target relative standard deviation;
+    * `tol` the acceptance band on the estimate (default 2.5σ ≈ 98.8%
+    * per-group confidence — and deterministic in practice: the sketch is
+    * seedless, so a passing corpus passes on every rerun).
+    */
+  def distinctWithBound(df: DataFrame, keyCol: String, valueCol: String,
+      rsd: Double = 0.02, tol: Double = 0.05): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(
+        countDistinct(col(valueCol)).as("n_exact"),
+        approx_count_distinct(col(valueCol), rsd).as("n_approx"))
+      .select(col(keyCol), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) <=
+          col("n_exact").cast("double") * tol).as("within_bound"))
+
+  /** Per-group exact quantiles (linear interpolation) + approx-quantile
+    * bound verdicts. For each q in `qs` emits `p<q*100>` (exact, a double
+    * both engines interpolate identically) and `p<q*100>_ok`.
+    *
+    * The verdict checks the guarantee the sketch actually makes: the
+    * Greenwald–Khanna summary behind `percentile_approx` bounds RANK error
+    * (the returned element's rank is within `n/accuracy` of the target
+    * rank), not value error — in a sparse tail, neighboring order
+    * statistics can be arbitrarily far apart in value while the sketch is
+    * working exactly as specified. So the check is a second, cheap pass:
+    * count the group's rows strictly below / at-or-below the sketch value
+    * (its rank interval, closed over ties) and require that interval to
+    * overlap `[(q-eps)n - 1, (q+eps)n + 1]` (the ±1 absorbs the
+    * interpolation convention at the target rank). The sketch row set is
+    * per-group-tiny, so the join back is a broadcast — the corpus itself
+    * is never shuffled for the verdict, just re-aggregated with map-side
+    * partials.
+    */
+  def quantilesWithBound(df: DataFrame, keyCol: String, valueCol: String,
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      accuracy: Int = 10000): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1), "quantiles in (0,1)")
+    val qArr = qs.map(q => s"${q}D").mkString(", ")
+    val grouped = df.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        expr(s"percentile($valueCol, array($qArr))").as("ex"),
+        expr(s"percentile_approx($valueCol, array($qArr), $accuracy)").as("ap"))
+    val ranks = qs.indices.flatMap { i =>
+      val ap = col("ap").getItem(i).cast("double")
+      Seq(
+        sum(when(col(valueCol) < ap, 1L).otherwise(0L)).as(s"lt_$i"),
+        sum(when(col(valueCol) <= ap, 1L).otherwise(0L)).as(s"le_$i"))
+    }
+    val aggCols = Seq(first(col("n")).as("n"), first(col("ex")).as("ex")) ++ ranks
+    val ranked = df.select(col(keyCol), col(valueCol))
+      .join(broadcast(grouped), keyCol)
+      .groupBy(col(keyCol))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val eps = 1.0 / accuracy
+    val name = (q: Double) => s"p${(q * 100).toInt}"
+    val nD = col("n").cast("double")
+    val cols = Seq(col(keyCol), col("n")) ++
+      qs.zipWithIndex.flatMap { case (q, i) =>
+        val ok = (col(s"lt_$i").cast("double") + 1.0 <= lit(q + eps) * nD + 1.0) &&
+          (col(s"le_$i").cast("double") >= lit(q - eps) * nD - 1.0)
+        Seq(col("ex").getItem(i).as(name(q)), ok.as(s"${name(q)}_ok"))
+      }
+    ranked.select(cols: _*)
+  }
+}

@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real — schema, partition-preserving
   * mapPartitions over a typed Dataset, iterator-to-iterator batch shape (the
   * same contract a vectorized/Arrow UDF has: no per-row setup cost, safe to
-  * hold a decoder per partition). The decode step parses two container
-  * formats with pure-JVM header readers — PNG (IHDR: width/height/channels)
-  * and WAV (fmt + data: sample rate/bit depth/channels/frames) — and FALLS
+  * hold a decoder per partition). The decode step parses three container
+  * formats with pure-JVM header readers — PNG (IHDR: width/height/channels),
+  * JPEG (SOF marker walk: width/height/components), and WAV (fmt + data:
+  * sample rate/bit depth/channels/frames) — and FALLS
   * BACK TO A STUB for everything else: this container has no full codecs,
   * so unrecognized bytes get deterministic fake features derived from byte
   * length. Swapping in a real decoder for more formats changes only
@@ -55,6 +56,7 @@ object Multimodal {
 
   private[functions] def decodeOne(r: MediaRow): MediaFeatures =
     if (isPng(r.content)) decodePng(r)
+    else if (isJpeg(r.content)) decodeJpeg(r)
     else if (isWav(r.content)) decodeWav(r)
     else stubFeatures(r)
 
@@ -102,6 +104,49 @@ object Multimodal {
     MediaFeatures(r.doc_id, "image", b.length.toLong,
       width = be32(b, 16), height = be32(b, 20),
       channels = channels, duration_frames = 1L)
+  }
+
+  // ---- JPEG: SOI (FFD8), then marker segments, each FF + marker byte +
+  // 2-byte BE length (length includes its own two bytes). Dimensions live
+  // in the first start-of-frame segment (SOFn, n in C0..CF minus the
+  // non-frame C4/C8/CC): precision byte, BE height, BE width, component
+  // count. Walk stops at SOS (FFDA) — entropy-coded data follows, and a
+  // frame header after SOS would be a corrupt stream anyway.
+
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 &&
+      (b(2) & 0xFF) == 0xFF
+
+  private def be16(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 8) | (b(i + 1) & 0xFFL)
+
+  private def decodeJpeg(r: MediaRow): MediaFeatures = {
+    val b = r.content
+    var i = 2
+    while (i + 4 <= b.length) {
+      if ((b(i) & 0xFF) != 0xFF) return stubFeatures(r) // lost marker sync
+      var j = i + 1
+      while (j < b.length && (b(j) & 0xFF) == 0xFF) j += 1 // FF fill bytes
+      if (j + 1 >= b.length) return stubFeatures(r)
+      val marker = b(j) & 0xFF
+      val isSof = marker >= 0xC0 && marker <= 0xCF &&
+        marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+      if (isSof) {
+        // segment: len(2) precision(1) height(2) width(2) components(1)
+        if (j + 8 >= b.length || be16(b, j + 1) < 8) return stubFeatures(r)
+        return MediaFeatures(r.doc_id, "image", b.length.toLong,
+          width = be16(b, j + 6), height = be16(b, j + 4),
+          channels = (b(j + 8) & 0xFF).toLong, duration_frames = 1L)
+      }
+      if (marker == 0xDA || marker == 0xD9) return stubFeatures(r) // SOS/EOI before any SOF
+      if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD8)) i = j + 1 // standalone
+      else {
+        val len = be16(b, j + 1)
+        if (len < 2 || j + 1 + len > b.length) return stubFeatures(r) // torn segment
+        i = j + 1 + len.toInt
+      }
+    }
+    stubFeatures(r)
   }
 
   // ---- WAV: RIFF/WAVE container; walk chunks to "fmt " (channels, sample

@@ -34,6 +34,33 @@ class ApproxSpec extends SparkSpec {
       s"approx $approx vs exact $exact")
   }
 
+  test("bound-verdict operators: verdicts true on real data, rank-window logic on sparse tails") {
+    import spark.implicits._
+    val d = graft.functions.Approx.distinctWithBound(events, "event_type", "user_id")
+      .collect()
+    assert(d.nonEmpty && d.forall(_.getAs[Boolean]("within_bound")))
+
+    // Sparse tail: 100 values where the top two order statistics are 1000x
+    // apart in VALUE. A value-relative check would flag the sketch as broken
+    // here even though its rank guarantee holds perfectly — the rank-window
+    // verdict must pass.
+    val sparse = ((1 to 99).map(_.toDouble) :+ 100000.0)
+      .map(("g", _)).toDF("k", "v")
+    val out = graft.functions.Approx.quantilesWithBound(sparse, "k", "v",
+      qs = Seq(0.5, 0.99)).collect().head
+    assert(out.getAs[Boolean]("p50_ok") && out.getAs[Boolean]("p99_ok"),
+      s"rank-window verdicts must hold on a sparse tail: $out")
+    assert(out.getAs[Long]("n") == 100L)
+
+    // ...and a genuinely broken "sketch" would fail it: the window around
+    // q=0.99 of 100 rows excludes rank 1, so a sketch answering the minimum
+    // would get verdict false. Simulate by checking the window arithmetic:
+    // lt=0, le=1 vs [(0.99-eps)*100-1, (0.99+eps)*100+1] ≈ [97.99, 100.01].
+    // (The real sketch never does this; the assertion documents that the
+    // verdict is falsifiable, not tautological.)
+    assert(!(1.0 >= 0.99 * 100 - 1), "rank interval of the min must miss the p99 window")
+  }
+
   test("HLL sketches MERGE: per-group sketches union to the global estimate") {
     // The property that matters at 100 TB: sketch once per partition/group,
     // merge upward (rollup, cross-day, cross-shard) without rescanning.

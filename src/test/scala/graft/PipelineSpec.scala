@@ -300,11 +300,27 @@ class PipelineSpec extends SparkSpec {
     evil.put("junk".getBytes).putInt(0xFFFFFFF8) // -8 as signed int
     evil.put(new Array[Byte](24))
 
+    // a REAL jpeg: ImageIO-encoded 17×9 RGB (baseline JFIF ⇒ SOF0, 3
+    // components, APP0 + quant/huffman segments before the frame header —
+    // the marker walk has to skip them all)
+    val jimg = new java.awt.image.BufferedImage(
+      17, 9, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(jimg, "jpg", jbos)
+    val jpeg = jbos.toByteArray
+
+    // corrupt JPEG: valid SOI + APP0 marker whose declared length runs past
+    // the end of the blob — must bail to the stub, not index out of bounds
+    val evilJpeg = Array(0xFF, 0xD8, 0xFF, 0xE0, 0x7F, 0xFF, 0x00, 0x00)
+      .map(_.toByte)
+
     val ds = Seq(
       Multimodal.MediaRow(1L, "image", png),
       Multimodal.MediaRow(2L, "audio", wav.array()),
       Multimodal.MediaRow(3L, "video", "not a container".getBytes),
-      Multimodal.MediaRow(4L, "audio", evil.array())).toDS()
+      Multimodal.MediaRow(4L, "audio", evil.array()),
+      Multimodal.MediaRow(5L, "image", jpeg),
+      Multimodal.MediaRow(6L, "image", evilJpeg)).toDS()
     val f = Multimodal.extractFeatures(ds).collect().map(x => x.doc_id -> x).toMap
 
     assert(f(1L).width == 3L && f(1L).height == 2L && f(1L).channels == 4L)
@@ -315,5 +331,9 @@ class PipelineSpec extends SparkSpec {
     assert(f(3L).width == "not a container".length % 640 + 1)
     // corrupt chunk size: stub fallback (width formula), no hang/crash
     assert(f(4L).width == 48L % 640 + 1 && f(4L).channels == 2L)
+    assert(f(5L).width == 17L && f(5L).height == 9L && f(5L).channels == 3L,
+      s"JPEG SOF walk: got ${f(5L)}")
+    assert(f(5L).duration_frames == 1L && f(5L).n_bytes == jpeg.length.toLong)
+    assert(f(6L).width == evilJpeg.length % 640 + 1, "torn JPEG segment must stub")
   }
 }

@@ -555,6 +555,51 @@ object SparkEntry {
   private def dotSql(a: String, b: String): String =
     foldSumSql(s"[$a[i] * $b[i] FOR i IN range(1, len($b) + 1)]")
 
+  /** DuckDB replay of [[graft.functions.Similarity.ivfTrainedTopK]]'s whole
+    * spherical-k-means fit + IVF search. Mirrors the Scala training loop
+    * step for step: sample = lowest `sampleSize` vec_ids; init = first
+    * `centroids` of those; per round, assign by best fold-left dot (ties →
+    * lowest cid) then remean (members folded in vec_id order) and
+    * L2-renormalize, empty/zero-norm cells keeping the previous centroid;
+    * finally assign the corpus, probe each query's `nprobe` best cells, and
+    * rank exact scores.
+    */
+  private def ivfTrainedOracle(dim: Int, sampleSize: Int, centroids: Int,
+      iters: Int, nprobe: Int, topk: Int): String = {
+    val meanElem = foldSumSql("list_transform(vs, x -> x[i])")
+    val rounds = (1 to iters).map { it =>
+      s"a$it AS (SELECT vec_id, v, cid FROM (" +
+        "SELECT s.vec_id, s.v, c.cid, row_number() OVER (PARTITION BY s.vec_id " +
+        s"ORDER BY ${dotSql("s.v", "c.cv")} DESC, c.cid) AS rn " +
+        s"FROM samp s CROSS JOIN c${it - 1} c) WHERE rn = 1), " +
+        s"g$it AS (SELECT cid, list(v ORDER BY vec_id) AS vs FROM a$it GROUP BY cid), " +
+        s"m$it AS (SELECT cid, mv, sqrt(${foldSumSql("[x * x FOR x IN mv]")}) AS nrm " +
+        s"FROM (SELECT cid, [$meanElem / len(vs) FOR i IN range(1, ${dim + 1})] AS mv " +
+        s"FROM g$it)), " +
+        s"c$it AS (SELECT p.cid, CASE WHEN m.cid IS NULL OR m.nrm <= 0 THEN p.cv " +
+        "ELSE [x / m.nrm FOR x IN m.mv] END AS cv " +
+        s"FROM c${it - 1} p LEFT JOIN m$it m ON p.cid = m.cid)"
+    }.mkString(", ")
+    s"WITH $normEmbCte, " +
+      s"samp AS (SELECT vec_id, v FROM nv ORDER BY vec_id LIMIT $sampleSize), " +
+      "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv " +
+      s"FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT $centroids)), " +
+      s"$rounds, " +
+      "cass AS (SELECT vec_id, v, cid AS bucket FROM (" +
+      "SELECT nv.vec_id, nv.v, c.cid, row_number() OVER (PARTITION BY nv.vec_id " +
+      s"ORDER BY ${dotSql("nv.v", "c.cv")} DESC, c.cid) AS rn " +
+      s"FROM nv CROSS JOIN c$iters c) WHERE rn = 1), " +
+      "q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id % 100 = 0), " +
+      "qp AS (SELECT query_id, qv, cid AS bucket FROM (" +
+      "SELECT q.query_id, q.qv, c.cid, row_number() OVER (PARTITION BY q.query_id " +
+      s"ORDER BY ${dotSql("q.qv", "c.cv")} DESC, c.cid) AS rn " +
+      s"FROM q0 q CROSS JOIN c$iters c) WHERE rn <= $nprobe), " +
+      "sc AS (SELECT query_id, cass.vec_id AS neighbor_id, " +
+      s"${dotSql("qp.qv", "cass.v")} AS score " +
+      "FROM cass JOIN qp USING (bucket) WHERE cass.vec_id <> qp.query_id), " +
+      topKSql("sc", topk)
+  }
+
   /** Per-query exact top-k ranking shared by the brute/IVF ANN oracles. */
   private def topKSql(scoredCte: String, k: Int): String =
     s"r AS (SELECT *, row_number() OVER (PARTITION BY query_id " +
@@ -893,6 +938,20 @@ object SparkEntry {
         s"${dotSql("qv", "c.v")} AS score " +
         "FROM c JOIN q USING (bucket) WHERE c.vec_id <> q.query_id), " +
         topKSql("sc", 10))),
+
+    // IVF with the TRAINED coarse quantizer (spherical k-means on the 256
+    // lowest vec_ids, 2 Lloyd rounds, 8 centroids, 3 probes). The oracle
+    // replays the ENTIRE fit — init, tie-broken assignment, fold-ordered
+    // means, renormalization — so a single drifted double anywhere in
+    // training would flip an assignment and fail the hash.
+    Q("q_sim_topk_ivf_trained",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTrainedTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfTrainedOracle(dim = 64, sampleSize = 256, centroids = 8,
+        iters = 2, nprobe = 3, topk = 10))),
 
     Q("q_multimodal_features",
       (s, d) => Multimodal.extractFeatures(

@@ -70,17 +70,56 @@ object Stress {
       f"rows=${nHot + nRest} time=$secs%.1fs")
   }
 
-  /** IVF multi-probe recall@10 against exact brute-force on the corpus. */
+  /** Deterministic clustered corpus (the realistic LLM-embedding shape:
+    * documents group around topics): `nClusters` pseudo-random base
+    * directions, `perCluster` jittered members each. No RNG — components
+    * are sin() of integer phases, so reruns are identical.
+    */
+  private def structuredEmbeddings(spark: SparkSession,
+      nClusters: Int, perCluster: Int, dim: Int): org.apache.spark.sql.DataFrame =
+    spark.range(nClusters.toLong * perCluster).select(
+      col("id").as("vec_id"),
+      expr(s"transform(sequence(0, ${dim - 1}), " +
+        s"j -> sin((id div $perCluster) * 131.7D + j * 17.3D) " +
+        s"+ 0.1D * sin(id * 37.9D + j * 5.1D))")
+        .cast("array<float>").as("embedding"))
+
+  /** IVF recall@10 against exact brute-force — both coarse quantizers
+    * (sign-bit and trained k-means), on both corpus shapes (the sfDir's
+    * uniform-random vectors and a clustered one), with the probe cost each
+    * configuration pays (fraction of the corpus scored per query) so
+    * recall is never quoted without its price.
+    */
   private def recall(spark: SparkSession, dir: String): Unit = {
-    val emb = sources.Tables.embeddings(spark, dir)
-    val queries = emb.filter(col("vec_id") % 100 === 0)
-    val exact = Similarity.bruteForceTopK(emb, queries, 10)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = Similarity.ivfTopK(emb, queries, 10)
-      .select(col("query_id"), col("neighbor_id"))
-    val nExact = exact.count()
-    val hit = exact.intersect(approx).count()
-    println(f"[stress] recall@10=${hit.toDouble / nExact}%.3f " +
-      s"(hits=$hit of $nExact exact neighbor slots)")
+    def measure(tag: String, emb: org.apache.spark.sql.DataFrame,
+        configs: Seq[(Int, Int)]): Unit = {
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      val n = emb.count().toDouble
+      val nQ = queries.count().toDouble
+      val exact = Similarity.bruteForceTopK(emb, queries, 10)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+      val nExact = exact.count()
+
+      def report(name: String, approx: org.apache.spark.sql.DataFrame,
+          candidates: Double): Unit = {
+        val hit = exact.intersect(approx.select(col("query_id"), col("neighbor_id"))).count()
+        println(f"[stress] $tag $name recall@10=${hit.toDouble / nExact}%.3f " +
+          f"(hits=$hit of $nExact) probeCost=${candidates / (nQ * n)}%.3f of brute")
+      }
+
+      report("sign-bit", Similarity.ivfTopK(emb, queries, 10), nQ * 3.0 * n / 256.0)
+      for ((k, nprobe) <- configs)
+        report(s"kmeans($k,p$nprobe)",
+          Similarity.ivfTrainedTopK(emb, queries, 10, centroids = k,
+            nprobe = nprobe, sampleSize = 512, iters = 3),
+          nQ * nprobe * n / k)
+    }
+
+    measure("random", sources.Tables.embeddings(spark, dir),
+      Seq((8, 2), (8, 3), (8, 4), (8, 5), (16, 8), (32, 16)))
+    measure("clustered",
+      structuredEmbeddings(spark, nClusters = 2000, perCluster = 10, dim = 64)
+        .localCheckpoint(true),
+      Seq((8, 1), (8, 2), (16, 2), (32, 2), (32, 4), (64, 4)))
   }
 }

@@ -80,6 +80,126 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** IVF with a TRAINED coarse quantizer: spherical k-means centroids fit
+    * on a deterministic corpus sample, then the classic IVF shape — every
+    * corpus vector is assigned to its best centroid as a scan-side
+    * projection (no join, no shuffle: the centroid table is a few KB of
+    * literals baked into the plan), queries probe their `nprobe` best
+    * centroids, and only those cells are scored.
+    *
+    * This is the standard fix for [[ivfTopK]]'s documented weakness: sign
+    * buckets mirror data structure, so on an unstructured corpus they have
+    * ~0 recall at any useful probe cost (SCALE.md measured 0.030), while
+    * k-means cells always partition the data into balanced,
+    * centroid-ranked regions — recall then degrades gracefully with
+    * `nprobe/centroids` (the scanned corpus fraction) instead of
+    * collapsing. Sign-bit IVF remains the zero-training fallback.
+    *
+    * Everything is deterministic and engine-replayable: the sample is the
+    * `sampleSize` lowest vec_ids, init centroids are the first `centroids`
+    * of those, Lloyd assignment breaks ties toward the lowest centroid id,
+    * means fold members in vec_id order, and each mean is L2-renormalized
+    * (empty or zero-norm cells keep their previous centroid). The DuckDB
+    * oracle replays the whole fit bit-for-bit with fold-left list_reduce
+    * arithmetic.
+    *
+    * Training cost is deliberately driver-side: `sampleSize` vectors
+    * (bounded, default 256 × 64 doubles ≈ 128 KB) and a few Lloyd rounds
+    * over k·sample dots — microseconds next to one corpus scan, with no
+    * iterative Spark jobs and a guaranteed fold order. At 100 TB nothing
+    * changes: the sample read is pushed-down `ORDER BY vec_id LIMIT n`,
+    * and the expensive stages (assignment, scoring) stay distributed.
+    */
+  def ivfTrainedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Int = 8, nprobe: Int = 3,
+      sampleSize: Int = 256, iters: Int = 2): DataFrame = {
+    val c = normalized(corpus)
+    val cents = trainCentroids(c, centroids, sampleSize, iters)
+    val centLits = cents.map(v => array(v.map(lit).toIndexedSeq: _*))
+    def scoresOf(v: Column): Column =
+      array(centLits.map(cv => dot(v, cv)).toIndexedSeq: _*)
+
+    // corpus side: argmax over the literal centroid scores — a projection,
+    // evaluated inside the scan stage (ties go to the first/lowest cid,
+    // matching the training rule)
+    val assigned = c.withColumn("scores", scoresOf(col("v")))
+      .withColumn("bucket",
+        (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
+      .drop("scores")
+
+    // query side: top-nprobe centroids per query (query set is small; the
+    // window shuffle is on the tiny side only)
+    val qw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("cid"))
+    val probes = normalized(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        posexplode(scoresOf(col("v"))).as(Seq("cid", "cscore")))
+      .withColumn("rn", row_number().over(qw))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid").as("bucket"))
+
+    val scored = assigned.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("qv"), col("v")).as("score"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Spherical k-means on the `sampleSize` lowest vec_ids of the normalized
+    * corpus. Deterministic by construction — no RNG, fixed iteration count,
+    * fold-left arithmetic in pinned orders (see [[ivfTrainedTopK]]).
+    */
+  private[functions] def trainCentroids(nv: DataFrame, k: Int,
+      sampleSize: Int, iters: Int): Array[Array[Double]] = {
+    val sample = nv.orderBy("vec_id").limit(sampleSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Double]]("v").toArray))
+      .sortBy(_._1)
+    require(sample.length >= k,
+      s"corpus sample ${sample.length} smaller than centroid count $k")
+
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+
+    var cents = sample.take(k).map(_._2)
+    for (_ <- 1 to iters) {
+      // assignment: best dot, ties to the lowest cid
+      val assign = sample.map { case (_, v) =>
+        var best = 0; var bestScore = dotD(v, cents(0))
+        var cid = 1
+        while (cid < k) {
+          val s = dotD(v, cents(cid))
+          if (s > bestScore) { best = cid; bestScore = s }
+          cid += 1
+        }
+        best
+      }
+      cents = Array.tabulate(k) { cid =>
+        val members = sample.indices.filter(assign(_) == cid).map(i => sample(i)._2)
+        if (members.isEmpty) cents(cid)
+        else {
+          val dim = cents(cid).length
+          // element-wise mean, folding members in vec_id order
+          val mean = Array.tabulate(dim) { i =>
+            var acc = 0.0
+            members.foreach(v => acc += v(i))
+            acc / members.length
+          }
+          var ss = 0.0
+          var i = 0
+          while (i < dim) { ss += mean(i) * mean(i); i += 1 }
+          val nrm = math.sqrt(ss)
+          if (nrm > 0) mean.map(_ / nrm) else cents(cid)
+        }
+      }
+    }
+    cents
+  }
+
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))

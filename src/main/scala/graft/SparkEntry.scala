@@ -472,6 +472,44 @@ object SparkEntry {
         s"count(*) AS n_events, ${dSum("value")} AS total_value " +
         "FROM s GROUP BY 1, 2 ORDER BY user_id, session_id")),
 
+    // Rollup SERVING under the hash gate: materialize the windowed rollup
+    // into a scratch warehouse, register it, and answer the 14-day request
+    // through the planner rewrite — the served plan reads only the rollup
+    // parquet, while the oracle computes from RAW events. Hash equality is
+    // the proof that serving substitutes plans, not approximations.
+    Q("q_rollup_served",
+      (s, d) => {
+        val whDir = java.nio.file.Files.createTempDirectory("graft_verify_rollup")
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          scala.util.Try {
+            java.nio.file.Files.walk(whDir)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          }))
+        val store = new graft.sources.SegmentStore(s, whDir.toString)
+        graft.plans.RollupServing.materialize(
+          store, Tables.transactions(s, d), Seq(7, 14, 30))
+        graft.plans.RollupServing.userWindowTotals(
+          s, store.loadRollups(),
+          Tables.transactions(s, d), periodDays = 14)
+          .orderBy("user_id")
+      },
+      Some("WITH a AS (SELECT CAST(max(ts) AS DATE) AS anchor FROM events), " +
+        "base AS (SELECT user_id, CAST(ts AS DATE) AS d, value, " +
+        s"event_type, $tierSql AS tier FROM events CROSS JOIN a " +
+        "WHERE CAST(ts AS DATE) >= a.anchor - 14), " +
+        "agg AS (SELECT user_id, count(*) AS total_transactions, " +
+        s"${dSum("value")} AS total_amount, max(d) AS last_transaction_date, " +
+        "max(tier) AS city_tier FROM base GROUP BY 1), " +
+        "fav AS (SELECT user_id, event_type AS favorite_category, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY count(*) DESC, event_type) AS rn " +
+        "FROM base GROUP BY user_id, event_type) " +
+        "SELECT agg.user_id, CAST(14 AS INT) AS period_days, total_transactions, " +
+        "total_amount, last_transaction_date, city_tier, favorite_category " +
+        "FROM agg JOIN fav ON agg.user_id = fav.user_id WHERE rn = 1 " +
+        "ORDER BY agg.user_id")),
+
     Q("q_rollup_user_windows",
       (s, d) => Rollups.userWindows(Tables.transactions(s, d), Seq(7, 14, 30))
         .orderBy("user_id", "period_days"),

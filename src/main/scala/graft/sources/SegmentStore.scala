@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions._
   */
 final class SegmentStore(spark: SparkSession, warehouse: String) {
 
+  /** Warehouse root — derived artifacts (rollups) live beside the segments. */
+  def warehousePath: String = warehouse
+
   private def path(ruleId: Long): String = s"$warehouse/segment_output_$ruleId"
 
   /** Hadoop FileSystem for a path — resolves per-URI (file://, hdfs://,
@@ -244,6 +247,39 @@ final class SegmentStore(spark: SparkSession, warehouse: String) {
     withCatalogLock(saveCatalogLocked(
       loadCatalog().filterNot(_.ruleId == ruleId)))
 
+  // ---- rollup registry -------------------------------------------------------
+  //
+  // Materialized rollups (Rollups.userWindows output) registered so the
+  // planner can SERVE window-scoped reads from them instead of rescanning
+  // raw events (the reference materializes aggregate tables for exactly
+  // this, backend/create_aggregates.py:19-104). Same crash-safe swap and
+  // lock discipline as the rule catalog.
+
+  private val rollupsPath = s"$warehouse/_rollups"
+
+  /** Register (or re-register) a materialized rollup under `name`. */
+  def registerRollup(name: String, path: String, periods: Seq[Int]): Unit =
+    withCatalogLock {
+      import spark.implicits._
+      val next = loadRollupsUnlocked().filterNot(_.name == name) :+
+        RollupEntry(name, path, periods)
+      val ds = next.toDS()
+      swapIn(rollupsPath) { staging =>
+        ds.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging)
+      }
+    }
+
+  def loadRollups(): Seq[RollupEntry] = loadRollupsUnlocked()
+
+  private def loadRollupsUnlocked(): Seq[RollupEntry] = {
+    import spark.implicits._
+    recoverSwap(rollupsPath)
+    val (f, p) = fs(rollupsPath)
+    if (!f.exists(p)) Nil
+    else spark.read.parquet(rollupsPath).as[RollupEntry].collect().toSeq
+      .sortBy(_.name)
+  }
+
   /** Lineage DAG for a rule: nodes + edges via recursive parent walk with a
     * cycle guard (reference: backend/app/api/segments.py:127-157, R6).
     */
@@ -270,6 +306,11 @@ object SegmentStore {
   private def jvmLock(warehouse: String): Object =
     jvmLocks.computeIfAbsent(warehouse, _ => new Object)
 }
+
+/** One registered rollup: where its parquet lives and which trailing
+  * windows (period_days values) it materializes.
+  */
+case class RollupEntry(name: String, path: String, periods: Seq[Int])
 
 /** Catalog row flattened for parquet; conditions round-trip through a
   * compact escaped encoding (ConditionCodec). Top-level so Spark can derive

@@ -109,6 +109,65 @@ class PlannerSpec extends SparkSpec {
     assert(edges.toSet == Set((1L, 4L), (3L, 4L), (1L, 3L)))
   }
 
+  test("rollup serving: registered window served from the rollup scan, others fall back") {
+    import graft.plans.RollupServing
+    import graft.operators.Rollups
+    import graft.sources.Tables
+    val dir = Files.createTempDirectory("graft_rollup_serve").toString
+    val store = new SegmentStore(spark, dir)
+    val tx = Tables.transactions(spark, sf)
+    RollupServing.materialize(store, tx, Seq(7, 14))
+    assert(store.loadRollups().map(_.periods) == Seq(Seq(7, 14)))
+
+    // the REWRITE: the served plan reads only the rollup parquet — no raw
+    // event scan, no JSON tier parse, no aggregation left to do
+    val served = RollupServing.userWindowTotals(spark, store.loadRollups(), tx, 14)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("rollup_user_windows"), s"must scan the rollup:\n$plan")
+    assert(!plan.contains("events") && !plan.contains("get_json_object"),
+      "served plan must not touch the raw event log")
+
+    // ...and serving is exact: bit-identical to computing from raw
+    val raw = Rollups.userWindows(tx, Seq(14))
+    assert(served.orderBy("user_id").collect().toSeq ==
+      raw.orderBy("user_id").collect().toSeq)
+
+    // an unmaterialized window falls back to the raw compute
+    val fb = RollupServing.userWindowTotals(spark, store.loadRollups(), tx, 21)
+    assert(fb.queryExecution.executedPlan.toString.contains("events"))
+    assert(fb.select("period_days").distinct().collect().map(_.getInt(0)).toSeq == Seq(21))
+  }
+
+  test("rollup serving: HAVING-only window rules served, WHERE rules refused") {
+    import graft.plans.RollupServing
+    import graft.operators.Rollups
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_rollup_rule").toString
+    val store = new SegmentStore(spark, dir)
+    val tx = Tables.transactions(spark, sf)
+    RollupServing.materialize(store, tx, Seq(14))
+
+    val conds = Seq(Condition("total_spend", ">", "500"),
+      Condition("transaction_count", ">=", "2"))
+    val seg = RollupServing.serveSegment(spark, store.loadRollups(), 14, conds)
+      .getOrElse(fail("HAVING-only conditions must be servable"))
+    val expected = Rollups.userWindows(tx, Seq(14))
+      .filter(col("total_amount") > 500.0 && col("total_transactions") >= 2L)
+      .select(col("user_id"), col("total_transactions"),
+        col("total_amount").as("total_spent"))
+    assert(seg.orderBy("user_id").collect().toSeq ==
+      expected.orderBy("user_id").collect().toSeq)
+    assert(seg.columns.toSeq == Seq("user_id", "total_transactions", "total_spent"))
+
+    // a WHERE-routed condition filters raw rows pre-aggregation — the
+    // rollup cannot serve it
+    assert(RollupServing.serveSegment(spark, store.loadRollups(), 14,
+      conds :+ Condition("transaction_amount", ">", "10")).isEmpty)
+    // unmaterialized window: refuse, caller takes the base path
+    assert(RollupServing.serveSegment(spark, store.loadRollups(), 21, conds).isEmpty)
+  }
+
   test("condition codec round-trips scalars, lists, value2") {
     val cs = Seq(cAmount, cDate, Condition.in("city_tier", Seq("1", "2")),
       Condition("transaction_amount", ">", ""))

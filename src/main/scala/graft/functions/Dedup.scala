@@ -296,60 +296,96 @@ object Dedup {
     * turns pairwise similarity into deduplication decisions (keep one doc
     * per cluster).
     *
-    * Min-label propagation to fixpoint: every node adopts the smallest
-    * label among itself and its neighbors, repeated until no label
-    * changes. Each round is one join + one aggregate (all distributed);
-    * the DRIVER only checks the convergence count — the standard
-    * iterative-fixpoint shape (GraphX/Pregel do the same), with rounds
-    * bounded by the component diameter, which for near-dup clusters is
-    * small (duplicates of one document form near-cliques). `maxIters`
-    * caps pathological chains; hitting it throws rather than silently
-    * emitting half-merged clusters.
+    * Alternating large-star/small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round, every node
+    * first hands its LARGER neighbors to its local minimum (large-star),
+    * then every node's smaller neighborhood collapses onto that minimum
+    * (small-star), halving path lengths each round — O(log n) rounds on
+    * chain-shaped components, where plain min-label propagation needs
+    * O(diameter) rounds (a 100k-link near-dup chain would blow any sane
+    * iteration cap). Near-clique components (the common near-dup shape)
+    * still converge in ~2 rounds. Each phase is one aggregate + one join
+    * on the edge list — fully distributed, driver only probes
+    * convergence. `maxIters` still throws rather than silently emitting
+    * half-merged clusters.
     *
     * Output: (doc_id, cluster_id) for every doc that appears in a pair.
     */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // Materialize the edge list ONCE: without this every propagation round
-    // (and its convergence count) re-executes the whole upstream pair
-    // pipeline — measured 17 s vs 6 s at sf0.1 with ngram-Jaccard pairs
-    // upstream. The pair set is orders of magnitude smaller than the
-    // corpus, so checkpointing it is cheap at any scale.
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    duplicateClustersWithRounds(pairs, maxIters)._1
+
+  /** [[duplicateClusters]] + the number of star rounds it took — exposed so
+    * stress fixtures can assert the O(log n) convergence bound.
+    */
+  def duplicateClustersWithRounds(pairs: DataFrame,
+      maxIters: Int = 20): (DataFrame, Int) = {
+    // Materialize the edge list ONCE: without this every star round (and
+    // its convergence probe) re-executes the whole upstream pair pipeline —
+    // measured 17 s vs 6 s at sf0.1 with ngram-Jaccard pairs upstream. The
+    // pair set is orders of magnitude smaller than the corpus, so
+    // checkpointing it is cheap at any scale.
+    var edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
     var iter = 0
     var converged = false
     while (!converged) {
-      require(iter < maxIters, s"label propagation exceeded $maxIters rounds")
-      // each node takes min(own label, neighbors' labels)
-      val neighborLabels = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .select(col("src").as("doc_id"), col("cluster_id"))
+      require(iter < maxIters, s"star rounds exceeded $maxIters")
       // checkpoint FIRST, probe convergence on the materialized frame —
-      // counting the un-checkpointed plan would execute the round's
-      // join+aggregate twice (once for the probe, again for the eager
-      // checkpoint)
-      val next = labels.unionByName(neighborLabels)
-        .groupBy(col("doc_id"))
-        .agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .limit(1).count()
-      // release the superseded round's blocks — without this every round
-      // pins another full label-set copy in executor storage for the life
-      // of the session
-      if (iter > 0) labels.unpersist()
-      labels = next
-      converged = changed == 0L
+      // probing the un-checkpointed plan would execute the round twice
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // fixpoint = identical edge sets (both sides are distinct frames)
+      val changed = next.count() != edges.count() ||
+        next.exceptAll(edges).limit(1).count() > 0
+      // release the superseded copy's blocks — without this every round
+      // pins another full edge-set copy in executor storage
+      if (changed) { edges.unpersist(); edges = next }
+      else next.unpersist() // identical content; keep the current frame
+      converged = !changed
       iter += 1
     }
+    // at fixpoint the edge set is a union of stars: every non-root points
+    // at its component's minimum, roots appear only on the dst side
+    val labels = edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+      .unionByName(edges.select(col("dst").as("doc_id"), col("dst").as("cluster_id")))
+      .distinct()
+      .localCheckpoint(true) // so the star edge blocks can be released now
     edges.unpersist()
-    labels
+    (labels, iter)
+  }
+
+  /** Large-star: for every node u (over the symmetrized neighborhood),
+    * connect each neighbor LARGER than u to m = min(N(u) ∪ {u}).
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("m"))
+    sym.join(mins, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** Small-star: direct every edge from its larger to its smaller end,
+    * then collapse each node's smaller neighborhood (and itself) onto
+    * m = min of that neighborhood.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val dir = edges.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val mins = dir.groupBy(col("src")).agg(min(col("dst")).as("m"))
+    dir.join(mins, "src")
+      .filter(col("dst") =!= col("m"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .unionByName(mins.select(col("src"), col("m").as("dst")))
+      .distinct()
   }
 
   /** SimHash near-dup pairs: 64-bit signature per document (see

@@ -275,6 +275,19 @@ class PipelineSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("duplicate clusters: chain-shaped component converges in O(log n) star rounds") {
+    // a 300-link chain has diameter 300 — min-label propagation would need
+    // 300 rounds (and trip any sane cap); alternating large-star/small-star
+    // must land it in logarithmically many
+    val n = 300L
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.duplicateClustersWithRounds(pairs, maxIters = 20)
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == n && out.values.forall(_ == 1L),
+      "every chain node must label to the component minimum")
+    assert(rounds <= 12, s"expected O(log n) convergence, took $rounds rounds")
+  }
+
   test("multimodal: real PNG IHDR and WAV fmt headers parse to true metadata") {
     // a REAL png: ImageIO-encoded 3×2 ARGB (color type 6 ⇒ 4 channels)
     val img = new java.awt.image.BufferedImage(

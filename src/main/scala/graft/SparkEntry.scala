@@ -472,6 +472,24 @@ object SparkEntry {
         s"count(*) AS n_events, ${dSum("value")} AS total_value " +
         "FROM s GROUP BY 1, 2 ORDER BY user_id, session_id")),
 
+    // The skew-safe sessionize variant under the same oracle: pre-split by
+    // (user, day), stitch boundary sessions — bit-identical to the unsplit
+    // path by construction, so the SQL replay is shared verbatim.
+    Q("q_analytics_sessions_presplit",
+      (s, d) => Analytics.sessionizeSkewSafe(
+        Tables.events(s, d).select(col("user_id"), col("ts"), col("value")), 30)
+        .orderBy("user_id", "session_id"),
+      Some("WITH o AS (SELECT user_id, ts, value, " +
+        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL " +
+        "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) " +
+        "> INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events), " +
+        "s AS (SELECT user_id, ts, value, " +
+        "sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS session_id FROM o) " +
+        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, " +
+        "min(ts) AS session_start, max(ts) AS session_end, " +
+        s"count(*) AS n_events, ${dSum("value")} AS total_value " +
+        "FROM s GROUP BY 1, 2 ORDER BY user_id, session_id")),
+
     // Rollup SERVING under the hash gate: materialize the windowed rollup
     // into a scratch warehouse, register it, and answer the 14-day request
     // through the planner rewrite — the served plan reads only the rollup

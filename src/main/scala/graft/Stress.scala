@@ -61,13 +61,24 @@ object Stress {
       timestamp_micros(lit(1700000000000000L) + expr("id div 10000") * 120L * 1000000L).as("ts"),
       (col("id") % 100).cast("double").as("value"))
     val ev = hot.unionByName(rest).localCheckpoint(true)
-    val t0 = System.nanoTime()
-    val out = graft.operators.Analytics.sessionize(ev, 30)
-    val stats = out.agg(count(lit(1)).as("n_sessions"),
-      max(col("n_events")).as("maxLen")).collect()(0)
-    val secs = (System.nanoTime() - t0) / 1e9
-    println(f"[stress] sessions=${stats.getLong(0)} maxSessionEvents=${stats.getLong(1)} " +
-      f"rows=${nHot + nRest} time=$secs%.1fs")
+
+    def run(name: String, out: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val stats = out.agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("maxLen")).collect()(0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] $name sessions=${stats.getLong(0)} " +
+        f"maxSessionEvents=${stats.getLong(1)} rows=${nHot + nRest} time=$secs%.1fs")
+    }
+    run("unsplit  ", graft.operators.Analytics.sessionize(ev, 30))
+    run("pre-split", graft.operators.Analytics.sessionizeSkewSafe(ev, 30))
+
+    // result equality: the skew-safe path must be a plan substitution, not
+    // an approximation
+    val a = graft.operators.Analytics.sessionize(ev, 30)
+    val b = graft.operators.Analytics.sessionizeSkewSafe(ev, 30)
+    val diff = a.exceptAll(b).limit(1).count() + b.exceptAll(a).limit(1).count()
+    println(s"[stress] paths identical=${diff == 0L}")
   }
 
   /** Deterministic clustered corpus (the realistic LLM-embedding shape:

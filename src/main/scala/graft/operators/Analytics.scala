@@ -194,6 +194,68 @@ object Analytics {
         money(sum(col("value").cast(Tables.MoneyExact))).as("total_value"))
   }
 
+  /** Skew-safe [[sessionize]]: identical results, bounded per-task sort.
+    *
+    * The plain shape sorts each user's ENTIRE history in one task — a bot
+    * user with 2M events means a 2M-row serial sort no matter how many
+    * executors are idle (the documented skew bound, SCALE.md). Here events
+    * are first sessionized within (user, day) chunks — the window sort is
+    * bounded by one user-DAY, and a hot key's days spread across the
+    * cluster — then the per-chunk sessions (thousands of times fewer rows
+    * than events) are stitched with the same gap rule: a chunk-local
+    * session merges into its predecessor iff the gap from the previous
+    * session's end to its start is within the threshold, which across a
+    * chunk boundary is exactly the event gap the unsplit path would have
+    * tested, and within a chunk was already tested locally. Counts and
+    * value sums recompose from unrounded decimal partials, so the merged
+    * aggregates are bit-identical to the unsplit path's.
+    *
+    * Requires `gapMinutes` < 24h: chunks a full gap apart can never need
+    * merging, so day granularity loses nothing.
+    */
+  def sessionizeSkewSafe(events: DataFrame, gapMinutes: Int): DataFrame = {
+    require(gapMinutes > 0 && gapMinutes < 24 * 60,
+      "pre-split granularity (1 day) must exceed the session gap")
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    val chunkW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("__day")).orderBy(col("ts"))
+    val prevTs = lag(col("ts"), 1).over(chunkW)
+    val newLocal = when(
+      prevTs.isNull || unix_micros(col("ts")) - unix_micros(prevTs) > gapUs,
+      1L).otherwise(0L)
+    val local = events
+      .withColumn("__day", to_date(col("ts")))
+      .withColumn("__new", newLocal)
+      .withColumn("__ls", sum(col("__new")).over(chunkW))
+      .groupBy(col("user_id"), col("__day"), col("__ls"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(Tables.MoneyExact)).as("__val"))
+
+    // stitch pass: same lag + running-sum shape over the per-chunk sessions
+    // (per-user session counts are small — this window is cheap even for
+    // the hottest key)
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("session_start"))
+    val prevEnd = lag(col("session_end"), 1).over(byUser)
+    val newGlobal = when(
+      prevEnd.isNull ||
+        unix_micros(col("session_start")) - unix_micros(prevEnd) > gapUs,
+      1L).otherwise(0L)
+    local
+      .withColumn("__new", newGlobal)
+      .withColumn("session_id", sum(col("__new")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("session_start")).as("session_start"),
+        max(col("session_end")).as("session_end"),
+        sum(col("n_events")).as("n_events"),
+        money(sum(col("__val"))).as("total_value"))
+  }
+
   /** Segment sample enriched with user attributes — the reference's
     * `sample_data` endpoint (reference backend/app/api/segments.py:84-117,
     * `LIMIT 10` over the segment table) joined to the user dimension it

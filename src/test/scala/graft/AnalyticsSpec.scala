@@ -105,6 +105,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(2).getAs[Long]("user_id") == 2L)
   }
 
+  test("skew-safe sessionize: midnight-crossing sessions stitch, results equal unsplit") {
+    // a session STRADDLING midnight (23:50 → 00:10, 20-min gap) is the case
+    // the (user, day) pre-split must repair by stitching
+    val ev = Seq(
+      (1L, "2024-01-01 23:50:00", 10.0),
+      (1L, "2024-01-02 00:10:00", 20.0), // crosses the chunk boundary, same session
+      (1L, "2024-01-02 00:15:00", 5.0),
+      (1L, "2024-01-02 09:00:00", 30.0), // new session next morning
+      (2L, "2024-01-01 23:59:00", 1.0),
+      (2L, "2024-01-02 00:05:00", 2.0))
+      .toDF("user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val out = Analytics.sessionizeSkewSafe(ev, 30)
+      .orderBy("user_id", "session_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 3L &&
+      out(0).getAs[Double]("total_value") == 35.0,
+      "the midnight session must stitch back into one")
+    assert(out(1).getAs[Long]("session_id") == 2L && out(1).getAs[Long]("n_events") == 1L)
+    assert(out(2).getAs[Long]("user_id") == 2L && out(2).getAs[Long]("n_events") == 2L)
+
+    // full equality with the unsplit path on the real corpus
+    val events = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"value")
+    val plain = Analytics.sessionize(events, 30)
+    val safe = Analytics.sessionizeSkewSafe(events, 30)
+    assert(safe.exceptAll(plain).isEmpty && plain.exceptAll(safe).isEmpty,
+      "pre-split + stitch must be a plan substitution, not an approximation")
+  }
+
   test("segment sample enriched with user attributes broadcasts the sample side") {
     val seg = Seq((1L, 3L, 100.0, "UPI"), (2L, 1L, 50.0, "CC"))
       .toDF("user_id", "total_transactions", "total_spent", "transaction_types")

@@ -995,6 +995,53 @@ object SparkEntry {
         "FROM c JOIN q USING (bucket) WHERE c.vec_id <> q.query_id), " +
         topKSql("sc", 10))),
 
+    // Gopher-style repetition filters (Rae et al. §A1.1): fraction of
+    // characters under the most frequent word 2-gram, and under redundant
+    // occurrences of duplicated 5-grams. Integer-exact until one final
+    // double division, so the replay is bit-identical.
+    Q("q_text_repetition",
+      (s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some("WITH toks AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+        s"$toksSql AS t FROM documents), " +
+        "g2 AS (SELECT doc_id, n_chars, unnest([t[i] || ' ' || t[i+1] " +
+        "FOR i IN range(1, len(t))]) AS g FROM toks), " +
+        "c2 AS (SELECT doc_id, g, any_value(n_chars) AS n_chars, " +
+        "count(*) AS c FROM g2 GROUP BY 1, 2), " +
+        "top2 AS (SELECT doc_id, g AS top_2gram, " +
+        "CAST(c * length(g) AS DOUBLE) / n_chars AS top_2gram_char_frac " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY c DESC, g) AS rn FROM c2) WHERE rn = 1), " +
+        "g5 AS (SELECT doc_id, n_chars, unnest([t[i] || ' ' || t[i+1] || ' ' || " +
+        "t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] " +
+        "FOR i IN range(1, len(t) - 3)]) AS g FROM toks), " +
+        "c5 AS (SELECT doc_id, g, any_value(n_chars) AS n_chars, " +
+        "count(*) AS c FROM g5 GROUP BY 1, 2), " +
+        "dup5 AS (SELECT doc_id, CAST(sum((c - 1) * length(g)) AS DOUBLE) " +
+        "/ any_value(n_chars) AS dup_5gram_char_frac " +
+        "FROM c5 WHERE c > 1 GROUP BY doc_id) " +
+        "SELECT t.doc_id, top_2gram, top_2gram_char_frac, " +
+        "COALESCE(dup_5gram_char_frac, 0.0) AS dup_5gram_char_frac " +
+        "FROM top2 t LEFT JOIN dup5 d ON t.doc_id = d.doc_id " +
+        "ORDER BY t.doc_id")),
+
+    // PII scrub pass: detection counts + tag redaction, engine-portable
+    // regexes (the driver corpus is PII-free, so counts replay as zeros and
+    // redaction as identity — the POSITIVE arms are pinned by PipelineSpec
+    // fixtures, same contract as the multimodal decoders).
+    Q("q_text_pii",
+      (s, d) => TextAnalysis.piiScan(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, " +
+        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRx}')) AS BIGINT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.PhoneRx}')) AS BIGINT) AS n_phones, " +
+        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.Ipv4Rx}')) AS BIGINT) AS n_ipv4, " +
+        s"regexp_replace(regexp_replace(regexp_replace(text, " +
+        s"'${TextAnalysis.EmailRx}', '<EMAIL>', 'g'), " +
+        s"'${TextAnalysis.Ipv4Rx}', '<IP>', 'g'), " +
+        s"'${TextAnalysis.PhoneRx}', '<PHONE>', 'g') AS redacted " +
+        "FROM documents ORDER BY doc_id")),
+
     // IVF with the TRAINED coarse quantizer (spherical k-means on the 256
     // lowest vec_ids, 2 Lloyd rounds, 8 centroids, 3 probes). The oracle
     // replays the ENTIRE fit — init, tie-broken assignment, fold-ordered

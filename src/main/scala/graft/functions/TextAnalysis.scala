@@ -151,6 +151,90 @@ object TextAnalysis {
         countDistinct(col("doc_id")).as("doc_freq"),
         count(lit(1)).as("term_freq"))
 
+  /** Gopher-style repetition signals per document (Rae et al. 2021 §A1.1,
+    * the standard pre-training repetition filters): the fraction of
+    * characters covered by the single most frequent word 2-gram, and the
+    * fraction covered by the redundant (beyond-first) occurrences of
+    * duplicated word 5-grams. Heavily repetitive machine-generated or
+    * boilerplate text scores high on both; thresholds are the caller's
+    * policy (Gopher drops >0.20 / >0.15).
+    *
+    * Arithmetic is exact-integer until one final double division, so
+    * results are engine-bit-identical. Scale shape: same as [[topTerms]] —
+    * explode to (doc, gram) postings, one hash aggregate, one windowed
+    * rank; nothing keys on anything wider than (doc_id, gram).
+    *
+    * Emits one row per document with ≥ `n`+? tokens implicitly: every doc
+    * with at least 2 tokens has a 2-gram row and docs with <5 tokens get
+    * dup_5gram_char_frac 0.0 via the left join.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toked = docs.select(col("doc_id"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      tokens(col(textCol)).as("__toks"))
+
+    // ALL n-gram occurrences ([[NGrams.wordNGrams]] is distinct-by-design
+    // for Jaccard shingles — repetition needs the multiplicities)
+    def allNGrams(tk: Column, n: Int): Column =
+      when(size(tk) >= n,
+        transform(sequence(lit(0), size(tk) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(tk, i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+
+    def gramCounts(n: Int) = toked
+      .select(col("doc_id"), col("n_chars"),
+        explode(allNGrams(col("__toks"), n)).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(first(col("n_chars")).as("n_chars"), count(lit(1)).as("c"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("c").desc, col("g"))
+    val top2 = gramCounts(2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("g").as("top_2gram"),
+        (col("c") * length(col("g")) cast "double")
+          .divide(col("n_chars")).as("top_2gram_char_frac"))
+
+    val dup5 = gramCounts(5)
+      .filter(col("c") > 1)
+      .groupBy(col("doc_id"))
+      .agg(((sum((col("c") - 1) * length(col("g"))) cast "double") /
+        first(col("n_chars"))).as("dup_5gram_char_frac"))
+
+    top2.join(dup5, Seq("doc_id"), "left")
+      .na.fill(0.0, Seq("dup_5gram_char_frac"))
+  }
+
+  /** PII detection counts + redaction — the scrub pass a training corpus
+    * runs before anything ships. Deliberately simple, engine-portable
+    * regexes (both Java regex and RE2 accept them with identical
+    * semantics): emails, international-ish phone numbers, dotted-quad IPs.
+    * `piiRedact` replaces matches with type tags so downstream token
+    * statistics stay stable. Pure per-row projections — scan-speed, no
+    * shuffle.
+    */
+  val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRx = "\\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}"
+  val Ipv4Rx  = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  def piiScan(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      regexp_count(t, lit(EmailRx)).cast("long").as("n_emails"),
+      regexp_count(t, lit(PhoneRx)).cast("long").as("n_phones"),
+      regexp_count(t, lit(Ipv4Rx)).cast("long").as("n_ipv4"),
+      piiRedact(t).as("redacted"))
+  }
+
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRx, "<EMAIL>"),
+        Ipv4Rx, "<IP>"),
+      PhoneRx, "<PHONE>")
+
   /** One-pass per-document stats frame over a `documents`-shaped table.
     *
     * Tokenizes ONCE: the token array is materialized in a lower projection

@@ -275,6 +275,42 @@ class PipelineSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("repetition stats: Gopher signals computed exactly on known fixtures") {
+    // "ab cd ab cd ab cd": 5 2-grams, top "ab cd" ×3 (ties: "cd ab" ×2),
+    // frac = 3*5/17; one 5-gram duplicated? 2 distinct 5-grams, no dups.
+    val corpus = docs(
+      (1L, "ab cd ab cd ab cd"),
+      // 10 tokens, 6 5-grams all identical "x x x x x" ⇒ 5 redundant
+      (2L, "x x x x x x x x x x"))
+    val out = TextAnalysis.repetitionStats(corpus)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[String]("top_2gram") == "ab cd")
+    assert(r1.getAs[Double]("top_2gram_char_frac") == 3.0 * 5 / 17)
+    assert(r1.getAs[Double]("dup_5gram_char_frac") == 0.0)
+    val r2 = out(2L)
+    assert(r2.getAs[String]("top_2gram") == "x x")
+    assert(r2.getAs[Double]("top_2gram_char_frac") == 9.0 * 3 / 19)
+    assert(r2.getAs[Double]("dup_5gram_char_frac") == 5.0 * 9 / 19,
+      "6 identical 5-grams ⇒ 5 redundant × 9 chars over 19")
+  }
+
+  test("pii scan: detection counts and tag redaction on positive fixtures") {
+    val corpus = docs(
+      (1L, "contact bob.smith+x@corp.example.com or 10.0.255.1 today"),
+      (2L, "call +1 555 867-5309 x2 or mail a@b.io c@d.org"),
+      (3L, "no pii here at all"))
+    val out = TextAnalysis.piiScan(corpus)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 1L && out(1L).getAs[Long]("n_ipv4") == 1L)
+    assert(out(1L).getAs[String]("redacted") == "contact <EMAIL> or <IP> today")
+    assert(out(2L).getAs[Long]("n_phones") == 1L && out(2L).getAs[Long]("n_emails") == 2L)
+    assert(out(2L).getAs[String]("redacted").contains("<PHONE>") &&
+      !out(2L).getAs[String]("redacted").contains("867"))
+    assert(out(3L).getAs[Long]("n_emails") == 0L &&
+      out(3L).getAs[String]("redacted") == "no pii here at all")
+  }
+
   test("duplicate clusters: chain-shaped component converges in O(log n) star rounds") {
     // a 300-link chain has diameter 300 — min-label propagation would need
     // 300 rounds (and trip any sane cap); alternating large-star/small-star

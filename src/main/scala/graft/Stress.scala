@@ -26,6 +26,7 @@ object Stress {
       case "clusters" :: path :: Nil => clusters(spark, path)
       case "recall" :: dir :: Nil    => recall(spark, dir)
       case "sessions" :: hot :: rest :: Nil => sessions(spark, hot.toLong, rest.toLong)
+      case "chain" :: n :: Nil       => chain(spark, n.toLong)
       case other => sys.error(s"unknown args: $other")
     }
     spark.stop()
@@ -79,6 +80,23 @@ object Stress {
     val b = graft.operators.Analytics.sessionizeSkewSafe(ev, 30)
     val diff = a.exceptAll(b).limit(1).count() + b.exceptAll(a).limit(1).count()
     println(s"[stress] paths identical=${diff == 0L}")
+  }
+
+  /** Worst case for connected components: ONE chain of `n` nodes —
+    * diameter n, so min-label propagation would need n rounds; the
+    * two-phase star algorithm must stay logarithmic.
+    */
+  private def chain(spark: SparkSession, n: Long): Unit = {
+    val pairs = spark.range(n - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      .localCheckpoint(true)
+    val t0 = System.nanoTime()
+    val (labels, rounds) = Dedup.duplicateClustersWithRounds(pairs, maxIters = 40)
+    val ok = labels.agg(count(lit(1)).as("n"), max(col("cluster_id")).as("mx"))
+      .collect()(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[stress] chain n=$n rounds=$rounds (log2=${(math.log(n.toDouble) / math.log(2))}%.1f) " +
+      f"nodes=${ok.getLong(0)} allMinLabel=${ok.getLong(1) == 0L} time=$secs%.1fs")
   }
 
   /** Deterministic clustered corpus (the realistic LLM-embedding shape:

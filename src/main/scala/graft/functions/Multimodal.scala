@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real — schema, partition-preserving
   * mapPartitions over a typed Dataset, iterator-to-iterator batch shape (the
   * same contract a vectorized/Arrow UDF has: no per-row setup cost, safe to
-  * hold a decoder per partition). The decode step parses three container
+  * hold a decoder per partition). The decode step parses four container
   * formats with pure-JVM header readers — PNG (IHDR: width/height/channels),
-  * JPEG (SOF marker walk: width/height/components), and WAV (fmt + data:
+  * JPEG (SOF marker walk: width/height/components), GIF (logical screen
+  * descriptor), and WAV (fmt + data:
   * sample rate/bit depth/channels/frames) — and FALLS
   * BACK TO A STUB for everything else: this container has no full codecs,
   * so unrecognized bytes get deterministic fake features derived from byte
@@ -57,6 +58,7 @@ object Multimodal {
   private[functions] def decodeOne(r: MediaRow): MediaFeatures =
     if (isPng(r.content)) decodePng(r)
     else if (isJpeg(r.content)) decodeJpeg(r)
+    else if (isGif(r.content)) decodeGif(r)
     else if (isWav(r.content)) decodeWav(r)
     else stubFeatures(r)
 
@@ -148,6 +150,22 @@ object Multimodal {
     }
     stubFeatures(r)
   }
+
+  // ---- GIF: "GIF87a"/"GIF89a" signature, then the logical screen
+  // descriptor — LE16 width at offset 6, LE16 height at offset 8. Palette
+  // formats decode to RGB (3 channels); frame counting would need a full
+  // block walk, so duration_frames stays 1 (the descriptor is the
+  // canvas, not the animation).
+
+  private def isGif(b: Array[Byte]): Boolean =
+    b.length >= 13 &&
+      b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+  private def decodeGif(r: MediaRow): MediaFeatures =
+    MediaFeatures(r.doc_id, "image", r.content.length.toLong,
+      width = le16(r.content, 6), height = le16(r.content, 8),
+      channels = 3L, duration_frames = 1L)
 
   // ---- WAV: RIFF/WAVE container; walk chunks to "fmt " (channels, sample
   // rate, block align, bits/sample) and "data" (payload size). Feature

@@ -324,6 +324,34 @@ class PipelineSpec extends SparkSpec {
     assert(rounds <= 12, s"expected O(log n) convergence, took $rounds rounds")
   }
 
+  test("duplicate clusters: agree with a reference union-find on random graphs") {
+    val rnd = new scala.util.Random(42) // seeded — deterministic failures
+    for (trial <- 1 to 6) {
+      val n = 10 + rnd.nextInt(30)
+      val edges = Seq.fill(n * 2) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        // reference: textbook union-find with path compression
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = {
+          if (parent(x) != x) parent(x) = find(parent(x)); parent(x)
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val inGraph = edges.flatMap(e => Seq(e._1, e._2)).toSet
+        val expected = inGraph.map(d => d -> find(d.toInt).toLong).toMap
+
+        val got = Dedup.duplicateClusters(edges.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"trial $trial (n=$n, ${edges.size} edges)")
+      }
+    }
+  }
+
   test("multimodal: real PNG IHDR and WAV fmt headers parse to true metadata") {
     // a REAL png: ImageIO-encoded 3×2 ARGB (color type 6 ⇒ 4 channels)
     val img = new java.awt.image.BufferedImage(
@@ -363,13 +391,20 @@ class PipelineSpec extends SparkSpec {
     val evilJpeg = Array(0xFF, 0xD8, 0xFF, 0xE0, 0x7F, 0xFF, 0x00, 0x00)
       .map(_.toByte)
 
+    // a REAL gif: ImageIO-encoded 11×7 (logical screen descriptor dims)
+    val gbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(new java.awt.image.BufferedImage(
+      11, 7, java.awt.image.BufferedImage.TYPE_INT_RGB), "gif", gbos)
+    val gif = gbos.toByteArray
+
     val ds = Seq(
       Multimodal.MediaRow(1L, "image", png),
       Multimodal.MediaRow(2L, "audio", wav.array()),
       Multimodal.MediaRow(3L, "video", "not a container".getBytes),
       Multimodal.MediaRow(4L, "audio", evil.array()),
       Multimodal.MediaRow(5L, "image", jpeg),
-      Multimodal.MediaRow(6L, "image", evilJpeg)).toDS()
+      Multimodal.MediaRow(6L, "image", evilJpeg),
+      Multimodal.MediaRow(7L, "image", gif)).toDS()
     val f = Multimodal.extractFeatures(ds).collect().map(x => x.doc_id -> x).toMap
 
     assert(f(1L).width == 3L && f(1L).height == 2L && f(1L).channels == 4L)
@@ -384,5 +419,7 @@ class PipelineSpec extends SparkSpec {
       s"JPEG SOF walk: got ${f(5L)}")
     assert(f(5L).duration_frames == 1L && f(5L).n_bytes == jpeg.length.toLong)
     assert(f(6L).width == evilJpeg.length % 640 + 1, "torn JPEG segment must stub")
+    assert(f(7L).width == 11L && f(7L).height == 7L && f(7L).channels == 3L,
+      s"GIF screen descriptor: got ${f(7L)}")
   }
 }

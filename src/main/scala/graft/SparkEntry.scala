@@ -995,6 +995,24 @@ object SparkEntry {
         "FROM c JOIN q USING (bucket) WHERE c.vec_id <> q.query_id), " +
         topKSql("sc", 10))),
 
+    // Sequence packing: docs → fixed-token training sequences, shard-local
+    // running sums (8 shards here; the window sort never sees more than a
+    // shard). Quota semantics: a doc belongs to the pack its first token
+    // lands in.
+    Q("q_pack_sequences",
+      (s, d) => graft.functions.Sampling.packSequences(
+        Tables.documents(s, d), seqTokens = 512, shards = 8)
+        .orderBy("doc_id"),
+      Some("WITH t AS (SELECT doc_id, " +
+        s"CAST(len($toksSql) AS BIGINT) AS token_count, " +
+        "doc_id % 8 AS shard FROM documents), " +
+        "c AS (SELECT *, COALESCE(sum(token_count) OVER (PARTITION BY shard " +
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "AS cum FROM t) " +
+        "SELECT doc_id, token_count, shard, " +
+        "CAST(floor(cum / 512.0) AS BIGINT) AS pack_id, " +
+        "cum % 512 AS pack_offset FROM c ORDER BY doc_id")),
+
     // Gopher-style repetition filters (Rae et al. §A1.1): fraction of
     // characters under the most frequent word 2-gram, and under redundant
     // occurrences of duplicated 5-grams. Integer-exact until one final

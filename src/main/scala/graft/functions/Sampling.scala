@@ -51,6 +51,36 @@ object Sampling {
         when(col("bucket").isNull, lit(null: String)).otherwise(assign))
   }
 
+  /** Sequence PACKING: assign each document to a fixed-token-budget
+    * training sequence (pack) — the step between a cleaned corpus and a
+    * token-batch loader. Quota packing: within a shard, documents are laid
+    * end-to-end in doc_id order and a document belongs to the pack its
+    * first token lands in (`pack_offset` says where); packs can overrun
+    * the budget by less than one document, which the loader's
+    * truncate/pad policy absorbs — the standard distributed-packing
+    * trade, since EXACT greedy packing is inherently sequential.
+    *
+    * Scale shape: packing is sequential only WITHIN a shard (one running
+    * sum per shard, `shards` parallel window sorts), never across the
+    * corpus — no global order, no single-task bottleneck. Deterministic:
+    * shard = doc_id mod shards, order = doc_id, no RNG.
+    */
+  def packSequences(docs: DataFrame, seqTokens: Long, shards: Int = 64,
+      textCol: String = "text"): DataFrame = {
+    require(seqTokens > 0 && shards > 0, "positive budget and shard count")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("token_count"),
+        (col("doc_id") % shards).as("shard"))
+      .withColumn("cum", coalesce(sum(col("token_count")).over(w), lit(0L)))
+      .select(col("doc_id"), col("token_count"), col("shard"),
+        floor(col("cum") / seqTokens).cast("long").as("pack_id"),
+        (col("cum") % seqTokens).as("pack_offset"))
+  }
+
   /** Deterministic stratified sampling: keep a row iff its content-hash
     * bucket (out of 10,000) falls below the stratum's rate. `rates` maps a
     * stratum value to a keep-fraction in [0, 1]; strata absent from the map

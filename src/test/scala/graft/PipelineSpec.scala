@@ -231,6 +231,21 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("sequence packing: shard-local quota packing with exact offsets") {
+    val corpus = docs(
+      (0L, "a b c"),          // shard 0: cum 0 → pack 0, offset 0
+      (8L, "d e f g"),        // shard 0: cum 3 → pack 0, offset 3
+      (16L, "h i"),           // shard 0: cum 7 → pack 1, offset 2
+      (1L, "j k l m n o p"))  // shard 1: cum 0 → pack 0, offset 0
+    val out = Sampling.packSequences(corpus, seqTokens = 5, shards = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(0L) == (0L, 0L, 0L))
+    assert(out(8L) == (0L, 0L, 3L), "doc straddling the budget packs where it starts")
+    assert(out(16L) == (0L, 1L, 2L))
+    assert(out(1L) == (1L, 0L, 0L), "shards pack independently")
+  }
+
   test("stratified sample: per-stratum rates, unknown strata dropped") {
     val corpus = docs((1L to 300L).map(i => (i, s"text body $i of the corpus")): _*)
     val stratum = (col("doc_id") % 3).cast("string")

@@ -508,8 +508,7 @@ object SparkEntry {
         graft.plans.RollupServing.materialize(
           store, Tables.transactions(s, d), Seq(7, 14, 30))
         graft.plans.RollupServing.userWindowTotals(
-          s, store.loadRollups(),
-          Tables.transactions(s, d), periodDays = 14)
+          s, store, Tables.transactions(s, d), periodDays = 14)
           .orderBy("user_id")
       },
       Some("WITH a AS (SELECT CAST(max(ts) AS DATE) AS anchor FROM events), " +

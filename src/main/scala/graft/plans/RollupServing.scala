@@ -32,8 +32,12 @@ object RollupServing {
   def materialize(store: SegmentStore, tx: DataFrame, periods: Seq[Int],
       name: String = "user_windows"): RollupEntry = {
     val path = s"${store.warehousePath}/rollup_$name"
-    Rollups.userWindows(tx, periods)
-      .write.mode(SaveMode.Overwrite).parquet(path)
+    // same crash-safe swap as segments/catalog: a reader never sees a
+    // half-written rollup, and a crashed refresh leaves the previous one
+    store.replaceDir(path) { staging =>
+      Rollups.userWindows(tx, periods)
+        .write.mode(SaveMode.Overwrite).parquet(staging)
+    }
     store.registerRollup(name, path, periods)
     RollupEntry(name, path, periods)
   }
@@ -44,10 +48,11 @@ object RollupServing {
     * served plan reads ONLY the rollup parquet (period pruning pushes to
     * the scan).
     */
-  def userWindowTotals(spark: SparkSession, rollups: Seq[RollupEntry],
+  def userWindowTotals(spark: SparkSession, store: SegmentStore,
       tx: => DataFrame, periodDays: Int): DataFrame =
-    rollups.find(_.periods.contains(periodDays)) match {
+    store.loadRollups().find(_.periods.contains(periodDays)) match {
       case Some(e) =>
+        store.recoverDir(e.path) // heal a crashed refresh before reading
         spark.read.parquet(e.path)
           .filter(col("period_days") === periodDays)
       case None =>
@@ -61,14 +66,15 @@ object RollupServing {
     * a HAVING condition can't be answered post-aggregation), so the caller
     * falls back to the base path.
     */
-  def serveSegment(spark: SparkSession, rollups: Seq[RollupEntry],
+  def serveSegment(spark: SparkSession, store: SegmentStore,
       periodDays: Int, conditions: Seq[Condition]): Option[DataFrame] = {
     val compiled = ConditionCompiler.compile(conditions)
     // WHERE-routed conditions filter raw rows BEFORE aggregation — a rollup
     // aggregated without them cannot serve the request. Malformed/skipped
     // conditions don't block: the base path skips them identically (Q10).
     if (compiled.where.nonEmpty) None
-    else rollups.find(_.periods.contains(periodDays)).map { e =>
+    else store.loadRollups().find(_.periods.contains(periodDays)).map { e =>
+      store.recoverDir(e.path)
       val base = spark.read.parquet(e.path)
         .filter(col("period_days") === periodDays)
         .select(col("user_id"), col("total_transactions"),

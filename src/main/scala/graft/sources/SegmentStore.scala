@@ -271,6 +271,16 @@ final class SegmentStore(spark: SparkSession, warehouse: String) {
 
   def loadRollups(): Seq[RollupEntry] = loadRollupsUnlocked()
 
+  /** Crash-safe replacement of an arbitrary warehouse directory — the same
+    * staging+two-rename swap the segment data and catalog use, for derived
+    * artifacts (rollups). Pair reads with [[recoverDir]].
+    */
+  def replaceDir(path: String)(write: String => Unit): Unit =
+    swapIn(path)(write)
+
+  /** Self-heal a directory left mid-swap by a crashed [[replaceDir]]. */
+  def recoverDir(path: String): Unit = recoverSwap(path)
+
   private def loadRollupsUnlocked(): Seq[RollupEntry] = {
     import spark.implicits._
     recoverSwap(rollupsPath)

@@ -121,7 +121,7 @@ class PlannerSpec extends SparkSpec {
 
     // the REWRITE: the served plan reads only the rollup parquet — no raw
     // event scan, no JSON tier parse, no aggregation left to do
-    val served = RollupServing.userWindowTotals(spark, store.loadRollups(), tx, 14)
+    val served = RollupServing.userWindowTotals(spark, store, tx, 14)
     val plan = served.queryExecution.executedPlan.toString
     assert(plan.contains("rollup_user_windows"), s"must scan the rollup:\n$plan")
     assert(!plan.contains("events") && !plan.contains("get_json_object"),
@@ -133,7 +133,7 @@ class PlannerSpec extends SparkSpec {
       raw.orderBy("user_id").collect().toSeq)
 
     // an unmaterialized window falls back to the raw compute
-    val fb = RollupServing.userWindowTotals(spark, store.loadRollups(), tx, 21)
+    val fb = RollupServing.userWindowTotals(spark, store, tx, 21)
     assert(fb.queryExecution.executedPlan.toString.contains("events"))
     assert(fb.select("period_days").distinct().collect().map(_.getInt(0)).toSeq == Seq(21))
   }
@@ -150,7 +150,7 @@ class PlannerSpec extends SparkSpec {
 
     val conds = Seq(Condition("total_spend", ">", "500"),
       Condition("transaction_count", ">=", "2"))
-    val seg = RollupServing.serveSegment(spark, store.loadRollups(), 14, conds)
+    val seg = RollupServing.serveSegment(spark, store, 14, conds)
       .getOrElse(fail("HAVING-only conditions must be servable"))
     val expected = Rollups.userWindows(tx, Seq(14))
       .filter(col("total_amount") > 500.0 && col("total_transactions") >= 2L)
@@ -162,10 +162,10 @@ class PlannerSpec extends SparkSpec {
 
     // a WHERE-routed condition filters raw rows pre-aggregation — the
     // rollup cannot serve it
-    assert(RollupServing.serveSegment(spark, store.loadRollups(), 14,
+    assert(RollupServing.serveSegment(spark, store, 14,
       conds :+ Condition("transaction_amount", ">", "10")).isEmpty)
     // unmaterialized window: refuse, caller takes the base path
-    assert(RollupServing.serveSegment(spark, store.loadRollups(), 21, conds).isEmpty)
+    assert(RollupServing.serveSegment(spark, store, 21, conds).isEmpty)
   }
 
   test("condition codec round-trips scalars, lists, value2") {

@@ -900,6 +900,27 @@ object SparkEntry {
         "SELECT src AS doc_id, least(src, min(dst)) AS cluster_id " +
         "FROM reach GROUP BY src ORDER BY doc_id")),
 
+    // The full dedup verdict: every doc, its cluster (self when unpaired),
+    // and the keep flag (cluster min is the kept representative).
+    // `filter(keep)` is the deduplicated corpus.
+    Q("q_dedup_decisions",
+      (s, d) => Dedup.dedupDecisions(
+        Tables.documents(s, d),
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.5))
+        .orderBy("doc_id"),
+      Some("WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM " +
+        s"($ngramJaccardOracle)), " +
+        "e AS (SELECT doc_a AS src, doc_b AS dst FROM p " +
+        "UNION SELECT doc_b, doc_a FROM p), " +
+        "reach AS (SELECT src, dst FROM e " +
+        "UNION SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src), " +
+        "cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id " +
+        "FROM reach GROUP BY src) " +
+        "SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id, " +
+        "COALESCE(cl.cluster_id, d.doc_id) = d.doc_id AS keep " +
+        "FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id " +
+        "ORDER BY d.doc_id")),
+
     // SimHash replayed end-to-end in SQL: FNV-1a 64 per token over its
     // UTF-8 BYTES (code points are expanded to UTF-8 in SQL, so multi-byte
     // text hashes identically to the engine's getBytes walk; HUGEINT

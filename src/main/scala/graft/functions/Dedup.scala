@@ -356,6 +356,21 @@ object Dedup {
     (labels, iter)
   }
 
+  /** The end-to-end dedup VERDICT a corpus pipeline consumes: every
+    * document with its cluster (itself when unpaired) and a `keep` flag —
+    * one kept representative per cluster, the min doc_id (deterministic
+    * and stable under re-runs: new near-dups of a kept doc never flip an
+    * earlier keep). `docs.filter(col("keep"))` IS the deduplicated corpus.
+    */
+  def dedupDecisions(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id")).as("keep"))
+  }
+
   /** Large-star: for every node u (over the symmetrized neighborhood),
     * connect each neighbor LARGER than u to m = min(N(u) ∪ {u}).
     */

@@ -187,14 +187,17 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("g"))
       .agg(first(col("n_chars")).as("n_chars"), count(lit(1)).as("c"))
 
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("c").desc, col("g"))
+    // top gram via min_by on (-count, gram) — same rule as a (count desc,
+    // gram asc) window rank but ONE aggregate with map-side partials
+    // instead of a second exchange + per-doc sort
     val top2 = gramCounts(2)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("g").as("top_2gram"),
-        (col("c") * length(col("g")) cast "double")
-          .divide(col("n_chars")).as("top_2gram_char_frac"))
+      .groupBy(col("doc_id"))
+      .agg(min_by(
+        struct(col("g"),
+          ((col("c") * length(col("g"))).cast("double") / col("n_chars")).as("f")),
+        struct((-col("c")).as("nc"), col("g"))).as("top"))
+      .select(col("doc_id"), col("top.g").as("top_2gram"),
+        col("top.f").as("top_2gram_char_frac"))
 
     val dup5 = gramCounts(5)
       .filter(col("c") > 1)

@@ -619,8 +619,17 @@ object SparkEntry {
     * finally assign the corpus, probe each query's `nprobe` best cells, and
     * rank exact scores.
     */
-  private def ivfTrainedOracle(dim: Int, sampleSize: Int, centroids: Int,
-      iters: Int, nprobe: Int, topk: Int): String = {
+  /** DuckDB replay of the whole spherical-k-means fit + corpus assignment
+    * (CTEs through `cass(vec_id, v, bucket)`) — the shared front half of the
+    * trained-IVF and SemDeDup oracles. Mirrors the Scala training loop step
+    * for step: sample = lowest `sampleSize` vec_ids; init = first
+    * `centroids` of those; per round, assign by best fold-left dot (ties →
+    * lowest cid) then remean (members folded in vec_id order) and
+    * L2-renormalize, empty/zero-norm cells keeping the previous centroid;
+    * finally assign the corpus.
+    */
+  private def ivfFitCte(dim: Int, sampleSize: Int, centroids: Int,
+      iters: Int): String = {
     val meanElem = foldSumSql("list_transform(vs, x -> x[i])")
     val rounds = (1 to iters).map { it =>
       s"a$it AS (SELECT vec_id, v, cid FROM (" +
@@ -643,7 +652,12 @@ object SparkEntry {
       "cass AS (SELECT vec_id, v, cid AS bucket FROM (" +
       "SELECT nv.vec_id, nv.v, c.cid, row_number() OVER (PARTITION BY nv.vec_id " +
       s"ORDER BY ${dotSql("nv.v", "c.cv")} DESC, c.cid) AS rn " +
-      s"FROM nv CROSS JOIN c$iters c) WHERE rn = 1), " +
+      s"FROM nv CROSS JOIN c$iters c) WHERE rn = 1)"
+  }
+
+  private def ivfTrainedOracle(dim: Int, sampleSize: Int, centroids: Int,
+      iters: Int, nprobe: Int, topk: Int): String =
+    ivfFitCte(dim, sampleSize, centroids, iters) + ", " +
       "q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id % 100 = 0), " +
       "qp AS (SELECT query_id, qv, cid AS bucket FROM (" +
       "SELECT q.query_id, q.qv, c.cid, row_number() OVER (PARTITION BY q.query_id " +
@@ -653,7 +667,20 @@ object SparkEntry {
       s"${dotSql("qp.qv", "cass.v")} AS score " +
       "FROM cass JOIN qp USING (bucket) WHERE cass.vec_id <> qp.query_id), " +
       topKSql("sc", topk)
-  }
+
+  /** DuckDB replay of [[graft.functions.Dedup.semanticDedup]]: the shared
+    * k-means fit + assignment, then per-vector max cosine against lower-id
+    * same-cluster vectors; keep = no lower neighbor at ≥ threshold.
+    */
+  private def semanticDedupOracle(dim: Int, sampleSize: Int, centroids: Int,
+      iters: Int, threshold: Double): String =
+    ivfFitCte(dim, sampleSize, centroids, iters) + ", " +
+      "p AS (SELECT b.vec_id, max(" + dotSql("a.v", "b.v") + ") AS max_lower_sim " +
+      "FROM cass a JOIN cass b ON a.bucket = b.bucket AND a.vec_id < b.vec_id " +
+      "GROUP BY b.vec_id) " +
+      "SELECT c.vec_id, CAST(c.bucket AS INT) AS cluster, p.max_lower_sim, " +
+      s"(p.max_lower_sim IS NULL OR p.max_lower_sim < $threshold) AS keep " +
+      "FROM cass c LEFT JOIN p ON c.vec_id = p.vec_id ORDER BY c.vec_id"
 
   /** Per-query exact top-k ranking shared by the brute/IVF ANN oracles. */
   private def topKSql(scoredCte: String, k: Int): String =
@@ -1093,6 +1120,16 @@ object SparkEntry {
       },
       Some(ivfTrainedOracle(dim = 64, sampleSize = 256, centroids = 8,
         iters = 2, nprobe = 3, topk = 10))),
+
+    // SemDeDup: semantic dedup via the SAME trained quantizer — cluster,
+    // then drop any vector with cosine ≥ 0.35 to a lower-id cluster-mate.
+    // The oracle replays fit + assignment + the pairwise max, so it gates
+    // the training determinism AND the keep rule end to end.
+    Q("q_dedup_semantic",
+      (s, d) => Dedup.semanticDedup(Tables.embeddings(s, d), threshold = 0.35)
+        .orderBy("vec_id"),
+      Some(semanticDedupOracle(dim = 64, sampleSize = 256, centroids = 8,
+        iters = 2, threshold = 0.35))),
 
     Q("q_multimodal_features",
       (s, d) => Multimodal.extractFeatures(

@@ -428,6 +428,47 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** SemDeDup — SEMANTIC dedup over an embedding column (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): cluster the corpus with the trained spherical
+    * k-means quantizer (see [[Similarity.ivfTrainedTopK]] — same fit, same
+    * determinism contract), then within each cluster drop every vector that
+    * has cosine ≥ `threshold` with a LOWER-id vector of the same cluster.
+    * Unlike the LSH pair generators above, this catches paraphrase-level
+    * redundancy that shares no n-grams — the dedup pass that runs AFTER
+    * exact/near-dup text dedup in a production corpus pipeline.
+    *
+    * Keep rule: min-vec_id representative per similarity neighborhood —
+    * deterministic, stable under re-runs, and consistent with
+    * [[dedupDecisions]]. Output: every nonzero-norm vector as
+    * (vec_id, cluster, max_lower_sim, keep); `filter(col("keep"))` is the
+    * semantically deduplicated corpus. max_lower_sim is NULL for a
+    * cluster's lowest vector (nothing below it to compare against).
+    *
+    * Scale shape: centroids are plan literals, so cluster assignment is a
+    * scan-side projection; the only shuffle is the within-cluster self-join,
+    * whose cost is Σ|cell|² dots. The paper's design point — and this
+    * implementation's — is that `centroids` grows with the corpus (n/1000
+    * cells keeps cells ~constant-size), so the pair work stays linear in n;
+    * the driver-side fit cost is unchanged (bounded sample). Doubles are
+    * bit-deterministic: fused fold-left dots, max() is order-independent.
+    */
+  def semanticDedup(embeddings: DataFrame, threshold: Double,
+      centroids: Int = 8, sampleSize: Int = 256, iters: Int = 2): DataFrame = {
+    val nv = Similarity.normalized(embeddings)
+    val cents = Similarity.trainCentroids(nv, centroids, sampleSize, iters)
+    val assigned = Similarity.assignToCentroids(nv, cents)
+    val a = assigned.as("a"); val b = assigned.as("b")
+    val maxLower = a.join(b,
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(max(Similarity.dot(col("a.v"), col("b.v"))).as("max_lower_sim"))
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(maxLower, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("max_lower_sim"),
+        (col("max_lower_sim").isNull || col("max_lower_sim") < threshold).as("keep"))
+  }
+
   /** Embedding near-dup pairs: sign-bit LSH over the vector (bands of
     * `bitsPerBand` sign bits each) generates candidates; exact cosine ≥
     * threshold verifies. Approximate by construction — pairs whose sign

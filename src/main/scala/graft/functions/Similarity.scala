@@ -115,17 +115,12 @@ object Similarity {
       sampleSize: Int = 256, iters: Int = 2): DataFrame = {
     val c = normalized(corpus)
     val cents = trainCentroids(c, centroids, sampleSize, iters)
-    val centLits = cents.map(v => array(v.map(lit).toIndexedSeq: _*))
-    def scoresOf(v: Column): Column =
-      array(centLits.map(cv => dot(v, cv)).toIndexedSeq: _*)
+    def scoresOf(v: Column): Column = centroidScores(cents)(v)
 
     // corpus side: argmax over the literal centroid scores — a projection,
     // evaluated inside the scan stage (ties go to the first/lowest cid,
     // matching the training rule)
-    val assigned = c.withColumn("scores", scoresOf(col("v")))
-      .withColumn("bucket",
-        (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
-      .drop("scores")
+    val assigned = assignToCentroids(c, cents).withColumnRenamed("cluster", "bucket")
 
     // query side: top-nprobe centroids per query (query set is small; the
     // window shuffle is on the tiny side only)
@@ -145,6 +140,24 @@ object Similarity {
         dot(col("qv"), col("v")).as("score"))
     topKPerQuery(scored, k)
   }
+
+  /** Dot scores of a vector against every trained centroid, as an array of
+    * literal-folded expressions — a few KB of constants baked into the plan,
+    * so assignment is a scan-side projection (no join, no shuffle).
+    */
+  private[functions] def centroidScores(cents: Array[Array[Double]])(v: Column): Column =
+    array(cents.map(cv => dot(v, array(cv.map(lit).toIndexedSeq: _*))).toIndexedSeq: _*)
+
+  /** Normalized corpus with each vector's best trained centroid as an int
+    * `cluster` column (argmax dot, ties to the lowest cid — the training
+    * rule). Shared by trained-IVF search and semantic dedup.
+    */
+  private[functions] def assignToCentroids(nv: DataFrame,
+      cents: Array[Array[Double]]): DataFrame =
+    nv.withColumn("scores", centroidScores(cents)(col("v")))
+      .withColumn("cluster",
+        (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
+      .drop("scores")
 
   /** Spherical k-means on the `sampleSize` lowest vec_ids of the normalized
     * corpus. Deterministic by construction — no RNG, fixed iteration count,

@@ -571,6 +571,36 @@ object SparkEntry {
       s"(acc, x) -> (acc * 31 + x) % ${graft.functions.RollingHash.Modulus}) " +
       "AS fingerprint FROM n)"
 
+  private val Bm25Terms = Seq("spark", "window", "dup")
+
+  /** DuckDB replay of [[graft.functions.TextAnalysis.bm25Search]]: same
+    * postings/df/global-stats pipeline, same rational idf, contributions
+    * folded in term-asc order; double constants (`k1`, `b`, `k1+1`, `1-b`)
+    * are rendered from the SAME Scala values both engines consume.
+    */
+  private def bm25Oracle(terms: Seq[String], k: Int, k1: Double, b: Double): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val avg = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    s"WITH d AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl, " +
+      s"$toksSql AS t FROM documents), " +
+      "st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d), " +
+      "p AS (SELECT doc_id, dl, term, count(*) AS tf FROM " +
+      "(SELECT doc_id, dl, unnest(t) AS term FROM d) " +
+      s"WHERE term IN ($inList) GROUP BY doc_id, dl, term), " +
+      "f AS (SELECT term, count(*) AS df FROM p GROUP BY term), " +
+      "c AS (SELECT doc_id, term, " +
+      "((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) " +
+      s"* (CAST(tf AS DOUBLE) * ${k1 + 1.0}) " +
+      s"/ (CAST(tf AS DOUBLE) + $k1 * (${1.0 - b} + $b * CAST(dl AS DOUBLE) / $avg)) " +
+      "AS c FROM p CROSS JOIN st JOIN f USING (term)), " +
+      "s AS (SELECT doc_id, count(*) AS n_matched, " +
+      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)), " +
+      "(acc, x) -> acc + x) AS score FROM c GROUP BY doc_id), " +
+      "r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM s) " +
+      s"SELECT doc_id, n_matched, score, CAST(rank AS INT) AS rank FROM r " +
+      s"WHERE rank <= $k ORDER BY rank"
+  }
+
   /** DuckDB rendering of the exact n-gram Jaccard pair set at threshold 0.5
     * (shared: q_dedup_ngram_jaccard computes it directly; the MinHash+LSH
     * variant verifies every candidate against exact Jaccard, and PipelineSpec
@@ -798,6 +828,16 @@ object SparkEntry {
         "SELECT term, count(DISTINCT doc_id) AS doc_freq, " +
         "count(*) AS term_freq FROM posting WHERE term <> '' " +
         "GROUP BY term ORDER BY term")),
+
+    // BM25 ranked retrieval (rational-idf variant — see bm25Search scaladoc)
+    // over a mixed-rarity query: 'dup' has df≈25 vs ≈385 for the common
+    // terms, so idf weighting visibly reorders the hits. The oracle replays
+    // the full pipeline with the SAME Scala-rendered double constants and a
+    // term-ordered list_reduce fold.
+    Q("q_text_bm25",
+      (s, d) => TextAnalysis.bm25Search(Tables.documents(s, d),
+        Bm25Terms, k = 15).orderBy("rank"),
+      Some(bm25Oracle(Bm25Terms, k = 15, k1 = 1.2, b = 0.75))),
 
     // Token-length histogram: corpus length distribution in buckets of 10
     // tokens (the diagnostic behind truncation/packing decisions).

@@ -151,6 +151,76 @@ object TextAnalysis {
         countDistinct(col("doc_id")).as("doc_freq"),
         count(lit(1)).as("term_freq"))
 
+  /** BM25 ranked retrieval: top-k documents for a bag of query terms
+    * (Robertson/Spärck Jones probabilistic weighting with the standard
+    * `k1`/`b` length normalization) — the relevance-search operator a corpus
+    * curation UI runs over the documents table.
+    *
+    * DETERMINISM VARIANT — rational idf: the classic `ln((N-df+0.5)/(df+0.5))`
+    * is replaced by the raw ratio `(N-df+0.5)/(df+0.5)` (no log). Every
+    * remaining operation is IEEE +,*,/ — correctly rounded and identical on
+    * any engine given the same expression tree — whereas `ln` is libm-
+    * dependent and can drift a ulp across engines, which a hash-exact gate
+    * cannot tolerate. The ratio is monotone in the classic idf, so single-
+    * term rankings are identical; multi-term rankings weight rare terms
+    * MORE than log-idf BM25 does (documented engine behavior, not an
+    * accident). Per-document scores fold contributions in term-asc order
+    * (sorted-struct aggregate), so multi-term sums are bit-stable under any
+    * partitioning.
+    *
+    * Scale shape: postings filter to the query terms AT THE EXPLODE — only
+    * (doc, query-term) rows ever shuffle, so cost is proportional to the
+    * terms' document frequency, not corpus size; df and the global (N,
+    * avgdl) scalars ride in as broadcast one-row/`|terms|`-row joins; the
+    * final top-k is one rank over docs that matched at least one term.
+    */
+  def bm25Search(docs: DataFrame, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75, textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty)
+    val toked = docs.select(col("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        col("__toks"))
+    val stats = toked.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val postings = toked
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTbl = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    // Scala-side constants interpolate into BOTH engines' expression trees
+    // (never re-derived in SQL), so the doubles agree to the bit.
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val tfD = col("tf").cast("double")
+    val denom = tfD + lit(k1) *
+      (lit(oneMinusB) + lit(b) * col("dl").cast("double") / avgdl)
+    val contrib = idf * (tfD * lit(k1p1)) / denom
+
+    val scored = postings
+      .join(broadcast(dfTbl), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), contrib.as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_matched"),
+        aggregate(
+          array_sort(collect_list(struct(col("term"), col("c")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("c")).as("score"))
+    // global top-k via orderBy+limit → TakeOrderedAndProject (per-partition
+    // heaps, no global sort); the rank window then runs over k rows only
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select("doc_id", "n_matched", "score", "rank")
+  }
+
   /** Gopher-style repetition signals per document (Rae et al. 2021 §A1.1,
     * the standard pre-training repetition filters): the fraction of
     * characters covered by the single most frequent word 2-gram, and the

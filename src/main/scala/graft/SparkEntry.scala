@@ -571,7 +571,78 @@ object SparkEntry {
       s"(acc, x) -> (acc * 31 + x) % ${graft.functions.RollingHash.Modulus}) " +
       "AS fingerprint FROM n)"
 
+  /** DuckDB CTE chain `toks … top2 … dup5`: the Gopher repetition signals
+    * (shared by q_text_repetition and the composite filter verdict).
+    */
+  private val repCtes: String =
+    "toks AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+      s"$toksSql AS t FROM documents), " +
+      "g2 AS (SELECT doc_id, n_chars, unnest([t[i] || ' ' || t[i+1] " +
+      "FOR i IN range(1, len(t))]) AS g FROM toks), " +
+      "c2 AS (SELECT doc_id, g, any_value(n_chars) AS n_chars, " +
+      "count(*) AS c FROM g2 GROUP BY 1, 2), " +
+      "top2 AS (SELECT doc_id, g AS top_2gram, " +
+      "CAST(c * length(g) AS DOUBLE) / n_chars AS top_2gram_char_frac " +
+      "FROM (SELECT *, row_number() OVER (PARTITION BY doc_id " +
+      "ORDER BY c DESC, g) AS rn FROM c2) WHERE rn = 1), " +
+      "g5 AS (SELECT doc_id, n_chars, unnest([t[i] || ' ' || t[i+1] || ' ' || " +
+      "t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] " +
+      "FOR i IN range(1, len(t) - 3)]) AS g FROM toks), " +
+      "c5 AS (SELECT doc_id, g, any_value(n_chars) AS n_chars, " +
+      "count(*) AS c FROM g5 GROUP BY 1, 2), " +
+      "dup5 AS (SELECT doc_id, CAST(sum((c - 1) * length(g)) AS DOUBLE) " +
+      "/ any_value(n_chars) AS dup_5gram_char_frac " +
+      "FROM c5 WHERE c > 1 GROUP BY doc_id)"
+
+  /** DuckDB stopword list matching [[TextAnalysis.DefaultStopwords]]. */
+  private val stopSql = "('the', 'a', 'an', 'of', 'and', 'in', 'is', 'to')"
+
   private val Bm25Terms = Seq("spark", "window", "dup")
+
+  /** DuckDB replay of [[graft.functions.TextAnalysis.filterVerdict]] at its
+    * default thresholds: every signal re-rendered from its already-oracled
+    * fragment (quality from q_text_stats, lang-id from q_text_langid,
+    * repetition from [[repCtes]]), then the same fixed-order concat_ws of
+    * CASE reasons. concat_ws skips NULLs identically in both engines.
+    */
+  private val filterVerdictOracle: String = {
+    val mwl = "(CAST(s.wc AS DOUBLE) / CAST(greatest(s.token_count, 1) AS DOUBLE))"
+    s"WITH $repCtes, " +
+      "sig AS (SELECT doc_id, lang, " +
+      s"CAST(len($toksSql) AS BIGINT) AS token_count, " +
+      s"CAST(COALESCE(list_sum([CAST(length(x) AS BIGINT) FOR x IN $toksSql]), 0) " +
+      "AS BIGINT) AS wc, " +
+      s"len(list_filter($toksSql, x -> x IN $stopSql)) AS swc, " +
+      s"0.5 * least(CAST(len($toksSql) AS DOUBLE) / 100.0, 1.0) " +
+      "+ 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) " +
+      "/ CAST(greatest(length(text), 1) AS DOUBLE)) " +
+      s"+ 0.2 * (CAST(len(list_filter($toksSql, x -> x IN $stopSql)) AS DOUBLE) " +
+      s"/ greatest(CAST(len($toksSql) AS DOUBLE), 1.0)) AS quality_score, " +
+      s"len(list_filter($toksSql, x -> x IN ('the','and','of','is','with'))) AS en, " +
+      s"len(list_filter($toksSql, x -> x IN ('der','die','und','ist','mit'))) AS de, " +
+      s"len(list_filter($toksSql, x -> x IN ('el','los','y','es','con'))) AS es, " +
+      s"len(list_filter($toksSql, x -> x IN ('le','les','et','est','avec'))) AS fr, " +
+      s"len(list_filter($toksSql, x -> x IN ('的','是','了','在','和'))) AS zh " +
+      "FROM documents), " +
+      "lg AS (SELECT doc_id, CASE WHEN greatest(en, de, es, fr, zh) = 0 THEN 'und' " +
+      "WHEN en >= de AND en >= es AND en >= fr AND en >= zh THEN 'en' " +
+      "WHEN de >= es AND de >= fr AND de >= zh THEN 'de' " +
+      "WHEN es >= fr AND es >= zh THEN 'es' " +
+      "WHEN fr >= zh THEN 'fr' ELSE 'zh' END AS lang_guess FROM sig), " +
+      "v AS (SELECT s.doc_id, s.token_count, s.quality_score, concat_ws(','" +
+      ", CASE WHEN lg.lang_guess <> s.lang THEN 'lang_mismatch' END" +
+      ", CASE WHEN s.quality_score < 0.4 THEN 'low_quality' END" +
+      ", CASE WHEN s.swc < 2 THEN 'no_stopwords' END" +
+      ", CASE WHEN COALESCE(t2.top_2gram_char_frac, 0.0) > 0.2 THEN 'rep_2gram' END" +
+      ", CASE WHEN COALESCE(d5.dup_5gram_char_frac, 0.0) > 0.15 THEN 'rep_5gram' END" +
+      ", CASE WHEN s.token_count > 100000 THEN 'too_long' END" +
+      ", CASE WHEN s.token_count < 30 THEN 'too_short' END" +
+      s", CASE WHEN $mwl < 3.0 OR $mwl > 10.0 THEN 'word_length' END" +
+      ") AS reasons FROM sig s JOIN lg USING (doc_id) " +
+      "LEFT JOIN top2 t2 USING (doc_id) LEFT JOIN dup5 d5 USING (doc_id)) " +
+      "SELECT doc_id, token_count, quality_score, reasons = '' AS keep, " +
+      "reasons FROM v ORDER BY doc_id"
+  }
 
   /** DuckDB replay of [[graft.functions.TextAnalysis.bm25Search]]: same
     * postings/df/global-stats pipeline, same rational idf, contributions
@@ -828,6 +899,16 @@ object SparkEntry {
         "SELECT term, count(DISTINCT doc_id) AS doc_freq, " +
         "count(*) AS term_freq FROM posting WHERE term <> '' " +
         "GROUP BY term ORDER BY term")),
+
+    // Composite C4/Gopher filter verdict at default thresholds: keep +
+    // ordered reason string per document, every arm replayed in SQL.
+    // 372/500 synthetic docs trip at least one check (lang_mismatch
+    // dominates — the corpus is English word-soup under non-en labels), so
+    // both keep values and multi-reason rows are exercised.
+    Q("q_text_filter_verdict",
+      (s, d) => TextAnalysis.filterVerdict(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(filterVerdictOracle)),
 
     // BM25 ranked retrieval (rational-idf variant — see bm25Search scaladoc)
     // over a mixed-rarity query: 'dup' has df≈25 vs ≈385 for the common
@@ -1107,24 +1188,7 @@ object SparkEntry {
     Q("q_text_repetition",
       (s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))
         .orderBy("doc_id"),
-      Some("WITH toks AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
-        s"$toksSql AS t FROM documents), " +
-        "g2 AS (SELECT doc_id, n_chars, unnest([t[i] || ' ' || t[i+1] " +
-        "FOR i IN range(1, len(t))]) AS g FROM toks), " +
-        "c2 AS (SELECT doc_id, g, any_value(n_chars) AS n_chars, " +
-        "count(*) AS c FROM g2 GROUP BY 1, 2), " +
-        "top2 AS (SELECT doc_id, g AS top_2gram, " +
-        "CAST(c * length(g) AS DOUBLE) / n_chars AS top_2gram_char_frac " +
-        "FROM (SELECT *, row_number() OVER (PARTITION BY doc_id " +
-        "ORDER BY c DESC, g) AS rn FROM c2) WHERE rn = 1), " +
-        "g5 AS (SELECT doc_id, n_chars, unnest([t[i] || ' ' || t[i+1] || ' ' || " +
-        "t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] " +
-        "FOR i IN range(1, len(t) - 3)]) AS g FROM toks), " +
-        "c5 AS (SELECT doc_id, g, any_value(n_chars) AS n_chars, " +
-        "count(*) AS c FROM g5 GROUP BY 1, 2), " +
-        "dup5 AS (SELECT doc_id, CAST(sum((c - 1) * length(g)) AS DOUBLE) " +
-        "/ any_value(n_chars) AS dup_5gram_char_frac " +
-        "FROM c5 WHERE c > 1 GROUP BY doc_id) " +
+      Some(s"WITH $repCtes " +
         "SELECT t.doc_id, top_2gram, top_2gram_char_frac, " +
         "COALESCE(dup_5gram_char_frac, 0.0) AS dup_5gram_char_frac " +
         "FROM top2 t LEFT JOIN dup5 d ON t.doc_id = d.doc_id " +

@@ -279,6 +279,74 @@ object TextAnalysis {
       .na.fill(0.0, Seq("dup_5gram_char_frac"))
   }
 
+  /** Composite C4/Gopher-style document filter VERDICT — the policy gate a
+    * pre-training corpus runs after the signal passes: every document gets
+    * `keep` plus a deterministic comma-joined `reasons` string naming each
+    * failed check (empty = clean). `docs.filter(col("keep"))` is the
+    * filtered corpus; grouping on `reasons` is the funnel report.
+    *
+    * Checks (fixed reason order; thresholds are caller policy, defaults
+    * follow C4/Gopher): expected-language agreement with [[langId]]
+    * (`lang_mismatch`), [[qualityFromParts]] score (`low_quality`),
+    * minimum stopword evidence (`no_stopwords`, Gopher's "has stop words"
+    * rule), [[repetitionStats]] 2-gram/5-gram caps (`rep_2gram`/
+    * `rep_5gram`, Gopher §A1.1), token-count bounds (`too_long`/
+    * `too_short`), and mean-word-length bounds (`word_length`, Gopher's
+    * 3–10 char rule).
+    *
+    * Scale shape: one tokenize-once projection computes every per-row
+    * signal inside the scan stage; the only shuffles are the two
+    * repetition aggregates, joined back on doc_id. All comparisons are on
+    * bit-deterministic doubles (see the signal operators), so the verdict
+    * — and its DuckDB replay — is exact, not approximate.
+    */
+  def filterVerdict(docs: DataFrame, textCol: String = "text",
+      expectedLangCol: Option[String] = Some("lang"),
+      minTokens: Int = 30, maxTokens: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minStopwords: Int = 2, minQuality: Double = 0.4,
+      maxTop2GramFrac: Double = 0.20, maxDup5GramFrac: Double = 0.15): DataFrame = {
+    val t = col(textCol)
+    val tk = col("__toks")
+    val tokenCountC = size(tk).cast("long")
+    val stopwordCountC = stopwordCountFromTokens(tk).cast("long")
+    val wordChars = aggregate(
+      transform(tk, x => length(x).cast("long")), lit(0L), (a, x) => a + x)
+    val baseCols = Seq(col("doc_id")) ++
+      expectedLangCol.map(c => col(c).as("__explang")) ++
+      Seq(t, tokens(t).as("__toks"))
+    val sig = docs.select(baseCols: _*).select(Seq(
+      col("doc_id"),
+      tokenCountC.as("token_count"),
+      (wordChars.cast("double") / greatest(tokenCountC, lit(1L)).cast("double"))
+        .as("__mwl"),
+      stopwordCountC.as("__swc"),
+      qualityFromParts(tokenCountC, punctCount(t).cast("long"), length(t),
+        stopwordCountC).as("quality_score")) ++
+      expectedLangCol.map(_ =>
+        (langIdFromTokens(tk) === col("__explang")).as("__langok")): _*)
+
+    val rep = repetitionStats(docs, textCol)
+      .select(col("doc_id"), col("top_2gram_char_frac"), col("dup_5gram_char_frac"))
+    val joined = sig.join(rep, Seq("doc_id"), "left")
+      .withColumn("__f2", coalesce(col("top_2gram_char_frac"), lit(0.0)))
+      .withColumn("__f5", coalesce(col("dup_5gram_char_frac"), lit(0.0)))
+
+    val reasons = concat_ws(",",
+      (expectedLangCol.map(_ => when(not(col("__langok")), lit("lang_mismatch"))).toSeq ++ Seq(
+        when(col("quality_score") < minQuality, lit("low_quality")),
+        when(col("__swc") < minStopwords, lit("no_stopwords")),
+        when(col("__f2") > maxTop2GramFrac, lit("rep_2gram")),
+        when(col("__f5") > maxDup5GramFrac, lit("rep_5gram")),
+        when(col("token_count") > maxTokens, lit("too_long")),
+        when(col("token_count") < minTokens, lit("too_short")),
+        when(col("__mwl") < minMeanWordLen || col("__mwl") > maxMeanWordLen,
+          lit("word_length")))): _*)
+
+    joined.select(col("doc_id"), col("token_count"), col("quality_score"),
+      (reasons === "").as("keep"), reasons.as("reasons"))
+  }
+
   /** PII detection counts + redaction — the scrub pass a training corpus
     * runs before anything ships. Deliberately simple, engine-portable
     * regexes (both Java regex and RE2 accept them with identical

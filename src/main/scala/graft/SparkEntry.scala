@@ -874,6 +874,20 @@ object SparkEntry {
         "WHEN '1' THEN 5000 WHEN '2' THEN 1000 ELSE 0 END " +
         "ORDER BY doc_id")),
 
+    // Per-source quota ("domain cap"): each source keeps its 15 lowest-
+    // (fingerprint, doc_id) docs of 25 — the domain-balancing verdict,
+    // content-keyed so re-ingest keeps the same documents.
+    Q("q_sample_domain_cap",
+      (s, d) => graft.functions.Sampling.domainCap(
+        Tables.documents(s, d), maxPerSource = 15)
+        .orderBy("doc_id"),
+      Some(s"$fpCte, r AS (SELECT d.doc_id, d.source, " +
+        "row_number() OVER (PARTITION BY d.source " +
+        "ORDER BY fingerprint ASC NULLS LAST, d.doc_id) AS domain_rank " +
+        "FROM documents d JOIN fp ON d.doc_id = fp.doc_id) " +
+        "SELECT doc_id, source, CAST(domain_rank AS INT) AS domain_rank, " +
+        "domain_rank <= 15 AS keep FROM r ORDER BY doc_id")),
+
     // Keyword extraction: per-doc top-3 terms by exact frequency (integer
     // tf, no floating-point IDF ⇒ cross-engine deterministic).
     Q("q_text_top_terms",

@@ -81,6 +81,40 @@ object Sampling {
         (col("cum") % seqTokens).as("pack_offset"))
   }
 
+  /** Per-source quota ("domain cap") — bound any one source's share of the
+    * corpus, the balancing pass that stops a boilerplate-heavy domain from
+    * dominating a crawl-derived training set. Each source keeps its
+    * `maxPerSource` lowest-(fingerprint, doc_id) documents: content-keyed
+    * like every sampler here, so reruns keep the SAME documents even after
+    * re-ingest re-assigns doc_ids — a duplicate re-crawled tomorrow has the
+    * same fingerprint and the same priority.
+    *
+    * Output: (doc_id, source, domain_rank, keep) — a verdict to join back,
+    * not a filtered corpus, so the funnel stays inspectable.
+    *
+    * Scale shape: the window sorts a THREE-column projection (ids + 58-bit
+    * hash, ~24 bytes/row) partitioned by source — text never shuffles. A
+    * pathologically hot domain lands on one task; at the point a single
+    * domain exceeds a task's sort budget (~10^9 rows at this width), switch
+    * to [[stratifiedSample]] with a per-domain rate — the approximate form
+    * of the same policy.
+    */
+  def domainCap(docs: DataFrame, maxPerSource: Int,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(maxPerSource > 0, "cap must be positive")
+    // NULLS LAST explicitly: Spark defaults null-first on ASC, ANSI engines
+    // null-last — null text must not silently occupy top quota slots.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(col("__fp").asc_nulls_last, col("doc_id"))
+    docs
+      .select(col("doc_id"), col(sourceCol),
+        TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .withColumn("domain_rank", row_number().over(w))
+      .select(col("doc_id"), col(sourceCol), col("domain_rank"),
+        (col("domain_rank") <= maxPerSource).as("keep"))
+  }
+
   /** Deterministic stratified sampling: keep a row iff its content-hash
     * bucket (out of 10,000) falls below the stratum's rate. `rates` maps a
     * stratum value to a keep-fraction in [0, 1]; strata absent from the map

@@ -437,4 +437,120 @@ class PipelineSpec extends SparkSpec {
     assert(f(7L).width == 11L && f(7L).height == 7L && f(7L).channels == 3L,
       s"GIF screen descriptor: got ${f(7L)}")
   }
+
+  test("semantic dedup: keep rule matches a local recomputation; dup drops; zero-norm excluded") {
+    // two co-directional vectors (forced same cell by any quantizer), a
+    // spread of others, and a zero vector (no cosine semantics)
+    val fix = vecs(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0.999f, 0.001f, 0f, 0f)), // same direction as 0 → must drop
+      (2L, Seq(0f, 1f, 0f, 0f)),
+      (3L, Seq(0f, 0.9f, 0.3f, 0f)),
+      (4L, Seq(0f, 0f, 1f, 0f)),
+      (5L, Seq(0f, 0f, 0f, 0f)))         // zero norm → excluded
+    val out = Dedup.semanticDedup(fix, threshold = 0.9,
+      centroids = 2, sampleSize = 5, iters = 2)
+      .orderBy("vec_id")
+      .as[(Long, Int, Option[Double], Boolean)].collect()
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L), "zero-norm excluded")
+    assert(!out.find(_._1 == 1L).get._4, "co-directional duplicate must drop")
+
+    // the contract, independently of where k-means put the cells: keep iff
+    // no lower-id same-cluster vector has cosine >= threshold
+    val unit = Map(
+      0L -> Array(1.0, 0, 0, 0),
+      1L -> { val n = math.sqrt(0.999 * 0.999 + 0.001 * 0.001)
+        Array(0.999 / n, 0.001 / n, 0, 0) },
+      2L -> Array(0.0, 1, 0, 0),
+      3L -> { val n = math.sqrt(0.81 + 0.09)
+        Array(0.0, 0.9 / n, 0.3 / n, 0) },
+      4L -> Array(0.0, 0, 1, 0))
+    val cluster = out.map(r => r._1 -> r._2).toMap
+    out.foreach { case (id, cl, maxSim, keep) =>
+      val lower = cluster.collect { case (i, c) if c == cl && i < id =>
+        unit(i).zip(unit(id)).map { case (a, b) => a * b }.sum }
+      val expectMax = if (lower.isEmpty) None else Some(lower.max)
+      expectMax.zip(maxSim).foreach { case (e, g) => assert(math.abs(e - g) < 1e-6) }
+      assert(expectMax.isEmpty == maxSim.isEmpty)
+      assert(keep == maxSim.forall(_ < 0.9), s"keep rule broken for vec $id")
+    }
+  }
+
+  test("bm25: idf weighting, length normalization, term-fold determinism") {
+    val corpus = docs(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana"),
+      (4L, "cherry cherry cherry cherry"))
+    val out = TextAnalysis.bm25Search(corpus, Seq("apple", "banana"), k = 4)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    // hand replay: N=4, df=2 for both terms ⇒ idf=1.0; avgdl=3
+    def contrib(tf: Double, dl: Double) =
+      1.0 * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    val expect = Seq(
+      (1L, 2L, contrib(2, 3) + contrib(1, 3)), // both terms
+      (3L, 1L, contrib(3, 3)),
+      (2L, 1L, contrib(1, 2)))
+    assert(out.length == 3, "doc 4 matches no term")
+    out.zip(expect).zipWithIndex.foreach { case (((id, nm, score, rank), (eid, enm, esc)), i) =>
+      assert(id == eid && nm == enm && rank == i + 1)
+      assert(math.abs(score - esc) < 1e-12)
+    }
+  }
+
+  test("filter verdict: every arm fires with its reason; clean doc keeps") {
+    val clean = "the red fox and his kit ran out of the old barn is " +
+      "with them came four more foxes over green hills toward warm sun " +
+      "while birds sang songs about long summer days ahead"
+    val fix = Seq(
+      (1L, clean, "en"),
+      (2L, "word " * 10, "en"),                  // short, no stopwords, und
+      (3L, "spam ham " * 40, "en"),              // repetition both arms
+      (4L, ("ab cd " * 20) + "the is and of with", "en"), // tiny words
+      (5L, clean, "fr"))                         // right text, wrong label
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.filterVerdict(fix)
+      .orderBy("doc_id")
+      .select("doc_id", "keep", "reasons")
+      .as[(Long, Boolean, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((true, "")), s"clean doc: ${out(1L)}")
+    // a one-word doc is also maximally repetitive — both rep arms fire
+    assert(out(2L)._2 ==
+      "lang_mismatch,low_quality,no_stopwords,rep_2gram,rep_5gram,too_short")
+    assert(!out(3L)._1 && out(3L)._2.contains("rep_2gram") && out(3L)._2.contains("rep_5gram"))
+    assert(!out(4L)._1 && out(4L)._2.contains("word_length"))
+    assert(out(5L) == ((false, "lang_mismatch")))
+
+    // no expected-lang column: the lang arm disappears, rest unchanged
+    val noLang = TextAnalysis.filterVerdict(fix.drop("lang"), expectedLangCol = None)
+      .orderBy("doc_id").select("doc_id", "keep", "reasons")
+      .as[(Long, Boolean, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(noLang(5L) == ((true, "")))
+    assert(noLang(2L)._2 ==
+      "low_quality,no_stopwords,rep_2gram,rep_5gram,too_short")
+  }
+
+  test("domain cap: per-source quota by (fingerprint, doc_id), null text last") {
+    val fix = Seq(
+      (1L, "alpha alpha", "A"), (2L, "beta beta", "A"), (3L, "gamma gamma", "A"),
+      (4L, null.asInstanceOf[String], "A"),
+      (5L, "delta", "B"), (6L, "epsilon", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.functions.Sampling.domainCap(fix, maxPerSource = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Int, Boolean)].collect()
+    // ranks are a permutation per source; keep = rank <= cap
+    val bySrc = out.groupBy(_._2)
+    assert(bySrc("A").map(_._3).sorted.toSeq == Seq(1, 2, 3, 4))
+    assert(bySrc("B").map(_._3).sorted.toSeq == Seq(1, 2))
+    out.foreach { case (_, _, r, keep) => assert(keep == (r <= 2)) }
+    // null text (null fingerprint) must take the LAST rank, never a quota slot
+    assert(out.find(_._1 == 4L).get._3 == 4)
+    // ranking follows the content fingerprint order within the source
+    val fps = fix.filter($"text".isNotNull && $"source" === "A")
+      .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+      .as[(Long, Long)].collect().sortBy(_._2).map(_._1).toSeq
+    val ranked = out.filter(r => r._2 == "A" && r._1 != 4L).sortBy(_._3).map(_._1).toSeq
+    assert(ranked == fps)
+  }
 }

@@ -1239,6 +1239,27 @@ object SparkEntry {
       Some(ivfTrainedOracle(dim = 64, sampleSize = 256, centroids = 8,
         iters = 2, nprobe = 3, topk = 10))),
 
+    // Semantic contamination screen: every non-benchmark vector's max
+    // cosine against the 10-vector "benchmark" slice (vec_id % 50 = 0) —
+    // the paraphrase-leak check the trigram screen can't do. Benchmark
+    // broadcasts; the corpus never shuffles (scan-side partial max).
+    Q("q_sim_contamination",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Dedup.semanticContamination(
+          emb.filter(col("vec_id") % 50 =!= 0),
+          emb.filter(col("vec_id") % 50 === 0),
+          threshold = 0.35)
+          .orderBy("vec_id")
+      },
+      Some(s"WITH $normEmbCte, " +
+        "b AS (SELECT vec_id AS bench_id, v AS bv FROM nv WHERE vec_id % 50 = 0), " +
+        "c AS (SELECT vec_id, v FROM nv WHERE vec_id % 50 <> 0), " +
+        "m AS (SELECT c.vec_id, max(" + dotSql("c.v", "b.bv") + ") AS max_bench_sim " +
+        "FROM c CROSS JOIN b GROUP BY c.vec_id) " +
+        "SELECT vec_id, max_bench_sim, max_bench_sim >= 0.35 AS contaminated " +
+        "FROM m ORDER BY vec_id")),
+
     // SemDeDup: semantic dedup via the SAME trained quantizer — cluster,
     // then drop any vector with cosine ≥ 0.35 to a lower-id cluster-mate.
     // The oracle replays fit + assignment + the pairwise max, so it gates

@@ -469,6 +469,31 @@ object Dedup {
         (col("max_lower_sim").isNull || col("max_lower_sim") < threshold).as("keep"))
   }
 
+  /** SEMANTIC contamination screen — the embedding analog of
+    * [[benchmarkContamination]]: for every training vector, its maximum
+    * cosine against the benchmark/eval corpus and whether that crosses the
+    * contamination threshold. Catches paraphrased or re-worded eval leakage
+    * that shares no n-grams with the benchmark text (the failure mode the
+    * trigram screen is blind to); run both.
+    *
+    * Scale shape: mirrors [[Similarity.bruteForceTopK]] — eval suites are
+    * thousands of vectors, so the benchmark side broadcasts and the
+    * training corpus streams through one scan with no shuffle at all (the
+    * per-vector max is computed by a partial aggregate on the scan side).
+    * Doubles are bit-deterministic: fused fold-left dots, order-free max.
+    */
+  def semanticContamination(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double): DataFrame = {
+    val c = Similarity.normalized(corpus)
+    val b = Similarity.normalized(benchmark)
+      .select(col("vec_id").as("bench_id"), col("v").as("bv"))
+    c.join(broadcast(b))
+      .groupBy(col("vec_id"))
+      .agg(max(Similarity.dot(col("v"), col("bv"))).as("max_bench_sim"))
+      .select(col("vec_id"), col("max_bench_sim"),
+        (col("max_bench_sim") >= threshold).as("contaminated"))
+  }
+
   /** Embedding near-dup pairs: sign-bit LSH over the vector (bands of
     * `bitsPerBand` sign bits each) generates candidates; exact cosine ≥
     * threshold verifies. Approximate by construction — pairs whose sign

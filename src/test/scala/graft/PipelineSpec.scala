@@ -476,6 +476,17 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("semantic contamination: max-cosine vs benchmark, flag at threshold") {
+    val corpus = vecs((10L, Seq(1f, 0f, 0f, 0f)), (11L, Seq(0f, 0f, 1f, 0f)))
+    val bench = vecs((0L, Seq(0.9f, 0.1f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+    val out = Dedup.semanticContamination(corpus, bench, threshold = 0.9)
+      .orderBy("vec_id").as[(Long, Double, Boolean)].collect()
+    assert(out.map(_._1).toSeq == Seq(10L, 11L))
+    assert(out(0)._3, "near-parallel to a benchmark vector → contaminated")
+    assert(math.abs(out(0)._2 - 0.9 / math.sqrt(0.82)) < 1e-6)
+    assert(!out(1)._3 && math.abs(out(1)._2) < 1e-6, "orthogonal to both")
+  }
+
   test("bm25: idf weighting, length normalization, term-fold determinism") {
     val corpus = docs(
       (1L, "apple banana apple"),

@@ -562,14 +562,20 @@ object SparkEntry {
     * 2^58-27 over the normalized text). Shared by the fingerprint query and
     * both content-keyed sampling queries.
     */
-  private val fpCte: String =
-    "WITH n AS (SELECT doc_id, " +
+  private val fpCte: String = "WITH " + fpCtesBody
+
+  /** [[fpCte]] without the WITH keyword, for composition into larger CTE
+    * chains (the curation-pipeline oracle). The fingerprint CTE is named
+    * `fp`; its normalization input CTE is `fpn`.
+    */
+  private lazy val fpCtesBody: String =
+    "fpn AS (SELECT doc_id, " +
       "lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm FROM documents), " +
       "fp AS (SELECT doc_id, list_reduce(" +
       "list_prepend(CAST(0 AS BIGINT), " +
       "[CAST(unicode(c) AS BIGINT) FOR c IN regexp_extract_all(norm, '.')]), " +
       s"(acc, x) -> (acc * 31 + x) % ${graft.functions.RollingHash.Modulus}) " +
-      "AS fingerprint FROM n)"
+      "AS fingerprint FROM fpn)"
 
   /** DuckDB CTE chain `toks … top2 … dup5`: the Gopher repetition signals
     * (shared by q_text_repetition and the composite filter verdict).
@@ -605,9 +611,49 @@ object SparkEntry {
     * repetition from [[repCtes]]), then the same fixed-order concat_ws of
     * CASE reasons. concat_ws skips NULLs identically in both engines.
     */
-  private val filterVerdictOracle: String = {
+  private val filterVerdictOracle: String =
+    s"WITH $verdictCtes " +
+      "SELECT doc_id, token_count, quality_score, reasons = '' AS keep, " +
+      "reasons FROM v ORDER BY doc_id"
+
+  /** DuckDB replay of [[graft.functions.Curate.curate]] — all five stages
+    * (filter verdict, exact dedup by fingerprint, domain cap, hash split,
+    * shard-local packing) composed from their individually-gated fragments
+    * into one manifest query.
+    */
+  private lazy val curateOracle: String =
+    s"WITH $verdictCtes, $fpCtesBody, " +
+      "kept AS (SELECT d.doc_id, d.source, v.token_count, f.fingerprint " +
+      "FROM documents d JOIN v ON d.doc_id = v.doc_id " +
+      "JOIN fp f ON d.doc_id = f.doc_id WHERE v.reasons = ''), " +
+      "dd AS (SELECT doc_id, source, token_count, fingerprint FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) " +
+      "AS rn FROM kept) WHERE rn = 1), " +
+      "cap AS (SELECT doc_id, source, token_count, fingerprint FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY source " +
+      "ORDER BY fingerprint ASC NULLS LAST, doc_id) AS drank FROM dd) " +
+      "WHERE drank <= 15), " +
+      "sp AS (SELECT doc_id, source, token_count, " +
+      "CASE WHEN fingerprint % 100 < 95 THEN 'train' " +
+      "WHEN fingerprint % 100 < 98 THEN 'val' ELSE 'test' END AS split FROM cap), " +
+      "tr AS (SELECT doc_id, token_count, doc_id % 8 AS shard FROM sp " +
+      "WHERE split = 'train'), " +
+      "cum AS (SELECT doc_id, COALESCE(sum(token_count) OVER (PARTITION BY shard " +
+      "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+      "AS cum FROM tr), " +
+      "pk AS (SELECT doc_id, CAST(floor(cum / 512.0) AS BIGINT) AS pack_id, " +
+      "cum % 512 AS pack_offset FROM cum) " +
+      "SELECT s.doc_id, s.source, s.token_count, s.split, pk.pack_id, " +
+      "pk.pack_offset FROM sp s LEFT JOIN pk ON s.doc_id = pk.doc_id " +
+      "ORDER BY s.doc_id"
+
+  /** CTE chain ending in `v(doc_id, token_count, quality_score, reasons)` —
+    * the verdict body shared by q_text_filter_verdict and the end-to-end
+    * curation pipeline oracle.
+    */
+  private lazy val verdictCtes: String = {
     val mwl = "(CAST(s.wc AS DOUBLE) / CAST(greatest(s.token_count, 1) AS DOUBLE))"
-    s"WITH $repCtes, " +
+    s"$repCtes, " +
       "sig AS (SELECT doc_id, lang, " +
       s"CAST(len($toksSql) AS BIGINT) AS token_count, " +
       s"CAST(COALESCE(list_sum([CAST(length(x) AS BIGINT) FOR x IN $toksSql]), 0) " +
@@ -639,9 +685,7 @@ object SparkEntry {
       ", CASE WHEN s.token_count < 30 THEN 'too_short' END" +
       s", CASE WHEN $mwl < 3.0 OR $mwl > 10.0 THEN 'word_length' END" +
       ") AS reasons FROM sig s JOIN lg USING (doc_id) " +
-      "LEFT JOIN top2 t2 USING (doc_id) LEFT JOIN dup5 d5 USING (doc_id)) " +
-      "SELECT doc_id, token_count, quality_score, reasons = '' AS keep, " +
-      "reasons FROM v ORDER BY doc_id"
+      "LEFT JOIN top2 t2 USING (doc_id) LEFT JOIN dup5 d5 USING (doc_id))"
   }
 
   /** DuckDB replay of [[graft.functions.TextAnalysis.bm25Search]]: same
@@ -711,15 +755,6 @@ object SparkEntry {
   private def dotSql(a: String, b: String): String =
     foldSumSql(s"[$a[i] * $b[i] FOR i IN range(1, len($b) + 1)]")
 
-  /** DuckDB replay of [[graft.functions.Similarity.ivfTrainedTopK]]'s whole
-    * spherical-k-means fit + IVF search. Mirrors the Scala training loop
-    * step for step: sample = lowest `sampleSize` vec_ids; init = first
-    * `centroids` of those; per round, assign by best fold-left dot (ties →
-    * lowest cid) then remean (members folded in vec_id order) and
-    * L2-renormalize, empty/zero-norm cells keeping the previous centroid;
-    * finally assign the corpus, probe each query's `nprobe` best cells, and
-    * rank exact scores.
-    */
   /** DuckDB replay of the whole spherical-k-means fit + corpus assignment
     * (CTEs through `cass(vec_id, v, bucket)`) — the shared front half of the
     * trained-IVF and SemDeDup oracles. Mirrors the Scala training loop step
@@ -1194,6 +1229,16 @@ object SparkEntry {
         "SELECT doc_id, token_count, shard, " +
         "CAST(floor(cum / 512.0) AS BIGINT) AS pack_id, " +
         "cum % 512 AS pack_offset FROM c ORDER BY doc_id")),
+
+    // The END-TO-END curation pipeline: filter verdict → exact dedup →
+    // domain cap → content-keyed split → train-split packing, one manifest
+    // row per surviving document. The oracle replays ALL FIVE stages in a
+    // single composed query — the flagship demonstration that the gated
+    // operators compose without semantic drift.
+    Q("q_pipeline_curate",
+      (s, d) => graft.functions.Curate.curate(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(curateOracle)),
 
     // Gopher-style repetition filters (Rae et al. §A1.1): fraction of
     // characters under the most frequent word 2-gram, and under redundant

@@ -541,6 +541,36 @@ class PipelineSpec extends SparkSpec {
       "low_quality,no_stopwords,rep_2gram,rep_5gram,too_short")
   }
 
+  test("curate: five-stage manifest — filter, dedup, cap, split, pack") {
+    val clean = "the red fox and his kit ran out of the old barn is " +
+      "with them came four more foxes over green hills toward warm sun " +
+      "while birds sang songs about long summer days ahead"
+    val clean2 = clean.replace("red", "grey")
+    val fix = Seq(
+      (1L, clean, "en", "A"),
+      (2L, "word " * 10, "en", "A"),   // fails the filter
+      (3L, clean, "en", "A"),          // exact dup of 1 → collapses to 1
+      (4L, clean2, "en", "B"),
+      (5L, clean2, "en", "B"))         // dup of 4 → collapses to 4
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Curate.curate(fix, seqTokens = 16, shards = 1, maxPerSource = 1)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, String, Option[Long], Option[Long])].collect()
+    // 2 fails filter; 3 and 5 are dups; cap=1 keeps one doc per source
+    assert(out.map(_._1).toSeq == Seq(1L, 4L), s"survivors: ${out.mkString(",")}")
+    out.foreach { case (_, _, tc, split, packId, packOff) =>
+      assert(tc == 34L)
+      if (split == "train") assert(packId.nonEmpty && packOff.nonEmpty)
+      else assert(packId.isEmpty && packOff.isEmpty)
+    }
+    // shard-local cumsum: with one shard, pack assignments follow doc order
+    val train = out.filter(_._4 == "train")
+    val cums = train.map(_._3).scanLeft(0L)(_ + _).init
+    train.zip(cums).foreach { case ((_, _, _, _, pid, poff), cum) =>
+      assert(pid.get == cum / 16 && poff.get == cum % 16)
+    }
+  }
+
   test("domain cap: per-source quota by (fingerprint, doc_id), null text last") {
     val fix = Seq(
       (1L, "alpha alpha", "A"), (2L, "beta beta", "A"), (3L, "gamma gamma", "A"),

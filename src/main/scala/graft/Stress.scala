@@ -27,6 +27,7 @@ object Stress {
       case "recall" :: dir :: Nil    => recall(spark, dir)
       case "sessions" :: hot :: rest :: Nil => sessions(spark, hot.toLong, rest.toLong)
       case "chain" :: n :: Nil       => chain(spark, n.toLong)
+      case "semdedup" :: nc :: per :: Nil => semdedup(spark, nc.toInt, per.toInt)
       case other => sys.error(s"unknown args: $other")
     }
     spark.stop()
@@ -112,6 +113,55 @@ object Stress {
         s"j -> sin((id div $perCluster) * 131.7D + j * 17.3D) " +
         s"+ 0.1D * sin(id * 37.9D + j * 5.1D))")
         .cast("array<float>").as("embedding"))
+
+  /** SemDeDup at scale: pair work is Σ|cell|², so the centroid count is the
+    * cost dial — this probe measures drops-vs-ground-truth recall, the
+    * computed pair volume, and runtime across centroid counts on the
+    * clustered corpus (ground truth = the same min-id keep rule evaluated
+    * exhaustively within each GENERATOR cluster, which the jittered corpus
+    * makes exact by construction: cross-cluster cosines sit far below τ).
+    */
+  private def semdedup(spark: SparkSession, nClusters: Int, perCluster: Int): Unit = {
+    val tau = 0.9
+    // DECORRELATED clusters (unlike [[structuredEmbeddings]], whose shared
+    // j-frequency makes base directions of different clusters correlate as
+    // ~cos(Δphase) — fine for ranking probes, wrong for a dedup probe where
+    // cross-cluster pairs must sit far below τ): a per-cluster frequency
+    // term drives cross-cluster cosines to near zero.
+    val dim = 64
+    val emb = spark.range(nClusters.toLong * perCluster).select(
+      col("id").as("vec_id"),
+      expr(s"transform(sequence(0, ${dim - 1}), " +
+        s"j -> sin((id div $perCluster) * 131.7D + " +
+        s"j * (17.3D + (id div $perCluster) % 97 * 0.39D)) " +
+        s"+ 0.1D * sin(id * 37.9D + j * 5.1D))")
+        .cast("array<float>").as("embedding"))
+      .localCheckpoint(true)
+
+    // ground truth: min-id keep rule within generator clusters, exhaustive
+    val g = emb.select(col("vec_id"), expr(s"vec_id div $perCluster").as("gid"),
+      col("embedding").cast("array<double>").as("v"))
+    val truth = g.as("a").join(g.as("b"),
+        col("a.gid") === col("b.gid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(Similarity.cosine(col("a.v"), col("b.v")) >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct().localCheckpoint(true)
+    val nTruth = truth.count()
+
+    for (k <- Seq(8, 64, 256)) {
+      val t0 = System.nanoTime()
+      val out = Dedup.semanticDedup(emb, tau, centroids = k,
+        sampleSize = 512, iters = 2).localCheckpoint(true)
+      val drops = out.filter(!col("keep")).select("vec_id").localCheckpoint(true)
+      val nDrops = drops.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val hit = drops.join(truth, "vec_id").count()
+      val pairWork = out.groupBy(col("cluster")).count()
+        .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
+        .collect()(0).getLong(0)
+      println(f"[stress] semdedup k=$k%-4d drops=$nDrops (truth=$nTruth, " +
+        f"recall=${hit.toDouble / nTruth}%.3f) pairs=$pairWork time=$secs%.1fs")
+    }
+  }
 
   /** IVF recall@10 against exact brute-force — both coarse quantizers
     * (sign-bit and trained k-means), on both corpus shapes (the sfDir's

@@ -600,8 +600,34 @@ object SparkEntry {
       "/ any_value(n_chars) AS dup_5gram_char_frac " +
       "FROM c5 WHERE c > 1 GROUP BY doc_id)"
 
-  /** DuckDB stopword list matching [[TextAnalysis.DefaultStopwords]]. */
-  private val stopSql = "('the', 'a', 'an', 'of', 'and', 'in', 'is', 'to')"
+  private def inListSql(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** DuckDB stopword list RENDERED FROM [[TextAnalysis.DefaultStopwords]] —
+    * a change to the Scala constant flows into every oracle that mentions
+    * stopwords, so the two engines cannot silently diverge.
+    */
+  private val stopSql = inListSql(TextAnalysis.DefaultStopwords)
+
+  /** Marker-count column list + earliest-argmax CASE, both rendered from
+    * [[graft.functions.LangId.Markers]] (same no-silent-divergence rule as
+    * [[stopSql]]). The CASE cascade is the earliest-argmax: branch k fires
+    * only when lang_k >= every later language and all earlier branches
+    * failed.
+    */
+  private def langMarkerColsSql(toksExpr: String): String =
+    graft.functions.LangId.Markers.map { case (l, ws) =>
+      s"len(list_filter($toksExpr, x -> x IN ${inListSql(ws)})) AS $l"
+    }.mkString(", ")
+
+  private val langGuessCaseSql: String = {
+    val names = graft.functions.LangId.Markers.map(_._1)
+    s"CASE WHEN greatest(${names.mkString(", ")}) = 0 THEN 'und' " +
+      names.init.zipWithIndex.map { case (l, i) =>
+        "WHEN " + names.drop(i + 1).map(r => s"$l >= $r").mkString(" AND ") +
+          s" THEN '$l' "
+      }.mkString + s"ELSE '${names.last}' END"
+  }
 
   private val Bm25Terms = Seq("spark", "window", "dup")
 
@@ -664,17 +690,8 @@ object SparkEntry {
       "/ CAST(greatest(length(text), 1) AS DOUBLE)) " +
       s"+ 0.2 * (CAST(len(list_filter($toksSql, x -> x IN $stopSql)) AS DOUBLE) " +
       s"/ greatest(CAST(len($toksSql) AS DOUBLE), 1.0)) AS quality_score, " +
-      s"len(list_filter($toksSql, x -> x IN ('the','and','of','is','with'))) AS en, " +
-      s"len(list_filter($toksSql, x -> x IN ('der','die','und','ist','mit'))) AS de, " +
-      s"len(list_filter($toksSql, x -> x IN ('el','los','y','es','con'))) AS es, " +
-      s"len(list_filter($toksSql, x -> x IN ('le','les','et','est','avec'))) AS fr, " +
-      s"len(list_filter($toksSql, x -> x IN ('的','是','了','在','和'))) AS zh " +
-      "FROM documents), " +
-      "lg AS (SELECT doc_id, CASE WHEN greatest(en, de, es, fr, zh) = 0 THEN 'und' " +
-      "WHEN en >= de AND en >= es AND en >= fr AND en >= zh THEN 'en' " +
-      "WHEN de >= es AND de >= fr AND de >= zh THEN 'de' " +
-      "WHEN es >= fr AND es >= zh THEN 'es' " +
-      "WHEN fr >= zh THEN 'fr' ELSE 'zh' END AS lang_guess FROM sig), " +
+      langMarkerColsSql(toksSql) + " FROM documents), " +
+      s"lg AS (SELECT doc_id, $langGuessCaseSql AS lang_guess FROM sig), " +
       "v AS (SELECT s.doc_id, s.token_count, s.quality_score, concat_ws(','" +
       ", CASE WHEN lg.lang_guess <> s.lang THEN 'lang_mismatch' END" +
       ", CASE WHEN s.quality_score < 0.4 THEN 'low_quality' END" +
@@ -835,13 +852,11 @@ object SparkEntry {
         s"[CAST(floor(greatest(length(x) - 4, 0) / 4.0) AS BIGINT) FOR x IN $toksSql]), 0) " +
         "AS BIGINT) AS subword_count, " +
         "length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct_count, " +
-        s"len(list_filter($toksSql, x -> x IN " +
-        "('the', 'a', 'an', 'of', 'and', 'in', 'is', 'to'))) AS stopword_count, " +
+        s"len(list_filter($toksSql, x -> x IN $stopSql)) AS stopword_count, " +
         "0.5 * least(CAST(len(" + toksSql + ") AS DOUBLE) / 100.0, 1.0) " +
         "+ 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) " +
         "/ CAST(greatest(length(text), 1) AS DOUBLE)) " +
-        s"+ 0.2 * (CAST(len(list_filter($toksSql, x -> x IN " +
-        "('the', 'a', 'an', 'of', 'and', 'in', 'is', 'to'))) AS DOUBLE) " +
+        s"+ 0.2 * (CAST(len(list_filter($toksSql, x -> x IN $stopSql)) AS DOUBLE) " +
         s"/ greatest(CAST(len($toksSql) AS DOUBLE), 1.0)) AS quality_score " +
         "FROM documents ORDER BY doc_id")),
 
@@ -857,18 +872,8 @@ object SparkEntry {
           TextAnalysis.langIdFromTokens(col("__toks")).as("lang_guess"))
         .orderBy("doc_id"),
       Some("WITH t AS (SELECT doc_id, " + toksSql + " AS toks FROM documents), " +
-        "s AS (SELECT doc_id, " +
-        "len(list_filter(toks, x -> x IN ('the','and','of','is','with'))) AS en, " +
-        "len(list_filter(toks, x -> x IN ('der','die','und','ist','mit'))) AS de, " +
-        "len(list_filter(toks, x -> x IN ('el','los','y','es','con'))) AS es, " +
-        "len(list_filter(toks, x -> x IN ('le','les','et','est','avec'))) AS fr, " +
-        "len(list_filter(toks, x -> x IN ('的','是','了','在','和'))) AS zh " +
-        "FROM t) " +
-        "SELECT doc_id, CASE WHEN greatest(en, de, es, fr, zh) = 0 THEN 'und' " +
-        "WHEN en >= de AND en >= es AND en >= fr AND en >= zh THEN 'en' " +
-        "WHEN de >= es AND de >= fr AND de >= zh THEN 'de' " +
-        "WHEN es >= fr AND es >= zh THEN 'es' " +
-        "WHEN fr >= zh THEN 'fr' ELSE 'zh' END AS lang_guess " +
+        "s AS (SELECT doc_id, " + langMarkerColsSql("toks") + " FROM t) " +
+        s"SELECT doc_id, $langGuessCaseSql AS lang_guess " +
         "FROM s ORDER BY doc_id")),
 
     // Rolling-hash fingerprint: the oracle replays RollingHash.compute
@@ -931,7 +936,7 @@ object SparkEntry {
       Some("WITH posting AS (SELECT doc_id, unnest(" + toksSql + ") AS term " +
         "FROM documents), " +
         "tf AS (SELECT doc_id, term, count(*) AS tf FROM posting " +
-        "WHERE term NOT IN ('the','a','an','of','and','in','is','to') " +
+        s"WHERE term NOT IN $stopSql " +
         "AND term <> '' GROUP BY 1, 2), " +
         "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
         "ORDER BY tf DESC, term) AS rank FROM tf) " +

@@ -126,14 +126,17 @@ object Stress {
     // DECORRELATED clusters (unlike [[structuredEmbeddings]], whose shared
     // j-frequency makes base directions of different clusters correlate as
     // ~cos(Δphase) — fine for ranking probes, wrong for a dedup probe where
-    // cross-cluster pairs must sit far below τ): a per-cluster frequency
-    // term drives cross-cluster cosines to near zero.
+    // cross-cluster pairs must sit far below τ): hash-style double mixing
+    // (outer sin of a magnified inner sin — any construction LINEAR in j
+    // aliases some cluster pairs back above τ). Verified over all 2M
+    // cluster pairs at 2000×64: max cross-cluster |cos| = 0.61, min
+    // within-cluster cos = 0.989, so at τ = 0.9 the within-cluster pair
+    // set IS the exact ground truth.
     val dim = 64
     val emb = spark.range(nClusters.toLong * perCluster).select(
       col("id").as("vec_id"),
       expr(s"transform(sequence(0, ${dim - 1}), " +
-        s"j -> sin((id div $perCluster) * 131.7D + " +
-        s"j * (17.3D + (id div $perCluster) % 97 * 0.39D)) " +
+        s"j -> sin(43758.5453D * sin((id div $perCluster) * 12.9898D + j * 78.233D)) " +
         s"+ 0.1D * sin(id * 37.9D + j * 5.1D))")
         .cast("array<float>").as("embedding"))
       .localCheckpoint(true)
@@ -146,6 +149,8 @@ object Stress {
       .filter(Similarity.cosine(col("a.v"), col("b.v")) >= tau)
       .select(col("b.vec_id").as("vec_id")).distinct().localCheckpoint(true)
     val nTruth = truth.count()
+    require(nTruth > 0, s"no within-cluster duplicates at tau=$tau — " +
+      "perCluster must be >= 2 for the recall denominator to exist")
 
     for (k <- Seq(8, 64, 256)) {
       val t0 = System.nanoTime()

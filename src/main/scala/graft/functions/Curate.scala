@@ -12,6 +12,10 @@ import org.apache.spark.sql.functions._
   *  4. split          — [[Sampling.hashSplit]] content-keyed train/val/test
   *  5. packing        — [[Sampling.packSequences]] over the train split
   *
+  * Stage 1's language arm reads `expectedLangCol` (default `lang`); pass
+  * `None` for corpora without language labels, or the column name where
+  * the labels live.
+  *
   * Output: one manifest row per SURVIVING document — (doc_id, source,
   * token_count, split, pack_id, pack_offset); pack columns are NULL off the
   * train split. `manifest.join(docs, "doc_id")` is the training corpus.
@@ -32,8 +36,9 @@ object Curate {
   def curate(docs: DataFrame, seqTokens: Long = 512, shards: Int = 8,
       maxPerSource: Int = 15,
       splits: Seq[(String, Int)] = Seq(("train", 95), ("val", 3), ("test", 2)),
-      textCol: String = "text", sourceCol: String = "source"): DataFrame = {
-    val verdict = TextAnalysis.filterVerdict(docs, textCol)
+      textCol: String = "text", sourceCol: String = "source",
+      expectedLangCol: Option[String] = Some("lang")): DataFrame = {
+    val verdict = TextAnalysis.filterVerdict(docs, textCol, expectedLangCol)
     val kept = docs.select(col("doc_id"), col(sourceCol), col(textCol))
       .join(verdict.filter(col("keep")).select(col("doc_id"), col("token_count")),
         Seq("doc_id"))

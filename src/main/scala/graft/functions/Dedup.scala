@@ -457,7 +457,11 @@ object Dedup {
       centroids: Int = 8, sampleSize: Int = 256, iters: Int = 2): DataFrame = {
     val nv = Similarity.normalized(embeddings)
     val cents = Similarity.trainCentroids(nv, centroids, sampleSize, iters)
-    val assigned = Similarity.assignToCentroids(nv, cents)
+    // materialize the assignment ONCE: it feeds three plan legs (both
+    // self-join sides and the final verdict select), and Spark does not CSE
+    // across self-join legs — without this the scan + normalization + n·k
+    // centroid-dot projection all run three times
+    val assigned = Similarity.assignToCentroids(nv, cents).localCheckpoint(true)
     val a = assigned.as("a"); val b = assigned.as("b")
     val maxLower = a.join(b,
         col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
@@ -481,17 +485,23 @@ object Dedup {
     * training corpus streams through one scan with no shuffle at all (the
     * per-vector max is computed by a partial aggregate on the scan side).
     * Doubles are bit-deterministic: fused fold-left dots, order-free max.
+    *
+    * Contract: one row per nonzero-norm corpus vector (zero-norm vectors
+    * have no cosine semantics and are excluded, like [[semanticDedup]]).
+    * An EMPTY (or all-zero-norm) benchmark yields max_bench_sim NULL and
+    * contaminated false for every vector — never an empty result, which
+    * would be indistinguishable from an empty corpus.
     */
   def semanticContamination(corpus: DataFrame, benchmark: DataFrame,
       threshold: Double): DataFrame = {
     val c = Similarity.normalized(corpus)
     val b = Similarity.normalized(benchmark)
       .select(col("vec_id").as("bench_id"), col("v").as("bv"))
-    c.join(broadcast(b))
+    c.join(broadcast(b), lit(true), "left")
       .groupBy(col("vec_id"))
       .agg(max(Similarity.dot(col("v"), col("bv"))).as("max_bench_sim"))
       .select(col("vec_id"), col("max_bench_sim"),
-        (col("max_bench_sim") >= threshold).as("contaminated"))
+        coalesce(col("max_bench_sim") >= threshold, lit(false)).as("contaminated"))
   }
 
   /** Embedding near-dup pairs: sign-bit LSH over the vector (bands of

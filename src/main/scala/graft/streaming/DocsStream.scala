@@ -60,4 +60,35 @@ object DocsStream {
       TextAnalysis.qualityScore(col("text")).as("quality_score"),
       TextAnalysis.langId(col("text")).as("lang"))
       .filter(col("quality_score") >= minQuality)
+
+  /** Streaming CURATION gate: every micro-batch runs the same composite
+    * C4/Gopher verdict as batch [[TextAnalysis.filterVerdict]] and writes
+    * the surviving documents (with their verdict stats) to a parquet
+    * corpus, one `batch=N` subdirectory per micro-batch —
+    * `spark.read.parquet(outDir)` sees the curated corpus with the batch
+    * id as a partition column. The verdict needs per-doc aggregates (the
+    * repetition arms), which streaming append mode cannot express
+    * directly; foreachBatch runs them as batch plans per trigger.
+    *
+    * Every verdict signal is a function of the document ALONE, so
+    * micro-batch boundaries cannot change any decision — stream ≡ batch
+    * exactly (StreamingSpec asserts it). Idempotent under failure
+    * re-runs: a retried batch N overwrites its own `batch=N` directory
+    * instead of appending duplicates.
+    */
+  def curateGateSink(docs: DataFrame, outDir: String,
+      expectedLangCol: Option[String] = Some("lang"))
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val v = TextAnalysis.filterVerdict(batch.toDF(),
+            expectedLangCol = expectedLangCol)
+          batch.toDF()
+            .join(v.filter(col("keep"))
+              .select("doc_id", "token_count", "quality_score"), Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          ()
+        }
+    }
 }

@@ -106,6 +106,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation gate: per-batch verdicts equal the batch verdict; survivors partitioned by batch") {
+    import graft.streaming.DocsStream
+    implicit val sqlCtx = spark.sqlContext
+    val clean = "the red fox and his kit ran out of the old barn is " +
+      "with them came four more foxes over green hills toward warm sun " +
+      "while birds sang songs about long summer days ahead"
+    val b1 = Seq((1L, clean, "en"), (2L, "word " * 10, "en"))
+    val b2 = Seq((3L, clean.replace("red", "grey"), "en"), (4L, clean, "fr"))
+    val out = java.nio.file.Files.createTempDirectory("graft_curate_gate")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_curate_ckpt")
+
+    val in = MemoryStream[(Long, String, String)]
+    val q = DocsStream.curateGateSink(
+      in.toDF().toDF("doc_id", "text", "lang"), out.toString)
+      .option("checkpointLocation", ckpt.toString).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val curated = spark.read.parquet(out.toString)
+      val kept = curated.select("doc_id").as[Long].collect().sorted.toSeq
+      // batch equivalence: the same docs survive the batch verdict
+      val batchKept = graft.functions.TextAnalysis.filterVerdict(
+        (b1 ++ b2).toDF("doc_id", "text", "lang"))
+        .filter($"keep").select("doc_id").as[Long].collect().sorted.toSeq
+      assert(kept == batchKept && kept == Seq(1L, 3L))
+      // survivors carry verdict stats and land in their trigger's partition
+      assert(curated.columns.contains("quality_score"))
+      assert(curated.filter($"doc_id" === 1L).select("batch")
+        .as[Int].head() == 0)
+      assert(curated.filter($"doc_id" === 3L).select("batch")
+        .as[Int].head() == 1)
+    } finally q.stop()
+  }
+
   test("stream-static incremental dedup drops digests already in the seen corpus") {
     import graft.streaming.DocsStream
     implicit val sqlCtx = spark.sqlContext

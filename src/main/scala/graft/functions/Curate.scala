@@ -17,19 +17,24 @@ import org.apache.spark.sql.functions._
   * the labels live.
   *
   * Output: one manifest row per SURVIVING document — (doc_id, source,
-  * token_count, split, pack_id, pack_offset); pack columns are NULL off the
-  * train split. `manifest.join(docs, "doc_id")` is the training corpus.
+  * token_count, split, pack_id, pack_offset); the FIRST declared split is
+  * the packed (training) split, pack columns are NULL off it.
+  * `manifest.join(docs, "doc_id")` is the training corpus.
   *
   * Every stage is deterministic and content-keyed, so the whole manifest is
   * rerun-stable and replayable in SQL — the driver oracle replays all five
   * stages in one query and hash-compares the manifest.
   *
-  * Scale shape: stages 1–2 are scan-side projections plus the repetition
-  * aggregates; stages 2–4 shuffle only narrow (id, hash, source) columns;
-  * stage 5 is shard-local. Signals (fingerprint, token count) are
-  * recomputed per stage as scan-side projections — carrying them through
-  * would save re-hashing at the cost of wider shuffles; an integrated
-  * planner could fuse that, and either choice preserves the results.
+  * Scale shape: ONE LINEAR PLAN — the fingerprint is computed once at the
+  * scan and carried; dedup and the domain cap are rank windows over the
+  * carried columns (no join-back of a stage onto itself, which would
+  * re-execute the whole upstream per stage); the split is a projection off
+  * the carried fingerprint; packing is a conditional running sum in the
+  * shard window (non-train rows contribute zero), so no self-join attaches
+  * pack columns. Stage semantics are shared with the standalone operators
+  * — the same `filterVerdict`, the same `splitAssignExpr`, the same
+  * (fingerprint, doc_id) orders — so `curate` equals composing them by
+  * hand, it just evaluates each input once.
   */
 object Curate {
 
@@ -38,31 +43,42 @@ object Curate {
       splits: Seq[(String, Int)] = Seq(("train", 95), ("val", 3), ("test", 2)),
       textCol: String = "text", sourceCol: String = "source",
       expectedLangCol: Option[String] = Some("lang")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val verdict = TextAnalysis.filterVerdict(docs, textCol, expectedLangCol)
     val kept = docs.select(col("doc_id"), col(sourceCol), col(textCol))
       .join(verdict.filter(col("keep")).select(col("doc_id"), col("token_count")),
         Seq("doc_id"))
-
-    // exact dedup among the kept docs: min doc_id per content fingerprint
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__fp")).orderBy(col("doc_id"))
-    val deduped = kept
       .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
-      .withColumn("__rn", row_number().over(w))
+
+    // exact dedup: min doc_id per content fingerprint (rank window, not a
+    // groupBy+join-back)
+    val wDedup = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
+    val deduped = kept
+      .withColumn("__rn", row_number().over(wDedup))
       .filter(col("__rn") === 1)
-      .drop("__rn", "__fp")
 
-    val capKeep = Sampling.domainCap(deduped, maxPerSource, sourceCol, textCol)
-      .filter(col("keep")).select("doc_id")
-    val capped = deduped.join(capKeep, Seq("doc_id"))
+    // domain cap: same (fingerprint NULLS LAST, doc_id) quota order as
+    // Sampling.domainCap, over the carried fingerprint
+    val wCap = Window.partitionBy(col(sourceCol))
+      .orderBy(col("__fp").asc_nulls_last, col("doc_id"))
+    val capped = deduped
+      .withColumn("__drank", row_number().over(wCap))
+      .filter(col("__drank") <= maxPerSource)
+      .withColumn("split", Sampling.splitAssignExpr(
+        col("__fp") % Sampling.splitTotal(splits), splits))
 
-    val sp = Sampling.hashSplit(capped, splits, textCol)
-    val packed = Sampling.packSequences(
-      sp.filter(col("split") === "train").select(col("doc_id"), col(textCol)),
-      seqTokens, shards, textCol)
-      .select(col("doc_id"), col("pack_id"), col("pack_offset"))
-
-    sp.select(col("doc_id"), col(sourceCol), col("token_count"), col("split"))
-      .join(packed, Seq("doc_id"), "left")
+    // packing: shard-local running sum where only train rows carry weight —
+    // the cumulative sums at train rows equal Sampling.packSequences over
+    // the train subset, with no self-join to attach the pack columns
+    val wPack = Window.partitionBy(col("__shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTrain = col("split") === splits.head._1
+    capped
+      .withColumn("__shard", col("doc_id") % shards)
+      .withColumn("__cum", coalesce(
+        sum(when(isTrain, col("token_count")).otherwise(0L)).over(wPack), lit(0L)))
+      .select(col("doc_id"), col(sourceCol), col("token_count"), col("split"),
+        when(isTrain, floor(col("__cum") / seqTokens).cast("long")).as("pack_id"),
+        when(isTrain, col("__cum") % seqTokens).as("pack_offset"))
   }
 }

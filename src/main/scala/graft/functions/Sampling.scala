@@ -39,16 +39,28 @@ object Sampling {
     */
   def hashSplit(docs: DataFrame, splits: Seq[(String, Int)],
       textCol: String = "text"): DataFrame = {
+    val total = splitTotal(splits)
+    docs.withColumn("bucket", hashBucket(col(textCol), total))
+      .withColumn("split", splitAssignExpr(col("bucket"), splits))
+  }
+
+  private[functions] def splitTotal(splits: Seq[(String, Int)]): Int = {
     require(splits.nonEmpty && splits.forall(_._2 > 0), "weights must be positive")
-    val total = splits.map(_._2).sum
-    val bucket = hashBucket(col(textCol), total)
+    splits.map(_._2).sum
+  }
+
+  /** The split-name CASE over a bucket column in [0, Σweights) — ONE
+    * definition shared by [[hashSplit]] and the fused curation pipeline so
+    * the range-to-name mapping can never drift between them. NULL bucket →
+    * NULL split (see [[hashSplit]]'s null contract).
+    */
+  private[functions] def splitAssignExpr(bucket: Column,
+      splits: Seq[(String, Int)]): Column = {
     val cuts = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
     val assign = splits.zip(cuts).init.foldRight(lit(splits.last._1)) {
-      case (((name, _), cut), rest) => when(col("bucket") < cut, name).otherwise(rest)
+      case (((name, _), cut), rest) => when(bucket < cut, name).otherwise(rest)
     }
-    docs.withColumn("bucket", bucket)
-      .withColumn("split",
-        when(col("bucket").isNull, lit(null: String)).otherwise(assign))
+    when(bucket.isNull, lit(null: String)).otherwise(assign)
   }
 
   /** Sequence PACKING: assign each document to a fixed-token-budget

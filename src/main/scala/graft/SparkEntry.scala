@@ -680,7 +680,7 @@ object SparkEntry {
   private lazy val verdictCtes: String = {
     val mwl = "(CAST(s.wc AS DOUBLE) / CAST(greatest(s.token_count, 1) AS DOUBLE))"
     s"$repCtes, " +
-      "sig AS (SELECT doc_id, lang, " +
+      "sig AS (SELECT doc_id, lang, text IS NULL AS nulltext, " +
       s"CAST(len($toksSql) AS BIGINT) AS token_count, " +
       s"CAST(COALESCE(list_sum([CAST(length(x) AS BIGINT) FOR x IN $toksSql]), 0) " +
       "AS BIGINT) AS wc, " +
@@ -692,7 +692,8 @@ object SparkEntry {
       s"/ greatest(CAST(len($toksSql) AS DOUBLE), 1.0)) AS quality_score, " +
       langMarkerColsSql(toksSql) + " FROM documents), " +
       s"lg AS (SELECT doc_id, $langGuessCaseSql AS lang_guess FROM sig), " +
-      "v AS (SELECT s.doc_id, s.token_count, s.quality_score, concat_ws(','" +
+      "v AS (SELECT s.doc_id, s.token_count, s.quality_score, " +
+      "CASE WHEN s.nulltext THEN 'null_text' ELSE concat_ws(','" +
       ", CASE WHEN lg.lang_guess <> s.lang THEN 'lang_mismatch' END" +
       ", CASE WHEN s.quality_score < 0.4 THEN 'low_quality' END" +
       ", CASE WHEN s.swc < 2 THEN 'no_stopwords' END" +
@@ -701,7 +702,7 @@ object SparkEntry {
       ", CASE WHEN s.token_count > 100000 THEN 'too_long' END" +
       ", CASE WHEN s.token_count < 30 THEN 'too_short' END" +
       s", CASE WHEN $mwl < 3.0 OR $mwl > 10.0 THEN 'word_length' END" +
-      ") AS reasons FROM sig s JOIN lg USING (doc_id) " +
+      ") END AS reasons FROM sig s JOIN lg USING (doc_id) " +
       "LEFT JOIN top2 t2 USING (doc_id) LEFT JOIN dup5 d5 USING (doc_id))"
   }
 

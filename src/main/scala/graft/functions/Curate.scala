@@ -45,10 +45,13 @@ object Curate {
       expectedLangCol: Option[String] = Some("lang")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val verdict = TextAnalysis.filterVerdict(docs, textCol, expectedLangCol)
+    // text is consumed HERE (fingerprint projection) and dropped before any
+    // window: all three shuffles carry only (ids, hash, count) columns
     val kept = docs.select(col("doc_id"), col(sourceCol), col(textCol))
       .join(verdict.filter(col("keep")).select(col("doc_id"), col("token_count")),
         Seq("doc_id"))
       .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .drop(textCol)
 
     // exact dedup: min doc_id per content fingerprint (rank window, not a
     // groupBy+join-back)

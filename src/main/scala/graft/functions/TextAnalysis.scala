@@ -286,7 +286,9 @@ object TextAnalysis {
     * filtered corpus; grouping on `reasons` is the funnel report.
     *
     * Checks (fixed reason order; thresholds are caller policy, defaults
-    * follow C4/Gopher): expected-language agreement with [[langId]]
+    * follow C4/Gopher): NULL text short-circuits to the single reason
+    * `null_text` (a contentless doc must never keep); then
+    * expected-language agreement with [[langId]]
     * (`lang_mismatch`), [[qualityFromParts]] score (`low_quality`),
     * minimum stopword evidence (`no_stopwords`, Gopher's "has stop words"
     * rule), [[repetitionStats]] 2-gram/5-gram caps (`rep_2gram`/
@@ -317,6 +319,7 @@ object TextAnalysis {
       Seq(t, tokens(t).as("__toks"))
     val sig = docs.select(baseCols: _*).select(Seq(
       col("doc_id"),
+      t.isNull.as("__null_text"),
       tokenCountC.as("token_count"),
       (wordChars.cast("double") / greatest(tokenCountC, lit(1L)).cast("double"))
         .as("__mwl"),
@@ -332,7 +335,12 @@ object TextAnalysis {
       .withColumn("__f2", coalesce(col("top_2gram_char_frac"), lit(0.0)))
       .withColumn("__f5", coalesce(col("dup_5gram_char_frac"), lit(0.0)))
 
-    val reasons = concat_ws(",",
+    // NULL text short-circuits to its own reason BEFORE the threshold arms:
+    // every threshold comparison on null signals is NULL (no arm would
+    // fire), so without this a contentless document would sail through
+    // with keep = true — and the null-signal CASE semantics differ between
+    // engines, so short-circuiting is also what keeps the replay exact.
+    val reasons = when(col("__null_text"), lit("null_text")).otherwise(concat_ws(",",
       (expectedLangCol.map(_ => when(not(col("__langok")), lit("lang_mismatch"))).toSeq ++ Seq(
         when(col("quality_score") < minQuality, lit("low_quality")),
         when(col("__swc") < minStopwords, lit("no_stopwords")),
@@ -341,7 +349,7 @@ object TextAnalysis {
         when(col("token_count") > maxTokens, lit("too_long")),
         when(col("token_count") < minTokens, lit("too_short")),
         when(col("__mwl") < minMeanWordLen || col("__mwl") > maxMeanWordLen,
-          lit("word_length")))): _*)
+          lit("word_length")))): _*))
 
     joined.select(col("doc_id"), col("token_count"), col("quality_score"),
       (reasons === "").as("keep"), reasons.as("reasons"))

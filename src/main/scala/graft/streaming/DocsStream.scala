@@ -75,20 +75,31 @@ object DocsStream {
     * exactly (StreamingSpec asserts it). Idempotent under failure
     * re-runs: a retried batch N overwrites its own `batch=N` directory
     * instead of appending duplicates.
+    *
+    * `expectedLangCol` defaults to None because the module's raw stream
+    * schema (doc_id, ts, text) carries no language label — pass
+    * `Some("lang")` when the stream does. Verdict stats (token_count,
+    * quality_score) REPLACE same-named incoming columns, so composing
+    * after [[qualityStream]] re-scores rather than colliding.
     */
   def curateGateSink(docs: DataFrame, outDir: String,
-      expectedLangCol: Option[String] = Some("lang"))
+      expectedLangCol: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        if (!batch.isEmpty) {
-          val v = TextAnalysis.filterVerdict(batch.toDF(),
-            expectedLangCol = expectedLangCol)
-          batch.toDF()
-            .join(v.filter(col("keep"))
-              .select("doc_id", "token_count", "quality_score"), Seq("doc_id"))
-            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
-          ()
-        }
+        // persist: the batch subtree otherwise re-executes per action —
+        // isEmpty, the verdict's two internal scans, and the join's left side
+        val b = batch.toDF().persist()
+        try {
+          if (!b.isEmpty) {
+            val v = TextAnalysis.filterVerdict(b, expectedLangCol = expectedLangCol)
+            val stats = Seq("token_count", "quality_score")
+            // verdict stats REPLACE same-named incoming columns (e.g. when
+            // composed after qualityStream) instead of colliding in the join
+            stats.foldLeft(b)((d, c) => d.drop(c))
+              .join(v.filter(col("keep")).select("doc_id", stats: _*), Seq("doc_id"))
+              .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          }
+        } finally { b.unpersist(); () }
     }
 }

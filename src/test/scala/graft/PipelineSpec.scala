@@ -518,7 +518,8 @@ class PipelineSpec extends SparkSpec {
       (2L, "word " * 10, "en"),                  // short, no stopwords, und
       (3L, "spam ham " * 40, "en"),              // repetition both arms
       (4L, ("ab cd " * 20) + "the is and of with", "en"), // tiny words
-      (5L, clean, "fr"))                         // right text, wrong label
+      (5L, clean, "fr"),                         // right text, wrong label
+      (6L, null.asInstanceOf[String], "en"))     // contentless
       .toDF("doc_id", "text", "lang")
     val out = TextAnalysis.filterVerdict(fix)
       .orderBy("doc_id")
@@ -531,6 +532,9 @@ class PipelineSpec extends SparkSpec {
     assert(!out(3L)._1 && out(3L)._2.contains("rep_2gram") && out(3L)._2.contains("rep_5gram"))
     assert(!out(4L)._1 && out(4L)._2.contains("word_length"))
     assert(out(5L) == ((false, "lang_mismatch")))
+    // NULL text short-circuits: single reason, never keep (the threshold
+    // arms are all NULL on null signals and must not decide)
+    assert(out(6L) == ((false, "null_text")))
 
     // no expected-lang column: the lang arm disappears, rest unchanged
     val noLang = TextAnalysis.filterVerdict(fix.drop("lang"), expectedLangCol = None)

@@ -119,7 +119,8 @@ class StreamingSpec extends SparkSpec {
 
     val in = MemoryStream[(Long, String, String)]
     val q = DocsStream.curateGateSink(
-      in.toDF().toDF("doc_id", "text", "lang"), out.toString)
+      in.toDF().toDF("doc_id", "text", "lang"), out.toString,
+      expectedLangCol = Some("lang"))
       .option("checkpointLocation", ckpt.toString).start()
     try {
       in.addData(b1: _*); q.processAllAvailable()

@@ -177,16 +177,38 @@ object TextAnalysis {
   def bm25Search(docs: DataFrame, queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75, textCol: String = "text"): DataFrame = {
     require(queryTerms.nonEmpty)
-    val toked = docs.select(col("doc_id"), tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
-        col("__toks"))
+    val toked = bm25Toked(docs, textCol)
     val stats = toked.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val postings = toked
+    bm25Rank(bm25Postings(toked, queryTerms), stats, k, k1, b)
+  }
+
+  private def bm25Toked(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(col("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        col("__toks"))
+
+  /** (doc_id, dl, term, tf) postings; `terms` restricts AT THE EXPLODE so
+    * the scan path's shuffled rows stay ∝ query-term df (empty = full
+    * postings, the index-build shape).
+    */
+  private def bm25Postings(toked: DataFrame, terms: Seq[String] = Nil): DataFrame = {
+    val exploded = toked
       .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
+    val restricted =
+      if (terms.isEmpty) exploded else exploded.filter(col("term").isin(terms: _*))
+    restricted
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+  }
+
+  /** The shared BM25 scoring tail: postings (doc_id, dl, term, tf) already
+    * restricted to the query terms, plus the one-row global stats frame
+    * (n_docs, sum_dl). Identical between the full-scan and indexed paths —
+    * which is what makes [[bm25SearchIndexed]] a pure ACCESS-PATH swap.
+    */
+  private def bm25Rank(postings: DataFrame, stats: DataFrame, k: Int,
+      k1: Double, b: Double): DataFrame = {
     val dfTbl = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
     // Scala-side constants interpolate into BOTH engines' expression trees
@@ -219,6 +241,37 @@ object TextAnalysis {
     scored.orderBy(col("score").desc, col("doc_id")).limit(k)
       .withColumn("rank", row_number().over(w))
       .select("doc_id", "n_matched", "score", "rank")
+  }
+
+  /** Materialize a BM25 SEARCH INDEX: the full postings list as a managed
+    * table bucketed AND sorted by term, plus a one-row globals table
+    * (n_docs, sum_dl). At 100 TB a per-query corpus scan is the wrong
+    * access path — with the index, a term-IN filter prunes the read to the
+    * matching buckets (`SelectedBucketsCount` in the plan), so query cost
+    * scales with the queried terms' document frequency, not corpus size.
+    * Rebuild = rerun (overwrite both tables).
+    */
+  def writeSearchIndex(docs: DataFrame, name: String, buckets: Int = 64,
+      textCol: String = "text"): Unit = {
+    val toked = bm25Toked(docs, textCol)
+    graft.sources.Tables.writeBucketed(
+      bm25Postings(toked), s"${name}_postings", "term", buckets)
+    toked.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_globals")
+  }
+
+  /** BM25 over a [[writeSearchIndex]] index — same scoring tail, same
+    * results as [[bm25Search]] on the indexed corpus (BucketedSpec asserts
+    * both), but the corpus is never scanned: the postings read prunes to
+    * the query terms' buckets.
+    */
+  def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty)
+    val postings = spark.table(s"${name}_postings")
+      .filter(col("term").isin(queryTerms: _*))
+    bm25Rank(postings, spark.table(s"${name}_globals"), k, k1, b)
   }
 
   /** Gopher-style repetition signals per document (Rae et al. 2021 §A1.1,

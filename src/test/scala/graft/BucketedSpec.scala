@@ -148,4 +148,36 @@ class BucketedSpec extends SparkSpec {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("bm25 index: bucket-pruned read, results identical to the full scan") {
+    import graft.functions.TextAnalysis
+    val corpus = Seq(
+      (1L, "apple banana apple kiwi"),
+      (2L, "apple cherry plum plum"),
+      (3L, "banana banana banana mango"),
+      (4L, "cherry cherry cherry cherry grape"),
+      (5L, "kiwi mango grape plum fig"))
+      .toDF("doc_id", "text")
+    TextAnalysis.writeSearchIndex(corpus, "bm25_test_idx", buckets = 8)
+    try {
+      val terms = Seq("apple", "banana")
+      val indexed = TextAnalysis.bm25SearchIndexed(spark, "bm25_test_idx", terms, 5)
+      val scanned = TextAnalysis.bm25Search(corpus, terms, 5)
+      val a = indexed.collect().map(_.toSeq).toSeq
+      val b = scanned.collect().map(_.toSeq).toSeq
+      assert(a == b, s"indexed $a != scanned $b")
+
+      // the access-path point: the postings read prunes to the query terms'
+      // buckets instead of scanning the whole index
+      val plan = indexed.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      val m = sel.findFirstMatchIn(plan)
+      assert(m.nonEmpty, s"postings scan must be bucket-pruned:\n$plan")
+      assert(m.get.group(1).toInt < m.get.group(2).toInt,
+        s"pruning must select a strict subset of buckets: ${m.get.matched}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bm25_test_idx_postings")
+      spark.sql("DROP TABLE IF EXISTS bm25_test_idx_globals")
+    }
+  }
 }

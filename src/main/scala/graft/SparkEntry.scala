@@ -975,6 +975,18 @@ object SparkEntry {
         Bm25Terms, k = 15).orderBy("rank"),
       Some(bm25Oracle(Bm25Terms, k = 15, k1 = 1.2, b = 0.75))),
 
+    // The INDEXED access path under the same hash gate: build the bucketed
+    // postings index, answer from it, compare against the identical
+    // full-scan oracle — write→read fidelity for the index, exactly the
+    // q_store_roundtrip pattern (the stored bytes must produce the answer).
+    Q("q_text_bm25_indexed",
+      (s, d) => {
+        TextAnalysis.writeSearchIndex(Tables.documents(s, d), "graft_bm25_idx")
+        TextAnalysis.bm25SearchIndexed(s, "graft_bm25_idx", Bm25Terms, k = 15)
+          .orderBy("rank")
+      },
+      Some(bm25Oracle(Bm25Terms, k = 15, k1 = 1.2, b = 0.75))),
+
     // Token-length histogram: corpus length distribution in buckets of 10
     // tokens (the diagnostic behind truncation/packing decisions).
     Q("q_text_length_hist",

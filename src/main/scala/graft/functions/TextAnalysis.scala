@@ -253,6 +253,17 @@ object TextAnalysis {
     */
   def writeSearchIndex(docs: DataFrame, name: String, buckets: Int = 64,
       textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    // a table dir can survive from a previous session without a catalog
+    // entry (crash, fresh metastore) — saveAsTable refuses to overwrite an
+    // unregistered location, so clear BOTH catalog entry and directory
+    Seq(s"${name}_postings", s"${name}_globals").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) fs.delete(wh, true)
+    }
     val toked = bm25Toked(docs, textCol)
     graft.sources.Tables.writeBucketed(
       bm25Postings(toked), s"${name}_postings", "term", buckets)

@@ -979,11 +979,20 @@ object SparkEntry {
     // postings index, answer from it, compare against the identical
     // full-scan oracle — write→read fidelity for the index, exactly the
     // q_store_roundtrip pattern (the stored bytes must produce the answer).
+    // A UNIQUE table name per invocation (concurrent bench/verify processes
+    // share the default warehouse — a fixed name would let one process
+    // delete the index another is mid-read of), materialized eagerly so the
+    // tables can be dropped before the frame is consumed — no warehouse
+    // litter survives the query.
     Q("q_text_bm25_indexed",
       (s, d) => {
-        TextAnalysis.writeSearchIndex(Tables.documents(s, d), "graft_bm25_idx")
-        TextAnalysis.bm25SearchIndexed(s, "graft_bm25_idx", Bm25Terms, k = 15)
-          .orderBy("rank")
+        val name = "graft_bm25_idx_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        TextAnalysis.writeSearchIndex(Tables.documents(s, d), name)
+        val out = TextAnalysis.bm25SearchIndexed(s, name, Bm25Terms, k = 15)
+          .orderBy("rank").localCheckpoint(true)
+        TextAnalysis.dropSearchIndex(s, name)
+        out
       },
       Some(bm25Oracle(Bm25Terms, k = 15, k1 = 1.2, b = 0.75))),
 

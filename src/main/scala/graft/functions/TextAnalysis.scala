@@ -253,23 +253,45 @@ object TextAnalysis {
     */
   def writeSearchIndex(docs: DataFrame, name: String, buckets: Int = 64,
       textCol: String = "text"): Unit = {
+    requireIndexName(name)
     val spark = docs.sparkSession
-    // a table dir can survive from a previous session without a catalog
-    // entry (crash, fresh metastore) — saveAsTable refuses to overwrite an
-    // unregistered location, so clear BOTH catalog entry and directory
+    dropSearchIndex(spark, name)
+    // ONE tokenize pass feeds both outputs (postings write + globals agg —
+    // two actions over the same lineage would re-scan the corpus twice)
+    val toked = bm25Toked(docs, textCol).persist()
+    try {
+      graft.sources.Tables.writeBucketed(
+        bm25Postings(toked), s"${name}_postings", "term", buckets)
+      toked.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_globals")
+    } finally { toked.unpersist(); () }
+  }
+
+  /** Drop both index tables AND their directories. A table dir can survive
+    * a crash without a catalog entry (fresh metastore) — saveAsTable
+    * refuses to overwrite an unregistered location, so the directory is
+    * cleared too, resolved against the CURRENT database's location (a
+    * warehouse-root guess would miss `<db>.db/` paths).
+    */
+  def dropSearchIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    requireIndexName(name)
+    val dbLoc = new org.apache.hadoop.fs.Path(
+      spark.catalog.getDatabase(spark.catalog.currentDatabase).locationUri)
     Seq(s"${name}_postings", s"${name}_globals").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
-      val wh = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
-      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(wh)) fs.delete(wh, true)
+      val dir = new org.apache.hadoop.fs.Path(dbLoc, t.toLowerCase)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir)) fs.delete(dir, true)
     }
-    val toked = bm25Toked(docs, textCol)
-    graft.sources.Tables.writeBucketed(
-      bm25Postings(toked), s"${name}_postings", "term", buckets)
-    toked.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_globals")
   }
+
+  /** The index name lands in SQL statements and a recursive filesystem
+    * delete — identifier-only, enforced symmetrically on the write, read,
+    * and drop halves of the API.
+    */
+  private def requireIndexName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"index name must be [A-Za-z0-9_]+: $name")
 
   /** BM25 over a [[writeSearchIndex]] index — same scoring tail, same
     * results as [[bm25Search]] on the indexed corpus (BucketedSpec asserts
@@ -279,6 +301,7 @@ object TextAnalysis {
   def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
       queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    requireIndexName(name)
     require(queryTerms.nonEmpty)
     val postings = spark.table(s"${name}_postings")
       .filter(col("term").isin(queryTerms: _*))

@@ -180,4 +180,24 @@ class BucketedSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bm25_test_idx_globals")
     }
   }
+
+  test("bm25 index build survives a stale warehouse dir with no catalog entry") {
+    import graft.functions.TextAnalysis
+    val corpus = Seq((1L, "apple banana")).toDF("doc_id", "text")
+    // simulate a crashed prior build: the table DIRECTORY exists but the
+    // (in-memory) catalog has no entry — saveAsTable refuses such a
+    // location unless the build clears it first
+    val dbLoc = new org.apache.hadoop.fs.Path(
+      spark.catalog.getDatabase(spark.catalog.currentDatabase).locationUri)
+    val stale = new org.apache.hadoop.fs.Path(dbLoc, "bm25_stale_idx_postings")
+    val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(stale)
+    fs.create(new org.apache.hadoop.fs.Path(stale, "junk.parquet")).close()
+    try {
+      TextAnalysis.writeSearchIndex(corpus, "bm25_stale_idx", buckets = 2)
+      val out = TextAnalysis.bm25SearchIndexed(spark, "bm25_stale_idx",
+        Seq("apple"), 1).collect()
+      assert(out.length == 1 && out.head.getLong(0) == 1L)
+    } finally TextAnalysis.dropSearchIndex(spark, "bm25_stale_idx")
+  }
 }

@@ -929,6 +929,18 @@ object SparkEntry {
         "SELECT doc_id, source, CAST(domain_rank AS INT) AS domain_rank, " +
         "domain_rank <= 15 AS keep FROM r ORDER BY doc_id")),
 
+    // Deterministic training-shuffle order (seed 7): pure modular
+    // arithmetic both engines evaluate identically — the loader-side
+    // epoch shuffle, no RNG state.
+    Q("q_sample_shuffle_order",
+      (s, d) => graft.functions.Sampling.shuffleOrder(
+        Tables.documents(s, d).select("doc_id"), seed = 7L)
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, " +
+        "((doc_id % 2147483647 + 7 % 2147483647 + 2147483647) % 2147483647) " +
+        "* 2654435761 % 2147483647 AS shuffle_key " +
+        "FROM documents ORDER BY doc_id")),
+
     // Keyword extraction: per-doc top-3 terms by exact frequency (integer
     // tf, no floating-point IDF ⇒ cross-engine deterministic).
     Q("q_text_top_terms",

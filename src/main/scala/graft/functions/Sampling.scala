@@ -93,6 +93,27 @@ object Sampling {
         (col("cum") % seqTokens).as("pack_offset"))
   }
 
+  /** Deterministic TRAINING SHUFFLE order: a pseudorandom-but-reproducible
+    * rank for every document, keyed on (doc_id, seed) with pure 63-bit-safe
+    * modular arithmetic — the shuffle a training loader applies between
+    * curation and batching, without RNG state (rerun-identical, resumable,
+    * and replayable in any BIGINT engine). Change `seed` per epoch for a
+    * fresh permutation. The multiplier is Knuth's 2654435761 over the
+    * Mersenne prime 2^31−1; ids are reduced mod p FIRST so the product
+    * stays under 2^63 for any conceivable doc_id.
+    *
+    * Output: input columns + `shuffle_key` — `orderBy(shuffle_key, doc_id)`
+    * IS the epoch's read order (the doc_id tiebreak pins key collisions).
+    * Deliberately a sort KEY, not a materialized global sort: at 100 TB
+    * the loader range-partitions on the key; a single total sort is the
+    * consumer's choice, not the operator's.
+    */
+  def shuffleOrder(docs: DataFrame, seed: Long = 0L): DataFrame = {
+    val p = 2147483647L
+    docs.withColumn("shuffle_key",
+      ((col("doc_id") % p + seed % p + p) % p) * 2654435761L % p)
+  }
+
   /** Per-source quota ("domain cap") — bound any one source's share of the
     * corpus, the balancing pass that stops a boilerplate-heavy domain from
     * dominating a crawl-derived training set. Each source keeps its

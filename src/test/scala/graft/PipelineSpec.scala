@@ -575,6 +575,18 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("shuffle order: reproducible permutation key, seed-sensitive") {
+    val ids = (0L until 500L)
+    val d = ids.map(i => Tuple1(i)).toDF("doc_id")
+    def order(seed: Long) = graft.functions.Sampling.shuffleOrder(d, seed)
+      .orderBy($"shuffle_key", $"doc_id").select("doc_id").as[Long].collect().toSeq
+    val e0 = order(0); val e0again = order(0); val e1 = order(1)
+    assert(e0 == e0again, "rerun-stable")
+    assert(e0 != e1, "different seed, different permutation")
+    assert(e0.sorted == ids && e1.sorted == ids, "still a permutation")
+    assert(e0 != ids, "not the identity order")
+  }
+
   test("domain cap: per-source quota by (fingerprint, doc_id), null text last") {
     val fix = Seq(
       (1L, "alpha alpha", "A"), (2L, "beta beta", "A"), (3L, "gamma gamma", "A"),

@@ -937,8 +937,8 @@ object SparkEntry {
         Tables.documents(s, d).select("doc_id"), seed = 7L)
         .orderBy("doc_id"),
       Some("SELECT doc_id, " +
-        "((doc_id % 2147483647 + 7 % 2147483647 + 2147483647) % 2147483647) " +
-        "* 2654435761 % 2147483647 AS shuffle_key " +
+        "(((doc_id % 2147483647 + 7 % 2147483647) % 2147483647 + 2147483647) " +
+        "% 2147483647) * 2654435761 % 2147483647 AS shuffle_key " +
         "FROM documents ORDER BY doc_id")),
 
     // Keyword extraction: per-doc top-3 terms by exact frequency (integer
@@ -1001,10 +1001,11 @@ object SparkEntry {
         val name = "graft_bm25_idx_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
         TextAnalysis.writeSearchIndex(Tables.documents(s, d), name)
-        val out = TextAnalysis.bm25SearchIndexed(s, name, Bm25Terms, k = 15)
+        // finally: a UUID name no later run can target must never leak on
+        // a failed/interrupted query
+        try TextAnalysis.bm25SearchIndexed(s, name, Bm25Terms, k = 15)
           .orderBy("rank").localCheckpoint(true)
-        TextAnalysis.dropSearchIndex(s, name)
-        out
+        finally TextAnalysis.dropSearchIndex(s, name)
       },
       Some(bm25Oracle(Bm25Terms, k = 15, k1 = 1.2, b = 0.75))),
 

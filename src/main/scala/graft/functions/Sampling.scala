@@ -110,8 +110,12 @@ object Sampling {
     */
   def shuffleOrder(docs: DataFrame, seed: Long = 0L): DataFrame = {
     val p = 2147483647L
-    docs.withColumn("shuffle_key",
-      ((col("doc_id") % p + seed % p + p) % p) * 2654435761L % p)
+    // double-guarded reduction: % is sign-preserving (Spark, DuckDB, Java
+    // alike), and a single +p cannot lift the sum of TWO negative
+    // residues — ((x % p) + p) % p is the true mod that keeps the key in
+    // [0, p) for any (doc_id, seed) sign combination
+    val sum = (col("doc_id") % p + seed % p) % p
+    docs.withColumn("shuffle_key", ((sum + p) % p) * 2654435761L % p)
   }
 
   /** Per-source quota ("domain cap") — bound any one source's share of the

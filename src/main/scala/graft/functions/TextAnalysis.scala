@@ -260,10 +260,15 @@ object TextAnalysis {
     // two actions over the same lineage would re-scan the corpus twice)
     val toked = bm25Toked(docs, textCol).persist()
     try {
-      graft.sources.Tables.writeBucketed(
-        bm25Postings(toked), s"${name}_postings", "term", buckets)
+      // globals first (one row): a failure mid-build then leaves a
+      // missing-postings index, and the catch below removes even that —
+      // a torn two-table publish must never look queryable
       toked.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
         .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_globals")
+      graft.sources.Tables.writeBucketed(
+        bm25Postings(toked), s"${name}_postings", "term", buckets)
+    } catch {
+      case e: Throwable => dropSearchIndex(spark, name); throw e
     } finally { toked.unpersist(); () }
   }
 
@@ -290,8 +295,8 @@ object TextAnalysis {
     * and drop halves of the API.
     */
   private def requireIndexName(name: String): Unit =
-    require(name.matches("[A-Za-z0-9_]+"),
-      s"index name must be [A-Za-z0-9_]+: $name")
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"index name must be an identifier ([A-Za-z_][A-Za-z0-9_]*): $name")
 
   /** BM25 over a [[writeSearchIndex]] index — same scoring tail, same
     * results as [[bm25Search]] on the indexed corpus (BucketedSpec asserts

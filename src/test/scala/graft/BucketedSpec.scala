@@ -175,10 +175,7 @@ class BucketedSpec extends SparkSpec {
       assert(m.nonEmpty, s"postings scan must be bucket-pruned:\n$plan")
       assert(m.get.group(1).toInt < m.get.group(2).toInt,
         s"pruning must select a strict subset of buckets: ${m.get.matched}")
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS bm25_test_idx_postings")
-      spark.sql("DROP TABLE IF EXISTS bm25_test_idx_globals")
-    }
+    } finally TextAnalysis.dropSearchIndex(spark, "bm25_test_idx")
   }
 
   test("bm25 index build survives a stale warehouse dir with no catalog entry") {

@@ -404,8 +404,10 @@ object TextAnalysis {
     val tk = col("__toks")
     val tokenCountC = size(tk).cast("long")
     val stopwordCountC = stopwordCountFromTokens(tk).cast("long")
-    val wordChars = aggregate(
-      transform(tk, x => length(x).cast("long")), lit(0L), (a, x) => a + x)
+    // Σ token lengths ≡ the trimmed text with every whitespace run removed
+    // (tokens are exactly the maximal non-ws runs): one codegen'd
+    // regexp_replace instead of an interpreted HOF fold over the array
+    val wordChars = length(regexp_replace(trim(t), "\\s+", "")).cast("long")
     val baseCols = Seq(col("doc_id")) ++
       expectedLangCol.map(c => col(c).as("__explang")) ++
       Seq(t, tokens(t).as("__toks"))

@@ -668,7 +668,9 @@ object SparkEntry {
       "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
       "AS cum FROM tr), " +
       "pk AS (SELECT doc_id, CAST(floor(cum / 512.0) AS BIGINT) AS pack_id, " +
-      "cum % 512 AS pack_offset FROM cum) " +
+      // DuckDB window SUM(BIGINT) returns HUGEINT and % keeps it; Spark emits
+      // int64 — cast so the driver's hasher sees the same physical type.
+      "CAST(cum % 512 AS BIGINT) AS pack_offset FROM cum) " +
       "SELECT s.doc_id, s.source, s.token_count, s.split, pk.pack_id, " +
       "pk.pack_offset FROM sp s LEFT JOIN pk ON s.doc_id = pk.doc_id " +
       "ORDER BY s.doc_id"
@@ -1268,7 +1270,8 @@ object SparkEntry {
         "AS cum FROM t) " +
         "SELECT doc_id, token_count, shard, " +
         "CAST(floor(cum / 512.0) AS BIGINT) AS pack_id, " +
-        "cum % 512 AS pack_offset FROM c ORDER BY doc_id")),
+        // DuckDB window SUM(BIGINT) → HUGEINT; cast to match Spark's int64.
+        "CAST(cum % 512 AS BIGINT) AS pack_offset FROM c ORDER BY doc_id")),
 
     // The END-TO-END curation pipeline: filter verdict → exact dedup →
     // domain cap → content-keyed split → train-split packing, one manifest
@@ -1509,7 +1512,8 @@ object SparkEntry {
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         Tables.orders(s, d)
           .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
-          .withColumn("rank", row_number().over(w))
+          // row_number() is int32; DuckDB's is BIGINT — cast for type parity.
+          .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 3)
           .orderBy("o_custkey", "rank")
       },

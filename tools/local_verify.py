@@ -14,7 +14,13 @@ driver failed 21 queries):
    204.00) is a FAIL on either side: the driver's hasher renders such cells
    scale-preserving on one side and float-style on the other, so they
    hash-mismatch even when values are exactly equal. Final monetary columns
-   must be DOUBLE on both sides (Tables.moneyOut / CAST(... AS DOUBLE)).
+   must be DOUBLE on both sides (Tables.moneyOut / CAST(... AS DOUBLE));
+ - per-column physical types must be IDENTICAL between the Spark parquet
+   and the DuckDB oracle result, and HUGEINT/DECIMAL/unsigned types are
+   banned outright on either side (round-6 lesson: a window SUM(BIGINT)
+   in DuckDB silently returns HUGEINT, values compare equal here but the
+   driver hashes the physical type difference → q_pack_sequences failed
+   the driver while this gate passed). CAST derived integers to BIGINT.
 
 Usage: sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
        python3 tools/local_verify.py /root/testdata/sf0.01 /tmp/verify_out
@@ -41,6 +47,18 @@ def ambiguous_decimal(v):
         return False
     s = str(v)
     return '.' in s and s != s.rstrip('0')
+
+BANNED_TYPES = ("HUGEINT", "DECIMAL", "UTINYINT", "USMALLINT",
+                "UINTEGER", "UBIGINT")
+
+def banned_type(t):
+    """Hash-ambiguous physical types: DuckDB renders/hashes these
+    differently from anything Spark can emit via parquet."""
+    u = str(t).upper()
+    return any(b in u for b in BANNED_TYPES)
+
+def type_map(rel):
+    return {c: str(t).upper() for c, t in zip(rel.columns, rel.types)}
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -72,6 +90,21 @@ def main(sf_dir, out_dir):
             continue
         if got_cols != exp_cols:
             results[name] = f"SCHEMA-MISMATCH got={got_cols} exp={exp_cols}"
+            continue
+        got_t, exp_t = type_map(got), type_map(exp)
+        bad_t = {c: (got_t.get(c), exp_t.get(c)) for c in got_cols
+                 if banned_type(got_t.get(c, "")) or banned_type(exp_t.get(c, ""))}
+        if bad_t:
+            results[name] = (f"BANNED-TYPE {bad_t} "
+                             "(HUGEINT/DECIMAL/unsigned would hash-mismatch in the "
+                             "driver; CAST the column to BIGINT/DOUBLE on both sides)")
+            continue
+        diff_t = {c: (got_t[c], exp_t[c]) for c in got_cols
+                  if got_t[c] != exp_t[c]}
+        if diff_t:
+            results[name] = (f"TYPE-MISMATCH {diff_t} "
+                             "(physical types must be identical on both sides; "
+                             "the driver hashes the type, not just the value)")
             continue
         if len(got_rows) != len(exp_rows):
             results[name] = f"ROWCOUNT-MISMATCH got={len(got_rows)} exp={len(exp_rows)}"

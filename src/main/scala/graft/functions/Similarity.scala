@@ -141,6 +141,110 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Materialize a TRAINED ANN INDEX: the k-means fit of [[ivfTrainedTopK]]
+    * persisted as two managed tables — `<name>_centroids` (cid, cv: a few
+    * KB) and `<name>_assignments` (bucket=cell id, vec_id, v: the
+    * L2-normalized corpus, BUCKETED by cell). [[ivfTrainedTopK]] retrains
+    * and re-assigns the corpus on every call — fine for one-shot batch, the
+    * wrong access path for interactive search at 100 TB, where the corpus
+    * scan + assignment must be paid ONCE at build time (the
+    * [[TextAnalysis.writeSearchIndex]] pattern). Queries then read only
+    * their probed cells' buckets (`SelectedBucketsCount` in the plan), so
+    * per-query cost scales with nprobe/centroids of the corpus, not the
+    * corpus. Rebuild = rerun (overwrite both tables).
+    *
+    * Publish order mirrors the BM25 index: centroids first (one small
+    * write), assignments second, and any failure drops both tables — a torn
+    * two-table index must never look queryable.
+    */
+  def writeAnnIndex(corpus: DataFrame, name: String, centroids: Int = 8,
+      sampleSize: Int = 256, iters: Int = 2, buckets: Int = 8): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    val spark = corpus.sparkSession
+    dropAnnIndex(spark, name)
+    val c = normalized(corpus)
+    val cents = trainCentroids(c, centroids, sampleSize, iters)
+    try {
+      import spark.implicits._
+      cents.zipWithIndex
+        .map { case (cv, cid) => (cid, cv.toSeq) }.toSeq
+        .toDF("cid", "cv")
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_centroids")
+      graft.sources.Tables.writeBucketed(
+        assignToCentroids(c, cents)
+          .select(col("cluster").as("bucket"), col("vec_id"), col("v")),
+        s"${name}_assignments", "bucket", buckets)
+    } catch {
+      case e: Throwable => dropAnnIndex(spark, name); throw e
+    }
+  }
+
+  /** Drop both ANN index tables AND their directories (crash-surviving
+    * stale dirs included — see [[graft.sources.Tables.dropManagedTables]]).
+    */
+  def dropAnnIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit =
+    graft.sources.Tables.dropManagedTables(
+      spark, Seq(s"${name}_centroids", s"${name}_assignments"))
+
+  /** Trained-IVF top-k over a [[writeAnnIndex]] index — same results as
+    * [[ivfTrainedTopK]] with the same fit parameters (BucketedSpec asserts
+    * both), but the corpus is never scanned or re-assigned: the probed
+    * cells are computed DRIVER-side from the persisted centroids (the query
+    * set is small and bounded — the same contract under which every other
+    * ANN path broadcasts it), so the assignments read carries a LITERAL
+    * bucket-IN predicate, which is what turns into bucket pruning
+    * (`SelectedBucketsCount`) instead of a full index scan.
+    *
+    * Determinism: the driver normalizes queries and scores centroids with
+    * the same left-to-right fold as [[VectorOps.dotProduct]] and
+    * [[trainCentroids]], so the probe choice is bit-identical to the
+    * all-Spark plan and to the DuckDB oracle's fold-left replay.
+    */
+  def annSearchIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
+      queries: DataFrame, k: Int, nprobe: Int = 3,
+      maxQueries: Int = 65536): DataFrame = {
+    graft.sources.Tables.requireIdent(name)
+    val cents = spark.table(s"${name}_centroids").orderBy("cid").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("cv").toArray)
+    require(cents.nonEmpty, s"ANN index $name has no centroids")
+
+    val rawQ = asDouble(queries).limit(maxQueries + 1).collect()
+    require(rawQ.length <= maxQueries,
+      s"query set exceeds maxQueries=$maxQueries; batch it or raise the cap")
+    // driver-side normalize + probe selection, same arithmetic and tie
+    // rules as the Spark/oracle sides: left-fold dot, zero-norm queries
+    // dropped, top-nprobe cells by (score desc, cid asc)
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val probeRows = rawQ.iterator.flatMap { r =>
+      val id = r.getLong(0)
+      val v = r.getAs[scala.collection.Seq[Double]]("v").toArray
+      val nrm = math.sqrt(dotD(v, v))
+      if (nrm > 0) {
+        val qv = v.map(_ / nrm)
+        cents.zipWithIndex
+          .map { case (cv, cid) => (dotD(qv, cv), cid) }
+          .sortBy { case (s, cid) => (-s, cid) }
+          .take(nprobe)
+          .map { case (_, cid) => (id, qv.toSeq, cid) }
+      } else Nil
+    }.toSeq
+
+    import spark.implicits._
+    val probes = probeRows.toDF("query_id", "qv", "bucket")
+    val cells = probeRows.map(_._3).distinct.sorted
+    val assigned = spark.table(s"${name}_assignments")
+      .filter(col("bucket").isin(cells.map(Integer.valueOf): _*))
+    val scored = assigned.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("qv"), col("v")).as("score"))
+    topKPerQuery(scored, k)
+  }
+
   /** Dot scores of a vector against every trained centroid, as an array of
     * literal-folded expressions — a few KB of constants baked into the plan,
     * so assignment is a scan-side projection (no join, no shuffle).

@@ -272,31 +272,17 @@ object TextAnalysis {
     } finally { toked.unpersist(); () }
   }
 
-  /** Drop both index tables AND their directories. A table dir can survive
-    * a crash without a catalog entry (fresh metastore) — saveAsTable
-    * refuses to overwrite an unregistered location, so the directory is
-    * cleared too, resolved against the CURRENT database's location (a
-    * warehouse-root guess would miss `<db>.db/` paths).
+  /** Drop both index tables AND their directories (crash-surviving stale
+    * dirs included — see [[graft.sources.Tables.dropManagedTables]]).
     */
   def dropSearchIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
     requireIndexName(name)
-    val dbLoc = new org.apache.hadoop.fs.Path(
-      spark.catalog.getDatabase(spark.catalog.currentDatabase).locationUri)
-    Seq(s"${name}_postings", s"${name}_globals").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val dir = new org.apache.hadoop.fs.Path(dbLoc, t.toLowerCase)
-      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(dir)) fs.delete(dir, true)
-    }
+    graft.sources.Tables.dropManagedTables(
+      spark, Seq(s"${name}_postings", s"${name}_globals"))
   }
 
-  /** The index name lands in SQL statements and a recursive filesystem
-    * delete — identifier-only, enforced symmetrically on the write, read,
-    * and drop halves of the API.
-    */
   private def requireIndexName(name: String): Unit =
-    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
-      s"index name must be an identifier ([A-Za-z_][A-Za-z0-9_]*): $name")
+    graft.sources.Tables.requireIdent(name)
 
   /** BM25 over a [[writeSearchIndex]] index — same scoring tail, same
     * results as [[bm25Search]] on the indexed corpus (BucketedSpec asserts

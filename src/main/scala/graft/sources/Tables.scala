@@ -177,6 +177,32 @@ object Tables {
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 
+  /** An index/table name lands in SQL statements and a recursive filesystem
+    * delete — identifier-only, enforced symmetrically on the write, read,
+    * and drop halves of every index API (BM25, ANN).
+    */
+  def requireIdent(name: String): Unit =
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"index name must be an identifier ([A-Za-z_][A-Za-z0-9_]*): $name")
+
+  /** Drop managed tables AND their directories. A table dir can survive a
+    * crash without a catalog entry (fresh metastore) — saveAsTable refuses
+    * to overwrite an unregistered location, so the directory is cleared
+    * too, resolved against the CURRENT database's location (a
+    * warehouse-root guess would miss `<db>.db/` paths).
+    */
+  def dropManagedTables(spark: SparkSession, tables: Seq[String]): Unit = {
+    tables.foreach(requireIdent)
+    val dbLoc = new org.apache.hadoop.fs.Path(
+      spark.catalog.getDatabase(spark.catalog.currentDatabase).locationUri)
+    tables.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new org.apache.hadoop.fs.Path(dbLoc, t.toLowerCase)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+  }
+
   /** Two-source unified view (orders ∪ lineitem), the analog of the
     * reference's UPI ∪ CC `UNION ALL` with a discriminator column
     * (reference: backend/app/utils/rule_parser.py:104-110, U1).

@@ -178,6 +178,40 @@ class BucketedSpec extends SparkSpec {
     } finally TextAnalysis.dropSearchIndex(spark, "bm25_test_idx")
   }
 
+  test("ann index: bucket-pruned probed-cell read, results identical to the retrain path") {
+    import graft.functions.Similarity
+    // 40 deterministic 8-dim vectors in 4 well-separated direction groups,
+    // plus a zero vector (must be dropped by normalization, not crash)
+    val rnd = new scala.util.Random(7)
+    val corpus = ((0 until 40).map { i =>
+      val base = Array.fill(8)(0.05 + rnd.nextDouble() * 0.1)
+      base(i % 4) = 1.0 + rnd.nextDouble()
+      (i.toLong, base.map(_.toFloat).toSeq)
+    } :+ (40L, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 10 === 0)
+    Similarity.writeAnnIndex(corpus, "ann_test_idx",
+      centroids = 4, sampleSize = 32, iters = 2, buckets = 8)
+    try {
+      val indexed = Similarity.annSearchIndexed(spark, "ann_test_idx",
+        queries, k = 5, nprobe = 2).orderBy("query_id", "rank")
+      val retrained = Similarity.ivfTrainedTopK(corpus, queries, k = 5,
+        centroids = 4, nprobe = 2, sampleSize = 32, iters = 2)
+        .orderBy("query_id", "rank")
+      val a = indexed.collect().map(_.toSeq).toSeq
+      val b = retrained.collect().map(_.toSeq).toSeq
+      assert(a.nonEmpty && a == b, s"indexed $a != retrained $b")
+
+      // the access-path point: the assignments read prunes to the probed
+      // cells' buckets instead of scanning the whole index
+      val plan = indexed.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      val m = sel.findFirstMatchIn(plan)
+      assert(m.nonEmpty, s"assignments scan must be bucket-pruned:\n$plan")
+      assert(m.get.group(1).toInt < m.get.group(2).toInt,
+        s"pruning must select a strict subset of buckets: ${m.get.matched}")
+    } finally Similarity.dropAnnIndex(spark, "ann_test_idx")
+  }
+
   test("bm25 index build survives a stale warehouse dir with no catalog entry") {
     import graft.functions.TextAnalysis
     val corpus = Seq((1L, "apple banana")).toDF("doc_id", "text")

@@ -311,31 +311,55 @@ object Dedup {
     *
     * Output: (doc_id, cluster_id) for every doc that appears in a pair.
     */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame =
-    duplicateClustersWithRounds(pairs, maxIters)._1
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame =
+    duplicateClustersWithRounds(pairs, maxIters, checkpointDir)._1
+
+  /** Materialize an intermediate frame, cutting lineage. Default:
+    * executor-LOCAL checkpoint — no external storage, but its blocks die
+    * with their executor, so a lost executor mid-job fails the query
+    * instead of recomputing (acceptable in local mode, where executor ==
+    * driver). With `checkpointDir` set, a RELIABLE checkpoint: each
+    * materialization writes to that (HDFS/object-store) directory and
+    * survives executor loss — the right trade for a multi-round iterative
+    * job on a real cluster, where the probability of losing some executor
+    * grows with rounds × fleet size. The caller owns directory cleanup;
+    * checkpoint files outlive the returned frame by design.
+    */
+  private def materialize(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(_) => df.checkpoint()
+      case None    => df.localCheckpoint(true)
+    }
+
+  /** One UUID subdir per invocation under the caller's dir (Spark's own
+    * setCheckpointDir behavior), so concurrent clusterings never collide.
+    */
+  private def armCheckpointDir(df: DataFrame, checkpointDir: Option[String]): Unit =
+    checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
 
   /** [[duplicateClusters]] + the number of star rounds it took — exposed so
     * stress fixtures can assert the O(log n) convergence bound.
     */
   def duplicateClustersWithRounds(pairs: DataFrame,
-      maxIters: Int = 20): (DataFrame, Int) = {
+      maxIters: Int = 20, checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    armCheckpointDir(pairs, checkpointDir)
     // Materialize the edge list ONCE: without this every star round (and
     // its convergence probe) re-executes the whole upstream pair pipeline —
     // measured 17 s vs 6 s at sf0.1 with ngram-Jaccard pairs upstream. The
     // pair set is orders of magnitude smaller than the corpus, so
     // checkpointing it is cheap at any scale.
-    var edges = pairs
+    var edges = materialize(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct(), checkpointDir)
     var iter = 0
     var converged = false
     while (!converged) {
       require(iter < maxIters, s"star rounds exceeded $maxIters")
       // checkpoint FIRST, probe convergence on the materialized frame —
       // probing the un-checkpointed plan would execute the round twice
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = materialize(smallStar(largeStar(edges)), checkpointDir)
       // fixpoint = identical edge sets (both sides are distinct frames)
       val changed = next.count() != edges.count() ||
         next.exceptAll(edges).limit(1).count() > 0
@@ -348,10 +372,11 @@ object Dedup {
     }
     // at fixpoint the edge set is a union of stars: every non-root points
     // at its component's minimum, roots appear only on the dst side
-    val labels = edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
-      .unionByName(edges.select(col("dst").as("doc_id"), col("dst").as("cluster_id")))
-      .distinct()
-      .localCheckpoint(true) // so the star edge blocks can be released now
+    val labels = materialize(
+      edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+        .unionByName(edges.select(col("dst").as("doc_id"), col("dst").as("cluster_id")))
+        .distinct(),
+      checkpointDir) // so the star edge blocks can be released now
     edges.unpersist()
     (labels, iter)
   }
@@ -362,8 +387,9 @@ object Dedup {
     * and stable under re-runs: new near-dups of a kept doc never flip an
     * earlier keep). `docs.filter(col("keep"))` IS the deduplicated corpus.
     */
-  def dedupDecisions(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val clusters = duplicateClusters(pairs)
+  def dedupDecisions(docs: DataFrame, pairs: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val clusters = duplicateClusters(pairs, checkpointDir = checkpointDir)
     docs.select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -454,14 +480,20 @@ object Dedup {
     * bit-deterministic: fused fold-left dots, max() is order-independent.
     */
   def semanticDedup(embeddings: DataFrame, threshold: Double,
-      centroids: Int = 8, sampleSize: Int = 256, iters: Int = 2): DataFrame = {
+      centroids: Int = 8, sampleSize: Int = 256, iters: Int = 2,
+      checkpointDir: Option[String] = None): DataFrame = {
     val nv = Similarity.normalized(embeddings)
     val cents = Similarity.trainCentroids(nv, centroids, sampleSize, iters)
+    armCheckpointDir(embeddings, checkpointDir)
     // materialize the assignment ONCE: it feeds three plan legs (both
     // self-join sides and the final verdict select), and Spark does not CSE
     // across self-join legs — without this the scan + normalization + n·k
-    // centroid-dot projection all run three times
-    val assigned = Similarity.assignToCentroids(nv, cents).localCheckpoint(true)
+    // centroid-dot projection all run three times. NOTE this runs a job
+    // EAGERLY at call time and severs lineage: with the default local
+    // checkpoint, a lost executor afterwards fails the query rather than
+    // recomputing — pass `checkpointDir` for the reliable-storage variant
+    // on a real cluster (see [[materialize]]).
+    val assigned = materialize(Similarity.assignToCentroids(nv, cents), checkpointDir)
     val a = assigned.as("a"); val b = assigned.as("b")
     val maxLower = a.join(b,
         col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))

@@ -98,9 +98,14 @@ object Sampling {
     * modular arithmetic — the shuffle a training loader applies between
     * curation and batching, without RNG state (rerun-identical, resumable,
     * and replayable in any BIGINT engine). Change `seed` per epoch for a
-    * fresh permutation. The multiplier is Knuth's 2654435761 over the
-    * Mersenne prime 2^31−1; ids are reduced mod p FIRST so the product
-    * stays under 2^63 for any conceivable doc_id.
+    * fresh permutation: the key is x⁵ mod p on x = (doc_id + seed) mod p,
+    * and x⁵ is NON-AFFINE — an affine key (id·m + seed·m mod p) would make
+    * every epoch a cyclic rotation of the same order, so consecutive-doc
+    * neighbor pairs would repeat across all epochs. x⁵ is a bijection on
+    * [0, p) because gcd(5, p−1) = 1 for the Mersenne prime p = 2^31−1
+    * (p−1 = 2·3·7·11·31·151·331), and every intermediate product of two
+    * mod-p residues stays under 2^62 — no overflow in Spark, DuckDB, or
+    * any BIGINT engine.
     *
     * Output: input columns + `shuffle_key` — `orderBy(shuffle_key, doc_id)`
     * IS the epoch's read order (the doc_id tiebreak pins key collisions).
@@ -112,10 +117,14 @@ object Sampling {
     val p = 2147483647L
     // double-guarded reduction: % is sign-preserving (Spark, DuckDB, Java
     // alike), and a single +p cannot lift the sum of TWO negative
-    // residues — ((x % p) + p) % p is the true mod that keeps the key in
-    // [0, p) for any (doc_id, seed) sign combination
+    // residues — ((x % p) + p) % p is the true mod that keeps x in [0, p)
+    // for any (doc_id, seed) sign combination
     val sum = (col("doc_id") % p + seed % p) % p
-    docs.withColumn("shuffle_key", ((sum + p) % p) * 2654435761L % p)
+    docs.withColumn("__x", (sum + p) % p)
+      .withColumn("__x2", col("__x") * col("__x") % p)
+      .withColumn("__x4", col("__x2") * col("__x2") % p)
+      .withColumn("shuffle_key", col("__x4") * col("__x") % p)
+      .drop("__x", "__x2", "__x4")
   }
 
   /** Per-source quota ("domain cap") — bound any one source's share of the

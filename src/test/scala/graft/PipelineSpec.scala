@@ -290,6 +290,36 @@ class PipelineSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("duplicate clusters: reliable-storage checkpoint path matches local and writes files") {
+    // the cluster-scale variant: star rounds checkpoint to a real directory
+    // (survives executor loss) instead of executor-local blocks
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+        .toDF("doc_a", "doc_b")
+      val out = Dedup.duplicateClusters(pairs, checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+      // the rounds actually landed in reliable storage, not local blocks
+      def rddFiles(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(rddFiles).sum
+        else if (f.getName.startsWith("part-")) 1 else 0
+      assert(rddFiles(new java.io.File(dir)) > 0,
+        s"expected reliable checkpoint files under $dir")
+      // semanticDedup shares the same option and contract
+      val emb = Seq(
+        (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)))
+        .toDF("vec_id", "embedding")
+      val sem = Dedup.semanticDedup(emb, threshold = 0.9, centroids = 2,
+        sampleSize = 3, iters = 1, checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+      assert(sem == Map(1L -> true, 2L -> false, 3L -> true))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("repetition stats: Gopher signals computed exactly on known fixtures") {
     // "ab cd ab cd ab cd": 5 2-grams, top "ab cd" ×3 (ties: "cd ab" ×2),
     // frac = 3*5/17; one 5-gram duplicated? 2 distinct 5-grams, no dups.
@@ -585,6 +615,13 @@ class PipelineSpec extends SparkSpec {
     assert(e0 != e1, "different seed, different permutation")
     assert(e0.sorted == ids && e1.sorted == ids, "still a permutation")
     assert(e0 != ids, "not the identity order")
+    // epochs must be DECORRELATED permutations, not rotations of one fixed
+    // order: an affine key preserves every consecutive-doc neighbor pair
+    // across seeds (~500 shared pairs here); the x^5 round must not
+    def neighborPairs(o: Seq[Long]) = o.sliding(2).map(_.toSeq).toSet
+    val shared = (neighborPairs(e0) intersect neighborPairs(e1)).size
+    assert(shared < 25,
+      s"epochs look like rotations of one order: $shared shared neighbor pairs")
   }
 
   test("domain cap: per-source quota by (fingerprint, doc_id), null text last") {

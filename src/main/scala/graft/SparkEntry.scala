@@ -933,15 +933,19 @@ object SparkEntry {
 
     // Deterministic training-shuffle order (seed 7): pure modular
     // arithmetic both engines evaluate identically — the loader-side
-    // epoch shuffle, no RNG state.
+    // epoch shuffle, no RNG state. key = x^5 mod p (non-affine, so epochs
+    // are decorrelated permutations, not rotations of one order); every
+    // intermediate product of two mod-p residues stays under 2^62.
     Q("q_sample_shuffle_order",
       (s, d) => graft.functions.Sampling.shuffleOrder(
         Tables.documents(s, d).select("doc_id"), seed = 7L)
         .orderBy("doc_id"),
-      Some("SELECT doc_id, " +
-        "(((doc_id % 2147483647 + 7 % 2147483647) % 2147483647 + 2147483647) " +
-        "% 2147483647) * 2654435761 % 2147483647 AS shuffle_key " +
-        "FROM documents ORDER BY doc_id")),
+      Some("SELECT doc_id, x4 * x % 2147483647 AS shuffle_key FROM (" +
+        "SELECT doc_id, x, x2 * x2 % 2147483647 AS x4 FROM (" +
+        "SELECT doc_id, x, x * x % 2147483647 AS x2 FROM (" +
+        "SELECT doc_id, ((doc_id % 2147483647 + 7 % 2147483647) " +
+        "% 2147483647 + 2147483647) % 2147483647 AS x FROM documents))) " +
+        "ORDER BY doc_id")),
 
     // Keyword extraction: per-doc top-3 terms by exact frequency (integer
     // tf, no floating-point IDF ⇒ cross-engine deterministic).
@@ -1366,7 +1370,11 @@ object SparkEntry {
         "c AS (SELECT vec_id, v FROM nv WHERE vec_id % 50 <> 0), " +
         "m AS (SELECT c.vec_id, max(" + dotSql("c.v", "b.bv") + ") AS max_bench_sim " +
         "FROM c CROSS JOIN b GROUP BY c.vec_id) " +
-        "SELECT vec_id, max_bench_sim, max_bench_sim >= 0.35 AS contaminated " +
+        // COALESCE mirrors the operator's documented empty/all-zero-norm-
+        // benchmark contract (max_bench_sim NULL → contaminated FALSE) even
+        // though the gated corpus never exercises it
+        "SELECT vec_id, max_bench_sim, " +
+        "COALESCE(max_bench_sim >= 0.35, false) AS contaminated " +
         "FROM m ORDER BY vec_id")),
 
     // SemDeDup: semantic dedup via the SAME trained quantizer — cluster,

@@ -141,6 +141,27 @@ object Analytics {
     PagedResult(total, page, perPage, (total + perPage - 1) / perPage, rows, agg)
   }
 
+  /** Raw-transaction listing — the reference's paginated per-source
+    * transaction endpoints (backend/app/api/transactions.py:7-23): a
+    * deterministic id-ordered page over a raw transaction frame (use
+    * [[graft.sources.Tables.transactionsWithId]]). Page order is the
+    * source id, matching SQLAlchemy's default `.query` order on the
+    * primary key; at scale the sorted page is a TakeOrderedAndProject
+    * (limit pushed into the scan-side top-k), never a global sort.
+    */
+  def listTransactions(tx: DataFrame, page: Int, perPage: Int,
+      idCol: String = "transaction_id"): DataFrame = {
+    require(page >= 1 && perPage >= 1, s"page=$page perPage=$perPage must be >= 1")
+    tx.orderBy(col(idCol)).offset((page - 1) * perPage).limit(perPage)
+  }
+
+  /** Get-by-id (reference transactions.py:25-35): zero or one row; the id
+    * predicate pushes down to the scan.
+    */
+  def transactionById(tx: DataFrame, id: Long,
+      idCol: String = "transaction_id"): DataFrame =
+    tx.filter(col(idCol) === lit(id))
+
   /** Retention cohorts over the raw event stream: users grouped by their
     * first-activity day, counted on each later activity day as an offset
     * from the cohort day. Integer-only output (days, counts) —

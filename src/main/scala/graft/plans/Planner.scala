@@ -71,7 +71,11 @@ object Planner {
     * materialized segment (from the SegmentStore, or recomputed).
     * A compound plan that resolves to a single input passes it through
     * unchanged; only zero inputs is an error (deliberate deviation from the
-    * reference's ≥2 abort, U6 — see the inline comment below).
+    * reference's ≥2 abort, U6 — see the inline comment below). Set
+    * `faithfulParentGuard = true` to reproduce the reference exactly:
+    * a compound rule with fewer than two resolved inputs aborts
+    * (spark_processor.py:92-94), residual included — the flag-gated
+    * faithful mode, like Q1's set-op semantics.
     */
   def evaluate(
       plan: SegmentPlan,
@@ -79,7 +83,8 @@ object Planner {
       loadParent: Long => DataFrame,
       keyed: Boolean = true,
       residualMode: ResidualMode = ApplyResidual,
-      mode: ConditionCompiler.Mode = ConditionCompiler.DefaultMode): DataFrame =
+      mode: ConditionCompiler.Mode = ConditionCompiler.DefaultMode,
+      faithfulParentGuard: Boolean = false): DataFrame =
     plan match {
       case SegmentPlan.Base(conds) =>
         SegmentEngine.materializeBase(tx, conds, mode)
@@ -94,7 +99,13 @@ object Planner {
         // A single resolved input (rule exactly covered by one existing
         // segment) passes through — it IS that segment. The reference
         // aborts here instead (spark_processor.py:92-94); treating its
-        // error path as an error, not a semantic, is a deliberate deviation.
+        // error path as an error, not a semantic, is a deliberate
+        // deviation — opt into the reference behavior per call with
+        // `faithfulParentGuard`.
+        if (faithfulParentGuard)
+          require(inputs.size >= 2,
+            s"Compound rule resolved ${inputs.size} parent segments (< 2); " +
+              "the reference aborts here (spark_processor.py:92-94)")
         require(inputs.nonEmpty, "Compound rule resolved no parent segments")
         SegmentOps.combine(op, inputs, keyed)
     }

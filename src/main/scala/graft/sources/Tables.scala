@@ -71,6 +71,22 @@ object Tables {
       (get_json_object(col("props"), "$.k").cast(IntegerType) % 4 + 1).as("city_tier"),
       lit("EVENTS").as("transaction_type"))
 
+  /** [[transactions]] plus the source row id — the listing/get-by-id
+    * endpoints of the reference key raw transactions on their table id
+    * (reference: backend/app/api/transactions.py:7-35). Kept as a separate
+    * reader so the segment/analytics paths' view stays id-free (their
+    * oracles and outputs never carry it).
+    */
+  def transactionsWithId(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("event_id").as("transaction_id"),
+      col("user_id"),
+      col("value").as("amount"),
+      col("ts"),
+      col("event_type").as("category"),
+      (get_json_object(col("props"), "$.k").cast(IntegerType) % 4 + 1).as("city_tier"),
+      lit("EVENTS").as("transaction_type"))
+
   /** Ingest-time materialization of the transaction view: parses the
     * `props` JSON ONCE and writes plain typed columns, so every downstream
     * segment/analytics query scans `city_tier` as a parquet column (with

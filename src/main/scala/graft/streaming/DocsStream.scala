@@ -74,7 +74,12 @@ object DocsStream {
     * micro-batch boundaries cannot change any decision — stream ≡ batch
     * exactly (StreamingSpec asserts it). Idempotent under failure
     * re-runs: a retried batch N overwrites its own `batch=N` directory
-    * instead of appending duplicates.
+    * instead of appending duplicates. Every trigger writes its `batch=N`
+    * directory — including when zero documents survive (or arrive): an
+    * empty write normally plans zero tasks and leaves a FILE-LESS
+    * directory, which would make `spark.read.parquet(outDir)` fail schema
+    * inference if no batch ever kept a document, so the empty arm forces
+    * one schema-bearing 0-row parquet file.
     *
     * `expectedLangCol` defaults to None because the module's raw stream
     * schema (doc_id, ts, text) carries no language label — pass
@@ -91,15 +96,16 @@ object DocsStream {
         // isEmpty, the verdict's two internal scans, and the join's left side
         val b = batch.toDF().persist()
         try {
-          if (!b.isEmpty) {
-            val v = TextAnalysis.filterVerdict(b, expectedLangCol = expectedLangCol)
-            val stats = Seq("token_count", "quality_score")
-            // verdict stats REPLACE same-named incoming columns (e.g. when
-            // composed after qualityStream) instead of colliding in the join
-            stats.foldLeft(b)((d, c) => d.drop(c))
-              .join(v.filter(col("keep")).select("doc_id", stats: _*), Seq("doc_id"))
-              .write.mode("overwrite").parquet(s"$outDir/batch=$id")
-          }
+          val v = TextAnalysis.filterVerdict(b, expectedLangCol = expectedLangCol)
+          val stats = Seq("token_count", "quality_score")
+          // verdict stats REPLACE same-named incoming columns (e.g. when
+          // composed after qualityStream) instead of colliding in the join
+          val out = stats.foldLeft(b)((d, c) => d.drop(c))
+            .join(v.filter(col("keep")).select("doc_id", stats: _*), Seq("doc_id"))
+          // repartition(1) on the empty arm: force one task so the write
+          // emits a 0-row parquet file WITH schema instead of nothing
+          (if (out.isEmpty) out.repartition(1) else out)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
         } finally { b.unpersist(); () }
     }
 }

@@ -55,6 +55,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(tierOnly.map(_.getAs[Long]("user_id")).toSet == Set(1L))
   }
 
+  test("raw transaction listing: id-ordered pages + get-by-id (reference transactions.py)") {
+    val raw = fixture.withColumn("transaction_id",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy($"ts")).cast("long"))
+    val page1 = Analytics.listTransactions(raw, page = 1, perPage = 2)
+      .select("transaction_id").as[Long].collect().toSeq
+    val page2 = Analytics.listTransactions(raw, page = 2, perPage = 2)
+      .select("transaction_id").as[Long].collect().toSeq
+    assert(page1 == Seq(1L, 2L) && page2 == Seq(3L, 4L),
+      "pages must be consecutive id-ordered slices")
+    val one = Analytics.transactionById(raw, 3L).collect()
+    assert(one.length == 1 && one.head.getAs[Double]("amount") == 25.0)
+    assert(Analytics.transactionById(raw, 999L).isEmpty)
+    // the sorted page is a top-k, not a global sort (scale contract)
+    val plan = Analytics.listTransactions(raw, 1, 2).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k page:\n$plan")
+
+    // the real corpus reader: id column present, get-by-id pushes the
+    // predicate into the parquet scan
+    val corpus = graft.sources.Tables.transactionsWithId(spark, sf)
+    assert(corpus.columns.head == "transaction_id")
+    val byId = Analytics.transactionById(corpus, 7L)
+    assert(byId.collect().length == 1)
+    val scan = byId.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(event_id), EqualTo(event_id,7)"),
+      s"id predicate must reach the scan:\n$scan")
+  }
+
   test("windowed rollups: one-scan multi-window, favorite category mode (A6)") {
     // anchor = 2024-01-04; window 1 day ⇒ only Jan 3-4 rows; window 30 ⇒ all
     val out = Rollups.userWindows(fixture, Seq(1, 30))

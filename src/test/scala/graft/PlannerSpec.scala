@@ -73,6 +73,18 @@ class PlannerSpec extends SparkSpec {
         SegmentPlan.Compound(Nil, SetOp.Intersection),
         tx = seg, loadParent = _ => seg).collect()
     }
+    // faithful mode reproduces the reference's < 2-parent abort
+    // (spark_processor.py:92-94) on the same single-cover plan
+    intercept[IllegalArgumentException] {
+      Planner.evaluate(
+        SegmentPlan.Compound(Seq(1), SetOp.Intersection),
+        tx = seg, loadParent = _ => seg, faithfulParentGuard = true).collect()
+    }
+    // and stays inert when two parents resolve
+    val two = Planner.evaluate(
+      SegmentPlan.Compound(Seq(1, 2), SetOp.Intersection),
+      tx = seg, loadParent = _ => seg, faithfulParentGuard = true)
+    assert(two.collect().length == 1)
   }
 
   test("reclassify of identical twin rules is acyclic (higher id depends on lower)") {

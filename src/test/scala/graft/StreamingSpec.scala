@@ -141,6 +141,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curation gate: zero-survivor batches still leave a readable output tree") {
+    import graft.streaming.DocsStream
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_curate_empty")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_curate_empty_ckpt")
+    val in = MemoryStream[(Long, String, String)]
+    val q = DocsStream.curateGateSink(
+      in.toDF().toDF("doc_id", "text", "lang"), out.toString,
+      expectedLangCol = Some("lang"))
+      .option("checkpointLocation", ckpt.toString).start()
+    try {
+      // a NON-empty batch whose every document fails the verdict: the
+      // batch=0 dir must still hold a schema-bearing (0-row) parquet file,
+      // or reading an all-rejected corpus dies on schema inference
+      in.addData((1L, "word " * 10, "en"), (2L, "x", "en"))
+      q.processAllAvailable()
+      val curated = spark.read.parquet(out.toString)
+      assert(curated.count() == 0L)
+      assert(curated.columns.contains("quality_score"))
+    } finally q.stop()
+  }
+
   test("stream-static incremental dedup drops digests already in the seen corpus") {
     import graft.streaming.DocsStream
     implicit val sqlCtx = spark.sqlContext

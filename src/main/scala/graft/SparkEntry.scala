@@ -325,6 +325,29 @@ object SparkEntry {
         "count(*) AS n_users " +
         "FROM a JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2")),
 
+    // Event funnel (signup → click → purchase within 7 days, first-touch):
+    // one user_id aggregate per step + one co-partitioned join per
+    // transition; the only double is the final conversion division.
+    Q("q_analytics_funnel",
+      (s, d) => Analytics.funnel(Tables.events(s, d),
+        Seq("signup", "click", "purchase"), horizonDays = 7),
+      Some("WITH s1 AS (SELECT user_id, min(ts) AS t FROM events " +
+        "WHERE event_type = 'signup' GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e " +
+        "JOIN s1 p ON e.user_id = p.user_id WHERE e.event_type = 'click' " +
+        "AND e.ts >= p.t AND e.ts <= p.t + INTERVAL 7 DAY GROUP BY 1), " +
+        "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e " +
+        "JOIN s2 p ON e.user_id = p.user_id WHERE e.event_type = 'purchase' " +
+        "AND e.ts >= p.t AND e.ts <= p.t + INTERVAL 7 DAY GROUP BY 1), " +
+        "c AS (SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type, " +
+        "count(*) AS n_users FROM s1 " +
+        "UNION ALL SELECT 2, 'click', count(*) FROM s2 " +
+        "UNION ALL SELECT 3, 'purchase', count(*) FROM s3) " +
+        "SELECT step, event_type, n_users, " +
+        "CASE WHEN f.n > 0 THEN CAST(n_users AS DOUBLE) / CAST(f.n AS DOUBLE) " +
+        "END AS conv_from_first " +
+        "FROM c CROSS JOIN (SELECT count(*) AS n FROM s1) f ORDER BY step")),
+
     // Exact per-category value quantiles (linear interpolation). Both
     // engines compute lower + (higher-lower)*frac over the same sorted
     // doubles; the oracle checks they agree bit-for-bit.
@@ -973,6 +996,24 @@ object SparkEntry {
         "count(*) AS term_freq FROM posting WHERE term <> '' " +
         "GROUP BY term ORDER BY term")),
 
+    // Corpus-frequency quality score — the CCNet-perplexity stand-in:
+    // per-doc mean corpus token frequency, exact integer until ONE final
+    // division (no ln — libm would break the cross-engine hash).
+    Q("q_text_unigram_quality",
+      (s, d) => TextAnalysis.unigramScore(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some("WITH tk AS (SELECT doc_id, unnest(" + toksSql + ") AS term " +
+        "FROM documents), " +
+        "v AS (SELECT term, count(*) AS cnt FROM tk GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v), " +
+        "sc AS (SELECT tk.doc_id, CAST(sum(v.cnt) AS BIGINT) AS s, " +
+        "count(*) AS n FROM tk JOIN v USING (term) GROUP BY 1) " +
+        "SELECT d.doc_id, CAST(COALESCE(sc.n, 0) AS BIGINT) AS token_count, " +
+        "CAST(sc.s AS DOUBLE) / CAST(sc.n * tot.total AS DOUBLE) " +
+        "AS unigram_score " +
+        "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id " +
+        "CROSS JOIN tot ORDER BY d.doc_id")),
+
     // Composite C4/Gopher filter verdict at default thresholds: keep +
     // ordered reason string per document, every arm replayed in SQL.
     // 372/500 synthetic docs trip at least one check (lang_mismatch
@@ -1040,6 +1081,40 @@ object SparkEntry {
         "UNION ALL SELECT doc_id + 10000, text FROM documents) " +
         "SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash, " +
         "count(*) AS dup_count FROM d GROUP BY sha256(text) ORDER BY doc_id")),
+
+    // Chunk-level exact dedup over the doubled corpus (sub-document
+    // granularity — every original 16-token window recurs in its re-keyed
+    // twin, so dup fractions are exercised corpus-wide; the oracle replays
+    // the slice → lower → rolling-hash fold → first-occurrence rank).
+    Q("q_dedup_chunks",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val doubled = docs.unionByName(
+          docs.withColumn("doc_id", col("doc_id") + lit(10000L)))
+        graft.functions.Dedup.chunkDedup(doubled, chunkTokens = 16)
+          .orderBy("doc_id")
+      },
+      Some("WITH d AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 10000, text FROM documents), " +
+        "tk AS (SELECT doc_id, " + toksSql + " AS t FROM d " +
+        "WHERE text IS NOT NULL AND len(" + toksSql + ") > 0), " +
+        "ck AS (SELECT doc_id, unnest(range(0, (len(t) - 1) // 16 + 1)) " +
+        "AS idx, t FROM tk), " +
+        "fp AS (SELECT doc_id, idx, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "[CAST(unicode(c) AS BIGINT) FOR c IN regexp_extract_all(" +
+        "lower(array_to_string(t[(idx*16+1):(idx*16+16)], ' ')), '.')]), " +
+        s"(acc, x) -> (acc * 31 + x) % ${graft.functions.RollingHash.Modulus}) " +
+        "AS f FROM ck), " +
+        "r AS (SELECT doc_id, row_number() OVER (PARTITION BY f " +
+        "ORDER BY doc_id, idx) AS rn FROM fp), " +
+        "g AS (SELECT doc_id, count(*) AS n_chunks, " +
+        "CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_dup_chunks FROM r GROUP BY 1) " +
+        "SELECT d.doc_id, CAST(COALESCE(g.n_chunks, 0) AS BIGINT) AS n_chunks, " +
+        "CAST(COALESCE(g.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks, " +
+        "CAST(g.n_dup_chunks AS DOUBLE) / CAST(g.n_chunks AS DOUBLE) " +
+        "AS dup_chunk_frac " +
+        "FROM d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id")),
 
     // Incremental exact dedup: a new batch (every second document, re-keyed)
     // deduped against itself and the already-seen corpus (every third

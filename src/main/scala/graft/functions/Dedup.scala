@@ -397,6 +397,61 @@ object Dedup {
         (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id")).as("keep"))
   }
 
+  /** CHUNK-level exact dedup — the tractable approximation of
+    * exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", 2022): split every document into fixed
+    * `chunkTokens`-token windows, fingerprint each window, and mark every
+    * chunk whose content already occurred at a lower (doc_id, chunk_idx).
+    * Catches the sub-document redundancy document-level dedup is blind to
+    * (shared boilerplate headers/footers, quoted passages, mirrored
+    * sections) at a granularity the suffix-array method gets exactly but
+    * cannot get distributed.
+    *
+    * First-occurrence rule: min (doc_id, chunk_idx) keeps — deterministic,
+    * stable under re-runs, consistent with [[dedupDecisions]]. Output: one
+    * row per document — (doc_id, n_chunks, n_dup_chunks, dup_chunk_frac);
+    * NULL-text documents keep n_chunks 0 and a NULL fraction. The fraction
+    * is the only double: one division of two exact counts.
+    *
+    * Scale shape: the explode multiplies rows by n/chunkTokens but the
+    * window shuffle carries ONLY (fingerprint, doc_id, idx) — text never
+    * moves after the scan-side fingerprint projection; the per-fingerprint
+    * rank then one doc_id aggregate are the standard postings shape.
+    */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int = 16,
+      textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0, "chunk size must be positive")
+    val c = chunkTokens
+    val toked = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .filter(col("__t").isNotNull && size(col("__t")) > 0)
+    // chunk indexes 0 .. ⌈n/c⌉-1 = (n-1)/c (n ≥ 1 after the filter); the
+    // ragged tail chunk keeps its short slice
+    val chunks = toked
+      .select(col("doc_id"),
+        // (n-1)/c is exact here: both operands non-negative ints, so the
+        // double division truncates to the same floor an int division gives
+        explode(sequence(lit(0), ((size(col("__t")) - 1) / c).cast("int"))).as("idx"),
+        col("__t"))
+      .select(col("doc_id"), col("idx"),
+        TextAnalysis.fingerprint(
+          array_join(slice(col("__t"), col("idx") * c + 1, lit(c)), " ")).as("__f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__f")).orderBy(col("doc_id"), col("idx"))
+    val perDoc = chunks
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        (col("n_dup_chunks").cast("double") /
+          col("n_chunks").cast("double")).as("dup_chunk_frac"))
+  }
+
   /** Large-star: for every node u (over the symmetrized neighborhood),
     * connect each neighbor LARGER than u to m = min(N(u) ∪ {u}).
     */

@@ -115,6 +115,42 @@ object TextAnalysis {
   def normalizedText(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))
 
+  /** Corpus-frequency QUALITY score — the engine-portable stand-in for the
+    * CCNet-style language-model perplexity filter: each document scores the
+    * mean corpus frequency of its tokens, normalized by the corpus token
+    * total. Common-word prose scores high; rare-token noise (base64 blobs,
+    * code dumps, ransom strings) scores low — the same ordering a unigram
+    * LM log-prob gives, WITHOUT the `ln` that would break cross-engine
+    * bit-determinism (libm-dependent). All arithmetic is exact integer —
+    * per-doc sum of corpus counts over (token_count × corpus_total) — until
+    * ONE final division, so scores are bit-identical in any engine.
+    *
+    * Two-pass by construction (the corpus statistic, then the per-doc
+    * score): vocabulary is one hash aggregate over the token postings; the
+    * per-doc pass joins postings to vocabulary on term. At 100 TB both
+    * shuffles carry (term)/(doc_id) keyed narrow rows; the vocabulary side
+    * is Zipf-small relative to the corpus and broadcasts when it fits.
+    *
+    * Output: one row per document — (doc_id, token_count, unigram_score);
+    * NULL-text documents keep token_count 0 and a NULL score.
+    */
+  def unigramScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = docs.select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val vocab = t.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).cast("long").as("__total"))
+    val perDoc = t.join(vocab, "term")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("long").as("__s"),
+        count(lit(1)).as("__n"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        coalesce(col("__n"), lit(0L)).as("token_count"),
+        (col("__s").cast("double") /
+          (col("__n") * col("__total")).cast("double")).as("unigram_score"))
+  }
+
   /** Per-document top-k terms by frequency (stopwords excluded, ties by
     * term asc) — keyword extraction, the integer-only cousin of TF-IDF
     * (term frequencies are exact counts, so results are deterministic

@@ -162,6 +162,50 @@ object Analytics {
       idCol: String = "transaction_id"): DataFrame =
     tx.filter(col(idCol) === lit(id))
 
+  /** Event FUNNEL: for an ordered list of step event types, how many users
+    * complete each step within `horizonDays` of completing the previous one
+    * (first-touch semantics: a user's step-k time is their EARLIEST
+    * qualifying occurrence after step k-1). The classic product-analytics
+    * conversion funnel — strict order, bounded window, one row per step
+    * with the conversion fraction against step 1.
+    *
+    * Scale shape: one user_id hash-aggregate per step plus one
+    * co-partitioned user_id join per transition — every shuffle is on the
+    * same key, so the exchanges reuse partitioning; the result is k rows.
+    * Determinism: timestamps and counts are exact; the only double is the
+    * final conversion division (NULL when step 1 is empty, never NaN).
+    */
+  def funnel(events: DataFrame, steps: Seq[String], horizonDays: Int,
+      typeCol: String = "event_type", tsCol: String = "ts",
+      userCol: String = "user_id"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(horizonDays > 0, "horizon must be positive")
+    val horizon = expr(s"INTERVAL $horizonDays DAYS")
+    var cur = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+    var rows = Vector(cur.agg(count(lit(1)).as("n_users"))
+      .select(lit(1L).as("step"), lit(steps.head).as("event_type"),
+        col("n_users")))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      cur = events.filter(col(typeCol) === st).as("e")
+        .join(cur.as("p"), col(s"e.$userCol") === col(s"p.$userCol"))
+        .filter(col(s"e.$tsCol") >= col("p.t") &&
+          col(s"e.$tsCol") <= col("p.t") + horizon)
+        .groupBy(col(s"e.$userCol")).agg(min(col(s"e.$tsCol")).as("t"))
+      rows :+= cur.agg(count(lit(1)).as("n_users"))
+        .select(lit((i + 1).toLong).as("step"), lit(st).as("event_type"),
+          col("n_users"))
+    }
+    val first = rows.head.select(col("n_users").as("__n_first"))
+    rows.reduce(_.unionByName(_))
+      .crossJoin(broadcast(first))
+      .select(col("step"), col("event_type"), col("n_users"),
+        when(col("__n_first") > 0,
+          col("n_users").cast("double") / col("__n_first").cast("double"))
+          .as("conv_from_first"))
+      .orderBy("step")
+  }
+
   /** Retention cohorts over the raw event stream: users grouped by their
     * first-activity day, counted on each later activity day as an offset
     * from the cohort day. Integer-only output (days, counts) —

@@ -55,6 +55,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(tierOnly.map(_.getAs[Long]("user_id")).toSet == Set(1L))
   }
 
+  test("funnel: first-touch step times, horizon bound, conversion fractions") {
+    val ev = Seq(
+      // user 1 completes all three steps inside the horizons
+      (1L, "signup", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-03 10:00:00"),
+      (1L, "purchase", "2024-01-05 10:00:00"),
+      // user 2: click BEFORE signup must not count; the later one does
+      (2L, "click", "2024-01-01 09:00:00"),
+      (2L, "signup", "2024-01-02 10:00:00"),
+      (2L, "click", "2024-01-04 10:00:00"),
+      // user 2's purchase lands beyond 7 days after the qualifying click
+      (2L, "purchase", "2024-01-20 10:00:00"),
+      // user 3 signs up and never proceeds
+      (3L, "signup", "2024-01-01 08:00:00"),
+      // user 4 purchases without signup — never enters the funnel
+      (4L, "purchase", "2024-01-02 10:00:00"))
+      .toDF("user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val out = Analytics.funnel(ev, Seq("signup", "click", "purchase"), 7)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      (1L, "signup", 3L, Some(1.0)),
+      (2L, "click", 2L, Some(2.0 / 3.0)),
+      (3L, "purchase", 1L, Some(1.0 / 3.0))))
+    // exactly-at-boundary event converts (<= horizon, not <)
+    val edge = Seq(
+      (9L, "signup", "2024-01-01 00:00:00"),
+      (9L, "click", "2024-01-08 00:00:00"))
+      .toDF("user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val e = Analytics.funnel(edge, Seq("signup", "click"), 7).collect()
+    assert(e(1).getLong(2) == 1L, "boundary event must convert")
+    // an empty first step yields NULL conversions, never NaN
+    val none = Analytics.funnel(edge.filter($"event_type" === "click"),
+      Seq("signup", "click"), 7).collect()
+    assert(none.forall(r => r.isNullAt(3)))
+  }
+
   test("raw transaction listing: id-ordered pages + get-by-id (reference transactions.py)") {
     val raw = fixture.withColumn("transaction_id",
       row_number().over(org.apache.spark.sql.expressions.Window

@@ -320,6 +320,55 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("chunk dedup: fixed-token windows, first occurrence keeps, ragged tail") {
+    // chunk size 2: doc 1 = [ab, cd | ef, gh], doc 2 repeats doc 1's first
+    // chunk then a fresh one, doc 3 = one ragged single-token chunk that
+    // also duplicates (case-insensitively) doc 1's tail... and a null doc
+    val corpus = Seq(
+      (1L, "ab cd ef gh"),
+      (2L, "ab cd zz ww"),
+      (3L, "EF GH"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = graft.functions.Dedup.chunkDedup(corpus, chunkTokens = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 0L, Some(0.0)),          // both chunks first
+      (2L, 2L, 1L, Some(0.5)),          // "ab cd" already seen in doc 1
+      (3L, 1L, 1L, Some(1.0)),          // "ef gh" normalization-matches doc 1
+      (4L, 0L, 0L, None)))              // null text: no chunks, NULL frac
+    // ragged-tail boundary: 3 tokens at size 2 = 2 chunks, tail of 1 token
+    val ragged = graft.functions.Dedup.chunkDedup(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), chunkTokens = 2).collect()
+    assert(ragged.head.getLong(1) == 2L)
+    // exact chunk-multiple must NOT emit a trailing empty chunk
+    val exact2 = graft.functions.Dedup.chunkDedup(
+      Seq((1L, "a b")).toDF("doc_id", "text"), chunkTokens = 2).collect()
+    assert(exact2.head.getLong(1) == 1L)
+  }
+
+  test("unigram quality: corpus-frequency score, exact rational arithmetic") {
+    // corpus: "x" ×3, "y" ×2, "z" ×1 → total 6
+    val corpus = Seq(
+      (1L, "x x y"),   // s = 3+3+2 = 8, n = 3 → 8/18
+      (2L, "x y z"),   // s = 3+2+1 = 6, n = 3 → 6/18
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = graft.functions.TextAnalysis.unigramScore(corpus)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      (1L, 3L, Some(8.0 / 18.0)),
+      (2L, 3L, Some(6.0 / 18.0)),
+      (3L, 0L, None)))
+    // the ordering property the operator exists for: common-word docs
+    // outscore rare-token docs
+    assert(out(0)._3.get > out(1)._3.get)
+  }
+
   test("repetition stats: Gopher signals computed exactly on known fixtures") {
     // "ab cd ab cd ab cd": 5 2-grams, top "ab cd" ×3 (ties: "cd ab" ×2),
     // frac = 3*5/17; one 5-gram duplicated? 2 distinct 5-grams, no dups.

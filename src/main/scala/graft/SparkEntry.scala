@@ -569,7 +569,27 @@ object SparkEntry {
         "last_transaction_date, city_tier, favorite_category " +
         "FROM agg JOIN fav ON agg.user_id = fav.user_id " +
         "AND agg.period_days = fav.period_days WHERE rn = 1 " +
-        "ORDER BY agg.user_id, agg.period_days")))
+        "ORDER BY agg.user_id, agg.period_days")),
+
+    // Trailing 7-CALENDAR-day moving daily aggregates per event type: a
+    // RANGE frame over the day number, so gap days age out instead of
+    // stretching the window (the ROWS-frame trap on sparse dailies).
+    // Amounts stay exact decimal through BOTH sums, surfaced once as
+    // DOUBLE — order-independent and engine-bit-identical.
+    Q("q_rollup_moving_7d",
+      (s, d) => Rollups.movingDaily(Tables.events(s, d), windowDays = 7)
+        .orderBy("event_type", "day"),
+      Some("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
+        "count(*) AS n, sum(CAST(value AS DECIMAL(38,6))) AS amt " +
+        "FROM events GROUP BY 1, 2), " +
+        "dn AS (SELECT *, day - DATE '1970-01-01' AS d FROM daily) " +
+        "SELECT event_type, day, n, " +
+        "CAST(sum(n) OVER w AS BIGINT) AS n_window, " +
+        "CAST(CAST(sum(amt) OVER w AS DECIMAL(20,2)) AS DOUBLE) " +
+        "AS amount_window " +
+        "FROM dn WINDOW w AS (PARTITION BY event_type ORDER BY d " +
+        "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_type, day")))
 
   // -------------------------------------------------------------------------
   // Training-data pipeline operators (beyond-parity, SURVEY §7.2 step 10):

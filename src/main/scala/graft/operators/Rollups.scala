@@ -66,4 +66,35 @@ object Rollups {
         col("total_amount"), col("last_transaction_date"), col("city_tier"),
         col("category").as("favorite_category"))
   }
+
+  /** Trailing `windowDays`-day MOVING aggregates of the daily event stream,
+    * per event type: for every (event_type, day) with activity, the count
+    * and exact-decimal amount over that day and the `windowDays - 1`
+    * preceding CALENDAR days. A RANGE frame over the day number — not ROWS
+    * — so gap days genuinely age out of the window instead of silently
+    * stretching it (the trap of ROWS BETWEEN N PRECEDING on sparse dailies).
+    *
+    * Scale shape: the daily pre-aggregate collapses the event stream to at
+    * most (types × days) rows BEFORE the window, so the window sort input
+    * is tiny regardless of corpus size; one exchange on event_type.
+    * Determinism: counts are integer; amounts stay exact DECIMAL through
+    * both the daily and the window sum and surface once as DOUBLE
+    * ([[Tables.moneyOut]]) — order-independent under any partitioning.
+    */
+  def movingDaily(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "window must be at least one day")
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(Tables.MoneyExact)).as("__amt"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("__dn"))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    daily
+      .withColumn("__dn", datediff(col("day"), to_date(lit("1970-01-01"))))
+      .withColumn("n_window", sum(col("n")).over(w).cast("long"))
+      .withColumn("amount_window", Tables.moneyOut(sum(col("__amt")).over(w)))
+      .select(col("event_type"), col("day"), col("n"),
+        col("n_window"), col("amount_window"))
+  }
 }

@@ -55,6 +55,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(tierOnly.map(_.getAs[Long]("user_id")).toSet == Set(1L))
   }
 
+  test("moving daily: RANGE frame ages gap days out of the window") {
+    // type A: days 1, 2, then a GAP, then day 10 — the 3-day window at
+    // day 10 must contain only day 10 (a ROWS frame would wrongly pull
+    // days 1-2 across the gap)
+    val ev = Seq(
+      ("A", "2024-01-01 10:00:00", 10.0),
+      ("A", "2024-01-02 10:00:00", 20.0),
+      ("A", "2024-01-02 11:00:00", 5.0),
+      ("A", "2024-01-10 10:00:00", 40.0),
+      ("B", "2024-01-01 09:00:00", 1.0))
+      .toDF("event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val out = Rollups.movingDaily(ev, windowDays = 3)
+      .orderBy("event_type", "day")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("A", "2024-01-01", 1L, 1L, 10.0),
+      ("A", "2024-01-02", 2L, 3L, 35.0),   // day 1 still inside the 3-day frame
+      ("A", "2024-01-10", 1L, 1L, 40.0),   // gap aged days 1-2 out
+      ("B", "2024-01-01", 1L, 1L, 1.0)))
+  }
+
   test("funnel: first-touch step times, horizon bound, conversion fractions") {
     val ev = Seq(
       // user 1 completes all three steps inside the horizons

@@ -1029,8 +1029,10 @@ object SparkEntry {
         "sc AS (SELECT tk.doc_id, CAST(sum(v.cnt) AS BIGINT) AS s, " +
         "count(*) AS n FROM tk JOIN v USING (term) GROUP BY 1) " +
         "SELECT d.doc_id, CAST(COALESCE(sc.n, 0) AS BIGINT) AS token_count, " +
-        "CAST(sc.s AS DOUBLE) / CAST(sc.n * tot.total AS DOUBLE) " +
-        "AS unigram_score " +
+        // factors widen to DOUBLE before the multiply, mirroring the Scala
+        // side (n*total would overflow int64 at corpus scale)
+        "CAST(sc.s AS DOUBLE) / (CAST(sc.n AS DOUBLE) * " +
+        "CAST(tot.total AS DOUBLE)) AS unigram_score " +
         "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id " +
         "CROSS JOIN tot ORDER BY d.doc_id")),
 
@@ -1120,9 +1122,16 @@ object SparkEntry {
         "WHERE text IS NOT NULL AND len(" + toksSql + ") > 0), " +
         "ck AS (SELECT doc_id, unnest(range(0, (len(t) - 1) // 16 + 1)) " +
         "AS idx, t FROM tk), " +
+        // replay fingerprint's FULL canonical form (trim + collapse +
+        // lower), not just lower: a leading tab in text survives Spark's
+        // space-only trim into a leading empty token, and the joined chunk
+        // then starts with a space that normalizedText strips — the oracle
+        // must strip it too (same landmine class as the r6 HUGEINT bug)
         "fp AS (SELECT doc_id, idx, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         "[CAST(unicode(c) AS BIGINT) FOR c IN regexp_extract_all(" +
-        "lower(array_to_string(t[(idx*16+1):(idx*16+16)], ' ')), '.')]), " +
+        "lower(regexp_replace(trim(" +
+        "array_to_string(t[(idx*16+1):(idx*16+16)], ' ')" +
+        "), '\\s+', ' ', 'g')), '.')]), " +
         s"(acc, x) -> (acc * 31 + x) % ${graft.functions.RollingHash.Modulus}) " +
         "AS f FROM ck), " +
         "r AS (SELECT doc_id, row_number() OVER (PARTITION BY f " +

@@ -315,35 +315,43 @@ object Dedup {
       checkpointDir: Option[String] = None): DataFrame =
     duplicateClustersWithRounds(pairs, maxIters, checkpointDir)._1
 
-  /** Materialize an intermediate frame, cutting lineage. Default:
+  /** Materializes intermediate frames, cutting lineage. Default:
     * executor-LOCAL checkpoint — no external storage, but its blocks die
     * with their executor, so a lost executor mid-job fails the query
     * instead of recomputing (acceptable in local mode, where executor ==
-    * driver). With `checkpointDir` set, a RELIABLE checkpoint: each
-    * materialization writes to that (HDFS/object-store) directory and
-    * survives executor loss — the right trade for a multi-round iterative
-    * job on a real cluster, where the probability of losing some executor
-    * grows with rounds × fleet size. The caller owns directory cleanup;
-    * checkpoint files outlive the returned frame by design.
+    * driver). With `checkpointDir` set, a RELIABLE materialization: each
+    * call writes parquet under `checkpointDir/<uuid>/step-N` and reads it
+    * back, so the frame survives executor loss — the right trade for a
+    * multi-round iterative job on a real cluster, where the probability of
+    * losing some executor grows with rounds × fleet size.
+    *
+    * Deliberately NOT `df.checkpoint()`: that routes through the
+    * SparkContext's single global checkpoint dir, so two concurrent
+    * invocations with different dirs would misroute each other's files
+    * (last `setCheckpointDir` wins) and one caller's cleanup could delete
+    * the other's live checkpoints. The UUID subdir is private to this
+    * instance — concurrent invocations never collide. The caller owns
+    * directory cleanup; files outlive the returned frames by design.
     */
-  private def materialize(df: DataFrame, checkpointDir: Option[String]): DataFrame =
-    checkpointDir match {
-      case Some(_) => df.checkpoint()
-      case None    => df.localCheckpoint(true)
+  private final class Materializer(checkpointDir: Option[String]) {
+    private val runDir = checkpointDir.map(d =>
+      s"${d.stripSuffix("/")}/${java.util.UUID.randomUUID()}")
+    private val step = new java.util.concurrent.atomic.AtomicInteger(0)
+    def apply(df: DataFrame): DataFrame = runDir match {
+      case Some(dir) =>
+        val p = s"$dir/step-${step.getAndIncrement()}"
+        df.write.parquet(p)
+        df.sparkSession.read.parquet(p)
+      case None => df.localCheckpoint(true)
     }
-
-  /** One UUID subdir per invocation under the caller's dir (Spark's own
-    * setCheckpointDir behavior), so concurrent clusterings never collide.
-    */
-  private def armCheckpointDir(df: DataFrame, checkpointDir: Option[String]): Unit =
-    checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
+  }
 
   /** [[duplicateClusters]] + the number of star rounds it took — exposed so
     * stress fixtures can assert the O(log n) convergence bound.
     */
   def duplicateClustersWithRounds(pairs: DataFrame,
       maxIters: Int = 20, checkpointDir: Option[String] = None): (DataFrame, Int) = {
-    armCheckpointDir(pairs, checkpointDir)
+    val materialize = new Materializer(checkpointDir)
     // Materialize the edge list ONCE: without this every star round (and
     // its convergence probe) re-executes the whole upstream pair pipeline —
     // measured 17 s vs 6 s at sf0.1 with ngram-Jaccard pairs upstream. The
@@ -352,14 +360,14 @@ object Dedup {
     var edges = materialize(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct(), checkpointDir)
+      .distinct())
     var iter = 0
     var converged = false
     while (!converged) {
       require(iter < maxIters, s"star rounds exceeded $maxIters")
       // checkpoint FIRST, probe convergence on the materialized frame —
       // probing the un-checkpointed plan would execute the round twice
-      val next = materialize(smallStar(largeStar(edges)), checkpointDir)
+      val next = materialize(smallStar(largeStar(edges)))
       // fixpoint = identical edge sets (both sides are distinct frames)
       val changed = next.count() != edges.count() ||
         next.exceptAll(edges).limit(1).count() > 0
@@ -375,8 +383,7 @@ object Dedup {
     val labels = materialize(
       edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
         .unionByName(edges.select(col("dst").as("doc_id"), col("dst").as("cluster_id")))
-        .distinct(),
-      checkpointDir) // so the star edge blocks can be released now
+        .distinct()) // so the star edge blocks can be released now
     edges.unpersist()
     (labels, iter)
   }
@@ -539,7 +546,6 @@ object Dedup {
       checkpointDir: Option[String] = None): DataFrame = {
     val nv = Similarity.normalized(embeddings)
     val cents = Similarity.trainCentroids(nv, centroids, sampleSize, iters)
-    armCheckpointDir(embeddings, checkpointDir)
     // materialize the assignment ONCE: it feeds three plan legs (both
     // self-join sides and the final verdict select), and Spark does not CSE
     // across self-join legs — without this the scan + normalization + n·k
@@ -547,8 +553,9 @@ object Dedup {
     // EAGERLY at call time and severs lineage: with the default local
     // checkpoint, a lost executor afterwards fails the query rather than
     // recomputing — pass `checkpointDir` for the reliable-storage variant
-    // on a real cluster (see [[materialize]]).
-    val assigned = materialize(Similarity.assignToCentroids(nv, cents), checkpointDir)
+    // on a real cluster (see [[Materializer]]).
+    val materialize = new Materializer(checkpointDir)
+    val assigned = materialize(Similarity.assignToCentroids(nv, cents))
     val a = assigned.as("a"); val b = assigned.as("b")
     val maxLower = a.join(b,
         col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))

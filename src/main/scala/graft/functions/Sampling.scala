@@ -103,7 +103,7 @@ object Sampling {
     * every epoch a cyclic rotation of the same order, so consecutive-doc
     * neighbor pairs would repeat across all epochs. x⁵ is a bijection on
     * [0, p) because gcd(5, p−1) = 1 for the Mersenne prime p = 2^31−1
-    * (p−1 = 2·3·7·11·31·151·331), and every intermediate product of two
+    * (p−1 = 2·3²·7·11·31·151·331), and every intermediate product of two
     * mod-p residues stays under 2^62 — no overflow in Spark, DuckDB, or
     * any BIGINT engine.
     *

@@ -147,8 +147,13 @@ object TextAnalysis {
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
         coalesce(col("__n"), lit(0L)).as("token_count"),
+        // each factor widens to double BEFORE the multiply: __n × __total
+        // overflows int64 at corpus scale (1e6-token doc × 1e13-token
+        // corpus = 1e19 > 2^63), while the double product is exact-rounded
+        // IEEE in every engine (and exactly equal below 2^53)
         (col("__s").cast("double") /
-          (col("__n") * col("__total")).cast("double")).as("unigram_score"))
+          (col("__n").cast("double") * col("__total").cast("double")))
+          .as("unigram_score"))
   }
 
   /** Per-document top-k terms by frequency (stopwords excluded, ties by

@@ -73,9 +73,11 @@ object Planner {
     * unchanged; only zero inputs is an error (deliberate deviation from the
     * reference's ≥2 abort, U6 — see the inline comment below). Set
     * `faithfulParentGuard = true` to reproduce the reference exactly:
-    * a compound rule with fewer than two resolved inputs aborts
-    * (spark_processor.py:92-94), residual included — the flag-gated
-    * faithful mode, like Q1's set-op semantics.
+    * a compound rule with fewer than two resolved PARENT segments aborts
+    * (spark_processor.py:92-94 counts `parent_segment_dfs` only — the
+    * residual never joins that list, so it must not rescue the count
+    * here either) — the flag-gated faithful mode, like Q1's set-op
+    * semantics.
     */
   def evaluate(
       plan: SegmentPlan,
@@ -103,8 +105,8 @@ object Planner {
         // deviation — opt into the reference behavior per call with
         // `faithfulParentGuard`.
         if (faithfulParentGuard)
-          require(inputs.size >= 2,
-            s"Compound rule resolved ${inputs.size} parent segments (< 2); " +
+          require(parentDfs.size >= 2,
+            s"Compound rule resolved ${parentDfs.size} parent segments (< 2); " +
               "the reference aborts here (spark_processor.py:92-94)")
         require(inputs.nonEmpty, "Compound rule resolved no parent segments")
         SegmentOps.combine(op, inputs, keyed)

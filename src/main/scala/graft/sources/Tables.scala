@@ -63,18 +63,13 @@ object Tables {
     * city_tier = json `props.k` % 4 + 1, discriminator transaction_type.
     */
   def transactions(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir).select(
-      col("user_id"),
-      col("value").as("amount"),
-      col("ts"),
-      col("event_type").as("category"),
-      (get_json_object(col("props"), "$.k").cast(IntegerType) % 4 + 1).as("city_tier"),
-      lit("EVENTS").as("transaction_type"))
+    transactionsWithId(spark, dir).drop("transaction_id")
 
   /** [[transactions]] plus the source row id — the listing/get-by-id
     * endpoints of the reference key raw transactions on their table id
-    * (reference: backend/app/api/transactions.py:7-35). Kept as a separate
-    * reader so the segment/analytics paths' view stays id-free (their
+    * (reference: backend/app/api/transactions.py:7-35). The single source
+    * of the column mapping; [[transactions]] derives from it by dropping
+    * the id so the segment/analytics paths' view stays id-free (their
     * oracles and outputs never carry it).
     */
   def transactionsWithId(spark: SparkSession, dir: String): DataFrame =

@@ -100,12 +100,19 @@ object DocsStream {
           val stats = Seq("token_count", "quality_score")
           // verdict stats REPLACE same-named incoming columns (e.g. when
           // composed after qualityStream) instead of colliding in the join
+          // persist the joined survivors too: the isEmpty probe and the
+          // write are separate actions, and only `b` below the verdict is
+          // cached — without this the verdict's aggregate arms + join run
+          // twice per trigger
           val out = stats.foldLeft(b)((d, c) => d.drop(c))
             .join(v.filter(col("keep")).select("doc_id", stats: _*), Seq("doc_id"))
-          // repartition(1) on the empty arm: force one task so the write
-          // emits a 0-row parquet file WITH schema instead of nothing
-          (if (out.isEmpty) out.repartition(1) else out)
-            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+            .persist()
+          try {
+            // repartition(1) on the empty arm: force one task so the write
+            // emits a 0-row parquet file WITH schema instead of nothing
+            (if (out.isEmpty) out.repartition(1) else out)
+              .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          } finally { out.unpersist(); () }
         } finally { b.unpersist(); () }
     }
 }

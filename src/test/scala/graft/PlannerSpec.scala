@@ -85,6 +85,21 @@ class PlannerSpec extends SparkSpec {
       SegmentPlan.Compound(Seq(1, 2), SetOp.Intersection),
       tx = seg, loadParent = _ => seg, faithfulParentGuard = true)
     assert(two.collect().length == 1)
+    // a non-vacuous residual must NOT rescue the faithful count: the
+    // reference counts parent_segment_dfs only (spark_processor.py:92-94),
+    // so 1 parent + residual still aborts
+    val txf = {
+      import org.apache.spark.sql.functions.{to_timestamp, lit, col}
+      Seq((1L, 600.0, "2024-01-05 10:00:00", "Dining", 1))
+        .toDF("user_id", "amount", "ts_s", "category", "city_tier")
+        .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+        .withColumn("transaction_type", lit("UPI"))
+    }
+    intercept[IllegalArgumentException] {
+      Planner.evaluate(
+        SegmentPlan.Compound(Seq(1), SetOp.Intersection, Seq(cAmount)),
+        tx = txf, loadParent = _ => seg, faithfulParentGuard = true).collect()
+    }
   }
 
   test("reclassify of identical twin rules is acyclic (higher id depends on lower)") {

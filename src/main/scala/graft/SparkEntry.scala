@@ -392,6 +392,27 @@ object SparkEntry {
         "quantile_cont(value, 0.99) AS p99, TRUE AS p99_ok " +
         "FROM events GROUP BY 1 ORDER BY 1")),
 
+    // Heavy hitters over the corpus token stream: every term with >= 1/200
+    // of all occurrences, exact counts. Two-pass sketch-then-verify
+    // (per-partition Misra-Gries candidates, then one bounded-hash exact
+    // pass) — the sketch bounds WORK only, so the oracle is a plain
+    // GROUP BY + HAVING on the same threshold.
+    Q("q_approx_heavy_hitters",
+      (s, d) => graft.functions.Approx.heavyHitters(
+        Tables.documents(s, d)
+          .select(explode(graft.functions.TextAnalysis.tokens(col("text")))
+            .as("term")),
+        "term", denom = 200L)
+        .orderBy(col("cnt").desc, col("term")),
+      Some("WITH tk AS (SELECT unnest(" + toksSql + ") AS term " +
+        "FROM documents), " +
+        "tot AS (SELECT count(*) AS n FROM tk), " +
+        "c AS (SELECT term, count(*) AS cnt FROM tk GROUP BY 1) " +
+        "SELECT c.term, c.cnt, " +
+        "CAST(c.cnt AS DOUBLE) / CAST(tot.n AS DOUBLE) AS share " +
+        "FROM c CROSS JOIN tot WHERE c.cnt * 200 >= tot.n " +
+        "ORDER BY c.cnt DESC, c.term")),
+
     // Categorical pivot: per-tier event counts spread across one column per
     // category (explicit value list keeps the plan static — no
     // distinct-scan planning pass at scale).
@@ -597,8 +618,25 @@ object SparkEntry {
   // similarity search, multimodal plumbing.
   // -------------------------------------------------------------------------
 
-  /** DuckDB fragment: whitespace tokens of trimmed text. */
-  private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+  /** DuckDB fragment: whitespace tokens of trimmed text. LAZY because the
+    * heavy-hitters query in the analytics block above initializes before
+    * this declaration — a strict val would interpolate null into its SQL.
+    */
+  private lazy val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** Mixture weights + budget for q_sample_mixture: src0 gets a 30-slot
+    * quota against only 25 available docs, exercising the
+    * shortfall-without-redistribution arm. Quotas are apportioned ONCE here
+    * and rendered into both engines (shared-rendered-constant rule).
+    */
+  private val mixParts = Map("src0" -> 4L, "src1" -> 2L, "src2" -> 1L, "src3" -> 1L)
+  private val mixTotal = 60L
+  private lazy val mixQuotaSql: String = {
+    val qs = graft.functions.Sampling.apportion(mixParts, mixTotal)
+    qs.toSeq.sortBy(_._1)
+      .map { case (s, q) => s"WHEN '$s' THEN $q" }
+      .mkString("CAST(CASE source ", " ", " ELSE 0 END AS BIGINT)")
+  }
 
   /** DuckDB CTE `fp`: the content fingerprint of every document — an exact
     * replay of RollingHash.compute (left fold of acc*31+codepoint mod
@@ -973,6 +1011,21 @@ object SparkEntry {
         "FROM documents d JOIN fp ON d.doc_id = fp.doc_id) " +
         "SELECT doc_id, source, CAST(domain_rank AS INT) AS domain_rank, " +
         "domain_rank <= 15 AS keep FROM r ORDER BY doc_id")),
+
+    // Training-mixture sampling: a 60-doc budget filled 4:2:1:1 from
+    // src0..src3 by largest-remainder quotas (src0's quota of 30 exceeds
+    // its 25 available docs — the shortfall stays visible, not silently
+    // redistributed), selection content-keyed within each source.
+    Q("q_sample_mixture",
+      (s, d) => graft.functions.Sampling.mixtureSample(
+        Tables.documents(s, d), mixParts, totalN = mixTotal)
+        .orderBy("doc_id"),
+      Some(s"$fpCte, r AS (SELECT d.doc_id, d.source, " +
+        "row_number() OVER (PARTITION BY d.source " +
+        "ORDER BY fingerprint ASC NULLS LAST, d.doc_id) AS mix_rank " +
+        "FROM documents d JOIN fp ON d.doc_id = fp.doc_id) " +
+        s"SELECT doc_id, source, mix_rank, $mixQuotaSql AS quota, " +
+        s"mix_rank <= $mixQuotaSql AS keep FROM r ORDER BY doc_id")),
 
     // Deterministic training-shuffle order (seed 7): pure modular
     // arithmetic both engines evaluate identically — the loader-side

@@ -90,4 +90,75 @@ object Approx {
       }
     ranked.select(cols: _*)
   }
+
+  /** HEAVY HITTERS — every key whose share of the corpus is at least
+    * 1/`denom`, with its EXACT count, via the classic two-pass
+    * sketch-then-verify shape (Misra–Gries '82; Manku–Motwani VLDB'02
+    * lossy counting is the same regime):
+    *
+    * Pass 1 runs Misra–Gries with `denom` counters INSIDE each partition
+    * (`mapPartitions` — genuinely per-partition imperative state, the case
+    * the typed escape hatch exists for) and emits only the surviving
+    * candidate keys, ≤ `denom` per partition regardless of key cardinality.
+    * Pigeonhole makes the union a guaranteed superset of the true heavy
+    * hitters: a key with global count ≥ n/denom must have per-partition
+    * count ≥ n_p/denom in at least one partition, and MG with k = denom
+    * counters keeps every key whose partition count exceeds n_p/(k+1).
+    *
+    * Pass 2 re-scans once, folding every non-candidate row into a single
+    * null group (`when(is_candidate, key)`), so the aggregate hash table
+    * holds ≤ candidates+1 entries however many distinct keys exist — the
+    * property that makes this affordable where a full `groupBy(key)` at
+    * 100 TB would shuffle every distinct key. The null group still counts
+    * rows, so the total `n` comes from the same single aggregate.
+    *
+    * The output is EXACT (counts from pass 2, threshold applied to them),
+    * so the oracle replays it as plain `GROUP BY` + `HAVING cnt*denom >= n`
+    * — the sketch only bounds WORK, never changes the answer. NULL keys are
+    * excluded (they are missing data, not a key). `share` is the one
+    * double: a single division of two exact longs.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, denom: Long): DataFrame = {
+    require(denom >= 2, "denom must be >= 2 (threshold share = 1/denom)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(col(keyCol).cast("string").as("k"))
+      .filter(col("k").isNotNull)
+    val k = denom.min(100000L).toInt
+    val candidates = keys.as[String].mapPartitions(misraGries(_, k))
+      .toDF("k").distinct()
+    val tagged = keys.join(
+      broadcast(candidates.withColumn("__cand", lit(true))), Seq("k"), "left")
+    val grouped = tagged
+      .groupBy(when(col("__cand"), col("k")).as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = grouped.agg(sum(col("cnt")).cast("long").as("__n"))
+    grouped.filter(col("k").isNotNull)
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * denom >= col("__n"))
+      .select(col("k").as(keyCol), col("cnt"),
+        (col("cnt").cast("double") / col("__n").cast("double")).as("share"))
+  }
+
+  /** Misra–Gries with `k` counters over one partition's stream: keep every
+    * key whose partition frequency exceeds n_p/(k+1). Decrement-all is
+    * amortized O(1) per element (each decrement pays back one earlier
+    * increment); memory is O(k) whatever the stream length.
+    */
+  private def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    while (it.hasNext) {
+      val x = it.next()
+      counts.get(x) match {
+        case Some(c) => counts.update(x, c + 1)
+        case None if counts.size < k => counts.update(x, 1L)
+        case None =>
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          counts.mapValuesInPlace((_, c) => c - 1)
+          counts.foreach { case (key, c) => if (c == 0) dead += key }
+          dead.foreach(counts.remove)
+      }
+    }
+    counts.keysIterator
+  }
 }

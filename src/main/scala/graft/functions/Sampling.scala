@@ -161,6 +161,75 @@ object Sampling {
         (col("domain_rank") <= maxPerSource).as("keep"))
   }
 
+  /** TRAINING-MIXTURE sampling — fill a fixed token/document budget from
+    * weighted sources, the "data mixture" step every LLM training recipe
+    * specifies (e.g. the per-source sampling weights tables of the GPT-3
+    * and LLaMA papers). `parts` gives integer mixture weights (write 0.67
+    * as 67:33 — integer parts keep every quota computation exact, so both
+    * engines and every rerun agree to the row); `totalN` is the budget.
+    *
+    * Quotas are HAMILTON / largest-remainder apportionment ([[apportion]]):
+    * source s gets floor(totalN·parts_s/Σparts) plus one of the Σremainder
+    * leftover slots, assigned by (remainder desc, source asc) — the unique
+    * deterministic integer split that is never more than one row from the
+    * real-valued target. Computed once on the driver (the weights are query
+    * constants, not data) and rendered into the plan as a literal CASE —
+    * the same shared-rendered-constant discipline the stopword list uses.
+    *
+    * Within a source, selection is content-keyed like every sampler here
+    * (lowest (fingerprint, doc_id) first), so re-ingest with fresh doc_ids
+    * keeps the same documents. A source with fewer rows than its quota
+    * keeps them all — the shortfall is reported (`quota` vs actual rank
+    * coverage), not silently redistributed: rebalancing is a policy retry
+    * with new weights, not something a sampler should improvise.
+    *
+    * Output: (doc_id, source, mix_rank, quota, keep) — a verdict to join
+    * back, not a filtered corpus. Scale shape identical to [[domainCap]]:
+    * the window sorts a narrow projection partitioned by source; text
+    * never shuffles.
+    */
+  def mixtureSample(docs: DataFrame, parts: Map[String, Long], totalN: Long,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    val quotas = apportion(parts, totalN)
+    val quotaCol = quotas.toSeq.sortBy(_._1).foldRight(lit(0L)) {
+      case ((s, q), rest) => when(col(sourceCol) === s, lit(q)).otherwise(rest)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(col("__fp").asc_nulls_last, col("doc_id"))
+    docs
+      .select(col("doc_id"), col(sourceCol),
+        TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      // long, not int: the oracle's row_number() is BIGINT and the driver
+      // hashes physical types
+      .withColumn("mix_rank", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col(sourceCol), col("mix_rank"),
+        quotaCol.as("quota"), (col("mix_rank") <= quotaCol).as("keep"))
+  }
+
+  /** Largest-remainder (Hamilton) apportionment of `totalN` slots across
+    * integer-weighted keys: base = floor(totalN·w/Σw), then the
+    * Σ(remainder)/Σw leftover slots go to the largest remainders
+    * (ties broken by key asc). Pure integer arithmetic — exact, total
+    * (Σquota = totalN), and deterministic in any engine. Public because
+    * the property tests pin exactly these invariants.
+    */
+  def apportion(parts: Map[String, Long], totalN: Long): Map[String, Long] = {
+    require(parts.nonEmpty, "mixture needs at least one source weight")
+    require(parts.values.forall(_ >= 0) && parts.values.sum > 0,
+      "weights must be non-negative with a positive sum")
+    require(totalN >= 0, "budget must be non-negative")
+    val p = parts.values.sum
+    require(parts.values.forall(w => w == 0 || totalN <= Long.MaxValue / w),
+      "totalN * weight overflows — use smaller integer parts")
+    val base = parts.map { case (s, w) => s -> totalN * w / p }
+    val leftover = (totalN - base.values.sum).toInt
+    val extras = parts.keys.toSeq
+      .sortBy(s => (-(totalN * parts(s) % p), s))
+      .take(leftover).toSet
+    base.map { case (s, q) => s -> (if (extras(s)) q + 1 else q) }
+  }
+
   /** Deterministic stratified sampling: keep a row iff its content-hash
     * bucket (out of 10,000) falls below the stratum's rate. `rates` maps a
     * stratum value to a keep-fraction in [0, 1]; strata absent from the map

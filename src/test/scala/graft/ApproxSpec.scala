@@ -61,6 +61,31 @@ class ApproxSpec extends SparkSpec {
     assert(!(1.0 >= 0.99 * 100 - 1), "rank interval of the min must miss the p99 window")
   }
 
+  test("heavy hitters: exact counts, threshold edge, null exclusion, skew superset") {
+    import spark.implicits._
+    // 1000 rows: "a" 400, "b" 100, "c" 5 (below 1/10), 495 distinct rares,
+    // plus nulls that must not count toward n or emerge as keys
+    val rows = Seq.fill(400)("a") ++ Seq.fill(100)("b") ++ Seq.fill(5)("c") ++
+      (1 to 495).map(i => s"rare_$i") ++ Seq.fill(10)(null.asInstanceOf[String])
+    // repartition(7): candidates must survive the per-partition MG merge
+    val df = rows.toDF("k").repartition(7)
+    val out = graft.functions.Approx.heavyHitters(df, "k", denom = 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // threshold = n/denom = 1000/10 = 100 — "b" sits EXACTLY on it (>=)
+    assert(out == Map("a" -> 400L, "b" -> 100L))
+    val share = graft.functions.Approx.heavyHitters(df, "k", denom = 10L)
+      .filter(col("k") === "a").collect().head.getAs[Double]("share")
+    assert(share == 0.4)
+
+    // adversarial skew for the pigeonhole superset: one partition all-"hot",
+    // the rest pure noise — MG must still surface "hot" from its partition
+    val skew = spark.range(0, 500).selectExpr("'hot' AS k").repartition(1)
+      .unionByName(spark.range(0, 4500).selectExpr("concat('z', id) AS k").repartition(9))
+    val hot = graft.functions.Approx.heavyHitters(skew, "k", denom = 10L)
+      .collect().map(_.getString(0)).toSet
+    assert(hot == Set("hot"))
+  }
+
   test("HLL sketches MERGE: per-group sketches union to the global estimate") {
     // The property that matters at 100 TB: sketch once per partition/group,
     // merge upward (rollup, cross-day, cross-shard) without rescanning.

@@ -696,4 +696,32 @@ class PipelineSpec extends SparkSpec {
     val ranked = out.filter(r => r._2 == "A" && r._1 != 4L).sortBy(_._3).map(_._1).toSeq
     assert(ranked == fps)
   }
+
+  test("mixture sampling: Hamilton apportionment invariants, shortfall stays visible") {
+    import graft.functions.Sampling.apportion
+    // the q_sample_mixture constants: tie on remainder (c vs d) breaks by key
+    val q = apportion(Map("a" -> 4L, "b" -> 2L, "c" -> 1L, "d" -> 1L), 60L)
+    assert(q == Map("a" -> 30L, "b" -> 15L, "c" -> 8L, "d" -> 7L))
+    // conservation + one-slot bound at every budget
+    for (n <- 0 to 60) {
+      val qq = apportion(Map("x" -> 3L, "y" -> 5L, "z" -> 9L), n.toLong)
+      assert(qq.values.sum == n.toLong, s"budget $n not conserved")
+      for ((s, w) <- Map("x" -> 3L, "y" -> 5L, "z" -> 9L))
+        assert(math.abs(qq(s) - n * w / 17.0) < 1.0 + 1e-9,
+          s"quota for $s at budget $n drifted more than one slot")
+    }
+    // a source with fewer rows than quota keeps them all; no redistribution
+    val fix = ((1L to 10L).map(i => (i, s"doc a $i", "a")) ++
+      Seq((11L, "doc b 11", "b"), (12L, "doc b 12", "b")) ++
+      (13L to 20L).map(i => (i, s"unweighted $i", "zzz")))
+      .toDF("doc_id", "text", "source")
+    val out = graft.functions.Sampling.mixtureSample(
+      fix, Map("a" -> 1L, "b" -> 1L), totalN = 10L)
+      .as[(Long, String, Long, Long, Boolean)].collect()
+    val keptBySrc = out.filter(_._5).groupBy(_._2).view.mapValues(_.length).toMap
+    assert(keptBySrc == Map("a" -> 5, "b" -> 2)) // b's quota 5, only 2 exist
+    // unweighted sources rank but never keep; quota column reports the plan
+    assert(out.filter(_._2 == "zzz").forall(r => r._4 == 0L && !r._5))
+    assert(out.filter(_._2 == "b").forall(_._4 == 5L))
+  }
 }

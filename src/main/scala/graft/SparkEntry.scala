@@ -1284,6 +1284,41 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b"),
       Some(ngramJaccardOracle)),
 
+    // Asymmetric containment (near-SUPERSET detection) over a corpus with
+    // engineered swallows: every 10th document is concatenated with its
+    // successor into a re-keyed super-document, so (part, whole) pairs sit
+    // at containment 1.0 where Jaccard reads only |A|/|B| and misses them.
+    Q("q_dedup_containment",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val concats = docs.as("a").filter(col("doc_id") % 10 === 0)
+          .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+          .select((col("a.doc_id") + lit(20000L)).as("doc_id"),
+            concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+        Dedup.containmentPairs(docs.unionByName(concats), 0.9)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("WITH d AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT a.doc_id + 20000 AS doc_id, " +
+        "a.text || ' ' || b.text AS text FROM documents a " +
+        "JOIN documents b ON b.doc_id = a.doc_id + 1 " +
+        "WHERE a.doc_id % 10 = 0), " +
+        "toks AS (SELECT doc_id, " + toksSql + " AS t FROM d), " +
+        "ngr AS (SELECT doc_id, list_distinct(" +
+        "[t[i] || ' ' || t[i+1] || ' ' || t[i+2] " +
+        "FOR i IN range(1, len(t) - 1)]) AS ng FROM toks WHERE len(t) >= 3), " +
+        "posting AS (SELECT doc_id, unnest(ng) AS g, len(ng) AS n FROM ngr), " +
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "count(*) AS common, any_value(a.n) AS na, any_value(b.n) AS nb " +
+        "FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, " +
+        "CAST(common AS DOUBLE) / na AS containment_a, " +
+        "CAST(common AS DOUBLE) / nb AS containment_b FROM pairs " +
+        "WHERE greatest(CAST(common AS DOUBLE) / na, " +
+        "CAST(common AS DOUBLE) / nb) >= 0.9 " +
+        "ORDER BY doc_a, doc_b")),
+
     // Duplicate clusters: connected components over the near-dup pair set
     // (min-doc_id labels). Oracle: recursive-CTE transitive closure over
     // the same pair SQL.

@@ -291,6 +291,53 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs — near-SUPERSET detection, the
+    * relation Jaccard is blind to: a quoted article inside a long page, a
+    * concatenation of two documents, boilerplate wrapping a real text.
+    * containment(A→B) = |ng(A) ∩ ng(B)| / |ng(A)| — how much of A's
+    * shingle set lives inside B — reaches 1.0 when B swallows A whole,
+    * while Jaccard collapses toward |A|/|B| and slips under every dedup
+    * threshold as B grows (Broder '97 distinguishes exactly these two
+    * resemblance/containment measures).
+    *
+    * Emits each unordered pair once (doc_a < doc_b) with BOTH directions'
+    * exact containment, kept when either direction ≥ `threshold`.
+    * Candidates come from the hot-capped inverted index (same skew guard
+    * and KNOWN RECALL LIMIT as [[ngramJaccardPairs]]: pairs sharing only
+    * above-cap shingles are never generated); each candidate is then
+    * verified on the FULL shingle sets, so reported values are exact even
+    * when hot shingles were skipped for candidacy. At the scale where the
+    * index join's Σdf² explodes, the one-sided prefix bound (a qualifying
+    * pair must collide inside A's first ⌈(1−t)·|A|⌉+1 rarest shingles —
+    * the asymmetric analog of the PPJoin prefix) bounds the index instead;
+    * the cost-probed switch mirrors [[ngramJaccardPairs]] and is left to
+    * that path's regime machinery.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+      textCol: String = "text", maxDocFreq: Long = 1000L): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val sets = docs
+      .select(col("doc_id"), ngrams(col(textCol)).as("ng"))
+      .filter(size(col("ng")) > 0)
+    val posting = sets.select(col("doc_id"), explode(col("ng")).as("g"))
+    val hot = posting.groupBy(col("g")).count()
+      .filter(col("count") > maxDocFreq).select("g")
+    val idx = posting.join(broadcast(hot), Seq("g"), "left_anti")
+    val a = idx.as("a"); val b = idx.as("b")
+    val candidates = a.join(b,
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sets.select(col("doc_id").as("doc_a"), col("ng").as("ng_a"))
+    val sb = sets.select(col("doc_id").as("doc_b"), col("ng").as("ng_b"))
+    candidates.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("common", size(array_intersect(col("ng_a"), col("ng_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") / size(col("ng_a"))).as("containment_a"),
+        (col("common").cast("double") / size(col("ng_b"))).as("containment_b"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+  }
+
   /** Duplicate CLUSTERS from a near-dup pair list: connected components
     * with the component's min doc_id as the cluster label — the step that
     * turns pairwise similarity into deduplication decisions (keep one doc

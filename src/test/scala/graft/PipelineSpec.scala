@@ -697,6 +697,32 @@ class PipelineSpec extends SparkSpec {
     assert(ranked == fps)
   }
 
+  test("containment pairs: superset scores 1.0 where jaccard misses, both directions exact") {
+    // doc 2 = doc 1 + a long unrelated tail: containment(1→2) = 1.0 but
+    // jaccard = |A|/|B| ≈ 0.29 — invisible to the 0.5-jaccard dedup
+    val part = "the quick brown fox jumps over the lazy dog tonight"
+    val tail = "completely different trailing content follows here now with many extra words appended"
+    val fix = docs(
+      (1L, part),
+      (2L, s"$part $tail"),
+      (3L, "unrelated third document entirely"))
+    val out = Dedup.containmentPairs(fix, 0.9)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.map(r => (r._1, r._2)).toSeq == Seq((1L, 2L)))
+    val (_, _, ca, cb) = out.head
+    assert(ca == 1.0, s"part-in-whole containment must be exactly 1.0, got $ca")
+    assert(cb < 0.9 && cb > 0.0)
+    // and the jaccard op at 0.5 indeed misses this pair
+    assert(Dedup.ngramJaccardPairs(fix, 0.5).count() == 0L)
+    // symmetric near-twins score high in BOTH directions
+    val twins = docs(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta"))
+    val t = Dedup.containmentPairs(twins, 0.9)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(t.length == 1 && t.head._3 == 1.0 && t.head._4 >= 0.5)
+  }
+
   test("mixture sampling: Hamilton apportionment invariants, shortfall stays visible") {
     import graft.functions.Sampling.apportion
     // the q_sample_mixture constants: tie on remainder (c vs d) breaks by key

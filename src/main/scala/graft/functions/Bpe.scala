@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding MERGE INDUCTION — tokenizer training, the step that
+  * turns a curated corpus into the subword vocabulary every LLM run needs
+  * (Sennrich, Haddow & Birch, "Neural Machine Translation of Rare Words
+  * with Subword Units", ACL 2016 — the word-histogram formulation of
+  * their alg. 1).
+  *
+  * Scale shape — the property that makes this trainable on 100 TB: the
+  * corpus is touched EXACTLY ONCE, by the word-count aggregate (a standard
+  * explode → groupBy(word) postings job). Every merge iteration then runs
+  * on the word HISTOGRAM, which is Zipf-bounded (vocabulary grows ~
+  * corpus^0.5-ish by Heaps' law — a 100 TB crawl yields ~10^8 distinct
+  * words, executor-trivial) and carries each word's count so pair
+  * frequencies are exact corpus frequencies. The driver's only data touch
+  * per round is collecting the single argmax row — a convergence probe,
+  * not a data path, same discipline as the dedup star loop.
+  *
+  * Determinism: pair counts are exact integers; the winning pair is chosen
+  * by (freq desc, left asc, right asc) — a total order, so reruns and any
+  * engine agree on the whole merge sequence. The end-of-word marker `</w>`
+  * keeps word-final subwords distinct from word-internal ones, exactly as
+  * in the paper.
+  */
+object Bpe {
+
+  /** One learned merge: `rank` is the order it was learned (0-based),
+    * `left`+`right` concatenate into the new symbol, `freq` the exact
+    * corpus pair frequency at the time of the merge.
+    */
+  final case class Merge(rank: Int, left: String, right: String, freq: Long)
+
+  /** A word as its current symbol sequence with its corpus count. */
+  final case class WordSyms(word: String, syms: Seq[String], cnt: Long)
+
+  /** End-of-word marker (paper convention). */
+  val EndMarker = "</w>"
+
+  /** Learn up to `numMerges` merges. Stops early when the best remaining
+    * pair's corpus frequency falls below `minPairFreq` (merging singleton
+    * noise would memorize the corpus tail). Returns the merge table in
+    * learned order and the final segmented histogram — the (word →
+    * subwords) vocabulary that [[tokenCounts]] applies downstream.
+    */
+  def learnMerges(docs: DataFrame, numMerges: Int,
+      textCol: String = "text", minPairFreq: Long = 2L)
+      : (Seq[Merge], Dataset[WordSyms]) = {
+    require(numMerges >= 0, "numMerges must be non-negative")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the one corpus-scale job: exact word histogram
+    val words = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+    var hist = words
+      .map { case (w, c) => WordSyms(w, w.map(_.toString) :+ EndMarker, c) }
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 0
+    var done = numMerges == 0
+    while (!done) {
+      // pair frequencies over the histogram (histogram-sized, not
+      // corpus-sized); argmax with a TOTAL tie-break order
+      val top = hist
+        .flatMap(w => w.syms.iterator.zip(w.syms.iterator.drop(1))
+          .map { case (l, r) => (l, r, w.cnt) })
+        .toDF("l", "r", "cnt")
+        .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      top.headOption.filter(_._3 >= minPairFreq) match {
+        case None => done = true
+        case Some((l, r, f)) =>
+          merges += Merge(rank, l, r, f)
+          rank += 1
+          val next = hist
+            .map(w => w.copy(syms = applyMerge(w.syms, l, r)))
+            .persist()
+          // materialize before releasing the parent: the argmax action of
+          // the next round (or the caller's first action) computes it
+          next.count()
+          hist.unpersist()
+          hist = next
+          done = rank >= numMerges
+      }
+    }
+    (merges.toSeq, hist)
+  }
+
+  /** One greedy left-to-right pass replacing adjacent (l, r) with l+r —
+    * the paper's merge application (non-overlapping: "aaa" under (a,a)
+    * becomes ["aa", "a"]).
+    */
+  def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Segment ONE word with a learned merge list (merges applied in rank
+    * order — the standard encode path for words outside the training
+    * histogram).
+    */
+  def segmentWord(word: String, merges: Seq[Merge]): Seq[String] =
+    merges.sortBy(_.rank).foldLeft[Seq[String]](
+      word.map(_.toString) :+ EndMarker) {
+      (syms, m) => applyMerge(syms, m.left, m.right)
+    }
+
+  /** Per-document BPE token counts from a segmented vocabulary: explode to
+    * word postings, join each word to its subword count, sum per document.
+    * Words outside the vocabulary fall back to character count + 1 (the
+    * all-singleton segmentation an encoder would emit before any merge
+    * applies) so NEW documents never disappear from the count.
+    *
+    * Scale shape: postings join keyed on word — the vocabulary side is the
+    * Zipf-small one and broadcasts when it fits; the corpus never sorts.
+    */
+  def tokenCounts(docs: DataFrame, vocab: Dataset[WordSyms],
+      textCol: String = "text"): DataFrame = {
+    val sizes = vocab.toDF()
+      .select(col("word"), size(col("syms")).cast("long").as("__n_sub"))
+    docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .join(sizes, Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("__n_sub"), length(col("word")).cast("long") + 1L))
+        .as("bpe_token_count"))
+  }
+}

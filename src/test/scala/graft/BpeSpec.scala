@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE merge induction — pinned against the worked example of Sennrich et
+  * al. (ACL 2016), plus determinism and encode-path properties.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the paper's histogram: low x5, lower x2, newest x6, widest x3 —
+  // rendered as documents so the word-count pass is exercised too
+  private def paperCorpus = Seq(
+    (1L, Seq.fill(5)("low").mkString(" ")),
+    (2L, Seq.fill(2)("lower").mkString(" ")),
+    (3L, Seq.fill(6)("newest").mkString(" ")),
+    (4L, Seq.fill(3)("widest").mkString(" ")))
+    .toDF("doc_id", "text")
+
+  test("learned merge sequence matches the Sennrich worked example") {
+    val (merges, hist) = Bpe.learnMerges(paperCorpus, numMerges = 5)
+    assert(merges.map(m => (m.left, m.right, m.freq)) == Seq(
+      // (e,s) ties (s,t) and (t,</w>) at 9 — lexicographic left wins
+      ("e", "s", 9L),
+      ("es", "t", 9L),
+      ("est", "</w>", 9L),
+      ("l", "o", 7L),
+      ("lo", "w", 7L)))
+    assert(merges.map(_.rank) == Seq(0, 1, 2, 3, 4))
+    val seg = hist.collect().map(w => w.word -> w.syms).toMap
+    assert(seg("low") == Seq("low", "</w>"))
+    assert(seg("lower") == Seq("low", "e", "r", "</w>"))
+    assert(seg("newest") == Seq("n", "e", "w", "est</w>"))
+    assert(seg("widest") == Seq("w", "i", "d", "est</w>"))
+    hist.unpersist()
+  }
+
+  test("merge application is greedy left-to-right and non-overlapping") {
+    assert(Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(Bpe.applyMerge(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    assert(Bpe.applyMerge(Seq("x"), "a", "b") == Seq("x"))
+    // segmentWord replays the learned sequence on unseen words
+    val merges = Seq(Bpe.Merge(0, "e", "s", 9L), Bpe.Merge(1, "es", "t", 9L))
+    assert(Bpe.segmentWord("best", merges) ==
+      Seq("b", "est", "</w>"))
+  }
+
+  test("min pair frequency stops induction before singleton noise") {
+    val (merges, hist) = Bpe.learnMerges(
+      Seq((1L, "aa aa zq")).toDF("doc_id", "text"),
+      numMerges = 10, minPairFreq = 2L)
+    // (a,a) freq 2 and (a,</w>) freq 2 merge-chain; the zq tail (freq 1)
+    // must never generate a merge
+    assert(merges.nonEmpty)
+    assert(merges.forall(_.freq >= 2L))
+    assert(!merges.exists(m => m.left.contains("z") || m.right.contains("q")))
+    hist.unpersist()
+  }
+
+  test("token counts: vocabulary words use learned segmentation, OOV falls back") {
+    val (_, hist) = Bpe.learnMerges(paperCorpus, numMerges = 5)
+    val fresh = Seq(
+      (10L, "low lower newest"),
+      (11L, "zebra")) // OOV: 5 chars + 1 = 6
+      .toDF("doc_id", "text")
+    val out = Bpe.tokenCounts(fresh, hist)
+      .orderBy("doc_id").as[(Long, Long)].collect().toMap
+    // low → 2 syms, lower → 4, newest → 4
+    assert(out(10L) == 10L)
+    assert(out(11L) == 6L)
+    hist.unpersist()
+  }
+}

@@ -301,17 +301,19 @@ object Dedup {
     * resemblance/containment measures).
     *
     * Emits each unordered pair once (doc_a < doc_b) with BOTH directions'
-    * exact containment, kept when either direction ≥ `threshold`.
-    * Candidates come from the hot-capped inverted index (same skew guard
-    * and KNOWN RECALL LIMIT as [[ngramJaccardPairs]]: pairs sharing only
-    * above-cap shingles are never generated); each candidate is then
-    * verified on the FULL shingle sets, so reported values are exact even
-    * when hot shingles were skipped for candidacy. At the scale where the
-    * index join's Σdf² explodes, the one-sided prefix bound (a qualifying
-    * pair must collide inside A's first ⌈(1−t)·|A|⌉+1 rarest shingles —
-    * the asymmetric analog of the PPJoin prefix) bounds the index instead;
-    * the cost-probed switch mirrors [[ngramJaccardPairs]] and is left to
-    * that path's regime machinery.
+    * exact containment, kept when either direction ≥ `threshold`. Two
+    * regimes, probed like [[ngramJaccardPairs]]: with no shingle above
+    * `maxDocFreq`, the postings self-join count IS the exact intersection
+    * (one join, one aggregate — no candidate materialization, no second
+    * pass over full arrays). With hot shingles, they are excluded from
+    * candidacy (same skew guard and KNOWN RECALL LIMIT as the Jaccard
+    * path: pairs sharing only above-cap shingles are never generated) and
+    * each candidate is verified on the FULL shingle sets, so reported
+    * values stay exact. At the scale where the index join's Σdf² explodes,
+    * the one-sided prefix bound (a qualifying pair must collide inside A's
+    * first ⌈(1−t)·|A|⌉+1 rarest shingles — the asymmetric analog of the
+    * PPJoin prefix) bounds the index instead; that switch mirrors the
+    * Jaccard path's regime machinery.
     */
   def containmentPairs(docs: DataFrame, threshold: Double,
       textCol: String = "text", maxDocFreq: Long = 1000L): DataFrame = {
@@ -319,23 +321,44 @@ object Dedup {
     val sets = docs
       .select(col("doc_id"), ngrams(col(textCol)).as("ng"))
       .filter(size(col("ng")) > 0)
-    val posting = sets.select(col("doc_id"), explode(col("ng")).as("g"))
-    val hot = posting.groupBy(col("g")).count()
-      .filter(col("count") > maxDocFreq).select("g")
-    val idx = posting.join(broadcast(hot), Seq("g"), "left_anti")
-    val a = idx.as("a"); val b = idx.as("b")
-    val candidates = a.join(b,
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sa = sets.select(col("doc_id").as("doc_a"), col("ng").as("ng_a"))
-    val sb = sets.select(col("doc_id").as("doc_b"), col("ng").as("ng_b"))
-    candidates.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("common", size(array_intersect(col("ng_a"), col("ng_b"))))
+    val posting = sets.select(
+      col("doc_id"), explode(col("ng")).as("g"), size(col("ng")).as("n"))
+    val dfTbl = posting.groupBy(col("g")).count().withColumnRenamed("count", "df")
+    val maxDf = Option(dfTbl.agg(max(col("df")).as("m")).first().getAs[Long]("m"))
+      .getOrElse(0L)
+    val contained = (pairs: DataFrame) => pairs
       .select(col("doc_a"), col("doc_b"),
-        (col("common").cast("double") / size(col("ng_a"))).as("containment_a"),
-        (col("common").cast("double") / size(col("ng_b"))).as("containment_b"))
+        (col("common").cast("double") / col("na")).as("containment_a"),
+        (col("common").cast("double") / col("nb")).as("containment_b"))
       .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+    if (maxDf <= maxDocFreq) {
+      // no hot shingles ⇒ the postings self-join count IS the exact
+      // intersection: one join + one aggregate, no candidate
+      // materialization and no second pass over the full shingle arrays
+      val a = posting.as("a"); val b = posting.as("b")
+      contained(a.join(b,
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("common"),
+          first(col("a.n")).as("na"), first(col("b.n")).as("nb")))
+    } else {
+      // hot shingles excluded from candidacy (the documented recall
+      // limit), so the capped-index count undercounts — verify each
+      // candidate on the FULL sets to keep reported values exact
+      val hot = dfTbl.filter(col("df") > maxDocFreq).select("g")
+      val idx = posting.join(broadcast(hot), Seq("g"), "left_anti")
+      val a = idx.as("a"); val b = idx.as("b")
+      val candidates = a.join(b,
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sa = sets.select(col("doc_id").as("doc_a"), col("ng").as("ng_a"))
+      val sb = sets.select(col("doc_id").as("doc_b"), col("ng").as("ng_b"))
+      contained(candidates.join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("ng_a"), col("ng_b"))).as("common"),
+          size(col("ng_a")).as("na"), size(col("ng_b")).as("nb")))
+    }
   }
 
   /** Duplicate CLUSTERS from a near-dup pair list: connected components

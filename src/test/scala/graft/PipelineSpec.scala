@@ -721,6 +721,22 @@ class PipelineSpec extends SparkSpec {
     val t = Dedup.containmentPairs(twins, 0.9)
       .as[(Long, Long, Double, Double)].collect()
     assert(t.length == 1 && t.head._3 == 1.0 && t.head._4 >= 0.5)
+    // the hot-shingle regime (capped candidates + full-set verify) must
+    // report the same exact values as the count path whenever the shared
+    // shingles are not ALL hot — maxDocFreq=1 forces the verify arm while
+    // every twin shingle has df 2... so use a third doc to keep one rare
+    // shared shingle below the cap
+    val mixedHot = docs(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta"),
+      (3L, "alpha beta gamma nothing else here at all"))
+    val hotOut = Dedup.containmentPairs(mixedHot, 0.9, maxDocFreq = 2L)
+      .as[(Long, Long, Double, Double)].collect()
+    val countOut = Dedup.containmentPairs(mixedHot, 0.9, maxDocFreq = 1000L)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(hotOut.sortBy(r => (r._1, r._2)).toSeq ==
+      countOut.sortBy(r => (r._1, r._2)).toSeq,
+      "hot-capped verify regime must reproduce the count path's exact values")
   }
 
   test("mixture sampling: Hamilton apportionment invariants, shortfall stays visible") {

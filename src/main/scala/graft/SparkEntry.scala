@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.model._
 import graft.operators._
 import graft.sources.Tables
@@ -458,6 +458,47 @@ object SparkEntry {
         "UNION ALL SELECT 'max(value)', mx, mx <= 10000.0 FROM a " +
         "UNION ALL SELECT 'row_count', rc, rc >= 1000 FROM a) " +
         "ORDER BY check_name")),
+
+    // Exact-moment Pearson correlations between document metrics (corpus
+    // profiling). The aggregation stage is exact BIGINT moments
+    // (order-free), the combine stage a fixed IEEE double tree — so the
+    // doubles hash-match without any fold-order pinning. The oracle mirrors
+    // the tree operation-for-operation (same casts, same greatest-clamp,
+    // same zero-variance NULL arm).
+    Q("q_quality_correlation",
+      (s, d) => graft.functions.DataQuality.metricCorrelations(
+          TextAnalysis.stats(Tables.documents(s, d)),
+          Seq("n_chars", "token_count", "punct_count"))
+        .orderBy("metric_x", "metric_y"),
+      Some {
+        def corrArm(x: String, y: String, sx: String, sy: String,
+            sxy: String, sxx: String, syy: String): String = {
+          def d(c: String) = s"CAST($c AS DOUBLE)"
+          val devX = s"sqrt(greatest(0.0, ${d("n")} * ${d(sxx)} - ${d(sx)} * ${d(sx)}))"
+          val devY = s"sqrt(greatest(0.0, ${d("n")} * ${d(syy)} - ${d(sy)} * ${d(sy)}))"
+          s"SELECT '$x' AS metric_x, '$y' AS metric_y, n, " +
+            s"CASE WHEN $devX * $devY = 0.0 THEN NULL ELSE " +
+            s"(${d("n")} * ${d(sxy)} - ${d(sx)} * ${d(sy)}) / ($devX * $devY) " +
+            "END AS corr FROM g"
+        }
+        "WITH m AS (SELECT CAST(length(text) AS BIGINT) AS a, " +
+          s"CAST(len($toksSql) AS BIGINT) AS b, " +
+          "CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) " +
+          "AS BIGINT) AS c FROM documents), " +
+          "g AS (SELECT count(*) AS n, " +
+          "CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb, " +
+          "CAST(sum(c) AS BIGINT) AS sc, " +
+          "CAST(sum(a*a) AS BIGINT) AS saa, CAST(sum(a*b) AS BIGINT) AS sab, " +
+          "CAST(sum(a*c) AS BIGINT) AS sac, CAST(sum(b*b) AS BIGINT) AS sbb, " +
+          "CAST(sum(b*c) AS BIGINT) AS sbc, CAST(sum(c*c) AS BIGINT) AS scc " +
+          "FROM m) SELECT * FROM (" +
+          corrArm("n_chars", "punct_count", "sa", "sc", "sac", "saa", "scc") +
+          " UNION ALL " +
+          corrArm("n_chars", "token_count", "sa", "sb", "sab", "saa", "sbb") +
+          " UNION ALL " +
+          corrArm("token_count", "punct_count", "sb", "sc", "sbc", "sbb", "scc") +
+          ") ORDER BY metric_x, metric_y"
+      }),
 
     // CUBE over (category, city_tier): all grouping-set combinations in one
     // pass (grand total, per-category, per-tier, per-pair). NULLS FIRST in
@@ -1072,6 +1113,27 @@ object SparkEntry {
     // Corpus-frequency quality score — the CCNet-perplexity stand-in:
     // per-doc mean corpus token frequency, exact integer until ONE final
     // division (no ln — libm would break the cross-engine hash).
+    // Tokenizer-training statistics: the exact symbol-pair frequencies the
+    // first BPE merge round's argmax reads (word histogram → adjacent char
+    // pairs with the paper's </w> end marker, weighted by exact corpus
+    // counts). The full greedy loop is BpeSpec-tested; this oracles the
+    // corpus-scale relation it iterates on. Top-50 under a TOTAL order
+    // (freq desc, l, r) so the cut is deterministic on both engines.
+    Q("q_text_bpe_pairs",
+      (s, d) => Bpe.pairFrequencies(Bpe.wordHistogram(Tables.documents(s, d)))
+        .select(col("l"), col("r"), col("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(50),
+      Some("WITH words AS (SELECT word, count(*) AS cnt FROM " +
+        s"(SELECT unnest($toksSql) AS word FROM documents) " +
+        "WHERE word <> '' GROUP BY word), " +
+        "syms AS (SELECT list_append(string_split(word, ''), '</w>') AS s, " +
+        "cnt FROM words), " +
+        "ex AS (SELECT unnest([{'l': s[i], 'r': s[i+1]} " +
+        "FOR i IN range(1, len(s))]) AS p, cnt FROM syms) " +
+        "SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS freq " +
+        "FROM ex GROUP BY 1, 2 ORDER BY freq DESC, l, r LIMIT 50")),
+
     Q("q_text_unigram_quality",
       (s, d) => TextAnalysis.unigramScore(Tables.documents(s, d))
         .orderBy("doc_id"),
@@ -1634,6 +1696,29 @@ object SparkEntry {
         "JOIN nation ON c_nationkey = n_nationkey " +
         "GROUP BY 1 ORDER BY 1")),
 
+    // Same join computed through the explicit salting path: orders scatters
+    // each custkey group over 8 shuffle sub-keys, customer replicates ×8.
+    // The oracle is the PLAIN join — equality proves salting changes the
+    // schedule, never the result. (The skew win itself is measured by
+    // `Stress skewjoin`, where AQE is off and one key owns 40% of the fact
+    // side; here the gate is semantics.)
+    Q("q_join_skew_salted",
+      (s, d) => operators.Skew.saltedJoin(
+          Tables.orders(s, d).select(
+            col("o_custkey").as("custkey"), col("o_totalprice")),
+          Tables.customer(s, d).select(
+            col("c_custkey").as("custkey"), col("c_mktsegment")),
+          "custkey", numSalts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          Tables.moneyOut(sum(col("o_totalprice").cast(Tables.MoneyExact))).as("revenue"))
+        .orderBy("c_mktsegment"),
+      Some("SELECT c_mktsegment, count(*) AS n_orders, " +
+        s"${dSum("o_totalprice")} AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY 1 ORDER BY 1")),
+
     // TPC-H Q3-shaped: two selective scans join into lineitem, aggregate
     // revenue per order, exact top-10. Catalyst pushes both date filters to
     // the scans and AQE picks broadcast for the filtered customer side.
@@ -1758,7 +1843,43 @@ object SparkEntry {
       Some("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type, " +
         s"count(*) AS n_events, ${dSum("value")} AS total_value, " +
         "count(DISTINCT user_id) AS n_users FROM events " +
-        "GROUP BY 1, 2 ORDER BY 1, 2")))
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    // The time-series layout path end-to-end: ingest events into a
+    // date-partitioned directory tree (one dir per day, dynamic overwrite),
+    // then answer a single-day aggregate from it. The date predicate
+    // resolves against directory names at planning time (PartitionFilters +
+    // numFiles pinned in BucketedSpec) — at 100 TB the query opens one
+    // day's files, not the history. The oracle computes the same day from
+    // the RAW corpus, so equality also re-proves the ingest lost nothing.
+    Q("q_events_partitioned",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_events_part")
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          scala.util.Try {
+            java.nio.file.Files.walk(dir)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          }))
+        Tables.writePartitionedByDay(Tables.events(s, d), dir.toString,
+          filesPerDay = 2)
+        val part = Tables.eventsPartitioned(s, dir.toString)
+        // driver-side metadata probe (partition column min — resolved from
+        // directory names, no data read), so the query is sf-independent
+        val firstDay = part.agg(min(col("event_date"))).collect()(0).getDate(0)
+        part.filter(col("event_date") === lit(firstDay))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            Tables.moneyOut(sum(col("value").cast(Tables.MoneyExact))).as("total_value"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some("SELECT event_type, count(*) AS n_events, " +
+        s"${dSum("value")} AS total_value, " +
+        "count(DISTINCT user_id) AS n_users FROM events " +
+        "WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events) " +
+        "GROUP BY 1 ORDER BY 1")))
 
   // -------------------------------------------------------------------------
   // Registry

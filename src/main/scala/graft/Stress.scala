@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Dedup, Similarity}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-probe main behind the SCALE.md evidence — reproducible runs of
@@ -28,6 +28,7 @@ object Stress {
       case "sessions" :: hot :: rest :: Nil => sessions(spark, hot.toLong, rest.toLong)
       case "chain" :: n :: Nil       => chain(spark, n.toLong)
       case "semdedup" :: nc :: per :: Nil => semdedup(spark, nc.toInt, per.toInt)
+      case "skewjoin" :: n :: Nil    => skewjoin(spark, n.toLong)
       case other => sys.error(s"unknown args: $other")
     }
     spark.stop()
@@ -81,6 +82,43 @@ object Stress {
     val b = graft.operators.Analytics.sessionizeSkewSafe(ev, 30)
     val diff = a.exceptAll(b).limit(1).count() + b.exceptAll(a).limit(1).count()
     println(s"[stress] paths identical=${diff == 0L}")
+  }
+
+  /** Shuffle-join skew: ONE key owns 40% of an `n`-row fact side; the dim
+    * side (200k keys) sits above any broadcast threshold. Measures the
+    * plain sort-merge join with AQE OFF (the hot partition serializes one
+    * reducer), [[graft.operators.Skew.saltedJoin]] under the same config,
+    * and the plain join with AQE's skew-split back ON — bracketing the
+    * explicit operator between the failure mode it fixes and the runtime
+    * mitigation Spark applies when it can. Asserts all three agree.
+    */
+  private def skewjoin(spark: SparkSession, n: Long): Unit = {
+    val nDim = 200000L
+    val fact = spark.range(n).select(
+      when(col("id") % 5 < 2, lit(0L))
+        .otherwise(pmod(col("id") * 2654435761L, lit(nDim))).as("k"),
+      (col("id") % 1000).cast("double").as("v")).localCheckpoint(true)
+    val dim = spark.range(nDim).select(
+      col("id").as("k"), concat(lit("name"), col("id")).as("name"))
+      .localCheckpoint(true)
+
+    def run(name: String, out: () => org.apache.spark.sql.DataFrame): Row = {
+      val t0 = System.nanoTime()
+      val r = out().agg(count(lit(1)), sum(col("v"))).collect()(0)
+      println(f"[stress] skewjoin $name rows=${r.getLong(0)} " +
+        f"time=${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+    val conf = spark.conf
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    val plain  = run("plain sm, AQE off ", () => fact.join(dim, Seq("k")))
+    val salted = run("salted ×16, AQE off", () =>
+      graft.operators.Skew.saltedJoin(fact, dim, "k", numSalts = 16))
+    conf.set("spark.sql.adaptive.enabled", "true")
+    val aqe    = run("plain sm, AQE on  ", () => fact.join(dim, Seq("k")))
+    conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    println(s"[stress] skewjoin identical=${plain == salted && salted == aqe}")
   }
 
   /** Worst case for connected components: ONE chain of `n` nodes —

@@ -45,32 +45,49 @@ object Bpe {
     * learned order and the final segmented histogram — the (word →
     * subwords) vocabulary that [[tokenCounts]] applies downstream.
     */
+  /** The one corpus-scale touch: exact word histogram, each word in its
+    * initial all-singleton segmentation (chars + end marker).
+    */
+  def wordHistogram(docs: DataFrame, textCol: String = "text"): Dataset[WordSyms] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+      .map { case (w, c) => WordSyms(w, w.map(_.toString) :+ EndMarker, c) }
+  }
+
+  /** Exact corpus frequency of every adjacent symbol pair in a (possibly
+    * partially merged) histogram — the relation each merge round's argmax
+    * reads, exposed as a DataFrame `(l, r, freq)` so the pair statistics
+    * are queryable (and oracle-checkable) without running the loop. Cost
+    * is histogram-sized, never corpus-sized.
+    */
+  def pairFrequencies(hist: Dataset[WordSyms]): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    hist
+      .flatMap(w => w.syms.iterator.zip(w.syms.iterator.drop(1))
+        .map { case (l, r) => (l, r, w.cnt) })
+      .toDF("l", "r", "cnt")
+      .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("freq"))
+  }
+
   def learnMerges(docs: DataFrame, numMerges: Int,
       textCol: String = "text", minPairFreq: Long = 2L)
       : (Seq[Merge], Dataset[WordSyms]) = {
     require(numMerges >= 0, "numMerges must be non-negative")
     val spark = docs.sparkSession
     import spark.implicits._
-    // the one corpus-scale job: exact word histogram
-    val words = docs
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .as[(String, Long)]
-    var hist = words
-      .map { case (w, c) => WordSyms(w, w.map(_.toString) :+ EndMarker, c) }
-      .persist()
+    var hist = wordHistogram(docs, textCol).persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 0
     var done = numMerges == 0
     while (!done) {
-      // pair frequencies over the histogram (histogram-sized, not
-      // corpus-sized); argmax with a TOTAL tie-break order
-      val top = hist
-        .flatMap(w => w.syms.iterator.zip(w.syms.iterator.drop(1))
-          .map { case (l, r) => (l, r, w.cnt) })
-        .toDF("l", "r", "cnt")
-        .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("freq"))
+      // argmax over pair frequencies, with a TOTAL tie-break order
+      val top = pairFrequencies(hist)
         .orderBy(col("freq").desc, col("l"), col("r"))
         .limit(1)
         .as[(String, String, Long)]

@@ -60,4 +60,59 @@ object DataQuality {
     }: _*)
     agged.select(explode(rows).as("r")).select("r.*")
   }
+
+  /** Pearson correlations between integer document metrics, from EXACT
+    * moments — corpus profiling (do longer documents carry more
+    * punctuation? are token and char counts redundant?) that any engine
+    * reproduces bit-for-bit, unlike the built-in `corr`, whose streaming
+    * co-moment update folds doubles in partition order.
+    *
+    * Method: one aggregate pass collects the ten raw moments
+    * (n, Σx, Σx², Σxy per pair) as exact BIGINTs — integer sums are
+    * order-free, so the shuffle schedule cannot perturb them — then each
+    * correlation is one fixed IEEE expression tree over the
+    * double-cast moments: r = (n·Σxy − ΣxΣy) / (√(n·Σx²−(Σx)²)·√(…y)).
+    * Every *, −, /, √ is correctly rounded, so identical inputs give
+    * identical bits on any engine. Zero variance yields NULL (not NaN —
+    * NaN renders differently across engines). The n·Σx² products may
+    * exceed 2^53 and round — identically on both sides, which is the
+    * contract (the EXACT stage is the data-dependent aggregation; the
+    * lossy stage is a fixed 10-input formula).
+    *
+    * One scan, one 1-row exchange — the same cost shape as [[report]] at
+    * any corpus size. Output: (metric_x, metric_y, n, corr) for the
+    * upper-triangle pairs in column order.
+    */
+  def metricCorrelations(metrics: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two metric columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    def s1(c: String) = sum(col(c)).as(s"s_$c")
+    def s2(a: String, b: String) = sum(col(a) * col(b)).as(s"s_${a}_$b")
+    val moments: Seq[Column] =
+      cols.map(s1) ++
+        (for { i <- cols.indices; j <- i until cols.size }
+          yield s2(cols(i), cols(j)))
+    val g = metrics
+      .select(cols.map(c => col(c).cast("long").as(c)): _*)
+      .agg(count(lit(1)).as("n"), moments: _*)
+    val nD = col("n").cast("double")
+    // callers below always pass (a, b) in column-position order, matching
+    // the generated moment names
+    def mD(a: String, b: String) = col(s"s_${a}_$b").cast("double")
+    def dev(c: String) =
+      sqrt(greatest(lit(0.0), nD * mD(c, c) - col(s"s_$c").cast("double") *
+        col(s"s_$c").cast("double")))
+    val rows = array(pairs.map { case (x, y) =>
+      val num = nD * mD(x, y) -
+        col(s"s_$x").cast("double") * col(s"s_$y").cast("double")
+      val den = dev(x) * dev(y)
+      struct(
+        lit(x).as("metric_x"), lit(y).as("metric_y"), col("n"),
+        when(den === 0.0, lit(null).cast("double"))
+          .otherwise(num / den).as("corr"))
+    }: _*)
+    g.select(explode(rows).as("r")).select("r.*")
+  }
 }

@@ -36,6 +36,19 @@ class BpeSpec extends SparkSpec {
     hist.unpersist()
   }
 
+  test("pair frequencies: exact corpus counts with end marker") {
+    val pf = Bpe.pairFrequencies(Bpe.wordHistogram(paperCorpus))
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // 'e','s' appears in newest (x6) and widest (x3) = 9; 's','t' same;
+    // 'w','</w>' only in low x5
+    assert(pf(("e", "s")) == 9L)
+    assert(pf(("s", "t")) == 9L)
+    assert(pf(("w", Bpe.EndMarker)) == 5L)
+    // 'l','o' in low x5 and lower x2 = 7
+    assert(pf(("l", "o")) == 7L)
+  }
+
   test("merge application is greedy left-to-right and non-overlapping") {
     assert(Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
     assert(Bpe.applyMerge(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))

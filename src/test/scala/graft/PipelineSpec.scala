@@ -280,6 +280,24 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("Union"), "checks must share one aggregate, not one job each")
   }
 
+  test("metric correlations: exact-moment Pearson matches hand computation") {
+    // x perfectly correlates with y = 2x; z anti-correlates with x
+    val df = Seq((1L, 2L, 9L), (2L, 4L, 7L), (3L, 6L, 5L), (4L, 8L, 3L))
+      .toDF("x", "y", "z")
+    val out = DataQuality.metricCorrelations(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.size == 3)
+    assert(out(("x", "y"))._1 == 4L)
+    assert(math.abs(out(("x", "y"))._2 - 1.0) < 1e-12)
+    assert(math.abs(out(("x", "z"))._2 - (-1.0)) < 1e-12)
+    assert(math.abs(out(("y", "z"))._2 - (-1.0)) < 1e-12)
+    // zero variance → NULL, not NaN (cross-engine hash contract)
+    val const = Seq((1L, 5L), (2L, 5L)).toDF("x", "y")
+    val r = DataQuality.metricCorrelations(const, Seq("x", "y")).collect()(0)
+    assert(r.isNullAt(3))
+  }
+
   test("duplicate clusters: multi-hop chains merge, components stay separate") {
     // chain 1-2-3-4 (forces >1 propagation round), pair 10-11, self-contained 20-21-22
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))

@@ -45,4 +45,50 @@ class SkewGuardSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(capped == default && capped.exists(p => (p._1, p._2) == (1L, 2L)))
   }
+
+  // ---- Skew.saltedJoin: equivalence with the plain join under a hot key ----
+
+  // key 7 owns half the fact side; keys 100+ are the uniform tail; key 999
+  // appears only on the fact side (exercises the unmatched arms)
+  private val fact = (
+    (1L to 50L).map(i => (7L, i)) ++
+      (1L to 50L).map(i => (100L + i, i)) ++ Seq((999L, 0L))
+    ).toDF("k", "v")
+  private val dim = (Seq(7L) ++ (1L to 50L).map(100L + _) ++ Seq(555L))
+    .map(k => (k, s"name$k")).toDF("k", "name")
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("salted join ≡ plain join for every supported join type") {
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val plain  = fact.join(dim, Seq("k"), jt)
+      val salted = operators.Skew.saltedJoin(fact, dim, "k", numSalts = 5, joinType = jt)
+      assert(salted.columns.toSeq == plain.columns.toSeq, s"schema for $jt")
+      assert(rows(salted) == rows(plain), s"rows for $jt")
+    }
+  }
+
+  test("the hot key's rows actually scatter across salts") {
+    // distinct (k=7, salt) buckets on the salted big side: with 50 distinct
+    // rows and 5 salts, all 5 buckets should be hit (probability of a miss
+    // under the deterministic hash is (4/5)^50-ish — and the assertion is
+    // deterministic because the hash is)
+    val salted = fact.withColumn("__graft_salt",
+      pmod(xxhash64(col("k"), col("v")), lit(5)).cast("int"))
+    val buckets = salted.filter(col("k") === 7L)
+      .select("__graft_salt").distinct().count()
+    assert(buckets >= 4, s"hot key used only $buckets of 5 salt buckets")
+  }
+
+  test("numSalts=1 degenerates to the plain join; bad join types rejected") {
+    val one = operators.Skew.saltedJoin(fact, dim, "k", numSalts = 1)
+    assert(rows(one) == rows(fact.join(dim, Seq("k"), "inner")))
+    intercept[IllegalArgumentException] {
+      operators.Skew.saltedJoin(fact, dim, "k", 4, joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      operators.Skew.saltedJoin(fact, dim, "k", 0)
+    }
+  }
 }

@@ -94,8 +94,9 @@ object Stress {
     */
   private def skewjoin(spark: SparkSession, n: Long): Unit = {
     val nDim = 200000L
+    // 80% of the fact side on ONE key — the one-viral-document shape
     val fact = spark.range(n).select(
-      when(col("id") % 5 < 2, lit(0L))
+      when(col("id") % 5 < 4, lit(0L))
         .otherwise(pmod(col("id") * 2654435761L, lit(nDim))).as("k"),
       (col("id") % 1000).cast("double").as("v")).localCheckpoint(true)
     val dim = spark.range(nDim).select(
@@ -103,6 +104,7 @@ object Stress {
       .localCheckpoint(true)
 
     def run(name: String, out: () => org.apache.spark.sql.DataFrame): Row = {
+      out().agg(count(lit(1)), sum(col("v"))).collect() // warm JIT + shuffle paths
       val t0 = System.nanoTime()
       val r = out().agg(count(lit(1)), sum(col("v"))).collect()(0)
       println(f"[stress] skewjoin $name rows=${r.getLong(0)} " +

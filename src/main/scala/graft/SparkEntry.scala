@@ -259,6 +259,30 @@ object SparkEntry {
       "SELECT o_custkey, l_extendedprice, l_shipdate, l_returnflag, 'LINEITEM' " +
       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"
 
+  /** Direct full-history rollup SQL over raw events — shared verbatim by
+    * q_rollup_user_windows (direct path) and q_rollup_incremental (the
+    * partial-store upsert + recompose path): one oracle, two plans, and
+    * the hash gate proves both produce the same bits.
+    */
+  private val userWindowsOracle: String =
+    "WITH a AS (SELECT CAST(max(ts) AS DATE) AS anchor FROM events), " +
+      "base AS (SELECT user_id, p.period_days, CAST(ts AS DATE) AS d, value, " +
+      s"event_type, $tierSql AS tier FROM events CROSS JOIN a " +
+      "CROSS JOIN (VALUES (7), (14), (30)) AS p(period_days) " +
+      "WHERE CAST(ts AS DATE) >= a.anchor - p.period_days), " +
+      "agg AS (SELECT user_id, period_days, count(*) AS total_transactions, " +
+      s"${dSum("value")} AS total_amount, max(d) AS last_transaction_date, " +
+      "max(tier) AS city_tier FROM base GROUP BY 1, 2), " +
+      "fav AS (SELECT user_id, period_days, event_type AS favorite_category, " +
+      "row_number() OVER (PARTITION BY user_id, period_days " +
+      "ORDER BY count(*) DESC, event_type) AS rn " +
+      "FROM base GROUP BY user_id, period_days, event_type) " +
+      "SELECT agg.user_id, agg.period_days, total_transactions, total_amount, " +
+      "last_transaction_date, city_tier, favorite_category " +
+      "FROM agg JOIN fav ON agg.user_id = fav.user_id " +
+      "AND agg.period_days = fav.period_days WHERE rn = 1 " +
+      "ORDER BY agg.user_id, agg.period_days"
+
   private val analyticsQueries: Seq[Q] = Seq(
     Q("q_analytics_category_totals",
       (s, d) => Analytics.categoryTotals(Tables.transactions(s, d)).orderBy("category"),
@@ -615,23 +639,36 @@ object SparkEntry {
     Q("q_rollup_user_windows",
       (s, d) => Rollups.userWindows(Tables.transactions(s, d), Seq(7, 14, 30))
         .orderBy("user_id", "period_days"),
-      Some("WITH a AS (SELECT CAST(max(ts) AS DATE) AS anchor FROM events), " +
-        "base AS (SELECT user_id, p.period_days, CAST(ts AS DATE) AS d, value, " +
-        s"event_type, $tierSql AS tier FROM events CROSS JOIN a " +
-        "CROSS JOIN (VALUES (7), (14), (30)) AS p(period_days) " +
-        "WHERE CAST(ts AS DATE) >= a.anchor - p.period_days), " +
-        "agg AS (SELECT user_id, period_days, count(*) AS total_transactions, " +
-        s"${dSum("value")} AS total_amount, max(d) AS last_transaction_date, " +
-        "max(tier) AS city_tier FROM base GROUP BY 1, 2), " +
-        "fav AS (SELECT user_id, period_days, event_type AS favorite_category, " +
-        "row_number() OVER (PARTITION BY user_id, period_days " +
-        "ORDER BY count(*) DESC, event_type) AS rn " +
-        "FROM base GROUP BY user_id, period_days, event_type) " +
-        "SELECT agg.user_id, agg.period_days, total_transactions, total_amount, " +
-        "last_transaction_date, city_tier, favorite_category " +
-        "FROM agg JOIN fav ON agg.user_id = fav.user_id " +
-        "AND agg.period_days = fav.period_days WHERE rn = 1 " +
-        "ORDER BY agg.user_id, agg.period_days")),
+      Some(userWindowsOracle)),
+
+    // INCREMENTAL rollup maintenance under the hash gate: the stream
+    // arrives as two batches split by a row-level hash of the timestamp —
+    // so the SAME (user, day, category) key lands in both batches and the
+    // second write must genuinely SUM partials (counts + exact-decimal
+    // amounts), not just append rows or replace partitions. Batch 1 seeds
+    // the day-partitioned store, batch 2 upserts through dynamic partition
+    // overwrite, and the windows recompose from the merged partials. The
+    // oracle is the DIRECT full-history rollup over raw events, shared
+    // verbatim with q_rollup_user_windows: hash equality proves
+    // upsert + recompose ≡ recompute-from-scratch.
+    Q("q_rollup_incremental",
+      (s, d) => {
+        val whDir = java.nio.file.Files.createTempDirectory("graft_verify_incr")
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          scala.util.Try {
+            java.nio.file.Files.walk(whDir)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          }))
+        val tx = Tables.transactions(s, d)
+        val store = whDir.resolve("daily").toString
+        val inFirst = pmod(hash(col("ts")), lit(2)) === 0
+        Rollups.writeDailyPartials(tx.filter(inFirst), store)
+        Rollups.upsertDailyPartials(tx.filter(!inFirst), store)
+        Rollups.userWindowsFromDaily(s.read.parquet(store), Seq(7, 14, 30))
+          .orderBy("user_id", "period_days")
+      },
+      Some(userWindowsOracle)),
 
     // Trailing 7-CALENDAR-day moving daily aggregates per event type: a
     // RANGE frame over the day number, so gap days age out instead of

@@ -50,9 +50,16 @@ object Rollups {
         max(to_date(col("ts"))).as("cat_last_date"),
         max(col("city_tier")).as("cat_tier"))
 
-    // Totals and the mode share ONE partitioning: both window specs key on
-    // (user_id, period_days), so Catalyst plans a single exchange + sort
-    // with two Window operators over it — no join, no second scan.
+    windowTail(partials)
+  }
+
+  /** Shared tail of [[userWindows]] and [[userWindowsFromDaily]]: from
+    * (user_id, period_days, category) partials to the final rollup rows.
+    * Totals and the mode share ONE partitioning: both window specs key on
+    * (user_id, period_days), so Catalyst plans a single exchange + sort
+    * with two Window operators over it — no join, no second scan.
+    */
+  private def windowTail(partials: DataFrame): DataFrame = {
     val part = Window.partitionBy(col("user_id"), col("period_days"))
     val byCount = part.orderBy(col("cat_count").desc, col("category"))
     partials
@@ -65,6 +72,99 @@ object Rollups {
       .select(col("user_id"), col("period_days"), col("total_transactions"),
         col("total_amount"), col("last_transaction_date"), col("city_tier"),
         col("category").as("favorite_category"))
+  }
+
+  /** Mergeable DAILY partials of the transaction stream — the storage unit
+    * of the INCREMENTAL rollup path. One row per (user_id, day, category)
+    * holding an exact count / exact-decimal amount / max tier; any two
+    * partial sets over disjoint row sets merge by re-aggregation with NO
+    * loss (counts and decimal sums are associative and exact, max is
+    * idempotent), so the full-corpus rollup recomposed from partials is
+    * bit-identical to a direct recompute — the property the
+    * q_rollup_incremental oracle pins.
+    *
+    * Scale shape: the reference rebuilds `upi_transactions_agg` from the
+    * full history on every scheduler tick (create_aggregates.py:19-104);
+    * at 100 TB that is a full-table scan per refresh. Here a nightly batch
+    * aggregates ONLY its own rows and upserts only the day partitions it
+    * touches ([[upsertDailyPartials]]); serving recomposes the trailing
+    * windows from partials orders of magnitude smaller than the raw stream.
+    */
+  def dailyPartials(tx: DataFrame): DataFrame =
+    tx.groupBy(col("user_id"), to_date(col("ts")).as("day"), col("category"))
+      .agg(
+        count(lit(1)).as("cat_count"),
+        sum(col("amount").cast(Tables.MoneyExact)).as("cat_amount"),
+        max(col("city_tier")).as("cat_tier"))
+
+  /** Seed (or fully rebuild) the day-partitioned partial store. */
+  def writeDailyPartials(tx: DataFrame, path: String): Unit =
+    dailyPartials(tx).write.mode("overwrite").partitionBy("day").parquet(path)
+
+  /** Merge a delta batch into the partial store, rewriting ONLY the day
+    * partitions the delta touches: existing partials for those days are
+    * read back (a broadcast semi-join on `day` against the delta's day
+    * set — dynamic partition pruning keeps untouched days unread), merged
+    * by re-aggregation, and published with dynamic partition overwrite, so
+    * a 100 TB history with a one-day delta rewrites one day's directory.
+    *
+    * The merged rows are materialized BEFORE the write because Spark
+    * refuses to overwrite a path its input plan reads from. Local default
+    * is an eager `localCheckpoint` (executor-local blocks — cheap, but a
+    * lost executor mid-write fails the job); pass `checkpointDir` to pin
+    * the barrier to reliable storage at cluster scale, mirroring
+    * [[graft.functions.Dedup.duplicateClusters]]' knob.
+    */
+  def upsertDailyPartials(delta: DataFrame, path: String,
+      checkpointDir: Option[String] = None): Unit = {
+    val spark = delta.sparkSession
+    val dp = dailyPartials(delta)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val merged =
+      if (!fs.exists(hPath)) dp
+      else {
+        val touched = dp.select(col("day")).distinct()
+        val existing = spark.read.parquet(path)
+          .join(broadcast(touched), Seq("day"), "left_semi")
+        dp.unionByName(existing.select(dp.columns.map(col): _*))
+          .groupBy(col("user_id"), col("day"), col("category"))
+          .agg(
+            sum(col("cat_count")).as("cat_count"),
+            sum(col("cat_amount")).cast(Tables.MoneyExact).as("cat_amount"),
+            max(col("cat_tier")).as("cat_tier"))
+      }
+    val pinned = checkpointDir match {
+      case Some(dir) => spark.sparkContext.setCheckpointDir(dir); merged.checkpoint()
+      case None      => merged.localCheckpoint(true)
+    }
+    pinned.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(path)
+  }
+
+  /** The trailing-window rollup recomposed from the daily partial store —
+    * same output contract as [[userWindows]], but the scan input is the
+    * (user, day, category) partials, not the raw stream: at 100 TB the
+    * serving query reads back weeks of small partial partitions instead of
+    * the full event history, and the rest of the plan (explode to periods,
+    * one hash aggregate, one window exchange) is shared with the direct
+    * path via [[windowTail]]. Exactness of the merge (see
+    * [[dailyPartials]]) makes the two paths bit-identical.
+    */
+  def userWindowsFromDaily(daily: DataFrame, periods: Seq[Int]): DataFrame = {
+    val anchor = daily.agg(max(col("day")).as("anchor"))
+    val periodsLit = array(periods.map(lit): _*)
+    val base = daily.crossJoin(broadcast(anchor))
+      .withColumn("period_days",
+        explode(filter(periodsLit, p => col("day") >= date_sub(col("anchor"), p))))
+    val partials = base.groupBy(col("user_id"), col("period_days"), col("category"))
+      .agg(
+        sum(col("cat_count")).as("cat_count"),
+        sum(col("cat_amount")).cast(Tables.MoneyExact).as("cat_amount"),
+        max(col("day")).as("cat_last_date"),
+        max(col("cat_tier")).as("cat_tier"))
+    windowTail(partials)
   }
 
   /** Trailing `windowDays`-day MOVING aggregates of the daily event stream,

@@ -161,6 +161,48 @@ class AnalyticsSpec extends SparkSpec {
     assert(u1w30.getAs[java.sql.Date]("last_transaction_date").toString == "2024-01-03")
   }
 
+  test("incremental rollup: day-partitioned upsert merges partials, recompose ≡ direct") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr_spec")
+    try {
+      val store = dir.resolve("daily").toString
+      // seed with even users (u2: Jan 3, Jan 4), upsert odd (u1: Jan 1, Jan 3)
+      // — Jan 3 is touched by both writes
+      Rollups.writeDailyPartials(fixture.filter($"user_id" % 2 === 0), store)
+      Rollups.upsertDailyPartials(fixture.filter($"user_id" % 2 =!= 0), store)
+      val dayDirs = new java.io.File(store).listFiles
+        .filter(_.isDirectory).map(_.getName).sorted.toSeq
+      assert(dayDirs == Seq("day=2024-01-01", "day=2024-01-03", "day=2024-01-04"),
+        s"one partition per event day, got $dayDirs")
+
+      val direct = Rollups.userWindows(fixture, Seq(1, 30))
+      val incr = Rollups.userWindowsFromDaily(spark.read.parquet(store), Seq(1, 30))
+      assert(direct.exceptAll(incr).isEmpty && incr.exceptAll(direct).isEmpty,
+        "recomposed windows must equal the direct rollup bit-for-bit")
+
+      // third upsert re-sends user 1's rows into EXISTING keys through the
+      // reliable-checkpoint barrier: same (user, day, category) partials
+      // must SUM (5 + 3 rows), and the untouched Jan 4 partition (user 2
+      // only) must survive the dynamic overwrite unmodified
+      Rollups.upsertDailyPartials(fixture.filter($"user_id" === 1L), store,
+        checkpointDir = Some(dir.resolve("ckpt").toString))
+      val partials = spark.read.parquet(store)
+      assert(partials.agg(sum($"cat_count")).as[Long].head == 8L)
+      val jan1Dining = partials
+        .filter($"day" === "2024-01-01" && $"user_id" === 1L && $"category" === "Dining")
+        .collect()
+      assert(jan1Dining.length == 1 &&
+        jan1Dining.head.getAs[Long]("cat_count") == 4L &&
+        jan1Dining.head.getAs[java.math.BigDecimal]("cat_amount").doubleValue == 300.0,
+        "re-sent rows must sum into the existing partial, one row per key")
+      assert(partials.filter($"day" === "2024-01-04")
+        .agg(sum($"cat_count")).as[Long].head == 1L)
+    } finally {
+      java.nio.file.Files.walk(dir)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("paged search envelope: total/total_pages count the full result, page slices it") {
     val p = Analytics.searchUsersPaged(fixture,
       Analytics.UserSearch(minTransactions = 1L), page = 2, perPage = 1)

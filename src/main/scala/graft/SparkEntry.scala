@@ -872,10 +872,13 @@ object SparkEntry {
     * folded in term-asc order; double constants (`k1`, `b`, `k1+1`, `1-b`)
     * are rendered from the SAME Scala values both engines consume.
     */
-  private def bm25Oracle(terms: Seq[String], k: Int, k1: Double, b: Double): String = {
+  /** The BM25 CTE chain (ends at `r`: doc_id, n_matched, score, rank) —
+    * shared by [[bm25Oracle]] and the hybrid-rerank oracle's stage 1.
+    */
+  private def bm25Ctes(terms: Seq[String], k1: Double, b: Double): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val avg = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
-    s"WITH d AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl, " +
+    s"d AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl, " +
       s"$toksSql AS t FROM documents), " +
       "st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d), " +
       "p AS (SELECT doc_id, dl, term, count(*) AS tf FROM " +
@@ -890,10 +893,13 @@ object SparkEntry {
       "s AS (SELECT doc_id, count(*) AS n_matched, " +
       "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)), " +
       "(acc, x) -> acc + x) AS score FROM c GROUP BY doc_id), " +
-      "r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM s) " +
+      "r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM s)"
+  }
+
+  private def bm25Oracle(terms: Seq[String], k: Int, k1: Double, b: Double): String =
+    s"WITH ${bm25Ctes(terms, k1, b)} " +
       s"SELECT doc_id, n_matched, score, CAST(rank AS INT) AS rank FROM r " +
       s"WHERE rank <= $k ORDER BY rank"
-  }
 
   /** DuckDB rendering of the exact n-gram Jaccard pair set at threshold 0.5
     * (shared: q_dedup_ngram_jaccard computes it directly; the MinHash+LSH
@@ -1047,6 +1053,34 @@ object SparkEntry {
         col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id"),
       Some(s"$fpCte SELECT doc_id, fingerprint FROM fp ORDER BY doc_id")),
+
+    // Corpus snapshot diff (dataset-versioning audit): two snapshots are
+    // synthesized from the corpus — docs ≡5 (mod 7) exist only in the new
+    // crawl (added), ≡6 only in the old (removed), ≡3 carry edited text
+    // (changed), the rest are identical (unchanged). The engine diffs
+    // 64-bit content hashes so the full-outer join shuffles 16 bytes/doc;
+    // the ORACLE compares raw text (`IS NOT DISTINCT FROM`, the ground
+    // truth) — hash equality therefore also certifies the hash scheme
+    // produced zero false verdicts on this corpus.
+    Q("q_snapshot_diff",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val oldSnap = docs.filter(col("doc_id") % 7 =!= 5)
+        val newSnap = docs.filter(col("doc_id") % 7 =!= 6)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 3, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+        graft.functions.Snapshot.diff(oldSnap, newSnap).orderBy("doc_id")
+      },
+      Some("WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 5), " +
+        "n AS (SELECT doc_id, CASE WHEN doc_id % 7 = 3 THEN text || ' v2' " +
+        "ELSE text END AS text FROM documents WHERE doc_id % 7 <> 6) " +
+        "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, " +
+        "CASE WHEN o.doc_id IS NULL THEN 'added' " +
+        "WHEN n.doc_id IS NULL THEN 'removed' " +
+        "WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged' " +
+        "ELSE 'changed' END AS status " +
+        "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id ORDER BY doc_id")),
 
     // Content-keyed train/val/test split (95/3/2): bucket = fingerprint
     // mod 100, contiguous ranges in declaration order. Content-keyed means
@@ -1642,6 +1676,34 @@ object SparkEntry {
       },
       Some(ivfTrainedOracle(dim = 64, sampleSize = 256, centroids = 8,
         iters = 2, nprobe = 3, topk = 10))),
+
+    // Two-stage HYBRID retrieval: BM25 top-50 lexical candidates (stage 1,
+    // corpus-wide but term-df-bounded) reranked by embedding cosine to a
+    // query vector (stage 2, touches 50 rows). The candidate set and the
+    // 1-row query vector broadcast; the corpus streams once per stage.
+    // Both stages' scores surface (bm25_rank + cosine + final rank), and
+    // the oracle replays the full two-stage stack — the rational-idf BM25
+    // chain feeding the fold-left cosine — in one composed query.
+    Q("q_sim_hybrid_rerank",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cands = TextAnalysis.bm25Search(Tables.documents(s, d), Bm25Terms, k = 50)
+        Similarity.rerankCandidates(cands, emb,
+          emb.filter(col("vec_id") === 0), k = 10)
+          .orderBy("rank")
+      },
+      Some(s"WITH ${bm25Ctes(Bm25Terms, 1.2, 0.75)}, " +
+        "cand AS (SELECT doc_id, CAST(rank AS INT) AS bm25_rank FROM r " +
+        "WHERE rank <= 50), " +
+        s"$normEmbCte, " +
+        "qn AS (SELECT v AS qv FROM nv WHERE vec_id = 0), " +
+        "sc AS (SELECT cand.doc_id, bm25_rank, " +
+        dotSql("qv", "nv.v") + " AS cosine " +
+        "FROM cand JOIN nv ON nv.vec_id = cand.doc_id CROSS JOIN qn), " +
+        "rr AS (SELECT *, row_number() OVER (ORDER BY cosine DESC, doc_id) " +
+        "AS rank FROM sc) " +
+        "SELECT doc_id, bm25_rank, cosine, CAST(rank AS INT) AS rank " +
+        "FROM rr WHERE rank <= 10 ORDER BY rank")),
 
     // Semantic contamination screen: every non-benchmark vector's max
     // cosine against the 10-vector "benchmark" slice (vec_id % 50 = 0) —

@@ -245,6 +245,43 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Two-stage HYBRID retrieval, stage 2: rerank a small lexical candidate
+    * set (e.g. [[TextAnalysis.bm25Search]] top-N) by embedding cosine to a
+    * single query vector — the classic retrieve-then-rerank stack, where a
+    * cheap corpus-wide lexical pass bounds the candidate set and the dense
+    * scorer only touches N rows.
+    *
+    * Scale shape: the candidate set (N ≈ 50) BROADCASTS into a join against
+    * the normalized corpus — the corpus streams one scan, nothing shuffles
+    * on its size — and the single query vector rides in as a broadcast
+    * 1-row cross join. The final top-k is orderBy+limit
+    * (TakeOrderedAndProject) with the rank window over k rows only, the
+    * [[TextAnalysis.bm25Search]] pattern. At 100 TB stage 2 costs one
+    * filtered corpus scan; with the corpus stored as a
+    * [[writeAnnIndex]]-style bucketed table keyed on the id, it collapses
+    * to N bucket-pruned point reads.
+    *
+    * Candidates keep their stage-1 rank (`bm25_rank`) beside the cosine and
+    * the final `rank`, so downstream blending/debugging sees both orders.
+    * Documents whose embedding is missing or zero-norm drop out (no cosine
+    * exists for them) — matching the oracle's inner join against the
+    * normalized-embedding CTE.
+    */
+  def rerankCandidates(candidates: DataFrame, corpus: DataFrame,
+      queryVec: DataFrame, k: Int, idCol: String = "doc_id"): DataFrame = {
+    val c = normalized(corpus)
+    val q = normalized(queryVec).select(col("v").as("qv")).limit(1)
+    val cand = candidates.select(col(idCol), col("rank").as("bm25_rank"))
+    val scored = c.join(broadcast(cand), col("vec_id") === col(idCol))
+      .crossJoin(broadcast(q))
+      .select(col(idCol), col("bm25_rank"), dot(col("qv"), col("v")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cosine").desc, col(idCol))
+    scored.orderBy(col("cosine").desc, col(idCol)).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select(idCol, "bm25_rank", "cosine", "rank")
+  }
+
   /** Dot scores of a vector against every trained centroid, as an array of
     * literal-folded expressions — a few KB of constants baked into the plan,
     * so assignment is a scan-side projection (no join, no shuffle).

@@ -757,6 +757,43 @@ class PipelineSpec extends SparkSpec {
       "hot-capped verify regime must reproduce the count path's exact values")
   }
 
+  test("hybrid rerank: cosine reorders the lexical candidates, missing embeddings drop") {
+    // candidates in BM25 order 1,2,3,4; embeddings make doc 3 closest to the
+    // query, then doc 1; doc 2 has NO embedding (drops); doc 4 is orthogonal
+    val cands = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 4)).toDF("doc_id", "rank")
+    val emb = Seq(
+      (1L, Seq(0.6f, 0.8f, 0.0f)),
+      (3L, Seq(1.0f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f)),
+      (99L, Seq(1.0f, 0.0f, 0.0f))) // query vector, not a candidate
+      .toDF("vec_id", "embedding")
+    val out = Similarity.rerankCandidates(
+      cands, emb, emb.filter($"vec_id" === 99L), k = 10)
+      .as[(Long, Int, Double, Int)].collect().toSeq
+    assert(out.map(_._1) == Seq(3L, 1L, 4L), "cosine order, doc 2 dropped")
+    assert(out.map(_._4) == Seq(1, 2, 3), "final rank is dense over survivors")
+    assert(out.head._3 == 1.0 && out.head._2 == 3, "stage-1 rank carried through")
+    assert(math.abs(out(1)._3 - 0.6) < 1e-6) // float32 fixture, not exact 0.6
+  }
+
+  test("snapshot diff: added/removed/changed/unchanged, NULL text is diff-stable") {
+    val oldSnap = docs((1L, "alpha"), (2L, "beta"), (4L, "delta"))
+      .unionByName(Seq((5L, null.asInstanceOf[String]), (6L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val newSnap = docs((1L, "alpha"), (3L, "gamma"), (4L, "delta EDITED"))
+      .unionByName(Seq((5L, null.asInstanceOf[String]), (6L, "now present"))
+        .toDF("doc_id", "text"))
+    val out = Snapshot.diff(oldSnap, newSnap).orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq(
+      1L -> "unchanged", // identical text
+      2L -> "removed",   // only in old
+      3L -> "added",     // only in new
+      4L -> "changed",   // edited text
+      5L -> "unchanged", // NULL on both sides: absent content is stable
+      6L -> "changed"))  // NULL -> real text
+  }
+
   test("mixture sampling: Hamilton apportionment invariants, shortfall stays visible") {
     import graft.functions.Sampling.apportion
     // the q_sample_mixture constants: tie on remainder (c vs d) breaks by key

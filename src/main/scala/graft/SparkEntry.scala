@@ -1033,6 +1033,34 @@ object SparkEntry {
     // The oracle's CASE cascade is the same earliest-argmax: branch k fires
     // only when lang_k >= every later language AND all earlier branches
     // failed (which forces every earlier score strictly below the max).
+    // CORPUS MANIFEST (dataset card): per (source, detected lang, split)
+    // doc/token/char counts — three already-gated signals (lang-id, the
+    // content-keyed hash split, whitespace token count) composed in ONE
+    // corpus scan + one tiny aggregate exchange. The oracle re-renders
+    // each signal from its individually-gated fragment (the no-silent-
+    // divergence rule), with BIGINT casts on the summed counts (DuckDB
+    // SUM(BIGINT) → HUGEINT) and NULLS LAST pinned on every sort key.
+    Q("q_corpus_manifest",
+      (s, d) => graft.functions.DataQuality.corpusManifest(Tables.documents(s, d))
+        .orderBy(asc_nulls_last("source"), asc_nulls_last("lang_guess"),
+          asc_nulls_last("split")),
+      Some(s"WITH $fpCtesBody, " +
+        s"t AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars, " +
+        s"$toksSql AS toks FROM documents), " +
+        "s AS (SELECT doc_id, source, n_chars, " +
+        "CAST(len(toks) AS BIGINT) AS token_count, " +
+        langMarkerColsSql("toks") + " FROM t), " +
+        s"l AS (SELECT doc_id, source, n_chars, token_count, " +
+        s"$langGuessCaseSql AS lang_guess FROM s), " +
+        "sp AS (SELECT doc_id, CASE WHEN fingerprint IS NULL THEN NULL " +
+        "WHEN fingerprint % 100 < 95 THEN 'train' " +
+        "WHEN fingerprint % 100 < 98 THEN 'val' ELSE 'test' END AS split FROM fp) " +
+        "SELECT source, lang_guess, split, count(*) AS n_docs, " +
+        "CAST(sum(token_count) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars " +
+        "FROM l JOIN sp USING (doc_id) GROUP BY 1, 2, 3 " +
+        "ORDER BY source NULLS LAST, lang_guess NULLS LAST, split NULLS LAST")),
+
     Q("q_text_langid",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))

@@ -29,6 +29,8 @@ object Stress {
       case "chain" :: n :: Nil       => chain(spark, n.toLong)
       case "semdedup" :: nc :: per :: Nil => semdedup(spark, nc.toInt, per.toInt)
       case "skewjoin" :: n :: Nil    => skewjoin(spark, n.toLong)
+      case "incrrollup" :: users :: days :: Nil =>
+        incrRollup(spark, users.toLong, days.toInt)
       case other => sys.error(s"unknown args: $other")
     }
     spark.stop()
@@ -121,6 +123,57 @@ object Stress {
     val aqe    = run("plain sm, AQE on  ", () => fact.join(dim, Seq("k")))
     conf.unset("spark.sql.autoBroadcastJoinThreshold")
     println(s"[stress] skewjoin identical=${plain == salted && salted == aqe}")
+  }
+
+  /** Incremental-rollup maintenance vs full rebuild: a history of `users`
+    * users × `days` days (5 tx/user/day arriving over the period) is
+    * seeded into the day-partitioned partial store ONCE; then ONE day's
+    * delta (the daily batch a scheduler would hand the engine) upserts.
+    * Measures (a) the upsert vs the full-history rebuild the reference
+    * performs per tick, and (b) that the upsert rewrote ONLY the touched
+    * day's partition (directory mtimes) — the property that makes the
+    * nightly cost O(delta), not O(history), at 100 TB.
+    */
+  private def incrRollup(spark: SparkSession, users: Long, days: Int): Unit = {
+    import graft.operators.Rollups
+    val store = java.nio.file.Files.createTempDirectory("graft_stress_incr")
+      .resolve("daily").toString
+    def tx(dayLo: Int, dayHi: Int) = spark.range(users * (dayHi - dayLo) * 5)
+      .select(
+        (col("id") % users).as("user_id"),
+        timestamp_micros(lit(1700000000000000L) +
+          (expr(s"id div ${users * 5}") + dayLo) * 86400000000L +
+          (col("id") % 5) * 3600000000L).as("ts"),
+        ((col("id") % 1000).cast("double") / 10).as("amount"),
+        concat(lit("cat"), col("id") % 7).as("category"),
+        (col("id") % 4 + 1).cast("int").as("city_tier"))
+      .localCheckpoint(true)
+    val history = tx(0, days - 1)
+    val delta = tx(days - 1, days)
+
+    var t0 = System.nanoTime()
+    Rollups.writeDailyPartials(history, store)
+    val seedS = (System.nanoTime() - t0) / 1e9
+
+    val before = new java.io.File(store).listFiles.filter(_.isDirectory)
+      .map(f => f.getName -> f.listFiles.map(_.lastModified).max).toMap
+    t0 = System.nanoTime()
+    Rollups.upsertDailyPartials(delta, store)
+    val upsertS = (System.nanoTime() - t0) / 1e9
+    val after = new java.io.File(store).listFiles.filter(_.isDirectory)
+      .map(f => f.getName -> f.listFiles.map(_.lastModified).max).toMap
+    val touched = after.keySet.filter(k => before.get(k) != Some(after(k)))
+
+    // the reference's shape: rebuild the whole store from full history
+    t0 = System.nanoTime()
+    Rollups.writeDailyPartials(history.unionByName(delta),
+      store + "_rebuild")
+    val rebuildS = (System.nanoTime() - t0) / 1e9
+
+    val n = spark.read.parquet(store).count()
+    println(f"[stress] incrrollup users=$users days=$days partials=$n " +
+      f"seed=$seedS%.1fs upsert=$upsertS%.1fs rebuild=$rebuildS%.1fs " +
+      f"touchedPartitions=${touched.mkString(",")} (${touched.size} of ${after.size})")
   }
 
   /** Worst case for connected components: ONE chain of `n` nodes —

@@ -115,4 +115,33 @@ object DataQuality {
     }: _*)
     g.select(explode(rows).as("r")).select("r.*")
   }
+
+  /** CORPUS MANIFEST — the dataset-card aggregate a training-data release
+    * ships: per (source, detected language, train/val/test split) document,
+    * token, and character counts. Composes three already-gated signals —
+    * [[TextAnalysis.langIdFromTokens]], [[Sampling.hashSplit]]'s
+    * content-keyed split, and the whitespace token count — in ONE corpus
+    * scan: `hashSplit` carries the input columns, so language, counts, and
+    * split are all projections over the same pass, and the only exchange is
+    * the final small (source × lang × split) aggregate. At 100 TB the cost
+    * is one scan + one tiny shuffle, however many manifest cells exist.
+    *
+    * NULL text follows the [[Sampling.hashSplit]] contract (NULL split,
+    * NULL counts) so junk rows surface as their own manifest cell instead
+    * of silently joining a real split.
+    */
+  def corpusManifest(docs: DataFrame,
+      splits: Seq[(String, Int)] = Seq(("train", 95), ("val", 3), ("test", 2)),
+      sourceCol: String = "source", textCol: String = "text"): DataFrame =
+    Sampling.hashSplit(docs, splits, textCol)
+      .select(col(sourceCol), col("split"),
+        length(col(textCol)).cast("long").as("n_chars"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(sourceCol), col("split"), col("n_chars"),
+        size(col("__toks")).cast("long").as("token_count"),
+        TextAnalysis.langIdFromTokens(col("__toks")).as("lang_guess"))
+      .groupBy(col(sourceCol), col("lang_guess"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("token_count")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
 }

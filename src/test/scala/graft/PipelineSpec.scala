@@ -757,6 +757,27 @@ class PipelineSpec extends SparkSpec {
       "hot-capped verify regime must reproduce the count path's exact values")
   }
 
+  test("corpus manifest: per-cell counts from one scan; NULL text isolates in its own cell") {
+    val fixture = Seq(
+      (1L, "the cat and the dog of it", "webA"),   // en: the, and, of
+      (2L, "el gato y los perros es con", "webA"), // es markers
+      (3L, "plain words no markers here", "webA"), // und
+      (4L, null.asInstanceOf[String], "webB"))     // null text
+      .toDF("doc_id", "text", "source")
+    val out = DataQuality.corpusManifest(fixture)
+      .orderBy(asc_nulls_last("source"), asc_nulls_last("lang_guess"))
+      .collect()
+    assert(out.length == 4, s"one cell per (source, lang, split): ${out.toSeq}")
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 4L)
+    val en = out.find(r => r.getAs[String]("lang_guess") == "en").get
+    assert(en.getAs[String]("source") == "webA" && en.getAs[Long]("n_tokens") == 7L
+      && en.getAs[Long]("n_chars") == 25L)
+    assert(out.exists(r => r.getAs[String]("lang_guess") == "und"))
+    val nul = out.find(_.getAs[String]("source") == "webB").get
+    assert(nul.isNullAt(nul.fieldIndex("split")),
+      "NULL text must not silently join a real split")
+  }
+
   test("hybrid rerank: cosine reorders the lexical candidates, missing embeddings drop") {
     // candidates in BM25 order 1,2,3,4; embeddings make doc 3 closest to the
     // query, then doc 1; doc 2 has NO embedding (drops); doc 4 is orthogonal

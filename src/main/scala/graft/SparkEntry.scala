@@ -1304,6 +1304,29 @@ object SparkEntry {
         "AS bucket_10toks, count(*) AS n_docs FROM documents " +
         "GROUP BY 1 ORDER BY 1")),
 
+    // CHUNK EXTRACTION (RAG/context-window chunker): 32-token windows,
+    // 16-token stride — the producer op that materializes overlapping
+    // chunks (chunk_text included) for an embedding/retrieval stage. The
+    // oracle replays the window arithmetic (⌈(n−w)/s⌉+1 windows, ragged
+    // tail) and the 1-based inclusive list slice; every derived integer is
+    // BIGINT-cast (range() already yields BIGINT — the HUGEINT rule).
+    Q("q_chunk_windows",
+      (s, d) => TextAnalysis.chunkWindows(
+          Tables.documents(s, d).select("doc_id", "text"),
+          windowTokens = 32, stride = 16)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("WITH tk AS (SELECT doc_id, " + toksSql + " AS t FROM documents " +
+        "WHERE text IS NOT NULL AND len(" + toksSql + ") > 0), " +
+        "c AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM tk), " +
+        "x AS (SELECT doc_id, t, n, unnest(range(0, " +
+        "CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 15) // 16 + 1 END)) AS i " +
+        "FROM c) " +
+        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, " +
+        "CAST(i * 16 AS BIGINT) AS token_start, " +
+        "CAST(least(32, n - i * 16) AS BIGINT) AS n_tokens, " +
+        "array_to_string(t[(i*16+1):(i*16+32)], ' ') AS chunk_text " +
+        "FROM x ORDER BY doc_id, chunk_idx")),
+
     // Exact dedup over documents ∪ (re-keyed) documents so duplicate groups
     // actually exist in the corpus.
     Q("q_dedup_exact",
@@ -1670,6 +1693,26 @@ object SparkEntry {
         s"'${TextAnalysis.PhoneRx}', '<PHONE>', 'g') AS redacted " +
         "FROM documents ORDER BY doc_id")),
 
+    // K-ANONYMITY enforcement (the quasi-identifier privacy gate that
+    // follows the PII scan's direct-identifier scrub): any
+    // (nation, segment) class under k=10 customers is re-identifying, so
+    // both quasi columns are suppressed on those rows. The class table is
+    // combinatorics-bounded (125 classes at every sf) and broadcasts; the
+    // oracle replays the null-safe class join and the CASE suppression.
+    Q("q_privacy_kanon",
+      (s, d) => graft.functions.DataQuality.kAnonymize(
+          Tables.customer(s, d), Seq("c_nationkey", "c_mktsegment"), k = 10)
+        .orderBy("c_custkey"),
+      Some("WITH g AS (SELECT c_nationkey AS qn, c_mktsegment AS qs, " +
+        "CAST(count(*) AS BIGINT) AS class_size FROM customer GROUP BY 1, 2) " +
+        "SELECT c_custkey, c_name, " +
+        "CASE WHEN class_size >= 10 THEN c_nationkey END AS c_nationkey, " +
+        "c_acctbal, " +
+        "CASE WHEN class_size >= 10 THEN c_mktsegment END AS c_mktsegment, " +
+        "class_size, class_size < 10 AS suppressed " +
+        "FROM customer JOIN g ON c_nationkey IS NOT DISTINCT FROM qn " +
+        "AND c_mktsegment IS NOT DISTINCT FROM qs ORDER BY c_custkey")),
+
     // IVF with the TRAINED coarse quantizer (spherical k-means on the 256
     // lowest vec_ids, 2 Lloyd rounds, 8 centroids, 3 probes). The oracle
     // replays the ENTIRE fit — init, tie-broken assignment, fold-ordered
@@ -1971,6 +2014,26 @@ object SparkEntry {
         s"count(*) AS n_events, ${dSum("value")} AS total_value, " +
         "count(DISTINCT user_id) AS n_users FROM events " +
         "GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    // Z-ORDER curve values over (user_id, day) — the multi-dimensional
+    // layout key (Layout.zorderWrite clusters files by it; BucketedSpec
+    // measures the 2-D box pruning). Both engines render the interleave
+    // from the SAME Scala loop (Layout.zValue / zValueSql), so this gate
+    // certifies the curve arithmetic the layout relies on bit-for-bit.
+    Q("q_zorder_curve",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .select(col("event_id"), col("user_id"), col("day"),
+          graft.sources.Layout.zValue(Seq(col("user_id"), col("day")), 20)
+            .as("zvalue"))
+        .orderBy("event_id"),
+      Some("WITH e AS (SELECT event_id, user_id, " +
+        "CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) " +
+        "AS day FROM events) " +
+        "SELECT event_id, user_id, day, " +
+        graft.sources.Layout.zValueSql(Seq("user_id", "day"), 20) +
+        " AS zvalue FROM e ORDER BY event_id")),
 
     // The time-series layout path end-to-end: ingest events into a
     // date-partitioned directory tree (one dir per day, dynamic overwrite),

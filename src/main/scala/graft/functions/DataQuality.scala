@@ -144,4 +144,36 @@ object DataQuality {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("token_count")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"))
+
+  /** K-ANONYMITY ENFORCEMENT — the privacy gate a data release runs after
+    * PII redaction ([[TextAnalysis]]'s scan handles direct identifiers;
+    * this handles QUASI-identifiers): any combination of `quasiCols` shared
+    * by fewer than `k` rows re-identifies, so those columns are suppressed
+    * (NULLed) on every row of an under-k equivalence class. Output = the
+    * input rows plus `class_size` and a `suppressed` verdict, with the
+    * quasi columns blanked where the class is under-k.
+    *
+    * Scale shape: the equivalence-class table is bounded by quasi-value
+    * COMBINATORICS, not corpus size (125 classes here whether customers
+    * number 1.5 k or 1.5 B), so it aggregates small and BROADCASTS back —
+    * the corpus itself never shuffles. NULL quasi values form their own
+    * class (null-safe grouping and join), so missing data can't dodge the
+    * k threshold.
+    */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1, "need quasi columns and k >= 1")
+    val classes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumnRenamed(quasiCols.head, s"__q_${quasiCols.head}")
+    val classesR = quasiCols.tail.foldLeft(classes)((d, c) =>
+      d.withColumnRenamed(c, s"__q_$c"))
+    val cond = quasiCols.map(c => col(c) <=> col(s"__q_$c")).reduce(_ && _)
+    val keep = col("class_size") >= k
+    df.join(broadcast(classesR), cond)
+      .select(df.columns.map {
+        case q if quasiCols.contains(q) =>
+          when(keep, col(q)).otherwise(lit(null)).as(q)
+        case other => col(other)
+      } :+ col("class_size") :+ (!keep).as("suppressed"): _*)
+  }
 }

@@ -533,4 +533,49 @@ object TextAnalysis {
         qualityFromParts(tokenCountC, punctCountC, length(t), stopwordCountC)
           .as("quality_score"))
   }
+
+  /** CHUNK EXTRACTION — the producer half of the chunk pipeline (the
+    * consumer half, [[graft.functions.Dedup.chunkDedup]], audits chunks;
+    * this one MATERIALIZES them): slide a `windowTokens`-token window with
+    * `stride`-token hops over each document and emit one row per window —
+    * the retrieval-/context-window chunking step a RAG or packing pipeline
+    * runs before embedding. Overlap (stride < window) preserves context
+    * across boundaries; the tail window is ragged (`n_tokens` < window)
+    * rather than padded, and a final window is emitted only when it adds
+    * uncovered tokens (start positions 0, s, 2s, … ⌈(n−w)/s⌉·s).
+    *
+    * Output: (doc_id, chunk_idx, token_start, n_tokens, chunk_text), all
+    * indexes 0-based BIGINT. NULL/empty documents produce NO rows (a
+    * producer emits nothing, unlike the audit ops' explicit NULL cells).
+    *
+    * Scale shape: pure scan-side projection + explode — row count grows
+    * ×(n/stride) but NOTHING shuffles; each output partition derives from
+    * its input split, so 100 TB chunks stream straight to the sink (or the
+    * embedding stage) with zero exchanges. The token array is materialized
+    * once per document in a lower projection; each window re-slices it.
+    */
+  def chunkWindows(docs: DataFrame, windowTokens: Int = 32, stride: Int = 16,
+      textCol: String = "text"): DataFrame = {
+    require(windowTokens > 0, "window must be positive")
+    require(stride > 0 && stride <= windowTokens,
+      "stride must be in [1, windowTokens]")
+    val (w, s) = (windowTokens, stride)
+    val n = size(col("__t"))
+    // ⌈(n−w)/s⌉+1 windows when n > w, else 1. Non-negative int division via
+    // the truncating double cast (the chunkDedup idiom — exact for ints).
+    val nChunks = when(n <= w, lit(1))
+      .otherwise(((n - w + (s - 1)) / s).cast("int") + 1)
+    docs
+      .select(col("doc_id"), tokens(col(textCol)).as("__t"))
+      .filter(col("__t").isNotNull && size(col("__t")) > 0)
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(0), nChunks - 1)).as("__i"))
+      .select(col("doc_id"),
+        col("__i").cast("long").as("chunk_idx"),
+        (col("__i").cast("long") * s).as("token_start"),
+        least(lit(w.toLong), size(col("__t")).cast("long") - col("__i") * s)
+          .as("n_tokens"),
+        array_join(slice(col("__t"), col("__i") * s + 1, lit(w)), " ")
+          .as("chunk_text"))
+  }
 }

@@ -212,6 +212,39 @@ class BucketedSpec extends SparkSpec {
     } finally Similarity.dropAnnIndex(spark, "ann_test_idx")
   }
 
+  test("z-order: curve value interleaves bits; 2-D box touches fewer files than a 1-D sort") {
+    import graft.sources.Layout
+    // hand-interleave: x=0b011, y=0b101, 3 bits, bit i of col j → i*2+j:
+    // x bit0→pos0, x bit1→pos2; y bit0→pos1, y bit2→pos5 = 1+4+2+32
+    val z = Seq((3L, 5L)).toDF("x", "y")
+      .select(Layout.zValue(Seq(col("x"), col("y")), 3).as("z"))
+      .head().getLong(0)
+    assert(z == 39L, s"interleave(3,5)@3bits must be 39, got $z")
+
+    // 64×64 grid, one row per cell: z-cluster into 16 files vs sort by y
+    // alone into 16 files, then count files a 8×8 box must open per the
+    // parquet zone maps. The 1-D sort bounds only y; x spans every file.
+    val grid = spark.range(64L * 64L)
+      .select((col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val sDir = java.nio.file.Files.createTempDirectory("graft_sorted").toString
+    try {
+      Layout.zorderWrite(grid, Seq("x", "y"), bits = 6, numFiles = 16, zDir)
+      grid.repartitionByRange(16, col("y")).sortWithinPartitions("y")
+        .write.mode("overwrite").parquet(sDir)
+      val box = Map("x" -> (8L, 15L), "y" -> (8L, 15L))
+      val zTouched = Layout.filesTouchedByBox(spark, zDir, box)
+      val sTouched = Layout.filesTouchedByBox(spark, sDir, box)
+      assert(sTouched >= 2L, s"1-D layout should bound y (got $sTouched files)")
+      assert(zTouched < sTouched,
+        s"z-order must prune the 2-D box harder: z=$zTouched vs sorted=$sTouched")
+      assert(spark.read.parquet(zDir).count() == 64L * 64L,
+        "clustering must lose nothing")
+    } finally {
+      Seq(zDir, sDir).foreach(p => scala.reflect.io.Path(p).deleteRecursively())
+    }
+  }
+
   test("bm25 index build survives a stale warehouse dir with no catalog entry") {
     import graft.functions.TextAnalysis
     val corpus = Seq((1L, "apple banana")).toDF("doc_id", "text")

@@ -778,6 +778,47 @@ class PipelineSpec extends SparkSpec {
       "NULL text must not silently join a real split")
   }
 
+  test("k-anonymity: under-k classes suppress quasi columns; NULL quasi forms its own class") {
+    val rows = Seq(
+      (1L, "a", "X"), (2L, "a", "X"), (3L, "a", "X"),  // class (a,X) size 3 → safe at k=3
+      (4L, "b", "X"),                                  // size 1 → suppressed
+      (5L, null.asInstanceOf[String], "Y"),            // NULL quasi class...
+      (6L, null.asInstanceOf[String], "Y"),
+      (7L, null.asInstanceOf[String], "Y"))            // ...size 3 → safe (nulls can't dodge k)
+      .toDF("id", "region", "segment")
+    val out = DataQuality.kAnonymize(rows, Seq("region", "segment"), k = 3)
+      .orderBy("id").collect()
+    assert(out.length == 7)
+    assert(out.filter(_.getAs[Boolean]("suppressed")).map(_.getLong(0)).toSeq == Seq(4L))
+    val r4 = out.find(_.getLong(0) == 4L).get
+    assert(r4.isNullAt(r4.fieldIndex("region")) && r4.isNullAt(r4.fieldIndex("segment")),
+      "under-k row must blank every quasi column")
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getAs[String]("region") == "a" && r1.getAs[Long]("class_size") == 3L)
+    val r5 = out.find(_.getLong(0) == 5L).get
+    assert(!r5.getAs[Boolean]("suppressed") && r5.getAs[Long]("class_size") == 3L,
+      "null-safe grouping/join must count the NULL class like any other")
+  }
+
+  test("chunk windows: overlapping stride slices, ragged tail, null docs emit nothing") {
+    val fixture = Seq(
+      (1L, "a b c d e"),                 // n=5, w=3, s=2 → starts 0,2
+      (2L, "a b c d e f"),               // n=6 → starts 0,2,4 (ragged tail)
+      (3L, "x y"),                       // n<=w → one short window
+      (4L, null.asInstanceOf[String]))   // producer: no rows
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkWindows(fixture, windowTokens = 3, stride = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 3L, "a b c"), (1L, 1L, 2L, 3L, "c d e"),
+      (2L, 0L, 0L, 3L, "a b c"), (2L, 1L, 2L, 3L, "c d e"),
+      (2L, 2L, 4L, 2L, "e f"),
+      (3L, 0L, 0L, 2L, "x y")))
+  }
+
   test("hybrid rerank: cosine reorders the lexical candidates, missing embeddings drop") {
     // candidates in BM25 order 1,2,3,4; embeddings make doc 3 closest to the
     // query, then doc 1; doc 2 has NO embedding (drops); doc 4 is orthogonal

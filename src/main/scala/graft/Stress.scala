@@ -31,6 +31,8 @@ object Stress {
       case "skewjoin" :: n :: Nil    => skewjoin(spark, n.toLong)
       case "incrrollup" :: users :: days :: Nil =>
         incrRollup(spark, users.toLong, days.toInt)
+      case "zorder" :: dir :: files :: Nil =>
+        zorder(spark, dir, files.toInt)
       case other => sys.error(s"unknown args: $other")
     }
     spark.stop()
@@ -174,6 +176,55 @@ object Stress {
     println(f"[stress] incrrollup users=$users days=$days partials=$n " +
       f"seed=$seedS%.1fs upsert=$upsertS%.1fs rebuild=$rebuildS%.1fs " +
       f"touchedPartitions=${touched.mkString(",")} (${touched.size} of ${after.size})")
+  }
+
+  /** Z-order vs 1-D sort on the REAL events table: cluster
+    * (user_id, day) into `files` parquet files both ways, then count how
+    * many files three box predicates (narrow user slice × one week, wide ×
+    * week, narrow × full history) must open per the parquet zone maps.
+    * The 1-D layout sorts by day — the natural ingest order — so any user
+    * slice spans every file of the queried days; the curve bounds both.
+    */
+  private def zorder(spark: SparkSession, sfDir: String, files: Int): Unit = {
+    import graft.sources.{Layout, Tables}
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .localCheckpoint(true)
+    val (uLo, uHi) = (ev.agg(min("user_id"), max("user_id")).head() match {
+      case Row(a: Long, b: Long) => (a, b)
+    })
+    val (dLo, dHi) = (ev.agg(min("day"), max("day")).head() match {
+      case Row(a: Long, b: Long) => (a, b)
+    })
+    val base = java.nio.file.Files.createTempDirectory("graft_stress_z")
+    val (zDir, sDir) = (base.resolve("z").toString, base.resolve("s").toString)
+
+    var t0 = System.nanoTime()
+    Layout.zorderWrite(ev, Seq("user_id", "day"), bits = 20, files, zDir)
+    val zWriteS = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    ev.repartitionByRange(files, col("day"), col("event_id"))
+      .sortWithinPartitions("day", "event_id")
+      .write.mode("overwrite").parquet(sDir)
+    val sWriteS = (System.nanoTime() - t0) / 1e9
+
+    val uSpan = uHi - uLo + 1
+    val boxes = Seq(
+      ("user1%_x_week", Map("user_id" -> (uLo, uLo + uSpan / 100),
+        "day" -> (dLo, dLo + 6L))),
+      ("user10%_x_week", Map("user_id" -> (uLo, uLo + uSpan / 10),
+        "day" -> (dLo, dLo + 6L))),
+      ("user1%_x_all", Map("user_id" -> (uLo, uLo + uSpan / 100),
+        "day" -> (dLo, dHi))))
+    println(f"[stress] zorder files=$files rows=${ev.count()} " +
+      f"zWrite=$zWriteS%.1fs sortedWrite=$sWriteS%.1fs " +
+      f"users=[$uLo,$uHi] days=[$dLo,$dHi]")
+    boxes.foreach { case (name, box) =>
+      val zt = Layout.filesTouchedByBox(spark, zDir, box)
+      val st = Layout.filesTouchedByBox(spark, sDir, box)
+      println(s"[stress] zorder box=$name zTouched=$zt sortedTouched=$st of $files")
+    }
   }
 
   /** Worst case for connected components: ONE chain of `n` nodes —

@@ -1693,6 +1693,29 @@ object SparkEntry {
         s"'${TextAnalysis.PhoneRx}', '<PHONE>', 'g') AS redacted " +
         "FROM documents ORDER BY doc_id")),
 
+    // ENCODING / MOJIBAKE QA — crawl-ingest hygiene: ASCII fraction,
+    // stray control chars, U+FFFD replacement chars, Latin-1-mojibake
+    // markers, and a verdict. All four regex classes and the 0.6 ratio
+    // threshold render from the SAME Scala constants into both engines;
+    // integer-exact until the one final division.
+    Q("q_text_encoding",
+      (s, d) => TextAnalysis.encodingStats(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.AsciiRx}')) AS BIGINT) AS n_ascii, " +
+        s"CASE WHEN length(text) > 0 THEN " +
+        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.AsciiRx}')) AS DOUBLE) " +
+        "/ CAST(length(text) AS DOUBLE) END AS ascii_ratio, " +
+        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.BadControlRx}')) AS BIGINT) AS n_control, " +
+        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.ReplacementRx}')) AS BIGINT) AS n_replacement, " +
+        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.MojibakeRx}')) AS BIGINT) AS n_mojibake, " +
+        "COALESCE(length(text) > 0 " +
+        s"AND len(regexp_extract_all(text, '${TextAnalysis.BadControlRx}')) = 0 " +
+        s"AND len(regexp_extract_all(text, '${TextAnalysis.ReplacementRx}')) = 0 " +
+        s"AND CAST(len(regexp_extract_all(text, '${TextAnalysis.AsciiRx}')) AS DOUBLE) " +
+        s"/ CAST(length(text) AS DOUBLE) >= ${TextAnalysis.AsciiCleanMin}, " +
+        "false) AS encoding_ok FROM documents ORDER BY doc_id")),
+
     // K-ANONYMITY enforcement (the quasi-identifier privacy gate that
     // follows the PII scan's direct-identifier scrub): any
     // (nation, segment) class under k=10 customers is re-identifying, so

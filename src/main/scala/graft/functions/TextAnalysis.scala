@@ -534,6 +534,50 @@ object TextAnalysis {
           .as("quality_score"))
   }
 
+  /** Engine-portable (Java regex ∧ RE2) classes for encoding hygiene.
+    * Rendered into BOTH engines — never duplicate these inline.
+    */
+  val AsciiRx = "[\\x00-\\x7F]"
+  /** Control characters that never belong in clean text (tab/LF/CR excluded). */
+  val BadControlRx = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+  /** U+FFFD — the decoder already gave up on these bytes. */
+  val ReplacementRx = "�"
+  /** 'Ã' — the classic UTF-8-bytes-decoded-as-Latin-1 artifact marker. */
+  val MojibakeRx = "Ã"
+  /** Minimum ASCII fraction for `encoding_ok` (shared with the oracle). */
+  val AsciiCleanMin = 0.6
+
+  /** ENCODING / MOJIBAKE QA — the ingest hygiene screen a crawl pipeline
+    * runs before any text op: per document, character counts for ASCII,
+    * stray control characters, U+FFFD replacement characters (a decoder
+    * already failed), and the Latin-1-mojibake marker 'Ã', plus an
+    * `encoding_ok` verdict (no control/replacement chars, ASCII fraction ≥
+    * [[AsciiCleanMin]], non-empty). NULL text verdicts false.
+    *
+    * Exact integer counts until ONE final division (the double-determinism
+    * rule); pure projection — one scan, zero exchanges, codegen'd.
+    */
+  def encodingStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("long")
+    val nAscii = regexp_count(t, lit(AsciiRx)).cast("long")
+    val nControl = regexp_count(t, lit(BadControlRx)).cast("long")
+    val nRepl = regexp_count(t, lit(ReplacementRx)).cast("long")
+    val nMoji = regexp_count(t, lit(MojibakeRx)).cast("long")
+    val ratio = when(nChars > 0,
+      nAscii.cast("double") / nChars.cast("double"))
+    docs.select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      nAscii.as("n_ascii"),
+      ratio.as("ascii_ratio"),
+      nControl.as("n_control"),
+      nRepl.as("n_replacement"),
+      nMoji.as("n_mojibake"),
+      coalesce(nChars > 0 && nControl === 0L && nRepl === 0L &&
+        ratio >= AsciiCleanMin, lit(false)).as("encoding_ok"))
+  }
+
   /** CHUNK EXTRACTION — the producer half of the chunk pipeline (the
     * consumer half, [[graft.functions.Dedup.chunkDedup]], audits chunks;
     * this one MATERIALIZES them): slide a `windowTokens`-token window with

@@ -245,6 +245,41 @@ class BucketedSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the fact scan under a selective dim filter") {
+    // The 100 TB fact-dim shape: the dim side's selective predicate should
+    // reach the FACT side before the shuffle — Catalyst injects a bloom
+    // filter built from the filtered dim keys into the fact scan, so the
+    // exchange moves only candidate rows. Thresholds are tuned down to
+    // fire at test scale; at cluster scale the defaults gate on real sizes.
+    val base = java.nio.file.Files.createTempDirectory("graft_bloom")
+    val (factDir, dimDir) = (base.resolve("fact").toString, base.resolve("dim").toString)
+    spark.range(100000L)
+      .select((col("id") % 1000).as("k"), (col("id") * 2.0).as("amount"))
+      .write.mode("overwrite").parquet(factDir)
+    spark.range(1000L)
+      .select(col("id").as("k"), concat(lit("d"), col("id")).as("name"))
+      .write.mode("overwrite").parquet(dimDir)
+    try {
+      withConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1", // broadcast would hide the filter
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB") {
+        val fact = spark.read.parquet(factDir)
+        val dim = spark.read.parquet(dimDir).filter(col("name").isin("d7", "d13"))
+        val joined = fact.join(dim, "k")
+        assert(joined.count() == 200L)
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("might_contain"),
+          s"fact scan must carry the runtime bloom filter:\n$plan")
+        assert(plan.contains("bloom_filter_agg"),
+          s"the filter must be built from the filtered dim keys:\n$plan")
+      }
+    } finally {
+      scala.reflect.io.Path(base.toString).deleteRecursively()
+    }
+  }
+
   test("bm25 index build survives a stale warehouse dir with no catalog entry") {
     import graft.functions.TextAnalysis
     val corpus = Seq((1L, "apple banana")).toDF("doc_id", "text")

@@ -778,6 +778,60 @@ class PipelineSpec extends SparkSpec {
       "NULL text must not silently join a real split")
   }
 
+  test("snapshot store: publish/time-travel/vacuum; crashed write never publishes or collides") {
+    val base = java.nio.file.Files.createTempDirectory("graft_snap").toString + "/corpus"
+    try {
+      val v0 = Snapshot.publish(docs((1L, "alpha")), base)
+      val v1 = Snapshot.publish(docs((1L, "alpha"), (2L, "beta")), base)
+      val v2 = Snapshot.publish(docs((2L, "beta")), base)
+      assert((v0, v1, v2) == (0L, 1L, 2L))
+      assert(Snapshot.latestVersion(spark, base).contains(2L))
+      assert(Snapshot.read(spark, base).count() == 1L)
+      assert(Snapshot.read(spark, base, version = 1L).count() == 2L) // time travel
+      // whole-store read surfaces the version as a partition column
+      assert(spark.read.parquet(base).groupBy("v").count().count() == 3L)
+
+      // crash-sim: a data dir lands but the pointer never swaps → invisible
+      docs((9L, "orphan")).write.parquet(s"$base/v=3")
+      assert(Snapshot.latestVersion(spark, base).contains(2L))
+      // ...and the next publish skips the orphan instead of colliding
+      val v4 = Snapshot.publish(docs((3L, "gamma")), base)
+      assert(v4 == 4L && Snapshot.read(spark, base).count() == 1L)
+
+      // vacuum keeps the newest 2 published, drops v0/v1 AND the orphan
+      assert(Snapshot.vacuum(spark, base, keepLast = 2) == Seq(0L, 1L, 3L))
+      assert(Snapshot.read(spark, base, version = 2L).count() == 1L)
+      intercept[Exception](Snapshot.read(spark, base, version = 1L).count())
+    } finally {
+      scala.reflect.io.Path(base).deleteRecursively()
+    }
+  }
+
+  test("encoding QA: control/replacement/mojibake arms, ascii ratio, null and empty verdict false") {
+    val fixture = Seq(
+      (1L, "hello world"),            // pure ASCII → ok
+      (2L, "café résumé"), // accents, ratio 8/11 ≥ 0.6 → ok
+      (3L, "weird Ã© artifact"), // mojibake marker counted, still ok
+      (4L, "bad\u0007byte\uFFFD"),    // control + replacement → fail
+      (5L, "日本語"),     // all non-ASCII, ratio 0 → fail
+      (6L, null.asInstanceOf[String]), // NULL → fail
+      (7L, ""))                        // empty → fail
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.encodingStats(fixture).orderBy("doc_id").collect()
+    def row(id: Long) = out.find(_.getLong(0) == id).get
+    assert(out.filter(_.getAs[Boolean]("encoding_ok")).map(_.getLong(0)).toSeq
+      == Seq(1L, 2L, 3L))
+    assert(row(2).getAs[Long]("n_ascii") == 8L &&
+      math.abs(row(2).getAs[Double]("ascii_ratio") - 8.0 / 11.0) < 1e-15)
+    assert(row(3).getAs[Long]("n_mojibake") == 1L)
+    assert(row(4).getAs[Long]("n_control") == 1L &&
+      row(4).getAs[Long]("n_replacement") == 1L)
+    assert(row(5).getAs[Long]("n_ascii") == 0L)
+    assert(row(6).isNullAt(row(6).fieldIndex("n_chars")))
+    assert(row(7).getAs[Long]("n_chars") == 0L &&
+      row(7).isNullAt(row(7).fieldIndex("ascii_ratio")))
+  }
+
   test("k-anonymity: under-k classes suppress quasi columns; NULL quasi forms its own class") {
     val rows = Seq(
       (1L, "a", "X"), (2L, "a", "X"), (3L, "a", "X"),  // class (a,X) size 3 → safe at k=3

@@ -1341,6 +1341,39 @@ object SparkEntry {
         "SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash, " +
         "count(*) AS dup_count FROM d GROUP BY sha256(text) ORDER BY doc_id")),
 
+    // CROSS-SOURCE DUPLICATION MATRIX over an engineered overlap corpus
+    // (the doubled-corpus idiom, source-rotated: each source's re-keyed
+    // copy lands in the NEXT source, so every adjacent pair shares that
+    // source's distinct contents). Engine collapses text to a 64-bit hash
+    // before the shuffle; the oracle joins on RAW TEXT — the stronger
+    // claim — so the gate is also a no-collision certificate.
+    Q("q_dedup_cross_matrix",
+      (s, d) => {
+        val docs0 = Tables.documents(s, d).select("doc_id", "text", "source")
+        val rotated = docs0.select(
+          (col("doc_id") + 10000L).as("doc_id"), col("text"),
+          concat(lit("src"),
+            ((substring(col("source"), 4, 10).cast("long") + 1) % 20)
+              .cast("string")).as("source"))
+        Dedup.crossSourceMatrix(docs0.unionByName(rotated))
+          .orderBy("source_a", "source_b")
+      },
+      Some("WITH d AS (SELECT doc_id, text, source FROM documents " +
+        "UNION ALL SELECT doc_id + 10000, text, " +
+        "'src' || CAST((CAST(substr(source, 4) AS BIGINT) + 1) % 20 AS VARCHAR) " +
+        "FROM documents), " +
+        "s AS (SELECT DISTINCT text, source FROM d WHERE text IS NOT NULL), " +
+        "sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1), " +
+        "p AS (SELECT a.source AS source_a, b.source AS source_b, " +
+        "CAST(count(*) AS BIGINT) AS n_shared FROM s a " +
+        "JOIN s b ON a.text = b.text AND a.source < b.source GROUP BY 1, 2) " +
+        "SELECT source_a, source_b, n_shared, sa.n AS n_a, sb.n AS n_b, " +
+        "CAST(n_shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) " +
+        "AS overlap_frac FROM p " +
+        "JOIN sz sa ON source_a = sa.source " +
+        "JOIN sz sb ON source_b = sb.source " +
+        "ORDER BY source_a, source_b")),
+
     // Chunk-level exact dedup over the doubled corpus (sub-document
     // granularity — every original 16-token window recurs in its re-keyed
     // twin, so dup fractions are exercised corpus-wide; the oracle replays

@@ -157,4 +157,86 @@ object Bpe {
       .agg(sum(coalesce(col("__n_sub"), length(col("word")).cast("long") + 1L))
         .as("bpe_token_count"))
   }
+
+  /** ENCODE a token array with a learned merge table — the tokenizer APPLY
+    * half ([[learnMerges]] trains; this runs the trained tokenizer over a
+    * corpus as a native expression). Output: the subword sequence of every
+    * word in order, each word ending with [[EndMarker]] — exactly
+    * [[segmentWord]] per word, so the expression is pinned against the
+    * driver-side reference implementation in BpeSpec.
+    *
+    * Scale shape: no join, no shuffle — the merge table rides into codegen
+    * as a reference object (tokenizers are KBs; vocabularies Zipf-bound
+    * them) and each document encodes inside its scan partition. Per-word
+    * cost is O(merges × word length) — the paper's fold, not the
+    * priority-queue variant; fine for natural-language word lengths.
+    */
+  def encode(tokens: org.apache.spark.sql.Column, merges: Seq[Merge])
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.bridge.column(BpeEncodeExpr(
+      org.apache.spark.sql.graft.bridge.expression(tokens),
+      merges.sortBy(_.rank).map(m => Array(m.left, m.right)).toArray))
+
+  /** Static kernel behind [[BpeEncodeExpr]] — called from both interpreted
+    * eval and generated code (the [[SimHash.compute]] pattern). `merges`
+    * must already be rank-sorted `[left, right]` pairs.
+    */
+  def encodeWords(tokens: org.apache.spark.sql.catalyst.util.ArrayData,
+      merges: Array[Array[String]])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.unsafe.types.UTF8String]
+    var w = 0
+    val n = tokens.numElements()
+    while (w < n) {
+      val word = tokens.getUTF8String(w)
+      if (word != null && word.numChars() > 0) {
+        var syms: Seq[String] = word.toString.map(_.toString) :+ EndMarker
+        var i = 0
+        while (i < merges.length) {
+          syms = applyMerge(syms, merges(i)(0), merges(i)(1))
+          i += 1
+        }
+        syms.foreach(s =>
+          out += org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      }
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** Tokenizer-apply as a native Catalyst expression: array<string> words →
+  * array<string> subwords under a rank-sorted merge table (carried as a
+  * codegen reference object, not a child — it is configuration, not data).
+  */
+case class BpeEncodeExpr(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    merges: Array[Array[String]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bpe_encode needs array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Bpe.encodeWords(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], merges)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("merges", merges, "java.lang.String[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Bpe.encodeWords($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): BpeEncodeExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_encode"
 }

@@ -708,4 +708,45 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "cosine")
   }
+
+  /** CROSS-SOURCE DUPLICATION MATRIX — the dataset-audit aggregate a
+    * mixture designer reads before weighting sources: for every unordered
+    * source pair, how many DISTINCT document contents they share, each
+    * side's distinct-content count, and the overlap as a fraction of the
+    * smaller side (containment, so a small source swallowed by a large one
+    * reads 1.0 — the signal "these two crawls are the same corpus").
+    *
+    * Scale shape: contents collapse to a 64-bit hash BEFORE anything
+    * shuffles (the [[Snapshot.diff]] trick — 8 bytes/doc moves, not text);
+    * per-hash source sets are bounded by the SOURCE COUNT, not corpus
+    * size, so the pair explode is |sources|²-bounded per hash and the
+    * final matrix is tiny. A 100 TB corpus costs one hash shuffle.
+    * The oracle compares raw TEXT equality — the stronger ground truth —
+    * so the hash gate doubles as a no-collision certificate (same
+    * contract as q_snapshot_diff).
+    */
+  def crossSourceMatrix(docs: DataFrame, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val sig = docs.filter(col(textCol).isNotNull)
+      .select(xxhash64(col(textCol)).as("__h"), col(sourceCol).as("__src"))
+      .distinct()
+    val sizes = sig.groupBy(col("__src")).agg(count(lit(1)).as("n"))
+    val pairs = sig.groupBy(col("__h"))
+      .agg(sort_array(collect_set(col("__src"))).as("__srcs"))
+      .filter(size(col("__srcs")) > 1)
+      .select(explode(col("__srcs")).as("source_a"), col("__srcs"))
+      .select(col("source_a"), explode(col("__srcs")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(sizes.select(col("__src").as("source_a"), col("n").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("__src").as("source_b"), col("n").as("n_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        (col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("overlap_frac"))
+  }
 }

@@ -84,4 +84,37 @@ class BpeSpec extends SparkSpec {
     assert(out(11L) == 6L)
     hist.unpersist()
   }
+
+  test("encode expression: segmentWord parity per word, codegen ≡ interpreted, empty words drop") {
+    val merges = Seq(
+      Bpe.Merge(0, "l", "o", 0L),
+      Bpe.Merge(1, "lo", "w", 0L),
+      Bpe.Merge(2, "e", "s", 0L))
+    val out = Seq((1L, Seq("low", "lowest", "", "we")))
+      .toDF("doc_id", "toks")
+      .select($"doc_id", Bpe.encode($"toks", merges).as("sub"))
+      .as[(Long, Seq[String])].collect().head._2
+    val expected = Seq("low", "lowest", "we")
+      .flatMap(w => Bpe.segmentWord(w, merges))
+    assert(out == expected, s"$out vs $expected")
+    assert(out == Seq("low", "</w>", "low", "es", "t", "</w>", "w", "e", "</w>"))
+    // interpreted eval agrees with the codegen path
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val direct = Bpe.encodeWords(
+      ArrayData.toArrayData(Array(UTF8String.fromString("lowest"))),
+      merges.map(m => Array(m.left, m.right)).toArray)
+    assert((0 until direct.numElements())
+      .map(i => direct.getUTF8String(i).toString) ==
+      Seq("low", "es", "t", "</w>"))
+    // trained-table roundtrip: encode length ≡ tokenCounts for in-vocab text
+    val (learned, hist) = Bpe.learnMerges(paperCorpus, numMerges = 5)
+    val doc = Seq((1L, "low lower newest")).toDF("doc_id", "text")
+    val viaExpr = doc.select(size(Bpe.encode(
+        graft.functions.TextAnalysis.tokens($"text"), learned)).cast("long"))
+      .as[Long].head()
+    val viaVocab = Bpe.tokenCounts(doc, hist).as[(Long, Long)].head()._2
+    assert(viaExpr == viaVocab, "expression and vocabulary-join paths must agree")
+    hist.unpersist()
+  }
 }

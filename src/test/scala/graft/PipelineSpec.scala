@@ -778,6 +778,23 @@ class PipelineSpec extends SparkSpec {
       "NULL text must not silently join a real split")
   }
 
+  test("cross-source matrix: containment of the smaller side, within-source dups collapse") {
+    val fixture = Seq(
+      (1L, "t1", "A"), (2L, "t2", "A"), (3L, "t1", "A"), // A = {t1, t2} (dup collapses)
+      (4L, "t1", "B"),                                   // B = {t1} ⊂ A
+      (5L, "t3", "C"),                                   // C disjoint
+      (6L, null.asInstanceOf[String], "B"))              // null text ignored
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.crossSourceMatrix(fixture).collect()
+    assert(out.length == 1, s"only (A,B) overlap: ${out.toSeq}")
+    val r = out.head
+    assert(r.getAs[String]("source_a") == "A" && r.getAs[String]("source_b") == "B")
+    assert(r.getAs[Long]("n_shared") == 1L && r.getAs[Long]("n_a") == 2L &&
+      r.getAs[Long]("n_b") == 1L)
+    assert(r.getAs[Double]("overlap_frac") == 1.0,
+      "B fully contained in A must read 1.0 — the swallowed-source signal")
+  }
+
   test("snapshot store: publish/time-travel/vacuum; crashed write never publishes or collides") {
     val base = java.nio.file.Files.createTempDirectory("graft_snap").toString + "/corpus"
     try {

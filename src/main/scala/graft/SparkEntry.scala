@@ -1749,6 +1749,35 @@ object SparkEntry {
         s"/ CAST(length(text) AS DOUBLE) >= ${TextAnalysis.AsciiCleanMin}, " +
         "false) AS encoding_ok FROM documents ORDER BY doc_id")),
 
+    // WINSORIZED per-source stats — robust corpus reporting: exact
+    // discrete percentile cuts (k-th smallest at ⌈p·n⌉, no interpolation
+    // formula to drift between engines), clamp, then integer-exact means
+    // with one final division each. The oracle replays rank, cuts, clamp,
+    // and division op-for-op.
+    Q("q_quality_winsorized",
+      (s, d) => graft.functions.DataQuality.winsorizedStats(
+          Tables.documents(s, d).filter(col("text").isNotNull)
+            .select(col("source"),
+              size(TextAnalysis.tokens(col("text"))).as("token_count")),
+          "token_count", "source")
+        .orderBy("source"),
+      Some(s"WITH t AS (SELECT source, CAST(len($toksSql) AS BIGINT) AS v " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "r AS (SELECT source, v, " +
+        "CAST(row_number() OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS rn, " +
+        "count(*) OVER (PARTITION BY source) AS n FROM t), " +
+        "c AS (SELECT source, " +
+        "min(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * n) AS BIGINT)) " +
+        "THEN v END) AS lo_cut, " +
+        "min(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN v END) AS hi_cut " +
+        "FROM r GROUP BY 1) " +
+        "SELECT source, count(*) AS n, lo_cut, hi_cut, " +
+        "CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_raw, " +
+        "CAST(sum(least(greatest(v, lo_cut), hi_cut)) AS DOUBLE) " +
+        "/ CAST(count(*) AS DOUBLE) AS mean_winsorized " +
+        "FROM r JOIN c USING (source) GROUP BY source, lo_cut, hi_cut " +
+        "ORDER BY source")),
+
     // K-ANONYMITY enforcement (the quasi-identifier privacy gate that
     // follows the PII scan's direct-identifier scrub): any
     // (nation, segment) class under k=10 customers is re-identifying, so

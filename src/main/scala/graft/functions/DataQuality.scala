@@ -160,6 +160,46 @@ object DataQuality {
     * class (null-safe grouping and join), so missing data can't dodge the
     * k threshold.
     */
+  /** WINSORIZED (outlier-clamped) per-group stats — the robust-metrics
+    * step a corpus report runs so a handful of giant or empty documents
+    * can't swing a source's averages: per group, the exact discrete
+    * percentile cuts at `pLo`/`pHi` (k-th smallest, k = ⌈p·n⌉ — no
+    * interpolation, so no engine-dependent float formula), values clamped
+    * into [lo, hi], and both the raw and winsorized means (integer-exact
+    * sums, ONE final division each).
+    *
+    * Scale shape: one rank window + one aggregate per group — the same
+    * two-exchange shape as any per-group percentile; group cardinality
+    * (sources) is small, the window partitions by it, and nothing but
+    * (group, value) columns ever shuffles.
+    */
+  def winsorizedStats(df: DataFrame, valueCol: String, groupCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__v"))
+    val ranked = df.select(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+    val loRank = greatest(lit(1L), ceil(lit(pLo) * col("__n")).cast("long"))
+    val hiRank = ceil(lit(pHi) * col("__n")).cast("long")
+    val cuts = ranked
+      .groupBy(col(groupCol))
+      .agg(min(when(col("__rn") === loRank, col("__v"))).as("lo_cut"),
+        min(when(col("__rn") === hiRank, col("__v"))).as("hi_cut"))
+    ranked.join(broadcast(cuts), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        first(col("lo_cut")).as("lo_cut"),
+        first(col("hi_cut")).as("hi_cut"),
+        (sum(col("__v")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_raw"),
+        (sum(least(greatest(col("__v"), col("lo_cut")), col("hi_cut")))
+          .cast("double") / count(lit(1)).cast("double"))
+          .as("mean_winsorized"))
+  }
+
   def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
     require(quasiCols.nonEmpty && k >= 1, "need quasi columns and k >= 1")
     val classes = df.groupBy(quasiCols.map(col): _*)

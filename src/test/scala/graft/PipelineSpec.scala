@@ -778,6 +778,19 @@ class PipelineSpec extends SparkSpec {
       "NULL text must not silently join a real split")
   }
 
+  test("winsorized stats: exact discrete cuts clamp the outlier, raw mean keeps it") {
+    // A: 1..20 plus one 1000-outlier → n=21, loRank=⌈1.05⌉=2, hiRank=⌈19.95⌉=20
+    // cuts (2, 20); winsorized sum = 2 + (2+..+20) + 20 = 231 → mean 11.0
+    val rows = ((1L to 20L).map(v => ("A", v)) :+ ("A", 1000L))
+      .toDF("source", "v")
+    val r = DataQuality.winsorizedStats(rows, "v", "source").collect().head
+    assert(r.getAs[Long]("n") == 21L)
+    assert(r.getAs[Long]("lo_cut") == 2L && r.getAs[Long]("hi_cut") == 20L)
+    assert(r.getAs[Double]("mean_winsorized") == 231.0 / 21.0)
+    assert(r.getAs[Double]("mean_raw") == 1210.0 / 21.0,
+      "raw mean must still show the outlier pull")
+  }
+
   test("cross-source matrix: containment of the smaller side, within-source dups collapse") {
     val fixture = Seq(
       (1L, "t1", "A"), (2L, "t2", "A"), (3L, "t1", "A"), // A = {t1, t2} (dup collapses)

@@ -19,7 +19,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *
   * Registered: `rolling_hash(str)`, `lang_id(array<string>)`,
   * `simhash64(array<string>)`, `word_ngrams(array<string>[, n])`,
-  * `minhash_signature(array<string>[, k])`, `dot_product(arr, arr)`.
+  * `minhash_signature(array<string>[, k])`, `dot_product(arr, arr)`,
+  * `nfc_normalize(str)`.
   * The SQL surface evaluates the exact same codegen'd expressions as the
   * Column API — no parallel implementation to drift.
   */
@@ -79,5 +80,8 @@ object GraftExtensions {
         if (args.length == 2) intArg(args(1), "minhash_signature") else 32)),
     fn("dot_product",
       "dot_product(a, b) - fused left-to-right double-array dot product",
-      _ == 2, args => DotProductExpr(args(0), args(1))))
+      _ == 2, args => DotProductExpr(args(0), args(1))),
+    fn("nfc_normalize",
+      "nfc_normalize(str) - Unicode canonical composition (NFC)",
+      _ == 1, args => NfcNormalizeExpr(args.head)))
 }

@@ -1749,6 +1749,25 @@ object SparkEntry {
         s"/ CAST(length(text) AS DOUBLE) >= ${TextAnalysis.AsciiCleanMin}, " +
         "false) AS encoding_ok FROM documents ORDER BY doc_id")),
 
+    // Unicode NFC normalization — the pre-hash canonicalization pass
+    // (composed vs decomposed encodings of identical text would dodge
+    // every dedup hash). Engine: native expression over java.text
+    // .Normalizer; oracle: DuckDB's nfc_normalize — both implement the
+    // same Unicode canonical composition, so the replay is the standard
+    // itself. Corpus is ASCII-clean (changed all-false); the composed/
+    // decomposed positive arms are pinned in PipelineSpec, the PII
+    // contract.
+    Q("q_text_nfc",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.nfc(col("text")).as("normalized"),
+          coalesce(TextAnalysis.nfc(col("text")) =!= col("text"), lit(false))
+            .as("changed"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, nfc_normalize(text) AS normalized, " +
+        "COALESCE(nfc_normalize(text) != text, false) AS changed " +
+        "FROM documents ORDER BY doc_id")),
+
     // WINSORIZED per-source stats — robust corpus reporting: exact
     // discrete percentile cuts (k-th smallest at ⌈p·n⌉, no interpolation
     // formula to drift between engines), clamp, then integer-exact means

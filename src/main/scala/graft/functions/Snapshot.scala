@@ -154,6 +154,27 @@ object Snapshot {
     spark.read.parquet(s"$base/v=$v")
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN — the deletion-request path a stored corpus
+    * must support: publish a new version without the given ids, then
+    * (optionally) `vacuum` so the erased documents stop being reachable
+    * via time travel — GDPR erasure is only complete once old versions
+    * are gone, which is why this returns the new version AND the caller
+    * controls the vacuum horizon (legal hold vs erasure deadline).
+    *
+    * Scale shape: one anti-join keyed on the id — the request side is a
+    * deletion list (thousands), so it BROADCASTS; the corpus streams scan
+    * → write. Rewriting the full snapshot is the honest cost of erasure
+    * in immutable storage (same as any table format's DELETE + VACUUM).
+    */
+  def forget(spark: org.apache.spark.sql.SparkSession, base: String,
+      ids: DataFrame, idCol: String = "doc_id"): Long = {
+    val current = read(spark, base)
+    val keep = current.join(
+      org.apache.spark.sql.functions.broadcast(ids.select(col(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+    publish(keep, base)
+  }
+
   /** Retention GC: keep the newest `keepLast` PUBLISHED versions (always
     * including the pointer target), delete older version dirs and any
     * orphan dirs NEWER than the pointer (crashed, never-published writes).

@@ -598,6 +598,29 @@ object TextAnalysis {
     * embedding stage) with zero exchanges. The token array is materialized
     * once per document in a lower projection; each window re-slices it.
     */
+  /** Unicode NFC normalization as a Column — see [[NfcNormalizeExpr]].
+    * Run BEFORE any hashing/dedup pass: composed vs decomposed encodings
+    * of the same text ("café" as 4 vs 5 code points) otherwise hash apart
+    * and dodge every exact-dedup and fingerprint operator.
+    */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(NfcNormalizeExpr(
+      org.apache.spark.sql.graft.bridge.expression(text)))
+
+  /** Static kernel behind [[NfcNormalizeExpr]]: pure-ASCII inputs
+    * (numBytes == numChars) return the SAME UTF8String — zero allocation
+    * on the overwhelmingly common path; only multi-byte strings pay the
+    * decode + `java.text.Normalizer` round-trip.
+    */
+  def nfcCompute(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String =
+    if (s.numBytes == s.numChars) s
+    else {
+      val str = s.toString
+      val n = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC)
+      if (n == str) s else org.apache.spark.unsafe.types.UTF8String.fromString(n)
+    }
+
   def chunkWindows(docs: DataFrame, windowTokens: Int = 32, stride: Int = 16,
       textCol: String = "text"): DataFrame = {
     require(windowTokens > 0, "window must be positive")
@@ -622,4 +645,41 @@ object TextAnalysis {
         array_join(slice(col("__t"), col("__i") * s + 1, lit(w)), " ")
           .as("chunk_text"))
   }
+}
+
+/** Unicode NFC normalization as a native expression (string → string,
+  * null-preserving): `java.text.Normalizer` implements the same Unicode
+  * canonical composition as ANSI engines' `nfc_normalize`, so the oracle
+  * replay is the standard itself. Codegen emits a static call to
+  * [[TextAnalysis.nfcCompute]] (the SimHash pattern); ASCII rows pass
+  * through without allocating.
+  */
+case class NfcNormalizeExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nfc_normalize needs string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextAnalysis.nfcCompute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextAnalysis.nfcCompute($c)")
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : NfcNormalizeExpr = copy(child = newChild)
+
+  override def prettyName: String = "nfc_normalize"
 }

@@ -21,7 +21,8 @@ class GraftExtensionsSpec extends SparkSpec {
         |       size(word_ngrams(toks)) AS ng3,
         |       size(word_ngrams(toks, 2)) AS ng2,
         |       size(minhash_signature(word_ngrams(toks), 16)) AS mh,
-        |       dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
+        |       dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        |       nfc_normalize('café') AS nfc
         |FROM ext_docs""".stripMargin).collect().head
 
     assert(row.getAs[Long]("rh") ==
@@ -31,6 +32,7 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getAs[Int]("ng3") == 3 && row.getAs[Int]("ng2") == 4)
     assert(row.getAs[Int]("mh") == 16)
     assert(row.getAs[Double]("dp") == 11.0)
+    assert(row.getAs[String]("nfc") == "café")
   }
 
   test("extensions class injects the same registry into a new session build") {

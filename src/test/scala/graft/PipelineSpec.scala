@@ -837,6 +837,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("forget: erased ids gone from the new version; vacuum closes the time-travel hole") {
+    val base = java.nio.file.Files.createTempDirectory("graft_forget").toString + "/corpus"
+    try {
+      Snapshot.publish(docs((1L, "keep"), (2L, "erase me"), (3L, "keep too")), base)
+      val v = Snapshot.forget(spark, base, Seq(2L, 99L).toDF("doc_id"))
+      assert(v == 1L)
+      val now = Snapshot.read(spark, base)
+      assert(now.count() == 2L &&
+        now.filter($"doc_id" === 2L).isEmpty, "erased id must be gone")
+      // erasure is incomplete while time travel still reaches v0...
+      assert(Snapshot.read(spark, base, version = 0L)
+        .filter($"doc_id" === 2L).count() == 1L)
+      // ...until vacuum erases history
+      assert(Snapshot.vacuum(spark, base, keepLast = 1) == Seq(0L))
+      intercept[Exception](Snapshot.read(spark, base, version = 0L).count())
+    } finally {
+      scala.reflect.io.Path(base).deleteRecursively()
+    }
+  }
+
   test("encoding QA: control/replacement/mojibake arms, ascii ratio, null and empty verdict false") {
     val fixture = Seq(
       (1L, "hello world"),            // pure ASCII → ok

@@ -85,16 +85,18 @@ object Stress {
     val a = graft.operators.Analytics.sessionize(ev, 30)
     val b = graft.operators.Analytics.sessionizeSkewSafe(ev, 30)
     val diff = a.exceptAll(b).limit(1).count() + b.exceptAll(a).limit(1).count()
-    println(s"[stress] paths identical=${diff == 0L}")
+    require(diff == 0L, "sessionizeSkewSafe diverged from sessionize")
+    println("[stress] paths identical=true")
   }
 
-  /** Shuffle-join skew: ONE key owns 40% of an `n`-row fact side; the dim
+  /** Shuffle-join skew: ONE key owns 80% of an `n`-row fact side; the dim
     * side (200k keys) sits above any broadcast threshold. Measures the
     * plain sort-merge join with AQE OFF (the hot partition serializes one
     * reducer), [[graft.operators.Skew.saltedJoin]] under the same config,
     * and the plain join with AQE's skew-split back ON — bracketing the
     * explicit operator between the failure mode it fixes and the runtime
-    * mitigation Spark applies when it can. Asserts all three agree.
+    * mitigation Spark applies when it can. REQUIRES all three agree — a
+    * saltedJoin semantics regression fails the probe, not just a println.
     */
   private def skewjoin(spark: SparkSession, n: Long): Unit = {
     val nDim = 200000L
@@ -124,7 +126,9 @@ object Stress {
     conf.set("spark.sql.adaptive.enabled", "true")
     val aqe    = run("plain sm, AQE on  ", () => fact.join(dim, Seq("k")))
     conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    println(s"[stress] skewjoin identical=${plain == salted && salted == aqe}")
+    require(plain == salted && salted == aqe,
+      s"skewjoin paths diverged: plain=$plain salted=$salted aqe=$aqe")
+    println("[stress] skewjoin identical=true")
   }
 
   /** Incremental-rollup maintenance vs full rebuild: a history of `users`

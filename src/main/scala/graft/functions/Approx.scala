@@ -120,11 +120,21 @@ object Approx {
     */
   def heavyHitters(df: DataFrame, keyCol: String, denom: Long): DataFrame = {
     require(denom >= 2, "denom must be >= 2 (threshold share = 1/denom)")
+    // Pass-1 state is O(denom) counters per partition; a silent clamp here
+    // would break the superset guarantee (keys at exactly the 1/denom
+    // threshold could be dropped before pass 2 ever counts them), so an
+    // over-limit denom is an ERROR, not a quiet degradation. 100k string
+    // counters ≈ a few MB — comfortably per-task memory; a finer threshold
+    // than 1/100000 wants the full groupBy, not a sketch.
+    require(denom <= 100000L,
+      s"denom=$denom exceeds the 100000 counter budget; the per-partition " +
+        "Misra-Gries pass could silently drop true heavy hitters at the " +
+        "1/denom threshold. Use a plain groupBy for finer thresholds.")
     val spark = df.sparkSession
     import spark.implicits._
     val keys = df.select(col(keyCol).cast("string").as("k"))
       .filter(col("k").isNotNull)
-    val k = denom.min(100000L).toInt
+    val k = denom.toInt
     val candidates = keys.as[String].mapPartitions(misraGries(_, k))
       .toDF("k").distinct()
     val tagged = keys.join(

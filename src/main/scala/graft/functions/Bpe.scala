@@ -39,6 +39,27 @@ object Bpe {
   /** End-of-word marker (paper convention). */
   val EndMarker = "</w>"
 
+  /** Initial all-singleton segmentation of a word: one symbol per Unicode
+    * CODE POINT plus the end marker. Code points, not UTF-16 units — a
+    * `String#map(_.toString)` split breaks non-BMP characters (emoji,
+    * CJK-Ext-B) into unpaired surrogates, producing malformed symbols AND
+    * diverging from the oracle's `string_split(word, '')`, which splits
+    * code points. Every symbol-sequence entry point routes through here so
+    * training, the driver-side encoder, and the native expression can
+    * never drift on the alphabet.
+    */
+  def initialSyms(w: String): Seq[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length + 1)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out += EndMarker
+    out.toSeq
+  }
+
   /** Learn up to `numMerges` merges. Stops early when the best remaining
     * pair's corpus frequency falls below `minPairFreq` (merging singleton
     * noise would memorize the corpus tail). Returns the merge table in
@@ -56,7 +77,7 @@ object Bpe {
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .as[(String, Long)]
-      .map { case (w, c) => WordSyms(w, w.map(_.toString) :+ EndMarker, c) }
+      .map { case (w, c) => WordSyms(w, initialSyms(w), c) }
   }
 
   /** Exact corpus frequency of every adjacent symbol pair in a (possibly
@@ -131,8 +152,7 @@ object Bpe {
     * histogram).
     */
   def segmentWord(word: String, merges: Seq[Merge]): Seq[String] =
-    merges.sortBy(_.rank).foldLeft[Seq[String]](
-      word.map(_.toString) :+ EndMarker) {
+    merges.sortBy(_.rank).foldLeft(initialSyms(word)) {
       (syms, m) => applyMerge(syms, m.left, m.right)
     }
 
@@ -191,7 +211,7 @@ object Bpe {
     while (w < n) {
       val word = tokens.getUTF8String(w)
       if (word != null && word.numChars() > 0) {
-        var syms: Seq[String] = word.toString.map(_.toString) :+ EndMarker
+        var syms: Seq[String] = initialSyms(word.toString)
         var i = 0
         while (i < merges.length) {
           syms = applyMerge(syms, merges(i)(0), merges(i)(1))

@@ -178,7 +178,11 @@ object DataQuality {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("__v"))
+    // NULL values are missing data, not values: they must not occupy rank
+    // positions (Spark ranks nulls FIRST asc, DuckDB LAST — a NULL in the
+    // column would shift every percentile cut differently per engine).
     val ranked = df.select(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
       .withColumn("__rn", row_number().over(w).cast("long"))
       .withColumn("__n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))

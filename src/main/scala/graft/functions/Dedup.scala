@@ -385,43 +385,12 @@ object Dedup {
       checkpointDir: Option[String] = None): DataFrame =
     duplicateClustersWithRounds(pairs, maxIters, checkpointDir)._1
 
-  /** Materializes intermediate frames, cutting lineage. Default:
-    * executor-LOCAL checkpoint — no external storage, but its blocks die
-    * with their executor, so a lost executor mid-job fails the query
-    * instead of recomputing (acceptable in local mode, where executor ==
-    * driver). With `checkpointDir` set, a RELIABLE materialization: each
-    * call writes parquet under `checkpointDir/<uuid>/step-N` and reads it
-    * back, so the frame survives executor loss — the right trade for a
-    * multi-round iterative job on a real cluster, where the probability of
-    * losing some executor grows with rounds × fleet size.
-    *
-    * Deliberately NOT `df.checkpoint()`: that routes through the
-    * SparkContext's single global checkpoint dir, so two concurrent
-    * invocations with different dirs would misroute each other's files
-    * (last `setCheckpointDir` wins) and one caller's cleanup could delete
-    * the other's live checkpoints. The UUID subdir is private to this
-    * instance — concurrent invocations never collide. The caller owns
-    * directory cleanup; files outlive the returned frames by design.
-    */
-  private final class Materializer(checkpointDir: Option[String]) {
-    private val runDir = checkpointDir.map(d =>
-      s"${d.stripSuffix("/")}/${java.util.UUID.randomUUID()}")
-    private val step = new java.util.concurrent.atomic.AtomicInteger(0)
-    def apply(df: DataFrame): DataFrame = runDir match {
-      case Some(dir) =>
-        val p = s"$dir/step-${step.getAndIncrement()}"
-        df.write.parquet(p)
-        df.sparkSession.read.parquet(p)
-      case None => df.localCheckpoint(true)
-    }
-  }
-
   /** [[duplicateClusters]] + the number of star rounds it took — exposed so
     * stress fixtures can assert the O(log n) convergence bound.
     */
   def duplicateClustersWithRounds(pairs: DataFrame,
       maxIters: Int = 20, checkpointDir: Option[String] = None): (DataFrame, Int) = {
-    val materialize = new Materializer(checkpointDir)
+    val materialize = new graft.Materializer(checkpointDir)
     // Materialize the edge list ONCE: without this every star round (and
     // its convergence probe) re-executes the whole upstream pair pipeline —
     // measured 17 s vs 6 s at sf0.1 with ngram-Jaccard pairs upstream. The
@@ -623,8 +592,8 @@ object Dedup {
     // EAGERLY at call time and severs lineage: with the default local
     // checkpoint, a lost executor afterwards fails the query rather than
     // recomputing — pass `checkpointDir` for the reliable-storage variant
-    // on a real cluster (see [[Materializer]]).
-    val materialize = new Materializer(checkpointDir)
+    // on a real cluster (see [[graft.Materializer]]).
+    val materialize = new graft.Materializer(checkpointDir)
     val assigned = materialize(Similarity.assignToCentroids(nv, cents))
     val a = assigned.as("a"); val b = assigned.as("b")
     val maxLower = a.join(b,

@@ -134,10 +134,10 @@ object Rollups {
             sum(col("cat_amount")).cast(Tables.MoneyExact).as("cat_amount"),
             max(col("cat_tier")).as("cat_tier"))
       }
-    val pinned = checkpointDir match {
-      case Some(dir) => spark.sparkContext.setCheckpointDir(dir); merged.checkpoint()
-      case None      => merged.localCheckpoint(true)
-    }
+    // UUID-scoped materialization (NOT the SparkContext-global checkpoint
+    // dir): concurrent upserts with different checkpointDirs must never
+    // misroute each other's files — see [[graft.Materializer]].
+    val pinned = new graft.Materializer(checkpointDir)(merged)
     pinned.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("day").parquet(path)

@@ -203,6 +203,45 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("incremental rollup: CONCURRENT upserts with distinct checkpoint dirs never misroute") {
+    // The regression this pins: upsertDailyPartials used to call the
+    // SparkContext-GLOBAL setCheckpointDir, so two concurrent upserts with
+    // different dirs raced on it (last set wins) and could route each
+    // other's checkpoint files. With the UUID-scoped graft.Materializer
+    // each invocation owns a private subdir; both stores must come out
+    // exactly as if upserted serially.
+    val dir = java.nio.file.Files.createTempDirectory("graft_conc_spec")
+    try {
+      val storeA = dir.resolve("a").toString
+      val storeB = dir.resolve("b").toString
+      Rollups.writeDailyPartials(fixture.filter($"user_id" === 2L), storeA)
+      Rollups.writeDailyPartials(fixture.filter($"user_id" === 2L), storeB)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fa = Future(Rollups.upsertDailyPartials(
+        fixture.filter($"user_id" === 1L), storeA,
+        checkpointDir = Some(dir.resolve("ckptA").toString)))
+      val fb = Future(Rollups.upsertDailyPartials(
+        fixture.filter($"user_id" === 1L), storeB,
+        checkpointDir = Some(dir.resolve("ckptB").toString)))
+      Await.result(fa, 120.seconds); Await.result(fb, 120.seconds)
+      for (store <- Seq(storeA, storeB)) {
+        val direct = Rollups.userWindows(fixture, Seq(1, 30))
+        val incr = Rollups.userWindowsFromDaily(spark.read.parquet(store), Seq(1, 30))
+        assert(direct.exceptAll(incr).isEmpty && incr.exceptAll(direct).isEmpty,
+          s"concurrent upsert corrupted $store")
+      }
+      // each invocation materialized under its OWN dir
+      assert(new java.io.File(dir.resolve("ckptA").toString).listFiles.nonEmpty)
+      assert(new java.io.File(dir.resolve("ckptB").toString).listFiles.nonEmpty)
+    } finally {
+      java.nio.file.Files.walk(dir)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("paged search envelope: total/total_pages count the full result, page slices it") {
     val p = Analytics.searchUsersPaged(fixture,
       Analytics.UserSearch(minTransactions = 1L), page = 2, perPage = 1)

@@ -86,6 +86,17 @@ class ApproxSpec extends SparkSpec {
     assert(hot == Set("hot"))
   }
 
+  test("heavy hitters: over-budget denom is an error, not a silent weakening") {
+    // beyond 100k counters the per-partition pass could silently drop true
+    // heavy hitters at the 1/denom threshold — must throw, never degrade
+    import spark.implicits._
+    val df = Seq("a", "b").toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.Approx.heavyHitters(df, "k", denom = 100001L)
+    }
+    assert(e.getMessage.contains("counter budget"))
+  }
+
   test("HLL sketches MERGE: per-group sketches union to the global estimate") {
     // The property that matters at 100 TB: sketch once per partition/group,
     // merge upward (rollup, cross-day, cross-shard) without rescanning.

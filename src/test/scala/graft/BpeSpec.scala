@@ -117,4 +117,28 @@ class BpeSpec extends SparkSpec {
     assert(viaExpr == viaVocab, "expression and vocabulary-join paths must agree")
     hist.unpersist()
   }
+
+  test("non-BMP characters segment by code point, never by UTF-16 unit") {
+    // U+1F600 (😀) is a surrogate pair in UTF-16; a code-unit split would
+    // produce two unpaired-surrogate symbols (malformed strings that also
+    // diverge from DuckDB's string_split(word, ''), which splits code
+    // points). U+20BB7 (𠮷, CJK-Ext-B) likewise.
+    val word = "a😀b𠮷" // a😀b𠮷
+    assert(Bpe.initialSyms(word) ==
+      Seq("a", "😀", "b", "𠮷", Bpe.EndMarker))
+    // driver-side encoder and native expression agree on the alphabet
+    assert(Bpe.segmentWord(word, Nil) == Bpe.initialSyms(word))
+    val out = Seq((1L, Seq(word))).toDF("doc_id", "toks")
+      .select(Bpe.encode($"toks", Nil).as("sub"))
+      .as[Seq[String]].collect().head
+    assert(out == Bpe.initialSyms(word))
+    // merges learned over non-BMP symbols are whole code points
+    val corpus = Seq((1L, "😀😀😀 😀😀😀"))
+      .toDF("doc_id", "text")
+    val (learned, hist) = Bpe.learnMerges(corpus, numMerges = 1, minPairFreq = 1L)
+    assert(learned.head.left == "😀" &&
+      learned.head.right == "😀",
+      s"merge symbols must be whole code points, got ${learned.head}")
+    hist.unpersist()
+  }
 }

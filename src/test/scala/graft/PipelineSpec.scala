@@ -791,6 +791,21 @@ class PipelineSpec extends SparkSpec {
       "raw mean must still show the outlier pull")
   }
 
+  test("winsorized stats: NULL values take no rank position") {
+    // Spark ranks NULLs first ascending, DuckDB last — if NULLs occupied
+    // ranks, every percentile cut would shift differently per engine. The
+    // operator excludes them, so this must equal the NULL-free fixture.
+    val rows = ((1L to 20L).map(v => ("A", java.lang.Long.valueOf(v))) ++
+      Seq(("A", java.lang.Long.valueOf(1000L)),
+        ("A", null.asInstanceOf[java.lang.Long]),
+        ("A", null.asInstanceOf[java.lang.Long])))
+      .toDF("source", "v")
+    val r = DataQuality.winsorizedStats(rows, "v", "source").collect().head
+    assert(r.getAs[Long]("n") == 21L, "n counts VALUES, not rows")
+    assert(r.getAs[Long]("lo_cut") == 2L && r.getAs[Long]("hi_cut") == 20L)
+    assert(r.getAs[Double]("mean_winsorized") == 231.0 / 21.0)
+  }
+
   test("cross-source matrix: containment of the smaller side, within-source dups collapse") {
     val fixture = Seq(
       (1L, "t1", "A"), (2L, "t2", "A"), (3L, "t1", "A"), // A = {t1, t2} (dup collapses)

@@ -702,6 +702,59 @@ object SparkEntry {
     */
   private lazy val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
 
+  /** Tokenizer CONFIG for q_text_bpe_encode: a fixed ASCII seed corpus in
+    * the documents table's register (database English), trained once
+    * driver-side by [[Bpe.learnMergesLocal]] — pinned equal to the
+    * distributed trainer in BpeSpec. The learned merge table is KBs of
+    * configuration, so it renders as literals into BOTH engines
+    * (shared-rendered-constant rule), exactly how a production tokenizer
+    * ships: trained once, applied corpus-wide.
+    */
+  private[graft] val bpeSeedCorpus: Seq[String] = Seq(
+    "scan the table hash the key merge the batch sort the column",
+    "filter the row join the stream group the window order the part",
+    "fast query slow query big data small data the vector the value",
+    "spark agg line customer dup scan hash join merge sort filter",
+    "the query the data the table the row the key the join the scan")
+  private[graft] lazy val bpeMerges: Seq[graft.functions.Bpe.Merge] =
+    Bpe.learnMergesLocal(bpeSeedCorpus, numMerges = 32)
+
+  /** DuckDB replay of the greedy BPE encode. Symbols ride in a
+    * U+001F-bounded string ("⟂c1⟂c2⟂…⟂</w>⟂") and each rank's merge is ONE
+    * `replace(s, '⟂l⟂r⟂', '⟂lr⟂')`: SQL replace scans left-to-right,
+    * non-overlapping, resuming after the replacement — with every symbol
+    * sep-bounded that is EXACTLY [[Bpe.applyMerge]]'s greedy semantics
+    * (the trailing sep of a replacement doubles as the leading sep of the
+    * next candidate, i.e. the scan resumes at symbol i+2). The rank-sorted
+    * merge table unrolls into nested replace() calls — a static expression
+    * tree, no SQL-side loop. U+001F never occurs in the corpus (verified
+    * ASCII-words-only) and Verify's JSON writer escapes control chars.
+    */
+  private lazy val bpeEncodeOracle: String = {
+    val sep = "\u001f"
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    val init = s"(${lit(sep)} || array_to_string(string_split(word, ''), " +
+      s"${lit(sep)}) || ${lit(sep + Bpe.EndMarker + sep)})"
+    val folded = bpeMerges.sortBy(_.rank).foldLeft(init) { (e, m) =>
+      s"replace($e, ${lit(sep + m.left + sep + m.right + sep)}, " +
+        s"${lit(sep + m.left + m.right + sep)})"
+    }
+    s"WITH tk AS (SELECT doc_id, unnest($toksSql) AS word, " +
+      s"generate_subscripts($toksSql, 1) AS ord FROM documents), " +
+      "seg AS (SELECT doc_id, ord, " +
+      s"string_split(trim($folded, ${lit(sep)}), ${lit(sep)}) AS subs " +
+      "FROM tk WHERE word <> ''), " +
+      "agg AS (SELECT doc_id, " +
+      "CAST(sum(len(subs)) AS BIGINT) AS bpe_token_count, " +
+      "string_agg(array_to_string(subs, ' '), ' ' ORDER BY ord) AS subwords " +
+      "FROM seg GROUP BY doc_id) " +
+      "SELECT d.doc_id, " +
+      "CAST(COALESCE(a.bpe_token_count, 0) AS BIGINT) AS bpe_token_count, " +
+      "COALESCE(a.subwords, '') AS subwords " +
+      "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id " +
+      "ORDER BY d.doc_id"
+  }
+
   /** Mixture weights + budget for q_sample_mixture: src0 gets a 30-slot
     * quota against only 25 available docs, exercising the
     * shortfall-without-redistribution arm. Quotas are apportioned ONCE here
@@ -1232,6 +1285,22 @@ object SparkEntry {
         "FOR i IN range(1, len(s))]) AS p, cnt FROM syms) " +
         "SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS freq " +
         "FROM ex GROUP BY 1, 2 ORDER BY freq DESC, l, r LIMIT 50")),
+
+    // Tokenizer APPLY at corpus scale: the seed-trained merge table (32
+    // merges, BpeSpec-pinned local == distributed trainer) rides into
+    // BpeEncodeExpr as a codegen reference object — no join, no shuffle,
+    // every document encodes inside its scan partition. Output is the
+    // full subword sequence + count per doc; the oracle replays the greedy
+    // fold with nested sep-bounded replace() (see bpeEncodeOracle).
+    Q("q_text_bpe_encode",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          Bpe.encode(TextAnalysis.tokens(col("text")), bpeMerges).as("sub"))
+        .select(col("doc_id"),
+          size(col("sub")).cast("long").as("bpe_token_count"),
+          concat_ws(" ", col("sub")).as("subwords"))
+        .orderBy("doc_id"),
+      Some(bpeEncodeOracle)),
 
     Q("q_text_unigram_quality",
       (s, d) => TextAnalysis.unigramScore(Tables.documents(s, d))

@@ -97,12 +97,22 @@ object Bpe {
   }
 
   def learnMerges(docs: DataFrame, numMerges: Int,
-      textCol: String = "text", minPairFreq: Long = 2L)
+      textCol: String = "text", minPairFreq: Long = 2L,
+      checkpointDir: Option[String] = None)
       : (Seq[Merge], Dataset[WordSyms]) = {
     require(numMerges >= 0, "numMerges must be non-negative")
     val spark = docs.sparkSession
     import spark.implicits._
-    var hist = wordHistogram(docs, textCol).persist()
+    // Every round MATERIALIZES the rewritten histogram and severs its
+    // lineage (graft.Materializer: eager localCheckpoint, or reliable
+    // parquet under checkpointDir/<uuid> on a real cluster). A persist()
+    // chain keeps the full map-over-map logical plan — after a few dozen
+    // rounds plan maintenance alone (analysis, explain strings) blows the
+    // driver heap, and a production vocabulary is THOUSANDS of rounds, so
+    // per-round lineage must be O(1), same discipline as the dedup star
+    // loop.
+    val materialize = new graft.Materializer(checkpointDir)
+    var hist = materialize(wordHistogram(docs, textCol).toDF()).as[WordSyms]
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 0
     var done = numMerges == 0
@@ -118,18 +128,58 @@ object Bpe {
         case Some((l, r, f)) =>
           merges += Merge(rank, l, r, f)
           rank += 1
-          val next = hist
-            .map(w => w.copy(syms = applyMerge(w.syms, l, r)))
-            .persist()
-          // materialize before releasing the parent: the argmax action of
-          // the next round (or the caller's first action) computes it
-          next.count()
-          hist.unpersist()
-          hist = next
+          hist = materialize(
+            hist.map(w => w.copy(syms = applyMerge(w.syms, l, r))).toDF())
+            .as[WordSyms]
           done = rank >= numMerges
       }
     }
     (merges.toSeq, hist)
+  }
+
+  /** [[learnMerges]] on a DRIVER-LOCAL corpus — the same algorithm (same
+    * histogram formulation, same (freq desc, left asc, right asc) argmax,
+    * same early stop) as pure Scala, no SparkSession. This is how a
+    * tokenizer CONFIG is produced: trained once on a fixed seed corpus,
+    * then applied corpus-wide via [[encode]] — the merge table is KBs of
+    * configuration, not data, so queries can embed it as literals on both
+    * the Spark and oracle sides (the repo's shared-rendered-constant
+    * pattern). Pinned against the distributed trainer in BpeSpec.
+    *
+    * ASCII-only seeds: Scala sorts String by UTF-16 unit, Spark's orderBy
+    * by UTF-8 byte — identical on ASCII, divergent beyond the BMP, and the
+    * argmax tie-break must agree with [[learnMerges]] exactly.
+    */
+  def learnMergesLocal(texts: Seq[String], numMerges: Int,
+      minPairFreq: Long = 2L): Seq[Merge] = {
+    require(numMerges >= 0, "numMerges must be non-negative")
+    require(texts.forall(_.forall(_ < 0x80)),
+      "local trainer requires an ASCII seed corpus (argmax tie-break " +
+        "order must match the UTF-8 binary order the Spark trainer uses)")
+    // word histogram, matching TextAnalysis.tokens = split(trim, \s+)
+    var hist: Seq[(Seq[String], Long)] = texts
+      .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).toSeq
+      .map { case (w, ws) => initialSyms(w) -> ws.size.toLong }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 0
+    var done = numMerges == 0
+    while (!done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      for { (syms, c) <- hist; i <- 0 until syms.length - 1 }
+        pairs.updateWith((syms(i), syms(i + 1)))(p => Some(p.getOrElse(0L) + c))
+      val top = pairs.toSeq
+        .sortBy { case ((l, r), f) => (-f, l, r) }.headOption
+      top.filter(_._2 >= minPairFreq) match {
+        case None => done = true
+        case Some(((l, r), f)) =>
+          merges += Merge(rank, l, r, f)
+          rank += 1
+          hist = hist.map { case (syms, c) => applyMerge(syms, l, r) -> c }
+          done = rank >= numMerges
+      }
+    }
+    merges.toSeq
   }
 
   /** One greedy left-to-right pass replacing adjacent (l, r) with l+r —

@@ -157,8 +157,18 @@ final class SegmentRunner(
     * re-arms land in ONE catalog write after the tick, so a mid-tick
     * crash never leaves a rule refreshed-but-armed-twice and the
     * control-plane I/O stays O(rules), not O(rules²).
+    *
+    * Pass `faithfulSchedule = true` to reproduce the reference scheduler
+    * EXACTLY (backend/app/core/scheduler.py:62-133): `execute_rule`
+    * updates only `last_run_at`, never `next_run_at`, so once a rule's
+    * arm time has passed it stays due and re-runs on EVERY tick —
+    * `calculate_next_run` exists but is unreachable. The default
+    * implements the evident intent (cadence actually governs re-runs);
+    * the flag exists for byte-for-byte behavioral parity, same pattern
+    * as `Planner.evaluate(faithfulParentGuard)` and the faithful set-op /
+    * string-date modes.
     */
-  def runDue(now: String): Map[Long, Long] = {
+  def runDue(now: String, faithfulSchedule: Boolean = false): Map[Long, Long] = {
     java.time.Instant.parse(now) // validate once, fail fast with a clear cause
     val catalog = store.loadCatalog()
     val due = catalog
@@ -166,7 +176,7 @@ final class SegmentRunner(
       .map(_.ruleId).toSet
     val runnable = materializableSubset(catalog, topoOrder(catalog).filter(due))
     val counts = runnable.map(id => id -> run(id, now)).toMap
-    if (counts.nonEmpty) {
+    if (counts.nonEmpty && !faithfulSchedule) {
       val bySchedule = catalog.map(e => e.ruleId -> e.schedule).toMap
       store.saveCatalog(store.loadCatalog().map(e =>
         if (counts.contains(e.ruleId))

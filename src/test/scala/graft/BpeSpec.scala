@@ -118,6 +118,27 @@ class BpeSpec extends SparkSpec {
     hist.unpersist()
   }
 
+  test("local trainer == distributed trainer (q_text_bpe_encode's config path)") {
+    // q_text_bpe_encode embeds SparkEntry.bpeMerges (learned driver-side,
+    // no SparkSession) as shared literals in both engines; this pins the
+    // local trainer to the distributed one on the exact seed corpus, so
+    // the embedded config can never drift from what learnMerges would say.
+    val seedDf = SparkEntry.bpeSeedCorpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (dist, hist) = Bpe.learnMerges(seedDf, numMerges = 32)
+    assert(SparkEntry.bpeMerges == dist,
+      "learnMergesLocal diverged from learnMerges on the seed corpus")
+    assert(SparkEntry.bpeMerges.nonEmpty)
+    // the config actually compresses corpus-register words
+    assert(Bpe.segmentWord("customer", SparkEntry.bpeMerges).length <
+      "customer".length + 1)
+    // non-ASCII seeds are rejected (argmax tie-break order would diverge)
+    intercept[IllegalArgumentException] {
+      Bpe.learnMergesLocal(Seq("café"), 1)
+    }
+    hist.unpersist()
+  }
+
   test("non-BMP characters segment by code point, never by UTF-16 unit") {
     // U+1F600 (😀) is a surrogate pair in UTF-16; a code-unit split would
     // produce two unpaired-surrogate symbols (malformed strings that also

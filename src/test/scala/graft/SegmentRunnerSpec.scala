@@ -131,6 +131,32 @@ class SegmentRunnerSpec extends SparkSpec {
     assert(runner.runDue("2026-08-12T08:00:00Z").keySet == Set(id1, id2))
   }
 
+  test("faithfulSchedule: reference never re-arms, so a due rule re-runs every tick") {
+    // reference scheduler.py:62-133 — execute_rule touches only
+    // last_run_at; next_run_at is set once at init and never advanced, so
+    // cadence exists in calculate_next_run but is unreachable.
+    val dir = Files.createTempDirectory("graft_runner_faithful").toString
+    val store = new SegmentStore(spark, dir)
+    val runner = new SegmentRunner(store, tx)
+    val (id, _) = runner.createRule("hourly", Seq(cAmount), schedule = "HOURLY")
+
+    val t1 = "2026-08-12T06:00:00Z"
+    assert(runner.runDue(t1, faithfulSchedule = true).keySet == Set(id))
+    val entry = store.loadCatalog().find(_.ruleId == id).get
+    assert(entry.nextRunAt.isEmpty, "faithful mode must not re-arm nextRunAt")
+    assert(entry.lastRefreshedAt.contains(t1), "last refresh still recorded")
+
+    // one second later — cadence is HOURLY, but the reference re-runs
+    // anyway because the rule was never re-armed
+    assert(runner.runDue("2026-08-12T06:00:01Z", faithfulSchedule = true)
+      .keySet == Set(id))
+
+    // switching back to default mode re-arms from the current tick
+    assert(runner.runDue("2026-08-12T06:00:02Z").keySet == Set(id))
+    assert(store.loadCatalog().find(_.ruleId == id).get
+      .nextRunAt.contains("2026-08-12T07:00:02Z"))
+  }
+
   test("dependents of a never-materialized parent are skipped, not crashed") {
     val dir = Files.createTempDirectory("graft_runner7").toString
     val store = new SegmentStore(spark, dir)

@@ -33,6 +33,7 @@ object Stress {
         incrRollup(spark, users.toLong, days.toInt)
       case "zorder" :: dir :: files :: Nil =>
         zorder(spark, dir, files.toInt)
+      case "bpe" :: dir :: merges :: Nil => bpe(spark, dir, merges.toInt)
       case other => sys.error(s"unknown args: $other")
     }
     spark.stop()
@@ -180,6 +181,47 @@ object Stress {
     println(f"[stress] incrrollup users=$users days=$days partials=$n " +
       f"seed=$seedS%.1fs upsert=$upsertS%.1fs rebuild=$rebuildS%.1fs " +
       f"touchedPartitions=${touched.mkString(",")} (${touched.size} of ${after.size})")
+  }
+
+  /** BPE at vocabulary scale: train `nMerges` merges on the documents
+    * corpus (production vocabularies are thousands of rounds — this probes
+    * that the per-round cost stays HISTOGRAM-bounded and per-round lineage
+    * stays O(1): before the Materializer fix, the accumulated
+    * map-over-map plan OOM'd the driver near round ~30), then encode the
+    * full corpus with the learned table and report throughput. Prints
+    * early/late round-window timings — flat-ish windows are the evidence;
+    * a persist-chain regression would show super-linear growth.
+    */
+  private def bpe(spark: SparkSession, sfDir: String, nMerges: Int): Unit = {
+    import graft.functions.{Bpe, TextAnalysis}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .localCheckpoint(true)
+    val nDocs = docs.count()
+    // two-point super-linearity check: with O(1) per-round lineage,
+    // time(N) ≈ 2 × time(N/2); a lineage-accumulating regression shows
+    // time(N) ≫ 2 × time(N/2) (and OOMs the driver well before N=1000)
+    def train(n: Int): (Seq[Bpe.Merge], Double) = {
+      val t0 = System.nanoTime()
+      val (m, h) = Bpe.learnMerges(docs, n, minPairFreq = 1L)
+      val secs = (System.nanoTime() - t0) / 1e9
+      h.unpersist()
+      (m, secs)
+    }
+    val (_, half) = train(nMerges / 2)
+    val (learned, full) = train(nMerges)
+    println(f"[stress] bpe train ${nMerges / 2} merges: $half%.1fs " +
+      f"(${half / (nMerges / 2)}%.3fs/merge); $nMerges merges: $full%.1fs " +
+      f"(${full / nMerges}%.3fs/merge); ratio=${full / half}%.2fx " +
+      "(≈2.0 = flat per-round cost)")
+
+    val e0 = System.nanoTime()
+    val enc = docs.select(
+      Bpe.encode(TextAnalysis.tokens(col("text")), learned).as("sub"))
+      .agg(sum(size(col("sub"))).cast("long").as("n_sub")).collect()(0)
+    val encSecs = (System.nanoTime() - e0) / 1e9
+    println(f"[stress] bpe encode docs=$nDocs merges=${learned.length} " +
+      f"subwords=${enc.getLong(0)} time=$encSecs%.1fs " +
+      f"(${nDocs / encSecs}%.0f docs/s)")
   }
 
   /** Z-order vs 1-D sort on the REAL events table: cluster

@@ -2196,7 +2196,9 @@ object SparkEntry {
     Q("q_zorder_curve",
       (s, d) => Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
-          expr("unix_micros(ts) div 86400000000").as("day"))
+          // cast-through-timestamp keeps this NTZ-tolerant even if the
+          // frame bypassed Tables.events normalization
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
         .select(col("event_id"), col("user_id"), col("day"),
           graft.sources.Layout.zValue(Seq(col("user_id"), col("day")), 20)
             .as("zvalue"))

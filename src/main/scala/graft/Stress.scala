@@ -235,7 +235,7 @@ object Stress {
     import graft.sources.{Layout, Tables}
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"),
-        expr("unix_micros(ts) div 86400000000").as("day"))
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
       .localCheckpoint(true)
     val (uLo, uHi) = (ev.agg(min("user_id"), max("user_id")).head() match {
       case Row(a: Long, b: Long) => (a, b)

@@ -246,7 +246,7 @@ object Analytics {
     // truncating to seconds would move boundaries)
     val newSession = when(
       prevTs.isNull ||
-        unix_micros(col("ts")) - unix_micros(prevTs) > gapMinutes * 60L * 1000000L,
+        Tables.epochMicros(col("ts")) - Tables.epochMicros(prevTs) > gapMinutes * 60L * 1000000L,
       1L).otherwise(0L)
     events
       .withColumn("__new", newSession)
@@ -287,7 +287,8 @@ object Analytics {
       .partitionBy(col("user_id"), col("__day")).orderBy(col("ts"))
     val prevTs = lag(col("ts"), 1).over(chunkW)
     val newLocal = when(
-      prevTs.isNull || unix_micros(col("ts")) - unix_micros(prevTs) > gapUs,
+      prevTs.isNull ||
+        Tables.epochMicros(col("ts")) - Tables.epochMicros(prevTs) > gapUs,
       1L).otherwise(0L)
     val local = events
       .withColumn("__day", to_date(col("ts")))
@@ -308,7 +309,7 @@ object Analytics {
     val prevEnd = lag(col("session_end"), 1).over(byUser)
     val newGlobal = when(
       prevEnd.isNull ||
-        unix_micros(col("session_start")) - unix_micros(prevEnd) > gapUs,
+        Tables.epochMicros(col("session_start")) - Tables.epochMicros(prevEnd) > gapUs,
       1L).otherwise(0L)
     local
       .withColumn("__new", newGlobal)

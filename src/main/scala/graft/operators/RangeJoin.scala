@@ -27,12 +27,14 @@ object RangeJoin {
       keys: Seq[String], pointTime: String, start: String, end: String,
       bucketWidthSec: Long): DataFrame = {
     require(bucketWidthSec > 0, "bucketWidthSec must be positive")
+    // epochSeconds (not cast("long")) so TIMESTAMP_NTZ time columns work
+    // too — see graft.sources.Tables.epochSeconds
     val p = points.withColumn("__bucket",
-      floor(col(pointTime).cast("long") / bucketWidthSec))
+      floor(graft.sources.Tables.epochSeconds(col(pointTime)) / bucketWidthSec))
     val iv = intervals.withColumn("__bucket",
       explode(sequence(
-        floor(col(start).cast("long") / bucketWidthSec),
-        floor(col(end).cast("long") / bucketWidthSec))))
+        floor(graft.sources.Tables.epochSeconds(col(start)) / bucketWidthSec),
+        floor(graft.sources.Tables.epochSeconds(col(end)) / bucketWidthSec))))
     p.join(iv, keys :+ "__bucket")
       .filter(col(pointTime) >= col(start) && col(pointTime) <= col(end))
       .drop("__bucket")

@@ -17,19 +17,43 @@ object Tables {
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is physically INT64 TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects natively; read it as a long (legacy nanosAsLong) and
-    * convert to a micros timestamp with integer arithmetic (nanos exceed
-    * 2^53, so floating-point division would corrupt them).
+  /** `events.ts` normalized to session-zone TimestampType regardless of how
+    * the fixture generation wrote it. The corpus has shipped two physical
+    * encodings so far, and this reader is the single place that absorbs
+    * either (every downstream operator assumes plain TimestampType):
+    *
+    *  - INT64 TIMESTAMP(NANOS): Spark's parquet reader rejects it natively;
+    *    read as a long (legacy nanosAsLong) and convert with integer
+    *    arithmetic (nanos exceed 2^53, so floating-point division would
+    *    corrupt them).
+    *  - timestamp[us] with isAdjustedToUTC=false: Spark 4.x reads it as
+    *    TIMESTAMP_NTZ; cast to TimestampType. Every entrypoint pins the
+    *    session timezone to UTC, so the wall-clock values are preserved
+    *    bit-for-bit.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(spark, dir, "events")
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => raw
+      case LongType            => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                   => raw
     }
   }
+
+  /** NTZ-safe epoch micros: `unix_micros` rejects TIMESTAMP_NTZ inputs, so
+    * route every epoch extraction through a TimestampType cast first — a
+    * no-op for TimestampType columns, a session-zone (UTC-pinned)
+    * reinterpretation for NTZ ones. Defense in depth for operators that
+    * may be handed a frame that did NOT come through [[events]].
+    */
+  def epochMicros(c: Column): Column = unix_micros(c.cast(TimestampType))
+
+  /** NTZ-safe epoch seconds (see [[epochMicros]]). Numeric inputs are
+    * interpreted as epoch seconds and pass through unchanged
+    * (long → timestamp → long is the identity).
+    */
+  def epochSeconds(c: Column): Column = c.cast(TimestampType).cast(LongType)
   def lineitem(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "customer")

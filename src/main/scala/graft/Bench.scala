@@ -65,6 +65,11 @@ object Bench {
     }
     val total = round3(med.map(_._2).filter(_ >= 0).sum)
     val noise = spread.map(_._2).max
+    // Queries with no successful sample. Surfaced explicitly in the headline
+    // (r9 lesson: a broken query is EXCLUDED from the total, so a round that
+    // breaks queries would otherwise report a smaller, better-looking number
+    // with nothing in the line saying so).
+    val failedNames = med.collect { case (n, m) if m < 0 => n }
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // Full detail (per-query samples + spreads) goes to a file; the stdout
@@ -80,12 +85,15 @@ object Bench {
         ",\"spread\":" + spreadMap(n) +
         ",\"samples\":[" + samples(n).map(round3).mkString(",") + "]}"
     }.mkString("{", ",", "}")
+    val failedJson =
+      s""""failed":${failedNames.size},"failed_queries":[""" +
+        failedNames.map("\"" + _ + "\"").mkString(",") + "]"
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-      (s"""{"runs":$runs,"sf":"$sfDir","noise":$noise,""" +
+      (s"""{"runs":$runs,"sf":"$sfDir","noise":$noise,$failedJson,""" +
         s""""per_query":$detail,"total":$total}""" + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $detailPath: $e") }
-    println(s"""{"queries":${jmap(med)},"runs":$runs,"noise":$noise,""" +
+    println(s"""{"queries":${jmap(med)},"runs":$runs,"noise":$noise,$failedJson,""" +
       s""""detail":"$detailPath","sf":"$sfDir",""" +
       s""""metric":"total","unit":"sec","value":$total}""")
     spark.stop()

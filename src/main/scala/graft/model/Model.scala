@@ -119,7 +119,13 @@ final case class SegmentCatalogEntry(
     lastRefreshedAt: Option[String] = None,
     schedule: String = "DAILY",
     isActive: Boolean = true,
-    nextRunAt: Option[String] = None)
+    nextRunAt: Option[String] = None,
+    // Display-only fidelity crumb: the reference stores the literal string
+    // `COMPOUND_OPERATION:<op>` in the catalog's sql_query column for
+    // compound rules (reference: backend/app/api/rules.py:211). Dispatch
+    // never reads it — the structured dependsOn/operation fields govern
+    // (Q5) — it exists so a catalog listing renders like the reference's.
+    sqlQuery: Option[String] = None)
 
 /** Canonical schemas shared by engine and store. */
 object Schemas {

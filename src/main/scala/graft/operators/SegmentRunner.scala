@@ -32,6 +32,16 @@ final class SegmentRunner(
       dependencies = e.dependsOn,
       operation = e.operation.flatMap(SetOp.parse))
 
+  /** The reference writes the literal string `COMPOUND_OPERATION:<op>` into
+    * the catalog's sql_query column for compound rules
+    * (reference: backend/app/api/rules.py:211) — a display sentinel, never
+    * consulted by dispatch (the structured depends_on/operation fields
+    * govern, Q5). Reproduced verbatim against our stored lowercase op so a
+    * catalog listing round-trips like the reference's.
+    */
+  private def compoundSentinel(op: SetOp): Option[String] =
+    Some(s"COMPOUND_OPERATION:${op.toString.toLowerCase}")
+
   /** Create + catalog a rule. Returns its id and the plan that was bound.
     * Like the reference, the rule keeps only the conditions the dependency
     * cover did NOT consume (reference rules.py:40-50). `schedule` and
@@ -50,7 +60,8 @@ final class SegmentRunner(
       case SegmentPlan.Compound(parents, op, residual) =>
         SegmentCatalogEntry(id, name, s"segment_output_$id", residual,
           parents, Some(op.toString.toLowerCase),
-          schedule = schedule, isActive = isActive)
+          schedule = schedule, isActive = isActive,
+          sqlQuery = compoundSentinel(op))
     }
     store.saveCatalog(catalog :+ entry)
     (id, plan)
@@ -110,10 +121,12 @@ final class SegmentRunner(
       if (e.ruleId != ruleId) e
       else plan match {
         case SegmentPlan.Base(cs) =>
-          e.copy(conditions = cs, dependsOn = Nil, operation = None)
+          e.copy(conditions = cs, dependsOn = Nil, operation = None,
+            sqlQuery = None)
         case SegmentPlan.Compound(parents, op, residual) =>
           e.copy(conditions = residual, dependsOn = parents,
-            operation = Some(op.toString.toLowerCase))
+            operation = Some(op.toString.toLowerCase),
+            sqlQuery = compoundSentinel(op))
       }
     }
     store.saveCatalog(updated)

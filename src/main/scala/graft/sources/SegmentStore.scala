@@ -156,7 +156,8 @@ final class SegmentStore(spark: SparkSession, warehouse: String) {
       ConditionCodec.encodeAll(e.conditions),
       e.dependsOn, e.operation.getOrElse(""),
       e.rowCount, e.lastRefreshedAt.getOrElse(""),
-      e.schedule, e.isActive, e.nextRunAt.getOrElse(""))).toDS()
+      e.schedule, e.isActive, e.nextRunAt.getOrElse(""),
+      e.sqlQuery.getOrElse(""))).toDS()
     swapIn(catalogPath) { staging =>
       ds.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging)
     }
@@ -208,7 +209,8 @@ final class SegmentStore(spark: SparkSession, warehouse: String) {
     * loadable (schema evolution without a migration pass).
     */
   private val catalogDefaults: Seq[(String, org.apache.spark.sql.Column)] = Seq(
-    "schedule" -> lit("DAILY"), "isActive" -> lit(true), "nextRunAt" -> lit(""))
+    "schedule" -> lit("DAILY"), "isActive" -> lit(true), "nextRunAt" -> lit(""),
+    "sqlQuery" -> lit(""))
 
   def loadCatalog(): Seq[SegmentCatalogEntry] = {
     import spark.implicits._
@@ -224,7 +226,8 @@ final class SegmentStore(spark: SparkSession, warehouse: String) {
         ConditionCodec.decodeAll(f.conditions),
         f.dependsOn, Option(f.operation).filter(_.nonEmpty),
         f.rowCount, Option(f.lastRefreshedAt).filter(_.nonEmpty),
-        f.schedule, f.isActive, Option(f.nextRunAt).filter(_.nonEmpty)))
+        f.schedule, f.isActive, Option(f.nextRunAt).filter(_.nonEmpty),
+        Option(f.sqlQuery).filter(_.nonEmpty)))
       .sortBy(_.ruleId)
   }
 
@@ -330,7 +333,8 @@ private[sources] case class FlatEntry(
     ruleId: Long, segmentName: String, tableName: String,
     conditions: String, dependsOn: Seq[Long], operation: String,
     rowCount: Long, lastRefreshedAt: String,
-    schedule: String, isActive: Boolean, nextRunAt: String)
+    schedule: String, isActive: Boolean, nextRunAt: String,
+    sqlQuery: String)
 
 /** Compact string codec for condition lists so catalog metadata stays a
   * flat parquet table. Control-plane only — never touches data rows.

@@ -203,6 +203,37 @@ class SegmentRunnerSpec extends SparkSpec {
     intercept[IllegalArgumentException](runner.deleteRule(99L))
   }
 
+  test("catalog sql_query sentinel COMPOUND_OPERATION:<op> round-trips (rules.py:211 crumb)") {
+    val dir = Files.createTempDirectory("graft_runner_sentinel").toString
+    val store = new SegmentStore(spark, dir)
+    val runner = new SegmentRunner(store, tx)
+    val (id1, _) = runner.createRule("r1", Seq(cAmount))
+    runner.createRule("r2", Seq(cTier))
+    val (id3, p3) = runner.createRule("compound", Seq(cAmount, cTier))
+    assert(p3.isInstanceOf[SegmentPlan.Compound])
+
+    // create path: compound rules carry the reference's literal sentinel,
+    // base rules carry none — and it survives the parquet round-trip
+    val cat = store.loadCatalog()
+    assert(cat.find(_.ruleId == id1).get.sqlQuery.isEmpty)
+    assert(cat.find(_.ruleId == id3).get.sqlQuery
+      .contains("COMPOUND_OPERATION:intersection"))
+
+    // PUT back to base clears it; PUT into compound re-sets it
+    assert(runner.updateRule(id3,
+      Seq(Condition("transaction_amount", ">", "99999"))).isInstanceOf[SegmentPlan.Base])
+    assert(store.loadCatalog().find(_.ruleId == id3).get.sqlQuery.isEmpty)
+    assert(runner.updateRule(id3, Seq(cAmount, cTier))
+      .isInstanceOf[SegmentPlan.Compound])
+    assert(store.loadCatalog().find(_.ruleId == id3).get.sqlQuery
+      .contains("COMPOUND_OPERATION:intersection"))
+
+    // dispatch is untouched by the sentinel: the compound rule still runs
+    // off its structured fields (Q5)
+    runner.runAll("2026-08-12T00:00:00Z")
+    assert(store.read(id3).count() >= 1L)
+  }
+
   test("updateRule re-detects excluding self (R7)") {
     val dir = Files.createTempDirectory("graft_runner3").toString
     val store = new SegmentStore(spark, dir)

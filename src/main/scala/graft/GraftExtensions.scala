@@ -20,7 +20,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * Registered: `rolling_hash(str)`, `lang_id(array<string>)`,
   * `simhash64(array<string>)`, `word_ngrams(array<string>[, n])`,
   * `minhash_signature(array<string>[, k])`, `dot_product(arr, arr)`,
-  * `nfc_normalize(str)`.
+  * `nfc_normalize(str)`, `blocklist_matches(str, array<string>)`.
   * The SQL surface evaluates the exact same codegen'd expressions as the
   * Column API — no parallel implementation to drift.
   */
@@ -43,6 +43,25 @@ object GraftExtensions {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$name expects a literal INT, got $other")
+  }
+
+  /** A literal string-array argument — configuration, not data (the pattern
+    * list compiles into the expression like `minhash_signature`'s k).
+    */
+  private def stringArrayArg(e: Expression, name: String): Array[String] = e match {
+    case org.apache.spark.sql.catalyst.expressions.CreateArray(children, _)
+        if children.forall(_.isInstanceOf[Literal]) =>
+      children.map {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"$name expects literal STRINGs in the array, got $other")
+      }.toArray
+    case Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, _)) =>
+      arr.toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal ARRAY<STRING>, got $other")
   }
 
   private def info(name: String, usage: String): ExpressionInfo =
@@ -83,5 +102,10 @@ object GraftExtensions {
       _ == 2, args => DotProductExpr(args(0), args(1))),
     fn("nfc_normalize",
       "nfc_normalize(str) - Unicode canonical composition (NFC)",
-      _ == 1, args => NfcNormalizeExpr(args.head)))
+      _ == 1, args => NfcNormalizeExpr(args.head)),
+    fn("blocklist_matches",
+      "blocklist_matches(str, array('p1', ...)) - single-pass Aho-Corasick " +
+        "screen; returns the patterns present, in pattern-list order",
+      _ == 2, args => BlocklistMatchesExpr(args.head,
+        stringArrayArg(args(1), "blocklist_matches"))))
 }

@@ -843,6 +843,16 @@ object SparkEntry {
 
   private val Bm25Terms = Seq("spark", "window", "dup")
 
+  /** Blocklist phrase set for q_text_blocklist — multi-word phrases so the
+    * Aho-Corasick automaton's cross-token matching is exercised, plus one
+    * phrase absent from the corpus vocabulary (the never-hit arm). Rendered
+    * from THIS constant into both the Spark expression and the DuckDB
+    * per-pattern `instr` replay (shared-constant rule).
+    */
+  private val BlockPatterns = Seq(
+    "slow scan", "big table", "merge batch", "drop database", "vector")
+  private def blockHitSql(p: String) = s"instr(text, '$p') > 0"
+
   /** DuckDB replay of [[graft.functions.TextAnalysis.filterVerdict]] at its
     * default thresholds: every signal re-rendered from its already-oracled
     * fragment (quality from q_text_stats, lang-id from q_text_langid,
@@ -1837,6 +1847,33 @@ object SparkEntry {
         "COALESCE(nfc_normalize(text) != text, false) AS changed " +
         "FROM documents ORDER BY doc_id")),
 
+    // BLOCKLIST screening — the policy-filter stage: which of a fixed
+    // phrase list appears in each document. Engine: ONE pass per document
+    // over an Aho-Corasick automaton carried into codegen as config
+    // (functions/Blocklist.scala) — at 100 TB with thousands of phrases
+    // this replaces K contains() scans per row with one. Oracle: the same
+    // presence predicate replayed per pattern as instr(), first_match as
+    // the pattern-order COALESCE — both sides rendered from the ONE
+    // BlockPatterns constant.
+    Q("q_text_blocklist",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.Blocklist.matches(col("text"), BlockPatterns).as("m"))
+        .select(col("doc_id"),
+          size(col("m")).cast("long").as("n_flagged"),
+          get(col("m"), lit(0)).as("first_match"),
+          (size(col("m")) > 0).as("blocked"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, " +
+        "CAST(" + BlockPatterns.map(p =>
+          s"(CASE WHEN ${blockHitSql(p)} THEN 1 ELSE 0 END)").mkString(" + ") +
+        " AS BIGINT) AS n_flagged, " +
+        "COALESCE(" + BlockPatterns.map(p =>
+          s"CASE WHEN ${blockHitSql(p)} THEN '$p' END").mkString(", ") +
+        ") AS first_match, " +
+        "(" + BlockPatterns.map(blockHitSql).mkString(" OR ") + ") AS blocked " +
+        "FROM documents ORDER BY doc_id")),
+
     // WINSORIZED per-source stats — robust corpus reporting: exact
     // discrete percentile cuts (k-th smallest at ⌈p·n⌉, no interpolation
     // formula to drift between engines), clamp, then integer-exact means
@@ -1917,6 +1954,33 @@ object SparkEntry {
           emb.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 3)
           .orderBy("query_id", "rank").localCheckpoint(true)
         finally Similarity.dropAnnIndex(s, name)
+      },
+      Some(ivfTrainedOracle(dim = 64, sampleSize = 256, centroids = 8,
+        iters = 2, nprobe = 3, topk = 10))),
+
+    // INCREMENTAL ANN index maintenance: build the index on the first 300
+    // vectors (which contain the whole 256-vector training sample), UPSERT
+    // the rest as an ingest batch — assigned against the persisted
+    // centroids, appended under the table's bucket spec, O(batch) not
+    // O(corpus) — then search the grown index. Because the frozen
+    // quantizer saw the same sample a full build would, results over
+    // initial ∪ batch are bit-identical to one build over the union: the
+    // oracle is EXACTLY the full-corpus trained-IVF replay, so the hash
+    // gate proves upsert ≡ rebuild (the q_rollup_incremental claim, for
+    // the index).
+    Q("q_sim_topk_ivf_upsert",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val name = "graft_ann_ups_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Similarity.writeAnnIndex(emb.filter(col("vec_id") < 300), name,
+          centroids = 8, sampleSize = 256, iters = 2)
+        try {
+          Similarity.upsertAnnIndex(s, name, emb.filter(col("vec_id") >= 300))
+          Similarity.annSearchIndexed(s, name,
+            emb.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 3)
+            .orderBy("query_id", "rank").localCheckpoint(true)
+        } finally Similarity.dropAnnIndex(s, name)
       },
       Some(ivfTrainedOracle(dim = 64, sampleSize = 256, centroids = 8,
         iters = 2, nprobe = 3, topk = 10))),

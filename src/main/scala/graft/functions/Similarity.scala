@@ -186,6 +186,51 @@ object Similarity {
     graft.sources.Tables.dropManagedTables(
       spark, Seq(s"${name}_centroids", s"${name}_assignments"))
 
+  /** INCREMENTAL index maintenance: add a batch of NEW vectors to a
+    * [[writeAnnIndex]] index without retraining or touching the existing
+    * assignments — the streaming-embedding-ingest path. A full rebuild
+    * re-scans and re-assigns the whole corpus; at 100 TB that makes index
+    * freshness cost O(corpus) per batch, where this is O(batch): the batch
+    * is normalized, assigned against the PERSISTED centroids (a few KB,
+    * read once driver-side, baked into the batch's scan as literals —
+    * exactly the [[ivfTrainedTopK]] assignment projection), and APPENDED
+    * into the bucketed assignments table under the table's own bucket
+    * spec, so bucket pruning keeps working on the grown index.
+    *
+    * The quantizer is intentionally FROZEN (the standard IVF maintenance
+    * trade): cells drift as the distribution moves, recall degrades
+    * gracefully, and a periodic [[writeAnnIndex]] rebuild re-centers —
+    * the rollup-upsert-vs-recompute pattern ([[graft.operators.Rollups]]).
+    * Search results over initial ∪ batches are therefore bit-identical to
+    * a single build over the union whenever the training sample (the
+    * `sampleSize` lowest vec_ids) is contained in the initial corpus —
+    * which a chronological ingest satisfies by construction (BucketedSpec
+    * pins this equivalence).
+    *
+    * Contract: batch vec_ids must be new — an id re-sent arrives as a
+    * duplicate row (dedup upstream; the append cannot see the table it
+    * appends to without scanning it).
+    */
+  def upsertAnnIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+      batch: DataFrame): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    val cents = spark.table(s"${name}_centroids").orderBy("cid").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("cv").toArray)
+    require(cents.nonEmpty, s"ANN index $name has no centroids")
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        s"${name}_assignments"))
+      .bucketSpec
+      .getOrElse(throw new IllegalStateException(
+        s"ANN index $name assignments table has no bucket spec"))
+    assignToCentroids(normalized(batch), cents)
+      .select(col("cluster").as("bucket"), col("vec_id"), col("v"))
+      .write.mode("append").format("parquet")
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head)
+      .sortBy(spec.sortColumnNames.head)
+      .saveAsTable(s"${name}_assignments")
+  }
+
   /** Trained-IVF top-k over a [[writeAnnIndex]] index — same results as
     * [[ivfTrainedTopK]] with the same fit parameters (BucketedSpec asserts
     * both), but the corpus is never scanned or re-assigned: the probed

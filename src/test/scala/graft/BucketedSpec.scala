@@ -212,6 +212,50 @@ class BucketedSpec extends SparkSpec {
     } finally Similarity.dropAnnIndex(spark, "ann_test_idx")
   }
 
+  test("ann index upsert: grown index ≡ one full build; pruning retained") {
+    import graft.functions.Similarity
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 60).map { i =>
+      val base = Array.fill(8)(0.05 + rnd.nextDouble() * 0.1)
+      base(i % 4) = 1.0 + rnd.nextDouble()
+      (i.toLong, base.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    // the initial corpus contains the whole 32-vector training sample, so
+    // the frozen quantizer equals the full-corpus fit — the chronological-
+    // ingest contract under which upsert ≡ rebuild exactly
+    val initial = corpus.filter($"vec_id" < 40)
+    val batch = corpus.filter($"vec_id" >= 40)
+    val queries = corpus.filter($"vec_id" % 10 === 0)
+    Similarity.writeAnnIndex(initial, "ann_ups_idx",
+      centroids = 4, sampleSize = 32, iters = 2, buckets = 8)
+    Similarity.writeAnnIndex(corpus, "ann_full_idx",
+      centroids = 4, sampleSize = 32, iters = 2, buckets = 8)
+    try {
+      Similarity.upsertAnnIndex(spark, "ann_ups_idx", batch)
+      assert(spark.table("ann_ups_idx_assignments").count() === 60L,
+        "append must grow the assignments table by the batch")
+      val grown = Similarity.annSearchIndexed(spark, "ann_ups_idx",
+        queries, k = 5, nprobe = 2).orderBy("query_id", "rank")
+      val full = Similarity.annSearchIndexed(spark, "ann_full_idx",
+        queries, k = 5, nprobe = 2).orderBy("query_id", "rank")
+      val a = grown.collect().map(_.toSeq).toSeq
+      val b = full.collect().map(_.toSeq).toSeq
+      assert(a.nonEmpty && a == b, s"grown $a != full rebuild $b")
+
+      // appended files must still carry the bucket spec: the probed-cell
+      // read stays pruned on the grown index
+      val plan = grown.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      val m = sel.findFirstMatchIn(plan)
+      assert(m.nonEmpty, s"grown-index scan must be bucket-pruned:\n$plan")
+      assert(m.get.group(1).toInt < m.get.group(2).toInt,
+        s"pruning must select a strict subset of buckets: ${m.get.matched}")
+    } finally {
+      Similarity.dropAnnIndex(spark, "ann_ups_idx")
+      Similarity.dropAnnIndex(spark, "ann_full_idx")
+    }
+  }
+
   test("z-order: curve value interleaves bits; 2-D box touches fewer files than a 1-D sort") {
     import graft.sources.Layout
     // hand-interleave: x=0b011, y=0b101, 3 bits, bit i of col j → i*2+j:

@@ -1052,6 +1052,40 @@ object SparkEntry {
       "FROM cass JOIN qp USING (bucket) WHERE cass.vec_id <> qp.query_id), " +
       topKSql("sc", topk)
 
+  /** Recall@k oracle: BOTH retrieval paths replayed — the trained-IVF
+    * chain (fit CTEs + probe + cell scoring, verbatim from
+    * [[ivfTrainedOracle]]) and the brute-force all-pairs ranking (verbatim
+    * from q_sim_topk_brute) — then the per-query intersection count and
+    * fraction. Hash equality therefore certifies the recall NUMBERS, not
+    * just the two result sets.
+    */
+  private def ivfRecallOracle(dim: Int, sampleSize: Int, centroids: Int,
+      iters: Int, nprobe: Int, topk: Int): String =
+    ivfFitCte(dim, sampleSize, centroids, iters) + ", " +
+      "q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id % 100 = 0), " +
+      "qp AS (SELECT query_id, qv, cid AS bucket FROM (" +
+      "SELECT q.query_id, q.qv, c.cid, row_number() OVER (PARTITION BY q.query_id " +
+      s"ORDER BY ${dotSql("q.qv", "c.cv")} DESC, c.cid) AS rn " +
+      s"FROM q0 q CROSS JOIN c$iters c) WHERE rn <= $nprobe), " +
+      "isc AS (SELECT query_id, cass.vec_id AS neighbor_id, " +
+      s"${dotSql("qp.qv", "cass.v")} AS score " +
+      "FROM cass JOIN qp USING (bucket) WHERE cass.vec_id <> qp.query_id), " +
+      "ivfr AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() " +
+      "OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank " +
+      s"FROM isc) WHERE rank <= $topk), " +
+      "bsc AS (SELECT query_id, c.vec_id AS neighbor_id, " +
+      s"${dotSql("qv", "c.v")} AS score " +
+      "FROM nv c, q0 WHERE c.vec_id <> q0.query_id), " +
+      "br AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() " +
+      "OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank " +
+      s"FROM bsc) WHERE rank <= $topk), " +
+      "h AS (SELECT query_id, count(*) AS hits FROM ivfr " +
+      "JOIN br USING (query_id, neighbor_id) GROUP BY 1) " +
+      "SELECT b.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS n_hits, " +
+      s"CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST($topk AS DOUBLE) AS recall " +
+      "FROM (SELECT DISTINCT query_id FROM br) b LEFT JOIN h USING (query_id) " +
+      "ORDER BY query_id"
+
   /** DuckDB replay of [[graft.functions.Dedup.semanticDedup]]: the shared
     * k-means fit + assignment, then per-vector max cosine against lower-id
     * same-cluster vectors; keep = no lower neighbor at ≥ threshold.
@@ -1983,6 +2017,23 @@ object SparkEntry {
         } finally Similarity.dropAnnIndex(s, name)
       },
       Some(ivfTrainedOracle(dim = 64, sampleSize = 256, centroids = 8,
+        iters = 2, nprobe = 3, topk = 10))),
+
+    // RECALL@10 of the trained-IVF path against brute force — the
+    // evaluation operator that turns an ANN configuration claim into a
+    // measured, oracle-certified number per query (and lets a deployment
+    // tune nprobe/centroids against real recall instead of folklore). The
+    // oracle replays BOTH retrieval stacks and the intersection count.
+    Q("q_sim_recall_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") % 100 === 0)
+        Similarity.recallAtK(
+          Similarity.ivfTrainedTopK(emb, qs, k = 10),
+          Similarity.bruteForceTopK(emb, qs, k = 10), k = 10)
+          .orderBy("query_id")
+      },
+      Some(ivfRecallOracle(dim = 64, sampleSize = 256, centroids = 8,
         iters = 2, nprobe = 3, topk = 10))),
 
     // Two-stage HYBRID retrieval: BM25 top-50 lexical candidates (stage 1,

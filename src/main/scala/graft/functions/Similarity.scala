@@ -327,6 +327,32 @@ object Similarity {
       .select(idCol, "bm25_rank", "cosine", "rank")
   }
 
+  /** Recall@k of an approximate top-k result against the exact one — the
+    * "measure, don't guess" evaluation operator for every ANN path here:
+    * an IVF configuration claim (centroids/nprobe) is only as good as its
+    * measured recall, and this makes recall a first-class queryable number
+    * instead of a notebook anecdote. Per query: how many of the EXACT
+    * top-k neighbors the approximate path found, and the fraction.
+    *
+    * Both inputs are `(query_id, neighbor_id, rank, score)` frames of at
+    * most k rows per query (k × |queries| — evaluation-sized, not
+    * corpus-sized; every join here is broadcast-bounded by the query
+    * set). Queries the exact path dropped (zero-norm) drop here too.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall"))
+  }
+
   /** Dot scores of a vector against every trained centroid, as an array of
     * literal-folded expressions — a few KB of constants baked into the plan,
     * so assignment is a scan-side projection (no join, no shuffle).

@@ -256,6 +256,18 @@ class BucketedSpec extends SparkSpec {
     }
   }
 
+  test("recallAtK: per-query hit fraction, zero-hit queries kept") {
+    import graft.functions.Similarity
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 20L), (2L, 21L), (3L, 98L))
+      .toDF("query_id", "neighbor_id")
+    val r = Similarity.recallAtK(approx, exact, k = 2)
+      .orderBy("query_id").collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getDouble(2)))
+    assert(r.toSeq === Seq((1L, 1L, 0.5), (2L, 2L, 1.0), (3L, 0L, 0.0)))
+  }
+
   test("z-order: curve value interleaves bits; 2-D box touches fewer files than a 1-D sort") {
     import graft.sources.Layout
     // hand-interleave: x=0b011, y=0b101, 3 bits, bit i of col j → i*2+j:

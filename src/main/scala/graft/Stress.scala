@@ -34,6 +34,7 @@ object Stress {
       case "zorder" :: dir :: files :: Nil =>
         zorder(spark, dir, files.toInt)
       case "bpe" :: dir :: merges :: Nil => bpe(spark, dir, merges.toInt)
+      case "blocklist" :: dir :: k :: Nil => blocklist(spark, dir, k.toInt)
       case other => sys.error(s"unknown args: $other")
     }
     spark.stop()
@@ -222,6 +223,67 @@ object Stress {
     println(f"[stress] bpe encode docs=$nDocs merges=${learned.length} " +
       f"subwords=${enc.getLong(0)} time=$encSecs%.1fs " +
       f"(${nDocs / encSecs}%.0f docs/s)")
+  }
+
+  /** Blocklist at production list size: the Aho-Corasick single pass vs
+    * the naive K-`contains` disjunction, same verdict counts required.
+    * Patterns: two-word phrases over the corpus vocabulary (real hits)
+    * padded with never-hit junk to `nPatterns` — the realistic mix where
+    * most of a blocklist never fires but still has to be checked.
+    */
+  private def blocklist(spark: SparkSession, sfDir: String, nPatterns: Int): Unit = {
+    import graft.functions.Blocklist
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").localCheckpoint(true)
+    val nDocs = docs.count()
+    val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
+      "value", "part", "hash", "merge", "batch", "spark", "window", "order",
+      "data", "column", "join", "small", "line", "customer", "query", "big",
+      "sort", "group", "stream", "vector", "filter")
+    val phrases = for (a <- vocab; b <- vocab if a != b) yield s"$a $b"
+    val pats = (phrases ++ (phrases.size until nPatterns)
+      .map(i => s"zq${i}xj never hit")).take(nPatterns)
+
+    def run(name: String, flagged: => org.apache.spark.sql.Column): Option[Long] = {
+      // warm once (JIT + codegen), then measure
+      def once(): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val n = docs.select(flagged.cast("long").as("f"))
+          .agg(sum(col("f"))).collect()(0).getLong(0)
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      try {
+        once()
+        val (n, secs) = once()
+        println(f"[stress] blocklist $name K=${pats.length} docs=$nDocs " +
+          f"flagged=$n time=$secs%.2fs (${nDocs / secs}%.0f docs/s)")
+        Some(n)
+      } catch {
+        case e: Throwable =>
+          println(s"[stress] blocklist $name K=${pats.length} FAILED: " +
+            s"${e.getClass.getSimpleName}")
+          None
+      }
+    }
+    def balancedOr(cs: IndexedSeq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+      if (cs.size == 1) cs.head
+      else { val (l, r) = cs.splitAt(cs.size / 2); balancedOr(l) || balancedOr(r) }
+
+    val acFlagged = run("aho-corasick",
+      size(Blocklist.matches(col("text"), pats)) > 0)
+    // the left-fold OR every naive user writes first: linear expression
+    // DEPTH, so the analyzer/optimizer recursion dies with a
+    // StackOverflowError somewhere past ~256 patterns — the naive shape
+    // doesn't degrade at list size, it falls over
+    val naiveLeft = run("naive-contains-leftfold",
+      pats.map(p => col("text").contains(p)).reduce(_ || _))
+    // balanced OR tree (log depth) survives; still K passes over the text
+    val naiveBal = run("naive-contains-balanced",
+      balancedOr(pats.map(p => col("text").contains(p)).toIndexedSeq))
+    for (a <- acFlagged; n <- naiveLeft ++ naiveBal)
+      require(a == n, s"verdicts diverged: AC $a vs naive $n")
+    println(s"[stress] blocklist verdicts identical across surviving shapes: " +
+      s"${acFlagged.getOrElse(-1L)} flagged")
   }
 
   /** Z-order vs 1-D sort on the REAL events table: cluster

@@ -1052,6 +1052,65 @@ object SparkEntry {
       "FROM cass JOIN qp USING (bucket) WHERE cass.vec_id <> qp.query_id), " +
       topKSql("sc", topk)
 
+  /** Left-fold squared L2 distance of two DuckDB double-list expressions —
+    * the engine-portable rendering of `acc += (x - c) * (x - c)`.
+    */
+  private def l2Sql(a: String, b: String): String =
+    foldSumSql(s"[($a[i] - $b[i]) * ($a[i] - $b[i]) FOR i IN range(1, len($b) + 1)]")
+
+  /** DuckDB replay of the WHOLE product-quantization stack
+    * ([[graft.functions.Similarity.pqTopK]]): per-subspace plain-k-means
+    * fits (min-L2 assignment ties to the lowest code, means folded in
+    * vec_id order, empty cells keep their previous centroid), the corpus
+    * encode (per-subspace argmin over the trained codebook), and the ADC
+    * scoring (per-subspace sub-dots summed in subspace order through the
+    * same prepend-0.0 left fold the engine's aggregate() uses). One
+    * drifted double anywhere — a fit round, a code, a lookup — flips a
+    * rank and fails the hash.
+    */
+  private def pqOracle(dim: Int, m: Int, ksub: Int, sampleSize: Int,
+      iters: Int, topk: Int): String = {
+    require(dim % m == 0)
+    val subDim = dim / m
+    val meanElem = foldSumSql("list_transform(vs, x -> x[i])")
+    def slice(expr: String, mm: Int) =
+      s"$expr[${mm * subDim + 1}:${(mm + 1) * subDim}]"
+    val perSub = (0 until m).map { mm =>
+      val rounds = (1 to iters).map { it =>
+        s"pa$mm$it AS (SELECT vec_id, sv, cid FROM (" +
+          "SELECT s.vec_id, s.sv, c.cid, row_number() OVER (PARTITION BY s.vec_id " +
+          s"ORDER BY ${l2Sql("s.sv", "c.cv")} ASC, c.cid) AS rn " +
+          s"FROM sub$mm s CROSS JOIN pc$mm${it - 1} c) WHERE rn = 1), " +
+          s"pg$mm$it AS (SELECT cid, list(sv ORDER BY vec_id) AS vs FROM pa$mm$it GROUP BY cid), " +
+          s"pm$mm$it AS (SELECT cid, [$meanElem / len(vs) FOR i IN range(1, ${subDim + 1})] AS mv " +
+          s"FROM pg$mm$it), " +
+          s"pc$mm$it AS (SELECT p.cid, COALESCE(m.mv, p.cv) AS cv " +
+          s"FROM pc$mm${it - 1} p LEFT JOIN pm$mm$it m ON p.cid = m.cid)"
+      }.mkString(", ")
+      s"sub$mm AS (SELECT vec_id, ${slice("v", mm)} AS sv FROM samp), " +
+        s"pc${mm}0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, sv AS cv " +
+        s"FROM (SELECT vec_id, sv FROM sub$mm ORDER BY vec_id LIMIT $ksub)), " +
+        s"$rounds, " +
+        s"pe$mm AS (SELECT vec_id, cid AS code FROM (" +
+        "SELECT nv.vec_id, c.cid, row_number() OVER (PARTITION BY nv.vec_id " +
+        s"ORDER BY ${l2Sql(slice("nv.v", mm), "c.cv")} ASC, c.cid) AS rn " +
+        s"FROM nv CROSS JOIN pc$mm$iters c) WHERE rn = 1)"
+    }.mkString(", ")
+    val codeJoins = (0 until m).map(mm =>
+      s"JOIN pe$mm ON pe$mm.vec_id = b.vec_id " +
+        s"JOIN pc$mm$iters cb$mm ON cb$mm.cid = pe$mm.code").mkString(" ")
+    val subDots = (0 until m).map(mm =>
+      dotSql(slice("q0.qv", mm), s"cb$mm.cv")).mkString("[", ", ", "]")
+    s"WITH $normEmbCte, " +
+      s"samp AS (SELECT vec_id, v FROM nv ORDER BY vec_id LIMIT $sampleSize), " +
+      s"$perSub, " +
+      "q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id % 100 = 0), " +
+      "sc AS (SELECT q0.query_id, b.vec_id AS neighbor_id, " +
+      s"${foldSumSql(subDots)} AS score " +
+      s"FROM nv b $codeJoins CROSS JOIN q0 WHERE b.vec_id <> q0.query_id), " +
+      topKSql("sc", topk)
+  }
+
   /** Recall@k oracle: BOTH retrieval paths replayed — the trained-IVF
     * chain (fit CTEs + probe + cell scoring, verbatim from
     * [[ivfTrainedOracle]]) and the brute-force all-pairs ranking (verbatim
@@ -2035,6 +2094,21 @@ object SparkEntry {
       },
       Some(ivfRecallOracle(dim = 64, sampleSize = 256, centroids = 8,
         iters = 2, nprobe = 3, topk = 10))),
+
+    // PRODUCT QUANTIZATION top-k: 64-dim floats → 8 sub-codes (32× memory
+    // cut), search = code scan + per-query lookup tables (ADC). The
+    // memory-bound regime's ANN at 100 TB — the codes table fits where
+    // the raw vectors don't. Oracle replays all 8 per-subspace k-means
+    // fits, the corpus encode, and the LUT-equivalent sub-dot sums.
+    Q("q_sim_topk_pq",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+          k = 10, m = 8, ksub = 16, sampleSize = 256, iters = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some(pqOracle(dim = 64, m = 8, ksub = 16, sampleSize = 256,
+        iters = 2, topk = 10))),
 
     // Two-stage HYBRID retrieval: BM25 top-50 lexical candidates (stage 1,
     // corpus-wide but term-df-bounded) reranked by embedding cosine to a

@@ -327,6 +327,148 @@ object Similarity {
       .select(idCol, "bm25_rank", "cosine", "rank")
   }
 
+  /** PRODUCT QUANTIZATION top-k (FAISS IndexPQ semantics): vectors
+    * compress to `m` sub-codes — the 64-dim float corpus (256 B/vector)
+    * becomes m=8 bytes-ish of codes, a 32× memory cut — and search scans
+    * CODES with per-query lookup tables instead of raw floats. This is
+    * the memory-bound regime's answer at 100 TB: the codes table fits
+    * where the vectors don't, the scan reads m ints per row, and each
+    * row's approximate score is m table lookups + adds instead of a
+    * 64-mult dot product.
+    *
+    *  - TRAIN (driver-side, bounded sample like [[trainCentroids]]): the
+    *    vector space splits into `m` equal sub-spaces; each gets its own
+    *    `ksub`-centroid plain k-means (min-L2 assignment, ties to the
+    *    lowest code; means fold members in vec_id order; empty cells keep
+    *    their previous centroid) — all fold-left arithmetic, fully
+    *    engine-replayable.
+    *  - ENCODE (distributed, scan-side projection like
+    *    [[assignToCentroids]]): per sub-space argmin distance over the
+    *    literal codebook → `codes: array<int>`.
+    *  - SEARCH (asymmetric distance computation): per query the driver
+    *    precomputes LUT[m][k] = dot(q_sub_m, codebook_m[k]); the corpus
+    *    codes stream once and each row folds its m lookups left — the
+    *    approximate cosine. Exact on the quantized corpus, approximate on
+    *    the original; measure with [[recallAtK]].
+    *
+    * The DuckDB oracle replays the per-subspace fits, the corpus encode,
+    * and the LUT-equivalent sub-dot sums bit-for-bit.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, sampleSize: Int = 256, iters: Int = 2,
+      maxQueries: Int = 65536): DataFrame = {
+    val c = normalized(corpus)
+    val books = trainPqCodebooks(c, m, ksub, sampleSize, iters)
+    val subDim = books(0)(0).length
+    val codes = pqEncode(c, books)
+
+    val rawQ = asDouble(queries).limit(maxQueries + 1).collect()
+    require(rawQ.length <= maxQueries,
+      s"query set exceeds maxQueries=$maxQueries; batch it or raise the cap")
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val lutRows = rawQ.toSeq.flatMap { r =>
+      val id = r.getLong(0)
+      val v = r.getAs[scala.collection.Seq[Double]]("v").toArray
+      val nrm = math.sqrt(dotD(v, v))
+      if (nrm > 0) {
+        val qv = v.map(_ / nrm)
+        val lut = Array.tabulate(m * ksub) { i =>
+          dotD(qv.slice((i / ksub) * subDim, (i / ksub + 1) * subDim),
+            books(i / ksub)(i % ksub))
+        }
+        Some((id, lut.toSeq))
+      } else None
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val luts = lutRows.toDF("query_id", "lut")
+    val scored = codes.join(broadcast(luts), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (code, mm) => element_at(col("lut"),
+              (mm * ksub + code + 1).cast("int"))),
+          lit(0.0), (acc, x) => acc + x).as("score"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Per-subspace plain-k-means codebooks over the `sampleSize` lowest
+    * vec_ids — `books(m)(code)` is a subDim-vector. Deterministic: no RNG,
+    * fixed rounds, fold-left distances/means in pinned orders (the
+    * [[trainCentroids]] discipline, L2 flavor).
+    */
+  private[functions] def trainPqCodebooks(nv: DataFrame, m: Int, ksub: Int,
+      sampleSize: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val sample = nv.orderBy("vec_id").limit(sampleSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Double]]("v").toArray))
+      .sortBy(_._1)
+    require(sample.length >= ksub,
+      s"corpus sample ${sample.length} smaller than sub-codebook size $ksub")
+    val dim = sample.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m sub-spaces")
+    val subDim = dim / m
+
+    def distTo(x: Array[Double], c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < x.length) { val d = x(i) - c(i); acc += d * d; i += 1 }
+      acc
+    }
+
+    Array.tabulate(m) { mm =>
+      val subs = sample.map { case (_, v) => v.slice(mm * subDim, (mm + 1) * subDim) }
+      var cents = subs.take(ksub).map(_.clone())
+      for (_ <- 1 to iters) {
+        // min-L2 assignment, strict < keeps the LOWEST code on ties
+        val assign = subs.map { x =>
+          var best = 0; var bestD = distTo(x, cents(0))
+          var kk = 1
+          while (kk < ksub) {
+            val d = distTo(x, cents(kk))
+            if (d < bestD) { best = kk; bestD = d }
+            kk += 1
+          }
+          best
+        }
+        cents = Array.tabulate(ksub) { kk =>
+          val members = subs.indices.filter(assign(_) == kk).map(subs)
+          if (members.isEmpty) cents(kk)
+          else Array.tabulate(subDim) { i =>
+            var acc = 0.0
+            members.foreach(v => acc += v(i))
+            acc / members.length
+          }
+        }
+      }
+      cents
+    }
+  }
+
+  /** PQ codes of the normalized corpus: per sub-space argmin L2 distance
+    * over the literal codebook — a scan-side projection, no join, no
+    * shuffle (the [[assignToCentroids]] shape, m times).
+    */
+  private[functions] def pqEncode(nv: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val subDim = books(0)(0).length
+    def subDist(mm: Int, kk: Int): Column =
+      aggregate(
+        zip_with(slice(col("v"), mm * subDim + 1, subDim),
+          array(books(mm)(kk).map(lit).toIndexedSeq: _*),
+          (x, cc) => (x - cc) * (x - cc)),
+        lit(0.0), (acc, x) => acc + x)
+    val codeCols = (0 until m).map { mm =>
+      val dists = array((0 until books(mm).length).map(kk => subDist(mm, kk)): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    nv.select(col("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
   /** Recall@k of an approximate top-k result against the exact one — the
     * "measure, don't guess" evaluation operator for every ANN path here:
     * an IVF configuration claim (centroids/nprobe) is only as good as its

@@ -256,6 +256,38 @@ class BucketedSpec extends SparkSpec {
     }
   }
 
+  test("pq: ADC code search recovers structured neighbors; deterministic across runs") {
+    import graft.functions.Similarity
+    val rnd = new scala.util.Random(13)
+    val corpus = (0 until 48).map { i =>
+      val base = Array.fill(8)(0.05 + rnd.nextDouble() * 0.1)
+      base(i % 4) = 1.0 + rnd.nextDouble()
+      (i.toLong, base.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 12 === 0)
+    def run() = Similarity.pqTopK(corpus, queries, k = 5,
+      m = 4, ksub = 8, sampleSize = 32, iters = 2)
+      .orderBy("query_id", "rank")
+    val pq = run().collect().map(_.toSeq).toSeq
+    assert(pq == run().collect().map(_.toSeq).toSeq, "PQ must be deterministic")
+
+    // the claim a quantizer can honor: every retrieved neighbor belongs to
+    // the query's direction GROUP (vec_id % 4). Exact rank order within a
+    // group is decided by the small noise PQ deliberately quantizes away,
+    // so rank-recall against brute force is NOT the right assertion — group
+    // membership is.
+    val offGroup = pq.count { row =>
+      row(0).asInstanceOf[Long] % 4 != row(1).asInstanceOf[Long] % 4
+    }
+    assert(offGroup == 0, s"$offGroup of ${pq.size} PQ neighbors left the query's group")
+
+    // and quantization still carries SOME exact-rank signal (measured floor)
+    val recall = Similarity.recallAtK(run(),
+      Similarity.bruteForceTopK(corpus, queries, k = 5), k = 5)
+      .agg(avg($"recall")).head().getDouble(0)
+    assert(recall >= 0.2, s"PQ recall@5 collapsed: $recall")
+  }
+
   test("recallAtK: per-query hit fraction, zero-hit queries kept") {
     import graft.functions.Similarity
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L))

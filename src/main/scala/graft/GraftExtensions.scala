@@ -107,5 +107,10 @@ object GraftExtensions {
       "blocklist_matches(str, array('p1', ...)) - single-pass Aho-Corasick " +
         "screen; returns the patterns present, in pattern-list order",
       _ == 2, args => BlocklistMatchesExpr(args.head,
-        stringArrayArg(args(1), "blocklist_matches"))))
+        stringArrayArg(args(1), "blocklist_matches"))),
+    fn("blocklist_count",
+      "blocklist_count(str, array('p1', ...)) - total greedy non-overlapping " +
+        "occurrences across the pattern list, one pass",
+      _ == 2, args => BlocklistCountExpr(args.head,
+        stringArrayArg(args(1), "blocklist_count"))))
 }

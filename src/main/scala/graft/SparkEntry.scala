@@ -1950,12 +1950,17 @@ object SparkEntry {
     // BlockPatterns constant.
     Q("q_text_blocklist",
       (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("text"),
           graft.functions.Blocklist.matches(col("text"), BlockPatterns).as("m"))
         .select(col("doc_id"),
           size(col("m")).cast("long").as("n_flagged"),
           get(col("m"), lit(0)).as("first_match"),
-          (size(col("m")) > 0).as("blocked"))
+          (size(col("m")) > 0).as("blocked"),
+          // total greedy non-overlapping occurrences — the severity signal
+          // (one hit vs fifty); semantics chosen = replace()-arithmetic so
+          // the oracle replays it with string builtins
+          graft.functions.Blocklist.countMatches(col("text"), BlockPatterns)
+            .as("n_hits"))
         .orderBy("doc_id"),
       Some("SELECT doc_id, " +
         "CAST(" + BlockPatterns.map(p =>
@@ -1964,7 +1969,11 @@ object SparkEntry {
         "COALESCE(" + BlockPatterns.map(p =>
           s"CASE WHEN ${blockHitSql(p)} THEN '$p' END").mkString(", ") +
         ") AS first_match, " +
-        "(" + BlockPatterns.map(blockHitSql).mkString(" OR ") + ") AS blocked " +
+        "(" + BlockPatterns.map(blockHitSql).mkString(" OR ") + ") AS blocked, " +
+        "CAST(" + BlockPatterns.map(p =>
+          s"((length(text) - length(replace(text, '$p', ''))) // ${p.length})")
+          .mkString(" + ") +
+        " AS BIGINT) AS n_hits " +
         "FROM documents ORDER BY doc_id")),
 
     // WINSORIZED per-source stats — robust corpus reporting: exact

@@ -40,6 +40,19 @@ object Blocklist {
       org.apache.spark.sql.graft.bridge.expression(text), patterns.toArray))
   }
 
+  /** Total OCCURRENCE count across the pattern list — greedy leftmost
+    * non-overlapping per pattern (each pattern counted independently),
+    * which is exactly the count `replace(text, p, '')` length arithmetic
+    * yields, so the DuckDB oracle replays it with string builtins. Same
+    * single pass as [[matches]].
+    */
+  def countMatches(text: Column, patterns: Seq[String]): Column = {
+    require(patterns.nonEmpty, "blocklist needs at least one pattern")
+    require(patterns.forall(_.nonEmpty), "empty blocklist pattern")
+    org.apache.spark.sql.graft.bridge.column(BlocklistCountExpr(
+      org.apache.spark.sql.graft.bridge.expression(text), patterns.toArray))
+  }
+
   /** Per-thread automaton memo keyed by pattern-array IDENTITY (the
     * [[Bpe.encodeWords]] cache pattern): the automaton builds once per
     * task thread per expression instance, never per row, and concurrent
@@ -50,10 +63,7 @@ object Blocklist {
   }
   private val MaxCachedAutomata = 8
 
-  /** Static kernel behind [[BlocklistMatchesExpr]] — called from both
-    * interpreted eval and generated code.
-    */
-  def matchedPatterns(text: UTF8String, patterns: Array[String]): ArrayData = {
+  private def automaton(patterns: Array[String]): Automaton = {
     val cache = automata.get()
     var ac = cache.get(patterns)
     if (ac == null) {
@@ -61,7 +71,14 @@ object Blocklist {
       ac = new Automaton(patterns)
       cache.put(patterns, ac)
     }
-    val hit = ac.scan(text.toString)
+    ac
+  }
+
+  /** Static kernel behind [[BlocklistMatchesExpr]] — called from both
+    * interpreted eval and generated code.
+    */
+  def matchedPatterns(text: UTF8String, patterns: Array[String]): ArrayData = {
+    val hit = automaton(patterns).scan(text.toString)
     val out = new scala.collection.mutable.ArrayBuffer[AnyRef](4)
     var i = 0
     while (i < patterns.length) {
@@ -70,6 +87,10 @@ object Blocklist {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** Static kernel behind [[BlocklistCountExpr]]. */
+  def countOccurrences(text: UTF8String, patterns: Array[String]): Long =
+    automaton(patterns).countScan(text.toString)
 
   /** Aho-Corasick goto/fail/output automaton over UTF-16 code units.
     * Matching on code units is exact for literal containment: a pattern
@@ -144,6 +165,39 @@ object Blocklist {
       }
       hit
     }
+
+    /** One pass over `text`; total greedy-leftmost NON-OVERLAPPING
+      * occurrences across all patterns (each counted independently). A
+      * match of pattern p ending at 1-based position e counts iff its
+      * start exceeds p's previous counted end — the same leftmost-greedy
+      * rule string `replace` applies, so `(len(t) - len(replace(t, p,
+      * ''))) / len(p)` replays the per-pattern count exactly.
+      */
+    def countScan(text: String): Long = {
+      val lastEnd = new Array[Int](patterns.length)
+      var total = 0L
+      var node = 0
+      var i = 0
+      val n = text.length
+      while (i < n) {
+        val c = text.charAt(i)
+        var next = children(node).get(c)
+        while (next == null && node != 0) {
+          node = fail(node)
+          next = children(node).get(c)
+        }
+        if (next != null) node = next.intValue()
+        val ending = out(node)
+        var pid = ending.nextSetBit(0)
+        while (pid >= 0) {
+          val start = i + 2 - patterns(pid).length // 1-based match start
+          if (start > lastEnd(pid)) { total += 1; lastEnd(pid) = i + 1 }
+          pid = ending.nextSetBit(pid + 1)
+        }
+        i += 1
+      }
+      total
+    }
   }
 }
 
@@ -176,4 +230,34 @@ case class BlocklistMatchesExpr(child: Expression, patterns: Array[String])
     copy(child = newChild)
 
   override def prettyName: String = "blocklist_matches"
+}
+
+/** Total greedy-leftmost non-overlapping occurrence count across the
+  * pattern list, one pass per row ([[BlocklistMatchesExpr]]'s counting
+  * sibling).
+  */
+case class BlocklistCountExpr(child: Expression, patterns: Array[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"blocklist_count needs string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Blocklist.countOccurrences(input.asInstanceOf[UTF8String], patterns)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("patterns", patterns, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Blocklist.countOccurrences($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BlocklistCountExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "blocklist_count"
 }

@@ -54,6 +54,27 @@ class BlocklistSpec extends SparkSpec {
     assert(rows(1).isNullAt(0))
   }
 
+  test("countMatches = greedy leftmost non-overlapping indexOf count (replace semantics)") {
+    // the naive reference every oracle uses: repeated indexOf with the
+    // cursor jumping past each counted match
+    def refCount(t: String, p: String): Long = {
+      var c = 0L; var i = t.indexOf(p)
+      while (i >= 0) { c += 1; i = t.indexOf(p, i + p.length) }
+      c
+    }
+    val rnd = new scala.util.Random(7)
+    def randStr(n: Int) = Seq.fill(n)("abc" (rnd.nextInt(3))).mkString
+    // self-overlapping patterns are where greedy-vs-all-ends diverges —
+    // "aa" in "aaaa" must count 2 (replace semantics), not 3 (AC ends)
+    val pats = (Seq("aa", "aba", "a", "bb", "cabc") ++
+      Seq.fill(6)(randStr(1 + rnd.nextInt(3)))).distinct
+    val texts = Seq("aaaa", "ababab", "") ++ Seq.fill(300)(randStr(rnd.nextInt(40)))
+    val got = texts.toDF("text")
+      .select(Blocklist.countMatches(col("text"), pats).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === texts.map(t => pats.map(p => refCount(t, p)).sum))
+  }
+
   test("SQL surface: blocklist_matches registered via GraftExtensions") {
     GraftExtensions.register(spark)
     val m = spark.sql(

@@ -137,6 +137,45 @@ object SparkEntry {
       },
       Some(segSql("value > 300"))),
 
+    // Segment GROWTH over runs: the run-history table (beyond-parity
+    // observability — the reference catalog keeps only the latest
+    // row_count, so size-over-time is unqueryable there). One rule runs at
+    // three timestamps with its conditions PUT-updated between runs; the
+    // output is the recorded (refreshed_at, row_count) series, and the
+    // oracle recomputes each run's expected count from the corpus under
+    // that run's condition — certifying both the history plumbing and the
+    // re-planned materializations behind it.
+    Q("q_store_history",
+      (s, d) => {
+        val whDir = java.nio.file.Files.createTempDirectory("graft_verify_hist")
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          scala.util.Try {
+            java.nio.file.Files.walk(whDir)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          }))
+        val store = new graft.sources.SegmentStore(s, whDir.toString)
+        val runner = new SegmentRunner(store, () => Tables.transactions(s, d))
+        val (id, _) = runner.createRule("hist",
+          Seq(Condition("transaction_amount", ">", "300")))
+        runner.run(id, "2026-01-01T00:00:00Z")
+        runner.updateRule(id, Seq(Condition("transaction_amount", ">", "500")))
+        runner.run(id, "2026-01-02T00:00:00Z")
+        runner.updateRule(id, Seq(Condition("transaction_amount", ">", "100")))
+        runner.run(id, "2026-01-03T00:00:00Z")
+        store.runHistory().filter(col("rule_id") === id)
+          .select(col("refreshed_at"), col("row_count"))
+          .orderBy("refreshed_at")
+      },
+      Some({
+        def cnt(cond: String) = s"(SELECT count(*) FROM (${segCte(cond)}))"
+        "SELECT * FROM (VALUES " +
+          s"('2026-01-01T00:00:00Z', CAST(${cnt("value > 300")} AS BIGINT)), " +
+          s"('2026-01-02T00:00:00Z', CAST(${cnt("value > 500")} AS BIGINT)), " +
+          s"('2026-01-03T00:00:00Z', CAST(${cnt("value > 100")} AS BIGINT))" +
+          ") AS t(refreshed_at, row_count) ORDER BY refreshed_at"
+      })),
+
     // All conditions malformed ⇒ silently skipped ⇒ all-users segment
     // (SURVEY Q10; reference rule_parser.py:46-58).
     Q("q_seg_vacuous_conditions",

@@ -146,6 +146,8 @@ final class SegmentRunner(
     // probing emptiness first would execute the whole DAG twice.
     val n = store.write(ruleId, result)
     store.updateMetadata(ruleId, n, refreshedAt)
+    // growth-over-runs observability (the catalog keeps only the latest)
+    store.appendRunHistory(ruleId, refreshedAt, n)
     n
   }
 

@@ -250,6 +250,36 @@ final class SegmentStore(spark: SparkSession, warehouse: String) {
     withCatalogLock(saveCatalogLocked(
       loadCatalog().filterNot(_.ruleId == ruleId)))
 
+  // ---- run history -----------------------------------------------------------
+  //
+  // Beyond-parity observability: every materialization appends one
+  // (rule_id, refreshed_at, row_count) row, so segment GROWTH over runs is
+  // a queryable table instead of a lost log line (the reference's catalog
+  // keeps only the latest row_count). Append-only parquet: each run writes
+  // a fresh file, so no catalog lock is needed — concurrent runners never
+  // touch each other's files, and readers only see committed files. At
+  // production run rates the directory accretes small files; that is the
+  // standard table-maintenance story ([[Tables.compact]] on a cadence).
+
+  private val historyPath = s"$warehouse/_history"
+
+  def appendRunHistory(ruleId: Long, refreshedAt: String, rowCount: Long): Unit = {
+    import spark.implicits._
+    Seq(RunHistoryEntry(ruleId, refreshedAt, rowCount)).toDS()
+      .coalesce(1).write.mode(SaveMode.Append).parquet(historyPath)
+  }
+
+  /** All recorded runs (empty frame with the canonical schema when no run
+    * has ever been recorded). Filter by rule_id / order by refreshed_at at
+    * the call site — it is a plain DataFrame.
+    */
+  def runHistory(): DataFrame = {
+    import spark.implicits._
+    val (f, p) = fs(historyPath)
+    if (!f.exists(p)) spark.emptyDataset[RunHistoryEntry].toDF()
+    else spark.read.parquet(historyPath)
+  }
+
   // ---- rollup registry -------------------------------------------------------
   //
   // Materialized rollups (Rollups.userWindows output) registered so the
@@ -324,6 +354,11 @@ object SegmentStore {
   * windows (period_days values) it materializes.
   */
 case class RollupEntry(name: String, path: String, periods: Seq[Int])
+
+/** One recorded materialization (run-history row). Top-level so Spark can
+  * derive an Encoder for it.
+  */
+case class RunHistoryEntry(rule_id: Long, refreshed_at: String, row_count: Long)
 
 /** Catalog row flattened for parquet; conditions round-trip through a
   * compact escaped encoding (ConditionCodec). Top-level so Spark can derive

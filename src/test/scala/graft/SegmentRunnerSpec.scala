@@ -234,6 +234,24 @@ class SegmentRunnerSpec extends SparkSpec {
     assert(store.read(id3).count() >= 1L)
   }
 
+  test("run history records every materialization, including empty ones") {
+    val dir = Files.createTempDirectory("graft_runner_hist").toString
+    val store = new SegmentStore(spark, dir)
+    val runner = new SegmentRunner(store, tx)
+    assert(store.runHistory().count() === 0L, "fresh store has empty history")
+    val (id, _) = runner.createRule("h", Seq(cAmount))
+    runner.run(id, "2026-08-12T00:00:00Z")
+    runner.run(id, "2026-08-12T01:00:00Z")
+    runner.updateRule(id, Seq(Condition("transaction_amount", ">", "99999")))
+    runner.run(id, "2026-08-12T02:00:00Z") // empty segment still recorded
+    val h = store.runHistory().orderBy("refreshed_at").collect()
+      .map(r => (r.getAs[String]("refreshed_at"), r.getAs[Long]("row_count")))
+    assert(h.toSeq === Seq(
+      ("2026-08-12T00:00:00Z", 2L),
+      ("2026-08-12T01:00:00Z", 2L),
+      ("2026-08-12T02:00:00Z", 0L)))
+  }
+
   test("updateRule re-detects excluding self (R7)") {
     val dir = Files.createTempDirectory("graft_runner3").toString
     val store = new SegmentStore(spark, dir)

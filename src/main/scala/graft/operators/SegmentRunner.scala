@@ -56,7 +56,8 @@ final class SegmentRunner(
     val entry = plan match {
       case SegmentPlan.Base(cs) =>
         SegmentCatalogEntry(id, name, s"segment_output_$id", cs, Nil, None,
-          schedule = schedule, isActive = isActive)
+          schedule = schedule, isActive = isActive,
+          sqlQuery = Some(ReferenceSql.generateSegmentSql(cs)))
       case SegmentPlan.Compound(parents, op, residual) =>
         SegmentCatalogEntry(id, name, s"segment_output_$id", residual,
           parents, Some(op.toString.toLowerCase),
@@ -122,7 +123,7 @@ final class SegmentRunner(
       else plan match {
         case SegmentPlan.Base(cs) =>
           e.copy(conditions = cs, dependsOn = Nil, operation = None,
-            sqlQuery = None)
+            sqlQuery = Some(ReferenceSql.generateSegmentSql(cs)))
         case SegmentPlan.Compound(parents, op, residual) =>
           e.copy(conditions = residual, dependsOn = parents,
             operation = Some(op.toString.toLowerCase),

@@ -213,16 +213,20 @@ class SegmentRunnerSpec extends SparkSpec {
     assert(p3.isInstanceOf[SegmentPlan.Compound])
 
     // create path: compound rules carry the reference's literal sentinel,
-    // base rules carry none — and it survives the parquet round-trip
+    // base rules the reference's generated display SQL — and both survive
+    // the parquet round-trip
     val cat = store.loadCatalog()
-    assert(cat.find(_.ruleId == id1).get.sqlQuery.isEmpty)
+    assert(cat.find(_.ruleId == id1).get.sqlQuery
+      .exists(_.contains("WHERE amount > '500'")))
     assert(cat.find(_.ruleId == id3).get.sqlQuery
       .contains("COMPOUND_OPERATION:intersection"))
 
-    // PUT back to base clears it; PUT into compound re-sets it
+    // PUT back to base regenerates the display SQL; PUT into compound
+    // re-sets the sentinel
     assert(runner.updateRule(id3,
       Seq(Condition("transaction_amount", ">", "99999"))).isInstanceOf[SegmentPlan.Base])
-    assert(store.loadCatalog().find(_.ruleId == id3).get.sqlQuery.isEmpty)
+    assert(store.loadCatalog().find(_.ruleId == id3).get.sqlQuery
+      .exists(_.contains("WHERE amount > '99999'")))
     assert(runner.updateRule(id3, Seq(cAmount, cTier))
       .isInstanceOf[SegmentPlan.Compound])
     assert(store.loadCatalog().find(_.ruleId == id3).get.sqlQuery
@@ -232,6 +236,34 @@ class SegmentRunnerSpec extends SparkSpec {
     // off its structured fields (Q5)
     runner.runAll("2026-08-12T00:00:00Z")
     assert(store.read(id3).count() >= 1L)
+  }
+
+  test("base-rule display SQL matches the reference's generated text exactly (rule_parser.py:96)") {
+    import graft.operators.ReferenceSql
+    val sql = ReferenceSql.generateSegmentSql(Seq(
+      Condition("transaction_amount", ">", "500"),
+      Condition.between("transaction_date", "2025-06-01", "2025-06-30"),
+      Condition.in("city_tier", Seq("1", "2")),
+      Condition("total_spend", ">=", "1000"),
+      Condition("transaction_count", ">", "5"),
+      Condition("no_such_field", ">", "1"),     // unknown field → skipped
+      Condition("transaction_amount", "LIKE", "x"))) // bad operator → skipped
+    assert(sql ===
+      "WITH all_transactions AS ( SELECT user_id, amount, transaction_date, " +
+        "category, city_tier, 'UPI' as transaction_type FROM upi_transactions_raw " +
+        "UNION ALL SELECT user_id, amount, transaction_date, category, city_tier, " +
+        "'CREDIT_CARD' as transaction_type FROM credit_card_transactions_raw ), " +
+        "filtered_transactions AS ( SELECT * FROM all_transactions " +
+        "WHERE amount > '500' AND transaction_date BETWEEN '2025-06-01' AND '2025-06-30' " +
+        "AND city_tier IN ('1', '2') ) " +
+        "SELECT ft.user_id, COUNT(ft.user_id) as total_transactions, " +
+        "SUM(ft.amount) as total_spent, " +
+        "GROUP_CONCAT(DISTINCT ft.transaction_type) as transaction_types " +
+        "FROM filtered_transactions ft GROUP BY ft.user_id " +
+        "HAVING SUM(amount) >= '1000' AND COUNT(user_id) > '5'")
+    // no conditions → both clauses empty, template otherwise intact
+    assert(ReferenceSql.generateSegmentSql(Nil)
+      .endsWith("FROM filtered_transactions ft GROUP BY ft.user_id"))
   }
 
   test("run history records every materialization, including empty ones") {

@@ -1107,14 +1107,21 @@ object SparkEntry {
     * drifted double anywhere — a fit round, a code, a lookup — flips a
     * rank and fails the hash.
     */
-  private def pqOracle(dim: Int, m: Int, ksub: Int, sampleSize: Int,
-      iters: Int, topk: Int): String = {
+  private def pqSlice(dim: Int, m: Int)(expr: String, mm: Int): String = {
+    val subDim = dim / m
+    s"$expr[${mm * subDim + 1}:${(mm + 1) * subDim}]"
+  }
+
+  /** The per-subspace PQ fit + corpus-encode CTE chain (`sub<m>`,
+    * `pc<m><it>`, `pe<m>`), assuming `nv` and `samp` are already defined —
+    * shared by the plain-PQ and IVF+PQ oracles.
+    */
+  private def pqSubCtes(dim: Int, m: Int, ksub: Int, iters: Int): String = {
     require(dim % m == 0)
     val subDim = dim / m
+    val slice = pqSlice(dim, m) _
     val meanElem = foldSumSql("list_transform(vs, x -> x[i])")
-    def slice(expr: String, mm: Int) =
-      s"$expr[${mm * subDim + 1}:${(mm + 1) * subDim}]"
-    val perSub = (0 until m).map { mm =>
+    (0 until m).map { mm =>
       val rounds = (1 to iters).map { it =>
         s"pa$mm$it AS (SELECT vec_id, sv, cid FROM (" +
           "SELECT s.vec_id, s.sv, c.cid, row_number() OVER (PARTITION BY s.vec_id " +
@@ -1135,18 +1142,55 @@ object SparkEntry {
         s"ORDER BY ${l2Sql(slice("nv.v", mm), "c.cv")} ASC, c.cid) AS rn " +
         s"FROM nv CROSS JOIN pc$mm$iters c) WHERE rn = 1)"
     }.mkString(", ")
+  }
+
+  /** The PQ code joins + ADC score fragment shared by both PQ oracles:
+    * join each `pe<m>` code and its `pc<m><iters>` centroid, score = the
+    * prepend-0.0 left fold over the per-subspace sub-dots (the engine's
+    * aggregate() order).
+    */
+  private def pqScore(dim: Int, m: Int, iters: Int,
+      corpusAlias: String, queryAlias: String): (String, String) = {
+    val slice = pqSlice(dim, m) _
     val codeJoins = (0 until m).map(mm =>
-      s"JOIN pe$mm ON pe$mm.vec_id = b.vec_id " +
+      s"JOIN pe$mm ON pe$mm.vec_id = $corpusAlias.vec_id " +
         s"JOIN pc$mm$iters cb$mm ON cb$mm.cid = pe$mm.code").mkString(" ")
     val subDots = (0 until m).map(mm =>
-      dotSql(slice("q0.qv", mm), s"cb$mm.cv")).mkString("[", ", ", "]")
+      dotSql(slice(s"$queryAlias.qv", mm), s"cb$mm.cv")).mkString("[", ", ", "]")
+    (codeJoins, foldSumSql(subDots))
+  }
+
+  private def pqOracle(dim: Int, m: Int, ksub: Int, sampleSize: Int,
+      iters: Int, topk: Int): String = {
+    val (codeJoins, score) = pqScore(dim, m, iters, "b", "q0")
     s"WITH $normEmbCte, " +
       s"samp AS (SELECT vec_id, v FROM nv ORDER BY vec_id LIMIT $sampleSize), " +
-      s"$perSub, " +
+      s"${pqSubCtes(dim, m, ksub, iters)}, " +
       "q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id % 100 = 0), " +
-      "sc AS (SELECT q0.query_id, b.vec_id AS neighbor_id, " +
-      s"${foldSumSql(subDots)} AS score " +
+      s"sc AS (SELECT q0.query_id, b.vec_id AS neighbor_id, $score AS score " +
       s"FROM nv b $codeJoins CROSS JOIN q0 WHERE b.vec_id <> q0.query_id), " +
+      topKSql("sc", topk)
+  }
+
+  /** IVF+PQ oracle: the coarse trained-IVF chain ([[ivfFitCte]] through
+    * `cass`) supplies cell pruning, the PQ chain supplies code scoring —
+    * only the probed cells' codes are scored, the real FAISS-IVFPQ access
+    * shape (minus residual encoding — codes quantize the raw vectors, the
+    * ScaNN-style variant; see [[graft.functions.Similarity.ivfPqTopK]]).
+    */
+  private def ivfPqOracle(dim: Int, sampleSize: Int, centroids: Int,
+      m: Int, ksub: Int, iters: Int, nprobe: Int, topk: Int): String = {
+    val (codeJoins, score) = pqScore(dim, m, iters, "b", "qp")
+    ivfFitCte(dim, sampleSize, centroids, iters) + ", " +
+      s"${pqSubCtes(dim, m, ksub, iters)}, " +
+      "q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id % 100 = 0), " +
+      "qp AS (SELECT query_id, qv, cid AS bucket FROM (" +
+      "SELECT q.query_id, q.qv, c.cid, row_number() OVER (PARTITION BY q.query_id " +
+      s"ORDER BY ${dotSql("q.qv", "c.cv")} DESC, c.cid) AS rn " +
+      s"FROM q0 q CROSS JOIN c$iters c) WHERE rn <= $nprobe), " +
+      s"sc AS (SELECT qp.query_id, b.vec_id AS neighbor_id, $score AS score " +
+      s"FROM cass b JOIN qp USING (bucket) $codeJoins " +
+      "WHERE b.vec_id <> qp.query_id), " +
       topKSql("sc", topk)
   }
 
@@ -2157,6 +2201,22 @@ object SparkEntry {
       },
       Some(pqOracle(dim = 64, m = 8, ksub = 16, sampleSize = 256,
         iters = 2, topk = 10))),
+
+    // IVF + PQ composed: coarse cells prune the scan to nprobe/centroids
+    // of the corpus, PQ codes + lookup tables score what remains — the
+    // production ANN shape (IO fraction and per-row arithmetic both drop).
+    // The oracle composes both fit chains verbatim and scores only the
+    // probed cells' codes.
+    Q("q_sim_topk_ivfpq",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+          k = 10, centroids = 8, nprobe = 3, m = 8, ksub = 16,
+          sampleSize = 256, iters = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfPqOracle(dim = 64, sampleSize = 256, centroids = 8,
+        m = 8, ksub = 16, iters = 2, nprobe = 3, topk = 10))),
 
     // Two-stage HYBRID retrieval: BM25 top-50 lexical candidates (stage 1,
     // corpus-wide but term-df-bounded) reranked by embedding cosine to a

@@ -448,12 +448,11 @@ object Similarity {
     }
   }
 
-  /** PQ codes of the normalized corpus: per sub-space argmin L2 distance
-    * over the literal codebook — a scan-side projection, no join, no
-    * shuffle (the [[assignToCentroids]] shape, m times).
+  /** The `codes` column expression: per sub-space argmin L2 distance over
+    * the literal codebook — evaluates inside the scan like
+    * [[centroidScores]], m times.
     */
-  private[functions] def pqEncode(nv: DataFrame,
-      books: Array[Array[Array[Double]]]): DataFrame = {
+  private def pqCodes(books: Array[Array[Array[Double]]]): Column = {
     val m = books.length
     val subDim = books(0)(0).length
     def subDist(mm: Int, kk: Int): Column =
@@ -466,7 +465,80 @@ object Similarity {
       val dists = array((0 until books(mm).length).map(kk => subDist(mm, kk)): _*)
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
-    nv.select(col("vec_id"), array(codeCols: _*).as("codes"))
+    array(codeCols: _*)
+  }
+
+  /** PQ codes of the normalized corpus: a scan-side projection, no join,
+    * no shuffle (the [[assignToCentroids]] shape, m times).
+    */
+  private[functions] def pqEncode(nv: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame =
+    nv.select(col("vec_id"), pqCodes(books).as("codes"))
+
+  /** IVF + PQ composed — the production ANN shape at 100 TB: the trained
+    * coarse quantizer prunes the search to `nprobe` of `centroids` cells
+    * ([[ivfTrainedTopK]]), and WITHIN the probed cells rows are scored
+    * from their PQ codes via per-query lookup tables ([[pqTopK]]) instead
+    * of raw floats. Cost per query: nprobe/centroids of the corpus read as
+    * m-int code rows — both the IO fraction and the per-row arithmetic
+    * drop at once. Both quantizers train on the same deterministic sample;
+    * codes quantize the RAW (normalized) vectors, not cell residuals —
+    * the ScaNN-style variant of FAISS's IVFPQ, which keeps the encode a
+    * cell-independent projection (residual codes would couple every code
+    * to its cell assignment and force re-encoding on any re-centering).
+    * Approximation quality is measurable with [[recallAtK]].
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Int = 8, nprobe: Int = 3, m: Int = 8, ksub: Int = 16,
+      sampleSize: Int = 256, iters: Int = 2,
+      maxQueries: Int = 65536): DataFrame = {
+    val c = normalized(corpus)
+    val cents = trainCentroids(c, centroids, sampleSize, iters)
+    val books = trainPqCodebooks(c, m, ksub, sampleSize, iters)
+    val subDim = books(0)(0).length
+    // one corpus scan projects BOTH the cell and the codes
+    val enc = assignToCentroids(c, cents)
+      .select(col("vec_id"), col("cluster").as("bucket"), pqCodes(books).as("codes"))
+
+    // driver-side probe selection + LUTs, same arithmetic as the oracle's
+    // qp CTE and the pqTopK LUTs (the annSearchIndexed contract)
+    val rawQ = asDouble(queries).limit(maxQueries + 1).collect()
+    require(rawQ.length <= maxQueries,
+      s"query set exceeds maxQueries=$maxQueries; batch it or raise the cap")
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val probeRows = rawQ.toSeq.flatMap { r =>
+      val id = r.getLong(0)
+      val v = r.getAs[scala.collection.Seq[Double]]("v").toArray
+      val nrm = math.sqrt(dotD(v, v))
+      if (nrm > 0) {
+        val qv = v.map(_ / nrm)
+        val lut = Array.tabulate(m * ksub) { i =>
+          dotD(qv.slice((i / ksub) * subDim, (i / ksub + 1) * subDim),
+            books(i / ksub)(i % ksub))
+        }.toSeq
+        cents.zipWithIndex
+          .map { case (cv, cid) => (dotD(qv, cv), cid) }
+          .sortBy { case (s, cid) => (-s, cid) }
+          .take(nprobe)
+          .map { case (_, cid) => (id, cid, lut) }
+      } else Nil
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val probes = probeRows.toDF("query_id", "bucket", "lut")
+    val scored = enc.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (code, mm) => element_at(col("lut"),
+              (mm * ksub + code + 1).cast("int"))),
+          lit(0.0), (acc, x) => acc + x).as("score"))
+    topKPerQuery(scored, k)
   }
 
   /** Recall@k of an approximate top-k result against the exact one — the

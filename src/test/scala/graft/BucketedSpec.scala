@@ -288,6 +288,26 @@ class BucketedSpec extends SparkSpec {
     assert(recall >= 0.2, s"PQ recall@5 collapsed: $recall")
   }
 
+  test("ivf+pq: cell-pruned code search stays group-faithful and deterministic") {
+    import graft.functions.Similarity
+    val rnd = new scala.util.Random(17)
+    val corpus = (0 until 48).map { i =>
+      val base = Array.fill(8)(0.05 + rnd.nextDouble() * 0.1)
+      base(i % 4) = 1.0 + rnd.nextDouble()
+      (i.toLong, base.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 12 === 0)
+    def run() = Similarity.ivfPqTopK(corpus, queries, k = 5,
+      centroids = 4, nprobe = 2, m = 4, ksub = 8, sampleSize = 32, iters = 2)
+      .orderBy("query_id", "rank")
+    val r = run().collect().map(_.toSeq).toSeq
+    assert(r.nonEmpty && r == run().collect().map(_.toSeq).toSeq)
+    val offGroup = r.count { row =>
+      row(0).asInstanceOf[Long] % 4 != row(1).asInstanceOf[Long] % 4
+    }
+    assert(offGroup == 0, s"$offGroup of ${r.size} IVF+PQ neighbors left the query's group")
+  }
+
   test("recallAtK: per-query hit fraction, zero-hit queries kept") {
     import graft.functions.Similarity
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L))

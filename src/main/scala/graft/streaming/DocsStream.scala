@@ -61,6 +61,17 @@ object DocsStream {
       TextAnalysis.langId(col("text")).as("lang"))
       .filter(col("quality_score") >= minQuality)
 
+  /** Stateless BLOCKLIST gate: drop documents containing any listed
+    * phrase — the same single-pass Aho-Corasick expression as the batch
+    * path ([[graft.functions.Blocklist.countMatches]]). A per-document
+    * function only, so micro-batch boundaries cannot change any decision
+    * and stream ≡ batch exactly (StreamingSpec asserts it).
+    */
+  def blocklistStream(docs: DataFrame, patterns: Seq[String],
+      textCol: String = "text"): DataFrame =
+    docs.filter(
+      graft.functions.Blocklist.countMatches(col(textCol), patterns) === 0)
+
   /** Streaming CURATION gate: every micro-batch runs the same composite
     * C4/Gopher verdict as batch [[TextAnalysis.filterVerdict]] and writes
     * the surviving documents (with their verdict stats) to a parquet

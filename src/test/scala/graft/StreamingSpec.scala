@@ -213,6 +213,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("blocklist gate is stateless: stream output == batch output") {
+    import graft.streaming.DocsStream
+    implicit val sqlCtx = spark.sqlContext
+    val pats = Seq("bad phrase", "forbidden")
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a clean document"),
+      (2L, ts("2024-01-01 10:01:00"), "contains a bad phrase right here"),
+      (3L, ts("2024-01-01 10:02:00"), "also clean"),
+      (4L, ts("2024-01-01 10:03:00"), "strictly forbidden content"))
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      DocsStream.blocklistStream(df, pats).select("doc_id")
+    val batchOut = gate(rows.toDF("doc_id", "ts", "text"))
+      .collect().map(_.getLong(0)).toSeq
+
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = gate(in.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("blocklist_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val streamOut = spark.table("blocklist_stream")
+        .collect().map(_.getLong(0)).toSeq
+      assert(streamOut.sorted == batchOut.sorted && batchOut.sorted == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("continuous segment equals batch materialization for the same data") {
     import graft.model.Condition
     import graft.streaming.SegmentStream

@@ -96,6 +96,28 @@ object Bpe {
       .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("freq"))
   }
 
+  /** Persist a trained merge table as a tiny parquet artifact — the
+    * tokenizer is trained ONCE over the corpus and every later encode job
+    * (batch or streaming) loads the artifact instead of retraining: at
+    * 100 TB the training scan is the expensive step and the artifact is
+    * KBs. Rank order is the table's semantics, so [[loadMerges]] restores
+    * it sorted.
+    */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge], path: String): Unit = {
+    import spark.implicits._
+    merges.toDS().coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Load a [[saveMerges]] artifact, rank-sorted and ready for
+    * [[encode]]. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Merge] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[Merge].collect().toSeq.sortBy(_.rank)
+  }
+
   def learnMerges(docs: DataFrame, numMerges: Int,
       textCol: String = "text", minPairFreq: Long = 2L,
       checkpointDir: Option[String] = None)

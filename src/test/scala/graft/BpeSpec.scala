@@ -36,6 +36,22 @@ class BpeSpec extends SparkSpec {
     hist.unpersist()
   }
 
+  test("merge table persists and reloads rank-sorted (the tokenizer artifact)") {
+    val (merges, hist) = Bpe.learnMerges(paperCorpus, numMerges = 5)
+    hist.unpersist()
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_artifact").toString
+    Bpe.saveMerges(spark, merges, dir)
+    val back = Bpe.loadMerges(spark, dir)
+    assert(back === merges, "artifact round-trip must be lossless and rank-sorted")
+    // the reloaded table drives encode identically to the in-memory one
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val enc = Seq("lowest").toDF("w")
+      .select(Bpe.encode(split(col("w"), " "), back).as("sub"))
+      .head().getSeq[String](0)
+    assert(enc === Seq("low", "est</w>"))
+  }
+
   test("pair frequencies: exact corpus counts with end marker") {
     val pf = Bpe.pairFrequencies(Bpe.wordHistogram(paperCorpus))
       .as[(String, String, Long)].collect()

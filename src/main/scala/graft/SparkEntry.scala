@@ -2218,6 +2218,23 @@ object SparkEntry {
       Some(ivfPqOracle(dim = 64, sampleSize = 256, centroids = 8,
         m = 8, ksub = 16, iters = 2, nprobe = 3, topk = 10))),
 
+    // IVF cell-balance report: per trained cell, member count / id range /
+    // corpus share — probe cost IS share summed over probed cells, so a
+    // skewed fit silently inflates every search; this query makes that
+    // drift a number (the re-fit cadence signal). The oracle replays the
+    // fit + assignment and the integer-exact share division.
+    Q("q_sim_cell_stats",
+      (s, d) => Similarity.cellStats(Tables.embeddings(s, d),
+          centroids = 8, sampleSize = 256, iters = 2)
+        .orderBy("cluster"),
+      Some(ivfFitCte(dim = 64, sampleSize = 256, centroids = 8, iters = 2) +
+        " SELECT CAST(bucket AS INT) AS cluster, " +
+        "CAST(count(*) AS BIGINT) AS n_members, " +
+        "min(vec_id) AS min_vec, max(vec_id) AS max_vec, " +
+        "CAST(count(*) AS DOUBLE) / CAST((SELECT count(*) FROM cass) AS DOUBLE) " +
+        "AS share " +
+        "FROM cass GROUP BY bucket ORDER BY cluster")),
+
     // Two-stage HYBRID retrieval: BM25 top-50 lexical candidates (stage 1,
     // corpus-wide but term-df-bounded) reranked by embedding cosine to a
     // query vector (stage 2, touches 50 rows). The candidate set and the

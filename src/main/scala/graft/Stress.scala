@@ -35,6 +35,7 @@ object Stress {
         zorder(spark, dir, files.toInt)
       case "bpe" :: dir :: merges :: Nil => bpe(spark, dir, merges.toInt)
       case "blocklist" :: dir :: k :: Nil => blocklist(spark, dir, k.toInt)
+      case "pqsize" :: dir :: Nil => pqsize(spark, dir)
       case other => sys.error(s"unknown args: $other")
     }
     spark.stop()
@@ -284,6 +285,47 @@ object Stress {
       require(a == n, s"verdicts diverged: AC $a vs naive $n")
     println(s"[stress] blocklist verdicts identical across surviving shapes: " +
       s"${acFlagged.getOrElse(-1L)} flagged")
+  }
+
+  /** PQ storage-footprint probe: write the L2-normalized float corpus and
+    * its PQ codes table (m=8, ksub=16) as parquet, report bytes — the
+    * measured version of the "codes fit where the vectors don't" claim
+    * (parquet compresses both sides, so the honest ratio is on-disk, not
+    * the 256B→8B arithmetic one).
+    */
+  private def pqsize(spark: SparkSession, sfDir: String): Unit = {
+    import graft.functions.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val c = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(zip_with(v, v, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("v"))
+    val books = Similarity.trainPqCodebooks(c, m = 8, ksub = 16,
+      sampleSize = 256, iters = 2)
+    val base = java.nio.file.Files.createTempDirectory("graft_pqsize")
+    val (rawDir, codeDir) = (base.resolve("raw").toString, base.resolve("codes").toString)
+    try {
+      c.select(col("vec_id"), col("v").cast("array<float>").as("embedding"))
+        .coalesce(1).write.mode("overwrite").parquet(rawDir)
+      Similarity.pqEncode(c, books)
+        .coalesce(1).write.mode("overwrite").parquet(codeDir)
+      def bytes(dir: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).getContentSummary(p).getLength
+      }
+      val (rb, cb) = (bytes(rawDir), bytes(codeDir))
+      println(f"[stress] pqsize raw(float32)=$rb%d B codes(m=8,ksub=16)=$cb%d B " +
+        f"ratio=${rb.toDouble / cb}%.1fx (arithmetic bound 32.0x before " +
+        "parquet encoding)")
+    } finally {
+      scala.util.Try {
+        java.nio.file.Files.walk(base)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
   }
 
   /** Z-order vs 1-D sort on the REAL events table: cluster

@@ -401,7 +401,7 @@ object Similarity {
     * fixed rounds, fold-left distances/means in pinned orders (the
     * [[trainCentroids]] discipline, L2 flavor).
     */
-  private[functions] def trainPqCodebooks(nv: DataFrame, m: Int, ksub: Int,
+  private[graft] def trainPqCodebooks(nv: DataFrame, m: Int, ksub: Int,
       sampleSize: Int, iters: Int): Array[Array[Array[Double]]] = {
     val sample = nv.orderBy("vec_id").limit(sampleSize)
       .collect()
@@ -471,7 +471,7 @@ object Similarity {
   /** PQ codes of the normalized corpus: a scan-side projection, no join,
     * no shuffle (the [[assignToCentroids]] shape, m times).
     */
-  private[functions] def pqEncode(nv: DataFrame,
+  private[graft] def pqEncode(nv: DataFrame,
       books: Array[Array[Array[Double]]]): DataFrame =
     nv.select(col("vec_id"), pqCodes(books).as("codes"))
 
@@ -539,6 +539,30 @@ object Similarity {
               (mm * ksub + code + 1).cast("int"))),
           lit(0.0), (acc, x) => acc + x).as("score"))
     topKPerQuery(scored, k)
+  }
+
+  /** IVF cell-balance report — the operational health metric of a trained
+    * index: per cell, member count, id range, and corpus share. Probe cost
+    * is `share` summed over probed cells, so a skewed fit (one cell
+    * holding half the corpus) silently turns "nprobe=3 of 8" into "half a
+    * brute-force scan"; this makes that drift a queryable number (re-fit
+    * when max share crosses a threshold — the rebuild cadence signal).
+    * One corpus scan + one tiny aggregate exchange; the scalar total rides
+    * back as a broadcast one-row join (integer-exact, so the shares are
+    * bit-identical divisions on every engine).
+    */
+  def cellStats(corpus: DataFrame, centroids: Int = 8,
+      sampleSize: Int = 256, iters: Int = 2): DataFrame = {
+    val c = normalized(corpus)
+    val cents = trainCentroids(c, centroids, sampleSize, iters)
+    val assigned = assignToCentroids(c, cents)
+    assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+      .crossJoin(broadcast(assigned.agg(count(lit(1)).as("__total"))))
+      .select(col("cluster"), col("n_members"), col("min_vec"), col("max_vec"),
+        (col("n_members").cast("double") / col("__total").cast("double"))
+          .as("share"))
   }
 
   /** Recall@k of an approximate top-k result against the exact one — the

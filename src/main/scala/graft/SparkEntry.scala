@@ -2202,6 +2202,25 @@ object SparkEntry {
       Some(pqOracle(dim = 64, m = 8, ksub = 16, sampleSize = 256,
         iters = 2, topk = 10))),
 
+    // The PERSISTED PQ index: same fit, same oracle, but train+encode are
+    // paid at writePqIndex time and the search scans only the ~30×-smaller
+    // codes table — the interactive ADC access path (the ivf_indexed /
+    // bm25_indexed pattern: unique name per invocation, finally-drop).
+    Q("q_sim_topk_pq_indexed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val name = "graft_pq_idx_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Similarity.writePqIndex(emb, name, m = 8, ksub = 16,
+          sampleSize = 256, iters = 2)
+        try Similarity.pqSearchIndexed(s, name,
+          emb.filter(col("vec_id") % 100 === 0), k = 10)
+          .orderBy("query_id", "rank").localCheckpoint(true)
+        finally Similarity.dropPqIndex(s, name)
+      },
+      Some(pqOracle(dim = 64, m = 8, ksub = 16, sampleSize = 256,
+        iters = 2, topk = 10))),
+
     // IVF + PQ composed: coarse cells prune the scan to nprobe/centroids
     // of the corpus, PQ codes + lookup tables score what remains — the
     // production ANN shape (IO fraction and per-row arithmetic both drop).

@@ -541,6 +541,89 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Materialize a PQ INDEX: the per-subspace codebooks (`<name>_codebooks`:
+    * m·ksub rows of subDim-vectors, KBs) and the encoded corpus
+    * (`<name>_codes`: vec_id + m ints per vector — the ~30× smaller table
+    * the ADC scan reads). [[pqTopK]] retrains and re-encodes per call; at
+    * 100 TB train+encode is paid ONCE here and every search streams the
+    * codes table only (the [[writeAnnIndex]] publish discipline: codebooks
+    * first, codes second, any failure drops both).
+    */
+  def writePqIndex(corpus: DataFrame, name: String, m: Int = 8,
+      ksub: Int = 16, sampleSize: Int = 256, iters: Int = 2): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    val spark = corpus.sparkSession
+    dropPqIndex(spark, name)
+    val c = normalized(corpus)
+    val books = trainPqCodebooks(c, m, ksub, sampleSize, iters)
+    try {
+      import spark.implicits._
+      books.zipWithIndex.flatMap { case (cb, mm) =>
+        cb.zipWithIndex.map { case (cv, code) => (mm, code, cv.toSeq) }
+      }.toSeq.toDF("m", "code", "cv")
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_codebooks")
+      pqEncode(c, books)
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_codes")
+    } catch {
+      case e: Throwable => dropPqIndex(spark, name); throw e
+    }
+  }
+
+  def dropPqIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit =
+    graft.sources.Tables.dropManagedTables(
+      spark, Seq(s"${name}_codebooks", s"${name}_codes"))
+
+  /** ADC top-k over a [[writePqIndex]] index — same results as [[pqTopK]]
+    * with the same fit parameters (BucketedSpec asserts both), but the
+    * corpus is never rescanned or re-encoded: codebooks load driver-side
+    * (KBs), per-query LUTs compute with the same fold arithmetic, and the
+    * scan touches only the codes table.
+    */
+  def pqSearchIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
+      queries: DataFrame, k: Int, maxQueries: Int = 65536): DataFrame = {
+    graft.sources.Tables.requireIdent(name)
+    val cbRows = spark.table(s"${name}_codebooks").orderBy("m", "code").collect()
+    require(cbRows.nonEmpty, s"PQ index $name has no codebooks")
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val ksub = cbRows.map(_.getInt(1)).max + 1
+    val books = Array.tabulate(m, ksub) { (mm, code) =>
+      cbRows(mm * ksub + code).getAs[scala.collection.Seq[Double]]("cv").toArray
+    }
+    val subDim = books(0)(0).length
+
+    val rawQ = asDouble(queries).limit(maxQueries + 1).collect()
+    require(rawQ.length <= maxQueries,
+      s"query set exceeds maxQueries=$maxQueries; batch it or raise the cap")
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val lutRows = rawQ.toSeq.flatMap { r =>
+      val id = r.getLong(0)
+      val v = r.getAs[scala.collection.Seq[Double]]("v").toArray
+      val nrm = math.sqrt(dotD(v, v))
+      if (nrm > 0) {
+        val qv = v.map(_ / nrm)
+        Some((id, Array.tabulate(m * ksub) { i =>
+          dotD(qv.slice((i / ksub) * subDim, (i / ksub + 1) * subDim),
+            books(i / ksub)(i % ksub))
+        }.toSeq))
+      } else None
+    }
+    import spark.implicits._
+    val luts = lutRows.toDF("query_id", "lut")
+    val scored = spark.table(s"${name}_codes")
+      .join(broadcast(luts), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (code, mm) => element_at(col("lut"),
+              (mm * ksub + code + 1).cast("int"))),
+          lit(0.0), (acc, x) => acc + x).as("score"))
+    topKPerQuery(scored, k)
+  }
+
   /** IVF cell-balance report — the operational health metric of a trained
     * index: per cell, member count, id range, and corpus share. Probe cost
     * is `share` summed over probed cells, so a skewed fit (one cell

@@ -81,6 +81,10 @@ class BlocklistSpec extends SparkSpec {
       "SELECT blocklist_matches('a big table scan', array('big table', 'zz')) AS m")
       .head().getSeq[String](0).toList
     assert(m === List("big table"))
+    val n = spark.sql(
+      "SELECT blocklist_count('aa aa aa', array('aa', 'zz')) AS n")
+      .head().getLong(0)
+    assert(n === 3L)
   }
 
   test("rejects empty configuration") {

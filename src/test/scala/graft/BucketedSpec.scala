@@ -288,6 +288,29 @@ class BucketedSpec extends SparkSpec {
     assert(recall >= 0.2, s"PQ recall@5 collapsed: $recall")
   }
 
+  test("pq index: persisted codes search ≡ the retrain path") {
+    import graft.functions.Similarity
+    val rnd = new scala.util.Random(19)
+    val corpus = (0 until 48).map { i =>
+      val base = Array.fill(8)(0.05 + rnd.nextDouble() * 0.1)
+      base(i % 4) = 1.0 + rnd.nextDouble()
+      (i.toLong, base.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 12 === 0)
+    Similarity.writePqIndex(corpus, "pq_test_idx",
+      m = 4, ksub = 8, sampleSize = 32, iters = 2)
+    try {
+      val indexed = Similarity.pqSearchIndexed(spark, "pq_test_idx",
+        queries, k = 5).orderBy("query_id", "rank")
+      val retrained = Similarity.pqTopK(corpus, queries, k = 5,
+        m = 4, ksub = 8, sampleSize = 32, iters = 2)
+        .orderBy("query_id", "rank")
+      val a = indexed.collect().map(_.toSeq).toSeq
+      val b = retrained.collect().map(_.toSeq).toSeq
+      assert(a.nonEmpty && a == b, s"indexed $a != retrained $b")
+    } finally Similarity.dropPqIndex(spark, "pq_test_idx")
+  }
+
   test("ivf+pq: cell-pruned code search stays group-faithful and deterministic") {
     import graft.functions.Similarity
     val rnd = new scala.util.Random(17)

@@ -36,6 +36,7 @@ object Stress {
       case "bpe" :: dir :: merges :: Nil => bpe(spark, dir, merges.toInt)
       case "blocklist" :: dir :: k :: Nil => blocklist(spark, dir, k.toInt)
       case "pqsize" :: dir :: Nil => pqsize(spark, dir)
+      case "annscale" :: nc :: per :: Nil => annscale(spark, nc.toInt, per.toInt)
       case other => sys.error(s"unknown args: $other")
     }
     spark.stop()
@@ -285,6 +286,55 @@ object Stress {
       require(a == n, s"verdicts diverged: AC $a vs naive $n")
     println(s"[stress] blocklist verdicts identical across surviving shapes: " +
       s"${acFlagged.getOrElse(-1L)} flagged")
+  }
+
+  /** ANN cost structure at scale on the clustered corpus: one-shot
+    * retrain-per-call paths (pqTopK, ivfPqTopK) vs the persisted-index
+    * split (writePqIndex build once + pqSearchIndexed per query batch).
+    * The one-shot paths are dominated by the corpus ENCODE (the m·ksub
+    * distance expressions per row), which is exactly why the index APIs
+    * exist — the probe measures that dominance instead of asserting it,
+    * plus the pq↔ivfpq top-k overlap (cell pruning's retrieval cost).
+    */
+  private def annscale(spark: SparkSession, nClusters: Int, perCluster: Int): Unit = {
+    import graft.functions.Similarity
+    val emb = structuredEmbeddings(spark, nClusters, perCluster, dim = 64)
+      .localCheckpoint(true)
+    val n = emb.count()
+    val queries = emb.filter(col("vec_id") % (n / 20) === 0) // ~20 queries
+    val centroids = math.max(8, nClusters / 2)
+    def run(df: => org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, Double) = {
+      df.write.format("noop").mode("overwrite").save() // warm
+      val t0 = System.nanoTime()
+      val out = df.localCheckpoint(true)
+      (out, (System.nanoTime() - t0) / 1e9)
+    }
+    val (pqOut, pqS) = run(Similarity.pqTopK(emb, queries, k = 10,
+      m = 8, ksub = 16, sampleSize = 512, iters = 2))
+    val (ivfpqOut, ivfpqS) = run(Similarity.ivfPqTopK(emb, queries,
+      k = 10, centroids = centroids, nprobe = 3, m = 8, ksub = 16,
+      sampleSize = 512, iters = 2))
+
+    // persisted split: pay train+encode once, then search the codes table
+    val t0 = System.nanoTime()
+    Similarity.writePqIndex(emb, "stress_pq_idx", m = 8, ksub = 16,
+      sampleSize = 512, iters = 2)
+    val buildS = (System.nanoTime() - t0) / 1e9
+    try {
+      val (idxOut, searchS) = run(Similarity.pqSearchIndexed(
+        spark, "stress_pq_idx", queries, k = 10))
+      val overlap = pqOut.select("query_id", "neighbor_id")
+        .join(ivfpqOut.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id")).count()
+      val total = pqOut.count()
+      println(f"[stress] annscale n=$n queries=${queries.count()} " +
+        f"centroids=$centroids nprobe=3: one-shot pq=$pqS%.1fs " +
+        f"ivfpq=$ivfpqS%.1fs (encode-dominated, ≈equal by design); " +
+        f"persisted build=$buildS%.1fs then search-only=$searchS%.1fs " +
+        f"(${pqS / searchS}%.1fx vs one-shot) rows=${idxOut.count()} " +
+        f"pq↔ivfpq overlap=$overlap/$total (scan fraction 3/$centroids)")
+    } finally Similarity.dropPqIndex(spark, "stress_pq_idx")
   }
 
   /** PQ storage-footprint probe: write the L2-normalized float corpus and

@@ -214,7 +214,7 @@ object DataQuality {
     val cond = quasiCols.map(c => col(c) <=> col(s"__q_$c")).reduce(_ && _)
     val keep = col("class_size") >= k
     df.join(broadcast(classesR), cond)
-      .select(df.columns.map {
+      .select(df.columns.toIndexedSeq.map {
         case q if quasiCols.contains(q) =>
           when(keep, col(q)).otherwise(lit(null)).as(q)
         case other => col(other)

@@ -127,7 +127,7 @@ object Rollups {
         val touched = dp.select(col("day")).distinct()
         val existing = spark.read.parquet(path)
           .join(broadcast(touched), Seq("day"), "left_semi")
-        dp.unionByName(existing.select(dp.columns.map(col): _*))
+        dp.unionByName(existing.select(dp.columns.toIndexedSeq.map(col): _*))
           .groupBy(col("user_id"), col("day"), col("category"))
           .agg(
             sum(col("cat_count")).as("cat_count"),

@@ -1045,14 +1045,17 @@ object SparkEntry {
   /** DuckDB replay of the whole spherical-k-means fit + corpus assignment
     * (CTEs through `cass(vec_id, v, bucket)`) — the shared front half of the
     * trained-IVF and SemDeDup oracles. Mirrors the Scala training loop step
-    * for step: sample = lowest `sampleSize` vec_ids; init = first
+    * for step: sample = `sampleSize` vec_ids in id-mix order (the shared
+    * [[graft.functions.Similarity.sampleHashSql]] de-biasing permutation;
+    * `sampleWhere` optionally restricts the training corpus, e.g. the
+    * upsert query's frozen-quantizer initial slice); init = lowest-id
     * `centroids` of those; per round, assign by best fold-left dot (ties →
     * lowest cid) then remean (members folded in vec_id order) and
     * L2-renormalize, empty/zero-norm cells keeping the previous centroid;
     * finally assign the corpus.
     */
   private def ivfFitCte(dim: Int, sampleSize: Int, centroids: Int,
-      iters: Int): String = {
+      iters: Int, sampleWhere: String = ""): String = {
     val meanElem = foldSumSql("list_transform(vs, x -> x[i])")
     val rounds = (1 to iters).map { it =>
       s"a$it AS (SELECT vec_id, v, cid FROM (" +
@@ -1068,7 +1071,9 @@ object SparkEntry {
         s"FROM c${it - 1} p LEFT JOIN m$it m ON p.cid = m.cid)"
     }.mkString(", ")
     s"WITH $normEmbCte, " +
-      s"samp AS (SELECT vec_id, v FROM nv ORDER BY vec_id LIMIT $sampleSize), " +
+      s"samp AS (SELECT vec_id, v FROM nv $sampleWhere " +
+      s"ORDER BY ${graft.functions.Similarity.sampleHashSql("vec_id")}, vec_id " +
+      s"LIMIT $sampleSize), " +
       "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv " +
       s"FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT $centroids)), " +
       s"$rounds, " +
@@ -1079,8 +1084,8 @@ object SparkEntry {
   }
 
   private def ivfTrainedOracle(dim: Int, sampleSize: Int, centroids: Int,
-      iters: Int, nprobe: Int, topk: Int): String =
-    ivfFitCte(dim, sampleSize, centroids, iters) + ", " +
+      iters: Int, nprobe: Int, topk: Int, sampleWhere: String = ""): String =
+    ivfFitCte(dim, sampleSize, centroids, iters, sampleWhere) + ", " +
       "q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id % 100 = 0), " +
       "qp AS (SELECT query_id, qv, cid AS bucket FROM (" +
       "SELECT q.query_id, q.qv, c.cid, row_number() OVER (PARTITION BY q.query_id " +
@@ -1164,7 +1169,9 @@ object SparkEntry {
       iters: Int, topk: Int): String = {
     val (codeJoins, score) = pqScore(dim, m, iters, "b", "q0")
     s"WITH $normEmbCte, " +
-      s"samp AS (SELECT vec_id, v FROM nv ORDER BY vec_id LIMIT $sampleSize), " +
+      s"samp AS (SELECT vec_id, v FROM nv " +
+      s"ORDER BY ${graft.functions.Similarity.sampleHashSql("vec_id")}, vec_id " +
+      s"LIMIT $sampleSize), " +
       s"${pqSubCtes(dim, m, ksub, iters)}, " +
       "q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id % 100 = 0), " +
       s"sc AS (SELECT q0.query_id, b.vec_id AS neighbor_id, $score AS score " +
@@ -2108,8 +2115,9 @@ object SparkEntry {
         "FROM customer JOIN g ON c_nationkey IS NOT DISTINCT FROM qn " +
         "AND c_mktsegment IS NOT DISTINCT FROM qs ORDER BY c_custkey")),
 
-    // IVF with the TRAINED coarse quantizer (spherical k-means on the 256
-    // lowest vec_ids, 2 Lloyd rounds, 8 centroids, 3 probes). The oracle
+    // IVF with the TRAINED coarse quantizer (spherical k-means on a
+    // 256-vector id-mix sample, 2 Lloyd rounds, 8 centroids, 3 probes;
+    // the sample permutation is the shared sampleHashSql). The oracle
     // replays the ENTIRE fit — init, tie-broken assignment, fold-ordered
     // means, renormalization — so a single drifted double anywhere in
     // training would flip an assignment and fail the hash.
@@ -2144,15 +2152,18 @@ object SparkEntry {
         iters = 2, nprobe = 3, topk = 10))),
 
     // INCREMENTAL ANN index maintenance: build the index on the first 300
-    // vectors (which contain the whole 256-vector training sample), UPSERT
-    // the rest as an ingest batch — assigned against the persisted
-    // centroids, appended under the table's bucket spec, O(batch) not
-    // O(corpus) — then search the grown index. Because the frozen
-    // quantizer saw the same sample a full build would, results over
-    // initial ∪ batch are bit-identical to one build over the union: the
-    // oracle is EXACTLY the full-corpus trained-IVF replay, so the hash
-    // gate proves upsert ≡ rebuild (the q_rollup_incremental claim, for
-    // the index).
+    // vectors, UPSERT the rest as an ingest batch — assigned against the
+    // persisted centroids, appended under the table's bucket spec,
+    // O(batch) not O(corpus) — then search the grown index. The quantizer
+    // is FROZEN at build time (the standard IVF maintenance trade), so the
+    // oracle replays exactly that contract: the k-means fit samples ONLY
+    // the initial slice (sampleWhere) while assignment and scoring cover
+    // initial ∪ batch. The hash gate therefore proves the full upsert
+    // semantics — frozen-quantizer assignment of the batch + pruned search
+    // over the grown index. (Upsert ≡ one full rebuild additionally holds
+    // whenever the union's training sample is contained in the initial
+    // corpus — BucketedSpec pins that equivalence on a fixture built to
+    // satisfy the containment.)
     Q("q_sim_topk_ivf_upsert",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
@@ -2168,7 +2179,8 @@ object SparkEntry {
         } finally Similarity.dropAnnIndex(s, name)
       },
       Some(ivfTrainedOracle(dim = 64, sampleSize = 256, centroids = 8,
-        iters = 2, nprobe = 3, topk = 10))),
+        iters = 2, nprobe = 3, topk = 10,
+        sampleWhere = "WHERE vec_id < 300"))),
 
     // RECALL@10 of the trained-IVF path against brute force — the
     // evaluation operator that turns an ANN configuration claim into a

@@ -24,6 +24,29 @@ object Similarity {
   /** Cosine similarity of two double arrays. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Engine-portable deterministic id mix used to pick training samples.
+    * The naive `ORDER BY vec_id LIMIT n` takes the LOWEST ids — at corpus
+    * scale ids correlate with crawl order/domain, so centroids would train
+    * on one biased slice and recall quietly degrades. Ordering by this
+    * Lehmer-style mix instead scatters the sample uniformly across the id
+    * space while staying fully deterministic AND replayable verbatim in
+    * the DuckDB oracle (plain modular arithmetic, no overflow: the reduced
+    * id < 2^31 times the multiplier < 2^31 stays under 2^62). The same SQL
+    * string is spliced into both engines' plans so they cannot drift.
+    */
+  private[graft] def sampleHashSql(idCol: String): String =
+    s"(($idCol % 2147483647) * 1103515245 + 12345) % 2147483647"
+
+  /** The unbiased deterministic training sample: `sampleSize` rows in
+    * id-mix order (ties broken by id), re-sorted to vec_id order so the
+    * fit's fold arithmetic keeps its pinned order.
+    */
+  private def hashSample(nv: DataFrame, sampleSize: Int): Array[(Long, Array[Double])] =
+    nv.orderBy(expr(sampleHashSql("vec_id")), col("vec_id")).limit(sampleSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Double]]("v").toArray))
+      .sortBy(_._1)
+
   private def asDouble(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
@@ -95,9 +118,10 @@ object Similarity {
     * `nprobe/centroids` (the scanned corpus fraction) instead of
     * collapsing. Sign-bit IVF remains the zero-training fallback.
     *
-    * Everything is deterministic and engine-replayable: the sample is the
-    * `sampleSize` lowest vec_ids, init centroids are the first `centroids`
-    * of those, Lloyd assignment breaks ties toward the lowest centroid id,
+    * Everything is deterministic and engine-replayable: the sample is
+    * `sampleSize` vectors in [[sampleHashSql]] id-mix order (unbiased in
+    * id space), init centroids are the `centroids` lowest-id members of
+    * that sample, Lloyd assignment breaks ties toward the lowest centroid id,
     * means fold members in vec_id order, and each mean is L2-renormalized
     * (empty or zero-norm cells keep their previous centroid). The DuckDB
     * oracle replays the whole fit bit-for-bit with fold-left list_reduce
@@ -107,7 +131,8 @@ object Similarity {
     * (bounded, default 256 × 64 doubles ≈ 128 KB) and a few Lloyd rounds
     * over k·sample dots — microseconds next to one corpus scan, with no
     * iterative Spark jobs and a guaranteed fold order. At 100 TB nothing
-    * changes: the sample read is pushed-down `ORDER BY vec_id LIMIT n`,
+    * changes: the sample read is a pushed-down `ORDER BY <id-mix> LIMIT n`
+    * (TakeOrderedAndProject — one scan, top-n per partition, tiny merge),
     * and the expensive stages (assignment, scoring) stay distributed.
     */
   def ivfTrainedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -202,10 +227,10 @@ object Similarity {
     * gracefully, and a periodic [[writeAnnIndex]] rebuild re-centers —
     * the rollup-upsert-vs-recompute pattern ([[graft.operators.Rollups]]).
     * Search results over initial ∪ batches are therefore bit-identical to
-    * a single build over the union whenever the training sample (the
-    * `sampleSize` lowest vec_ids) is contained in the initial corpus —
-    * which a chronological ingest satisfies by construction (BucketedSpec
-    * pins this equivalence).
+    * a single build over the union whenever the union's training sample
+    * (the `sampleSize` smallest [[sampleHashSql]] id-mix values) is
+    * contained in the initial corpus (BucketedSpec pins this equivalence
+    * on a fixture constructed to satisfy the containment).
     *
     * Contract: batch vec_ids must be new — an id re-sent arrives as a
     * duplicate row (dedup upstream; the append cannot see the table it
@@ -396,17 +421,14 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Per-subspace plain-k-means codebooks over the `sampleSize` lowest
-    * vec_ids — `books(m)(code)` is a subDim-vector. Deterministic: no RNG,
-    * fixed rounds, fold-left distances/means in pinned orders (the
-    * [[trainCentroids]] discipline, L2 flavor).
+  /** Per-subspace plain-k-means codebooks over a `sampleSize`-vector
+    * [[sampleHashSql]] id-mix sample — `books(m)(code)` is a subDim-vector.
+    * Deterministic: no RNG, fixed rounds, fold-left distances/means in
+    * pinned orders (the [[trainCentroids]] discipline, L2 flavor).
     */
   private[graft] def trainPqCodebooks(nv: DataFrame, m: Int, ksub: Int,
       sampleSize: Int, iters: Int): Array[Array[Array[Double]]] = {
-    val sample = nv.orderBy("vec_id").limit(sampleSize)
-      .collect()
-      .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Double]]("v").toArray))
-      .sortBy(_._1)
+    val sample = hashSample(nv, sampleSize)
     require(sample.length >= ksub,
       s"corpus sample ${sample.length} smaller than sub-codebook size $ksub")
     val dim = sample.head._2.length
@@ -692,16 +714,14 @@ object Similarity {
         (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
       .drop("scores")
 
-  /** Spherical k-means on the `sampleSize` lowest vec_ids of the normalized
-    * corpus. Deterministic by construction — no RNG, fixed iteration count,
-    * fold-left arithmetic in pinned orders (see [[ivfTrainedTopK]]).
+  /** Spherical k-means on a `sampleSize`-vector [[sampleHashSql]] id-mix
+    * sample of the normalized corpus. Deterministic by construction — no
+    * RNG, fixed iteration count, fold-left arithmetic in pinned orders
+    * (see [[ivfTrainedTopK]]).
     */
-  private[functions] def trainCentroids(nv: DataFrame, k: Int,
+  private[graft] def trainCentroids(nv: DataFrame, k: Int,
       sampleSize: Int, iters: Int): Array[Array[Double]] = {
-    val sample = nv.orderBy("vec_id").limit(sampleSize)
-      .collect()
-      .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Double]]("v").toArray))
-      .sortBy(_._1)
+    val sample = hashSample(nv, sampleSize)
     require(sample.length >= k,
       s"corpus sample ${sample.length} smaller than centroid count $k")
 

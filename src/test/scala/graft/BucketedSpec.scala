@@ -220,11 +220,15 @@ class BucketedSpec extends SparkSpec {
       base(i % 4) = 1.0 + rnd.nextDouble()
       (i.toLong, base.map(_.toFloat).toSeq)
     }.toDF("vec_id", "embedding")
-    // the initial corpus contains the whole 32-vector training sample, so
-    // the frozen quantizer equals the full-corpus fit — the chronological-
-    // ingest contract under which upsert ≡ rebuild exactly
-    val initial = corpus.filter($"vec_id" < 40)
-    val batch = corpus.filter($"vec_id" >= 40)
+    // construct the initial corpus to CONTAIN the union's 32-vector
+    // training sample (the 32 smallest id-mix values — the de-biased
+    // sampling permutation), so the frozen quantizer equals the
+    // full-corpus fit: the containment precondition under which
+    // upsert ≡ rebuild exactly
+    def mix(i: Long): Long = ((i % 2147483647L) * 1103515245L + 12345L) % 2147483647L
+    val initialIds = (0L until 60L).sortBy(i => (mix(i), i)).take(40).toSet
+    val initial = corpus.filter($"vec_id".isin(initialIds.toSeq: _*))
+    val batch = corpus.filter(!$"vec_id".isin(initialIds.toSeq: _*))
     val queries = corpus.filter($"vec_id" % 10 === 0)
     Similarity.writeAnnIndex(initial, "ann_ups_idx",
       centroids = 4, sampleSize = 32, iters = 2, buckets = 8)
@@ -254,6 +258,31 @@ class BucketedSpec extends SparkSpec {
       Similarity.dropAnnIndex(spark, "ann_ups_idx")
       Similarity.dropAnnIndex(spark, "ann_full_idx")
     }
+  }
+
+  test("trained-IVF recall survives a corpus whose low ids are one biased region") {
+    import graft.functions.Similarity
+    // adversarial id layout for naive ORDER BY vec_id LIMIT n sampling:
+    // ALL low ids (0..59) sit in one tight region, the other three regions
+    // appear only at high ids — the crawl-order/domain correlation that a
+    // lowest-id training sample would mistake for the whole distribution
+    // (every centroid lands in region 0 and cross-region recall collapses).
+    // The id-mix sample must instead cover all four regions and keep
+    // recall@5 high.
+    val rnd = new scala.util.Random(23)
+    val corpus = (0 until 240).map { i =>
+      val region = if (i < 60) 0 else i % 3 + 1
+      val base = Array.fill(8)(0.02 + rnd.nextDouble() * 0.05)
+      base(2 * region) = 1.0 + rnd.nextDouble() * 0.2
+      (i.toLong, base.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 40 === 0) // ids 0,40,..,200: all regions
+    val approx = Similarity.ivfTrainedTopK(corpus, queries, k = 5,
+      centroids = 4, nprobe = 1, sampleSize = 48, iters = 4)
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+    val rec = Similarity.recallAtK(approx, exact, k = 5)
+      .agg(avg($"recall")).collect()(0).getDouble(0)
+    assert(rec >= 0.9, s"mean recall@5 on the biased-id fixture = $rec < 0.9")
   }
 
   test("pq: ADC code search recovers structured neighbors; deterministic across runs") {

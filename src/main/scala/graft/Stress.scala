@@ -186,36 +186,77 @@ object Stress {
       f"touchedPartitions=${touched.mkString(",")} (${touched.size} of ${after.size})")
   }
 
-  /** BPE at vocabulary scale: train `nMerges` merges on the documents
-    * corpus (production vocabularies are thousands of rounds — this probes
-    * that the per-round cost stays HISTOGRAM-bounded and per-round lineage
-    * stays O(1): before the Materializer fix, the accumulated
-    * map-over-map plan OOM'd the driver near round ~30), then encode the
-    * full corpus with the learned table and report throughput. Prints
-    * early/late round-window timings — flat-ish windows are the evidence;
-    * a persist-chain regression would show super-linear growth.
+  /** BPE at vocabulary scale. Two claims, two measurements:
+    *
+    * 1. merges/sec independent of ROUND COUNT — the trainer runs ONE
+    *    corpus scan then a driver-local incremental merge loop (each round
+    *    touches only the words containing the winning pair), so marginal
+    *    cost per merge must not grow with the round number. The documents
+    *    fixture's vocabulary is ~dozens of words (exhausts after ~100
+    *    merges), so this leg trains on a SYNTHETIC wide vocabulary
+    *    (base-26-coded words, Zipf counts) and reports the marginal
+    *    s/merge between budget points N/4→N/2 and N/2→N: flat marginals
+    *    are the evidence, a regression that re-couples rounds to Spark
+    *    jobs (the pre-r11 shape: 2 jobs/merge, ~32k jobs for a GPT-2
+    *    vocab) shows the second marginal ≈ the first times the job-
+    *    scheduling constant instead.
+    * 2. corpus-scale encode throughput with a real learned table (the
+    *    apply half), unchanged from earlier rounds.
     */
   private def bpe(spark: SparkSession, sfDir: String, nMerges: Int): Unit = {
     import graft.functions.{Bpe, TextAnalysis}
+    import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .localCheckpoint(true)
     val nDocs = docs.count()
-    // two-point super-linearity check: with O(1) per-round lineage,
-    // time(N) ≈ 2 × time(N/2); a lineage-accumulating regression shows
-    // time(N) ≫ 2 × time(N/2) (and OOMs the driver well before N=1000)
-    def train(n: Int): (Seq[Bpe.Merge], Double) = {
+
+    // synthetic wide-vocabulary corpus: 300k distinct 12-letter words in a
+    // 26-letter alphabet, Zipf-ish counts via repetition of low ids
+    def wordOf(i: Long): String = {
+      val sb = new StringBuilder
+      var v = i
+      var j = 0
+      while (j < 12) { sb.append(('a' + (v % 26)).toChar); v /= 26; j += 1 }
+      sb.toString
+    }
+    val wide = spark.range(0, 300000)
+      .map(i => wordOf(i) + " " + wordOf(i / 2) + " " + wordOf(i / 8))
+      .toDF("text").localCheckpoint(true)
+
+    def train(df: org.apache.spark.sql.DataFrame, n: Int): (Seq[Bpe.Merge], Double) = {
       val t0 = System.nanoTime()
-      val (m, h) = Bpe.learnMerges(docs, n, minPairFreq = 1L)
+      val (m, h) = Bpe.learnMerges(df, n, minPairFreq = 1L)
       val secs = (System.nanoTime() - t0) / 1e9
       h.unpersist()
       (m, secs)
     }
-    val (_, half) = train(nMerges / 2)
-    val (learned, full) = train(nMerges)
-    println(f"[stress] bpe train ${nMerges / 2} merges: $half%.1fs " +
-      f"(${half / (nMerges / 2)}%.3fs/merge); $nMerges merges: $full%.1fs " +
-      f"(${full / nMerges}%.3fs/merge); ratio=${full / half}%.2fx " +
-      "(≈2.0 = flat per-round cost)")
+    train(wide, nMerges / 2) // JIT warmup at full working-set size, discarded
+    val (_, tBase) = train(wide, 0) // histogram scan + collect, zero merges
+    val (mh, th) = train(wide, nMerges / 2)
+    // count Spark jobs during the full-budget train: the merge loop must
+    // schedule ZERO jobs beyond the fixed histogram scan/count/collect —
+    // the pre-r11 shape was 2 jobs PER MERGE (~64k jobs for a GPT-2 vocab)
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCounter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (mf, tf) =
+      try train(wide, nMerges)
+      finally spark.sparkContext.removeSparkListener(listener)
+    val loopH = math.max(th - tBase, 1e-9)
+    val loopF = math.max(tf - tBase, 1e-9)
+    println(f"[stress] bpe rounds-ladder hist=$tBase%.1fs " +
+      f"merges=${mh.length}@$loopH%.1fs (${mh.length / loopH}%.0f merges/s) vs " +
+      f"${mf.length}@$loopF%.1fs (${mf.length / loopF}%.0f merges/s) " +
+      f"sparkJobs(full train)=${jobCounter.get} " +
+      "(fixed setup jobs only — zero per merge; pre-r11 was 2 jobs/merge)")
+
+    val (learned, full) = train(docs, nMerges)
+    println(f"[stress] bpe train corpus merges=${learned.length} " +
+      f"(budget $nMerges): $full%.1fs")
 
     val e0 = System.nanoTime()
     val enc = docs.select(

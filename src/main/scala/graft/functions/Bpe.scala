@@ -118,45 +118,143 @@ object Bpe {
     spark.read.parquet(path).as[Merge].collect().toSeq.sortBy(_.rank)
   }
 
+  /** Unsigned byte-wise UTF-8 comparison — EXACTLY Spark's string
+    * `orderBy` order (UTF8String.compareTo), which the distributed argmax
+    * used before this loop moved driver-local. On ASCII it coincides with
+    * Java's String order; beyond the BMP it does not, and the merge
+    * sequence (hence the whole vocabulary) hangs on the tie-break.
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** The (freq desc, left asc, right asc) TOTAL argmax order, string legs
+    * in UTF-8 binary order — one definition shared by the selection
+    * structure so every round's winner matches what
+    * `orderBy(col("freq").desc, col("l"), col("r"))` would have returned.
+    */
+  private val pairOrder: Ordering[(Long, String, String)] =
+    new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        if (a._1 != b._1) return java.lang.Long.compare(b._1, a._1)
+        val cl = utf8Compare(a._2, b._2)
+        if (cl != 0) cl else utf8Compare(a._3, b._3)
+      }
+    }
+
   def learnMerges(docs: DataFrame, numMerges: Int,
       textCol: String = "text", minPairFreq: Long = 2L,
-      checkpointDir: Option[String] = None)
+      checkpointDir: Option[String] = None,
+      maxHistogramWords: Long = 50000000L)
       : (Seq[Merge], Dataset[WordSyms]) = {
     require(numMerges >= 0, "numMerges must be non-negative")
     val spark = docs.sparkSession
     import spark.implicits._
-    // Every round MATERIALIZES the rewritten histogram and severs its
-    // lineage (graft.Materializer: eager localCheckpoint, or reliable
-    // parquet under checkpointDir/<uuid> on a real cluster). A persist()
-    // chain keeps the full map-over-map logical plan — after a few dozen
-    // rounds plan maintenance alone (analysis, explain strings) blows the
-    // driver heap, and a production vocabulary is THOUSANDS of rounds, so
-    // per-round lineage must be O(1), same discipline as the dedup star
-    // loop.
+    // ONE corpus-scale touch (the word-count aggregate), materialized so
+    // the size gate and the collect read the same computed result.
     val materialize = new graft.Materializer(checkpointDir)
-    var hist = materialize(wordHistogram(docs, textCol).toDF()).as[WordSyms]
+    val hist0 = materialize(wordHistogram(docs, textCol).toDF()).as[WordSyms]
+    val nWords = hist0.count()
+    // The merge loop is DRIVER-LOCAL over the collected histogram: the
+    // histogram is Heaps-bounded (~corpus^0.5 distinct words — ~10^8 for
+    // a 100 TB crawl, i.e. GBs of driver heap, configuration-scale next
+    // to the corpus), and every production BPE trainer reduces to exactly
+    // this shape: corpus → word histogram → in-memory merge induction.
+    // The previous formulation kept the histogram distributed and ran TWO
+    // Spark jobs per merge (argmax + rewrite) — a GPT-2-scale vocabulary
+    // (~32k merges) would schedule ~64k jobs, so scheduling overhead, not
+    // data, dominated. Here each merge touches only the words that
+    // actually contain the winning pair (an inverted pair → word-ids
+    // index), so merges/sec is independent of the round count and the
+    // cluster is free the moment the histogram lands.
+    require(nWords <= maxHistogramWords,
+      s"word histogram has $nWords distinct words > budget " +
+        s"$maxHistogramWords — raise maxHistogramWords (driver heap " +
+        "permitting) or pre-filter the corpus")
+    val collected = hist0.collect()
+    val words = collected.map(_.word)
+    val cnts = collected.map(_.cnt)
+    val syms = collected.map(_.syms)
+
+    // exact pair statistics + inverted occurrence index + ordered
+    // selection structure, all kept in lockstep by reindex()
+    val pairCount = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val pairWords =
+      scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.Set[Int]]
+    val ordered = scala.collection.mutable.TreeSet.empty[(Long, String, String)](pairOrder)
+
+    def pairsOf(ss: Seq[String]): Iterator[(String, String)] =
+      ss.iterator.zip(ss.iterator.drop(1))
+
+    def adjust(p: (String, String), delta: Long): Unit = {
+      val old = pairCount.getOrElse(p, 0L)
+      if (old > 0) ordered.remove((old, p._1, p._2))
+      val nw = old + delta
+      if (nw > 0) {
+        pairCount(p) = nw
+        ordered.add((nw, p._1, p._2))
+      } else {
+        pairCount.remove(p)
+        pairWords.remove(p)
+      }
+    }
+
+    var i = 0
+    while (i < syms.length) {
+      val occ = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      pairsOf(syms(i)).foreach(p => occ(p) = occ.getOrElse(p, 0L) + 1L)
+      occ.foreach { case (p, k) =>
+        adjust(p, k * cnts(i))
+        pairWords.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += i
+      }
+      i += 1
+    }
+
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 0
     var done = numMerges == 0
     while (!done) {
-      // argmax over pair frequencies, with a TOTAL tie-break order
-      val top = pairFrequencies(hist)
-        .orderBy(col("freq").desc, col("l"), col("r"))
-        .limit(1)
-        .as[(String, String, Long)]
-        .collect()
-      top.headOption.filter(_._3 >= minPairFreq) match {
+      ordered.headOption.filter(_._1 >= minPairFreq) match {
         case None => done = true
-        case Some((l, r, f)) =>
+        case Some((f, l, r)) =>
           merges += Merge(rank, l, r, f)
           rank += 1
-          hist = materialize(
-            hist.map(w => w.copy(syms = applyMerge(w.syms, l, r))).toDF())
-            .as[WordSyms]
+          val affected = pairWords.getOrElse((l, r), scala.collection.mutable.Set.empty).toArray
+          java.util.Arrays.sort(affected)
+          affected.foreach { w =>
+            val before = syms(w)
+            val after = applyMerge(before, l, r)
+            syms(w) = after
+            val delta = scala.collection.mutable.HashMap.empty[(String, String), Long]
+            pairsOf(before).foreach(p => delta(p) = delta.getOrElse(p, 0L) - 1L)
+            pairsOf(after).foreach(p => delta(p) = delta.getOrElse(p, 0L) + 1L)
+            val afterSet = pairsOf(after).toSet
+            delta.foreach { case (p, d) =>
+              if (d != 0L) adjust(p, d * cnts(w))
+              if (pairCount.contains(p)) {
+                if (afterSet.contains(p))
+                  pairWords.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += w
+                else {
+                  pairWords.get(p).foreach(_ -= w)
+                }
+              }
+            }
+          }
           done = rank >= numMerges
       }
     }
-    (merges.toSeq, hist)
+    val outHist = spark.createDataset(
+      words.indices.map(j => WordSyms(words(j), syms(j), cnts(j))))
+    (merges.toSeq, outHist)
   }
 
   /** [[learnMerges]] on a DRIVER-LOCAL corpus — the same algorithm (same

@@ -1208,6 +1208,30 @@ object SparkEntry {
     * fraction. Hash equality therefore certifies the recall NUMBERS, not
     * just the two result sets.
     */
+  /** The shared recall-evaluation tail: top-k the approximate score CTE
+    * (`scoredCte`: query_id, neighbor_id, score), replay the brute-force
+    * exact ranking over `nv`×`q0` verbatim from q_sim_topk_brute, then the
+    * per-query intersection count and fraction — the DuckDB rendering of
+    * [[graft.functions.Similarity.recallAtK]]. Appended to each ANN stack's
+    * fit/score chain to build that stack's recall oracle.
+    */
+  private def recallTailSql(scoredCte: String, topk: Int): String =
+    "apr AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() " +
+      "OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank " +
+      s"FROM $scoredCte) WHERE rank <= $topk), " +
+      "bsc AS (SELECT query_id, c.vec_id AS neighbor_id, " +
+      s"${dotSql("qv", "c.v")} AS score " +
+      "FROM nv c, q0 WHERE c.vec_id <> q0.query_id), " +
+      "br AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() " +
+      "OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank " +
+      s"FROM bsc) WHERE rank <= $topk), " +
+      "h AS (SELECT query_id, count(*) AS hits FROM apr " +
+      "JOIN br USING (query_id, neighbor_id) GROUP BY 1) " +
+      "SELECT b.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS n_hits, " +
+      s"CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST($topk AS DOUBLE) AS recall " +
+      "FROM (SELECT DISTINCT query_id FROM br) b LEFT JOIN h USING (query_id) " +
+      "ORDER BY query_id"
+
   private def ivfRecallOracle(dim: Int, sampleSize: Int, centroids: Int,
       iters: Int, nprobe: Int, topk: Int): String =
     ivfFitCte(dim, sampleSize, centroids, iters) + ", " +
@@ -1219,21 +1243,46 @@ object SparkEntry {
       "isc AS (SELECT query_id, cass.vec_id AS neighbor_id, " +
       s"${dotSql("qp.qv", "cass.v")} AS score " +
       "FROM cass JOIN qp USING (bucket) WHERE cass.vec_id <> qp.query_id), " +
-      "ivfr AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() " +
-      "OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank " +
-      s"FROM isc) WHERE rank <= $topk), " +
-      "bsc AS (SELECT query_id, c.vec_id AS neighbor_id, " +
-      s"${dotSql("qv", "c.v")} AS score " +
-      "FROM nv c, q0 WHERE c.vec_id <> q0.query_id), " +
-      "br AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() " +
-      "OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank " +
-      s"FROM bsc) WHERE rank <= $topk), " +
-      "h AS (SELECT query_id, count(*) AS hits FROM ivfr " +
-      "JOIN br USING (query_id, neighbor_id) GROUP BY 1) " +
-      "SELECT b.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS n_hits, " +
-      s"CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST($topk AS DOUBLE) AS recall " +
-      "FROM (SELECT DISTINCT query_id FROM br) b LEFT JOIN h USING (query_id) " +
-      "ORDER BY query_id"
+      recallTailSql("isc", topk)
+
+  /** Recall@k of the plain-PQ ADC stack vs brute force: the full PQ fit +
+    * encode + ADC chain (verbatim from [[pqOracle]]) ranked, intersected
+    * with the exact ranking — certifies the quantization-loss NUMBERS.
+    */
+  private def pqRecallOracle(dim: Int, m: Int, ksub: Int, sampleSize: Int,
+      iters: Int, topk: Int): String = {
+    val (codeJoins, score) = pqScore(dim, m, iters, "b", "q0")
+    s"WITH $normEmbCte, " +
+      s"samp AS (SELECT vec_id, v FROM nv " +
+      s"ORDER BY ${graft.functions.Similarity.sampleHashSql("vec_id")}, vec_id " +
+      s"LIMIT $sampleSize), " +
+      s"${pqSubCtes(dim, m, ksub, iters)}, " +
+      "q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id % 100 = 0), " +
+      s"psc AS (SELECT q0.query_id, b.vec_id AS neighbor_id, $score AS score " +
+      s"FROM nv b $codeJoins CROSS JOIN q0 WHERE b.vec_id <> q0.query_id), " +
+      recallTailSql("psc", topk)
+  }
+
+  /** Recall@k of the composed IVF+PQ stack vs brute force: both fit chains
+    * + cell pruning + ADC scoring (verbatim from [[ivfPqOracle]]) ranked,
+    * intersected with the exact ranking — the number a deployment tunes
+    * (nprobe, m, ksub) against.
+    */
+  private def ivfPqRecallOracle(dim: Int, sampleSize: Int, centroids: Int,
+      m: Int, ksub: Int, iters: Int, nprobe: Int, topk: Int): String = {
+    val (codeJoins, score) = pqScore(dim, m, iters, "b", "qp")
+    ivfFitCte(dim, sampleSize, centroids, iters) + ", " +
+      s"${pqSubCtes(dim, m, ksub, iters)}, " +
+      "q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id % 100 = 0), " +
+      "qp AS (SELECT query_id, qv, cid AS bucket FROM (" +
+      "SELECT q.query_id, q.qv, c.cid, row_number() OVER (PARTITION BY q.query_id " +
+      s"ORDER BY ${dotSql("q.qv", "c.cv")} DESC, c.cid) AS rn " +
+      s"FROM q0 q CROSS JOIN c$iters c) WHERE rn <= $nprobe), " +
+      s"qsc AS (SELECT qp.query_id, b.vec_id AS neighbor_id, $score AS score " +
+      s"FROM cass b JOIN qp USING (bucket) $codeJoins " +
+      "WHERE b.vec_id <> qp.query_id), " +
+      recallTailSql("qsc", topk)
+  }
 
   /** DuckDB replay of [[graft.functions.Dedup.semanticDedup]]: the shared
     * k-means fit + assignment, then per-vector max cosine against lower-id
@@ -2116,7 +2165,8 @@ object SparkEntry {
         "AND c_mktsegment IS NOT DISTINCT FROM qs ORDER BY c_custkey")),
 
     // IVF with the TRAINED coarse quantizer (spherical k-means on a
-    // 256-vector id-mix sample, 2 Lloyd rounds, 8 centroids, 3 probes;
+    // 256-vector id-mix sample, 2 Lloyd rounds, 8 centroids, 4 probes —
+    // the default probe count tuned against the recall@10 ≥ 0.8 floor;
     // the sample permutation is the shared sampleHashSql). The oracle
     // replays the ENTIRE fit — init, tie-broken assignment, fold-ordered
     // means, renormalization — so a single drifted double anywhere in
@@ -2128,7 +2178,7 @@ object SparkEntry {
           .orderBy("query_id", "rank")
       },
       Some(ivfTrainedOracle(dim = 64, sampleSize = 256, centroids = 8,
-        iters = 2, nprobe = 3, topk = 10))),
+        iters = 2, nprobe = 4, topk = 10))),
 
     // The PERSISTED trained-IVF index: same fit, same oracle, but the
     // corpus assignment is paid once at writeAnnIndex time and the search
@@ -2144,12 +2194,12 @@ object SparkEntry {
         Similarity.writeAnnIndex(emb, name, centroids = 8,
           sampleSize = 256, iters = 2)
         try Similarity.annSearchIndexed(s, name,
-          emb.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 3)
+          emb.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 4)
           .orderBy("query_id", "rank").localCheckpoint(true)
         finally Similarity.dropAnnIndex(s, name)
       },
       Some(ivfTrainedOracle(dim = 64, sampleSize = 256, centroids = 8,
-        iters = 2, nprobe = 3, topk = 10))),
+        iters = 2, nprobe = 4, topk = 10))),
 
     // INCREMENTAL ANN index maintenance: build the index on the first 300
     // vectors, UPSERT the rest as an ingest batch — assigned against the
@@ -2174,12 +2224,12 @@ object SparkEntry {
         try {
           Similarity.upsertAnnIndex(s, name, emb.filter(col("vec_id") >= 300))
           Similarity.annSearchIndexed(s, name,
-            emb.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 3)
+            emb.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 4)
             .orderBy("query_id", "rank").localCheckpoint(true)
         } finally Similarity.dropAnnIndex(s, name)
       },
       Some(ivfTrainedOracle(dim = 64, sampleSize = 256, centroids = 8,
-        iters = 2, nprobe = 3, topk = 10,
+        iters = 2, nprobe = 4, topk = 10,
         sampleWhere = "WHERE vec_id < 300"))),
 
     // RECALL@10 of the trained-IVF path against brute force — the
@@ -2197,7 +2247,41 @@ object SparkEntry {
           .orderBy("query_id")
       },
       Some(ivfRecallOracle(dim = 64, sampleSize = 256, centroids = 8,
-        iters = 2, nprobe = 3, topk = 10))),
+        iters = 2, nprobe = 4, topk = 10))),
+
+    // RECALL@10 of the plain-PQ ADC stack — quantization loss as a
+    // measured number (what m/ksub buy or cost), same oracle-certified
+    // evaluation shape as q_sim_recall_ivf. Runs at the recall-tuned
+    // default config (m=16/ksub=32, 16× compression) — the max-compression
+    // point (m=8/ksub=16) is pinned by the q_sim_topk_pq* family.
+    Q("q_sim_recall_pq",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") % 100 === 0)
+        Similarity.recallAtK(
+          Similarity.pqTopK(emb, qs, k = 10, m = 16, ksub = 32,
+            sampleSize = 256, iters = 2),
+          Similarity.bruteForceTopK(emb, qs, k = 10), k = 10)
+          .orderBy("query_id")
+      },
+      Some(pqRecallOracle(dim = 64, m = 16, ksub = 32, sampleSize = 256,
+        iters = 2, topk = 10))),
+
+    // RECALL@10 of the composed IVF+PQ stack — the production ANN shape's
+    // end-to-end accuracy (cell-pruning misses + quantization loss
+    // together), the number a deployment tunes nprobe/m/ksub against.
+    Q("q_sim_recall_ivfpq",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") % 100 === 0)
+        Similarity.recallAtK(
+          Similarity.ivfPqTopK(emb, qs, k = 10, centroids = 8, nprobe = 4,
+            m = 16, ksub = 32, sampleSize = 256, iters = 2),
+          Similarity.bruteForceTopK(emb, qs, k = 10), k = 10)
+          .orderBy("query_id")
+      },
+      Some(ivfPqRecallOracle(dim = 64, sampleSize = 256, centroids = 8,
+        m = 16, ksub = 32, iters = 2, nprobe = 4, topk = 10))),
 
     // PRODUCT QUANTIZATION top-k: 64-dim floats → 8 sub-codes (32× memory
     // cut), search = code scan + per-query lookup tables (ADC). The
@@ -2242,12 +2326,12 @@ object SparkEntry {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") % 100 === 0),
-          k = 10, centroids = 8, nprobe = 3, m = 8, ksub = 16,
+          k = 10, centroids = 8, nprobe = 4, m = 8, ksub = 16,
           sampleSize = 256, iters = 2)
           .orderBy("query_id", "rank")
       },
       Some(ivfPqOracle(dim = 64, sampleSize = 256, centroids = 8,
-        m = 8, ksub = 16, iters = 2, nprobe = 3, topk = 10))),
+        m = 8, ksub = 16, iters = 2, nprobe = 4, topk = 10))),
 
     // IVF cell-balance report: per trained cell, member count / id range /
     // corpus share — probe cost IS share summed over probed cells, so a

@@ -136,7 +136,7 @@ object Similarity {
     * and the expensive stages (assignment, scoring) stay distributed.
     */
   def ivfTrainedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      centroids: Int = 8, nprobe: Int = 3,
+      centroids: Int = 8, nprobe: Int = 4,
       sampleSize: Int = 256, iters: Int = 2): DataFrame = {
     val c = normalized(corpus)
     val cents = trainCentroids(c, centroids, sampleSize, iters)
@@ -271,7 +271,7 @@ object Similarity {
     * all-Spark plan and to the DuckDB oracle's fold-left replay.
     */
   def annSearchIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
-      queries: DataFrame, k: Int, nprobe: Int = 3,
+      queries: DataFrame, k: Int, nprobe: Int = 4,
       maxQueries: Int = 65536): DataFrame = {
     graft.sources.Tables.requireIdent(name)
     val cents = spark.table(s"${name}_centroids").orderBy("cid").collect()
@@ -378,9 +378,15 @@ object Similarity {
     *
     * The DuckDB oracle replays the per-subspace fits, the corpus encode,
     * and the LUT-equivalent sub-dot sums bit-for-bit.
+    *
+    * Default m=16/ksub=32 is tuned against the measured recall@10 gate
+    * (BucketedSpec real-corpus floors): on 64-dim embeddings it roughly
+    * doubles recall vs the maximum-compression m=8/ksub=16 point while
+    * still cutting vector storage 16× (16 byte-codes vs 256 float bytes).
+    * Pass m/ksub explicitly to trade recall for compression.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      m: Int = 8, ksub: Int = 16, sampleSize: Int = 256, iters: Int = 2,
+      m: Int = 16, ksub: Int = 32, sampleSize: Int = 256, iters: Int = 2,
       maxQueries: Int = 65536): DataFrame = {
     val c = normalized(corpus)
     val books = trainPqCodebooks(c, m, ksub, sampleSize, iters)
@@ -511,7 +517,7 @@ object Similarity {
     * Approximation quality is measurable with [[recallAtK]].
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      centroids: Int = 8, nprobe: Int = 3, m: Int = 8, ksub: Int = 16,
+      centroids: Int = 8, nprobe: Int = 4, m: Int = 16, ksub: Int = 32,
       sampleSize: Int = 256, iters: Int = 2,
       maxQueries: Int = 65536): DataFrame = {
     val c = normalized(corpus)
@@ -571,8 +577,8 @@ object Similarity {
     * codes table only (the [[writeAnnIndex]] publish discipline: codebooks
     * first, codes second, any failure drops both).
     */
-  def writePqIndex(corpus: DataFrame, name: String, m: Int = 8,
-      ksub: Int = 16, sampleSize: Int = 256, iters: Int = 2): Unit = {
+  def writePqIndex(corpus: DataFrame, name: String, m: Int = 16,
+      ksub: Int = 32, sampleSize: Int = 256, iters: Int = 2): Unit = {
     graft.sources.Tables.requireIdent(name)
     val spark = corpus.sparkSession
     dropPqIndex(spark, name)

@@ -342,7 +342,11 @@ object Stress {
     val emb = structuredEmbeddings(spark, nClusters, perCluster, dim = 64)
       .localCheckpoint(true)
     val n = emb.count()
-    val queries = emb.filter(col("vec_id") % (n / 20) === 0) // ~20 queries
+    // max(1, …) guards tiny corpora (n < 20 would make the divisor 0 and
+    // the modulo null out every row); checkpoint so the query set is fixed
+    // and not re-derived by every consumer
+    val queries = emb.filter(col("vec_id") % math.max(1L, n / 20) === 0)
+      .localCheckpoint(true) // ~20 queries
     val centroids = math.max(8, nClusters / 2)
     def run(df: => org.apache.spark.sql.DataFrame)
         : (org.apache.spark.sql.DataFrame, Double) = {

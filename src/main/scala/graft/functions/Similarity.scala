@@ -658,22 +658,25 @@ object Similarity {
     * holding half the corpus) silently turns "nprobe=3 of 8" into "half a
     * brute-force scan"; this makes that drift a queryable number (re-fit
     * when max share crosses a threshold — the rebuild cadence signal).
-    * One corpus scan + one tiny aggregate exchange; the scalar total rides
-    * back as a broadcast one-row join (integer-exact, so the shares are
-    * bit-identical divisions on every engine).
+    * ONE corpus scan + one tiny aggregate exchange; the corpus total is
+    * derived from the grouped result itself (an unpartitioned window over
+    * ≤`centroids` rows — integer-exact, so the shares are bit-identical
+    * divisions on every engine), never a second scan of the assignments.
     */
   def cellStats(corpus: DataFrame, centroids: Int = 8,
       sampleSize: Int = 256, iters: Int = 2): DataFrame = {
     val c = normalized(corpus)
     val cents = trainCentroids(c, centroids, sampleSize, iters)
-    val assigned = assignToCentroids(c, cents)
-    assigned.groupBy(col("cluster"))
+    val grouped = assignToCentroids(c, cents).groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"),
         min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
-      .crossJoin(broadcast(assigned.agg(count(lit(1)).as("__total"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    grouped
       .select(col("cluster"), col("n_members"), col("min_vec"), col("max_vec"),
-        (col("n_members").cast("double") / col("__total").cast("double"))
-          .as("share"))
+        (col("n_members").cast("double") /
+          sum(col("n_members")).over(w).cast("double")).as("share"))
   }
 
   /** Recall@k of an approximate top-k result against the exact one — the

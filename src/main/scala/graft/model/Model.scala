@@ -22,8 +22,15 @@ object CondOp {
 
   val all: Seq[CondOp] = Seq(Gt, Lt, Eq, Geq, Leq, Neq, In, NotIn, Between)
 
+  /** Uppercase-only normalization — deliberately NO trim or internal
+    * whitespace collapse: the reference checks `operator.upper() not in
+    * allowed_operators` (rule_parser.py:51), so `' > '` or `'NOT  IN'`
+    * (double space) are silently SKIPPED there, and lenient parsing here
+    * would make this engine compute a different segment than the
+    * reference renders and executes.
+    */
   def parse(s: String): Option[CondOp] = {
-    val norm = s.trim.replaceAll("\\s+", " ").toUpperCase
+    val norm = s.toUpperCase
     all.find(_.sym == norm)
   }
 }

@@ -70,7 +70,11 @@ object ReferenceSql {
     val where = Seq.newBuilder[String]
     val having = Seq.newBuilder[String]
     for (c <- conditions) {
-      val op = Option(c.operator).map(_.trim.replaceAll("\\s+", " ").toUpperCase).getOrElse("")
+      // uppercase ONLY — the reference's allowed-operator check
+      // (rule_parser.py:51) does `operator.upper() not in allowed` with no
+      // trim/collapse, so 'NOT  IN' (double space) must skip here exactly
+      // as it skips there (and as CondOp.parse skips it in execution)
+      val op = Option(c.operator).map(_.toUpperCase).getOrElse("")
       val fieldOk = c.field != null && c.field.nonEmpty && op.nonEmpty
       if (fieldOk && allowedOperators.contains(op)) {
         fieldToColumn.get(c.field).foreach { column =>

@@ -41,10 +41,14 @@ object ConditionProps extends Properties("ConditionLanguage") {
         (cs.nonEmpty || compiled.isVacuous)
     }
 
-  property("operator parse is case/whitespace insensitive and total") =
+  property("operator parse is case-insensitive but whitespace-EXACT") =
     forAll(Gen.oneOf(CondOp.all), Gen.choose(0, 3)) { (op, pad) =>
+      // reference parity (rule_parser.py:51): `operator.upper() not in
+      // allowed` — case folds, but any padding or doubled internal space
+      // must be silently skipped, exactly as the reference skips it
       val munged = (" " * pad) + op.sym.toLowerCase + (" " * pad)
-      CondOp.parse(munged).contains(op)
+      CondOp.parse(op.sym.toLowerCase).contains(op) &&
+        (pad == 0 || CondOp.parse(munged).isEmpty)
     }
 
   property("SetOp.parse round-trips its own names, any case") =

@@ -80,10 +80,15 @@ class SegmentEngineSpec extends SparkSpec {
     assert(notIn.select("user_id").as[Long].collect().toSet == Set(1L))
   }
 
-  test("operator whitelist parse is whitespace/case tolerant") {
-    assert(CondOp.parse("not   in").contains(CondOp.NotIn))
+  test("operator whitelist parse: case-insensitive, whitespace-exact (reference skip parity)") {
+    assert(CondOp.parse("not in").contains(CondOp.NotIn))
     assert(CondOp.parse("between").contains(CondOp.Between))
     assert(CondOp.parse("===").isEmpty)
+    // rule_parser.py:51 checks `operator.upper() not in allowed` with no
+    // trim/collapse — these are silently SKIPPED by the reference, so they
+    // must be skipped here too or the engines compute different segments
+    assert(CondOp.parse("not   in").isEmpty)
+    assert(CondOp.parse(" > ").isEmpty)
   }
 
   test("flagship entry returns rows") {

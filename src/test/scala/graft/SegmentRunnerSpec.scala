@@ -264,6 +264,15 @@ class SegmentRunnerSpec extends SparkSpec {
     // no conditions → both clauses empty, template otherwise intact
     assert(ReferenceSql.generateSegmentSql(Nil)
       .endsWith("FROM filtered_transactions ft GROUP BY ft.user_id"))
+
+    // whitespace skip-parity: rule_parser.py:51 checks the UPPERCASED raw
+    // operator against the allowed list with no trim/collapse, so padded
+    // or doubly-spaced operators silently skip in the rendered text —
+    // identical to a rule with no valid conditions
+    assert(ReferenceSql.generateSegmentSql(Seq(
+        Condition("transaction_amount", " > ", "500"),
+        Condition("city_tier", "NOT  IN", CondValue.Many(Vector("1"))))) ===
+      ReferenceSql.generateSegmentSql(Nil))
   }
 
   test("run history records every materialization, including empty ones") {

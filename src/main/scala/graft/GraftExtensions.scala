@@ -45,10 +45,27 @@ object GraftExtensions {
       s"$name expects a literal INT, got $other")
   }
 
+  private def boolArg(e: Expression, name: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal BOOLEAN, got $other")
+  }
+
   /** A literal string-array argument — configuration, not data (the pattern
     * list compiles into the expression like `minhash_signature`'s k).
+    * Enforces the same contract as the Column surface
+    * ([[graft.functions.Blocklist.matches]]): at least one pattern, none
+    * empty — an empty pattern would match at every character position and
+    * an empty list would silently screen nothing.
     */
-  private def stringArrayArg(e: Expression, name: String): Array[String] = e match {
+  private def stringArrayArg(e: Expression, name: String): Array[String] = {
+    val arr = stringArrayLit(e, name)
+    require(arr.nonEmpty, s"$name needs at least one pattern")
+    require(arr.forall(_.nonEmpty), s"$name: empty pattern")
+    arr
+  }
+
+  private def stringArrayLit(e: Expression, name: String): Array[String] = e match {
     case org.apache.spark.sql.catalyst.expressions.CreateArray(children, _)
         if children.forall(_.isInstanceOf[Literal]) =>
       children.map {
@@ -104,13 +121,17 @@ object GraftExtensions {
       "nfc_normalize(str) - Unicode canonical composition (NFC)",
       _ == 1, args => NfcNormalizeExpr(args.head)),
     fn("blocklist_matches",
-      "blocklist_matches(str, array('p1', ...)) - single-pass Aho-Corasick " +
-        "screen; returns the patterns present, in pattern-list order",
-      _ == 2, args => BlocklistMatchesExpr(args.head,
-        stringArrayArg(args(1), "blocklist_matches"))),
+      "blocklist_matches(str, array('p1', ...)[, normalized]) - single-pass " +
+        "Aho-Corasick screen; returns the patterns present, in pattern-list " +
+        "order; normalized=true folds NFC+lowercase on both sides",
+      n => n == 2 || n == 3, args => BlocklistMatchesExpr(args.head,
+        stringArrayArg(args(1), "blocklist_matches"),
+        args.length == 3 && boolArg(args(2), "blocklist_matches"))),
     fn("blocklist_count",
-      "blocklist_count(str, array('p1', ...)) - total greedy non-overlapping " +
-        "occurrences across the pattern list, one pass",
-      _ == 2, args => BlocklistCountExpr(args.head,
-        stringArrayArg(args(1), "blocklist_count"))))
+      "blocklist_count(str, array('p1', ...)[, normalized]) - total greedy " +
+        "non-overlapping occurrences across the pattern list, one pass; " +
+        "normalized=true folds NFC+lowercase on both sides",
+      n => n == 2 || n == 3, args => BlocklistCountExpr(args.head,
+        stringArrayArg(args(1), "blocklist_count"),
+        args.length == 3 && boolArg(args(2), "blocklist_count"))))
 }

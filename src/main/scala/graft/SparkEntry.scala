@@ -29,6 +29,23 @@ object SparkEntry {
   /** One registered query: Spark pipeline + optional DuckDB oracle SQL. */
   private final case class Q(name: String, fn: QueryFn, oracle: Option[String])
 
+  /** Run `body` against a unique scratch directory, eagerly materialize its
+    * result (localCheckpoint), and delete the directory before returning —
+    * the finally-drop discipline of the index queries. Per-call JVM
+    * shutdown hooks are NOT used: under Bench's repeated warm+measure
+    * invocations they accumulate hooks and undeleted temp dirs until JVM
+    * exit.
+    */
+  private def withScratchDir(prefix: String)(body: java.nio.file.Path => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    try body(dir).localCheckpoint(true)
+    finally scala.util.Try {
+      java.nio.file.Files.walk(dir)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** The DuckDB rendering of the segment aggregate over `events`
     * (reference semantics: backend/app/utils/rule_parser.py:111-123).
     */
@@ -117,17 +134,9 @@ object SparkEntry {
     // it back. Proves S5/S7 write→read fidelity — the stored bytes, not
     // just the in-memory frame, must match the oracle.
     Q("q_store_roundtrip",
-      (s, d) => {
+      (s, d) => withScratchDir("graft_verify_store") { whDir =>
         // unique scratch warehouse per invocation (a fixed path would race
-        // concurrent bench/verify processes), deleted at JVM exit so
-        // repeated runs don't accumulate orphaned temp dirs
-        val whDir = java.nio.file.Files.createTempDirectory("graft_verify_store")
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          scala.util.Try {
-            java.nio.file.Files.walk(whDir)
-              .sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => java.nio.file.Files.deleteIfExists(p))
-          }))
+        // concurrent bench/verify processes)
         val store = new graft.sources.SegmentStore(s, whDir.toString)
         val runner = new SegmentRunner(store, () => Tables.transactions(s, d))
         val (id, _) = runner.createRule("roundtrip",
@@ -146,14 +155,7 @@ object SparkEntry {
     // that run's condition — certifying both the history plumbing and the
     // re-planned materializations behind it.
     Q("q_store_history",
-      (s, d) => {
-        val whDir = java.nio.file.Files.createTempDirectory("graft_verify_hist")
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          scala.util.Try {
-            java.nio.file.Files.walk(whDir)
-              .sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => java.nio.file.Files.deleteIfExists(p))
-          }))
+      (s, d) => withScratchDir("graft_verify_hist") { whDir =>
         val store = new graft.sources.SegmentStore(s, whDir.toString)
         val runner = new SegmentRunner(store, () => Tables.transactions(s, d))
         val (id, _) = runner.createRule("hist",
@@ -644,14 +646,7 @@ object SparkEntry {
     // parquet, while the oracle computes from RAW events. Hash equality is
     // the proof that serving substitutes plans, not approximations.
     Q("q_rollup_served",
-      (s, d) => {
-        val whDir = java.nio.file.Files.createTempDirectory("graft_verify_rollup")
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          scala.util.Try {
-            java.nio.file.Files.walk(whDir)
-              .sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => java.nio.file.Files.deleteIfExists(p))
-          }))
+      (s, d) => withScratchDir("graft_verify_rollup") { whDir =>
         val store = new graft.sources.SegmentStore(s, whDir.toString)
         graft.plans.RollupServing.materialize(
           store, Tables.transactions(s, d), Seq(7, 14, 30))
@@ -691,14 +686,7 @@ object SparkEntry {
     // verbatim with q_rollup_user_windows: hash equality proves
     // upsert + recompose ≡ recompute-from-scratch.
     Q("q_rollup_incremental",
-      (s, d) => {
-        val whDir = java.nio.file.Files.createTempDirectory("graft_verify_incr")
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          scala.util.Try {
-            java.nio.file.Files.walk(whDir)
-              .sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => java.nio.file.Files.deleteIfExists(p))
-          }))
+      (s, d) => withScratchDir("graft_verify_incr") { whDir =>
         val tx = Tables.transactions(s, d)
         val store = whDir.resolve("daily").toString
         val inFirst = pmod(hash(col("ts")), lit(2)) === 0
@@ -891,6 +879,21 @@ object SparkEntry {
   private val BlockPatterns = Seq(
     "slow scan", "big table", "merge batch", "drop database", "vector")
   private def blockHitSql(p: String) = s"instr(text, '$p') > 0"
+
+  /** Mixed-case phrase set for q_text_blocklist_ci — real blocklists are
+    * authored in arbitrary case ("Drop Database") and must still flag the
+    * lowercase corpus; matching normalizes NFC + lowercase on BOTH sides.
+    * `ciFold` is the Scala rendering of the engine's fold; the oracle
+    * replays it as `lower(nfc_normalize(...))` over text while patterns
+    * fold at SQL-build time from the SAME constant (shared-constant rule).
+    */
+  private val BlockPatternsCi = Seq(
+    "Slow Scan", "BIG TABLE", "Merge Batch", "DROP Database", "Vector")
+  private def ciFold(s: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      .toLowerCase(java.util.Locale.ROOT)
+  private def blockHitCiSql(p: String) =
+    s"instr(lower(nfc_normalize(text)), '${ciFold(p)}') > 0"
 
   /** DuckDB replay of [[graft.functions.TextAnalysis.filterVerdict]] at its
     * default thresholds: every signal re-rendered from its already-oracled
@@ -2115,6 +2118,41 @@ object SparkEntry {
         " AS BIGINT) AS n_hits " +
         "FROM documents ORDER BY doc_id")),
 
+    // CASE/UNICODE-INSENSITIVE blocklist screen: the pattern list is
+    // authored in arbitrary case ("DROP Database") and still flags the
+    // lowercase corpus — both sides fold NFC + lowercase INSIDE the same
+    // single automaton pass (not K lower() passes). first_match reports
+    // the ORIGINAL pattern string; the oracle folds text with
+    // lower(nfc_normalize(..)) and patterns at SQL-build time from the
+    // shared constant.
+    Q("q_text_blocklist_ci",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          graft.functions.Blocklist.matches(col("text"), BlockPatternsCi,
+            normalized = true).as("m"))
+        .select(col("doc_id"),
+          size(col("m")).cast("long").as("n_flagged"),
+          get(col("m"), lit(0)).as("first_match"),
+          (size(col("m")) > 0).as("blocked"),
+          graft.functions.Blocklist.countMatches(col("text"), BlockPatternsCi,
+            normalized = true).as("n_hits"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, " +
+        "CAST(" + BlockPatternsCi.map(p =>
+          s"(CASE WHEN ${blockHitCiSql(p)} THEN 1 ELSE 0 END)").mkString(" + ") +
+        " AS BIGINT) AS n_flagged, " +
+        "COALESCE(" + BlockPatternsCi.map(p =>
+          s"CASE WHEN ${blockHitCiSql(p)} THEN '$p' END").mkString(", ") +
+        ") AS first_match, " +
+        "(" + BlockPatternsCi.map(blockHitCiSql).mkString(" OR ") + ") AS blocked, " +
+        "CAST(" + BlockPatternsCi.map { p =>
+          val f = ciFold(p)
+          "((length(lower(nfc_normalize(text))) - " +
+            s"length(replace(lower(nfc_normalize(text)), '$f', ''))) // ${f.length})"
+        }.mkString(" + ") +
+        " AS BIGINT) AS n_hits " +
+        "FROM documents ORDER BY doc_id")),
+
     // WINSORIZED per-source stats — robust corpus reporting: exact
     // discrete percentile cuts (k-th smallest at ⌈p·n⌉, no interpolation
     // formula to drift between engines), clamp, then integer-exact means
@@ -2647,14 +2685,7 @@ object SparkEntry {
     // day's files, not the history. The oracle computes the same day from
     // the RAW corpus, so equality also re-proves the ingest lost nothing.
     Q("q_events_partitioned",
-      (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft_events_part")
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          scala.util.Try {
-            java.nio.file.Files.walk(dir)
-              .sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => java.nio.file.Files.deleteIfExists(p))
-          }))
+      (s, d) => withScratchDir("graft_events_part") { dir =>
         Tables.writePartitionedByDay(Tables.events(s, d), dir.toString,
           filesPerDay = 2)
         val part = Tables.eventsPartitioned(s, dir.toString)

@@ -91,4 +91,47 @@ class BlocklistSpec extends SparkSpec {
     intercept[IllegalArgumentException](Blocklist.matches(col("text"), Nil))
     intercept[IllegalArgumentException](Blocklist.matches(col("text"), Seq("ok", "")))
   }
+
+  test("normalized mode: case + NFC fold on both sides, original patterns reported") {
+    // decomposed é (e + U+0301) in the TEXT, precomposed É in the PATTERN:
+    // literal matching must miss, normalized matching must hit — and the
+    // reported match is the ORIGINAL pattern string, not the folded form
+    val decomposed = "visit the café tomorrow"
+    val pats = Seq("CAFÉ", "Big Table", "tomorrow")
+    val texts = Seq(decomposed, "a BIG   table", "a big table scan", "nothing")
+
+    assert(viaSpark(texts, pats) === Seq(List("tomorrow"), Nil, Nil, Nil),
+      "literal mode must stay case/NFC sensitive")
+
+    val got = texts.toDF("text")
+      .select(Blocklist.matches(col("text"), pats, normalized = true).as("m"))
+      .collect().map(_.getSeq[String](0).toList).toSeq
+    assert(got === Seq(
+      List("CAFÉ", "tomorrow"), // é composes, case folds; original strings out
+      Nil,                      // internal whitespace is NOT collapsed
+      List("Big Table"),
+      Nil))
+  }
+
+  test("normalized countMatches folds once and keeps replace-arithmetic semantics") {
+    // folded text "aa aa aa" — 'AA' counts 3 greedy non-overlapping hits;
+    // folded self-overlap "aaaa" counts 2, not 3
+    val got = Seq("Aa aA AA", "aAaA").toDF("text")
+      .select(Blocklist.countMatches(col("text"), Seq("AA"), normalized = true).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(3L, 2L))
+  }
+
+  test("SQL surface: optional normalized flag") {
+    GraftExtensions.register(spark)
+    assert(spark.sql(
+      "SELECT blocklist_matches('a BIG Table scan', array('big table'), true) AS m")
+      .head().getSeq[String](0).toList === List("big table"))
+    assert(spark.sql(
+      "SELECT blocklist_count('AA aa', array('aa'), true) AS n")
+      .head().getLong(0) === 2L)
+    // flag must be a literal boolean — configuration, not data
+    assertThrows[Exception](spark.sql(
+      "SELECT blocklist_count('x', array('x'), length('y') > 0)").collect())
+  }
 }

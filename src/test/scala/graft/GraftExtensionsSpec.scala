@@ -35,6 +35,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getAs[String]("nfc") == "café")
   }
 
+  test("blocklist SQL surface enforces the Column-surface pattern contract") {
+    GraftExtensions.register(spark)
+    Seq(Tuple1("some text")).toDF("text").createOrReplaceTempView("bl_docs")
+    // valid call still works
+    assert(spark.sql(
+      "SELECT blocklist_count(text, array('tex')) AS n FROM bl_docs")
+      .collect().head.getAs[Long]("n") == 1L)
+    // empty pattern LIST must fail analysis like Blocklist.matches does
+    // (it would otherwise silently screen nothing)
+    assertThrows[Exception](spark.sql(
+      "SELECT blocklist_matches(text, array()) FROM bl_docs").collect())
+    // empty pattern STRING must fail (it matches at every char position,
+    // and blocklist_count's replace-arithmetic oracle would divide by zero)
+    assertThrows[Exception](spark.sql(
+      "SELECT blocklist_count(text, array('a', '')) FROM bl_docs").collect())
+  }
+
   test("extensions class injects the same registry into a new session build") {
     // SparkSessionExtensions is applied at build time; here we just check
     // the injection list registers without conflict on a fresh extensions

@@ -178,6 +178,39 @@ object SparkEntry {
           ") AS t(refreshed_at, row_count) ORDER BY refreshed_at"
       })),
 
+    // The JDBC connector under the hash gate (S1/S5 for real databases —
+    // the reference's only I/O path, spark_processor.py:104-110/192-199):
+    // materialize a base segment, WRITE it to an embedded Derby database
+    // with pinned column types (the drop-and-recreate refresh shape), then
+    // read it back through the whole-query pushdown path with customSchema
+    // — the stored DATABASE bytes, not the in-memory frame, must match the
+    // corpus oracle. Unique scratch db per invocation; the engine is shut
+    // down and the directory deleted before returning.
+    Q("q_seg_base_jdbc",
+      (s, d) => withScratchDir("graft_jdbc_seg") { dir =>
+        System.setProperty("derby.stream.error.file", s"$dir/derby.log")
+        val conn = graft.sources.Jdbc.Conn(
+          s"jdbc:derby:$dir/db;create=true",
+          "org.apache.derby.jdbc.EmbeddedDriver")
+        val seg = SegmentEngine.materializeBase(Tables.transactions(s, d),
+          Seq(Condition("transaction_amount", ">", "300")))
+        graft.sources.Jdbc.write(seg, conn, "segment_output_jdbc",
+          createTableColumnTypes = Some("transaction_types VARCHAR(64)"))
+        val out = graft.sources.Jdbc.readQuery(s, conn,
+          "SELECT \"user_id\", \"total_transactions\", \"total_spent\", " +
+            "\"transaction_types\" FROM segment_output_jdbc",
+          customSchema = Some("user_id LONG, total_transactions LONG, " +
+            "total_spent DOUBLE, transaction_types STRING"))
+          .orderBy("user_id").localCheckpoint(true)
+        // embedded Derby keeps every booted database open in-engine;
+        // shutdown releases it (and always signals via SQLException)
+        try java.sql.DriverManager.getConnection(
+          s"jdbc:derby:$dir/db;shutdown=true")
+        catch { case _: java.sql.SQLException => () }
+        out
+      },
+      Some(segSql("value > 300"))),
+
     // All conditions malformed ⇒ silently skipped ⇒ all-users segment
     // (SURVEY Q10; reference rule_parser.py:46-58).
     Q("q_seg_vacuous_conditions",

@@ -37,6 +37,79 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark: dropped rows = batch recompute's, state evicted") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    // Append mode: a window row is emitted exactly once, when the applied
+    // watermark passes its end — the mode where late-drop semantics and
+    // state eviction are observable
+    val q = EventsStream.hourlyTypeCounts(events, watermark = "2 hours")
+      .writeStream.format("memory").queryName("late_hourly")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: hours 10/11 plus a 13:30 driver → watermark after this
+      // batch = 11:30
+      in.addData(
+        (ts("2024-01-01 10:05:00"), "view", 10.0),
+        (ts("2024-01-01 10:55:00"), "view", 5.0),
+        (ts("2024-01-01 11:05:00"), "view", 7.0),
+        (ts("2024-01-01 13:30:00"), "click", 2.0))
+      q.processAllAvailable()
+      // batch 2: 10:15 is LATE (event time < 11:30 applied watermark →
+      // dropped, its 99.0 must never surface); 12:40's window is still
+      // open → accepted
+      in.addData(
+        (ts("2024-01-01 10:15:00"), "view", 99.0),
+        (ts("2024-01-01 12:40:00"), "click", 3.0))
+      q.processAllAvailable()
+      // successive far-future drivers advance the watermark in steps so
+      // every data window through hour 16 closes and its state evicts
+      in.addData((ts("2024-01-01 16:30:00"), "view", 1.0))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 19:30:00"), "view", 1.0))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 22:30:00"), "click", 4.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("late_hourly")
+        .as[(java.sql.Timestamp, String, Long, BigDecimal)].collect()
+        .filter(_._1.before(ts("2024-01-01 17:00:00")))
+        .map(r => (r._1.toString, r._2, r._3, r._4.toString)).sorted.toSeq
+
+      // batch recompute over the SAME transform (watermark is a no-op on a
+      // batch frame) with the cutoff applied by hand: every row except the
+      // one the stream dropped
+      val survivors = Seq(
+        (ts("2024-01-01 10:05:00"), "view", 10.0),
+        (ts("2024-01-01 10:55:00"), "view", 5.0),
+        (ts("2024-01-01 11:05:00"), "view", 7.0),
+        (ts("2024-01-01 13:30:00"), "click", 2.0),
+        (ts("2024-01-01 12:40:00"), "click", 3.0),
+        (ts("2024-01-01 16:30:00"), "view", 1.0),
+        (ts("2024-01-01 19:30:00"), "view", 1.0),
+        (ts("2024-01-01 22:30:00"), "click", 4.0)).toDF("ts", "event_type", "value")
+      val expected = EventsStream.hourlyTypeCounts(survivors)
+        .as[(java.sql.Timestamp, String, Long, BigDecimal)].collect()
+        .filter(_._1.before(ts("2024-01-01 17:00:00")))
+        .map(r => (r._1.toString, r._2, r._3, r._4.toString)).sorted.toSeq
+
+      assert(streamed == expected,
+        s"stream-with-watermark must equal batch-minus-dropped-rows:\n" +
+          s"stream $streamed\nbatch  $expected")
+      // the drop itself mattered: hour 10 totals 15.00, not 114.00
+      assert(streamed.exists(r => r._1.startsWith("2024-01-01 10:00") &&
+        r._4 == "15.00"))
+      assert(!streamed.exists(_._4.contains("99")))
+
+      // state bounded: 7 distinct windows entered state over the run, but
+      // closed windows were EVICTED — only the still-open tail may remain
+      val finalState = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(finalState <= 3,
+        s"closed-window state must be evicted, still holding $finalState rows")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: running per-user totals across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

@@ -37,6 +37,8 @@ object Stress {
       case "blocklist" :: dir :: k :: Nil => blocklist(spark, dir, k.toInt)
       case "pqsize" :: dir :: Nil => pqsize(spark, dir)
       case "annscale" :: nc :: per :: Nil => annscale(spark, nc.toInt, per.toInt)
+      case "ladder" :: dir :: kind :: fs if fs.nonEmpty =>
+        ladder(spark, dir, kind, fs.map(_.toInt))
       case other => sys.error(s"unknown args: $other")
     }
     spark.stop()
@@ -594,5 +596,145 @@ object Stress {
       structuredEmbeddings(spark, nClusters = 2000, perCluster = 10, dim = 64)
         .localCheckpoint(true),
       Seq((8, 1), (8, 2), (16, 2), (32, 2), (32, 4), (64, 4)))
+  }
+
+  /** Scale ladder: time the five heaviest suite queries against synthetic
+    * k× replications of the sfDir corpus and fit the scaling exponent
+    * (least-squares slope of ln t vs ln k). Two replication kinds probe
+    * the two regimes that matter at 100 TB:
+    *
+    *  - `grow`: self-similar growth — replica i re-tags every token
+    *    (`r{i}_tok`) and offsets doc_id/user_id, so replicas share no
+    *    shingles and no users. Near-dup density, shingle document
+    *    frequency, and per-user history stay CONSTANT as the corpus
+    *    grows — the realistic "bigger crawl" shape. Exponent ≈ 1 is the
+    *    pass bar.
+    *  - `twins`: verbatim replication (ids offset, text unchanged) —
+    *    every shingle's df grows ×k, so the inverted-index join's
+    *    Σ df·(df-1)/2 grows ×k² and [[Dedup.ngramJaccardPairs]]' cost
+    *    probe must switch to prefix filtering mid-ladder. The OUTPUT is
+    *    itself Θ(k²) pairs (every doc gains k-1 exact twins), so time is
+    *    expected super-linear; the probe reports output rows so time can
+    *    be judged against the output lower bound, and logs joinRows vs
+    *    the switch threshold so the regime change is visible.
+    *
+    * Rung corpora are written once to /tmp/graft_ladder (setup untimed,
+    * reused across invocations); each query is timed once per rung,
+    * ascending, so the JVM is warm by the big rungs.
+    *
+    *   runMain graft.Stress ladder /root/testdata/sf0.1 grow 1 3 10 30 100
+    *   runMain graft.Stress ladder /root/testdata/sf0.1 twins 1 3 10 30
+    */
+  private def ladder(spark: SparkSession, sfDir: String, kind: String,
+      factors: Seq[Int]): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val idOff = 1000000L // multiple of 10: preserves doc_id % 10 structure
+    val root = s"/tmp/graft_ladder/$kind"
+
+    def replicate(k: Int): String = {
+      val dir = s"$root/x$k"
+      val done = new java.io.File(s"$dir/_LADDER_OK")
+      if (!done.exists()) {
+        val rep = spark.range(k).withColumnRenamed("id", "replica")
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .crossJoin(rep)
+        val text =
+          if (kind == "twins") col("text")
+          else when(col("replica") === 0, col("text")).otherwise(
+            regexp_replace(col("text"), lit("\\S+"),
+              concat(lit("r"), col("replica"), lit("_$0"))))
+        docs.select(
+            (col("doc_id") + col("replica") * idOff).as("doc_id"),
+            text.as("text"), col("lang"), col("source"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        val ev = spark.read.parquet(s"$sfDir/events.parquet").crossJoin(rep)
+        ev.select(
+            (col("event_id") + col("replica") * idOff).as("event_id"),
+            col("ts"),
+            (col("user_id") + col("replica") * idOff).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        done.getParentFile.mkdirs(); done.createNewFile()
+      }
+      dir
+    }
+
+    def jaccardStats(docs: DataFrame): (Long, Long) = {
+      val df = docs
+        .select(col("doc_id"), Dedup.ngrams(col("text")).as("ng"))
+        .filter(size(col("ng")) > 0)
+        .select(explode(col("ng")).as("g"))
+        .groupBy("g").count()
+        .agg(sum(col("count") * (col("count") - 1) / 2).cast("long").as("jr"),
+          max("count").as("maxDf")).first()
+      (df.getAs[Long]("jr"), df.getAs[Long]("maxDf"))
+    }
+
+    val queries: Seq[(String, String => DataFrame)] = {
+      def docs(dir: String) = sources.Tables.documents(spark, dir)
+      val jac = Seq[(String, String => DataFrame)](
+        "ngram_jaccard" -> (d => Dedup.ngramJaccardPairs(docs(d), 0.5)))
+      if (kind == "twins") jac
+      else jac ++ Seq[(String, String => DataFrame)](
+        "containment" -> { d =>
+          val ds = docs(d).select("doc_id", "text")
+          val concats = ds.as("a").filter(col("doc_id") % 10 === 0)
+            .join(ds.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+            .select((col("a.doc_id") + lit(20000L)).as("doc_id"),
+              concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+          Dedup.containmentPairs(ds.unionByName(concats), 0.9)
+        },
+        "clusters" -> (d =>
+          Dedup.duplicateClusters(Dedup.ngramJaccardPairs(docs(d), 0.5))),
+        "decisions" -> (d =>
+          Dedup.dedupDecisions(docs(d), Dedup.ngramJaccardPairs(docs(d), 0.5))),
+        "rollup_incremental" -> { d =>
+          val wh = java.nio.file.Files.createTempDirectory("graft_ladder_wh")
+          val tx = sources.Tables.transactions(spark, d)
+          val store = wh.resolve("daily").toString
+          val inFirst = pmod(hash(col("ts")), lit(2)) === 0
+          operators.Rollups.writeDailyPartials(tx.filter(inFirst), store)
+          operators.Rollups.upsertDailyPartials(tx.filter(!inFirst), store)
+          operators.Rollups.userWindowsFromDaily(
+            spark.read.parquet(store), Seq(7, 14, 30))
+        })
+    }
+
+    val times = scala.collection.mutable.Map.empty[String, List[(Int, Double)]]
+      .withDefaultValue(Nil)
+    // untimed warm-up on the smallest rung: JIT + codegen caches, so rung
+    // timings measure the operators, not first-pass compilation
+    locally {
+      val dir = replicate(factors.min)
+      for ((_, q) <- queries) q(dir).count()
+    }
+    for (k <- factors.sorted) {
+      val dir = replicate(k)
+      if (kind == "twins") {
+        val (jr, maxDf) = jaccardStats(sources.Tables.documents(spark, dir))
+        val regime = if (jr <= Dedup.MaxIndexJoinRows && maxDf <= 1000L)
+          "count-join" else "prefix-filter"
+        println(s"[ladder] x$k joinRows=$jr maxDf=$maxDf " +
+          s"threshold=${Dedup.MaxIndexJoinRows} regime=$regime")
+      }
+      for ((name, q) <- queries) {
+        val t0 = System.nanoTime()
+        val rows = q(dir).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        times(name) = (k, secs) :: times(name)
+        println(f"[ladder] $kind x$k $name rows=$rows time=$secs%.2fs")
+      }
+    }
+
+    for ((name, _) <- queries; pts = times(name).reverse if pts.size >= 2) {
+      // least-squares slope of ln t on ln k = fitted scaling exponent
+      val xs = pts.map(p => math.log(p._1.toDouble))
+      val ys = pts.map(p => math.log(p._2))
+      val n = xs.size; val mx = xs.sum / n; val my = ys.sum / n
+      val slope = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+        xs.map(x => (x - mx) * (x - mx)).sum
+      println(f"[ladder] $kind $name exponent=$slope%.2f over k=" +
+        pts.map(_._1).mkString(","))
+    }
   }
 }

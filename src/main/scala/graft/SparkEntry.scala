@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.{Bpe, Dedup, MinhashIndex, Multimodal, Similarity, TextAnalysis}
 import graft.model._
 import graft.operators._
 import graft.sources.Tables
@@ -1045,6 +1045,28 @@ object SparkEntry {
     * pins its banding recall to 100% on corpora of this shape, so the SAME
     * oracle checks q_dedup_minhash_lsh).
     */
+  /** Exact batch-vs-seen Jaccard at threshold 0.5 over the doc_id % 7
+    * split — the shared oracle of the cross-corpus near-dup family: the
+    * live recompute (q_dedup_incremental_ngram), the persisted MinHash
+    * index screen (q_dedup_minhash_indexed), and the upsert-grown index
+    * (q_dedup_minhash_upsert) must all return exactly this pair set.
+    */
+  private val crossNgramOracle: String =
+    "WITH toks AS (SELECT doc_id, " + toksSql + " AS t FROM documents), " +
+      "ngrams AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] " +
+      "FOR i IN range(1, len(t) - 1)]) AS ng FROM toks WHERE len(t) >= 3), " +
+      "pa AS (SELECT doc_id, unnest(ng) AS g, len(ng) AS n FROM ngrams " +
+      "WHERE doc_id % 7 = 0), " +
+      "pb AS (SELECT doc_id, unnest(ng) AS g, len(ng) AS n FROM ngrams " +
+      "WHERE doc_id % 7 <> 0), " +
+      "pairs AS (SELECT pa.doc_id AS batch_doc, pb.doc_id AS seen_doc, " +
+      "count(*) AS common, any_value(pa.n) AS na, any_value(pb.n) AS nb " +
+      "FROM pa JOIN pb ON pa.g = pb.g GROUP BY 1, 2) " +
+      "SELECT batch_doc, seen_doc, " +
+      "CAST(common AS DOUBLE) / (na + nb - common) AS jaccard FROM pairs " +
+      "WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5 " +
+      "ORDER BY batch_doc, seen_doc"
+
   private val ngramJaccardOracle: String =
     "WITH toks AS (SELECT doc_id, " + toksSql + " AS t FROM documents), " +
       "ngrams AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] " +
@@ -1815,20 +1837,7 @@ object SparkEntry {
           docs.filter(col("doc_id") % 7 =!= 0), 0.5)
           .orderBy("batch_doc", "seen_doc")
       },
-      Some("WITH toks AS (SELECT doc_id, " + toksSql + " AS t FROM documents), " +
-        "ngrams AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] " +
-        "FOR i IN range(1, len(t) - 1)]) AS ng FROM toks WHERE len(t) >= 3), " +
-        "pa AS (SELECT doc_id, unnest(ng) AS g, len(ng) AS n FROM ngrams " +
-        "WHERE doc_id % 7 = 0), " +
-        "pb AS (SELECT doc_id, unnest(ng) AS g, len(ng) AS n FROM ngrams " +
-        "WHERE doc_id % 7 <> 0), " +
-        "pairs AS (SELECT pa.doc_id AS batch_doc, pb.doc_id AS seen_doc, " +
-        "count(*) AS common, any_value(pa.n) AS na, any_value(pb.n) AS nb " +
-        "FROM pa JOIN pb ON pa.g = pb.g GROUP BY 1, 2) " +
-        "SELECT batch_doc, seen_doc, " +
-        "CAST(common AS DOUBLE) / (na + nb - common) AS jaccard FROM pairs " +
-        "WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5 " +
-        "ORDER BY batch_doc, seen_doc")),
+      Some(crossNgramOracle)),
 
     Q("q_dedup_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.5)
@@ -1847,6 +1856,53 @@ object SparkEntry {
           numHashes = 64, bands = 32)
         .orderBy("doc_a", "doc_b"),
       Some(ngramJaccardOracle)),
+
+    // PERSISTED MinHash-LSH index: the seen corpus (doc_id % 7 ≠ 0) is
+    // shingled+signed+banded ONCE at build; the batch screen pays O(batch)
+    // signing, a broadcast band join against the stored band table, and a
+    // literal-id-pruned read of the candidates' stored shingle sets — the
+    // incremental-dedup access path at 100 TB, where re-shingling the seen
+    // side per batch (q_dedup_incremental_ngram's live recompute) costs
+    // O(corpus). Same high-recall geometry as q_dedup_minhash_lsh, so the
+    // screen's verified pair set equals the exhaustive cross-join oracle.
+    // Unique table name + eager materialization + finally-drop: the
+    // q_sim_topk_ivf_indexed pattern.
+    Q("q_dedup_minhash_indexed",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val name = "graft_mh_idx_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        MinhashIndex.write(docs.filter(col("doc_id") % 7 =!= 0), name)
+        try MinhashIndex.screen(s, name,
+            docs.filter(col("doc_id") % 7 === 0), 0.5)
+          .orderBy("batch_doc", "seen_doc").localCheckpoint(true)
+        finally MinhashIndex.drop(s, name)
+      },
+      Some(crossNgramOracle)),
+
+    // INCREMENTAL index maintenance: build on the even half of the seen
+    // corpus, UPSERT the odd half (banded under the index's frozen
+    // geometry, appended under the tables' own bucket specs — O(batch),
+    // no rebuild), then screen. The grown index must answer exactly like
+    // a one-shot build over the union — which is the same exhaustive
+    // cross-join oracle — because the banding geometry is data-independent
+    // (unlike the ANN quantizer, there is no trained state to freeze, so
+    // upsert ≡ rebuild holds unconditionally here).
+    Q("q_dedup_minhash_upsert",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val seen = docs.filter(col("doc_id") % 7 =!= 0)
+        val name = "graft_mh_ups_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        MinhashIndex.write(seen.filter(col("doc_id") % 2 === 0), name)
+        try {
+          MinhashIndex.upsert(s, name, seen.filter(col("doc_id") % 2 =!= 0))
+          MinhashIndex.screen(s, name,
+              docs.filter(col("doc_id") % 7 === 0), 0.5)
+            .orderBy("batch_doc", "seen_doc").localCheckpoint(true)
+        } finally MinhashIndex.drop(s, name)
+      },
+      Some(crossNgramOracle)),
 
     // Asymmetric containment (near-SUPERSET detection) over a corpus with
     // engineered swallows: every 10th document is concatenated with its

@@ -16,8 +16,15 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      // SPARK_GRAFT_SHUFFLE decouples shuffle parallelism from thread
+      // count for scale-ladder probes: a fixed cpu-count partition number
+      // is the right bench config at sf0.1, but at 100× replication each
+      // partition outgrows memory and the sort-merge joins spill — the
+      // ladder measures that regime by default and with this knob measures
+      // the scaled-partitioning regime a real cluster runs in.
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -255,18 +255,8 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, threshold: Double,
       numHashes: Int = 32, bands: Int = 8, textCol: String = "text"): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    val sets = docs
-      .select(col("doc_id"), ngrams(col(textCol)).as("ng"))
-      .filter(size(col("ng")) > 0)
-
-    val sigs = sets.select(col("doc_id"),
-      MinHash.minhashSignature(col("ng"), numHashes).as("sig"))
-    val bandKeys = sigs.select(col("doc_id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
-        .as(Seq("band", "bucket")))
+    val sets = ngramSets(docs, textCol)
+    val bandKeys = minhashBandKeys(sets, numHashes, bands)
 
     val ca = bandKeys.as("a"); val cb = bandKeys.as("b")
     val candidates = ca.join(cb,
@@ -277,6 +267,32 @@ object Dedup {
 
     verifyJaccard(candidates, sets, threshold)
   }
+
+  /** (doc_id, band, bucket) LSH band keys of each document's minhash
+    * signature — the shared banding kernel of [[minhashNearDups]] and the
+    * persisted [[MinhashIndex]]: the signature is one pass of the native
+    * [[MinHash]] expression, each band's rows are folded into a single
+    * xxhash64 bucket key, and two documents are near-dup CANDIDATES iff
+    * they agree on any band's bucket. Build-side and batch-side banding
+    * MUST be this one function, or index lookups silently miss.
+    */
+  private[graft] def minhashBandKeys(sets: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sigs = sets.select(col("doc_id"),
+      MinHash.minhashSignature(col("ng"), numHashes).as("sig"))
+    sigs.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
+        .as(Seq("band", "bucket")))
+  }
+
+  /** doc_id → distinct-ngram set of each document, empty-set rows dropped —
+    * the shared shingling front of the minhash paths. */
+  private[graft] def ngramSets(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(col("doc_id"), ngrams(col(textCol)).as("ng"))
+      .filter(size(col("ng")) > 0)
 
   /** Exact-Jaccard verification of candidate pairs against the ngram sets. */
   private def verifyJaccard(candidates: DataFrame, sets: DataFrame,

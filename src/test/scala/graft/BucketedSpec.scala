@@ -486,4 +486,83 @@ class BucketedSpec extends SparkSpec {
       assert(out.length == 1 && out.head.getLong(0) == 1L)
     } finally TextAnalysis.dropSearchIndex(spark, "bm25_stale_idx")
   }
+
+  // --- persisted MinHash-LSH dedup index ------------------------------
+
+  /** Seen corpus with two near-twin families and one decoy; the batch
+    * carries one near-dup of each family, one exact dup, and one novel
+    * document — so the screen must find exactly the cross pairs the live
+    * recompute finds, including jaccard 1.0 for the exact dup.
+    */
+  private def mhSeen = Seq(
+    (10L, "the quick brown fox jumps over the lazy dog today"),
+    (11L, "the quick brown fox jumps over the lazy dog tonight"),
+    (12L, "spark query engines compile plans into distributed stages now"),
+    (13L, "completely unrelated words about cooking pasta dinner tonight ok"))
+    .toDF("doc_id", "text")
+
+  private def mhBatch = Seq(
+    (100L, "the quick brown fox jumps over the lazy dog today"),
+    (101L, "spark query engines compile plans into distributed stages here"),
+    (102L, "entirely novel text that matches no seen document at all"))
+    .toDF("doc_id", "text")
+
+  test("minhash index screen == live cross recompute; candidate cap enforced") {
+    import graft.functions.{Dedup, MinhashIndex}
+    MinhashIndex.write(mhSeen, "mh_test_idx", buckets = 2)
+    try {
+      val screened = MinhashIndex.screen(spark, "mh_test_idx", mhBatch, 0.5)
+        .orderBy("batch_doc", "seen_doc")
+        .as[(Long, Long, Double)].collect().toSeq
+      val live = Dedup.crossNgramJaccardPairs(mhBatch, mhSeen, 0.5)
+        .orderBy("batch_doc", "seen_doc")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(screened.nonEmpty && screened == live,
+        s"screen $screened != live $live")
+      assert(screened.exists { case (a, b, j) => a == 100L && b == 10L && j == 1.0 })
+      assert(!screened.exists(_._1 == 102L))
+
+      // the verification read must carry the literal candidate-id predicate
+      // INTO the parquet scan (row-group pruning via the sorted layout's
+      // min/max stats), not scan the corpus's shingle sets
+      val plan = MinhashIndex.screen(spark, "mh_test_idx", mhBatch, 0.5)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [In(doc_id"),
+        s"sets read must push the literal candidate-id In filter:\n$plan")
+
+      val cap = intercept[IllegalArgumentException] {
+        MinhashIndex.screen(spark, "mh_test_idx", mhBatch, 0.5, maxCandidates = 1)
+      }
+      assert(cap.getMessage.contains("candidate pairs"))
+    } finally MinhashIndex.drop(spark, "mh_test_idx")
+  }
+
+  test("minhash index upsert: grown index ≡ one-shot build over the union") {
+    import graft.functions.MinhashIndex
+    MinhashIndex.write(mhSeen.filter($"doc_id" % 2 === 0), "mh_ups_idx", buckets = 2)
+    MinhashIndex.write(mhSeen, "mh_full_idx", buckets = 2)
+    try {
+      MinhashIndex.upsert(spark, "mh_ups_idx", mhSeen.filter($"doc_id" % 2 =!= 0))
+      val grown = MinhashIndex.screen(spark, "mh_ups_idx", mhBatch, 0.5)
+        .orderBy("batch_doc", "seen_doc").as[(Long, Long, Double)].collect().toSeq
+      val oneShot = MinhashIndex.screen(spark, "mh_full_idx", mhBatch, 0.5)
+        .orderBy("batch_doc", "seen_doc").as[(Long, Long, Double)].collect().toSeq
+      assert(grown.nonEmpty && grown == oneShot, s"grown $grown != one-shot $oneShot")
+    } finally {
+      MinhashIndex.drop(spark, "mh_ups_idx")
+      MinhashIndex.drop(spark, "mh_full_idx")
+    }
+  }
+
+  test("minhash index screen with zero candidates returns an empty, schema-stable frame") {
+    import graft.functions.MinhashIndex
+    MinhashIndex.write(mhSeen, "mh_empty_idx", buckets = 2)
+    try {
+      val novel = Seq((200L, "totally fresh words nowhere near anything stored before"))
+        .toDF("doc_id", "text")
+      val out = MinhashIndex.screen(spark, "mh_empty_idx", novel, 0.5)
+      assert(out.columns.toSeq == Seq("batch_doc", "seen_doc", "jaccard"))
+      assert(out.count() == 0)
+    } finally MinhashIndex.drop(spark, "mh_empty_idx")
+  }
 }

@@ -1476,6 +1476,39 @@ object SparkEntry {
         "WHEN fingerprint % 100 < 98 THEN 'val' ELSE 'test' END AS split " +
         "FROM fp ORDER BY doc_id")),
 
+    // Cluster-aware LEAKAGE-SAFE split: every doc keys on its duplicate
+    // cluster's representative id, so near-dups can never straddle
+    // train/test — the oracle replays the components recursively and
+    // hashes the representative's string rendering through the same
+    // rolling-hash machinery as q_split_assign.
+    Q("q_split_leakage_safe",
+      (s, d) => graft.functions.Sampling.leakageSafeSplit(
+        Tables.documents(s, d),
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.5),
+        Seq(("train", 95), ("val", 3), ("test", 2)))
+        .orderBy("doc_id"),
+      Some("WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM " +
+        s"($ngramJaccardOracle)), " +
+        "e AS (SELECT doc_a AS src, doc_b AS dst FROM p " +
+        "UNION SELECT doc_b, doc_a FROM p), " +
+        "reach AS (SELECT src, dst FROM e " +
+        "UNION SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src), " +
+        "comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id " +
+        "FROM reach GROUP BY src), " +
+        "wc AS (SELECT d.doc_id, COALESCE(comp.cluster_id, d.doc_id) " +
+        "AS cluster_id FROM documents d LEFT JOIN comp USING (doc_id)), " +
+        "fp AS (SELECT doc_id, cluster_id, list_reduce(" +
+        "list_prepend(CAST(0 AS BIGINT), " +
+        "[CAST(unicode(c) AS BIGINT) FOR c IN regexp_extract_all(" +
+        "lower(regexp_replace(trim(CAST(cluster_id AS VARCHAR)), " +
+        "'\\s+', ' ', 'g')), '.')]), " +
+        s"(acc, x) -> (acc * 31 + x) % ${graft.functions.RollingHash.Modulus}) " +
+        "AS f FROM wc) " +
+        "SELECT doc_id, cluster_id, f % 100 AS bucket, " +
+        "CASE WHEN f % 100 < 95 THEN 'train' " +
+        "WHEN f % 100 < 98 THEN 'val' ELSE 'test' END AS split " +
+        "FROM fp ORDER BY doc_id")),
+
     // Deterministic stratified sampling: strata (doc_id mod 3 as a
     // stand-in source label) kept at 100% / 50% / 10% by content-hash
     // bucket out of 10,000 — reproducible, duplicate-consistent, no RNG.
@@ -1618,6 +1651,36 @@ object SparkEntry {
         "CAST(tot.total AS DOUBLE)) AS unigram_score " +
         "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id " +
         "CROSS JOIN tot ORDER BY d.doc_id")),
+
+    // Bigram-LM quality score (order-2 CCNet-style filter): mean smoothed
+    // conditional probability of each bigram position under the corpus
+    // model — rational arithmetic end-to-end (one IEEE division per
+    // position, sorted-fold per-doc sum), so the oracle replays it to the
+    // bit with no libm transcendentals (the unigramScore / rational-idf
+    // BM25 discipline).
+    Q("q_text_bigram_lm",
+      (s, d) => TextAnalysis.bigramScore(Tables.documents(s, d), addK = 1.0)
+        .orderBy("doc_id"),
+      Some("WITH tk AS (SELECT doc_id, " + toksSql + " AS t FROM documents " +
+        "WHERE text IS NOT NULL), " +
+        "x AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk " +
+        "WHERE len(t) >= 2), " +
+        "bg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS w1, " +
+        "t[i+1] AS w2 FROM x), " +
+        "c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2), " +
+        "c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw FROM c12 GROUP BY 1), " +
+        "v AS (SELECT count(DISTINCT term) AS v FROM " +
+        "(SELECT unnest(t) AS term FROM tk)), " +
+        "sc AS (SELECT bg.doc_id, count(*) AS n, " +
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list((CAST(c12.c AS DOUBLE) + 1.0) / " +
+        "(CAST(c1.cw AS DOUBLE) + 1.0 * CAST(v.v AS DOUBLE)) " +
+        "ORDER BY bg.pos)), (acc, x) -> acc + x) AS s " +
+        "FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) " +
+        "CROSS JOIN v GROUP BY 1) " +
+        "SELECT d.doc_id, CAST(COALESCE(sc.n, 0) AS BIGINT) AS n_bigrams, " +
+        "sc.s / CAST(sc.n AS DOUBLE) AS bigram_score " +
+        "FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id")),
 
     // Composite C4/Gopher filter verdict at default thresholds: keep +
     // ordered reason string per document, every arm replayed in SQL.
@@ -1783,6 +1846,59 @@ object SparkEntry {
         "CAST(g.n_dup_chunks AS DOUBLE) / CAST(g.n_chunks AS DOUBLE) " +
         "AS dup_chunk_frac " +
         "FROM d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id")),
+
+    // Duplicate-PASSAGE spans over the containment-style corpus (every 10th
+    // doc concatenated with its successor into a re-keyed super-doc): each
+    // swallowed document surfaces as a maximal run of consecutive shared
+    // 16-token chunks at diagonal start_a − start_b ≠ 0 — span-level
+    // exact-substring dedup (the where-and-how-long reading chunk counters
+    // can't give). Hot fingerprints (df > 64) are excluded before pairing
+    // on both sides.
+    Q("q_dedup_passages",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val concats = docs.as("a").filter(col("doc_id") % 10 === 0)
+          .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+          .select((col("a.doc_id") + lit(20000L)).as("doc_id"),
+            concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+        Dedup.duplicatePassages(docs.unionByName(concats),
+            chunkTokens = 16, minChunks = 2, maxChunkDf = 64)
+          .orderBy("doc_a", "doc_b", "start_a", "start_b")
+      },
+      Some("WITH d AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT a.doc_id + 20000 AS doc_id, " +
+        "a.text || ' ' || b.text AS text FROM documents a " +
+        "JOIN documents b ON b.doc_id = a.doc_id + 1 " +
+        "WHERE a.doc_id % 10 = 0), " +
+        "tk AS (SELECT doc_id, " + toksSql + " AS t FROM d " +
+        "WHERE text IS NOT NULL AND len(" + toksSql + ") > 0), " +
+        "ck AS (SELECT doc_id, unnest(range(0, (len(t) - 1) // 16 + 1)) " +
+        "AS idx, t FROM tk), " +
+        // the q_dedup_chunks fingerprint replay: trim + collapse + lower
+        // canonical form, 58-bit prime-field rolling hash
+        "fp AS (SELECT doc_id, CAST(idx AS BIGINT) AS idx, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "[CAST(unicode(c) AS BIGINT) FOR c IN regexp_extract_all(" +
+        "lower(regexp_replace(trim(" +
+        "array_to_string(t[(idx*16+1):(idx*16+16)], ' ')" +
+        "), '\\s+', ' ', 'g')), '.')]), " +
+        s"(acc, x) -> (acc * 31 + x) % ${graft.functions.RollingHash.Modulus}) " +
+        "AS f FROM ck), " +
+        "hot AS (SELECT f FROM fp GROUP BY f HAVING count(*) > 64), " +
+        "rare AS (SELECT fp.* FROM fp ANTI JOIN hot USING (f)), " +
+        "m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "a.idx AS ia, b.idx AS ib FROM rare a " +
+        "JOIN rare b ON a.f = b.f AND a.doc_id < b.doc_id), " +
+        "r AS (SELECT doc_a, doc_b, ia, ib, ia - ib AS diag, " +
+        "ia - row_number() OVER (PARTITION BY doc_a, doc_b, ia - ib " +
+        "ORDER BY ia) AS grp FROM m), " +
+        "g AS (SELECT doc_a, doc_b, CAST(min(ia) AS BIGINT) AS start_a, " +
+        "CAST(min(ib) AS BIGINT) AS start_b, count(*) AS n_chunks " +
+        "FROM r GROUP BY doc_a, doc_b, diag, grp) " +
+        "SELECT doc_a, doc_b, start_a, start_b, " +
+        "CAST(n_chunks AS BIGINT) AS n_chunks, " +
+        "CAST(n_chunks * 16 AS BIGINT) AS approx_tokens FROM g " +
+        "WHERE n_chunks >= 2 ORDER BY doc_a, doc_b, start_a, start_b")),
 
     // Incremental exact dedup: a new batch (every second document, re-keyed)
     // deduped against itself and the already-seen corpus (every third
@@ -2047,6 +2163,30 @@ object SparkEntry {
         "sc AS (SELECT query_id, c.vec_id AS neighbor_id, " +
         s"${dotSql("qv", "c.v")} AS score " +
         "FROM nv c, q WHERE c.vec_id <> q.query_id), " +
+        topKSql("sc", 10))),
+
+    // Metadata-FILTERED retrieval: each query's neighbors restricted to its
+    // own `label` category — the attribute equality turns brute force's
+    // broadcast fan-out into a hash equi-join on the attribute (per-query
+    // candidates = one category's partition, pruned at the scan).
+    Q("q_sim_topk_filtered",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.attributeFilteredTopK(emb,
+            emb.filter(col("vec_id") % 100 === 0), k = 10, attrCol = "label")
+          .orderBy("query_id", "rank")
+      },
+      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+        "label FROM embeddings), " +
+        "n AS (SELECT vec_id, v, label, sqrt(" +
+        foldSumSql("[x * x FOR x IN v]") + ") AS nrm FROM e), " +
+        "nv AS (SELECT vec_id, [x / nrm FOR x IN v] AS v, label FROM n " +
+        "WHERE nrm > 0), " +
+        "q AS (SELECT vec_id AS query_id, v AS qv, label FROM nv " +
+        "WHERE vec_id % 100 = 0), " +
+        "sc AS (SELECT query_id, c.vec_id AS neighbor_id, " +
+        s"${dotSql("qv", "c.v")} AS score FROM nv c " +
+        "JOIN q ON c.label = q.label AND c.vec_id <> q.query_id), " +
         topKSql("sc", 10))),
 
     // IVF multi-probe: 8 leading sign bits as the coarse quantizer, probes

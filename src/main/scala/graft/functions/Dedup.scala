@@ -514,6 +514,67 @@ object Dedup {
           col("n_chunks").cast("double")).as("dup_chunk_frac"))
   }
 
+  /** Duplicate-PASSAGE detection: maximal runs of consecutive shared
+    * fixed-size token chunks between document pairs — the span-level
+    * reading the chunk counters in [[chunkDedup]] can't give (WHERE inside
+    * each pair the copied region sits, and how long it is). This is the
+    * practical stand-in for suffix-array exact-substring dedup (Lee et al.
+    * 2022): boilerplate headers, quoted reposts, and template passages
+    * surface as (doc_a, doc_b, start_a, start_b, n_chunks) spans at chunk
+    * resolution.
+    *
+    * Scale shape: chunks collapse to 58-bit rolling-hash fingerprints in
+    * the scan projection (text never shuffles); fingerprints occurring in
+    * more than `maxChunkDf` chunks are excluded BEFORE pairing — the same
+    * hot-key guard as the ngram inverted index, bounding the per-key
+    * quadratic join at ubiquity boilerplate ("all rights reserved"). The
+    * pair join is a hash equi-join on the fingerprint; runs then resolve
+    * with ONE window partitioned by (doc_a, doc_b, diagonal): consecutive
+    * matches share ia−ib, so islands fall out of ia − row_number — the
+    * gaps-and-islands rewrite, no per-span iteration.
+    *
+    * Output: (doc_a, doc_b, start_a, start_b, n_chunks, approx_tokens),
+    * doc_a < doc_b, chunk indexes 0-based, spans of at least `minChunks`
+    * chunks.
+    */
+  def duplicatePassages(docs: DataFrame, chunkTokens: Int = 16,
+      minChunks: Int = 2, maxChunkDf: Long = 64,
+      textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0, "chunk size must be positive")
+    require(minChunks > 0, "minChunks must be positive")
+    val c = chunkTokens
+    val chunks = docs
+      .select(col("doc_id"), toks(col(textCol)).as("__t"))
+      .filter(col("__t").isNotNull && size(col("__t")) > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), ((size(col("__t")) - 1) / c).cast("int"))).as("idx"),
+        col("__t"))
+      .select(col("doc_id"), col("idx").cast("long").as("idx"),
+        TextAnalysis.fingerprint(
+          array_join(slice(col("__t"), col("idx") * c + 1, lit(c)), " ")).as("__f"))
+    val hot = chunks.groupBy(col("__f")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxChunkDf)
+      .select(col("__f"))
+    val rare = chunks.join(hot, Seq("__f"), "left_anti")
+    val m = rare.as("a")
+      .join(rare.as("b"),
+        col("a.__f") === col("b.__f") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.idx").as("ia"), col("b.idx").as("ib"))
+    val wDiag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("ia"))
+    m.withColumn("diag", col("ia") - col("ib"))
+      .withColumn("grp", col("ia") - row_number().over(wDiag))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("ia")).as("start_a"), min(col("ib")).as("start_b"),
+        count(lit(1)).as("n_chunks"))
+      .filter(col("n_chunks") >= minChunks)
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("n_chunks"),
+        (col("n_chunks") * lit(c.toLong)).as("approx_tokens"))
+  }
+
   /** Large-star: for every node u (over the symmetrized neighborhood),
     * connect each neighbor LARGER than u to m = min(N(u) ∪ {u}).
     */

@@ -63,6 +63,36 @@ object Sampling {
     when(bucket.isNull, lit(null: String)).otherwise(assign)
   }
 
+  /** Cluster-aware LEAKAGE-SAFE split: near-duplicate documents must never
+    * straddle train and test (the classic eval-contamination bug —
+    * [[hashSplit]] keys on each doc's own content, so two near-dups with
+    * different bytes can land in different splits). Here every document
+    * keys on its duplicate-CLUSTER representative: `pairs` is any
+    * (doc_a, doc_b) near-dup pair frame (exact Jaccard, MinHash-verified,
+    * SimHash — the caller's screen of choice), clusters come from the
+    * large-star/small-star contraction, and the bucket hashes the
+    * representative id's string rendering through the same rolling-hash
+    * machinery as hashSplit. Same cluster → same bucket → same split, by
+    * construction. Unpaired docs form singleton clusters (their own id).
+    *
+    * Scale shape: clustering is the O(log n)-round star contraction over
+    * the pair set; attaching cluster ids is one hash join on doc_id; the
+    * bucket and split assignment are scan-side projections. Output: input
+    * columns minus text + (cluster_id, bucket, split).
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+      splits: Seq[(String, Int)]): DataFrame = {
+    val total = splitTotal(splits)
+    val clusters = Dedup.duplicateClusters(pairs)
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("bucket",
+        hashBucket(col("cluster_id").cast("string"), total))
+      .withColumn("split", splitAssignExpr(col("bucket"), splits))
+  }
+
   /** Sequence PACKING: assign each document to a fixed-token-budget
     * training sequence (pack) — the step between a cleaned corpus and a
     * token-batch loader. Quota packing: within a shard, documents are laid

@@ -55,10 +55,42 @@ object Similarity {
     * pairs outnumber vectors by orders of magnitude.
     */
   private[functions] def normalized(df: DataFrame): DataFrame =
-    asDouble(df)
+    normalizedWith(df)
+
+  /** [[normalized]] carrying extra metadata columns through the projection
+    * (no join-back: attributes ride the same scan).
+    */
+  private def normalizedWith(df: DataFrame, extra: String*): DataFrame =
+    df.select(col("vec_id") +:
+        col("embedding").cast("array<double>").as("v") +:
+        extra.map(col): _*)
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .filter(col("nrm") > 0)
-      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("v"))
+      .select(col("vec_id") +:
+        transform(col("v"), x => x / col("nrm")).as("v") +:
+        extra.map(col): _*)
+
+  /** Metadata-FILTERED exact top-k: each query retrieves only corpus
+    * vectors sharing its `attrCol` value — category-scoped retrieval, the
+    * filtered-search mode vector stores advertise (language- or
+    * domain-restricted neighbor lookup in a curation pipeline). The
+    * attribute equality makes the scoring join a hash EQUI-join on the
+    * attribute instead of brute force's broadcast fan-out over the whole
+    * corpus: at 100 TB each query's candidate set is its category's
+    * partition, and the filter prunes at the scan (predicate pushdown on
+    * the attribute column), not after scoring.
+    */
+  def attributeFilteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      attrCol: String): DataFrame = {
+    val c = normalizedWith(corpus, attrCol)
+    val q = normalizedWith(queries, attrCol)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col(attrCol))
+    val scored = c.join(broadcast(q), Seq(attrCol))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("qv"), col("v")).as("score"))
+    topKPerQuery(scored, k)
+  }
 
   /** Exact brute-force top-k cosine neighbors for each query vector.
     * `queries` is expected to be small (it is broadcast); the corpus side

@@ -156,6 +156,117 @@ object TextAnalysis {
           .as("unigram_score"))
   }
 
+  /** Bigram-LM quality score — the order-2 upgrade of [[unigramScore]]'s
+    * CCNet-style LM filter: each document scores the mean SMOOTHED
+    * CONDITIONAL PROBABILITY of its bigram positions under the corpus
+    * bigram model, P(w2|w1) = (c(w1,w2)+a) / (c(w1·)+a·V). Fluent prose
+    * (common continuations) scores high; shuffled or noisy text scores
+    * low even when its unigrams are common — exactly what the bigram
+    * order buys over [[unigramScore]]. Deliberately RATIONAL arithmetic
+    * (the same discipline as the rational-idf BM25 variant and
+    * unigramScore): counts are exact integers, each position's probability
+    * is ONE IEEE division, and the per-doc sum folds in sorted position
+    * order — bit-identical in any engine, no libm `ln`/`exp` in sight.
+    * [[bigramPerplexity]] is the log-space rendering for human consumption
+    * (spec-gated with tolerance, not oracle-hashed).
+    *
+    * Scale shape: bigrams explode from a scan-side `transform` projection
+    * (no self-join); the model is one hash aggregate on (w1,w2); context
+    * totals derive from the model by a second small aggregate (never a
+    * corpus re-scan); V rides as a broadcast one-row frame. The scoring
+    * pass joins occurrences to the Zipf-bounded model tables on term keys
+    * — hash equi-joins that scale like any postings join. The per-doc fold
+    * is the bm25Rank sorted-struct pattern.
+    *
+    * Output: one row per document — (doc_id, n_bigrams, bigram_score);
+    * documents with <2 tokens keep n_bigrams 0 and a NULL score.
+    */
+  def bigramScore(docs: DataFrame, addK: Double = 1.0,
+      textCol: String = "text"): DataFrame = {
+    require(addK > 0, "addK must be positive (unseen mass)")
+    val occ = bigramOccurrences(docs, textCol)
+    val model = occ.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val ctx = model.groupBy(col("w1"))
+      .agg(sum(col("c12")).cast("long").as("c1"))
+    val vTbl = docs
+      .select(explode(tokens(col(textCol))).as("term"))
+      .agg(countDistinct(col("term")).as("__v"))
+    val p = (col("c12").cast("double") + lit(addK)) /
+      (col("c1").cast("double") + lit(addK) * col("__v").cast("double"))
+    val perDoc = occ
+      .join(model, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vTbl))
+      .select(col("doc_id"), col("pos"), p.as("__p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n"),
+        aggregate(
+          array_sort(collect_list(struct(col("pos"), col("__p")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("__p")).as("__s"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__n"), lit(0L)).as("n_bigrams"),
+        (col("__s") / col("__n").cast("double")).as("bigram_score"))
+  }
+
+  /** Log-space bigram-LM perplexity: exp of the per-doc cross-entropy under
+    * the same add-k model as [[bigramScore]]. Uses `ln`/`exp`, so it is NOT
+    * cross-engine bit-deterministic — gated by spec tolerance, offered for
+    * pipelines that want the conventional perplexity reading. Same plan
+    * shape as [[bigramScore]] (the fold sums log terms instead of
+    * probabilities).
+    */
+  def bigramPerplexity(docs: DataFrame, addK: Double = 1.0,
+      textCol: String = "text"): DataFrame = {
+    require(addK > 0, "addK must be positive (unseen mass)")
+    val occ = bigramOccurrences(docs, textCol)
+    val model = occ.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val ctx = model.groupBy(col("w1"))
+      .agg(sum(col("c12")).cast("long").as("c1"))
+    val vTbl = docs
+      .select(explode(tokens(col(textCol))).as("term"))
+      .agg(countDistinct(col("term")).as("__v"))
+    val logp = log((col("c12").cast("double") + lit(addK)) /
+      (col("c1").cast("double") + lit(addK) * col("__v").cast("double")))
+    val perDoc = occ
+      .join(model, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vTbl))
+      .select(col("doc_id"), col("pos"), logp.as("__lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n"),
+        aggregate(
+          array_sort(collect_list(struct(col("pos"), col("__lp")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("__lp")).as("__s"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__n"), lit(0L)).as("n_bigrams"),
+        (-col("__s") / col("__n").cast("double")).as("cross_entropy"),
+        exp(-col("__s") / col("__n").cast("double")).as("perplexity"))
+  }
+
+  /** (doc_id, pos, w1, w2) bigram occurrence rows, 1-based pos, built by a
+    * scan-side `transform` over the token array — no explode-and-self-join.
+    */
+  private def bigramOccurrences(docs: DataFrame, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    docs
+      .select(col("doc_id"), t.as("__t"))
+      .filter(col("__t").isNotNull && size(col("__t")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        (x, i) => struct((i + 1).cast("long").as("pos"), x.as("w1"),
+          element_at(col("__t"), i + 2).as("w2")))).as("__bg"))
+      .select(col("doc_id"), col("__bg.pos").as("pos"),
+        col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+  }
+
   /** Per-document top-k terms by frequency (stopwords excluded, ties by
     * term asc) — keyword extraction, the integer-only cousin of TF-IDF
     * (term frequencies are exact counts, so results are deterministic

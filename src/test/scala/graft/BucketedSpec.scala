@@ -565,4 +565,31 @@ class BucketedSpec extends SparkSpec {
       assert(out.count() == 0)
     } finally MinhashIndex.drop(spark, "mh_empty_idx")
   }
+
+  test("attribute-filtered top-k: neighbors stay in the query's category and match brute force on that slice") {
+    import graft.functions.Similarity
+    val rnd = new scala.util.Random(31)
+    val corpus = (0 until 40).map { i =>
+      val v = Array.fill(6)(rnd.nextDouble() - 0.5)
+      (i.toLong, v.map(_.toFloat).toSeq, i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter($"vec_id" < 3) // one query per label
+    val out = Similarity.attributeFilteredTopK(corpus, queries, k = 4,
+      attrCol = "label").orderBy("query_id", "rank")
+    val labelOf = (0 until 40).map(i => i.toLong -> i % 3).toMap
+    val rows = out.as[(Long, Long, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (q, n, _, _) => labelOf(q) == labelOf(n) },
+      "a neighbor escaped its query's category")
+    // per query, the filtered result IS brute force over that category
+    for (lbl <- 0 until 3) {
+      val slice = corpus.filter($"label" === lbl)
+      val expect = Similarity.bruteForceTopK(slice,
+        queries.filter($"label" === lbl), k = 4)
+        .orderBy("query_id", "rank")
+        .as[(Long, Long, Int, Double)].collect().toSeq
+      val got = rows.filter(r => labelOf(r._1) == lbl).toSeq
+      assert(got == expect, s"label $lbl slice diverged from brute force")
+    }
+  }
 }

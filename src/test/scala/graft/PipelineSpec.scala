@@ -1002,4 +1002,89 @@ class PipelineSpec extends SparkSpec {
     assert(out.filter(_._2 == "zzz").forall(r => r._4 == 0L && !r._5))
     assert(out.filter(_._2 == "b").forall(_._4 == 5L))
   }
+
+  test("leakage-safe split: cluster members share the representative's split; singletons key on their own id") {
+    val corpus = docs((1L, "aa"), (2L, "bb"), (7L, "cc"), (9L, "dd"))
+    // 1–2 and 2–7 are near-dups → one cluster with representative 1; 9 alone
+    val pairs = Seq((1L, 2L), (2L, 7L)).toDF("doc_a", "doc_b")
+    val out = Sampling.leakageSafeSplit(corpus, pairs,
+        Seq(("train", 8), ("test", 2)))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 1L, 1L, 9L))
+    // the leakage guarantee: every cluster member gets the SAME split
+    assert(out.take(3).map(_.getString(3)).distinct.length == 1)
+    // buckets equal the rolling hash of the representative id's string
+    import org.apache.spark.unsafe.types.UTF8String
+    val h1 = graft.functions.RollingHash.compute(UTF8String.fromString("1")) % 10
+    val h9 = graft.functions.RollingHash.compute(UTF8String.fromString("9")) % 10
+    assert(out.take(3).forall(_.getLong(2) == h1))
+    assert(out(3).getLong(2) == h9)
+  }
+
+  test("bigram score: exact rational arithmetic on a hand-computed model") {
+    // corpus bigrams: doc1 (a,b)(b,a)(a,b); doc2 (a,b)(b,c)
+    // c12: (a,b)=3 (b,a)=1 (b,c)=1; c1: a=3 b=2; V = |{a,b,c,z}| = 4
+    // addK=1: P(b|a)=4/7, P(a|b)=2/6, P(c|b)=2/6
+    val corpus = docs(
+      (1L, "a b a b"),
+      (2L, "a b c"),
+      (3L, "z"),                       // one token: no bigram position
+      (4L, null.asInstanceOf[String]))
+    val out = TextAnalysis.bigramScore(corpus, addK = 1.0)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    // expected sums fold LEFT in position order, like both engines do
+    val p_ab = 4.0 / 7.0; val p_ba = 2.0 / 6.0; val p_bc = 2.0 / 6.0
+    assert(out.toSeq == Seq(
+      (1L, 3L, Some((0.0 + p_ab + p_ba + p_ab) / 3.0)),
+      (2L, 2L, Some((0.0 + p_ab + p_bc) / 2.0)),
+      (3L, 0L, None),
+      (4L, 0L, None)))
+    // the ordering the filter exists for: text made of the corpus's common
+    // continuations outscores text with rarer continuations
+    assert(out(0)._3.get > out(1)._3.get)
+  }
+
+  test("bigram perplexity: log-space rendering agrees with the model") {
+    val corpus = docs((1L, "a b a b"), (2L, "a b c"), (3L, "z"))
+    val out = TextAnalysis.bigramPerplexity(corpus, addK = 1.0)
+      .orderBy("doc_id").collect()
+    val p_ab = 4.0 / 7.0; val p_ba = 2.0 / 6.0; val p_bc = 2.0 / 6.0
+    val h1 = -(math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3.0
+    val h2 = -(math.log(p_ab) + math.log(p_bc)) / 2.0
+    assert(math.abs(out(0).getAs[Double]("cross_entropy") - h1) < 1e-12)
+    assert(math.abs(out(0).getAs[Double]("perplexity") - math.exp(h1)) < 1e-9)
+    assert(math.abs(out(1).getAs[Double]("perplexity") - math.exp(h2)) < 1e-9)
+    // perplexity orders INVERSELY to bigramScore on this fixture
+    assert(out(0).getAs[Double]("perplexity") < out(1).getAs[Double]("perplexity"))
+    assert(out(2).isNullAt(2) && out(2).isNullAt(3))
+  }
+
+  test("duplicate passages: diagonal runs, offset starts, ragged ends") {
+    val corpus = docs(
+      (1L, "p q r s t u"),          // chunks(2): [p q][r s][t u]
+      (2L, "x x p q r s w w"),      // chunks(2): [x x][p q][r s][w w]
+      (3L, "p q z z r s"))          // chunks(2): [p q][z z][r s]
+    val out = Dedup.duplicatePassages(corpus, chunkTokens = 2,
+        minChunks = 2, maxChunkDf = 64)
+      .orderBy("doc_a", "doc_b", "start_a", "start_b")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // doc1↔doc2 share [p q][r s] consecutively at offset −1: one 2-chunk
+    // span; doc1↔doc3 and doc2↔doc3 share chunks only on BROKEN diagonals
+    // (isolated singles), which minChunks=2 drops
+    assert(out.toSeq == Seq((1L, 2L, 0L, 1L, 2L, 4L)))
+  }
+
+  test("duplicate passages: identical docs yield the full-length run; hot-chunk guard empties ubiquitous fingerprints") {
+    val twins = docs((10L, "a b c d"), (11L, "a b c d"))
+    val full = Dedup.duplicatePassages(twins, chunkTokens = 2, minChunks = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(full.toSeq == Seq((10L, 11L, 0L, 0L, 2L, 4L)))
+    // every shared fingerprint here occurs 3 times > maxChunkDf=2 → all
+    // excluded before pairing, so no passage survives
+    val tri = docs((1L, "p q r s"), (2L, "p q r s"), (3L, "p q r s"))
+    assert(Dedup.duplicatePassages(tri, chunkTokens = 2, minChunks = 1,
+      maxChunkDf = 2).count() == 0L)
+  }
 }

@@ -384,6 +384,43 @@ object SparkEntry {
         "COALESCE(amt, CAST(0 AS DOUBLE)) AS total_amount " +
         "FROM spine LEFT JOIN agg USING (day) ORDER BY day")),
 
+    // Trailing-28-day anomaly detection on the per-category daily series:
+    // RANGE frame over the epoch-day index (calendar gaps widen the
+    // lookback, never shrink it), integer-only window statistics
+    // (count/Σ/Σ²), one fixed IEEE double tree for the z-score. Cold-start
+    // days (<7 prior) stay unflagged.
+    Q("q_analytics_anomalies",
+      (s, d) => Analytics.dailyAnomalies(Tables.transactions(s, d),
+          window = 28, z = 3.0, minPrior = 7)
+        .orderBy("category", "day"),
+      Some("WITH daily AS (SELECT event_type AS category, " +
+        "CAST(ts AS DATE) AS day, count(*) AS n_events FROM events " +
+        "GROUP BY 1, 2), " +
+        "st AS (SELECT category, day, n_events, " +
+        "CAST(count(n_events) OVER w AS BIGINT) AS n_prior, " +
+        "CAST(sum(n_events) OVER w AS BIGINT) AS s, " +
+        "CAST(sum(n_events * n_events) OVER w AS BIGINT) AS ss " +
+        "FROM daily WINDOW w AS (PARTITION BY category " +
+        "ORDER BY CAST(day - DATE '1970-01-01' AS BIGINT) " +
+        "RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING)), " +
+        // mean0/std0 are NULL on empty frames (s is NULL before the
+        // division ever sees the zero), so the CASE guards below only
+        // encode the minPrior policy, not NULL plumbing
+        "st2 AS (SELECT category, day, n_events, n_prior, s, " +
+        "CAST(s AS DOUBLE) / CAST(n_prior AS DOUBLE) AS mean0, " +
+        "sqrt(greatest(0.0, CAST(ss AS DOUBLE) / CAST(n_prior AS DOUBLE) - " +
+        "(CAST(s AS DOUBLE) / CAST(n_prior AS DOUBLE)) * " +
+        "(CAST(s AS DOUBLE) / CAST(n_prior AS DOUBLE)))) AS std0 FROM st) " +
+        "SELECT category, day, n_events, n_prior, " +
+        "CASE WHEN n_prior >= 7 THEN mean0 END AS mean_prior, " +
+        "CASE WHEN n_prior >= 7 THEN std0 END AS std_prior, " +
+        "CASE WHEN n_prior >= 7 AND std0 > 0 THEN " +
+        "(CAST(n_events AS DOUBLE) - mean0) / std0 END AS zscore, " +
+        "(COALESCE(abs(CASE WHEN n_prior >= 7 AND std0 > 0 THEN " +
+        "(CAST(n_events AS DOUBLE) - mean0) / std0 END) > 3.0, false) " +
+        "OR (n_prior >= 7 AND std0 = 0 AND n_events * n_prior <> s)) " +
+        "AS is_anomaly FROM st2 ORDER BY category, day")),
+
     Q("q_analytics_summary",
       (s, d) => Analytics.summary(Tables.transactions(s, d)),
       Some("SELECT count(*) AS total_transactions, " +
@@ -1363,6 +1400,33 @@ object SparkEntry {
       "SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score " +
       s"FROM r WHERE rank <= $k ORDER BY query_id, rank"
 
+  /** The bigram-LM score replay (rational add-1 model, sorted-fold per-doc
+    * sums) — shared verbatim by the self-trained query and the
+    * persisted-model query (write→read fidelity: the stored tables must
+    * produce the same scores a from-scratch fit does).
+    */
+  private val bigramLmOracle: String =
+    "WITH tk AS (SELECT doc_id, " + toksSql + " AS t FROM documents " +
+      "WHERE text IS NOT NULL), " +
+      "x AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk " +
+      "WHERE len(t) >= 2), " +
+      "bg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS w1, " +
+      "t[i+1] AS w2 FROM x), " +
+      "c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2), " +
+      "c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw FROM c12 GROUP BY 1), " +
+      "v AS (SELECT count(DISTINCT term) AS v FROM " +
+      "(SELECT unnest(t) AS term FROM tk)), " +
+      "sc AS (SELECT bg.doc_id, count(*) AS n, " +
+      "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      "list((CAST(c12.c AS DOUBLE) + 1.0) / " +
+      "(CAST(c1.cw AS DOUBLE) + 1.0 * CAST(v.v AS DOUBLE)) " +
+      "ORDER BY bg.pos)), (acc, x) -> acc + x) AS s " +
+      "FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) " +
+      "CROSS JOIN v GROUP BY 1) " +
+      "SELECT d.doc_id, CAST(COALESCE(sc.n, 0) AS BIGINT) AS n_bigrams, " +
+      "sc.s / CAST(sc.n AS DOUBLE) AS bigram_score " +
+      "FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"
+
   private val pipelineQueries: Seq[Q] = Seq(
     Q("q_text_stats",
       (s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id"),
@@ -1661,26 +1725,22 @@ object SparkEntry {
     Q("q_text_bigram_lm",
       (s, d) => TextAnalysis.bigramScore(Tables.documents(s, d), addK = 1.0)
         .orderBy("doc_id"),
-      Some("WITH tk AS (SELECT doc_id, " + toksSql + " AS t FROM documents " +
-        "WHERE text IS NOT NULL), " +
-        "x AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk " +
-        "WHERE len(t) >= 2), " +
-        "bg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS w1, " +
-        "t[i+1] AS w2 FROM x), " +
-        "c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2), " +
-        "c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw FROM c12 GROUP BY 1), " +
-        "v AS (SELECT count(DISTINCT term) AS v FROM " +
-        "(SELECT unnest(t) AS term FROM tk)), " +
-        "sc AS (SELECT bg.doc_id, count(*) AS n, " +
-        "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-        "list((CAST(c12.c AS DOUBLE) + 1.0) / " +
-        "(CAST(c1.cw AS DOUBLE) + 1.0 * CAST(v.v AS DOUBLE)) " +
-        "ORDER BY bg.pos)), (acc, x) -> acc + x) AS s " +
-        "FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) " +
-        "CROSS JOIN v GROUP BY 1) " +
-        "SELECT d.doc_id, CAST(COALESCE(sc.n, 0) AS BIGINT) AS n_bigrams, " +
-        "sc.s / CAST(sc.n AS DOUBLE) AS bigram_score " +
-        "FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id")),
+      Some(bigramLmOracle)),
+
+    // The persisted-LM access path under the same hash gate: train the
+    // model tables, score the corpus FROM the stored tables, compare
+    // against the identical from-scratch oracle — write→read fidelity for
+    // the LM artifact, the q_text_bm25_indexed pattern.
+    Q("q_text_bigram_indexed",
+      (s, d) => {
+        val name = "graft_lm_idx_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        TextAnalysis.writeLmTable(Tables.documents(s, d), name)
+        try TextAnalysis.bigramScoreIndexed(s, name, Tables.documents(s, d))
+          .orderBy("doc_id").localCheckpoint(true)
+        finally TextAnalysis.dropLmTable(s, name)
+      },
+      Some(bigramLmOracle)),
 
     // Composite C4/Gopher filter verdict at default thresholds: keep +
     // ordered reason string per document, every arm replayed in SQL.

@@ -192,11 +192,25 @@ object TextAnalysis {
     val vTbl = docs
       .select(explode(tokens(col(textCol))).as("term"))
       .agg(countDistinct(col("term")).as("__v"))
-    val p = (col("c12").cast("double") + lit(addK)) /
-      (col("c1").cast("double") + lit(addK) * col("__v").cast("double"))
+    scoreAgainstLm(docs, occ, model, ctx, vTbl, addK)
+  }
+
+  /** The shared bigram scoring tail: occurrence rows LEFT-join the model
+    * (unseen bigrams take count 0 and live on the add-k smoothing mass —
+    * exactly the cross-corpus LM-filter semantics), sorted-struct fold per
+    * doc. Identical between the self-trained path and the persisted-model
+    * path, which is what makes [[bigramScoreIndexed]] a pure access-path
+    * swap (the bm25SearchIndexed discipline).
+    */
+  private def scoreAgainstLm(docs: DataFrame, occ: DataFrame,
+      model: DataFrame, ctx: DataFrame, vTbl: DataFrame,
+      addK: Double): DataFrame = {
+    val p = (coalesce(col("c12"), lit(0L)).cast("double") + lit(addK)) /
+      (coalesce(col("c1"), lit(0L)).cast("double") +
+        lit(addK) * col("__v").cast("double"))
     val perDoc = occ
-      .join(model, Seq("w1", "w2"))
-      .join(ctx, Seq("w1"))
+      .join(model, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
       .crossJoin(broadcast(vTbl))
       .select(col("doc_id"), col("pos"), p.as("__p"))
       .groupBy(col("doc_id"))
@@ -210,6 +224,66 @@ object TextAnalysis {
       .select(col("doc_id"),
         coalesce(col("__n"), lit(0L)).as("n_bigrams"),
         (col("__s") / col("__n").cast("double")).as("bigram_score"))
+  }
+
+  /** Materialize a persisted BIGRAM LANGUAGE MODEL: the (w1, w2, c12)
+    * count table and the (w1, c1) context-total table, both bucketed by
+    * the context key the scoring joins use, plus a one-row vocabulary
+    * globals table. Train ONCE on the reference corpus at ingest; score
+    * any batch against the stored tables — the CCNet deployment shape
+    * (the model trains on clean text, the crawl streams through scoring),
+    * where retraining per scored batch would re-scan the reference corpus
+    * every time. The corpus is touched once: the context totals derive
+    * from the WRITTEN model table, not a second corpus pass. Torn-publish
+    * discipline: globals first, payload tables after, any failure drops
+    * everything (a partial index must never look queryable).
+    */
+  def writeLmTable(docs: DataFrame, name: String, buckets: Int = 16,
+      textCol: String = "text"): Unit = {
+    requireIndexName(name)
+    val spark = docs.sparkSession
+    dropLmTable(spark, name)
+    val occ = bigramOccurrences(docs, textCol)
+    try {
+      docs.select(explode(tokens(col(textCol))).as("term"))
+        .agg(countDistinct(col("term")).as("v"))
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${name}_globals")
+      graft.sources.Tables.writeBucketed(
+        occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")),
+        s"${name}_model", "w1", buckets)
+      graft.sources.Tables.writeBucketed(
+        spark.table(s"${name}_model").groupBy(col("w1"))
+          .agg(sum(col("c12")).cast("long").as("c1")),
+        s"${name}_ctx", "w1", buckets)
+    } catch {
+      case e: Throwable => dropLmTable(spark, name); throw e
+    }
+  }
+
+  /** [[bigramScore]] against a [[writeLmTable]] model — same scoring tail,
+    * same results when the model was trained on the scored corpus
+    * (BucketedSpec asserts both), but training never re-runs: the batch's
+    * occurrence rows join the stored count tables. Unseen bigrams and
+    * contexts take the add-k smoothing mass; V is the TRAINING corpus
+    * vocabulary (scores are comparable across batches because the model
+    * is fixed).
+    */
+  def bigramScoreIndexed(spark: org.apache.spark.sql.SparkSession,
+      name: String, batch: DataFrame, addK: Double = 1.0,
+      textCol: String = "text"): DataFrame = {
+    requireIndexName(name)
+    require(addK > 0, "addK must be positive (unseen mass)")
+    scoreAgainstLm(batch, bigramOccurrences(batch, textCol),
+      spark.table(s"${name}_model"), spark.table(s"${name}_ctx"),
+      spark.table(s"${name}_globals").select(col("v").as("__v")), addK)
+  }
+
+  /** Drop all three LM tables AND their directories. */
+  def dropLmTable(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    requireIndexName(name)
+    graft.sources.Tables.dropManagedTables(
+      spark, Seq(s"${name}_model", s"${name}_ctx", s"${name}_globals"))
   }
 
   /** Log-space bigram-LM perplexity: exp of the per-doc cross-entropy under

@@ -54,6 +54,59 @@ object Analytics {
         coalesce(col("total_amount"), money(lit(0))).as("total_amount"))
   }
 
+  /** Trailing-window ANOMALY detection over the per-category daily event
+    * series (the monitoring read an operations team points at a metric):
+    * each (category, day)'s event count is scored against the mean/σ of
+    * the previous `window` CALENDAR days — a RANGE frame over the
+    * epoch-day index, so gaps in the series widen the lookback correctly
+    * instead of sliding a row count across them. Every window statistic is
+    * an INTEGER sum (count, Σcnt, Σcnt²) — order-free across partitions
+    * and bit-equal in any engine — and the z-score is one fixed IEEE
+    * double tree on top; a day flags when |z| > `z` with at least
+    * `minPrior` prior days observed (cold starts stay unflagged, not
+    * false-positive).
+    *
+    * Scale shape: one (category, day) hash aggregate collapses the corpus
+    * to a calendar-bounded series (|categories| × |days| rows regardless
+    * of corpus size); the window runs over that tiny frame. At 100 TB the
+    * scan dominates and the anomaly pass is free.
+    */
+  def dailyAnomalies(tx: DataFrame, window: Int = 28, z: Double = 3.0,
+      minPrior: Int = 7): DataFrame = {
+    require(window >= minPrior && minPrior >= 1, "window >= minPrior >= 1")
+    val daily = tx
+      .groupBy(col("category"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("category"))
+      .orderBy(unix_date(col("day")))
+      .rangeBetween(-window, -1)
+    val stats = daily
+      .withColumn("n_prior", count(col("n_events")).over(w))
+      .withColumn("__s", sum(col("n_events")).over(w))
+      .withColumn("__ss", sum(col("n_events") * col("n_events")).over(w))
+    val enough = col("n_prior") >= minPrior
+    val nD = col("n_prior").cast("double")
+    val mean = col("__s").cast("double") / nD
+    val variance = col("__ss").cast("double") / nD - mean * mean
+    val std = sqrt(greatest(lit(0.0), variance))
+    val zscore = when(enough && std > 0,
+      (col("n_events").cast("double") - mean) / std)
+    // σ = 0 (perfectly flat lookback) leaves the z-score undefined, but a
+    // departure from a flat series IS the clearest anomaly — flag it via
+    // the exact integer comparison n·x ≠ Σ (no float in the verdict)
+    val flatSpike = enough && std === lit(0.0) &&
+      (col("n_events") * col("n_prior")) =!= col("__s")
+    stats.select(
+      col("category"), col("day"), col("n_events"),
+      col("n_prior"),
+      when(enough, mean).as("mean_prior"),
+      when(enough, std).as("std_prior"),
+      zscore.as("zscore"),
+      (coalesce(abs(zscore) > lit(z), lit(false)) || flatSpike)
+        .as("is_anomaly"))
+  }
+
   /** A5: one-row global summary (reference aggregates.py:108-132). */
   def summary(tx: DataFrame): DataFrame =
     tx.agg(

@@ -319,4 +319,44 @@ class AnalyticsSpec extends SparkSpec {
     // the n-row sample is the broadcast side; the customer dim never shuffles
     assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
+
+  test("daily anomalies: spike flags after a varied week, flat-week spike flags via the integer arm, calendar gap ages out") {
+    val rows = scala.collection.mutable.Buffer[(Long, Double, String, String, Int)]()
+    // A: counts 1,3,1,3,1,3,1 over Jan 1-7 (mean 13/7, σ>0), spike of 10 on Jan 8
+    for (d <- 1 to 7; i <- 0 until (if (d % 2 == 1) 1 else 3))
+      rows += ((1L, 1.0, f"2024-01-$d%02d 10:00:$i%02d", "A", 1))
+    for (i <- 0 until 10) rows += ((1L, 1.0, f"2024-01-08 10:00:$i%02d", "A", 1))
+    // C: perfectly flat Jan 1-8 (2/day), then 9 on Jan 9 → σ=0, z
+    // undefined, but the integer flat-spike arm must still flag it
+    for (d <- 1 to 8; i <- 0 until 2)
+      rows += ((1L, 1.0, f"2024-01-$d%02d 11:00:$i%02d", "C", 1))
+    for (i <- 0 until 9) rows += ((1L, 1.0, f"2024-01-09 11:00:$i%02d", "C", 1))
+    // B: one event, then one 60 days later — the RANGE frame must be empty
+    rows += ((1L, 1.0, "2024-01-01 09:00:00", "B", 1))
+    rows += ((1L, 1.0, "2024-03-01 09:00:00", "B", 1))
+    val out = Analytics.dailyAnomalies(tx(rows.toSeq: _*),
+        window = 28, z = 3.0, minPrior = 7)
+      .orderBy("category", "day").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r).toMap
+
+    val a8 = out(("A", "2024-01-08"))
+    val mean = 13.0 / 7.0
+    val std = math.sqrt(math.max(0.0, 31.0 / 7.0 - mean * mean))
+    assert(a8.getLong(3) == 7L)
+    assert(a8.getDouble(4) == mean && a8.getDouble(5) == std)
+    assert(a8.getDouble(6) == (10.0 - mean) / std && a8.getBoolean(7))
+    // day 1 is a cold start: no stats, never flagged
+    val a1 = out(("A", "2024-01-01"))
+    assert(a1.getLong(3) == 0L && a1.isNullAt(4) && !a1.getBoolean(7))
+    // flat week: σ=0, zscore NULL, integer arm flags the departure
+    val c9 = out(("C", "2024-01-09"))
+    assert(c9.getDouble(5) == 0.0 && c9.isNullAt(6) && c9.getBoolean(7))
+    // a flat-series day that MATCHES the flat rate (σ=0, n·x = Σ) stays
+    // unflagged — the integer arm flags departures only
+    val c8 = out(("C", "2024-01-08"))
+    assert(c8.getLong(3) == 7L && c8.getDouble(5) == 0.0 && !c8.getBoolean(7))
+    // 60-day gap: the RANGE frame is empty, not "previous 28 rows"
+    val b2 = out(("B", "2024-03-01"))
+    assert(b2.getLong(3) == 0L && !b2.getBoolean(7))
+  }
 }

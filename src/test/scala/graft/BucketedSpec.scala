@@ -566,6 +566,34 @@ class BucketedSpec extends SparkSpec {
     } finally MinhashIndex.drop(spark, "mh_empty_idx")
   }
 
+  test("bigram LM index: stored-model scoring ≡ self-trained; unseen mass lands on add-k smoothing") {
+    import graft.functions.TextAnalysis
+    val train = Seq((1L, "a b"), (2L, "a b a")).toDF("doc_id", "text")
+    // model: c(a,b)=2, c(b,a)=1; contexts: a=2, b=1; V = |{a,b}| = 2
+    val name = "graft_lm_spec_idx"
+    TextAnalysis.writeLmTable(train, name)
+    try {
+      // write→read fidelity: stored-model self-score equals the live fit
+      val live = TextAnalysis.bigramScore(train).orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+      val stored = TextAnalysis.bigramScoreIndexed(spark, name, train)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(live == stored)
+      // cross-corpus scoring: unseen bigram (b,z) and unseen context (z,·)
+      // take the add-1 smoothing mass against the TRAINING V
+      val batch = Seq((9L, "a b z"), (10L, "z z")).toDF("doc_id", "text")
+      val out = TextAnalysis.bigramScoreIndexed(spark, name, batch)
+        .orderBy("doc_id")
+        .as[(Long, Long, Double)].collect().toSeq
+      val p_ab = 3.0 / 4.0   // (2+1)/(2+2)
+      val p_bz = 1.0 / 3.0   // (0+1)/(1+2)
+      val p_zz = 1.0 / 2.0   // (0+1)/(0+2)
+      assert(out == Seq(
+        (9L, 2L, (0.0 + p_ab + p_bz) / 2.0),
+        (10L, 1L, (0.0 + p_zz) / 1.0)))
+    } finally TextAnalysis.dropLmTable(spark, name)
+  }
+
   test("attribute-filtered top-k: neighbors stay in the query's category and match brute force on that slice") {
     import graft.functions.Similarity
     val rnd = new scala.util.Random(31)

@@ -539,7 +539,8 @@ object Dedup {
     */
   def duplicatePassages(docs: DataFrame, chunkTokens: Int = 16,
       minChunks: Int = 2, maxChunkDf: Long = 64,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      checkpointDir: Option[String] = None): DataFrame = {
     require(chunkTokens > 0, "chunk size must be positive")
     require(minChunks > 0, "minChunks must be positive")
     val c = chunkTokens
@@ -555,7 +556,12 @@ object Dedup {
     val hot = chunks.groupBy(col("__f")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxChunkDf)
       .select(col("__f"))
-    val rare = chunks.join(hot, Seq("__f"), "left_anti")
+    // materialize the screened chunk table ONCE: the self-join would
+    // otherwise re-chunk and re-screen the corpus on both sides; the
+    // materialized rows are (doc_id, idx, fingerprint) — 24 bytes/chunk,
+    // not text (see [[graft.Materializer]] for the cluster-reliable mode)
+    val materialize = new graft.Materializer(checkpointDir)
+    val rare = materialize(chunks.join(hot, Seq("__f"), "left_anti"))
     val m = rare.as("a")
       .join(rare.as("b"),
         col("a.__f") === col("b.__f") && col("a.doc_id") < col("b.doc_id"))

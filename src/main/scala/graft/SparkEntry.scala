@@ -1427,6 +1427,25 @@ object SparkEntry {
       "sc.s / CAST(sc.n AS DOUBLE) AS bigram_score " +
       "FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"
 
+  /** The 16-token chunk-fingerprint CTE chain (`<prefix>tk` → `<prefix>ck`
+    * → `<prefix>fp`) over source CTE `src` — the q_dedup_chunks rolling
+    * hash replay, prefix-parameterized so a bipartite query can chunk two
+    * corpora in one statement.
+    */
+  private def chunkFpCtes(src: String, prefix: String): String =
+    s"${prefix}tk AS (SELECT doc_id, " + toksSql + s" AS t FROM $src " +
+      "WHERE text IS NOT NULL AND len(" + toksSql + ") > 0), " +
+      s"${prefix}ck AS (SELECT doc_id, " +
+      s"unnest(range(0, (len(t) - 1) // 16 + 1)) AS idx, t FROM ${prefix}tk), " +
+      s"${prefix}fp AS (SELECT doc_id, CAST(idx AS BIGINT) AS idx, " +
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "[CAST(unicode(c) AS BIGINT) FOR c IN regexp_extract_all(" +
+      "lower(regexp_replace(trim(" +
+      "array_to_string(t[(idx*16+1):(idx*16+16)], ' ')" +
+      "), '\\s+', ' ', 'g')), '.')]), " +
+      s"(acc, x) -> (acc * 31 + x) % ${graft.functions.RollingHash.Modulus}) " +
+      s"AS f FROM ${prefix}ck)"
+
   private val pipelineQueries: Seq[Q] = Seq(
     Q("q_text_stats",
       (s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id"),
@@ -1959,6 +1978,51 @@ object SparkEntry {
         "CAST(n_chunks AS BIGINT) AS n_chunks, " +
         "CAST(n_chunks * 16 AS BIGINT) AS approx_tokens FROM g " +
         "WHERE n_chunks >= 2 ORDER BY doc_a, doc_b, start_a, start_b")),
+
+    // Benchmark decontamination at SPAN level: benchmark docs (every 50th,
+    // re-keyed into a disjoint id space) screened against documents ∪ the
+    // engineered concat super-docs. Every benchmark doc surfaces twice —
+    // its verbatim corpus twin (full run) and its containing super-doc
+    // (partial run) — so WHERE and HOW MUCH of the benchmark leaked is the
+    // output, not just a per-doc overlap fraction.
+    Q("q_text_contamination_spans",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val concats = docs.as("a").filter(col("doc_id") % 10 === 0)
+          .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+          .select((col("a.doc_id") + lit(20000L)).as("doc_id"),
+            concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+        val bench = docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+        Dedup.duplicatePassagesAgainst(docs.unionByName(concats), bench,
+            chunkTokens = 16, minChunks = 2, maxChunkDf = 64)
+          .orderBy("corpus_doc", "bench_doc", "start_corpus", "start_bench")
+      },
+      Some("WITH d AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT a.doc_id + 20000 AS doc_id, " +
+        "a.text || ' ' || b.text AS text FROM documents a " +
+        "JOIN documents b ON b.doc_id = a.doc_id + 1 " +
+        "WHERE a.doc_id % 10 = 0), " +
+        "bd AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents " +
+        "WHERE doc_id % 50 = 0), " +
+        chunkFpCtes("d", "c") + ", " +
+        chunkFpCtes("bd", "b") + ", " +
+        "hot AS (SELECT f FROM cfp GROUP BY f HAVING count(*) > 64), " +
+        "rare AS (SELECT cfp.* FROM cfp ANTI JOIN hot USING (f)), " +
+        "m AS (SELECT r.doc_id AS corpus_doc, b.doc_id AS bench_doc, " +
+        "r.idx AS ia, b.idx AS ib FROM rare r JOIN bfp b ON r.f = b.f), " +
+        "r2 AS (SELECT corpus_doc, bench_doc, ia, ib, ia - ib AS diag, " +
+        "ia - row_number() OVER (PARTITION BY corpus_doc, bench_doc, " +
+        "ia - ib ORDER BY ia) AS grp FROM m), " +
+        "g AS (SELECT corpus_doc, bench_doc, " +
+        "CAST(min(ia) AS BIGINT) AS start_corpus, " +
+        "CAST(min(ib) AS BIGINT) AS start_bench, count(*) AS n_chunks " +
+        "FROM r2 GROUP BY corpus_doc, bench_doc, diag, grp) " +
+        "SELECT corpus_doc, bench_doc, start_corpus, start_bench, " +
+        "CAST(n_chunks AS BIGINT) AS n_chunks, " +
+        "CAST(n_chunks * 16 AS BIGINT) AS approx_tokens FROM g " +
+        "WHERE n_chunks >= 2 " +
+        "ORDER BY corpus_doc, bench_doc, start_corpus, start_bench")),
 
     // Incremental exact dedup: a new batch (every second document, re-keyed)
     // deduped against itself and the already-seen corpus (every third

@@ -544,7 +544,64 @@ object Dedup {
     require(chunkTokens > 0, "chunk size must be positive")
     require(minChunks > 0, "minChunks must be positive")
     val c = chunkTokens
-    val chunks = docs
+    val chunks = chunkFingerprints(docs, c, textCol)
+    // materialize the screened chunk table ONCE: the self-join would
+    // otherwise re-chunk and re-screen the corpus on both sides; the
+    // materialized rows are (doc_id, idx, fingerprint) — 24 bytes/chunk,
+    // not text (see [[graft.Materializer]] for the cluster-reliable mode)
+    val materialize = new graft.Materializer(checkpointDir)
+    val rare = materialize(screenHotChunks(chunks, maxChunkDf))
+    val m = rare.as("a")
+      .join(rare.as("b"),
+        col("a.__f") === col("b.__f") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.idx").as("ia"), col("b.idx").as("ib"))
+    diagonalRuns(m, "doc_a", "doc_b", minChunks, c)
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("n_chunks"), col("approx_tokens"))
+  }
+
+  /** BIPARTITE passage screen — benchmark DECONTAMINATION at span level:
+    * every maximal run of consecutive chunks a corpus document shares with
+    * a benchmark document, reported as (corpus_doc, bench_doc,
+    * start_corpus, start_bench, n_chunks). [[benchmarkContamination]] and
+    * [[semanticContamination]] say THAT a doc overlaps the benchmark;
+    * this says WHERE and HOW MUCH — the evidence a removal decision
+    * actually needs. Same machinery as [[duplicatePassages]] with the
+    * self-join replaced by a corpus⋈benchmark join: the benchmark side is
+    * small and broadcasts; the hot-chunk screen runs on the CORPUS
+    * occurrence counts (a corpus-ubiquitous chunk is boilerplate and
+    * cannot implicate a benchmark anyway — dropping it bounds the join).
+    */
+  def duplicatePassagesAgainst(corpus: DataFrame, benchmark: DataFrame,
+      chunkTokens: Int = 16, minChunks: Int = 2, maxChunkDf: Long = 64,
+      textCol: String = "text",
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(chunkTokens > 0, "chunk size must be positive")
+    require(minChunks > 0, "minChunks must be positive")
+    val c = chunkTokens
+    val materialize = new graft.Materializer(checkpointDir)
+    val rare = materialize(screenHotChunks(
+      chunkFingerprints(corpus, c, textCol), maxChunkDf))
+    val bench = chunkFingerprints(benchmark, c, textCol)
+    val m = rare
+      .select(col("doc_id").as("corpus_doc"), col("idx").as("ia"), col("__f"))
+      .join(broadcast(bench.select(col("doc_id").as("bench_doc"),
+        col("idx").as("ib"), col("__f"))), Seq("__f"))
+      .select(col("corpus_doc"), col("bench_doc"), col("ia"), col("ib"))
+    diagonalRuns(m, "corpus_doc", "bench_doc", minChunks, c)
+      .select(col("corpus_doc"), col("bench_doc"),
+        col("start_a").as("start_corpus"), col("start_b").as("start_bench"),
+        col("n_chunks"), col("approx_tokens"))
+  }
+
+  /** (doc_id, idx, __f): non-overlapping `c`-token chunks collapsed to
+    * rolling-hash fingerprints inside the scan projection (text never
+    * survives past this frame).
+    */
+  private def chunkFingerprints(docs: DataFrame, c: Int,
+      textCol: String): DataFrame =
+    docs
       .select(col("doc_id"), toks(col(textCol)).as("__t"))
       .filter(col("__t").isNotNull && size(col("__t")) > 0)
       .select(col("doc_id"),
@@ -553,32 +610,33 @@ object Dedup {
       .select(col("doc_id"), col("idx").cast("long").as("idx"),
         TextAnalysis.fingerprint(
           array_join(slice(col("__t"), col("idx") * c + 1, lit(c)), " ")).as("__f"))
+
+  /** Drop fingerprints occurring in more than `maxChunkDf` chunks — the
+    * hot-key guard bounding the per-fingerprint quadratic pair join.
+    */
+  private def screenHotChunks(chunks: DataFrame, maxChunkDf: Long): DataFrame = {
     val hot = chunks.groupBy(col("__f")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxChunkDf)
       .select(col("__f"))
-    // materialize the screened chunk table ONCE: the self-join would
-    // otherwise re-chunk and re-screen the corpus on both sides; the
-    // materialized rows are (doc_id, idx, fingerprint) — 24 bytes/chunk,
-    // not text (see [[graft.Materializer]] for the cluster-reliable mode)
-    val materialize = new graft.Materializer(checkpointDir)
-    val rare = materialize(chunks.join(hot, Seq("__f"), "left_anti"))
-    val m = rare.as("a")
-      .join(rare.as("b"),
-        col("a.__f") === col("b.__f") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.idx").as("ia"), col("b.idx").as("ib"))
+    chunks.join(hot, Seq("__f"), "left_anti")
+  }
+
+  /** Gaps-and-islands over matched chunk pairs (keyA, keyB, ia, ib):
+    * consecutive matches share the diagonal ia−ib, so one window per
+    * (keyA, keyB, diagonal) resolves maximal runs — no per-span iteration.
+    */
+  private def diagonalRuns(m: DataFrame, keyA: String, keyB: String,
+      minChunks: Int, chunkTokens: Int): DataFrame = {
     val wDiag = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .partitionBy(col(keyA), col(keyB), col("diag"))
       .orderBy(col("ia"))
     m.withColumn("diag", col("ia") - col("ib"))
       .withColumn("grp", col("ia") - row_number().over(wDiag))
-      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .groupBy(col(keyA), col(keyB), col("diag"), col("grp"))
       .agg(min(col("ia")).as("start_a"), min(col("ib")).as("start_b"),
         count(lit(1)).as("n_chunks"))
       .filter(col("n_chunks") >= minChunks)
-      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
-        col("n_chunks"),
-        (col("n_chunks") * lit(c.toLong)).as("approx_tokens"))
+      .withColumn("approx_tokens", col("n_chunks") * lit(chunkTokens.toLong))
   }
 
   /** Large-star: for every node u (over the symmetrized neighborhood),

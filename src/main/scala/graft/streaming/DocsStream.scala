@@ -126,4 +126,38 @@ object DocsStream {
           } finally { out.unpersist(); () }
         } finally { b.unpersist(); () }
     }
+
+  /** Streaming LM-quality gate against a PERSISTED bigram model
+    * ([[graft.functions.TextAnalysis.writeLmTable]]): each micro-batch
+    * scores against the STORED model tables via foreachBatch — the
+    * per-doc fold is an aggregation, which as a live streaming aggregate
+    * would need watermarked state; per-batch scoring is stateless and
+    * reproduces batch semantics exactly (StreamingSpec asserts
+    * stream ≡ batch). Documents scoring at or above `minScore` append to
+    * a `batch=N`-partitioned corpus; retried batches overwrite their own
+    * partition (the [[curateGateSink]] idempotent-sink discipline).
+    * Un-scorable documents (fewer than two tokens → no bigram positions,
+    * NULL score) are DROPPED — a gate admits what it can vouch for. The
+    * model is fixed across batches, so scores are comparable stream-wide:
+    * the CCNet deployment shape — train once on clean reference text,
+    * gate the crawl as it arrives.
+    */
+  def lmGateSink(docs: DataFrame, lmName: String, outDir: String,
+      minScore: Double, addK: Double = 1.0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = batch.toDF().persist()
+        try {
+          val keep = TextAnalysis
+            .bigramScoreIndexed(b.sparkSession, lmName, b, addK)
+            .filter(col("bigram_score") >= minScore)
+            .select("doc_id", "n_bigrams", "bigram_score")
+          val out = b.join(keep, Seq("doc_id")).persist()
+          try {
+            (if (out.isEmpty) out.repartition(1) else out)
+              .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          } finally { out.unpersist(); () }
+        } finally { b.unpersist(); () }
+    }
 }

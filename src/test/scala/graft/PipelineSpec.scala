@@ -1076,6 +1076,18 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 0L, 1L, 2L, 4L)))
   }
 
+  test("bipartite passages: benchmark span located inside a corpus doc at the right offset") {
+    val corpus = docs(
+      (1L, "x x p q r s t u w w"),  // chunks(2): [x x][p q][r s][t u][w w]
+      (2L, "m m n n o o"))
+    val bench = docs((100L, "p q r s t u"))  // chunks: [p q][r s][t u]
+    val out = Dedup.duplicatePassagesAgainst(corpus, bench,
+        chunkTokens = 2, minChunks = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // the benchmark's 3 chunks sit inside doc 1 starting at its chunk 1
+    assert(out.toSeq == Seq((1L, 100L, 1L, 0L, 3L, 6L)))
+  }
+
   test("duplicate passages: identical docs yield the full-length run; hot-chunk guard empties ubiquitous fingerprints") {
     val twins = docs((10L, "a b c d"), (11L, "a b c d"))
     val full = Dedup.duplicatePassages(twins, chunkTokens = 2, minChunks = 2)

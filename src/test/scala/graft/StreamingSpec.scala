@@ -313,6 +313,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LM gate: stored-model scoring gates the stream exactly like batch; unscorable docs drop") {
+    import graft.streaming.DocsStream
+    import graft.functions.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    // model: c(a,b)=5 c(b,a)=2 c(b,c)=1 c(c,a)=1; ctx a=5 b=3 c=1; V=3
+    val train = Seq((100L, "a b a b a b"), (101L, "a b c a b"))
+      .toDF("doc_id", "text")
+    val name = "graft_lm_gate_idx"
+    TextAnalysis.writeLmTable(train, name)
+    val out = java.nio.file.Files.createTempDirectory("graft_lm_gate")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lm_gate_ckpt")
+    // stream: fluent (0.667), junk (0.333), mid (0.583), unscorable
+    val b1 = Seq((1L, "a b a b"), (2L, "z q w e r t"))
+    val b2 = Seq((3L, "b a b a"), (4L, "solo"))
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = DocsStream.lmGateSink(in.toDF().toDF("doc_id", "text"),
+          name, out.toString, minScore = 0.55)
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+        val gated = spark.read.parquet(out.toString)
+        val kept = gated.select("doc_id").as[Long].collect().sorted.toSeq
+        // stream ≡ batch: the same docs pass the same stored-model filter
+        val batchKept = TextAnalysis.bigramScoreIndexed(spark, name,
+            (b1 ++ b2).toDF("doc_id", "text"))
+          .filter($"bigram_score" >= 0.55)
+          .select("doc_id").as[Long].collect().sorted.toSeq
+        assert(kept == batchKept && kept == Seq(1L, 3L))
+        // survivors carry their scores and land in their trigger's partition
+        assert(gated.filter($"doc_id" === 1L).select("batch").as[Int].head() == 0)
+        assert(gated.filter($"doc_id" === 3L).select("batch").as[Int].head() == 1)
+        assert(gated.filter($"doc_id" === 1L).select("bigram_score")
+          .as[Double].head() == (0.0 + 6.0 / 8.0 + 3.0 / 6.0 + 6.0 / 8.0) / 3.0)
+      } finally q.stop()
+    } finally TextAnalysis.dropLmTable(spark, name)
+  }
+
   test("continuous segment equals batch materialization for the same data") {
     import graft.model.Condition
     import graft.streaming.SegmentStream

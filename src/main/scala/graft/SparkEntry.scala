@@ -2816,7 +2816,49 @@ object SparkEntry {
         "(strlen(text) * 7) % 480 + 1 AS height, " +
         "CAST(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 3 END AS BIGINT) AS channels, " +
         "CASE WHEN doc_id % 3 = 2 THEN strlen(text) % 30 + 1 ELSE CAST(1 AS BIGINT) END " +
-        "AS duration_frames FROM documents ORDER BY doc_id")))
+        "AS duration_frames FROM documents ORDER BY doc_id")),
+
+    // Resize SCHEDULE: fit each image/video into a 320×240 box preserving
+    // aspect — integer compares + one exact IEEE division per side, the
+    // contract a real resampler plugs into (decode itself stays the
+    // stubbed step). Pure projection over the features frame.
+    Q("q_multimodal_resize",
+      (s, d) => Multimodal.resizePlan(
+        Multimodal.extractFeatures(
+          Multimodal.mediaFromDocuments(Tables.documents(s, d))),
+        targetW = 320, targetH = 240)
+        .orderBy("doc_id"),
+      Some("WITH f AS (SELECT doc_id, " +
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
+        "ELSE 'video' END AS media_type, " +
+        "strlen(text) % 640 + 1 AS width, " +
+        "(strlen(text) * 7) % 480 + 1 AS height FROM documents) " +
+        "SELECT doc_id, media_type, CAST(width AS BIGINT) AS width, " +
+        "CAST(height AS BIGINT) AS height, " +
+        "CASE WHEN width * 240 >= height * 320 THEN CAST(320 AS BIGINT) " +
+        "ELSE greatest(CAST(1 AS BIGINT), " +
+        "CAST(floor(width * 240 / height) AS BIGINT)) END AS out_width, " +
+        "CASE WHEN width * 240 >= height * 320 THEN " +
+        "greatest(CAST(1 AS BIGINT), " +
+        "CAST(floor(height * 320 / width) AS BIGINT)) " +
+        "ELSE CAST(240 AS BIGINT) END AS out_height " +
+        "FROM f WHERE media_type IN ('image', 'video') ORDER BY doc_id")),
+
+    // Frame-sample SCHEDULE: 4 evenly spaced frame indexes per video
+    // (slot j → ⌊j·frames/4⌋); slots stay explicit so short videos repeat
+    // frames instead of shrinking the loader's tensor shape.
+    Q("q_multimodal_frames",
+      (s, d) => Multimodal.frameSamplePlan(
+        Multimodal.extractFeatures(
+          Multimodal.mediaFromDocuments(Tables.documents(s, d))), k = 4)
+        .orderBy("doc_id", "slot"),
+      Some("WITH f AS (SELECT doc_id, strlen(text) % 30 + 1 AS duration_frames " +
+        "FROM documents WHERE doc_id % 3 = 2), " +
+        "s AS (SELECT doc_id, unnest(range(0, 4)) AS slot, duration_frames " +
+        "FROM f) " +
+        "SELECT doc_id, CAST(slot AS BIGINT) AS slot, " +
+        "CAST(floor(slot * duration_frames / 4) AS BIGINT) AS frame_idx " +
+        "FROM s ORDER BY doc_id, slot")))
 
   // -------------------------------------------------------------------------
   // General relational capability: aggregation, joins (broadcast), window

@@ -225,4 +225,49 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions(decodeBatch)
   }
+
+  /** RESIZE schedule for image/video rows: fit (width, height) into the
+    * (targetW, targetH) box preserving aspect ratio. The geometry
+    * arithmetic is integer compares + one exact IEEE division per side —
+    * deterministic and engine-portable — and is the Spark-side CONTRACT a
+    * real pixel resampler plugs into (the resample itself is the stubbed
+    * decode step: no codecs in this container). Pure scan-side projection:
+    * at 100 TB the schedule is free and the resampler runs
+    * partition-parallel behind it.
+    */
+  def resizePlan(features: Dataset[MediaFeatures], targetW: Long,
+      targetH: Long): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target box must be positive")
+    // wider-than-box ⇔ w/h ≥ tw/th, compared in exact integers
+    val wider = col("width") * lit(targetH) >= col("height") * lit(targetW)
+    features.toDF()
+      .filter(col("media_type").isin("image", "video"))
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        when(wider, lit(targetW)).otherwise(
+          greatest(lit(1L),
+            floor(col("width") * lit(targetH) / col("height")).cast("long")))
+          .as("out_width"),
+        when(wider,
+          greatest(lit(1L),
+            floor(col("height") * lit(targetW) / col("width")).cast("long")))
+          .otherwise(lit(targetH)).as("out_height"))
+  }
+
+  /** FRAME-SAMPLE schedule for video rows: `k` evenly spaced frame indexes
+    * per video (slot j → frame ⌊j·frames/k⌋). Slots are kept explicit —
+    * short videos repeat frames rather than shrinking the tensor, which is
+    * what a fixed-shape training loader wants. The schedule explodes from
+    * a scan-side projection (zero shuffles); the frame DECODE behind each
+    * (doc_id, frame_idx) row is the stubbed step.
+    */
+  def frameSamplePlan(features: Dataset[MediaFeatures], k: Int): DataFrame = {
+    require(k > 0, "frame count must be positive")
+    features.toDF()
+      .filter(col("media_type") === "video")
+      .select(col("doc_id"), col("duration_frames"),
+        explode(sequence(lit(0L), lit(k - 1L))).as("slot"))
+      .select(col("doc_id"), col("slot"),
+        floor(col("slot") * col("duration_frames") / lit(k.toLong))
+          .cast("long").as("frame_idx"))
+  }
 }

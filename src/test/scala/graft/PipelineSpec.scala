@@ -154,6 +154,32 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("multimodal schedules: aspect-preserving resize with floor-to-1 clamp; frame slots repeat on short videos") {
+    import spark.implicits._
+    val feats = Seq(
+      Multimodal.MediaFeatures(1L, "image", 10L, 640L, 240L, 3L, 1L),  // wider than 320×240
+      Multimodal.MediaFeatures(2L, "image", 10L, 100L, 400L, 3L, 1L),  // taller
+      Multimodal.MediaFeatures(3L, "image", 10L, 1L, 1000L, 3L, 1L),   // extreme: floor would hit 0
+      Multimodal.MediaFeatures(4L, "audio", 10L, 1L, 1L, 2L, 1L),      // excluded
+      Multimodal.MediaFeatures(5L, "video", 10L, 320L, 240L, 3L, 3L),  // 3-frame video
+      Multimodal.MediaFeatures(6L, "video", 10L, 320L, 240L, 3L, 40L)).toDS()
+    val rs = Multimodal.resizePlan(feats, 320, 240).orderBy("doc_id")
+      .select("doc_id", "out_width", "out_height")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rs == Seq(
+      (1L, 320L, 120L),   // 640×240 → halve
+      (2L, 60L, 240L),    // 100×400 → height-limited
+      (3L, 1L, 240L),     // floor(1·240/1000)=0 clamps to 1
+      (5L, 320L, 240L), (6L, 320L, 240L)))
+    val fr = Multimodal.frameSamplePlan(feats, k = 4).orderBy("doc_id", "slot")
+      .as[(Long, Long, Long)].collect().toSeq
+    // 3-frame video repeats frame 1 across the middle slots; 40-frame
+    // video strides 0,10,20,30 — slots always number k
+    assert(fr == Seq(
+      (5L, 0L, 0L), (5L, 1L, 0L), (5L, 2L, 1L), (5L, 3L, 2L),
+      (6L, 0L, 0L), (6L, 1L, 10L), (6L, 2L, 20L), (6L, 3L, 30L)))
+  }
+
   test("cross-corpus near-dup pairs: batch docs match seen near-twins only") {
     val seen = docs(
       (1L, "the quick brown fox jumps over the lazy dog today"),

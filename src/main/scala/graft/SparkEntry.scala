@@ -1761,6 +1761,59 @@ object SparkEntry {
       },
       Some(bigramLmOracle)),
 
+    // Stupid-backoff trigram score (Brants et al. 2007): the model trains
+    // on the EVEN half of the corpus and scores everything, so all three
+    // arms (trigram head, α-bigram backoff, α²-unigram backoff) fire and
+    // are replayed; α constants render from Scala into both engines.
+    Q("q_text_trigram_backoff",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.trigramBackoffScore(docs,
+            docs.filter(col("doc_id") % 2 === 0), alpha = 0.4)
+          .orderBy("doc_id")
+      },
+      Some {
+        val a = 0.4
+        "WITH tk AS (SELECT doc_id, " + toksSql + " AS t FROM documents " +
+          "WHERE text IS NOT NULL), " +
+          "ttk AS (SELECT doc_id, " + toksSql + " AS t FROM documents " +
+          "WHERE text IS NOT NULL AND doc_id % 2 = 0), " +
+          "x3 AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i " +
+          "FROM tk WHERE len(t) >= 3), " +
+          "tg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS w1, " +
+          "t[i+1] AS w2, t[i+2] AS w3 FROM x3), " +
+          "tx3 AS (SELECT t, unnest(range(1, len(t) - 1)) AS i FROM ttk " +
+          "WHERE len(t) >= 3), " +
+          "tri AS (SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3, " +
+          "count(*) AS c123 FROM tx3 GROUP BY 1, 2, 3), " +
+          "tx2 AS (SELECT t, unnest(range(1, len(t))) AS i FROM ttk " +
+          "WHERE len(t) >= 2), " +
+          "bi AS (SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS c12 " +
+          "FROM tx2 GROUP BY 1, 2), " +
+          "uni AS (SELECT w, count(*) AS c FROM " +
+          "(SELECT unnest(t) AS w FROM ttk) GROUP BY 1), " +
+          "nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni), " +
+          "sc AS (SELECT tg.doc_id, count(*) AS k, " +
+          "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(" +
+          "CASE WHEN COALESCE(tri.c123, 0) > 0 THEN " +
+          "CAST(tri.c123 AS DOUBLE) / CAST(b12.c12 AS DOUBLE) " +
+          s"WHEN COALESCE(b23.c12, 0) > 0 THEN $a * " +
+          "(CAST(b23.c12 AS DOUBLE) / CAST(u2.c AS DOUBLE)) " +
+          s"ELSE ${a * a} * (CAST(COALESCE(u3.c, 0) AS DOUBLE) / " +
+          "CAST(nn.n AS DOUBLE)) END ORDER BY tg.pos)), " +
+          "(acc, x) -> acc + x) AS s " +
+          "FROM tg LEFT JOIN tri ON tri.w1 = tg.w1 AND tri.w2 = tg.w2 " +
+          "AND tri.w3 = tg.w3 " +
+          "LEFT JOIN bi b12 ON b12.w1 = tg.w1 AND b12.w2 = tg.w2 " +
+          "LEFT JOIN bi b23 ON b23.w1 = tg.w2 AND b23.w2 = tg.w3 " +
+          "LEFT JOIN uni u2 ON u2.w = tg.w2 " +
+          "LEFT JOIN uni u3 ON u3.w = tg.w3 " +
+          "CROSS JOIN nn GROUP BY 1) " +
+          "SELECT d.doc_id, CAST(COALESCE(sc.k, 0) AS BIGINT) AS n_trigrams, " +
+          "sc.s / CAST(sc.k AS DOUBLE) AS backoff_score " +
+          "FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"
+      }),
+
     // Composite C4/Gopher filter verdict at default thresholds: keep +
     // ordered reason string per document, every arm replayed in SQL.
     // 372/500 synthetic docs trip at least one check (lang_mismatch

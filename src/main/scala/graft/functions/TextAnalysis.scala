@@ -325,6 +325,87 @@ object TextAnalysis {
         exp(-col("__s") / col("__n").cast("double")).as("perplexity"))
   }
 
+  /** STUPID-BACKOFF trigram score (Brants et al., EMNLP 2007 — the
+    * web-scale LM scheme built precisely because it needs NO normalization
+    * or discounting): each position scores
+    * S(w3|w1 w2) = c123/c12 if the trigram was seen, else
+    * α·c23/c2 if the bigram was, else α²·c3/N (α = 0.4, the paper's
+    * constant). Every term is a ratio of exact integer counts — one IEEE
+    * division chosen by integer comparisons — so the per-doc sorted-fold
+    * mean replays bit-exactly in any engine, like [[bigramScore]] but
+    * with an order-3 head and graceful backoff instead of add-k mass.
+    * The model trains on `train` and scores `docs` — pass the same frame
+    * for the self-trained reading (where the head arm always hits); a
+    * disjoint train slice exercises all three arms, which is the regime
+    * backoff exists for. A token absent from the model entirely
+    * contributes 0.
+    *
+    * Scale shape: trigram/bigram/unigram count tables are three hash
+    * aggregates over scan-side projections; scoring joins are term-keyed
+    * hash equi-joins (LEFT, so backoff arms see their misses); N rides as
+    * a broadcast one-row frame.
+    */
+  def trigramBackoffScore(docs: DataFrame, train: DataFrame,
+      alpha: Double = 0.4, textCol: String = "text"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
+    val occ3 = trigramOccurrences(docs, textCol)
+    val uni = train
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bi = bigramOccurrences(train, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val tri = trigramOccurrences(train, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c123"))
+    val nTbl = uni.agg(sum(col("c")).cast("long").as("__n"))
+    val seen3 = coalesce(col("c123"), lit(0L)) > 0
+    val seen2 = coalesce(col("c23"), lit(0L)) > 0
+    val s = when(seen3,
+        col("c123").cast("double") / col("c12").cast("double"))
+      .when(seen2,
+        lit(alpha) * (col("c23").cast("double") / col("c2").cast("double")))
+      .otherwise(lit(alpha * alpha) *
+        (coalesce(col("c3"), lit(0L)).cast("double") / col("__n").cast("double")))
+    val perDoc = occ3
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c12").as("c23")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("c").as("c3")), Seq("w3"), "left")
+      .crossJoin(broadcast(nTbl))
+      .select(col("doc_id"), col("pos"), s.as("__s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__k"),
+        aggregate(
+          array_sort(collect_list(struct(col("pos"), col("__s")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("__s")).as("__sum"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__k"), lit(0L)).as("n_trigrams"),
+        (col("__sum") / col("__k").cast("double")).as("backoff_score"))
+  }
+
+  /** (doc_id, pos, w1, w2, w3) trigram occurrence rows, 1-based pos —
+    * same scan-side `transform` shape as [[bigramOccurrences]].
+    */
+  private def trigramOccurrences(docs: DataFrame, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    docs
+      .select(col("doc_id"), t.as("__t"))
+      .filter(col("__t").isNotNull && size(col("__t")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        slice(col("__t"), lit(1), size(col("__t")) - 2),
+        (x, i) => struct((i + 1).cast("long").as("pos"), x.as("w1"),
+          element_at(col("__t"), i + 2).as("w2"),
+          element_at(col("__t"), i + 3).as("w3")))).as("__tg"))
+      .select(col("doc_id"), col("__tg.pos").as("pos"),
+        col("__tg.w1").as("w1"), col("__tg.w2").as("w2"),
+        col("__tg.w3").as("w3"))
+  }
+
   /** (doc_id, pos, w1, w2) bigram occurrence rows, 1-based pos, built by a
     * scan-side `transform` over the token array — no explode-and-self-join.
     */

@@ -1072,6 +1072,26 @@ class PipelineSpec extends SparkSpec {
     assert(out(0)._3.get > out(1)._3.get)
   }
 
+  test("stupid backoff: all three arms score their exact count ratios") {
+    // train: trigrams abc=2 bca=1 cab=1; bigrams ab=2 bc=2 ca=1;
+    // unigrams a=b=c=2, N=6
+    val train = docs((0L, "a b c a b c"))
+    val batch = docs(
+      (9L, "a b c d"),   // head arm (abc: 2/2), then unigram arm with c_d=0
+      (10L, "x a b"),    // bigram arm: α·(c_ab/c_a) = 0.4·(2/2)
+      (11L, "q q c"),    // unigram arm: α²·(c_c/N)
+      (12L, "hi"))       // <3 tokens: no positions
+    val out = TextAnalysis.trigramBackoffScore(batch, train, alpha = 0.4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      (9L, 2L, Some((0.0 + 2.0 / 2.0 + 0.4 * 0.4 * (0.0 / 6.0)) / 2.0)),
+      (10L, 1L, Some((0.0 + 0.4 * (2.0 / 2.0)) / 1.0)),
+      (11L, 1L, Some((0.0 + 0.4 * 0.4 * (2.0 / 6.0)) / 1.0)),
+      (12L, 0L, None)))
+  }
+
   test("bigram perplexity: log-space rendering agrees with the model") {
     val corpus = docs((1L, "a b a b"), (2L, "a b c"), (3L, "z"))
     val out = TextAnalysis.bigramPerplexity(corpus, addK = 1.0)

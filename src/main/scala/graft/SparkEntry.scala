@@ -2366,6 +2366,37 @@ object SparkEntry {
         "JOIN q ON c.label = q.label AND c.vec_id <> q.query_id), " +
         topKSql("sc", 10))),
 
+    // Scalar (int8) quantization: per-dim min/max trained by one exact
+    // selection aggregate (no k-means), queries scored against the
+    // dequantized codes — the 4×-compression / low-distortion point on
+    // the quantization curve (PQ holds the 32× end). The oracle replays
+    // train, encode, decode, and the dim-ordered score fold.
+    Q("q_sim_topk_sq8",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.sqTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"WITH $normEmbCte, " +
+        "dm AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx FROM nv, " +
+        "(SELECT unnest(range(1, 65)) AS i) GROUP BY i), " +
+        "ex AS (SELECT vec_id, i, v[i] AS x FROM nv, " +
+        "(SELECT unnest(range(1, 65)) AS i)), " +
+        "cd AS (SELECT ex.vec_id, ex.i, CASE WHEN dm.mx - dm.mn > 0 THEN " +
+        "round((ex.x - dm.mn) / (dm.mx - dm.mn) * 255.0) ELSE 0 END AS q " +
+        "FROM ex JOIN dm USING (i)), " +
+        "dec AS (SELECT vec_id, cd.i, " +
+        "dm.mn + q / 255.0 * (dm.mx - dm.mn) AS dx " +
+        "FROM cd JOIN dm USING (i)), " +
+        "q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv " +
+        "WHERE vec_id % 100 = 0), " +
+        "sc AS (SELECT query_id, dec.vec_id AS neighbor_id, " +
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list(qv[dec.i] * dec.dx ORDER BY dec.i)), (acc, x) -> acc + x) " +
+        "AS score FROM dec, q0 WHERE dec.vec_id <> q0.query_id " +
+        "GROUP BY 1, 2), " +
+        topKSql("sc", 10))),
+
     // IVF multi-probe: 8 leading sign bits as the coarse quantizer, probes
     // = {bucket, bucket^1, bucket^2}, per-bucket scoring, exact top-k.
     Q("q_sim_topk_ivf",

@@ -566,6 +566,25 @@ class BucketedSpec extends SparkSpec {
     } finally MinhashIndex.drop(spark, "mh_empty_idx")
   }
 
+  test("sq8: int8 quantization is deterministic and near-lossless at 256 levels") {
+    import graft.functions.Similarity
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, Array.fill(8)((rnd.nextDouble() - 0.5).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 15 === 0)
+    def run() = Similarity.sqTopK(corpus, queries, k = 5)
+      .orderBy("query_id", "rank")
+    val a = run().collect().map(_.toSeq).toSeq
+    assert(a == run().collect().map(_.toSeq).toSeq, "SQ8 must be deterministic")
+    assert(a.forall(r => r(0) != r(1)), "self-exclusion")
+    // 8 bits per dim is near-lossless: rank recall vs brute force stays high
+    val recall = Similarity.recallAtK(run(),
+      Similarity.bruteForceTopK(corpus, queries, k = 5), k = 5)
+      .agg(avg($"recall")).head().getDouble(0)
+    assert(recall >= 0.9, s"SQ8 recall@5 collapsed: $recall")
+  }
+
   test("bigram LM index: stored-model scoring ≡ self-trained; unseen mass lands on add-k smoothing") {
     import graft.functions.TextAnalysis
     val train = Seq((1L, "a b"), (2L, "a b a")).toDF("doc_id", "text")

@@ -419,10 +419,16 @@ object Stress {
         val p = new org.apache.hadoop.fs.Path(dir)
         p.getFileSystem(spark.sessionState.newHadoopConf()).getContentSummary(p).getLength
       }
-      val (rb, cb) = (bytes(rawDir), bytes(codeDir))
+      val sqDir = base.resolve("sq").toString
+      Similarity.sqEncode(emb)
+        .coalesce(1).write.mode("overwrite").parquet(sqDir)
+      val (rb, cb, sb) = (bytes(rawDir), bytes(codeDir), bytes(sqDir))
       println(f"[stress] pqsize raw(float32)=$rb%d B codes(m=8,ksub=16)=$cb%d B " +
         f"ratio=${rb.toDouble / cb}%.1fx (arithmetic bound 32.0x before " +
         "parquet encoding)")
+      println(f"[stress] sqsize sq8codes=$sb%d B ratio=${rb.toDouble / sb}%.1fx " +
+        "(arithmetic bound 4.0x; parquet dictionary+bitpack on the " +
+        "256-value code alphabet decides the realized bytes)")
     } finally {
       scala.util.Try {
         java.nio.file.Files.walk(base)

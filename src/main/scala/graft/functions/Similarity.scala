@@ -85,24 +85,12 @@ object Similarity {
     */
   def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       levels: Int = 256): DataFrame = {
-    require(levels >= 2 && levels <= 65536, "levels in [2, 65536]")
     val nv = normalized(corpus)
-    val stats = nv
-      .select(posexplode(col("v")).as(Seq("d", "x")))
-      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      .orderBy("d").collect()
-    val mins = stats.map(_.getDouble(1))
-    val spans = stats.map(r => r.getDouble(2) - r.getDouble(1))
+    val (mins, spans) = sqStats(nv)
     val L = (levels - 1).toDouble
     val minsLit = array(mins.toIndexedSeq.map(lit): _*)
     val spansLit = array(spans.toIndexedSeq.map(lit): _*)
-    val codes = nv.select(col("vec_id"),
-      transform(col("v"), (x, i) => {
-        val sp = element_at(spansLit, i + 1)
-        when(sp > 0,
-          round((x - element_at(minsLit, i + 1)) / sp * lit(L)).cast("int"))
-          .otherwise(lit(0))
-      }).as("code"))
+    val codes = sqEncodeWith(nv, minsLit, spansLit, levels)
     val decoded = transform(col("code"), (c, i) =>
       element_at(minsLit, i + 1) +
         c.cast("double") / lit(L) * element_at(spansLit, i + 1))
@@ -113,6 +101,43 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         dot(col("qv"), decoded).as("score"))
     topKPerQuery(scored, k)
+  }
+
+  /** The (vec_id, code ARRAY<INT>) SQ codes table — the artifact a
+    * persisted scalar-quantized index stores (the probe half of
+    * [[sqTopK]], exposed like [[pqEncode]] so footprint probes can
+    * measure the codes-vs-floats claim on real parquet bytes).
+    */
+  def sqEncode(corpus: DataFrame, levels: Int = 256): DataFrame = {
+    val nv = normalized(corpus)
+    val (mins, spans) = sqStats(nv)
+    sqEncodeWith(nv,
+      array(mins.toIndexedSeq.map(lit): _*),
+      array(spans.toIndexedSeq.map(lit): _*), levels)
+  }
+
+  /** Per-dimension (min, max−min) over the normalized corpus — one exact
+    * selection aggregate, dim-bounded driver collect.
+    */
+  private def sqStats(nv: DataFrame): (Array[Double], Array[Double]) = {
+    val stats = nv
+      .select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy("d").collect()
+    (stats.map(_.getDouble(1)), stats.map(r => r.getDouble(2) - r.getDouble(1)))
+  }
+
+  private def sqEncodeWith(nv: DataFrame, minsLit: Column, spansLit: Column,
+      levels: Int): DataFrame = {
+    require(levels >= 2 && levels <= 65536, "levels in [2, 65536]")
+    val L = (levels - 1).toDouble
+    nv.select(col("vec_id"),
+      transform(col("v"), (x, i) => {
+        val sp = element_at(spansLit, i + 1)
+        when(sp > 0,
+          round((x - element_at(minsLit, i + 1)) / sp * lit(L)).cast("int"))
+          .otherwise(lit(0))
+      }).as("code"))
   }
 
   /** Metadata-FILTERED exact top-k: each query retrieves only corpus

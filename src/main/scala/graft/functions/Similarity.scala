@@ -88,18 +88,24 @@ object Similarity {
     val nv = normalized(corpus)
     val (mins, spans) = sqStats(nv)
     val L = (levels - 1).toDouble
-    val minsLit = array(mins.toIndexedSeq.map(lit): _*)
-    val spansLit = array(spans.toIndexedSeq.map(lit): _*)
-    val codes = sqEncodeWith(nv, minsLit, spansLit, levels)
-    val decoded = transform(col("code"), (c, i) =>
-      element_at(minsLit, i + 1) +
-        c.cast("double") / lit(L) * element_at(spansLit, i + 1))
+    // typedLit, NOT array(lit...): CreateArray re-materializes the 64-slot
+    // array per evaluated element, turning the projection quadratic in dim
+    val minsLit = typedLit(mins.toIndexedSeq)
+    val spansLit = typedLit(spans.toIndexedSeq)
+    // decode ONCE per corpus row, BEFORE the query fan-out: the decoded
+    // array is query-independent, so evaluating it per (query, vector)
+    // pair would multiply the dequantization work by |queries|
+    val decoded = sqEncodeWith(nv, minsLit, spansLit, levels)
+      .select(col("vec_id"),
+        transform(col("code"), (c, i) =>
+          element_at(minsLit, i + 1) +
+            c.cast("double") / lit(L) * element_at(spansLit, i + 1)).as("dv"))
     val q = normalized(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val scored = codes
+    val scored = decoded
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        dot(col("qv"), decoded).as("score"))
+        dot(col("qv"), col("dv")).as("score"))
     topKPerQuery(scored, k)
   }
 
@@ -111,9 +117,8 @@ object Similarity {
   def sqEncode(corpus: DataFrame, levels: Int = 256): DataFrame = {
     val nv = normalized(corpus)
     val (mins, spans) = sqStats(nv)
-    sqEncodeWith(nv,
-      array(mins.toIndexedSeq.map(lit): _*),
-      array(spans.toIndexedSeq.map(lit): _*), levels)
+    sqEncodeWith(nv, typedLit(mins.toIndexedSeq),
+      typedLit(spans.toIndexedSeq), levels)
   }
 
   /** Per-dimension (min, max−min) over the normalized corpus — one exact

@@ -1394,6 +1394,31 @@ object SparkEntry {
       "FROM cass c LEFT JOIN p ON c.vec_id = p.vec_id ORDER BY c.vec_id"
 
   /** Per-query exact top-k ranking shared by the brute/IVF ANN oracles. */
+  /** The SQ8 replay — per-dim min/max train, encode, decode, dim-ordered
+    * score fold — shared by the one-shot and persisted-index queries
+    * (write→read fidelity: the stored tables must answer like a fresh fit).
+    */
+  private lazy val sq8Oracle: String =
+    s"WITH $normEmbCte, " +
+      "dm AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx FROM nv, " +
+      "(SELECT unnest(range(1, 65)) AS i) GROUP BY i), " +
+      "ex AS (SELECT vec_id, i, v[i] AS x FROM nv, " +
+      "(SELECT unnest(range(1, 65)) AS i)), " +
+      "cd AS (SELECT ex.vec_id, ex.i, CASE WHEN dm.mx - dm.mn > 0 THEN " +
+      "round((ex.x - dm.mn) / (dm.mx - dm.mn) * 255.0) ELSE 0 END AS q " +
+      "FROM ex JOIN dm USING (i)), " +
+      "dec AS (SELECT vec_id, cd.i, " +
+      "dm.mn + q / 255.0 * (dm.mx - dm.mn) AS dx " +
+      "FROM cd JOIN dm USING (i)), " +
+      "q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv " +
+      "WHERE vec_id % 100 = 0), " +
+      "sc AS (SELECT query_id, dec.vec_id AS neighbor_id, " +
+      "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      "list(qv[dec.i] * dec.dx ORDER BY dec.i)), (acc, x) -> acc + x) " +
+      "AS score FROM dec, q0 WHERE dec.vec_id <> q0.query_id " +
+      "GROUP BY 1, 2), " +
+      topKSql("sc", 10)
+
   private def topKSql(scoredCte: String, k: Int): String =
     s"r AS (SELECT *, row_number() OVER (PARTITION BY query_id " +
       "ORDER BY score DESC, neighbor_id) AS rank FROM " + scoredCte + ") " +
@@ -2269,6 +2294,33 @@ object SparkEntry {
         "FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id " +
         "ORDER BY d.doc_id")),
 
+    // Duplicate-cluster SIZE HISTOGRAM: how many clusters of each size the
+    // near-dup graph produces (singletons included) — the one-glance dedup
+    // audit (a fat head of large clusters means boilerplate or a crawler
+    // loop; the deduped corpus size is Σ n_clusters).
+    Q("q_dedup_cluster_sizes",
+      (s, d) => Dedup.dedupDecisions(
+          Tables.documents(s, d),
+          Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.5))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size"),
+      Some("WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM " +
+        s"($ngramJaccardOracle)), " +
+        "e AS (SELECT doc_a AS src, doc_b AS dst FROM p " +
+        "UNION SELECT doc_b, doc_a FROM p), " +
+        "reach AS (SELECT src, dst FROM e " +
+        "UNION SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src), " +
+        "cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id " +
+        "FROM reach GROUP BY src), " +
+        "asg AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) " +
+        "AS cluster_id FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id), " +
+        "sz AS (SELECT cluster_id, count(*) AS sz FROM asg GROUP BY 1) " +
+        "SELECT sz AS cluster_size, count(*) AS n_clusters FROM sz " +
+        "GROUP BY 1 ORDER BY 1")),
+
     // SimHash replayed end-to-end in SQL: FNV-1a 64 per token over its
     // UTF-8 BYTES (code points are expanded to UTF-8 in SQL, so multi-byte
     // text hashes identically to the engine's getBytes walk; HUGEINT
@@ -2377,25 +2429,24 @@ object SparkEntry {
         Similarity.sqTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10)
           .orderBy("query_id", "rank")
       },
-      Some(s"WITH $normEmbCte, " +
-        "dm AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx FROM nv, " +
-        "(SELECT unnest(range(1, 65)) AS i) GROUP BY i), " +
-        "ex AS (SELECT vec_id, i, v[i] AS x FROM nv, " +
-        "(SELECT unnest(range(1, 65)) AS i)), " +
-        "cd AS (SELECT ex.vec_id, ex.i, CASE WHEN dm.mx - dm.mn > 0 THEN " +
-        "round((ex.x - dm.mn) / (dm.mx - dm.mn) * 255.0) ELSE 0 END AS q " +
-        "FROM ex JOIN dm USING (i)), " +
-        "dec AS (SELECT vec_id, cd.i, " +
-        "dm.mn + q / 255.0 * (dm.mx - dm.mn) AS dx " +
-        "FROM cd JOIN dm USING (i)), " +
-        "q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv " +
-        "WHERE vec_id % 100 = 0), " +
-        "sc AS (SELECT query_id, dec.vec_id AS neighbor_id, " +
-        "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-        "list(qv[dec.i] * dec.dx ORDER BY dec.i)), (acc, x) -> acc + x) " +
-        "AS score FROM dec, q0 WHERE dec.vec_id <> q0.query_id " +
-        "GROUP BY 1, 2), " +
-        topKSql("sc", 10))),
+      Some(sq8Oracle)),
+
+    // The persisted SQ access path under the same hash gate: build the
+    // params+codes tables, answer FROM them, compare against the identical
+    // from-scratch oracle — write→read fidelity (every retrieval stack now
+    // has a gated persisted path: BM25, IVF, PQ, MinHash, bigram LM, SQ8).
+    Q("q_sim_topk_sq8_indexed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val name = "graft_sq_idx_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Similarity.writeSqIndex(emb, name)
+        try Similarity.sqSearchIndexed(s, name,
+            emb.filter(col("vec_id") % 100 === 0), k = 10)
+          .orderBy("query_id", "rank").localCheckpoint(true)
+        finally Similarity.dropSqIndex(s, name)
+      },
+      Some(sq8Oracle)),
 
     // IVF multi-probe: 8 leading sign bits as the coarse quantizer, probes
     // = {bucket, bucket^1, bucket^2}, per-bucket scoring, exact top-k.

@@ -145,6 +145,64 @@ object Similarity {
       }).as("code"))
   }
 
+  /** Persist a SCALAR-QUANTIZED index: the per-dimension (min, span,
+    * levels) parameter table plus the int8-level codes table — train +
+    * encode once at ingest; search reads ONLY the ~4×-smaller codes table
+    * (the measured sqsize point in SCALE.md) and never rescans or
+    * re-encodes the float corpus. Same two-table publish discipline as
+    * [[writePqIndex]]: params first, any failure drops both.
+    */
+  def writeSqIndex(corpus: DataFrame, name: String, levels: Int = 256): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    val spark = corpus.sparkSession
+    dropSqIndex(spark, name)
+    val nv = normalized(corpus)
+    val (mins, spans) = sqStats(nv)
+    try {
+      import spark.implicits._
+      mins.indices.map(d => (d, mins(d), spans(d), levels)).toSeq
+        .toDF("d", "mn", "span", "levels")
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${name}_params")
+      sqEncodeWith(nv, typedLit(mins.toIndexedSeq),
+          typedLit(spans.toIndexedSeq), levels)
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${name}_codes")
+    } catch {
+      case e: Throwable => dropSqIndex(spark, name); throw e
+    }
+  }
+
+  def dropSqIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit =
+    graft.sources.Tables.dropManagedTables(
+      spark, Seq(s"${name}_params", s"${name}_codes"))
+
+  /** [[sqTopK]] over a [[writeSqIndex]] index — identical results for the
+    * same corpus and levels (BucketedSpec asserts both); the params table
+    * loads driver-side (dim-bounded) and the scan touches only codes.
+    */
+  def sqSearchIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    graft.sources.Tables.requireIdent(name)
+    val pr = spark.table(s"${name}_params").orderBy("d").collect()
+    require(pr.nonEmpty, s"SQ index $name has no params")
+    val mins = pr.map(_.getDouble(1)).toIndexedSeq
+    val spans = pr.map(_.getDouble(2)).toIndexedSeq
+    val L = (pr.head.getInt(3) - 1).toDouble
+    val minsLit = typedLit(mins)
+    val spansLit = typedLit(spans)
+    val decoded = spark.table(s"${name}_codes").select(col("vec_id"),
+      transform(col("code"), (c, i) =>
+        element_at(minsLit, i + 1) +
+          c.cast("double") / lit(L) * element_at(spansLit, i + 1)).as("dv"))
+    val q = normalized(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    topKPerQuery(decoded
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("qv"), col("dv")).as("score")), k)
+  }
+
   /** Metadata-FILTERED exact top-k: each query retrieves only corpus
     * vectors sharing its `attrCol` value — category-scoped retrieval, the
     * filtered-search mode vector stores advertise (language- or

@@ -585,6 +585,24 @@ class BucketedSpec extends SparkSpec {
     assert(recall >= 0.9, s"SQ8 recall@5 collapsed: $recall")
   }
 
+  test("sq index: persisted params+codes search ≡ the one-shot path") {
+    import graft.functions.Similarity
+    val rnd = new scala.util.Random(23)
+    val corpus = (0 until 50).map { i =>
+      (i.toLong, Array.fill(6)((rnd.nextDouble() - 0.5).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 10 === 0)
+    val name = "graft_sq_spec_idx"
+    Similarity.writeSqIndex(corpus, name)
+    try {
+      val oneShot = Similarity.sqTopK(corpus, queries, k = 5)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      val indexed = Similarity.sqSearchIndexed(spark, name, queries, k = 5)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      assert(indexed == oneShot)
+    } finally Similarity.dropSqIndex(spark, name)
+  }
+
   test("bigram LM index: stored-model scoring ≡ self-trained; unseen mass lands on add-k smoothing") {
     import graft.functions.TextAnalysis
     val train = Seq((1L, "a b"), (2L, "a b a")).toDF("doc_id", "text")

@@ -220,4 +220,26 @@ object DataQuality {
         case other => col(other)
       } :+ col("class_size") :+ (!keep).as("suppressed"): _*)
   }
+
+  /** l-DIVERSITY audit — [[kAnonymize]]'s complement: an equivalence
+    * class can be k-large yet expose every member's sensitive value when
+    * that value is UNIFORM within the class (the homogeneity attack
+    * k-anonymity cannot see). Reports each quasi-identifier class with
+    * its distinct-sensitive-value count and the l-diverse verdict; a NULL
+    * sensitive value counts as a value of its own (count(DISTINCT)
+    * ignores NULLs in every engine, so the null arm is added explicitly —
+    * an all-NULL class must read as 1 value, not 0). One hash aggregate;
+    * the class table is combinatorics-bounded, so this is scan-speed at
+    * any corpus size.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitive: Column, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty && l >= 1, "need quasi columns and l >= 1")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("class_size"),
+        (countDistinct(sensitive) +
+          max(when(sensitive.isNull, 1L).otherwise(0L))).as("n_sensitive"))
+      .withColumn("l_diverse", col("n_sensitive") >= l)
+  }
 }

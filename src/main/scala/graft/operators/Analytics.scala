@@ -54,6 +54,58 @@ object Analytics {
         coalesce(col("total_amount"), money(lit(0))).as("total_amount"))
   }
 
+  /** GAP-FILLED daily series: the date-spine daily totals with missing
+    * days LINEARLY INTERPOLATED between the nearest present neighbors
+    * (forward/back-filled at the edges) — the series a dashboard or a
+    * downstream model consumes when ingest has holes. The interpolation
+    * weight is a ratio of exact integer day differences and the fill is
+    * one fixed IEEE tree (pv + (nv − pv)·fr), so results are
+    * engine-bit-deterministic. The window runs over the CALENDAR spine —
+    * |days| rows regardless of corpus size (the one deliberate
+    * single-partition window in the library; a year is 365 rows) — while
+    * the corpus collapses in the same per-day aggregate dailyTotals uses.
+    *
+    * Output: (day, txn_count, total_amount_raw — NULL on gap days,
+    * total_amount_filled, interpolated).
+    */
+  def interpolateDaily(tx: DataFrame, start: String, end: String): DataFrame = {
+    val spark = tx.sparkSession
+    val spine = spark.range(1).select(
+      explode(sequence(
+        lit(java.sql.Date.valueOf(start)),
+        lit(java.sql.Date.valueOf(end)),
+        expr("INTERVAL 1 DAY"))).as("day"))
+    val agged = tx
+      .filter(to_date(col("ts")).between(
+        lit(java.sql.Date.valueOf(start)), lit(java.sql.Date.valueOf(end))))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("txn_count"),
+        money(sum(exactAmount)).as("amt"))
+    val joined = spine.join(broadcast(agged), Seq("day"), "left")
+    val present = when(col("amt").isNotNull,
+      struct(col("day").as("d"), col("amt").as("v")))
+    val W = org.apache.spark.sql.expressions.Window
+    val wPrev = W.orderBy(col("day")).rowsBetween(W.unboundedPreceding, -1)
+    val wNext = W.orderBy(col("day")).rowsBetween(1, W.unboundedFollowing)
+    val marked = joined
+      .withColumn("__p", last(present, ignoreNulls = true).over(wPrev))
+      .withColumn("__n", first(present, ignoreNulls = true).over(wNext))
+    val fr = datediff(col("day"), col("__p.d")).cast("double") /
+      datediff(col("__n.d"), col("__p.d")).cast("double")
+    val filled = when(col("amt").isNotNull, col("amt"))
+      .when(col("__p").isNotNull && col("__n").isNotNull,
+        col("__p.v") + (col("__n.v") - col("__p.v")) * fr)
+      .when(col("__p").isNotNull, col("__p.v"))
+      .otherwise(col("__n.v"))
+    marked.select(
+      col("day"),
+      coalesce(col("txn_count"), lit(0L)).as("txn_count"),
+      col("amt").as("total_amount_raw"),
+      filled.as("total_amount_filled"),
+      col("amt").isNull.as("interpolated"))
+  }
+
   /** Trailing-window ANOMALY detection over the per-category daily event
     * series (the monitoring read an operations team points at a metric):
     * each (category, day)'s event count is scored against the mean/σ of

@@ -1116,6 +1116,51 @@ object SparkEntry {
       "FROM pairs WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5 " +
       "ORDER BY doc_a, doc_b"
 
+  /** Shared recursive-CTE transitive-closure prefix over the n-gram
+    * Jaccard pair set: CTEs through `wc(doc_id, cluster_id)` — every
+    * corpus document with its connected-component label (its own id when
+    * unpaired). The front half of the leakage-safe-split and cluster-size
+    * oracles, shared verbatim by the from-scratch and the
+    * persisted-cluster-table (_indexed) variants so hash equality
+    * certifies write→read fidelity of [[graft.functions.Dedup.writeClusterTable]].
+    */
+  private lazy val clusterAssignCtes: String =
+    "WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM " +
+      s"($ngramJaccardOracle)), " +
+      "e AS (SELECT doc_a AS src, doc_b AS dst FROM p " +
+      "UNION SELECT doc_b, doc_a FROM p), " +
+      "reach AS (SELECT src, dst FROM e " +
+      "UNION SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src), " +
+      "comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id " +
+      "FROM reach GROUP BY src), " +
+      "wc AS (SELECT d.doc_id, COALESCE(comp.cluster_id, d.doc_id) " +
+      "AS cluster_id FROM documents d LEFT JOIN comp USING (doc_id))"
+
+  /** The leakage-safe split replay: components via [[clusterAssignCtes]],
+    * then the representative id's string rendering through the same
+    * rolling-hash bucket machinery as q_split_assign.
+    */
+  private lazy val leakageSafeOracle: String =
+    clusterAssignCtes + ", " +
+      "fp AS (SELECT doc_id, cluster_id, list_reduce(" +
+      "list_prepend(CAST(0 AS BIGINT), " +
+      "[CAST(unicode(c) AS BIGINT) FOR c IN regexp_extract_all(" +
+      "lower(regexp_replace(trim(CAST(cluster_id AS VARCHAR)), " +
+      "'\\s+', ' ', 'g')), '.')]), " +
+      s"(acc, x) -> (acc * 31 + x) % ${graft.functions.RollingHash.Modulus}) " +
+      "AS f FROM wc) " +
+      "SELECT doc_id, cluster_id, f % 100 AS bucket, " +
+      "CASE WHEN f % 100 < 95 THEN 'train' " +
+      "WHEN f % 100 < 98 THEN 'val' ELSE 'test' END AS split " +
+      "FROM fp ORDER BY doc_id"
+
+  /** The cluster-size-histogram replay over the same component CTEs. */
+  private lazy val clusterSizesOracle: String =
+    clusterAssignCtes + ", " +
+      "sz AS (SELECT cluster_id, count(*) AS sz FROM wc GROUP BY 1) " +
+      "SELECT sz AS cluster_size, count(*) AS n_clusters FROM sz " +
+      "GROUP BY 1 ORDER BY 1"
+
   /** DuckDB CTE chain `e, n, nv`: L2-normalized double embeddings with the
     * exact fold-left accumulation order of the fused [[graft.functions.VectorOps]]
     * dot loop (list_reduce is a left fold), so norms — and every downstream
@@ -1595,27 +1640,29 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.5),
         Seq(("train", 95), ("val", 3), ("test", 2)))
         .orderBy("doc_id"),
-      Some("WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM " +
-        s"($ngramJaccardOracle)), " +
-        "e AS (SELECT doc_a AS src, doc_b AS dst FROM p " +
-        "UNION SELECT doc_b, doc_a FROM p), " +
-        "reach AS (SELECT src, dst FROM e " +
-        "UNION SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src), " +
-        "comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id " +
-        "FROM reach GROUP BY src), " +
-        "wc AS (SELECT d.doc_id, COALESCE(comp.cluster_id, d.doc_id) " +
-        "AS cluster_id FROM documents d LEFT JOIN comp USING (doc_id)), " +
-        "fp AS (SELECT doc_id, cluster_id, list_reduce(" +
-        "list_prepend(CAST(0 AS BIGINT), " +
-        "[CAST(unicode(c) AS BIGINT) FOR c IN regexp_extract_all(" +
-        "lower(regexp_replace(trim(CAST(cluster_id AS VARCHAR)), " +
-        "'\\s+', ' ', 'g')), '.')]), " +
-        s"(acc, x) -> (acc * 31 + x) % ${graft.functions.RollingHash.Modulus}) " +
-        "AS f FROM wc) " +
-        "SELECT doc_id, cluster_id, f % 100 AS bucket, " +
-        "CASE WHEN f % 100 < 95 THEN 'train' " +
-        "WHEN f % 100 < 98 THEN 'val' ELSE 'test' END AS split " +
-        "FROM fp ORDER BY doc_id")),
+      Some(leakageSafeOracle)),
+
+    // The INDEXED leakage-safe split: the duplicate-cluster table is
+    // materialized ONCE ([[graft.functions.Dedup.writeClusterTable]] —
+    // doc_id-bucketed, meta published last) and the split reader pays only
+    // a table scan + scan-side bucket/split projections, not the pair
+    // generation + star contraction the from-scratch path embeds per call.
+    // SAME oracle as q_split_leakage_safe, so hash equality certifies
+    // write→read fidelity of the persisted clustering (the
+    // q_text_bigram_indexed discipline). Unique table name + eager
+    // materialization + finally-drop.
+    Q("q_split_leakage_safe_indexed",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val name = "graft_cl_idx_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Dedup.writeClusterTable(docs, Dedup.ngramJaccardPairs(docs, 0.5), name)
+        try graft.functions.Sampling.leakageSafeSplitIndexed(s, name,
+            Seq(("train", 95), ("val", 3), ("test", 2)))
+          .orderBy("doc_id").localCheckpoint(true)
+        finally Dedup.dropClusterTable(s, name)
+      },
+      Some(leakageSafeOracle)),
 
     // Deterministic stratified sampling: strata (doc_id mod 3 as a
     // stand-in source label) kept at 100% / 50% / 10% by content-hash
@@ -2307,19 +2354,27 @@ object SparkEntry {
         .groupBy(col("sz").as("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"))
         .orderBy("cluster_size"),
-      Some("WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM " +
-        s"($ngramJaccardOracle)), " +
-        "e AS (SELECT doc_a AS src, doc_b AS dst FROM p " +
-        "UNION SELECT doc_b, doc_a FROM p), " +
-        "reach AS (SELECT src, dst FROM e " +
-        "UNION SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src), " +
-        "cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id " +
-        "FROM reach GROUP BY src), " +
-        "asg AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) " +
-        "AS cluster_id FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id), " +
-        "sz AS (SELECT cluster_id, count(*) AS sz FROM asg GROUP BY 1) " +
-        "SELECT sz AS cluster_size, count(*) AS n_clusters FROM sz " +
-        "GROUP BY 1 ORDER BY 1")),
+      Some(clusterSizesOracle)),
+
+    // The size histogram read from the PERSISTED cluster table instead of
+    // an embedded recompute — same oracle as q_dedup_cluster_sizes, so
+    // hash equality certifies the stored decisions (write→read fidelity,
+    // the q_split_leakage_safe_indexed twin over the same index artifact).
+    Q("q_dedup_cluster_sizes_indexed",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val name = "graft_cl_hist_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Dedup.writeClusterTable(docs, Dedup.ngramJaccardPairs(docs, 0.5), name)
+        try Dedup.clusterTable(s, name)
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .orderBy("cluster_size").localCheckpoint(true)
+        finally Dedup.dropClusterTable(s, name)
+      },
+      Some(clusterSizesOracle)),
 
     // SimHash replayed end-to-end in SQL: FNV-1a 64 per token over its
     // UTF-8 BYTES (code points are expanded to UTF-8 in SQL, so multi-byte

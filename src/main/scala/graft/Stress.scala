@@ -427,8 +427,10 @@ object Stress {
         f"ratio=${rb.toDouble / cb}%.1fx (arithmetic bound 32.0x before " +
         "parquet encoding)")
       println(f"[stress] sqsize sq8codes=$sb%d B ratio=${rb.toDouble / sb}%.1fx " +
-        "(arithmetic bound 4.0x; parquet dictionary+bitpack on the " +
-        "256-value code alphabet decides the realized bytes)")
+        "(logical bound 4.0x at 8 bits/dim vs float32; codes are stored " +
+        "ARRAY<INT>, so the un-encoded arithmetic bound is 1.0x and parquet " +
+        "dictionary+bitpack on the 256-value code alphabet decides the " +
+        "realized bytes)")
     } finally {
       scala.util.Try {
         java.nio.file.Files.walk(base)

@@ -459,6 +459,67 @@ object Dedup {
         (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id")).as("keep"))
   }
 
+  /** PERSIST the duplicate-cluster table — the index discipline applied to
+    * the pipeline's most expensive artifact. At 100 TB near-dup clustering
+    * (pair generation + the star contraction) is the costliest job in the
+    * pipeline, and every consumer that embeds [[dedupDecisions]] re-derives
+    * it per call (the leakage-safe split, the cluster-size audit, the keep
+    * filter). This materializes the decision table ONCE:
+    *
+    *  - `<name>_clusters` (doc_id, cluster_id, keep): one row per corpus
+    *    document (singletons included), bucketed+sorted by doc_id — the
+    *    join key every consumer attaches on, so the read side is a
+    *    bucket-pruned scan, not a recompute.
+    *  - `<name>_meta` (n_docs, n_clusters): published LAST, so a torn
+    *    build is never queryable ([[MinhashIndex.write]]'s torn-publish
+    *    discipline — readers resolve `_meta` first).
+    *
+    * The stored table IS [[dedupDecisions]]'s answer for (docs, pairs):
+    * write→read fidelity is hash-certified by running the indexed readers
+    * under the SAME recursive-CTE oracles as the from-scratch paths
+    * (q_split_leakage_safe_indexed, q_dedup_cluster_sizes_indexed).
+    */
+  def writeClusterTable(docs: DataFrame, pairs: DataFrame, name: String,
+      buckets: Int = 8, checkpointDir: Option[String] = None): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    val spark = docs.sparkSession
+    dropClusterTable(spark, name)
+    try {
+      graft.sources.Tables.writeBucketed(
+        dedupDecisions(docs, pairs, checkpointDir),
+        s"${name}_clusters", "doc_id", buckets)
+      val stored = spark.table(s"${name}_clusters")
+      // exact counts from the stored rows (not the plan that produced
+      // them), so meta can never disagree with what readers will scan
+      val agg = stored.agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("cluster_id")).as("n_clusters")).first()
+      import spark.implicits._
+      Seq((agg.getLong(0), agg.getLong(1))).toDF("n_docs", "n_clusters")
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_meta")
+    } catch {
+      case e: Throwable => dropClusterTable(spark, name); throw e
+    }
+  }
+
+  /** Read a [[writeClusterTable]] index: resolves `_meta` FIRST (a torn
+    * build without it fails here instead of answering partially), then
+    * returns the stored decision table (doc_id, cluster_id, keep).
+    */
+  def clusterTable(spark: org.apache.spark.sql.SparkSession,
+      name: String): DataFrame = {
+    graft.sources.Tables.requireIdent(name)
+    require(spark.table(s"${name}_meta").first().getLong(0) >= 0L,
+      s"cluster table $name has corrupt meta")
+    spark.table(s"${name}_clusters")
+  }
+
+  /** Drop both cluster-table artifacts AND their directories. */
+  def dropClusterTable(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit =
+    graft.sources.Tables.dropManagedTables(
+      spark, Seq(s"${name}_meta", s"${name}_clusters"))
+
   /** CHUNK-level exact dedup — the tractable approximation of
     * exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better", 2022): split every document into fixed

@@ -77,21 +77,43 @@ object Sampling {
     *
     * Scale shape: clustering is the O(log n)-round star contraction over
     * the pair set; attaching cluster ids is one hash join on doc_id; the
-    * bucket and split assignment are scan-side projections. Output: input
-    * columns minus text + (cluster_id, bucket, split).
+    * bucket and split assignment are scan-side projections. Output:
+    * (doc_id, cluster_id, bucket, split) — join back on doc_id for the
+    * other input columns.
     */
   def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+      splits: Seq[(String, Int)]): DataFrame =
+    splitFromClusters(
+      docs.select(col("doc_id"))
+        .join(Dedup.duplicateClusters(pairs), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id")),
+      splits)
+
+  /** The split-assignment half of [[leakageSafeSplit]] over an ALREADY
+    * MATERIALIZED (doc_id, cluster_id) assignment — the read path of
+    * [[Dedup.writeClusterTable]]: at 100 TB near-dup clustering is the
+    * most expensive artifact in the pipeline, so consumers read the
+    * persisted cluster table instead of re-deriving the components per
+    * call. Pure scan-side projections; zero shuffles beyond the table
+    * read. Output: (doc_id, cluster_id, bucket, split), identical to the
+    * from-scratch path on the same clustering.
+    */
+  def splitFromClusters(clusters: DataFrame,
       splits: Seq[(String, Int)]): DataFrame = {
     val total = splitTotal(splits)
-    val clusters = Dedup.duplicateClusters(pairs)
-    docs.select(col("doc_id"))
-      .join(clusters, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    clusters.select(col("doc_id"), col("cluster_id"))
       .withColumn("bucket",
         hashBucket(col("cluster_id").cast("string"), total))
       .withColumn("split", splitAssignExpr(col("bucket"), splits))
   }
+
+  /** [[splitFromClusters]] over a persisted [[Dedup.writeClusterTable]]
+    * index, resolved by name.
+    */
+  def leakageSafeSplitIndexed(spark: org.apache.spark.sql.SparkSession,
+      name: String, splits: Seq[(String, Int)]): DataFrame =
+    splitFromClusters(Dedup.clusterTable(spark, name), splits)
 
   /** Sequence PACKING: assign each document to a fixed-token-budget
     * training sequence (pack) — the step between a cleaned corpus and a

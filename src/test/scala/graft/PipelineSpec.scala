@@ -1047,6 +1047,36 @@ class PipelineSpec extends SparkSpec {
     assert(out(3).getLong(2) == h9)
   }
 
+  test("persisted cluster table: stored decisions equal the embedded recompute; indexed split equals the from-scratch split") {
+    val corpus = docs((1L, "aa"), (2L, "bb"), (7L, "cc"), (9L, "dd"))
+    val pairs = Seq((1L, 2L), (2L, 7L)).toDF("doc_a", "doc_b")
+    val name = "graft_test_cl_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    Dedup.writeClusterTable(corpus, pairs, name, buckets = 2)
+    try {
+      val stored = Dedup.clusterTable(spark, name)
+        .orderBy("doc_id").collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      val fresh = Dedup.dedupDecisions(corpus, pairs)
+        .orderBy("doc_id").collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      assert(stored == fresh)
+      // meta counts agree with the stored rows
+      val meta = spark.table(s"${name}_meta").first()
+      assert(meta.getLong(0) == 4L && meta.getLong(1) == 2L)
+      // the indexed read path answers exactly like the from-scratch split
+      val viaIndex = Sampling.leakageSafeSplitIndexed(spark, name,
+          Seq(("train", 8), ("test", 2)))
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val scratch = Sampling.leakageSafeSplit(corpus, pairs,
+          Seq(("train", 8), ("test", 2)))
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(viaIndex == scratch)
+    } finally Dedup.dropClusterTable(spark, name)
+    // dropped means dropped: a reader must fail, not half-answer
+    intercept[Exception](Dedup.clusterTable(spark, name).collect())
+  }
+
   test("bigram score: exact rational arithmetic on a hand-computed model") {
     // corpus bigrams: doc1 (a,b)(b,a)(a,b); doc2 (a,b)(b,c)
     // c12: (a,b)=3 (b,a)=1 (b,c)=1; c1: a=3 b=2; V = |{a,b,c,z}| = 4

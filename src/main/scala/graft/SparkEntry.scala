@@ -2104,6 +2104,62 @@ object SparkEntry {
         "CAST(n_chunks * 16 AS BIGINT) AS approx_tokens FROM g " +
         "WHERE n_chunks >= 2 ORDER BY doc_a, doc_b, start_a, start_b")),
 
+    // Duplicate-passage SCRUB — the removal half of Lee et al.: the spans
+    // q_dedup_passages detects are EXCISED from each pair's doc_b side
+    // (keep-first: the lower-id copy survives) and the cleaned corpus ships
+    // as space-joined kept token slices. The oracle replays the whole
+    // chain: the gated runs relation, the per-doc removed-chunk index set,
+    // and the list-comprehension slice reconstruction.
+    Q("q_dedup_passage_scrub",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val concats = docs.as("a").filter(col("doc_id") % 10 === 0)
+          .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+          .select((col("a.doc_id") + lit(20000L)).as("doc_id"),
+            concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+        val corpus = docs.unionByName(concats)
+        Dedup.scrubPassages(corpus,
+            Dedup.duplicatePassages(corpus,
+              chunkTokens = 16, minChunks = 2, maxChunkDf = 64),
+            chunkTokens = 16)
+          .orderBy("doc_id")
+      },
+      Some("WITH d AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT a.doc_id + 20000 AS doc_id, " +
+        "a.text || ' ' || b.text AS text FROM documents a " +
+        "JOIN documents b ON b.doc_id = a.doc_id + 1 " +
+        "WHERE a.doc_id % 10 = 0), " +
+        chunkFpCtes("d", "c") + ", " +
+        "hot AS (SELECT f FROM cfp GROUP BY f HAVING count(*) > 64), " +
+        "rare AS (SELECT cfp.* FROM cfp ANTI JOIN hot USING (f)), " +
+        "m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "a.idx AS ia, b.idx AS ib FROM rare a " +
+        "JOIN rare b ON a.f = b.f AND a.doc_id < b.doc_id), " +
+        "r AS (SELECT doc_a, doc_b, ia, ib, ia - ib AS diag, " +
+        "ia - row_number() OVER (PARTITION BY doc_a, doc_b, ia - ib " +
+        "ORDER BY ia) AS grp FROM m), " +
+        "g AS (SELECT doc_a, doc_b, CAST(min(ib) AS BIGINT) AS start_b, " +
+        "count(*) AS n_chunks FROM r GROUP BY doc_a, doc_b, diag, grp), " +
+        "rm0 AS (SELECT doc_b AS doc_id, " +
+        "unnest(range(start_b, start_b + n_chunks)) AS idx FROM g " +
+        "WHERE n_chunks >= 2), " +
+        "rmd AS (SELECT DISTINCT doc_id, idx FROM rm0), " +
+        "rms AS (SELECT doc_id, list(idx ORDER BY idx) AS rms, " +
+        "count(*) AS n_removed FROM rmd GROUP BY 1), " +
+        "tall AS (SELECT doc_id, " + toksSql + " AS t FROM d), " +
+        "base AS (SELECT doc_id, t, CASE WHEN t IS NULL OR len(t) = 0 " +
+        "THEN 0 ELSE (len(t) - 1) // 16 + 1 END AS n_chunks FROM tall) " +
+        "SELECT b.doc_id, CAST(b.n_chunks AS BIGINT) AS n_chunks, " +
+        "CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed_chunks, " +
+        // COALESCE: DuckDB array_to_string([]) is NULL; Spark array_join
+        // of an all-chunks-removed doc is '' — pin the Spark semantics
+        "CASE WHEN b.t IS NULL THEN NULL WHEN b.n_chunks = 0 THEN '' " +
+        "ELSE COALESCE(array_to_string(flatten([b.t[(i*16+1):(i*16+16)] " +
+        "FOR i IN range(0, b.n_chunks) " +
+        "IF NOT list_contains(COALESCE(r.rms, CAST([] AS BIGINT[])), i)]), " +
+        "' '), '') END AS text " +
+        "FROM base b LEFT JOIN rms r USING (doc_id) ORDER BY b.doc_id")),
+
     // Benchmark decontamination at SPAN level: benchmark docs (every 50th,
     // re-keyed into a disjoint id space) screened against documents ∪ the
     // engineered concat super-docs. Every benchmark doc surfaces twice —

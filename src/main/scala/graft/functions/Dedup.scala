@@ -656,6 +656,61 @@ object Dedup {
         col("n_chunks"), col("approx_tokens"))
   }
 
+  /** SCRUB duplicated passages — the REMOVAL half of exact-substring dedup
+    * (Lee et al. 2022): [[duplicatePassages]] says where the copied spans
+    * sit; this excises them and ships the cleaned corpus. Keep-first rule:
+    * `runs` carries doc_a < doc_b, so every span's doc_b side is the
+    * non-first occurrence — its chunks [start_b, start_b + n_chunks) are
+    * removed; the doc_a copy survives. Deterministic and stable under
+    * re-runs (same rule as [[dedupDecisions]]' min-id representative).
+    *
+    * Reconstruction is token-slice arithmetic: the document re-tokenizes
+    * (`chunkTokens` MUST match the run detection), kept chunk slices
+    * concatenate in order, and the output text is the space-joined kept
+    * tokens — whitespace-canonical by construction (the same token basis
+    * the fingerprints hashed). NULL-text documents stay NULL; a document
+    * whose every chunk is removed comes back as the empty string.
+    *
+    * Scale shape: the removal set is one explode + distinct over the run
+    * table (spans, not text), aggregated to a per-doc sorted index array;
+    * attaching it is one hash join on doc_id; the slice concat is a
+    * scan-side projection. Text shuffles nowhere — the join carries only
+    * index arrays. Output: (doc_id, n_chunks, n_removed_chunks, text).
+    */
+  def scrubPassages(docs: DataFrame, runs: DataFrame, chunkTokens: Int = 16,
+      textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0, "chunk size must be positive")
+    val c = chunkTokens
+    val removed = runs
+      .select(col("doc_b").as("doc_id"),
+        explode(sequence(col("start_b").cast("long"),
+          col("start_b").cast("long") + col("n_chunks").cast("long") - 1))
+          .as("__rm"))
+      .distinct() // overlapping spans from different partner docs
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("__rm"))).as("__rms"))
+    docs
+      .select(col("doc_id"), toks(col(textCol)).as("__t"))
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__t"),
+        coalesce(col("__rms"), array().cast("array<long>")).as("__rms"),
+        // (n-1)/c truncates exactly (non-negative operands, same floor as
+        // int division — the chunkDedup/chunkFingerprints convention)
+        when(col("__t").isNull || size(col("__t")) === 0, lit(0L))
+          .otherwise(((size(col("__t")) - 1) / c).cast("long") + 1)
+          .as("n_chunks"))
+      .select(col("doc_id"), col("n_chunks"),
+        size(col("__rms")).cast("long").as("n_removed_chunks"),
+        when(col("__t").isNull, lit(null).cast("string"))
+          .when(col("n_chunks") === 0, lit(""))
+          .otherwise(array_join(
+            flatten(transform(
+              filter(sequence(lit(0L), col("n_chunks") - 1),
+                i => !array_contains(col("__rms"), i)),
+              i => slice(col("__t"), (i * c + 1).cast("int"), lit(c)))),
+            " ")).as("text"))
+  }
+
   /** (doc_id, idx, __f): non-overlapping `c`-token chunks collapsed to
     * rolling-hash fingerprints inside the scan projection (text never
     * survives past this frame).

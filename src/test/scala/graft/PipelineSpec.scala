@@ -1047,6 +1047,28 @@ class PipelineSpec extends SparkSpec {
     assert(out(3).getLong(2) == h9)
   }
 
+  test("scrubPassages: doc_b spans excised keep-first, reconstruction is exact token-slice arithmetic") {
+    // chunk size 2: doc1 [a b][c d][e f]; doc2 [x x][a b][c d][y y] shares
+    // a 2-chunk run with doc1 at ib=1..2; doc3 is a verbatim copy of doc1
+    // (all 3 chunks removed); doc4 has no text at all
+    val corpus = docs(
+      (1L, "a b c d e f"),
+      (2L, "x x a b c d y y"),
+      (3L, "a b c d e f"),
+      (4L, null.asInstanceOf[String]))
+    val runs = Dedup.duplicatePassages(corpus, chunkTokens = 2,
+      minChunks = 2, maxChunkDf = 64)
+    val out = Dedup.scrubPassages(corpus, runs, chunkTokens = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)))).toSeq
+    assert(out == Seq(
+      (1L, 3L, 0L, Some("a b c d e f")), // first occurrence keeps everything
+      (2L, 4L, 2L, Some("x x y y")),     // the copied middle is excised
+      (3L, 3L, 3L, Some("")),            // full duplicate scrubs to empty
+      (4L, 0L, 0L, None)))               // null text stays null
+  }
+
   test("persisted cluster table: stored decisions equal the embedded recompute; indexed split equals the from-scratch split") {
     val corpus = docs((1L, "aa"), (2L, "bb"), (7L, "cc"), (9L, "dd"))
     val pairs = Seq((1L, 2L), (2L, 7L)).toDF("doc_a", "doc_b")

@@ -940,6 +940,20 @@ object SparkEntry {
 
   private val Bm25Terms = Seq("spark", "window", "dup")
 
+  /** q_text_classifier_quality's exported linear model: integer micro-unit
+    * (1e-6) weights over the corpus register — positive on content terms,
+    * negative on filler — plus bias and the per-token keep threshold. The
+    * model is CONFIGURATION (a trained classifier quantized at export), so
+    * like the BPE merge table it renders as literals into BOTH engines.
+    */
+  private val classifierWeights: Seq[(String, Long)] = Seq(
+    "spark" -> 500000L, "query" -> 400000L, "join" -> 300000L,
+    "window" -> 300000L, "agg" -> 200000L, "stream" -> 200000L,
+    "vector" -> 150000L, "the" -> -300000L, "a" -> -400000L,
+    "slow" -> -250000L, "big" -> -100000L)
+  private val classifierBias = 25000L
+  private val classifierThreshold = 50000L
+
   /** Blocklist phrase set for q_text_blocklist — multi-word phrases so the
     * Aho-Corasick automaton's cross-token matching is exercised, plus one
     * phrase absent from the corpus vocabulary (the never-hit arm). Rendered
@@ -1806,6 +1820,37 @@ object SparkEntry {
         "CAST(tot.total AS DOUBLE)) AS unigram_score " +
         "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id " +
         "CROSS JOIN tot ORDER BY d.doc_id")),
+
+    // CLASSIFIER-based quality filter (the fastText / FineWeb-Edu shape):
+    // a broadcast integer micro-unit weight table, exact integer
+    // Σ tf·w + bias per document, ONE final division for the surfaced
+    // mean-per-token score, and a pure-integer threshold verdict. The
+    // oracle renders the weight table as a VALUES CTE and replays the
+    // postings join + integer arithmetic.
+    Q("q_text_classifier_quality",
+      (s, d) => TextAnalysis.classifierScore(Tables.documents(s, d),
+          classifierWeights, bias = classifierBias,
+          thresholdMicros = classifierThreshold)
+        .orderBy("doc_id"),
+      Some("WITH wt AS (SELECT * FROM (VALUES " +
+        classifierWeights.map { case (t, w) =>
+          s"('$t', CAST($w AS BIGINT))" }.mkString(", ") +
+        ") AS t(term, w)), " +
+        "tk AS (SELECT doc_id, unnest(" + toksSql + ") AS term " +
+        "FROM documents), " +
+        "hit AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS hit " +
+        "FROM tk JOIN wt USING (term) GROUP BY 1), " +
+        "base AS (SELECT doc_id, CAST(COALESCE(len(" + toksSql + "), 0) " +
+        "AS BIGINT) AS n_tokens FROM documents) " +
+        "SELECT b.doc_id, b.n_tokens, " +
+        s"CAST(COALESCE(h.hit, 0) + $classifierBias AS BIGINT) AS score_num, " +
+        "CASE WHEN b.n_tokens = 0 THEN NULL " +
+        s"ELSE CAST(COALESCE(h.hit, 0) + $classifierBias AS DOUBLE) / " +
+        "(CAST(b.n_tokens AS DOUBLE) * 1000000.0) END AS score, " +
+        "CASE WHEN b.n_tokens = 0 THEN FALSE " +
+        s"ELSE COALESCE(h.hit, 0) + $classifierBias >= " +
+        s"$classifierThreshold * b.n_tokens END AS keep " +
+        "FROM base b LEFT JOIN hit h USING (doc_id) ORDER BY b.doc_id")),
 
     // Bigram-LM quality score (order-2 CCNet-style filter): mean smoothed
     // conditional probability of each bigram position under the corpus

@@ -1047,6 +1047,32 @@ class PipelineSpec extends SparkSpec {
     assert(out(3).getLong(2) == h9)
   }
 
+  test("classifierScore: exact integer tf·w + bias, one final division, integer threshold verdict") {
+    val corpus = docs(
+      (1L, "spark spark the"),      // 2·500000 − 300000 + 25000 = 725000, n=3
+      (2L, "a a"),                  // −800000 + 25000 = −775000, n=2
+      (3L, "zzz"),                  // no hits → bias alone = 25000, n=1
+      (4L, null.asInstanceOf[String])) // unscorable
+    val w = Seq("spark" -> 500000L, "the" -> -300000L, "a" -> -400000L)
+    val out = TextAnalysis.classifierScore(corpus, w,
+        bias = 25000L, thresholdMicros = 25000L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4))).toSeq
+    assert(out == Seq(
+      (1L, 3L, 725000L, Some(725000.0 / 3000000.0), true),   // 725000 ≥ 75000
+      (2L, 2L, -775000L, Some(-775000.0 / 2000000.0), false),
+      (3L, 1L, 25000L, Some(25000.0 / 1000000.0), true),     // bias meets 25000·1
+      (4L, 0L, 25000L, None, false)))                        // gate admits nothing unscorable
+    // misconfigured models fail loudly, not silently
+    intercept[IllegalArgumentException](
+      TextAnalysis.classifierScore(corpus, Seq.empty))
+    intercept[IllegalArgumentException](
+      TextAnalysis.classifierScore(corpus, Seq("x" -> 1L, "x" -> 2L)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.classifierScore(corpus, Seq("" -> 1L)))
+  }
+
   test("scrubPassages: doc_b spans excised keep-first, reconstruction is exact token-slice arithmetic") {
     // chunk size 2: doc1 [a b][c d][e f]; doc2 [x x][a b][c d][y y] shares
     // a 2-chunk run with doc1 at ib=1..2; doc3 is a verbatim copy of doc1

@@ -1275,7 +1275,8 @@ object SparkEntry {
     * `pc<m><it>`, `pe<m>`), assuming `nv` and `samp` are already defined —
     * shared by the plain-PQ and IVF+PQ oracles.
     */
-  private def pqSubCtes(dim: Int, m: Int, ksub: Int, iters: Int): String = {
+  private def pqSubCtes(dim: Int, m: Int, ksub: Int, iters: Int,
+      sampRel: String = "samp", encRel: String = "nv"): String = {
     require(dim % m == 0)
     val subDim = dim / m
     val slice = pqSlice(dim, m) _
@@ -1292,14 +1293,14 @@ object SparkEntry {
           s"pc$mm$it AS (SELECT p.cid, COALESCE(m.mv, p.cv) AS cv " +
           s"FROM pc$mm${it - 1} p LEFT JOIN pm$mm$it m ON p.cid = m.cid)"
       }.mkString(", ")
-      s"sub$mm AS (SELECT vec_id, ${slice("v", mm)} AS sv FROM samp), " +
+      s"sub$mm AS (SELECT vec_id, ${slice("v", mm)} AS sv FROM $sampRel), " +
         s"pc${mm}0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, sv AS cv " +
         s"FROM (SELECT vec_id, sv FROM sub$mm ORDER BY vec_id LIMIT $ksub)), " +
         s"$rounds, " +
         s"pe$mm AS (SELECT vec_id, cid AS code FROM (" +
         "SELECT nv.vec_id, c.cid, row_number() OVER (PARTITION BY nv.vec_id " +
         s"ORDER BY ${l2Sql(slice("nv.v", mm), "c.cv")} ASC, c.cid) AS rn " +
-        s"FROM nv CROSS JOIN pc$mm$iters c) WHERE rn = 1)"
+        s"FROM $encRel nv CROSS JOIN pc$mm$iters c) WHERE rn = 1)"
     }.mkString(", ")
   }
 
@@ -1436,6 +1437,73 @@ object SparkEntry {
       s"FROM cass b JOIN qp USING (bucket) $codeJoins " +
       "WHERE b.vec_id <> qp.query_id), " +
       recallTailSql("qsc", topk)
+  }
+
+  /** The RESIDUAL-encoding CTE chain (true IVFADC,
+    * [[graft.functions.Similarity.ivfPqResidualTopK]]): assign the
+    * training sample to the FINAL coarse centroids (argmax dot, ties →
+    * lowest cid — the corpus-assignment rule), subtract to get residual
+    * sample `rsamp` and residual corpus `rnv`, then run the verbatim
+    * per-subspace PQ fit + encode over those relations instead of the
+    * raw ones.
+    */
+  private def ivfPqResCtes(dim: Int, m: Int, ksub: Int, iters: Int): String =
+    // MATERIALIZED: every pe<m> subspace CTE references rnv/rsamp; without
+    // the hint DuckDB re-inlines them — m recomputes of the whole coarse
+    // k-means chain. Materialization changes cost only, never values.
+    "sa AS MATERIALIZED (SELECT vec_id, v, cid FROM (" +
+      "SELECT s.vec_id, s.v, c.cid, row_number() OVER (PARTITION BY s.vec_id " +
+      s"ORDER BY ${dotSql("s.v", "c.cv")} DESC, c.cid) AS rn " +
+      s"FROM samp s CROSS JOIN c$iters c) WHERE rn = 1), " +
+      s"rsamp AS MATERIALIZED (SELECT sa.vec_id, [sa.v[i] - c.cv[i] FOR i IN " +
+      s"range(1, ${dim + 1})] AS v FROM sa JOIN c$iters c ON sa.cid = c.cid), " +
+      s"rnv AS MATERIALIZED (SELECT cass.vec_id, [cass.v[i] - c.cv[i] FOR i IN " +
+      s"range(1, ${dim + 1})] AS v FROM cass JOIN c$iters c ON cass.bucket = c.cid), " +
+      pqSubCtes(dim, m, ksub, iters, sampRel = "rsamp", encRel = "rnv")
+
+  /** Query probe CTE carrying the per-(query, cell) BASE term dot(q, c) —
+    * the same double the probe ranking orders by; residual ADC adds it to
+    * the LUT fold so the score replays `dot(q,c) + Σ dot(q_m, book[code])`.
+    */
+  private def qpBaseCte(iters: Int, nprobe: Int): String =
+    "q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id % 100 = 0), " +
+      "qp AS (SELECT query_id, qv, cid AS bucket, base FROM (" +
+      s"SELECT q.query_id, q.qv, c.cid, ${dotSql("q.qv", "c.cv")} AS base, " +
+      "row_number() OVER (PARTITION BY q.query_id " +
+      s"ORDER BY ${dotSql("q.qv", "c.cv")} DESC, c.cid) AS rn " +
+      s"FROM q0 q CROSS JOIN c$iters c) WHERE rn <= $nprobe)"
+
+  /** True-IVFADC oracle: coarse fit + residual PQ fit/encode + probed-cell
+    * ADC scoring with the per-cell base term added before ranking.
+    */
+  private def ivfPqResOracle(dim: Int, sampleSize: Int, centroids: Int,
+      m: Int, ksub: Int, iters: Int, nprobe: Int, topk: Int): String = {
+    val (codeJoins, score) = pqScore(dim, m, iters, "b", "qp")
+    ivfFitCte(dim, sampleSize, centroids, iters) + ", " +
+      ivfPqResCtes(dim, m, ksub, iters) + ", " +
+      qpBaseCte(iters, nprobe) + ", " +
+      s"sc AS (SELECT qp.query_id, b.vec_id AS neighbor_id, " +
+      s"(qp.base + $score) AS score " +
+      s"FROM cass b JOIN qp USING (bucket) $codeJoins " +
+      "WHERE b.vec_id <> qp.query_id), " +
+      topKSql("sc", topk)
+  }
+
+  /** Recall@k of the true-IVFADC stack vs brute force — ranked next to
+    * [[ivfPqRecallOracle]] so the residual-vs-raw recall gain is itself an
+    * oracle-certified number, not a spec-only anecdote.
+    */
+  private def ivfPqResRecallOracle(dim: Int, sampleSize: Int, centroids: Int,
+      m: Int, ksub: Int, iters: Int, nprobe: Int, topk: Int): String = {
+    val (codeJoins, score) = pqScore(dim, m, iters, "b", "qp")
+    ivfFitCte(dim, sampleSize, centroids, iters) + ", " +
+      ivfPqResCtes(dim, m, ksub, iters) + ", " +
+      qpBaseCte(iters, nprobe) + ", " +
+      s"rsc AS (SELECT qp.query_id, b.vec_id AS neighbor_id, " +
+      s"(qp.base + $score) AS score " +
+      s"FROM cass b JOIN qp USING (bucket) $codeJoins " +
+      "WHERE b.vec_id <> qp.query_id), " +
+      recallTailSql("rsc", topk)
   }
 
   /** DuckDB replay of [[graft.functions.Dedup.semanticDedup]]: the shared
@@ -2965,6 +3033,23 @@ object SparkEntry {
       Some(ivfPqRecallOracle(dim = 64, sampleSize = 256, centroids = 8,
         m = 16, ksub = 32, iters = 2, nprobe = 4, topk = 10))),
 
+    // RECALL@10 of the TRUE-IVFADC stack (residual encoding) at the SAME
+    // bits as q_sim_recall_ivfpq — the residual-vs-raw recall gain as two
+    // oracle-certified numbers side by side (BucketedSpec asserts the
+    // ordering; this query certifies the values).
+    Q("q_sim_recall_ivfpq_res",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") % 100 === 0)
+        Similarity.recallAtK(
+          Similarity.ivfPqResidualTopK(emb, qs, k = 10, centroids = 8,
+            nprobe = 4, m = 16, ksub = 32, sampleSize = 256, iters = 2),
+          Similarity.bruteForceTopK(emb, qs, k = 10), k = 10)
+          .orderBy("query_id")
+      },
+      Some(ivfPqResRecallOracle(dim = 64, sampleSize = 256, centroids = 8,
+        m = 16, ksub = 32, iters = 2, nprobe = 4, topk = 10))),
+
     // PRODUCT QUANTIZATION top-k: 64-dim floats → 8 sub-codes (32× memory
     // cut), search = code scan + per-query lookup tables (ADC). The
     // memory-bound regime's ANN at 100 TB — the codes table fits where
@@ -3013,6 +3098,23 @@ object SparkEntry {
           .orderBy("query_id", "rank")
       },
       Some(ivfPqOracle(dim = 64, sampleSize = 256, centroids = 8,
+        m = 8, ksub = 16, iters = 2, nprobe = 4, topk = 10))),
+
+    // TRUE IVFADC (Jégou et al. 2011): same cell pruning + code budget as
+    // q_sim_topk_ivfpq, but codes quantize the residual to the assigned
+    // coarse centroid and the score adds the per-(query, cell) base term
+    // dot(q, c) before ranking. The oracle replays the residual fit/encode
+    // over the residual relations verbatim and the base-plus-fold score.
+    Q("q_sim_topk_ivfpq_res",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfPqResidualTopK(emb,
+          emb.filter(col("vec_id") % 100 === 0),
+          k = 10, centroids = 8, nprobe = 4, m = 8, ksub = 16,
+          sampleSize = 256, iters = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfPqResOracle(dim = 64, sampleSize = 256, centroids = 8,
         m = 8, ksub = 16, iters = 2, nprobe = 4, topk = 10))),
 
     // IVF cell-balance report: per trained cell, member count / id range /

@@ -157,7 +157,7 @@ object MinhashIndex {
       .select("batch_doc", "seen_doc", "jaccard")
   }
 
-  private def geometry(spark: SparkSession, name: String): (Int, Int) = {
+  private[graft] def geometry(spark: SparkSession, name: String): (Int, Int) = {
     val m = spark.table(s"${name}_meta").first()
     (m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"))
   }

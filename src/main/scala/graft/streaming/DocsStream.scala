@@ -160,4 +160,90 @@ object DocsStream {
           } finally { out.unpersist(); () }
         } finally { b.unpersist(); () }
     }
+
+  /** Streaming NEAR-dup gate against a persisted MinHash index
+    * ([[graft.functions.MinhashIndex]]) — the lexical analog of what
+    * [[incrementalDedupStream]] does for exact duplicates, closing the
+    * batch/stream capability gap: a crawl ingest drops arriving documents
+    * whose n-gram Jaccard against ANYTHING already seen reaches
+    * `threshold`, and folds every arrival into the index so later batches
+    * (and later runs) dedup against it.
+    *
+    * Semantics per micro-batch (stream ≡ batch, StreamingSpec asserts it
+    * against [[graft.functions.Dedup.minhashNearDups]] on the concatenated
+    * corpus): a document is DROPPED iff it has an exact-Jaccard ≥
+    * `threshold` near-dup among (a) the index contents before this batch —
+    * the [[graft.functions.MinhashIndex.screen]] candidates — or (b) a
+    * LOWER-id document of the same batch (the batch operator's keep rule:
+    * pairs are `doc_a < doc_b`, the higher id drops). Within-batch pairs
+    * replay the INDEX's frozen banding geometry, not the batch defaults,
+    * so the two candidate generators can never disagree.
+    *
+    * ALL arriving documents — kept and dropped — upsert into the index:
+    * the batch drop rule is "any lower-id neighbor, whether or not that
+    * neighbor itself survived", so the index must remember dropped
+    * documents too or a chain A≈B≈C (with A≉C) would re-admit C after B
+    * dropped, diverging from batch semantics.
+    *
+    * Idempotent under failure re-runs, BOTH sides: the output re-write
+    * overwrites its own `batch=N` partition (the [[curateGateSink]]
+    * discipline), and the index upsert first subtracts doc_ids already in
+    * `<name>_sets` (a literal IN probe pushed into the bucketed scan, the
+    * screen() candidate-read pattern) so a retried trigger appends
+    * nothing twice; screen results are likewise filtered to ids outside
+    * the current batch so a half-published retry cannot match documents
+    * against their own first attempt. Driver-side id lists are bounded by
+    * the trigger size — the same contract as screen's `maxCandidates`.
+    */
+  def minhashGateSink(docs: DataFrame, indexName: String, outDir: String,
+      threshold: Double, textCol: String = "text")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        minhashGateBatch(batch.toDF(), indexName, outDir, id, threshold, textCol)
+    }
+
+  /** One [[minhashGateSink]] trigger — exposed so the retry contract is
+    * directly testable: calling this twice with the same (batch, id) must
+    * leave the output partition AND the index byte-identical to one call.
+    */
+  private[graft] def minhashGateBatch(batch: DataFrame, indexName: String,
+      outDir: String, id: Long, threshold: Double, textCol: String): Unit = {
+    import graft.functions.MinhashIndex
+    val b = batch.persist()
+    try {
+      val spark = b.sparkSession
+      val (numHashes, bands) = MinhashIndex.geometry(spark, indexName)
+      val batchIds = b.select(col("doc_id")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      // (a) near-dup of the pre-batch corpus (retry-published ids of
+      // THIS batch excluded: they are siblings, handled by rule (b))
+      val cross = MinhashIndex
+        .screen(spark, indexName, b, threshold, textCol)
+        .filter(if (batchIds.isEmpty) lit(true)
+          else !col("seen_doc").isin(batchIds: _*))
+        .select(col("batch_doc").as("doc_id"))
+      // (b) near-dup of a lower-id sibling, under the index's geometry
+      val within = Dedup
+        .minhashNearDups(b, threshold, numHashes, bands, textCol)
+        .select(col("doc_b").as("doc_id"))
+      val out = b.join(cross.union(within).distinct(),
+        Seq("doc_id"), "left_anti").persist()
+      try {
+        (if (out.isEmpty) out.repartition(1) else out)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      } finally { out.unpersist(); () }
+      // fold the WHOLE batch in, minus ids a failed attempt already
+      // published (idempotent replay)
+      val present =
+        if (batchIds.isEmpty) Set.empty[Long]
+        else spark.table(s"${indexName}_sets")
+          .filter(col("doc_id").isin(batchIds: _*))
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val novel =
+        if (present.isEmpty) b
+        else b.filter(!col("doc_id").isin(present.toSeq: _*))
+      if (!novel.isEmpty) MinhashIndex.upsert(spark, indexName, novel, textCol)
+    } finally { b.unpersist(); () }
+  }
 }

@@ -310,6 +310,13 @@ class BucketedSpec extends SparkSpec {
 
     val ivfpq = meanRecall(Similarity.ivfPqTopK(emb, qs, k = 10))
     assert(ivfpq >= 0.5, s"IVF+PQ recall@10 at defaults = $ivfpq < 0.5")
+
+    // residual IVFADC on this NEAR-UNIFORM corpus measures 0.44 — below
+    // raw (0.56), as theory predicts without cluster structure (see the
+    // clustered-fixture test for the regime where residual wins); the
+    // floor still gates against accuracy regressions in the residual path
+    val res = meanRecall(Similarity.ivfPqResidualTopK(emb, qs, k = 10))
+    assert(res >= 0.4, s"residual IVFADC recall@10 at defaults = $res < 0.4")
   }
 
   test("pq: ADC code search recovers structured neighbors; deterministic across runs") {
@@ -385,6 +392,48 @@ class BucketedSpec extends SparkSpec {
       row(0).asInstanceOf[Long] % 4 != row(1).asInstanceOf[Long] % 4
     }
     assert(offGroup == 0, s"$offGroup of ${r.size} IVF+PQ neighbors left the query's group")
+  }
+
+  test("ivfadc residual encoding beats raw codes on clustered data at identical bits") {
+    import graft.functions.Similarity
+    // the regime residual encoding exists for: cluster centers and
+    // intra-cluster structure SHARE subspaces, so a raw codebook spends
+    // its ksub codes spanning the center separation and has nothing left
+    // for the fine structure, while the residual codebook — centers
+    // already absorbed by the coarse quantizer — spends every code on the
+    // within-cluster detail that actually decides the top-k ranking.
+    // Measured here (fixed seed, deterministic): residual ≈ 2× raw recall
+    // at the same m/ksub. On near-uniform corpora the ordering flips
+    // (q_sim_recall_ivfpq 0.56 vs _res 0.44 on the real sf0.01
+    // embeddings): with no cluster structure to absorb, subtracting 8
+    // different centroids makes ONE shared codebook cover 8 shifted
+    // distributions — residual is a tool for clustered data, and both
+    // numbers are oracle-certified so the regime choice is measurable.
+    val rnd = new scala.util.Random(41)
+    val corpus = (0 until 320).map { i =>
+      val cl = i % 8
+      val v = Array.fill(16)(rnd.nextDouble() * 0.3)
+      v(cl * 2) += 1.0
+      v((cl * 2 + 9) % 16) += 0.6
+      (i.toLong, v.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val qs = corpus.filter($"vec_id" % 20 === 0)
+    val exact = Similarity.bruteForceTopK(corpus, qs, k = 5).localCheckpoint(true)
+    def meanRecall(a: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(a, exact, k = 5).agg(avg($"recall")).head().getDouble(0)
+    val raw = meanRecall(Similarity.ivfPqTopK(corpus, qs, k = 5,
+      centroids = 8, nprobe = 2, m = 4, ksub = 8, sampleSize = 96, iters = 4))
+    val res = meanRecall(Similarity.ivfPqResidualTopK(corpus, qs, k = 5,
+      centroids = 8, nprobe = 2, m = 4, ksub = 8, sampleSize = 96, iters = 4))
+    assert(res >= raw + 0.05 && res >= 0.25,
+      s"residual recall $res must measurably beat raw $raw on clustered data")
+
+    // determinism across runs (fit, encode, base term, LUT fold)
+    def run() = Similarity.ivfPqResidualTopK(corpus, qs, k = 5,
+      centroids = 8, nprobe = 2, m = 4, ksub = 8, sampleSize = 96, iters = 4)
+      .orderBy("query_id", "rank")
+    assert(run().collect().map(_.toSeq).toSeq ==
+      run().collect().map(_.toSeq).toSeq, "residual IVFADC must be deterministic")
   }
 
   test("recallAtK: per-query hit fraction, zero-hit queries kept") {

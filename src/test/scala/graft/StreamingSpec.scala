@@ -455,6 +455,88 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup gate: stream kept set == batch minhashNearDups keep rule") {
+    import graft.streaming.DocsStream
+    import graft.functions.{Dedup, MinhashIndex}
+    implicit val sqlCtx = spark.sqlContext
+    // pre-seen corpus (ids < every streamed id: arrival order == id order,
+    // so the batch operator's lower-id keep rule models the stream exactly)
+    val seen = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "spark query engines compile plans into distributed stages now"),
+      (12L, "completely unrelated words about cooking pasta dinner tonight ok"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 10
+      (101L, "large language models train on carefully deduplicated text corpora"),
+      (102L, "large language models train on carefully deduplicated web corpora"))
+    val b2 = Seq(
+      (200L, "large language models train on carefully deduplicated text corpora"), // dup of 101
+      (201L, "large language models learn on carefully deduplicated web corpora"),  // near 102
+      (202L, "entirely novel subject matter nothing resembles this sentence anywhere"))
+    val out = java.nio.file.Files.createTempDirectory("graft_mh_gate")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mh_gate_ckpt")
+    MinhashIndex.write(seen, "mh_gate_idx", buckets = 2)
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = DocsStream.minhashGateSink(
+        in.toDF().toDF("doc_id", "text"), "mh_gate_idx", out.toString, 0.5)
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val kept = spark.read.parquet(out.toString)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+
+      // batch analog over the concatenated corpus at the INDEX's geometry:
+      // a streamed doc is dropped iff it appears as doc_b (the higher id)
+      // in any near-dup pair — whether the lower side is seen, an earlier
+      // batch, or a lower-id sibling, and whether or not that lower side
+      // itself survived
+      val all = seen.union(b1.toDF("doc_id", "text")).union(b2.toDF("doc_id", "text"))
+      val dropped = Dedup.minhashNearDups(all, 0.5, numHashes = 64, bands = 32)
+        .filter($"doc_b" >= 100L).select("doc_b").as[Long].collect().toSet
+      val expected = (b1 ++ b2).map(_._1).filterNot(dropped).sorted
+      assert(kept == expected, s"stream kept $kept != batch keep rule $expected")
+      // the hand-checkable anchors: exact dup of the seen corpus dropped,
+      // novel docs kept, cross-batch dup dropped via the upsert
+      assert(!kept.contains(100L) && kept.contains(101L))
+      assert(!kept.contains(200L) && kept.contains(202L))
+    } finally MinhashIndex.drop(spark, "mh_gate_idx")
+  }
+
+  test("streaming near-dup gate: retried micro-batch replays idempotently") {
+    import graft.streaming.DocsStream
+    import graft.functions.MinhashIndex
+    val seen = Seq((10L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"),
+      (101L, "novel words that match nothing stored in the index at all"))
+      .toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft_mh_retry")
+    MinhashIndex.write(seen, "mh_retry_idx", buckets = 2)
+    try {
+      def snapshot() = (
+        spark.table("mh_retry_idx_sets").select("doc_id")
+          .as[Long].collect().sorted.toSeq,
+        spark.table("mh_retry_idx_bands").count(),
+        spark.read.parquet(s"$out/batch=0").select("doc_id")
+          .as[Long].collect().sorted.toSeq)
+      DocsStream.minhashGateBatch(batch, "mh_retry_idx", out.toString, 0L, 0.5, "text")
+      val first = snapshot()
+      // the retry: same batch, same id — a failure re-run must not append
+      // duplicate index rows, re-drop survivors against their own first
+      // attempt, or double the output partition
+      DocsStream.minhashGateBatch(batch, "mh_retry_idx", out.toString, 0L, 0.5, "text")
+      val second = snapshot()
+      assert(first == second, s"retry changed state: $first -> $second")
+      assert(first._3 == Seq(101L)) // dup of seen dropped, novel kept
+      assert(first._1 == Seq(10L, 100L, 101L)) // whole batch folded in, once
+    } finally MinhashIndex.drop(spark, "mh_retry_idx")
+  }
+
   test("streaming and batch compute the same hourly windows") {
     val batch = Seq(
       (ts("2024-01-01 10:05:00"), "view", 10.0),

@@ -20,7 +20,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * Registered: `rolling_hash(str)`, `lang_id(array<string>)`,
   * `simhash64(array<string>)`, `word_ngrams(array<string>[, n])`,
   * `minhash_signature(array<string>[, k])`, `dot_product(arr, arr)`,
-  * `nfc_normalize(str)`, `blocklist_matches(str, array<string>)`.
+  * `nfc_normalize(str)`, `text_dhash(str)`,
+  * `blocklist_matches(str, array<string>)`.
   * The SQL surface evaluates the exact same codegen'd expressions as the
   * Column API — no parallel implementation to drift.
   */
@@ -120,6 +121,9 @@ object GraftExtensions {
     fn("nfc_normalize",
       "nfc_normalize(str) - Unicode canonical composition (NFC)",
       _ == 1, args => NfcNormalizeExpr(args.head)),
+    fn("text_dhash",
+      "text_dhash(str) - 64-bit content dHash (9x8 code-point grid)",
+      _ == 1, args => TextDhashExpr(args.head)),
     fn("blocklist_matches",
       "blocklist_matches(str, array('p1', ...)[, normalized]) - single-pass " +
         "Aho-Corasick screen; returns the patterns present, in pattern-list " +

@@ -384,6 +384,48 @@ object SparkEntry {
         "COALESCE(amt, CAST(0 AS DOUBLE)) AS total_amount " +
         "FROM spine LEFT JOIN agg USING (day) ORDER BY day")),
 
+    // GAP-FILLED daily series: missing days linearly interpolated between
+    // nearest present neighbors, edges filled flat. The corpus is dense
+    // (every January day has events), so gaps are synthesized: days ≡ 3
+    // (mod 7 of day-of-month) are withheld, and the spine extends past
+    // the data on both sides to force the edge fills. One fixed IEEE
+    // tree pv + (nv−pv)·fr, exact-integer day ratios — the oracle
+    // replays it with IGNORE NULLS neighbor windows.
+    Q("q_analytics_daily_interpolated",
+      (s, d) => Analytics.interpolateDaily(
+        Tables.transactions(s, d)
+          .filter(dayofmonth(to_date(col("ts"))) % 7 =!= 3),
+        "2023-12-28", "2024-02-03").orderBy("day"),
+      Some("WITH spine AS (SELECT CAST(unnest(generate_series(" +
+        "DATE '2023-12-28', DATE '2024-02-03', INTERVAL 1 DAY)) AS DATE) AS day), " +
+        "agg AS (SELECT CAST(ts AS DATE) AS day, count(*) AS c, " +
+        s"${dSum("value")} AS amt FROM events " +
+        "WHERE day(CAST(ts AS DATE)) % 7 <> 3 " +
+        "AND CAST(ts AS DATE) BETWEEN DATE '2023-12-28' AND DATE '2024-02-03' " +
+        "GROUP BY 1), " +
+        "j AS (SELECT spine.day, c, amt FROM spine LEFT JOIN agg USING (day)), " +
+        "m AS (SELECT day, c, amt, " +
+        "last_value(CASE WHEN amt IS NOT NULL THEN day END IGNORE NULLS) " +
+        "OVER w_prev AS pd, " +
+        "last_value(CASE WHEN amt IS NOT NULL THEN amt END IGNORE NULLS) " +
+        "OVER w_prev AS pv, " +
+        "first_value(CASE WHEN amt IS NOT NULL THEN day END IGNORE NULLS) " +
+        "OVER w_next AS nd, " +
+        "first_value(CASE WHEN amt IS NOT NULL THEN amt END IGNORE NULLS) " +
+        "OVER w_next AS nv FROM j " +
+        "WINDOW w_prev AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND 1 PRECEDING), " +
+        "w_next AS (ORDER BY day ROWS BETWEEN 1 FOLLOWING " +
+        "AND UNBOUNDED FOLLOWING)) " +
+        "SELECT day, COALESCE(c, 0) AS txn_count, amt AS total_amount_raw, " +
+        "CASE WHEN amt IS NOT NULL THEN amt " +
+        "WHEN pd IS NOT NULL AND nd IS NOT NULL THEN pv + (nv - pv) * " +
+        "(CAST(date_diff('day', pd, day) AS DOUBLE) / " +
+        "CAST(date_diff('day', pd, nd) AS DOUBLE)) " +
+        "WHEN pd IS NOT NULL THEN pv ELSE nv END AS total_amount_filled, " +
+        "amt IS NULL AS interpolated " +
+        "FROM m ORDER BY day")),
+
     // Trailing-28-day anomaly detection on the per-category daily series:
     // RANGE frame over the epoch-day index (calendar gaps widen the
     // lookback, never shrink it), integer-only window statistics
@@ -885,6 +927,36 @@ object SparkEntry {
       "[CAST(unicode(c) AS BIGINT) FOR c IN regexp_extract_all(norm, '.')]), " +
       s"(acc, x) -> (acc * 31 + x) % ${graft.functions.RollingHash.Modulus}) " +
       "AS fingerprint FROM fpn)"
+
+  /** DuckDB replay of [[graft.functions.DHash.computeText]] over the
+    * fingerprint-normalized text: code points % 256 as the brightness
+    * sequence, 72 evenly spaced samples into the 9×8 grid, one bit per
+    * adjacent-column strict `>`, packed as a HUGEINT power-of-two sum
+    * (CTE `dsig(doc_id, s)`; [[dhashSignedSql]] folds `s` to the signed
+    * BIGINT the engine's Long carries). Shared by the signature and
+    * banded-pairs oracles.
+    */
+  private lazy val dhashSigCtes: String = "WITH " + dhashSigCtesBody("documents")
+
+  /** [[dhashSigCtes]] parameterized by the source relation (doc_id, text)
+    * and without the WITH keyword, for composition after prefix CTEs.
+    */
+  private def dhashSigCtesBody(rel: String): String =
+    "dn AS (SELECT doc_id, " +
+      s"lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm FROM $rel), " +
+      "dcp AS (SELECT doc_id, [unicode(c) % 256 FOR c IN " +
+      "regexp_extract_all(norm, '.')] AS cp FROM dn WHERE length(norm) > 0), " +
+      "dg AS (SELECT doc_id, [cp[(j * len(cp)) // 72 + 1] " +
+      "FOR j IN range(0, 72)] AS g FROM dcp), " +
+      "dsig AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+      "[CASE WHEN g[(k // 8) * 9 + (k % 8) + 2] > g[(k // 8) * 9 + (k % 8) + 1] " +
+      "THEN CAST(power(2, k) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END " +
+      "FOR k IN range(0, 64)]), (acc, x) -> acc + x) AS s FROM dg)"
+
+  /** Two's-complement fold of the `dsig.s` HUGEINT word to signed BIGINT. */
+  private val dhashSignedSql: String =
+    "CAST(CASE WHEN s >= CAST(power(2, 63) AS HUGEINT) " +
+      "THEN s - CAST(power(2, 64) AS HUGEINT) ELSE s END AS BIGINT)"
 
   /** DuckDB CTE chain `toks … top2 … dup5`: the Gopher repetition signals
     * (shared by q_text_repetition and the composite filter verdict).
@@ -3117,6 +3189,26 @@ object SparkEntry {
       Some(ivfPqResOracle(dim = 64, sampleSize = 256, centroids = 8,
         m = 8, ksub = 16, iters = 2, nprobe = 4, topk = 10))),
 
+    // The PERSISTED IVFADC index: same fit, same oracle — train+encode
+    // paid at writeIvfPqResIndex time, search reads only the probed
+    // cells' buckets of the m-int codes table (bucket pruning × ADC, the
+    // production ANN access shape). Hash equality against the one-shot
+    // oracle certifies write→read fidelity.
+    Q("q_sim_topk_ivfpq_res_indexed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val name = "graft_ivfadc_idx_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Similarity.writeIvfPqResIndex(emb, name, centroids = 8, m = 8,
+          ksub = 16, sampleSize = 256, iters = 2)
+        try Similarity.ivfPqResSearchIndexed(s, name,
+          emb.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 4)
+          .orderBy("query_id", "rank").localCheckpoint(true)
+        finally Similarity.dropIvfPqResIndex(s, name)
+      },
+      Some(ivfPqResOracle(dim = 64, sampleSize = 256, centroids = 8,
+        m = 8, ksub = 16, iters = 2, nprobe = 4, topk = 10))),
+
     // IVF cell-balance report: per trained cell, member count / id range /
     // corpus share — probe cost IS share summed over probed cells, so a
     // skewed fit silently inflates every search; this query makes that
@@ -3251,7 +3343,51 @@ object SparkEntry {
         "FROM f) " +
         "SELECT doc_id, CAST(slot AS BIGINT) AS slot, " +
         "CAST(floor(slot * duration_frames / 4) AS BIGINT) AS frame_idx " +
-        "FROM s ORDER BY doc_id, slot")))
+        "FROM s ORDER BY doc_id, slot")),
+
+    // Perceptual 64-bit dHash per document — the multimodal dedup
+    // signature. The driver corpus feeds UTF-8 text, so this replays the
+    // deterministic CONTENT arm (normalized code points % 256 sampled
+    // into the 9×8 grid); the PIXEL arm (ImageIO + native PPM decode,
+    // box-mean grid) is pinned by PipelineSpec on real encoded images.
+    // The oracle rebuilds the 64-bit word as a HUGEINT power sum and
+    // folds it to signed BIGINT — bit-exact against the engine's Long.
+    Q("q_multimodal_phash",
+      (s, d) => Multimodal.contentDhash(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(dhashSigCtes +
+        " SELECT doc_id, " + dhashSignedSql + " AS dhash " +
+        "FROM dsig ORDER BY doc_id")),
+
+    // Near-duplicate pairs over those signatures: the SimHash banding
+    // machinery (4×16-bit bands, full-signature Hamming verify) applied
+    // to the perceptual hash — never all-pairs. Fixture: the corpus plus
+    // a RE-CRAWL of itself under shifted ids (the re-ingest dedup
+    // scenario) — every original pairs with its re-crawl at Hamming 0,
+    // while this corpus's distinct documents all sit ≥ 13 bits apart
+    // (measured), so the expected pair set is exactly the copies.
+    Q("q_multimodal_phash_pairs",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val recrawl = docs.select(
+          (col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+        Multimodal.phashNearDups(
+          Multimodal.contentDhash(docs.unionByName(recrawl)), maxHamming = 6)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("WITH d2 AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 10000000 AS doc_id, text FROM documents), " +
+        dhashSigCtesBody("d2") + ", " +
+        "banded AS (SELECT doc_id, s, b AS band, " +
+        "CAST((s // CAST(power(2, 16 * b) AS HUGEINT)) % 65536 AS BIGINT) AS chunk " +
+        "FROM dsig, (SELECT unnest(range(4)) AS b) bb), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.s AS sa, " +
+        "b.doc_id AS doc_b, b.s AS sb " +
+        "FROM banded a JOIN banded b ON a.band = b.band AND a.chunk = b.chunk " +
+        "AND a.doc_id < b.doc_id), " +
+        "ham AS (SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming FROM cand) " +
+        "SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM ham " +
+        "WHERE hamming <= 6 ORDER BY doc_a, doc_b")))
 
   // -------------------------------------------------------------------------
   // General relational capability: aggregation, joins (broadcast), window

@@ -792,9 +792,22 @@ object Dedup {
     * a chunk get a Hamming-distance verify ≤ maxHamming.
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
-      textCol: String = "text"): DataFrame = {
-    val sigs = docs.select(col("doc_id"),
-      SimHash.simhash64(toks(col(textCol))).as("sig"))
+      textCol: String = "text"): DataFrame =
+    bandedHammingPairs(docs.select(col("doc_id"),
+      SimHash.simhash64(toks(col(textCol))).as("sig")), maxHamming)
+
+  /** Banded-Hamming near-dup pairs over ANY 64-bit signature frame
+    * `(doc_id, sig)` — the shared candidate-generation tail of
+    * [[simhashNearDups]] and the perceptual image/content dHash
+    * ([[Multimodal.phashNearDups]]): 4 bands of 16 bits, candidates share
+    * a band chunk (guaranteed recall for Hamming ≤ 3 by pigeonhole; a
+    * radius-`maxHamming` > 3 search keeps the same candidate generator
+    * and verifies the larger radius — banding recall then degrades
+    * gracefully instead of the join exploding), Hamming verify on the
+    * full signature. Arithmetic shift + mask makes the chunks sign-safe.
+    */
+  private[graft] def bandedHammingPairs(sigs: DataFrame,
+      maxHamming: Int): DataFrame = {
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))

@@ -253,6 +253,249 @@ object Multimodal {
           .otherwise(lit(targetH)).as("out_height"))
   }
 
+  // ---- Perceptual image signature (dHash) -----------------------------
+
+  final case class ImageSig(doc_id: Long, width: Long, height: Long, dhash: Long)
+
+  /** PIXEL-level 64-bit dHash per decodable image — the multimodal dedup
+    * signature (the aHash/dHash family: Krawetz, "Kind of Like That").
+    * Decode paths, all pure-JVM (no native codecs):
+    *  - PNG / GIF / JPEG through `javax.imageio.ImageIO` (the JDK ships
+    *    these readers) — REAL pixels, not header fields;
+    *  - binary PPM (P6) / PGM (P5), maxval ≤ 255, via the native parser
+    *    below — the codec-free uncompressed path.
+    * Luma = (299·R + 587·G + 114·B) / 1000 in exact integers (BT.601
+    * weights); the image box-means into the 9×8 [[DHash]] grid with
+    * cross-multiplied exact mean compares, so the SAME pixels produce the
+    * SAME signature through ANY decode path (PipelineSpec pins PNG ≡ PPM
+    * on one pixel matrix). Undecodable rows drop — a perceptual signature
+    * of bytes that aren't an image would be noise.
+    *
+    * Scale shape: partition-preserving mapPartitions (the [[decodeBatch]]
+    * contract — one decoder per partition, iterator in/out, no shuffle);
+    * pair generation downstream is [[phashNearDups]]'s banded join, never
+    * all-pairs.
+    */
+  def imageDhash(media: Dataset[MediaRow]): Dataset[ImageSig] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap(imageSigOne))
+  }
+
+  private[functions] def imageSigOne(r: MediaRow): Option[ImageSig] =
+    grayPixels(r.content).map { case (w, h, g) =>
+      ImageSig(r.doc_id, w.toLong, h.toLong, boxMeanDhash(w, h, g))
+    }
+
+  /** Decode to a row-major luma matrix; None when the bytes aren't a
+    * supported image.
+    */
+  private[functions] def grayPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    if (isPng(b) || isJpeg(b) || isGif(b)) {
+      val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case _: java.io.IOException => null }
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val g = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            g(y * w + x) = luma((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, g))
+      }
+    } else decodePnm(b)
+
+  private def luma(r: Int, gr: Int, bl: Int): Int =
+    (299 * r + 587 * gr + 114 * bl) / 1000
+
+  // ---- PPM (P6) / PGM (P5): "P6" | "P5", whitespace/comment-separated
+  // ASCII width, height, maxval headers, single whitespace, then raw
+  // samples (3 bytes RGB per pixel for P6, 1 gray byte for P5 at
+  // maxval ≤ 255 — 2-byte samples are out of scope and return None).
+
+  private def decodePnm(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b.length < 2 || b(0) != 'P' || (b(1) != '5' && b(1) != '6')) return None
+    val color = b(1) == '6'
+    var i = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < b.length) {
+        val c = b(i)
+        if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') i += 1
+        else go = false
+      }
+    }
+    def int(): Int = {
+      skipWs()
+      var v = 0; var any = false
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10 + (b(i) - '0'); i += 1; any = true
+      }
+      if (any) v else -1
+    }
+    val w = int(); val h = int(); val maxval = int()
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+    i += 1 // the single whitespace byte after maxval
+    val n = w * h
+    val need = if (color) 3 * n else n
+    if (i + need > b.length) return None
+    val g = new Array[Int](n)
+    var p = 0
+    while (p < n) {
+      g(p) =
+        if (color) luma(b(i + 3 * p) & 0xFF, b(i + 3 * p + 1) & 0xFF,
+          b(i + 3 * p + 2) & 0xFF)
+        else b(i + p) & 0xFF
+      p += 1
+    }
+    Some((w, h, g))
+  }
+
+  /** Box-mean the luma matrix into the 9×8 [[DHash]] grid and pack. Cell
+    * (r, c) covers pixel rows [⌊r·h/8⌋, ⌊(r+1)·h/8⌋) × cols
+    * [⌊c·w/9⌋, ⌊(c+1)·w/9⌋); images narrower than the grid clamp each
+    * empty range to one pixel (cells then overlap — deterministic, and
+    * the signature stays defined down to 1×1).
+    */
+  private[functions] def boxMeanDhash(w: Int, h: Int, g: Array[Int]): Long = {
+    val cells = DHash.Rows * DHash.Cols
+    val sums = new Array[Long](cells)
+    val cnts = new Array[Long](cells)
+    var r = 0
+    while (r < DHash.Rows) {
+      val y0 = r * h / DHash.Rows
+      val y1 = math.max(y0 + 1, (r + 1) * h / DHash.Rows)
+      var c = 0
+      while (c < DHash.Cols) {
+        val x0 = c * w / DHash.Cols
+        val x1 = math.max(x0 + 1, (c + 1) * w / DHash.Cols)
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += g(y * w + x); x += 1 }
+          y += 1
+        }
+        sums(r * DHash.Cols + c) = s
+        cnts(r * DHash.Cols + c) = (y1 - y0).toLong * (x1 - x0)
+        c += 1
+      }
+      r += 1
+    }
+    DHash.packGridSums(sums, cnts)
+  }
+
+  final case class AudioSig(doc_id: Long, sample_rate: Long, frames: Long,
+      dhash: Long)
+
+  /** SAMPLE-level 64-bit dHash per decodable WAV — the audio face of
+    * [[imageDhash]]: the PCM amplitude envelope (mean |amplitude| over 72
+    * evenly spaced frame windows) IS the brightness grid, so re-encoded,
+    * re-packaged, or slightly-reprocessed copies of the same recording
+    * land within a few bits and surface through the same
+    * [[phashNearDups]] banded join. Reads REAL samples (16-bit signed or
+    * 8-bit unsigned PCM, any channel count — channels fold into each
+    * window's sum), not just the fmt header; windows compare by exact
+    * cross-multiplied means ([[DHash.packGridSums]]). Non-WAV/non-PCM
+    * rows drop.
+    */
+  def audioDhash(media: Dataset[MediaRow]): Dataset[AudioSig] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap(audioSigOne))
+  }
+
+  private[functions] def audioSigOne(r: MediaRow): Option[AudioSig] = {
+    val b = r.content
+    if (!isWav(b)) return None
+    // chunk walk as in decodeWav, but keeping the data OFFSET for the
+    // sample read
+    var fmt, channels, bits, blockAlign = -1L
+    var sampleRate = -1L
+    var dataOff = -1; var dataSize = -1L
+    var i = 12
+    while (i + 8 <= b.length && (channels < 0 || dataSize < 0)) {
+      val size = le32(b, i + 4)
+      if (size < 0 || size > b.length - i - 8) return None
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
+          && size >= 16 && i + 24 <= b.length) {
+        fmt = le16(b, i + 8)
+        channels = le16(b, i + 10)
+        sampleRate = le32(b, i + 12)
+        blockAlign = le16(b, i + 20)
+        bits = le16(b, i + 22)
+      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+        dataOff = i + 8; dataSize = size
+      }
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (fmt != 1L || channels <= 0 || blockAlign <= 0 || dataSize <= 0 ||
+      (bits != 8L && bits != 16L)) return None
+    val frames = (dataSize / blockAlign).toInt
+    if (frames <= 0) return None
+    val bytesPerSample = (bits / 8).toInt
+    val nch = channels.toInt
+    val cells = DHash.Rows * DHash.Cols
+    val sums = new Array[Long](cells)
+    val cnts = new Array[Long](cells)
+    var w = 0
+    while (w < cells) {
+      val f0 = (w.toLong * frames / cells).toInt
+      val f1 = math.max(f0 + 1, ((w + 1).toLong * frames / cells).toInt)
+      var s = 0L
+      var f = f0
+      while (f < f1) {
+        var ch = 0
+        while (ch < nch) {
+          val off = dataOff + f * blockAlign.toInt + ch * bytesPerSample
+          val amp =
+            if (bits == 16L) {
+              val v = ((b(off) & 0xFF) | (b(off + 1) << 8)).toShort.toInt
+              math.abs(v.toLong)
+            } else math.abs((b(off) & 0xFF) - 128L)
+          s += amp
+          ch += 1
+        }
+        f += 1
+      }
+      sums(w) = s
+      cnts(w) = (f1 - f0).toLong * nch
+      w += 1
+    }
+    Some(AudioSig(r.doc_id, sampleRate, frames.toLong,
+      DHash.packGridSums(sums, cnts)))
+  }
+
+  /** CONTENT dHash — the deterministic fallback signature for blobs this
+    * container can't decode (the driver corpus feeds UTF-8 text): the
+    * fingerprint-normalized text's code points become the brightness
+    * sequence ([[DHash.computeText]]). Same signature space and same
+    * banded-Hamming downstream as the pixel path, and fully replayable in
+    * the DuckDB oracle (q_multimodal_phash). Empty/NULL-normalized rows
+    * drop — a signature must describe content.
+    */
+  def contentDhash(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      TextAnalysis.normalizedText(col(textCol)).as("norm"))
+      .filter(length(col("norm")) > 0)
+      .select(col("doc_id"), DHash.textDhash(col("norm")).as("dhash"))
+
+  /** Near-duplicate pairs over any dHash frame `(doc_id, dhash)` — the
+    * [[Dedup.bandedHammingPairs]] machinery (4×16-bit bands, Hamming
+    * verify): never all-pairs, same 100 TB shape as SimHash dedup.
+    */
+  def phashNearDups(sigs: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.bandedHammingPairs(
+      sigs.select(col("doc_id"), col("dhash").as("sig")), maxHamming)
+
   /** FRAME-SAMPLE schedule for video rows: `k` evenly spaced frame indexes
     * per video (slot j → frame ⌊j·frames/k⌋). Slots are kept explicit —
     * short videos repeat frames rather than shrinking the tensor, which is

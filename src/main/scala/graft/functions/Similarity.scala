@@ -925,6 +925,123 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Materialize a TRUE-IVFADC index ([[ivfPqResidualTopK]]'s fit, paid
+    * once): `<name>_centroids` (the coarse quantizer, KBs),
+    * `<name>_codebooks` (the RESIDUAL sub-codebooks, KBs), and
+    * `<name>_codes` (bucket, vec_id, codes) — the encoded corpus BUCKETED
+    * BY CELL, so an indexed search reads only its probed cells' buckets
+    * of an m-int-per-vector table: the production ANN access shape where
+    * both the IO fraction (nprobe/centroids) and the bytes-per-row
+    * (codes, not floats) drop at once. The residual coupling (every code
+    * is relative to its cell's centroid) lives entirely inside the index:
+    * a rebuild re-trains and re-encodes together, so readers can never
+    * mix generations. Publish order: centroids, codebooks, codes — any
+    * failure drops all three (the [[writeAnnIndex]] torn-build
+    * discipline).
+    */
+  def writeIvfPqResIndex(corpus: DataFrame, name: String, centroids: Int = 8,
+      m: Int = 16, ksub: Int = 32, sampleSize: Int = 256, iters: Int = 2,
+      buckets: Int = 8): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    val spark = corpus.sparkSession
+    dropIvfPqResIndex(spark, name)
+    val c = normalized(corpus)
+    val cents = trainCentroids(c, centroids, sampleSize, iters)
+    val books = trainPqResidualCodebooks(c, cents, m, ksub, sampleSize, iters)
+    try {
+      import spark.implicits._
+      cents.zipWithIndex
+        .map { case (cv, cid) => (cid, cv.toSeq) }.toSeq
+        .toDF("cid", "cv")
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_centroids")
+      books.zipWithIndex.flatMap { case (cb, mm) =>
+        cb.zipWithIndex.map { case (cv, code) => (mm, code, cv.toSeq) }
+      }.toSeq.toDF("m", "code", "cv")
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_codebooks")
+      val centsLit = typedLit(cents.map(_.toIndexedSeq).toIndexedSeq)
+      graft.sources.Tables.writeBucketed(
+        assignToCentroids(c, cents)
+          .withColumn("rv", zip_with(col("v"),
+            element_at(centsLit, col("cluster") + 1), (x, cc) => x - cc))
+          .select(col("cluster").as("bucket"), col("vec_id"),
+            pqCodes(books, col("rv")).as("codes")),
+        s"${name}_codes", "bucket", buckets)
+    } catch {
+      case e: Throwable => dropIvfPqResIndex(spark, name); throw e
+    }
+  }
+
+  def dropIvfPqResIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit =
+    graft.sources.Tables.dropManagedTables(spark,
+      Seq(s"${name}_centroids", s"${name}_codebooks", s"${name}_codes"))
+
+  /** Search a [[writeIvfPqResIndex]] index — same answers as
+    * [[ivfPqResidualTopK]] at the same fit parameters (the oracle and
+    * BucketedSpec both pin the equality), but train+encode were paid at
+    * build time: centroids and codebooks load driver-side (KBs), probe
+    * selection computes the per-(query, cell) base terms and the ADC
+    * LUTs with the same fold arithmetic, and the scan reads ONLY the
+    * probed cells' buckets of the codes table (a literal bucket-IN
+    * predicate → bucket pruning, the [[annSearchIndexed]] shape).
+    */
+  def ivfPqResSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+      name: String, queries: DataFrame, k: Int, nprobe: Int = 4,
+      maxQueries: Int = 65536): DataFrame = {
+    graft.sources.Tables.requireIdent(name)
+    val cents = spark.table(s"${name}_centroids").orderBy("cid").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("cv").toArray)
+    require(cents.nonEmpty, s"IVFADC index $name has no centroids")
+    val cbRows = spark.table(s"${name}_codebooks").orderBy("m", "code").collect()
+    require(cbRows.nonEmpty, s"IVFADC index $name has no codebooks")
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val ksub = cbRows.map(_.getInt(1)).max + 1
+    val books = Array.tabulate(m, ksub) { (mm, code) =>
+      cbRows(mm * ksub + code).getAs[scala.collection.Seq[Double]]("cv").toArray
+    }
+    val subDim = books(0)(0).length
+
+    val rawQ = asDouble(queries).limit(maxQueries + 1).collect()
+    require(rawQ.length <= maxQueries,
+      s"query set exceeds maxQueries=$maxQueries; batch it or raise the cap")
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val probeRows = rawQ.toSeq.flatMap { r =>
+      val id = r.getLong(0)
+      val v = r.getAs[scala.collection.Seq[Double]]("v").toArray
+      val nrm = math.sqrt(dotD(v, v))
+      if (nrm > 0) {
+        val qv = v.map(_ / nrm)
+        val lut = Array.tabulate(m * ksub) { i =>
+          dotD(qv.slice((i / ksub) * subDim, (i / ksub + 1) * subDim),
+            books(i / ksub)(i % ksub))
+        }.toSeq
+        cents.zipWithIndex
+          .map { case (cv, cid) => (dotD(qv, cv), cid) }
+          .sortBy { case (s, cid) => (-s, cid) }
+          .take(nprobe)
+          .map { case (base, cid) => (id, cid, lut, base) }
+      } else Nil
+    }
+    import spark.implicits._
+    val probes = probeRows.toDF("query_id", "bucket", "lut", "base")
+    val cells = probeRows.map(_._2).distinct.sorted
+    val enc = spark.table(s"${name}_codes")
+      .filter(col("bucket").isin(cells.map(Integer.valueOf): _*))
+    val scored = enc.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("base") + aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (code, mm) => element_at(col("lut"),
+              (mm * ksub + code + 1).cast("int"))),
+          lit(0.0), (acc, x) => acc + x)).as("score"))
+    topKPerQuery(scored, k)
+  }
+
   /** IVF cell-balance report — the operational health metric of a trained
     * index: per cell, member count, id range, and corpus share. Probe cost
     * is `share` summed over probed cells, so a skewed fit (one cell

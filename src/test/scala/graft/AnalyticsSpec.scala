@@ -35,6 +35,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("txn_count")).sum == 5L)
   }
 
+  test("interpolateDaily: gaps interpolate linearly, edges fill flat, empty input stays NULL") {
+    // data on Jan 2 (150) and Jan 5 (210): Jan 1 back-fills, Jan 3/4
+    // interpolate at 1/3 and 2/3 of the gap, Jan 6-7 forward-fill
+    val sparse = tx(
+      (1L, 100.0, "2024-01-02 10:00:00", "Dining", 1),
+      (1L, 50.0, "2024-01-02 11:00:00", "Dining", 2),
+      (2L, 210.0, "2024-01-05 12:00:00", "Travel", 2))
+    val out = Analytics.interpolateDaily(sparse, "2024-01-01", "2024-01-07")
+      .orderBy("day").collect()
+    assert(out.length == 7)
+    def filled(i: Int) = out(i).getAs[Double]("total_amount_filled")
+    assert(filled(0) == 150.0, "leading edge back-fills the first value")
+    assert(filled(1) == 150.0 && !out(1).getAs[Boolean]("interpolated"))
+    assert(filled(2) == 150.0 + 60.0 * (1.0 / 3.0), "1/3 of the gap")
+    assert(filled(3) == 150.0 + 60.0 * (2.0 / 3.0), "2/3 of the gap")
+    assert(filled(4) == 210.0)
+    assert(filled(5) == 210.0 && filled(6) == 210.0, "trailing edge forward-fills")
+    assert(out(2).getAs[Boolean]("interpolated") &&
+      out(2).getAs[Long]("txn_count") == 0L &&
+      out(2).isNullAt(out(2).fieldIndex("total_amount_raw")))
+
+    // an all-empty spine has no neighbor on either side: every fill is
+    // NULL (never a fabricated number), every day marked interpolated
+    val empty = Analytics.interpolateDaily(
+      sparse.filter(lit(false)), "2024-01-01", "2024-01-03")
+      .orderBy("day").collect()
+    assert(empty.length == 3)
+    assert(empty.forall(r => r.isNullAt(r.fieldIndex("total_amount_filled"))
+      && r.getAs[Boolean]("interpolated") && r.getAs[Long]("txn_count") == 0L))
+  }
+
   test("summary + top categories (A5/T1)") {
     val s = Analytics.summary(fixture).collect().head
     assert(s.getAs[Long]("total_transactions") == 5L)

@@ -394,6 +394,37 @@ class BucketedSpec extends SparkSpec {
     assert(offGroup == 0, s"$offGroup of ${r.size} IVF+PQ neighbors left the query's group")
   }
 
+  test("ivfadc index: persisted residual search ≡ the retrain path; probed-cell pruning") {
+    import graft.functions.Similarity
+    val rnd = new scala.util.Random(29)
+    val corpus = (0 until 48).map { i =>
+      val base = Array.fill(8)(0.05 + rnd.nextDouble() * 0.1)
+      base(i % 4) = 1.0 + rnd.nextDouble()
+      (i.toLong, base.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 12 === 0)
+    Similarity.writeIvfPqResIndex(corpus, "ivfadc_test_idx",
+      centroids = 4, m = 4, ksub = 8, sampleSize = 32, iters = 2, buckets = 4)
+    try {
+      val indexed = Similarity.ivfPqResSearchIndexed(spark, "ivfadc_test_idx",
+        queries, k = 5, nprobe = 2).orderBy("query_id", "rank")
+      val retrained = Similarity.ivfPqResidualTopK(corpus, queries, k = 5,
+        centroids = 4, nprobe = 2, m = 4, ksub = 8, sampleSize = 32, iters = 2)
+        .orderBy("query_id", "rank")
+      val a = indexed.collect().map(_.toSeq).toSeq
+      val b = retrained.collect().map(_.toSeq).toSeq
+      assert(a.nonEmpty && a == b, s"indexed $a != retrained $b")
+
+      // the codes read must prune to the probed cells' buckets
+      val plan = indexed.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      val m = sel.findFirstMatchIn(plan)
+      assert(m.nonEmpty, s"codes scan must be bucket-pruned:\n$plan")
+      assert(m.get.group(1).toInt < m.get.group(2).toInt,
+        s"pruning must select a strict subset of buckets: ${m.get.matched}")
+    } finally Similarity.dropIvfPqResIndex(spark, "ivfadc_test_idx")
+  }
+
   test("ivfadc residual encoding beats raw codes on clustered data at identical bits") {
     import graft.functions.Similarity
     // the regime residual encoding exists for: cluster centers and

@@ -22,7 +22,8 @@ class GraftExtensionsSpec extends SparkSpec {
         |       size(word_ngrams(toks, 2)) AS ng2,
         |       size(minhash_signature(word_ngrams(toks), 16)) AS mh,
         |       dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
-        |       nfc_normalize('café') AS nfc
+        |       nfc_normalize('café') AS nfc,
+        |       text_dhash(text) AS dh
         |FROM ext_docs""".stripMargin).collect().head
 
     assert(row.getAs[Long]("rh") ==
@@ -33,6 +34,8 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getAs[Int]("mh") == 16)
     assert(row.getAs[Double]("dp") == 11.0)
     assert(row.getAs[String]("nfc") == "café")
+    assert(row.getAs[Long]("dh") ==
+      graft.functions.DHash.computeText(UTF8String.fromString("hello world")))
   }
 
   test("blocklist SQL surface enforces the Column-surface pattern contract") {

@@ -490,6 +490,135 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("multimodal dhash: pixel signature is codec-independent and finds near-identical images") {
+    // one deterministic 18×16 pixel matrix, pushed through TWO codecs —
+    // the signature must depend on the PIXELS, not the container
+    val w = 18; val h = 16
+    def red(x: Int, y: Int) = (x * 14 + y * 3) % 256
+    def green(x: Int, y: Int) = (x * 5 + y * 11) % 256
+    def blue(x: Int, y: Int) = (x * 2 + y * 7) % 256
+    def pngOf(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (f(x, y) << 16) | (green(x, y) << 8) | blue(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val png = pngOf(red)
+    // same pixels as raw binary PPM (P6)
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val body = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      body(3 * (y * w + x)) = red(x, y).toByte
+      body(3 * (y * w + x) + 1) = green(x, y).toByte
+      body(3 * (y * w + x) + 2) = blue(x, y).toByte
+    }
+    val ppm = header ++ body
+    // near-identical: ONE pixel's red channel nudged by 4
+    val near = pngOf((x, y) => if (x == 7 && y == 5) (red(x, y) + 4) % 256 else red(x, y))
+    // structurally different: red gradient reversed
+    val far = pngOf((x, y) => red(w - 1 - x, h - 1 - y))
+
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "image", png),
+      Multimodal.MediaRow(2L, "image", ppm),
+      Multimodal.MediaRow(3L, "image", near),
+      Multimodal.MediaRow(4L, "image", far),
+      Multimodal.MediaRow(5L, "image", "not an image".getBytes)).toDS()
+    val sigs = Multimodal.imageDhash(ds).collect().map(s => s.doc_id -> s).toMap
+
+    assert(sigs.keySet == Set(1L, 2L, 3L, 4L), "undecodable bytes must drop")
+    assert(sigs(1L).width == w && sigs(1L).height == h)
+    assert(sigs(1L).dhash == sigs(2L).dhash,
+      "PNG and PPM of the same pixels must sign identically")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L).dhash, sigs(3L).dhash) <= 2,
+      s"one nudged pixel moved ${ham(sigs(1L).dhash, sigs(3L).dhash)} bits")
+    assert(ham(sigs(1L).dhash, sigs(4L).dhash) >= 16,
+      s"reversed gradient only ${ham(sigs(1L).dhash, sigs(4L).dhash)} bits away")
+
+    // pair machinery end-to-end: the codec twins and the nudged copy
+    // surface; the reversed image does not
+    val pairs = Multimodal.phashNearDups(
+      Multimodal.imageDhash(ds).toDF()
+        .select($"doc_id", $"dhash"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("multimodal dhash: PGM gray geometry is exact (grid-sized ramps pack all/no bits)") {
+    // a 9×8 P5 image IS the dHash grid (one pixel per cell): strictly
+    // increasing rows set every bit (-1L), strictly decreasing rows none
+    def pgm(f: (Int, Int) => Int): Array[Byte] = {
+      val header = "P5\n9 8\n255\n".getBytes("US-ASCII")
+      val body = Array.tabulate(72)(i => f(i % 9, i / 9).toByte)
+      header ++ body
+    }
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "image", pgm((x, _) => x * 10)),
+      Multimodal.MediaRow(2L, "image", pgm((x, _) => 80 - x * 10)),
+      // comment + multi-digit whitespace handling in the header parser
+      Multimodal.MediaRow(3L, "image",
+        "P5 # gray ramp\n9\t8\n255\n".getBytes("US-ASCII") ++
+          Array.tabulate(72)(i => ((i % 9) * 10).toByte))).toDS()
+    val sigs = Multimodal.imageDhash(ds).collect().map(s => s.doc_id -> s.dhash).toMap
+    assert(sigs(1L) == -1L, f"ascending ramp must set all 64 bits, got ${sigs(1L)}%x")
+    assert(sigs(2L) == 0L, f"descending ramp must set none, got ${sigs(2L)}%x")
+    assert(sigs(3L) == -1L, "header comments/whitespace must parse")
+  }
+
+  test("multimodal dhash: WAV amplitude envelope signs real PCM samples") {
+    def wav16(samples: Array[Short], channels: Int = 1,
+        rate: Int = 8000): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(channels.toShort)
+        .putInt(rate).putInt(rate * channels * 2)
+        .putShort((channels * 2).toShort).putShort(16)
+      buf.put("data".getBytes).putInt(dataLen)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+    // 72 mono frames = one frame per dHash window: a rising |amplitude|
+    // ramp sets every bit, silence none — the exact geometry pin
+    val ramp = wav16(Array.tabulate[Short](72)(j => (j * 10).toShort))
+    val flat = wav16(Array.fill[Short](72)(100))
+    // near-identical: one sample nudged — a near-dup, not a twin
+    val near = wav16(Array.tabulate[Short](72)(j =>
+      if (j == 30) 302.toShort else (j * 10).toShort))
+    // non-PCM (IEEE float fmt tag) must drop
+    val floatWav = {
+      val b = wav16(Array.tabulate[Short](72)(j => (j * 10).toShort))
+      b(20) = 3; b // fmt tag 1 → 3
+    }
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "audio", ramp),
+      Multimodal.MediaRow(2L, "audio", flat),
+      Multimodal.MediaRow(3L, "audio", near),
+      Multimodal.MediaRow(4L, "audio", floatWav),
+      Multimodal.MediaRow(5L, "audio", "not audio".getBytes)).toDS()
+    val sigs = Multimodal.audioDhash(ds).collect().map(s => s.doc_id -> s).toMap
+    assert(sigs.keySet == Set(1L, 2L, 3L), "non-PCM and non-WAV must drop")
+    assert(sigs(1L).frames == 72L && sigs(1L).sample_rate == 8000L)
+    assert(sigs(1L).dhash == -1L, f"rising ramp must set all bits, got ${sigs(1L).dhash}%x")
+    assert(sigs(2L).dhash == 0L, "constant amplitude must set none")
+    val ham = java.lang.Long.bitCount(sigs(1L).dhash ^ sigs(3L).dhash)
+    assert(ham <= 2, s"one nudged sample moved $ham bits")
+
+    // stereo folds channels into the window mean: duplicating the mono
+    // ramp into both channels must sign identically to the mono ramp
+    val stereo = wav16(Array.tabulate[Short](144)(j => ((j / 2) * 10).toShort),
+      channels = 2)
+    val s2 = Multimodal.audioDhash(Seq(Multimodal.MediaRow(6L, "audio", stereo))
+      .toDS()).collect().head
+    assert(s2.dhash == sigs(1L).dhash && s2.frames == 72L)
+  }
+
   test("multimodal: real PNG IHDR and WAV fmt headers parse to true metadata") {
     // a REAL png: ImageIO-encoded 3×2 ARGB (color type 6 ⇒ 4 channels)
     val img = new java.awt.image.BufferedImage(
@@ -943,6 +1072,25 @@ class PipelineSpec extends SparkSpec {
     val r5 = out.find(_.getLong(0) == 5L).get
     assert(!r5.getAs[Boolean]("suppressed") && r5.getAs[Long]("class_size") == 3L,
       "null-safe grouping/join must count the NULL class like any other")
+  }
+
+  test("l-diversity: homogeneous classes flagged; NULL sensitive counts as its own value") {
+    val rows = Seq(
+      (1L, "a", "flu"), (2L, "a", "flu"), (3L, "a", "flu"),   // uniform → l=1
+      (4L, "b", "flu"), (5L, "b", "cold"),                    // 2 values
+      (6L, "c", null.asInstanceOf[String]),                   // all-NULL → 1 value
+      (7L, "c", null.asInstanceOf[String]),
+      (8L, "d", "flu"), (9L, "d", null.asInstanceOf[String])) // mixed: flu + NULL = 2
+      .toDF("id", "region", "diagnosis")
+    val out = DataQuality.lDiversity(rows, Seq("region"), col("diagnosis"), l = 2)
+      .orderBy("region").collect()
+      .map(r => (r.getAs[String]("region"), r.getAs[Long]("class_size"),
+        r.getAs[Long]("n_sensitive"), r.getAs[Boolean]("l_diverse")))
+    assert(out.toSeq == Seq(
+      ("a", 3L, 1L, false),  // k-large yet homogeneous — the attack k-anonymity misses
+      ("b", 2L, 2L, true),
+      ("c", 2L, 1L, false),  // all-NULL must read 1 value, not 0
+      ("d", 2L, 2L, true)))  // NULL adds one value next to 'flu'
   }
 
   test("chunk windows: overlapping stride slices, ragged tail, null docs emit nothing") {

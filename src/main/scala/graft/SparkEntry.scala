@@ -3289,6 +3289,24 @@ object SparkEntry {
       Some(semanticDedupOracle(dim = 64, sampleSize = 256, centroids = 8,
         iters = 2, threshold = 0.35))),
 
+    // SemDeDup answered from the PERSISTED ANN index: the k-means fit +
+    // corpus assignment (the expensive half at 100 TB) is exactly what
+    // writeAnnIndex stores, so the dedup pass reads it instead of
+    // re-fitting — search and dedup share one index artifact. Same
+    // oracle as q_dedup_semantic = write→read fidelity.
+    Q("q_dedup_semantic_indexed",
+      (s, d) => {
+        val name = "graft_sem_idx_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Similarity.writeAnnIndex(Tables.embeddings(s, d), name,
+          centroids = 8, sampleSize = 256, iters = 2)
+        try Dedup.semanticDedupIndexed(s, name, threshold = 0.35)
+          .orderBy("vec_id").localCheckpoint(true)
+        finally Similarity.dropAnnIndex(s, name)
+      },
+      Some(semanticDedupOracle(dim = 64, sampleSize = 256, centroids = 8,
+        iters = 2, threshold = 0.35))),
+
     Q("q_multimodal_features",
       (s, d) => Multimodal.extractFeatures(
         Multimodal.mediaFromDocuments(Tables.documents(s, d)))

@@ -806,6 +806,30 @@ object Dedup {
     * gracefully instead of the join exploding), Hamming verify on the
     * full signature. Arithmetic shift + mask makes the chunks sign-safe.
     */
+  /** Cross-corpus variant of [[bandedHammingPairs]]: near-dup pairs of a
+    * BATCH signature frame against a SEEN one — the incremental-screen
+    * shape. The batch side (a trigger's worth) explodes into its 4 band
+    * chunks and BROADCASTS; the seen side streams ONE scan of 16-byte
+    * rows with a map-side join — no seen-side shuffle, no re-banding
+    * materialized. Output (batch_doc, seen_doc, hamming).
+    */
+  private[graft] def bandedHammingPairsAgainst(batchSigs: DataFrame,
+      seenSigs: DataFrame, maxHamming: Int): DataFrame = {
+    def banded(df: DataFrame, idOut: String, sigOut: String): DataFrame =
+      df.select(col("doc_id").as(idOut), col("sig").as(sigOut),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band", "chunk")))
+    banded(seenSigs, "seen_doc", "sig_s")
+      .join(broadcast(banded(batchSigs, "batch_doc", "sig_b")),
+        Seq("band", "chunk"))
+      .select(col("batch_doc"), col("seen_doc"), col("sig_b"), col("sig_s"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_b").bitwiseXOR(col("sig_s"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("batch_doc", "seen_doc", "hamming")
+  }
+
   private[graft] def bandedHammingPairs(sigs: DataFrame,
       maxHamming: Int): DataFrame = {
     val banded = sigs.select(col("doc_id"), col("sig"),
@@ -865,6 +889,35 @@ object Dedup {
     // on a real cluster (see [[graft.Materializer]]).
     val materialize = new graft.Materializer(checkpointDir)
     val assigned = materialize(Similarity.assignToCentroids(nv, cents))
+    val a = assigned.as("a"); val b = assigned.as("b")
+    val maxLower = a.join(b,
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(max(Similarity.dot(col("a.v"), col("b.v"))).as("max_lower_sim"))
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(maxLower, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("max_lower_sim"),
+        (col("max_lower_sim").isNull || col("max_lower_sim") < threshold).as("keep"))
+  }
+
+  /** [[semanticDedup]] over a PERSISTED
+    * [[graft.functions.Similarity.writeAnnIndex]] index — at 100 TB the
+    * k-means fit + corpus assignment is the expensive half of SemDeDup,
+    * and it is EXACTLY what the ANN index already stores (same
+    * [[graft.functions.Similarity.trainCentroids]] fit, same assignment
+    * rule): a dedup pass should read it, not re-fit per call. The
+    * within-cluster pair scan + verdict run verbatim over the stored
+    * `(bucket, vec_id, v)` rows; no [[graft.Materializer]] is needed
+    * because the table read IS reliable materialized storage (the lineage
+    * concern [[semanticDedup]] documents disappears). Same answer frame,
+    * same oracle (q_dedup_semantic_indexed shares q_dedup_semantic's =
+    * write→read fidelity), and dedup/search now share one index artifact.
+    */
+  def semanticDedupIndexed(spark: org.apache.spark.sql.SparkSession,
+      name: String, threshold: Double): DataFrame = {
+    graft.sources.Tables.requireIdent(name)
+    val assigned = spark.table(s"${name}_assignments")
+      .select(col("vec_id"), col("bucket").as("cluster"), col("v"))
     val a = assigned.as("a"); val b = assigned.as("b")
     val maxLower = a.join(b,
         col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))

@@ -163,15 +163,6 @@ object MinhashIndex {
   }
 
   private def appendBucketed(spark: SparkSession, table: String,
-      df: DataFrame): Unit = {
-    val spec = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .bucketSpec
-      .getOrElse(throw new IllegalStateException(
-        s"minhash index table $table has no bucket spec"))
-    df.write.mode("append").format("parquet")
-      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head)
-      .sortBy(spec.sortColumnNames.head)
-      .saveAsTable(table)
-  }
+      df: DataFrame): Unit =
+    graft.sources.Tables.appendBucketed(spark, table, df)
 }

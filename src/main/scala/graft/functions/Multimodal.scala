@@ -496,6 +496,43 @@ object Multimodal {
     Dedup.bandedHammingPairs(
       sigs.select(col("doc_id"), col("dhash").as("sig")), maxHamming)
 
+  /** Persist the SEEN corpus's image signatures — the 16-byte-per-image
+    * artifact every later batch screens against ([[phashScreen]], the
+    * streaming gate): sign once at build time, never re-decode. Bucketed
+    * + sorted by doc_id so the gate's idempotency probe (literal id IN)
+    * is a pruned point read.
+    */
+  def writePhashTable(media: Dataset[MediaRow], name: String,
+      buckets: Int = 8): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    val spark = media.sparkSession
+    dropPhashTable(spark, name)
+    try graft.sources.Tables.writeBucketed(
+      imageDhash(media).toDF().select(col("doc_id"), col("dhash")),
+      name, "doc_id", buckets)
+    catch { case e: Throwable => dropPhashTable(spark, name); throw e }
+  }
+
+  def dropPhashTable(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit =
+    graft.sources.Tables.dropManagedTables(spark, Seq(name))
+
+  /** Screen a batch of images against a [[writePhashTable]] corpus:
+    * (batch_doc, seen_doc, hamming) pairs within `maxHamming` bits. The
+    * batch is decoded and signed once (O(batch)); its band keys broadcast
+    * against ONE scan of the stored 16-byte signature rows
+    * ([[Dedup.bandedHammingPairsAgainst]]) — the seen corpus is never
+    * re-decoded or shuffled.
+    */
+  def phashScreen(spark: org.apache.spark.sql.SparkSession, name: String,
+      batch: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    graft.sources.Tables.requireIdent(name)
+    Dedup.bandedHammingPairsAgainst(
+      imageDhash(batch).toDF().select(col("doc_id"), col("dhash").as("sig")),
+      spark.table(name).select(col("doc_id"), col("dhash").as("sig")),
+      maxHamming)
+  }
+
   /** FRAME-SAMPLE schedule for video rows: `k` evenly spaced frame indexes
     * per video (slot j → frame ⌊j·frames/k⌋). Slots are kept explicit —
     * short videos repeat frames rather than shrinking the tensor, which is

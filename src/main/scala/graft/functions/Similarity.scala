@@ -1113,6 +1113,15 @@ object Similarity {
         (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
       .drop("scores")
 
+  /** Normalize an embedding frame and assign it under LITERAL centroids —
+    * the frozen-quantizer batch projection shared by index upsert and the
+    * streaming semantic gate: (vec_id, v normalized, cluster), no join,
+    * no shuffle.
+    */
+  private[graft] def assignBatch(batch: DataFrame,
+      cents: Array[Array[Double]]): DataFrame =
+    assignToCentroids(normalized(batch), cents)
+
   /** Spherical k-means on a `sampleSize`-vector [[sampleHashSql]] id-mix
     * sample of the normalized corpus. Deterministic by construction — no
     * RNG, fixed iteration count, fold-left arithmetic in pinned orders

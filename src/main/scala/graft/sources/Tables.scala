@@ -212,6 +212,25 @@ object Tables {
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 
+  /** Append under a [[writeBucketed]] table's OWN bucket spec (read from
+    * the catalog, never from call-site parameters — a mismatched append
+    * would silently break bucket pruning on the grown table). The
+    * incremental-maintenance primitive shared by the MinHash index and
+    * the image-signature gate.
+    */
+  private[graft] def appendBucketed(spark: SparkSession, table: String,
+      df: DataFrame): Unit = {
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec
+      .getOrElse(throw new IllegalStateException(
+        s"table $table has no bucket spec"))
+    df.write.mode("append").format("parquet")
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head)
+      .sortBy(spec.sortColumnNames.head)
+      .saveAsTable(table)
+  }
+
   /** An index/table name lands in SQL statements and a recursive filesystem
     * delete — identifier-only, enforced symmetrically on the write, read,
     * and drop halves of every index API (BM25, ANN).

@@ -537,6 +537,204 @@ class StreamingSpec extends SparkSpec {
     } finally MinhashIndex.drop(spark, "mh_retry_idx")
   }
 
+  test("streaming semantic gate: stream kept set == batch semanticDedup keep rule") {
+    import graft.streaming.EmbedStream
+    import graft.functions.{Dedup, Similarity}
+    implicit val sqlCtx = spark.sqlContext
+    // 4 well-separated regions with in-region spread: random same-region
+    // pairs sit ≈0.9 cosine, deliberate near-dups ≈0.999 — threshold 0.98
+    // separates them. Regions are tight enough that the seen-corpus fit
+    // and the union fit partition identically (what makes stream ≡ batch
+    // well-defined under the frozen quantizer), and seen ids < batch ids
+    // so arrival order is id order.
+    val rnd = new scala.util.Random(31)
+    def vec(region: Int, jitter: Double): Seq[Float] = {
+      val v = Array.fill(8)((rnd.nextDouble() - 0.5) * jitter)
+      v(region * 2) += 1.0
+      v.map(_.toFloat).toSeq
+    }
+    val seen = (0 until 20).map(i => (i.toLong, vec(i % 4, 0.6))).toDF("vec_id", "embedding")
+    val seen0 = seen.collect().find(_.getLong(0) == 0L).get
+      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    // ADDITIVE nudges (a scalar copy keeps the exact direction; adding δ
+    // on one coordinate bends it — cos(v, v+δe) ≈ 0.99, cos(v, v+2δe)
+    // ≈ 0.96, which is what makes the A≈B≈C, A≉C chain constructible)
+    def plus(v: Seq[Float], j: Int, d: Float): Seq[Float] = v.updated(j, v(j) + d)
+    val v21 = vec(1, 0.6)
+    val batch1 = Seq(
+      (20L, seen0.map(x => x * 1.0001f)), // exact direction of seen 0 → dropped
+      (21L, v21),                         // fresh direction in region 1 → kept
+      (22L, vec(2, 0.6)),                 // fresh in region 2 → kept
+      (23L, plus(v21, 7, 0.16f)))         // ≈ 21 (same batch, lower id) → dropped
+    val batch2 = Seq(
+      (24L, plus(v21, 5, 0.12f)),         // ≈ 21 (earlier batch) → dropped
+      (25L, plus(plus(v21, 7, 0.16f), 7, 0.16f)), // ≈ 23 only — 23 was DROPPED,
+                                          // but the index remembers it → dropped
+      (26L, vec(3, 0.6)))                 // fresh in region 3 → kept
+    val out = java.nio.file.Files.createTempDirectory("graft_sem_gate")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sem_gate_ckpt")
+    Similarity.writeAnnIndex(seen, "sem_gate_idx", centroids = 4,
+      sampleSize = 20, iters = 3)
+    try {
+      val in = MemoryStream[(Long, Seq[Float])]
+      val q = EmbedStream.semanticGateSink(
+        in.toDF().toDF("vec_id", "embedding"), "sem_gate_idx",
+        out.toString, threshold = 0.98)
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        in.addData(batch1: _*); q.processAllAvailable()
+        in.addData(batch2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val kept = spark.read.parquet(out.toString)
+        .select("vec_id").as[Long].collect().sorted.toSeq
+
+      // batch analog: semanticDedup over the concatenated corpus — a
+      // streamed vector survives iff no lower-id vector of its cluster
+      // sits at ≥ threshold, whether or not that vector itself survived
+      val union = seen.union((batch1 ++ batch2).toDF("vec_id", "embedding"))
+      val expected = Dedup.semanticDedup(union, threshold = 0.98,
+        centroids = 4, sampleSize = 20, iters = 3)
+        .filter($"keep" && $"vec_id" >= 20L)
+        .select("vec_id").as[Long].collect().sorted.toSeq
+      assert(kept == expected, s"stream kept $kept != batch keep rule $expected")
+      assert(kept == Seq(21L, 22L, 26L),
+        s"hand-checkable fixture: dup-of-seen, siblings, and chains drop; $kept")
+    } finally Similarity.dropAnnIndex(spark, "sem_gate_idx")
+  }
+
+  test("streaming semantic gate: retried micro-batch replays idempotently") {
+    import graft.streaming.EmbedStream
+    import graft.functions.Similarity
+    val seen = (0 until 8).map { i =>
+      val v = Array.fill(8)(0.01 * i)
+      v(i % 4 * 2) += 1.0
+      (i.toLong, v.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val batch = Seq(
+      (100L, seen.collect()(0).getAs[scala.collection.Seq[Float]]("embedding")
+        .map(x => x * 1.0001f).toSeq), // dup of seen 0 → dropped
+      (101L, { val v = Array.fill(8)(0.02); v(1) += 1.0; v.map(_.toFloat).toSeq }))
+      .toDF("vec_id", "embedding")
+    val out = java.nio.file.Files.createTempDirectory("graft_sem_retry")
+    Similarity.writeAnnIndex(seen, "sem_retry_idx", centroids = 4,
+      sampleSize = 8, iters = 2)
+    try {
+      def snapshot() = (
+        spark.table("sem_retry_idx_assignments").select("vec_id")
+          .as[Long].collect().sorted.toSeq,
+        spark.read.parquet(s"$out/batch=0").select("vec_id")
+          .as[Long].collect().sorted.toSeq)
+      EmbedStream.semanticGateBatch(batch, "sem_retry_idx", out.toString, 0L, 0.98)
+      val first = snapshot()
+      EmbedStream.semanticGateBatch(batch, "sem_retry_idx", out.toString, 0L, 0.98)
+      val second = snapshot()
+      assert(first == second, s"retry changed state: $first -> $second")
+      assert(first._2 == Seq(101L), "dup of seen dropped, novel kept")
+      assert(first._1 == (0L until 8L) ++ Seq(100L, 101L),
+        "whole batch folded in, once")
+    } finally Similarity.dropAnnIndex(spark, "sem_retry_idx")
+  }
+
+  test("streaming image gate: stream kept set == batch phashNearDups keep rule; undecodables pass") {
+    import graft.streaming.MediaStream
+    import graft.functions.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic 18×16 pixel images: per-image red gradient slope
+    // separates images; a one-pixel nudge is a near-dup
+    def pngOf(slope: Int, nudge: Boolean = false): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 18) {
+        val r = (x * slope + y * 3) % 256
+        val rr = if (nudge && x == 7 && y == 5) (r + 4) % 256 else r
+        img.setRGB(x, y, (rr << 16) | (((x * 5 + y * 11) % 256) << 8) |
+          ((x * 2 + y * 7) % 256))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val seen = Seq(
+      Multimodal.MediaRow(10L, "image", pngOf(14)),
+      Multimodal.MediaRow(11L, "image", pngOf(33))).toDS()
+    val batch1 = Seq(
+      (20L, "image", pngOf(14, nudge = true)), // ≈ seen 10 → dropped
+      (21L, "image", pngOf(51)),               // fresh → kept
+      (22L, "image", pngOf(51, nudge = true))) // ≈ 21 (same batch) → dropped
+    val batch2 = Seq(
+      (30L, "image", pngOf(51)),               // twin of 21 (earlier batch) → dropped
+      (31L, "image", pngOf(77)),               // fresh → kept
+      (32L, "image", "not an image".getBytes)) // undecodable → passes through
+    val out = java.nio.file.Files.createTempDirectory("graft_img_gate")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_img_gate_ckpt")
+    Multimodal.writePhashTable(seen, "img_gate_sigs", buckets = 2)
+    try {
+      val in = MemoryStream[(Long, String, Array[Byte])]
+      val q = MediaStream.phashGateSink(
+        in.toDF().toDF("doc_id", "media_type", "content"),
+        "img_gate_sigs", out.toString, maxHamming = 3)
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        in.addData(batch1: _*); q.processAllAvailable()
+        in.addData(batch2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val kept = spark.read.parquet(out.toString)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+
+      // batch analog over every decodable signature: a streamed image is
+      // dropped iff it appears as doc_b in any ≤3-bit pair (seen ids <
+      // batch1 ids < batch2 ids = arrival order)
+      val allSigs = Multimodal.imageDhash(
+        seen.union((batch1 ++ batch2).map(t =>
+          Multimodal.MediaRow(t._1, t._2, t._3)).toDS()))
+        .toDF().select($"doc_id", $"dhash")
+      val dropped = Multimodal.phashNearDups(allSigs, maxHamming = 3)
+        .filter($"doc_b" >= 20L).select("doc_b").as[Long].collect().toSet
+      val expected = ((batch1 ++ batch2).map(_._1).filterNot(dropped)).sorted
+      assert(kept == expected, s"stream kept $kept != batch keep rule $expected")
+      assert(kept == Seq(21L, 31L, 32L),
+        s"dup-of-seen/sibling/cross-batch drop, fresh + undecodable pass: $kept")
+      // only decodable signatures are stored
+      assert(spark.table("img_gate_sigs").select("doc_id").as[Long]
+        .collect().sorted.toSeq == Seq(10L, 11L, 20L, 21L, 22L, 30L, 31L))
+    } finally Multimodal.dropPhashTable(spark, "img_gate_sigs")
+  }
+
+  test("streaming image gate: retried micro-batch replays idempotently") {
+    import graft.streaming.MediaStream
+    import graft.functions.Multimodal
+    def png(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 9)
+        img.setRGB(x, y, ((x * seed) % 256) << 16)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val seen = Seq(Multimodal.MediaRow(1L, "image", png(10))).toDS()
+    val batch = Seq(
+      (100L, "image", png(10)),  // twin of seen 1 → dropped
+      (101L, "image", png(200))) // fresh → kept
+      .toDF("doc_id", "media_type", "content")
+    val out = java.nio.file.Files.createTempDirectory("graft_img_retry")
+    Multimodal.writePhashTable(seen, "img_retry_sigs", buckets = 2)
+    try {
+      def snapshot() = (
+        spark.table("img_retry_sigs").select("doc_id")
+          .as[Long].collect().sorted.toSeq,
+        spark.table("img_retry_sigs").count(),
+        spark.read.parquet(s"$out/batch=0").select("doc_id")
+          .as[Long].collect().sorted.toSeq)
+      MediaStream.phashGateBatch(batch, "img_retry_sigs", out.toString, 0L, 3)
+      val first = snapshot()
+      MediaStream.phashGateBatch(batch, "img_retry_sigs", out.toString, 0L, 3)
+      val second = snapshot()
+      assert(first == second, s"retry changed state: $first -> $second")
+      assert(first._3 == Seq(101L) && first._1 == Seq(1L, 100L, 101L))
+    } finally Multimodal.dropPhashTable(spark, "img_retry_sigs")
+  }
+
   test("streaming and batch compute the same hourly windows") {
     val batch = Seq(
       (ts("2024-01-01 10:05:00"), "view", 10.0),

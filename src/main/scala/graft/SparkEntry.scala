@@ -1629,7 +1629,7 @@ object SparkEntry {
     * persisted-model query (write→read fidelity: the stored tables must
     * produce the same scores a from-scratch fit does).
     */
-  private val bigramLmOracle: String =
+  private val bigramLmCtes: String =
     "WITH tk AS (SELECT doc_id, " + toksSql + " AS t FROM documents " +
       "WHERE text IS NOT NULL), " +
       "x AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk " +
@@ -1646,8 +1646,11 @@ object SparkEntry {
       "(CAST(c1.cw AS DOUBLE) + 1.0 * CAST(v.v AS DOUBLE)) " +
       "ORDER BY bg.pos)), (acc, x) -> acc + x) AS s " +
       "FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) " +
-      "CROSS JOIN v GROUP BY 1) " +
-      "SELECT d.doc_id, CAST(COALESCE(sc.n, 0) AS BIGINT) AS n_bigrams, " +
+      "CROSS JOIN v GROUP BY 1)"
+
+  private val bigramLmOracle: String =
+    bigramLmCtes +
+      " SELECT d.doc_id, CAST(COALESCE(sc.n, 0) AS BIGINT) AS n_bigrams, " +
       "sc.s / CAST(sc.n AS DOUBLE) AS bigram_score " +
       "FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"
 
@@ -1862,6 +1865,38 @@ object SparkEntry {
         s"SELECT doc_id, source, mix_rank, $mixQuotaSql AS quota, " +
         s"mix_rank <= $mixQuotaSql AS keep FROM r ORDER BY doc_id")),
 
+    // TEMPERATURE-scaled mixture (α = 0.5, the UniMax/multilingual
+    // up-sampling shape): quotas ∝ √(source count), weights computed FROM
+    // THE DATA — one correctly-rounded IEEE sqrt per source into 2^20
+    // fixed-point, then exact integer Hamilton apportionment replayed in
+    // SQL (floor + largest remainder, ties by source), and the shared
+    // content-keyed fingerprint ranking.
+    Q("q_sample_temperature",
+      (s, d) => graft.functions.Sampling.temperatureMixture(
+        Tables.documents(s, d), totalN = 120)
+        .orderBy("doc_id"),
+      Some(s"$fpCte, " +
+        "sct AS (SELECT source, CAST(count(*) AS BIGINT) AS n_source " +
+        "FROM documents GROUP BY 1), " +
+        "wtd AS (SELECT source, n_source, " +
+        "CAST(round(sqrt(CAST(n_source AS DOUBLE)) * 1048576) AS BIGINT) AS wt " +
+        "FROM sct), " +
+        "tot AS (SELECT source, n_source, wt, " +
+        "CAST(sum(wt) OVER () AS BIGINT) AS sum_wt FROM wtd), " +
+        "bs AS (SELECT source, n_source, (120 * wt) // sum_wt AS base, " +
+        "(120 * wt) % sum_wt AS rem FROM tot), " +
+        "lo AS (SELECT *, CAST(120 - sum(base) OVER () AS BIGINT) AS leftover, " +
+        "row_number() OVER (ORDER BY rem DESC, source) AS rk FROM bs), " +
+        "qt AS (SELECT source, n_source, CAST(base + CASE WHEN rk <= leftover " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS quota FROM lo), " +
+        "r AS (SELECT d.doc_id, d.source, " +
+        "row_number() OVER (PARTITION BY d.source " +
+        "ORDER BY fingerprint ASC NULLS LAST, d.doc_id) AS mix_rank " +
+        "FROM documents d JOIN fp ON d.doc_id = fp.doc_id) " +
+        "SELECT r.doc_id, r.source, qt.n_source, qt.quota, r.mix_rank, " +
+        "r.mix_rank <= qt.quota AS keep FROM r JOIN qt USING (source) " +
+        "ORDER BY r.doc_id")),
+
     // Deterministic training-shuffle order (seed 7): pure modular
     // arithmetic both engines evaluate identically — the loader-side
     // epoch shuffle, no RNG state. key = x^5 mod p (non-affine, so epochs
@@ -2002,6 +2037,31 @@ object SparkEntry {
       (s, d) => TextAnalysis.bigramScore(Tables.documents(s, d), addK = 1.0)
         .orderBy("doc_id"),
       Some(bigramLmOracle)),
+
+    // CCNet HEAD/MIDDLE/TAIL (Wenzek et al. 2020): LM-quality terciles
+    // with cutoffs from a deterministic id-mix SAMPLE of the per-doc
+    // scores (never a global sort — corpus assignment is one scan-side
+    // CASE against two literal cutoffs). The oracle replays the bigram
+    // chain, the sample selection, the rank-k cutoffs, and the CASE.
+    Q("q_sample_perplexity_buckets",
+      (s, d) => graft.functions.Sampling.headMiddleTail(
+        TextAnalysis.bigramScore(Tables.documents(s, d))
+          .select("doc_id", "bigram_score"), sampleSize = 256)
+        .orderBy("doc_id"),
+      Some(bigramLmCtes + ", " +
+        "dsq AS (SELECT doc_id, s / CAST(n AS DOUBLE) AS bigram_score FROM sc), " +
+        "smq AS (SELECT bigram_score FROM dsq " +
+        s"ORDER BY ${graft.functions.Similarity.sampleHashSql("doc_id")}, doc_id " +
+        "LIMIT 256), " +
+        "osq AS (SELECT bigram_score AS sv, " +
+        "row_number() OVER (ORDER BY bigram_score DESC) AS rk, " +
+        "count(*) OVER () AS nn FROM smq), " +
+        "cutq AS (SELECT max(CASE WHEN rk = (nn + 2) // 3 THEN sv END) AS c1, " +
+        "max(CASE WHEN rk = (2 * nn + 2) // 3 THEN sv END) AS c2 FROM osq) " +
+        "SELECT dsq.doc_id, dsq.bigram_score, " +
+        "CASE WHEN dsq.bigram_score >= cutq.c1 THEN 'head' " +
+        "WHEN dsq.bigram_score >= cutq.c2 THEN 'middle' ELSE 'tail' END AS bucket " +
+        "FROM dsq CROSS JOIN cutq ORDER BY dsq.doc_id")),
 
     // The persisted-LM access path under the same hash gate: train the
     // model tables, score the corpus FROM the stored tables, compare
@@ -2295,6 +2355,41 @@ object SparkEntry {
     // as space-joined kept token slices. The oracle replays the whole
     // chain: the gated runs relation, the per-doc removed-chunk index set,
     // and the list-comprehension slice reconstruction.
+    // CORPUS-WIDE LINE dedup (C4's cleaning stage / the RefinedWeb line
+    // rule): a line occurring ≥2 times across the corpus keeps only its
+    // first (doc_id, idx) occurrence; documents rebuild from surviving
+    // lines. The corpus has no newlines, so the fixture re-lines each
+    // document into 12-token lines first (deterministic, replayed
+    // verbatim) — the duplicate-span families then collide as exact
+    // repeated lines (96 at sf0.01, measured).
+    Q("q_text_line_dedup",
+      (s, d) => {
+        val relined = Tables.documents(s, d).select(col("doc_id"), expr(
+          "concat_ws('\n', transform(" +
+            "sequence(0, (size(split(text, ' ')) + 11) div 12 - 1), " +
+            "i -> concat_ws(' ', slice(split(text, ' '), i * 12 + 1, 12))))")
+          .as("text"))
+        Dedup.lineDedup(relined, minCount = 2).orderBy("doc_id")
+      },
+      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp " +
+        "FROM documents), " +
+        "d2 AS (SELECT doc_id, array_to_string(" +
+        "[array_to_string(sp[i*12+1 : least((i+1)*12, len(sp))], ' ') " +
+        "FOR i IN range(0, (len(sp) + 11) // 12)], chr(10)) AS text FROM t), " +
+        "ls AS (SELECT doc_id, string_split(text, chr(10)) AS sp2 FROM d2), " +
+        "lx AS (SELECT doc_id, u.idx AS idx, u.line AS line FROM " +
+        "(SELECT doc_id, unnest([{'idx': i - 1, 'line': sp2[i]} " +
+        "FOR i IN range(1, len(sp2) + 1)]) AS u FROM ls) q0), " +
+        "lm AS (SELECT doc_id, idx, line, " +
+        "row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS occ, " +
+        "count(*) OVER (PARTITION BY line) AS n_occ FROM lx), " +
+        "lk AS (SELECT doc_id, idx, line, (occ = 1 OR n_occ < 2) AS keep FROM lm) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, " +
+        "CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept, " +
+        "COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) " +
+        "ORDER BY idx), '') AS text " +
+        "FROM lk GROUP BY doc_id ORDER BY doc_id")),
+
     Q("q_dedup_passage_scrub",
       (s, d) => {
         val docs = Tables.documents(s, d).select("doc_id", "text")

@@ -806,6 +806,50 @@ object Dedup {
     * gracefully instead of the join exploding), Hamming verify on the
     * full signature. Arithmetic shift + mask makes the chunks sign-safe.
     */
+  /** CORPUS-WIDE LINE dedup — the C4 cleaning stage (Raffel et al. 2020
+    * §2.2 deduplicate at span level, the RefinedWeb/Dolma line rule): a
+    * line (any `lineSep`-delimited unit) that occurs at least `minCount`
+    * times ACROSS THE CORPUS keeps only its FIRST occurrence (ordered by
+    * (doc_id, line index) — deterministic, consistent with
+    * [[scrubPassages]]'s keep-first rule); every later copy is excised
+    * and each document's text is rebuilt from its surviving lines in
+    * order. This is the boilerplate killer exact-document dedup cannot
+    * see: navigation chrome, cookie banners, and licence footers repeat
+    * across MILLIONS of otherwise-distinct pages.
+    *
+    * Scale shape: one shuffle keyed by the line itself (exact equality —
+    * no hash-collision false merges; rows carry (doc_id, idx, line)
+    * once, the same corpus-sized exchange any exact dedup pays), then a
+    * per-document rebuild aggregate. Output one row per input document:
+    * (doc_id, n_lines, n_kept, text) — text is '' when every line was a
+    * later duplicate, never NULL.
+    */
+  def lineDedup(docs: DataFrame, minCount: Int = 2, lineSep: String = "\n",
+      textCol: String = "text"): DataFrame = {
+    require(minCount >= 2, "minCount < 2 would drop every non-first line")
+    val lines = docs
+      .filter(col(textCol).isNotNull)
+      .select(col("doc_id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(lineSep))).as(Seq("idx", "line")))
+    val wOcc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("line")).orderBy(col("doc_id"), col("idx"))
+    val wCnt = org.apache.spark.sql.expressions.Window.partitionBy(col("line"))
+    lines
+      .withColumn("occ", row_number().over(wOcc))
+      .withColumn("n_occ", count(lit(1)).over(wCnt))
+      .withColumn("keep", col("occ") === 1 || col("n_occ") < minCount)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(lineSep,
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("idx"), col("line"))))),
+            s => s.getField("line"))).as(textCol))
+  }
+
   /** Cross-corpus variant of [[bandedHammingPairs]]: near-dup pairs of a
     * BATCH signature frame against a SEEN one — the incremental-screen
     * shape. The batch side (a trigger's worth) explodes into its 4 band

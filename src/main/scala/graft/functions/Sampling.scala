@@ -302,4 +302,86 @@ object Sampling {
     }
     docs.filter(u < cut)
   }
+
+  /** TEMPERATURE-scaled mixture (α = 0.5) — the UniMax/multilingual
+    * up-sampling shape: per-source quotas ∝ √(corpus count), so
+    * low-resource sources get proportionally MORE than their raw share
+    * and head sources are capped, with the weights computed FROM THE
+    * DATA (unlike [[mixtureSample]]'s config weights). Bit-portable by
+    * construction: one correctly-rounded IEEE `sqrt` per source (both
+    * engines round-to-nearest; √n is irrational for non-square n, so the
+    * half-way rounding case cannot occur), scaled to 2^20 fixed-point,
+    * then EXACT integer Hamilton apportionment (floor + largest
+    * remainder, ties by source) and the same content-keyed fingerprint
+    * ranking as [[mixtureSample]]. The source table is
+    * cardinality-bounded (broadcast); the corpus pays one count
+    * aggregate and one per-source rank window.
+    *
+    * Output: every doc as (doc_id, source, n_source, quota, mix_rank,
+    * keep) — `filter(col("keep"))` is the mixture.
+    */
+  def temperatureMixture(docs: DataFrame, totalN: Long,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(totalN >= 0, "budget must be non-negative")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wRk = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col(sourceCol))
+    val quotas = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_source"))
+      .withColumn("wt",
+        round(sqrt(col("n_source").cast("double")) * lit(1048576.0)).cast("long"))
+      .withColumn("sum_wt", sum(col("wt")).over(wAll))
+      .withColumn("base", expr(s"$totalN * wt div sum_wt"))
+      .withColumn("rem", (lit(totalN) * col("wt")) % col("sum_wt"))
+      .withColumn("leftover", lit(totalN) - sum(col("base")).over(wAll))
+      .withColumn("rk", row_number().over(wRk))
+      .withColumn("quota",
+        col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .select(col(sourceCol), col("n_source"), col("quota"))
+    val wMix = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(col("__fp").asc_nulls_last, col("doc_id"))
+    docs
+      .select(col("doc_id"), col(sourceCol),
+        graft.functions.TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .withColumn("mix_rank", row_number().over(wMix).cast("long"))
+      .join(broadcast(quotas), Seq(sourceCol))
+      .select(col("doc_id"), col(sourceCol), col("n_source"), col("quota"),
+        col("mix_rank"), (col("mix_rank") <= col("quota")).as("keep"))
+  }
+
+  /** CCNet HEAD/MIDDLE/TAIL bucketing (Wenzek et al. 2020): documents
+    * split into LM-quality terciles. The cutoffs are exact tercile order
+    * statistics of a DETERMINISTIC id-mix sample of the per-doc scores
+    * (the [[graft.functions.Similarity]] training-sample discipline) —
+    * never a global sort: the corpus-side assignment is one scan-side
+    * CASE against two literal cutoffs. Rank-k cutoff on the DESC-sorted
+    * sample at ceil(n/3) and ceil(2n/3); boundary ties share a score
+    * value, so the cutoffs are well-defined regardless of tie order.
+    * Unscorable (NULL-score) documents are excluded — a quality bucket
+    * must mean something.
+    *
+    * Output: the scored rows plus `bucket` ('head' ≥ c1 > 'middle' ≥ c2
+    * > 'tail').
+    */
+  def headMiddleTail(scored: DataFrame, sampleSize: Int = 256,
+      scoreCol: String = "bigram_score"): DataFrame = {
+    val s = scored.filter(col(scoreCol).isNotNull)
+    val sample = s
+      .orderBy(expr(graft.functions.Similarity.sampleHashSql("doc_id")),
+        col("doc_id"))
+      .limit(sampleSize)
+      .select(col(scoreCol)).collect().map(_.getDouble(0))
+    require(sample.length >= 3, "need at least 3 scored docs to cut terciles")
+    val desc = sample.sorted(Ordering[Double].reverse)
+    val n = desc.length
+    val c1 = desc((n + 2) / 3 - 1)
+    val c2 = desc((2 * n + 2) / 3 - 1)
+    s.select(col("*"),
+      when(col(scoreCol) >= c1, "head")
+        .when(col(scoreCol) >= c2, "middle")
+        .otherwise("tail").as("bucket"))
+  }
 }

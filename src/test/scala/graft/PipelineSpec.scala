@@ -1074,6 +1074,74 @@ class PipelineSpec extends SparkSpec {
       "null-safe grouping/join must count the NULL class like any other")
   }
 
+  test("line dedup: corpus-wide keep-first, boilerplate excised, all-dup docs go empty") {
+    import graft.functions.Dedup
+    val docs = Seq(
+      (1L, "alpha beta\ncookie banner\ngamma delta"),
+      (2L, "cookie banner\nepsilon zeta"),      // banner repeat → excised
+      (3L, "cookie banner"),                    // ONLY the banner → empty text
+      (4L, "alpha beta\nunique here"))          // "alpha beta" repeats (docs 1,4)
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, minCount = 2).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 3L, "alpha beta\ncookie banner\ngamma delta"), // first occurrences keep
+      (2L, 2L, 1L, "epsilon zeta"),
+      (3L, 1L, 0L, ""),                                       // never NULL
+      (4L, 2L, 1L, "unique here")))
+
+    // minCount=3: "alpha beta" (2 occurrences) is below the bar and both
+    // copies survive; "cookie banner" (3 occurrences) is still excised
+    val relaxed = Dedup.lineDedup(docs, minCount = 3).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(relaxed.toSeq == Seq((1L, 3L), (2L, 1L), (3L, 0L), (4L, 2L)),
+      "below-threshold repeats must all survive at minCount=3")
+  }
+
+  test("temperature mixture: quotas sum to budget and up-sample the low-resource source") {
+    import graft.functions.Sampling
+    // 3 sources, counts 256 / 64 / 16: raw shares 76/19/5 %; √-scaled
+    // shares 16:8:4 → the tail source's quota share (1/7 ≈ 14%) is ~3×
+    // its raw share — the point of temperature sampling
+    val docs = (0 until 336).map { i =>
+      val src = if (i < 256) "big" else if (i < 320) "mid" else "tiny"
+      (i.toLong, s"w$i text", src)
+    }.toDF("doc_id", "text", "source")
+    val out = Sampling.temperatureMixture(docs, totalN = 70)
+    val quotas = out.select("source", "quota").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(quotas.values.sum == 70L, s"quotas must sum to the budget: $quotas")
+    // √256:√64:√16 = 16:8:4 → exactly 40/20/10 at budget 70
+    assert(quotas == Map("big" -> 40L, "mid" -> 20L, "tiny" -> 10L), s"$quotas")
+    // keep flags honor the per-source quota
+    val kept = out.filter($"keep").groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == Map("big" -> 40L, "mid" -> 20L, "tiny" -> 10L))
+    // deterministic across runs
+    assert(Sampling.temperatureMixture(docs, totalN = 70)
+      .filter($"keep").select("doc_id").as[Long].collect().sorted.toSeq ==
+      out.filter($"keep").select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("head/middle/tail: sample-cutoff terciles split a known score ladder") {
+    import graft.functions.Sampling
+    // 9 docs, scores 9..1 — sample covers all, cutoffs at ranks 3 and 6:
+    // head ≥ 7, middle ≥ 4, tail below
+    val scored = (1 to 9).map(i => (i.toLong, (10 - i).toDouble))
+      .toDF("doc_id", "bigram_score")
+    val out = Sampling.headMiddleTail(scored, sampleSize = 9)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (1L, "head"), (2L, "head"), (3L, "head"),
+      (4L, "middle"), (5L, "middle"), (6L, "middle"),
+      (7L, "tail"), (8L, "tail"), (9L, "tail")))
+    // NULL scores are excluded, not bucketed
+    val withNull = scored.union(Seq((10L, null.asInstanceOf[java.lang.Double]))
+      .toDF("doc_id", "bigram_score"))
+    assert(Sampling.headMiddleTail(withNull, sampleSize = 9).count() == 9)
+  }
+
   test("l-diversity: homogeneous classes flagged; NULL sensitive counts as its own value") {
     val rows = Seq(
       (1L, "a", "flu"), (2L, "a", "flu"), (3L, "a", "flu"),   // uniform → l=1

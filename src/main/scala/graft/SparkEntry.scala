@@ -2864,6 +2864,29 @@ object SparkEntry {
     // running sums (8 shards here; the window sort never sees more than a
     // shard). Quota semantics: a doc belongs to the pack its first token
     // lands in.
+    // TOKEN-BALANCED shard assignment: serpentine deal over docs ranked
+    // by token count desc — max−min shard imbalance bounded by one doc's
+    // tokens. The rank is histogram + per-count window (no global sort);
+    // the oracle replays histogram, rank, and the serpentine CASE.
+    Q("q_pack_shards",
+      (s, d) => graft.functions.Sampling.balancedShards(
+        Tables.documents(s, d), shards = 8)
+        .orderBy("doc_id"),
+      Some("WITH tc AS (SELECT doc_id, " +
+        s"CAST(len($toksSql) AS BIGINT) AS token_count FROM documents " +
+        "WHERE text IS NOT NULL), " +
+        "hist AS (SELECT token_count, count(*) AS c FROM tc GROUP BY 1), " +
+        "hc AS (SELECT token_count, CAST(COALESCE(sum(c) OVER (" +
+        "ORDER BY token_count DESC ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "1 PRECEDING), 0) AS BIGINT) AS higher FROM hist), " +
+        "rk AS (SELECT tc.doc_id, tc.token_count, hc.higher + " +
+        "row_number() OVER (PARTITION BY tc.token_count ORDER BY tc.doc_id) " +
+        "AS rank FROM tc JOIN hc USING (token_count)) " +
+        "SELECT doc_id, token_count, " +
+        "CAST(CASE WHEN ((rank - 1) // 8) % 2 = 0 THEN (rank - 1) % 8 " +
+        "ELSE 7 - (rank - 1) % 8 END AS BIGINT) AS shard " +
+        "FROM rk ORDER BY doc_id")),
+
     Q("q_pack_sequences",
       (s, d) => graft.functions.Sampling.packSequences(
         Tables.documents(s, d), seqTokens = 512, shards = 8)

@@ -352,6 +352,49 @@ object Sampling {
         col("mix_rank"), (col("mix_rank") <= col("quota")).as("keep"))
   }
 
+  /** TOKEN-BALANCED shard assignment — the "write K ≈equal-token shards"
+    * training-data prep step ([[packSequences]] splits WITHIN a shard;
+    * this decides WHICH shard): serpentine (boustrophedon) round-robin
+    * over documents ranked by token count descending, which bounds the
+    * max−min shard imbalance by ONE document's tokens regardless of the
+    * length distribution (each K-round deals every shard exactly one doc,
+    * alternating direction so the same shard never keeps drawing the
+    * round's largest).
+    *
+    * The global rank is computed WITHOUT a global sort: a token-count
+    * HISTOGRAM (distinct lengths — bounded, broadcastable) supplies each
+    * count's number of strictly-longer docs, and a window PARTITIONED BY
+    * token_count (distributed) numbers the ties by doc_id —
+    * `rank = higher + row_number`, exact and scan-parallel. The one
+    * ordered window runs over the histogram, not the corpus.
+    *
+    * Output: (doc_id, token_count, shard). NULL-text docs are excluded
+    * (they carry no tokens to balance).
+    */
+  def balancedShards(docs: DataFrame, shards: Int,
+      textCol: String = "text"): DataFrame = {
+    require(shards > 0, "shard count must be positive")
+    val tc = docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"),
+        size(graft.functions.TextAnalysis.tokens(col(textCol)))
+          .cast("long").as("token_count"))
+    val wh = org.apache.spark.sql.expressions.Window
+      .orderBy(col("token_count").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val hist = tc.groupBy(col("token_count")).agg(count(lit(1)).as("c"))
+      .withColumn("higher", coalesce(sum(col("c")).over(wh), lit(0L)))
+      .select(col("token_count"), col("higher"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token_count")).orderBy(col("doc_id"))
+    tc.join(broadcast(hist), Seq("token_count"))
+      .withColumn("rank", col("higher") + row_number().over(wr))
+      .select(col("doc_id"), col("token_count"),
+        expr(s"CAST(CASE WHEN ((rank - 1) div $shards) % 2 = 0 " +
+          s"THEN (rank - 1) % $shards " +
+          s"ELSE ${shards - 1} - (rank - 1) % $shards END AS BIGINT)")
+          .as("shard"))
+  }
+
   /** CCNet HEAD/MIDDLE/TAIL bucketing (Wenzek et al. 2020): documents
     * split into LM-quality terciles. The cutoffs are exact tercile order
     * statistics of a DETERMINISTIC id-mix sample of the per-doc scores

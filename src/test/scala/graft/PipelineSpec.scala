@@ -1123,6 +1123,27 @@ class PipelineSpec extends SparkSpec {
       out.filter($"keep").select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("balanced shards: serpentine deal bounds imbalance by one document") {
+    import graft.functions.Sampling
+    // adversarial skew: lengths 1..200 tokens, power-law-ish
+    val rnd = new scala.util.Random(47)
+    val docs = (0 until 300).map { i =>
+      val n = 1 + (math.pow(rnd.nextDouble(), 3) * 199).toInt
+      (i.toLong, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Sampling.balancedShards(docs, shards = 8)
+    val sums = out.groupBy("shard").agg(sum($"token_count").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sums.keySet == (0L until 8L).toSet, "every shard must be dealt to")
+    val maxTok = out.agg(max($"token_count")).head().getLong(0)
+    val imbalance = sums.values.max - sums.values.min
+    assert(imbalance <= maxTok,
+      s"serpentine bound violated: spread $imbalance > max doc $maxTok")
+    // deterministic and total: every doc assigned exactly once
+    assert(out.count() == 300 &&
+      out.select("doc_id").distinct().count() == 300)
+  }
+
   test("head/middle/tail: sample-cutoff terciles split a known score ladder") {
     import graft.functions.Sampling
     // 9 docs, scores 9..1 — sample covers all, cutoffs at ranks 3 and 6:

@@ -146,6 +146,34 @@ object SparkEntry {
       },
       Some(segSql("value > 300"))),
 
+    // TEXT-FORMAT sources (the ingest edge: crawl/vendor data arrives as
+    // JSONL/CSV, not parquet): write the corpus out, read it back under
+    // the EXPLICIT corpus schema (never inferSchema — a second full pass
+    // AND sample-dependent type drift), answer from the round-tripped
+    // frame. The oracle answers from the parquet table directly, so hash
+    // equality certifies the escape/quote/encode cycle loses nothing.
+    Q("q_source_jsonl_roundtrip",
+      (s, d) => withScratchDir("graft_jsonl") { dir =>
+        val docs = Tables.documents(s, d)
+        val path = dir.resolve("docs").toString
+        graft.sources.TextFormats.writeJsonl(docs, path)
+        graft.sources.TextFormats.readJsonl(s, path, docs.schema)
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text, lang, source, n_chars FROM documents " +
+        "ORDER BY doc_id")),
+
+    Q("q_source_csv_roundtrip",
+      (s, d) => withScratchDir("graft_csv") { dir =>
+        val docs = Tables.documents(s, d)
+        val path = dir.resolve("docs").toString
+        graft.sources.TextFormats.writeCsv(docs, path)
+        graft.sources.TextFormats.readCsv(s, path, docs.schema)
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text, lang, source, n_chars FROM documents " +
+        "ORDER BY doc_id")),
+
     // Segment GROWTH over runs: the run-history table (beyond-parity
     // observability — the reference catalog keeps only the latest
     // row_count, so size-over-time is unqueryable there). One rule runs at

@@ -19,6 +19,7 @@ import org.apache.spark.sql.types._
   * [[Tables.events]]).
   */
 class TablesSpec extends SparkSpec {
+  import spark.implicits._
 
   private val sfDirs: Seq[String] =
     Seq("sf0.001", "sf0.01", "sf0.1").map("/root/testdata/" + _)
@@ -141,5 +142,76 @@ class TablesSpec extends SparkSpec {
     assert(r.getLong(2) === r.getLong(3))
     assert(r.getLong(4) === r.getLong(2)) // numeric seconds pass through
     assert(r.getLong(0) === r.getLong(2) * 1000000L)
+  }
+
+  test("text-format round-trips survive adversarial content (quotes, separators, newlines, unicode)") {
+    import graft.sources.TextFormats
+    // the oracle-gated round-trip queries run on the benign corpus; this
+    // pins the escape/quote cycle on the content that actually breaks
+    // naive CSV/JSON: embedded quotes, the separator itself, newlines,
+    // backslashes, unicode, empty strings, and NULLs
+    val rows = Seq(
+      (1L, "plain text", "en"),
+      (2L, "comma, inside", "en"),
+      (3L, "a \"quoted\" phrase", "en"),
+      (4L, "line one\nline two", "en"),
+      (5L, "back\\slash and tab\there", "en"),
+      (6L, "émoji ✓ 中文", "zh"),
+      (7L, "", "en"),
+      (8L, null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "lang")
+    def roundtrip(write: (org.apache.spark.sql.DataFrame, String) => Unit,
+        read: (org.apache.spark.sql.SparkSession, String,
+          org.apache.spark.sql.types.StructType) => org.apache.spark.sql.DataFrame,
+        name: String): Unit = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_fmt_$name")
+      try {
+        val path = dir.resolve("t").toString
+        write(rows, path)
+        val back = read(spark, path, rows.schema).orderBy("doc_id")
+          .collect().map(r => (r.getLong(0),
+            if (r.isNullAt(1)) null else r.getString(1),
+            if (r.isNullAt(2)) null else r.getString(2))).toSeq
+        val orig = rows.orderBy("doc_id")
+          .collect().map(r => (r.getLong(0),
+            if (r.isNullAt(1)) null else r.getString(1),
+            if (r.isNullAt(2)) null else r.getString(2))).toSeq
+        assert(back == orig, s"$name round-trip mutated rows:\n$back\nvs\n$orig")
+      } finally scala.util.Try {
+        java.nio.file.Files.walk(dir)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+    roundtrip(TextFormats.writeJsonl, TextFormats.readJsonl, "jsonl")
+    // CSV: multiLine needed for embedded newlines on read — pinned here
+    // so the limitation is DOCUMENTED by a test rather than discovered:
+    // the default line-split reader cannot carry row 4, so assert the
+    // writer+reader pair handles everything EXCEPT embedded newlines,
+    // which round-trip only under the quoted-multiline read option
+    val csvRows = rows.filter($"doc_id" =!= 4L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt_csv")
+    try {
+      val path = dir.resolve("t").toString
+      TextFormats.writeCsv(csvRows, path)
+      val back = TextFormats.readCsv(spark, path, rows.schema)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getString(1))).toSeq
+      val orig = csvRows.orderBy("doc_id").collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toSeq
+      assert(back == orig, s"csv round-trip mutated rows:\n$back\nvs\n$orig")
+
+      // the ONE documented CSV caveat, pinned: literal "\N" content is
+      // indistinguishable from the NULL sentinel and reads back as NULL
+      val sentinelDir = dir.resolve("s").toString
+      TextFormats.writeCsv(Seq((9L, "\\N", "en")).toDF("doc_id", "text", "lang"),
+        sentinelDir)
+      assert(TextFormats.readCsv(spark, sentinelDir, rows.schema)
+        .collect().head.isNullAt(1))
+    } finally scala.util.Try {
+      java.nio.file.Files.walk(dir)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 }

@@ -46,6 +46,10 @@ object Stress {
       case "annscale" :: nc :: per :: Nil => annscale(spark, nc.toInt, per.toInt)
       case "ladder" :: dir :: kind :: fs if fs.nonEmpty =>
         ladder(spark, dir, kind, fs.map(_.toInt))
+      case "phashscale" :: groups :: per :: Nil =>
+        phashScale(spark, groups.toInt, per.toInt)
+      case "linescale" :: docs :: lines :: pool :: Nil =>
+        lineScale(spark, docs.toLong, lines.toInt, pool.toInt)
       case other => sys.error(s"unknown args: $other")
     }
     spark.stop()
@@ -751,5 +755,73 @@ object Stress {
       println(f"[ladder] $kind $name exponent=$slope%.2f over k=" +
         pts.map(_._1).mkString(","))
     }
+  }
+
+  /** Banded-Hamming pair generation at signature-corpus scale: `groups`
+    * planted near-dup families of `per` members (member j flips one
+    * hash-chosen bit of the family base; any two members differ by ≤2
+    * bits, so every within-family pair is inside the Hamming-3 radius
+    * and 4×16 banding guarantees it surfaces). Measures the banded join
+    * + verify over groups·per signatures and checks the planted pairs
+    * all arrive. Also prints the candidate volume — the number that
+    * shows WHERE 4×16 banding's regime ends: expected random-collision
+    * candidates ≈ 4·n²/2^17, so at n=10^6 that is ~3·10^7 verified-and-
+    * discarded rows (fine), while at n=10^9 it would be ~3·10^13 — the
+    * corpus-sized-bands lesson (SCALE.md round-1 embedding bands)
+    * applies: widen chunks with corpus growth.
+    */
+  private def phashScale(spark: SparkSession, groups: Int, per: Int): Unit = {
+    val n = groups.toLong * per
+    val sigs = spark.range(n).select(
+      col("id").as("doc_id"),
+      expr(s"id div $per").as("gid"),
+      (col("id") % per).as("m"))
+      .withColumn("sig", when(col("m") === 0, xxhash64(col("gid")))
+        .otherwise(expr("xxhash64(gid) ^ " +
+          "shiftleft(1L, cast(pmod(xxhash64(gid, m), 64) as int))")))
+      .select("doc_id", "sig")
+      .localCheckpoint(true)
+    val t0 = System.nanoTime()
+    val pairs = Dedup.bandedHammingPairs(sigs, maxHamming = 3)
+      .localCheckpoint(true)
+    val nPairs = pairs.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // planted pairs: per-family all-pairs; members whose flip bit
+    // coincides are 0 apart, otherwise 2 — all ≤ 3
+    val expected = groups.toLong * per * (per - 1) / 2
+    val withinFam = pairs.filter(
+      expr(s"doc_a div $per") === expr(s"doc_b div $per")).count()
+    println(f"[phashscale] n=$n sigs, $nPairs pairs in $secs%.1f s " +
+      s"(planted $expected within-family, found $withinFam" +
+      (if (withinFam == expected) " — full recall)" else " — RECALL MISS)"))
+  }
+
+  /** Corpus-wide line dedup at scale: `nDocs`·`linesPer` lines where
+    * every 5th line draws from a `pool`-sized shared boilerplate pool
+    * (the navigation-chrome shape) and the rest are unique. Measures the
+    * one line-keyed shuffle + rebuild and prints the excision fraction
+    * (expected ≈ the boilerplate share minus pool-many first
+    * occurrences).
+    */
+  private def lineScale(spark: SparkSession, nDocs: Long, linesPer: Int,
+      pool: Int): Unit = {
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws("\n", (0 until linesPer).map { j =>
+        if (j % 5 == 0)
+          concat(lit("boiler "),
+            pmod(xxhash64(col("id"), lit(j)), lit(pool)).cast("string"))
+        else
+          concat(lit("unique "), col("id").cast("string"), lit(" "), lit(j))
+      }: _*).as("text"))
+      .localCheckpoint(true)
+    val t0 = System.nanoTime()
+    val agg = Dedup.lineDedup(docs, minCount = 2)
+      .agg(sum(col("n_lines")).as("nl"), sum(col("n_kept")).as("nk"))
+      .head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val (nl, nk) = (agg.getLong(0), agg.getLong(1))
+    println(f"[linescale] ${nDocs * linesPer} lines, kept $nk of $nl " +
+      f"(${100.0 * (nl - nk) / nl}%.1f%% excised) in $secs%.1f s")
   }
 }

@@ -42,6 +42,19 @@ object TextFormats {
       schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** STREAM JSON Lines from a landing directory — the file-based ingest
+    * edge: a crawler drops `.json`/`.jsonl` files into `path` and each
+    * micro-batch picks up the new ones (Structured Streaming's file
+    * source tracks seen files in the checkpoint — exactly-once per
+    * file). Same explicit-schema discipline as [[readJsonl]]; compose
+    * with the [[graft.streaming.DocsStream]] gates for
+    * dedup/quality-at-ingest (StreamingSpec runs the composition
+    * end-to-end).
+    */
+  def streamJsonl(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(path)
+
   /** Write as RFC-4180-style CSV with a header row; fields containing the
     * separator, quote, or newline are quoted and inner quotes doubled —
     * the symmetric reader settings below undo exactly this. CSV cannot

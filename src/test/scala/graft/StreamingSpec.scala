@@ -735,6 +735,46 @@ class StreamingSpec extends SparkSpec {
     } finally Multimodal.dropPhashTable(spark, "img_retry_sigs")
   }
 
+  test("file-based jsonl ingest streams through the quality gate end-to-end") {
+    import graft.sources.TextFormats
+    import graft.streaming.DocsStream
+    // the crawl landing zone: jsonl files appear in a directory; the
+    // stream picks each up exactly once and the gate scores it
+    val landing = java.nio.file.Files.createTempDirectory("graft_landing")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_landing_ckpt")
+    val goodText = "the quick brown fox is one of the good docs and it is long enough"
+    def drop(name: String, rows: Seq[(Long, String)]): Unit = {
+      // one jsonl FILE per drop (the file source tracks whole files)
+      val lines = rows.map { case (id, t) =>
+        val esc = t.replace("\\", "\\\\").replace("\"", "\\\"")
+        s"""{"doc_id": $id, "text": "$esc"}"""
+      }
+      java.nio.file.Files.write(landing.resolve(name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    drop("b1.json", Seq((1L, goodText), (2L, "!!! ??? ...")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val in = TextFormats.streamJsonl(spark, landing.toString, schema)
+    val q = DocsStream.qualityStream(in, minQuality = 0.4)
+      .select("doc_id", "quality_score", "lang")
+      .writeStream.format("memory").queryName("jsonl_ingest")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      drop("b2.json", Seq((3L, goodText + " again today"), (4L, "x")))
+      q.processAllAvailable()
+      val kept = spark.table("jsonl_ingest").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(kept == Seq(1L, 3L),
+        s"good docs from both files pass, junk drops: $kept")
+    } finally q.stop()
+  }
+
   test("streaming and batch compute the same hourly windows") {
     val batch = Seq(
       (ts("2024-01-01 10:05:00"), "view", 10.0),

@@ -694,6 +694,18 @@ object Stress {
       val jac = Seq[(String, String => DataFrame)](
         "ngram_jaccard" -> (d => Dedup.ngramJaccardPairs(docs(d), 0.5)))
       if (kind == "twins") jac
+      else if (kind == "lines")
+        // corpus-wide line dedup over the q_text_line_dedup relining —
+        // one line-keyed window shuffle + rebuild: the claim to certify
+        // is a ~1.0 exponent (linear in corpus, no quadratic tail)
+        Seq[(String, String => DataFrame)]("line_dedup" -> { d =>
+          val relined = docs(d).select(col("doc_id"), expr(
+            "concat_ws('\n', transform(" +
+              "sequence(0, (size(split(text, ' ')) + 11) div 12 - 1), " +
+              "i -> concat_ws(' ', slice(split(text, ' '), i * 12 + 1, 12))))")
+            .as("text"))
+          Dedup.lineDedup(relined, minCount = 2)
+        })
       else jac ++ Seq[(String, String => DataFrame)](
         "containment" -> { d =>
           val ds = docs(d).select("doc_id", "text")

@@ -2513,6 +2513,62 @@ object SparkEntry {
         "WHERE n_chunks >= 2 " +
         "ORDER BY corpus_doc, bench_doc, start_corpus, start_bench")),
 
+    // DECONTAMINATION end-to-end: the spans screen composed with the
+    // scrub — leaked benchmark spans are EXCISED from the corpus (span
+    // level, so a page quoting one eval question keeps its other
+    // paragraphs; a verbatim benchmark twin comes back as ''). Same
+    // fixture as q_text_contamination_spans; the oracle chains the
+    // bipartite run detection into the slice reconstruction.
+    Q("q_text_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val concats = docs.as("a").filter(col("doc_id") % 10 === 0)
+          .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+          .select((col("a.doc_id") + lit(20000L)).as("doc_id"),
+            concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+        val bench = docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+        Dedup.decontaminate(docs.unionByName(concats), bench,
+            chunkTokens = 16, minChunks = 2, maxChunkDf = 64)
+          .orderBy("doc_id")
+      },
+      Some("WITH d AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT a.doc_id + 20000 AS doc_id, " +
+        "a.text || ' ' || b.text AS text FROM documents a " +
+        "JOIN documents b ON b.doc_id = a.doc_id + 1 " +
+        "WHERE a.doc_id % 10 = 0), " +
+        "bd AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents " +
+        "WHERE doc_id % 50 = 0), " +
+        chunkFpCtes("d", "c") + ", " +
+        chunkFpCtes("bd", "b") + ", " +
+        "hot AS (SELECT f FROM cfp GROUP BY f HAVING count(*) > 64), " +
+        "rare AS (SELECT cfp.* FROM cfp ANTI JOIN hot USING (f)), " +
+        "m AS (SELECT r.doc_id AS corpus_doc, b.doc_id AS bench_doc, " +
+        "r.idx AS ia, b.idx AS ib FROM rare r JOIN bfp b ON r.f = b.f), " +
+        "r2 AS (SELECT corpus_doc, bench_doc, ia, ib, ia - ib AS diag, " +
+        "ia - row_number() OVER (PARTITION BY corpus_doc, bench_doc, " +
+        "ia - ib ORDER BY ia) AS grp FROM m), " +
+        "g AS (SELECT corpus_doc, bench_doc, " +
+        "CAST(min(ia) AS BIGINT) AS start_corpus, count(*) AS n_chunks " +
+        "FROM r2 GROUP BY corpus_doc, bench_doc, diag, grp), " +
+        "rm0 AS (SELECT corpus_doc AS doc_id, " +
+        "unnest(range(start_corpus, start_corpus + n_chunks)) AS idx FROM g " +
+        "WHERE n_chunks >= 2), " +
+        "rmd AS (SELECT DISTINCT doc_id, idx FROM rm0), " +
+        "rms AS (SELECT doc_id, list(idx ORDER BY idx) AS rms, " +
+        "count(*) AS n_removed FROM rmd GROUP BY 1), " +
+        "tall AS (SELECT doc_id, " + toksSql + " AS t FROM d), " +
+        "base AS (SELECT doc_id, t, CASE WHEN t IS NULL OR len(t) = 0 " +
+        "THEN 0 ELSE (len(t) - 1) // 16 + 1 END AS n_chunks FROM tall) " +
+        "SELECT b.doc_id, CAST(b.n_chunks AS BIGINT) AS n_chunks, " +
+        "CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed_chunks, " +
+        "CASE WHEN b.t IS NULL THEN NULL WHEN b.n_chunks = 0 THEN '' " +
+        "ELSE COALESCE(array_to_string(flatten([b.t[(i*16+1):(i*16+16)] " +
+        "FOR i IN range(0, b.n_chunks) " +
+        "IF NOT list_contains(COALESCE(r.rms, CAST([] AS BIGINT[])), i)]), " +
+        "' '), '') END AS text " +
+        "FROM base b LEFT JOIN rms r USING (doc_id) ORDER BY b.doc_id")),
+
     // Incremental exact dedup: a new batch (every second document, re-keyed)
     // deduped against itself and the already-seen corpus (every third
     // document) — only novel digests survive the anti-join.

@@ -677,6 +677,30 @@ object Dedup {
     * scan-side projection. Text shuffles nowhere — the join carries only
     * index arrays. Output: (doc_id, n_chunks, n_removed_chunks, text).
     */
+  /** DECONTAMINATE the corpus against a benchmark/eval suite — the
+    * composition real pipelines ship: [[duplicatePassagesAgainst]] finds
+    * WHERE benchmark text leaked into training documents (span-level,
+    * not doc-level), and [[scrubPassages]] excises exactly those spans
+    * and rebuilds the text, leaving the rest of each document usable
+    * (doc-level decontamination throws away an entire page because one
+    * paragraph quotes an eval question). A corpus document that IS a
+    * benchmark item comes back as '' — removed in full, visibly.
+    * Output: every corpus doc as (doc_id, n_chunks, n_removed_chunks,
+    * text). Scale shape is the two components': bipartite chunk match
+    * with broadcast benchmark + hot-chunk screen, removal set as index
+    * arrays, reconstruction as a scan-side slice concat.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      chunkTokens: Int = 16, minChunks: Int = 2, maxChunkDf: Long = 64,
+      textCol: String = "text",
+      checkpointDir: Option[String] = None): DataFrame =
+    scrubPassages(corpus,
+      duplicatePassagesAgainst(corpus, benchmark, chunkTokens, minChunks,
+        maxChunkDf, textCol, checkpointDir)
+        .select(col("corpus_doc").as("doc_b"),
+          col("start_corpus").as("start_b"), col("n_chunks")),
+      chunkTokens, textCol)
+
   def scrubPassages(docs: DataFrame, runs: DataFrame, chunkTokens: Int = 16,
       textCol: String = "text"): DataFrame = {
     require(chunkTokens > 0, "chunk size must be positive")

@@ -1074,6 +1074,30 @@ class PipelineSpec extends SparkSpec {
       "null-safe grouping/join must count the NULL class like any other")
   }
 
+  test("decontaminate: leaked spans excised, verbatim twins emptied, clean docs untouched") {
+    import graft.functions.Dedup
+    // 4-token chunks: benchmark item = 8 tokens (2 chunks); corpus doc 1
+    // QUOTES it mid-document, doc 2 IS it verbatim, doc 3 is clean
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta"
+    val prefix = (1 to 8).map(i => s"p$i").mkString(" ")   // 2 clean chunks
+    val suffix = (1 to 4).map(i => s"s$i").mkString(" ")   // 1 clean chunk
+    val corpus = Seq(
+      (1L, s"$prefix $benchText $suffix"),
+      (2L, benchText),
+      (3L, "totally clean words nothing shared with any benchmark item at all x y z"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, chunkTokens = 4,
+      minChunks = 2, maxChunkDf = 64)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == (1L, 5L, 2L, s"$prefix $suffix"),
+      s"quoting doc keeps its own content, sheds the leak: ${out(0)}")
+    assert(out(1) == (2L, 2L, 2L, ""),
+      s"verbatim benchmark twin comes back empty: ${out(1)}")
+    assert(out(2)._3 == 0L && out(2)._4.nonEmpty, "clean doc untouched")
+  }
+
   test("line dedup: corpus-wide keep-first, boilerplate excised, all-dup docs go empty") {
     import graft.functions.Dedup
     val docs = Seq(

@@ -2169,6 +2169,23 @@ object SparkEntry {
         .orderBy("doc_id"),
       Some(filterVerdictOracle)),
 
+    // FILTER-STACK ABLATION: per rejection reason, total firings and
+    // UNIQUE rejections (docs the stack would re-admit without that one
+    // arm) — redundant arms show up as high-n_rejected/zero-n_unique.
+    // The oracle replays the verdict chain and the explode/aggregate.
+    Q("q_text_filter_ablation",
+      (s, d) => TextAnalysis.filterAblation(
+        TextAnalysis.filterVerdict(Tables.documents(s, d)))
+        .orderBy("reason"),
+      Some(s"WITH $verdictCtes, " +
+        "rej AS (SELECT doc_id, string_split(reasons, ',') AS rs FROM v " +
+        "WHERE reasons <> ''), " +
+        "ab AS (SELECT doc_id, unnest(rs) AS reason, len(rs) = 1 AS solo " +
+        "FROM rej) " +
+        "SELECT reason, CAST(count(*) AS BIGINT) AS n_rejected, " +
+        "CAST(count(*) FILTER (solo) AS BIGINT) AS n_unique " +
+        "FROM ab GROUP BY 1 ORDER BY reason")),
+
     // BM25 ranked retrieval (rational-idf variant — see bm25Search scaladoc)
     // over a mixed-rarity query: 'dup' has df≈25 vs ≈385 for the common
     // terms, so idf weighting visibly reorders the hits. The oracle replays

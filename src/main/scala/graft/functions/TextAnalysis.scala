@@ -799,6 +799,26 @@ object TextAnalysis {
       (reasons === "").as("keep"), reasons.as("reasons"))
   }
 
+  /** FILTER-STACK ABLATION report over [[filterVerdict]] output — the
+    * tuning view a pipeline owner reads before touching a threshold: per
+    * rejection reason, how many documents it fires on (`n_rejected`) and
+    * how many it REJECTS ALONE (`n_unique` — the documents the stack
+    * would re-admit if that one arm were removed; an arm with high
+    * n_rejected but near-zero n_unique is redundant with the rest of the
+    * stack, and one with high n_unique carries real selectivity). One
+    * explode + hash aggregate over the already-computed verdicts; the
+    * reason vocabulary is bounded, so the result is a handful of rows at
+    * any corpus size.
+    */
+  def filterAblation(verdicts: DataFrame): DataFrame =
+    verdicts.filter(!col("keep"))
+      .select(split(col("reasons"), ",").as("rs"))
+      .select(explode(col("rs")).as("reason"),
+        (size(col("rs")) === 1).as("only"))
+      .groupBy(col("reason"))
+      .agg(count(lit(1)).as("n_rejected"),
+        sum(when(col("only"), 1L).otherwise(0L)).as("n_unique"))
+
   /** PII detection counts + redaction — the scrub pass a training corpus
     * runs before anything ships. Deliberately simple, engine-portable
     * regexes (both Java regex and RE2 accept them with identical

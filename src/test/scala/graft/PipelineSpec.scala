@@ -1074,6 +1074,24 @@ class PipelineSpec extends SparkSpec {
       "null-safe grouping/join must count the NULL class like any other")
   }
 
+  test("filter ablation: unique rejections isolate each arm's real selectivity") {
+    import graft.functions.TextAnalysis
+    // hand-built verdicts: reason A fires on 3 docs but alone on only 1;
+    // reason B alone on 2; kept docs contribute nothing
+    val verdicts = Seq(
+      (1L, false, "a"),
+      (2L, false, "a,b"),
+      (3L, false, "a,b"),
+      (4L, false, "b"),
+      (5L, false, "b"),
+      (6L, true, ""))
+      .toDF("doc_id", "keep", "reasons")
+    val out = TextAnalysis.filterAblation(verdicts).orderBy("reason")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", 3L, 1L), ("b", 4L, 2L)),
+      s"n_rejected counts every firing, n_unique only solo firings: ${out.toSeq}")
+  }
+
   test("decontaminate: leaked spans excised, verbatim twins emptied, clean docs untouched") {
     import graft.functions.Dedup
     // 4-token chunks: benchmark item = 8 tokens (2 chunks); corpus doc 1

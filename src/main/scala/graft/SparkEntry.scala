@@ -1625,8 +1625,8 @@ object SparkEntry {
     * score fold — shared by the one-shot and persisted-index queries
     * (write→read fidelity: the stored tables must answer like a fresh fit).
     */
-  private lazy val sq8Oracle: String =
-    s"WITH $normEmbCte, " +
+  private lazy val sq8ScoredCtes: String =
+    s"$normEmbCte, " +
       "dm AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx FROM nv, " +
       "(SELECT unnest(range(1, 65)) AS i) GROUP BY i), " +
       "ex AS (SELECT vec_id, i, v[i] AS x FROM nv, " +
@@ -1643,8 +1643,36 @@ object SparkEntry {
       "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       "list(qv[dec.i] * dec.dx ORDER BY dec.i)), (acc, x) -> acc + x) " +
       "AS score FROM dec, q0 WHERE dec.vec_id <> q0.query_id " +
-      "GROUP BY 1, 2), " +
-      topKSql("sc", 10)
+      "GROUP BY 1, 2)"
+
+  private lazy val sq8Oracle: String =
+    s"WITH $sq8ScoredCtes, " + topKSql("sc", 10)
+
+  /** Per-query shortlist CTE — stage 1 of the refine oracles: top `n` of a
+    * scored CTE with the coarse rank carried as `coarse_rank`.
+    */
+  private def shortlistCte(scored: String, n: Int, out: String): String =
+    s"$out AS (SELECT query_id, neighbor_id, rank AS coarse_rank FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY query_id " +
+      s"ORDER BY score DESC, neighbor_id) AS rank FROM $scored) " +
+      s"WHERE rank <= $n)"
+
+  /** Stage 2 of the refine oracles: exact full-dim rescoring of a
+    * shortlist CTE (expects `nv` and `q0(query_id, qv)` in scope) and the
+    * final top-k keeping both ranks — the [[graft.functions.Similarity
+    * .refineExact]] replay.
+    */
+  private def refineTailSql(shortlist: String, k: Int): String =
+    s"rfx AS (SELECT s.query_id, s.neighbor_id, s.coarse_rank, " +
+      s"${dotSql("q0.qv", "c.v")} AS score FROM $shortlist s " +
+      "JOIN nv c ON c.vec_id = s.neighbor_id " +
+      "JOIN q0 ON q0.query_id = s.query_id), " +
+      "rr AS (SELECT *, row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY score DESC, neighbor_id) AS rank FROM rfx) " +
+      "SELECT query_id, neighbor_id, " +
+      "CAST(coarse_rank AS INT) AS coarse_rank, " +
+      s"CAST(rank AS INT) AS rank, score FROM rr WHERE rank <= $k " +
+      "ORDER BY query_id, rank"
 
   private def topKSql(scoredCte: String, k: Int): String =
     s"r AS (SELECT *, row_number() OVER (PARTITION BY query_id " +
@@ -2939,6 +2967,64 @@ object SparkEntry {
         finally Similarity.dropSqIndex(s, name)
       },
       Some(sq8Oracle)),
+
+    // Two-stage retrieval: SQ8 shortlist (the memory-bound codes scan) →
+    // EXACT rescoring of |queries|×40 raw vectors (FAISS IndexRefineFlat
+    // semantics). Compression error then only affects shortlist
+    // membership, never final order — the oracle replays both stages.
+    Q("q_sim_topk_sq8_refined",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.sqRefinedTopK(emb,
+            emb.filter(col("vec_id") % 100 === 0), k = 10, shortlist = 40)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"WITH $sq8ScoredCtes, ${shortlistCte("sc", 40, "sl")}, " +
+        refineTailSql("sl", 10))),
+
+    // Matryoshka (prefix-dimension) retrieval: coarse scores over the
+    // FIRST 16 of 64 dims (a slice projection — no training pass at all),
+    // exact full-dim refine on the 40-deep shortlist.
+    Q("q_sim_topk_mrl",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.mrlRefinedTopK(emb,
+            emb.filter(col("vec_id") % 100 === 0), k = 10,
+            prefixDims = 16, shortlist = 40)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"WITH $normEmbCte, " +
+        "q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv " +
+        "WHERE vec_id % 100 = 0), " +
+        "scp AS (SELECT query_id, c.vec_id AS neighbor_id, " +
+        s"${foldSumSql("[q0.qv[i] * c.v[i] FOR i IN range(1, 17)]")} " +
+        "AS score FROM nv c, q0 WHERE c.vec_id <> q0.query_id), " +
+        s"${shortlistCte("scp", 40, "sl")}, " + refineTailSql("sl", 10))),
+
+    // HARD-NEGATIVE MINING — contrastive training data: per labeled
+    // anchor, the k nearest vectors with a DIFFERENT label (the
+    // confusable negatives). The label inequality keeps it a broadcast
+    // scoring join (q_sim_topk_brute class); NULL-label rows drop out on
+    // both sides.
+    Q("q_sim_hard_negatives",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.hardNegatives(emb,
+            emb.filter(col("vec_id") % 100 === 0), k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+        "label FROM embeddings), " +
+        "n AS (SELECT vec_id, v, label, sqrt(" +
+        foldSumSql("[x * x FOR x IN v]") + ") AS nrm FROM e), " +
+        "nv AS (SELECT vec_id, [x / nrm FOR x IN v] AS v, label FROM n " +
+        "WHERE nrm > 0), " +
+        "q AS (SELECT vec_id AS query_id, v AS qv, label FROM nv " +
+        "WHERE vec_id % 100 = 0 AND label IS NOT NULL), " +
+        "sc AS (SELECT query_id, c.vec_id AS neighbor_id, " +
+        s"${dotSql("qv", "c.v")} AS score FROM nv c " +
+        "JOIN q ON c.label <> q.label), " +
+        topKSql("sc", 10))),
 
     // IVF multi-probe: 8 leading sign bits as the coarse quantizer, probes
     // = {bucket, bucket^1, bucket^2}, per-bucket scoring, exact top-k.

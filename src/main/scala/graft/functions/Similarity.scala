@@ -1182,4 +1182,105 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "score")
   }
+
+  /** EXACT-RESCORING REFINE — the second stage of two-stage retrieval
+    * (FAISS `IndexRefineFlat` semantics): a cheap coarse stage produces a
+    * per-query SHORTLIST (`candidates`: query_id, neighbor_id, rank), and
+    * only those shortlist vectors are re-scored with the exact full-dim
+    * cosine; the final top-k is exact ON THE SHORTLIST. Compression error
+    * then affects only which candidates make the shortlist, never their
+    * final order — recall@k of a refined stack is bounded below by the
+    * coarse stack's recall@shortlist, which is far easier to keep high.
+    *
+    * Scale shape: the shortlist is |queries|·shortlist rows — evaluation-
+    * sized, broadcast — so the raw-vector side is ONE corpus scan joined by
+    * a broadcast hash join on vec_id (with the corpus stored as a
+    * [[writeAnnIndex]]-style id-bucketed table this collapses to bucket-
+    * pruned point reads); the coarse stage never touches raw floats. The
+    * only exchange is the final per-query top-k window on evaluation-sized
+    * rows. Candidates keep their stage-1 rank (`coarse_rank`) beside the
+    * exact cosine so downstream debugging sees both orders (the
+    * [[rerankCandidates]] convention).
+    */
+  def refineExact(candidates: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    val c = normalized(corpus)
+    val q = normalized(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val cand = candidates.select(col("query_id"), col("neighbor_id"),
+      col("rank").as("coarse_rank"))
+    val scored = c.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("coarse_rank"),
+        dot(col("qv"), col("v")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "coarse_rank", "rank", "score")
+  }
+
+  /** SQ8 shortlist → exact refine: the memory-bound scan stays on the 4×-
+    * smaller int8 codes ([[sqTopK]] at `shortlist`), and only
+    * |queries|·shortlist raw vectors are read back for exact rescoring.
+    * The production shape when codes fit in memory and raw vectors live in
+    * (bucketed) storage.
+    */
+  def sqRefinedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      shortlist: Int = 40, levels: Int = 256): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    refineExact(sqTopK(corpus, queries, shortlist, levels), corpus, queries, k)
+  }
+
+  /** MATRYOSHKA (prefix-dimension) shortlist → exact refine — the MRL
+    * retrieval pattern (Kusupati et al. 2022): coarse scores use only the
+    * FIRST `prefixDims` components of the already-normalized vectors (a
+    * `slice` projection — 4× less arithmetic and bandwidth at 16 of 64
+    * dims), then the shortlist re-scores with the full dimension. Unlike
+    * SQ/PQ this needs NO training pass at all; it works exactly when the
+    * embedding model front-loads information into the leading dimensions
+    * (true of MRL-trained models; on the synthetic corpus the prefix is
+    * just an unbiased low-rank projection).
+    */
+  def mrlRefinedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      prefixDims: Int = 16, shortlist: Int = 40): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val c = normalized(corpus)
+      .select(col("vec_id"), slice(col("v"), 1, prefixDims).as("pv"))
+    val q = normalized(queries)
+      .select(col("vec_id").as("query_id"),
+        slice(col("v"), 1, prefixDims).as("qp"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("qp"), col("pv")).as("score"))
+    refineExact(topKPerQuery(scored, shortlist), corpus, queries, k)
+  }
+
+  /** HARD-NEGATIVE MINING — the contrastive-training-data operator: for
+    * each labeled anchor, the k nearest vectors whose label DIFFERS from
+    * the anchor's (the "confusable" negatives that make contrastive /
+    * reranker training data informative; random negatives are trivially
+    * separable). The label inequality keeps this a broadcast scoring join
+    * like [[bruteForceTopK]] (an inequality cannot hash-partition), so the
+    * corpus streams once against the broadcast anchor set and the only
+    * exchange is the final per-query top-k window. Anchors or corpus rows
+    * with NULL labels drop out (an inequality against NULL is unknown —
+    * a row with no label is neither a positive nor a safe negative).
+    * For cell-bounded candidate generation at extreme corpus sizes,
+    * compose with [[refineExact]] over an IVF shortlist instead.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      labelCol: String = "label"): DataFrame = {
+    val c = normalizedWith(corpus, labelCol)
+      .filter(col(labelCol).isNotNull)
+    val q = normalizedWith(queries, labelCol)
+      .filter(col(labelCol).isNotNull)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col(labelCol).as("__qlabel"))
+    val scored = c.join(broadcast(q), col(labelCol) =!= col("__qlabel"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("qv"), col("v")).as("score"))
+    topKPerQuery(scored, k)
+  }
 }

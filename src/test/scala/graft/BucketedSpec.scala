@@ -319,6 +319,98 @@ class BucketedSpec extends SparkSpec {
     assert(res >= 0.4, s"residual IVFADC recall@10 at defaults = $res < 0.4")
   }
 
+  test("refine: exact rescoring lifts SQ8/MRL shortlists; full shortlist ≡ brute force") {
+    import graft.functions.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.bruteForceTopK(emb, qs, k = 10).localCheckpoint(true)
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(approx, exact, k = 10)
+        .agg(avg($"recall")).head().getDouble(0)
+
+    // refined recall is bounded below by coarse recall@shortlist — the
+    // whole point of the refine stage: at shortlist=4k the SQ8 stack's
+    // residual quantization error can only cost candidates that fell out
+    // of the top-40, so refined recall must be >= the unrefined stack's
+    val sqPlain = meanRecall(Similarity.sqTopK(emb, qs, k = 10))
+    val sqRef = meanRecall(Similarity.sqRefinedTopK(emb, qs, k = 10))
+    assert(sqRef >= sqPlain,
+      s"refined SQ8 recall $sqRef fell below unrefined $sqPlain")
+    assert(sqRef >= 0.9, s"refined-SQ8 recall@10 = $sqRef < 0.9")
+
+    // on this NEAR-UNIFORM corpus the 16-dim prefix is just an unbiased
+    // 1/4-rank projection, so recall is shortlist-bounded (measured 0.38) —
+    // the front-loaded-fixture test below shows the regime MRL is FOR;
+    // this floor gates against arithmetic regressions only
+    val mrl = meanRecall(Similarity.mrlRefinedTopK(emb, qs, k = 10))
+    assert(mrl >= 0.3, s"MRL(16/64) refined recall@10 = $mrl < 0.3")
+
+    // degenerate shortlist = whole corpus: the refine stage IS brute force
+    // (same rows, same exact scores) — pins the rescoring arithmetic
+    val n = emb.count().toInt
+    val full = Similarity.sqRefinedTopK(emb, qs, k = 10, shortlist = n)
+      .select("query_id", "neighbor_id", "rank", "score")
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val brute = exact.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(full == brute, "full-shortlist refine must equal brute force")
+  }
+
+  test("mrl: prefix shortlist is near-exact when embeddings front-load information") {
+    import graft.functions.Similarity
+    val rnd = new scala.util.Random(41)
+    // the regime Matryoshka training produces: ~95% of each vector's energy
+    // in the leading 16 of 64 dims, tail dims are low-amplitude noise. The
+    // 16-dim coarse ordering then nearly matches the full-dim one and the
+    // refined stack is near-exact.
+    val corpus = (0 until 120).map { i =>
+      val head = Array.fill(16)((rnd.nextDouble() - 0.5) * 2.0)
+      val tail = Array.fill(48)((rnd.nextDouble() - 0.5) * 0.1)
+      (i.toLong, (head ++ tail).map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val qs = corpus.filter($"vec_id" % 20 === 0)
+    val exact = Similarity.bruteForceTopK(corpus, qs, k = 10)
+    val mrl = Similarity.mrlRefinedTopK(corpus, qs, k = 10)
+    val rec = Similarity.recallAtK(mrl, exact, k = 10)
+      .agg(avg($"recall")).head().getDouble(0)
+    assert(rec >= 0.9, s"front-loaded MRL recall@10 = $rec < 0.9")
+  }
+
+  test("hard negatives: different-label-only, exact, and self-excluded by construction") {
+    import graft.functions.Similarity
+    val rnd = new scala.util.Random(31)
+    // two interleaved label groups; anchors must mine only cross-label rows
+    val corpus = (0 until 40).map { i =>
+      val v = Array.fill(6)((rnd.nextDouble() - 0.5).toFloat)
+      (i.toLong, v.toSeq, i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val anchors = corpus.filter($"vec_id" % 10 === 0)
+    val out = Similarity.hardNegatives(corpus, anchors, k = 5)
+    val labels = corpus.select($"vec_id", $"label".as("nl"))
+    val joined = out.join(labels, out("neighbor_id") === labels("vec_id"))
+      .join(anchors.select($"vec_id".as("aid"), $"label".as("al")),
+        out("query_id") === $"aid")
+    assert(joined.filter($"nl" === $"al").count() == 0,
+      "a mined hard negative shares its anchor's label")
+    // equals brute force restricted to the cross-label corpus, per anchor
+    val a0 = anchors.orderBy("vec_id").collect()(0)
+    val a0id = a0.getLong(0)
+    val a0label = a0.getInt(2)
+    val restricted = Similarity.bruteForceTopK(
+        corpus.filter($"label" =!= a0label),
+        corpus.filter($"vec_id" === a0id), k = 5)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    val mined = out.filter($"query_id" === a0id)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(mined == restricted,
+      "hard negatives must equal brute force over the cross-label slice")
+    // NULL-label rows are neither anchors nor negatives
+    val withNull = corpus.withColumn("label",
+      when($"vec_id" === 1L, lit(null)).otherwise($"label"))
+    val outN = Similarity.hardNegatives(withNull, withNull, k = 3)
+    assert(outN.filter($"query_id" === 1L).count() == 0, "NULL-label anchor")
+    assert(outN.filter($"neighbor_id" === 1L).count() == 0, "NULL-label negative")
+  }
+
   test("pq: ADC code search recovers structured neighbors; deterministic across runs") {
     import graft.functions.Similarity
     val rnd = new scala.util.Random(13)

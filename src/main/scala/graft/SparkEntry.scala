@@ -936,6 +936,18 @@ object SparkEntry {
       .mkString("CAST(CASE source ", " ", " ELSE 0 END AS BIGINT)")
   }
 
+  /** Token budget + rendered per-source targets for q_sample_epoch_plan:
+    * the same apportion call the operator makes, rendered once into the
+    * oracle (data-independent constants — the mixQuota rule).
+    */
+  private val epochBudget = 40000L
+  private lazy val epochTargetSql: String = {
+    val qs = graft.functions.Sampling.apportion(mixParts, epochBudget)
+    qs.toSeq.sortBy(_._1)
+      .map { case (s, q) => s"WHEN '$s' THEN $q" }
+      .mkString("CAST(CASE source ", " ", " ELSE 0 END AS BIGINT)")
+  }
+
   /** DuckDB CTE `fp`: the content fingerprint of every document — an exact
     * replay of RollingHash.compute (left fold of acc*31+codepoint mod
     * 2^58-27 over the normalized text). Shared by the fingerprint query and
@@ -1921,6 +1933,30 @@ object SparkEntry {
         s"SELECT doc_id, source, mix_rank, $mixQuotaSql AS quota, " +
         s"mix_rank <= $mixQuotaSql AS keep FROM r ORDER BY doc_id")),
 
+    // DATA-CONSTRAINED EPOCH PLAN: a 40k-token budget split 4:2:1:1 over
+    // src0..src3 against the corpus's measured per-source token counts —
+    // epochs = exact integer ceil(target/available) plus the final partial
+    // pass, sources past 4 epochs flagged (the Muennighoff repetition
+    // cap). Targets are apportioned ONCE in Scala and rendered into both
+    // engines (the mixQuota rule); everything data-dependent is replayed.
+    Q("q_sample_epoch_plan",
+      (s, d) => graft.functions.Sampling.epochPlan(
+        Tables.documents(s, d), mixParts, budgetTokens = epochBudget)
+        .orderBy("source"),
+      Some("WITH a AS (SELECT source, " +
+        s"CAST(sum(len($toksSql)) AS BIGINT) AS available_tokens " +
+        "FROM documents WHERE text IS NOT NULL GROUP BY source), " +
+        s"t AS (SELECT a.*, $epochTargetSql AS target_tokens FROM a), " +
+        "e AS (SELECT *, CAST(CASE WHEN target_tokens > 0 " +
+        "AND available_tokens > 0 THEN " +
+        "(target_tokens + available_tokens - 1) // available_tokens " +
+        "ELSE 0 END AS BIGINT) AS epochs FROM t) " +
+        "SELECT source, available_tokens, target_tokens, epochs, " +
+        "CAST(CASE WHEN epochs > 0 THEN target_tokens - " +
+        "(epochs - 1) * available_tokens ELSE 0 END AS BIGINT) " +
+        "AS last_epoch_tokens, epochs > 4 AS over_epoch_cap " +
+        "FROM e ORDER BY source")),
+
     // TEMPERATURE-scaled mixture (α = 0.5, the UniMax/multilingual
     // up-sampling shape): quotas ∝ √(source count), weights computed FROM
     // THE DATA — one correctly-rounded IEEE sqrt per source into 2^20
@@ -2462,6 +2498,45 @@ object SparkEntry {
         "COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) " +
         "ORDER BY idx), '') AS text " +
         "FROM lk GROUP BY doc_id ORDER BY doc_id")),
+
+    // WITHIN-DOCUMENT paragraph dedup — the document-local complement of
+    // the corpus-global line rule above (scraper stutter / double-rendered
+    // templates inside one page): repeated paragraphs keep their first
+    // occurrence, per document, with NO shuffle at all (first-occurrence
+    // keep is an array projection). The corpus has no newlines, so the
+    // fixture builds each doc as paragraphs [A, B, A, C] from its own
+    // 12-token slices — a guaranteed within-doc duplicate, replayed
+    // verbatim by the oracle.
+    Q("q_text_paragraph_dedup",
+      (s, d) => {
+        val sp = split(col("text"), " ")
+        def para(start: Int) = concat_ws(" ", slice(sp, start, 12))
+        val docs = Tables.documents(s, d)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            concat_ws("\n", para(1), para(13), para(1), para(25)).as("text"))
+        Dedup.paragraphDedup(docs).orderBy("doc_id")
+      },
+      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        // COALESCE each slice: array_to_string([]) is NULL in DuckDB but
+        // concat_ws of an empty slice is '' in Spark
+        "d2 AS (SELECT doc_id, COALESCE(array_to_string(sp[1:12], ' '), '') " +
+        "|| chr(10) || COALESCE(array_to_string(sp[13:24], ' '), '') " +
+        "|| chr(10) || COALESCE(array_to_string(sp[1:12], ' '), '') " +
+        "|| chr(10) || COALESCE(array_to_string(sp[25:36], ' '), '') " +
+        "AS text FROM t), " +
+        "ls AS (SELECT doc_id, string_split(text, chr(10)) AS pp FROM d2), " +
+        "lx AS (SELECT doc_id, u.idx AS idx, u.para AS para FROM " +
+        "(SELECT doc_id, unnest([{'idx': i - 1, 'para': pp[i]} " +
+        "FOR i IN range(1, len(pp) + 1)]) AS u FROM ls) q0), " +
+        "fo AS (SELECT doc_id, idx, para, " +
+        "min(idx) OVER (PARTITION BY doc_id, para) AS fidx FROM lx) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras, " +
+        "CAST(count(*) FILTER (idx = fidx) AS BIGINT) AS n_kept, " +
+        "COALESCE(string_agg(CASE WHEN idx = fidx THEN para END, chr(10) " +
+        "ORDER BY idx), '') AS text " +
+        "FROM fo GROUP BY doc_id ORDER BY doc_id")),
 
     Q("q_dedup_passage_scrub",
       (s, d) => {

@@ -874,6 +874,41 @@ object Dedup {
             s => s.getField("line"))).as(textCol))
   }
 
+  /** WITHIN-DOCUMENT paragraph dedup — C4's other span rule (Raffel et
+    * al. 2020 §2.2: "discard all but one of any three-sentence span
+    * occurring more than once", applied here at the `sep`-delimited
+    * paragraph unit): inside EACH document, a repeated paragraph keeps
+    * only its first occurrence and the document rebuilds from the
+    * survivors in order. The complement of [[lineDedup]]: that rule is
+    * corpus-global (boilerplate shared across pages) and pays one
+    * line-keyed shuffle; this rule is document-local (scraper stutter,
+    * infinite-scroll double-renders, template loops inside one page) and
+    * therefore needs NO shuffle at all — first-occurrence keep is a pure
+    * array projection (`filter` with an index lambda against
+    * `array_position`, which returns the FIRST index of a value), so the
+    * operator runs at scan speed on any corpus size: 100 TB streams
+    * through map-only tasks straight to the sink.
+    *
+    * Output one row per non-NULL-text document: (doc_id, n_paras,
+    * n_kept, text) — text is the kept paragraphs re-joined with `sep`
+    * ('' stays '', never NULL). Quadratic only in PARAGRAPHS PER DOC
+    * (array_position scans the row's own array), which is bounded by
+    * document length, not corpus size.
+    */
+  def paragraphDedup(docs: DataFrame, sep: String = "\n",
+      textCol: String = "text"): DataFrame = {
+    val paras = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"), paras.as("__p"))
+      .select(col("doc_id"), col("__p"),
+        filter(col("__p"),
+          (x, i) => array_position(col("__p"), x) === (i + 1)).as("__k"))
+      .select(col("doc_id"),
+        size(col("__p")).cast("long").as("n_paras"),
+        size(col("__k")).cast("long").as("n_kept"),
+        array_join(col("__k"), sep).as(textCol))
+  }
+
   /** Cross-corpus variant of [[bandedHammingPairs]]: near-dup pairs of a
     * BATCH signature frame against a SEEN one — the incremental-screen
     * shape. The batch side (a trigger's worth) explodes into its 4 band

@@ -282,6 +282,50 @@ object Sampling {
     base.map { case (s, q) => s -> (if (extras(s)) q + 1 else q) }
   }
 
+  /** DATA-CONSTRAINED EPOCH PLAN — the repetition question a token-budgeted
+    * training run has to answer (Muennighoff et al. 2023, "Scaling
+    * data-constrained language models"): given a token budget and a target
+    * per-source mixture, how many PASSES (epochs) over each source does the
+    * run make, and how big is the final partial pass? Targets are the exact
+    * Hamilton apportionment of `budgetTokens` across the config weights
+    * ([[apportion]] — data-independent integer constants, computed once on
+    * the driver and rendered identically into both engines); available
+    * tokens are measured from the data (the shared whitespace token count);
+    * epochs = ⌈target / available⌉ in exact integer arithmetic. epochs > 1
+    * is the data-constrained regime; `over_epoch_cap` flags sources past 4
+    * epochs, where repeated data's value has decayed measurably in
+    * Muennighoff's fits — the planner's signal to re-weight the mixture.
+    *
+    * Scale shape: ONE corpus scan collapses to a |sources|-row aggregate;
+    * every plan column is arithmetic on that tiny frame. Sources present in
+    * the data but absent from `weights` get target 0 (reported, zero
+    * epochs) — the audit sees them instead of losing them.
+    */
+  def epochPlan(docs: DataFrame, weights: Map[String, Long],
+      budgetTokens: Long, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val targets = apportion(weights, budgetTokens)
+    val targetCol = targets.toSeq.sortBy(_._1).foldRight(lit(0L)) {
+      case ((s, q), rest) => when(col("source") === s, lit(q)).otherwise(rest)
+    }
+    docs.filter(col(textCol).isNotNull)
+      .groupBy(col(sourceCol).as("source"))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long"))
+        .as("available_tokens"))
+      .select(col("source"), col("available_tokens"),
+        targetCol.as("target_tokens"))
+      .withColumn("epochs",
+        when(col("target_tokens") > 0 && col("available_tokens") > 0,
+          expr("(target_tokens + available_tokens - 1) div available_tokens"))
+          .otherwise(0L))
+      .withColumn("last_epoch_tokens",
+        when(col("epochs") > 0,
+          col("target_tokens") -
+            (col("epochs") - 1L) * col("available_tokens"))
+          .otherwise(0L))
+      .withColumn("over_epoch_cap", col("epochs") > 4L)
+  }
+
   /** Deterministic stratified sampling: keep a row iff its content-hash
     * bucket (out of 10,000) falls below the stratum's rate. `rates` maps a
     * stratum value to a keep-fraction in [0, 1]; strata absent from the map

@@ -1140,6 +1140,50 @@ class PipelineSpec extends SparkSpec {
       "below-threshold repeats must all survive at minCount=3")
   }
 
+  test("epoch plan: exact ceil-division epochs, partial final pass, cap flag, unweighted source") {
+    import graft.functions.Sampling
+    val docs = Seq(
+      (1L, "srcA", "t1 t2 t3 t4 t5"), // srcA available = 5 + 5 = 10 tokens
+      (2L, "srcA", "u1 u2 u3 u4 u5"),
+      (3L, "srcB", "x y z"),          // srcB available = 3
+      (4L, "srcC", "p q"))            // in the data, not in the weights
+      .toDF("doc_id", "source", "text")
+    // targets: Hamilton of 40 over weights 1:3 → srcA 10, srcB 30
+    val out = Sampling.epochPlan(docs,
+        Map("srcA" -> 1L, "srcB" -> 3L), budgetTokens = 40L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      ("srcA", 10L, 10L, 1L, 10L, false), // exactly one full pass
+      ("srcB", 3L, 30L, 10L, 3L, true),   // ⌈30/3⌉ = 10 epochs > cap 4
+      ("srcC", 2L, 0L, 0L, 0L, false)))   // unweighted: reported, 0 epochs
+    // partial final pass: budget 41 → srcB target 31 = 10 full + 1 token
+    val partial = Sampling.epochPlan(docs,
+        Map("srcA" -> 1L, "srcB" -> 3L), budgetTokens = 41L)
+      .filter($"source" === "srcB").collect()(0)
+    assert(partial.getLong(3) == 11L && partial.getLong(4) == 1L,
+      "an uneven budget must surface as a 1-token final epoch")
+  }
+
+  test("paragraph dedup: within-doc keep-first only — cross-doc repeats untouched") {
+    import graft.functions.Dedup
+    val docs = Seq(
+      (1L, "intro text\nbody copy\nintro text\noutro"), // within-doc repeat
+      (2L, "intro text\nall unique here"),   // repeats doc 1's para — KEPT (doc-local rule)
+      (3L, "same\nsame\nsame"),              // collapses to one
+      (4L, ""),                              // '' is one paragraph; stays ''
+      (5L, null))                            // NULL text drops out
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 4L, 3L, "intro text\nbody copy\noutro"),
+      (2L, 2L, 2L, "intro text\nall unique here"),
+      (3L, 3L, 1L, "same"),
+      (4L, 1L, 1L, "")))
+  }
+
   test("temperature mixture: quotas sum to budget and up-sample the low-resource source") {
     import graft.functions.Sampling
     // 3 sources, counts 256 / 64 / 16: raw shares 76/19/5 %; √-scaled

@@ -3977,6 +3977,23 @@ object SparkEntry {
         "count(DISTINCT user_id) AS n_users FROM events " +
         "GROUP BY 1, 2 ORDER BY 1, 2")),
 
+    // Conversion-attribution interval join — the BATCH analog of the
+    // stream-stream join (EventsStream.attributionJoin runs unchanged on
+    // this frame; StreamingSpec pins stream≡batch): each purchase pairs
+    // with the same user's clicks in the preceding hour, bounds inclusive.
+    Q("q_events_attribution",
+      (s, d) => graft.streaming.EventsStream.attributionJoin(
+          Tables.events(s, d))
+        .orderBy("conv_id", "cause_id"),
+      Some("SELECT c.user_id, cv.event_id AS conv_id, " +
+        "c.event_id AS cause_id, " +
+        "CAST(c.ts AS TIMESTAMP) AS cause_ts, " +
+        "CAST(cv.ts AS TIMESTAMP) AS conv_ts, cv.value " +
+        "FROM events c JOIN events cv ON cv.user_id = c.user_id " +
+        "AND c.event_type = 'click' AND cv.event_type = 'purchase' " +
+        "AND c.ts <= cv.ts AND c.ts >= cv.ts - INTERVAL 1 HOUR " +
+        "ORDER BY conv_id, cause_id")),
+
     // Z-ORDER curve values over (user_id, day) — the multi-dimensional
     // layout key (Layout.zorderWrite clusters files by it; BucketedSpec
     // measures the 2-D box pruning). Both engines render the interleave

@@ -48,6 +48,44 @@ object EventsStream {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** STREAM-STREAM interval join — conversion attribution: each `convType`
+    * event pairs with the same user's `causeType` events whose timestamp
+    * falls inside [conv_ts − horizon, conv_ts]. This is the canonical
+    * Structured Streaming stream-stream inner join: BOTH sides carry a
+    * watermark and the join condition carries an event-time range, which
+    * is exactly what lets the engine bound its join state — a buffered
+    * cause row is evicted once the watermark passes `cause_ts + horizon`
+    * (no conversion that could still arrive can match it), so state stays
+    * proportional to the horizon × arrival rate, not the stream's
+    * lifetime. Self-join of one events stream (filtered twice) is the
+    * supported micro-batch shape.
+    *
+    * Batch-equivalent by construction: applied to a batch frame the same
+    * code is a plain interval equi-join (the q_events_attribution oracle
+    * replays it in SQL), the stream≡batch property StreamingSpec pins.
+    * At scale the join shuffles both sides on user_id once; the range
+    * predicate evaluates inside the joined partition.
+    */
+  def attributionJoin(events: DataFrame, causeType: String = "click",
+      convType: String = "purchase", horizon: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val cause = events.filter(col("event_type") === causeType)
+      .select(col("user_id"), col("event_id").as("cause_id"),
+        col("ts").as("cause_ts"))
+      .withWatermark("cause_ts", watermark)
+    val conv = events.filter(col("event_type") === convType)
+      .select(col("user_id").as("__conv_user"),
+        col("event_id").as("conv_id"), col("ts").as("conv_ts"),
+        col("value"))
+      .withWatermark("conv_ts", watermark)
+    cause.join(conv,
+        col("user_id") === col("__conv_user") &&
+          col("cause_ts") <= col("conv_ts") &&
+          col("cause_ts") >= col("conv_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("conv_id"), col("cause_id"),
+        col("cause_ts"), col("conv_ts"), col("value"))
+  }
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

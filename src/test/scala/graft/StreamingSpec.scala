@@ -775,6 +775,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join: matches the batch interval join across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventsStream.attributionJoin(events)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    val rows = Seq(
+      // user 1: click at 10:00, purchases at 10:30 (in horizon) and 11:30 (out)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0),
+      (2L, ts("2024-01-01 10:30:00"), 1L, "purchase", 9.0),
+      (3L, ts("2024-01-01 11:30:00"), 1L, "purchase", 7.0),
+      // user 2's click must NOT attribute user 1's purchase
+      (4L, ts("2024-01-01 10:20:00"), 2L, "click", 0.0),
+      // boundary: click exactly horizon before the purchase — inclusive
+      (5L, ts("2024-01-01 12:00:00"), 2L, "click", 0.0),
+      (6L, ts("2024-01-01 13:00:00"), 2L, "purchase", 5.0))
+    try {
+      // split across micro-batches: causes arrive before their conversions
+      in.addData(rows.take(2))
+      q.processAllAvailable()
+      in.addData(rows.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("attrib")
+        .select("user_id", "conv_id", "cause_id", "value")
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+      // batch parity: the SAME operator over the same rows as one frame
+      val batch = EventsStream.attributionJoin(
+          rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .select("user_id", "conv_id", "cause_id", "value")
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(batch == Seq((1L, 2L, 1L, 9.0), (2L, 6L, 5L, 5.0)),
+        "in-horizon and boundary pairs only, per user")
+    } finally q.stop()
+  }
+
   test("streaming and batch compute the same hourly windows") {
     val batch = Seq(
       (ts("2024-01-01 10:05:00"), "view", 10.0),

@@ -664,6 +664,59 @@ object SparkEntry {
         "UNION ALL SELECT 'row_count', rc, rc >= 1000 FROM a) " +
         "ORDER BY check_name")),
 
+    // DISTRIBUTION DRIFT between two snapshots (month halves; the current
+    // side's values engineered ×1.25 so real drift exists): bucket edges =
+    // exact rank statistics of a deterministic id-mix sample of the BASE
+    // (the headMiddleTail cutoff discipline — no global sort), both sides
+    // counted into those buckets, |share delta| > 5% flags. The oracle
+    // replays sample, cuts, assignment, and the share comparison.
+    Q("q_quality_drift",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+        graft.functions.DataQuality.driftReport(
+            ev.filter(col("ts") < cut),
+            ev.filter(col("ts") >= cut)
+              .withColumn("value", col("value") * 1.25),
+            idCol = "event_id", valueCol = "value")
+          .orderBy("bucket")
+      },
+      Some("WITH bse AS (SELECT event_id, value FROM events " +
+        "WHERE ts < TIMESTAMP '2024-01-16 00:00:00' " +
+        "AND value IS NOT NULL), " +
+        "cur AS (SELECT value * CAST(1.25 AS DOUBLE) AS value FROM events " +
+        "WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' " +
+        "AND value IS NOT NULL), " +
+        "smp AS (SELECT CAST(value AS DOUBLE) AS v FROM bse " +
+        s"ORDER BY ${graft.functions.Similarity.sampleHashSql("event_id")}, " +
+        "event_id LIMIT 512), " +
+        "sn AS (SELECT count(*) AS n FROM smp), " +
+        "srt AS (SELECT v, row_number() OVER (ORDER BY v) AS r FROM smp), " +
+        "cl AS (SELECT list(v ORDER BY r) AS cl FROM srt, sn " +
+        "WHERE r IN (SELECT (k * n + 9) // 10 FROM " +
+        "(SELECT unnest(range(1, 10)) AS k), sn)), " +
+        "bc AS (SELECT bucket, count(*) AS n_base FROM " +
+        "(SELECT len(list_filter(cl.cl, e -> CAST(value AS DOUBLE) > e)) " +
+        "AS bucket FROM bse, cl) GROUP BY bucket), " +
+        "cc AS (SELECT bucket, count(*) AS n_current FROM " +
+        "(SELECT len(list_filter(cl.cl, e -> CAST(value AS DOUBLE) > e)) " +
+        "AS bucket FROM cur, cl) GROUP BY bucket), " +
+        "sp AS (SELECT unnest(range(0, 10)) AS bucket), " +
+        "j AS (SELECT sp.bucket, COALESCE(n_base, 0) AS n_base, " +
+        "COALESCE(n_current, 0) AS n_current FROM sp " +
+        "LEFT JOIN bc USING (bucket) LEFT JOIN cc USING (bucket)) " +
+        "SELECT CAST(bucket AS BIGINT) AS bucket, " +
+        "CASE WHEN bucket > 0 THEN cl.cl[CAST(bucket AS INT)] END AS lo, " +
+        "CASE WHEN bucket < 9 THEN cl.cl[CAST(bucket AS INT) + 1] END " +
+        "AS hi, CAST(n_base AS BIGINT) AS n_base, " +
+        "CAST(n_current AS BIGINT) AS n_current, " +
+        "CAST(n_base AS DOUBLE) / sum(n_base) OVER () AS share_base, " +
+        "CAST(n_current AS DOUBLE) / sum(n_current) OVER () " +
+        "AS share_current, " +
+        "abs(CAST(n_base AS DOUBLE) / sum(n_base) OVER () - " +
+        "CAST(n_current AS DOUBLE) / sum(n_current) OVER ()) > 0.05 " +
+        "AS drifted FROM j, cl ORDER BY bucket")),
+
     // Exact-moment Pearson correlations between document metrics (corpus
     // profiling). The aggregation stage is exact BIGINT moments
     // (order-free), the combine stage a fixed IEEE double tree — so the
@@ -2317,6 +2370,32 @@ object SparkEntry {
         "array_to_string(t[(i*16+1):(i*16+32)], ' ') AS chunk_text " +
         "FROM x ORDER BY doc_id, chunk_idx")),
 
+    // Exact dedup with BEST-COPY canonical selection: the doubled corpus's
+    // re-keyed copies land in a 'mirror' source, source priority picks the
+    // original (the curated-beats-crawl keep rule); every row keeps its
+    // verdict + group size. The oracle replays the priority window.
+    Q("q_dedup_exact_best",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+        val doubled = docs.unionByName(
+          docs.select((col("doc_id") + lit(10000L)).as("doc_id"),
+            col("text"), lit("mirror").as("source")))
+        Dedup.exactBest(doubled,
+            when(col("source") === "mirror", 0L).otherwise(1L))
+          .orderBy("doc_id")
+      },
+      Some("WITH d AS (SELECT doc_id, text, source FROM documents " +
+        "UNION ALL SELECT doc_id + 10000, text, 'mirror' FROM documents), " +
+        "h AS (SELECT doc_id, sha256(text) AS content_hash, " +
+        "CAST(CASE WHEN source = 'mirror' THEN 0 ELSE 1 END AS BIGINT) " +
+        "AS score FROM d), " +
+        "w AS (SELECT *, row_number() OVER (PARTITION BY content_hash " +
+        "ORDER BY score DESC, doc_id) AS pick, " +
+        "count(*) OVER (PARTITION BY content_hash) AS dup_count FROM h) " +
+        "SELECT doc_id, content_hash, score, " +
+        "CAST(dup_count AS BIGINT) AS dup_count, pick = 1 AS keep " +
+        "FROM w ORDER BY doc_id")),
+
     // Exact dedup over documents ∪ (re-keyed) documents so duplicate groups
     // actually exist in the corpus.
     Q("q_dedup_exact",
@@ -3186,6 +3265,32 @@ object SparkEntry {
         "COALESCE(dup_5gram_char_frac, 0.0) AS dup_5gram_char_frac " +
         "FROM top2 t LEFT JOIN dup5 d ON t.doc_id = d.doc_id " +
         "ORDER BY t.doc_id")),
+
+    // CORPUS-INTERNAL trigram novelty — the diversity audit beside the
+    // within-doc repetition screen: per doc, the fraction of its distinct
+    // trigrams occurring in NO other document (templated phrasing scores
+    // low even when every page is unique). One trigram-keyed exchange;
+    // novelty = one IEEE division of exact counts.
+    Q("q_text_trigram_novelty",
+      (s, d) => TextAnalysis.trigramNovelty(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(s"WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents " +
+        "WHERE text IS NOT NULL), " +
+        "g0 AS (SELECT doc_id, list_distinct(" +
+        "[array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) " +
+        "AS gs FROM tk), " +
+        "gx AS (SELECT doc_id, unnest(gs) AS g FROM g0), " +
+        "pd AS (SELECT doc_id, count(*) AS n_tri, " +
+        "count(*) FILTER (df = 1) AS n_unique FROM " +
+        "(SELECT doc_id, count(*) OVER (PARTITION BY g) AS df FROM gx) " +
+        "GROUP BY doc_id) " +
+        "SELECT tk.doc_id, " +
+        "CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_trigrams, " +
+        "CAST(COALESCE(n_unique, 0) AS BIGINT) AS n_unique, " +
+        "CASE WHEN n_tri > 0 THEN " +
+        "CAST(n_unique AS DOUBLE) / CAST(n_tri AS DOUBLE) END AS novelty " +
+        "FROM tk LEFT JOIN pd ON tk.doc_id = pd.doc_id " +
+        "ORDER BY tk.doc_id")),
 
     // PII scrub pass: detection counts + tag redaction, engine-portable
     // regexes (the driver corpus is PII-free, so counts replay as zeros and

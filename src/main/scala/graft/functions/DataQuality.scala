@@ -242,4 +242,75 @@ object DataQuality {
           max(when(sensitive.isNull, 1L).otherwise(0L))).as("n_sensitive"))
       .withColumn("l_diverse", col("n_sensitive") >= l)
   }
+
+  /** DISTRIBUTION DRIFT between two snapshots of the same feed — the
+    * training-serving-skew / crawl-drift audit (the PSI report's exact
+    * cousin): bucket edges are exact rank statistics of a deterministic
+    * id-mix SAMPLE of the BASE snapshot (the [[Sampling.headMiddleTail]]
+    * cutoff discipline — never a global sort; the sample is the
+    * `sampleHashSql` permutation, so it replays verbatim in any engine),
+    * both snapshots are counted into those base buckets, and a bucket is
+    * `drifted` when |share_base − share_current| exceeds `threshold`
+    * (shares are one exact-integer-ratio IEEE division each; the compare
+    * is a fixed IEEE tree, bit-identical across engines).
+    *
+    * Scale shape: one bounded top-`sampleSize` selection on the base
+    * (distributed take-ordered, no global sort), then ONE scan + one
+    * |buckets|-row aggregate per snapshot; the bucket spine keeps empty
+    * current-side buckets visible (a vanished value range IS drift).
+    * Output per bucket: (bucket, lo, hi, n_base, n_current, share_base,
+    * share_current, drifted) — lo/hi are the bucket's sample-cut edges
+    * (NULL at the open ends).
+    */
+  def driftReport(base: DataFrame, current: DataFrame, idCol: String,
+      valueCol: String, buckets: Int = 10, threshold: Double = 0.05,
+      sampleSize: Int = 512): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val spark = base.sparkSession
+    val b = base.filter(col(valueCol).isNotNull)
+    val c = current.filter(col(valueCol).isNotNull)
+    // deterministic bounded sample of the BASE; cuts = k-th smallest at
+    // ⌈k·n/buckets⌉ (discrete selection — no interpolation to drift
+    // between engines), k = 1..buckets-1
+    val sample = b
+      .orderBy(expr(Similarity.sampleHashSql(idCol)), col(idCol))
+      .limit(sampleSize)
+      .select(col(valueCol).cast("double")).collect().map(_.getDouble(0))
+      .sorted
+    val n = sample.length
+    require(n >= buckets, s"base sample of $n rows cannot cut $buckets buckets")
+    val cuts = (1 until buckets)
+      .map(k => sample(((k.toLong * n + buckets - 1) / buckets).toInt - 1))
+    val cutsLit = typedLit(cuts)
+    def bucketOf(v: Column): Column =
+      size(filter(cutsLit, e => v > e)).cast("long")
+    def counted(df: DataFrame, out: String): DataFrame =
+      df.select(bucketOf(col(valueCol).cast("double")).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(out))
+    import spark.implicits._
+    val spine = (0L until buckets.toLong).toDF("bucket")
+    val joined = spine
+      .join(counted(b, "n_base"), Seq("bucket"), "left")
+      .join(counted(c, "n_current"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_current"), lit(0L)).as("n_current"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    joined
+      .withColumn("lo",
+        when(col("bucket") > 0, element_at(cutsLit, col("bucket").cast("int"))))
+      .withColumn("hi",
+        when(col("bucket") < buckets - 1,
+          element_at(cutsLit, col("bucket").cast("int") + 1)))
+      .withColumn("share_base",
+        col("n_base").cast("double") / sum(col("n_base")).over(wAll))
+      .withColumn("share_current",
+        col("n_current").cast("double") / sum(col("n_current")).over(wAll))
+      .withColumn("drifted",
+        abs(col("share_base") - col("share_current")) > threshold)
+      .select("bucket", "lo", "hi", "n_base", "n_current",
+        "share_base", "share_current", "drifted")
+  }
 }

@@ -54,6 +54,31 @@ object Dedup {
         count(lit(1)).as("dup_count"))
       .select("doc_id", "content_hash", "dup_count")
 
+  /** Exact dedup with BEST-COPY canonical selection — the keep rule real
+    * pipelines want when duplicate copies differ in provenance or quality:
+    * within each content-digest group the kept representative MAXIMIZES
+    * (`score` DESC, doc_id ASC) — source priority, quality score, crawl
+    * recency — instead of [[exact]]'s min-id rule. Every input row is
+    * reported with its verdict (keep + the group's size), so consumers
+    * can filter, audit, or diff keep policies. One digest-keyed exchange:
+    * the pick window and the group count share the same partitioning.
+    */
+  def exactBest(docs: DataFrame, score: Column,
+      textCol: String = "text"): DataFrame = {
+    val hashed = docs.select(col("doc_id"),
+      sha2(col(textCol), 256).as("content_hash"), score.as("score"))
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val wGrp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash"))
+    hashed
+      .withColumn("__pick", row_number().over(wPick))
+      .withColumn("dup_count", count(lit(1)).over(wGrp))
+      .select(col("doc_id"), col("content_hash"), col("score"),
+        col("dup_count"), (col("__pick") === 1).as("keep"))
+  }
+
   /** Incremental exact dedup — the production shape: dedup a NEW batch of
     * documents against itself and against the already-ingested corpus,
     * emitting only novel content (one representative per novel digest, with

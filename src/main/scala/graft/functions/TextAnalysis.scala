@@ -721,6 +721,49 @@ object TextAnalysis {
       .na.fill(0.0, Seq("dup_5gram_char_frac"))
   }
 
+  /** CORPUS-INTERNAL TRIGRAM NOVELTY — the diversity signal beside the
+    * within-doc repetition screen and the vs-benchmark contamination
+    * screen: per document, the fraction of its DISTINCT trigrams that
+    * occur in no other document. Low novelty marks templated /
+    * near-boilerplate pages that document-level dedup cannot see (each
+    * page is unique, its phrasing is not); corpus-level novelty
+    * distributions are the one-glance diversity audit a mixture change
+    * should move.
+    *
+    * Scale shape: per-doc distinct trigrams explode from a scan-side
+    * projection; ONE trigram-keyed exchange carries (doc_id, trigram)
+    * rows and the document-frequency window rides that same partitioning
+    * (the lineDedup trick — no second shuffle for the count); the per-doc
+    * rollup is one doc_id-keyed aggregate. Novelty is a single IEEE
+    * division of two exact counts. Documents under 3 tokens report zero
+    * trigrams and NULL novelty.
+    */
+  def trigramNovelty(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"), tokens(col(textCol)).as("__t"))
+    val grams = base.select(col("doc_id"),
+      explode(array_distinct(
+        when(size(col("__t")) >= 3,
+          transform(sequence(lit(0), size(col("__t")) - 3), i =>
+            concat_ws(" ", element_at(col("__t"), i + 1),
+              element_at(col("__t"), i + 2), element_at(col("__t"), i + 3))))
+          .otherwise(array().cast("array<string>")))).as("g"))
+    val wG = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val perDoc = grams
+      .withColumn("df", count(lit(1)).over(wG))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    base.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        when(col("n_trigrams").isNotNull,
+          col("n_unique").cast("double") / col("n_trigrams").cast("double"))
+          .as("novelty"))
+  }
+
   /** Composite C4/Gopher-style document filter VERDICT — the policy gate a
     * pre-training corpus runs after the signal passes: every document gets
     * `keep` plus a deterministic comma-joined `reasons` string naming each

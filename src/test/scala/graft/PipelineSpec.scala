@@ -1140,6 +1140,66 @@ class PipelineSpec extends SparkSpec {
       "below-threshold repeats must all survive at minCount=3")
   }
 
+  test("exact-best dedup: priority picks the canonical copy, ties fall to lowest id") {
+    import graft.functions.Dedup
+    import org.apache.spark.sql.functions.{col, when}
+    val docs = Seq(
+      (1L, "shared text", "crawl"),
+      (2L, "shared text", "curated"),  // higher priority wins over lower id
+      (3L, "shared text", "crawl"),    // loses: score tie with 1 but higher id
+      (4L, "solo text", "crawl"))      // singleton keeps
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.exactBest(docs,
+        when(col("source") === "curated", 1L).otherwise(0L))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, false), (2L, 3L, true), (3L, 3L, false), (4L, 1L, true)))
+  }
+
+  test("trigram novelty: unique phrasing scores 1, templated twins score 0, short docs NULL") {
+    import graft.functions.TextAnalysis
+    val docs = Seq(
+      (1L, "the same template phrase here"), // all 3 trigrams shared with doc 2
+      (2L, "the same template phrase here"),
+      (3L, "completely different words appear now"), // unshared → novelty 1
+      (4L, "two tokens"),                            // < 3 tokens → NULL
+      (5L, null))                                    // NULL text drops out
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.trigramNovelty(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 0L, 0.0), (2L, 3L, 0L, 0.0),
+      (3L, 3L, 3L, 1.0), (4L, 0L, 0L, -1.0)))
+  }
+
+  test("drift report: shifted snapshot flags moved buckets, identical snapshot flags none") {
+    import graft.functions.DataQuality
+    // base: ids 0..99 with value = id (uniform); cuts at exact sample
+    // deciles. current shifted +1000: all mass lands in the top bucket.
+    val base = (0L until 100L).map(i => (i, i.toDouble)).toDF("event_id", "value")
+    val shifted = (0L until 100L).map(i => (i, i.toDouble + 1000.0))
+      .toDF("event_id", "value")
+    val out = DataQuality.driftReport(base, shifted, "event_id", "value")
+      .orderBy("bucket").collect()
+    assert(out.length == 10, "bucket spine must be complete")
+    val top = out.last
+    assert(top.getLong(3) > 0 && top.getLong(4) == 100L && top.getBoolean(7),
+      "all shifted mass in the top bucket must flag drift")
+    val empties = out.init.filter(_.getLong(4) == 0L)
+    assert(empties.nonEmpty && empties.forall(_.getBoolean(7)),
+      "vanished buckets (0 current rows vs ~10% base share) must flag")
+    // control: identical snapshots — shares match exactly, nothing flags
+    val same = DataQuality.driftReport(base, base, "event_id", "value")
+      .collect()
+    assert(same.forall(!_.getBoolean(7)), "identical snapshots must not drift")
+    // edges: open ends are NULL, interior edges are the sample cuts
+    assert(out.head.isNullAt(1) && out.last.isNullAt(2))
+    assert(out(1).getDouble(1) == out.head.getDouble(2),
+      "adjacent buckets share their cut edge")
+  }
+
   test("epoch plan: exact ceil-division epochs, partial final pass, cap flag, unweighted source") {
     import graft.functions.Sampling
     val docs = Seq(

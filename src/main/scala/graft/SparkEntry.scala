@@ -1794,6 +1794,17 @@ object SparkEntry {
       s"(acc, x) -> (acc * 31 + x) % ${graft.functions.RollingHash.Modulus}) " +
       s"AS f FROM ${prefix}ck)"
 
+  /** The quality-score formula rendered once for every oracle that needs
+    * it (q_text_stats, q_text_score_norm) — the TextAnalysis.qualityScore
+    * replay.
+    */
+  private lazy val qualityScoreSql: String =
+    "0.5 * least(CAST(len(" + toksSql + ") AS DOUBLE) / 100.0, 1.0) " +
+      "+ 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) " +
+      "/ CAST(greatest(length(text), 1) AS DOUBLE)) " +
+      s"+ 0.2 * (CAST(len(list_filter($toksSql, x -> x IN $stopSql)) AS DOUBLE) " +
+      s"/ greatest(CAST(len($toksSql) AS DOUBLE), 1.0))"
+
   private val pipelineQueries: Seq[Q] = Seq(
     Q("q_text_stats",
       (s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id"),
@@ -1805,12 +1816,56 @@ object SparkEntry {
         "AS BIGINT) AS subword_count, " +
         "length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct_count, " +
         s"len(list_filter($toksSql, x -> x IN $stopSql)) AS stopword_count, " +
-        "0.5 * least(CAST(len(" + toksSql + ") AS DOUBLE) / 100.0, 1.0) " +
-        "+ 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) " +
-        "/ CAST(greatest(length(text), 1) AS DOUBLE)) " +
-        s"+ 0.2 * (CAST(len(list_filter($toksSql, x -> x IN $stopSql)) AS DOUBLE) " +
-        s"/ greatest(CAST(len($toksSql) AS DOUBLE), 1.0)) AS quality_score " +
+        s"$qualityScoreSql AS quality_score " +
         "FROM documents ORDER BY doc_id")),
+
+    // PER-SOURCE PERCENTILE NORMALIZATION of the quality score — raw
+    // scores are not comparable across sources, their within-source
+    // percentile is ("keep every source's top 30%" becomes one filter).
+    // percent_rank ties/single-row semantics are identical in both
+    // engines; unscorable (NULL-text) rows drop.
+    Q("q_text_score_norm",
+      (s, d) => graft.functions.Sampling.percentileNormalize(
+          Tables.documents(s, d).select(col("doc_id"), col("source"),
+            TextAnalysis.qualityScore(col("text")).as("quality_score")),
+          "quality_score", "source")
+        .orderBy("doc_id"),
+      Some("WITH s AS (SELECT doc_id, source, " +
+        s"$qualityScoreSql AS quality_score FROM documents), " +
+        "f AS (SELECT * FROM s WHERE quality_score IS NOT NULL) " +
+        "SELECT doc_id, source, quality_score, " +
+        "percent_rank() OVER (PARTITION BY source " +
+        "ORDER BY quality_score ASC) AS pct_rank " +
+        "FROM f ORDER BY doc_id")),
+
+    // VOCABULARY GROWTH CURVE (Heaps-law audit): id-mix slices, each
+    // term's first slice, new + cumulative vocabulary per slice — the
+    // corpus-health check before a tokenizer trains. No global sort:
+    // slice assignment is the mix permutation modulo 10.
+    Q("q_text_vocab_growth",
+      (s, d) => TextAnalysis.vocabularyGrowth(Tables.documents(s, d))
+        .orderBy("bucket"),
+      Some("WITH d AS (SELECT doc_id, " +
+        s"$toksSql AS t, " +
+        s"${graft.functions.Similarity.sampleHashSql("doc_id")} % 10 " +
+        "AS bucket FROM documents WHERE text IS NOT NULL), " +
+        "pb AS (SELECT bucket, count(*) AS n_docs, " +
+        "sum(len(t)) AS n_tokens FROM d GROUP BY bucket), " +
+        "tm AS (SELECT bucket, unnest(list_distinct(t)) AS term FROM d), " +
+        "fs AS (SELECT term, min(bucket) AS bucket FROM tm GROUP BY term), " +
+        "nt AS (SELECT bucket, count(*) AS new_terms FROM fs " +
+        "GROUP BY bucket), " +
+        "sp AS (SELECT unnest(range(0, 10)) AS bucket), " +
+        "j AS (SELECT sp.bucket, COALESCE(n_docs, 0) AS n_docs, " +
+        "COALESCE(n_tokens, 0) AS n_tokens, " +
+        "COALESCE(new_terms, 0) AS new_terms FROM sp " +
+        "LEFT JOIN pb USING (bucket) LEFT JOIN nt USING (bucket)) " +
+        "SELECT CAST(bucket AS BIGINT) AS bucket, " +
+        "CAST(n_docs AS BIGINT) AS n_docs, " +
+        "CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(new_terms AS BIGINT) AS new_terms, " +
+        "CAST(sum(new_terms) OVER (ORDER BY bucket) AS BIGINT) " +
+        "AS cum_terms FROM j ORDER BY bucket")),
 
     // Heuristic language-ID: marker-hit counts per language, argmax with
     // ties toward the earlier language (LangId.compute's strict `>` scan).

@@ -453,6 +453,24 @@ object Sampling {
     * Output: the scored rows plus `bucket` ('head' ≥ c1 > 'middle' ≥ c2
     * > 'tail').
     */
+  /** PER-GROUP PERCENTILE NORMALIZATION — the step before any cross-source
+    * quality policy: raw scores from different sources (or different
+    * scorers) are not comparable, their within-source PERCENTILE is.
+    * Adds `pct_rank` = percent_rank of `scoreCol` within `groupCol`
+    * ((rank−1)/(n−1), ties share a rank, single-row groups score 0.0 —
+    * identical semantics in any ANSI engine), so "keep every source's top
+    * 30%" is one filter regardless of score calibration. NULL scores drop
+    * out (an unscored row has no percentile). One exchange keyed on the
+    * group; the rank sort never leaves its partition.
+    */
+  def percentileNormalize(df: DataFrame, scoreCol: String,
+      groupCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol).asc)
+    df.filter(col(scoreCol).isNotNull)
+      .withColumn("pct_rank", percent_rank().over(w))
+  }
+
   def headMiddleTail(scored: DataFrame, sampleSize: Int = 256,
       scoreCol: String = "bigram_score"): DataFrame = {
     val s = scored.filter(col(scoreCol).isNotNull)

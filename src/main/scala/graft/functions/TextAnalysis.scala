@@ -764,6 +764,50 @@ object TextAnalysis {
           .as("novelty"))
   }
 
+  /** VOCABULARY GROWTH CURVE — the Heaps-law corpus-health audit: slice
+    * the corpus into `buckets` deterministic pseudo-random slices (the
+    * id-mix permutation modulo `buckets` — crawl-order bias removed, NO
+    * global sort anywhere), record for every distinct term the first
+    * slice containing it, and report per slice: documents, tokens, NEW
+    * terms, and cumulative vocabulary. Healthy natural-language corpora
+    * grow sub-linearly (Heaps exponent ≈ 0.5–0.8 — each slice adds fewer
+    * new terms); a near-flat curve means templated/boilerplate text, a
+    * near-linear one means serial-number noise or unsegmented junk — both
+    * worth catching before a tokenizer is trained on the corpus.
+    *
+    * Scale shape: slice assignment is a scan-side projection; per-doc
+    * distinct terms explode once; ONE term-keyed exchange computes each
+    * term's first slice; everything after is |buckets|-row arithmetic.
+    */
+  def vocabularyGrowth(docs: DataFrame, buckets: Int = 10,
+      textCol: String = "text"): DataFrame = {
+    require(buckets >= 1, "need at least one bucket")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"), tokens(col(textCol)).as("__t"),
+        (expr(Similarity.sampleHashSql("doc_id")) % buckets).as("bucket"))
+    val perBucket = base.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("__t")).cast("long")).as("n_tokens"))
+    val firstSeen = base
+      .select(col("bucket"), explode(array_distinct(col("__t"))).as("term"))
+      .groupBy("term").agg(min(col("bucket")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_terms"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    (0L until buckets.toLong).toDF("bucket")
+      .join(perBucket, Seq("bucket"), "left")
+      .join(firstSeen, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+      .withColumn("cum_terms", sum(col("new_terms")).over(wCum))
+  }
+
   /** Composite C4/Gopher-style document filter VERDICT — the policy gate a
     * pre-training corpus runs after the signal passes: every document gets
     * `keep` plus a deterministic comma-joined `reasons` string naming each

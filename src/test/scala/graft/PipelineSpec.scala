@@ -1140,6 +1140,44 @@ class PipelineSpec extends SparkSpec {
       "below-threshold repeats must all survive at minCount=3")
   }
 
+  test("percentile normalization: per-group ranks, tie sharing, single-row zero, NULL dropped") {
+    import graft.functions.Sampling
+    val df = Seq(
+      (1L, "a", Some(5.0)), (2L, "a", Some(7.0)), (3L, "a", Some(7.0)),
+      (4L, "a", Some(9.0)),
+      (5L, "b", Some(100.0)),       // single-row group → 0.0
+      (6L, "b", None))              // NULL score drops
+      .toDF("doc_id", "source", "quality_score")
+    val out = Sampling.percentileNormalize(df, "quality_score", "source")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0.0), (2L, 1.0 / 3), (3L, 1.0 / 3), (4L, 1.0),
+      (5L, 0.0)))
+  }
+
+  test("vocabulary growth: first-slice attribution, cumulative reaches total vocabulary") {
+    import graft.functions.TextAnalysis
+    def mix(i: Long): Long =
+      ((i % 2147483647L) * 1103515245L + 12345L) % 2147483647L
+    // two docs sharing the word "common": it must count once, in the
+    // EARLIER of their two slices; each doc brings one private word too
+    val docs = Seq((1L, "common alpha"), (2L, "common beta"))
+      .toDF("doc_id", "text")
+    val b1 = mix(1L) % 10
+    val b2 = mix(2L) % 10
+    assert(b1 != b2, "fixture needs the docs in different slices")
+    val out = TextAnalysis.vocabularyGrowth(docs).orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(out.length == 10 && out.last._4 == 3L,
+      "cumulative vocabulary must end at the 3 distinct words")
+    val first = math.min(b1, b2)
+    val second = math.max(b1, b2)
+    // earlier slice: its private word + "common"; later: private word only
+    assert(out(first.toInt)._3 == 2L && out(second.toInt)._3 == 1L)
+    assert(out.map(_._2).sum == 2L, "both docs accounted in the spine")
+  }
+
   test("exact-best dedup: priority picks the canonical copy, ties fall to lowest id") {
     import graft.functions.Dedup
     import org.apache.spark.sql.functions.{col, when}

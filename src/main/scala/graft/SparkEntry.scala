@@ -1402,8 +1402,8 @@ object SparkEntry {
       s"FROM nv CROSS JOIN c$iters c) WHERE rn = 1)"
   }
 
-  private def ivfTrainedOracle(dim: Int, sampleSize: Int, centroids: Int,
-      iters: Int, nprobe: Int, topk: Int, sampleWhere: String = ""): String =
+  private def ivfTrainedScoredCtes(dim: Int, sampleSize: Int, centroids: Int,
+      iters: Int, nprobe: Int, sampleWhere: String = ""): String =
     ivfFitCte(dim, sampleSize, centroids, iters, sampleWhere) + ", " +
       "q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id % 100 = 0), " +
       "qp AS (SELECT query_id, qv, cid AS bucket FROM (" +
@@ -1412,8 +1412,12 @@ object SparkEntry {
       s"FROM q0 q CROSS JOIN c$iters c) WHERE rn <= $nprobe), " +
       "sc AS (SELECT query_id, cass.vec_id AS neighbor_id, " +
       s"${dotSql("qp.qv", "cass.v")} AS score " +
-      "FROM cass JOIN qp USING (bucket) WHERE cass.vec_id <> qp.query_id), " +
-      topKSql("sc", topk)
+      "FROM cass JOIN qp USING (bucket) WHERE cass.vec_id <> qp.query_id)"
+
+  private def ivfTrainedOracle(dim: Int, sampleSize: Int, centroids: Int,
+      iters: Int, nprobe: Int, topk: Int, sampleWhere: String = ""): String =
+    ivfTrainedScoredCtes(dim, sampleSize, centroids, iters, nprobe,
+      sampleWhere) + ", " + topKSql("sc", topk)
 
   /** Left-fold squared L2 distance of two DuckDB double-list expressions —
     * the engine-portable rendering of `acc += (x - c) * (x - c)`.
@@ -1641,8 +1645,8 @@ object SparkEntry {
   /** True-IVFADC oracle: coarse fit + residual PQ fit/encode + probed-cell
     * ADC scoring with the per-cell base term added before ranking.
     */
-  private def ivfPqResOracle(dim: Int, sampleSize: Int, centroids: Int,
-      m: Int, ksub: Int, iters: Int, nprobe: Int, topk: Int): String = {
+  private def ivfPqResScoredCtes(dim: Int, sampleSize: Int, centroids: Int,
+      m: Int, ksub: Int, iters: Int, nprobe: Int): String = {
     val (codeJoins, score) = pqScore(dim, m, iters, "b", "qp")
     ivfFitCte(dim, sampleSize, centroids, iters) + ", " +
       ivfPqResCtes(dim, m, ksub, iters) + ", " +
@@ -1650,9 +1654,13 @@ object SparkEntry {
       s"sc AS (SELECT qp.query_id, b.vec_id AS neighbor_id, " +
       s"(qp.base + $score) AS score " +
       s"FROM cass b JOIN qp USING (bucket) $codeJoins " +
-      "WHERE b.vec_id <> qp.query_id), " +
-      topKSql("sc", topk)
+      "WHERE b.vec_id <> qp.query_id)"
   }
+
+  private def ivfPqResOracle(dim: Int, sampleSize: Int, centroids: Int,
+      m: Int, ksub: Int, iters: Int, nprobe: Int, topk: Int): String =
+    ivfPqResScoredCtes(dim, sampleSize, centroids, m, ksub, iters, nprobe) +
+      ", " + topKSql("sc", topk)
 
   /** Recall@k of the true-IVFADC stack vs brute force — ranked next to
     * [[ivfPqRecallOracle]] so the residual-vs-raw recall gain is itself an
@@ -3728,6 +3736,25 @@ object SparkEntry {
       },
       Some(ivfPqResOracle(dim = 64, sampleSize = 256, centroids = 8,
         m = 8, ksub = 16, iters = 2, nprobe = 4, topk = 10))),
+
+    // IVFADC + REFINE — the full production retrieval stack: cell pruning
+    // bounds candidates, residual-PQ ADC scores codes, and only the
+    // 40-deep shortlist touches raw vectors for the EXACT final order
+    // (refine is what ADC distortion needs; IVF-Flat's exact candidate
+    // scores would gain nothing). Max-compression m=8/ksub=16 — the
+    // config where refine matters most.
+    Q("q_sim_topk_ivfadc_refined",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfAdcRefinedTopK(emb,
+            emb.filter(col("vec_id") % 100 === 0),
+            k = 10, shortlist = 40, centroids = 8, nprobe = 4,
+            m = 8, ksub = 16, sampleSize = 256, iters = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfPqResScoredCtes(dim = 64, sampleSize = 256, centroids = 8,
+        m = 8, ksub = 16, iters = 2, nprobe = 4) + ", " +
+        s"${shortlistCte("sc", 40, "sl")}, " + refineTailSql("sl", 10))),
 
     // The PERSISTED IVFADC index: same fit, same oracle — train+encode
     // paid at writeIvfPqResIndex time, search reads only the probed

@@ -706,6 +706,12 @@ object Stress {
             .as("text"))
           Dedup.lineDedup(relined, minCount = 2)
         })
+      else if (kind == "novelty")
+        // trigram novelty — one trigram-keyed shuffle + doc rollup: the
+        // claim to certify is a ~1.0 exponent (rows ∝ corpus tokens,
+        // never token-pair count)
+        Seq[(String, String => DataFrame)]("trigram_novelty" -> (d =>
+          functions.TextAnalysis.trigramNovelty(docs(d))))
       else jac ++ Seq[(String, String => DataFrame)](
         "containment" -> { d =>
           val ds = docs(d).select("doc_id", "text")

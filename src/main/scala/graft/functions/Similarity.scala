@@ -1233,6 +1233,26 @@ object Similarity {
     refineExact(sqTopK(corpus, queries, shortlist, levels), corpus, queries, k)
   }
 
+  /** True-IVFADC shortlist → exact refine — the full production retrieval
+    * stack (FAISS `IndexIVFPQ` + `IndexRefineFlat`): cell pruning bounds
+    * the candidate set, residual-PQ ADC scores it from codes alone, and
+    * only the 4k-deep shortlist touches raw vectors for the exact final
+    * order. Refine is exactly what ADC quantization needs (unlike
+    * IVF-Flat, whose candidate scores are already exact — refining it
+    * would recompute the same ranking): ADC distortion now only costs
+    * shortlist membership, never final-order placement.
+    */
+  def ivfAdcRefinedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      shortlist: Int = 40, centroids: Int = 8, nprobe: Int = 4,
+      m: Int = 16, ksub: Int = 32, sampleSize: Int = 256,
+      iters: Int = 2): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    refineExact(
+      ivfPqResidualTopK(corpus, queries, shortlist, centroids, nprobe,
+        m, ksub, sampleSize, iters),
+      corpus, queries, k)
+  }
+
   /** MATRYOSHKA (prefix-dimension) shortlist → exact refine — the MRL
     * retrieval pattern (Kusupati et al. 2022): coarse scores use only the
     * FIRST `prefixDims` components of the already-normalized vectors (a

@@ -338,6 +338,17 @@ class BucketedSpec extends SparkSpec {
       s"refined SQ8 recall $sqRef fell below unrefined $sqPlain")
     assert(sqRef >= 0.9, s"refined-SQ8 recall@10 = $sqRef < 0.9")
 
+    // IVFADC + refine at max compression (m=8/ksub=16): refine recovers
+    // the final-order placement ADC distortion loses — measured here
+    // against the same-config unrefined stack (both probe the same cells,
+    // so recall differences are pure rescoring gains)
+    val adcPlain = meanRecall(Similarity.ivfPqResidualTopK(emb, qs, k = 10,
+      m = 8, ksub = 16))
+    val adcRef = meanRecall(Similarity.ivfAdcRefinedTopK(emb, qs, k = 10,
+      m = 8, ksub = 16))
+    assert(adcRef >= adcPlain,
+      s"refined IVFADC recall $adcRef fell below unrefined $adcPlain")
+
     // on this NEAR-UNIFORM corpus the 16-dim prefix is just an unbiased
     // 1/4-rank projection, so recall is shortlist-bounded (measured 0.38) —
     // the front-loaded-fixture test below shows the regime MRL is FOR;

@@ -709,9 +709,11 @@ object Stress {
       else if (kind == "novelty")
         // trigram novelty — one trigram-keyed shuffle + doc rollup: the
         // claim to certify is a ~1.0 exponent (rows ∝ corpus tokens,
-        // never token-pair count)
+        // never token-pair count). The filter consumes the novelty
+        // column so the ladder's count() cannot prune the trigram work.
         Seq[(String, String => DataFrame)]("trigram_novelty" -> (d =>
-          functions.TextAnalysis.trigramNovelty(docs(d))))
+          functions.TextAnalysis.trigramNovelty(docs(d))
+            .filter(col("novelty") >= 0.0)))
       else jac ++ Seq[(String, String => DataFrame)](
         "containment" -> { d =>
           val ds = docs(d).select("doc_id", "text")

@@ -3372,6 +3372,104 @@ object SparkEntry {
         s"'${TextAnalysis.PhoneRx}', '<PHONE>', 'g') AS redacted " +
         "FROM documents ORDER BY doc_id")),
 
+    // MARKUP STRIP — crawl-edge HTML-ish cleaning: the fixture wraps each
+    // doc in tags + entities (corpus text has none), the operator strips
+    // tags to spaces, unescapes the four standard entities (&amp; last),
+    // collapses whitespace. Both the wrap and the strip replay verbatim.
+    Q("q_text_markup",
+      (s, d) => {
+        val wrapped = Tables.documents(s, d).select(col("doc_id"),
+          concat(lit("<div class=\"d\">"), col("text"),
+            lit("</div> &amp; <br/>10 &lt; 20")).as("text"))
+        TextAnalysis.markupStats(wrapped).orderBy("doc_id")
+      },
+      Some("WITH w AS (SELECT doc_id, '<div class=\"d\">' || text || " +
+        "'</div> &amp; <br/>10 &lt; 20' AS text FROM documents) " +
+        "SELECT doc_id, " +
+        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.TagRx}')) " +
+        "AS BIGINT) AS n_tags, " +
+        "CAST(length(text) AS BIGINT) AS n_chars_raw, " +
+        "trim(regexp_replace(regexp_replace(regexp_replace(" +
+        "regexp_replace(regexp_replace(regexp_replace(text, " +
+        s"'${TextAnalysis.TagRx}', ' ', 'g'), " +
+        "'&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '\"', 'g'), " +
+        "'&amp;', '&', 'g'), '\\s+', ' ', 'g')) AS clean_text, " +
+        "CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(" +
+        "regexp_replace(regexp_replace(regexp_replace(text, " +
+        s"'${TextAnalysis.TagRx}', ' ', 'g'), " +
+        "'&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '\"', 'g'), " +
+        "'&amp;', '&', 'g'), '\\s+', ' ', 'g'))) AS BIGINT) " +
+        "AS n_chars_clean FROM w ORDER BY doc_id")),
+
+    // LINK-DENSITY spam signal (C4 drops link farms): every 5th doc gets
+    // two URLs appended; URL count, link-char fraction, spam verdict.
+    Q("q_text_links",
+      (s, d) => {
+        val spiked = Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(5L)) === 0,
+              lit(" see https://example.com/a and" +
+                " https://foo.example.org/path?q=1"))
+              .otherwise(lit(""))).as("text"))
+        TextAnalysis.linkStats(spiked).orderBy("doc_id")
+      },
+      Some("WITH w AS (SELECT doc_id, text || CASE WHEN doc_id % 5 = 0 " +
+        "THEN ' see https://example.com/a and" +
+        " https://foo.example.org/path?q=1' ELSE '' END AS text " +
+        "FROM documents) " +
+        "SELECT doc_id, " +
+        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.UrlRx}')) " +
+        "AS BIGINT) AS n_links, " +
+        "CAST(length(text) - length(regexp_replace(text, " +
+        s"'${TextAnalysis.UrlRx}', '', 'g')) AS BIGINT) AS n_link_chars, " +
+        "CAST(length(text) AS BIGINT) AS n_chars, " +
+        "CASE WHEN length(text) > 0 THEN " +
+        "CAST(length(text) - length(regexp_replace(text, " +
+        s"'${TextAnalysis.UrlRx}', '', 'g')) AS DOUBLE) " +
+        "/ CAST(length(text) AS DOUBLE) END AS link_char_frac, " +
+        "COALESCE(CASE WHEN length(text) > 0 THEN " +
+        "CAST(length(text) - length(regexp_replace(text, " +
+        s"'${TextAnalysis.UrlRx}', '', 'g')) AS DOUBLE) " +
+        "/ CAST(length(text) AS DOUBLE) END " +
+        s"> ${TextAnalysis.LinkSpamMin}, false) AS is_link_spam " +
+        "FROM w ORDER BY doc_id")),
+
+    // CODE-DETECTION routing signal: every 7th doc gets a code prefix;
+    // punctuation + keyword markers per token, is_code at the density
+    // threshold — the cheap router in front of the trained classifier.
+    Q("q_text_code",
+      (s, d) => {
+        val spiked = Tables.documents(s, d).select(col("doc_id"),
+          concat(
+            when(pmod(col("doc_id"), lit(7L)) === 0,
+              lit("def f(x): return {x; y()} ")).otherwise(lit("")),
+            col("text")).as("text"))
+        TextAnalysis.codeSignals(spiked).orderBy("doc_id")
+      },
+      Some("WITH w AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 " +
+        "THEN 'def f(x): return {x; y()} ' ELSE '' END || text AS text " +
+        "FROM documents) " +
+        "SELECT doc_id, " +
+        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.CodePunctRx}')) " +
+        "AS BIGINT) AS n_code_punct, " +
+        "CAST(len(regexp_extract_all(text, " +
+        s"'${TextAnalysis.CodeKeywordRx}')) AS BIGINT) AS n_code_keywords, " +
+        s"CAST(len($toksSql) AS BIGINT) AS token_count, " +
+        s"CASE WHEN len($toksSql) > 0 THEN " +
+        "CAST(len(regexp_extract_all(text, " +
+        s"'${TextAnalysis.CodePunctRx}')) + " +
+        "len(regexp_extract_all(text, " +
+        s"'${TextAnalysis.CodeKeywordRx}')) AS DOUBLE) " +
+        s"/ CAST(len($toksSql) AS DOUBLE) END AS marker_density, " +
+        s"COALESCE(CASE WHEN len($toksSql) > 0 THEN " +
+        "CAST(len(regexp_extract_all(text, " +
+        s"'${TextAnalysis.CodePunctRx}')) + " +
+        "len(regexp_extract_all(text, " +
+        s"'${TextAnalysis.CodeKeywordRx}')) AS DOUBLE) " +
+        s"/ CAST(len($toksSql) AS DOUBLE) END " +
+        s">= ${TextAnalysis.CodeMarkerMin}, false) AS is_code " +
+        "FROM w ORDER BY doc_id")),
+
     // ENCODING / MOJIBAKE QA — crawl-ingest hygiene: ASCII fraction,
     // stray control chars, U+FFFD replacement chars, Latin-1-mojibake
     // markers, and a verdict. All four regex classes and the 0.6 ratio

@@ -764,6 +764,102 @@ object TextAnalysis {
           .as("novelty"))
   }
 
+  /** Engine-portable (Java regex ∧ RE2) constants for the three
+    * crawl-ingest operators below — rendered into BOTH engines, never
+    * duplicated inline.
+    */
+  /** An SGML/HTML tag (no nesting — '<' to the next '>'). */
+  val TagRx = "<[^>]*>"
+  /** An http(s) URL up to the next whitespace. */
+  val UrlRx = "https?://[^ \\t\\n]+"
+  /** Code punctuation: braces, semicolons, the ()-pair. */
+  val CodePunctRx = "[{};]|\\(\\)"
+  /** Code keywords (word-bounded; \b is identical in Java regex and RE2). */
+  val CodeKeywordRx =
+    "\\b(def|return|import|function|class|var|const|void|int)\\b"
+  /** Minimum code-marker density (markers per token) for `is_code`. */
+  val CodeMarkerMin = 0.2
+  /** Link-char fraction above which a page is link spam (C4 drops them). */
+  val LinkSpamMin = 0.5
+
+  /** MARKUP STRIP — the HTML-ish cleaning pass at the crawl edge: tags
+    * become spaces, the four standard entities unescape (&amp; last, so
+    * `&amp;lt;` stays the literal text `&lt;` instead of double-
+    * unescaping), whitespace collapses, ends trim. A deterministic
+    * regex-level contract (not an HTML5 parser — no script/style content
+    * awareness; that nuance is documented, not hidden). Pure per-row
+    * projection: scan speed, zero exchanges.
+    */
+  def stripMarkup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(text, TagRx, " "),
+              "&lt;", "<"),
+            "&gt;", ">"),
+          "&quot;", "\""),
+        "&amp;", "&"),
+      "\\s+", " "))
+
+  /** Per-document markup report: tag count, cleaned text, and the
+    * character counts before/after — the audit row for the strip pass.
+    */
+  def markupStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col("doc_id"),
+      regexp_count(t, lit(TagRx)).cast("long").as("n_tags"),
+      length(t).cast("long").as("n_chars_raw"),
+      stripMarkup(t).as("clean_text"))
+      .withColumn("n_chars_clean", length(col("clean_text")).cast("long"))
+  }
+
+  /** LINK-DENSITY stats — the C4/Gopher link-spam signal: URL count, the
+    * fraction of characters inside URLs, and the spam verdict at
+    * [[LinkSpamMin]]. Integer-exact counts, one final IEEE division.
+    * Pure projection.
+    */
+  def linkStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nLinks = regexp_count(t, lit(UrlRx)).cast("long")
+    val linkChars =
+      (length(t) - length(regexp_replace(t, UrlRx, ""))).cast("long")
+    docs.select(col("doc_id"),
+      nLinks.as("n_links"),
+      linkChars.as("n_link_chars"),
+      length(t).cast("long").as("n_chars"))
+      .withColumn("link_char_frac",
+        when(col("n_chars") > 0,
+          col("n_link_chars").cast("double") / col("n_chars").cast("double")))
+      .withColumn("is_link_spam",
+        coalesce(col("link_char_frac") > LinkSpamMin, lit(false)))
+  }
+
+  /** CODE-DETECTION routing signal — the corpus-mixture router (code vs
+    * prose get different filters, tokenizers, and mixture weights): code
+    * punctuation + keyword counts per token, `is_code` at
+    * [[CodeMarkerMin]] markers/token. A deliberately transparent signal
+    * (two regex classes, exact integer counts, one division) — the
+    * trained-classifier regime is [[classifierScore]]; this is the cheap
+    * first-pass router in front of it. Pure projection.
+    */
+  def codeSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val punct = regexp_count(t, lit(CodePunctRx)).cast("long")
+    val kw = regexp_count(t, lit(CodeKeywordRx)).cast("long")
+    docs.select(col("doc_id"),
+      punct.as("n_code_punct"),
+      kw.as("n_code_keywords"),
+      tokenCount(t).cast("long").as("token_count"))
+      .withColumn("marker_density",
+        when(col("token_count") > 0,
+          (col("n_code_punct") + col("n_code_keywords")).cast("double") /
+            col("token_count").cast("double")))
+      .withColumn("is_code",
+        coalesce(col("marker_density") >= CodeMarkerMin, lit(false)))
+  }
+
   /** VOCABULARY GROWTH CURVE — the Heaps-law corpus-health audit: slice
     * the corpus into `buckets` deterministic pseudo-random slices (the
     * id-mix permutation modulo `buckets` — crawl-order bias removed, NO

@@ -1140,6 +1140,57 @@ class PipelineSpec extends SparkSpec {
       "below-threshold repeats must all survive at minCount=3")
   }
 
+  test("markup strip: tags to spaces, entity order keeps double-escapes literal") {
+    import graft.functions.TextAnalysis
+    val docs = Seq(
+      (1L, "<p>hello <b>world</b></p>"),
+      (2L, "a &lt; b &amp; c &gt; d &quot;q&quot;"),
+      (3L, "&amp;lt; stays escaped"),   // &amp; unescapes LAST → literal &lt;
+      (4L, "<div\nclass='x'>multi</div>"),
+      (5L, "plain text untouched"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.markupStats(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 4L, "hello world"),
+      (2L, 0L, "a < b & c > d \"q\""),
+      (3L, 0L, "&lt; stays escaped"),
+      (4L, 2L, "multi"),
+      (5L, 0L, "plain text untouched")))
+  }
+
+  test("link stats: URL chars counted, spam verdict fires above half, empty text false") {
+    import graft.functions.TextAnalysis
+    val docs = Seq(
+      (1L, "read the long explanation then see https://a.example/x now"), // 19/59 < half
+      (2L, "https://spam.example/aaaaaaaaaaaa x"),   // mostly URL → spam
+      (3L, "no links at all here"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.linkStats(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, false), (2L, 1L, true), (3L, 0L, false), (4L, 0L, false)))
+    // link_char_frac NULL on empty text (no division), spam coalesces false
+    val empty = TextAnalysis.linkStats(docs).filter($"doc_id" === 4L).collect()(0)
+    assert(empty.isNullAt(4))
+  }
+
+  test("code signals: markers per token route code, prose stays prose") {
+    import graft.functions.TextAnalysis
+    val docs = Seq(
+      (1L, "def f(x): return {x; y()}"),     // dense markers → code
+      (2L, "plain prose about a function word"), // 'function' kw alone: 1/6 < 0.2
+      (3L, "x = 1; y = 2; z = 3; w = 4;"))   // punctuation-only density
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.codeSignals(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (1L, 4L, 2L, true),   // { } ; () + def, return
+      (2L, 0L, 1L, false),
+      (3L, 4L, 0L, true)))  // 4 semis / 12 tokens = 0.33
+  }
+
   test("percentile normalization: per-group ranks, tie sharing, single-row zero, NULL dropped") {
     import graft.functions.Sampling
     val df = Seq(

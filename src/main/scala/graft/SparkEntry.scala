@@ -3199,6 +3199,30 @@ object SparkEntry {
       Some(s"WITH $sq8ScoredCtes, ${shortlistCte("sc", 40, "sl")}, " +
         refineTailSql("sl", 10))),
 
+    // FULLY-PERSISTED two-stage retrieval: ADC shortlist from the stored
+    // SQ codes, exact rescore from the stored vec_id-BUCKETED raw-vector
+    // table via a shortlist-id IN filter (bucket-pruned point reads —
+    // the refine family's deployment shape). Same oracle as the
+    // from-scratch refined query = write→read fidelity for BOTH tables.
+    Q("q_sim_topk_sq8_refined_indexed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+        val sqName = "graft_sqr_idx_" + tag
+        val vecName = "graft_vec_idx_" + tag
+        Similarity.writeSqIndex(emb, sqName)
+        Similarity.writeVecTable(emb, vecName)
+        try Similarity.sqRefinedSearchIndexed(s, sqName, vecName,
+            emb.filter(col("vec_id") % 100 === 0), k = 10, shortlist = 40)
+          .orderBy("query_id", "rank").localCheckpoint(true)
+        finally {
+          Similarity.dropSqIndex(s, sqName)
+          Similarity.dropVecTable(s, vecName)
+        }
+      },
+      Some(s"WITH $sq8ScoredCtes, ${shortlistCte("sc", 40, "sl")}, " +
+        refineTailSql("sl", 10))),
+
     // Matryoshka (prefix-dimension) retrieval: coarse scores over the
     // FIRST 16 of 64 dims (a slice projection — no training pass at all),
     // exact full-dim refine on the 40-deep shortlist.

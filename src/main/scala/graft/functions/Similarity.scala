@@ -1213,12 +1213,72 @@ object Similarity {
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("coarse_rank"),
         dot(col("qv"), col("v")).as("score"))
+    refineOrder(scored, k)
+  }
+
+  /** Shared final ordering of a rescored shortlist — exact top-k keeping
+    * both ranks.
+    */
+  private def refineOrder(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "coarse_rank", "rank", "score")
+  }
+
+  /** Persist the RAW-VECTOR side of two-stage retrieval: the L2-normalized
+    * vectors as a vec_id-BUCKETED table — the point-read artifact
+    * [[refineExact]]'s scale story promises. One table serves every refine
+    * consumer (SQ8/PQ/IVFADC shortlists all rescore from it), the
+    * complement of the codes/cells tables the coarse stages persist.
+    */
+  def writeVecTable(corpus: DataFrame, name: String, buckets: Int = 16): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    val spark = corpus.sparkSession
+    dropVecTable(spark, name)
+    try graft.sources.Tables.writeBucketed(
+      normalized(corpus).select(col("vec_id"), col("v")),
+      s"${name}_vectors", "vec_id", buckets)
+    catch { case e: Throwable => dropVecTable(spark, name); throw e }
+  }
+
+  def dropVecTable(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit =
+    graft.sources.Tables.dropManagedTables(spark, Seq(s"${name}_vectors"))
+
+  /** FULLY-PERSISTED two-stage search — both stages read stored artifacts
+    * and neither touches the original corpus frame: the ADC shortlist
+    * comes from the [[writeSqIndex]] codes table (the 4×-smaller scan),
+    * and the exact rescore reads the [[writeVecTable]] raw vectors with a
+    * shortlist-id IN filter, so the bucketed scan PRUNES to the shortlist
+    * ids' buckets (`SelectedBucketsCount`, pinned in BucketedSpec) — the
+    * promised point reads. The shortlist itself is collected driver-side
+    * to make the ids literal: |queries|·shortlist rows, evaluation-sized
+    * by the same contract that bounds the centroid/query collects.
+    */
+  def sqRefinedSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+      sqName: String, vecName: String, queries: DataFrame, k: Int,
+      shortlist: Int = 40): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    graft.sources.Tables.requireIdent(vecName)
+    val spark2 = spark
+    import spark2.implicits._
+    val cand = sqSearchIndexed(spark, sqName, queries, shortlist)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val ids = cand.map(_._2).distinct.toSeq
+    val candDf = cand.toSeq.toDF("query_id", "neighbor_id", "coarse_rank")
+    val vt = spark.table(s"${vecName}_vectors")
+      .filter(col("vec_id").isin(ids: _*))
+    val q = normalized(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    refineOrder(
+      vt.join(broadcast(candDf), col("vec_id") === col("neighbor_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"), col("coarse_rank"),
+          dot(col("qv"), col("v")).as("score")), k)
   }
 
   /** SQ8 shortlist → exact refine: the memory-bound scan stays on the 4×-

@@ -366,6 +366,37 @@ class BucketedSpec extends SparkSpec {
     assert(full == brute, "full-shortlist refine must equal brute force")
   }
 
+  test("refined index: persisted codes+vectors search ≡ one-shot; raw read bucket-pruned") {
+    import graft.functions.Similarity
+    val rnd = new scala.util.Random(47)
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, Array.fill(8)((rnd.nextDouble() - 0.5).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 15 === 0)
+    Similarity.writeSqIndex(corpus, "graft_sqr_spec")
+    Similarity.writeVecTable(corpus, "graft_vecr_spec", buckets = 8)
+    try {
+      val oneShot = Similarity.sqRefinedTopK(corpus, queries, k = 5,
+          shortlist = 20)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      val indexed = Similarity.sqRefinedSearchIndexed(spark,
+          "graft_sqr_spec", "graft_vecr_spec", queries, k = 5,
+          shortlist = 20)
+        .orderBy("query_id", "rank")
+      assert(indexed.collect().map(_.toSeq).toSeq == oneShot,
+        "persisted two-stage search must equal the from-scratch path")
+      // the access-path point: the raw-vector rescore prunes to the
+      // shortlist ids' buckets instead of scanning the whole table
+      val plan = indexed.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      val m = sel.findFirstMatchIn(plan)
+      assert(m.nonEmpty, s"raw-vector scan must be bucket-pruned:\n$plan")
+    } finally {
+      Similarity.dropSqIndex(spark, "graft_sqr_spec")
+      Similarity.dropVecTable(spark, "graft_vecr_spec")
+    }
+  }
+
   test("mrl: prefix shortlist is near-exact when embeddings front-load information") {
     import graft.functions.Similarity
     val rnd = new scala.util.Random(41)

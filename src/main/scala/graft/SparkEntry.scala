@@ -950,15 +950,25 @@ object SparkEntry {
     * tree, no SQL-side loop. U+001F never occurs in the corpus (verified
     * ASCII-words-only) and Verify's JSON writer escapes control chars.
     */
-  private lazy val bpeEncodeOracle: String = {
+  /** The greedy BPE encode of `word` as one nested-replace expression --
+    * shared by the encode oracle and the fertility oracle (both splice it
+    * over a `word` column and split on the U+001F separator).
+    */
+  private lazy val bpeFoldedSql: String = {
     val sep = "\u001f"
     def lit(s: String) = "'" + s.replace("'", "''") + "'"
     val init = s"(${lit(sep)} || array_to_string(string_split(word, ''), " +
       s"${lit(sep)}) || ${lit(sep + Bpe.EndMarker + sep)})"
-    val folded = bpeMerges.sortBy(_.rank).foldLeft(init) { (e, m) =>
+    bpeMerges.sortBy(_.rank).foldLeft(init) { (e, m) =>
       s"replace($e, ${lit(sep + m.left + sep + m.right + sep)}, " +
         s"${lit(sep + m.left + m.right + sep)})"
     }
+  }
+
+  private lazy val bpeEncodeOracle: String = {
+    val sep = "\u001f"
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    val folded = bpeFoldedSql
     s"WITH tk AS (SELECT doc_id, unnest($toksSql) AS word, " +
       s"generate_subscripts($toksSql, 1) AS ord FROM documents), " +
       "seg AS (SELECT doc_id, ord, " +
@@ -2186,6 +2196,60 @@ object SparkEntry {
           concat_ws(" ", col("sub")).as("subwords"))
         .orderBy("doc_id"),
       Some(bpeEncodeOracle)),
+
+    // TOKENIZER FERTILITY per detected language — the tokenizer-fairness
+    // audit (a tokenizer trained on one language's register fragments the
+    // others into more subwords, inflating their effective cost): per
+    // lang_guess, BPE tokens / whitespace tokens and chars / BPE token.
+    // Composes three certified signals (lang-id, whitespace count, BPE
+    // encode) in one scan + one |langs|-row aggregate; the oracle
+    // re-renders each from its gated fragment.
+    Q("q_text_fertility",
+      (s, d) => Tables.documents(s, d)
+        .select(
+          TextAnalysis.langId(col("text")).as("lang_guess"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("__ws"),
+          size(Bpe.encode(TextAnalysis.tokens(col("text")), bpeMerges))
+            .cast("long").as("__bpe"),
+          length(col("text")).cast("long").as("__chars"))
+        .groupBy("lang_guess")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__ws")).as("ws_tokens"),
+          sum(col("__bpe")).as("bpe_tokens"),
+          sum(col("__chars")).as("n_chars"))
+        .withColumn("fertility",
+          when(col("ws_tokens") > 0,
+            col("bpe_tokens").cast("double") / col("ws_tokens").cast("double")))
+        .withColumn("chars_per_token",
+          when(col("bpe_tokens") > 0,
+            col("n_chars").cast("double") / col("bpe_tokens").cast("double")))
+        .orderBy("lang_guess"),
+      Some(s"WITH tk AS (SELECT doc_id, unnest($toksSql) AS word " +
+        "FROM documents), " +
+        "seg AS (SELECT doc_id, CAST(len(string_split(trim(" +
+        bpeFoldedSql + ", chr(31)), chr(31))) AS BIGINT) AS ns " +
+        "FROM tk WHERE word <> ''), " +
+        "bp AS (SELECT doc_id, CAST(sum(ns) AS BIGINT) AS bpe FROM seg " +
+        "GROUP BY doc_id), " +
+        s"sig AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS ws, " +
+        "CAST(length(text) AS BIGINT) AS chars, " +
+        langMarkerColsSql(toksSql) + " FROM documents), " +
+        s"lg AS (SELECT doc_id, ws, chars, $langGuessCaseSql AS lang_guess " +
+        "FROM sig), " +
+        "j AS (SELECT lg.lang_guess, lg.ws, lg.chars, " +
+        "COALESCE(bp.bpe, 0) AS bpe FROM lg " +
+        "LEFT JOIN bp USING (doc_id)), " +
+        "g AS (SELECT lang_guess, count(*) AS n_docs, " +
+        "CAST(sum(ws) AS BIGINT) AS ws_tokens, " +
+        "CAST(sum(bpe) AS BIGINT) AS bpe_tokens, " +
+        "CAST(sum(chars) AS BIGINT) AS n_chars FROM j GROUP BY lang_guess) " +
+        "SELECT lang_guess, n_docs, ws_tokens, bpe_tokens, n_chars, " +
+        "CASE WHEN ws_tokens > 0 THEN " +
+        "CAST(bpe_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE) END " +
+        "AS fertility, " +
+        "CASE WHEN bpe_tokens > 0 THEN " +
+        "CAST(n_chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE) END " +
+        "AS chars_per_token FROM g ORDER BY lang_guess")),
 
     Q("q_text_unigram_quality",
       (s, d) => TextAnalysis.unigramScore(Tables.documents(s, d))

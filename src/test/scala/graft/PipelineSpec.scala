@@ -1140,6 +1140,33 @@ class PipelineSpec extends SparkSpec {
       "below-threshold repeats must all survive at minCount=3")
   }
 
+  test("tokenizer fertility: per-language ratios are exact sums of the gated signals") {
+    import graft.functions.{Bpe, TextAnalysis}
+    val merges = SparkEntry.bpeMerges
+    val docs = Seq((1L, "the table scan"), (2L, "the hash join"))
+      .toDF("doc_id", "text")
+    val sums = docs.select(
+        TextAnalysis.tokenCount($"text").cast("long").as("ws"),
+        size(Bpe.encode(TextAnalysis.tokens($"text"), merges)).cast("long").as("bpe"),
+        length($"text").cast("long").as("ch"))
+      .agg(sum("ws"), sum("bpe"), sum("ch")).head()
+    val (ws, bpe, ch) = (sums.getLong(0), sums.getLong(1), sums.getLong(2))
+    assert(ws == 6L, s"whitespace tokens: $ws")
+    assert(bpe >= ws, "BPE at 32 merges cannot merge across words, so >= words")
+    // the fertility row for these docs must be exactly these two divisions
+    val row = docs.select(lit("en").as("lang_guess"),
+        TextAnalysis.tokenCount($"text").cast("long").as("__ws"),
+        size(Bpe.encode(TextAnalysis.tokens($"text"), merges)).cast("long").as("__bpe"),
+        length($"text").cast("long").as("__chars"))
+      .groupBy("lang_guess")
+      .agg(sum("__ws").as("ws_tokens"), sum("__bpe").as("bpe_tokens"),
+        sum("__chars").as("n_chars"))
+      .select($"bpe_tokens".cast("double") / $"ws_tokens",
+        $"n_chars".cast("double") / $"bpe_tokens").head()
+    assert(row.getDouble(0) == bpe.toDouble / ws)
+    assert(row.getDouble(1) == ch.toDouble / bpe)
+  }
+
   test("markup strip: tags to spaces, entity order keeps double-escapes literal") {
     import graft.functions.TextAnalysis
     val docs = Seq(

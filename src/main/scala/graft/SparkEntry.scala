@@ -664,6 +664,56 @@ object SparkEntry {
         "UNION ALL SELECT 'row_count', rc, rc >= 1000 FROM a) " +
         "ORDER BY check_name")),
 
+    // SCHEMA-WIDE PII COLUMN PROFILE: which columns of a table carry
+    // contact data (the engineered `contact` column is 2/3 emails →
+    // risky; source/note stay clean). One aggregate job over one scan
+    // regardless of column count; the oracle replays every class count.
+    Q("q_privacy_pii_profile", {
+      (s, d) => {
+        val frame = Tables.documents(s, d).select(
+          col("source"),
+          when(pmod(col("doc_id"), lit(3L)) =!= 0,
+            concat(lit("user"), col("doc_id").cast("string"),
+              lit("@example.com")))
+            .otherwise(concat(lit("user "), col("doc_id").cast("string")))
+            .as("contact"),
+          col("text").as("note"))
+        graft.functions.DataQuality.piiColumnProfile(frame,
+            Seq("source", "contact", "note"))
+          .orderBy("col_name")
+      }
+    }, {
+      val cols = Seq("source", "contact", "note")
+      def cagg(c: String) =
+        s"count($c) AS n_$c, " + Seq(
+          ("e", TextAnalysis.EmailRx), ("p", TextAnalysis.PhoneRx),
+          ("i", TextAnalysis.Ipv4Rx)).map { case (t, rx) =>
+          s"sum(CASE WHEN len(regexp_extract_all($c, '$rx')) > 0 " +
+            s"THEN 1 ELSE 0 END) AS ${t}_$c"
+        }.mkString(", ")
+      def frac(num: String, den: String) =
+        s"CASE WHEN $den > 0 THEN CAST(COALESCE($num, 0) AS DOUBLE) " +
+          s"/ CAST($den AS DOUBLE) END"
+      val rows = cols.map { c =>
+        s"SELECT '$c' AS col_name, CAST(n_$c AS BIGINT) AS n_values, " +
+          s"CAST(COALESCE(e_$c, 0) AS BIGINT) AS n_email_like, " +
+          s"CAST(COALESCE(p_$c, 0) AS BIGINT) AS n_phone_like, " +
+          s"CAST(COALESCE(i_$c, 0) AS BIGINT) AS n_ipv4_like, " +
+          s"${frac(s"e_$c", s"n_$c")} AS email_frac, " +
+          s"${frac(s"p_$c", s"n_$c")} AS phone_frac, " +
+          s"${frac(s"i_$c", s"n_$c")} AS ipv4_frac, " +
+          s"COALESCE(greatest(${frac(s"e_$c", s"n_$c")}, " +
+          s"${frac(s"p_$c", s"n_$c")}, ${frac(s"i_$c", s"n_$c")}) > 0.5, " +
+          "false) AS risky FROM a"
+      }.mkString(" UNION ALL ")
+      Some("WITH w AS (SELECT source, CASE WHEN doc_id % 3 <> 0 " +
+        "THEN 'user' || doc_id || '@example.com' " +
+        "ELSE 'user ' || doc_id END AS contact, text AS note " +
+        "FROM documents), " +
+        s"a AS (SELECT ${cols.map(cagg).mkString(", ")} FROM w) " +
+        s"SELECT * FROM ($rows) ORDER BY col_name")
+    }),
+
     // DISTRIBUTION DRIFT between two snapshots (month halves; the current
     // side's values engineered ×1.25 so real drift exists): bucket edges =
     // exact rank statistics of a deterministic id-mix sample of the BASE
@@ -3305,6 +3355,43 @@ object SparkEntry {
         s"${foldSumSql("[q0.qv[i] * c.v[i] FOR i IN range(1, 17)]")} " +
         "AS score FROM nv c, q0 WHERE c.vec_id <> q0.query_id), " +
         s"${shortlistCte("scp", 40, "sl")}, " + refineTailSql("sl", 10))),
+
+    // RETRIEVAL EVAL — MRR + precision@10 of the brute-force stack under
+    // label relevance (neighbor relevant ⟺ shares the anchor's label):
+    // the per-query eval report beside the recall certificates. Exact
+    // counts, exact-rational MRR; deliberately no ln-based NDCG in the
+    // hash-gated surface (libm ln drifts between engines).
+    Q("q_sim_eval_mrr",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") % 100 === 0)
+        Similarity.retrievalEval(
+            Similarity.bruteForceTopK(emb, qs, k = 10), emb, k = 10)
+          .orderBy("query_id")
+      },
+      Some(s"WITH $normEmbCte, " +
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM nv " +
+        "WHERE vec_id % 100 = 0), " +
+        "sc AS (SELECT query_id, c.vec_id AS neighbor_id, " +
+        s"${dotSql("qv", "c.v")} AS score " +
+        "FROM nv c, q WHERE c.vec_id <> q.query_id), " +
+        "rr AS (SELECT query_id, neighbor_id, " +
+        "row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY score DESC, neighbor_id) AS rank FROM sc), " +
+        "res AS (SELECT * FROM rr WHERE rank <= 10), " +
+        "lb AS (SELECT vec_id, label FROM embeddings), " +
+        "j AS (SELECT res.query_id, res.rank, " +
+        "(ql.label IS NOT NULL AND ql.label = nb.label) AS rel FROM res " +
+        "LEFT JOIN lb ql ON ql.vec_id = res.query_id " +
+        "LEFT JOIN lb nb ON nb.vec_id = res.neighbor_id), " +
+        "g AS (SELECT query_id, count(*) AS n_retrieved, " +
+        "sum(CASE WHEN rel THEN 1 ELSE 0 END) AS n_rel, " +
+        "min(CASE WHEN rel THEN rank END) AS fr FROM j GROUP BY query_id) " +
+        "SELECT query_id, CAST(n_retrieved AS BIGINT) AS n_retrieved, " +
+        "CAST(n_rel AS BIGINT) AS n_relevant, " +
+        "CAST(n_rel AS DOUBLE) / CAST(10 AS DOUBLE) AS precision_at_k, " +
+        "COALESCE(CAST(1 AS DOUBLE) / CAST(fr AS DOUBLE), " +
+        "CAST(0 AS DOUBLE)) AS mrr FROM g ORDER BY query_id")),
 
     // HARD-NEGATIVE MINING — contrastive training data: per labeled
     // anchor, the k nearest vectors with a DIFFERENT label (the

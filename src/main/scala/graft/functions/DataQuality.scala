@@ -243,6 +243,51 @@ object DataQuality {
       .withColumn("l_diverse", col("n_sensitive") >= l)
   }
 
+  /** SCHEMA-WIDE PII COLUMN PROFILE — the table-level complement of
+    * [[TextAnalysis.piiScan]]'s per-document scrub: for every requested
+    * string column, how many values CONTAIN an email / phone / IPv4
+    * pattern (the engine-portable regexes shared with piiScan), the
+    * fraction of non-null values per class, and a `risky` verdict when
+    * any class covers more than half the column — the audit that finds
+    * the column someone landed raw contact data in before it reaches a
+    * training corpus. ONE aggregate job over one scan regardless of
+    * column count (the [[report]] explode shape); fractions are exact
+    * counts with one IEEE division each.
+    */
+  def piiColumnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column to profile")
+    def hit(c: String, rx: String): Column =
+      sum(when(regexp_count(col(c), lit(rx)) > 0, 1L).otherwise(0L))
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"__n_$c"),
+      hit(c, TextAnalysis.EmailRx).as(s"__e_$c"),
+      hit(c, TextAnalysis.PhoneRx).as(s"__p_$c"),
+      hit(c, TextAnalysis.Ipv4Rx).as(s"__i_$c"))
+    }
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    def frac(n: Column, d: Column): Column =
+      when(d > 0, n.cast("double") / d.cast("double"))
+    val rows = array(cols.map { c =>
+      val (n, e, p, i) =
+        (col(s"__n_$c"), col(s"__e_$c"), col(s"__p_$c"), col(s"__i_$c"))
+      struct(
+        lit(c).as("col_name"),
+        n.as("n_values"),
+        coalesce(e, lit(0L)).as("n_email_like"),
+        coalesce(p, lit(0L)).as("n_phone_like"),
+        coalesce(i, lit(0L)).as("n_ipv4_like"),
+        frac(coalesce(e, lit(0L)), n).as("email_frac"),
+        frac(coalesce(p, lit(0L)), n).as("phone_frac"),
+        frac(coalesce(i, lit(0L)), n).as("ipv4_frac"),
+        coalesce(
+          greatest(frac(coalesce(e, lit(0L)), n),
+            frac(coalesce(p, lit(0L)), n),
+            frac(coalesce(i, lit(0L)), n)) > 0.5,
+          lit(false)).as("risky"))
+    }: _*)
+    agged.select(explode(rows).as("r")).select("r.*")
+  }
+
   /** DISTRIBUTION DRIFT between two snapshots of the same feed — the
     * training-serving-skew / crawl-drift audit (the PSI report's exact
     * cousin): bucket edges are exact rank statistics of a deterministic

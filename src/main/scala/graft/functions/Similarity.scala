@@ -1337,6 +1337,42 @@ object Similarity {
     refineExact(topKPerQuery(scored, shortlist), corpus, queries, k)
   }
 
+  /** RETRIEVAL EVALUATION — MRR and precision@k of any ranked result
+    * frame against label relevance (neighbor relevant ⟺ it shares the
+    * anchor's label): the eval half a retrieval pipeline needs beside
+    * [[recallAtK]]'s ground-truth-overlap certificate. Per query:
+    * `n_relevant` (exact count), `precision` (= n_relevant/k, one IEEE
+    * division), `mrr` (1/rank of the FIRST relevant hit, 0.0 when none —
+    * exact rational, so bit-identical in any engine; deliberately no
+    * log-discounted NDCG in the oracle-gated surface: `ln` is not
+    * correctly-rounded IEEE and would drift between engines' libm).
+    * Queries or neighbors with NULL labels contribute no relevance.
+    * Evaluation-sized throughout: |queries|·k rows joined against a
+    * broadcast label projection.
+    */
+  def retrievalEval(results: DataFrame, corpus: DataFrame, k: Int,
+      labelCol: String = "label"): DataFrame = {
+    val labels = corpus.select(col("vec_id"), col(labelCol))
+    val ql = labels.select(col("vec_id").as("query_id"),
+      col(labelCol).as("__ql"))
+    val nl = labels.select(col("vec_id").as("neighbor_id"),
+      col(labelCol).as("__nl"))
+    results.select(col("query_id"), col("neighbor_id"), col("rank"))
+      .join(broadcast(ql), Seq("query_id"), "left")
+      .join(broadcast(nl), Seq("neighbor_id"), "left")
+      .withColumn("__rel", col("__ql").isNotNull && col("__ql") === col("__nl"))
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("n_retrieved"),
+        sum(when(col("__rel"), 1L).otherwise(0L)).as("n_relevant"),
+        min(when(col("__rel"), col("rank"))).as("__first"))
+      .select(col("query_id"), col("n_retrieved"), col("n_relevant"),
+        (col("n_relevant").cast("double") / lit(k.toDouble))
+          .as("precision_at_k"),
+        coalesce(lit(1.0) / col("__first").cast("double"), lit(0.0))
+          .as("mrr"))
+  }
+
   /** HARD-NEGATIVE MINING — the contrastive-training-data operator: for
     * each labeled anchor, the k nearest vectors whose label DIFFERS from
     * the anchor's (the "confusable" negatives that make contrastive /

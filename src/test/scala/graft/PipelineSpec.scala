@@ -1140,6 +1140,44 @@ class PipelineSpec extends SparkSpec {
       "below-threshold repeats must all survive at minCount=3")
   }
 
+  test("retrieval eval: exact MRR and precision arms, NULL labels score nothing") {
+    import graft.functions.Similarity
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0f), Some(7)), (2L, Seq(1.0f, 0f), Some(7)),
+      (3L, Seq(1.0f, 0f), Some(8)), (4L, Seq(1.0f, 0f), Some(7)),
+      (10L, Seq(1.0f, 0f), None: Option[Int]))
+      .toDF("vec_id", "embedding", "label")
+    // hand-built ranked results: anchor 1 hits label-7 first at rank 2;
+    // anchor 10 has a NULL label → nothing counts relevant
+    val results = Seq(
+      (1L, 3L, 1), (1L, 2L, 2), (1L, 4L, 3),
+      (10L, 2L, 1), (10L, 3L, 2))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.retrievalEval(results, corpus, k = 3)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2.0 / 3, 0.5),  // relevant at ranks 2,3 → mrr 1/2
+      (10L, 0L, 0.0, 0.0)))    // NULL-label anchor: zero everywhere
+  }
+
+  test("pii column profile: risky column flagged, clean and NULL columns are not") {
+    import graft.functions.DataQuality
+    val df = Seq(
+      ("a@x.com", "call me", "hello"),
+      ("b@y.org", "192.168.0.1 here", "world"),
+      ("plain", null, "again"))
+      .toDF("emails", "mixed", "clean")
+    val out = DataQuality.piiColumnProfile(df, Seq("emails", "mixed", "clean"))
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getBoolean(8)))
+    assert(out.toSeq == Seq(
+      ("clean", 3L, 0L, 0L, false),
+      ("emails", 3L, 2L, 0L, true),   // 2/3 emails > half
+      ("mixed", 2L, 0L, 1L, false)))  // 1/2 carries an IP: exactly half, not OVER it
+  }
+
   test("tokenizer fertility: per-language ratios are exact sums of the gated signals") {
     import graft.functions.{Bpe, TextAnalysis}
     val merges = SparkEntry.bpeMerges

@@ -349,10 +349,15 @@ object DataQuality {
       .withColumn("hi",
         when(col("bucket") < buckets - 1,
           element_at(cutsLit, col("bucket").cast("int") + 1)))
+      // guard the totals: an empty side yields NULL shares ("no data to
+      // compare"), never a 0/0 NaN — NaN renders differently per engine
       .withColumn("share_base",
-        col("n_base").cast("double") / sum(col("n_base")).over(wAll))
+        when(sum(col("n_base")).over(wAll) > 0,
+          col("n_base").cast("double") / sum(col("n_base")).over(wAll)))
       .withColumn("share_current",
-        col("n_current").cast("double") / sum(col("n_current")).over(wAll))
+        when(sum(col("n_current")).over(wAll) > 0,
+          col("n_current").cast("double") /
+            sum(col("n_current")).over(wAll)))
       .withColumn("drifted",
         abs(col("share_base") - col("share_current")) > threshold)
       .select("bucket", "lo", "hi", "n_base", "n_current",

@@ -812,6 +812,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: per-batch report equals batch driftReport; shifted batch alerts") {
+    import graft.functions.DataQuality
+    implicit val sqlCtx = spark.sqlContext
+    val baseline = (0L until 100L).map(i => (i, i.toDouble))
+      .toDF("event_id", "value")
+    val in = MemoryStream[(Long, Double)]
+    val events = in.toDF().toDF("event_id", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift_sink").toString
+    val q = EventsStream.driftMonitorSink(events, baseline, dir).start()
+    try {
+      val batch0 = (0L until 50L).map(i => (i, i.toDouble * 2))
+      val batch1 = (0L until 50L).map(i => (i, i.toDouble + 1000.0))
+      in.addData(batch0: _*)
+      q.processAllAvailable()
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      // stream ≡ batch: the per-trigger report is exactly the batch
+      // operator over the same rows
+      val streamed = spark.read.parquet(s"$dir/batch=0")
+        .orderBy("bucket").collect().map(_.toSeq).toSeq
+      val batch = DataQuality.driftReport(baseline,
+          batch0.toDF("event_id", "value"), "event_id", "value")
+        .orderBy("bucket").collect().map(_.toSeq).toSeq
+      assert(streamed == batch, "per-trigger report must equal the batch report")
+      // the shifted batch lands its whole mass in the top bucket → alert
+      val rows1 = spark.read.parquet(s"$dir/batch=1")
+        .orderBy("bucket").collect()
+      assert(rows1.last.getBoolean(7), "shifted batch must flag drift")
+      assert(rows1.init.exists(r => r.getLong(4) == 0L && r.getBoolean(7)),
+        "vanished lower buckets must flag too")
+    } finally q.stop()
+  }
+
   test("streaming and batch compute the same hourly windows") {
     val batch = Seq(
       (ts("2024-01-01 10:05:00"), "view", 10.0),

@@ -706,6 +706,14 @@ object Stress {
             .as("text"))
           Dedup.lineDedup(relined, minCount = 2)
         })
+      else if (kind == "attrib")
+        // stream-stream-shaped interval join on the batch frame — the
+        // claim to certify is ~1.0 (user-keyed equi-join; per-user
+        // candidate pairs are horizon-bounded, and replicas shift
+        // user_ids so load grows linearly, never quadratically)
+        Seq[(String, String => DataFrame)]("attribution" -> (d =>
+          streaming.EventsStream.attributionJoin(
+            sources.Tables.events(spark, d))))
       else if (kind == "novelty")
         // trigram novelty — one trigram-keyed shuffle + doc rollup: the
         // claim to certify is a ~1.0 exponent (rows ∝ corpus tokens,

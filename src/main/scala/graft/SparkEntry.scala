@@ -1054,11 +1054,18 @@ object SparkEntry {
     * oracle (data-independent constants — the mixQuota rule).
     */
   private val epochBudget = 40000L
-  private lazy val epochTargetSql: String = {
-    val qs = graft.functions.Sampling.apportion(mixParts, epochBudget)
+
+  /** q_sample_epoch_plan weighs one source that does NOT exist in the
+    * corpus ("srcz") so the plan's infeasible arm — a weighted source with
+    * zero available tokens keeps its row with NULL epochs and
+    * over_epoch_cap TRUE instead of silently losing its budget share —
+    * is oracle-gated, not just spec'd.
+    */
+  private val epochParts = mixParts + ("srcz" -> 1L)
+  private lazy val epochTargetValuesSql: String = {
+    val qs = graft.functions.Sampling.apportion(epochParts, epochBudget)
     qs.toSeq.sortBy(_._1)
-      .map { case (s, q) => s"WHEN '$s' THEN $q" }
-      .mkString("CAST(CASE source ", " ", " ELSE 0 END AS BIGINT)")
+      .map { case (s, q) => s"('$s', CAST($q AS BIGINT))" }.mkString(", ")
   }
 
   /** DuckDB CTE `fp`: the content fingerprint of every document — an exact
@@ -2117,20 +2124,27 @@ object SparkEntry {
     // engines (the mixQuota rule); everything data-dependent is replayed.
     Q("q_sample_epoch_plan",
       (s, d) => graft.functions.Sampling.epochPlan(
-        Tables.documents(s, d), mixParts, budgetTokens = epochBudget)
+        Tables.documents(s, d), epochParts, budgetTokens = epochBudget)
         .orderBy("source"),
       Some("WITH a AS (SELECT source, " +
         s"CAST(sum(len($toksSql)) AS BIGINT) AS available_tokens " +
         "FROM documents WHERE text IS NOT NULL GROUP BY source), " +
-        s"t AS (SELECT a.*, $epochTargetSql AS target_tokens FROM a), " +
+        s"w AS (SELECT * FROM (VALUES $epochTargetValuesSql) " +
+        "AS v(source, target_tokens)), " +
+        "t AS (SELECT coalesce(a.source, w.source) AS source, " +
+        "CAST(coalesce(a.available_tokens, 0) AS BIGINT) AS available_tokens, " +
+        "CAST(coalesce(w.target_tokens, 0) AS BIGINT) AS target_tokens " +
+        "FROM a FULL OUTER JOIN w ON a.source = w.source), " +
         "e AS (SELECT *, CAST(CASE WHEN target_tokens > 0 " +
         "AND available_tokens > 0 THEN " +
         "(target_tokens + available_tokens - 1) // available_tokens " +
+        "WHEN target_tokens > 0 AND available_tokens = 0 THEN NULL " +
         "ELSE 0 END AS BIGINT) AS epochs FROM t) " +
         "SELECT source, available_tokens, target_tokens, epochs, " +
         "CAST(CASE WHEN epochs > 0 THEN target_tokens - " +
-        "(epochs - 1) * available_tokens ELSE 0 END AS BIGINT) " +
-        "AS last_epoch_tokens, epochs > 4 AS over_epoch_cap " +
+        "(epochs - 1) * available_tokens " +
+        "WHEN epochs IS NULL THEN NULL ELSE 0 END AS BIGINT) " +
+        "AS last_epoch_tokens, coalesce(epochs > 4, TRUE) AS over_epoch_cap " +
         "FROM e ORDER BY source")),
 
     // TEMPERATURE-scaled mixture (α = 0.5, the UniMax/multilingual

@@ -869,9 +869,11 @@ object Dedup {
     * Scale shape: one shuffle keyed by the line itself (exact equality —
     * no hash-collision false merges; rows carry (doc_id, idx, line)
     * once, the same corpus-sized exchange any exact dedup pays), then a
-    * per-document rebuild aggregate. Output one row per input document:
-    * (doc_id, n_lines, n_kept, text) — text is '' when every line was a
-    * later duplicate, never NULL.
+    * per-document rebuild aggregate. Output one row per non-NULL-text
+    * input document ([[paragraphDedup]]'s contract — NULL text has no
+    * lines to keep or drop; filter upstream if such rows must be
+    * preserved): (doc_id, n_lines, n_kept, text) — text is '' when every
+    * line was a later duplicate, never NULL.
     */
   def lineDedup(docs: DataFrame, minCount: Int = 2, lineSep: String = "\n",
       textCol: String = "text"): DataFrame = {

@@ -344,9 +344,14 @@ object Multimodal {
     val w = int(); val h = int(); val maxval = int()
     if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
     i += 1 // the single whitespace byte after maxval
-    val n = w * h
-    val need = if (color) 3 * n else n
-    if (i + need > b.length) return None
+    // Long arithmetic: a malformed header claiming e.g. 46341×46341 makes
+    // w*h overflow Int to a negative count, which would slip past the
+    // length check and crash the task (NegativeArraySizeException) instead
+    // of taking the documented undecodable-row drop.
+    val nL = w.toLong * h
+    val needL = if (color) 3L * nL else nL
+    if (nL > Int.MaxValue || i + needL > b.length) return None
+    val n = nL.toInt
     val g = new Array[Int](n)
     var p = 0
     while (p < n) {
@@ -439,6 +444,10 @@ object Multimodal {
     }
     if (fmt != 1L || channels <= 0 || blockAlign <= 0 || dataSize <= 0 ||
       (bits != 8L && bits != 16L)) return None
+    // A frame must hold channels×bytesPerSample bytes; a header claiming a
+    // smaller blockAlign (inconsistent but passing every guard above) would
+    // read the last frames past the data chunk's end and crash the task.
+    if (blockAlign < channels * (bits / 8)) return None
     val frames = (dataSize / blockAlign).toInt
     if (frames <= 0) return None
     val bytesPerSample = (bits / 8).toInt

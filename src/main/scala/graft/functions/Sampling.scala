@@ -297,33 +297,50 @@ object Sampling {
     * Muennighoff's fits — the planner's signal to re-weight the mixture.
     *
     * Scale shape: ONE corpus scan collapses to a |sources|-row aggregate;
-    * every plan column is arithmetic on that tiny frame. Sources present in
-    * the data but absent from `weights` get target 0 (reported, zero
-    * epochs) — the audit sees them instead of losing them.
+    * every plan column is arithmetic on that tiny frame (the weight table
+    * is config-sized and joins broadcast). Sources present in the data but
+    * absent from `weights` get target 0 (reported, zero epochs) — the
+    * audit sees them instead of losing them. The REVERSE direction is
+    * reported too: a source with a weight but NO data rows keeps its row
+    * with available_tokens 0, its full apportioned target, NULL epochs /
+    * last_epoch_tokens (the pass count is undefined — no amount of
+    * repetition reaches the target), and over_epoch_cap TRUE — the
+    * strongest re-weighting signal the planner exists to surface, not a
+    * silently vanished share of the budget.
     */
   def epochPlan(docs: DataFrame, weights: Map[String, Long],
       budgetTokens: Long, sourceCol: String = "source",
       textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val targets = apportion(weights, budgetTokens)
-    val targetCol = targets.toSeq.sortBy(_._1).foldRight(lit(0L)) {
-      case ((s, q), rest) => when(col("source") === s, lit(q)).otherwise(rest)
-    }
-    docs.filter(col(textCol).isNotNull)
+    val targetDf =
+      targets.toSeq.sortBy(_._1).toDF("source", "target_tokens")
+    val avail = docs.filter(col(textCol).isNotNull)
       .groupBy(col(sourceCol).as("source"))
       .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long"))
         .as("available_tokens"))
-      .select(col("source"), col("available_tokens"),
-        targetCol.as("target_tokens"))
+    // full outer: data-only sources keep target 0, weight-only sources
+    // keep available 0. (No broadcast hint — Spark's BHJ does not build a
+    // full-outer side; both inputs are |sources|-row aggregates anyway.)
+    avail.join(targetDf, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("available_tokens"), lit(0L)).as("available_tokens"),
+        coalesce(col("target_tokens"), lit(0L)).as("target_tokens"))
       .withColumn("epochs",
         when(col("target_tokens") > 0 && col("available_tokens") > 0,
           expr("(target_tokens + available_tokens - 1) div available_tokens"))
+          .when(col("target_tokens") > 0 && col("available_tokens") === 0L,
+            lit(null).cast("long"))
           .otherwise(0L))
       .withColumn("last_epoch_tokens",
         when(col("epochs") > 0,
           col("target_tokens") -
             (col("epochs") - 1L) * col("available_tokens"))
+          .when(col("epochs").isNull, lit(null).cast("long"))
           .otherwise(0L))
-      .withColumn("over_epoch_cap", col("epochs") > 4L)
+      .withColumn("over_epoch_cap",
+        coalesce(col("epochs") > 4L, lit(true)))
   }
 
   /** Deterministic stratified sampling: keep a row iff its content-hash
@@ -377,8 +394,16 @@ object Sampling {
       .withColumn("wt",
         round(sqrt(col("n_source").cast("double")) * lit(1048576.0)).cast("long"))
       .withColumn("sum_wt", sum(col("wt")).over(wAll))
-      .withColumn("base", expr(s"$totalN * wt div sum_wt"))
-      .withColumn("rem", (lit(totalN) * col("wt")) % col("sum_wt"))
+      // The apportionment product in DECIMAL(38,0): wt ≈ √n·2^20, so at a
+      // web-scale source (n ≈ 4e9 → wt ≈ 6.6e10) a BIGINT totalN·wt passes
+      // Long.MaxValue and ANSI mode would abort the job (the driver-side
+      // [[apportion]] guards this with a require; this is the SQL analog).
+      // Exact integer arithmetic either way; `div` on decimals is Spark's
+      // integral divide and lands back in BIGINT.
+      .withColumn("__prod",
+        lit(totalN).cast("decimal(38,0)") * col("wt").cast("decimal(38,0)"))
+      .withColumn("base", expr("__prod div sum_wt"))
+      .withColumn("rem", col("__prod") % col("sum_wt"))
       .withColumn("leftover", lit(totalN) - sum(col("base")).over(wAll))
       .withColumn("rk", row_number().over(wRk))
       .withColumn("quota",

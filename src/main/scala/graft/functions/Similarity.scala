@@ -449,11 +449,6 @@ object Similarity {
     // driver-side normalize + probe selection, same arithmetic and tie
     // rules as the Spark/oracle sides: left-fold dot, zero-norm queries
     // dropped, top-nprobe cells by (score desc, cid asc)
-    def dotD(a: Array[Double], b: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
     val probeRows = rawQ.iterator.flatMap { r =>
       val id = r.getLong(0)
       val v = r.getAs[scala.collection.Seq[Double]]("v").toArray
@@ -555,41 +550,15 @@ object Similarity {
       maxQueries: Int = 65536): DataFrame = {
     val c = normalized(corpus)
     val books = trainPqCodebooks(c, m, ksub, sampleSize, iters)
-    val subDim = books(0)(0).length
     val codes = pqEncode(c, books)
 
     val rawQ = asDouble(queries).limit(maxQueries + 1).collect()
     require(rawQ.length <= maxQueries,
       s"query set exceeds maxQueries=$maxQueries; batch it or raise the cap")
-    def dotD(a: Array[Double], b: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
-    val lutRows = rawQ.toSeq.flatMap { r =>
-      val id = r.getLong(0)
-      val v = r.getAs[scala.collection.Seq[Double]]("v").toArray
-      val nrm = math.sqrt(dotD(v, v))
-      if (nrm > 0) {
-        val qv = v.map(_ / nrm)
-        val lut = Array.tabulate(m * ksub) { i =>
-          dotD(qv.slice((i / ksub) * subDim, (i / ksub + 1) * subDim),
-            books(i / ksub)(i % ksub))
-        }
-        Some((id, lut.toSeq))
-      } else None
-    }
     val spark = corpus.sparkSession
     import spark.implicits._
-    val luts = lutRows.toDF("query_id", "lut")
-    val scored = codes.join(broadcast(luts), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-            (code, mm) => element_at(col("lut"),
-              (mm * ksub + code + 1).cast("int"))),
-          lit(0.0), (acc, x) => acc + x).as("score"))
-    topKPerQuery(scored, k)
+    val luts = adcLutRows(rawQ, books, m, ksub).toDF("query_id", "lut")
+    topKPerQuery(adcScoresFlat(codes, luts, m, ksub), k)
   }
 
   /** Per-subspace plain-k-means codebooks over a `sampleSize`-vector
@@ -698,6 +667,104 @@ object Similarity {
       books: Array[Array[Array[Double]]]): DataFrame =
     nv.select(col("vec_id"), pqCodes(books).as("codes"))
 
+  /** Driver-side dot product — the probe-selection arithmetic every
+    * IVF/PQ path shares (centroid ranking, ADC LUT entries).
+    */
+  private def dotD(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** The m·ksub ADC lookup table of one normalized query against `books`:
+    * entry i = dot(q's sub-vector for subspace i/ksub, codeword i%ksub).
+    */
+  private def adcLut(qv: Array[Double], books: Array[Array[Array[Double]]],
+      m: Int, ksub: Int): Seq[Double] = {
+    val subDim = books(0)(0).length
+    Array.tabulate(m * ksub) { i =>
+      dotD(qv.slice((i / ksub) * subDim, (i / ksub + 1) * subDim),
+        books(i / ksub)(i % ksub))
+    }.toSeq
+  }
+
+  /** Driver-side probe selection shared by EVERY IVF×PQ search path
+    * (one-shot raw, one-shot residual, and the indexed residual search —
+    * one definition, so probe ranking / tie-breaking / LUT indexing can
+    * never drift between the one-shot and indexed paths the oracles
+    * certify as equal): normalize each query, build its m·ksub ADC LUT
+    * against `books`, rank cells by dot(q, centroid) (desc, ties by cid
+    * asc), and emit one row per probed cell — (query_id, cell, lut, base)
+    * where base = dot(q, c_cell), the constant term of the residual
+    * decomposition (raw-PQ callers drop it). Zero-norm queries emit
+    * nothing: no direction to search.
+    */
+  private def adcProbeRows(rawQ: Array[org.apache.spark.sql.Row],
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      m: Int, ksub: Int, nprobe: Int): Seq[(Long, Int, Seq[Double], Double)] = {
+    rawQ.toSeq.flatMap { r =>
+      val id = r.getLong(0)
+      val v = r.getAs[scala.collection.Seq[Double]]("v").toArray
+      val nrm = math.sqrt(dotD(v, v))
+      if (nrm > 0) {
+        val qv = v.map(_ / nrm)
+        val lut = adcLut(qv, books, m, ksub)
+        cents.zipWithIndex
+          .map { case (cv, cid) => (dotD(qv, cv), cid) }
+          .sortBy { case (s, cid) => (-s, cid) }
+          .take(nprobe)
+          .map { case (base, cid) => (id, cid, lut, base) }
+      } else Nil
+    }
+  }
+
+  /** The ADC scoring select shared by the PQ-coded search paths:
+    * candidates join their broadcast probes on the cell, self-matches
+    * drop, and the score is the LUT fold over the codes — plus the
+    * per-(query, cell) base term when the codes are cell residuals.
+    */
+  private def adcScores(enc: DataFrame, probes: DataFrame,
+      m: Int, ksub: Int, withBase: Boolean): DataFrame = {
+    val fold = adcFold(m, ksub)
+    enc.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (if (withBase) col("base") + fold else fold).as("score"))
+  }
+
+  /** The scan-side ADC fold: Σ_m lut[m·ksub + code_m] over a row's codes
+    * against its query's broadcast `lut` — ONE shared definition of the
+    * +1 SQL array indexing, so no path can drift off-by-one alone.
+    */
+  private def adcFold(m: Int, ksub: Int): Column =
+    aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (code, mm) => element_at(col("lut"),
+          (mm * ksub + code + 1).cast("int"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Per-query flat-ADC LUT rows (query_id, lut) — the non-IVF siblings'
+    * probe-selection analog, shared by the one-shot and indexed PQ paths.
+    */
+  private def adcLutRows(rawQ: Array[org.apache.spark.sql.Row],
+      books: Array[Array[Array[Double]]], m: Int,
+      ksub: Int): Seq[(Long, Seq[Double])] =
+    rawQ.toSeq.flatMap { r =>
+      val id = r.getLong(0)
+      val v = r.getAs[scala.collection.Seq[Double]]("v").toArray
+      val nrm = math.sqrt(dotD(v, v))
+      if (nrm > 0) Some((id, adcLut(v.map(_ / nrm), books, m, ksub))) else None
+    }
+
+  /** Flat ADC scoring — every (query, candidate) pair, scored from codes
+    * only; self-matches drop.
+    */
+  private def adcScoresFlat(codes: DataFrame, luts: DataFrame,
+      m: Int, ksub: Int): DataFrame =
+    codes.join(broadcast(luts), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adcFold(m, ksub).as("score"))
+
   /** IVF + PQ composed — the production ANN shape at 100 TB: the trained
     * coarse quantizer prunes the search to `nprobe` of `centroids` cells
     * ([[ivfTrainedTopK]]), and WITHIN the probed cells rows are scored
@@ -720,7 +787,6 @@ object Similarity {
     val c = normalized(corpus)
     val cents = trainCentroids(c, centroids, sampleSize, iters)
     val books = trainPqCodebooks(c, m, ksub, sampleSize, iters)
-    val subDim = books(0)(0).length
     // one corpus scan projects BOTH the cell and the codes
     val enc = assignToCentroids(c, cents)
       .select(col("vec_id"), col("cluster").as("bucket"), pqCodes(books).as("codes"))
@@ -730,40 +796,12 @@ object Similarity {
     val rawQ = asDouble(queries).limit(maxQueries + 1).collect()
     require(rawQ.length <= maxQueries,
       s"query set exceeds maxQueries=$maxQueries; batch it or raise the cap")
-    def dotD(a: Array[Double], b: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
-    val probeRows = rawQ.toSeq.flatMap { r =>
-      val id = r.getLong(0)
-      val v = r.getAs[scala.collection.Seq[Double]]("v").toArray
-      val nrm = math.sqrt(dotD(v, v))
-      if (nrm > 0) {
-        val qv = v.map(_ / nrm)
-        val lut = Array.tabulate(m * ksub) { i =>
-          dotD(qv.slice((i / ksub) * subDim, (i / ksub + 1) * subDim),
-            books(i / ksub)(i % ksub))
-        }.toSeq
-        cents.zipWithIndex
-          .map { case (cv, cid) => (dotD(qv, cv), cid) }
-          .sortBy { case (s, cid) => (-s, cid) }
-          .take(nprobe)
-          .map { case (_, cid) => (id, cid, lut) }
-      } else Nil
-    }
     val spark = corpus.sparkSession
     import spark.implicits._
-    val probes = probeRows.toDF("query_id", "bucket", "lut")
-    val scored = enc.join(broadcast(probes), Seq("bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-            (code, mm) => element_at(col("lut"),
-              (mm * ksub + code + 1).cast("int"))),
-          lit(0.0), (acc, x) => acc + x).as("score"))
-    topKPerQuery(scored, k)
+    val probes = adcProbeRows(rawQ, cents, books, m, ksub, nprobe)
+      .map { case (id, cid, lut, _) => (id, cid, lut) } // raw codes: no base
+      .toDF("query_id", "bucket", "lut")
+    topKPerQuery(adcScores(enc, probes, m, ksub, withBase = false), k)
   }
 
   /** TRUE IVFADC — [[ivfPqTopK]] with RESIDUAL encoding (Jégou et al.
@@ -790,7 +828,6 @@ object Similarity {
     val c = normalized(corpus)
     val cents = trainCentroids(c, centroids, sampleSize, iters)
     val books = trainPqResidualCodebooks(c, cents, m, ksub, sampleSize, iters)
-    val subDim = books(0)(0).length
     // one corpus scan projects the cell, the residual, and its codes;
     // typedLit (not array(lit...)) so the centroid table is a single
     // literal, not a per-row re-materialized CreateArray
@@ -804,42 +841,13 @@ object Similarity {
     val rawQ = asDouble(queries).limit(maxQueries + 1).collect()
     require(rawQ.length <= maxQueries,
       s"query set exceeds maxQueries=$maxQueries; batch it or raise the cap")
-    def dotD(a: Array[Double], b: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
-    // probe rows now carry the per-cell base term dot(q, c_cell) — the
-    // same double the probe ranking already computed
-    val probeRows = rawQ.toSeq.flatMap { r =>
-      val id = r.getLong(0)
-      val v = r.getAs[scala.collection.Seq[Double]]("v").toArray
-      val nrm = math.sqrt(dotD(v, v))
-      if (nrm > 0) {
-        val qv = v.map(_ / nrm)
-        val lut = Array.tabulate(m * ksub) { i =>
-          dotD(qv.slice((i / ksub) * subDim, (i / ksub + 1) * subDim),
-            books(i / ksub)(i % ksub))
-        }.toSeq
-        cents.zipWithIndex
-          .map { case (cv, cid) => (dotD(qv, cv), cid) }
-          .sortBy { case (s, cid) => (-s, cid) }
-          .take(nprobe)
-          .map { case (base, cid) => (id, cid, lut, base) }
-      } else Nil
-    }
+    // probe rows carry the per-cell base term dot(q, c_cell) — the same
+    // double the probe ranking already computed
     val spark = corpus.sparkSession
     import spark.implicits._
-    val probes = probeRows.toDF("query_id", "bucket", "lut", "base")
-    val scored = enc.join(broadcast(probes), Seq("bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (col("base") + aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-            (code, mm) => element_at(col("lut"),
-              (mm * ksub + code + 1).cast("int"))),
-          lit(0.0), (acc, x) => acc + x)).as("score"))
-    topKPerQuery(scored, k)
+    val probes = adcProbeRows(rawQ, cents, books, m, ksub, nprobe)
+      .toDF("query_id", "bucket", "lut", "base")
+    topKPerQuery(adcScores(enc, probes, m, ksub, withBase = true), k)
   }
 
   /** Materialize a PQ INDEX: the per-subspace codebooks (`<name>_codebooks`:
@@ -890,39 +898,13 @@ object Similarity {
     val books = Array.tabulate(m, ksub) { (mm, code) =>
       cbRows(mm * ksub + code).getAs[scala.collection.Seq[Double]]("cv").toArray
     }
-    val subDim = books(0)(0).length
-
     val rawQ = asDouble(queries).limit(maxQueries + 1).collect()
     require(rawQ.length <= maxQueries,
       s"query set exceeds maxQueries=$maxQueries; batch it or raise the cap")
-    def dotD(a: Array[Double], b: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
-    val lutRows = rawQ.toSeq.flatMap { r =>
-      val id = r.getLong(0)
-      val v = r.getAs[scala.collection.Seq[Double]]("v").toArray
-      val nrm = math.sqrt(dotD(v, v))
-      if (nrm > 0) {
-        val qv = v.map(_ / nrm)
-        Some((id, Array.tabulate(m * ksub) { i =>
-          dotD(qv.slice((i / ksub) * subDim, (i / ksub + 1) * subDim),
-            books(i / ksub)(i % ksub))
-        }.toSeq))
-      } else None
-    }
     import spark.implicits._
-    val luts = lutRows.toDF("query_id", "lut")
-    val scored = spark.table(s"${name}_codes")
-      .join(broadcast(luts), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-            (code, mm) => element_at(col("lut"),
-              (mm * ksub + code + 1).cast("int"))),
-          lit(0.0), (acc, x) => acc + x).as("score"))
-    topKPerQuery(scored, k)
+    val luts = adcLutRows(rawQ, books, m, ksub).toDF("query_id", "lut")
+    topKPerQuery(
+      adcScoresFlat(spark.table(s"${name}_codes"), luts, m, ksub), k)
   }
 
   /** Materialize a TRUE-IVFADC index ([[ivfPqResidualTopK]]'s fit, paid
@@ -999,47 +981,17 @@ object Similarity {
     val books = Array.tabulate(m, ksub) { (mm, code) =>
       cbRows(mm * ksub + code).getAs[scala.collection.Seq[Double]]("cv").toArray
     }
-    val subDim = books(0)(0).length
 
     val rawQ = asDouble(queries).limit(maxQueries + 1).collect()
     require(rawQ.length <= maxQueries,
       s"query set exceeds maxQueries=$maxQueries; batch it or raise the cap")
-    def dotD(a: Array[Double], b: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
-    val probeRows = rawQ.toSeq.flatMap { r =>
-      val id = r.getLong(0)
-      val v = r.getAs[scala.collection.Seq[Double]]("v").toArray
-      val nrm = math.sqrt(dotD(v, v))
-      if (nrm > 0) {
-        val qv = v.map(_ / nrm)
-        val lut = Array.tabulate(m * ksub) { i =>
-          dotD(qv.slice((i / ksub) * subDim, (i / ksub + 1) * subDim),
-            books(i / ksub)(i % ksub))
-        }.toSeq
-        cents.zipWithIndex
-          .map { case (cv, cid) => (dotD(qv, cv), cid) }
-          .sortBy { case (s, cid) => (-s, cid) }
-          .take(nprobe)
-          .map { case (base, cid) => (id, cid, lut, base) }
-      } else Nil
-    }
+    val probeRows = adcProbeRows(rawQ, cents, books, m, ksub, nprobe)
     import spark.implicits._
     val probes = probeRows.toDF("query_id", "bucket", "lut", "base")
     val cells = probeRows.map(_._2).distinct.sorted
     val enc = spark.table(s"${name}_codes")
       .filter(col("bucket").isin(cells.map(Integer.valueOf): _*))
-    val scored = enc.join(broadcast(probes), Seq("bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (col("base") + aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-            (code, mm) => element_at(col("lut"),
-              (mm * ksub + code + 1).cast("int"))),
-          lit(0.0), (acc, x) => acc + x)).as("score"))
-    topKPerQuery(scored, k)
+    topKPerQuery(adcScores(enc, probes, m, ksub, withBase = true), k)
   }
 
   /** IVF cell-balance report — the operational health metric of a trained
@@ -1133,11 +1085,6 @@ object Similarity {
     require(sample.length >= k,
       s"corpus sample ${sample.length} smaller than centroid count $k")
 
-    def dotD(a: Array[Double], b: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
 
     var cents = sample.take(k).map(_._2)
     for (_ <- 1 to iters) {

@@ -177,9 +177,13 @@ object TextAnalysis {
     * is ONE pass — the cheapest per-doc gate after the stateless
     * heuristics.
     *
-    * Un-scorable documents (NULL text / zero tokens) keep n_tokens 0, a
-    * NULL score, and keep=false — a gate admits only what it can vouch
-    * for (bias alone is not a verdict about absent text).
+    * Un-scorable documents (NULL, empty, or whitespace-only text — no
+    * token carries any content) keep n_tokens 0, a NULL score, and
+    * keep=false — a gate admits only what it can vouch for (bias alone is
+    * not a verdict about absent text). The explicit blank guard matters:
+    * `tokens('')` is `['']` (split semantics), so without it a
+    * content-free document would take the bias-decides path and pass
+    * whenever bias ≥ thresholdMicros.
     *
     * Output: (doc_id, n_tokens, score_num, score, keep).
     */
@@ -200,7 +204,9 @@ object TextAnalysis {
       .agg(sum(col("__w")).as("__hit"))
     docs
       .select(col("doc_id"),
-        coalesce(size(tokens(col(textCol))).cast("long"), lit(0L)).as("n_tokens"))
+        when(coalesce(col(textCol).rlike("\\S"), lit(false)),
+          size(tokens(col(textCol))).cast("long"))
+          .otherwise(lit(0L)).as("n_tokens"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         (coalesce(col("__hit"), lit(0L)) + lit(bias)).as("score_num"))

@@ -526,7 +526,9 @@ class PipelineSpec extends SparkSpec {
       Multimodal.MediaRow(2L, "image", ppm),
       Multimodal.MediaRow(3L, "image", near),
       Multimodal.MediaRow(4L, "image", far),
-      Multimodal.MediaRow(5L, "image", "not an image".getBytes)).toDS()
+      Multimodal.MediaRow(5L, "image", "not an image".getBytes),
+      // 46341×46341 overflows Int in w*h — must DROP, not crash the task
+      Multimodal.MediaRow(6L, "image", "P5 46341 46341 255 junk".getBytes)).toDS()
     val sigs = Multimodal.imageDhash(ds).collect().map(s => s.doc_id -> s).toMap
 
     assert(sigs.keySet == Set(1L, 2L, 3L, 4L), "undecodable bytes must drop")
@@ -601,7 +603,14 @@ class PipelineSpec extends SparkSpec {
       Multimodal.MediaRow(2L, "audio", flat),
       Multimodal.MediaRow(3L, "audio", near),
       Multimodal.MediaRow(4L, "audio", floatWav),
-      Multimodal.MediaRow(5L, "audio", "not audio".getBytes)).toDS()
+      Multimodal.MediaRow(5L, "audio", "not audio".getBytes),
+      // stereo 16-bit claiming blockAlign=2 (< channels×bytesPerSample):
+      // internally inconsistent — must DROP, not read past the data chunk
+      Multimodal.MediaRow(7L, "audio", {
+        val b = wav16(Array.tabulate[Short](144)(j => ((j / 2) * 10).toShort),
+          channels = 2)
+        b(32) = 2; b // blockAlign 4 → 2
+      })).toDS()
     val sigs = Multimodal.audioDhash(ds).collect().map(s => s.doc_id -> s).toMap
     assert(sigs.keySet == Set(1L, 2L, 3L), "non-PCM and non-WAV must drop")
     assert(sigs(1L).frames == 72L && sigs(1L).sample_rate == 8000L)
@@ -1378,6 +1387,15 @@ class PipelineSpec extends SparkSpec {
       .filter($"source" === "srcB").collect()(0)
     assert(partial.getLong(3) == 11L && partial.getLong(4) == 1L,
       "an uneven budget must surface as a 1-token final epoch")
+    // a weighted source with NO data rows keeps its row — full apportioned
+    // target, 0 available, NULL epochs (no pass count reaches the target),
+    // cap flag raised — instead of silently losing its budget share
+    val missing = Sampling.epochPlan(docs,
+        Map("srcA" -> 1L, "srcB" -> 3L, "srcZ" -> 4L), budgetTokens = 40L)
+      .filter($"source" === "srcZ").collect()(0)
+    assert(missing.getLong(1) == 0L && missing.getLong(2) == 20L &&
+      missing.isNullAt(3) && missing.isNullAt(4) && missing.getBoolean(5),
+      s"infeasible source must surface, got $missing")
   }
 
   test("paragraph dedup: within-doc keep-first only — cross-doc repeats untouched") {
@@ -1589,7 +1607,9 @@ class PipelineSpec extends SparkSpec {
       (1L, "spark spark the"),      // 2·500000 − 300000 + 25000 = 725000, n=3
       (2L, "a a"),                  // −800000 + 25000 = −775000, n=2
       (3L, "zzz"),                  // no hits → bias alone = 25000, n=1
-      (4L, null.asInstanceOf[String])) // unscorable
+      (4L, null.asInstanceOf[String]), // unscorable
+      (5L, ""),                     // content-free — must NOT pass on bias
+      (6L, "   \t "))               // whitespace-only — same
     val w = Seq("spark" -> 500000L, "the" -> -300000L, "a" -> -400000L)
     val out = TextAnalysis.classifierScore(corpus, w,
         bias = 25000L, thresholdMicros = 25000L)
@@ -1600,7 +1620,9 @@ class PipelineSpec extends SparkSpec {
       (1L, 3L, 725000L, Some(725000.0 / 3000000.0), true),   // 725000 ≥ 75000
       (2L, 2L, -775000L, Some(-775000.0 / 2000000.0), false),
       (3L, 1L, 25000L, Some(25000.0 / 1000000.0), true),     // bias meets 25000·1
-      (4L, 0L, 25000L, None, false)))                        // gate admits nothing unscorable
+      (4L, 0L, 25000L, None, false),                         // gate admits nothing unscorable
+      (5L, 0L, 25000L, None, false),                         // '' is not one empty token
+      (6L, 0L, 25000L, None, false)))                        // nor is whitespace
     // misconfigured models fail loudly, not silently
     intercept[IllegalArgumentException](
       TextAnalysis.classifierScore(corpus, Seq.empty))

@@ -1068,6 +1068,59 @@ object SparkEntry {
       .map { case (s, q) => s"('$s', CAST($q AS BIGINT))" }.mkString(", ")
   }
 
+  /** q_sample_epoch_expand's budget — 3× the plan query's so the
+    * expansion exercises MULTI-epoch repetition plus a partial final pass
+    * at every SF (at the plan budget most sources fit in one pass).
+    */
+  private val expandBudget = 120000L
+
+  /** The epoch-expansion replay: the plan arithmetic (rendered Hamilton
+    * targets, measured availability, exact ceil-division epochs), then
+    * the corpus ranked by content fingerprint within each source, each
+    * row repeated `epochs` times via generate_series, and the final pass
+    * cut where the running token total before the document reaches
+    * last_epoch_tokens — the crossing document is kept on both engines.
+    */
+  private lazy val epochExpandOracle: String = {
+    val qs = graft.functions.Sampling.apportion(epochParts, expandBudget)
+    val values = qs.toSeq.sortBy(_._1)
+      .map { case (s, q) => s"('$s', CAST($q AS BIGINT))" }.mkString(", ")
+    fpCte + ", " +
+      "a AS (SELECT source, " +
+      s"CAST(sum(len($toksSql)) AS BIGINT) AS available_tokens " +
+      "FROM documents WHERE text IS NOT NULL GROUP BY source), " +
+      s"w AS (SELECT * FROM (VALUES $values) AS v(source, target_tokens)), " +
+      "e AS (SELECT a.source, " +
+      "CAST((w.target_tokens + a.available_tokens - 1) // a.available_tokens " +
+      "AS BIGINT) AS epochs, a.available_tokens, w.target_tokens " +
+      "FROM a JOIN w USING (source) " +
+      "WHERE w.target_tokens > 0 AND a.available_tokens > 0), " +
+      "ee AS (SELECT source, epochs, " +
+      "CAST(target_tokens - (epochs - 1) * available_tokens AS BIGINT) " +
+      "AS last_epoch_tokens FROM e), " +
+      "tok AS (SELECT d.doc_id, d.source, " +
+      s"CAST(len($toksSql) AS BIGINT) AS n_tokens, fp.fingerprint " +
+      "FROM documents d JOIN fp ON d.doc_id = fp.doc_id " +
+      "WHERE d.text IS NOT NULL), " +
+      "rk AS (SELECT doc_id, source, n_tokens, " +
+      "CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source " +
+      "ORDER BY fingerprint ASC NULLS LAST, doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+      "AS cum_before FROM tok), " +
+      // epoch replication via a bounded static series (DuckDB's binder
+      // rejects both unnest-in-select referenced downstream and lateral
+      // generate_series arguments): max(epochs) rows, theta-joined down
+      "mx AS (SELECT max(epochs) AS m FROM ee), " +
+      "series AS (SELECT unnest(generate_series(1, m)) AS epoch FROM mx), " +
+      "x AS (SELECT rk.doc_id, rk.source, rk.n_tokens, rk.cum_before, " +
+      "ee.epochs, ee.last_epoch_tokens, s.epoch " +
+      "FROM rk JOIN ee USING (source) " +
+      "JOIN series s ON s.epoch <= ee.epochs) " +
+      "SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch, n_tokens " +
+      "FROM x WHERE epoch < epochs OR cum_before < last_epoch_tokens " +
+      "ORDER BY source, epoch, doc_id"
+  }
+
   /** DuckDB CTE `fp`: the content fingerprint of every document — an exact
     * replay of RollingHash.compute (left fold of acc*31+codepoint mod
     * 2^58-27 over the normalized text). Shared by the fingerprint query and
@@ -1407,6 +1460,53 @@ object SparkEntry {
       "SELECT sz AS cluster_size, count(*) AS n_clusters FROM sz " +
       "GROUP BY 1 ORDER BY 1"
 
+  /** The leakage-audit replay: BOTH split strategies derive from the same
+    * component CTEs — the content split hashes each doc's own text
+    * (q_split_assign's fp chain), the cluster split hashes the
+    * representative id (q_split_leakage_safe's kfp chain) — and the pair
+    * set `p` is classified under each. The cluster arm aggregating to
+    * zero cross-split rows is the leakage-safety THEOREM showing up as a
+    * hash-gated count distribution.
+    */
+  private lazy val leakageAuditOracle: String =
+    clusterAssignCtes + ", " + fpCtesBody + ", " +
+      "csplit AS (SELECT doc_id, CASE WHEN fingerprint % 100 < 95 THEN 'train' " +
+      "WHEN fingerprint % 100 < 98 THEN 'val' ELSE 'test' END AS split FROM fp), " +
+      "kfp AS (SELECT doc_id, list_reduce(" +
+      "list_prepend(CAST(0 AS BIGINT), " +
+      "[CAST(unicode(c) AS BIGINT) FOR c IN regexp_extract_all(" +
+      "lower(regexp_replace(trim(CAST(cluster_id AS VARCHAR)), " +
+      "'\\s+', ' ', 'g')), '.')]), " +
+      s"(acc, x) -> (acc * 31 + x) % ${graft.functions.RollingHash.Modulus}) " +
+      "AS f FROM wc), " +
+      "ksplit AS (SELECT doc_id, CASE WHEN f % 100 < 95 THEN 'train' " +
+      "WHEN f % 100 < 98 THEN 'val' ELSE 'test' END AS split FROM kfp), " +
+      "au AS (" +
+      "SELECT 'content' AS method, least(a.split, b.split) AS split_lo, " +
+      "greatest(a.split, b.split) AS split_hi FROM p " +
+      "JOIN csplit a ON p.doc_a = a.doc_id JOIN csplit b ON p.doc_b = b.doc_id " +
+      "UNION ALL " +
+      "SELECT 'cluster', least(a.split, b.split), greatest(a.split, b.split) " +
+      "FROM p JOIN ksplit a ON p.doc_a = a.doc_id " +
+      "JOIN ksplit b ON p.doc_b = b.doc_id) " +
+      "SELECT method, split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs, " +
+      "split_lo <> split_hi AS leaking FROM au GROUP BY 1, 2, 3 " +
+      "ORDER BY method, split_lo, split_hi"
+
+  /** The cluster-best replay: components, score attach, one pick window —
+    * the exactBest discipline lifted to near-dup components.
+    */
+  private lazy val clusterBestOracle: String =
+    clusterAssignCtes + ", " +
+      "sc AS (SELECT d.doc_id, wc.cluster_id, CAST(d.n_chars AS BIGINT) " +
+      "AS score FROM documents d JOIN wc ON d.doc_id = wc.doc_id), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id " +
+      "ORDER BY score DESC, doc_id) AS pick, " +
+      "CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) " +
+      "AS cluster_size FROM sc) " +
+      "SELECT doc_id, cluster_id, score, cluster_size, pick = 1 AS keep " +
+      "FROM r ORDER BY doc_id"
+
   /** DuckDB CTE chain `e, n, nv`: L2-normalized double embeddings with the
     * exact fold-left accumulation order of the fused [[graft.functions.VectorOps]]
     * dot loop (list_reduce is a left fold), so norms — and every downstream
@@ -1470,9 +1570,10 @@ object SparkEntry {
   }
 
   private def ivfTrainedScoredCtes(dim: Int, sampleSize: Int, centroids: Int,
-      iters: Int, nprobe: Int, sampleWhere: String = ""): String =
+      iters: Int, nprobe: Int, sampleWhere: String = "",
+      queryWhere: String = "WHERE vec_id % 100 = 0"): String =
     ivfFitCte(dim, sampleSize, centroids, iters, sampleWhere) + ", " +
-      "q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id % 100 = 0), " +
+      s"q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv $queryWhere), " +
       "qp AS (SELECT query_id, qv, cid AS bucket FROM (" +
       "SELECT q.query_id, q.qv, c.cid, row_number() OVER (PARTITION BY q.query_id " +
       s"ORDER BY ${dotSql("q.qv", "c.cv")} DESC, c.cid) AS rn " +
@@ -2072,6 +2173,31 @@ object SparkEntry {
       },
       Some(leakageSafeOracle)),
 
+    // LEAKAGE AUDIT: the same near-dup pair set classified under BOTH
+    // split strategies in one report — the content split (per-doc hash)
+    // shows cross-split near-dup pairs, the cluster split's leaking rows
+    // aggregate to ZERO by construction, and the hash gate certifies the
+    // exact count distribution of both. The pair set materializes once
+    // (localCheckpoint) and feeds the content audit, the clustering, and
+    // the cluster audit.
+    Q("q_split_leakage_audit",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.ngramJaccardPairs(docs, 0.5).localCheckpoint(true)
+        val splits = Seq(("train", 95), ("val", 3), ("test", 2))
+        val content = graft.functions.Sampling.hashSplit(
+          docs.select("doc_id", "text"), splits).select("doc_id", "split")
+        val cluster = graft.functions.Sampling
+          .leakageSafeSplit(docs, pairs, splits).select("doc_id", "split")
+        graft.functions.Sampling.leakageAudit(content, pairs)
+          .withColumn("method", lit("content"))
+          .unionByName(graft.functions.Sampling.leakageAudit(cluster, pairs)
+            .withColumn("method", lit("cluster")))
+          .select("method", "split_lo", "split_hi", "n_pairs", "leaking")
+          .orderBy("method", "split_lo", "split_hi")
+      },
+      Some(leakageAuditOracle)),
+
     // Deterministic stratified sampling: strata (doc_id mod 3 as a
     // stand-in source label) kept at 100% / 50% / 10% by content-hash
     // bucket out of 10,000 — reproducible, duplicate-consistent, no RNG.
@@ -2146,6 +2272,18 @@ object SparkEntry {
         "WHEN epochs IS NULL THEN NULL ELSE 0 END AS BIGINT) " +
         "AS last_epoch_tokens, coalesce(epochs > 4, TRUE) AS over_epoch_cap " +
         "FROM e ORDER BY source")),
+
+    // EPOCH EXPANSION: the plan materialized as the repeated-corpus
+    // relation a loader consumes — one row per (document, pass), full
+    // passes complete, the final partial pass cut at the token budget in
+    // content-rank order (the crossing document included, overshoot
+    // bounded by one doc). The 3× budget forces multi-epoch repetition at
+    // every SF; the infeasible srcz source correctly contributes nothing.
+    Q("q_sample_epoch_expand",
+      (s, d) => graft.functions.Sampling.epochExpand(
+        Tables.documents(s, d), epochParts, budgetTokens = expandBudget)
+        .orderBy("source", "epoch", "doc_id"),
+      Some(epochExpandOracle)),
 
     // TEMPERATURE-scaled mixture (α = 0.5, the UniMax/multilingual
     // up-sampling shape): quotas ∝ √(source count), weights computed FROM
@@ -3186,6 +3324,20 @@ object SparkEntry {
       },
       Some(clusterSizesOracle)),
 
+    // BEST-COPY per NEAR-DUP cluster: canonical selection by quality
+    // (longest copy, score = n_chars) instead of the arbitrary min-id
+    // representative — exactBest lifted from the exact-digest group to
+    // the connected component; keep=false rows are the dedup decision
+    // list. The oracle replays components + one pick window.
+    Q("q_dedup_cluster_best",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.clusterBest(docs, Dedup.ngramJaccardPairs(docs, 0.5),
+            col("n_chars").cast("long"))
+          .orderBy("doc_id")
+      },
+      Some(clusterBestOracle)),
+
     // SimHash replayed end-to-end in SQL: FNV-1a 64 per token over its
     // UTF-8 BYTES (code points are expanded to UTF-8 in SQL, so multi-byte
     // text hashes identically to the engine's getBytes walk; HUGEINT
@@ -3836,6 +3988,20 @@ object SparkEntry {
       },
       Some(ivfTrainedOracle(dim = 64, sampleSize = 256, centroids = 8,
         iters = 2, nprobe = 4, topk = 10))),
+
+    // k-NN GRAPH over the whole corpus: every vector's 5 nearest under
+    // the trained quantizer's probe pruning — the artifact semantic
+    // dedup, graph clustering, and hard-negative mining consume. NO
+    // driver-side query collect: the corpus is both sides, probe
+    // selection is a scan-side ranking of the literal centroid table
+    // (score desc, cid asc — the training tie rule), and the oracle is
+    // the trained-IVF replay with the query CTE widened to ALL vectors.
+    Q("q_sim_knn_graph",
+      (s, d) => Similarity.knnGraph(Tables.embeddings(s, d), k = 5,
+          nprobe = 2)
+        .orderBy("query_id", "rank"),
+      Some(ivfTrainedScoredCtes(dim = 64, sampleSize = 256, centroids = 8,
+        iters = 2, nprobe = 2, queryWhere = "") + ", " + topKSql("sc", 5))),
 
     // The PERSISTED trained-IVF index: same fit, same oracle, but the
     // corpus assignment is paid once at writeAnnIndex time and the search

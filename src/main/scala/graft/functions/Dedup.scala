@@ -79,6 +79,52 @@ object Dedup {
         col("dup_count"), (col("__pick") === 1).as("keep"))
   }
 
+  /** BEST-COPY selection per NEAR-DUP cluster — [[exactBest]] lifted from
+    * the exact-digest group to the connected near-dup component: within
+    * each duplicate cluster (the [[duplicateClusters]] large-star/
+    * small-star contraction over `pairs`; unpaired documents form
+    * singletons) keep = argmax (score, −doc_id), so canonical selection
+    * can prefer the longest / highest-quality / authoritative copy
+    * instead of the arbitrary min-id representative. Every document is
+    * reported with its cluster, score, cluster size, and verdict — the
+    * keep=false rows ARE the dedup decision list.
+    *
+    * Scale: the clustering is the O(log n)-round star contraction; the
+    * attach is one doc_id hash join; pick and size share one
+    * cluster-keyed exchange (the exactBest window pattern). Callers with
+    * a persisted [[writeClusterTable]] use [[clusterBestIndexed]] and
+    * skip the contraction entirely.
+    */
+  def clusterBest(docs: DataFrame, pairs: DataFrame, score: Column,
+      checkpointDir: Option[String] = None): DataFrame =
+    clusterBestFrom(docs, duplicateClusters(pairs, checkpointDir = checkpointDir),
+      score)
+
+  /** [[clusterBest]] over a persisted [[writeClusterTable]] clustering. */
+  def clusterBestIndexed(spark: org.apache.spark.sql.SparkSession,
+      name: String, docs: DataFrame, score: Column): DataFrame =
+    clusterBestFrom(docs, clusterTable(spark, name)
+      .select(col("doc_id"), col("cluster_id")), score)
+
+  private def clusterBestFrom(docs: DataFrame, clusters: DataFrame,
+      score: Column): DataFrame = {
+    val withC = docs.select(col("doc_id"), score.as("score"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("score"))
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val wGrp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+    withC
+      .withColumn("__pick", row_number().over(wPick))
+      .withColumn("cluster_size", count(lit(1)).over(wGrp))
+      .select(col("doc_id"), col("cluster_id"), col("score"),
+        col("cluster_size"), (col("__pick") === 1).as("keep"))
+  }
+
   /** Incremental exact dedup — the production shape: dedup a NEW batch of
     * documents against itself and against the already-ingested corpus,
     * emitting only novel content (one representative per novel digest, with

@@ -115,6 +115,37 @@ object Sampling {
       name: String, splits: Seq[(String, Int)]): DataFrame =
     splitFromClusters(Dedup.clusterTable(spark, name), splits)
 
+  /** LEAKAGE AUDIT — the certificate that makes a split strategy's
+    * contamination claim a queryable number instead of a design argument:
+    * join a near-dup pair set onto a split assignment and count pairs per
+    * unordered split-class. Rows with `leaking = true` are near-dup pairs
+    * that STRADDLE two splits — exactly the eval-contamination class a
+    * leakage-safe split exists to eliminate: auditing
+    * [[leakageSafeSplit]]'s own assignment must yield zero leaking rows
+    * (same cluster ⇒ same split, and every pair is within one cluster by
+    * construction), while a per-document content split ([[hashSplit]])
+    * generally does not. Same-split classes stay in the report so "zero
+    * leakage" is a visible count distribution, not an absence of rows.
+    *
+    * `split` is any (doc_id, split) assignment; `pairs` any
+    * (doc_a, doc_b) near-dup pair frame. Pairs whose endpoints carry no
+    * split assignment (NULL split — e.g. hashSplit over NULL text) drop:
+    * they belong to no class. Scale: two doc_id hash joins + an
+    * aggregate bounded by |splits|² rows.
+    */
+  def leakageAudit(split: DataFrame, pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_a"), col("doc_b"))
+      .join(split.select(col("doc_id").as("doc_a"),
+        col("split").as("__sa")), Seq("doc_a"))
+      .join(split.select(col("doc_id").as("doc_b"),
+        col("split").as("__sb")), Seq("doc_b"))
+      .filter(col("__sa").isNotNull && col("__sb").isNotNull)
+      .select(least(col("__sa"), col("__sb")).as("split_lo"),
+        greatest(col("__sa"), col("__sb")).as("split_hi"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaking", col("split_lo") =!= col("split_hi"))
+
   /** Sequence PACKING: assign each document to a fixed-token-budget
     * training sequence (pack) — the step between a cleaned corpus and a
     * token-batch loader. Quota packing: within a shard, documents are laid
@@ -341,6 +372,52 @@ object Sampling {
           .otherwise(0L))
       .withColumn("over_epoch_cap",
         coalesce(col("epochs") > 4L, lit(true)))
+  }
+
+  /** EPOCH EXPANSION — materialize [[epochPlan]]'s answer as the actual
+    * repeated-corpus relation a training loader consumes: one row per
+    * (document, pass). Every full epoch repeats the whole source; the
+    * FINAL partial epoch takes documents in the deterministic
+    * content-rank order (fingerprint asc, doc_id — the [[mixtureSample]]
+    * ranking) until the plan's `last_epoch_tokens` budget is exhausted: a
+    * document is kept while the running token total BEFORE it is still
+    * under the budget, so the crossing document is included — the budget
+    * is reached, never undershot, and overshoot is bounded by one
+    * document. Infeasible sources (NULL epochs: weighted but absent) and
+    * unweighted sources (0 epochs) contribute no rows — surfacing them
+    * is [[epochPlan]]'s job, this is the materializer.
+    *
+    * Scale: the plan is a |sources|-row broadcast; the content ranking is
+    * one per-source window over the corpus; epochs explode scan-side via
+    * `sequence` bounded by the plan's own epoch count (output size is the
+    * token budget's, by construction). Output: (doc_id, source, epoch,
+    * n_tokens), epoch in [1, epochs].
+    */
+  def epochExpand(docs: DataFrame, weights: Map[String, Long],
+      budgetTokens: Long, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val plan = epochPlan(docs, weights, budgetTokens, sourceCol, textCol)
+      .filter(col("epochs") > 0)
+      .select(col("source"), col("epochs"), col("last_epoch_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(col("__fp").asc_nulls_last, col("doc_id"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"), col(sourceCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .withColumn("__cum_before",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            -1)), lit(0L)))
+      .join(broadcast(plan), Seq(sourceCol))
+      .select(col("doc_id"), col(sourceCol),
+        explode(sequence(lit(1L), col("epochs"))).as("epoch"),
+        col("n_tokens"), col("epochs"), col("__cum_before"),
+        col("last_epoch_tokens"))
+      .filter(col("epoch") < col("epochs") ||
+        col("__cum_before") < col("last_epoch_tokens"))
+      .select(col("doc_id"), col(sourceCol), col("epoch"), col("n_tokens"))
   }
 
   /** Deterministic stratified sampling: keep a row iff its content-hash

@@ -994,6 +994,49 @@ object Similarity {
     topKPerQuery(adcScores(enc, probes, m, ksub, withBase = true), k)
   }
 
+  /** k-NN GRAPH over the whole corpus — the artifact SemDeDup-style
+    * semantic dedup, graph clustering, and hard-negative mining all
+    * consume: for EVERY vector, its k nearest neighbors under the
+    * trained coarse quantizer's probe pruning (each vector searches only
+    * its own `nprobe` closest cells). Unlike the query-path searches
+    * there is NO driver-side query collect — the corpus is both sides,
+    * so probe selection happens as a SCAN-SIDE projection (rank the
+    * literal centroid table per row with the training tie rule — score
+    * desc, cid asc — and keep nprobe cell ids), and both sides of the
+    * cell join stream: build cost is Σ_cell |members|·|probers| pair
+    * scores, the bucketed candidate-generation shape, never corpus². At
+    * production scale the centroid count grows ~√N, which keeps both the
+    * per-cell quadratic and the join-key cardinality in check; the
+    * 8-cell default is the test-corpus fit. Self-edges drop (a vector's
+    * own cell is always its first probe, so it does meet itself).
+    *
+    * Output: (query_id, neighbor_id, rank, score) — up to k rows per
+    * vector, exact cosine on the candidates.
+    */
+  def knnGraph(corpus: DataFrame, k: Int, centroids: Int = 8,
+      nprobe: Int = 4, sampleSize: Int = 256, iters: Int = 2): DataFrame = {
+    val c = normalized(corpus)
+    val cents = trainCentroids(c, centroids, sampleSize, iters)
+    val members = assignToCentroids(c, cents)
+      .select(col("vec_id"), col("cluster").as("bucket"), col("v"))
+    // scan-side probe selection: the comparator encodes exactly the
+    // training/oracle rank rule (score desc, ties to the lowest cid)
+    val ranked = array_sort(
+      zip_with(centroidScores(cents)(col("v")),
+        sequence(lit(0), lit(cents.length - 1)),
+        (s, i) => struct(s.as("s"), i.as("cid"))),
+      (l, r) => when(l.getField("s") > r.getField("s"), -1)
+        .when(l.getField("s") < r.getField("s"), 1)
+        .otherwise(l.getField("cid") - r.getField("cid")).cast("int"))
+    val probed = c.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      explode(slice(ranked, 1, nprobe).getField("cid")).as("bucket"))
+    val scored = probed.join(members, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("qv"), col("v")).as("score"))
+    topKPerQuery(scored, k)
+  }
+
   /** IVF cell-balance report — the operational health metric of a trained
     * index: per cell, member count, id range, and corpus share. Probe cost
     * is `share` summed over probed cells, so a skewed fit (one cell

@@ -453,6 +453,38 @@ class BucketedSpec extends SparkSpec {
     assert(outN.filter($"neighbor_id" === 1L).count() == 0, "NULL-label negative")
   }
 
+  test("knn graph: full-probe graph ≡ brute force; pruned graph keeps recall; no self-edges") {
+    import graft.functions.Similarity
+    // the biased-region fixture of the trained-IVF recall test: 4 tight
+    // regions, all low ids in region 0
+    val rnd = new scala.util.Random(29)
+    val corpus = (0 until 240).map { i =>
+      val region = if (i < 60) 0 else i % 3 + 1
+      val base = Array.fill(8)(0.02 + rnd.nextDouble() * 0.05)
+      base(2 * region) = 1.0 + rnd.nextDouble() * 0.2
+      (i.toLong, base.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    // probing EVERY cell makes the graph exact — row-identical (scores
+    // included: same normalize + fold arithmetic) to brute force with the
+    // corpus as its own query set
+    val full = Similarity.knnGraph(corpus, k = 5, centroids = 4, nprobe = 4,
+      sampleSize = 48, iters = 4)
+    val exact = Similarity.bruteForceTopK(corpus, corpus, k = 5)
+    assert(full.orderBy("query_id", "rank").collect().toSeq ==
+      exact.orderBy("query_id", "rank").collect().toSeq,
+      "full-probe knn graph must equal brute force exactly")
+    // pruned to each vector's own best cell, the regional structure keeps
+    // recall high (neighbors live in the same region/cell)
+    val pruned = Similarity.knnGraph(corpus, k = 5, centroids = 4,
+      nprobe = 1, sampleSize = 48, iters = 4)
+    val rec = Similarity.recallAtK(pruned, exact, k = 5)
+      .agg(avg($"recall")).head().getDouble(0)
+    assert(rec >= 0.9, s"knn-graph recall@5 at nprobe=1 = $rec < 0.9")
+    // graph hygiene: no self-edges, every vector present
+    assert(pruned.filter($"query_id" === $"neighbor_id").isEmpty)
+    assert(pruned.select("query_id").distinct().count() == 240)
+  }
+
   test("pq: ADC code search recovers structured neighbors; deterministic across runs") {
     import graft.functions.Similarity
     val rnd = new scala.util.Random(13)

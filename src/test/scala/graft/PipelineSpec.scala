@@ -1398,6 +1398,87 @@ class PipelineSpec extends SparkSpec {
       s"infeasible source must surface, got $missing")
   }
 
+  test("epoch expand: full passes complete; final pass cut at the budget in rank order") {
+    import graft.functions.Sampling
+    val docs = Seq(
+      (1L, "srcA", "t1 t2 t3 t4 t5"), // srcA available 10
+      (2L, "srcA", "u1 u2 u3 u4 u5"),
+      (3L, "srcB", "x y z"))          // srcB available 3
+      .toDF("doc_id", "source", "text")
+    // budget 40 at 1:3 → srcA target 10 (exactly one full pass: both
+    // docs, epoch 1), srcB target 30 (exactly ten full passes)
+    val out = Sampling.epochExpand(docs, Map("srcA" -> 1L, "srcB" -> 3L), 40L)
+    val bySource = out.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(bySource == Map("srcA" -> 2L, "srcB" -> 10L), s"$bySource")
+    assert(out.filter($"source" === "srcB").agg(max($"epoch")).head.getLong(0) == 10L)
+    // budget 41 → srcB target 31 = 10 full passes + a 1-token final pass:
+    // exactly ONE document appears in epoch 11
+    val partial = Sampling.epochExpand(docs, Map("srcA" -> 1L, "srcB" -> 3L), 41L)
+    assert(partial.filter($"source" === "srcB" && $"epoch" === 11L).count() == 1L)
+    // deterministic: the same expansion on every run
+    assert(partial.collect().toSet ==
+      Sampling.epochExpand(docs, Map("srcA" -> 1L, "srcB" -> 3L), 41L)
+        .collect().toSet)
+    // infeasible and unweighted sources contribute nothing
+    assert(Sampling.epochExpand(docs,
+      Map("srcA" -> 1L, "srcZ" -> 9L), 40L)
+      .filter($"source" === "srcZ").isEmpty)
+  }
+
+  test("leakage audit: straddling pairs counted per class; safe split audits to zero leaks") {
+    import graft.functions.{Sampling, Dedup}
+    val split = Seq((1L, "train"), (2L, "test"), (3L, "train"), (4L, "val"))
+      .toDF("doc_id", "split")
+    val pairs = Seq((1L, 2L), (1L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val out = Sampling.leakageAudit(split, pairs)
+      .orderBy("split_lo", "split_hi").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      ("test", "train", 1L, true),
+      ("train", "train", 1L, false),
+      ("train", "val", 1L, true)))
+    // pairs with an unassigned (NULL-split) endpoint belong to no class
+    val withNull = split
+      .union(Seq((5L, null.asInstanceOf[String])).toDF("doc_id", "split"))
+    val p2 = pairs.union(Seq((1L, 5L)).toDF("doc_a", "doc_b"))
+    assert(Sampling.leakageAudit(withNull, p2)
+      .agg(sum($"n_pairs")).head.getLong(0) == 3L)
+    // end-to-end theorem: the cluster split audited against its OWN pair
+    // set can never leak
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "alpha beta gamma delta zeta"),
+      (12L, "totally different content here now")).toDF("doc_id", "text")
+    val prs = Dedup.ngramJaccardPairs(corpus, 0.3)
+    val safe = Sampling.leakageSafeSplit(corpus, prs,
+      Seq(("train", 1), ("test", 1)))
+    assert(Sampling.leakageAudit(safe.select("doc_id", "split"), prs)
+      .filter($"leaking").isEmpty)
+  }
+
+  test("cluster best: highest score wins the component; singletons keep; ties to lowest id") {
+    import graft.functions.Dedup
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 20L), (4L, 5L), (5L, 30L))
+      .toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b") // component {1,2,3}
+    val out = Dedup.clusterBest(docs, pairs, col("quality"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 10L, 3L, false),
+      (2L, 1L, 30L, 3L, true),  // top score beats the min-id representative
+      (3L, 1L, 20L, 3L, false),
+      (4L, 4L, 5L, 1L, true),   // singletons keep themselves
+      (5L, 5L, 30L, 1L, true)))
+    // equal scores fall back to the lowest doc_id — deterministic
+    val tied = Dedup.clusterBest(docs.withColumn("quality", lit(7L)),
+      pairs, col("quality"))
+    assert(tied.filter($"keep" && $"cluster_id" === 1L)
+      .select("doc_id").head.getLong(0) == 1L)
+  }
+
   test("paragraph dedup: within-doc keep-first only — cross-doc repeats untouched") {
     import graft.functions.Dedup
     val docs = Seq(

@@ -1239,6 +1239,34 @@ object SparkEntry {
   private val classifierBias = 25000L
   private val classifierThreshold = 50000L
 
+  /** The linear-classifier replay (weight VALUES table, postings join,
+    * exact integer Σ tf·w + bias, one final division, integer threshold)
+    * — shared VERBATIM by q_text_classifier_quality (the broadcast-join
+    * scorer) and q_text_classifier_inline (the map-literal projection
+    * scorer): one oracle, two access paths, hash equality as the proof
+    * they agree.
+    */
+  private lazy val classifierOracle: String =
+    "WITH wt AS (SELECT * FROM (VALUES " +
+      classifierWeights.map { case (t, w) =>
+        s"('$t', CAST($w AS BIGINT))" }.mkString(", ") +
+      ") AS t(term, w)), " +
+      "tk AS (SELECT doc_id, unnest(" + toksSql + ") AS term " +
+      "FROM documents), " +
+      "hit AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS hit " +
+      "FROM tk JOIN wt USING (term) GROUP BY 1), " +
+      "base AS (SELECT doc_id, CAST(COALESCE(len(" + toksSql + "), 0) " +
+      "AS BIGINT) AS n_tokens FROM documents) " +
+      "SELECT b.doc_id, b.n_tokens, " +
+      s"CAST(COALESCE(h.hit, 0) + $classifierBias AS BIGINT) AS score_num, " +
+      "CASE WHEN b.n_tokens = 0 THEN NULL " +
+      s"ELSE CAST(COALESCE(h.hit, 0) + $classifierBias AS DOUBLE) / " +
+      "(CAST(b.n_tokens AS DOUBLE) * 1000000.0) END AS score, " +
+      "CASE WHEN b.n_tokens = 0 THEN FALSE " +
+      s"ELSE COALESCE(h.hit, 0) + $classifierBias >= " +
+      s"$classifierThreshold * b.n_tokens END AS keep " +
+      "FROM base b LEFT JOIN hit h USING (doc_id) ORDER BY b.doc_id"
+
   /** Blocklist phrase set for q_text_blocklist — multi-word phrases so the
     * Aho-Corasick automaton's cross-token matching is exercised, plus one
     * phrase absent from the corpus vocabulary (the never-hit arm). Rendered
@@ -2481,25 +2509,18 @@ object SparkEntry {
           classifierWeights, bias = classifierBias,
           thresholdMicros = classifierThreshold)
         .orderBy("doc_id"),
-      Some("WITH wt AS (SELECT * FROM (VALUES " +
-        classifierWeights.map { case (t, w) =>
-          s"('$t', CAST($w AS BIGINT))" }.mkString(", ") +
-        ") AS t(term, w)), " +
-        "tk AS (SELECT doc_id, unnest(" + toksSql + ") AS term " +
-        "FROM documents), " +
-        "hit AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS hit " +
-        "FROM tk JOIN wt USING (term) GROUP BY 1), " +
-        "base AS (SELECT doc_id, CAST(COALESCE(len(" + toksSql + "), 0) " +
-        "AS BIGINT) AS n_tokens FROM documents) " +
-        "SELECT b.doc_id, b.n_tokens, " +
-        s"CAST(COALESCE(h.hit, 0) + $classifierBias AS BIGINT) AS score_num, " +
-        "CASE WHEN b.n_tokens = 0 THEN NULL " +
-        s"ELSE CAST(COALESCE(h.hit, 0) + $classifierBias AS DOUBLE) / " +
-        "(CAST(b.n_tokens AS DOUBLE) * 1000000.0) END AS score, " +
-        "CASE WHEN b.n_tokens = 0 THEN FALSE " +
-        s"ELSE COALESCE(h.hit, 0) + $classifierBias >= " +
-        s"$classifierThreshold * b.n_tokens END AS keep " +
-        "FROM base b LEFT JOIN hit h USING (doc_id) ORDER BY b.doc_id")),
+      Some(classifierOracle)),
+
+    // The SAME linear model as a pure projection (map-literal weights,
+    // scan-side integer fold — the shape the streaming gate runs in
+    // append mode). Shares q_text_classifier_quality's oracle: hash
+    // equality certifies the join and projection access paths agree.
+    Q("q_text_classifier_inline",
+      (s, d) => TextAnalysis.classifierScoreInline(Tables.documents(s, d),
+          classifierWeights, bias = classifierBias,
+          thresholdMicros = classifierThreshold)
+        .orderBy("doc_id"),
+      Some(classifierOracle)),
 
     // Bigram-LM quality score (order-2 CCNet-style filter): mean smoothed
     // conditional probability of each bigram position under the corpus
@@ -4308,6 +4329,34 @@ object SparkEntry {
         .orderBy("vec_id"),
       Some(semanticDedupOracle(dim = 64, sampleSize = 256, centroids = 8,
         iters = 2, threshold = 0.35))),
+
+    // SEMANTIC CLUSTERS: connected components over the k-NN graph's
+    // ≥0.35-cosine edges — the GROUP artifact (cluster-balanced sampling,
+    // per-cluster best copy, diversity audits) where q_dedup_semantic is
+    // the per-vector keep verdict; components may span cells through
+    // probed-cell edge chains. The oracle composes the trained-IVF knn
+    // replay with the recursive-closure CTEs of the text clustering.
+    Q("q_dedup_semantic_clusters",
+      (s, d) => Dedup.semanticClusters(Tables.embeddings(s, d),
+          threshold = 0.35, k = 5, nprobe = 2)
+        .orderBy("vec_id"),
+      Some("WITH RECURSIVE " +
+        ivfTrainedScoredCtes(dim = 64, sampleSize = 256, centroids = 8,
+          iters = 2, nprobe = 2, queryWhere = "").stripPrefix("WITH ") + ", " +
+        "rk2 AS (SELECT query_id, neighbor_id, score, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank " +
+        "FROM sc), " +
+        "kedge AS (SELECT query_id AS ka, neighbor_id AS kb FROM rk2 " +
+        "WHERE rank <= 5 AND score >= 0.35), " +
+        "e2 AS (SELECT ka AS src, kb AS dst FROM kedge " +
+        "UNION SELECT kb, ka FROM kedge), " +
+        "reach2 AS (SELECT src, dst FROM e2 " +
+        "UNION SELECT r2.src, e2.dst FROM reach2 r2 JOIN e2 ON r2.dst = e2.src), " +
+        "comp2 AS (SELECT src AS vec_id, least(src, min(dst)) AS cluster_id " +
+        "FROM reach2 GROUP BY src) " +
+        "SELECT em.vec_id, COALESCE(comp2.cluster_id, em.vec_id) " +
+        "AS cluster_id FROM embeddings em LEFT JOIN comp2 USING (vec_id) " +
+        "ORDER BY em.vec_id")),
 
     // SemDeDup answered from the PERSISTED ANN index: the k-means fit +
     // corpus assignment (the expensive half at 100 TB) is exactly what

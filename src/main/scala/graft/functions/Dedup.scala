@@ -1050,6 +1050,34 @@ object Dedup {
     * the driver-side fit cost is unchanged (bounded sample). Doubles are
     * bit-deterministic: fused fold-left dots, max() is order-independent.
     */
+  /** SEMANTIC CLUSTERS — connected components over the k-NN graph's
+    * high-similarity edges: [[graft.functions.Similarity.knnGraph]] edges
+    * with cosine ≥ `threshold` feed the same large-star/small-star
+    * contraction as the text near-dup clustering, labelling every vector
+    * with its semantic-cluster id (its own id when isolated, including
+    * zero-norm vectors the graph cannot score). Where [[semanticDedup]]
+    * answers the per-vector KEEP question inside one coarse cell,
+    * clusters are the GROUP artifact — what cluster-balanced sampling,
+    * per-cluster best-copy selection ([[clusterBest]]'s embedding
+    * sibling), and diversity audits consume — and components can span
+    * cells through chains of probed-cell edges. Scale: the graph build
+    * is the bucketed candidate shape, the contraction O(log n) rounds
+    * over an edge set capped at k·|corpus|.
+    */
+  def semanticClusters(embeddings: DataFrame, threshold: Double, k: Int = 5,
+      centroids: Int = 8, nprobe: Int = 4, sampleSize: Int = 256,
+      iters: Int = 2, checkpointDir: Option[String] = None): DataFrame = {
+    val edges = Similarity.knnGraph(embeddings, k, centroids, nprobe,
+        sampleSize, iters)
+      .filter(col("score") >= threshold)
+      .select(col("query_id").as("doc_a"), col("neighbor_id").as("doc_b"))
+    embeddings.select(col("vec_id"))
+      .join(duplicateClusters(edges, checkpointDir = checkpointDir)
+        .withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+  }
+
   def semanticDedup(embeddings: DataFrame, threshold: Double,
       centroids: Int = 8, sampleSize: Int = 256, iters: Int = 2,
       checkpointDir: Option[String] = None): DataFrame = {

@@ -190,10 +190,7 @@ object TextAnalysis {
   def classifierScore(docs: DataFrame, weights: Seq[(String, Long)],
       bias: Long = 0L, thresholdMicros: Long = 0L,
       textCol: String = "text"): DataFrame = {
-    require(weights.nonEmpty, "need at least one weight")
-    require(weights.forall(_._1.nonEmpty), "weight terms must be non-empty")
-    require(weights.map(_._1).distinct.length == weights.length,
-      s"duplicate terms in weight table")
+    validateWeights(weights)
     val spark = docs.sparkSession
     import spark.implicits._
     val wTbl = weights.toDF("term", "__w")
@@ -202,21 +199,76 @@ object TextAnalysis {
       .join(broadcast(wTbl), Seq("term"))
       .groupBy(col("doc_id"))
       .agg(sum(col("__w")).as("__hit"))
-    docs
-      .select(col("doc_id"),
-        when(coalesce(col(textCol).rlike("\\S"), lit(false)),
-          size(tokens(col(textCol))).cast("long"))
-          .otherwise(lit(0L)).as("n_tokens"))
+    classifierVerdict(docs
+      .select(col("doc_id"), classifierNTokens(col(textCol)).as("n_tokens"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
-        (coalesce(col("__hit"), lit(0L)) + lit(bias)).as("score_num"))
-      .select(col("doc_id"), col("n_tokens"), col("score_num"),
-        when(col("n_tokens") === 0, lit(null).cast("double"))
-          .otherwise(col("score_num").cast("double") /
-            (col("n_tokens").cast("double") * lit(1000000.0))).as("score"),
-        when(col("n_tokens") === 0, lit(false))
-          .otherwise(col("score_num") >= lit(thresholdMicros) * col("n_tokens"))
-          .as("keep"))
+        (coalesce(col("__hit"), lit(0L)) + lit(bias)).as("score_num")),
+      thresholdMicros)
+  }
+
+  /** [[classifierScore]] as a PURE PROJECTION — the weight table folds
+    * into the plan as a MAP LITERAL and the score accumulates scan-side
+    * (`aggregate` over the token array, exact integer adds), so there is
+    * no join, no explode, and no aggregation operator at all. Identical
+    * output to the join form (q_text_classifier_inline shares
+    * q_text_classifier_quality's oracle — hash equality certifies the
+    * two access paths agree), but the shape differs where it matters:
+    * the projection is legal in STREAMING append mode (the
+    * [[graft.streaming.DocsStream.classifierStream]] gate) and is the
+    * cheaper batch plan while the model stays plan-literal-sized (KBs);
+    * at MB-class models the broadcast-postings join amortizes better —
+    * the literal would be re-shipped inside every task binary.
+    */
+  def classifierScoreInline(docs: DataFrame, weights: Seq[(String, Long)],
+      bias: Long = 0L, thresholdMicros: Long = 0L,
+      textCol: String = "text"): DataFrame =
+    classifierVerdict(docs.select(col("doc_id"),
+        classifierNTokens(col(textCol)).as("n_tokens"),
+        classifierScoreNum(col(textCol), weights, bias).as("score_num")),
+      thresholdMicros)
+
+  /** The inline score numerator: bias + Σ weight(token) folded scan-side
+    * over the token array. NULL text → the fold is NULL → bias (the same
+    * no-hits answer the join path gives). Shared by the inline batch
+    * form and the streaming gate.
+    */
+  private[graft] def classifierScoreNum(text: Column,
+      weights: Seq[(String, Long)], bias: Long): Column = {
+    validateWeights(weights)
+    val wmap = typedLit(weights.toMap)
+    coalesce(
+      aggregate(tokens(text), lit(bias),
+        (acc, t) => acc + coalesce(element_at(wmap, t), lit(0L))),
+      lit(bias))
+  }
+
+  /** Scorable-token count: 0 for NULL/empty/whitespace-only text (see
+    * [[classifierScore]]'s blank guard), else the whitespace token count.
+    */
+  private[graft] def classifierNTokens(text: Column): Column =
+    when(coalesce(text.rlike("\\S"), lit(false)),
+      size(tokens(text)).cast("long")).otherwise(lit(0L))
+
+  /** The shared verdict tail: ONE definition of the surfaced score (one
+    * final division) and the pure-integer threshold comparison, so the
+    * join and projection forms cannot drift.
+    */
+  private def classifierVerdict(scored: DataFrame,
+      thresholdMicros: Long): DataFrame =
+    scored.select(col("doc_id"), col("n_tokens"), col("score_num"),
+      when(col("n_tokens") === 0, lit(null).cast("double"))
+        .otherwise(col("score_num").cast("double") /
+          (col("n_tokens").cast("double") * lit(1000000.0))).as("score"),
+      when(col("n_tokens") === 0, lit(false))
+        .otherwise(col("score_num") >= lit(thresholdMicros) * col("n_tokens"))
+        .as("keep"))
+
+  private def validateWeights(weights: Seq[(String, Long)]): Unit = {
+    require(weights.nonEmpty, "need at least one weight")
+    require(weights.forall(_._1.nonEmpty), "weight terms must be non-empty")
+    require(weights.map(_._1).distinct.length == weights.length,
+      s"duplicate terms in weight table")
   }
 
   /** Bigram-LM quality score — the order-2 upgrade of [[unigramScore]]'s

@@ -61,6 +61,32 @@ object DocsStream {
       TextAnalysis.langId(col("text")).as("lang"))
       .filter(col("quality_score") >= minQuality)
 
+  /** Stateless CLASSIFIER gate: keep documents the linear quality model
+    * admits — [[TextAnalysis.classifierScoreInline]]'s projection form
+    * (map-literal weights, scan-side integer fold), so the gate is legal
+    * in append mode with no state, no join, and no aggregation, and
+    * micro-batch boundaries cannot change any decision: stream ≡ batch
+    * exactly (StreamingSpec asserts it against the JOIN-form batch
+    * scorer, which also pins the two access paths to each other).
+    * Un-scorable documents (NULL/blank text) drop — the gate admits only
+    * what it can vouch for. Output: input columns + (n_tokens, score).
+    */
+  def classifierStream(docs: DataFrame, weights: Seq[(String, Long)],
+      bias: Long = 0L, thresholdMicros: Long = 0L,
+      textCol: String = "text"): DataFrame = {
+    val nTokens = TextAnalysis.classifierNTokens(col(textCol))
+    val scoreNum = TextAnalysis.classifierScoreNum(col(textCol), weights, bias)
+    // zero-token rows are dropped below, but ANSI mode evaluates the
+    // projection first — guard the division exactly like the batch
+    // verdict does
+    docs.select(col("*"), nTokens.as("n_tokens"),
+        when(nTokens === 0, lit(null).cast("double"))
+          .otherwise(scoreNum.cast("double") /
+            (nTokens.cast("double") * lit(1000000.0))).as("score"))
+      .filter(col("n_tokens") > 0 &&
+        scoreNum >= lit(thresholdMicros) * col("n_tokens"))
+  }
+
   /** Stateless BLOCKLIST gate: drop documents containing any listed
     * phrase — the same single-pass Aho-Corasick expression as the batch
     * path ([[graft.functions.Blocklist.countMatches]]). A per-document

@@ -1457,6 +1457,28 @@ class PipelineSpec extends SparkSpec {
       .filter($"leaking").isEmpty)
   }
 
+  test("semantic clusters: tight groups merge; isolates and zero-norm vectors stay singletons") {
+    import graft.functions.Dedup
+    val rnd = new scala.util.Random(41)
+    def around(axis: Int, jitter: Double): Seq[Float] = {
+      val v = Array.fill(8)(jitter * rnd.nextDouble())
+      v(axis) = 1.0; v.map(_.toFloat).toSeq
+    }
+    val rows =
+      (0 until 4).map(i => (i.toLong, around(0, 0.02))) ++ // group A
+        (4 until 7).map(i => (i.toLong, around(4, 0.02))) ++ // group B
+        Seq((7L, around(2, 0.0)), (8L, around(6, 0.0))) ++ // orthogonal isolates
+        Seq((9L, Seq.fill(8)(0f))) // zero-norm: un-scorable, still reported
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Dedup.semanticClusters(emb, threshold = 0.9, k = 3,
+        centroids = 2, nprobe = 2, sampleSize = 10, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.size == 10)
+    assert((0 to 3).map(i => out(i.toLong)).toSet == Set(0L), s"$out")
+    assert((4 to 6).map(i => out(i.toLong)).toSet == Set(4L), s"$out")
+    assert(out(7L) == 7L && out(8L) == 8L && out(9L) == 9L, s"$out")
+  }
+
   test("cluster best: highest score wins the component; singletons keep; ties to lowest id") {
     import graft.functions.Dedup
     val docs = Seq((1L, 10L), (2L, 30L), (3L, 20L), (4L, 5L), (5L, 30L))
@@ -1704,6 +1726,14 @@ class PipelineSpec extends SparkSpec {
       (4L, 0L, 25000L, None, false),                         // gate admits nothing unscorable
       (5L, 0L, 25000L, None, false),                         // '' is not one empty token
       (6L, 0L, 25000L, None, false)))                        // nor is whitespace
+    // the projection form (map-literal fold) is row-identical to the
+    // join form on the same fixture — including the NULL/blank arms
+    val inline = TextAnalysis.classifierScoreInline(corpus, w,
+        bias = 25000L, thresholdMicros = 25000L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4))).toSeq
+    assert(inline == out)
     // misconfigured models fail loudly, not silently
     intercept[IllegalArgumentException](
       TextAnalysis.classifierScore(corpus, Seq.empty))
@@ -1711,6 +1741,8 @@ class PipelineSpec extends SparkSpec {
       TextAnalysis.classifierScore(corpus, Seq("x" -> 1L, "x" -> 2L)))
     intercept[IllegalArgumentException](
       TextAnalysis.classifierScore(corpus, Seq("" -> 1L)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.classifierScoreInline(corpus, Seq("" -> 1L)))
   }
 
   test("scrubPassages: doc_b spans excised keep-first, reconstruction is exact token-slice arithmetic") {

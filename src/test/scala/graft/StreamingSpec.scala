@@ -286,6 +286,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("classifier gate is stateless: stream ≡ batch ≡ the join-form scorer") {
+    import graft.streaming.DocsStream
+    implicit val sqlCtx = spark.sqlContext
+    val w = Seq("spark" -> 500000L, "the" -> -300000L)
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "spark spark the"), // 725000 ≥ 25000·3
+      (2L, ts("2024-01-01 10:01:00"), "the the the"),     // negative: drops
+      (3L, ts("2024-01-01 10:02:00"), "   "),             // blank: drops
+      (4L, ts("2024-01-01 10:03:00"), null.asInstanceOf[String]))
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      DocsStream.classifierStream(df, w, bias = 25000L,
+        thresholdMicros = 25000L).select("doc_id", "n_tokens", "score")
+    val batchOut = gate(rows.toDF("doc_id", "ts", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = gate(in.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("classifier_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val streamOut = spark.table("classifier_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(streamOut.sorted == batchOut.sorted)
+      assert(batchOut.map(_._1) == Seq(1L), s"$batchOut")
+      // the gate's verdict is the JOIN-form batch scorer's verdict
+      val joinKeep = graft.functions.TextAnalysis.classifierScore(
+          rows.toDF("doc_id", "ts", "text"), w, bias = 25000L,
+          thresholdMicros = 25000L)
+        .filter($"keep").select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(joinKeep == batchOut.map(_._1))
+    } finally q.stop()
+  }
+
   test("blocklist gate is stateless: stream output == batch output") {
     import graft.streaming.DocsStream
     implicit val sqlCtx = spark.sqlContext

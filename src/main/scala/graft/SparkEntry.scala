@@ -1521,6 +1521,52 @@ object SparkEntry {
       "split_lo <> split_hi AS leaking FROM au GROUP BY 1, 2, 3 " +
       "ORDER BY method, split_lo, split_hi"
 
+  /** The bloom-screen replay: the k=4 probe positions are plain int64
+    * arithmetic on the shared fingerprint (no wraparound — exactly why
+    * the operator derives them that way), the filter is one bit_or per
+    * 32-bit word, the screen min-folds the per-position bit tests, and
+    * the exact text-equality truth joins in so the no-false-negative
+    * invariant is hash-certified.
+    */
+  private lazy val bloomScreenOracle: String = {
+    val bits = 65536
+    val arms = (0 until 4).map { i =>
+      s"SELECT doc_id, (fingerprint * ${2 * i + 1} + " +
+        s"${i * 0x9E3779B9L}) % $bits AS idx FROM fpx"
+    }
+    // one filter/screen/truth chain per mode: 'd' = disjoint seen
+    // (doc_id%7≠0), 'o' = overlap seen (every doc)
+    def chain(sfx: String, seenWhere: String): String =
+      s"bloom$sfx AS (SELECT idx // 32 AS word_idx, " +
+        "bit_or(CAST(1 AS BIGINT) << CAST(idx % 32 AS INT)) AS mask " +
+        s"FROM pos WHERE $seenWhere GROUP BY 1), " +
+        s"hits$sfx AS (SELECT bp.doc_id, " +
+        "(COALESCE(b.mask, 0) & bp.bit) = bp.bit AS hit " +
+        s"FROM bp LEFT JOIN bloom$sfx b USING (word_idx)), " +
+        s"scr$sfx AS (SELECT doc_id, min(hit) AS maybe_seen " +
+        s"FROM hits$sfx GROUP BY 1), " +
+        s"tr$sfx AS (SELECT d.doc_id, EXISTS (SELECT 1 FROM documents s " +
+        s"WHERE ${seenWhere.replace("doc_id", "s.doc_id")} " +
+        "AND s.text = d.text) AS actually_seen " +
+        "FROM documents d WHERE d.doc_id % 7 = 0 AND d.text IS NOT NULL)"
+    def finalSel(sfx: String, mode: String): String =
+      s"SELECT '$mode' AS mode, scr$sfx.doc_id, scr$sfx.maybe_seen, " +
+        s"tr$sfx.actually_seen, scr$sfx.maybe_seen AND NOT " +
+        s"tr$sfx.actually_seen AS false_positive " +
+        s"FROM scr$sfx JOIN tr$sfx USING (doc_id)"
+    fpCte + ", " +
+      "fpx AS (SELECT doc_id, fingerprint FROM fp " +
+      "WHERE fingerprint IS NOT NULL), " +
+      s"pos AS (${arms.mkString(" UNION ALL ")}), " +
+      "bp AS (SELECT doc_id, idx // 32 AS word_idx, " +
+      "CAST(1 AS BIGINT) << CAST(idx % 32 AS INT) AS bit " +
+      "FROM pos WHERE doc_id % 7 = 0), " +
+      chain("d", "doc_id % 7 <> 0") + ", " +
+      chain("o", "doc_id >= 0") + " " +
+      finalSel("d", "disjoint") + " UNION ALL " + finalSel("o", "overlap") +
+      " ORDER BY mode, doc_id"
+  }
+
   /** The cluster-best replay: components, score attach, one pick window —
     * the exactBest discipline lifted to near-dup components.
     */
@@ -3344,6 +3390,35 @@ object SparkEntry {
         finally Dedup.dropClusterTable(s, name)
       },
       Some(clusterSizesOracle)),
+
+    // BLOOM PRE-SCREEN for incremental dedup, both invariant directions
+    // in one hash-gated report: the 'overlap' arm screens the batch
+    // against a filter built over ALL docs (itself included), so every
+    // row MUST come back maybe_seen ∧ actually_seen — the
+    // no-false-negative proof; the 'disjoint' arm screens against the
+    // doc_id%7≠0 corpus, where rows surface as definitely-new or as
+    // measured false positives. The exact text-equality truth rides in
+    // each row.
+    Q("q_dedup_bloom_screen",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val batch = docs.filter(col("doc_id") % 7 === 0)
+        def arm(seen: org.apache.spark.sql.DataFrame, mode: String) =
+          Dedup.bloomScreen(batch, Dedup.bloomBuild(seen))
+            .join(
+              batch.join(seen.select(col("text")).distinct(),
+                  Seq("text"), "left_semi")
+                .select(col("doc_id"), lit(true).as("actually_seen")),
+              Seq("doc_id"), "left")
+            .select(lit(mode).as("mode"), col("doc_id"), col("maybe_seen"),
+              coalesce(col("actually_seen"), lit(false)).as("actually_seen"))
+            .withColumn("false_positive",
+              col("maybe_seen") && !col("actually_seen"))
+        arm(docs.filter(col("doc_id") % 7 =!= 0), "disjoint")
+          .unionByName(arm(docs, "overlap"))
+          .orderBy("mode", "doc_id")
+      },
+      Some(bloomScreenOracle)),
 
     // BEST-COPY per NEAR-DUP cluster: canonical selection by quality
     // (longest copy, score = n_chars) instead of the arbitrary min-id

@@ -673,6 +673,13 @@ object Stress {
             (col("user_id") + col("replica") * idOff).as("user_id"),
             col("event_type"), col("value"), col("props"))
           .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        if (kind == "knn") {
+          val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+            .crossJoin(rep)
+          emb.select((col("vec_id") + col("replica") * idOff).as("vec_id"),
+              col("embedding"), col("label"))
+            .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        }
         done.getParentFile.mkdirs(); done.createNewFile()
       }
       dir
@@ -714,6 +721,22 @@ object Stress {
         Seq[(String, String => DataFrame)]("attribution" -> (d =>
           streaming.EventsStream.attributionJoin(
             sources.Tables.events(spark, d))))
+      else if (kind == "knn")
+        // k-NN graph with the production fit rule cells ≈ √(N/8): the
+        // claim to certify is the BUCKETED-candidate exponent ≈ 1.5
+        // (N·nprobe·(N/cells) with cells ∝ √N), not the corpus² of an
+        // all-pairs build — and explicitly NOT 1.0: a knn graph's
+        // candidate work genuinely grows superlinearly unless cells
+        // outpace √N, which costs recall. The count() consumes the score
+        // column so candidate scoring cannot be pruned away.
+        Seq[(String, String => DataFrame)]("knn_graph" -> { d =>
+          val emb = sources.Tables.embeddings(spark, d)
+          val n = emb.count()
+          val cells = math.max(8, math.round(math.sqrt(n / 8.0)).toInt)
+          functions.Similarity.knnGraph(emb, k = 5, centroids = cells,
+              nprobe = 2, sampleSize = math.max(256, cells * 4), iters = 2)
+            .filter(col("score") >= -2.0)
+        })
       else if (kind == "novelty")
         // trigram novelty — one trigram-keyed shuffle + doc rollup: the
         // claim to certify is a ~1.0 exponent (rows ∝ corpus tokens,

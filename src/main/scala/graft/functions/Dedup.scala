@@ -125,6 +125,79 @@ object Dedup {
         col("cluster_size"), (col("__pick") === 1).as("keep"))
   }
 
+  /** BLOOM pre-screen for incremental dedup — the compact seen-set
+    * artifact: at 100 TB the distinct-digest table is itself huge, and
+    * every ingest batch pays a shuffle against it; a Bloom filter over
+    * the content fingerprints collapses the seen corpus to `bits` BITS
+    * (stored relationally as ≤ bits/32 (word_idx, mask) rows — KBs to a
+    * few MBs, broadcastable), and the screen answers "definitely new"
+    * with NO false negatives: only the maybe-seen minority continues to
+    * the exact digest verify. The k probe positions derive from the
+    * 58-bit rolling-hash fingerprint by plain integer arithmetic
+    * (idx_i = (fp·(2i+1) + i·C) mod bits — no 64-bit wraparound, so any
+    * engine replays it exactly; k ≤ 8 keeps fp·(2k−1) < 2^62).
+    *
+    * [[bloomBuild]] returns the filter relation: one `bit_or` aggregate
+    * over the k scan-side positions per document. [[bloomScreen]] marks
+    * each batch document `maybe_seen` = every probed bit set (min over
+    * the per-position hits — exact AND); NULL-text rows carry no
+    * fingerprint and drop from both sides. False-positive rate follows
+    * the standard (1−e^{−kn/m})^k curve — size `bits` to the seen-corpus
+    * cardinality and measure the rate (q_dedup_bloom_screen surfaces it
+    * per batch row).
+    */
+  def bloomBuild(docs: DataFrame, bits: Int = 1 << 16, k: Int = 4,
+      textCol: String = "text"): DataFrame = {
+    requireBloomShape(bits, k)
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    docs.filter(col(textCol).isNotNull)
+      .select(explode(array((0 until k).map(i => bloomIdx(fp, i, bits)): _*))
+        .as("idx"))
+      .select(expr("idx div 32").as("word_idx"), bloomBit.as("bit"))
+      .groupBy(col("word_idx"))
+      .agg(bit_or(col("bit")).as("mask"))
+  }
+
+  /** Screen a batch against a [[bloomBuild]] relation: (doc_id,
+    * maybe_seen). maybe_seen=false is a PROOF of novelty; maybe_seen=true
+    * goes on to the exact verify. The filter side joins by word_idx —
+    * tiny, broadcast — and the batch pays k scan-side probes per row.
+    */
+  def bloomScreen(batch: DataFrame, bloom: DataFrame, bits: Int = 1 << 16,
+      k: Int = 4, textCol: String = "text"): DataFrame = {
+    requireBloomShape(bits, k)
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    batch.filter(col(textCol).isNotNull)
+      .select(col("doc_id"),
+        explode(array((0 until k).map(i => bloomIdx(fp, i, bits)): _*))
+          .as("idx"))
+      .select(col("doc_id"), expr("idx div 32").as("word_idx"),
+        bloomBit.as("bit"))
+      .join(broadcast(bloom), Seq("word_idx"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("mask"), lit(0L)).bitwiseAND(col("bit")) === col("bit"))
+          .as("hit"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("hit")).as("maybe_seen"))
+  }
+
+  private def requireBloomShape(bits: Int, k: Int): Unit = {
+    require(bits > 0 && bits % 32 == 0, s"bits must be a positive multiple of 32")
+    require(k >= 1 && k <= 8, s"k must be in [1, 8], got $k")
+  }
+
+  /** The single-bit mask of a probe position within its 32-bit word
+    * (SQL shiftleft, so the shift amount can be a column).
+    */
+  private def bloomBit: Column =
+    expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 32 AS INT))")
+
+  /** Probe position i: plain int64 arithmetic on the 58-bit fingerprint —
+    * engine-portable (no wraparound), distinct odd multipliers per probe.
+    */
+  private def bloomIdx(fp: Column, i: Int, bits: Int): Column =
+    (fp * lit((2L * i + 1)) + lit(i * 0x9E3779B9L)) % bits
+
   /** Incremental exact dedup — the production shape: dedup a NEW batch of
     * documents against itself and against the already-ingested corpus,
     * emitting only novel content (one representative per novel digest, with

@@ -1457,6 +1457,36 @@ class PipelineSpec extends SparkSpec {
       .filter($"leaking").isEmpty)
   }
 
+  test("bloom screen: seen texts always maybe_seen; constructed collision is a false positive") {
+    import graft.functions.Dedup
+    val seen = docs((1L, "alpha content"), (2L, "beta content"),
+      (3L, "gamma content"))
+    val batch = docs((10L, "alpha content"), (11L, "fresh new words here"),
+      (12L, null.asInstanceOf[String]))
+    val out = Dedup.bloomScreen(batch, Dedup.bloomBuild(seen))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(out(10L), "a seen text must screen maybe_seen — no false negatives")
+    assert(!out(11L), "65536 bits over 3 docs cannot collide on all 4 probes")
+    assert(out.size == 2, "NULL text carries no fingerprint and drops")
+    // deterministic false positive BY CONSTRUCTION: k=1, bits=32, and a
+    // novel text found at test time to share the seen text's probe slot
+    // (probe 0 is fp % bits) — the direction a bloom filter may err
+    import org.apache.spark.unsafe.types.UTF8String
+    def fp(s: String): Long =
+      graft.functions.RollingHash.compute(UTF8String.fromString(s))
+    val novel = (1 to 500).map(i => s"novel text $i")
+      .find(n => fp(n) % 32 == fp("alpha content") % 32 && n != "alpha content")
+    assert(novel.nonEmpty, "no colliding probe slot found in 500 candidates")
+    val fpOut = Dedup.bloomScreen(docs((20L, novel.get)),
+        Dedup.bloomBuild(docs((1L, "alpha content")), bits = 32, k = 1),
+        bits = 32, k = 1)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(fpOut(20L), "colliding slot must surface as maybe_seen (false positive)")
+    // misconfiguration fails loudly
+    intercept[IllegalArgumentException](Dedup.bloomBuild(seen, bits = 33))
+    intercept[IllegalArgumentException](Dedup.bloomBuild(seen, bits = 64, k = 9))
+  }
+
   test("semantic clusters: tight groups merge; isolates and zero-norm vectors stay singletons") {
     import graft.functions.Dedup
     val rnd = new scala.util.Random(41)

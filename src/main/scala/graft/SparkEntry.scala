@@ -4085,6 +4085,47 @@ object SparkEntry {
       Some(ivfTrainedOracle(dim = 64, sampleSize = 256, centroids = 8,
         iters = 2, nprobe = 4, topk = 10))),
 
+    // The PERSISTED-index graph build: same edges as q_sim_knn_graph
+    // (same oracle — write→read fidelity), but both sides of the cell
+    // join READ the bucketed assignments table and the fit was paid at
+    // writeAnnIndex time. The artifact search, SemDeDup, and the graph
+    // build now share. Unique name + eager materialization + finally-drop.
+    Q("q_sim_knn_graph_indexed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val name = "graft_knn_idx_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Similarity.writeAnnIndex(emb, name, centroids = 8,
+          sampleSize = 256, iters = 2)
+        try Similarity.knnGraphIndexed(s, name, k = 5, nprobe = 2)
+          .orderBy("query_id", "rank").localCheckpoint(true)
+        finally Similarity.dropAnnIndex(s, name)
+      },
+      Some(ivfTrainedScoredCtes(dim = 64, sampleSize = 256, centroids = 8,
+        iters = 2, nprobe = 2, queryWhere = "") + ", " + topKSql("sc", 5))),
+
+    // SOFT quality sampling: keep-probability ∝ the classifier score
+    // (clamped to [0,1]) keyed on the content hash — the FineWeb-style
+    // soft cut that keeps mid-quality documents in proportion instead of
+    // discarding them. Composes two certified fragments: the classifier
+    // oracle (as a subquery) and the fingerprint-bucket machinery.
+    Q("q_sample_soft_quality",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val scored = TextAnalysis.classifierScoreInline(docs,
+            classifierWeights, bias = classifierBias,
+            thresholdMicros = classifierThreshold)
+          .select(col("doc_id"), col("score"))
+        graft.functions.Sampling.softQualitySample(
+            docs.join(scored, Seq("doc_id")), col("score"))
+          .select("doc_id", "score").orderBy("doc_id")
+      },
+      Some(s"$fpCte, scq AS (SELECT * FROM ($classifierOracle)) " +
+        "SELECT f.doc_id, scq.score FROM fp f JOIN scq USING (doc_id) " +
+        "WHERE f.fingerprint % 10000 < CAST(round(" +
+        "least(greatest(scq.score, 0), 1) * 10000) AS BIGINT) " +
+        "ORDER BY f.doc_id")),
+
     // k-NN GRAPH over the whole corpus: every vector's 5 nearest under
     // the trained quantizer's probe pruning — the artifact semantic
     // dedup, graph clustering, and hard-negative mining consume. NO

@@ -441,6 +441,23 @@ object Sampling {
     docs.filter(u < cut)
   }
 
+  /** SOFT quality sampling — keep-probability ∝ score instead of a hard
+    * threshold (the FineWeb-style ablation shape: a hard cut throws away
+    * every mid-quality document, a soft cut keeps them in proportion):
+    * a document survives iff its content-hash bucket (of 10,000 — the
+    * [[stratifiedSample]] field) falls below round(10000·clamp(score,
+    * 0, 1)). Deterministic and content-keyed like every sampler here —
+    * no RNG, duplicate-consistent, replayable in any engine — and a
+    * pure scan-side filter. `score` is any [0, 1]-scale column
+    * (a classifier score, [[percentileNormalize]]'s percentile, ...);
+    * values clamp at the ends, and NULL scores (un-scorable documents)
+    * drop — a gate admits only what it can vouch for.
+    */
+  def softQualitySample(docs: DataFrame, score: Column,
+      textCol: String = "text"): DataFrame =
+    docs.filter(hashBucket(col(textCol), 10000) <
+      round(least(greatest(score, lit(0.0)), lit(1.0)) * 10000).cast("long"))
+
   /** TEMPERATURE-scaled mixture (α = 0.5) — the UniMax/multilingual
     * up-sampling shape: per-source quotas ∝ √(corpus count), so
     * low-resource sources get proportionally MORE than their raw share

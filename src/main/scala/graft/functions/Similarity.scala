@@ -1019,23 +1019,61 @@ object Similarity {
     val cents = trainCentroids(c, centroids, sampleSize, iters)
     val members = assignToCentroids(c, cents)
       .select(col("vec_id"), col("cluster").as("bucket"), col("v"))
-    // scan-side probe selection: the comparator encodes exactly the
-    // training/oracle rank rule (score desc, ties to the lowest cid)
+    val probed = c.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      explode(probeCells(cents, nprobe)(col("v"))).as("bucket"))
+    knnScore(probed, members, k)
+  }
+
+  /** [[knnGraph]] over a persisted [[writeAnnIndex]] index — same edges
+    * as the one-shot build at the same fit parameters
+    * (q_sim_knn_graph_indexed shares q_sim_knn_graph's oracle: hash
+    * equality certifies write→read fidelity), but the k-means fit and
+    * the corpus assignment — the expensive half at 100 TB — were paid
+    * once at build time: both sides of the cell join are READS of the
+    * bucketed assignments table, and probe selection ranks the
+    * driver-loaded centroid literals scan-side over the stored rows.
+    * The index artifact search, SemDeDup, and the graph build now share.
+    */
+  def knnGraphIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    graft.sources.Tables.requireIdent(name)
+    val cents = spark.table(s"${name}_centroids").orderBy("cid").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("cv").toArray)
+    require(cents.nonEmpty, s"ANN index $name has no centroids")
+    val members = spark.table(s"${name}_assignments")
+      .select(col("vec_id"), col("bucket"), col("v"))
+    val probed = spark.table(s"${name}_assignments")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(probeCells(cents, nprobe)(col("v"))).as("bucket"))
+    knnScore(probed, members, k)
+  }
+
+  /** Scan-side probe-cell selection shared by the one-shot and indexed
+    * graph builds: rank the literal centroid table per row with the
+    * training tie rule (score desc, cid asc) via an array comparator —
+    * no window, no shuffle — and keep the first nprobe cell ids.
+    */
+  private def probeCells(cents: Array[Array[Double]], nprobe: Int)
+      (v: Column): Column = {
     val ranked = array_sort(
-      zip_with(centroidScores(cents)(col("v")),
+      zip_with(centroidScores(cents)(v),
         sequence(lit(0), lit(cents.length - 1)),
         (s, i) => struct(s.as("s"), i.as("cid"))),
       (l, r) => when(l.getField("s") > r.getField("s"), -1)
         .when(l.getField("s") < r.getField("s"), 1)
         .otherwise(l.getField("cid") - r.getField("cid")).cast("int"))
-    val probed = c.select(col("vec_id").as("query_id"), col("v").as("qv"),
-      explode(slice(ranked, 1, nprobe).getField("cid")).as("bucket"))
-    val scored = probed.join(members, Seq("bucket"))
+    slice(ranked, 1, nprobe).getField("cid")
+  }
+
+  /** The graph scoring tail shared by both builds: cell join, self-edge
+    * drop, exact cosine, top-k window.
+    */
+  private def knnScore(probed: DataFrame, members: DataFrame,
+      k: Int): DataFrame =
+    topKPerQuery(probed.join(members, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        dot(col("qv"), col("v")).as("score"))
-    topKPerQuery(scored, k)
-  }
+        dot(col("qv"), col("v")).as("score")), k)
 
   /** IVF cell-balance report — the operational health metric of a trained
     * index: per cell, member count, id range, and corpus share. Probe cost

@@ -485,6 +485,30 @@ class BucketedSpec extends SparkSpec {
     assert(pruned.select("query_id").distinct().count() == 240)
   }
 
+  test("knn graph index: persisted build ≡ one-shot at the same fit") {
+    import graft.functions.Similarity
+    val rnd = new scala.util.Random(29)
+    val corpus = (0 until 240).map { i =>
+      val region = if (i < 60) 0 else i % 3 + 1
+      val base = Array.fill(8)(0.02 + rnd.nextDouble() * 0.05)
+      base(2 * region) = 1.0 + rnd.nextDouble() * 0.2
+      (i.toLong, base.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val name = "knn_idx_spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    Similarity.writeAnnIndex(corpus, name, centroids = 4, sampleSize = 48,
+      iters = 4)
+    try {
+      val idx = Similarity.knnGraphIndexed(spark, name, k = 5, nprobe = 1)
+        .orderBy("query_id", "rank").collect().toSeq
+      val one = Similarity.knnGraph(corpus, k = 5, centroids = 4,
+          nprobe = 1, sampleSize = 48, iters = 4)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(idx == one,
+        "indexed graph build must be row-identical to the one-shot build")
+    } finally Similarity.dropAnnIndex(spark, name)
+  }
+
   test("pq: ADC code search recovers structured neighbors; deterministic across runs") {
     import graft.functions.Similarity
     val rnd = new scala.util.Random(13)

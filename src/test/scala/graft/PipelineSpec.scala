@@ -1457,6 +1457,28 @@ class PipelineSpec extends SparkSpec {
       .filter($"leaking").isEmpty)
   }
 
+  test("soft quality sample: keep fraction tracks the score; clamps; NULL drops") {
+    import graft.functions.Sampling
+    val corpus = (0 until 2000).map(i => (i.toLong, s"doc number $i unique"))
+      .toDF("doc_id", "text")
+    val kept = Sampling.softQualitySample(
+      corpus.withColumn("s", lit(0.3)), $"s").count()
+    assert(math.abs(kept / 2000.0 - 0.3) < 0.05,
+      s"score 0.3 must keep ~30%, kept $kept of 2000")
+    // clamped ends: ≥1 keeps everything, ≤0 and NULL keep nothing
+    assert(Sampling.softQualitySample(
+      corpus.withColumn("s", lit(2.0)), $"s").count() == 2000)
+    assert(Sampling.softQualitySample(
+      corpus.withColumn("s", lit(-1.0)), $"s").count() == 0)
+    assert(Sampling.softQualitySample(
+      corpus.withColumn("s", lit(null).cast("double")), $"s").count() == 0)
+    // content-keyed: exact duplicates receive the same decision
+    val twins = Seq((1L, "twin text body"), (2L, "twin text body"))
+      .toDF("doc_id", "text").withColumn("s", lit(0.5))
+    val dec = Sampling.softQualitySample(twins, $"s").count()
+    assert(dec == 0L || dec == 2L, s"duplicates must decide together, kept $dec")
+  }
+
   test("bloom screen: seen texts always maybe_seen; constructed collision is a false positive") {
     import graft.functions.Dedup
     val seen = docs((1L, "alpha content"), (2L, "beta content"),

@@ -2974,6 +2974,82 @@ object SparkEntry {
         "ORDER BY idx), '') AS text " +
         "FROM lk GROUP BY doc_id ORDER BY doc_id")),
 
+    // PER-SOURCE BOILERPLATE strip — the regime the line rule above can't
+    // express: a line in ≥ max(2, ⌈0.5·docs-of-source⌉) distinct documents
+    // of the SAME source is that site's template chrome and drops from ALL
+    // of them (a banner is content in none of its pages), while a line
+    // shared by a MINORITY of a source's pages survives everywhere — even
+    // when it is corpus-frequent (lineDedup would keep only its first
+    // copy). The fixture wraps each relined doc in a global banner (df =
+    // 100% per source → stripped), a per-source footer (likewise), and a
+    // quote on every 7th doc (~14% per source → kept), exercising both
+    // verdicts; the oracle replays the df threshold line by line.
+    Q("q_text_boilerplate",
+      (s, d) => {
+        val relined = expr(
+          "concat_ws('\n', transform(" +
+            "sequence(0, (size(split(text, ' ')) + 11) div 12 - 1), " +
+            "i -> concat_ws(' ', slice(split(text, ' '), i * 12 + 1, 12))))")
+        val quote = when(col("doc_id") % 7 === 0,
+          lit("a quote cited by a few pages of every site\n")).otherwise(lit(""))
+        val wrapped = Tables.documents(s, d)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            concat(lit("SUBSCRIBE to our newsletter\n"), quote, relined,
+              lit("\n(c) 2026 "), col("source")).as("text"))
+        Dedup.boilerplateStrip(wrapped, minDocFrac = 0.5, minDocs = 2)
+          .orderBy("doc_id")
+      },
+      Some("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS sp " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "d2 AS (SELECT doc_id, source, 'SUBSCRIBE to our newsletter' || " +
+        "chr(10) || CASE WHEN doc_id % 7 = 0 THEN " +
+        "'a quote cited by a few pages of every site' || chr(10) " +
+        "ELSE '' END || array_to_string(" +
+        "[array_to_string(sp[i*12+1 : least((i+1)*12, len(sp))], ' ') " +
+        "FOR i IN range(0, (len(sp) + 11) // 12)], chr(10)) || " +
+        "chr(10) || '(c) 2026 ' || source AS text FROM t), " +
+        "ls AS (SELECT doc_id, source, string_split(text, chr(10)) AS sp2 " +
+        "FROM d2), " +
+        "lx AS (SELECT doc_id, source, u.idx AS idx, u.line AS line FROM " +
+        "(SELECT doc_id, source, unnest([{'idx': i - 1, 'line': sp2[i]} " +
+        "FOR i IN range(1, len(sp2) + 1)]) AS u FROM ls) q0), " +
+        "tot AS (SELECT source, count(*) AS n_docs FROM d2 GROUP BY source), " +
+        "dfq AS (SELECT source, line, count(DISTINCT doc_id) AS df " +
+        "FROM lx GROUP BY source, line), " +
+        "lk AS (SELECT lx.doc_id, lx.idx, lx.line, " +
+        "(dfq.df < greatest(2, CAST(ceil(0.5 * tot.n_docs) AS BIGINT))) " +
+        "AS keep FROM lx JOIN dfq USING (source, line) " +
+        "JOIN tot USING (source)) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, " +
+        "CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept, " +
+        "COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) " +
+        "ORDER BY idx), '') AS text " +
+        "FROM lk GROUP BY doc_id ORDER BY doc_id")),
+
+    // CONTEXT-LENGTH TRUNCATION report — the sequence-length planning
+    // aggregate: for each candidate context length, how many documents
+    // exceed it and what fraction of corpus tokens a truncate-at-L policy
+    // discards. One scan; the candidate lengths are a plan literal and the
+    // exchange carries |lens| groups regardless of corpus size. Exact
+    // integer counts; the two fractions are single IEEE divisions.
+    Q("q_text_truncation",
+      (s, d) => TextAnalysis.truncationReport(Tables.documents(s, d),
+        Seq(64, 128, 256, 512)).orderBy("context_len"),
+      Some("WITH tk AS (SELECT CAST(len(" + toksSql + ") AS BIGINT) AS n " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "ln AS (SELECT CAST(unnest([64, 128, 256, 512]) AS BIGINT) " +
+        "AS context_len) " +
+        "SELECT context_len, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(*) FILTER (n > context_len) AS BIGINT) AS n_truncated, " +
+        "CAST(count(*) FILTER (n > context_len) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE) AS frac_truncated, " +
+        "CAST(sum(n) AS BIGINT) AS tokens_total, " +
+        "CAST(sum(greatest(n - context_len, 0)) AS BIGINT) AS tokens_lost, " +
+        "CAST(sum(greatest(n - context_len, 0)) AS DOUBLE) / " +
+        "CAST(sum(n) AS DOUBLE) AS frac_tokens_lost " +
+        "FROM tk, ln GROUP BY context_len ORDER BY context_len")),
+
     // WITHIN-DOCUMENT paragraph dedup — the document-local complement of
     // the corpus-global line rule above (scraper stutter / double-rendered
     // templates inside one page): repeated paragraphs keep their first

@@ -1020,6 +1020,59 @@ object Dedup {
             s => s.getField("line"))).as(textCol))
   }
 
+  /** PER-SOURCE BOILERPLATE strip — the template-removal regime
+    * [[lineDedup]]'s global keep-first rule cannot express: a line that
+    * appears in at least max(`minDocs`, ⌈`minDocFrac` · docs-in-source⌉)
+    * DISTINCT documents of the SAME source is that source's template
+    * chrome (navigation, cookie banner, licence footer rendered on every
+    * page of the site) and is dropped from ALL of them — including the
+    * first occurrence, because a site's banner is content in none of its
+    * pages. Cross-source repeats survive (a quote shared by two sites is
+    * evidence of content, not of a template); the document-frequency key
+    * is (source, line), so detection never mixes sites.
+    *
+    * Scale shape: lines explode once; document frequency is a
+    * (source, line)-keyed aggregate joined straight back on the same key
+    * (the exchange is paid once — the join reuses the aggregate's
+    * hash partitioning); per-source doc totals are a |sources|-row
+    * broadcast; the rebuild is [[lineDedup]]'s per-document aggregate.
+    * No driver collect, nothing quadratic — cost is corpus lines, the
+    * same currency lineDedup pays.
+    *
+    * Output one row per non-NULL-text document: (doc_id, n_lines,
+    * n_kept, text) — text is '' when every line was template, never NULL.
+    */
+  def boilerplateStrip(docs: DataFrame, minDocFrac: Double = 0.5,
+      minDocs: Int = 2, lineSep: String = "\n", textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    require(minDocFrac > 0.0 && minDocFrac <= 1.0,
+      "minDocFrac must be in (0, 1]")
+    require(minDocs >= 2, "minDocs < 2 would strip every line")
+    val d = docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"), col(sourceCol).as("__src"), col(textCol))
+    val totals = d.groupBy(col("__src"))
+      .agg(count(lit(1)).as("__n_docs"))
+    val lines = d.select(col("doc_id"), col("__src"),
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(lineSep))).as(Seq("idx", "line")))
+    val df = lines.groupBy(col("__src"), col("line"))
+      .agg(countDistinct(col("doc_id")).as("__df"))
+    lines
+      .join(df, Seq("__src", "line"))
+      .join(broadcast(totals), Seq("__src"))
+      .withColumn("keep", col("__df") < greatest(lit(minDocs.toLong),
+        ceil(lit(minDocFrac) * col("__n_docs")).cast("long")))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(lineSep,
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("idx"), col("line"))))),
+            s => s.getField("line"))).as(textCol))
+  }
+
   /** WITHIN-DOCUMENT paragraph dedup — C4's other span rule (Raffel et
     * al. 2020 §2.2: "discard all but one of any three-sentence span
     * occurring more than once", applied here at the `sep`-delimited

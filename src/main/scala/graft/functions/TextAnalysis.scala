@@ -1229,6 +1229,50 @@ object TextAnalysis {
         array_join(slice(col("__t"), col("__i") * s + 1, lit(w)), " ")
           .as("chunk_text"))
   }
+
+  /** CONTEXT-LENGTH TRUNCATION report — the planning aggregate behind
+    * "what sequence length do we train at": for each candidate context
+    * length, how many documents exceed it and how many tokens a
+    * truncate-at-L policy discards. The complement of [[chunkWindows]]
+    * (chunking keeps the tail; truncation is the lossy regime this
+    * report prices). Token unit = [[tokens]] (whitespace), the corpus
+    * token currency every other audit here uses.
+    *
+    * One corpus scan: per-doc token counts project scan-side, the
+    * candidate lengths explode from a plan literal, and the aggregate
+    * keys on |contextLens| values — map-side partials collapse the
+    * exchange to |contextLens| rows regardless of corpus size. Counts
+    * and token sums are exact integers; the two fractions are single
+    * IEEE divisions of exact longs (the [[linkStats]] discipline).
+    * NULL-text documents are excluded (no tokens to count or lose).
+    *
+    * Output: (context_len, n_docs, n_truncated, frac_truncated,
+    * tokens_total, tokens_lost, frac_tokens_lost), one row per
+    * candidate length.
+    */
+  def truncationReport(docs: DataFrame, contextLens: Seq[Int],
+      textCol: String = "text"): DataFrame = {
+    require(contextLens.nonEmpty, "need at least one context length")
+    require(contextLens.forall(_ > 0), "context lengths must be positive")
+    docs.filter(col(textCol).isNotNull)
+      .select(tokenCount(col(textCol)).cast("long").as("__n"))
+      .select(col("__n"), explode(
+        array(contextLens.map(l => lit(l.toLong)): _*)).as("context_len"))
+      .groupBy(col("context_len"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__n") > col("context_len"), 1L).otherwise(0L))
+          .as("n_truncated"),
+        sum(col("__n")).as("tokens_total"),
+        sum(greatest(col("__n") - col("context_len"), lit(0L)))
+          .as("tokens_lost"))
+      .select(col("context_len"), col("n_docs"), col("n_truncated"),
+        when(col("n_docs") > 0, col("n_truncated").cast("double") /
+          col("n_docs").cast("double")).as("frac_truncated"),
+        col("tokens_total"), col("tokens_lost"),
+        when(col("tokens_total") > 0, col("tokens_lost").cast("double") /
+          col("tokens_total").cast("double")).as("frac_tokens_lost"))
+  }
 }
 
 /** Unicode NFC normalization as a native expression (string → string,

@@ -1149,6 +1149,57 @@ class PipelineSpec extends SparkSpec {
       "below-threshold repeats must all survive at minCount=3")
   }
 
+  test("boilerplate strip: per-source df keys the verdict; minority and cross-source lines survive") {
+    import graft.functions.Dedup
+    // site A (4 docs): "NAV" on every page (df 4 ≥ ⌈0.5·4⌉=2 → template,
+    // ALL copies drop — including the first, unlike lineDedup); "promo"
+    // on exactly 2 of 4 (df 2 ≥ 2 → template); "quote" on 1 of 4 (df 1 <
+    // 2 → kept). Site B (2 docs): "quote" on 1 of 2 (df 1 < 2 → kept even
+    // though the corpus-wide line rule would excise the later copy).
+    val docs = Seq(
+      (1L, "A", "NAV\npromo\nown one"),
+      (2L, "A", "NAV\npromo\nquote"),
+      (3L, "A", "NAV\nown three"),
+      (4L, "A", "NAV\nown four"),
+      (5L, "B", "quote\nown five"),
+      (6L, "B", "own six"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.boilerplateStrip(docs, minDocFrac = 0.5, minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, "own one"),
+      (2L, 3L, 1L, "quote"),
+      (3L, 2L, 1L, "own three"),
+      (4L, 2L, 1L, "own four"),
+      (5L, 2L, 2L, "quote\nown five"),
+      (6L, 1L, 1L, "own six")))
+    // all-template doc rebuilds to '' (never NULL)
+    val allNav = Dedup.boilerplateStrip(Seq(
+      (1L, "C", "NAV"), (2L, "C", "NAV")).toDF("doc_id", "source", "text"),
+      minDocFrac = 0.5, minDocs = 2).orderBy("doc_id").collect()
+      .map(r => (r.getLong(2), r.getString(3)))
+    assert(allNav.toSeq == Seq((0L, ""), (0L, "")))
+  }
+
+  test("truncation report: exact doc and token losses per candidate length") {
+    import graft.functions.TextAnalysis
+    val docs = Seq(
+      (1L, "a b c"),                             // 3 tokens
+      (2L, "a b c d e"),                         // 5 tokens
+      (3L, (1 to 10).map(_ => "t").mkString(" ")), // 10 tokens
+      (4L, null.asInstanceOf[String]))           // NULL text excluded
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.truncationReport(docs, Seq(4, 10))
+      .orderBy("context_len").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    // L=4: docs 2 (loses 1) and 3 (loses 6) truncate; 7 of 18 tokens lost
+    assert(out(0) == (4L, 3L, 2L, 2.0 / 3.0, 18L, 7L, 7.0 / 18.0))
+    // L=10: nothing truncates
+    assert(out(1) == (10L, 3L, 0L, 0.0, 18L, 0L, 0.0))
+  }
+
   test("retrieval eval: exact MRR and precision arms, NULL labels score nothing") {
     import graft.functions.Similarity
     val corpus = Seq(

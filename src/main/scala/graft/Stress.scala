@@ -745,6 +745,30 @@ object Stress {
         Seq[(String, String => DataFrame)]("trigram_novelty" -> (d =>
           functions.TextAnalysis.trigramNovelty(docs(d))
             .filter(col("novelty") >= 0.0)))
+      else if (kind == "boiler")
+        // per-source boilerplate strip over the q_text_boilerplate
+        // wrapping (banner + every-7th-doc quote + per-source footer,
+        // both injected AFTER replication so template df stays at 100%
+        // of each source's GROWING page count — the production regime).
+        // The claim to certify is ~1.0: the df aggregate and its join
+        // back are both keyed by (source, line), so cost tracks corpus
+        // lines; the hot banner key is a 1:1 join against its single df
+        // row, fan-out N:1, never a pair product. The filter consumes
+        // n_kept so the ladder's count() cannot prune the verdicts.
+        Seq[(String, String => DataFrame)]("boilerplate_strip" -> { d =>
+          val relined = expr(
+            "concat_ws('\n', transform(" +
+              "sequence(0, (size(split(text, ' ')) + 11) div 12 - 1), " +
+              "i -> concat_ws(' ', slice(split(text, ' '), i * 12 + 1, 12))))")
+          val quote = when(col("doc_id") % 7 === 0,
+            lit("a quote cited by a few pages of every site\n"))
+            .otherwise(lit(""))
+          val wrapped = docs(d).filter(col("text").isNotNull)
+            .select(col("doc_id"), col("source"),
+              concat(lit("SUBSCRIBE to our newsletter\n"), quote, relined,
+                lit("\n(c) 2026 "), col("source")).as("text"))
+          Dedup.boilerplateStrip(wrapped).filter(col("n_kept") >= 0)
+        })
       else jac ++ Seq[(String, String => DataFrame)](
         "containment" -> { d =>
           val ds = docs(d).select("doc_id", "text")

@@ -3756,6 +3756,47 @@ object SparkEntry {
         "JOIN q ON c.label <> q.label), " +
         topKSql("sc", 10))),
 
+    // CONTRASTIVE TRIPLETS — the complete training-row factory (the
+    // query above mines only the negative half): per labeled anchor, the
+    // nearest same-label vector crossed with the 4 nearest
+    // different-label vectors, one (anchor, positive, negative) row per
+    // combination with the pos−neg margin. One corpus stream scores both
+    // arms; one (query, same-flag)-keyed window ranks them; the cross is
+    // |anchors|·1·4 bounded rows.
+    Q("q_sim_triplets",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.contrastiveTriplets(emb,
+            emb.filter(col("vec_id") % 100 === 0),
+            positives = 1, negatives = 4)
+          .orderBy("query_id", "pos_rank", "neg_rank")
+      },
+      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+        "label FROM embeddings), " +
+        "n AS (SELECT vec_id, v, label, sqrt(" +
+        foldSumSql("[x * x FOR x IN v]") + ") AS nrm FROM e), " +
+        "nv AS (SELECT vec_id, [x / nrm FOR x IN v] AS v, label FROM n " +
+        "WHERE nrm > 0), " +
+        "q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel " +
+        "FROM nv WHERE vec_id % 100 = 0 AND label IS NOT NULL), " +
+        "sc AS (SELECT query_id, (c.label = qlabel) AS same, " +
+        "c.vec_id AS neighbor_id, " +
+        s"${dotSql("qv", "c.v")} AS score FROM nv c " +
+        "JOIN q ON c.vec_id <> q.query_id WHERE c.label IS NOT NULL), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id, same " +
+        "ORDER BY score DESC, neighbor_id) AS rank FROM sc), " +
+        "p AS (SELECT query_id, neighbor_id AS positive_id, " +
+        "CAST(rank AS INT) AS pos_rank, score AS pos_score FROM r " +
+        "WHERE same AND rank <= 1), " +
+        "g AS (SELECT query_id, neighbor_id AS negative_id, " +
+        "CAST(rank AS INT) AS neg_rank, score AS neg_score FROM r " +
+        "WHERE NOT same AND rank <= 4) " +
+        "SELECT p.query_id, positive_id, pos_rank, pos_score, " +
+        "negative_id, neg_rank, neg_score, " +
+        "pos_score - neg_score AS margin " +
+        "FROM p JOIN g USING (query_id) " +
+        "ORDER BY query_id, pos_rank, neg_rank")),
+
     // IVF multi-probe: 8 leading sign bits as the coarse quantizer, probes
     // = {bucket, bucket^1, bucket^2}, per-bucket scoring, exact top-k.
     Q("q_sim_topk_ivf",

@@ -1427,4 +1427,55 @@ object Similarity {
         dot(col("qv"), col("v")).as("score"))
     topKPerQuery(scored, k)
   }
+
+  /** CONTRASTIVE TRIPLETS — the complete training-row factory
+    * ([[hardNegatives]] is its negative half): for each labeled anchor,
+    * the `positives` nearest SAME-label vectors (self excluded) crossed
+    * with the `negatives` nearest DIFFERENT-label vectors — one
+    * (anchor, positive, negative) row per combination, the unit a
+    * triplet/InfoNCE fine-tune consumes, with `margin` = pos − neg
+    * score (a margin near or below zero marks the informative triplets).
+    *
+    * One corpus stream against the broadcast anchor set scores both
+    * arms (the label test is a flag on the scored row, not a second
+    * scan), one window keyed (query_id, same-label flag) ranks them,
+    * and the final per-anchor join crosses |anchors|·p·n bounded rows.
+    * NULL-label rows drop from BOTH arms on both sides (an unlabeled
+    * row is neither a safe positive nor a safe negative). For
+    * cell-bounded candidate generation at extreme corpus sizes, compose
+    * with [[refineExact]] over an IVF shortlist, as with
+    * [[hardNegatives]].
+    *
+    * Output: (query_id, positive_id, pos_rank, pos_score, negative_id,
+    * neg_rank, neg_score, margin).
+    */
+  def contrastiveTriplets(corpus: DataFrame, queries: DataFrame,
+      positives: Int = 1, negatives: Int = 4,
+      labelCol: String = "label"): DataFrame = {
+    require(positives >= 1, "need at least one positive per anchor")
+    require(negatives >= 1, "need at least one negative per anchor")
+    val c = normalizedWith(corpus, labelCol)
+      .filter(col(labelCol).isNotNull)
+    val q = normalizedWith(queries, labelCol)
+      .filter(col(labelCol).isNotNull)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col(labelCol).as("__qlabel"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        (col(labelCol) === col("__qlabel")).as("__same"),
+        col("vec_id").as("neighbor_id"),
+        dot(col("qv"), col("v")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("__same"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val ranked = scored.withColumn("rank", row_number().over(w))
+    val pos = ranked.filter(col("__same") && col("rank") <= positives)
+      .select(col("query_id"), col("neighbor_id").as("positive_id"),
+        col("rank").as("pos_rank"), col("score").as("pos_score"))
+    val neg = ranked.filter(!col("__same") && col("rank") <= negatives)
+      .select(col("query_id"), col("neighbor_id").as("negative_id"),
+        col("rank").as("neg_rank"), col("score").as("neg_score"))
+    pos.join(neg, Seq("query_id"))
+      .withColumn("margin", col("pos_score") - col("neg_score"))
+  }
 }

@@ -453,6 +453,47 @@ class BucketedSpec extends SparkSpec {
     assert(outN.filter($"neighbor_id" === 1L).count() == 0, "NULL-label negative")
   }
 
+  test("contrastive triplets: positive arm ≡ same-label brute force, negative arm ≡ hardNegatives, margin exact") {
+    import graft.functions.Similarity
+    val rnd = new scala.util.Random(31)
+    val corpus = (0 until 40).map { i =>
+      val v = Array.fill(6)((rnd.nextDouble() - 0.5).toFloat)
+      (i.toLong, v.toSeq, i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val anchors = corpus.filter($"vec_id" % 10 === 0)
+    val out = Similarity.contrastiveTriplets(corpus, anchors,
+      positives = 1, negatives = 4)
+    // shape: per anchor, exactly 1×4 rows
+    assert(out.count() == anchors.count() * 4)
+    val a0 = anchors.orderBy("vec_id").collect()(0)
+    val (a0id, a0label) = (a0.getLong(0), a0.getInt(2))
+    // the positive is the nearest same-label non-self vector
+    val bestPos = Similarity.bruteForceTopK(
+        corpus.filter($"label" === a0label && $"vec_id" =!= a0id),
+        corpus.filter($"vec_id" === a0id), k = 1)
+      .collect()(0)
+    val rows = out.filter($"query_id" === a0id).orderBy("neg_rank").collect()
+    assert(rows.forall(_.getAs[Long]("positive_id") == bestPos.getAs[Long]("neighbor_id")))
+    assert(rows.forall(_.getAs[Double]("pos_score") == bestPos.getAs[Double]("score")))
+    // the negative arm is exactly hardNegatives at the same k
+    val hn = Similarity.hardNegatives(corpus,
+        corpus.filter($"vec_id" === a0id), k = 4)
+      .orderBy("rank").collect()
+    assert(rows.map(r => (r.getAs[Long]("negative_id"), r.getAs[Int]("neg_rank"),
+        r.getAs[Double]("neg_score"))).toSeq ==
+      hn.map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"),
+        r.getAs[Double]("score"))).toSeq)
+    // margin is the exact difference of the two scores on every row
+    assert(out.filter($"margin" =!= $"pos_score" - $"neg_score").isEmpty)
+    // NULL-label rows appear in neither arm
+    val withNull = corpus.withColumn("label",
+      when($"vec_id" === 1L, lit(null)).otherwise($"label"))
+    val outN = Similarity.contrastiveTriplets(withNull, withNull)
+    assert(outN.filter($"query_id" === 1L).count() == 0)
+    assert(outN.filter($"positive_id" === 1L || $"negative_id" === 1L)
+      .count() == 0)
+  }
+
   test("knn graph: full-probe graph ≡ brute force; pruned graph keeps recall; no self-edges") {
     import graft.functions.Similarity
     // the biased-region fixture of the trained-IVF recall test: 4 tight

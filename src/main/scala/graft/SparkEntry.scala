@@ -4377,6 +4377,64 @@ object SparkEntry {
       Some(ivfPqResRecallOracle(dim = 64, sampleSize = 256, centroids = 8,
         m = 16, ksub = 32, iters = 2, nprobe = 4, topk = 10))),
 
+    // The PERSISTED ground-truth variants of the three heaviest recall
+    // rows: brute-force exact top-10 of the pinned eval set is a build
+    // artifact (writeGroundTruth, query_id-bucketed), and every
+    // quantizer-configuration evaluation re-READS it instead of
+    // re-scanning the corpus per run — the index discipline applied to
+    // evaluation. SAME oracles as the one-shot twins: hash equality
+    // certifies write→read fidelity of the truth table end-to-end
+    // through the recall arithmetic. Unique name + eager
+    // materialization + finally-drop (the q_text_bm25_indexed pattern).
+    Q("q_sim_recall_pq_indexed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") % 100 === 0)
+        val name = "graft_gt_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Similarity.writeGroundTruth(emb, qs, k = 10, name)
+        try Similarity.recallAtKIndexed(s, name,
+            Similarity.pqTopK(emb, qs, k = 10, m = 16, ksub = 32,
+              sampleSize = 256, iters = 2), k = 10)
+          .orderBy("query_id").localCheckpoint(true)
+        finally Similarity.dropGroundTruth(s, name)
+      },
+      Some(pqRecallOracle(dim = 64, m = 16, ksub = 32, sampleSize = 256,
+        iters = 2, topk = 10))),
+
+    Q("q_sim_recall_ivfpq_indexed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") % 100 === 0)
+        val name = "graft_gt_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Similarity.writeGroundTruth(emb, qs, k = 10, name)
+        try Similarity.recallAtKIndexed(s, name,
+            Similarity.ivfPqTopK(emb, qs, k = 10, centroids = 8, nprobe = 4,
+              m = 16, ksub = 32, sampleSize = 256, iters = 2), k = 10)
+          .orderBy("query_id").localCheckpoint(true)
+        finally Similarity.dropGroundTruth(s, name)
+      },
+      Some(ivfPqRecallOracle(dim = 64, sampleSize = 256, centroids = 8,
+        m = 16, ksub = 32, iters = 2, nprobe = 4, topk = 10))),
+
+    Q("q_sim_recall_ivfpq_res_indexed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") % 100 === 0)
+        val name = "graft_gt_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Similarity.writeGroundTruth(emb, qs, k = 10, name)
+        try Similarity.recallAtKIndexed(s, name,
+            Similarity.ivfPqResidualTopK(emb, qs, k = 10, centroids = 8,
+              nprobe = 4, m = 16, ksub = 32, sampleSize = 256, iters = 2),
+            k = 10)
+          .orderBy("query_id").localCheckpoint(true)
+        finally Similarity.dropGroundTruth(s, name)
+      },
+      Some(ivfPqResRecallOracle(dim = 64, sampleSize = 256, centroids = 8,
+        m = 16, ksub = 32, iters = 2, nprobe = 4, topk = 10))),
+
     // PRODUCT QUANTIZATION top-k: 64-dim floats → 8 sub-codes (32× memory
     // cut), search = code scan + per-query lookup tables (ADC). The
     // memory-bound regime's ANN at 100 TB — the codes table fits where

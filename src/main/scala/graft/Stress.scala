@@ -46,6 +46,7 @@ object Stress {
       case "annscale" :: nc :: per :: Nil => annscale(spark, nc.toInt, per.toInt)
       case "ladder" :: dir :: kind :: fs if fs.nonEmpty =>
         ladder(spark, dir, kind, fs.map(_.toInt))
+      case "gtprobe" :: dir :: Nil => gtprobe(spark, dir)
       case "phashscale" :: groups :: per :: Nil =>
         phashScale(spark, groups.toInt, per.toInt)
       case "linescale" :: docs :: lines :: pool :: Nil =>
@@ -673,7 +674,7 @@ object Stress {
             (col("user_id") + col("replica") * idOff).as("user_id"),
             col("event_type"), col("value"), col("props"))
           .write.mode("overwrite").parquet(s"$dir/events.parquet")
-        if (kind == "knn") {
+        if (kind == "knn" || kind == "knn23") {
           val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
             .crossJoin(rep)
           emb.select((col("vec_id") + col("replica") * idOff).as("vec_id"),
@@ -735,6 +736,24 @@ object Stress {
           val cells = math.max(8, math.round(math.sqrt(n / 8.0)).toInt)
           functions.Similarity.knnGraph(emb, k = 5, centroids = cells,
               nprobe = 2, sampleSize = math.max(256, cells * 4), iters = 2)
+            .filter(col("score") >= -2.0)
+        })
+      else if (kind == "knn23")
+        // k-NN graph under the N^(2/3) cell policy (Similarity.cellsFor)
+        // with the recall-holding nprobe bump 2 → 3: the claim to certify
+        // is that the x10→x30 segment drops from the √N rule's measured
+        // 1.39 toward the policy's N^(4/3) candidate asymptote — per-cell
+        // membership is capped at ∝ N^(1/3), so candidate work is
+        // N·nprobe·N^(1/3), not the √N rule's N^1.5. Recall under the
+        // bumped nprobe is gated separately in BucketedSpec ("knn graph:
+        // N^(2/3) cell policy") on the clustered fixture — the ladder
+        // certifies COST shape, the spec certifies the unchanged floor.
+        Seq[(String, String => DataFrame)]("knn_graph_n23" -> { d =>
+          val emb = sources.Tables.embeddings(spark, d)
+          val n = emb.count()
+          val cells = functions.Similarity.cellsFor(n)
+          functions.Similarity.knnGraph(emb, k = 5, centroids = cells,
+              nprobe = 3, sampleSize = math.max(256, cells * 4), iters = 2)
             .filter(col("score") >= -2.0)
         })
       else if (kind == "novelty")
@@ -830,6 +849,37 @@ object Stress {
       println(f"[ladder] $kind $name exponent=$slope%.2f over k=" +
         pts.map(_._1).mkString(","))
     }
+  }
+
+  /** Ground-truth artifact payoff probe (BASELINE.md evidence): build the
+    * persisted exact top-10 of the pinned eval set ONCE, then time the
+    * recall evaluation's exact side as a recompute (bruteForceTopK per
+    * consumer) vs a read (recallAtKIndexed) against a FIXED checkpointed
+    * approx frame, so the delta isolates the ground-truth side — the
+    * cost every quantizer-configuration evaluation pays per run.
+    */
+  private def gtprobe(spark: SparkSession, dir: String): Unit = {
+    val emb = sources.Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+    val approx = Similarity.ivfTrainedTopK(emb, qs, k = 10)
+      .localCheckpoint(true)
+    val name = "graft_gtprobe"
+    val t0 = System.nanoTime()
+    Similarity.writeGroundTruth(emb, qs, k = 10, name)
+    println(f"[gtprobe] build=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    try {
+      for (i <- 1 to 3) {
+        val t1 = System.nanoTime()
+        val n1 = Similarity.recallAtK(approx,
+          Similarity.bruteForceTopK(emb, qs, k = 10), k = 10).count()
+        val tr = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        val n2 = Similarity.recallAtKIndexed(spark, name, approx, k = 10).count()
+        val ti = (System.nanoTime() - t2) / 1e9
+        println(f"[gtprobe] run $i recompute=$tr%.2fs rows=$n1 " +
+          f"indexed=$ti%.2fs rows=$n2")
+      }
+    } finally Similarity.dropGroundTruth(spark, name)
   }
 
   /** Banded-Hamming pair generation at signature-corpus scale: `groups`

@@ -550,6 +550,55 @@ class BucketedSpec extends SparkSpec {
     } finally Similarity.dropAnnIndex(spark, name)
   }
 
+  test("knn graph: N^(2/3) cell policy holds the 0.9 recall floor at bumped nprobe") {
+    import graft.functions.Similarity
+    // cellsFor math: floor, growth law, and the documented anchors
+    assert(Similarity.cellsFor(100) == 8, "small corpora floor at 8 cells")
+    assert(Similarity.cellsFor(500) == 16)
+    assert(Similarity.cellsFor(15000) == 152)
+    assert(Similarity.cellsFor(15000) > Similarity.cellsFor(5000),
+      "cell count must be monotone in corpus size")
+    // per-cell membership N/cells must SHRINK relative to sqrt growth:
+    // at 30x the corpus, sqrt(N/8) membership grows ~5.5x while the
+    // policy's grows ~3.1x (∝ N^(1/3))
+    val memb = (n: Long) => n.toDouble / Similarity.cellsFor(n)
+    assert(memb(15000) / memb(500) < 3.5,
+      "policy per-cell membership must grow ~N^(1/3), not ~sqrt(N)")
+
+    // recall floor at policy scale on a clustered corpus — the regime
+    // where IVF pruning works at all (the near-uniform real corpus needs
+    // nprobe ≈ cells/2 regardless of the cell rule; see the trained-IVF
+    // floor above). 32 generator clusters x 100 jittered members, the
+    // semdedup/annscale generator: deterministic, no RNG, cross-cluster
+    // cosines far below within-cluster ones.
+    val nClusters = 32; val per = 100; val dim = 16
+    val corpus = spark.range(nClusters.toLong * per).select(
+      col("id").as("vec_id"),
+      expr(s"transform(sequence(0, ${dim - 1}), " +
+        s"j -> sin((id div $per) * 131.7D + j * 17.3D) " +
+        s"+ 0.1D * sin(id * 37.9D + j * 5.1D))")
+        .cast("array<float>").as("embedding"))
+    val n = nClusters.toLong * per
+    val exact = Similarity.bruteForceTopK(corpus, corpus, k = 5)
+      .localCheckpoint(true)
+    def meanRecall(cells: Int, nprobe: Int): Double = {
+      val g = Similarity.knnGraph(corpus, k = 5, centroids = cells,
+        nprobe = nprobe, sampleSize = math.max(256, cells * 4), iters = 2)
+      Similarity.recallAtK(g, exact, k = 5)
+        .agg(avg($"recall")).head().getDouble(0)
+    }
+    // the policy probes a SMALLER corpus fraction (3/55 vs the sqrt
+    // rule's 2/20), so nprobe=3 is the measured bump that keeps the
+    // same 0.9 floor the sqrt-rule graph holds
+    val policy = meanRecall(Similarity.cellsFor(n), nprobe = 3)
+    assert(policy >= 0.9,
+      s"knn-graph recall@5 under cellsFor/nprobe=3 = $policy < 0.9")
+    val sqrtRule = meanRecall(
+      math.max(8, math.round(math.sqrt(n / 8.0)).toInt), nprobe = 2)
+    assert(policy >= sqrtRule - 0.05,
+      s"policy recall $policy fell below the sqrt-rule graph's $sqrtRule")
+  }
+
   test("pq: ADC code search recovers structured neighbors; deterministic across runs") {
     import graft.functions.Similarity
     val rnd = new scala.util.Random(13)

@@ -1490,7 +1490,12 @@ object Similarity {
       .filter(col(labelCol).isNotNull)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col(labelCol).as("__qlabel"))
-    val scored = c.join(broadcast(q), col(labelCol) =!= col("__qlabel"))
+    // self-exclusion by id as well as by label (contrastiveTriplets'
+    // guard): with separately-sourced or re-labeled frames the same
+    // vec_id can carry different labels on the two sides, and a vector
+    // must never surface as its own hard negative
+    val scored = c.join(broadcast(q), col(labelCol) =!= col("__qlabel") &&
+        col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         dot(col("qv"), col("v")).as("score"))
     topKPerQuery(scored, k)

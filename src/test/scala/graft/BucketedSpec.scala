@@ -451,6 +451,13 @@ class BucketedSpec extends SparkSpec {
     val outN = Similarity.hardNegatives(withNull, withNull, k = 3)
     assert(outN.filter($"query_id" === 1L).count() == 0, "NULL-label anchor")
     assert(outN.filter($"neighbor_id" === 1L).count() == 0, "NULL-label negative")
+    // re-labeled query frame: the same vec_id carries a DIFFERENT label
+    // on the query side, so the label test alone would let a vector be
+    // its own hard negative — the id guard must exclude it
+    val relabeled = anchors.withColumn("label", ($"label" + 1) % 3)
+    val outR = Similarity.hardNegatives(corpus, relabeled, k = 40)
+    assert(outR.filter($"query_id" === $"neighbor_id").count() == 0,
+      "a vector surfaced as its own hard negative under re-labeling")
   }
 
   test("contrastive triplets: positive arm ≡ same-label brute force, negative arm ≡ hardNegatives, margin exact") {

@@ -1180,6 +1180,17 @@ class PipelineSpec extends SparkSpec {
       minDocFrac = 0.5, minDocs = 2).orderBy("doc_id").collect()
       .map(r => (r.getLong(2), r.getString(3)))
     assert(allNav.toSeq == Seq((0L, ""), (0L, "")))
+    // NULL-source docs PASS THROUGH, pooled under one sentinel source:
+    // the shared "NAV" line is template within the pool (df 2 ≥ 2), the
+    // own lines survive — and crucially neither document is dropped
+    val nullSrc = Dedup.boilerplateStrip(Seq(
+      (1L, null, "NAV\nown one"), (2L, null, "NAV\nown two"),
+      (3L, "A", "own three"))
+      .toDF("doc_id", "source", "text"),
+      minDocFrac = 0.5, minDocs = 2).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(nullSrc.toSeq == Seq(
+      (1L, 1L, "own one"), (2L, 1L, "own two"), (3L, 1L, "own three")))
   }
 
   test("truncation report: exact doc and token losses per candidate length") {
@@ -1369,6 +1380,16 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
     assert(out.toSeq == Seq(
       (1L, 3L, false), (2L, 3L, true), (3L, 3L, false), (4L, 1L, true)))
+    // NULL-text rows are singletons, never mutual duplicates: each keeps
+    // with dup_count 1 and a NULL content_hash
+    val withNulls = Dedup.exactBest(Seq(
+        (10L, null, "crawl"), (11L, null, "crawl"), (12L, "t", "crawl"))
+        .toDF("doc_id", "text", "source"),
+        when(col("source") === "curated", 1L).otherwise(0L))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.isNullAt(1), r.getLong(3), r.getBoolean(4)))
+    assert(withNulls.toSeq == Seq(
+      (10L, true, 1L, true), (11L, true, 1L, true), (12L, false, 1L, true)))
   }
 
   test("trigram novelty: unique phrasing scores 1, templated twins score 0, short docs NULL") {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Bpe, Dedup, MinhashIndex, Multimodal, Similarity, TextAnalysis}
+import graft.functions.{Bpe, Dedup, MinhashIndex, Multimodal, Similarity, TextAnalysis, Unigram}
 import graft.model._
 import graft.operators._
 import graft.sources.Tables
@@ -2432,6 +2432,27 @@ object SparkEntry {
         "SELECT term, count(DISTINCT doc_id) AS doc_freq, " +
         "count(*) AS term_freq FROM posting WHERE term <> '' " +
         "GROUP BY term ORDER BY term")),
+
+    // Unigram-LM tokenizer training statistics (Kudo 2018 — the OTHER
+    // production tokenizer regime beside BPE): the weighted substring
+    // seed-candidate relation the trainer prunes from — every substring
+    // of length ≤ 4 of every word, weighted by exact corpus counts. The
+    // EM + likelihood-loss pruning loop is UnigramSpec-pinned (worked
+    // forward-backward fixture); this oracles the corpus-scale relation
+    // it iterates on, exactly as q_text_bpe_pairs does for the BPE
+    // trainer. Top-50 under a TOTAL order (freq desc, piece asc).
+    Q("q_text_unigram_vocab",
+      (s, d) => Unigram.seedCandidates(Tables.documents(s, d), maxPieceLen = 4)
+        .orderBy(col("freq").desc, col("piece"))
+        .limit(50),
+      Some("WITH words AS (SELECT word, count(*) AS cnt FROM " +
+        s"(SELECT unnest($toksSql) AS word FROM documents) " +
+        "WHERE word <> '' GROUP BY word), " +
+        "ex AS (SELECT unnest(flatten([[substring(word, i, l) " +
+        "FOR l IN range(1, least(4, len(word) - i + 1) + 1)] " +
+        "FOR i IN range(1, len(word) + 1)])) AS piece, cnt FROM words) " +
+        "SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq FROM ex " +
+        "GROUP BY 1 ORDER BY freq DESC, piece LIMIT 50")),
 
     // Corpus-frequency quality score — the CCNet-perplexity stand-in:
     // per-doc mean corpus token frequency, exact integer until ONE final

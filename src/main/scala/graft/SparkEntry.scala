@@ -3381,6 +3381,33 @@ object SparkEntry {
       },
       Some(crossNgramOracle)),
 
+    // TARGETED DELETION from the MinHash index — the upsert gate's
+    // MIRROR: the seen side is built WITH exact-copy clones of every
+    // batch document (ids +5,000,000 — each would surface as a
+    // jaccard-1.0 pair), the clones are then tombstone-deleted, and the
+    // screen must answer EXACTLY the cross-join oracle over the original
+    // seen corpus. A deletion path that leaks even one tombstoned row
+    // back into candidate generation fails the hash.
+    Q("q_dedup_minhash_deleted",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val seen = docs.filter(col("doc_id") % 7 =!= 0)
+        val batch = docs.filter(col("doc_id") % 7 === 0)
+        val clones = batch.select(
+          (col("doc_id") + 5000000L).as("doc_id"), col("text"))
+        val name = "graft_mh_del_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        MinhashIndex.write(seen.unionByName(clones), name)
+        val cloneIds = batch.select("doc_id").collect()
+          .map(_.getLong(0) + 5000000L).toSeq
+        try {
+          MinhashIndex.deleteIds(s, name, cloneIds)
+          MinhashIndex.screen(s, name, batch, 0.5)
+            .orderBy("batch_doc", "seen_doc").localCheckpoint(true)
+        } finally MinhashIndex.drop(s, name)
+      },
+      Some(crossNgramOracle)),
+
     // Asymmetric containment (near-SUPERSET detection) over a corpus with
     // engineered swallows: every 10th document is concatenated with its
     // successor into a re-keyed super-document, so (part, whole) pairs sit
@@ -3485,6 +3512,39 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_clusters"))
           .orderBy("cluster_size").localCheckpoint(true)
         finally Dedup.dropClusterTable(s, name)
+      },
+      Some(clusterSizesOracle)),
+
+    // TARGETED DELETION from the cluster table — the one family where
+    // deletion must RE-ELECT: clones carry NEGATIVE ids (-doc_id - 1),
+    // so while present they steal both the cluster label (min id) and
+    // the keep verdict from every 50th document's cluster; deleting them
+    // must hand both back. deleteFromClusterTable re-clusters ONLY the
+    // touched components on the surviving-member pair subgraph, and the
+    // result must equal the clusters-of-documents-alone recursive-CTE
+    // oracle exactly (components can only split when vertices leave, so
+    // the scoped recompute IS the full rebuild's answer).
+    Q("q_dedup_cluster_sizes_deleted",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val clones = docs.filter(col("doc_id") % 50 === 0)
+          .select((-col("doc_id") - 1).as("doc_id"), col("text"))
+        val all = docs.unionByName(clones)
+        val pairs = Dedup.ngramJaccardPairs(all, 0.5).localCheckpoint(true)
+        val name = "graft_cl_del_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Dedup.writeClusterTable(all, pairs, name)
+        val cloneIds = clones.select("doc_id").collect()
+          .map(_.getLong(0)).toSeq
+        try {
+          Dedup.deleteFromClusterTable(s, name, cloneIds, pairs)
+          Dedup.clusterTable(s, name)
+            .groupBy(col("cluster_id"))
+            .agg(count(lit(1)).as("sz"))
+            .groupBy(col("sz").as("cluster_size"))
+            .agg(count(lit(1)).as("n_clusters"))
+            .orderBy("cluster_size").localCheckpoint(true)
+        } finally Dedup.dropClusterTable(s, name)
       },
       Some(clusterSizesOracle)),
 
@@ -4330,6 +4390,36 @@ object SparkEntry {
         iters = 2, nprobe = 4, topk = 10,
         sampleWhere = "WHERE vec_id < 300"))),
 
+    // TARGETED DELETION from the ANN index — the upsert gate's MIRROR,
+    // exercising BOTH deletion halves through one hash: exact clones of
+    // every query vector are upserted (each would answer at cosine 1.0,
+    // rank 1), tombstoned via deleteFromAnnIndex, then COMPACTED (the
+    // staged bucket-spec rewrite physically purges them), and the search
+    // over the rewritten table must answer exactly the frozen-quantizer
+    // oracle over the original corpus.
+    Q("q_sim_topk_ivf_deleted",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") % 100 === 0)
+        val name = "graft_ann_del_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Similarity.writeAnnIndex(emb, name, centroids = 8,
+          sampleSize = 256, iters = 2)
+        val cloneIds = qs.select("vec_id").collect()
+          .map(_.getLong(0) + 10000000L).toSeq
+        try {
+          Similarity.upsertAnnIndex(s, name,
+            qs.select((col("vec_id") + 10000000L).as("vec_id"),
+              col("embedding")))
+          Similarity.deleteFromAnnIndex(s, name, cloneIds)
+          Similarity.compactAnnIndex(s, name)
+          Similarity.annSearchIndexed(s, name, qs, k = 10, nprobe = 4)
+            .orderBy("query_id", "rank").localCheckpoint(true)
+        } finally Similarity.dropAnnIndex(s, name)
+      },
+      Some(ivfTrainedOracle(dim = 64, sampleSize = 256, centroids = 8,
+        iters = 2, nprobe = 4, topk = 10))),
+
     // RECALL@10 of the trained-IVF path against brute force — the
     // evaluation operator that turns an ANN configuration claim into a
     // measured, oracle-certified number per query (and lets a deployment
@@ -4786,7 +4876,49 @@ object SparkEntry {
         "AND a.doc_id < b.doc_id), " +
         "ham AS (SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming FROM cand) " +
         "SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM ham " +
-        "WHERE hamming <= 6 ORDER BY doc_a, doc_b")))
+        "WHERE hamming <= 6 ORDER BY doc_a, doc_b")),
+
+    // TARGETED DELETION from the signature table — the upsert gate's
+    // MIRROR for the multimodal family (takedowns are precisely where
+    // removed media must stop matching): the seen table is written WITH
+    // signature clones of every third document (ids +20,000,000 — each
+    // would pair with its re-crawl twin at Hamming 0), the clones are
+    // tombstone-deleted, and screening the re-crawl (+10,000,000) must
+    // yield exactly the batch×originals pair set.
+    Q("q_multimodal_phash_deleted",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val clones = docs.filter(col("doc_id") % 3 === 0).select(
+          (col("doc_id") + lit(20000000L)).as("doc_id"), col("text"))
+        val batch = docs.select(
+          (col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+        val name = "graft_ph_del_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Multimodal.writeSignatureTable(
+          Multimodal.contentDhash(docs.unionByName(clones)), name)
+        val cloneIds = docs.filter(col("doc_id") % 3 === 0)
+          .select("doc_id").collect().map(_.getLong(0) + 20000000L).toSeq
+        try {
+          Multimodal.deleteFromPhashTable(s, name, cloneIds)
+          Multimodal.screenSignatures(s, name,
+              Multimodal.contentDhash(batch), maxHamming = 6)
+            .orderBy("batch_doc", "seen_doc").localCheckpoint(true)
+        } finally Multimodal.dropPhashTable(s, name)
+      },
+      Some("WITH d2 AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 10000000 AS doc_id, text FROM documents), " +
+        dhashSigCtesBody("d2") + ", " +
+        "banded AS (SELECT doc_id, s, b AS band, " +
+        "CAST((s // CAST(power(2, 16 * b) AS HUGEINT)) % 65536 AS BIGINT) AS chunk " +
+        "FROM dsig, (SELECT unnest(range(4)) AS b) bb), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS batch_doc, a.s AS sa, " +
+        "b.doc_id AS seen_doc, b.s AS sb " +
+        "FROM banded a JOIN banded b ON a.band = b.band AND a.chunk = b.chunk " +
+        "AND a.doc_id >= 10000000 AND b.doc_id < 10000000), " +
+        "ham AS (SELECT batch_doc, seen_doc, bit_count(xor(sa, sb)) AS hamming " +
+        "FROM cand) " +
+        "SELECT batch_doc, seen_doc, CAST(hamming AS INT) AS hamming FROM ham " +
+        "WHERE hamming <= 6 ORDER BY batch_doc, seen_doc")))
 
   // -------------------------------------------------------------------------
   // General relational capability: aggregation, joins (broadcast), window

@@ -675,6 +675,60 @@ object Dedup {
     graft.sources.Tables.dropManagedTables(
       spark, Seq(s"${name}_meta", s"${name}_clusters"))
 
+  /** TARGETED DELETION from a [[writeClusterTable]] — the one artifact
+    * family where deletion is NOT row-independent: removing a document
+    * can re-elect a cluster's kept representative (the deleted doc was
+    * the min id), re-label the cluster (the min id WAS the cluster_id),
+    * or even SPLIT a cluster (the deleted doc was the only bridge
+    * between two near-dup neighborhoods). A tombstone alone cannot
+    * express any of those, so this is EAGER and scoped: only the
+    * clusters containing a deleted doc are re-clustered, on the pair
+    * graph induced over their surviving members — components can only
+    * split (never merge) when vertices are removed, and no edge crosses
+    * old components, so the recompute equals a full rebuild on
+    * corpus-minus-deleted exactly (hash-certified by
+    * q_dedup_cluster_sizes_deleted, whose deleted clones carry ids that
+    * force all three re-election effects).
+    *
+    * `pairs` must be the SAME pair relation the table was built from
+    * (pairs touching deleted docs are dropped here); the deletion batch
+    * is bounded (driver-side touched-cluster literal — the maxQueries
+    * contract). Cost: O(touched clusters) recompute + the staged
+    * rewrite; `_meta` is re-aggregated from the stored rows.
+    */
+  def deleteFromClusterTable(spark: org.apache.spark.sql.SparkSession,
+      name: String, ids: Seq[Long], pairs: DataFrame,
+      checkpointDir: Option[String] = None): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    require(ids.nonEmpty, "empty deletion batch")
+    val ct = spark.table(s"${name}_clusters")
+    import spark.implicits._
+    val touched = ct.filter(col("doc_id").isin(ids.map(Long.box): _*))
+      .select(col("cluster_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    if (touched.nonEmpty) {
+      val touchedLits = touched.map(Long.box)
+      val untouched = ct.filter(!col("cluster_id").isin(touchedLits: _*))
+      val remaining = ct.filter(col("cluster_id").isin(touchedLits: _*))
+        .filter(!col("doc_id").isin(ids.map(Long.box): _*))
+        .select(col("doc_id"))
+        .localCheckpoint(true) // feeds both pair legs and the re-cluster
+      val subPairs = pairs
+        .join(remaining.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+        .join(remaining.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+      val recomputed = dedupDecisions(remaining, subPairs, checkpointDir)
+      graft.sources.Tables.rewriteBucketed(spark, s"${name}_clusters",
+        untouched.select("doc_id", "cluster_id", "keep")
+          .unionByName(recomputed.select("doc_id", "cluster_id", "keep")))
+      val stored = spark.table(s"${name}_clusters")
+      val agg = stored.agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("cluster_id")).as("n_clusters")).first()
+      Seq((agg.getLong(0), agg.getLong(1))).toDF("n_docs", "n_clusters")
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_meta")
+    }
+  }
+
   /** CHUNK-level exact dedup — the tractable approximation of
     * exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better", 2022): split every document into fixed

@@ -79,7 +79,38 @@ object MinhashIndex {
     * stale dirs included — [[graft.sources.Tables.dropManagedTables]]). */
   def drop(spark: SparkSession, name: String): Unit =
     graft.sources.Tables.dropManagedTables(
-      spark, Seq(s"${name}_meta", s"${name}_bands", s"${name}_sets"))
+      spark, Seq(s"${name}_meta", s"${name}_bands", s"${name}_sets",
+        s"${name}_deletes"))
+
+  /** TARGETED DELETION (takedowns, opt-outs): O(batch) tombstone append;
+    * [[screen]] anti-joins the broadcast tombstones at candidate
+    * generation, so deleted documents stop matching immediately;
+    * [[compact]] is the amortized physical purge. Equality with an index
+    * rebuilt without the deleted docs is unconditional (banding is
+    * data-independent per document — no trained state), and
+    * hash-certified by q_dedup_minhash_deleted (the upsert gate's
+    * mirror).
+    */
+  def deleteIds(spark: SparkSession, name: String, ids: Seq[Long]): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    graft.sources.Tables.appendDeletes(spark, name, "doc_id", ids)
+  }
+
+  /** Fold tombstones into BOTH index tables (stage-and-swap rewrites
+    * under their own bucket specs) and clear them. Geometry (`_meta`) is
+    * untouched.
+    */
+  def compact(spark: SparkSession, name: String): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    if (spark.catalog.tableExists(s"${name}_deletes")) {
+      Seq(s"${name}_sets", s"${name}_bands").foreach { t =>
+        graft.sources.Tables.rewriteBucketed(spark, t,
+          graft.sources.Tables.minusDeletes(spark, name, spark.table(t),
+            "doc_id"))
+      }
+      graft.sources.Tables.dropDeletes(spark, name)
+    }
+  }
 
   /** Fold a batch of NEW documents into the index: shingle + band the
     * batch under the index's frozen geometry and APPEND to both tables
@@ -124,7 +155,8 @@ object MinhashIndex {
       .localCheckpoint(true) // shingle once: banding + verify both read it
     val batchBands = Dedup.minhashBandKeys(batchSets, numHashes, bands)
 
-    val idx = spark.table(s"${name}_bands")
+    val idx = graft.sources.Tables.minusDeletes(spark, name,
+      spark.table(s"${name}_bands"), "doc_id")
     val cand = idx.join(
         broadcast(batchBands.withColumnRenamed("doc_id", "batch_doc")),
         Seq("band", "bucket"))

@@ -512,19 +512,56 @@ object Multimodal {
     * is a pruned point read.
     */
   def writePhashTable(media: Dataset[MediaRow], name: String,
+      buckets: Int = 8): Unit =
+    writeSignatureTable(imageDhash(media).toDF(), name, buckets)
+
+  /** Persist ANY dHash frame `(doc_id, dhash)` — the signature-level
+    * write behind [[writePhashTable]], usable directly with
+    * [[contentDhash]] (or the audio/video signers) when the signatures
+    * are already computed.
+    */
+  def writeSignatureTable(sigs: DataFrame, name: String,
       buckets: Int = 8): Unit = {
     graft.sources.Tables.requireIdent(name)
-    val spark = media.sparkSession
+    val spark = sigs.sparkSession
     dropPhashTable(spark, name)
     try graft.sources.Tables.writeBucketed(
-      imageDhash(media).toDF().select(col("doc_id"), col("dhash")),
+      sigs.select(col("doc_id"), col("dhash")),
       name, "doc_id", buckets)
     catch { case e: Throwable => dropPhashTable(spark, name); throw e }
   }
 
   def dropPhashTable(spark: org.apache.spark.sql.SparkSession,
       name: String): Unit =
-    graft.sources.Tables.dropManagedTables(spark, Seq(name))
+    graft.sources.Tables.dropManagedTables(spark, Seq(name, s"${name}_deletes"))
+
+  /** TARGETED DELETION (takedowns — the phash table is exactly where
+    * removed media must stop matching): O(batch) tombstone append;
+    * [[phashScreen]] anti-joins the broadcast tombstones on its seen
+    * side; [[compactPhashTable]] is the amortized physical purge.
+    * Signatures are per-row independent, so tombstoned reads equal a
+    * rebuild without the deleted media unconditionally — hash-certified
+    * by q_multimodal_phash_deleted (the upsert gate's mirror).
+    */
+  def deleteFromPhashTable(spark: org.apache.spark.sql.SparkSession,
+      name: String, ids: Seq[Long]): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    graft.sources.Tables.appendDeletes(spark, name, "doc_id", ids)
+  }
+
+  /** Fold tombstones into the signature table (stage-and-swap rewrite
+    * under its own bucket spec) and clear them.
+    */
+  def compactPhashTable(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    if (spark.catalog.tableExists(s"${name}_deletes")) {
+      graft.sources.Tables.rewriteBucketed(spark, name,
+        graft.sources.Tables.minusDeletes(spark, name, spark.table(name),
+          "doc_id"))
+      graft.sources.Tables.dropDeletes(spark, name)
+    }
+  }
 
   /** Screen a batch of images against a [[writePhashTable]] corpus:
     * (batch_doc, seen_doc, hamming) pairs within `maxHamming` bits. The
@@ -534,11 +571,21 @@ object Multimodal {
     * re-decoded or shuffled.
     */
   def phashScreen(spark: org.apache.spark.sql.SparkSession, name: String,
-      batch: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+      batch: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    screenSignatures(spark, name, imageDhash(batch).toDF(), maxHamming)
+
+  /** [[phashScreen]] at the signature level: screen a precomputed dHash
+    * frame `(doc_id, dhash)` against a [[writeSignatureTable]] corpus
+    * minus its tombstones.
+    */
+  def screenSignatures(spark: org.apache.spark.sql.SparkSession,
+      name: String, sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     graft.sources.Tables.requireIdent(name)
     Dedup.bandedHammingPairsAgainst(
-      imageDhash(batch).toDF().select(col("doc_id"), col("dhash").as("sig")),
-      spark.table(name).select(col("doc_id"), col("dhash").as("sig")),
+      sigs.select(col("doc_id"), col("dhash").as("sig")),
+      graft.sources.Tables.minusDeletes(spark, name, spark.table(name),
+          "doc_id")
+        .select(col("doc_id"), col("dhash").as("sig")),
       maxHamming)
   }
 

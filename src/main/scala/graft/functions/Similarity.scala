@@ -374,7 +374,40 @@ object Similarity {
     */
   def dropAnnIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit =
     graft.sources.Tables.dropManagedTables(
-      spark, Seq(s"${name}_centroids", s"${name}_assignments"))
+      spark, Seq(s"${name}_centroids", s"${name}_assignments",
+        s"${name}_deletes"))
+
+  /** TARGETED DELETION from a [[writeAnnIndex]] index (takedowns,
+    * opt-outs): O(batch) tombstone append — every indexed reader
+    * ([[annSearchIndexed]], [[knnGraphIndexed]]) anti-joins the
+    * broadcast tombstone set, so the deletion is effective immediately;
+    * [[compactAnnIndex]] is the amortized physical purge. The
+    * full-rebuild-minus-deleted equality is hash-certified by
+    * q_sim_topk_ivf_deleted (the upsert gate's mirror: clones of the
+    * query vectors are upserted then deleted, and the search must answer
+    * exactly as if they never existed).
+    */
+  def deleteFromAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, ids: Seq[Long]): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    graft.sources.Tables.appendDeletes(spark, name, "vec_id", ids)
+  }
+
+  /** Fold tombstones into the assignments table (stage-and-swap rewrite
+    * under its own bucket spec) and clear them — the compaction half of
+    * [[deleteFromAnnIndex]]. The quantizer is untouched (deletion never
+    * moves centroids; drift is the rebuild cadence's concern).
+    */
+  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    if (spark.catalog.tableExists(s"${name}_deletes")) {
+      graft.sources.Tables.rewriteBucketed(spark, s"${name}_assignments",
+        graft.sources.Tables.minusDeletes(spark, name,
+          spark.table(s"${name}_assignments"), "vec_id"))
+      graft.sources.Tables.dropDeletes(spark, name)
+    }
+  }
 
   /** INCREMENTAL index maintenance: add a batch of NEW vectors to a
     * [[writeAnnIndex]] index without retraining or touching the existing
@@ -466,8 +499,10 @@ object Similarity {
     import spark.implicits._
     val probes = probeRows.toDF("query_id", "qv", "bucket")
     val cells = probeRows.map(_._3).distinct.sorted
-    val assigned = spark.table(s"${name}_assignments")
-      .filter(col("bucket").isin(cells.map(Integer.valueOf): _*))
+    val assigned = graft.sources.Tables.minusDeletes(spark, name,
+      spark.table(s"${name}_assignments")
+        .filter(col("bucket").isin(cells.map(Integer.valueOf): _*)),
+      "vec_id")
     val scored = assigned.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -1040,9 +1075,10 @@ object Similarity {
     val cents = spark.table(s"${name}_centroids").orderBy("cid").collect()
       .map(_.getAs[scala.collection.Seq[Double]]("cv").toArray)
     require(cents.nonEmpty, s"ANN index $name has no centroids")
-    val members = spark.table(s"${name}_assignments")
-      .select(col("vec_id"), col("bucket"), col("v"))
-    val probed = spark.table(s"${name}_assignments")
+    val live = graft.sources.Tables.minusDeletes(spark, name,
+      spark.table(s"${name}_assignments"), "vec_id")
+    val members = live.select(col("vec_id"), col("bucket"), col("v"))
+    val probed = live
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         explode(probeCells(cents, nprobe)(col("v"))).as("bucket"))
     knnScore(probed, members, k)

@@ -257,6 +257,72 @@ object Tables {
     }
   }
 
+  /** TOMBSTONE DELETION for persisted artifact families — the missing
+    * half of index maintenance (build + upsert existed; takedowns and
+    * opt-outs need targeted removal). The design is merge-on-read:
+    *
+    *  - [[appendDeletes]] records deleted ids in a tiny `<name>_deletes`
+    *    table — O(batch), so a takedown is EFFECTIVE immediately without
+    *    touching the index body (Spark's managed bucketed tables have no
+    *    partition-level overwrite, so an eager purge would rewrite the
+    *    whole table per deletion batch).
+    *  - [[minusDeletes]] is the read-side anti-join every index reader
+    *    applies: the deletes table is broadcast (bounded between
+    *    compactions — the maxQueries/maxCandidates contract), so the
+    *    cost is a map-side probe on the already-pruned index read.
+    *  - The per-family `compact*` jobs fold the tombstones into a staged
+    *    rewrite ([[rewriteBucketed]]) and clear them — the amortized
+    *    physical purge (takedown compliance: bytes leave disk here), run
+    *    on the rollup-compaction cadence, not per delete.
+    *
+    * Re-adding a previously deleted id requires compacting first — an
+    * upsert cannot see the tombstone that would shadow its new row (the
+    * same can't-read-what-you-append contract the upserts document).
+    */
+  private[graft] def appendDeletes(spark: SparkSession, name: String,
+      idCol: String, ids: Seq[Long]): Unit = {
+    requireIdent(name)
+    require(ids.nonEmpty, "empty deletion batch")
+    import spark.implicits._
+    ids.toDF(idCol).write.mode("append").format("parquet")
+      .saveAsTable(s"${name}_deletes")
+  }
+
+  /** Anti-join a reader's frame against `<name>_deletes` if it exists. */
+  private[graft] def minusDeletes(spark: SparkSession, name: String,
+      df: DataFrame, idCol: String): DataFrame =
+    if (spark.catalog.tableExists(s"${name}_deletes"))
+      df.join(
+        broadcast(spark.table(s"${name}_deletes").select(idCol).distinct()),
+        Seq(idCol), "left_anti")
+    else df
+
+  private[graft] def dropDeletes(spark: SparkSession, name: String): Unit =
+    dropManagedTables(spark, Seq(s"${name}_deletes"))
+
+  /** Stage-and-swap rewrite of a bucketed table under its OWN bucket spec
+    * (read from the catalog — the [[appendBucketed]] discipline): write
+    * the replacement rows to `<table>_stage`, then drop the original and
+    * rename the stage into place. The compaction primitive behind every
+    * `compact*` job.
+    */
+  private[graft] def rewriteBucketed(spark: SparkSession, table: String,
+      df: DataFrame): Unit = {
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec
+      .getOrElse(throw new IllegalStateException(
+        s"table $table has no bucket spec"))
+    val stage = s"${table}_stage"
+    dropManagedTables(spark, Seq(stage))
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head)
+      .sortBy(spec.sortColumnNames.head)
+      .saveAsTable(stage)
+    dropManagedTables(spark, Seq(table))
+    spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+  }
+
   /** Two-source unified view (orders ∪ lineitem), the analog of the
     * reference's UPI ∪ CC `UNION ALL` with a discriminator column
     * (reference: backend/app/utils/rule_parser.py:104-110, U1).

@@ -921,6 +921,105 @@ class BucketedSpec extends SparkSpec {
     }
   }
 
+  test("minhash deletion: tombstoned screen ≡ rebuild-without; compact ≡ tombstoned") {
+    import graft.functions.MinhashIndex
+    // seen ∪ a clone of batch doc 100's twin: the clone WOULD match at
+    // jaccard 1.0; deleting it must restore the seen-only answer, first
+    // through the tombstone read, then through the physical compaction
+    val clone = Seq((99L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    MinhashIndex.write(mhSeen.unionByName(clone), "mh_del_idx", buckets = 2)
+    MinhashIndex.write(mhSeen, "mh_ref_idx", buckets = 2)
+    try {
+      val want = MinhashIndex.screen(spark, "mh_ref_idx", mhBatch, 0.5)
+        .orderBy("batch_doc", "seen_doc").as[(Long, Long, Double)].collect().toSeq
+      MinhashIndex.deleteIds(spark, "mh_del_idx", Seq(99L))
+      val tomb = MinhashIndex.screen(spark, "mh_del_idx", mhBatch, 0.5)
+        .orderBy("batch_doc", "seen_doc").as[(Long, Long, Double)].collect().toSeq
+      assert(tomb == want, s"tombstoned screen $tomb != rebuild-without $want")
+      assert(!tomb.exists(_._2 == 99L))
+      MinhashIndex.compact(spark, "mh_del_idx")
+      assert(!spark.catalog.tableExists("mh_del_idx_deletes"),
+        "compact must clear the tombstone table")
+      val compacted = MinhashIndex.screen(spark, "mh_del_idx", mhBatch, 0.5)
+        .orderBy("batch_doc", "seen_doc").as[(Long, Long, Double)].collect().toSeq
+      assert(compacted == want, "compacted screen changed the answer")
+      // the purge is physical: the deleted doc's rows left both tables
+      assert(spark.table("mh_del_idx_sets").filter($"doc_id" === 99L).isEmpty)
+      assert(spark.table("mh_del_idx_bands").filter($"doc_id" === 99L).isEmpty)
+    } finally {
+      MinhashIndex.drop(spark, "mh_del_idx")
+      MinhashIndex.drop(spark, "mh_ref_idx")
+    }
+  }
+
+  test("ann deletion: tombstoned search and graph exclude ids; compact ≡ tombstoned") {
+    import graft.functions.Similarity
+    val rnd = new scala.util.Random(41)
+    val corpus = (0 until 120).map { i =>
+      val base = Array.fill(8)(0.02 + rnd.nextDouble() * 0.05)
+      base(2 * (i % 4)) = 1.0 + rnd.nextDouble() * 0.2
+      (i.toLong, base.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val qs = corpus.filter($"vec_id" % 30 === 0)
+    Similarity.writeAnnIndex(corpus, "ann_del_idx", centroids = 4,
+      sampleSize = 48, iters = 4)
+    try {
+      val want = Similarity.annSearchIndexed(spark, "ann_del_idx", qs,
+          k = 5, nprobe = 2)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      // clones of the queries would each answer at cosine 1.0, rank 1
+      Similarity.upsertAnnIndex(spark, "ann_del_idx",
+        qs.select(($"vec_id" + 1000L).as("vec_id"), $"embedding"))
+      val cloneIds = qs.collect().map(_.getLong(0) + 1000L).toSeq
+      Similarity.deleteFromAnnIndex(spark, "ann_del_idx", cloneIds)
+      val tomb = Similarity.annSearchIndexed(spark, "ann_del_idx", qs,
+          k = 5, nprobe = 2)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      assert(tomb == want, "tombstoned search differs from pre-upsert answer")
+      // the graph reader shares the tombstone set: no deleted id on
+      // either side of an edge
+      val g = Similarity.knnGraphIndexed(spark, "ann_del_idx", k = 3,
+        nprobe = 1)
+      assert(g.filter($"query_id" >= 1000L || $"neighbor_id" >= 1000L)
+        .isEmpty, "graph build leaked a tombstoned vector")
+      Similarity.compactAnnIndex(spark, "ann_del_idx")
+      assert(!spark.catalog.tableExists("ann_del_idx_deletes"))
+      val compacted = Similarity.annSearchIndexed(spark, "ann_del_idx", qs,
+          k = 5, nprobe = 2)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      assert(compacted == want, "compacted search changed the answer")
+      assert(spark.table("ann_del_idx_assignments")
+        .filter($"vec_id" >= 1000L).isEmpty, "compaction left deleted rows")
+    } finally Similarity.dropAnnIndex(spark, "ann_del_idx")
+  }
+
+  test("cluster-table deletion re-elects and SPLITS: a removed bridge severs its cluster") {
+    import graft.functions.Dedup
+    // the case tombstones cannot express: 2 bridges 1–3; delete 2 and
+    // the component must fall apart into singletons {1} and {3}
+    val docs = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0))
+      .toDF("doc_a", "doc_b", "jaccard")
+    Dedup.writeClusterTable(docs, pairs, "cl_del_idx", buckets = 2)
+    try {
+      val before = Dedup.clusterTable(spark, "cl_del_idx")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      assert(before == Seq((1L, 1L, true), (2L, 1L, false),
+        (3L, 1L, false), (9L, 9L, true)))
+      Dedup.deleteFromClusterTable(spark, "cl_del_idx", Seq(2L), pairs)
+      val after = Dedup.clusterTable(spark, "cl_del_idx")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      assert(after == Seq((1L, 1L, true), (3L, 3L, true), (9L, 9L, true)),
+        s"bridge removal must split the cluster into singletons: $after")
+      // meta re-aggregated from the stored rows
+      val meta = spark.table("cl_del_idx_meta").first()
+      assert((meta.getLong(0), meta.getLong(1)) == (3L, 3L))
+    } finally Dedup.dropClusterTable(spark, "cl_del_idx")
+  }
+
   test("minhash index screen with zero candidates returns an empty, schema-stable frame") {
     import graft.functions.MinhashIndex
     MinhashIndex.write(mhSeen, "mh_empty_idx", buckets = 2)

@@ -4918,7 +4918,97 @@ object SparkEntry {
         "ham AS (SELECT batch_doc, seen_doc, bit_count(xor(sa, sb)) AS hamming " +
         "FROM cand) " +
         "SELECT batch_doc, seen_doc, CAST(hamming AS INT) AS hamming FROM ham " +
-        "WHERE hamming <= 6 ORDER BY batch_doc, seen_doc")))
+        "WHERE hamming <= 6 ORDER BY batch_doc, seen_doc")),
+
+    // VIDEO (fourth modality), signature arm: each document's normalized
+    // text splits into 4 contiguous codepoint segments ("frames" — the
+    // frameSamplePlan schedule made real at the content level, the
+    // contentDhash convention lifted to sequences) and every segment
+    // signs with the same 9×8 dHash as the still-content signature. The
+    // PIXEL arm — all stored frames of real animated GIFs through the
+    // JDK multi-frame reader, luma + box-mean per sampled frame — is
+    // pinned by PipelineSpec on constructed animations (the pixel-vs-
+    // content split the still q_multimodal_phash documents). The oracle
+    // replays segmentation + per-segment grid + HUGEINT bit fold keyed
+    // (doc_id, slot).
+    Q("q_multimodal_video_phash",
+      (s, d) => Multimodal.contentVideoDhash(Tables.documents(s, d), k = 4)
+        .orderBy("doc_id", "slot"),
+      Some("WITH dn AS (SELECT doc_id, " +
+        "lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm " +
+        "FROM documents), " +
+        "vseg AS (SELECT doc_id, j AS slot, " +
+        "substring(norm, (j * length(norm)) // 4 + 1, " +
+        "((j + 1) * length(norm)) // 4 - (j * length(norm)) // 4) AS seg " +
+        "FROM dn, (SELECT unnest(range(4)) AS j) jj " +
+        "WHERE length(norm) > 0), " +
+        "vs AS (SELECT doc_id, slot, seg FROM vseg WHERE length(seg) > 0), " +
+        "dcp AS (SELECT doc_id, slot, [unicode(c) % 256 FOR c IN " +
+        "regexp_extract_all(seg, '.')] AS cp FROM vs), " +
+        "dg AS (SELECT doc_id, slot, [cp[(j * len(cp)) // 72 + 1] " +
+        "FOR j IN range(0, 72)] AS g FROM dcp), " +
+        "dsig AS (SELECT doc_id, slot, " +
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+        "[CASE WHEN g[(k // 8) * 9 + (k % 8) + 2] > g[(k // 8) * 9 + (k % 8) + 1] " +
+        "THEN CAST(power(2, k) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END " +
+        "FOR k IN range(0, 64)]), (acc, x) -> acc + x) AS s FROM dg) " +
+        "SELECT doc_id, CAST(slot AS BIGINT) AS slot, " + dhashSignedSql +
+        " AS dhash FROM dsig ORDER BY doc_id, slot")),
+
+    // VIDEO near-dup pairs: banded per-frame Hamming candidates with the
+    // SLOT in the band key (only aligned frames of two videos ever meet)
+    // + the frame-majority verdict (≥ 3 of 4 slots within Hamming 6).
+    // Fixture: the corpus plus its re-crawl under shifted ids — every
+    // original pairs with its twin at 4/4 matched frames, while distinct
+    // documents need 3 independently colliding quarter-segments to
+    // false-positive. The oracle replays candidates, the per-pair
+    // matched-slot count, and the majority cut.
+    Q("q_multimodal_video_pairs",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val recrawl = docs.select(
+          (col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+        Multimodal.videoNearDups(
+          Multimodal.contentVideoDhash(docs.unionByName(recrawl), k = 4),
+          maxHamming = 6, minMatchFrac = 0.75)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("WITH d2 AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 10000000 AS doc_id, text FROM documents), " +
+        "dn AS (SELECT doc_id, " +
+        "lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm FROM d2), " +
+        "vseg AS (SELECT doc_id, j AS slot, " +
+        "substring(norm, (j * length(norm)) // 4 + 1, " +
+        "((j + 1) * length(norm)) // 4 - (j * length(norm)) // 4) AS seg " +
+        "FROM dn, (SELECT unnest(range(4)) AS j) jj " +
+        "WHERE length(norm) > 0), " +
+        "vs AS (SELECT doc_id, slot, seg FROM vseg WHERE length(seg) > 0), " +
+        "dcp AS (SELECT doc_id, slot, [unicode(c) % 256 FOR c IN " +
+        "regexp_extract_all(seg, '.')] AS cp FROM vs), " +
+        "dg AS (SELECT doc_id, slot, [cp[(j * len(cp)) // 72 + 1] " +
+        "FOR j IN range(0, 72)] AS g FROM dcp), " +
+        "dsig AS (SELECT doc_id, slot, " +
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+        "[CASE WHEN g[(k // 8) * 9 + (k % 8) + 2] > g[(k // 8) * 9 + (k % 8) + 1] " +
+        "THEN CAST(power(2, k) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END " +
+        "FOR k IN range(0, 64)]), (acc, x) -> acc + x) AS s FROM dg), " +
+        "banded AS (SELECT doc_id, slot, s, b AS band, " +
+        "CAST((s // CAST(power(2, 16 * b) AS HUGEINT)) % 65536 AS BIGINT) AS chunk " +
+        "FROM dsig, (SELECT unnest(range(4)) AS b) bb), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "a.slot AS slot, a.s AS sa, b.s AS sb " +
+        "FROM banded a JOIN banded b ON a.slot = b.slot " +
+        "AND a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id), " +
+        "fm AS (SELECT doc_a, doc_b, count(*) AS n_matched FROM cand " +
+        "WHERE bit_count(xor(sa, sb)) <= 6 GROUP BY 1, 2), " +
+        "ns AS (SELECT doc_id, count(*) AS n FROM dsig GROUP BY 1) " +
+        "SELECT doc_a, doc_b, CAST(n_matched AS BIGINT) AS n_matched, " +
+        "CAST(greatest(na.n, nb.n) AS BIGINT) AS n_slots, " +
+        "CAST(n_matched AS DOUBLE) / greatest(na.n, nb.n) AS match_frac " +
+        "FROM fm JOIN ns na ON fm.doc_a = na.doc_id " +
+        "JOIN ns nb ON fm.doc_b = nb.doc_id " +
+        "WHERE CAST(n_matched AS DOUBLE) / greatest(na.n, nb.n) >= 0.75 " +
+        "ORDER BY doc_a, doc_b")))
 
   // -------------------------------------------------------------------------
   // General relational capability: aggregation, joins (broadcast), window

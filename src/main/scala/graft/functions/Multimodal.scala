@@ -294,23 +294,31 @@ object Multimodal {
     if (isPng(b) || isJpeg(b) || isGif(b)) {
       val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
       catch { case _: java.io.IOException => null }
-      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
-      else {
-        val w = img.getWidth; val h = img.getHeight
-        val g = new Array[Int](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            g(y * w + x) = luma((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
-            x += 1
-          }
-          y += 1
-        }
-        Some((w, h, g))
-      }
+      if (img == null) None else lumaOf(img)
     } else decodePnm(b)
+
+  /** Row-major BT.601 luma matrix of a decoded frame — shared by the
+    * still-image and per-video-frame signature paths.
+    */
+  private def lumaOf(img: java.awt.image.BufferedImage)
+      : Option[(Int, Int, Array[Int])] = {
+    if (img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val g = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          g(y * w + x) = luma((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, g))
+    }
+  }
 
   private def luma(r: Int, gr: Int, bl: Int): Int =
     (299 * r + 587 * gr + 114 * bl) / 1000
@@ -605,5 +613,212 @@ object Multimodal {
       .select(col("doc_id"), col("slot"),
         floor(col("slot") * col("duration_frames") / lit(k.toLong))
           .cast("long").as("frame_idx"))
+  }
+
+  // ---- VIDEO / ANIMATION: the fourth modality. A video signs as the
+  // dHash SEQUENCE of its sampled frames (the frameSamplePlan schedule
+  // made real), and two videos are near-dups when a MAJORITY of their
+  // aligned sampled frames match within the Hamming radius — robust to
+  // re-encodes (every frame drifts a little) and to a replaced
+  // title/credit frame (one slot misses, the majority still carries).
+
+  final case class VideoFrameSig(doc_id: Long, slot: Long, frame_idx: Long,
+    dhash: Long)
+
+  /** Per-frame 64-bit dHashes of each animated GIF's sampled frames —
+    * the [[frameSamplePlan]] schedule (slot j → frame ⌊j·frames/k⌋,
+    * short animations repeat frames) EXECUTED: all stored frames are
+    * read through the JDK's multi-frame GIF reader, the scheduled ones
+    * luma-decode and sign with the exact same BT.601 + box-mean
+    * [[DHash]] grid as still images (one decoder per partition,
+    * iterator in/out, no shuffle — the [[decodeBatch]] contract).
+    * Non-GIF / undecodable rows drop. Frames sign as STORED (GIF
+    * inter-frame compositing is not applied): both copies of a
+    * re-encoded animation store frames the same way, which is what the
+    * dedup signature needs.
+    */
+  def videoFrameDhash(media: Dataset[MediaRow], k: Int = 4): Dataset[VideoFrameSig] = {
+    require(k > 0, "frame count must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap(videoSigsOne(_, k)))
+  }
+
+  private[functions] def videoSigsOne(r: MediaRow, k: Int): Seq[VideoFrameSig] = {
+    if (!isGif(r.content)) return Nil
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(r.content))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Nil
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false, true)
+        val n = try reader.getNumImages(true)
+        catch { case _: java.io.IOException => 0 }
+        if (n <= 0) return Nil
+        val slots = (0 until k).map(j => (j.toLong, (j.toLong * n / k).toInt))
+        val byFrame = slots.map(_._2).distinct.flatMap { fi =>
+          val img = try reader.read(fi)
+          catch { case _: java.io.IOException => null }
+          if (img == null) None
+          else lumaOf(img).map { case (w, h, g) => fi -> boxMeanDhash(w, h, g) }
+        }.toMap
+        slots.flatMap { case (j, fi) =>
+          byFrame.get(fi).map(d => VideoFrameSig(r.doc_id, j, fi, d))
+        }
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** CONTENT-arm video signature — the deterministic stand-in for blob
+    * corpora this container can't feed real video through (the
+    * [[contentDhash]] convention, lifted to frames): the
+    * fingerprint-normalized text splits into `k` contiguous
+    * codepoint segments ("frames"), each signing with the same
+    * [[DHash.textDhash]] as the still-content signature. Slot j covers
+    * normalized codepoints [⌊j·len/k⌋, ⌊(j+1)·len/k⌋) — empty segments
+    * (doc shorter than its slot) drop, so short docs sign fewer frames,
+    * exactly like short animations repeat frames in the pixel arm.
+    * Fully replayable in the DuckDB oracle (q_multimodal_video_phash).
+    * Output: (doc_id, slot, dhash).
+    */
+  def contentVideoDhash(docs: DataFrame, k: Int = 4,
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, "frame count must be positive")
+    docs.select(col("doc_id"),
+        TextAnalysis.normalizedText(col(textCol)).as("norm"))
+      .filter(length(col("norm")) > 0)
+      .select(col("doc_id"), col("norm"),
+        explode(sequence(lit(0L), lit(k - 1L))).as("slot"))
+      .select(col("doc_id"), col("slot"),
+        expr(s"substring(norm, CAST(slot * length(norm) DIV $k AS INT) + 1, " +
+          s"CAST((slot + 1) * length(norm) DIV $k AS INT) - " +
+          s"CAST(slot * length(norm) DIV $k AS INT))").as("seg"))
+      .filter(length(col("seg")) > 0)
+      .select(col("doc_id"), col("slot"),
+        graft.functions.DHash.textDhash(col("seg")).as("dhash"))
+  }
+
+  /** NEAR-DUPLICATE VIDEOS over any per-frame signature frame
+    * `(doc_id, slot, dhash)` — banded per-frame Hamming candidates +
+    * a frame-majority verdict:
+    *
+    *  1. candidates generate per (slot, band, chunk) — the still-image
+    *     banding with the slot in the key, so only ALIGNED frames of
+    *     two videos ever meet (never |frames_a|×|frames_b|);
+    *  2. a frame pair matches when its full-signature Hamming distance
+    *     is ≤ `maxHamming`;
+    *  3. a video pair reports when its matched-slot count reaches
+    *     `minMatchFrac` of the larger video's signed slot count.
+    *
+    * Output: (doc_a, doc_b, n_matched, n_slots, match_frac), doc_a <
+    * doc_b. Scale shape: one slot-banded self-join (the
+    * [[phashNearDups]] candidate discipline per slot), one
+    * (doc_a, doc_b)-keyed aggregate; the slot-count side is a
+    * per-video aggregate joined twice — all keyed exchanges, nothing
+    * quadratic in the corpus.
+    */
+  def videoNearDups(sigs: DataFrame, maxHamming: Int = 3,
+      minMatchFrac: Double = 0.5): DataFrame = {
+    require(minMatchFrac > 0.0 && minMatchFrac <= 1.0,
+      "minMatchFrac must be in (0, 1]")
+    val banded = videoBanded(sigs)
+    val ba = banded.as("a"); val bb = banded.as("b")
+    val frameMatches = ba.join(bb,
+        col("a.slot") === col("b.slot") &&
+          col("a.band") === col("b.band") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.slot").as("slot"), col("a.sig").as("sig_a"),
+        col("b.sig").as("sig_b"))
+      .distinct()
+      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxHamming)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_matched"))
+    majorityVerdict(frameMatches, sigs, sigs, minMatchFrac)
+  }
+
+  /** [[videoNearDups]] across two signature frames — the screening shape
+    * (arriving videos vs a stored per-frame signature table): the batch
+    * side's banded frames BROADCAST against one scan of the seen side.
+    * Output: (batch_doc, seen_doc, n_matched, n_slots, match_frac).
+    */
+  def videoNearDupsAgainst(batchSigs: DataFrame, seenSigs: DataFrame,
+      maxHamming: Int = 3, minMatchFrac: Double = 0.5): DataFrame = {
+    require(minMatchFrac > 0.0 && minMatchFrac <= 1.0,
+      "minMatchFrac must be in (0, 1]")
+    val frameMatches = videoBanded(seenSigs).as("s")
+      .join(broadcast(videoBanded(batchSigs).as("b")),
+        col("b.slot") === col("s.slot") &&
+          col("b.band") === col("s.band") &&
+          col("b.chunk") === col("s.chunk"))
+      .select(col("b.doc_id").as("batch_doc"), col("s.doc_id").as("seen_doc"),
+        col("b.slot").as("slot"), col("b.sig").as("sig_b"),
+        col("s.sig").as("sig_s"))
+      .distinct()
+      .filter(bit_count(col("sig_b").bitwiseXOR(col("sig_s"))) <= maxHamming)
+      .groupBy(col("batch_doc"), col("seen_doc"))
+      .agg(count(lit(1)).as("n_matched"))
+    majorityVerdict(
+      frameMatches.withColumnRenamed("batch_doc", "doc_a")
+        .withColumnRenamed("seen_doc", "doc_b"),
+      batchSigs, seenSigs, minMatchFrac)
+      .withColumnRenamed("doc_a", "batch_doc")
+      .withColumnRenamed("doc_b", "seen_doc")
+  }
+
+  /** Per-frame band explosion shared by both candidate generators. */
+  private def videoBanded(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("slot"), col("dhash").as("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "chunk")))
+
+  /** The frame-majority tail shared by both generators: matched-slot
+    * counts against the larger side's signed slot count.
+    */
+  private def majorityVerdict(frameMatches: DataFrame, sigsA: DataFrame,
+      sigsB: DataFrame, minMatchFrac: Double): DataFrame = {
+    val na = sigsA.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+    val nb = sigsB.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
+    frameMatches
+      .join(na.select(col("doc_id").as("doc_a"), col("na")), Seq("doc_a"))
+      .join(nb.select(col("doc_id").as("doc_b"), col("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_matched"),
+        greatest(col("na"), col("nb")).as("n_slots"),
+        (col("n_matched").cast("double") /
+          greatest(col("na"), col("nb")).cast("double")).as("match_frac"))
+      .filter(col("match_frac") >= minMatchFrac)
+  }
+
+  /** Persist a per-frame video signature table `(doc_id, slot, dhash)`,
+    * doc_id-bucketed — the video analog of [[writeSignatureTable]],
+    * shared by the batch screen and the streaming gate. Tombstone
+    * deletion and compaction ride the same `_deletes` machinery.
+    */
+  def writeVideoSignatureTable(sigs: DataFrame, name: String,
+      buckets: Int = 8): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    val spark = sigs.sparkSession
+    dropPhashTable(spark, name)
+    try graft.sources.Tables.writeBucketed(
+      sigs.select(col("doc_id"), col("slot"), col("dhash")),
+      name, "doc_id", buckets)
+    catch { case e: Throwable => dropPhashTable(spark, name); throw e }
+  }
+
+  /** Screen arriving per-frame signatures against a
+    * [[writeVideoSignatureTable]] corpus minus its tombstones.
+    */
+  def screenVideoSignatures(spark: org.apache.spark.sql.SparkSession,
+      name: String, sigs: DataFrame, maxHamming: Int = 3,
+      minMatchFrac: Double = 0.5): DataFrame = {
+    graft.sources.Tables.requireIdent(name)
+    videoNearDupsAgainst(sigs,
+      graft.sources.Tables.minusDeletes(spark, name, spark.table(name),
+        "doc_id"),
+      maxHamming, minMatchFrac)
   }
 }

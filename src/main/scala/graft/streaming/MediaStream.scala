@@ -86,4 +86,63 @@ object MediaStream {
         graft.sources.Tables.appendBucketed(spark, sigTable, novel)
     } finally { b.unpersist(); () }
   }
+
+  /** Streaming VIDEO-dedup gate — the fourth modality's arm: drop
+    * arriving animations whose sampled frames majority-match anything
+    * previously arrived ([[graft.functions.Multimodal.videoNearDupsAgainst]]
+    * against the persisted per-frame signature table), fold every signed
+    * arrival's frame signatures in. Same drop/keep/idempotency contract
+    * as [[phashGateSink]]: stored-corpus match or lower-id batch sibling
+    * drops; undecodable (or non-GIF) rows pass through unsigned.
+    */
+  def videoGateSink(media: DataFrame, sigTable: String, outDir: String,
+      maxHamming: Int = 3, minMatchFrac: Double = 0.5, k: Int = 4)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    media.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        videoGateBatch(batch.toDF(), sigTable, outDir, id, maxHamming,
+          minMatchFrac, k)
+    }
+
+  /** One [[videoGateSink]] trigger — exposed for the retry contract test. */
+  private[graft] def videoGateBatch(batch: DataFrame, sigTable: String,
+      outDir: String, id: Long, maxHamming: Int, minMatchFrac: Double,
+      k: Int): Unit = {
+    val b = batch.persist()
+    try {
+      val spark = b.sparkSession
+      import spark.implicits._
+      val batchIds = b.select(col("doc_id")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val sigs = Multimodal.videoFrameDhash(
+          b.select(col("doc_id"), col("media_type"), col("content"))
+            .as[Multimodal.MediaRow], k)
+        .toDF().select(col("doc_id"), col("slot"), col("dhash"))
+        .localCheckpoint(true)
+      val stored = spark.table(sigTable)
+        .filter(if (batchIds.isEmpty) lit(true)
+          else !col("doc_id").isin(batchIds: _*))
+      val cross = Multimodal.videoNearDupsAgainst(sigs, stored,
+          maxHamming, minMatchFrac)
+        .select(col("batch_doc").as("doc_id"))
+      val within = Multimodal.videoNearDups(sigs, maxHamming, minMatchFrac)
+        .select(col("doc_b").as("doc_id"))
+      val out = b.join(cross.union(within).distinct(),
+        Seq("doc_id"), "left_anti").persist()
+      try {
+        (if (out.isEmpty) out.repartition(1) else out)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      } finally { out.unpersist(); () }
+      val present =
+        if (batchIds.isEmpty) Set.empty[Long]
+        else spark.table(sigTable)
+          .filter(col("doc_id").isin(batchIds: _*))
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val novel =
+        if (present.isEmpty) sigs
+        else sigs.filter(!col("doc_id").isin(present.toSeq: _*))
+      if (!novel.isEmpty)
+        graft.sources.Tables.appendBucketed(spark, sigTable, novel)
+    } finally { b.unpersist(); () }
+  }
 }

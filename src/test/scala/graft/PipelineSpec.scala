@@ -551,6 +551,100 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("video: animated-GIF frames sign per schedule; re-encoded twin majority-matches") {
+    import graft.functions.Multimodal
+    val w = 18; val h = 16
+    // palette-safe frames (≤ 32 distinct grays per frame, multiples of 8)
+    def frameImg(f: Int, typ: Int, reversed: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h, typ)
+      for (y <- 0 until h; x <- 0 until w) {
+        val xx = if (reversed) w - 1 - x else x
+        val g = ((xx * 16 + y * 8 + f * 40) % 248) / 8 * 8
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    def animatedGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(fi => writer.writeToSequence(
+        new javax.imageio.IIOImage(fi, null, null),
+        writer.getDefaultWriteParam))
+      writer.endWriteSequence()
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val rgb = java.awt.image.BufferedImage.TYPE_INT_RGB
+    val gray = java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    val vidA = animatedGif((0 until 6).map(frameImg(_, rgb, reversed = false)))
+    // re-encoded twin: SAME pixels through a different source image type
+    val vidA2 = animatedGif((0 until 6).map(frameImg(_, gray, reversed = false)))
+    // structurally different animation
+    val vidB = animatedGif((0 until 6).map(frameImg(_, rgb, reversed = true)))
+    // single-frame animation: every slot repeats frame 0
+    val vidC = animatedGif(Seq(frameImg(0, rgb, reversed = false)))
+
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "video", vidA),
+      Multimodal.MediaRow(2L, "video", vidA2),
+      Multimodal.MediaRow(3L, "video", vidB),
+      Multimodal.MediaRow(4L, "video", vidC),
+      Multimodal.MediaRow(5L, "video", "not a gif".getBytes)).toDS()
+    val sigs = Multimodal.videoFrameDhash(ds, k = 4).collect()
+      .groupBy(_.doc_id)
+
+    assert(sigs.keySet == Set(1L, 2L, 3L, 4L), "non-GIF bytes must drop")
+    // the frameSamplePlan schedule: 6 frames at k=4 → frames 0,1,3,4
+    assert(sigs(1L).sortBy(_.slot).map(s => (s.slot, s.frame_idx)).toSeq ==
+      Seq((0L, 0L), (1L, 1L), (2L, 3L), (3L, 4L)))
+    // a single-frame animation repeats frame 0 in every slot
+    assert(sigs(4L).sortBy(_.slot).map(_.frame_idx).toSeq ==
+      Seq(0L, 0L, 0L, 0L))
+    // re-encode drift: the GIF writer palette-quantizes RGB- and
+    // gray-sourced frames slightly differently (measured: a few bits per
+    // frame), which is precisely the drift the per-frame Hamming radius
+    // absorbs — every aligned frame pair must sit within 3 bits
+    val hams = sigs(1L).sortBy(_.slot).map(_.dhash)
+      .zip(sigs(2L).sortBy(_.slot).map(_.dhash))
+      .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }
+    assert(hams.forall(_ <= 6),
+      "re-encoded twin frames drifted beyond the Hamming-6 radius: " +
+        hams.mkString(","))
+
+    val sigDf = Multimodal.videoFrameDhash(ds, k = 4).toDF()
+      .select($"doc_id", $"slot", $"dhash")
+    val pairs = Multimodal.videoNearDups(sigDf, maxHamming = 6,
+        minMatchFrac = 0.75)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    // the 4×16 banding GUARANTEES a candidate only within 3 bits
+    // (pigeonhole); the slot-0 frame drifted 4 bits, so it may legally
+    // miss — the MAJORITY rule is what still carries the pair
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) >= 0.75,
+      s"re-encoded twin must majority-match: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "the reversed animation must not match")
+
+    // cross-screen against a persisted per-frame signature table
+    Multimodal.writeVideoSignatureTable(
+      sigDf.filter($"doc_id" === 1L), "vid_sig_spec")
+    try {
+      val cross = Multimodal.screenVideoSignatures(spark, "vid_sig_spec",
+          sigDf.filter($"doc_id" === 2L), maxHamming = 6, minMatchFrac = 0.75)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(cross == Seq((2L, 1L)),
+        s"stored-table screen must find exactly the twin: $cross")
+      // tombstone deletion rides the shared machinery
+      Multimodal.deleteFromPhashTable(spark, "vid_sig_spec", Seq(1L))
+      assert(Multimodal.screenVideoSignatures(spark, "vid_sig_spec",
+        sigDf.filter($"doc_id" === 2L), 6, 0.75).isEmpty,
+        "deleted video must stop matching")
+    } finally Multimodal.dropPhashTable(spark, "vid_sig_spec")
+  }
+
   test("multimodal dhash: PGM gray geometry is exact (grid-sized ramps pack all/no bits)") {
     // a 9×8 P5 image IS the dHash grid (one pixel per cell): strictly
     // increasing rows set every bit (-1L), strictly decreasing rows none

@@ -736,6 +736,80 @@ class StreamingSpec extends SparkSpec {
     } finally Multimodal.dropPhashTable(spark, "img_gate_sigs")
   }
 
+  test("streaming video gate: stream kept set == batch videoNearDups keep rule; non-GIFs pass") {
+    import graft.streaming.MediaStream
+    import graft.functions.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    // 6-frame animations; `slope` separates videos, `reversed` flips the
+    // gradient (a different video), re-encoding drifts a few bits/frame
+    def gifOf(slope: Int, typ: Int): Array[Byte] = {
+      val frames = (0 until 6).map { f =>
+        val img = new java.awt.image.BufferedImage(18, 16, typ)
+        for (y <- 0 until 16; x <- 0 until 18) {
+          val g = ((x * slope + y * 8 + f * 40) % 248) / 8 * 8
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+        img
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      w.setOutput(ios); w.prepareWriteSequence(null)
+      frames.foreach(fi => w.writeToSequence(
+        new javax.imageio.IIOImage(fi, null, null), w.getDefaultWriteParam))
+      w.endWriteSequence(); w.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val rgb = java.awt.image.BufferedImage.TYPE_INT_RGB
+    val gray = java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    val seen = Seq(Multimodal.MediaRow(10L, "video", gifOf(16, rgb))).toDS()
+    val batch1 = Seq(
+      (20L, "video", gifOf(16, gray)),  // re-encode of seen 10 → dropped
+      (21L, "video", gifOf(40, rgb)),   // fresh → kept
+      (22L, "video", gifOf(40, gray)))  // re-encode of 21 (same batch) → dropped
+    val batch2 = Seq(
+      (30L, "video", gifOf(40, rgb)),   // twin of 21 (earlier batch) → dropped
+      (31L, "video", gifOf(88, rgb)),   // fresh → kept
+      (32L, "video", "not a gif".getBytes)) // non-GIF → passes through
+    val out = java.nio.file.Files.createTempDirectory("graft_vid_gate")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_vid_gate_ckpt")
+    Multimodal.writeVideoSignatureTable(
+      Multimodal.videoFrameDhash(seen, k = 4).toDF()
+        .select($"doc_id", $"slot", $"dhash"),
+      "vid_gate_sigs", buckets = 2)
+    try {
+      val in = MemoryStream[(Long, String, Array[Byte])]
+      val q = MediaStream.videoGateSink(
+        in.toDF().toDF("doc_id", "media_type", "content"),
+        "vid_gate_sigs", out.toString, maxHamming = 6, minMatchFrac = 0.75)
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        in.addData(batch1: _*); q.processAllAvailable()
+        in.addData(batch2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val kept = spark.read.parquet(out.toString)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+
+      // batch analog: a streamed video drops iff it is doc_b of a
+      // majority pair (seen < batch1 < batch2 = arrival order)
+      val allSigs = Multimodal.videoFrameDhash(
+        seen.union((batch1 ++ batch2).map(t =>
+          Multimodal.MediaRow(t._1, t._2, t._3)).toDS()), k = 4)
+        .toDF().select($"doc_id", $"slot", $"dhash")
+      val dropped = Multimodal.videoNearDups(allSigs, maxHamming = 6,
+          minMatchFrac = 0.75)
+        .filter($"doc_b" >= 20L).select("doc_b").as[Long].collect().toSet
+      val expected = ((batch1 ++ batch2).map(_._1).filterNot(dropped)).sorted
+      assert(kept == expected, s"stream kept $kept != batch keep rule $expected")
+      assert(kept == Seq(21L, 31L, 32L),
+        s"dup-of-seen/sibling/cross-batch drop, fresh + non-GIF pass: $kept")
+      // only signed (GIF) arrivals' frames are stored: 4 slots per video
+      assert(spark.table("vid_gate_sigs").groupBy("doc_id").count()
+        .orderBy("doc_id").as[(Long, Long)].collect().toSeq ==
+        Seq(10L, 20L, 21L, 22L, 30L, 31L).map((_, 4L)))
+    } finally Multimodal.dropPhashTable(spark, "vid_gate_sigs")
+  }
+
   test("streaming image gate: retried micro-batch replays idempotently") {
     import graft.streaming.MediaStream
     import graft.functions.Multimodal

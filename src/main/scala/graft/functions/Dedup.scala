@@ -1121,18 +1121,41 @@ object Dedup {
     // one-row-per-non-NULL-text-document contract. Unattributed pages
     // screen against each other — the conservative reading of "same
     // source" when the source is unknown.
-    val d = docs.filter(col(textCol).isNotNull)
+    val d = boilerDocs(docs, textCol, sourceCol)
+    val totals = d.groupBy(col("__src"))
+      .agg(count(lit(1)).as("__n_docs"))
+    val lines = boilerLines(d, lineSep, textCol)
+    val df = lines.groupBy(col("__src"), col("line"))
+      .agg(countDistinct(col("doc_id")).as("__df"))
+    boilerVerdictTail(lines, df, totals, minDocFrac, minDocs, lineSep,
+      textCol)
+  }
+
+  /** The prepared (doc_id, __src, text) frame shared by the one-shot and
+    * incremental strips (NULL-text drop + NULL-source sentinel pool).
+    */
+  private def boilerDocs(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
       .select(col("doc_id"),
         coalesce(col(sourceCol).cast("string"),
           lit("\u0000__graft_null_source__")).as("__src"),
         col(textCol))
-    val totals = d.groupBy(col("__src"))
-      .agg(count(lit(1)).as("__n_docs"))
-    val lines = d.select(col("doc_id"), col("__src"),
+
+  private def boilerLines(d: DataFrame, lineSep: String,
+      textCol: String): DataFrame =
+    d.select(col("doc_id"), col("__src"),
       posexplode(split(col(textCol),
         java.util.regex.Pattern.quote(lineSep))).as(Seq("idx", "line")))
-    val df = lines.groupBy(col("__src"), col("line"))
-      .agg(countDistinct(col("doc_id")).as("__df"))
+
+  /** The verdict + per-document rebuild tail shared by both strips:
+    * join the (source, line) document frequencies and the |sources|-row
+    * broadcast totals onto the exploded lines, mark template lines, and
+    * rebuild each document from its survivors in order.
+    */
+  private def boilerVerdictTail(lines: DataFrame, df: DataFrame,
+      totals: DataFrame, minDocFrac: Double, minDocs: Int,
+      lineSep: String, textCol: String): DataFrame =
     lines
       .join(df, Seq("__src", "line"))
       .join(broadcast(totals), Seq("__src"))
@@ -1147,6 +1170,113 @@ object Dedup {
             array_sort(collect_list(
               when(col("keep"), struct(col("idx"), col("line"))))),
             s => s.getField("line"))).as(textCol))
+
+  /** PERSIST the per-source line-frequency state [[boilerplateStrip]]
+    * derives from scratch — the incremental-maintenance artifact for the
+    * daily-crawl regime (the [[incrementalExact]] pattern): a full
+    * recompute screens today's batch at O(corpus) line-df cost, where
+    * this screens it at O(batch) plus pruned reads of the persisted
+    * state. Two tables of PARTIAL rows (the
+    * [[graft.operators.Rollups.writeDailyPartials]] discipline — upsert
+    * appends partials, readers SUM; nothing is rewritten per batch):
+    *
+    *  - `<name>_linedf` (src, line, cnt): per-(source, line) distinct-doc
+    *    counts of each ingested batch, bucketed by line (the join key's
+    *    high-cardinality leg) so the screen's lookup joins bucket-prune;
+    *  - `<name>_srctotals` (src, n_docs): per-source document counts,
+    *    |sources|-sized, appended per batch.
+    *
+    * Contract: batches are DISJOINT document sets (a re-sent document
+    * would double-count its lines' df — dedup upstream; the same
+    * can't-see-what-you-append contract every upsert here documents).
+    */
+  def writeLineDfTable(docs: DataFrame, name: String,
+      lineSep: String = "\n", textCol: String = "text",
+      sourceCol: String = "source", buckets: Int = 8): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    val spark = docs.sparkSession
+    dropLineDfTable(spark, name)
+    try {
+      val d = boilerDocs(docs, textCol, sourceCol)
+      graft.sources.Tables.writeBucketed(
+        boilerLines(d, lineSep, textCol)
+          .groupBy(col("__src").as("src"), col("line"))
+          .agg(countDistinct(col("doc_id")).as("cnt")),
+        s"${name}_linedf", "line", buckets)
+      d.groupBy(col("__src").as("src"))
+        .agg(count(lit(1)).as("n_docs"))
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${name}_srctotals")
+    } catch {
+      case e: Throwable => dropLineDfTable(spark, name); throw e
+    }
+  }
+
+  /** Drop both line-df artifacts AND their directories. */
+  def dropLineDfTable(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit =
+    graft.sources.Tables.dropManagedTables(
+      spark, Seq(s"${name}_linedf", s"${name}_srctotals"))
+
+  /** Fold a new (disjoint) batch's line statistics into the table —
+    * O(batch): partial rows append under the tables' own specs, nothing
+    * recomputes or rewrites.
+    */
+  def upsertLineDfTable(spark: org.apache.spark.sql.SparkSession,
+      name: String, batch: DataFrame, lineSep: String = "\n",
+      textCol: String = "text", sourceCol: String = "source"): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    val d = boilerDocs(batch, textCol, sourceCol)
+    graft.sources.Tables.appendBucketed(spark, s"${name}_linedf",
+      boilerLines(d, lineSep, textCol)
+        .groupBy(col("__src").as("src"), col("line"))
+        .agg(countDistinct(col("doc_id")).as("cnt")))
+    d.groupBy(col("__src").as("src"))
+      .agg(count(lit(1)).as("n_docs"))
+      .write.mode("append").format("parquet")
+      .saveAsTable(s"${name}_srctotals")
+  }
+
+  /** [[boilerplateStrip]] of a NEW batch against the persisted line-df
+    * state — verdicts computed over seen ∪ batch (the df and totals the
+    * full recompute would see on the union), output rows for the BATCH's
+    * documents only. q_text_boilerplate_indexed certifies the equality:
+    * same oracle as the full-corpus strip, restricted to the batch.
+    *
+    * Cost: the batch explodes once; the seen side contributes ONLY the
+    * partial rows matching the batch's lines (a semi-join probe into the
+    * line-bucketed table — bucket-pruned, never a seen-corpus scan) plus
+    * the |sources|-row totals. Does NOT fold the batch in — call
+    * [[upsertLineDfTable]] after (screen-then-upsert, the
+    * [[MinhashIndex]] ingest loop).
+    */
+  def boilerplateStripAgainst(spark: org.apache.spark.sql.SparkSession,
+      name: String, batch: DataFrame, minDocFrac: Double = 0.5,
+      minDocs: Int = 2, lineSep: String = "\n", textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    graft.sources.Tables.requireIdent(name)
+    require(minDocFrac > 0.0 && minDocFrac <= 1.0,
+      "minDocFrac must be in (0, 1]")
+    require(minDocs >= 2, "minDocs < 2 would strip every line")
+    val d = boilerDocs(batch, textCol, sourceCol)
+    val lines = boilerLines(d, lineSep, textCol)
+    val batchDf = lines.groupBy(col("__src"), col("line"))
+      .agg(countDistinct(col("doc_id")).as("cnt"))
+    val seenForBatch = spark.table(s"${name}_linedf")
+      .select(col("src").as("__src"), col("line"), col("cnt"))
+      .join(batchDf.select("__src", "line"), Seq("__src", "line"),
+        "left_semi")
+    val df = batchDf.unionByName(seenForBatch)
+      .groupBy(col("__src"), col("line"))
+      .agg(sum(col("cnt")).as("__df"))
+    val totals = spark.table(s"${name}_srctotals")
+      .select(col("src").as("__src"), col("n_docs"))
+      .unionByName(d.groupBy(col("__src"))
+        .agg(count(lit(1)).as("n_docs")))
+      .groupBy(col("__src"))
+      .agg(sum(col("n_docs")).as("__n_docs"))
+    boilerVerdictTail(lines, df, totals, minDocFrac, minDocs, lineSep,
+      textCol)
   }
 
   /** WITHIN-DOCUMENT paragraph dedup — C4's other span rule (Raffel et

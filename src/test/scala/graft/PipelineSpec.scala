@@ -1287,6 +1287,41 @@ class PipelineSpec extends SparkSpec {
       (1L, 1L, "own one"), (2L, 1L, "own two"), (3L, 1L, "own three")))
   }
 
+  test("incremental boilerplate: batch verdicts use seen ∪ batch statistics") {
+    import graft.functions.Dedup
+    // seen site A: doc 1 carries "promo" (df 1 — NOT template by seen
+    // alone); both docs carry "NAV". Batch doc 3 brings a second "promo"
+    // — the UNION df (2) is what must key the verdict, not the seen df.
+    val seenA = Seq((1L, "A", "NAV\npromo\nown one")).toDF("doc_id", "source", "text")
+    val seenB = Seq((2L, "A", "NAV\nown two")).toDF("doc_id", "source", "text")
+    val batch = Seq(
+      (3L, "A", "NAV\npromo\nown three"),
+      (4L, "B", "solo\nown four")).toDF("doc_id", "source", "text")
+    Dedup.writeLineDfTable(seenA, "ldf_spec")
+    try {
+      Dedup.upsertLineDfTable(spark, "ldf_spec", seenB) // fold exercised
+      val out = Dedup.boilerplateStripAgainst(spark, "ldf_spec", batch,
+          minDocFrac = 0.5, minDocs = 2)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+      // union totals: A has 3 docs → threshold max(2, ceil(1.5)) = 2;
+      // NAV df 3 and promo df 2 are template, "own three" survives;
+      // batch-only source B: 1 doc, nothing reaches df 2
+      assert(out.toSeq == Seq(
+        (3L, 1L, "own three"),
+        (4L, 2L, "solo\nown four")),
+        s"incremental verdicts must use seen∪batch statistics: ${out.toSeq}")
+      // equality with the from-scratch strip on the union, batch rows only
+      val full = Dedup.boilerplateStrip(
+          seenA.unionByName(seenB).unionByName(batch),
+          minDocFrac = 0.5, minDocs = 2)
+        .filter($"doc_id" >= 3L).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+      assert(out.toSeq == full.toSeq,
+        "incremental strip must equal the full recompute on the union")
+    } finally Dedup.dropLineDfTable(spark, "ldf_spec")
+  }
+
   test("truncation report: exact doc and token losses per candidate length") {
     import graft.functions.TextAnalysis
     val docs = Seq(

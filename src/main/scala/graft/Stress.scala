@@ -47,6 +47,7 @@ object Stress {
       case "ladder" :: dir :: kind :: fs if fs.nonEmpty =>
         ladder(spark, dir, kind, fs.map(_.toInt))
       case "gtprobe" :: dir :: Nil => gtprobe(spark, dir)
+      case "gatecap" :: fam :: per :: Nil => gatecap(spark, fam.toInt, per.toInt)
       case "phashscale" :: groups :: per :: Nil =>
         phashScale(spark, groups.toInt, per.toInt)
       case "linescale" :: docs :: lines :: pool :: Nil =>
@@ -849,6 +850,50 @@ object Stress {
       println(f"[ladder] $kind $name exponent=$slope%.2f over k=" +
         pts.map(_._1).mkString(","))
     }
+  }
+
+  /** Streaming-gate CANDIDATE-CAPACITY probe (SCALE.md round-13
+    * evidence): the text/embedding/media gates collect per-micro-batch
+    * candidate sets driver-side, bounded by `maxCandidates` with a loud
+    * failure — this measures where that bound actually bites. Fixture:
+    * `nFam` near-dup families of `per` seen members each (every family
+    * member shares its family's shingles), so a batch of B docs (one
+    * per family, round-robin) generates ≈ B·per candidate pairs — the
+    * candidate volume is the batch size × its corpus duplicate rate,
+    * which is the number the bound is really about. Sweeps batch size
+    * through the default 65,536 cap and prints candidates, wall time,
+    * and candidates/sec per rung, plus the cap-crossing batch size for
+    * this duplicate rate.
+    */
+  private def gatecap(spark: SparkSession, nFam: Int, per: Int): Unit = {
+    import spark.implicits._
+    def text(fam: Int, member: Int): String = {
+      val base = (0 until 24).map(w => s"fam${fam}word${w * 7 % 13}w$w")
+      (base :+ s"member$member").mkString(" ")
+    }
+    val seen = (0 until nFam * per).map { i =>
+      (i.toLong, text(i % nFam, i / nFam))
+    }.toDF("doc_id", "text")
+    val name = "graft_gatecap_idx"
+    functions.MinhashIndex.write(seen, name)
+    try {
+      val capDefault = 65536
+      for (b <- Seq(64, 256, 1024, 4096, 16384)) {
+        val batch = (0 until b).map { i =>
+          ((1000000 + i).toLong, text(i % nFam, per + 100 + i / nFam))
+        }.toDF("doc_id", "text")
+        val t0 = System.nanoTime()
+        val pairs = functions.MinhashIndex.screen(spark, name, batch, 0.5,
+          maxCandidates = 10000000).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[gatecap] batch=$b%6d candPairs=$pairs%8d " +
+          f"time=$secs%6.2fs rate=${pairs / secs}%9.0f cand/s " +
+          f"(default cap ${if (pairs > capDefault) "EXCEEDED" else "ok"})")
+      }
+      println(s"[gatecap] default maxCandidates=$capDefault bites at " +
+        s"batch ≈ ${capDefault / per} docs at duplicate rate $per " +
+        s"(cap / per-doc duplicate count)")
+    } finally functions.MinhashIndex.drop(spark, name)
   }
 
   /** Ground-truth artifact payoff probe (BASELINE.md evidence): build the

@@ -2640,6 +2640,35 @@ object SparkEntry {
       },
       Some(bigramLmOracle)),
 
+    // UNLEARN training documents from the bigram LM — deletion where the
+    // removed text shaped MODEL COUNTS, not just an index row: the model
+    // trains on the corpus PLUS mutated clones (ids +4,000,000, each
+    // appending a clone-unique token), which doubles every bigram count,
+    // shifts every context total, AND grows the vocabulary V that the
+    // add-k smoothing divides by. Unlearning the clones must restore all
+    // four tables exactly — counts are integers, so scoring the original
+    // corpus afterward must hash-match the never-trained-on-clones
+    // oracle (q_text_bigram_indexed's), which it can only do if model,
+    // ctx, vocab AND V all reverted to the bit.
+    Q("q_text_bigram_deleted",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val clones = docs.filter(col("text").isNotNull)
+          .select((col("doc_id") + 4000000L).as("doc_id"),
+            concat(col("text"), lit(" uniqclonetok"),
+              col("doc_id").cast("string")).as("text"))
+        val name = "graft_lm_del_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        TextAnalysis.writeLmTable(
+          docs.select("doc_id", "text").unionByName(clones), name)
+        try {
+          TextAnalysis.deleteFromLmTable(s, name, clones)
+          TextAnalysis.bigramScoreIndexed(s, name, docs)
+            .orderBy("doc_id").localCheckpoint(true)
+        } finally TextAnalysis.dropLmTable(s, name)
+      },
+      Some(bigramLmOracle)),
+
     // Stupid-backoff trigram score (Brants et al. 2007): the model trains
     // on the EVEN half of the corpus and scores everything, so all three
     // arms (trigram head, α-bigram backoff, α²-unigram backoff) fire and
@@ -2749,6 +2778,33 @@ object SparkEntry {
         try TextAnalysis.bm25SearchIndexed(s, name, Bm25Terms, k = 15)
           .orderBy("rank").localCheckpoint(true)
         finally TextAnalysis.dropSearchIndex(s, name)
+      },
+      Some(bm25Oracle(Bm25Terms, k = 15, k1 = 1.2, b = 0.75))),
+
+    // TARGETED DELETION from the BM25 index — the canonical takedown
+    // surface, and the hardest stats case: the index is built over the
+    // corpus PLUS a full clone (ids +3,000,000), which doubles n_docs,
+    // every query term's df, and every matching doc's competition (each
+    // clone ties its original's score). Deleting the clones must restore
+    // the EXACT original ranking — which only happens if the tombstones
+    // correct n_docs, avgdl, and df, not just drop postings rows. Same
+    // oracle as q_text_bm25_indexed.
+    Q("q_text_bm25_deleted",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val clones = docs.select((col("doc_id") + 3000000L).as("doc_id"),
+          col("text"))
+        val name = "graft_bm25_del_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        TextAnalysis.writeSearchIndex(
+          docs.select("doc_id", "text").unionByName(clones), name)
+        val cloneIds = docs.select("doc_id").collect()
+          .map(_.getLong(0) + 3000000L).toSeq
+        try {
+          TextAnalysis.deleteFromSearchIndex(s, name, cloneIds)
+          TextAnalysis.bm25SearchIndexed(s, name, Bm25Terms, k = 15)
+            .orderBy("rank").localCheckpoint(true)
+        } finally TextAnalysis.dropSearchIndex(s, name)
       },
       Some(bm25Oracle(Bm25Terms, k = 15, k1 = 1.2, b = 0.75))),
 

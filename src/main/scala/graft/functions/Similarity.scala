@@ -175,7 +175,22 @@ object Similarity {
 
   def dropSqIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit =
     graft.sources.Tables.dropManagedTables(
-      spark, Seq(s"${name}_params", s"${name}_codes"))
+      spark, Seq(s"${name}_params", s"${name}_codes", s"${name}_deletes"))
+
+  /** TARGETED DELETION from the SQ8 index — codes are row-independent,
+    * so the tombstone/anti-join/compact machinery applies unchanged
+    * (the [[deleteFromAnnIndex]] family; BucketedSpec pins tombstoned ≡
+    * compacted ≡ never-present per code family). Quantizer params are
+    * untouched (frozen-fit maintenance trade, as with upsert).
+    */
+  def deleteFromSqIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, ids: Seq[Long]): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    graft.sources.Tables.appendDeletes(spark, name, "vec_id", ids)
+  }
+
+  def compactSqIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = compactCodesTable(spark, name)
 
   /** [[sqTopK]] over a [[writeSqIndex]] index — identical results for the
     * same corpus and levels (BucketedSpec asserts both); the params table
@@ -191,7 +206,8 @@ object Similarity {
     val L = (pr.head.getInt(3) - 1).toDouble
     val minsLit = typedLit(mins)
     val spansLit = typedLit(spans)
-    val decoded = spark.table(s"${name}_codes").select(col("vec_id"),
+    val decoded = graft.sources.Tables.minusDeletes(spark, name,
+      spark.table(s"${name}_codes"), "vec_id").select(col("vec_id"),
       transform(col("code"), (c, i) =>
         element_at(minsLit, i + 1) +
           c.cast("double") / lit(L) * element_at(spansLit, i + 1)).as("dv"))
@@ -915,7 +931,33 @@ object Similarity {
 
   def dropPqIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit =
     graft.sources.Tables.dropManagedTables(
-      spark, Seq(s"${name}_codebooks", s"${name}_codes"))
+      spark, Seq(s"${name}_codebooks", s"${name}_codes", s"${name}_deletes"))
+
+  /** TARGETED DELETION from the PQ index ([[deleteFromSqIndex]]'s
+    * contract; codebooks are untouched — the frozen-fit trade). */
+  def deleteFromPqIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, ids: Seq[Long]): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    graft.sources.Tables.appendDeletes(spark, name, "vec_id", ids)
+  }
+
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = compactCodesTable(spark, name)
+
+  /** The shared codes-table compaction: stage-and-swap rewrite minus the
+    * tombstones (bucket spec preserved when the table has one — the
+    * IVFADC codes are cell-bucketed, SQ/PQ codes are flat), then clear.
+    */
+  private def compactCodesTable(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    if (spark.catalog.tableExists(s"${name}_deletes")) {
+      graft.sources.Tables.rewriteTable(spark, s"${name}_codes",
+        graft.sources.Tables.minusDeletes(spark, name,
+          spark.table(s"${name}_codes"), "vec_id"))
+      graft.sources.Tables.dropDeletes(spark, name)
+    }
+  }
 
   /** ADC top-k over a [[writePqIndex]] index — same results as [[pqTopK]]
     * with the same fit parameters (BucketedSpec asserts both), but the
@@ -939,7 +981,8 @@ object Similarity {
     import spark.implicits._
     val luts = adcLutRows(rawQ, books, m, ksub).toDF("query_id", "lut")
     topKPerQuery(
-      adcScoresFlat(spark.table(s"${name}_codes"), luts, m, ksub), k)
+      adcScoresFlat(graft.sources.Tables.minusDeletes(spark, name,
+        spark.table(s"${name}_codes"), "vec_id"), luts, m, ksub), k)
   }
 
   /** Materialize a TRUE-IVFADC index ([[ivfPqResidualTopK]]'s fit, paid
@@ -991,7 +1034,19 @@ object Similarity {
   def dropIvfPqResIndex(spark: org.apache.spark.sql.SparkSession,
       name: String): Unit =
     graft.sources.Tables.dropManagedTables(spark,
-      Seq(s"${name}_centroids", s"${name}_codebooks", s"${name}_codes"))
+      Seq(s"${name}_centroids", s"${name}_codebooks", s"${name}_codes",
+        s"${name}_deletes"))
+
+  /** TARGETED DELETION from the IVFADC index ([[deleteFromSqIndex]]'s
+    * contract; coarse quantizer and residual codebooks untouched). */
+  def deleteFromIvfPqResIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, ids: Seq[Long]): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    graft.sources.Tables.appendDeletes(spark, name, "vec_id", ids)
+  }
+
+  def compactIvfPqResIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = compactCodesTable(spark, name)
 
   /** Search a [[writeIvfPqResIndex]] index — same answers as
     * [[ivfPqResidualTopK]] at the same fit parameters (the oracle and
@@ -1024,8 +1079,10 @@ object Similarity {
     import spark.implicits._
     val probes = probeRows.toDF("query_id", "bucket", "lut", "base")
     val cells = probeRows.map(_._2).distinct.sorted
-    val enc = spark.table(s"${name}_codes")
-      .filter(col("bucket").isin(cells.map(Integer.valueOf): _*))
+    val enc = graft.sources.Tables.minusDeletes(spark, name,
+      spark.table(s"${name}_codes")
+        .filter(col("bucket").isin(cells.map(Integer.valueOf): _*)),
+      "vec_id")
     topKPerQuery(adcScores(enc, probes, m, ksub, withBase = true), k)
   }
 

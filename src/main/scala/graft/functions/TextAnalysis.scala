@@ -371,9 +371,68 @@ object TextAnalysis {
         spark.table(s"${name}_model").groupBy(col("w1"))
           .agg(sum(col("c12")).cast("long").as("c1")),
         s"${name}_ctx", "w1", buckets)
+      // per-term occurrence counts — not read by scoring, but the state
+      // deleteFromLmTable needs to maintain V exactly (a term leaves the
+      // vocabulary only when its LAST occurrence is unlearned, which the
+      // aggregated bigram counts alone cannot see: single-token documents
+      // contribute vocabulary but no bigram)
+      graft.sources.Tables.writeBucketed(
+        docs.select(explode(tokens(col(textCol))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("cnt")),
+        s"${name}_vocab", "term", buckets)
     } catch {
       case e: Throwable => dropLmTable(spark, name); throw e
     }
+  }
+
+  /** UNLEARN training documents from a [[writeLmTable]] model — deletion
+    * for the count-model family (the takedown/opt-out story where the
+    * removed text shaped MODEL WEIGHTS, not just an index row): subtract
+    * the deleted documents' exact bigram and token occurrence counts
+    * from the stored tables, drop rows whose counts reach zero, and
+    * re-derive the context totals and vocabulary size. Counts are
+    * integers, so unlearning is EXACT — the model equals a retrain
+    * without the deleted docs to the bit (q_text_bigram_deleted
+    * certifies this through the scoring oracle).
+    *
+    * `deletedDocs` must be the training documents AS INGESTED (subtract
+    * what was added — a doc never trained, or already unlearned, would
+    * double-subtract; the upserts' can't-see contract, mirrored).
+    * Cost: O(deleted docs) occurrence counting + stage-and-swap rewrites
+    * of the MODEL-sized tables — never a training-corpus re-scan, which
+    * is what a retrain would pay.
+    */
+  def deleteFromLmTable(spark: org.apache.spark.sql.SparkSession,
+      name: String, deletedDocs: DataFrame,
+      textCol: String = "text"): Unit = {
+    requireIndexName(name)
+    require(spark.catalog.tableExists(s"${name}_vocab"),
+      s"LM table $name has no vocab table (pre-unlearning build) — rebuild")
+    val dOcc = bigramOccurrences(deletedDocs, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__d"))
+    graft.sources.Tables.rewriteBucketed(spark, s"${name}_model",
+      spark.table(s"${name}_model")
+        .join(dOcc, Seq("w1", "w2"), "left")
+        .select(col("w1"), col("w2"),
+          (col("c12") - coalesce(col("__d"), lit(0L))).as("c12"))
+        .filter(col("c12") > 0))
+    graft.sources.Tables.rewriteBucketed(spark, s"${name}_ctx",
+      spark.table(s"${name}_model").groupBy(col("w1"))
+        .agg(sum(col("c12")).cast("long").as("c1")))
+    val dTok = deletedDocs
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("__d"))
+    graft.sources.Tables.rewriteBucketed(spark, s"${name}_vocab",
+      spark.table(s"${name}_vocab")
+        .join(dTok, Seq("term"), "left")
+        .select(col("term"),
+          (col("cnt") - coalesce(col("__d"), lit(0L))).as("cnt"))
+        .filter(col("cnt") > 0))
+    val v = spark.table(s"${name}_vocab").count()
+    import spark.implicits._
+    Seq(v).toDF("v")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${name}_globals")
   }
 
   /** [[bigramScore]] against a [[writeLmTable]] model — same scoring tail,
@@ -398,7 +457,8 @@ object TextAnalysis {
   def dropLmTable(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
     requireIndexName(name)
     graft.sources.Tables.dropManagedTables(
-      spark, Seq(s"${name}_model", s"${name}_ctx", s"${name}_globals"))
+      spark, Seq(s"${name}_model", s"${name}_ctx", s"${name}_globals",
+        s"${name}_vocab"))
   }
 
   /** Log-space bigram-LM perplexity: exp of the per-doc cross-entropy under
@@ -700,7 +760,72 @@ object TextAnalysis {
   def dropSearchIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
     requireIndexName(name)
     graft.sources.Tables.dropManagedTables(
-      spark, Seq(s"${name}_postings", s"${name}_globals"))
+      spark, Seq(s"${name}_postings", s"${name}_globals", s"${name}_deletes"))
+  }
+
+  /** TARGETED DELETION from a BM25 index — the canonical takedown
+    * surface (a removed document must stop being FINDABLE): tombstones
+    * carry (doc_id, dl) so the read side can correct EVERY global the
+    * scoring depends on without touching the postings body — n_docs and
+    * avgdl shrink by the tombstone aggregate, per-term df shrinks
+    * because the anti-joined postings are what the df count sees. One
+    * postings scan at delete time recovers the ids' document lengths
+    * (already-tombstoned ids are excluded, so a repeated delete cannot
+    * double-subtract); [[compactSearchIndex]] is the amortized physical
+    * purge. Rebuild-minus-deleted equality is hash-certified by
+    * q_text_bm25_deleted, whose deleted clones shift n_docs, avgdl, df,
+    * AND the ranking.
+    */
+  def deleteFromSearchIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, ids: Seq[Long]): Unit = {
+    requireIndexName(name)
+    require(ids.nonEmpty, "empty deletion batch")
+    import spark.implicits._
+    val idsDf = ids.toDF("doc_id")
+    val rows = spark.table(s"${name}_postings")
+      .join(org.apache.spark.sql.functions.broadcast(idsDf), Seq("doc_id"))
+      .select(col("doc_id"), col("dl")).distinct()
+    val novel =
+      if (spark.catalog.tableExists(s"${name}_deletes"))
+        rows.join(spark.table(s"${name}_deletes").select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      else rows
+    novel.write.mode("append").format("parquet")
+      .saveAsTable(s"${name}_deletes")
+  }
+
+  /** Fold tombstones into the postings table (stage-and-swap rewrite
+    * under its own bucket spec), overwrite the globals with the
+    * corrected pair, and clear the tombstones — exact, no corpus
+    * re-scan: the correction is pure arithmetic on the stored (dl)s.
+    */
+  def compactSearchIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    requireIndexName(name)
+    if (spark.catalog.tableExists(s"${name}_deletes")) {
+      val g = correctedBm25Stats(spark, name).first()
+      graft.sources.Tables.rewriteBucketed(spark, s"${name}_postings",
+        graft.sources.Tables.minusDeletes(spark, name,
+          spark.table(s"${name}_postings"), "doc_id"))
+      import spark.implicits._
+      Seq((g.getLong(0), g.getLong(1))).toDF("n_docs", "sum_dl")
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${name}_globals")
+      graft.sources.Tables.dropDeletes(spark, name)
+    }
+  }
+
+  /** The one-row (n_docs, sum_dl) frame minus the tombstone aggregate. */
+  private def correctedBm25Stats(spark: org.apache.spark.sql.SparkSession,
+      name: String): DataFrame = {
+    val g = spark.table(s"${name}_globals")
+    if (!spark.catalog.tableExists(s"${name}_deletes")) g
+    else g.crossJoin(
+        spark.table(s"${name}_deletes").agg(
+          count(lit(1)).as("__dn"),
+          coalesce(sum(col("dl")), lit(0L)).as("__ds")))
+      .select((col("n_docs") - col("__dn")).as("n_docs"),
+        (col("sum_dl") - col("__ds")).as("sum_dl"))
   }
 
   private def requireIndexName(name: String): Unit =
@@ -716,9 +841,11 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     requireIndexName(name)
     require(queryTerms.nonEmpty)
-    val postings = spark.table(s"${name}_postings")
-      .filter(col("term").isin(queryTerms: _*))
-    bm25Rank(postings, spark.table(s"${name}_globals"), k, k1, b)
+    val postings = graft.sources.Tables.minusDeletes(spark, name,
+      spark.table(s"${name}_postings")
+        .filter(col("term").isin(queryTerms: _*)),
+      "doc_id")
+    bm25Rank(postings, correctedBm25Stats(spark, name), k, k1, b)
   }
 
   /** Gopher-style repetition signals per document (Rae et al. 2021 §A1.1,

@@ -311,13 +311,24 @@ object Tables {
     val spec = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec
-      .getOrElse(throw new IllegalStateException(
-        s"table $table has no bucket spec"))
+    require(spec.nonEmpty, s"table $table has no bucket spec")
+    rewriteTable(spark, table, df)
+  }
+
+  /** [[rewriteBucketed]] for any managed table: preserves the bucket
+    * spec when one exists, plain overwrite otherwise (the SQ/PQ codes
+    * tables are unbucketed full-scan artifacts).
+    */
+  private[graft] def rewriteTable(spark: SparkSession, table: String,
+      df: DataFrame): Unit = {
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec
     val stage = s"${table}_stage"
     dropManagedTables(spark, Seq(stage))
-    df.write.mode("overwrite").format("parquet")
-      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head)
-      .sortBy(spec.sortColumnNames.head)
+    val w = df.write.mode("overwrite").format("parquet")
+    spec.fold(w)(s => w.bucketBy(s.numBuckets, s.bucketColumnNames.head)
+        .sortBy(s.sortColumnNames.head))
       .saveAsTable(stage)
     dropManagedTables(spark, Seq(table))
     spark.sql(s"ALTER TABLE $stage RENAME TO $table")

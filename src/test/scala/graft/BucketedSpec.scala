@@ -994,6 +994,79 @@ class BucketedSpec extends SparkSpec {
     } finally Similarity.dropAnnIndex(spark, "ann_del_idx")
   }
 
+  test("code-family deletion: tombstoned ≡ rank-refilled ≡ compacted for SQ, PQ, IVFADC") {
+    import graft.functions.Similarity
+    val rnd = new scala.util.Random(47)
+    val corpus = (0 until 160).map { i =>
+      val base = Array.fill(8)(0.02 + rnd.nextDouble() * 0.05)
+      base(2 * (i % 4)) = 1.0 + rnd.nextDouble() * 0.2
+      (i.toLong, base.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val qs = corpus.filter($"vec_id" % 40 === 0)
+
+    def checkFamily(tag: String,
+        build: String => Unit,
+        search: (String, Int) => Seq[(Long, Long, Int)],
+        delete: (String, Seq[Long]) => Unit,
+        compact: String => Unit,
+        drop: String => Unit): Unit = {
+      val name = s"codes_del_$tag"
+      build(name)
+      try {
+        // delete every query's top neighbor: the ids provably matter
+        val wide = search(name, 10)
+        val del = wide.filter(_._3 == 1).map(_._2).distinct
+        assert(del.nonEmpty, s"$tag: fixture produced no rank-1 neighbors")
+        // expected = the SAME deterministic ranking with deleted rows
+        // removed and ranks refilled from the deeper list
+        val want = wide.filterNot(r => del.contains(r._2))
+          .groupBy(_._1).flatMap { case (q, rs) =>
+            rs.sortBy(_._3).take(5).zipWithIndex
+              .map { case (r, i) => (q, r._2, i + 1) }
+          }.toSeq.sorted
+        delete(name, del)
+        val tomb = search(name, 5).sorted
+        assert(tomb == want,
+          s"$tag: tombstoned search != rank-refilled expectation")
+        assert(!tomb.exists(r => del.contains(r._2)),
+          s"$tag: a deleted id surfaced")
+        compact(name)
+        assert(!spark.catalog.tableExists(s"${name}_deletes"))
+        assert(search(name, 5).sorted == tomb,
+          s"$tag: compacted search changed the answer")
+        assert(spark.table(s"${name}_codes")
+          .filter($"vec_id".isin(del.map(Long.box): _*)).isEmpty,
+          s"$tag: compaction left deleted code rows")
+      } finally drop(name)
+    }
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int)] =
+      df.select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+
+    checkFamily("sq",
+      n => Similarity.writeSqIndex(corpus, n),
+      (n, k) => rows(Similarity.sqSearchIndexed(spark, n, qs, k)),
+      (n, ids) => Similarity.deleteFromSqIndex(spark, n, ids),
+      n => Similarity.compactSqIndex(spark, n),
+      n => Similarity.dropSqIndex(spark, n))
+    checkFamily("pq",
+      n => Similarity.writePqIndex(corpus, n, m = 8, ksub = 16,
+        sampleSize = 64, iters = 2),
+      (n, k) => rows(Similarity.pqSearchIndexed(spark, n, qs, k)),
+      (n, ids) => Similarity.deleteFromPqIndex(spark, n, ids),
+      n => Similarity.compactPqIndex(spark, n),
+      n => Similarity.dropPqIndex(spark, n))
+    checkFamily("ivfpqres",
+      n => Similarity.writeIvfPqResIndex(corpus, n, centroids = 4,
+        m = 8, ksub = 16, sampleSize = 64, iters = 2),
+      (n, k) => rows(Similarity.ivfPqResSearchIndexed(spark, n, qs, k,
+        nprobe = 4)),
+      (n, ids) => Similarity.deleteFromIvfPqResIndex(spark, n, ids),
+      n => Similarity.compactIvfPqResIndex(spark, n),
+      n => Similarity.dropIvfPqResIndex(spark, n))
+  }
+
   test("cluster-table deletion re-elects and SPLITS: a removed bridge severs its cluster") {
     import graft.functions.Dedup
     // the case tombstones cannot express: 2 bridges 1–3; delete 2 and

@@ -989,6 +989,27 @@ object SparkEntry {
   private[graft] lazy val bpeMerges: Seq[graft.functions.Bpe.Merge] =
     Bpe.learnMergesLocal(bpeSeedCorpus, numMerges = 32)
 
+  /** Fixed unigram-LM tokenizer config: trained once driver-side on the
+    * SAME seed corpus as the BPE merges (deterministic — no RNG, fixed
+    * iterations), then carried into [[graft.functions.UnigramScoreExpr]]
+    * as literals AND rendered into the DuckDB oracle as a MAP literal
+    * with the identical IEEE doubles (Double.toString round-trips).
+    */
+  private[graft] lazy val unigramVocab: Seq[graft.functions.Unigram.VocabPiece] =
+    Unigram.trainLocal(
+      bpeSeedCorpus.flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
+        .toSeq.sortBy(_._1),
+      vocabSize = 64, seedSize = 128, maxPieceLen = 4, emIters = 2)
+
+  // string-literal casts, NOT bare numerics: DuckDB parses a bare
+  // high-precision literal as DECIMAL first, and DECIMAL(17,16)→DOUBLE
+  // loses the last ulp; CAST('…' AS DOUBLE) parses the shortest
+  // round-trip rendering straight to the identical IEEE double
+  private lazy val unigramMapSql: String =
+    "MAP {" + unigramVocab.sortBy(_.piece).map(v =>
+      s"'${v.piece}': CAST('${v.logProb}' AS DOUBLE)").mkString(", ") + "}"
+
   /** DuckDB replay of the greedy BPE encode. Symbols ride in a
     * U+001F-bounded string ("⟂c1⟂c2⟂…⟂</w>⟂") and each rank's merge is ONE
     * `replace(s, '⟂l⟂r⟂', '⟂lr⟂')`: SQL replace scans left-to-right,
@@ -2493,6 +2514,49 @@ object SparkEntry {
           concat_ws(" ", col("sub")).as("subwords"))
         .orderBy("doc_id"),
       Some(bpeEncodeOracle)),
+
+    // Unigram-tokenizer APPLY at corpus scale: each document's Viterbi
+    // (max-probability) segmentation log-probability under the fixed
+    // seed-trained vocabulary (UnigramSpec pins the trainer; this gates
+    // the apply). The native UnigramScoreExpr scores every document
+    // inside its scan partition — no join, no shuffle, vocabulary as a
+    // codegen reference object — and the SCORE is the gated number
+    // because the max is tie-independent, so the DuckDB oracle can
+    // replay the identical DP (list_reduce over positions, candidate
+    // arms unrolled per piece length, same IEEE doubles from the same
+    // Scala training run) and hash-match to the bit.
+    Q("q_text_unigram_score",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_words"),
+          Unigram.scoreTokens(TextAnalysis.tokens(col("text")), unigramVocab)
+            .as("unigram_logprob"))
+        .orderBy("doc_id"),
+      Some("WITH v AS (SELECT " + unigramMapSql + " AS m), " +
+        s"tk AS (SELECT doc_id, $toksSql AS t FROM documents), " +
+        "tok AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM " +
+        "(SELECT doc_id, unnest([{'pos': i, 'w': t[i]} " +
+        "FOR i IN range(1, len(t) + 1)]) AS u FROM tk) q0), " +
+        "ws AS (SELECT doc_id, pos, list_reduce(" +
+        "list_prepend([CAST(0.0 AS DOUBLE)], " +
+        "[[CAST(j AS DOUBLE)] FOR j IN range(1, len(w) + 1)]), " +
+        "(acc, x) -> list_append(acc, greatest(" +
+        "acc[CAST(x[1] AS INT)] + coalesce(" +
+        "m[substring(w, CAST(x[1] AS INT), 1)][1], " +
+        "CAST(-1000000000.0 AS DOUBLE)), " +
+        "CASE WHEN x[1] >= 2 THEN acc[CAST(x[1] AS INT) - 1] + " +
+        "m[substring(w, CAST(x[1] AS INT) - 1, 2)][1] END, " +
+        "CASE WHEN x[1] >= 3 THEN acc[CAST(x[1] AS INT) - 2] + " +
+        "m[substring(w, CAST(x[1] AS INT) - 2, 3)][1] END, " +
+        "CASE WHEN x[1] >= 4 THEN acc[CAST(x[1] AS INT) - 3] + " +
+        "m[substring(w, CAST(x[1] AS INT) - 3, 4)][1] END))" +
+        ")[len(w) + 1] AS s FROM tok, v), " +
+        "doc AS (SELECT doc_id, list_reduce(" +
+        "list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY pos)), " +
+        "(a, x) -> a + x) AS unigram_logprob FROM ws GROUP BY doc_id) " +
+        "SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_words, " +
+        "doc.unigram_logprob FROM tk JOIN doc USING (doc_id) " +
+        "ORDER BY doc_id")),
 
     // TOKENIZER FERTILITY per detected language — the tokenizer-fairness
     // audit (a tokenizer trained on one language's register fragments the

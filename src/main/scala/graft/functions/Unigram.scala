@@ -281,6 +281,115 @@ object Unigram {
     out.toSeq
   }
 
+  /** Corpus-scale tokenizer APPLY for the unigram regime: the document's
+    * max-probability (Viterbi) segmentation LOG-PROBABILITY under a
+    * trained vocabulary — the number a perplexity-style quality filter
+    * or a tokenizer-comparison sweep consumes per document. A native
+    * codegen expression (the [[Bpe.encode]] discipline): the vocabulary
+    * rides in as a codegen reference object, every document scores
+    * inside its scan partition — no join, no shuffle, no UDF — and the
+    * per-word DP memoizes per task thread (Zipf: distinct words ≪
+    * occurrences).
+    *
+    * The SCORE is emitted rather than the segmentation because the max
+    * is tie-independent (two segmentations of equal probability have
+    * equal score by definition), which makes the number replayable
+    * cross-engine to the bit — the q_text_unigram_score oracle replays
+    * the identical DP in SQL with the same IEEE doubles. Word scores
+    * fold left-to-right in token order; OOV characters score the
+    * [[OovFloor]] penalty (segmentation never fails).
+    */
+  def scoreTokens(tokens: org.apache.spark.sql.Column,
+      vocab: Seq[VocabPiece]): org.apache.spark.sql.Column = {
+    val sorted = vocab.sortBy(v => (-v.logProb, v.piece))
+    org.apache.spark.sql.graft.bridge.column(UnigramScoreExpr(
+      org.apache.spark.sql.graft.bridge.expression(tokens),
+      sorted.map(_.piece).toArray, sorted.map(_.logProb).toArray))
+  }
+
+  /** Log-score assigned to an apply-time OOV character. */
+  val OovFloor: Double = -1.0e9
+
+  private val MaxCachedWords = 1 << 16
+  private val MaxCachedVocabs = 8
+  private val scoreCache = new ThreadLocal[java.util.IdentityHashMap[
+      AnyRef, (java.util.HashMap[String, java.lang.Double], Int,
+        java.util.HashMap[String, java.lang.Double])]] {
+    override def initialValue() = new java.util.IdentityHashMap()
+  }
+
+  /** Static kernel behind [[UnigramScoreExpr]] — called from both
+    * interpreted eval and generated code. `pieces`/`logProbs` are
+    * parallel arrays; per-thread memo keyed on the pieces array's
+    * IDENTITY (the [[Bpe.encodeWords]] cache discipline).
+    */
+  def scoreWords(tokens: org.apache.spark.sql.catalyst.util.ArrayData,
+      pieces: Array[String], logProbs: Array[Double]): Double = {
+    val vocabs = scoreCache.get()
+    var entry = vocabs.get(pieces)
+    if (entry == null) {
+      if (vocabs.size >= MaxCachedVocabs) vocabs.clear()
+      val lp = new java.util.HashMap[String, java.lang.Double]()
+      var i = 0; var lmax = 1
+      while (i < pieces.length) {
+        lp.put(pieces(i), logProbs(i))
+        if (pieces(i).length > lmax) lmax = pieces(i).length
+        i += 1
+      }
+      entry = (lp, lmax, new java.util.HashMap[String, java.lang.Double]())
+      vocabs.put(pieces, entry)
+    }
+    val (lp, lmax, memo) = entry
+    var acc = 0.0
+    var w = 0
+    val n = tokens.numElements()
+    while (w < n) {
+      val word = tokens.getUTF8String(w)
+      if (word != null && word.numChars() > 0) {
+        val key = word.toString
+        var s = memo.get(key)
+        if (s == null) {
+          s = viterbiScore(key, lp, lmax)
+          if (memo.size >= MaxCachedWords) memo.clear()
+          memo.put(key, s)
+        }
+        acc += s.doubleValue()
+      }
+      w += 1
+    }
+    acc
+  }
+
+  /** The per-word DP: best(j) = max over piece lengths l of
+    * best(j−l) + lp(piece), single chars falling to [[OovFloor]] when
+    * absent — O(len · lmax) with no allocation beyond the DP array.
+    */
+  private def viterbiScore(word: String,
+      lp: java.util.HashMap[String, java.lang.Double], lmax: Int): Double = {
+    val n = word.length
+    val best = new Array[Double](n + 1)
+    var j = 1
+    while (j <= n) {
+      var m = Double.NegativeInfinity
+      var l = 1
+      val lcap = math.min(lmax, j)
+      while (l <= lcap) {
+        val p = lp.get(word.substring(j - l, j))
+        if (p != null) {
+          val c = best(j - l) + p.doubleValue()
+          if (c > m) m = c
+        } else if (l == 1) {
+          val c = best(j - l) + OovFloor
+          if (c > m) m = c
+        }
+        l += 1
+      }
+      best(j) = m
+      j += 1
+    }
+    best(n)
+  }
+
   /** Persist a trained vocabulary as a tiny parquet artifact (the
     * [[Bpe.saveMerges]] convention: tokenizers are KBs — train once,
     * every encode job loads the table).
@@ -300,4 +409,45 @@ object Unigram {
       .collect().map { case (p, l) => VocabPiece(p, l) }
       .toSeq.sortBy(v => (-v.logProb, v.piece))
   }
+}
+
+/** Viterbi log-score as a native Catalyst expression: array<string> words
+  * → double total max-segmentation log-probability under a trained
+  * unigram vocabulary (parallel piece/log-prob arrays carried as codegen
+  * reference objects — configuration, not data; the [[BpeEncodeExpr]]
+  * pattern).
+  */
+case class UnigramScoreExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    pieces: Array[String], logProbs: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"unigram_score needs array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Unigram.scoreWords(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      pieces, logProbs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refP = ctx.addReferenceObj("pieces", pieces, "java.lang.String[]")
+    val refL = ctx.addReferenceObj("logProbs", logProbs, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Unigram.scoreWords($c, $refP, $refL)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): UnigramScoreExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "unigram_score"
 }

@@ -82,6 +82,33 @@ class UnigramSpec extends SparkSpec {
     assert(viaDf == viaLocal, "train(docs) must equal trainLocal(histogram)")
   }
 
+  test("native score expression: Viterbi log-prob per doc, OOV floor, matches segmentWord") {
+    val vocab = Seq(
+      Unigram.VocabPiece("ab", math.log(0.6)),
+      Unigram.VocabPiece("a", math.log(0.2)),
+      Unigram.VocabPiece("b", math.log(0.2)))
+    val docs = Seq(
+      (1L, "abab ab"),     // 2·ln0.6 + ln0.6
+      (2L, "abx"),         // ln0.6 + floor (x is OOV)
+      (3L, "")).toDF("doc_id", "text")
+    val out = docs.select($"doc_id",
+        Unigram.scoreTokens(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.trim($"text"), "\\s+"),
+          vocab).as("s"))
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - 3 * math.log(0.6)) < 1e-12)
+    assert(math.abs(out(2L) - (math.log(0.6) + Unigram.OovFloor)) < 1e-3,
+      s"OOV char must take the floor penalty: ${out(2L)}")
+    assert(out(3L) == 0.0, "empty text scores zero")
+    // the expression's max equals the score of segmentWord's argmax
+    val lp = vocab.map(v => v.piece -> v.logProb).toMap
+    val segScore = Unigram.segmentWord("abab", vocab, maxPieceLen = 2)
+      .map(p => lp.getOrElse(p, Unigram.OovFloor)).sum
+    assert(math.abs(out(1L) - (segScore + math.log(0.6))) < 1e-12,
+      "expression score must equal the argmax segmentation's score")
+  }
+
   test("vocab artifact round-trips through save/load") {
     val vocab = Unigram.trainLocal(Seq(("ab", 3L), ("cd", 2L)),
       vocabSize = 6, seedSize = 8, maxPieceLen = 2, emIters = 2)

@@ -48,6 +48,8 @@ object Stress {
         ladder(spark, dir, kind, fs.map(_.toInt))
       case "gtprobe" :: dir :: Nil => gtprobe(spark, dir)
       case "gatecap" :: fam :: per :: Nil => gatecap(spark, fam.toInt, per.toInt)
+      case "boilerinc" :: dir :: ks if ks.nonEmpty =>
+        boilerinc(spark, dir, ks.map(_.toInt))
       case "phashscale" :: groups :: per :: Nil =>
         phashScale(spark, groups.toInt, per.toInt)
       case "linescale" :: docs :: lines :: pool :: Nil =>
@@ -849,6 +851,63 @@ object Stress {
         xs.map(x => (x - mx) * (x - mx)).sum
       println(f"[ladder] $kind $name exponent=$slope%.2f over k=" +
         pts.map(_._1).mkString(","))
+    }
+  }
+
+  /** Incremental-boilerplate cost-shape probe (SCALE.md round-13
+    * evidence for the O(batch) claim): the SEEN corpus grows k× (shifted
+    * ids, per-source templates present in every copy — the df keeps its
+    * proportions, the production regime) while the screened BATCH stays
+    * fixed. Per rung: line-df table build time (the once-per-corpus
+    * cost), warm [[functions.Dedup.boilerplateStripAgainst]] screen time
+    * (the claim: ~FLAT — the batch explodes once and the seen side
+    * contributes only the partial rows matching the batch's lines via
+    * the semi-join probe), and the full-recompute comparator
+    * ([[functions.Dedup.boilerplateStrip]] over seen ∪ batch — grows
+    * with the corpus, the cost a deployment avoids per daily batch).
+    */
+  private def boilerinc(spark: SparkSession, sfDir: String,
+      ks: Seq[Int]): Unit = {
+    val relined = expr(
+      "concat_ws('\n', transform(" +
+        "sequence(0, (size(split(text, ' ')) + 11) div 12 - 1), " +
+        "i -> concat_ws(' ', slice(split(text, ' '), i * 12 + 1, 12))))")
+    val quote = when(col("doc_id") % 7 === 0,
+      lit("a quote cited by a few pages of every site\n")).otherwise(lit(""))
+    val wrapped = sources.Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        concat(lit("SUBSCRIBE to our newsletter\n"), quote, relined,
+          lit("\n(c) 2026 "), col("source")).as("text"))
+    val seenBase = wrapped.filter(col("doc_id") % 4 =!= 0)
+    val batch = wrapped.filter(col("doc_id") % 4 === 0)
+      .localCheckpoint(true)
+    for (k <- ks) {
+      val seen = (0 until k).map(i =>
+          seenBase.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            col("source"), col("text")))
+        .reduce(_ unionByName _)
+        .localCheckpoint(true)
+      val name = "graft_boilerinc_idx"
+      val t0 = System.nanoTime()
+      functions.Dedup.writeLineDfTable(seen, name)
+      val build = (System.nanoTime() - t0) / 1e9
+      try {
+        def screen(): Double = {
+          val t = System.nanoTime()
+          functions.Dedup.boilerplateStripAgainst(spark, name, batch)
+            .filter(col("n_kept") >= 0).count()
+          (System.nanoTime() - t) / 1e9
+        }
+        screen() // warm-up: plan + JIT
+        val s = Seq(screen(), screen()).min
+        val t1 = System.nanoTime()
+        functions.Dedup.boilerplateStrip(seen.unionByName(batch))
+          .filter(col("n_kept") >= 0).count()
+        val full = (System.nanoTime() - t1) / 1e9
+        println(f"[boilerinc] x$k seenDocs=${seen.count()}%8d " +
+          f"build=$build%6.2fs screenWarm=$s%6.2fs fullRecompute=$full%6.2fs")
+      } finally functions.Dedup.dropLineDfTable(spark, name)
     }
   }
 

@@ -2515,6 +2515,32 @@ object SparkEntry {
         .orderBy("doc_id"),
       Some(bpeEncodeOracle)),
 
+    // Classifier-TRAINING feature relation: per-term positive/negative
+    // document frequencies + add-one odds under a deterministic label
+    // (even-numbered sources = positive — the provenance-classifier
+    // regime: learn to recognize a register). The full-batch GD trainer
+    // itself is PipelineSpec-pinned (hand-worked gradient step, two-run
+    // determinism, register separation end-to-end through the certified
+    // inference paths); this oracles the corpus-scale relation it
+    // selects features from — the q_text_bpe_pairs discipline.
+    Q("q_text_classifier_logodds",
+      (s, d) => TextAnalysis.termLogOdds(Tables.documents(s, d),
+          expr("CAST(substring(source, 4) AS INT) % 2 = 0"))
+        .orderBy("term"),
+      Some("WITH lab AS (SELECT doc_id, " +
+        "CAST(substring(source, 4) AS INT) % 2 = 0 AS y, text " +
+        "FROM documents), " +
+        "posting AS (SELECT doc_id, y, unnest(" + toksSql + ") AS term " +
+        "FROM lab), " +
+        "agg AS (SELECT term, " +
+        "count(DISTINCT CASE WHEN y THEN doc_id END) AS pos_docs, " +
+        "count(DISTINCT CASE WHEN NOT y THEN doc_id END) AS neg_docs " +
+        "FROM posting WHERE term <> '' GROUP BY term) " +
+        "SELECT term, CAST(pos_docs AS BIGINT) AS pos_docs, " +
+        "CAST(neg_docs AS BIGINT) AS neg_docs, " +
+        "CAST(pos_docs + 1 AS DOUBLE) / CAST(neg_docs + 1 AS DOUBLE) " +
+        "AS odds FROM agg ORDER BY term")),
+
     // Unigram-tokenizer APPLY at corpus scale: each document's Viterbi
     // (max-probability) segmentation log-probability under the fixed
     // seed-trained vocabulary (UnigramSpec pins the trainer; this gates

@@ -228,6 +228,114 @@ object TextAnalysis {
         classifierScoreNum(col(textCol), weights, bias).as("score_num")),
       thresholdMicros)
 
+  /** Per-term LABEL-ODDS statistics — the feature-selection relation a
+    * quality-classifier training run reads from the corpus (the
+    * q_text_bpe_pairs discipline: the corpus-scale input is oracle-gated,
+    * the iterative trainer is spec-pinned): for every term, the count of
+    * distinct positive- and negative-labeled documents containing it and
+    * the add-one-smoothed odds ratio — the statistic that ranks candidate
+    * vocabulary terms by class discrimination (monotone in log-odds
+    * without touching libm: ONE exact division). One explode + one
+    * term-keyed aggregate; cost is corpus tokens, the [[vocabulary]]
+    * currency. Output: (term, pos_docs, neg_docs, odds).
+    */
+  def termLogOdds(docs: DataFrame, label: Column,
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col("doc_id"), label.cast("boolean").as("__y"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"))
+      .agg(
+        count_distinct(when(col("__y"), col("doc_id"))).as("pos_docs"),
+        count_distinct(when(!col("__y"), col("doc_id"))).as("neg_docs"))
+      .select(col("term"), col("pos_docs"), col("neg_docs"),
+        ((col("pos_docs") + lit(1L)).cast("double") /
+          (col("neg_docs") + lit(1L)).cast("double")).as("odds"))
+
+  /** TRAIN the quality classifier the score operators serve — the
+    * missing half of the classifier story (inference existed with fixed
+    * exported weights; this produces them): full-batch logistic
+    * regression on RAW token-count features over a restricted
+    * vocabulary, so the learned decision z = bias + Σ_t tf(t)·w(t) ≥ 0
+    * is EXACTLY [[classifierScore]]'s integer keep rule at threshold 0
+    * once the weights quantize to micro-units — train here, export,
+    * serve through the certified inference paths (batch join, inline
+    * projection, streaming gate) with no semantic seam.
+    *
+    * Deterministic by construction (the [[Bpe.learnMergesLocal]]
+    * discipline): examples fold in the given order, fixed iteration
+    * count, no RNG, zero init — two runs produce bit-identical weights.
+    * Returns (term → micro-weight for every vocab term, micro-bias).
+    */
+  def trainClassifierLocal(examples: Seq[(Seq[String], Int)],
+      vocab: Seq[String], iters: Int = 100,
+      lr: Double = 1.0): (Seq[(String, Long)], Long) = {
+    require(examples.nonEmpty, "no training examples")
+    require(examples.forall(e => e._2 == 0 || e._2 == 1),
+      "labels must be 0/1")
+    require(vocab.nonEmpty && vocab.distinct == vocab,
+      "vocab must be non-empty and duplicate-free")
+    val vIdx = vocab.zipWithIndex.toMap
+    // per-example sparse vocab-term counts, materialized once
+    val feats = examples.map { case (toks, y) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[Int, Double]
+      toks.foreach(t => vIdx.get(t).foreach(i =>
+        m(i) = m.getOrElse(i, 0.0) + 1.0))
+      (m.toSeq.sortBy(_._1), y.toDouble)
+    }
+    val n = vocab.size
+    val w = new Array[Double](n)
+    var b = 0.0
+    val m = examples.size.toDouble
+    var it = 0
+    while (it < iters) {
+      val gw = new Array[Double](n)
+      var gb = 0.0
+      feats.foreach { case (xs, y) =>
+        var z = b
+        xs.foreach { case (i, c) => z += c * w(i) }
+        val p = 1.0 / (1.0 + math.exp(-z))
+        val r = p - y
+        gb += r
+        xs.foreach { case (i, c) => gw(i) += r * c }
+      }
+      var i = 0
+      while (i < n) { w(i) -= lr / m * gw(i); i += 1 }
+      b -= lr / m * gb
+      it += 1
+    }
+    (vocab.zip(w.map(x => math.round(x * 1e6))),
+      math.round(b * 1e6))
+  }
+
+  /** [[trainClassifierLocal]] over a LABELED DataFrame — the corpus is
+    * touched once to collect each example's vocab-term counts in doc_id
+    * order (quality classifiers train on a bounded labeled seed set —
+    * FineWeb-Edu's ~450k annotations — while INFERENCE runs at corpus
+    * scale through the certified score paths; `maxExamples` is the loud
+    * bound, the maxQueries contract).
+    */
+  def trainClassifier(docs: DataFrame, label: Column, vocab: Seq[String],
+      iters: Int = 100, lr: Double = 1.0, maxExamples: Int = 65536,
+      textCol: String = "text"): (Seq[(String, Long)], Long) = {
+    val rows = docs
+      .select(col("doc_id"), label.cast("int").as("__y"),
+        tokens(col(textCol)).as("__t"))
+      .orderBy("doc_id")
+      .limit(maxExamples + 1)
+      .collect()
+    require(rows.length <= maxExamples,
+      s"labeled set exceeds maxExamples=$maxExamples; sample it down " +
+        "or raise the cap")
+    val examples = rows.toSeq.map { r =>
+      val toks = Option(r.getAs[scala.collection.Seq[String]]("__t"))
+        .map(_.toSeq).getOrElse(Seq.empty)
+      (toks, r.getInt(1))
+    }
+    trainClassifierLocal(examples, vocab, iters, lr)
+  }
+
   /** The inline score numerator: bias + Σ weight(token) folded scan-side
     * over the token array. NULL text → the fold is NULL → bias (the same
     * no-hits answer the join path gives). Shared by the inline batch

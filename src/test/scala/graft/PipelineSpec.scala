@@ -1287,6 +1287,65 @@ class PipelineSpec extends SparkSpec {
       (1L, 1L, "own one"), (2L, 1L, "own two"), (3L, 1L, "own three")))
   }
 
+  test("classifier training: hand-worked gradient step, determinism, register separation") {
+    import graft.functions.TextAnalysis
+    // ONE full-batch GD step from zero init, lr 1, examples
+    // ([a], y=1), ([b], y=0), vocab [a, b]:
+    //   z = 0 → p = 1/2 for both; residuals −1/2 and +1/2
+    //   grad: gw_a = −1/2, gw_b = +1/2, gb = 0; mean update (m=2):
+    //   w_a = +0.25, w_b = −0.25, b = 0 → micros (250000, −250000, 0)
+    val (w1, b1) = TextAnalysis.trainClassifierLocal(
+      Seq((Seq("a"), 1), (Seq("b"), 0)), Seq("a", "b"),
+      iters = 1, lr = 1.0)
+    assert(w1 == Seq(("a", 250000L), ("b", -250000L)) && b1 == 0L,
+      s"one-step GD must match the hand computation: $w1, $b1")
+
+    // two-register corpus: "good" words vs "spam" words; the trained
+    // model must separate it END-TO-END through the certified inference
+    // path (quantized micro-weights into classifierScoreInline at
+    // threshold 0 — the exported-model seam)
+    val docs = (0 until 40).map { i =>
+      if (i % 2 == 0)
+        (i.toLong, "clear prose with useful verified content here", 1)
+      else
+        (i.toLong, "buy cheap pills win prizes click now fast", 0)
+    }
+    val vocab = Seq("clear", "prose", "useful", "verified", "content",
+      "buy", "cheap", "pills", "win", "click")
+    val (w, b) = TextAnalysis.trainClassifierLocal(
+      docs.map(d => (d._2.split(" ").toSeq, d._3)), vocab,
+      iters = 200, lr = 0.5)
+    val scored = TextAnalysis.classifierScoreInline(
+        docs.map(d => (d._1, d._2)).toDF("doc_id", "text"),
+        w, bias = b, thresholdMicros = 0L)
+      .select("doc_id", "keep").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    docs.foreach { case (id, _, y) =>
+      assert(scored(id) == (y == 1),
+        s"doc $id: trained classifier must separate the registers")
+    }
+
+    // determinism: bit-identical weights across runs
+    val again = TextAnalysis.trainClassifierLocal(
+      docs.map(d => (d._2.split(" ").toSeq, d._3)), vocab,
+      iters = 200, lr = 0.5)
+    assert((w, b) == again, "training must be deterministic")
+
+    // the DataFrame wrapper is the local trainer over doc_id order
+    val viaDf = TextAnalysis.trainClassifier(
+      docs.map(d => (d._1, d._2, d._3)).toDF("doc_id", "text", "y"),
+      col("y") === 1, vocab, iters = 200, lr = 0.5)
+    assert(viaDf == ((w, b)), "trainClassifier must equal trainClassifierLocal")
+
+    // the feature relation: counts + smoothed odds on a tiny fixture
+    val lo = TextAnalysis.termLogOdds(
+        Seq((1L, "good good spam", true), (2L, "spam", false))
+          .toDF("doc_id", "text", "y"), col("y"))
+      .orderBy("term").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(lo.toSeq == Seq(("good", 1L, 0L, 2.0), ("spam", 1L, 1L, 1.0)))
+  }
+
   test("incremental boilerplate: batch verdicts use seen ∪ batch statistics") {
     import graft.functions.Dedup
     // seen site A: doc 1 carries "promo" (df 1 — NOT template by seen

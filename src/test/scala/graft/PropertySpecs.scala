@@ -194,3 +194,85 @@ object RollingHashProps extends Properties("RollingHashKernel") {
       h >= 0L && h < RollingHash.Modulus
     }
 }
+
+/** Unigram-LM trainer invariants: every output is a probability model
+  * with full character coverage at or under the size target, and the
+  * Viterbi kernel always yields a finite score that any explicit
+  * segmentation can at best tie.
+  */
+object UnigramProps extends Properties("UnigramTrainer") {
+  import graft.functions.Unigram
+
+  private val genWord: Gen[String] =
+    Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+  private val genHist: Gen[Seq[(String, Long)]] =
+    Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, for {
+      w <- genWord; c <- Gen.chooseNum(1L, 9L)
+    } yield (w, c))).map(_.distinctBy(_._1)).suchThat(_.nonEmpty)
+
+  property("probabilities sum to 1; chars never pruned; size within target") =
+    forAll(genHist) { hist =>
+      val chars = hist.flatMap(_._1.toSeq).map(_.toString).distinct
+      val target = chars.size + 2
+      val vocab = Unigram.trainLocal(hist, vocabSize = target,
+        seedSize = 16, maxPieceLen = 3, emIters = 2)
+      val pieces = vocab.map(_.piece).toSet
+      math.abs(vocab.map(v => math.exp(v.logProb)).sum - 1.0) < 1e-9 &&
+        chars.forall(pieces.contains) &&
+        vocab.size <= target &&
+        vocab.forall(_.logProb <= 0.0)
+    }
+
+  property("training is deterministic") =
+    forAll(genHist) { hist =>
+      val chars = hist.flatMap(_._1.toSeq).map(_.toString).distinct
+      val t = chars.size + 2
+      Unigram.trainLocal(hist, t, 16, 3, 2) ==
+        Unigram.trainLocal(hist, t, 16, 3, 2)
+    }
+
+  property("viterbi segmentation reconstructs the word and its score is the max") =
+    forAll(genHist, genWord) { (hist, w) =>
+      val chars = hist.flatMap(_._1.toSeq).map(_.toString).distinct
+      val vocab = Unigram.trainLocal(hist, chars.size + 2, 16, 3, 2)
+      val seg = Unigram.segmentWord(w, vocab, maxPieceLen = 3)
+      val lp = vocab.map(v => v.piece -> v.logProb).toMap
+      seg.mkString == w && {
+        // the greedy single-char segmentation can never beat the argmax
+        val viaChars = w.map(c =>
+          lp.getOrElse(c.toString, Unigram.OovFloor)).sum
+        val best = seg.map(p => lp.getOrElse(p, Unigram.OovFloor)).sum
+        best >= viaChars - 1e-9
+      }
+    }
+}
+
+/** Classifier-trainer invariants: determinism and the exported decision
+  * rule's agreement with the real-valued model it quantizes.
+  */
+object ClassifierProps extends Properties("ClassifierTrainer") {
+  import graft.functions.TextAnalysis
+
+  private val words = Vector("alpha", "beta", "gamma", "delta")
+  private val genDoc: Gen[(Seq[String], Int)] = for {
+    n <- Gen.chooseNum(1, 6)
+    ts <- Gen.listOfN(n, Gen.oneOf(words))
+    y <- Gen.oneOf(0, 1)
+  } yield (ts, y)
+  private val genSet: Gen[Seq[(Seq[String], Int)]] =
+    Gen.chooseNum(2, 10).flatMap(Gen.listOfN(_, genDoc)).suchThat(_.nonEmpty)
+
+  property("training is deterministic and weights are finite micros") =
+    forAll(genSet) { ex =>
+      val a = TextAnalysis.trainClassifierLocal(ex, words, iters = 5, lr = 0.5)
+      val b = TextAnalysis.trainClassifierLocal(ex, words, iters = 5, lr = 0.5)
+      a == b && a._1.forall(w => math.abs(w._2) < 100000000L)
+    }
+
+  property("zero iterations exports the zero model") =
+    forAll(genSet) { ex =>
+      val (w, b) = TextAnalysis.trainClassifierLocal(ex, words, iters = 0)
+      w.forall(_._2 == 0L) && b == 0L
+    }
+}

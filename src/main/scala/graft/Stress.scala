@@ -50,6 +50,8 @@ object Stress {
       case "gatecap" :: fam :: per :: Nil => gatecap(spark, fam.toInt, per.toInt)
       case "boilerinc" :: dir :: ks if ks.nonEmpty =>
         boilerinc(spark, dir, ks.map(_.toInt))
+      case "delprobe" :: nc :: per :: dels :: Nil =>
+        delprobe(spark, nc.toInt, per.toInt, dels.toInt)
       case "phashscale" :: groups :: per :: Nil =>
         phashScale(spark, groups.toInt, per.toInt)
       case "linescale" :: docs :: lines :: pool :: Nil =>
@@ -852,6 +854,51 @@ object Stress {
       println(f"[ladder] $kind $name exponent=$slope%.2f over k=" +
         pts.map(_._1).mkString(","))
     }
+  }
+
+  /** Merge-on-read DELETION cost probe (SCALE.md round-13 evidence for
+    * the tombstone design): on a clustered ANN index of nc·per vectors,
+    * measure (a) the O(batch) tombstone append, (b) warm indexed-search
+    * latency with ZERO vs `dels` tombstones (the claim: the broadcast
+    * anti-join is a no-cost rider on the pruned read), and (c) the
+    * compaction rewrite (index-linear — the amortized physical purge).
+    */
+  private def delprobe(spark: SparkSession, nClusters: Int, per: Int,
+      dels: Int): Unit = {
+    val emb = structuredEmbeddings(spark, nClusters, per, 16)
+      .localCheckpoint(true)
+    val qs = emb.filter(col("vec_id") % (nClusters.toLong * per / 16) === 0)
+      .localCheckpoint(true)
+    val name = "graft_delprobe_idx"
+    functions.Similarity.writeAnnIndex(emb, name,
+      centroids = math.max(8, nClusters / 2),
+      sampleSize = math.max(256, nClusters * 2), iters = 2)
+    try {
+      def search(): Double = {
+        val t = System.nanoTime()
+        functions.Similarity.annSearchIndexed(spark, name, qs, k = 10,
+          nprobe = 2).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t) / 1e9
+      }
+      search() // warm
+      val clean = Seq(search(), search()).min
+      val ids = (0 until dels).map(i =>
+        (i.toLong * per + 1) % (nClusters.toLong * per))
+      val t0 = System.nanoTime()
+      functions.Similarity.deleteFromAnnIndex(spark, name, ids)
+      val append = (System.nanoTime() - t0) / 1e9
+      search() // warm the tombstoned plan
+      val tomb = Seq(search(), search()).min
+      val t1 = System.nanoTime()
+      functions.Similarity.compactAnnIndex(spark, name)
+      val compact = (System.nanoTime() - t1) / 1e9
+      search()
+      val after = Seq(search(), search()).min
+      println(f"[delprobe] n=${nClusters * per}%8d dels=$dels%6d " +
+        f"searchClean=$clean%5.2fs tombAppend=$append%5.2fs " +
+        f"searchTombstoned=$tomb%5.2fs compact=$compact%5.2fs " +
+        f"searchCompacted=$after%5.2fs")
+    } finally functions.Similarity.dropAnnIndex(spark, name)
   }
 
   /** Incremental-boilerplate cost-shape probe (SCALE.md round-13

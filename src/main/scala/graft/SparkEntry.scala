@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.{Bpe, Dedup, MinhashIndex, Multimodal, Similarity, TextAnalysis, Unigram}
+import graft.oracles.PipelineOracles._
 import graft.model._
 import graft.operators._
 import graft.sources.Tables
@@ -965,1116 +966,6 @@ object SparkEntry {
   // text analysis, dedup (exact/ngram/minhash/simhash/embedding),
   // similarity search, multimodal plumbing.
   // -------------------------------------------------------------------------
-
-  /** DuckDB fragment: whitespace tokens of trimmed text. LAZY because the
-    * heavy-hitters query in the analytics block above initializes before
-    * this declaration — a strict val would interpolate null into its SQL.
-    */
-  private lazy val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
-
-  /** Tokenizer CONFIG for q_text_bpe_encode: a fixed ASCII seed corpus in
-    * the documents table's register (database English), trained once
-    * driver-side by [[Bpe.learnMergesLocal]] — pinned equal to the
-    * distributed trainer in BpeSpec. The learned merge table is KBs of
-    * configuration, so it renders as literals into BOTH engines
-    * (shared-rendered-constant rule), exactly how a production tokenizer
-    * ships: trained once, applied corpus-wide.
-    */
-  private[graft] val bpeSeedCorpus: Seq[String] = Seq(
-    "scan the table hash the key merge the batch sort the column",
-    "filter the row join the stream group the window order the part",
-    "fast query slow query big data small data the vector the value",
-    "spark agg line customer dup scan hash join merge sort filter",
-    "the query the data the table the row the key the join the scan")
-  private[graft] lazy val bpeMerges: Seq[graft.functions.Bpe.Merge] =
-    Bpe.learnMergesLocal(bpeSeedCorpus, numMerges = 32)
-
-  /** Fixed unigram-LM tokenizer config: trained once driver-side on the
-    * SAME seed corpus as the BPE merges (deterministic — no RNG, fixed
-    * iterations), then carried into [[graft.functions.UnigramScoreExpr]]
-    * as literals AND rendered into the DuckDB oracle as a MAP literal
-    * with the identical IEEE doubles (Double.toString round-trips).
-    */
-  private[graft] lazy val unigramVocab: Seq[graft.functions.Unigram.VocabPiece] =
-    Unigram.trainLocal(
-      bpeSeedCorpus.flatMap(_.split(" ")).filter(_.nonEmpty)
-        .groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
-        .toSeq.sortBy(_._1),
-      vocabSize = 64, seedSize = 128, maxPieceLen = 4, emIters = 2)
-
-  // string-literal casts, NOT bare numerics: DuckDB parses a bare
-  // high-precision literal as DECIMAL first, and DECIMAL(17,16)→DOUBLE
-  // loses the last ulp; CAST('…' AS DOUBLE) parses the shortest
-  // round-trip rendering straight to the identical IEEE double
-  private lazy val unigramMapSql: String =
-    "MAP {" + unigramVocab.sortBy(_.piece).map(v =>
-      s"'${v.piece}': CAST('${v.logProb}' AS DOUBLE)").mkString(", ") + "}"
-
-  /** DuckDB replay of the greedy BPE encode. Symbols ride in a
-    * U+001F-bounded string ("⟂c1⟂c2⟂…⟂</w>⟂") and each rank's merge is ONE
-    * `replace(s, '⟂l⟂r⟂', '⟂lr⟂')`: SQL replace scans left-to-right,
-    * non-overlapping, resuming after the replacement — with every symbol
-    * sep-bounded that is EXACTLY [[Bpe.applyMerge]]'s greedy semantics
-    * (the trailing sep of a replacement doubles as the leading sep of the
-    * next candidate, i.e. the scan resumes at symbol i+2). The rank-sorted
-    * merge table unrolls into nested replace() calls — a static expression
-    * tree, no SQL-side loop. U+001F never occurs in the corpus (verified
-    * ASCII-words-only) and Verify's JSON writer escapes control chars.
-    */
-  /** The greedy BPE encode of `word` as one nested-replace expression --
-    * shared by the encode oracle and the fertility oracle (both splice it
-    * over a `word` column and split on the U+001F separator).
-    */
-  private lazy val bpeFoldedSql: String = {
-    val sep = "\u001f"
-    def lit(s: String) = "'" + s.replace("'", "''") + "'"
-    val init = s"(${lit(sep)} || array_to_string(string_split(word, ''), " +
-      s"${lit(sep)}) || ${lit(sep + Bpe.EndMarker + sep)})"
-    bpeMerges.sortBy(_.rank).foldLeft(init) { (e, m) =>
-      s"replace($e, ${lit(sep + m.left + sep + m.right + sep)}, " +
-        s"${lit(sep + m.left + m.right + sep)})"
-    }
-  }
-
-  private lazy val bpeEncodeOracle: String = {
-    val sep = "\u001f"
-    def lit(s: String) = "'" + s.replace("'", "''") + "'"
-    val folded = bpeFoldedSql
-    s"WITH tk AS (SELECT doc_id, unnest($toksSql) AS word, " +
-      s"generate_subscripts($toksSql, 1) AS ord FROM documents), " +
-      "seg AS (SELECT doc_id, ord, " +
-      s"string_split(trim($folded, ${lit(sep)}), ${lit(sep)}) AS subs " +
-      "FROM tk WHERE word <> ''), " +
-      "agg AS (SELECT doc_id, " +
-      "CAST(sum(len(subs)) AS BIGINT) AS bpe_token_count, " +
-      "string_agg(array_to_string(subs, ' '), ' ' ORDER BY ord) AS subwords " +
-      "FROM seg GROUP BY doc_id) " +
-      "SELECT d.doc_id, " +
-      "CAST(COALESCE(a.bpe_token_count, 0) AS BIGINT) AS bpe_token_count, " +
-      "COALESCE(a.subwords, '') AS subwords " +
-      "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id " +
-      "ORDER BY d.doc_id"
-  }
-
-  /** Mixture weights + budget for q_sample_mixture: src0 gets a 30-slot
-    * quota against only 25 available docs, exercising the
-    * shortfall-without-redistribution arm. Quotas are apportioned ONCE here
-    * and rendered into both engines (shared-rendered-constant rule).
-    */
-  private val mixParts = Map("src0" -> 4L, "src1" -> 2L, "src2" -> 1L, "src3" -> 1L)
-  private val mixTotal = 60L
-  private lazy val mixQuotaSql: String = {
-    val qs = graft.functions.Sampling.apportion(mixParts, mixTotal)
-    qs.toSeq.sortBy(_._1)
-      .map { case (s, q) => s"WHEN '$s' THEN $q" }
-      .mkString("CAST(CASE source ", " ", " ELSE 0 END AS BIGINT)")
-  }
-
-  /** Token budget + rendered per-source targets for q_sample_epoch_plan:
-    * the same apportion call the operator makes, rendered once into the
-    * oracle (data-independent constants — the mixQuota rule).
-    */
-  private val epochBudget = 40000L
-
-  /** q_sample_epoch_plan weighs one source that does NOT exist in the
-    * corpus ("srcz") so the plan's infeasible arm — a weighted source with
-    * zero available tokens keeps its row with NULL epochs and
-    * over_epoch_cap TRUE instead of silently losing its budget share —
-    * is oracle-gated, not just spec'd.
-    */
-  private val epochParts = mixParts + ("srcz" -> 1L)
-  private lazy val epochTargetValuesSql: String = {
-    val qs = graft.functions.Sampling.apportion(epochParts, epochBudget)
-    qs.toSeq.sortBy(_._1)
-      .map { case (s, q) => s"('$s', CAST($q AS BIGINT))" }.mkString(", ")
-  }
-
-  /** q_sample_epoch_expand's budget — 3× the plan query's so the
-    * expansion exercises MULTI-epoch repetition plus a partial final pass
-    * at every SF (at the plan budget most sources fit in one pass).
-    */
-  private val expandBudget = 120000L
-
-  /** The epoch-expansion replay: the plan arithmetic (rendered Hamilton
-    * targets, measured availability, exact ceil-division epochs), then
-    * the corpus ranked by content fingerprint within each source, each
-    * row repeated `epochs` times via generate_series, and the final pass
-    * cut where the running token total before the document reaches
-    * last_epoch_tokens — the crossing document is kept on both engines.
-    */
-  private lazy val epochExpandOracle: String = {
-    val qs = graft.functions.Sampling.apportion(epochParts, expandBudget)
-    val values = qs.toSeq.sortBy(_._1)
-      .map { case (s, q) => s"('$s', CAST($q AS BIGINT))" }.mkString(", ")
-    fpCte + ", " +
-      "a AS (SELECT source, " +
-      s"CAST(sum(len($toksSql)) AS BIGINT) AS available_tokens " +
-      "FROM documents WHERE text IS NOT NULL GROUP BY source), " +
-      s"w AS (SELECT * FROM (VALUES $values) AS v(source, target_tokens)), " +
-      "e AS (SELECT a.source, " +
-      "CAST((w.target_tokens + a.available_tokens - 1) // a.available_tokens " +
-      "AS BIGINT) AS epochs, a.available_tokens, w.target_tokens " +
-      "FROM a JOIN w USING (source) " +
-      "WHERE w.target_tokens > 0 AND a.available_tokens > 0), " +
-      "ee AS (SELECT source, epochs, " +
-      "CAST(target_tokens - (epochs - 1) * available_tokens AS BIGINT) " +
-      "AS last_epoch_tokens FROM e), " +
-      "tok AS (SELECT d.doc_id, d.source, " +
-      s"CAST(len($toksSql) AS BIGINT) AS n_tokens, fp.fingerprint " +
-      "FROM documents d JOIN fp ON d.doc_id = fp.doc_id " +
-      "WHERE d.text IS NOT NULL), " +
-      "rk AS (SELECT doc_id, source, n_tokens, " +
-      "CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source " +
-      "ORDER BY fingerprint ASC NULLS LAST, doc_id " +
-      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
-      "AS cum_before FROM tok), " +
-      // epoch replication via a bounded static series (DuckDB's binder
-      // rejects both unnest-in-select referenced downstream and lateral
-      // generate_series arguments): max(epochs) rows, theta-joined down
-      "mx AS (SELECT max(epochs) AS m FROM ee), " +
-      "series AS (SELECT unnest(generate_series(1, m)) AS epoch FROM mx), " +
-      "x AS (SELECT rk.doc_id, rk.source, rk.n_tokens, rk.cum_before, " +
-      "ee.epochs, ee.last_epoch_tokens, s.epoch " +
-      "FROM rk JOIN ee USING (source) " +
-      "JOIN series s ON s.epoch <= ee.epochs) " +
-      "SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch, n_tokens " +
-      "FROM x WHERE epoch < epochs OR cum_before < last_epoch_tokens " +
-      "ORDER BY source, epoch, doc_id"
-  }
-
-  /** DuckDB CTE `fp`: the content fingerprint of every document — an exact
-    * replay of RollingHash.compute (left fold of acc*31+codepoint mod
-    * 2^58-27 over the normalized text). Shared by the fingerprint query and
-    * both content-keyed sampling queries.
-    */
-  private val fpCte: String = "WITH " + fpCtesBody
-
-  /** [[fpCte]] without the WITH keyword, for composition into larger CTE
-    * chains (the curation-pipeline oracle). The fingerprint CTE is named
-    * `fp`; its normalization input CTE is `fpn`.
-    */
-  private lazy val fpCtesBody: String =
-    "fpn AS (SELECT doc_id, " +
-      "lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm FROM documents), " +
-      "fp AS (SELECT doc_id, list_reduce(" +
-      "list_prepend(CAST(0 AS BIGINT), " +
-      "[CAST(unicode(c) AS BIGINT) FOR c IN regexp_extract_all(norm, '.')]), " +
-      s"(acc, x) -> (acc * 31 + x) % ${graft.functions.RollingHash.Modulus}) " +
-      "AS fingerprint FROM fpn)"
-
-  /** DuckDB replay of [[graft.functions.DHash.computeText]] over the
-    * fingerprint-normalized text: code points % 256 as the brightness
-    * sequence, 72 evenly spaced samples into the 9×8 grid, one bit per
-    * adjacent-column strict `>`, packed as a HUGEINT power-of-two sum
-    * (CTE `dsig(doc_id, s)`; [[dhashSignedSql]] folds `s` to the signed
-    * BIGINT the engine's Long carries). Shared by the signature and
-    * banded-pairs oracles.
-    */
-  private lazy val dhashSigCtes: String = "WITH " + dhashSigCtesBody("documents")
-
-  /** [[dhashSigCtes]] parameterized by the source relation (doc_id, text)
-    * and without the WITH keyword, for composition after prefix CTEs.
-    */
-  private def dhashSigCtesBody(rel: String): String =
-    "dn AS (SELECT doc_id, " +
-      s"lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm FROM $rel), " +
-      "dcp AS (SELECT doc_id, [unicode(c) % 256 FOR c IN " +
-      "regexp_extract_all(norm, '.')] AS cp FROM dn WHERE length(norm) > 0), " +
-      "dg AS (SELECT doc_id, [cp[(j * len(cp)) // 72 + 1] " +
-      "FOR j IN range(0, 72)] AS g FROM dcp), " +
-      "dsig AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
-      "[CASE WHEN g[(k // 8) * 9 + (k % 8) + 2] > g[(k // 8) * 9 + (k % 8) + 1] " +
-      "THEN CAST(power(2, k) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END " +
-      "FOR k IN range(0, 64)]), (acc, x) -> acc + x) AS s FROM dg)"
-
-  /** Two's-complement fold of the `dsig.s` HUGEINT word to signed BIGINT. */
-  private val dhashSignedSql: String =
-    "CAST(CASE WHEN s >= CAST(power(2, 63) AS HUGEINT) " +
-      "THEN s - CAST(power(2, 64) AS HUGEINT) ELSE s END AS BIGINT)"
-
-  /** DuckDB CTE chain `toks … top2 … dup5`: the Gopher repetition signals
-    * (shared by q_text_repetition and the composite filter verdict).
-    */
-  private val repCtes: String =
-    "toks AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
-      s"$toksSql AS t FROM documents), " +
-      "g2 AS (SELECT doc_id, n_chars, unnest([t[i] || ' ' || t[i+1] " +
-      "FOR i IN range(1, len(t))]) AS g FROM toks), " +
-      "c2 AS (SELECT doc_id, g, any_value(n_chars) AS n_chars, " +
-      "count(*) AS c FROM g2 GROUP BY 1, 2), " +
-      "top2 AS (SELECT doc_id, g AS top_2gram, " +
-      "CAST(c * length(g) AS DOUBLE) / n_chars AS top_2gram_char_frac " +
-      "FROM (SELECT *, row_number() OVER (PARTITION BY doc_id " +
-      "ORDER BY c DESC, g) AS rn FROM c2) WHERE rn = 1), " +
-      "g5 AS (SELECT doc_id, n_chars, unnest([t[i] || ' ' || t[i+1] || ' ' || " +
-      "t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] " +
-      "FOR i IN range(1, len(t) - 3)]) AS g FROM toks), " +
-      "c5 AS (SELECT doc_id, g, any_value(n_chars) AS n_chars, " +
-      "count(*) AS c FROM g5 GROUP BY 1, 2), " +
-      "dup5 AS (SELECT doc_id, CAST(sum((c - 1) * length(g)) AS DOUBLE) " +
-      "/ any_value(n_chars) AS dup_5gram_char_frac " +
-      "FROM c5 WHERE c > 1 GROUP BY doc_id)"
-
-  private def inListSql(words: Seq[String]): String =
-    words.map(w => s"'$w'").mkString("(", ", ", ")")
-
-  /** DuckDB stopword list RENDERED FROM [[TextAnalysis.DefaultStopwords]] —
-    * a change to the Scala constant flows into every oracle that mentions
-    * stopwords, so the two engines cannot silently diverge.
-    */
-  private val stopSql = inListSql(TextAnalysis.DefaultStopwords)
-
-  /** Marker-count column list + earliest-argmax CASE, both rendered from
-    * [[graft.functions.LangId.Markers]] (same no-silent-divergence rule as
-    * [[stopSql]]). The CASE cascade is the earliest-argmax: branch k fires
-    * only when lang_k >= every later language and all earlier branches
-    * failed.
-    */
-  private def langMarkerColsSql(toksExpr: String): String =
-    graft.functions.LangId.Markers.map { case (l, ws) =>
-      s"len(list_filter($toksExpr, x -> x IN ${inListSql(ws)})) AS $l"
-    }.mkString(", ")
-
-  private val langGuessCaseSql: String = {
-    val names = graft.functions.LangId.Markers.map(_._1)
-    s"CASE WHEN greatest(${names.mkString(", ")}) = 0 THEN 'und' " +
-      names.init.zipWithIndex.map { case (l, i) =>
-        "WHEN " + names.drop(i + 1).map(r => s"$l >= $r").mkString(" AND ") +
-          s" THEN '$l' "
-      }.mkString + s"ELSE '${names.last}' END"
-  }
-
-  private val Bm25Terms = Seq("spark", "window", "dup")
-
-  /** q_text_classifier_quality's exported linear model: integer micro-unit
-    * (1e-6) weights over the corpus register — positive on content terms,
-    * negative on filler — plus bias and the per-token keep threshold. The
-    * model is CONFIGURATION (a trained classifier quantized at export), so
-    * like the BPE merge table it renders as literals into BOTH engines.
-    */
-  private val classifierWeights: Seq[(String, Long)] = Seq(
-    "spark" -> 500000L, "query" -> 400000L, "join" -> 300000L,
-    "window" -> 300000L, "agg" -> 200000L, "stream" -> 200000L,
-    "vector" -> 150000L, "the" -> -300000L, "a" -> -400000L,
-    "slow" -> -250000L, "big" -> -100000L)
-  private val classifierBias = 25000L
-  private val classifierThreshold = 50000L
-
-  /** The linear-classifier replay (weight VALUES table, postings join,
-    * exact integer Σ tf·w + bias, one final division, integer threshold)
-    * — shared VERBATIM by q_text_classifier_quality (the broadcast-join
-    * scorer) and q_text_classifier_inline (the map-literal projection
-    * scorer): one oracle, two access paths, hash equality as the proof
-    * they agree.
-    */
-  private lazy val classifierOracle: String =
-    "WITH wt AS (SELECT * FROM (VALUES " +
-      classifierWeights.map { case (t, w) =>
-        s"('$t', CAST($w AS BIGINT))" }.mkString(", ") +
-      ") AS t(term, w)), " +
-      "tk AS (SELECT doc_id, unnest(" + toksSql + ") AS term " +
-      "FROM documents), " +
-      "hit AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS hit " +
-      "FROM tk JOIN wt USING (term) GROUP BY 1), " +
-      "base AS (SELECT doc_id, CAST(COALESCE(len(" + toksSql + "), 0) " +
-      "AS BIGINT) AS n_tokens FROM documents) " +
-      "SELECT b.doc_id, b.n_tokens, " +
-      s"CAST(COALESCE(h.hit, 0) + $classifierBias AS BIGINT) AS score_num, " +
-      "CASE WHEN b.n_tokens = 0 THEN NULL " +
-      s"ELSE CAST(COALESCE(h.hit, 0) + $classifierBias AS DOUBLE) / " +
-      "(CAST(b.n_tokens AS DOUBLE) * 1000000.0) END AS score, " +
-      "CASE WHEN b.n_tokens = 0 THEN FALSE " +
-      s"ELSE COALESCE(h.hit, 0) + $classifierBias >= " +
-      s"$classifierThreshold * b.n_tokens END AS keep " +
-      "FROM base b LEFT JOIN hit h USING (doc_id) ORDER BY b.doc_id"
-
-  /** Blocklist phrase set for q_text_blocklist — multi-word phrases so the
-    * Aho-Corasick automaton's cross-token matching is exercised, plus one
-    * phrase absent from the corpus vocabulary (the never-hit arm). Rendered
-    * from THIS constant into both the Spark expression and the DuckDB
-    * per-pattern `instr` replay (shared-constant rule).
-    */
-  private val BlockPatterns = Seq(
-    "slow scan", "big table", "merge batch", "drop database", "vector")
-  private def blockHitSql(p: String) = s"instr(text, '$p') > 0"
-
-  /** Mixed-case phrase set for q_text_blocklist_ci — real blocklists are
-    * authored in arbitrary case ("Drop Database") and must still flag the
-    * lowercase corpus; matching normalizes NFC + lowercase on BOTH sides.
-    * `ciFold` is the Scala rendering of the engine's fold; the oracle
-    * replays it as `lower(nfc_normalize(...))` over text while patterns
-    * fold at SQL-build time from the SAME constant (shared-constant rule).
-    */
-  private val BlockPatternsCi = Seq(
-    "Slow Scan", "BIG TABLE", "Merge Batch", "DROP Database", "Vector")
-  private def ciFold(s: String): String =
-    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
-      .toLowerCase(java.util.Locale.ROOT)
-  private def blockHitCiSql(p: String) =
-    s"instr(lower(nfc_normalize(text)), '${ciFold(p)}') > 0"
-
-  /** DuckDB replay of [[graft.functions.TextAnalysis.filterVerdict]] at its
-    * default thresholds: every signal re-rendered from its already-oracled
-    * fragment (quality from q_text_stats, lang-id from q_text_langid,
-    * repetition from [[repCtes]]), then the same fixed-order concat_ws of
-    * CASE reasons. concat_ws skips NULLs identically in both engines.
-    */
-  private val filterVerdictOracle: String =
-    s"WITH $verdictCtes " +
-      "SELECT doc_id, token_count, quality_score, reasons = '' AS keep, " +
-      "reasons FROM v ORDER BY doc_id"
-
-  /** DuckDB replay of [[graft.functions.Curate.curate]] — all five stages
-    * (filter verdict, exact dedup by fingerprint, domain cap, hash split,
-    * shard-local packing) composed from their individually-gated fragments
-    * into one manifest query.
-    */
-  private lazy val curateOracle: String =
-    s"WITH $verdictCtes, $fpCtesBody, " +
-      "kept AS (SELECT d.doc_id, d.source, v.token_count, f.fingerprint " +
-      "FROM documents d JOIN v ON d.doc_id = v.doc_id " +
-      "JOIN fp f ON d.doc_id = f.doc_id WHERE v.reasons = ''), " +
-      "dd AS (SELECT doc_id, source, token_count, fingerprint FROM " +
-      "(SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) " +
-      "AS rn FROM kept) WHERE rn = 1), " +
-      "cap AS (SELECT doc_id, source, token_count, fingerprint FROM " +
-      "(SELECT *, row_number() OVER (PARTITION BY source " +
-      "ORDER BY fingerprint ASC NULLS LAST, doc_id) AS drank FROM dd) " +
-      "WHERE drank <= 15), " +
-      "sp AS (SELECT doc_id, source, token_count, " +
-      "CASE WHEN fingerprint % 100 < 95 THEN 'train' " +
-      "WHEN fingerprint % 100 < 98 THEN 'val' ELSE 'test' END AS split FROM cap), " +
-      "tr AS (SELECT doc_id, token_count, doc_id % 8 AS shard FROM sp " +
-      "WHERE split = 'train'), " +
-      "cum AS (SELECT doc_id, COALESCE(sum(token_count) OVER (PARTITION BY shard " +
-      "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
-      "AS cum FROM tr), " +
-      "pk AS (SELECT doc_id, CAST(floor(cum / 512.0) AS BIGINT) AS pack_id, " +
-      // DuckDB window SUM(BIGINT) returns HUGEINT and % keeps it; Spark emits
-      // int64 — cast so the driver's hasher sees the same physical type.
-      "CAST(cum % 512 AS BIGINT) AS pack_offset FROM cum) " +
-      "SELECT s.doc_id, s.source, s.token_count, s.split, pk.pack_id, " +
-      "pk.pack_offset FROM sp s LEFT JOIN pk ON s.doc_id = pk.doc_id " +
-      "ORDER BY s.doc_id"
-
-  /** CTE chain ending in `v(doc_id, token_count, quality_score, reasons)` —
-    * the verdict body shared by q_text_filter_verdict and the end-to-end
-    * curation pipeline oracle.
-    */
-  private lazy val verdictCtes: String = {
-    val mwl = "(CAST(s.wc AS DOUBLE) / CAST(greatest(s.token_count, 1) AS DOUBLE))"
-    s"$repCtes, " +
-      "sig AS (SELECT doc_id, lang, text IS NULL AS nulltext, " +
-      s"CAST(len($toksSql) AS BIGINT) AS token_count, " +
-      s"CAST(COALESCE(list_sum([CAST(length(x) AS BIGINT) FOR x IN $toksSql]), 0) " +
-      "AS BIGINT) AS wc, " +
-      s"len(list_filter($toksSql, x -> x IN $stopSql)) AS swc, " +
-      s"0.5 * least(CAST(len($toksSql) AS DOUBLE) / 100.0, 1.0) " +
-      "+ 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) " +
-      "/ CAST(greatest(length(text), 1) AS DOUBLE)) " +
-      s"+ 0.2 * (CAST(len(list_filter($toksSql, x -> x IN $stopSql)) AS DOUBLE) " +
-      s"/ greatest(CAST(len($toksSql) AS DOUBLE), 1.0)) AS quality_score, " +
-      langMarkerColsSql(toksSql) + " FROM documents), " +
-      s"lg AS (SELECT doc_id, $langGuessCaseSql AS lang_guess FROM sig), " +
-      "v AS (SELECT s.doc_id, s.token_count, s.quality_score, " +
-      "CASE WHEN s.nulltext THEN 'null_text' ELSE concat_ws(','" +
-      ", CASE WHEN lg.lang_guess <> s.lang THEN 'lang_mismatch' END" +
-      ", CASE WHEN s.quality_score < 0.4 THEN 'low_quality' END" +
-      ", CASE WHEN s.swc < 2 THEN 'no_stopwords' END" +
-      ", CASE WHEN COALESCE(t2.top_2gram_char_frac, 0.0) > 0.2 THEN 'rep_2gram' END" +
-      ", CASE WHEN COALESCE(d5.dup_5gram_char_frac, 0.0) > 0.15 THEN 'rep_5gram' END" +
-      ", CASE WHEN s.token_count > 100000 THEN 'too_long' END" +
-      ", CASE WHEN s.token_count < 30 THEN 'too_short' END" +
-      s", CASE WHEN $mwl < 3.0 OR $mwl > 10.0 THEN 'word_length' END" +
-      ") END AS reasons FROM sig s JOIN lg USING (doc_id) " +
-      "LEFT JOIN top2 t2 USING (doc_id) LEFT JOIN dup5 d5 USING (doc_id))"
-  }
-
-  /** DuckDB replay of [[graft.functions.TextAnalysis.bm25Search]]: same
-    * postings/df/global-stats pipeline, same rational idf, contributions
-    * folded in term-asc order; double constants (`k1`, `b`, `k1+1`, `1-b`)
-    * are rendered from the SAME Scala values both engines consume.
-    */
-  /** The BM25 CTE chain (ends at `r`: doc_id, n_matched, score, rank) —
-    * shared by [[bm25Oracle]] and the hybrid-rerank oracle's stage 1.
-    */
-  private def bm25Ctes(terms: Seq[String], k1: Double, b: Double): String = {
-    val inList = terms.map(t => s"'$t'").mkString(", ")
-    val avg = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
-    s"d AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl, " +
-      s"$toksSql AS t FROM documents), " +
-      "st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d), " +
-      "p AS (SELECT doc_id, dl, term, count(*) AS tf FROM " +
-      "(SELECT doc_id, dl, unnest(t) AS term FROM d) " +
-      s"WHERE term IN ($inList) GROUP BY doc_id, dl, term), " +
-      "f AS (SELECT term, count(*) AS df FROM p GROUP BY term), " +
-      "c AS (SELECT doc_id, term, " +
-      "((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) " +
-      s"* (CAST(tf AS DOUBLE) * ${k1 + 1.0}) " +
-      s"/ (CAST(tf AS DOUBLE) + $k1 * (${1.0 - b} + $b * CAST(dl AS DOUBLE) / $avg)) " +
-      "AS c FROM p CROSS JOIN st JOIN f USING (term)), " +
-      "s AS (SELECT doc_id, count(*) AS n_matched, " +
-      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)), " +
-      "(acc, x) -> acc + x) AS score FROM c GROUP BY doc_id), " +
-      "r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM s)"
-  }
-
-  private def bm25Oracle(terms: Seq[String], k: Int, k1: Double, b: Double): String =
-    s"WITH ${bm25Ctes(terms, k1, b)} " +
-      s"SELECT doc_id, n_matched, score, CAST(rank AS INT) AS rank FROM r " +
-      s"WHERE rank <= $k ORDER BY rank"
-
-  /** DuckDB rendering of the exact n-gram Jaccard pair set at threshold 0.5
-    * (shared: q_dedup_ngram_jaccard computes it directly; the MinHash+LSH
-    * variant verifies every candidate against exact Jaccard, and PipelineSpec
-    * pins its banding recall to 100% on corpora of this shape, so the SAME
-    * oracle checks q_dedup_minhash_lsh).
-    */
-  /** Exact batch-vs-seen Jaccard at threshold 0.5 over the doc_id % 7
-    * split — the shared oracle of the cross-corpus near-dup family: the
-    * live recompute (q_dedup_incremental_ngram), the persisted MinHash
-    * index screen (q_dedup_minhash_indexed), and the upsert-grown index
-    * (q_dedup_minhash_upsert) must all return exactly this pair set.
-    */
-  private val crossNgramOracle: String =
-    "WITH toks AS (SELECT doc_id, " + toksSql + " AS t FROM documents), " +
-      "ngrams AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] " +
-      "FOR i IN range(1, len(t) - 1)]) AS ng FROM toks WHERE len(t) >= 3), " +
-      "pa AS (SELECT doc_id, unnest(ng) AS g, len(ng) AS n FROM ngrams " +
-      "WHERE doc_id % 7 = 0), " +
-      "pb AS (SELECT doc_id, unnest(ng) AS g, len(ng) AS n FROM ngrams " +
-      "WHERE doc_id % 7 <> 0), " +
-      "pairs AS (SELECT pa.doc_id AS batch_doc, pb.doc_id AS seen_doc, " +
-      "count(*) AS common, any_value(pa.n) AS na, any_value(pb.n) AS nb " +
-      "FROM pa JOIN pb ON pa.g = pb.g GROUP BY 1, 2) " +
-      "SELECT batch_doc, seen_doc, " +
-      "CAST(common AS DOUBLE) / (na + nb - common) AS jaccard FROM pairs " +
-      "WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5 " +
-      "ORDER BY batch_doc, seen_doc"
-
-  private val ngramJaccardOracle: String =
-    "WITH toks AS (SELECT doc_id, " + toksSql + " AS t FROM documents), " +
-      "ngrams AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] " +
-      "FOR i IN range(1, len(t) - 1)]) AS ng FROM toks WHERE len(t) >= 3), " +
-      "posting AS (SELECT doc_id, unnest(ng) AS g, len(ng) AS n FROM ngrams), " +
-      "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common, " +
-      "any_value(a.n) AS na, any_value(b.n) AS nb FROM posting a " +
-      "JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-      "SELECT doc_a, doc_b, CAST(common AS DOUBLE) / (na + nb - common) AS jaccard " +
-      "FROM pairs WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5 " +
-      "ORDER BY doc_a, doc_b"
-
-  /** Shared recursive-CTE transitive-closure prefix over the n-gram
-    * Jaccard pair set: CTEs through `wc(doc_id, cluster_id)` — every
-    * corpus document with its connected-component label (its own id when
-    * unpaired). The front half of the leakage-safe-split and cluster-size
-    * oracles, shared verbatim by the from-scratch and the
-    * persisted-cluster-table (_indexed) variants so hash equality
-    * certifies write→read fidelity of [[graft.functions.Dedup.writeClusterTable]].
-    */
-  private lazy val clusterAssignCtes: String =
-    "WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM " +
-      s"($ngramJaccardOracle)), " +
-      "e AS (SELECT doc_a AS src, doc_b AS dst FROM p " +
-      "UNION SELECT doc_b, doc_a FROM p), " +
-      "reach AS (SELECT src, dst FROM e " +
-      "UNION SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src), " +
-      "comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id " +
-      "FROM reach GROUP BY src), " +
-      "wc AS (SELECT d.doc_id, COALESCE(comp.cluster_id, d.doc_id) " +
-      "AS cluster_id FROM documents d LEFT JOIN comp USING (doc_id))"
-
-  /** The leakage-safe split replay: components via [[clusterAssignCtes]],
-    * then the representative id's string rendering through the same
-    * rolling-hash bucket machinery as q_split_assign.
-    */
-  private lazy val leakageSafeOracle: String =
-    clusterAssignCtes + ", " +
-      "fp AS (SELECT doc_id, cluster_id, list_reduce(" +
-      "list_prepend(CAST(0 AS BIGINT), " +
-      "[CAST(unicode(c) AS BIGINT) FOR c IN regexp_extract_all(" +
-      "lower(regexp_replace(trim(CAST(cluster_id AS VARCHAR)), " +
-      "'\\s+', ' ', 'g')), '.')]), " +
-      s"(acc, x) -> (acc * 31 + x) % ${graft.functions.RollingHash.Modulus}) " +
-      "AS f FROM wc) " +
-      "SELECT doc_id, cluster_id, f % 100 AS bucket, " +
-      "CASE WHEN f % 100 < 95 THEN 'train' " +
-      "WHEN f % 100 < 98 THEN 'val' ELSE 'test' END AS split " +
-      "FROM fp ORDER BY doc_id"
-
-  /** The cluster-size-histogram replay over the same component CTEs. */
-  private lazy val clusterSizesOracle: String =
-    clusterAssignCtes + ", " +
-      "sz AS (SELECT cluster_id, count(*) AS sz FROM wc GROUP BY 1) " +
-      "SELECT sz AS cluster_size, count(*) AS n_clusters FROM sz " +
-      "GROUP BY 1 ORDER BY 1"
-
-  /** The leakage-audit replay: BOTH split strategies derive from the same
-    * component CTEs — the content split hashes each doc's own text
-    * (q_split_assign's fp chain), the cluster split hashes the
-    * representative id (q_split_leakage_safe's kfp chain) — and the pair
-    * set `p` is classified under each. The cluster arm aggregating to
-    * zero cross-split rows is the leakage-safety THEOREM showing up as a
-    * hash-gated count distribution.
-    */
-  private lazy val leakageAuditOracle: String =
-    clusterAssignCtes + ", " + fpCtesBody + ", " +
-      "csplit AS (SELECT doc_id, CASE WHEN fingerprint % 100 < 95 THEN 'train' " +
-      "WHEN fingerprint % 100 < 98 THEN 'val' ELSE 'test' END AS split FROM fp), " +
-      "kfp AS (SELECT doc_id, list_reduce(" +
-      "list_prepend(CAST(0 AS BIGINT), " +
-      "[CAST(unicode(c) AS BIGINT) FOR c IN regexp_extract_all(" +
-      "lower(regexp_replace(trim(CAST(cluster_id AS VARCHAR)), " +
-      "'\\s+', ' ', 'g')), '.')]), " +
-      s"(acc, x) -> (acc * 31 + x) % ${graft.functions.RollingHash.Modulus}) " +
-      "AS f FROM wc), " +
-      "ksplit AS (SELECT doc_id, CASE WHEN f % 100 < 95 THEN 'train' " +
-      "WHEN f % 100 < 98 THEN 'val' ELSE 'test' END AS split FROM kfp), " +
-      "au AS (" +
-      "SELECT 'content' AS method, least(a.split, b.split) AS split_lo, " +
-      "greatest(a.split, b.split) AS split_hi FROM p " +
-      "JOIN csplit a ON p.doc_a = a.doc_id JOIN csplit b ON p.doc_b = b.doc_id " +
-      "UNION ALL " +
-      "SELECT 'cluster', least(a.split, b.split), greatest(a.split, b.split) " +
-      "FROM p JOIN ksplit a ON p.doc_a = a.doc_id " +
-      "JOIN ksplit b ON p.doc_b = b.doc_id) " +
-      "SELECT method, split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs, " +
-      "split_lo <> split_hi AS leaking FROM au GROUP BY 1, 2, 3 " +
-      "ORDER BY method, split_lo, split_hi"
-
-  /** The bloom-screen replay: the k=4 probe positions are plain int64
-    * arithmetic on the shared fingerprint (no wraparound — exactly why
-    * the operator derives them that way), the filter is one bit_or per
-    * 32-bit word, the screen min-folds the per-position bit tests, and
-    * the exact text-equality truth joins in so the no-false-negative
-    * invariant is hash-certified.
-    */
-  private lazy val bloomScreenOracle: String = {
-    val bits = 65536
-    val arms = (0 until 4).map { i =>
-      s"SELECT doc_id, (fingerprint * ${2 * i + 1} + " +
-        s"${i * 0x9E3779B9L}) % $bits AS idx FROM fpx"
-    }
-    // one filter/screen/truth chain per mode: 'd' = disjoint seen
-    // (doc_id%7≠0), 'o' = overlap seen (every doc)
-    def chain(sfx: String, seenWhere: String): String =
-      s"bloom$sfx AS (SELECT idx // 32 AS word_idx, " +
-        "bit_or(CAST(1 AS BIGINT) << CAST(idx % 32 AS INT)) AS mask " +
-        s"FROM pos WHERE $seenWhere GROUP BY 1), " +
-        s"hits$sfx AS (SELECT bp.doc_id, " +
-        "(COALESCE(b.mask, 0) & bp.bit) = bp.bit AS hit " +
-        s"FROM bp LEFT JOIN bloom$sfx b USING (word_idx)), " +
-        s"scr$sfx AS (SELECT doc_id, min(hit) AS maybe_seen " +
-        s"FROM hits$sfx GROUP BY 1), " +
-        s"tr$sfx AS (SELECT d.doc_id, EXISTS (SELECT 1 FROM documents s " +
-        s"WHERE ${seenWhere.replace("doc_id", "s.doc_id")} " +
-        "AND s.text = d.text) AS actually_seen " +
-        "FROM documents d WHERE d.doc_id % 7 = 0 AND d.text IS NOT NULL)"
-    def finalSel(sfx: String, mode: String): String =
-      s"SELECT '$mode' AS mode, scr$sfx.doc_id, scr$sfx.maybe_seen, " +
-        s"tr$sfx.actually_seen, scr$sfx.maybe_seen AND NOT " +
-        s"tr$sfx.actually_seen AS false_positive " +
-        s"FROM scr$sfx JOIN tr$sfx USING (doc_id)"
-    fpCte + ", " +
-      "fpx AS (SELECT doc_id, fingerprint FROM fp " +
-      "WHERE fingerprint IS NOT NULL), " +
-      s"pos AS (${arms.mkString(" UNION ALL ")}), " +
-      "bp AS (SELECT doc_id, idx // 32 AS word_idx, " +
-      "CAST(1 AS BIGINT) << CAST(idx % 32 AS INT) AS bit " +
-      "FROM pos WHERE doc_id % 7 = 0), " +
-      chain("d", "doc_id % 7 <> 0") + ", " +
-      chain("o", "doc_id >= 0") + " " +
-      finalSel("d", "disjoint") + " UNION ALL " + finalSel("o", "overlap") +
-      " ORDER BY mode, doc_id"
-  }
-
-  /** The cluster-best replay: components, score attach, one pick window —
-    * the exactBest discipline lifted to near-dup components.
-    */
-  private lazy val clusterBestOracle: String =
-    clusterAssignCtes + ", " +
-      "sc AS (SELECT d.doc_id, wc.cluster_id, CAST(d.n_chars AS BIGINT) " +
-      "AS score FROM documents d JOIN wc ON d.doc_id = wc.doc_id), " +
-      "r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id " +
-      "ORDER BY score DESC, doc_id) AS pick, " +
-      "CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) " +
-      "AS cluster_size FROM sc) " +
-      "SELECT doc_id, cluster_id, score, cluster_size, pick = 1 AS keep " +
-      "FROM r ORDER BY doc_id"
-
-  /** DuckDB CTE chain `e, n, nv`: L2-normalized double embeddings with the
-    * exact fold-left accumulation order of the fused [[graft.functions.VectorOps]]
-    * dot loop (list_reduce is a left fold), so norms — and every downstream
-    * cosine — are bit-identical doubles on both engines.
-    */
-  private val normEmbCte: String =
-    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-      "n AS (SELECT vec_id, v, sqrt(" + foldSumSql("[x * x FOR x IN v]") +
-      ") AS nrm FROM e), " +
-      "nv AS (SELECT vec_id, [x / nrm FOR x IN v] AS v FROM n WHERE nrm > 0)"
-
-  /** Left-fold double sum of a DuckDB list expression — the engine-portable
-    * rendering of a sequential `acc += x` loop.
-    */
-  private def foldSumSql(listExpr: String): String =
-    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $listExpr), (acc, x) -> acc + x)"
-
-  /** Left-fold dot product of two DuckDB double-list expressions. */
-  private def dotSql(a: String, b: String): String =
-    foldSumSql(s"[$a[i] * $b[i] FOR i IN range(1, len($b) + 1)]")
-
-  /** DuckDB replay of the whole spherical-k-means fit + corpus assignment
-    * (CTEs through `cass(vec_id, v, bucket)`) — the shared front half of the
-    * trained-IVF and SemDeDup oracles. Mirrors the Scala training loop step
-    * for step: sample = `sampleSize` vec_ids in id-mix order (the shared
-    * [[graft.functions.Similarity.sampleHashSql]] de-biasing permutation;
-    * `sampleWhere` optionally restricts the training corpus, e.g. the
-    * upsert query's frozen-quantizer initial slice); init = lowest-id
-    * `centroids` of those; per round, assign by best fold-left dot (ties →
-    * lowest cid) then remean (members folded in vec_id order) and
-    * L2-renormalize, empty/zero-norm cells keeping the previous centroid;
-    * finally assign the corpus.
-    */
-  private def ivfFitCte(dim: Int, sampleSize: Int, centroids: Int,
-      iters: Int, sampleWhere: String = ""): String = {
-    val meanElem = foldSumSql("list_transform(vs, x -> x[i])")
-    val rounds = (1 to iters).map { it =>
-      s"a$it AS (SELECT vec_id, v, cid FROM (" +
-        "SELECT s.vec_id, s.v, c.cid, row_number() OVER (PARTITION BY s.vec_id " +
-        s"ORDER BY ${dotSql("s.v", "c.cv")} DESC, c.cid) AS rn " +
-        s"FROM samp s CROSS JOIN c${it - 1} c) WHERE rn = 1), " +
-        s"g$it AS (SELECT cid, list(v ORDER BY vec_id) AS vs FROM a$it GROUP BY cid), " +
-        s"m$it AS (SELECT cid, mv, sqrt(${foldSumSql("[x * x FOR x IN mv]")}) AS nrm " +
-        s"FROM (SELECT cid, [$meanElem / len(vs) FOR i IN range(1, ${dim + 1})] AS mv " +
-        s"FROM g$it)), " +
-        s"c$it AS (SELECT p.cid, CASE WHEN m.cid IS NULL OR m.nrm <= 0 THEN p.cv " +
-        "ELSE [x / m.nrm FOR x IN m.mv] END AS cv " +
-        s"FROM c${it - 1} p LEFT JOIN m$it m ON p.cid = m.cid)"
-    }.mkString(", ")
-    s"WITH $normEmbCte, " +
-      s"samp AS (SELECT vec_id, v FROM nv $sampleWhere " +
-      s"ORDER BY ${graft.functions.Similarity.sampleHashSql("vec_id")}, vec_id " +
-      s"LIMIT $sampleSize), " +
-      "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv " +
-      s"FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT $centroids)), " +
-      s"$rounds, " +
-      "cass AS (SELECT vec_id, v, cid AS bucket FROM (" +
-      "SELECT nv.vec_id, nv.v, c.cid, row_number() OVER (PARTITION BY nv.vec_id " +
-      s"ORDER BY ${dotSql("nv.v", "c.cv")} DESC, c.cid) AS rn " +
-      s"FROM nv CROSS JOIN c$iters c) WHERE rn = 1)"
-  }
-
-  private def ivfTrainedScoredCtes(dim: Int, sampleSize: Int, centroids: Int,
-      iters: Int, nprobe: Int, sampleWhere: String = "",
-      queryWhere: String = "WHERE vec_id % 100 = 0"): String =
-    ivfFitCte(dim, sampleSize, centroids, iters, sampleWhere) + ", " +
-      s"q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv $queryWhere), " +
-      "qp AS (SELECT query_id, qv, cid AS bucket FROM (" +
-      "SELECT q.query_id, q.qv, c.cid, row_number() OVER (PARTITION BY q.query_id " +
-      s"ORDER BY ${dotSql("q.qv", "c.cv")} DESC, c.cid) AS rn " +
-      s"FROM q0 q CROSS JOIN c$iters c) WHERE rn <= $nprobe), " +
-      "sc AS (SELECT query_id, cass.vec_id AS neighbor_id, " +
-      s"${dotSql("qp.qv", "cass.v")} AS score " +
-      "FROM cass JOIN qp USING (bucket) WHERE cass.vec_id <> qp.query_id)"
-
-  private def ivfTrainedOracle(dim: Int, sampleSize: Int, centroids: Int,
-      iters: Int, nprobe: Int, topk: Int, sampleWhere: String = ""): String =
-    ivfTrainedScoredCtes(dim, sampleSize, centroids, iters, nprobe,
-      sampleWhere) + ", " + topKSql("sc", topk)
-
-  /** Left-fold squared L2 distance of two DuckDB double-list expressions —
-    * the engine-portable rendering of `acc += (x - c) * (x - c)`.
-    */
-  private def l2Sql(a: String, b: String): String =
-    foldSumSql(s"[($a[i] - $b[i]) * ($a[i] - $b[i]) FOR i IN range(1, len($b) + 1)]")
-
-  /** DuckDB replay of the WHOLE product-quantization stack
-    * ([[graft.functions.Similarity.pqTopK]]): per-subspace plain-k-means
-    * fits (min-L2 assignment ties to the lowest code, means folded in
-    * vec_id order, empty cells keep their previous centroid), the corpus
-    * encode (per-subspace argmin over the trained codebook), and the ADC
-    * scoring (per-subspace sub-dots summed in subspace order through the
-    * same prepend-0.0 left fold the engine's aggregate() uses). One
-    * drifted double anywhere — a fit round, a code, a lookup — flips a
-    * rank and fails the hash.
-    */
-  private def pqSlice(dim: Int, m: Int)(expr: String, mm: Int): String = {
-    val subDim = dim / m
-    s"$expr[${mm * subDim + 1}:${(mm + 1) * subDim}]"
-  }
-
-  /** The per-subspace PQ fit + corpus-encode CTE chain (`sub<m>`,
-    * `pc<m><it>`, `pe<m>`), assuming `nv` and `samp` are already defined —
-    * shared by the plain-PQ and IVF+PQ oracles.
-    */
-  private def pqSubCtes(dim: Int, m: Int, ksub: Int, iters: Int,
-      sampRel: String = "samp", encRel: String = "nv"): String = {
-    require(dim % m == 0)
-    val subDim = dim / m
-    val slice = pqSlice(dim, m) _
-    val meanElem = foldSumSql("list_transform(vs, x -> x[i])")
-    (0 until m).map { mm =>
-      val rounds = (1 to iters).map { it =>
-        s"pa$mm$it AS (SELECT vec_id, sv, cid FROM (" +
-          "SELECT s.vec_id, s.sv, c.cid, row_number() OVER (PARTITION BY s.vec_id " +
-          s"ORDER BY ${l2Sql("s.sv", "c.cv")} ASC, c.cid) AS rn " +
-          s"FROM sub$mm s CROSS JOIN pc$mm${it - 1} c) WHERE rn = 1), " +
-          s"pg$mm$it AS (SELECT cid, list(sv ORDER BY vec_id) AS vs FROM pa$mm$it GROUP BY cid), " +
-          s"pm$mm$it AS (SELECT cid, [$meanElem / len(vs) FOR i IN range(1, ${subDim + 1})] AS mv " +
-          s"FROM pg$mm$it), " +
-          s"pc$mm$it AS (SELECT p.cid, COALESCE(m.mv, p.cv) AS cv " +
-          s"FROM pc$mm${it - 1} p LEFT JOIN pm$mm$it m ON p.cid = m.cid)"
-      }.mkString(", ")
-      s"sub$mm AS (SELECT vec_id, ${slice("v", mm)} AS sv FROM $sampRel), " +
-        s"pc${mm}0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, sv AS cv " +
-        s"FROM (SELECT vec_id, sv FROM sub$mm ORDER BY vec_id LIMIT $ksub)), " +
-        s"$rounds, " +
-        s"pe$mm AS (SELECT vec_id, cid AS code FROM (" +
-        "SELECT nv.vec_id, c.cid, row_number() OVER (PARTITION BY nv.vec_id " +
-        s"ORDER BY ${l2Sql(slice("nv.v", mm), "c.cv")} ASC, c.cid) AS rn " +
-        s"FROM $encRel nv CROSS JOIN pc$mm$iters c) WHERE rn = 1)"
-    }.mkString(", ")
-  }
-
-  /** The PQ code joins + ADC score fragment shared by both PQ oracles:
-    * join each `pe<m>` code and its `pc<m><iters>` centroid, score = the
-    * prepend-0.0 left fold over the per-subspace sub-dots (the engine's
-    * aggregate() order).
-    */
-  private def pqScore(dim: Int, m: Int, iters: Int,
-      corpusAlias: String, queryAlias: String): (String, String) = {
-    val slice = pqSlice(dim, m) _
-    val codeJoins = (0 until m).map(mm =>
-      s"JOIN pe$mm ON pe$mm.vec_id = $corpusAlias.vec_id " +
-        s"JOIN pc$mm$iters cb$mm ON cb$mm.cid = pe$mm.code").mkString(" ")
-    val subDots = (0 until m).map(mm =>
-      dotSql(slice(s"$queryAlias.qv", mm), s"cb$mm.cv")).mkString("[", ", ", "]")
-    (codeJoins, foldSumSql(subDots))
-  }
-
-  private def pqOracle(dim: Int, m: Int, ksub: Int, sampleSize: Int,
-      iters: Int, topk: Int): String = {
-    val (codeJoins, score) = pqScore(dim, m, iters, "b", "q0")
-    s"WITH $normEmbCte, " +
-      s"samp AS (SELECT vec_id, v FROM nv " +
-      s"ORDER BY ${graft.functions.Similarity.sampleHashSql("vec_id")}, vec_id " +
-      s"LIMIT $sampleSize), " +
-      s"${pqSubCtes(dim, m, ksub, iters)}, " +
-      "q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id % 100 = 0), " +
-      s"sc AS (SELECT q0.query_id, b.vec_id AS neighbor_id, $score AS score " +
-      s"FROM nv b $codeJoins CROSS JOIN q0 WHERE b.vec_id <> q0.query_id), " +
-      topKSql("sc", topk)
-  }
-
-  /** IVF+PQ oracle: the coarse trained-IVF chain ([[ivfFitCte]] through
-    * `cass`) supplies cell pruning, the PQ chain supplies code scoring —
-    * only the probed cells' codes are scored, the real FAISS-IVFPQ access
-    * shape (minus residual encoding — codes quantize the raw vectors, the
-    * ScaNN-style variant; see [[graft.functions.Similarity.ivfPqTopK]]).
-    */
-  private def ivfPqOracle(dim: Int, sampleSize: Int, centroids: Int,
-      m: Int, ksub: Int, iters: Int, nprobe: Int, topk: Int): String = {
-    val (codeJoins, score) = pqScore(dim, m, iters, "b", "qp")
-    ivfFitCte(dim, sampleSize, centroids, iters) + ", " +
-      s"${pqSubCtes(dim, m, ksub, iters)}, " +
-      "q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id % 100 = 0), " +
-      "qp AS (SELECT query_id, qv, cid AS bucket FROM (" +
-      "SELECT q.query_id, q.qv, c.cid, row_number() OVER (PARTITION BY q.query_id " +
-      s"ORDER BY ${dotSql("q.qv", "c.cv")} DESC, c.cid) AS rn " +
-      s"FROM q0 q CROSS JOIN c$iters c) WHERE rn <= $nprobe), " +
-      s"sc AS (SELECT qp.query_id, b.vec_id AS neighbor_id, $score AS score " +
-      s"FROM cass b JOIN qp USING (bucket) $codeJoins " +
-      "WHERE b.vec_id <> qp.query_id), " +
-      topKSql("sc", topk)
-  }
-
-  /** Recall@k oracle: BOTH retrieval paths replayed — the trained-IVF
-    * chain (fit CTEs + probe + cell scoring, verbatim from
-    * [[ivfTrainedOracle]]) and the brute-force all-pairs ranking (verbatim
-    * from q_sim_topk_brute) — then the per-query intersection count and
-    * fraction. Hash equality therefore certifies the recall NUMBERS, not
-    * just the two result sets.
-    */
-  /** The shared recall-evaluation tail: top-k the approximate score CTE
-    * (`scoredCte`: query_id, neighbor_id, score), replay the brute-force
-    * exact ranking over `nv`×`q0` verbatim from q_sim_topk_brute, then the
-    * per-query intersection count and fraction — the DuckDB rendering of
-    * [[graft.functions.Similarity.recallAtK]]. Appended to each ANN stack's
-    * fit/score chain to build that stack's recall oracle.
-    */
-  private def recallTailSql(scoredCte: String, topk: Int): String =
-    "apr AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() " +
-      "OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank " +
-      s"FROM $scoredCte) WHERE rank <= $topk), " +
-      "bsc AS (SELECT query_id, c.vec_id AS neighbor_id, " +
-      s"${dotSql("qv", "c.v")} AS score " +
-      "FROM nv c, q0 WHERE c.vec_id <> q0.query_id), " +
-      "br AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() " +
-      "OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank " +
-      s"FROM bsc) WHERE rank <= $topk), " +
-      "h AS (SELECT query_id, count(*) AS hits FROM apr " +
-      "JOIN br USING (query_id, neighbor_id) GROUP BY 1) " +
-      "SELECT b.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS n_hits, " +
-      s"CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST($topk AS DOUBLE) AS recall " +
-      "FROM (SELECT DISTINCT query_id FROM br) b LEFT JOIN h USING (query_id) " +
-      "ORDER BY query_id"
-
-  private def ivfRecallOracle(dim: Int, sampleSize: Int, centroids: Int,
-      iters: Int, nprobe: Int, topk: Int): String =
-    ivfFitCte(dim, sampleSize, centroids, iters) + ", " +
-      "q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id % 100 = 0), " +
-      "qp AS (SELECT query_id, qv, cid AS bucket FROM (" +
-      "SELECT q.query_id, q.qv, c.cid, row_number() OVER (PARTITION BY q.query_id " +
-      s"ORDER BY ${dotSql("q.qv", "c.cv")} DESC, c.cid) AS rn " +
-      s"FROM q0 q CROSS JOIN c$iters c) WHERE rn <= $nprobe), " +
-      "isc AS (SELECT query_id, cass.vec_id AS neighbor_id, " +
-      s"${dotSql("qp.qv", "cass.v")} AS score " +
-      "FROM cass JOIN qp USING (bucket) WHERE cass.vec_id <> qp.query_id), " +
-      recallTailSql("isc", topk)
-
-  /** Recall@k of the plain-PQ ADC stack vs brute force: the full PQ fit +
-    * encode + ADC chain (verbatim from [[pqOracle]]) ranked, intersected
-    * with the exact ranking — certifies the quantization-loss NUMBERS.
-    */
-  private def pqRecallOracle(dim: Int, m: Int, ksub: Int, sampleSize: Int,
-      iters: Int, topk: Int): String = {
-    val (codeJoins, score) = pqScore(dim, m, iters, "b", "q0")
-    s"WITH $normEmbCte, " +
-      s"samp AS (SELECT vec_id, v FROM nv " +
-      s"ORDER BY ${graft.functions.Similarity.sampleHashSql("vec_id")}, vec_id " +
-      s"LIMIT $sampleSize), " +
-      s"${pqSubCtes(dim, m, ksub, iters)}, " +
-      "q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id % 100 = 0), " +
-      s"psc AS (SELECT q0.query_id, b.vec_id AS neighbor_id, $score AS score " +
-      s"FROM nv b $codeJoins CROSS JOIN q0 WHERE b.vec_id <> q0.query_id), " +
-      recallTailSql("psc", topk)
-  }
-
-  /** Recall@k of the composed IVF+PQ stack vs brute force: both fit chains
-    * + cell pruning + ADC scoring (verbatim from [[ivfPqOracle]]) ranked,
-    * intersected with the exact ranking — the number a deployment tunes
-    * (nprobe, m, ksub) against.
-    */
-  private def ivfPqRecallOracle(dim: Int, sampleSize: Int, centroids: Int,
-      m: Int, ksub: Int, iters: Int, nprobe: Int, topk: Int): String = {
-    val (codeJoins, score) = pqScore(dim, m, iters, "b", "qp")
-    ivfFitCte(dim, sampleSize, centroids, iters) + ", " +
-      s"${pqSubCtes(dim, m, ksub, iters)}, " +
-      "q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id % 100 = 0), " +
-      "qp AS (SELECT query_id, qv, cid AS bucket FROM (" +
-      "SELECT q.query_id, q.qv, c.cid, row_number() OVER (PARTITION BY q.query_id " +
-      s"ORDER BY ${dotSql("q.qv", "c.cv")} DESC, c.cid) AS rn " +
-      s"FROM q0 q CROSS JOIN c$iters c) WHERE rn <= $nprobe), " +
-      s"qsc AS (SELECT qp.query_id, b.vec_id AS neighbor_id, $score AS score " +
-      s"FROM cass b JOIN qp USING (bucket) $codeJoins " +
-      "WHERE b.vec_id <> qp.query_id), " +
-      recallTailSql("qsc", topk)
-  }
-
-  /** The RESIDUAL-encoding CTE chain (true IVFADC,
-    * [[graft.functions.Similarity.ivfPqResidualTopK]]): assign the
-    * training sample to the FINAL coarse centroids (argmax dot, ties →
-    * lowest cid — the corpus-assignment rule), subtract to get residual
-    * sample `rsamp` and residual corpus `rnv`, then run the verbatim
-    * per-subspace PQ fit + encode over those relations instead of the
-    * raw ones.
-    */
-  private def ivfPqResCtes(dim: Int, m: Int, ksub: Int, iters: Int): String =
-    // MATERIALIZED: every pe<m> subspace CTE references rnv/rsamp; without
-    // the hint DuckDB re-inlines them — m recomputes of the whole coarse
-    // k-means chain. Materialization changes cost only, never values.
-    "sa AS MATERIALIZED (SELECT vec_id, v, cid FROM (" +
-      "SELECT s.vec_id, s.v, c.cid, row_number() OVER (PARTITION BY s.vec_id " +
-      s"ORDER BY ${dotSql("s.v", "c.cv")} DESC, c.cid) AS rn " +
-      s"FROM samp s CROSS JOIN c$iters c) WHERE rn = 1), " +
-      s"rsamp AS MATERIALIZED (SELECT sa.vec_id, [sa.v[i] - c.cv[i] FOR i IN " +
-      s"range(1, ${dim + 1})] AS v FROM sa JOIN c$iters c ON sa.cid = c.cid), " +
-      s"rnv AS MATERIALIZED (SELECT cass.vec_id, [cass.v[i] - c.cv[i] FOR i IN " +
-      s"range(1, ${dim + 1})] AS v FROM cass JOIN c$iters c ON cass.bucket = c.cid), " +
-      pqSubCtes(dim, m, ksub, iters, sampRel = "rsamp", encRel = "rnv")
-
-  /** Query probe CTE carrying the per-(query, cell) BASE term dot(q, c) —
-    * the same double the probe ranking orders by; residual ADC adds it to
-    * the LUT fold so the score replays `dot(q,c) + Σ dot(q_m, book[code])`.
-    */
-  private def qpBaseCte(iters: Int, nprobe: Int): String =
-    "q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id % 100 = 0), " +
-      "qp AS (SELECT query_id, qv, cid AS bucket, base FROM (" +
-      s"SELECT q.query_id, q.qv, c.cid, ${dotSql("q.qv", "c.cv")} AS base, " +
-      "row_number() OVER (PARTITION BY q.query_id " +
-      s"ORDER BY ${dotSql("q.qv", "c.cv")} DESC, c.cid) AS rn " +
-      s"FROM q0 q CROSS JOIN c$iters c) WHERE rn <= $nprobe)"
-
-  /** True-IVFADC oracle: coarse fit + residual PQ fit/encode + probed-cell
-    * ADC scoring with the per-cell base term added before ranking.
-    */
-  private def ivfPqResScoredCtes(dim: Int, sampleSize: Int, centroids: Int,
-      m: Int, ksub: Int, iters: Int, nprobe: Int): String = {
-    val (codeJoins, score) = pqScore(dim, m, iters, "b", "qp")
-    ivfFitCte(dim, sampleSize, centroids, iters) + ", " +
-      ivfPqResCtes(dim, m, ksub, iters) + ", " +
-      qpBaseCte(iters, nprobe) + ", " +
-      s"sc AS (SELECT qp.query_id, b.vec_id AS neighbor_id, " +
-      s"(qp.base + $score) AS score " +
-      s"FROM cass b JOIN qp USING (bucket) $codeJoins " +
-      "WHERE b.vec_id <> qp.query_id)"
-  }
-
-  private def ivfPqResOracle(dim: Int, sampleSize: Int, centroids: Int,
-      m: Int, ksub: Int, iters: Int, nprobe: Int, topk: Int): String =
-    ivfPqResScoredCtes(dim, sampleSize, centroids, m, ksub, iters, nprobe) +
-      ", " + topKSql("sc", topk)
-
-  /** Recall@k of the true-IVFADC stack vs brute force — ranked next to
-    * [[ivfPqRecallOracle]] so the residual-vs-raw recall gain is itself an
-    * oracle-certified number, not a spec-only anecdote.
-    */
-  private def ivfPqResRecallOracle(dim: Int, sampleSize: Int, centroids: Int,
-      m: Int, ksub: Int, iters: Int, nprobe: Int, topk: Int): String = {
-    val (codeJoins, score) = pqScore(dim, m, iters, "b", "qp")
-    ivfFitCte(dim, sampleSize, centroids, iters) + ", " +
-      ivfPqResCtes(dim, m, ksub, iters) + ", " +
-      qpBaseCte(iters, nprobe) + ", " +
-      s"rsc AS (SELECT qp.query_id, b.vec_id AS neighbor_id, " +
-      s"(qp.base + $score) AS score " +
-      s"FROM cass b JOIN qp USING (bucket) $codeJoins " +
-      "WHERE b.vec_id <> qp.query_id), " +
-      recallTailSql("rsc", topk)
-  }
-
-  /** DuckDB replay of [[graft.functions.Dedup.semanticDedup]]: the shared
-    * k-means fit + assignment, then per-vector max cosine against lower-id
-    * same-cluster vectors; keep = no lower neighbor at ≥ threshold.
-    */
-  private def semanticDedupOracle(dim: Int, sampleSize: Int, centroids: Int,
-      iters: Int, threshold: Double): String =
-    ivfFitCte(dim, sampleSize, centroids, iters) + ", " +
-      "p AS (SELECT b.vec_id, max(" + dotSql("a.v", "b.v") + ") AS max_lower_sim " +
-      "FROM cass a JOIN cass b ON a.bucket = b.bucket AND a.vec_id < b.vec_id " +
-      "GROUP BY b.vec_id) " +
-      "SELECT c.vec_id, CAST(c.bucket AS INT) AS cluster, p.max_lower_sim, " +
-      s"(p.max_lower_sim IS NULL OR p.max_lower_sim < $threshold) AS keep " +
-      "FROM cass c LEFT JOIN p ON c.vec_id = p.vec_id ORDER BY c.vec_id"
-
-  /** Per-query exact top-k ranking shared by the brute/IVF ANN oracles. */
-  /** The SQ8 replay — per-dim min/max train, encode, decode, dim-ordered
-    * score fold — shared by the one-shot and persisted-index queries
-    * (write→read fidelity: the stored tables must answer like a fresh fit).
-    */
-  private lazy val sq8ScoredCtes: String =
-    s"$normEmbCte, " +
-      "dm AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx FROM nv, " +
-      "(SELECT unnest(range(1, 65)) AS i) GROUP BY i), " +
-      "ex AS (SELECT vec_id, i, v[i] AS x FROM nv, " +
-      "(SELECT unnest(range(1, 65)) AS i)), " +
-      "cd AS (SELECT ex.vec_id, ex.i, CASE WHEN dm.mx - dm.mn > 0 THEN " +
-      "round((ex.x - dm.mn) / (dm.mx - dm.mn) * 255.0) ELSE 0 END AS q " +
-      "FROM ex JOIN dm USING (i)), " +
-      "dec AS (SELECT vec_id, cd.i, " +
-      "dm.mn + q / 255.0 * (dm.mx - dm.mn) AS dx " +
-      "FROM cd JOIN dm USING (i)), " +
-      "q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv " +
-      "WHERE vec_id % 100 = 0), " +
-      "sc AS (SELECT query_id, dec.vec_id AS neighbor_id, " +
-      "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-      "list(qv[dec.i] * dec.dx ORDER BY dec.i)), (acc, x) -> acc + x) " +
-      "AS score FROM dec, q0 WHERE dec.vec_id <> q0.query_id " +
-      "GROUP BY 1, 2)"
-
-  private lazy val sq8Oracle: String =
-    s"WITH $sq8ScoredCtes, " + topKSql("sc", 10)
-
-  /** Per-query shortlist CTE — stage 1 of the refine oracles: top `n` of a
-    * scored CTE with the coarse rank carried as `coarse_rank`.
-    */
-  private def shortlistCte(scored: String, n: Int, out: String): String =
-    s"$out AS (SELECT query_id, neighbor_id, rank AS coarse_rank FROM " +
-      "(SELECT *, row_number() OVER (PARTITION BY query_id " +
-      s"ORDER BY score DESC, neighbor_id) AS rank FROM $scored) " +
-      s"WHERE rank <= $n)"
-
-  /** Stage 2 of the refine oracles: exact full-dim rescoring of a
-    * shortlist CTE (expects `nv` and `q0(query_id, qv)` in scope) and the
-    * final top-k keeping both ranks — the [[graft.functions.Similarity
-    * .refineExact]] replay.
-    */
-  private def refineTailSql(shortlist: String, k: Int): String =
-    s"rfx AS (SELECT s.query_id, s.neighbor_id, s.coarse_rank, " +
-      s"${dotSql("q0.qv", "c.v")} AS score FROM $shortlist s " +
-      "JOIN nv c ON c.vec_id = s.neighbor_id " +
-      "JOIN q0 ON q0.query_id = s.query_id), " +
-      "rr AS (SELECT *, row_number() OVER (PARTITION BY query_id " +
-      "ORDER BY score DESC, neighbor_id) AS rank FROM rfx) " +
-      "SELECT query_id, neighbor_id, " +
-      "CAST(coarse_rank AS INT) AS coarse_rank, " +
-      s"CAST(rank AS INT) AS rank, score FROM rr WHERE rank <= $k " +
-      "ORDER BY query_id, rank"
-
-  private def topKSql(scoredCte: String, k: Int): String =
-    s"r AS (SELECT *, row_number() OVER (PARTITION BY query_id " +
-      "ORDER BY score DESC, neighbor_id) AS rank FROM " + scoredCte + ") " +
-      "SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score " +
-      s"FROM r WHERE rank <= $k ORDER BY query_id, rank"
-
-  /** The bigram-LM score replay (rational add-1 model, sorted-fold per-doc
-    * sums) — shared verbatim by the self-trained query and the
-    * persisted-model query (write→read fidelity: the stored tables must
-    * produce the same scores a from-scratch fit does).
-    */
-  private val bigramLmCtes: String =
-    "WITH tk AS (SELECT doc_id, " + toksSql + " AS t FROM documents " +
-      "WHERE text IS NOT NULL), " +
-      "x AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk " +
-      "WHERE len(t) >= 2), " +
-      "bg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS w1, " +
-      "t[i+1] AS w2 FROM x), " +
-      "c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2), " +
-      "c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw FROM c12 GROUP BY 1), " +
-      "v AS (SELECT count(DISTINCT term) AS v FROM " +
-      "(SELECT unnest(t) AS term FROM tk)), " +
-      "sc AS (SELECT bg.doc_id, count(*) AS n, " +
-      "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-      "list((CAST(c12.c AS DOUBLE) + 1.0) / " +
-      "(CAST(c1.cw AS DOUBLE) + 1.0 * CAST(v.v AS DOUBLE)) " +
-      "ORDER BY bg.pos)), (acc, x) -> acc + x) AS s " +
-      "FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) " +
-      "CROSS JOIN v GROUP BY 1)"
-
-  private val bigramLmOracle: String =
-    bigramLmCtes +
-      " SELECT d.doc_id, CAST(COALESCE(sc.n, 0) AS BIGINT) AS n_bigrams, " +
-      "sc.s / CAST(sc.n AS DOUBLE) AS bigram_score " +
-      "FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"
-
-  /** The 16-token chunk-fingerprint CTE chain (`<prefix>tk` → `<prefix>ck`
-    * → `<prefix>fp`) over source CTE `src` — the q_dedup_chunks rolling
-    * hash replay, prefix-parameterized so a bipartite query can chunk two
-    * corpora in one statement.
-    */
-  private def chunkFpCtes(src: String, prefix: String): String =
-    s"${prefix}tk AS (SELECT doc_id, " + toksSql + s" AS t FROM $src " +
-      "WHERE text IS NOT NULL AND len(" + toksSql + ") > 0), " +
-      s"${prefix}ck AS (SELECT doc_id, " +
-      s"unnest(range(0, (len(t) - 1) // 16 + 1)) AS idx, t FROM ${prefix}tk), " +
-      s"${prefix}fp AS (SELECT doc_id, CAST(idx AS BIGINT) AS idx, " +
-      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      "[CAST(unicode(c) AS BIGINT) FOR c IN regexp_extract_all(" +
-      "lower(regexp_replace(trim(" +
-      "array_to_string(t[(idx*16+1):(idx*16+16)], ' ')" +
-      "), '\\s+', ' ', 'g')), '.')]), " +
-      s"(acc, x) -> (acc * 31 + x) % ${graft.functions.RollingHash.Modulus}) " +
-      s"AS f FROM ${prefix}ck)"
-
-  /** The quality-score formula rendered once for every oracle that needs
-    * it (q_text_stats, q_text_score_norm) — the TextAnalysis.qualityScore
-    * replay.
-    */
-  private lazy val qualityScoreSql: String =
-    "0.5 * least(CAST(len(" + toksSql + ") AS DOUBLE) / 100.0, 1.0) " +
-      "+ 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) " +
-      "/ CAST(greatest(length(text), 1) AS DOUBLE)) " +
-      s"+ 0.2 * (CAST(len(list_filter($toksSql, x -> x IN $stopSql)) AS DOUBLE) " +
-      s"/ greatest(CAST(len($toksSql) AS DOUBLE), 1.0))"
 
   private val pipelineQueries: Seq[Q] = Seq(
     Q("q_text_stats",

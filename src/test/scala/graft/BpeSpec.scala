@@ -135,18 +135,18 @@ class BpeSpec extends SparkSpec {
   }
 
   test("local trainer == distributed trainer (q_text_bpe_encode's config path)") {
-    // q_text_bpe_encode embeds SparkEntry.bpeMerges (learned driver-side,
+    // q_text_bpe_encode embeds graft.oracles.PipelineOracles.bpeMerges (learned driver-side,
     // no SparkSession) as shared literals in both engines; this pins the
     // local trainer to the distributed one on the exact seed corpus, so
     // the embedded config can never drift from what learnMerges would say.
-    val seedDf = SparkEntry.bpeSeedCorpus.zipWithIndex
+    val seedDf = graft.oracles.PipelineOracles.bpeSeedCorpus.zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
     val (dist, hist) = Bpe.learnMerges(seedDf, numMerges = 32)
-    assert(SparkEntry.bpeMerges == dist,
+    assert(graft.oracles.PipelineOracles.bpeMerges == dist,
       "learnMergesLocal diverged from learnMerges on the seed corpus")
-    assert(SparkEntry.bpeMerges.nonEmpty)
+    assert(graft.oracles.PipelineOracles.bpeMerges.nonEmpty)
     // the config actually compresses corpus-register words
-    assert(Bpe.segmentWord("customer", SparkEntry.bpeMerges).length <
+    assert(Bpe.segmentWord("customer", graft.oracles.PipelineOracles.bpeMerges).length <
       "customer".length + 1)
     // non-ASCII seeds are rejected (argmax tie-break order would diverge)
     intercept[IllegalArgumentException] {

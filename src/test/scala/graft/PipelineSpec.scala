@@ -1439,7 +1439,7 @@ class PipelineSpec extends SparkSpec {
 
   test("tokenizer fertility: per-language ratios are exact sums of the gated signals") {
     import graft.functions.{Bpe, TextAnalysis}
-    val merges = SparkEntry.bpeMerges
+    val merges = graft.oracles.PipelineOracles.bpeMerges
     val docs = Seq((1L, "the table scan"), (2L, "the hash join"))
       .toDF("doc_id", "text")
     val sums = docs.select(

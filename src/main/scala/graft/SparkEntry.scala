@@ -3137,6 +3137,32 @@ object SparkEntry {
 
     // LINK-DENSITY spam signal (C4 drops link farms): every 5th doc gets
     // two URLs appended; URL count, link-char fraction, spam verdict.
+    // LINK-GRAPH DOMAIN AUTHORITY: weighted PageRank over the corpus's
+    // outlink graph (source domain → linked host, self-links dropped),
+    // 3 fixed power iterations at damping 0.85 with dangling mass
+    // redistributed — the Common-Crawl quality prior as an oracle-gated
+    // number. The fixture spikes every 5th document with a rotating
+    // site{0..6} link and every 3rd with a shared hub link, so the graph
+    // has fan-in skew, dangling targets, AND multi-edge weights; the
+    // oracle unrolls the same iterations as CTEs with the same pinned
+    // fold orders (the k-means-replay discipline applied to PageRank).
+    Q("q_text_domain_rank",
+      (s, d) => {
+        val spiked = Tables.documents(s, d).select(col("doc_id"),
+          col("source"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(5L)) === 0,
+              concat(lit(" https://site"),
+                pmod(col("doc_id"), lit(7L)).cast("string"),
+                lit(".example.com/p"))).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(3L)) === 0,
+              lit(" https://hub.example.net/x")).otherwise(lit("")))
+            .as("text"))
+        TextAnalysis.domainAuthority(spiked, iters = 3, damping = 0.85)
+          .orderBy("domain")
+      },
+      Some(domainRankOracle(iters = 3, damping = 0.85))),
+
     Q("q_text_links",
       (s, d) => {
         val spiked = Tables.documents(s, d).select(col("doc_id"),

@@ -1129,6 +1129,99 @@ object TextAnalysis {
         coalesce(col("link_char_frac") > LinkSpamMin, lit(false)))
   }
 
+  /** LINK-GRAPH DOMAIN AUTHORITY — weighted PageRank over the corpus's
+    * outlink graph, the Common-Crawl-era quality prior (a page hosted by
+    * a domain many OTHER domains cite carries authority its own text
+    * cannot prove; spam farms cite themselves): edges are (document's
+    * source domain → linked URL's host) with multiplicity, self-links
+    * drop, and rank power-iterates a FIXED `iters` rounds at `damping`
+    * with dangling mass redistributed uniformly —
+    *
+    *   r'(v) = (1−d)/N + d · (Σ_{u→v} r(u)·w(u,v)/outw(u) + dm/N)
+    *
+    * Determinism is the whole design: fixed iterations, and every
+    * floating sum folds in a PINNED order (per-target contributions
+    * sorted by source domain, the dangling mass sorted by domain — the
+    * [[bigramScore]] ordered-fold discipline), so the ranks are
+    * bit-identical on any partitioning AND in the DuckDB replay
+    * (q_text_domain_rank unrolls the same iterations as CTEs with the
+    * same IEEE arithmetic).
+    *
+    * Scale shape: the graph aggregates to DOMAIN level before any
+    * iteration (edges ∝ distinct (source, host) pairs, never documents);
+    * each round is one edge-keyed join + one target-keyed fold + a
+    * 1-row dangling aggregate, localCheckpointed so plans stay flat.
+    * Output: (domain, in_domains, out_domains, rank) — rank sums to 1.
+    */
+  def domainAuthority(docs: DataFrame, iters: Int = 3,
+      damping: Double = 0.85, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
+    val urls = docs
+      .filter(col(textCol).isNotNull && col(sourceCol).isNotNull)
+      .select(col(sourceCol).cast("string").as("src"),
+        explode(expr(
+          s"regexp_extract_all($textCol, '$UrlRx', 0)")).as("url"))
+    val edges = urls
+      .select(col("src"),
+        regexp_extract(col("url"), "^https?://([^/?#\\s]+)", 1).as("dst"))
+      .filter(col("dst") =!= "" && col("dst") =!= col("src"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("domain"))
+      .unionByName(edges.select(col("dst").as("domain")))
+      .unionByName(docs.filter(col(sourceCol).isNotNull)
+        .select(col(sourceCol).cast("string").as("domain")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count().toDouble
+    val outw = edges.groupBy("src").agg(sum(col("w")).as("outw"))
+      .localCheckpoint(true)
+
+    var ranks = nodes.select(col("domain"),
+      (lit(1.0) / lit(n)).as("r")).localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("domain", "src"), Seq("src"))
+        .join(outw, Seq("src"))
+        .select(col("dst"), col("src"),
+          (col("r") * col("w") / col("outw")).as("c"))
+      val inSums = contribs.groupBy(col("dst"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("src"), col("c")))),
+          lit(0.0), (acc, x) => acc + x.getField("c")).as("insum"))
+      val dangling = ranks
+        .join(outw.select(col("src").as("domain")), Seq("domain"),
+          "left_anti")
+        .agg(coalesce(aggregate(
+          array_sort(collect_list(struct(col("domain"), col("r")))),
+          lit(0.0), (acc, x) => acc + x.getField("r")), lit(0.0)).as("dm"))
+      ranks = nodes
+        .join(inSums.withColumnRenamed("dst", "domain"), Seq("domain"),
+          "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("domain"),
+          (lit(1.0 - damping) / lit(n) + lit(damping) *
+            (coalesce(col("insum"), lit(0.0)) + col("dm") / lit(n)))
+            .as("r"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    val inDeg = edges.groupBy(col("dst"))
+      .agg(count_distinct(col("src")).as("in_domains"))
+    val outDeg = edges.groupBy(col("src"))
+      .agg(count_distinct(col("dst")).as("out_domains"))
+    ranks
+      .join(inDeg.withColumnRenamed("dst", "domain"), Seq("domain"), "left")
+      .join(outDeg.withColumnRenamed("src", "domain"), Seq("domain"), "left")
+      .select(col("domain"),
+        coalesce(col("in_domains"), lit(0L)).as("in_domains"),
+        coalesce(col("out_domains"), lit(0L)).as("out_domains"),
+        col("r").as("rank"))
+  }
+
   /** CODE-DETECTION routing signal — the corpus-mixture router (code vs
     * prose get different filters, tokenizers, and mixture weights): code
     * punctuation + keyword counts per token, `is_code` at

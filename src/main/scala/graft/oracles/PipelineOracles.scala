@@ -1119,6 +1119,64 @@ private[graft] object PipelineOracles {
     * it (q_text_stats, q_text_score_norm) — the TextAnalysis.qualityScore
     * replay.
     */
+  /** DuckDB replay of [[TextAnalysis.domainAuthority]] on the spiked-link
+    * fixture: the SAME fixed power iterations unroll as CTEs (the
+    * ivfFitCte discipline for k-means, applied to PageRank), every
+    * floating sum folds in the same pinned order (per-target
+    * contributions ORDER BY src, dangling mass ORDER BY domain), and the
+    * damping constants render from the SAME Scala doubles via
+    * string-casts — so the ranks hash-match to the bit.
+    */
+  private[graft] def domainRankOracle(iters: Int, damping: Double): String = {
+    val base = s"CAST('${1.0 - damping}' AS DOUBLE)"
+    val d = s"CAST('$damping' AS DOUBLE)"
+    val z = "CAST(0.0 AS DOUBLE)"
+    val spike = "text || CASE WHEN doc_id % 5 = 0 THEN " +
+      "' https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p' " +
+      "ELSE '' END || CASE WHEN doc_id % 3 = 0 THEN " +
+      "' https://hub.example.net/x' ELSE '' END"
+    val iterCtes = (1 to iters).map { k =>
+      val p = s"r${k - 1}"
+      s"c$k AS (SELECT e.dst, e.src, $p.r * e.w / od.outw AS c " +
+        s"FROM e JOIN $p ON e.src = $p.domain JOIN od ON e.src = od.src), " +
+        s"i$k AS (SELECT dst, list_reduce(list_prepend($z, " +
+        "list(c ORDER BY src)), (a, x) -> a + x) AS insum " +
+        s"FROM c$k GROUP BY dst), " +
+        s"d$k AS (SELECT COALESCE(list_reduce(list_prepend($z, " +
+        "list(r ORDER BY domain)), (a, x) -> a + x), " + z + ") AS dm " +
+        s"FROM $p WHERE domain NOT IN (SELECT src FROM od)), " +
+        s"r$k AS (SELECT nodes.domain, $base / nn.n + $d * " +
+        s"(COALESCE(i$k.insum, $z) + d$k.dm / nn.n) AS r " +
+        s"FROM nodes CROSS JOIN nn CROSS JOIN d$k " +
+        s"LEFT JOIN i$k ON nodes.domain = i$k.dst)"
+    }.mkString(", ")
+    s"WITH w AS (SELECT doc_id, source, $spike AS text FROM documents " +
+      "WHERE text IS NOT NULL AND source IS NOT NULL), " +
+      "u AS (SELECT source AS src, unnest(regexp_extract_all(text, " +
+      s"'${TextAnalysis.UrlRx}')) AS url FROM w), " +
+      "e0 AS (SELECT src, regexp_extract(url, '^https?://([^/?#\\s]+)', 1) " +
+      "AS dst FROM u), " +
+      "e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM e0 " +
+      "WHERE dst <> '' AND dst <> src GROUP BY 1, 2), " +
+      "nodes AS (SELECT DISTINCT domain FROM (" +
+      "SELECT src AS domain FROM e UNION ALL SELECT dst FROM e " +
+      "UNION ALL SELECT source FROM documents WHERE source IS NOT NULL) q0), " +
+      "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), " +
+      "od AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY 1), " +
+      "r0 AS (SELECT domain, CAST('1.0' AS DOUBLE) / nn.n AS r " +
+      "FROM nodes CROSS JOIN nn), " +
+      iterCtes + ", " +
+      "ind AS (SELECT dst, count(DISTINCT src) AS ind FROM e GROUP BY 1), " +
+      "outd AS (SELECT src, count(DISTINCT dst) AS outd FROM e GROUP BY 1) " +
+      s"SELECT r$iters.domain, " +
+      "CAST(COALESCE(ind.ind, 0) AS BIGINT) AS in_domains, " +
+      "CAST(COALESCE(outd.outd, 0) AS BIGINT) AS out_domains, " +
+      s"r$iters.r AS rank FROM r$iters " +
+      s"LEFT JOIN ind ON r$iters.domain = ind.dst " +
+      s"LEFT JOIN outd ON r$iters.domain = outd.src " +
+      "ORDER BY domain"
+  }
+
   private[graft] lazy val qualityScoreSql: String =
     "0.5 * least(CAST(len(" + toksSql + ") AS DOUBLE) / 100.0, 1.0) " +
       "+ 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) " +

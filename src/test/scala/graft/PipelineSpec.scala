@@ -1287,6 +1287,40 @@ class PipelineSpec extends SparkSpec {
       (1L, 1L, "own one"), (2L, 1L, "own two"), (3L, 1L, "own three")))
   }
 
+  test("domain authority: rank mass conserved, citations buy rank, determinism") {
+    import graft.functions.TextAnalysis
+    // hand graph: a and b both cite hub; b also cites a; c is isolated
+    val docs = Seq(
+      (1L, "a", "see https://hub.x/1"),
+      (2L, "b", "see https://hub.x/2 and https://a/page"),
+      (3L, "c", "no links here"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.domainAuthority(docs, iters = 3, damping = 0.85)
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val m = out.map(x => x._1 -> x).toMap
+    assert(m.keySet == Set("a", "b", "c", "hub.x"))
+    // rank is a probability distribution (dangling mass redistributed)
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-9,
+      s"ranks must sum to 1: ${out.toSeq}")
+    // two citing domains beat one; one beats zero
+    assert(m("hub.x")._4 > m("a")._4 && m("a")._4 > m("b")._4,
+      s"authority must follow citations: ${out.toSeq}")
+    assert(m("hub.x")._2 == 2L && m("a")._2 == 1L && m("c")._2 == 0L)
+    assert(m("b")._3 == 2L && m("c")._3 == 0L)
+    // bit-determinism across runs (pinned fold orders)
+    val again = TextAnalysis.domainAuthority(docs, iters = 3, damping = 0.85)
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == again.toSeq, "ranks must be bit-deterministic")
+    // self-links never count
+    val selfy = TextAnalysis.domainAuthority(
+      Seq((1L, "a", "https://a/self")).toDF("doc_id", "source", "text"),
+      iters = 2)
+    assert(selfy.count() == 1 &&
+      selfy.first().getLong(2) == 0L, "self-links must drop")
+  }
+
   test("classifier training: hand-worked gradient step, determinism, register separation") {
     import graft.functions.TextAnalysis
     // ONE full-batch GD step from zero init, lr 1, examples

@@ -132,12 +132,18 @@ object Bench {
       s""""failed":${failedNames.size},"failed_queries":[""" +
         failedNames.map("\"" + _ + "\"").mkString(",") + "]"
     // a flag STANDS only when the standalone-warm median still breaches
-    // 2x its baseline (no baseline -> cleared: spread flags with no bar
-    // to compare against are ambient by construction)
+    // 2x its baseline; a spread flag with NO baseline row is not silently
+    // cleared — it can't stand (no bar to breach) but it is REPORTED in
+    // its own count so a regressed newly-added query is visible until
+    // someone records its baseline
     val standing = adj.filter { case (n, a) =>
       a >= 0 && baselines.get(n).exists(b => b > 0 && a / b > 2.0) }
+    val unbaselined = adj.filter { case (n, _) =>
+      !baselines.get(n).exists(_ > 0) }
     val adjJson =
       s""""flags_raw":${flagged.size},"flags_standing":${standing.size},""" +
+        s""""flags_unbaselined":${unbaselined.size},""" +
+        s""""unbaselined_queries":[${unbaselined.map("\"" + _._1 + "\"").mkString(",")}],""" +
         s""""adjudicated":${jmap(adj)},"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (s"""{"runs":$runs,"sf":"$sfDir","noise":$noise,$failedJson,$adjJson""" +

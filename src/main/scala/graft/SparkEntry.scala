@@ -1471,8 +1471,11 @@ object SparkEntry {
         "doc AS (SELECT doc_id, list_reduce(" +
         "list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY pos)), " +
         "(a, x) -> a + x) AS unigram_logprob FROM ws GROUP BY doc_id) " +
+        // LEFT JOIN, not inner: a NULL-text document has no tok rows (so
+        // no doc row) but the Spark side still emits it with NULL
+        // n_words/score — the bpeEncodeOracle discipline (ADVICE r13)
         "SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_words, " +
-        "doc.unigram_logprob FROM tk JOIN doc USING (doc_id) " +
+        "doc.unigram_logprob FROM tk LEFT JOIN doc USING (doc_id) " +
         "ORDER BY doc_id")),
 
     // TOKENIZER FERTILITY per detected language — the tokenizer-fairness

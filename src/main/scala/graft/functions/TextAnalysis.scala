@@ -331,6 +331,12 @@ object TextAnalysis {
     val examples = rows.toSeq.map { r =>
       val toks = Option(r.getAs[scala.collection.Seq[String]]("__t"))
         .map(_.toSeq).getOrElse(Seq.empty)
+      // a label that casts to NULL (bad source format, NULL column) must
+      // fail with the same loud labels-must-be-0/1 message the local
+      // trainer raises, not an opaque NPE from getInt on a null cell
+      require(!r.isNullAt(1),
+        s"label for doc_id=${r.get(0)} is NULL after cast to int; " +
+          "labels must be 0 or 1")
       (toks, r.getInt(1))
     }
     trainClassifierLocal(examples, vocab, iters, lr)
@@ -855,6 +861,13 @@ object TextAnalysis {
       // a torn two-table publish must never look queryable
       toked.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
         .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_globals")
+      // per-doc lengths INCLUDING token-less docs (empty/NULL text): such a
+      // doc is counted in n_docs but has NO postings rows, so the deletion
+      // path must recover dl from here, not from postings (a postings join
+      // would silently skip it and n_docs/avgdl would never be corrected)
+      toked.select(col("doc_id"), coalesce(col("dl"), lit(0L)).as("dl"))
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${name}_doclens")
       graft.sources.Tables.writeBucketed(
         bm25Postings(toked), s"${name}_postings", "term", buckets)
     } catch {
@@ -868,7 +881,8 @@ object TextAnalysis {
   def dropSearchIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
     requireIndexName(name)
     graft.sources.Tables.dropManagedTables(
-      spark, Seq(s"${name}_postings", s"${name}_globals", s"${name}_deletes"))
+      spark, Seq(s"${name}_postings", s"${name}_globals", s"${name}_doclens",
+        s"${name}_deletes"))
   }
 
   /** TARGETED DELETION from a BM25 index — the canonical takedown
@@ -877,7 +891,10 @@ object TextAnalysis {
     * scoring depends on without touching the postings body — n_docs and
     * avgdl shrink by the tombstone aggregate, per-term df shrinks
     * because the anti-joined postings are what the df count sees. One
-    * postings scan at delete time recovers the ids' document lengths
+    * doclens lookup at delete time recovers the ids' document lengths —
+    * the build-time (doc_id, dl) table, NOT postings, because a
+    * token-less document (empty/NULL text) is counted in n_docs yet has
+    * no postings rows, and a postings join would silently skip it
     * (already-tombstoned ids are excluded, so a repeated delete cannot
     * double-subtract); [[compactSearchIndex]] is the amortized physical
     * purge. Rebuild-minus-deleted equality is hash-certified by
@@ -890,9 +907,9 @@ object TextAnalysis {
     require(ids.nonEmpty, "empty deletion batch")
     import spark.implicits._
     val idsDf = ids.toDF("doc_id")
-    val rows = spark.table(s"${name}_postings")
+    val rows = spark.table(s"${name}_doclens")
       .join(org.apache.spark.sql.functions.broadcast(idsDf), Seq("doc_id"))
-      .select(col("doc_id"), col("dl")).distinct()
+      .select(col("doc_id"), col("dl"))
     val novel =
       if (spark.catalog.tableExists(s"${name}_deletes"))
         rows.join(spark.table(s"${name}_deletes").select("doc_id"),
@@ -915,6 +932,9 @@ object TextAnalysis {
       graft.sources.Tables.rewriteBucketed(spark, s"${name}_postings",
         graft.sources.Tables.minusDeletes(spark, name,
           spark.table(s"${name}_postings"), "doc_id"))
+      graft.sources.Tables.rewriteTable(spark, s"${name}_doclens",
+        graft.sources.Tables.minusDeletes(spark, name,
+          spark.table(s"${name}_doclens"), "doc_id"))
       import spark.implicits._
       Seq((g.getLong(0), g.getLong(1))).toDF("n_docs", "sum_dl")
         .write.mode("overwrite").format("parquet")

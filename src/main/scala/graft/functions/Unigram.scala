@@ -59,19 +59,34 @@ object Unigram {
   /** Train a unigram-LM vocabulary over a corpus: ONE corpus scan for the
     * word histogram (collected driver-side in (word asc) order — the
     * deterministic [[Bpe.learnMerges]] discipline), then [[trainLocal]].
+    * `maxHistogramWords` is the loud driver-heap bound — the same
+    * contract as [[Bpe.learnMergesLocal]]: the histogram is
+    * Heaps-bounded (~corpus^0.5 distinct words) but at 100 TB that is
+    * ~10^8 rows, and an unbounded collect would be a silent driver OOM
+    * instead of a documented failure with a named knob.
     */
   def train(docs: DataFrame, vocabSize: Int, seedSize: Int = 512,
       maxPieceLen: Int = 4, emIters: Int = 2, pruneKeep: Double = 0.75,
-      textCol: String = "text"): Seq[VocabPiece] = {
-    val hist = docs
+      textCol: String = "text",
+      maxHistogramWords: Long = 20000000L): Seq[VocabPiece] = {
+    val histDf = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .orderBy("word")
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-      .toSeq
-    trainLocal(hist, vocabSize, seedSize, maxPieceLen, emIters, pruneKeep)
+      .persist() // count + collect share one corpus scan
+    try {
+      val nWords = histDf.count()
+      require(nWords <= maxHistogramWords,
+        s"word histogram has $nWords distinct words > budget " +
+          s"$maxHistogramWords — raise maxHistogramWords (driver heap " +
+          "permitting) or pre-filter the corpus")
+      val hist = histDf
+        .orderBy("word")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .toSeq
+      trainLocal(hist, vocabSize, seedSize, maxPieceLen, emIters, pruneKeep)
+    } finally { histDf.unpersist(); () }
   }
 
   /** The driver-local trainer over a bounded (word, count) histogram —

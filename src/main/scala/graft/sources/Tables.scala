@@ -318,6 +318,16 @@ object Tables {
   /** [[rewriteBucketed]] for any managed table: preserves the bucket
     * spec when one exists, plain overwrite otherwise (the SQ/PQ codes
     * tables are unbucketed full-scan artifacts).
+    *
+    * Publish is a RENAME-SWAP, never drop-then-rename: the live rows are
+    * renamed aside to `<table>_old` only after the replacement is fully
+    * written, then the stage renames into place and `_old` is dropped.
+    * Every crash window leaves a complete copy of the data catalogued —
+    * worst case (between the two renames) the live name is briefly absent
+    * but both `<table>_old` (previous rows) and `<table>_stage`
+    * (replacement rows) are intact and queryable; recovery is renaming
+    * either back. The next successful rewrite also self-heals: stale
+    * `_stage`/`_old` orphans are dropped up front.
     */
   private[graft] def rewriteTable(spark: SparkSession, table: String,
       df: DataFrame): Unit = {
@@ -325,13 +335,15 @@ object Tables {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec
     val stage = s"${table}_stage"
-    dropManagedTables(spark, Seq(stage))
+    val old = s"${table}_old"
+    dropManagedTables(spark, Seq(stage, old))
     val w = df.write.mode("overwrite").format("parquet")
     spec.fold(w)(s => w.bucketBy(s.numBuckets, s.bucketColumnNames.head)
         .sortBy(s.sortColumnNames.head))
       .saveAsTable(stage)
-    dropManagedTables(spark, Seq(table))
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+    dropManagedTables(spark, Seq(old))
   }
 
   /** Two-source unified view (orders ∪ lineitem), the analog of the

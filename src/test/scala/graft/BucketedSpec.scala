@@ -854,6 +854,44 @@ class BucketedSpec extends SparkSpec {
     } finally TextAnalysis.dropSearchIndex(spark, "bm25_stale_idx")
   }
 
+  test("bm25 deletion of token-less docs still corrects n_docs/avgdl (ADVICE r13)") {
+    import graft.functions.TextAnalysis
+    // doc 8 is empty-ish (whitespace) and doc 9 is NULL text: both are
+    // counted in n_docs at build time yet have no meaningful postings —
+    // deleting them must still shrink the globals, which only works if
+    // the tombstone dl comes from the build-time doclens table, not from
+    // a postings join (which would silently skip them)
+    val full = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana mango banana"),
+      (8L, ""),
+      (9L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val without = full.filter($"doc_id" < 8L)
+    TextAnalysis.writeSearchIndex(full, "bm25_nulldel_idx", buckets = 2)
+    TextAnalysis.writeSearchIndex(without, "bm25_nulldel_ref", buckets = 2)
+    try {
+      TextAnalysis.deleteFromSearchIndex(spark, "bm25_nulldel_idx", Seq(8L, 9L))
+      val terms = Seq("apple", "banana")
+      def rows(name: String) =
+        TextAnalysis.bm25SearchIndexed(spark, name, terms, 5)
+          .collect().map(_.toSeq).toSeq
+      assert(rows("bm25_nulldel_idx") == rows("bm25_nulldel_ref"),
+        "tombstoned read must equal the rebuild-without-deleted ranking " +
+          "(n_docs/avgdl corrected for token-less docs)")
+      // repeated delete must not double-subtract
+      TextAnalysis.deleteFromSearchIndex(spark, "bm25_nulldel_idx", Seq(8L, 9L))
+      assert(rows("bm25_nulldel_idx") == rows("bm25_nulldel_ref"))
+      // compaction bakes the corrected pair in and stays equal
+      TextAnalysis.compactSearchIndex(spark, "bm25_nulldel_idx")
+      assert(!spark.catalog.tableExists("bm25_nulldel_idx_deletes"))
+      assert(rows("bm25_nulldel_idx") == rows("bm25_nulldel_ref"))
+    } finally {
+      TextAnalysis.dropSearchIndex(spark, "bm25_nulldel_idx")
+      TextAnalysis.dropSearchIndex(spark, "bm25_nulldel_ref")
+    }
+  }
+
   // --- persisted MinHash-LSH dedup index ------------------------------
 
   /** Seen corpus with two near-twin families and one decoy; the batch

@@ -82,6 +82,22 @@ class UnigramSpec extends SparkSpec {
     assert(viaDf == viaLocal, "train(docs) must equal trainLocal(histogram)")
   }
 
+  test("train fails LOUDLY when the word histogram exceeds maxHistogramWords") {
+    // the Bpe.learnMergesLocal discipline: the driver-side histogram
+    // collect must be guarded by a named budget, not a silent OOM
+    val docs = Seq((1L, "riverbank river bank")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Unigram.train(docs, vocabSize = 20, seedSize = 16,
+        maxPieceLen = 3, emIters = 1, maxHistogramWords = 2L)
+    }
+    assert(e.getMessage.contains("maxHistogramWords"),
+      s"failure must name the knob: ${e.getMessage}")
+    // at the budget boundary (3 distinct words, budget 3) it trains fine
+    val ok = Unigram.train(docs, vocabSize = 20, seedSize = 16,
+      maxPieceLen = 3, emIters = 1, maxHistogramWords = 3L)
+    assert(ok.nonEmpty)
+  }
+
   test("native score expression: Viterbi log-prob per doc, OOV floor, matches segmentWord") {
     val vocab = Seq(
       Unigram.VocabPiece("ab", math.log(0.6)),

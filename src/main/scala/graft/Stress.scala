@@ -679,7 +679,7 @@ object Stress {
             (col("user_id") + col("replica") * idOff).as("user_id"),
             col("event_type"), col("value"), col("props"))
           .write.mode("overwrite").parquet(s"$dir/events.parquet")
-        if (kind == "knn" || kind == "knn23") {
+        if (kind == "knn" || kind == "knn23" || kind == "assign") {
           val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
             .crossJoin(rep)
           emb.select((col("vec_id") + col("replica") * idOff).as("vec_id"),
@@ -761,6 +761,32 @@ object Stress {
               nprobe = 3, sampleSize = math.max(256, cells * 4), iters = 2)
             .filter(col("score") >= -2.0)
         })
+      else if (kind == "assign")
+        // the ASSIGNMENT stage alone at the cellsFor(N) cell count, flat
+        // vs two-level: flat scores every row against all cells (N·cells
+        // = N^(5/3) flops under the policy — the last named superlinear
+        // of round 13), two-level scores √cells supers + one super's
+        // children (N·~2√cells = N^(7/6)). The claim to certify is the
+        // exponent DROP between the two arms on the same rungs; the
+        // filter consumes the cluster column so the count() cannot prune
+        // the assignment away.
+        Seq[(String, String => DataFrame)](
+          "assign_flat" -> { d =>
+            val emb = sources.Tables.embeddings(spark, d)
+            val n = emb.count()
+            val cells = functions.Similarity.cellsFor(n)
+            functions.Similarity.assignProbe(emb, cells, twoLevel = false,
+                sampleSize = math.max(256, cells * 4))
+              .filter(col("cluster") >= 0)
+          },
+          "assign_2lvl" -> { d =>
+            val emb = sources.Tables.embeddings(spark, d)
+            val n = emb.count()
+            val cells = functions.Similarity.cellsFor(n)
+            functions.Similarity.assignProbe(emb, cells, twoLevel = true,
+                sampleSize = math.max(256, cells * 4))
+              .filter(col("cluster") >= 0)
+          })
       else if (kind == "novelty")
         // trigram novelty — one trigram-keyed shuffle + doc rollup: the
         // claim to certify is a ~1.0 exponent (rows ∝ corpus tokens,

@@ -1144,19 +1144,24 @@ object Similarity {
   /** Scan-side probe-cell selection shared by the one-shot and indexed
     * graph builds: rank the literal centroid table per row with the
     * training tie rule (score desc, cid asc) via an array comparator —
-    * no window, no shuffle — and keep the first nprobe cell ids.
+    * no window, no shuffle — and keep the first nprobe cell ids. At
+    * [[twoLevelThreshold]]+ cells this routes through
+    * [[twoLevelProbes]] (same output contract, ~2·√cells dots per row).
     */
   private def probeCells(cents: Array[Array[Double]], nprobe: Int)
-      (v: Column): Column = {
-    val ranked = array_sort(
-      zip_with(centroidScores(cents)(v),
-        sequence(lit(0), lit(cents.length - 1)),
-        (s, i) => struct(s.as("s"), i.as("cid"))),
-      (l, r) => when(l.getField("s") > r.getField("s"), -1)
-        .when(l.getField("s") < r.getField("s"), 1)
-        .otherwise(l.getField("cid") - r.getField("cid")).cast("int"))
-    slice(ranked, 1, nprobe).getField("cid")
-  }
+      (v: Column): Column =
+    if (cents.length >= twoLevelThreshold)
+      twoLevelProbes(superQuantizer(cents), cents, nprobe)(v)
+    else {
+      val ranked = array_sort(
+        zip_with(centroidScores(cents)(v),
+          sequence(lit(0), lit(cents.length - 1)),
+          (s, i) => struct(s.as("s"), i.as("cid"))),
+        (l, r) => when(l.getField("s") > r.getField("s"), -1)
+          .when(l.getField("s") < r.getField("s"), 1)
+          .otherwise(l.getField("cid") - r.getField("cid")).cast("int"))
+      slice(ranked, 1, nprobe).getField("cid")
+    }
 
   /** The graph scoring tail shared by both builds: cell join, self-edge
     * drop, exact cosine, top-k window.
@@ -1183,12 +1188,15 @@ object Similarity {
     *
     * Asymptote note for the scan-side assignment: scoring every row
     * against a literal centroid array costs N·cells flops, which under
-    * this policy is N^(5/3) of pure codegen'd arithmetic — irrelevant at
-    * ladder scale (15k vectors × 152 cells × 64 dims ≈ 150M flops) and
-    * bounded at production scale by going hierarchical (a two-level
-    * coarse quantizer: √cells super-cells then √cells children, the
-    * standard IVF scaling move), which is an assignment-side refactor
-    * that leaves this cell-count rule and the candidate math unchanged.
+    * this policy would be N^(5/3). That term is now BOUNDED: at
+    * [[twoLevelThreshold]]+ cells, assignment and probe selection route
+    * through [[superQuantizer]]'s two-level rule (√cells super-cells,
+    * then only that super's children), so the per-row cost is ~2·√cells
+    * dots and the assignment term is N^(4/3) — the same order as the
+    * candidate volume, no remaining named superlinear above it. The
+    * cell-count rule and the candidate math are unchanged (Stress
+    * `assignladder` measures the exponent drop; BucketedSpec pins the
+    * recall floor and indexed≡one-shot fidelity on the two-level path).
     */
   def cellsFor(n: Long): Int = {
     require(n > 0, "corpus size must be positive")
@@ -1296,16 +1304,192 @@ object Similarity {
   private[functions] def centroidScores(cents: Array[Array[Double]])(v: Column): Column =
     array(cents.map(cv => dot(v, array(cv.map(lit).toIndexedSeq: _*))).toIndexedSeq: _*)
 
+  /** Two-level coarse-assignment threshold. Below this cell count the
+    * flat argmax over all centroid literals wins (and every oracle-gated
+    * query, at 8 cells, stays on the bit-pinned flat path); at or above
+    * it, corpus-side assignment and probe selection route through
+    * [[superQuantizer]]'s two-level rule, bounding the per-row flop cost
+    * at ~2·√cells dots instead of `cells`. Under the [[cellsFor]]
+    * N^(2/3) policy that turns the corpus-assignment term from N·cells =
+    * N^(5/3) into N·√cells = N^(4/3) — the "going hierarchical" move the
+    * cellsFor scaladoc names, as a pure assignment-side refactor: the
+    * cell-count rule and the candidate math are unchanged. (The next
+    * bound beyond this one is plan size: the centroid table is still a
+    * folded literal, so at cells where cells·dim literals stop being
+    * KB-scale the centroids move to a broadcast table — out of scope
+    * here, the rule is documented.)
+    */
+  private[graft] val twoLevelThreshold = 64
+
+  /** A two-level coarse quantizer derived DETERMINISTICALLY from the
+    * trained centroids: ~√cells super-centroids fit by the same local
+    * Lloyd discipline as [[trainCentroids]] (init = first √cells
+    * centroids in cid order, 2 rounds, ties to the lowest sid, L2-
+    * renormalized means, empty supers keep their init), then each cell
+    * files under its best super. Supers that end up with no children are
+    * dropped (their cells all filed elsewhere), so every cell appears in
+    * exactly one child list and candidate arrays are never empty.
+    * Because the hierarchy is a pure function of the centroid array,
+    * build, upsert, indexed reads, and one-shot builds all derive the
+    * SAME rule from the same stored centroids — no extra artifact.
+    */
+  private[functions] final case class CoarseHierarchy(
+      supers: Array[Array[Double]], children: Array[Array[Int]])
+
+  private[functions] def superQuantizer(
+      cents: Array[Array[Double]]): CoarseHierarchy = {
+    val n = cents.length
+    val s0 = math.max(2, math.round(math.sqrt(n.toDouble)).toInt)
+    def assignAll(su: Array[Array[Double]]): Array[Int] =
+      cents.map { cv =>
+        var best = 0; var bs = dotD(cv, su(0)); var i = 1
+        while (i < su.length) {
+          val sc = dotD(cv, su(i)); if (sc > bs) { best = i; bs = sc }; i += 1
+        }
+        best
+      }
+    var sup = Array.tabulate(s0)(cents(_).clone)
+    for (_ <- 1 to 2) {
+      val a = assignAll(sup)
+      sup = Array.tabulate(s0) { sid =>
+        val mem = cents.indices.filter(a(_) == sid)
+        if (mem.isEmpty) sup(sid)
+        else {
+          val dim = sup(sid).length
+          val mean = Array.tabulate(dim) { d =>
+            var acc = 0.0; mem.foreach(i => acc += cents(i)(d)); acc / mem.length
+          }
+          var ss = 0.0; var i = 0
+          while (i < dim) { ss += mean(i) * mean(i); i += 1 }
+          val nrm = math.sqrt(ss)
+          if (nrm > 0) mean.map(_ / nrm) else sup(sid)
+        }
+      }
+    }
+    val fin = assignAll(sup)
+    val keep = (0 until s0).filter(sid => fin.contains(sid))
+    CoarseHierarchy(
+      keep.map(sup(_)).toArray,
+      keep.map(sid => cents.indices.filter(fin(_) == sid).toArray).toArray)
+  }
+
+  /** One super's children scored against the row vector, as a struct
+    * array `array<struct<negs,cid>>` whose NATURAL ascending order
+    * (negated score asc = score desc, then cid asc under Double.compare)
+    * is exactly the probe tie rule — so `sort_array` ranks it with no
+    * comparator lambda. That matters: a lambda makes the expression a
+    * higher-order function, which is unsupported by whole-stage codegen
+    * and drags the ENTIRE projection into interpreted eval (the first
+    * cut of this path did that — and an element_at into a nested
+    * centroid-table literal besides — and lost 25× to it; measured in
+    * the round-14 assign ladder). Every node here (CreateArray,
+    * CreateStruct, dot, CaseWhen, SortArray, Slice) participates in
+    * codegen, and the array is built ONLY inside the lazy CASE branch
+    * for its super, so per row just the selected supers' children are
+    * ever scored.
+    */
+  private def scoredChildren(cents: Array[Array[Double]],
+      children: Array[Int])(v: Column): Column =
+    array(children.map { cid =>
+      struct((-dot(v, array(cents(cid).map(lit).toIndexedSeq: _*))).as("negs"),
+        lit(cid).as("cid"))
+    }.toIndexedSeq: _*)
+
+  /** A foldable empty `array<struct<negs,cid>>` — the `otherwise` arm of
+    * unselected supers (constant-folded to a literal, zero per-row cost).
+    */
+  private def emptyScored: Column =
+    slice(array(struct(lit(0.0).as("negs"), lit(0).as("cid"))), 1, 0)
+
+  /** Two-level probe selection: rank supers (score desc, sid asc), take
+    * enough supers that ANY such choice is guaranteed ≥ nprobe candidate
+    * cells (computed driver-side from the child-list sizes) plus one for
+    * recall margin, then rank only those supers' children and keep the
+    * nprobe best — the [[probeCells]] contract at ~2·√cells dots per
+    * row instead of `cells`, all inside whole-stage codegen.
+    */
+  private def twoLevelProbes(h: CoarseHierarchy,
+      cents: Array[Array[Double]], nprobe: Int)(v: Column): Column = {
+    val s = h.supers.length
+    val sizes = h.children.map(_.length).sorted
+    var cum = 0; var p = 0
+    while (p < sizes.length && cum < nprobe) { cum += sizes(p); p += 1 }
+    val probeSupers = math.min(s, p + 1)
+    val sRanked = sort_array(array(h.supers.indices.map { i =>
+      struct((-dot(v, array(h.supers(i).map(lit).toIndexedSeq: _*))).as("negs"),
+        lit(i).as("sid"))
+    }.toIndexedSeq: _*))
+    val picked = slice(sRanked, 1, probeSupers).getField("sid")
+    val branches = h.children.indices.map { i =>
+      when(array_contains(picked, lit(i)),
+        scoredChildren(cents, h.children(i))(v))
+        .otherwise(emptyScored)
+    }
+    slice(sort_array(concat(branches: _*)), 1, nprobe).getField("cid")
+  }
+
   /** Normalized corpus with each vector's best trained centroid as an int
     * `cluster` column (argmax dot, ties to the lowest cid — the training
-    * rule). Shared by trained-IVF search and semantic dedup.
+    * rule). Shared by trained-IVF search and semantic dedup. At
+    * [[twoLevelThreshold]]+ cells the argmax goes two-level (nearest
+    * super-cell, then that super's children — ties to the lowest cid
+    * within the children); below it, flat over all cells.
     */
   private[functions] def assignToCentroids(nv: DataFrame,
+      cents: Array[Array[Double]]): DataFrame =
+    if (cents.length < twoLevelThreshold) assignFlat(nv, cents)
+    else assignTwoLevel(nv, cents)
+
+  private[graft] def assignFlat(nv: DataFrame,
       cents: Array[Array[Double]]): DataFrame =
     nv.withColumn("scores", centroidScores(cents)(col("v")))
       .withColumn("cluster",
         (array_position(col("scores"), array_max(col("scores"))) - 1).cast("int"))
       .drop("scores")
+
+  /** Two-level scan-side assignment: argmax super (ties to the lowest
+    * sid — first-max over the materialized super-score column, the flat
+    * path's own idiom), then a lazy CASE branch per super whose body is
+    * the flat argmax over ONLY that super's children (ties to the lowest
+    * cid: child lists are cid-ascending and array_position returns the
+    * FIRST max). Per row: √cells super dots + one super's ~√cells child
+    * dots — never all `cells` — and every node is codegen-able (no
+    * higher-order functions: see [[scoredChildren]] for why that is
+    * load-bearing).
+    */
+  private[graft] def assignTwoLevel(nv: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    val h = superQuantizer(cents)
+    val branches = h.children.indices.map { i =>
+      val ch = h.children(i)
+      val scores = array(ch.map(cid =>
+        dot(col("v"), array(cents(cid).map(lit).toIndexedSeq: _*))).toIndexedSeq: _*)
+      (col("__sid") === lit(i),
+        element_at(array(ch.map(lit(_)).toIndexedSeq: _*),
+          array_position(scores, array_max(scores)).cast("int")))
+    }
+    val caseChain = branches.tail
+      .foldLeft(when(branches.head._1, branches.head._2)) {
+        case (acc, (c, e)) => acc.when(c, e)
+      }
+    nv.withColumn("__ss", centroidScores(h.supers)(col("v")))
+      .withColumn("__sid",
+        (array_position(col("__ss"), array_max(col("__ss"))) - 1).cast("int"))
+      .withColumn("cluster", caseChain.cast("int"))
+      .drop("__ss", "__sid")
+  }
+
+  /** Stress-probe surface: the corpus-assignment stage ALONE under a
+    * FORCED rule (flat N·cells vs two-level N·~2√cells), so the ladder
+    * can measure the exponent drop the two-level refactor buys without
+    * the candidate-join term mixed in (`Stress ladder <sf> assign ...`).
+    */
+  private[graft] def assignProbe(corpus: DataFrame, cells: Int,
+      twoLevel: Boolean, sampleSize: Int = 256, iters: Int = 2): DataFrame = {
+    val c = normalized(corpus)
+    val cents = trainCentroids(c, cells, sampleSize, iters)
+    if (twoLevel) assignTwoLevel(c, cents) else assignFlat(c, cents)
+  }
 
   /** Normalize an embedding frame and assign it under LITERAL centroids —
     * the frozen-quantizer batch projection shared by index upsert and the

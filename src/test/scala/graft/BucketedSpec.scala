@@ -606,6 +606,45 @@ class BucketedSpec extends SparkSpec {
       s"policy recall $policy fell below the sqrt-rule graph's $sqrtRule")
   }
 
+  test("knn graph: two-level assignment (cells >= threshold) holds recall; indexed ≡ one-shot; deterministic") {
+    import graft.functions.Similarity
+    // 32 generator clusters x 100 jittered members (the policy-test
+    // generator); 96 cells crosses twoLevelThreshold=64 so assignment and
+    // probe selection run the hierarchical path
+    val nClusters = 32; val per = 100; val dim = 16
+    val corpus = spark.range(nClusters.toLong * per).select(
+      col("id").as("vec_id"),
+      expr(s"transform(sequence(0, ${dim - 1}), " +
+        s"j -> sin((id div $per) * 131.7D + j * 17.3D) " +
+        s"+ 0.1D * sin(id * 37.9D + j * 5.1D))")
+        .cast("array<float>").as("embedding"))
+    val cells = 96
+    assert(cells >= Similarity.twoLevelThreshold)
+    val exact = Similarity.bruteForceTopK(corpus, corpus, k = 5)
+      .localCheckpoint(true)
+    def graph() = Similarity.knnGraph(corpus, k = 5, centroids = cells,
+      nprobe = 3, sampleSize = math.max(256, cells * 4), iters = 2)
+    val g = graph().orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(g == graph().orderBy("query_id", "rank").collect().map(_.toSeq).toSeq,
+      "two-level graph build must be deterministic")
+    val rec = Similarity.recallAtK(graph(), exact, k = 5)
+      .agg(avg($"recall")).head().getDouble(0)
+    assert(rec >= 0.9,
+      s"two-level knn-graph recall@5 at 96 cells/nprobe=3 = $rec < 0.9")
+    // write→read fidelity: the hierarchy is a pure function of the stored
+    // centroids, so the indexed build derives the SAME rule and edges
+    val name = "knn_2lvl_spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    Similarity.writeAnnIndex(corpus, name, centroids = cells,
+      sampleSize = math.max(256, cells * 4), iters = 2)
+    try {
+      val idx = Similarity.knnGraphIndexed(spark, name, k = 5, nprobe = 3)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      assert(idx == g,
+        "two-level indexed graph must be row-identical to the one-shot build")
+    } finally Similarity.dropAnnIndex(spark, name)
+  }
+
   test("pq: ADC code search recovers structured neighbors; deterministic across runs") {
     import graft.functions.Similarity
     val rnd = new scala.util.Random(13)

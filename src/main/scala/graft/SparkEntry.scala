@@ -1406,6 +1406,24 @@ object SparkEntry {
         .orderBy("doc_id"),
       Some(bpeEncodeOracle)),
 
+    // BYTE-LEVEL tokenizer apply — the zero-OOV production regime
+    // (GPT-2's bytes_to_unicode): words pre-map to the closed 256-symbol
+    // byte alphabet, so NO input can ever fall outside the vocabulary,
+    // and the identical merge-fold machinery runs over byte symbols. The
+    // oracle derives each word's byte symbols from hex(encode(word))
+    // through the engine-rendered byte->symbol map, then replays the
+    // same sep-bounded replace() fold (bpeBytesEncodeOracle).
+    Q("q_text_bpe_encode_bytes",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          Bpe.encode(TextAnalysis.tokens(col("text")), bpeBytesMerges,
+            byteLevel = true).as("sub"))
+        .select(col("doc_id"),
+          size(col("sub")).cast("long").as("bpe_token_count"),
+          concat_ws(" ", col("sub")).as("subwords"))
+        .orderBy("doc_id"),
+      Some(bpeBytesEncodeOracle)),
+
     // Classifier-TRAINING feature relation: per-term positive/negative
     // document frequencies + add-one odds under a deterministic label
     // (even-numbered sources = positive — the provenance-classifier

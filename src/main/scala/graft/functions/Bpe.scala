@@ -39,6 +39,65 @@ object Bpe {
   /** End-of-word marker (paper convention). */
   val EndMarker = "</w>"
 
+  /** BYTE-LEVEL alphabet — the zero-OOV production-tokenizer regime
+    * (GPT-2's `bytes_to_unicode`, Radford et al. 2019, public
+    * openai/gpt-2 encoder.py): every one of the 256 byte values gets a
+    * PRINTABLE unicode character — visible ASCII and Latin-1 printables
+    * map to themselves, the rest (controls, space, 0x7f, 0xa0, 0xad)
+    * shift into 256+k — so byte-level symbol strings survive every
+    * text-keyed code path (no NUL/whitespace symbols) and the merge
+    * machinery runs UNCHANGED over them. All 323 alphabet characters are
+    * BMP, which is load-bearing for the argmax tie rule: UTF-8 binary
+    * order equals code-point order universally, and Java/UTF-16 string
+    * order equals code-point order on BMP-only strings, so the local and
+    * distributed trainers agree on byte-level ties for ANY input corpus
+    * (char-level needed the ASCII-seed restriction for exactly this).
+    */
+  private[graft] val byteSymbols: Array[String] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var k = 0
+    (0 to 255).map { b =>
+      if (keep(b)) b.toChar.toString
+      else { val c = (256 + k).toChar.toString; k += 1; c }
+    }.toArray
+  }
+
+  private[graft] val charToByte: Map[Char, Byte] =
+    byteSymbols.zipWithIndex.map { case (s, b) => s.charAt(0) -> b.toByte }.toMap
+
+  /** Initial all-singleton BYTE segmentation: one symbol per UTF-8 byte
+    * through [[byteSymbols]], plus the end marker. Nothing is ever OOV:
+    * any input String yields symbols from the closed 256-char alphabet.
+    * (Unpaired surrogates follow Java's `getBytes` convention and encode
+    * as '?' — a String cannot carry invalid UTF-8 any other way.)
+    */
+  def initialSymsBytes(w: String): Seq[String] = {
+    val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new scala.collection.mutable.ArrayBuffer[String](bytes.length + 1)
+    var i = 0
+    while (i < bytes.length) { out += byteSymbols(bytes(i) & 0xff); i += 1 }
+    out += EndMarker
+    out.toSeq
+  }
+
+  /** Invert a byte-level subword sequence back to text — the round-trip
+    * proof surface (BpeSpec pins it on non-BMP fixtures): strip end
+    * markers, map each alphabet character back to its byte, decode UTF-8.
+    */
+  def decodeBytes(syms: Seq[String]): String = {
+    val bb = new scala.collection.mutable.ArrayBuffer[Byte]()
+    syms.foreach { s =>
+      val t = s.replace(EndMarker, "")
+      t.foreach { c =>
+        bb += charToByte.getOrElse(c,
+          throw new IllegalArgumentException(
+            s"symbol char '$c' (U+${c.toInt.toHexString}) is outside the " +
+              "byte-level alphabet — was this vocabulary trained char-level?"))
+      }
+    }
+    new String(bb.toArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** Initial all-singleton segmentation of a word: one symbol per Unicode
     * CODE POINT plus the end marker. Code points, not UTF-16 units — a
     * `String#map(_.toString)` split breaks non-BMP characters (emoji,
@@ -69,7 +128,8 @@ object Bpe {
   /** The one corpus-scale touch: exact word histogram, each word in its
     * initial all-singleton segmentation (chars + end marker).
     */
-  def wordHistogram(docs: DataFrame, textCol: String = "text"): Dataset[WordSyms] = {
+  def wordHistogram(docs: DataFrame, textCol: String = "text",
+      byteLevel: Boolean = false): Dataset[WordSyms] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
@@ -77,7 +137,9 @@ object Bpe {
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .as[(String, Long)]
-      .map { case (w, c) => WordSyms(w, initialSyms(w), c) }
+      .map { case (w, c) =>
+        WordSyms(w, if (byteLevel) initialSymsBytes(w) else initialSyms(w), c)
+      }
   }
 
   /** Exact corpus frequency of every adjacent symbol pair in a (possibly
@@ -154,7 +216,8 @@ object Bpe {
   def learnMerges(docs: DataFrame, numMerges: Int,
       textCol: String = "text", minPairFreq: Long = 2L,
       checkpointDir: Option[String] = None,
-      maxHistogramWords: Long = 50000000L)
+      maxHistogramWords: Long = 50000000L,
+      byteLevel: Boolean = false)
       : (Seq[Merge], Dataset[WordSyms]) = {
     require(numMerges >= 0, "numMerges must be non-negative")
     val spark = docs.sparkSession
@@ -162,7 +225,8 @@ object Bpe {
     // ONE corpus-scale touch (the word-count aggregate), materialized so
     // the size gate and the collect read the same computed result.
     val materialize = new graft.Materializer(checkpointDir)
-    val hist0 = materialize(wordHistogram(docs, textCol).toDF()).as[WordSyms]
+    val hist0 =
+      materialize(wordHistogram(docs, textCol, byteLevel).toDF()).as[WordSyms]
     val nWords = hist0.count()
     // The merge loop is DRIVER-LOCAL over the collected histogram: the
     // histogram is Heaps-bounded (~corpus^0.5 distinct words — ~10^8 for
@@ -271,16 +335,24 @@ object Bpe {
     * argmax tie-break must agree with [[learnMerges]] exactly.
     */
   def learnMergesLocal(texts: Seq[String], numMerges: Int,
-      minPairFreq: Long = 2L): Seq[Merge] = {
+      minPairFreq: Long = 2L, byteLevel: Boolean = false): Seq[Merge] = {
     require(numMerges >= 0, "numMerges must be non-negative")
-    require(texts.forall(_.forall(_ < 0x80)),
-      "local trainer requires an ASCII seed corpus (argmax tie-break " +
-        "order must match the UTF-8 binary order the Spark trainer uses)")
+    // byte-level symbols come from the closed BMP alphabet, where Java
+    // string order == UTF-8 binary order, so ANY seed corpus is safe;
+    // char-level symbols are corpus characters, where the orders diverge
+    // beyond ASCII — hence the restriction on that mode only
+    require(byteLevel || texts.forall(_.forall(_ < 0x80)),
+      "char-level local trainer requires an ASCII seed corpus (argmax " +
+        "tie-break order must match the UTF-8 binary order the Spark " +
+        "trainer uses); byteLevel = true lifts the restriction")
     // word histogram, matching TextAnalysis.tokens = split(trim, \s+)
     var hist: Seq[(Seq[String], Long)] = texts
       .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
       .groupBy(identity).toSeq
-      .map { case (w, ws) => initialSyms(w) -> ws.size.toLong }
+      .map { case (w, ws) =>
+        (if (byteLevel) initialSymsBytes(w) else initialSyms(w)) ->
+          ws.size.toLong
+      }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 0
     var done = numMerges == 0
@@ -319,10 +391,12 @@ object Bpe {
 
   /** Segment ONE word with a learned merge list (merges applied in rank
     * order — the standard encode path for words outside the training
-    * histogram).
+    * histogram). `byteLevel` must match how the merges were trained.
     */
-  def segmentWord(word: String, merges: Seq[Merge]): Seq[String] =
-    merges.sortBy(_.rank).foldLeft(initialSyms(word)) {
+  def segmentWord(word: String, merges: Seq[Merge],
+      byteLevel: Boolean = false): Seq[String] =
+    merges.sortBy(_.rank).foldLeft(
+      if (byteLevel) initialSymsBytes(word) else initialSyms(word)) {
       (syms, m) => applyMerge(syms, m.left, m.right)
     }
 
@@ -361,11 +435,12 @@ object Bpe {
     * cost is O(merges × word length) — the paper's fold, not the
     * priority-queue variant; fine for natural-language word lengths.
     */
-  def encode(tokens: org.apache.spark.sql.Column, merges: Seq[Merge])
-      : org.apache.spark.sql.Column =
+  def encode(tokens: org.apache.spark.sql.Column, merges: Seq[Merge],
+      byteLevel: Boolean = false): org.apache.spark.sql.Column =
     org.apache.spark.sql.graft.bridge.column(BpeEncodeExpr(
       org.apache.spark.sql.graft.bridge.expression(tokens),
-      merges.sortBy(_.rank).map(m => Array(m.left, m.right)).toArray))
+      merges.sortBy(_.rank).map(m => Array(m.left, m.right)).toArray,
+      byteLevel))
 
   /** Per-thread (word → segmentation) memo, keyed by merge-table IDENTITY
     * so concurrent queries with different tokenizers never cross-read.
@@ -391,7 +466,7 @@ object Bpe {
     * must already be rank-sorted `[left, right]` pairs.
     */
   def encodeWords(tokens: org.apache.spark.sql.catalyst.util.ArrayData,
-      merges: Array[Array[String]])
+      merges: Array[Array[String]], byteLevel: Boolean)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
     val tables = segCache.get()
     var cache = tables.get(merges)
@@ -410,7 +485,8 @@ object Bpe {
         val key = word.toString
         var subs = cache.get(key)
         if (subs == null) {
-          var syms: Seq[String] = initialSyms(key)
+          var syms: Seq[String] =
+            if (byteLevel) initialSymsBytes(key) else initialSyms(key)
           var i = 0
           while (i < merges.length) {
             syms = applyMerge(syms, merges(i)(0), merges(i)(1))
@@ -434,7 +510,7 @@ object Bpe {
   * codegen reference object, not a child — it is configuration, not data).
   */
 case class BpeEncodeExpr(child: org.apache.spark.sql.catalyst.expressions.Expression,
-    merges: Array[Array[String]])
+    merges: Array[Array[String]], byteLevel: Boolean = false)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
   import org.apache.spark.sql.types._
@@ -450,11 +526,13 @@ case class BpeEncodeExpr(child: org.apache.spark.sql.catalyst.expressions.Expres
 
   override def nullSafeEval(input: Any): Any =
     Bpe.encodeWords(
-      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], merges)
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], merges,
+      byteLevel)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("merges", merges, "java.lang.String[][]")
-    defineCodeGen(ctx, ev, c => s"graft.functions.Bpe.encodeWords($c, $ref)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Bpe.encodeWords($c, $ref, $byteLevel)")
   }
 
   override protected def withNewChildInternal(

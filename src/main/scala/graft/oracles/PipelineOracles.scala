@@ -38,6 +38,20 @@ private[graft] object PipelineOracles {
   private[graft] lazy val bpeMerges: Seq[graft.functions.Bpe.Merge] =
     Bpe.learnMergesLocal(bpeSeedCorpus, numMerges = 32)
 
+  /** BYTE-LEVEL tokenizer CONFIG for q_text_bpe_encode_bytes: the same
+    * seed register plus non-ASCII lines (accented Latin, a non-BMP
+    * emoji), trained with `byteLevel = true` — the GPT-2 regime where
+    * the alphabet is the 256 byte symbols and nothing is ever OOV. The
+    * non-ASCII repeats force merges whose symbols span multi-byte UTF-8
+    * sequences, so the oracle replay exercises the byte mapping, not
+    * just ASCII-identity pairs.
+    */
+  private[graft] val bpeBytesSeedCorpus: Seq[String] = bpeSeedCorpus ++
+    Seq.fill(4)("naïve café über naïve café über résumé café naïve über") ++
+    Seq.fill(4)("🎉data 🎉data 🎉data señor señor piñata")
+  private[graft] lazy val bpeBytesMerges: Seq[graft.functions.Bpe.Merge] =
+    Bpe.learnMergesLocal(bpeBytesSeedCorpus, numMerges = 40, byteLevel = true)
+
   /** Fixed unigram-LM tokenizer config: trained once driver-side on the
     * SAME seed corpus as the BPE merges (deterministic — no RNG, fixed
     * iterations), then carried into [[graft.functions.UnigramScoreExpr]]
@@ -86,10 +100,43 @@ private[graft] object PipelineOracles {
     }
   }
 
-  private[graft] lazy val bpeEncodeOracle: String = {
+  /** BYTE-LEVEL init segmentation of `word` in DuckDB: the UTF-8 bytes
+    * surface as hex pairs (`hex(encode(word))`), each pair maps through
+    * the 256-entry byte->symbol MAP rendered from the SAME
+    * [[Bpe.byteSymbols]] table the engine uses (shared-rendered-constant
+    * rule), and the rank-sorted merge fold is the unchanged sep-bounded
+    * replace() chain -- the discipline carries over byte symbols verbatim.
+    */
+  private[graft] lazy val bpeBytesMapSql: String = {
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    "MAP {" + (0 to 255).map { b =>
+      f"'$b%02X': ${lit(graft.functions.Bpe.byteSymbols(b))}"
+    }.mkString(", ") + "}"
+  }
+
+  private[graft] lazy val bpeBytesFoldedSql: String = {
     val sep = "\u001f"
     def lit(s: String) = "'" + s.replace("'", "''") + "'"
-    val folded = bpeFoldedSql
+    val syms = s"[($bpeBytesMapSql)[substring(hex(encode(word)), " +
+      "2 * i + 1, 2)][1] " +
+      "FOR i IN range(0, CAST(len(hex(encode(word))) AS INT) // 2)]"
+    val init = s"(${lit(sep)} || array_to_string($syms, ${lit(sep)}) || " +
+      s"${lit(sep + Bpe.EndMarker + sep)})"
+    bpeBytesMerges.sortBy(_.rank).foldLeft(init) { (e, m) =>
+      s"replace($e, ${lit(sep + m.left + sep + m.right + sep)}, " +
+        s"${lit(sep + m.left + m.right + sep)})"
+    }
+  }
+
+  private[graft] lazy val bpeEncodeOracle: String =
+    bpeEncodeOracleFrom(bpeFoldedSql)
+
+  private[graft] lazy val bpeBytesEncodeOracle: String =
+    bpeEncodeOracleFrom(bpeBytesFoldedSql)
+
+  private def bpeEncodeOracleFrom(folded: String): String = {
+    val sep = "\u001f"
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
     s"WITH tk AS (SELECT doc_id, unnest($toksSql) AS word, " +
       s"generate_subscripts($toksSql, 1) AS ord FROM documents), " +
       "seg AS (SELECT doc_id, ord, " +

@@ -119,7 +119,7 @@ class BpeSpec extends SparkSpec {
     import org.apache.spark.unsafe.types.UTF8String
     val direct = Bpe.encodeWords(
       ArrayData.toArrayData(Array(UTF8String.fromString("lowest"))),
-      merges.map(m => Array(m.left, m.right)).toArray)
+      merges.map(m => Array(m.left, m.right)).toArray, byteLevel = false)
     assert((0 until direct.numElements())
       .map(i => direct.getUTF8String(i).toString) ==
       Seq("low", "es", "t", "</w>"))
@@ -153,6 +153,56 @@ class BpeSpec extends SparkSpec {
       Bpe.learnMergesLocal(Seq("café"), 1)
     }
     hist.unpersist()
+  }
+
+  test("byte-level mode: zero-OOV round-trip on non-BMP fixtures; local == distributed") {
+    import graft.functions.Bpe
+    // the byte alphabet covers all 256 values with BMP printables
+    assert(Bpe.byteSymbols.length == 256)
+    assert(Bpe.byteSymbols.distinct.length == 256, "byte symbols must be distinct")
+    assert(Bpe.byteSymbols.forall(s => s.length == 1 && !s.charAt(0).isWhitespace),
+      "every byte symbol is one printable BMP char")
+    assert(Bpe.byteSymbols(104) == "h", "printable ASCII maps to itself")
+
+    // round-trip: encode -> decode is the identity for ANY input word —
+    // ASCII, accented Latin (2-byte UTF-8), CJK (3-byte), non-BMP emoji
+    // (4-byte) — under an arbitrary trained merge table (merges only
+    // concatenate symbols; bytes are never lost)
+    val merges = graft.oracles.PipelineOracles.bpeBytesMerges
+    assert(merges.nonEmpty)
+    for (w <- Seq("data", "café", "naïve", "日本語", "🎉data", "a🚀b", "ß"))
+      assert(Bpe.decodeBytes(Bpe.segmentWord(w, merges, byteLevel = true)) == w,
+        s"byte-level round-trip must be identity for '$w'")
+    // multi-byte merges were actually learned from the non-ASCII seed
+    // repeats (merge symbols containing non-ASCII byte chars — the
+    // continuation bytes of UTF-8 sequences)
+    assert(merges.exists(m => (m.left + m.right).exists(_ > 0x7f.toChar)),
+      "seed repeats must induce merges over multi-byte-sequence symbols")
+
+    // zero-OOV: a word sharing nothing with the seed still encodes (into
+    // its byte singletons + end marker) and round-trips
+    val oov = "Ωμέγα"
+    val seg = Bpe.segmentWord(oov, merges, byteLevel = true)
+    assert(Bpe.decodeBytes(seg) == oov)
+
+    // local trainer == distributed trainer in byte mode on the NON-ASCII
+    // seed (allowed: the byte alphabet is BMP, where Java and UTF-8
+    // orders agree — the char-level ASCII restriction does not apply)
+    val seedDf = graft.oracles.PipelineOracles.bpeBytesSeedCorpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (dist, hist) = Bpe.learnMerges(seedDf, numMerges = 40, byteLevel = true)
+    assert(graft.oracles.PipelineOracles.bpeBytesMerges == dist,
+      "byte-level learnMergesLocal diverged from learnMerges on the seed")
+    hist.unpersist()
+
+    // native expression == driver-side reference per word
+    val doc = Seq((1L, "naïve 🎉data unseen")).toDF("doc_id", "text")
+    val viaExpr = doc.select(Bpe.encode(
+        graft.functions.TextAnalysis.tokens($"text"), merges,
+        byteLevel = true)).as[Seq[String]].head()
+    val viaRef = Seq("naïve", "🎉data", "unseen")
+      .flatMap(w => Bpe.segmentWord(w, merges, byteLevel = true))
+    assert(viaExpr == viaRef, s"expression $viaExpr != reference $viaRef")
   }
 
   test("non-BMP characters segment by code point, never by UTF-16 unit") {

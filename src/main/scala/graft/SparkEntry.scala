@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Bpe, Dedup, MinhashIndex, Multimodal, Similarity, TextAnalysis, Unigram}
+import graft.functions.{Bpe, Dedup, MinhashIndex, Multimodal, Similarity, Takedown, TextAnalysis, Unigram}
 import graft.oracles.PipelineOracles._
 import graft.model._
 import graft.operators._
@@ -77,6 +77,24 @@ object SparkEntry {
   // -------------------------------------------------------------------------
   // Base-rule segment queries (SURVEY §2.2/§2.4: P1-P6, A1, A2, A8)
   // -------------------------------------------------------------------------
+
+  /** The spiked link-graph fixture shared by q_text_domain_rank and
+    * q_text_authority_verdict: every 5th doc links a rotating site{0..6}
+    * host and every 3rd a shared hub, giving the graph fan-in skew,
+    * dangling targets, and multi-edge weights (the oracle renders the
+    * identical spike in SQL).
+    */
+  private def domainRankFixture(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      col("source"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(5L)) === 0,
+          concat(lit(" https://site"),
+            pmod(col("doc_id"), lit(7L)).cast("string"),
+            lit(".example.com/p"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3L)) === 0,
+          lit(" https://hub.example.net/x")).otherwise(lit("")))
+        .as("text"))
 
   private val baseRuleQueries: Seq[Q] = Seq(
     Q("q_seg_base_amount",
@@ -2528,6 +2546,57 @@ object SparkEntry {
       },
       Some(crossNgramOracle)),
 
+    // TAKEDOWN ORCHESTRATOR end-to-end: ONE opt-out batch (every bm25
+    // clone + every minhash clone) issued through deleteEverywhere must
+    // reach BOTH artifact families — and the RETRY of the same batchId
+    // must skip both via the ledger (require()s pin applied/skipped in
+    // the gated path; a double-applied batch would not change these
+    // tombstone reads, but the report contract is what production
+    // retries rely on). The read composes both families' mirror oracles
+    // into one aligned relation.
+    Q("q_takedown_everywhere",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+        val bm = "graft_td_bm25_" + uid
+        val mh = "graft_td_mh_" + uid
+        val bmClones = docs.select(
+          (col("doc_id") + 3000000L).as("doc_id"), col("text"))
+        TextAnalysis.writeSearchIndex(docs.unionByName(bmClones), bm)
+        val seen = docs.filter(col("doc_id") % 7 =!= 0)
+        val batch = docs.filter(col("doc_id") % 7 === 0)
+        val mhClones = batch.select(
+          (col("doc_id") + 5000000L).as("doc_id"), col("text"))
+        MinhashIndex.write(seen.unionByName(mhClones), mh)
+        val bmIds = docs.select("doc_id").collect()
+          .map(_.getLong(0) + 3000000L).toSeq
+        val mhIds = batch.select("doc_id").collect()
+          .map(_.getLong(0) + 5000000L).toSeq
+        try {
+          val reg = Seq(Takedown.SearchIndex(bm), Takedown.MinhashLsh(mh))
+          val first = Takedown.deleteEverywhere(s, "opt-out-1",
+            bmIds ++ mhIds, reg)
+          require(first.forall(_._3), s"first run must apply everywhere: $first")
+          val retry = Takedown.deleteEverywhere(s, "opt-out-1",
+            bmIds ++ mhIds, reg)
+          require(retry.forall(!_._3), s"retry must skip everywhere: $retry")
+          val bmRead = TextAnalysis.bm25SearchIndexed(s, bm, Bm25Terms, k = 15)
+            .select(lit("bm25").as("family"), col("doc_id").as("a"),
+              col("rank").cast("long").as("b"),
+              col("n_matched").cast("long").as("n"), col("score").as("x"))
+          val mhRead = MinhashIndex.screen(s, mh, batch, 0.5)
+            .select(lit("minhash").as("family"), col("batch_doc").as("a"),
+              col("seen_doc").as("b"), lit(null).cast("long").as("n"),
+              col("jaccard").as("x"))
+          bmRead.unionByName(mhRead).orderBy("family", "a", "b")
+            .localCheckpoint(true)
+        } finally {
+          TextAnalysis.dropSearchIndex(s, bm); Takedown.dropLedger(s, bm)
+          MinhashIndex.drop(s, mh); Takedown.dropLedger(s, mh)
+        }
+      },
+      Some(takedownOracle)),
+
     // Asymmetric containment (near-SUPERSET detection) over a corpus with
     // engineered swallows: every 10th document is concatenated with its
     // successor into a re-keyed super-document, so (part, whole) pairs sit
@@ -3168,21 +3237,23 @@ object SparkEntry {
     // oracle unrolls the same iterations as CTEs with the same pinned
     // fold orders (the k-means-replay discipline applied to PageRank).
     Q("q_text_domain_rank",
-      (s, d) => {
-        val spiked = Tables.documents(s, d).select(col("doc_id"),
-          col("source"),
-          concat(col("text"),
-            when(pmod(col("doc_id"), lit(5L)) === 0,
-              concat(lit(" https://site"),
-                pmod(col("doc_id"), lit(7L)).cast("string"),
-                lit(".example.com/p"))).otherwise(lit("")),
-            when(pmod(col("doc_id"), lit(3L)) === 0,
-              lit(" https://hub.example.net/x")).otherwise(lit("")))
-            .as("text"))
-        TextAnalysis.domainAuthority(spiked, iters = 3, damping = 0.85)
-          .orderBy("domain")
-      },
+      (s, d) => TextAnalysis.domainAuthority(
+          domainRankFixture(s, d), iters = 3, damping = 0.85)
+        .orderBy("domain"),
       Some(domainRankOracle(iters = 3, damping = 0.85))),
+
+    // AUTHORITY-GATED CURATION ARM: the PageRank prior composed into the
+    // filter pipeline — per document, its source domain's authority and
+    // keep = rank >= alpha/N (authority at least alpha× the uniform
+    // share, the scale-free low-authority drop). Same spiked link-graph
+    // fixture as q_text_domain_rank; the oracle re-renders the identical
+    // rank CTE chain under one composed query (the q_text_fertility
+    // composition discipline).
+    Q("q_text_authority_verdict",
+      (s, d) => TextAnalysis.authorityVerdict(
+          domainRankFixture(s, d), alpha = 0.5, iters = 3, damping = 0.85)
+        .orderBy("doc_id"),
+      Some(authorityVerdictOracle(iters = 3, damping = 0.85, alpha = 0.5))),
 
     Q("q_text_links",
       (s, d) => {

@@ -1242,6 +1242,38 @@ object TextAnalysis {
         col("r").as("rank"))
   }
 
+  /** AUTHORITY-GATED CURATION ARM — [[domainAuthority]] composed into
+    * the filter pipeline (the Common-Crawl use of the PageRank prior: a
+    * page whose DOMAIN nobody cites is dropped or down-weighted before
+    * any text-level signal runs). Per document: its source domain's
+    * authority and a keep verdict at `rank >= alpha / N` — authority at
+    * least `alpha`× the uniform share, the scale-free cutoff (absolute
+    * rank thresholds break as N grows because ranks sum to 1). NULL
+    * source or a domain outside the graph cannot attest authority →
+    * keep = false.
+    *
+    * Scale shape: PageRank runs ONCE on the domain-level graph (paid at
+    * |domains|, not |docs|, and checkpointed), then one domain-keyed
+    * equi-join decorates the corpus — the join's small side is the
+    * domain table (broadcast-class at crawl scale; popular-domain skew
+    * lands on AQE, not on a pair product).
+    */
+  def authorityVerdict(docs: DataFrame, alpha: Double = 0.5, iters: Int = 3,
+      damping: Double = 0.85, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    require(alpha > 0.0, "alpha must be positive")
+    val auth = domainAuthority(docs, iters, damping, textCol, sourceCol)
+      .select(col("domain"), col("rank")).localCheckpoint(true)
+    val n = auth.count()
+    docs
+      .select(col("doc_id"), col(sourceCol).cast("string").as("domain"))
+      .join(auth, Seq("domain"), "left")
+      .select(col("doc_id"), col("domain"),
+        col("rank").as("authority"),
+        coalesce(col("rank") >= lit(alpha) / lit(n.toDouble), lit(false))
+          .as("keep"))
+  }
+
   /** CODE-DETECTION routing signal — the corpus-mixture router (code vs
     * prose get different filters, tokenizers, and mixture weights): code
     * punctuation + keyword counts per token, `is_code` at

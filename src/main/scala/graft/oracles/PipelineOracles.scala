@@ -549,6 +549,23 @@ private[graft] object PipelineOracles {
       "WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5 " +
       "ORDER BY batch_doc, seen_doc"
 
+  /** Composed oracle for q_takedown_everywhere: ONE takedown batch must
+    * leave BOTH artifact families answering their plain-corpus oracles —
+    * the bm25 ranking and the cross-corpus Jaccard screen union into one
+    * aligned relation (family, a, b, n, x), each leg the EXISTING mirror
+    * oracle verbatim as a subquery.
+    */
+  private[graft] lazy val takedownOracle: String =
+    "SELECT family, a, b, n, x FROM (" +
+      "SELECT 'bm25' AS family, t.doc_id AS a, CAST(t.rank AS BIGINT) AS b, " +
+      "t.n_matched AS n, t.score AS x FROM (" +
+      bm25Oracle(Bm25Terms, 15, 1.2, 0.75) + ") t " +
+      "UNION ALL " +
+      "SELECT 'minhash' AS family, u.batch_doc AS a, u.seen_doc AS b, " +
+      "CAST(NULL AS BIGINT) AS n, u.jaccard AS x FROM (" +
+      crossNgramOracle + ") u" +
+      ") q ORDER BY family, a, b"
+
   private[graft] val ngramJaccardOracle: String =
     "WITH toks AS (SELECT doc_id, " + toksSql + " AS t FROM documents), " +
       "ngrams AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] " +
@@ -1174,7 +1191,35 @@ private[graft] object PipelineOracles {
     * damping constants render from the SAME Scala doubles via
     * string-casts — so the ranks hash-match to the bit.
     */
-  private[graft] def domainRankOracle(iters: Int, damping: Double): String = {
+  private[graft] def domainRankOracle(iters: Int, damping: Double): String =
+    domainRankCtes(iters, damping) + " " +
+      s"SELECT r$iters.domain, " +
+      "CAST(COALESCE(ind.ind, 0) AS BIGINT) AS in_domains, " +
+      "CAST(COALESCE(outd.outd, 0) AS BIGINT) AS out_domains, " +
+      s"r$iters.r AS rank FROM r$iters " +
+      s"LEFT JOIN ind ON r$iters.domain = ind.dst " +
+      s"LEFT JOIN outd ON r$iters.domain = outd.src " +
+      "ORDER BY domain"
+
+  /** [[domainAuthority]] composed into the curation pipeline
+    * (q_text_authority_verdict): per document, its source domain's rank
+    * and keep = rank >= alpha / N -- the same rank CTE chain re-rendered
+    * under one oracle, the q_text_fertility composition discipline.
+    */
+  private[graft] def authorityVerdictOracle(iters: Int, damping: Double,
+      alpha: Double): String =
+    domainRankCtes(iters, damping) + " " +
+      "SELECT d.doc_id, d.source AS domain, " +
+      s"r$iters.r AS authority, " +
+      s"COALESCE(r$iters.r >= CAST('$alpha' AS DOUBLE) / nn.n, false) " +
+      "AS keep " +
+      s"FROM documents d LEFT JOIN r$iters ON d.source = r$iters.domain " +
+      "CROSS JOIN nn ORDER BY d.doc_id"
+
+  /** The shared WITH-chain: spiked fixture, domain edge list, nodes, the
+    * unrolled power iterations r1..r<iters>, and the degree CTEs.
+    */
+  private def domainRankCtes(iters: Int, damping: Double): String = {
     val base = s"CAST('${1.0 - damping}' AS DOUBLE)"
     val d = s"CAST('$damping' AS DOUBLE)"
     val z = "CAST(0.0 AS DOUBLE)"
@@ -1214,14 +1259,7 @@ private[graft] object PipelineOracles {
       "FROM nodes CROSS JOIN nn), " +
       iterCtes + ", " +
       "ind AS (SELECT dst, count(DISTINCT src) AS ind FROM e GROUP BY 1), " +
-      "outd AS (SELECT src, count(DISTINCT dst) AS outd FROM e GROUP BY 1) " +
-      s"SELECT r$iters.domain, " +
-      "CAST(COALESCE(ind.ind, 0) AS BIGINT) AS in_domains, " +
-      "CAST(COALESCE(outd.outd, 0) AS BIGINT) AS out_domains, " +
-      s"r$iters.r AS rank FROM r$iters " +
-      s"LEFT JOIN ind ON r$iters.domain = ind.dst " +
-      s"LEFT JOIN outd ON r$iters.domain = outd.src " +
-      "ORDER BY domain"
+      "outd AS (SELECT src, count(DISTINCT dst) AS outd FROM e GROUP BY 1)"
   }
 
   private[graft] lazy val qualityScoreSql: String =

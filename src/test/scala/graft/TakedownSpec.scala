@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The takedown orchestrator over a MIXED registry — the four families
+  * the gated query (q_takedown_everywhere: bm25 + minhash) does not
+  * cover: ANN index, cluster table, bigram LM, and perceptual-hash
+  * signatures. One id batch reaches all four; reads equal
+  * rebuild-without-deleted; the same batchId retried is a ledger skip
+  * everywhere (load-bearing for the subtractive LM family, where a
+  * double-apply would double-unlearn).
+  */
+class TakedownSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.{Dedup, Multimodal, Similarity, Takedown, TextAnalysis}
+
+  test("deleteEverywhere: mixed registry end-to-end, idempotent retry, ledger") {
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val ann = s"td_ann_$uid"; val cl = s"td_cl_$uid"
+    val lm = s"td_lm_$uid"; val ph = s"td_ph_$uid"
+
+    // --- corpus + clones (ids >= 100 are the takedown set) -------------
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "spark engines compile query plans into stages now ok"),
+      (4L, "completely different words about cooking pasta dinner yes"))
+      .toDF("doc_id", "text")
+    // clone 101 bridges docs 1/2's near-dup family; clone 103 twins doc 3
+    val cloneDocs = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog today"),
+      (103L, "spark engines compile query plans into stages now ok"))
+      .toDF("doc_id", "text")
+    val ids = Seq(101L, 103L, 555L) // 555 is foreign to every artifact
+
+    // ANN: index built on the clean corpus, clones upserted (the frozen-
+    // quantizer maintenance path), so post-delete reads can equal a clean
+    // build exactly
+    val rnd = new scala.util.Random(41)
+    val vecs = (0 until 40).map { i =>
+      val v = Array.fill(8)(0.05 + rnd.nextDouble() * 0.1)
+      v(i % 4) = 1.0 + rnd.nextDouble()
+      (i.toLong, v.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" % 10 === 0)
+    Similarity.writeAnnIndex(vecs, ann, centroids = 4, sampleSize = 32, iters = 2)
+    Similarity.upsertAnnIndex(spark, ann,
+      queries.select(($"vec_id" + 101L).as("vec_id"), $"embedding"))
+    val annIds = queries.select("vec_id").as[Long].collect().map(_ + 101L).toSeq
+
+    // cluster table over corpus ∪ clones (a component the deletion SPLITS)
+    val allDocs = docs.unionByName(cloneDocs)
+    val pairs = Dedup.ngramJaccardPairs(allDocs, 0.5).localCheckpoint(true)
+    Dedup.writeClusterTable(allDocs, pairs, cl, buckets = 2)
+
+    // bigram LM over corpus ∪ clones
+    TextAnalysis.writeLmTable(allDocs, lm, buckets = 2)
+
+    // phash signatures over corpus ∪ clones (signature-level write)
+    val sigs = Seq((1L, 0x1122334455667788L), (2L, 0x1122334455667789L),
+      (3L, 0x0F0F0F0F0F0F0F0FL), (101L, 0x1122334455667788L),
+      (103L, 0x0F0F0F0F0F0F0F0EL)).toDF("doc_id", "dhash")
+    Multimodal.writeSignatureTable(sigs, ph, buckets = 2)
+    val phBatch = Seq((1L, 0x1122334455667788L), (3L, 0x0F0F0F0F0F0F0F0FL))
+      .toDF("doc_id", "dhash")
+
+    try {
+      val registry = Seq(
+        Takedown.AnnIndex(ann),
+        Takedown.ClusterTable(cl, pairs),
+        Takedown.LmTable(lm, cloneDocs),
+        Takedown.PhashTable(ph))
+      // duplicate registration is a loud error
+      intercept[IllegalArgumentException] {
+        Takedown.deleteEverywhere(spark, "b1", ids,
+          registry :+ Takedown.PhashTable(ph))
+      }
+
+      val first = Takedown.deleteEverywhere(spark, "b1", ids ++ annIds, registry)
+      assert(first.forall(_._3), s"first run must apply everywhere: $first")
+
+      def reads(): Seq[Seq[Any]] = {
+        val a = Similarity.annSearchIndexed(spark, ann, queries, k = 5,
+          nprobe = 2).orderBy("query_id", "rank")
+          .collect().map(_.toSeq).toSeq
+        val c = spark.table(s"${cl}_clusters").orderBy("doc_id")
+          .collect().map(_.toSeq).toSeq
+        val l = TextAnalysis.bigramScoreIndexed(spark, lm, docs)
+          .orderBy("doc_id").collect().map(_.toSeq).toSeq
+        val p = Multimodal.screenSignatures(spark, ph, phBatch, maxHamming = 1)
+          .orderBy("batch_doc", "seen_doc").collect().map(_.toSeq).toSeq
+        a ++ (c ++ (l ++ p))
+      }
+      val after = reads()
+
+      // rebuild-without-deleted equality, family by family
+      val annRef = s"td_annref_$uid"; val clRef = s"td_clref_$uid"
+      val lmRef = s"td_lmref_$uid"; val phRef = s"td_phref_$uid"
+      Similarity.writeAnnIndex(vecs, annRef, centroids = 4, sampleSize = 32,
+        iters = 2)
+      val cleanPairs = Dedup.ngramJaccardPairs(docs, 0.5)
+      Dedup.writeClusterTable(docs, cleanPairs, clRef, buckets = 2)
+      TextAnalysis.writeLmTable(docs, lmRef, buckets = 2)
+      Multimodal.writeSignatureTable(sigs.filter($"doc_id" < 100), phRef,
+        buckets = 2)
+      try {
+        val ref =
+          Similarity.annSearchIndexed(spark, annRef, queries, k = 5,
+              nprobe = 2).orderBy("query_id", "rank")
+            .collect().map(_.toSeq).toSeq ++
+          (spark.table(s"${clRef}_clusters").orderBy("doc_id")
+            .collect().map(_.toSeq).toSeq ++
+          (TextAnalysis.bigramScoreIndexed(spark, lmRef, docs)
+            .orderBy("doc_id").collect().map(_.toSeq).toSeq ++
+          Multimodal.screenSignatures(spark, phRef, phBatch, maxHamming = 1)
+            .orderBy("batch_doc", "seen_doc").collect().map(_.toSeq).toSeq))
+        assert(after == ref,
+          "post-takedown reads must equal rebuild-without-deleted")
+      } finally {
+        Similarity.dropAnnIndex(spark, annRef)
+        Dedup.dropClusterTable(spark, clRef)
+        TextAnalysis.dropLmTable(spark, lmRef)
+        Multimodal.dropPhashTable(spark, phRef)
+      }
+
+      // idempotent retry: same batchId skips everywhere, reads unchanged
+      val retry = Takedown.deleteEverywhere(spark, "b1", ids ++ annIds, registry)
+      assert(retry.forall(!_._3), s"retry must skip everywhere: $retry")
+      assert(reads() == after, "a retried batch must not change any read")
+
+      // ledgers recorded one row per artifact+batch
+      for (n <- Seq(ann, cl, lm, ph)) {
+        val rows = spark.table(s"${n}_takedowns")
+          .select("batch_id", "family").collect().map(_.toSeq).toSeq
+        assert(rows.length == 1 && rows.head.head == "b1",
+          s"ledger for $n: $rows")
+      }
+    } finally {
+      Similarity.dropAnnIndex(spark, ann); Takedown.dropLedger(spark, ann)
+      Dedup.dropClusterTable(spark, cl); Takedown.dropLedger(spark, cl)
+      TextAnalysis.dropLmTable(spark, lm); Takedown.dropLedger(spark, lm)
+      Multimodal.dropPhashTable(spark, ph); Takedown.dropLedger(spark, ph)
+    }
+  }
+}

@@ -4,6 +4,7 @@ import graft.functions.{Bpe, Dedup, MinhashIndex, Multimodal, Similarity, Takedo
 import graft.oracles.PipelineOracles._
 import graft.model._
 import graft.operators._
+import graft.queries.Q
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -27,8 +28,6 @@ object SparkEntry {
 
   private type QueryFn = (SparkSession, String) => DataFrame
 
-  /** One registered query: Spark pipeline + optional DuckDB oracle SQL. */
-  private final case class Q(name: String, fn: QueryFn, oracle: Option[String])
 
   /** Run `body` against a unique scratch directory, eagerly materialize its
     * result (localCheckpoint), and delete the directory before returning —
@@ -77,24 +76,6 @@ object SparkEntry {
   // -------------------------------------------------------------------------
   // Base-rule segment queries (SURVEY §2.2/§2.4: P1-P6, A1, A2, A8)
   // -------------------------------------------------------------------------
-
-  /** The spiked link-graph fixture shared by q_text_domain_rank and
-    * q_text_authority_verdict: every 5th doc links a rotating site{0..6}
-    * host and every 3rd a shared hub, giving the graph fan-in skew,
-    * dangling targets, and multi-edge weights (the oracle renders the
-    * identical spike in SQL).
-    */
-  private def domainRankFixture(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(col("doc_id"),
-      col("source"),
-      concat(col("text"),
-        when(pmod(col("doc_id"), lit(5L)) === 0,
-          concat(lit(" https://site"),
-            pmod(col("doc_id"), lit(7L)).cast("string"),
-            lit(".example.com/p"))).otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(3L)) === 0,
-          lit(" https://hub.example.net/x")).otherwise(lit("")))
-        .as("text"))
 
   private val baseRuleQueries: Seq[Q] = Seq(
     Q("q_seg_base_amount",
@@ -985,3247 +966,12 @@ object SparkEntry {
   // similarity search, multimodal plumbing.
   // -------------------------------------------------------------------------
 
-  private val pipelineQueries: Seq[Q] = Seq(
-    Q("q_text_stats",
-      (s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id"),
-      Some("SELECT doc_id, length(text) AS n_chars, " +
-        s"len($toksSql) AS token_count, " +
-        "len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS regex_token_count, " +
-        s"len($toksSql) + CAST(COALESCE(list_sum(" +
-        s"[CAST(floor(greatest(length(x) - 4, 0) / 4.0) AS BIGINT) FOR x IN $toksSql]), 0) " +
-        "AS BIGINT) AS subword_count, " +
-        "length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct_count, " +
-        s"len(list_filter($toksSql, x -> x IN $stopSql)) AS stopword_count, " +
-        s"$qualityScoreSql AS quality_score " +
-        "FROM documents ORDER BY doc_id")),
-
-    // PER-SOURCE PERCENTILE NORMALIZATION of the quality score — raw
-    // scores are not comparable across sources, their within-source
-    // percentile is ("keep every source's top 30%" becomes one filter).
-    // percent_rank ties/single-row semantics are identical in both
-    // engines; unscorable (NULL-text) rows drop.
-    Q("q_text_score_norm",
-      (s, d) => graft.functions.Sampling.percentileNormalize(
-          Tables.documents(s, d).select(col("doc_id"), col("source"),
-            TextAnalysis.qualityScore(col("text")).as("quality_score")),
-          "quality_score", "source")
-        .orderBy("doc_id"),
-      Some("WITH s AS (SELECT doc_id, source, " +
-        s"$qualityScoreSql AS quality_score FROM documents), " +
-        "f AS (SELECT * FROM s WHERE quality_score IS NOT NULL) " +
-        "SELECT doc_id, source, quality_score, " +
-        "percent_rank() OVER (PARTITION BY source " +
-        "ORDER BY quality_score ASC) AS pct_rank " +
-        "FROM f ORDER BY doc_id")),
-
-    // VOCABULARY GROWTH CURVE (Heaps-law audit): id-mix slices, each
-    // term's first slice, new + cumulative vocabulary per slice — the
-    // corpus-health check before a tokenizer trains. No global sort:
-    // slice assignment is the mix permutation modulo 10.
-    Q("q_text_vocab_growth",
-      (s, d) => TextAnalysis.vocabularyGrowth(Tables.documents(s, d))
-        .orderBy("bucket"),
-      Some("WITH d AS (SELECT doc_id, " +
-        s"$toksSql AS t, " +
-        s"${graft.functions.Similarity.sampleHashSql("doc_id")} % 10 " +
-        "AS bucket FROM documents WHERE text IS NOT NULL), " +
-        "pb AS (SELECT bucket, count(*) AS n_docs, " +
-        "sum(len(t)) AS n_tokens FROM d GROUP BY bucket), " +
-        "tm AS (SELECT bucket, unnest(list_distinct(t)) AS term FROM d), " +
-        "fs AS (SELECT term, min(bucket) AS bucket FROM tm GROUP BY term), " +
-        "nt AS (SELECT bucket, count(*) AS new_terms FROM fs " +
-        "GROUP BY bucket), " +
-        "sp AS (SELECT unnest(range(0, 10)) AS bucket), " +
-        "j AS (SELECT sp.bucket, COALESCE(n_docs, 0) AS n_docs, " +
-        "COALESCE(n_tokens, 0) AS n_tokens, " +
-        "COALESCE(new_terms, 0) AS new_terms FROM sp " +
-        "LEFT JOIN pb USING (bucket) LEFT JOIN nt USING (bucket)) " +
-        "SELECT CAST(bucket AS BIGINT) AS bucket, " +
-        "CAST(n_docs AS BIGINT) AS n_docs, " +
-        "CAST(n_tokens AS BIGINT) AS n_tokens, " +
-        "CAST(new_terms AS BIGINT) AS new_terms, " +
-        "CAST(sum(new_terms) OVER (ORDER BY bucket) AS BIGINT) " +
-        "AS cum_terms FROM j ORDER BY bucket")),
-
-    // Heuristic language-ID: marker-hit counts per language, argmax with
-    // ties toward the earlier language (LangId.compute's strict `>` scan).
-    // The oracle's CASE cascade is the same earliest-argmax: branch k fires
-    // only when lang_k >= every later language AND all earlier branches
-    // failed (which forces every earlier score strictly below the max).
-    // CORPUS MANIFEST (dataset card): per (source, detected lang, split)
-    // doc/token/char counts — three already-gated signals (lang-id, the
-    // content-keyed hash split, whitespace token count) composed in ONE
-    // corpus scan + one tiny aggregate exchange. The oracle re-renders
-    // each signal from its individually-gated fragment (the no-silent-
-    // divergence rule), with BIGINT casts on the summed counts (DuckDB
-    // SUM(BIGINT) → HUGEINT) and NULLS LAST pinned on every sort key.
-    Q("q_corpus_manifest",
-      (s, d) => graft.functions.DataQuality.corpusManifest(Tables.documents(s, d))
-        .orderBy(asc_nulls_last("source"), asc_nulls_last("lang_guess"),
-          asc_nulls_last("split")),
-      Some(s"WITH $fpCtesBody, " +
-        s"t AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars, " +
-        s"$toksSql AS toks FROM documents), " +
-        "s AS (SELECT doc_id, source, n_chars, " +
-        "CAST(len(toks) AS BIGINT) AS token_count, " +
-        langMarkerColsSql("toks") + " FROM t), " +
-        s"l AS (SELECT doc_id, source, n_chars, token_count, " +
-        s"$langGuessCaseSql AS lang_guess FROM s), " +
-        "sp AS (SELECT doc_id, CASE WHEN fingerprint IS NULL THEN NULL " +
-        "WHEN fingerprint % 100 < 95 THEN 'train' " +
-        "WHEN fingerprint % 100 < 98 THEN 'val' ELSE 'test' END AS split FROM fp) " +
-        "SELECT source, lang_guess, split, count(*) AS n_docs, " +
-        "CAST(sum(token_count) AS BIGINT) AS n_tokens, " +
-        "CAST(sum(n_chars) AS BIGINT) AS n_chars " +
-        "FROM l JOIN sp USING (doc_id) GROUP BY 1, 2, 3 " +
-        "ORDER BY source NULLS LAST, lang_guess NULLS LAST, split NULLS LAST")),
-
-    Q("q_text_langid",
-      (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
-        .select(col("doc_id"),
-          TextAnalysis.langIdFromTokens(col("__toks")).as("lang_guess"))
-        .orderBy("doc_id"),
-      Some("WITH t AS (SELECT doc_id, " + toksSql + " AS toks FROM documents), " +
-        "s AS (SELECT doc_id, " + langMarkerColsSql("toks") + " FROM t) " +
-        s"SELECT doc_id, $langGuessCaseSql AS lang_guess " +
-        "FROM s ORDER BY doc_id")),
-
-    // Rolling-hash fingerprint: the oracle replays RollingHash.compute
-    // exactly — left fold of (acc * 31 + codepoint) mod 2^58-27 over the
-    // normalized text's code points (the 58-bit prime field is why this is
-    // replayable in any 64-bit-integer engine; see RollingHash scaladoc).
-    Q("q_text_fingerprint",
-      (s, d) => Tables.documents(s, d).select(
-        col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
-        .orderBy("doc_id"),
-      Some(s"$fpCte SELECT doc_id, fingerprint FROM fp ORDER BY doc_id")),
-
-    // Corpus snapshot diff (dataset-versioning audit): two snapshots are
-    // synthesized from the corpus — docs ≡5 (mod 7) exist only in the new
-    // crawl (added), ≡6 only in the old (removed), ≡3 carry edited text
-    // (changed), the rest are identical (unchanged). The engine diffs
-    // 64-bit content hashes so the full-outer join shuffles 16 bytes/doc;
-    // the ORACLE compares raw text (`IS NOT DISTINCT FROM`, the ground
-    // truth) — hash equality therefore also certifies the hash scheme
-    // produced zero false verdicts on this corpus.
-    Q("q_snapshot_diff",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val oldSnap = docs.filter(col("doc_id") % 7 =!= 5)
-        val newSnap = docs.filter(col("doc_id") % 7 =!= 6)
-          .withColumn("text",
-            when(col("doc_id") % 7 === 3, concat(col("text"), lit(" v2")))
-              .otherwise(col("text")))
-        graft.functions.Snapshot.diff(oldSnap, newSnap).orderBy("doc_id")
-      },
-      Some("WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 5), " +
-        "n AS (SELECT doc_id, CASE WHEN doc_id % 7 = 3 THEN text || ' v2' " +
-        "ELSE text END AS text FROM documents WHERE doc_id % 7 <> 6) " +
-        "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, " +
-        "CASE WHEN o.doc_id IS NULL THEN 'added' " +
-        "WHEN n.doc_id IS NULL THEN 'removed' " +
-        "WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged' " +
-        "ELSE 'changed' END AS status " +
-        "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id ORDER BY doc_id")),
-
-    // Content-keyed train/val/test split (95/3/2): bucket = fingerprint
-    // mod 100, contiguous ranges in declaration order. Content-keyed means
-    // exact duplicates can never straddle a split boundary.
-    Q("q_split_assign",
-      (s, d) => graft.functions.Sampling.hashSplit(
-        Tables.documents(s, d).select("doc_id", "text"),
-        Seq(("train", 95), ("val", 3), ("test", 2)))
-        .select("doc_id", "bucket", "split").orderBy("doc_id"),
-      Some(s"$fpCte SELECT doc_id, fingerprint % 100 AS bucket, " +
-        "CASE WHEN fingerprint % 100 < 95 THEN 'train' " +
-        "WHEN fingerprint % 100 < 98 THEN 'val' ELSE 'test' END AS split " +
-        "FROM fp ORDER BY doc_id")),
-
-    // Cluster-aware LEAKAGE-SAFE split: every doc keys on its duplicate
-    // cluster's representative id, so near-dups can never straddle
-    // train/test — the oracle replays the components recursively and
-    // hashes the representative's string rendering through the same
-    // rolling-hash machinery as q_split_assign.
-    Q("q_split_leakage_safe",
-      (s, d) => graft.functions.Sampling.leakageSafeSplit(
-        Tables.documents(s, d),
-        Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.5),
-        Seq(("train", 95), ("val", 3), ("test", 2)))
-        .orderBy("doc_id"),
-      Some(leakageSafeOracle)),
-
-    // The INDEXED leakage-safe split: the duplicate-cluster table is
-    // materialized ONCE ([[graft.functions.Dedup.writeClusterTable]] —
-    // doc_id-bucketed, meta published last) and the split reader pays only
-    // a table scan + scan-side bucket/split projections, not the pair
-    // generation + star contraction the from-scratch path embeds per call.
-    // SAME oracle as q_split_leakage_safe, so hash equality certifies
-    // write→read fidelity of the persisted clustering (the
-    // q_text_bigram_indexed discipline). Unique table name + eager
-    // materialization + finally-drop.
-    Q("q_split_leakage_safe_indexed",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val name = "graft_cl_idx_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        Dedup.writeClusterTable(docs, Dedup.ngramJaccardPairs(docs, 0.5), name)
-        try graft.functions.Sampling.leakageSafeSplitIndexed(s, name,
-            Seq(("train", 95), ("val", 3), ("test", 2)))
-          .orderBy("doc_id").localCheckpoint(true)
-        finally Dedup.dropClusterTable(s, name)
-      },
-      Some(leakageSafeOracle)),
-
-    // LEAKAGE AUDIT: the same near-dup pair set classified under BOTH
-    // split strategies in one report — the content split (per-doc hash)
-    // shows cross-split near-dup pairs, the cluster split's leaking rows
-    // aggregate to ZERO by construction, and the hash gate certifies the
-    // exact count distribution of both. The pair set materializes once
-    // (localCheckpoint) and feeds the content audit, the clustering, and
-    // the cluster audit.
-    Q("q_split_leakage_audit",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val pairs = Dedup.ngramJaccardPairs(docs, 0.5).localCheckpoint(true)
-        val splits = Seq(("train", 95), ("val", 3), ("test", 2))
-        val content = graft.functions.Sampling.hashSplit(
-          docs.select("doc_id", "text"), splits).select("doc_id", "split")
-        val cluster = graft.functions.Sampling
-          .leakageSafeSplit(docs, pairs, splits).select("doc_id", "split")
-        graft.functions.Sampling.leakageAudit(content, pairs)
-          .withColumn("method", lit("content"))
-          .unionByName(graft.functions.Sampling.leakageAudit(cluster, pairs)
-            .withColumn("method", lit("cluster")))
-          .select("method", "split_lo", "split_hi", "n_pairs", "leaking")
-          .orderBy("method", "split_lo", "split_hi")
-      },
-      Some(leakageAuditOracle)),
-
-    // Deterministic stratified sampling: strata (doc_id mod 3 as a
-    // stand-in source label) kept at 100% / 50% / 10% by content-hash
-    // bucket out of 10,000 — reproducible, duplicate-consistent, no RNG.
-    Q("q_sample_stratified",
-      (s, d) => graft.functions.Sampling.stratifiedSample(
-        Tables.documents(s, d).select("doc_id", "text"),
-        (col("doc_id") % 3).cast("string"),
-        Map("0" -> 1.0, "1" -> 0.5, "2" -> 0.1))
-        .select("doc_id").orderBy("doc_id"),
-      Some(s"$fpCte SELECT doc_id FROM fp " +
-        "WHERE fingerprint % 10000 < " +
-        "CASE CAST(doc_id % 3 AS VARCHAR) WHEN '0' THEN 10000 " +
-        "WHEN '1' THEN 5000 WHEN '2' THEN 1000 ELSE 0 END " +
-        "ORDER BY doc_id")),
-
-    // Per-source quota ("domain cap"): each source keeps its 15 lowest-
-    // (fingerprint, doc_id) docs of 25 — the domain-balancing verdict,
-    // content-keyed so re-ingest keeps the same documents.
-    Q("q_sample_domain_cap",
-      (s, d) => graft.functions.Sampling.domainCap(
-        Tables.documents(s, d), maxPerSource = 15)
-        .orderBy("doc_id"),
-      Some(s"$fpCte, r AS (SELECT d.doc_id, d.source, " +
-        "row_number() OVER (PARTITION BY d.source " +
-        "ORDER BY fingerprint ASC NULLS LAST, d.doc_id) AS domain_rank " +
-        "FROM documents d JOIN fp ON d.doc_id = fp.doc_id) " +
-        "SELECT doc_id, source, CAST(domain_rank AS INT) AS domain_rank, " +
-        "domain_rank <= 15 AS keep FROM r ORDER BY doc_id")),
-
-    // Training-mixture sampling: a 60-doc budget filled 4:2:1:1 from
-    // src0..src3 by largest-remainder quotas (src0's quota of 30 exceeds
-    // its 25 available docs — the shortfall stays visible, not silently
-    // redistributed), selection content-keyed within each source.
-    Q("q_sample_mixture",
-      (s, d) => graft.functions.Sampling.mixtureSample(
-        Tables.documents(s, d), mixParts, totalN = mixTotal)
-        .orderBy("doc_id"),
-      Some(s"$fpCte, r AS (SELECT d.doc_id, d.source, " +
-        "row_number() OVER (PARTITION BY d.source " +
-        "ORDER BY fingerprint ASC NULLS LAST, d.doc_id) AS mix_rank " +
-        "FROM documents d JOIN fp ON d.doc_id = fp.doc_id) " +
-        s"SELECT doc_id, source, mix_rank, $mixQuotaSql AS quota, " +
-        s"mix_rank <= $mixQuotaSql AS keep FROM r ORDER BY doc_id")),
-
-    // DATA-CONSTRAINED EPOCH PLAN: a 40k-token budget split 4:2:1:1 over
-    // src0..src3 against the corpus's measured per-source token counts —
-    // epochs = exact integer ceil(target/available) plus the final partial
-    // pass, sources past 4 epochs flagged (the Muennighoff repetition
-    // cap). Targets are apportioned ONCE in Scala and rendered into both
-    // engines (the mixQuota rule); everything data-dependent is replayed.
-    Q("q_sample_epoch_plan",
-      (s, d) => graft.functions.Sampling.epochPlan(
-        Tables.documents(s, d), epochParts, budgetTokens = epochBudget)
-        .orderBy("source"),
-      Some("WITH a AS (SELECT source, " +
-        s"CAST(sum(len($toksSql)) AS BIGINT) AS available_tokens " +
-        "FROM documents WHERE text IS NOT NULL GROUP BY source), " +
-        s"w AS (SELECT * FROM (VALUES $epochTargetValuesSql) " +
-        "AS v(source, target_tokens)), " +
-        "t AS (SELECT coalesce(a.source, w.source) AS source, " +
-        "CAST(coalesce(a.available_tokens, 0) AS BIGINT) AS available_tokens, " +
-        "CAST(coalesce(w.target_tokens, 0) AS BIGINT) AS target_tokens " +
-        "FROM a FULL OUTER JOIN w ON a.source = w.source), " +
-        "e AS (SELECT *, CAST(CASE WHEN target_tokens > 0 " +
-        "AND available_tokens > 0 THEN " +
-        "(target_tokens + available_tokens - 1) // available_tokens " +
-        "WHEN target_tokens > 0 AND available_tokens = 0 THEN NULL " +
-        "ELSE 0 END AS BIGINT) AS epochs FROM t) " +
-        "SELECT source, available_tokens, target_tokens, epochs, " +
-        "CAST(CASE WHEN epochs > 0 THEN target_tokens - " +
-        "(epochs - 1) * available_tokens " +
-        "WHEN epochs IS NULL THEN NULL ELSE 0 END AS BIGINT) " +
-        "AS last_epoch_tokens, coalesce(epochs > 4, TRUE) AS over_epoch_cap " +
-        "FROM e ORDER BY source")),
-
-    // EPOCH EXPANSION: the plan materialized as the repeated-corpus
-    // relation a loader consumes — one row per (document, pass), full
-    // passes complete, the final partial pass cut at the token budget in
-    // content-rank order (the crossing document included, overshoot
-    // bounded by one doc). The 3× budget forces multi-epoch repetition at
-    // every SF; the infeasible srcz source correctly contributes nothing.
-    Q("q_sample_epoch_expand",
-      (s, d) => graft.functions.Sampling.epochExpand(
-        Tables.documents(s, d), epochParts, budgetTokens = expandBudget)
-        .orderBy("source", "epoch", "doc_id"),
-      Some(epochExpandOracle)),
-
-    // TEMPERATURE-scaled mixture (α = 0.5, the UniMax/multilingual
-    // up-sampling shape): quotas ∝ √(source count), weights computed FROM
-    // THE DATA — one correctly-rounded IEEE sqrt per source into 2^20
-    // fixed-point, then exact integer Hamilton apportionment replayed in
-    // SQL (floor + largest remainder, ties by source), and the shared
-    // content-keyed fingerprint ranking.
-    Q("q_sample_temperature",
-      (s, d) => graft.functions.Sampling.temperatureMixture(
-        Tables.documents(s, d), totalN = 120)
-        .orderBy("doc_id"),
-      Some(s"$fpCte, " +
-        "sct AS (SELECT source, CAST(count(*) AS BIGINT) AS n_source " +
-        "FROM documents GROUP BY 1), " +
-        "wtd AS (SELECT source, n_source, " +
-        "CAST(round(sqrt(CAST(n_source AS DOUBLE)) * 1048576) AS BIGINT) AS wt " +
-        "FROM sct), " +
-        "tot AS (SELECT source, n_source, wt, " +
-        "CAST(sum(wt) OVER () AS BIGINT) AS sum_wt FROM wtd), " +
-        "bs AS (SELECT source, n_source, (120 * wt) // sum_wt AS base, " +
-        "(120 * wt) % sum_wt AS rem FROM tot), " +
-        "lo AS (SELECT *, CAST(120 - sum(base) OVER () AS BIGINT) AS leftover, " +
-        "row_number() OVER (ORDER BY rem DESC, source) AS rk FROM bs), " +
-        "qt AS (SELECT source, n_source, CAST(base + CASE WHEN rk <= leftover " +
-        "THEN 1 ELSE 0 END AS BIGINT) AS quota FROM lo), " +
-        "r AS (SELECT d.doc_id, d.source, " +
-        "row_number() OVER (PARTITION BY d.source " +
-        "ORDER BY fingerprint ASC NULLS LAST, d.doc_id) AS mix_rank " +
-        "FROM documents d JOIN fp ON d.doc_id = fp.doc_id) " +
-        "SELECT r.doc_id, r.source, qt.n_source, qt.quota, r.mix_rank, " +
-        "r.mix_rank <= qt.quota AS keep FROM r JOIN qt USING (source) " +
-        "ORDER BY r.doc_id")),
-
-    // Deterministic training-shuffle order (seed 7): pure modular
-    // arithmetic both engines evaluate identically — the loader-side
-    // epoch shuffle, no RNG state. key = x^5 mod p (non-affine, so epochs
-    // are decorrelated permutations, not rotations of one order); every
-    // intermediate product of two mod-p residues stays under 2^62.
-    Q("q_sample_shuffle_order",
-      (s, d) => graft.functions.Sampling.shuffleOrder(
-        Tables.documents(s, d).select("doc_id"), seed = 7L)
-        .orderBy("doc_id"),
-      Some("SELECT doc_id, x4 * x % 2147483647 AS shuffle_key FROM (" +
-        "SELECT doc_id, x, x2 * x2 % 2147483647 AS x4 FROM (" +
-        "SELECT doc_id, x, x * x % 2147483647 AS x2 FROM (" +
-        "SELECT doc_id, ((doc_id % 2147483647 + 7 % 2147483647) " +
-        "% 2147483647 + 2147483647) % 2147483647 AS x FROM documents))) " +
-        "ORDER BY doc_id")),
-
-    // Keyword extraction: per-doc top-3 terms by exact frequency (integer
-    // tf, no floating-point IDF ⇒ cross-engine deterministic).
-    Q("q_text_top_terms",
-      (s, d) => TextAnalysis.topTerms(Tables.documents(s, d), 3)
-        .orderBy("doc_id", "rank"),
-      Some("WITH posting AS (SELECT doc_id, unnest(" + toksSql + ") AS term " +
-        "FROM documents), " +
-        "tf AS (SELECT doc_id, term, count(*) AS tf FROM posting " +
-        s"WHERE term NOT IN $stopSql " +
-        "AND term <> '' GROUP BY 1, 2), " +
-        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
-        "ORDER BY tf DESC, term) AS rank FROM tf) " +
-        "SELECT doc_id, term, tf, CAST(rank AS INT) AS rank FROM r " +
-        "WHERE rank <= 3 ORDER BY doc_id, rank")),
-
-    // Corpus vocabulary: per-term document frequency + total occurrences
-    // (integer-only, the tokenizer-training / vocab-pruning statistic).
-    Q("q_text_vocabulary",
-      (s, d) => TextAnalysis.vocabulary(Tables.documents(s, d))
-        .orderBy("term"),
-      Some("WITH posting AS (SELECT doc_id, unnest(" + toksSql + ") AS term " +
-        "FROM documents) " +
-        "SELECT term, count(DISTINCT doc_id) AS doc_freq, " +
-        "count(*) AS term_freq FROM posting WHERE term <> '' " +
-        "GROUP BY term ORDER BY term")),
-
-    // Unigram-LM tokenizer training statistics (Kudo 2018 — the OTHER
-    // production tokenizer regime beside BPE): the weighted substring
-    // seed-candidate relation the trainer prunes from — every substring
-    // of length ≤ 4 of every word, weighted by exact corpus counts. The
-    // EM + likelihood-loss pruning loop is UnigramSpec-pinned (worked
-    // forward-backward fixture); this oracles the corpus-scale relation
-    // it iterates on, exactly as q_text_bpe_pairs does for the BPE
-    // trainer. Top-50 under a TOTAL order (freq desc, piece asc).
-    Q("q_text_unigram_vocab",
-      (s, d) => Unigram.seedCandidates(Tables.documents(s, d), maxPieceLen = 4)
-        .orderBy(col("freq").desc, col("piece"))
-        .limit(50),
-      Some("WITH words AS (SELECT word, count(*) AS cnt FROM " +
-        s"(SELECT unnest($toksSql) AS word FROM documents) " +
-        "WHERE word <> '' GROUP BY word), " +
-        "ex AS (SELECT unnest(flatten([[substring(word, i, l) " +
-        "FOR l IN range(1, least(4, len(word) - i + 1) + 1)] " +
-        "FOR i IN range(1, len(word) + 1)])) AS piece, cnt FROM words) " +
-        "SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq FROM ex " +
-        "GROUP BY 1 ORDER BY freq DESC, piece LIMIT 50")),
-
-    // Corpus-frequency quality score — the CCNet-perplexity stand-in:
-    // per-doc mean corpus token frequency, exact integer until ONE final
-    // division (no ln — libm would break the cross-engine hash).
-    // Tokenizer-training statistics: the exact symbol-pair frequencies the
-    // first BPE merge round's argmax reads (word histogram → adjacent char
-    // pairs with the paper's </w> end marker, weighted by exact corpus
-    // counts). The full greedy loop is BpeSpec-tested; this oracles the
-    // corpus-scale relation it iterates on. Top-50 under a TOTAL order
-    // (freq desc, l, r) so the cut is deterministic on both engines.
-    Q("q_text_bpe_pairs",
-      (s, d) => Bpe.pairFrequencies(Bpe.wordHistogram(Tables.documents(s, d)))
-        .select(col("l"), col("r"), col("freq"))
-        .orderBy(col("freq").desc, col("l"), col("r"))
-        .limit(50),
-      Some("WITH words AS (SELECT word, count(*) AS cnt FROM " +
-        s"(SELECT unnest($toksSql) AS word FROM documents) " +
-        "WHERE word <> '' GROUP BY word), " +
-        "syms AS (SELECT list_append(string_split(word, ''), '</w>') AS s, " +
-        "cnt FROM words), " +
-        "ex AS (SELECT unnest([{'l': s[i], 'r': s[i+1]} " +
-        "FOR i IN range(1, len(s))]) AS p, cnt FROM syms) " +
-        "SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS freq " +
-        "FROM ex GROUP BY 1, 2 ORDER BY freq DESC, l, r LIMIT 50")),
-
-    // Tokenizer APPLY at corpus scale: the seed-trained merge table (32
-    // merges, BpeSpec-pinned local == distributed trainer) rides into
-    // BpeEncodeExpr as a codegen reference object — no join, no shuffle,
-    // every document encodes inside its scan partition. Output is the
-    // full subword sequence + count per doc; the oracle replays the greedy
-    // fold with nested sep-bounded replace() (see bpeEncodeOracle).
-    Q("q_text_bpe_encode",
-      (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"),
-          Bpe.encode(TextAnalysis.tokens(col("text")), bpeMerges).as("sub"))
-        .select(col("doc_id"),
-          size(col("sub")).cast("long").as("bpe_token_count"),
-          concat_ws(" ", col("sub")).as("subwords"))
-        .orderBy("doc_id"),
-      Some(bpeEncodeOracle)),
-
-    // BYTE-LEVEL tokenizer apply — the zero-OOV production regime
-    // (GPT-2's bytes_to_unicode): words pre-map to the closed 256-symbol
-    // byte alphabet, so NO input can ever fall outside the vocabulary,
-    // and the identical merge-fold machinery runs over byte symbols. The
-    // oracle derives each word's byte symbols from hex(encode(word))
-    // through the engine-rendered byte->symbol map, then replays the
-    // same sep-bounded replace() fold (bpeBytesEncodeOracle).
-    Q("q_text_bpe_encode_bytes",
-      (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"),
-          Bpe.encode(TextAnalysis.tokens(col("text")), bpeBytesMerges,
-            byteLevel = true).as("sub"))
-        .select(col("doc_id"),
-          size(col("sub")).cast("long").as("bpe_token_count"),
-          concat_ws(" ", col("sub")).as("subwords"))
-        .orderBy("doc_id"),
-      Some(bpeBytesEncodeOracle)),
-
-    // Classifier-TRAINING feature relation: per-term positive/negative
-    // document frequencies + add-one odds under a deterministic label
-    // (even-numbered sources = positive — the provenance-classifier
-    // regime: learn to recognize a register). The full-batch GD trainer
-    // itself is PipelineSpec-pinned (hand-worked gradient step, two-run
-    // determinism, register separation end-to-end through the certified
-    // inference paths); this oracles the corpus-scale relation it
-    // selects features from — the q_text_bpe_pairs discipline.
-    Q("q_text_classifier_logodds",
-      (s, d) => TextAnalysis.termLogOdds(Tables.documents(s, d),
-          expr("CAST(substring(source, 4) AS INT) % 2 = 0"))
-        .orderBy("term"),
-      Some("WITH lab AS (SELECT doc_id, " +
-        "CAST(substring(source, 4) AS INT) % 2 = 0 AS y, text " +
-        "FROM documents), " +
-        "posting AS (SELECT doc_id, y, unnest(" + toksSql + ") AS term " +
-        "FROM lab), " +
-        "agg AS (SELECT term, " +
-        "count(DISTINCT CASE WHEN y THEN doc_id END) AS pos_docs, " +
-        "count(DISTINCT CASE WHEN NOT y THEN doc_id END) AS neg_docs " +
-        "FROM posting WHERE term <> '' GROUP BY term) " +
-        "SELECT term, CAST(pos_docs AS BIGINT) AS pos_docs, " +
-        "CAST(neg_docs AS BIGINT) AS neg_docs, " +
-        "CAST(pos_docs + 1 AS DOUBLE) / CAST(neg_docs + 1 AS DOUBLE) " +
-        "AS odds FROM agg ORDER BY term")),
-
-    // Unigram-tokenizer APPLY at corpus scale: each document's Viterbi
-    // (max-probability) segmentation log-probability under the fixed
-    // seed-trained vocabulary (UnigramSpec pins the trainer; this gates
-    // the apply). The native UnigramScoreExpr scores every document
-    // inside its scan partition — no join, no shuffle, vocabulary as a
-    // codegen reference object — and the SCORE is the gated number
-    // because the max is tie-independent, so the DuckDB oracle can
-    // replay the identical DP (list_reduce over positions, candidate
-    // arms unrolled per piece length, same IEEE doubles from the same
-    // Scala training run) and hash-match to the bit.
-    Q("q_text_unigram_score",
-      (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_words"),
-          Unigram.scoreTokens(TextAnalysis.tokens(col("text")), unigramVocab)
-            .as("unigram_logprob"))
-        .orderBy("doc_id"),
-      Some("WITH v AS (SELECT " + unigramMapSql + " AS m), " +
-        s"tk AS (SELECT doc_id, $toksSql AS t FROM documents), " +
-        "tok AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM " +
-        "(SELECT doc_id, unnest([{'pos': i, 'w': t[i]} " +
-        "FOR i IN range(1, len(t) + 1)]) AS u FROM tk) q0), " +
-        "ws AS (SELECT doc_id, pos, list_reduce(" +
-        "list_prepend([CAST(0.0 AS DOUBLE)], " +
-        "[[CAST(j AS DOUBLE)] FOR j IN range(1, len(w) + 1)]), " +
-        "(acc, x) -> list_append(acc, greatest(" +
-        "acc[CAST(x[1] AS INT)] + coalesce(" +
-        "m[substring(w, CAST(x[1] AS INT), 1)][1], " +
-        "CAST(-1000000000.0 AS DOUBLE)), " +
-        "CASE WHEN x[1] >= 2 THEN acc[CAST(x[1] AS INT) - 1] + " +
-        "m[substring(w, CAST(x[1] AS INT) - 1, 2)][1] END, " +
-        "CASE WHEN x[1] >= 3 THEN acc[CAST(x[1] AS INT) - 2] + " +
-        "m[substring(w, CAST(x[1] AS INT) - 2, 3)][1] END, " +
-        "CASE WHEN x[1] >= 4 THEN acc[CAST(x[1] AS INT) - 3] + " +
-        "m[substring(w, CAST(x[1] AS INT) - 3, 4)][1] END))" +
-        ")[len(w) + 1] AS s FROM tok, v), " +
-        "doc AS (SELECT doc_id, list_reduce(" +
-        "list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY pos)), " +
-        "(a, x) -> a + x) AS unigram_logprob FROM ws GROUP BY doc_id) " +
-        // LEFT JOIN, not inner: a NULL-text document has no tok rows (so
-        // no doc row) but the Spark side still emits it with NULL
-        // n_words/score — the bpeEncodeOracle discipline (ADVICE r13)
-        "SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_words, " +
-        "doc.unigram_logprob FROM tk LEFT JOIN doc USING (doc_id) " +
-        "ORDER BY doc_id")),
-
-    // TOKENIZER FERTILITY per detected language — the tokenizer-fairness
-    // audit (a tokenizer trained on one language's register fragments the
-    // others into more subwords, inflating their effective cost): per
-    // lang_guess, BPE tokens / whitespace tokens and chars / BPE token.
-    // Composes three certified signals (lang-id, whitespace count, BPE
-    // encode) in one scan + one |langs|-row aggregate; the oracle
-    // re-renders each from its gated fragment.
-    Q("q_text_fertility",
-      (s, d) => Tables.documents(s, d)
-        .select(
-          TextAnalysis.langId(col("text")).as("lang_guess"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("__ws"),
-          size(Bpe.encode(TextAnalysis.tokens(col("text")), bpeMerges))
-            .cast("long").as("__bpe"),
-          length(col("text")).cast("long").as("__chars"))
-        .groupBy("lang_guess")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("__ws")).as("ws_tokens"),
-          sum(col("__bpe")).as("bpe_tokens"),
-          sum(col("__chars")).as("n_chars"))
-        .withColumn("fertility",
-          when(col("ws_tokens") > 0,
-            col("bpe_tokens").cast("double") / col("ws_tokens").cast("double")))
-        .withColumn("chars_per_token",
-          when(col("bpe_tokens") > 0,
-            col("n_chars").cast("double") / col("bpe_tokens").cast("double")))
-        .orderBy("lang_guess"),
-      Some(s"WITH tk AS (SELECT doc_id, unnest($toksSql) AS word " +
-        "FROM documents), " +
-        "seg AS (SELECT doc_id, CAST(len(string_split(trim(" +
-        bpeFoldedSql + ", chr(31)), chr(31))) AS BIGINT) AS ns " +
-        "FROM tk WHERE word <> ''), " +
-        "bp AS (SELECT doc_id, CAST(sum(ns) AS BIGINT) AS bpe FROM seg " +
-        "GROUP BY doc_id), " +
-        s"sig AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS ws, " +
-        "CAST(length(text) AS BIGINT) AS chars, " +
-        langMarkerColsSql(toksSql) + " FROM documents), " +
-        s"lg AS (SELECT doc_id, ws, chars, $langGuessCaseSql AS lang_guess " +
-        "FROM sig), " +
-        "j AS (SELECT lg.lang_guess, lg.ws, lg.chars, " +
-        "COALESCE(bp.bpe, 0) AS bpe FROM lg " +
-        "LEFT JOIN bp USING (doc_id)), " +
-        "g AS (SELECT lang_guess, count(*) AS n_docs, " +
-        "CAST(sum(ws) AS BIGINT) AS ws_tokens, " +
-        "CAST(sum(bpe) AS BIGINT) AS bpe_tokens, " +
-        "CAST(sum(chars) AS BIGINT) AS n_chars FROM j GROUP BY lang_guess) " +
-        "SELECT lang_guess, n_docs, ws_tokens, bpe_tokens, n_chars, " +
-        "CASE WHEN ws_tokens > 0 THEN " +
-        "CAST(bpe_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE) END " +
-        "AS fertility, " +
-        "CASE WHEN bpe_tokens > 0 THEN " +
-        "CAST(n_chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE) END " +
-        "AS chars_per_token FROM g ORDER BY lang_guess")),
-
-    Q("q_text_unigram_quality",
-      (s, d) => TextAnalysis.unigramScore(Tables.documents(s, d))
-        .orderBy("doc_id"),
-      Some("WITH tk AS (SELECT doc_id, unnest(" + toksSql + ") AS term " +
-        "FROM documents), " +
-        "v AS (SELECT term, count(*) AS cnt FROM tk GROUP BY 1), " +
-        "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v), " +
-        "sc AS (SELECT tk.doc_id, CAST(sum(v.cnt) AS BIGINT) AS s, " +
-        "count(*) AS n FROM tk JOIN v USING (term) GROUP BY 1) " +
-        "SELECT d.doc_id, CAST(COALESCE(sc.n, 0) AS BIGINT) AS token_count, " +
-        // factors widen to DOUBLE before the multiply, mirroring the Scala
-        // side (n*total would overflow int64 at corpus scale)
-        "CAST(sc.s AS DOUBLE) / (CAST(sc.n AS DOUBLE) * " +
-        "CAST(tot.total AS DOUBLE)) AS unigram_score " +
-        "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id " +
-        "CROSS JOIN tot ORDER BY d.doc_id")),
-
-    // CLASSIFIER-based quality filter (the fastText / FineWeb-Edu shape):
-    // a broadcast integer micro-unit weight table, exact integer
-    // Σ tf·w + bias per document, ONE final division for the surfaced
-    // mean-per-token score, and a pure-integer threshold verdict. The
-    // oracle renders the weight table as a VALUES CTE and replays the
-    // postings join + integer arithmetic.
-    Q("q_text_classifier_quality",
-      (s, d) => TextAnalysis.classifierScore(Tables.documents(s, d),
-          classifierWeights, bias = classifierBias,
-          thresholdMicros = classifierThreshold)
-        .orderBy("doc_id"),
-      Some(classifierOracle)),
-
-    // The SAME linear model as a pure projection (map-literal weights,
-    // scan-side integer fold — the shape the streaming gate runs in
-    // append mode). Shares q_text_classifier_quality's oracle: hash
-    // equality certifies the join and projection access paths agree.
-    Q("q_text_classifier_inline",
-      (s, d) => TextAnalysis.classifierScoreInline(Tables.documents(s, d),
-          classifierWeights, bias = classifierBias,
-          thresholdMicros = classifierThreshold)
-        .orderBy("doc_id"),
-      Some(classifierOracle)),
-
-    // Bigram-LM quality score (order-2 CCNet-style filter): mean smoothed
-    // conditional probability of each bigram position under the corpus
-    // model — rational arithmetic end-to-end (one IEEE division per
-    // position, sorted-fold per-doc sum), so the oracle replays it to the
-    // bit with no libm transcendentals (the unigramScore / rational-idf
-    // BM25 discipline).
-    Q("q_text_bigram_lm",
-      (s, d) => TextAnalysis.bigramScore(Tables.documents(s, d), addK = 1.0)
-        .orderBy("doc_id"),
-      Some(bigramLmOracle)),
-
-    // CCNet HEAD/MIDDLE/TAIL (Wenzek et al. 2020): LM-quality terciles
-    // with cutoffs from a deterministic id-mix SAMPLE of the per-doc
-    // scores (never a global sort — corpus assignment is one scan-side
-    // CASE against two literal cutoffs). The oracle replays the bigram
-    // chain, the sample selection, the rank-k cutoffs, and the CASE.
-    Q("q_sample_perplexity_buckets",
-      (s, d) => graft.functions.Sampling.headMiddleTail(
-        TextAnalysis.bigramScore(Tables.documents(s, d))
-          .select("doc_id", "bigram_score"), sampleSize = 256)
-        .orderBy("doc_id"),
-      Some(bigramLmCtes + ", " +
-        "dsq AS (SELECT doc_id, s / CAST(n AS DOUBLE) AS bigram_score FROM sc), " +
-        "smq AS (SELECT bigram_score FROM dsq " +
-        s"ORDER BY ${graft.functions.Similarity.sampleHashSql("doc_id")}, doc_id " +
-        "LIMIT 256), " +
-        "osq AS (SELECT bigram_score AS sv, " +
-        "row_number() OVER (ORDER BY bigram_score DESC) AS rk, " +
-        "count(*) OVER () AS nn FROM smq), " +
-        "cutq AS (SELECT max(CASE WHEN rk = (nn + 2) // 3 THEN sv END) AS c1, " +
-        "max(CASE WHEN rk = (2 * nn + 2) // 3 THEN sv END) AS c2 FROM osq) " +
-        "SELECT dsq.doc_id, dsq.bigram_score, " +
-        "CASE WHEN dsq.bigram_score >= cutq.c1 THEN 'head' " +
-        "WHEN dsq.bigram_score >= cutq.c2 THEN 'middle' ELSE 'tail' END AS bucket " +
-        "FROM dsq CROSS JOIN cutq ORDER BY dsq.doc_id")),
-
-    // The persisted-LM access path under the same hash gate: train the
-    // model tables, score the corpus FROM the stored tables, compare
-    // against the identical from-scratch oracle — write→read fidelity for
-    // the LM artifact, the q_text_bm25_indexed pattern.
-    Q("q_text_bigram_indexed",
-      (s, d) => {
-        val name = "graft_lm_idx_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        TextAnalysis.writeLmTable(Tables.documents(s, d), name)
-        try TextAnalysis.bigramScoreIndexed(s, name, Tables.documents(s, d))
-          .orderBy("doc_id").localCheckpoint(true)
-        finally TextAnalysis.dropLmTable(s, name)
-      },
-      Some(bigramLmOracle)),
-
-    // UNLEARN training documents from the bigram LM — deletion where the
-    // removed text shaped MODEL COUNTS, not just an index row: the model
-    // trains on the corpus PLUS mutated clones (ids +4,000,000, each
-    // appending a clone-unique token), which doubles every bigram count,
-    // shifts every context total, AND grows the vocabulary V that the
-    // add-k smoothing divides by. Unlearning the clones must restore all
-    // four tables exactly — counts are integers, so scoring the original
-    // corpus afterward must hash-match the never-trained-on-clones
-    // oracle (q_text_bigram_indexed's), which it can only do if model,
-    // ctx, vocab AND V all reverted to the bit.
-    Q("q_text_bigram_deleted",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val clones = docs.filter(col("text").isNotNull)
-          .select((col("doc_id") + 4000000L).as("doc_id"),
-            concat(col("text"), lit(" uniqclonetok"),
-              col("doc_id").cast("string")).as("text"))
-        val name = "graft_lm_del_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        TextAnalysis.writeLmTable(
-          docs.select("doc_id", "text").unionByName(clones), name)
-        try {
-          TextAnalysis.deleteFromLmTable(s, name, clones)
-          TextAnalysis.bigramScoreIndexed(s, name, docs)
-            .orderBy("doc_id").localCheckpoint(true)
-        } finally TextAnalysis.dropLmTable(s, name)
-      },
-      Some(bigramLmOracle)),
-
-    // Stupid-backoff trigram score (Brants et al. 2007): the model trains
-    // on the EVEN half of the corpus and scores everything, so all three
-    // arms (trigram head, α-bigram backoff, α²-unigram backoff) fire and
-    // are replayed; α constants render from Scala into both engines.
-    Q("q_text_trigram_backoff",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        TextAnalysis.trigramBackoffScore(docs,
-            docs.filter(col("doc_id") % 2 === 0), alpha = 0.4)
-          .orderBy("doc_id")
-      },
-      Some {
-        val a = 0.4
-        "WITH tk AS (SELECT doc_id, " + toksSql + " AS t FROM documents " +
-          "WHERE text IS NOT NULL), " +
-          "ttk AS (SELECT doc_id, " + toksSql + " AS t FROM documents " +
-          "WHERE text IS NOT NULL AND doc_id % 2 = 0), " +
-          "x3 AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i " +
-          "FROM tk WHERE len(t) >= 3), " +
-          "tg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS w1, " +
-          "t[i+1] AS w2, t[i+2] AS w3 FROM x3), " +
-          "tx3 AS (SELECT t, unnest(range(1, len(t) - 1)) AS i FROM ttk " +
-          "WHERE len(t) >= 3), " +
-          "tri AS (SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3, " +
-          "count(*) AS c123 FROM tx3 GROUP BY 1, 2, 3), " +
-          "tx2 AS (SELECT t, unnest(range(1, len(t))) AS i FROM ttk " +
-          "WHERE len(t) >= 2), " +
-          "bi AS (SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS c12 " +
-          "FROM tx2 GROUP BY 1, 2), " +
-          "uni AS (SELECT w, count(*) AS c FROM " +
-          "(SELECT unnest(t) AS w FROM ttk) GROUP BY 1), " +
-          "nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni), " +
-          "sc AS (SELECT tg.doc_id, count(*) AS k, " +
-          "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(" +
-          "CASE WHEN COALESCE(tri.c123, 0) > 0 THEN " +
-          "CAST(tri.c123 AS DOUBLE) / CAST(b12.c12 AS DOUBLE) " +
-          s"WHEN COALESCE(b23.c12, 0) > 0 THEN $a * " +
-          "(CAST(b23.c12 AS DOUBLE) / CAST(u2.c AS DOUBLE)) " +
-          s"ELSE ${a * a} * (CAST(COALESCE(u3.c, 0) AS DOUBLE) / " +
-          "CAST(nn.n AS DOUBLE)) END ORDER BY tg.pos)), " +
-          "(acc, x) -> acc + x) AS s " +
-          "FROM tg LEFT JOIN tri ON tri.w1 = tg.w1 AND tri.w2 = tg.w2 " +
-          "AND tri.w3 = tg.w3 " +
-          "LEFT JOIN bi b12 ON b12.w1 = tg.w1 AND b12.w2 = tg.w2 " +
-          "LEFT JOIN bi b23 ON b23.w1 = tg.w2 AND b23.w2 = tg.w3 " +
-          "LEFT JOIN uni u2 ON u2.w = tg.w2 " +
-          "LEFT JOIN uni u3 ON u3.w = tg.w3 " +
-          "CROSS JOIN nn GROUP BY 1) " +
-          "SELECT d.doc_id, CAST(COALESCE(sc.k, 0) AS BIGINT) AS n_trigrams, " +
-          "sc.s / CAST(sc.k AS DOUBLE) AS backoff_score " +
-          "FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"
-      }),
-
-    // Composite C4/Gopher filter verdict at default thresholds: keep +
-    // ordered reason string per document, every arm replayed in SQL.
-    // 372/500 synthetic docs trip at least one check (lang_mismatch
-    // dominates — the corpus is English word-soup under non-en labels), so
-    // both keep values and multi-reason rows are exercised.
-    Q("q_text_filter_verdict",
-      (s, d) => TextAnalysis.filterVerdict(Tables.documents(s, d))
-        .orderBy("doc_id"),
-      Some(filterVerdictOracle)),
-
-    // FILTER-STACK ABLATION: per rejection reason, total firings and
-    // UNIQUE rejections (docs the stack would re-admit without that one
-    // arm) — redundant arms show up as high-n_rejected/zero-n_unique.
-    // The oracle replays the verdict chain and the explode/aggregate.
-    Q("q_text_filter_ablation",
-      (s, d) => TextAnalysis.filterAblation(
-        TextAnalysis.filterVerdict(Tables.documents(s, d)))
-        .orderBy("reason"),
-      Some(s"WITH $verdictCtes, " +
-        "rej AS (SELECT doc_id, string_split(reasons, ',') AS rs FROM v " +
-        "WHERE reasons <> ''), " +
-        "ab AS (SELECT doc_id, unnest(rs) AS reason, len(rs) = 1 AS solo " +
-        "FROM rej) " +
-        "SELECT reason, CAST(count(*) AS BIGINT) AS n_rejected, " +
-        "CAST(count(*) FILTER (solo) AS BIGINT) AS n_unique " +
-        "FROM ab GROUP BY 1 ORDER BY reason")),
-
-    // BM25 ranked retrieval (rational-idf variant — see bm25Search scaladoc)
-    // over a mixed-rarity query: 'dup' has df≈25 vs ≈385 for the common
-    // terms, so idf weighting visibly reorders the hits. The oracle replays
-    // the full pipeline with the SAME Scala-rendered double constants and a
-    // term-ordered list_reduce fold.
-    Q("q_text_bm25",
-      (s, d) => TextAnalysis.bm25Search(Tables.documents(s, d),
-        Bm25Terms, k = 15).orderBy("rank"),
-      Some(bm25Oracle(Bm25Terms, k = 15, k1 = 1.2, b = 0.75))),
-
-    // The INDEXED access path under the same hash gate: build the bucketed
-    // postings index, answer from it, compare against the identical
-    // full-scan oracle — write→read fidelity for the index, exactly the
-    // q_store_roundtrip pattern (the stored bytes must produce the answer).
-    // A UNIQUE table name per invocation (concurrent bench/verify processes
-    // share the default warehouse — a fixed name would let one process
-    // delete the index another is mid-read of), materialized eagerly so the
-    // tables can be dropped before the frame is consumed — no warehouse
-    // litter survives the query.
-    Q("q_text_bm25_indexed",
-      (s, d) => {
-        val name = "graft_bm25_idx_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        TextAnalysis.writeSearchIndex(Tables.documents(s, d), name)
-        // finally: a UUID name no later run can target must never leak on
-        // a failed/interrupted query
-        try TextAnalysis.bm25SearchIndexed(s, name, Bm25Terms, k = 15)
-          .orderBy("rank").localCheckpoint(true)
-        finally TextAnalysis.dropSearchIndex(s, name)
-      },
-      Some(bm25Oracle(Bm25Terms, k = 15, k1 = 1.2, b = 0.75))),
-
-    // TARGETED DELETION from the BM25 index — the canonical takedown
-    // surface, and the hardest stats case: the index is built over the
-    // corpus PLUS a full clone (ids +3,000,000), which doubles n_docs,
-    // every query term's df, and every matching doc's competition (each
-    // clone ties its original's score). Deleting the clones must restore
-    // the EXACT original ranking — which only happens if the tombstones
-    // correct n_docs, avgdl, and df, not just drop postings rows. Same
-    // oracle as q_text_bm25_indexed.
-    Q("q_text_bm25_deleted",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val clones = docs.select((col("doc_id") + 3000000L).as("doc_id"),
-          col("text"))
-        val name = "graft_bm25_del_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        TextAnalysis.writeSearchIndex(
-          docs.select("doc_id", "text").unionByName(clones), name)
-        val cloneIds = docs.select("doc_id").collect()
-          .map(_.getLong(0) + 3000000L).toSeq
-        try {
-          TextAnalysis.deleteFromSearchIndex(s, name, cloneIds)
-          TextAnalysis.bm25SearchIndexed(s, name, Bm25Terms, k = 15)
-            .orderBy("rank").localCheckpoint(true)
-        } finally TextAnalysis.dropSearchIndex(s, name)
-      },
-      Some(bm25Oracle(Bm25Terms, k = 15, k1 = 1.2, b = 0.75))),
-
-    // Token-length histogram: corpus length distribution in buckets of 10
-    // tokens (the diagnostic behind truncation/packing decisions).
-    Q("q_text_length_hist",
-      (s, d) => Tables.documents(s, d)
-        .select((size(TextAnalysis.tokens(col("text"))) / 10).cast("long")
-          .as("bucket_10toks"))
-        .groupBy("bucket_10toks").agg(count(lit(1)).as("n_docs"))
-        .orderBy("bucket_10toks"),
-      Some("SELECT CAST(floor(len(" + toksSql + ") / 10.0) AS BIGINT) " +
-        "AS bucket_10toks, count(*) AS n_docs FROM documents " +
-        "GROUP BY 1 ORDER BY 1")),
-
-    // CHUNK EXTRACTION (RAG/context-window chunker): 32-token windows,
-    // 16-token stride — the producer op that materializes overlapping
-    // chunks (chunk_text included) for an embedding/retrieval stage. The
-    // oracle replays the window arithmetic (⌈(n−w)/s⌉+1 windows, ragged
-    // tail) and the 1-based inclusive list slice; every derived integer is
-    // BIGINT-cast (range() already yields BIGINT — the HUGEINT rule).
-    Q("q_chunk_windows",
-      (s, d) => TextAnalysis.chunkWindows(
-          Tables.documents(s, d).select("doc_id", "text"),
-          windowTokens = 32, stride = 16)
-        .orderBy("doc_id", "chunk_idx"),
-      Some("WITH tk AS (SELECT doc_id, " + toksSql + " AS t FROM documents " +
-        "WHERE text IS NOT NULL AND len(" + toksSql + ") > 0), " +
-        "c AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM tk), " +
-        "x AS (SELECT doc_id, t, n, unnest(range(0, " +
-        "CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 15) // 16 + 1 END)) AS i " +
-        "FROM c) " +
-        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, " +
-        "CAST(i * 16 AS BIGINT) AS token_start, " +
-        "CAST(least(32, n - i * 16) AS BIGINT) AS n_tokens, " +
-        "array_to_string(t[(i*16+1):(i*16+32)], ' ') AS chunk_text " +
-        "FROM x ORDER BY doc_id, chunk_idx")),
-
-    // Exact dedup with BEST-COPY canonical selection: the doubled corpus's
-    // re-keyed copies land in a 'mirror' source, source priority picks the
-    // original (the curated-beats-crawl keep rule); every row keeps its
-    // verdict + group size. The oracle replays the priority window.
-    Q("q_dedup_exact_best",
-      (s, d) => {
-        val docs = Tables.documents(s, d).select("doc_id", "text", "source")
-        val doubled = docs.unionByName(
-          docs.select((col("doc_id") + lit(10000L)).as("doc_id"),
-            col("text"), lit("mirror").as("source")))
-        Dedup.exactBest(doubled,
-            when(col("source") === "mirror", 0L).otherwise(1L))
-          .orderBy("doc_id")
-      },
-      Some("WITH d AS (SELECT doc_id, text, source FROM documents " +
-        "UNION ALL SELECT doc_id + 10000, text, 'mirror' FROM documents), " +
-        "h AS (SELECT doc_id, sha256(text) AS content_hash, " +
-        "CAST(CASE WHEN source = 'mirror' THEN 0 ELSE 1 END AS BIGINT) " +
-        "AS score FROM d), " +
-        "w AS (SELECT *, row_number() OVER (PARTITION BY content_hash " +
-        "ORDER BY score DESC, doc_id) AS pick, " +
-        "count(*) OVER (PARTITION BY content_hash) AS dup_count FROM h) " +
-        "SELECT doc_id, content_hash, score, " +
-        "CAST(dup_count AS BIGINT) AS dup_count, pick = 1 AS keep " +
-        "FROM w ORDER BY doc_id")),
-
-    // Exact dedup over documents ∪ (re-keyed) documents so duplicate groups
-    // actually exist in the corpus.
-    Q("q_dedup_exact",
-      (s, d) => {
-        val docs = Tables.documents(s, d).select("doc_id", "text")
-        val doubled = docs.unionByName(
-          docs.withColumn("doc_id", col("doc_id") + lit(10000L)))
-        Dedup.exact(doubled).orderBy("doc_id")
-      },
-      Some("WITH d AS (SELECT doc_id, text FROM documents " +
-        "UNION ALL SELECT doc_id + 10000, text FROM documents) " +
-        "SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash, " +
-        "count(*) AS dup_count FROM d GROUP BY sha256(text) ORDER BY doc_id")),
-
-    // CROSS-SOURCE DUPLICATION MATRIX over an engineered overlap corpus
-    // (the doubled-corpus idiom, source-rotated: each source's re-keyed
-    // copy lands in the NEXT source, so every adjacent pair shares that
-    // source's distinct contents). Engine collapses text to a 64-bit hash
-    // before the shuffle; the oracle joins on RAW TEXT — the stronger
-    // claim — so the gate is also a no-collision certificate.
-    Q("q_dedup_cross_matrix",
-      (s, d) => {
-        val docs0 = Tables.documents(s, d).select("doc_id", "text", "source")
-        val rotated = docs0.select(
-          (col("doc_id") + 10000L).as("doc_id"), col("text"),
-          concat(lit("src"),
-            ((substring(col("source"), 4, 10).cast("long") + 1) % 20)
-              .cast("string")).as("source"))
-        Dedup.crossSourceMatrix(docs0.unionByName(rotated))
-          .orderBy("source_a", "source_b")
-      },
-      Some("WITH d AS (SELECT doc_id, text, source FROM documents " +
-        "UNION ALL SELECT doc_id + 10000, text, " +
-        "'src' || CAST((CAST(substr(source, 4) AS BIGINT) + 1) % 20 AS VARCHAR) " +
-        "FROM documents), " +
-        "s AS (SELECT DISTINCT text, source FROM d WHERE text IS NOT NULL), " +
-        "sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1), " +
-        "p AS (SELECT a.source AS source_a, b.source AS source_b, " +
-        "CAST(count(*) AS BIGINT) AS n_shared FROM s a " +
-        "JOIN s b ON a.text = b.text AND a.source < b.source GROUP BY 1, 2) " +
-        "SELECT source_a, source_b, n_shared, sa.n AS n_a, sb.n AS n_b, " +
-        "CAST(n_shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) " +
-        "AS overlap_frac FROM p " +
-        "JOIN sz sa ON source_a = sa.source " +
-        "JOIN sz sb ON source_b = sb.source " +
-        "ORDER BY source_a, source_b")),
-
-    // Chunk-level exact dedup over the doubled corpus (sub-document
-    // granularity — every original 16-token window recurs in its re-keyed
-    // twin, so dup fractions are exercised corpus-wide; the oracle replays
-    // the slice → lower → rolling-hash fold → first-occurrence rank).
-    Q("q_dedup_chunks",
-      (s, d) => {
-        val docs = Tables.documents(s, d).select("doc_id", "text")
-        val doubled = docs.unionByName(
-          docs.withColumn("doc_id", col("doc_id") + lit(10000L)))
-        graft.functions.Dedup.chunkDedup(doubled, chunkTokens = 16)
-          .orderBy("doc_id")
-      },
-      Some("WITH d AS (SELECT doc_id, text FROM documents " +
-        "UNION ALL SELECT doc_id + 10000, text FROM documents), " +
-        "tk AS (SELECT doc_id, " + toksSql + " AS t FROM d " +
-        "WHERE text IS NOT NULL AND len(" + toksSql + ") > 0), " +
-        "ck AS (SELECT doc_id, unnest(range(0, (len(t) - 1) // 16 + 1)) " +
-        "AS idx, t FROM tk), " +
-        // replay fingerprint's FULL canonical form (trim + collapse +
-        // lower), not just lower: a leading tab in text survives Spark's
-        // space-only trim into a leading empty token, and the joined chunk
-        // then starts with a space that normalizedText strips — the oracle
-        // must strip it too (same landmine class as the r6 HUGEINT bug)
-        "fp AS (SELECT doc_id, idx, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        "[CAST(unicode(c) AS BIGINT) FOR c IN regexp_extract_all(" +
-        "lower(regexp_replace(trim(" +
-        "array_to_string(t[(idx*16+1):(idx*16+16)], ' ')" +
-        "), '\\s+', ' ', 'g')), '.')]), " +
-        s"(acc, x) -> (acc * 31 + x) % ${graft.functions.RollingHash.Modulus}) " +
-        "AS f FROM ck), " +
-        "r AS (SELECT doc_id, row_number() OVER (PARTITION BY f " +
-        "ORDER BY doc_id, idx) AS rn FROM fp), " +
-        "g AS (SELECT doc_id, count(*) AS n_chunks, " +
-        "CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) " +
-        "AS n_dup_chunks FROM r GROUP BY 1) " +
-        "SELECT d.doc_id, CAST(COALESCE(g.n_chunks, 0) AS BIGINT) AS n_chunks, " +
-        "CAST(COALESCE(g.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks, " +
-        "CAST(g.n_dup_chunks AS DOUBLE) / CAST(g.n_chunks AS DOUBLE) " +
-        "AS dup_chunk_frac " +
-        "FROM d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id")),
-
-    // Duplicate-PASSAGE spans over the containment-style corpus (every 10th
-    // doc concatenated with its successor into a re-keyed super-doc): each
-    // swallowed document surfaces as a maximal run of consecutive shared
-    // 16-token chunks at diagonal start_a − start_b ≠ 0 — span-level
-    // exact-substring dedup (the where-and-how-long reading chunk counters
-    // can't give). Hot fingerprints (df > 64) are excluded before pairing
-    // on both sides.
-    Q("q_dedup_passages",
-      (s, d) => {
-        val docs = Tables.documents(s, d).select("doc_id", "text")
-        val concats = docs.as("a").filter(col("doc_id") % 10 === 0)
-          .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
-          .select((col("a.doc_id") + lit(20000L)).as("doc_id"),
-            concat(col("a.text"), lit(" "), col("b.text")).as("text"))
-        Dedup.duplicatePassages(docs.unionByName(concats),
-            chunkTokens = 16, minChunks = 2, maxChunkDf = 64)
-          .orderBy("doc_a", "doc_b", "start_a", "start_b")
-      },
-      Some("WITH d AS (SELECT doc_id, text FROM documents " +
-        "UNION ALL SELECT a.doc_id + 20000 AS doc_id, " +
-        "a.text || ' ' || b.text AS text FROM documents a " +
-        "JOIN documents b ON b.doc_id = a.doc_id + 1 " +
-        "WHERE a.doc_id % 10 = 0), " +
-        "tk AS (SELECT doc_id, " + toksSql + " AS t FROM d " +
-        "WHERE text IS NOT NULL AND len(" + toksSql + ") > 0), " +
-        "ck AS (SELECT doc_id, unnest(range(0, (len(t) - 1) // 16 + 1)) " +
-        "AS idx, t FROM tk), " +
-        // the q_dedup_chunks fingerprint replay: trim + collapse + lower
-        // canonical form, 58-bit prime-field rolling hash
-        "fp AS (SELECT doc_id, CAST(idx AS BIGINT) AS idx, " +
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        "[CAST(unicode(c) AS BIGINT) FOR c IN regexp_extract_all(" +
-        "lower(regexp_replace(trim(" +
-        "array_to_string(t[(idx*16+1):(idx*16+16)], ' ')" +
-        "), '\\s+', ' ', 'g')), '.')]), " +
-        s"(acc, x) -> (acc * 31 + x) % ${graft.functions.RollingHash.Modulus}) " +
-        "AS f FROM ck), " +
-        "hot AS (SELECT f FROM fp GROUP BY f HAVING count(*) > 64), " +
-        "rare AS (SELECT fp.* FROM fp ANTI JOIN hot USING (f)), " +
-        "m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "a.idx AS ia, b.idx AS ib FROM rare a " +
-        "JOIN rare b ON a.f = b.f AND a.doc_id < b.doc_id), " +
-        "r AS (SELECT doc_a, doc_b, ia, ib, ia - ib AS diag, " +
-        "ia - row_number() OVER (PARTITION BY doc_a, doc_b, ia - ib " +
-        "ORDER BY ia) AS grp FROM m), " +
-        "g AS (SELECT doc_a, doc_b, CAST(min(ia) AS BIGINT) AS start_a, " +
-        "CAST(min(ib) AS BIGINT) AS start_b, count(*) AS n_chunks " +
-        "FROM r GROUP BY doc_a, doc_b, diag, grp) " +
-        "SELECT doc_a, doc_b, start_a, start_b, " +
-        "CAST(n_chunks AS BIGINT) AS n_chunks, " +
-        "CAST(n_chunks * 16 AS BIGINT) AS approx_tokens FROM g " +
-        "WHERE n_chunks >= 2 ORDER BY doc_a, doc_b, start_a, start_b")),
-
-    // Duplicate-passage SCRUB — the removal half of Lee et al.: the spans
-    // q_dedup_passages detects are EXCISED from each pair's doc_b side
-    // (keep-first: the lower-id copy survives) and the cleaned corpus ships
-    // as space-joined kept token slices. The oracle replays the whole
-    // chain: the gated runs relation, the per-doc removed-chunk index set,
-    // and the list-comprehension slice reconstruction.
-    // CORPUS-WIDE LINE dedup (C4's cleaning stage / the RefinedWeb line
-    // rule): a line occurring ≥2 times across the corpus keeps only its
-    // first (doc_id, idx) occurrence; documents rebuild from surviving
-    // lines. The corpus has no newlines, so the fixture re-lines each
-    // document into 12-token lines first (deterministic, replayed
-    // verbatim) — the duplicate-span families then collide as exact
-    // repeated lines (96 at sf0.01, measured).
-    Q("q_text_line_dedup",
-      (s, d) => {
-        val relined = Tables.documents(s, d).select(col("doc_id"), expr(
-          "concat_ws('\n', transform(" +
-            "sequence(0, (size(split(text, ' ')) + 11) div 12 - 1), " +
-            "i -> concat_ws(' ', slice(split(text, ' '), i * 12 + 1, 12))))")
-          .as("text"))
-        Dedup.lineDedup(relined, minCount = 2).orderBy("doc_id")
-      },
-      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp " +
-        "FROM documents), " +
-        "d2 AS (SELECT doc_id, array_to_string(" +
-        "[array_to_string(sp[i*12+1 : least((i+1)*12, len(sp))], ' ') " +
-        "FOR i IN range(0, (len(sp) + 11) // 12)], chr(10)) AS text FROM t), " +
-        "ls AS (SELECT doc_id, string_split(text, chr(10)) AS sp2 FROM d2), " +
-        "lx AS (SELECT doc_id, u.idx AS idx, u.line AS line FROM " +
-        "(SELECT doc_id, unnest([{'idx': i - 1, 'line': sp2[i]} " +
-        "FOR i IN range(1, len(sp2) + 1)]) AS u FROM ls) q0), " +
-        "lm AS (SELECT doc_id, idx, line, " +
-        "row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS occ, " +
-        "count(*) OVER (PARTITION BY line) AS n_occ FROM lx), " +
-        "lk AS (SELECT doc_id, idx, line, (occ = 1 OR n_occ < 2) AS keep FROM lm) " +
-        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, " +
-        "CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept, " +
-        "COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) " +
-        "ORDER BY idx), '') AS text " +
-        "FROM lk GROUP BY doc_id ORDER BY doc_id")),
-
-    // PER-SOURCE BOILERPLATE strip — the regime the line rule above can't
-    // express: a line in ≥ max(2, ⌈0.5·docs-of-source⌉) distinct documents
-    // of the SAME source is that site's template chrome and drops from ALL
-    // of them (a banner is content in none of its pages), while a line
-    // shared by a MINORITY of a source's pages survives everywhere — even
-    // when it is corpus-frequent (lineDedup would keep only its first
-    // copy). The fixture wraps each relined doc in a global banner (df =
-    // 100% per source → stripped), a per-source footer (likewise), and a
-    // quote on every 7th doc (~14% per source → kept), exercising both
-    // verdicts; the oracle replays the df threshold line by line.
-    Q("q_text_boilerplate",
-      (s, d) => {
-        val relined = expr(
-          "concat_ws('\n', transform(" +
-            "sequence(0, (size(split(text, ' ')) + 11) div 12 - 1), " +
-            "i -> concat_ws(' ', slice(split(text, ' '), i * 12 + 1, 12))))")
-        val quote = when(col("doc_id") % 7 === 0,
-          lit("a quote cited by a few pages of every site\n")).otherwise(lit(""))
-        val wrapped = Tables.documents(s, d)
-          .filter(col("text").isNotNull)
-          .select(col("doc_id"), col("source"),
-            concat(lit("SUBSCRIBE to our newsletter\n"), quote, relined,
-              lit("\n(c) 2026 "), col("source")).as("text"))
-        Dedup.boilerplateStrip(wrapped, minDocFrac = 0.5, minDocs = 2)
-          .orderBy("doc_id")
-      },
-      Some("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS sp " +
-        "FROM documents WHERE text IS NOT NULL), " +
-        "d2 AS (SELECT doc_id, source, 'SUBSCRIBE to our newsletter' || " +
-        "chr(10) || CASE WHEN doc_id % 7 = 0 THEN " +
-        "'a quote cited by a few pages of every site' || chr(10) " +
-        "ELSE '' END || array_to_string(" +
-        "[array_to_string(sp[i*12+1 : least((i+1)*12, len(sp))], ' ') " +
-        "FOR i IN range(0, (len(sp) + 11) // 12)], chr(10)) || " +
-        "chr(10) || '(c) 2026 ' || source AS text FROM t), " +
-        "ls AS (SELECT doc_id, source, string_split(text, chr(10)) AS sp2 " +
-        "FROM d2), " +
-        "lx AS (SELECT doc_id, source, u.idx AS idx, u.line AS line FROM " +
-        "(SELECT doc_id, source, unnest([{'idx': i - 1, 'line': sp2[i]} " +
-        "FOR i IN range(1, len(sp2) + 1)]) AS u FROM ls) q0), " +
-        "tot AS (SELECT source, count(*) AS n_docs FROM d2 GROUP BY source), " +
-        "dfq AS (SELECT source, line, count(DISTINCT doc_id) AS df " +
-        "FROM lx GROUP BY source, line), " +
-        "lk AS (SELECT lx.doc_id, lx.idx, lx.line, " +
-        "(dfq.df < greatest(2, CAST(ceil(0.5 * tot.n_docs) AS BIGINT))) " +
-        "AS keep FROM lx JOIN dfq USING (source, line) " +
-        "JOIN tot USING (source)) " +
-        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, " +
-        "CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept, " +
-        "COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) " +
-        "ORDER BY idx), '') AS text " +
-        "FROM lk GROUP BY doc_id ORDER BY doc_id")),
-
-    // INCREMENTAL boilerplate strip: the per-source (line, df) state is a
-    // PERSISTED artifact (writeLineDfTable — partial rows, the daily-
-    // rollup discipline: upsert appends, readers sum) and today's batch
-    // (doc_id % 4 = 0) screens against seen ∪ batch statistics at
-    // O(batch) instead of re-deriving corpus line-df per run. Built on
-    // half the seen corpus + UPSERT of the other half, so the gate also
-    // certifies the fold. The oracle is the FULL-corpus strip replay
-    // restricted to the batch: hash equality proves the incremental
-    // verdicts equal the from-scratch ones on the union.
-    Q("q_text_boilerplate_indexed",
-      (s, d) => {
-        val relined = expr(
-          "concat_ws('\n', transform(" +
-            "sequence(0, (size(split(text, ' ')) + 11) div 12 - 1), " +
-            "i -> concat_ws(' ', slice(split(text, ' '), i * 12 + 1, 12))))")
-        val quote = when(col("doc_id") % 7 === 0,
-          lit("a quote cited by a few pages of every site\n")).otherwise(lit(""))
-        val wrapped = Tables.documents(s, d)
-          .filter(col("text").isNotNull)
-          .select(col("doc_id"), col("source"),
-            concat(lit("SUBSCRIBE to our newsletter\n"), quote, relined,
-              lit("\n(c) 2026 "), col("source")).as("text"))
-        val seen = wrapped.filter(col("doc_id") % 4 =!= 0)
-        val batch = wrapped.filter(col("doc_id") % 4 === 0)
-        val name = "graft_ldf_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        Dedup.writeLineDfTable(seen.filter(col("doc_id") % 2 === 0), name)
-        try {
-          Dedup.upsertLineDfTable(s, name,
-            seen.filter(col("doc_id") % 2 =!= 0))
-          Dedup.boilerplateStripAgainst(s, name, batch,
-              minDocFrac = 0.5, minDocs = 2)
-            .orderBy("doc_id").localCheckpoint(true)
-        } finally Dedup.dropLineDfTable(s, name)
-      },
-      Some("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS sp " +
-        "FROM documents WHERE text IS NOT NULL), " +
-        "d2 AS (SELECT doc_id, source, 'SUBSCRIBE to our newsletter' || " +
-        "chr(10) || CASE WHEN doc_id % 7 = 0 THEN " +
-        "'a quote cited by a few pages of every site' || chr(10) " +
-        "ELSE '' END || array_to_string(" +
-        "[array_to_string(sp[i*12+1 : least((i+1)*12, len(sp))], ' ') " +
-        "FOR i IN range(0, (len(sp) + 11) // 12)], chr(10)) || " +
-        "chr(10) || '(c) 2026 ' || source AS text FROM t), " +
-        "ls AS (SELECT doc_id, source, string_split(text, chr(10)) AS sp2 " +
-        "FROM d2), " +
-        "lx AS (SELECT doc_id, source, u.idx AS idx, u.line AS line FROM " +
-        "(SELECT doc_id, source, unnest([{'idx': i - 1, 'line': sp2[i]} " +
-        "FOR i IN range(1, len(sp2) + 1)]) AS u FROM ls) q0), " +
-        "tot AS (SELECT source, count(*) AS n_docs FROM d2 GROUP BY source), " +
-        "dfq AS (SELECT source, line, count(DISTINCT doc_id) AS df " +
-        "FROM lx GROUP BY source, line), " +
-        "lk AS (SELECT lx.doc_id, lx.idx, lx.line, " +
-        "(dfq.df < greatest(2, CAST(ceil(0.5 * tot.n_docs) AS BIGINT))) " +
-        "AS keep FROM lx JOIN dfq USING (source, line) " +
-        "JOIN tot USING (source)) " +
-        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, " +
-        "CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept, " +
-        "COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) " +
-        "ORDER BY idx), '') AS text " +
-        "FROM lk WHERE doc_id % 4 = 0 GROUP BY doc_id ORDER BY doc_id")),
-
-    // CONTEXT-LENGTH TRUNCATION report — the sequence-length planning
-    // aggregate: for each candidate context length, how many documents
-    // exceed it and what fraction of corpus tokens a truncate-at-L policy
-    // discards. One scan; the candidate lengths are a plan literal and the
-    // exchange carries |lens| groups regardless of corpus size. Exact
-    // integer counts; the two fractions are single IEEE divisions.
-    Q("q_text_truncation",
-      (s, d) => TextAnalysis.truncationReport(Tables.documents(s, d),
-        Seq(64, 128, 256, 512)).orderBy("context_len"),
-      Some("WITH tk AS (SELECT CAST(len(" + toksSql + ") AS BIGINT) AS n " +
-        "FROM documents WHERE text IS NOT NULL), " +
-        "ln AS (SELECT CAST(unnest([64, 128, 256, 512]) AS BIGINT) " +
-        "AS context_len) " +
-        "SELECT context_len, CAST(count(*) AS BIGINT) AS n_docs, " +
-        "CAST(count(*) FILTER (n > context_len) AS BIGINT) AS n_truncated, " +
-        "CAST(count(*) FILTER (n > context_len) AS DOUBLE) / " +
-        "CAST(count(*) AS DOUBLE) AS frac_truncated, " +
-        "CAST(sum(n) AS BIGINT) AS tokens_total, " +
-        "CAST(sum(greatest(n - context_len, 0)) AS BIGINT) AS tokens_lost, " +
-        "CAST(sum(greatest(n - context_len, 0)) AS DOUBLE) / " +
-        "CAST(sum(n) AS DOUBLE) AS frac_tokens_lost " +
-        "FROM tk, ln GROUP BY context_len ORDER BY context_len")),
-
-    // WITHIN-DOCUMENT paragraph dedup — the document-local complement of
-    // the corpus-global line rule above (scraper stutter / double-rendered
-    // templates inside one page): repeated paragraphs keep their first
-    // occurrence, per document, with NO shuffle at all (first-occurrence
-    // keep is an array projection). The corpus has no newlines, so the
-    // fixture builds each doc as paragraphs [A, B, A, C] from its own
-    // 12-token slices — a guaranteed within-doc duplicate, replayed
-    // verbatim by the oracle.
-    Q("q_text_paragraph_dedup",
-      (s, d) => {
-        val sp = split(col("text"), " ")
-        def para(start: Int) = concat_ws(" ", slice(sp, start, 12))
-        val docs = Tables.documents(s, d)
-          .filter(col("text").isNotNull)
-          .select(col("doc_id"),
-            concat_ws("\n", para(1), para(13), para(1), para(25)).as("text"))
-        Dedup.paragraphDedup(docs).orderBy("doc_id")
-      },
-      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp " +
-        "FROM documents WHERE text IS NOT NULL), " +
-        // COALESCE each slice: array_to_string([]) is NULL in DuckDB but
-        // concat_ws of an empty slice is '' in Spark
-        "d2 AS (SELECT doc_id, COALESCE(array_to_string(sp[1:12], ' '), '') " +
-        "|| chr(10) || COALESCE(array_to_string(sp[13:24], ' '), '') " +
-        "|| chr(10) || COALESCE(array_to_string(sp[1:12], ' '), '') " +
-        "|| chr(10) || COALESCE(array_to_string(sp[25:36], ' '), '') " +
-        "AS text FROM t), " +
-        "ls AS (SELECT doc_id, string_split(text, chr(10)) AS pp FROM d2), " +
-        "lx AS (SELECT doc_id, u.idx AS idx, u.para AS para FROM " +
-        "(SELECT doc_id, unnest([{'idx': i - 1, 'para': pp[i]} " +
-        "FOR i IN range(1, len(pp) + 1)]) AS u FROM ls) q0), " +
-        "fo AS (SELECT doc_id, idx, para, " +
-        "min(idx) OVER (PARTITION BY doc_id, para) AS fidx FROM lx) " +
-        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras, " +
-        "CAST(count(*) FILTER (idx = fidx) AS BIGINT) AS n_kept, " +
-        "COALESCE(string_agg(CASE WHEN idx = fidx THEN para END, chr(10) " +
-        "ORDER BY idx), '') AS text " +
-        "FROM fo GROUP BY doc_id ORDER BY doc_id")),
-
-    Q("q_dedup_passage_scrub",
-      (s, d) => {
-        val docs = Tables.documents(s, d).select("doc_id", "text")
-        val concats = docs.as("a").filter(col("doc_id") % 10 === 0)
-          .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
-          .select((col("a.doc_id") + lit(20000L)).as("doc_id"),
-            concat(col("a.text"), lit(" "), col("b.text")).as("text"))
-        val corpus = docs.unionByName(concats)
-        Dedup.scrubPassages(corpus,
-            Dedup.duplicatePassages(corpus,
-              chunkTokens = 16, minChunks = 2, maxChunkDf = 64),
-            chunkTokens = 16)
-          .orderBy("doc_id")
-      },
-      Some("WITH d AS (SELECT doc_id, text FROM documents " +
-        "UNION ALL SELECT a.doc_id + 20000 AS doc_id, " +
-        "a.text || ' ' || b.text AS text FROM documents a " +
-        "JOIN documents b ON b.doc_id = a.doc_id + 1 " +
-        "WHERE a.doc_id % 10 = 0), " +
-        chunkFpCtes("d", "c") + ", " +
-        "hot AS (SELECT f FROM cfp GROUP BY f HAVING count(*) > 64), " +
-        "rare AS (SELECT cfp.* FROM cfp ANTI JOIN hot USING (f)), " +
-        "m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "a.idx AS ia, b.idx AS ib FROM rare a " +
-        "JOIN rare b ON a.f = b.f AND a.doc_id < b.doc_id), " +
-        "r AS (SELECT doc_a, doc_b, ia, ib, ia - ib AS diag, " +
-        "ia - row_number() OVER (PARTITION BY doc_a, doc_b, ia - ib " +
-        "ORDER BY ia) AS grp FROM m), " +
-        "g AS (SELECT doc_a, doc_b, CAST(min(ib) AS BIGINT) AS start_b, " +
-        "count(*) AS n_chunks FROM r GROUP BY doc_a, doc_b, diag, grp), " +
-        "rm0 AS (SELECT doc_b AS doc_id, " +
-        "unnest(range(start_b, start_b + n_chunks)) AS idx FROM g " +
-        "WHERE n_chunks >= 2), " +
-        "rmd AS (SELECT DISTINCT doc_id, idx FROM rm0), " +
-        "rms AS (SELECT doc_id, list(idx ORDER BY idx) AS rms, " +
-        "count(*) AS n_removed FROM rmd GROUP BY 1), " +
-        "tall AS (SELECT doc_id, " + toksSql + " AS t FROM d), " +
-        "base AS (SELECT doc_id, t, CASE WHEN t IS NULL OR len(t) = 0 " +
-        "THEN 0 ELSE (len(t) - 1) // 16 + 1 END AS n_chunks FROM tall) " +
-        "SELECT b.doc_id, CAST(b.n_chunks AS BIGINT) AS n_chunks, " +
-        "CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed_chunks, " +
-        // COALESCE: DuckDB array_to_string([]) is NULL; Spark array_join
-        // of an all-chunks-removed doc is '' — pin the Spark semantics
-        "CASE WHEN b.t IS NULL THEN NULL WHEN b.n_chunks = 0 THEN '' " +
-        "ELSE COALESCE(array_to_string(flatten([b.t[(i*16+1):(i*16+16)] " +
-        "FOR i IN range(0, b.n_chunks) " +
-        "IF NOT list_contains(COALESCE(r.rms, CAST([] AS BIGINT[])), i)]), " +
-        "' '), '') END AS text " +
-        "FROM base b LEFT JOIN rms r USING (doc_id) ORDER BY b.doc_id")),
-
-    // Benchmark decontamination at SPAN level: benchmark docs (every 50th,
-    // re-keyed into a disjoint id space) screened against documents ∪ the
-    // engineered concat super-docs. Every benchmark doc surfaces twice —
-    // its verbatim corpus twin (full run) and its containing super-doc
-    // (partial run) — so WHERE and HOW MUCH of the benchmark leaked is the
-    // output, not just a per-doc overlap fraction.
-    Q("q_text_contamination_spans",
-      (s, d) => {
-        val docs = Tables.documents(s, d).select("doc_id", "text")
-        val concats = docs.as("a").filter(col("doc_id") % 10 === 0)
-          .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
-          .select((col("a.doc_id") + lit(20000L)).as("doc_id"),
-            concat(col("a.text"), lit(" "), col("b.text")).as("text"))
-        val bench = docs.filter(col("doc_id") % 50 === 0)
-          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
-        Dedup.duplicatePassagesAgainst(docs.unionByName(concats), bench,
-            chunkTokens = 16, minChunks = 2, maxChunkDf = 64)
-          .orderBy("corpus_doc", "bench_doc", "start_corpus", "start_bench")
-      },
-      Some("WITH d AS (SELECT doc_id, text FROM documents " +
-        "UNION ALL SELECT a.doc_id + 20000 AS doc_id, " +
-        "a.text || ' ' || b.text AS text FROM documents a " +
-        "JOIN documents b ON b.doc_id = a.doc_id + 1 " +
-        "WHERE a.doc_id % 10 = 0), " +
-        "bd AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents " +
-        "WHERE doc_id % 50 = 0), " +
-        chunkFpCtes("d", "c") + ", " +
-        chunkFpCtes("bd", "b") + ", " +
-        "hot AS (SELECT f FROM cfp GROUP BY f HAVING count(*) > 64), " +
-        "rare AS (SELECT cfp.* FROM cfp ANTI JOIN hot USING (f)), " +
-        "m AS (SELECT r.doc_id AS corpus_doc, b.doc_id AS bench_doc, " +
-        "r.idx AS ia, b.idx AS ib FROM rare r JOIN bfp b ON r.f = b.f), " +
-        "r2 AS (SELECT corpus_doc, bench_doc, ia, ib, ia - ib AS diag, " +
-        "ia - row_number() OVER (PARTITION BY corpus_doc, bench_doc, " +
-        "ia - ib ORDER BY ia) AS grp FROM m), " +
-        "g AS (SELECT corpus_doc, bench_doc, " +
-        "CAST(min(ia) AS BIGINT) AS start_corpus, " +
-        "CAST(min(ib) AS BIGINT) AS start_bench, count(*) AS n_chunks " +
-        "FROM r2 GROUP BY corpus_doc, bench_doc, diag, grp) " +
-        "SELECT corpus_doc, bench_doc, start_corpus, start_bench, " +
-        "CAST(n_chunks AS BIGINT) AS n_chunks, " +
-        "CAST(n_chunks * 16 AS BIGINT) AS approx_tokens FROM g " +
-        "WHERE n_chunks >= 2 " +
-        "ORDER BY corpus_doc, bench_doc, start_corpus, start_bench")),
-
-    // DECONTAMINATION end-to-end: the spans screen composed with the
-    // scrub — leaked benchmark spans are EXCISED from the corpus (span
-    // level, so a page quoting one eval question keeps its other
-    // paragraphs; a verbatim benchmark twin comes back as ''). Same
-    // fixture as q_text_contamination_spans; the oracle chains the
-    // bipartite run detection into the slice reconstruction.
-    Q("q_text_decontaminate",
-      (s, d) => {
-        val docs = Tables.documents(s, d).select("doc_id", "text")
-        val concats = docs.as("a").filter(col("doc_id") % 10 === 0)
-          .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
-          .select((col("a.doc_id") + lit(20000L)).as("doc_id"),
-            concat(col("a.text"), lit(" "), col("b.text")).as("text"))
-        val bench = docs.filter(col("doc_id") % 50 === 0)
-          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
-        Dedup.decontaminate(docs.unionByName(concats), bench,
-            chunkTokens = 16, minChunks = 2, maxChunkDf = 64)
-          .orderBy("doc_id")
-      },
-      Some("WITH d AS (SELECT doc_id, text FROM documents " +
-        "UNION ALL SELECT a.doc_id + 20000 AS doc_id, " +
-        "a.text || ' ' || b.text AS text FROM documents a " +
-        "JOIN documents b ON b.doc_id = a.doc_id + 1 " +
-        "WHERE a.doc_id % 10 = 0), " +
-        "bd AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents " +
-        "WHERE doc_id % 50 = 0), " +
-        chunkFpCtes("d", "c") + ", " +
-        chunkFpCtes("bd", "b") + ", " +
-        "hot AS (SELECT f FROM cfp GROUP BY f HAVING count(*) > 64), " +
-        "rare AS (SELECT cfp.* FROM cfp ANTI JOIN hot USING (f)), " +
-        "m AS (SELECT r.doc_id AS corpus_doc, b.doc_id AS bench_doc, " +
-        "r.idx AS ia, b.idx AS ib FROM rare r JOIN bfp b ON r.f = b.f), " +
-        "r2 AS (SELECT corpus_doc, bench_doc, ia, ib, ia - ib AS diag, " +
-        "ia - row_number() OVER (PARTITION BY corpus_doc, bench_doc, " +
-        "ia - ib ORDER BY ia) AS grp FROM m), " +
-        "g AS (SELECT corpus_doc, bench_doc, " +
-        "CAST(min(ia) AS BIGINT) AS start_corpus, count(*) AS n_chunks " +
-        "FROM r2 GROUP BY corpus_doc, bench_doc, diag, grp), " +
-        "rm0 AS (SELECT corpus_doc AS doc_id, " +
-        "unnest(range(start_corpus, start_corpus + n_chunks)) AS idx FROM g " +
-        "WHERE n_chunks >= 2), " +
-        "rmd AS (SELECT DISTINCT doc_id, idx FROM rm0), " +
-        "rms AS (SELECT doc_id, list(idx ORDER BY idx) AS rms, " +
-        "count(*) AS n_removed FROM rmd GROUP BY 1), " +
-        "tall AS (SELECT doc_id, " + toksSql + " AS t FROM d), " +
-        "base AS (SELECT doc_id, t, CASE WHEN t IS NULL OR len(t) = 0 " +
-        "THEN 0 ELSE (len(t) - 1) // 16 + 1 END AS n_chunks FROM tall) " +
-        "SELECT b.doc_id, CAST(b.n_chunks AS BIGINT) AS n_chunks, " +
-        "CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed_chunks, " +
-        "CASE WHEN b.t IS NULL THEN NULL WHEN b.n_chunks = 0 THEN '' " +
-        "ELSE COALESCE(array_to_string(flatten([b.t[(i*16+1):(i*16+16)] " +
-        "FOR i IN range(0, b.n_chunks) " +
-        "IF NOT list_contains(COALESCE(r.rms, CAST([] AS BIGINT[])), i)]), " +
-        "' '), '') END AS text " +
-        "FROM base b LEFT JOIN rms r USING (doc_id) ORDER BY b.doc_id")),
-
-    // Incremental exact dedup: a new batch (every second document, re-keyed)
-    // deduped against itself and the already-seen corpus (every third
-    // document) — only novel digests survive the anti-join.
-    Q("q_dedup_incremental",
-      (s, d) => {
-        val docs = Tables.documents(s, d).select("doc_id", "text")
-        Dedup.incrementalExact(
-          docs.filter(col("doc_id") % 2 === 0)
-            .withColumn("doc_id", col("doc_id") + lit(10000L)),
-          docs.filter(col("doc_id") % 3 === 0))
-          .orderBy("doc_id")
-      },
-      Some("WITH seen AS (SELECT DISTINCT sha256(text) AS content_hash " +
-        "FROM documents WHERE doc_id % 3 = 0), " +
-        "b AS (SELECT doc_id + 10000 AS doc_id, text FROM documents " +
-        "WHERE doc_id % 2 = 0) " +
-        // NOT EXISTS, not NOT IN: a NULL digest on either side must behave
-        // like Spark's left_anti (null keys never match, rows are kept) —
-        // NOT IN would return zero rows the moment `seen` contains one NULL
-        "SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash, " +
-        "count(*) AS dup_count FROM b " +
-        "WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.content_hash = sha256(b.text)) " +
-        "GROUP BY sha256(text) ORDER BY doc_id")),
-
-    // Benchmark-contamination screen: per-document fraction of distinct
-    // trigrams that appear in the benchmark slice (every 50th document).
-    Q("q_text_contamination",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        Dedup.benchmarkContamination(docs, docs.filter(col("doc_id") % 50 === 0))
-          .orderBy("doc_id")
-      },
-      Some("WITH toks AS (SELECT doc_id, " + toksSql + " AS t FROM documents), " +
-        "ngrams AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] " +
-        "FOR i IN range(1, len(t) - 1)]) AS ng FROM toks WHERE len(t) >= 3), " +
-        "bg AS (SELECT DISTINCT unnest(ng) AS g FROM ngrams WHERE doc_id % 50 = 0), " +
-        "posting AS (SELECT doc_id, unnest(ng) AS g FROM ngrams), " +
-        "hits AS (SELECT doc_id, count(*) AS n_hit FROM posting " +
-        "WHERE g IN (SELECT g FROM bg) GROUP BY 1) " +
-        "SELECT n.doc_id, len(n.ng) AS n_grams, COALESCE(n_hit, 0) AS n_hit, " +
-        "CAST(COALESCE(n_hit, 0) AS DOUBLE) / len(n.ng) AS contamination " +
-        "FROM ngrams n LEFT JOIN hits USING (doc_id) ORDER BY doc_id")),
-
-    // Cross-corpus near-dup screen: the new batch (every 7th doc) against
-    // the disjoint seen corpus — the near-dup analog of incremental dedup.
-    Q("q_dedup_incremental_ngram",
-      (s, d) => {
-        val docs = Tables.documents(s, d).select("doc_id", "text")
-        Dedup.crossNgramJaccardPairs(
-          docs.filter(col("doc_id") % 7 === 0),
-          docs.filter(col("doc_id") % 7 =!= 0), 0.5)
-          .orderBy("batch_doc", "seen_doc")
-      },
-      Some(crossNgramOracle)),
-
-    Q("q_dedup_ngram_jaccard",
-      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.5)
-        .orderBy("doc_a", "doc_b"),
-      Some(ngramJaccardOracle)),
-
-    // MinHash+LSH emits exactly the verified-Jaccard pairs. The exact
-    // oracle demands banding recall ~1 at the 0.5 threshold, so this query
-    // runs the high-recall config: 64 minima in 32 bands of 2 gives
-    // P(candidate | j) = 1-(1-j²)^32 ≥ 0.9999 at j = 0.5 — oracle equality
-    // by construction, not by corpus accident. (The operator's default
-    // 32×4 banding is the cheaper production trade: ~0.4 recall at the
-    // threshold edge but near-1 for the near-twin pairs dedup targets.)
-    Q("q_dedup_minhash_lsh",
-      (s, d) => Dedup.minhashNearDups(Tables.documents(s, d), 0.5,
-          numHashes = 64, bands = 32)
-        .orderBy("doc_a", "doc_b"),
-      Some(ngramJaccardOracle)),
-
-    // PERSISTED MinHash-LSH index: the seen corpus (doc_id % 7 ≠ 0) is
-    // shingled+signed+banded ONCE at build; the batch screen pays O(batch)
-    // signing, a broadcast band join against the stored band table, and a
-    // literal-id-pruned read of the candidates' stored shingle sets — the
-    // incremental-dedup access path at 100 TB, where re-shingling the seen
-    // side per batch (q_dedup_incremental_ngram's live recompute) costs
-    // O(corpus). Same high-recall geometry as q_dedup_minhash_lsh, so the
-    // screen's verified pair set equals the exhaustive cross-join oracle.
-    // Unique table name + eager materialization + finally-drop: the
-    // q_sim_topk_ivf_indexed pattern.
-    Q("q_dedup_minhash_indexed",
-      (s, d) => {
-        val docs = Tables.documents(s, d).select("doc_id", "text")
-        val name = "graft_mh_idx_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        MinhashIndex.write(docs.filter(col("doc_id") % 7 =!= 0), name)
-        try MinhashIndex.screen(s, name,
-            docs.filter(col("doc_id") % 7 === 0), 0.5)
-          .orderBy("batch_doc", "seen_doc").localCheckpoint(true)
-        finally MinhashIndex.drop(s, name)
-      },
-      Some(crossNgramOracle)),
-
-    // INCREMENTAL index maintenance: build on the even half of the seen
-    // corpus, UPSERT the odd half (banded under the index's frozen
-    // geometry, appended under the tables' own bucket specs — O(batch),
-    // no rebuild), then screen. The grown index must answer exactly like
-    // a one-shot build over the union — which is the same exhaustive
-    // cross-join oracle — because the banding geometry is data-independent
-    // (unlike the ANN quantizer, there is no trained state to freeze, so
-    // upsert ≡ rebuild holds unconditionally here).
-    Q("q_dedup_minhash_upsert",
-      (s, d) => {
-        val docs = Tables.documents(s, d).select("doc_id", "text")
-        val seen = docs.filter(col("doc_id") % 7 =!= 0)
-        val name = "graft_mh_ups_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        MinhashIndex.write(seen.filter(col("doc_id") % 2 === 0), name)
-        try {
-          MinhashIndex.upsert(s, name, seen.filter(col("doc_id") % 2 =!= 0))
-          MinhashIndex.screen(s, name,
-              docs.filter(col("doc_id") % 7 === 0), 0.5)
-            .orderBy("batch_doc", "seen_doc").localCheckpoint(true)
-        } finally MinhashIndex.drop(s, name)
-      },
-      Some(crossNgramOracle)),
-
-    // TARGETED DELETION from the MinHash index — the upsert gate's
-    // MIRROR: the seen side is built WITH exact-copy clones of every
-    // batch document (ids +5,000,000 — each would surface as a
-    // jaccard-1.0 pair), the clones are then tombstone-deleted, and the
-    // screen must answer EXACTLY the cross-join oracle over the original
-    // seen corpus. A deletion path that leaks even one tombstoned row
-    // back into candidate generation fails the hash.
-    Q("q_dedup_minhash_deleted",
-      (s, d) => {
-        val docs = Tables.documents(s, d).select("doc_id", "text")
-        val seen = docs.filter(col("doc_id") % 7 =!= 0)
-        val batch = docs.filter(col("doc_id") % 7 === 0)
-        val clones = batch.select(
-          (col("doc_id") + 5000000L).as("doc_id"), col("text"))
-        val name = "graft_mh_del_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        MinhashIndex.write(seen.unionByName(clones), name)
-        val cloneIds = batch.select("doc_id").collect()
-          .map(_.getLong(0) + 5000000L).toSeq
-        try {
-          MinhashIndex.deleteIds(s, name, cloneIds)
-          MinhashIndex.screen(s, name, batch, 0.5)
-            .orderBy("batch_doc", "seen_doc").localCheckpoint(true)
-        } finally MinhashIndex.drop(s, name)
-      },
-      Some(crossNgramOracle)),
-
-    // TAKEDOWN ORCHESTRATOR end-to-end: ONE opt-out batch (every bm25
-    // clone + every minhash clone) issued through deleteEverywhere must
-    // reach BOTH artifact families — and the RETRY of the same batchId
-    // must skip both via the ledger (require()s pin applied/skipped in
-    // the gated path; a double-applied batch would not change these
-    // tombstone reads, but the report contract is what production
-    // retries rely on). The read composes both families' mirror oracles
-    // into one aligned relation.
-    Q("q_takedown_everywhere",
-      (s, d) => {
-        val docs = Tables.documents(s, d).select("doc_id", "text")
-        val uid = java.util.UUID.randomUUID().toString.replace("-", "")
-        val bm = "graft_td_bm25_" + uid
-        val mh = "graft_td_mh_" + uid
-        val bmClones = docs.select(
-          (col("doc_id") + 3000000L).as("doc_id"), col("text"))
-        TextAnalysis.writeSearchIndex(docs.unionByName(bmClones), bm)
-        val seen = docs.filter(col("doc_id") % 7 =!= 0)
-        val batch = docs.filter(col("doc_id") % 7 === 0)
-        val mhClones = batch.select(
-          (col("doc_id") + 5000000L).as("doc_id"), col("text"))
-        MinhashIndex.write(seen.unionByName(mhClones), mh)
-        val bmIds = docs.select("doc_id").collect()
-          .map(_.getLong(0) + 3000000L).toSeq
-        val mhIds = batch.select("doc_id").collect()
-          .map(_.getLong(0) + 5000000L).toSeq
-        try {
-          val reg = Seq(Takedown.SearchIndex(bm), Takedown.MinhashLsh(mh))
-          val first = Takedown.deleteEverywhere(s, "opt-out-1",
-            bmIds ++ mhIds, reg)
-          require(first.forall(_._3), s"first run must apply everywhere: $first")
-          val retry = Takedown.deleteEverywhere(s, "opt-out-1",
-            bmIds ++ mhIds, reg)
-          require(retry.forall(!_._3), s"retry must skip everywhere: $retry")
-          val bmRead = TextAnalysis.bm25SearchIndexed(s, bm, Bm25Terms, k = 15)
-            .select(lit("bm25").as("family"), col("doc_id").as("a"),
-              col("rank").cast("long").as("b"),
-              col("n_matched").cast("long").as("n"), col("score").as("x"))
-          val mhRead = MinhashIndex.screen(s, mh, batch, 0.5)
-            .select(lit("minhash").as("family"), col("batch_doc").as("a"),
-              col("seen_doc").as("b"), lit(null).cast("long").as("n"),
-              col("jaccard").as("x"))
-          bmRead.unionByName(mhRead).orderBy("family", "a", "b")
-            .localCheckpoint(true)
-        } finally {
-          TextAnalysis.dropSearchIndex(s, bm); Takedown.dropLedger(s, bm)
-          MinhashIndex.drop(s, mh); Takedown.dropLedger(s, mh)
-        }
-      },
-      Some(takedownOracle)),
-
-    // Asymmetric containment (near-SUPERSET detection) over a corpus with
-    // engineered swallows: every 10th document is concatenated with its
-    // successor into a re-keyed super-document, so (part, whole) pairs sit
-    // at containment 1.0 where Jaccard reads only |A|/|B| and misses them.
-    Q("q_dedup_containment",
-      (s, d) => {
-        val docs = Tables.documents(s, d).select("doc_id", "text")
-        val concats = docs.as("a").filter(col("doc_id") % 10 === 0)
-          .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
-          .select((col("a.doc_id") + lit(20000L)).as("doc_id"),
-            concat(col("a.text"), lit(" "), col("b.text")).as("text"))
-        Dedup.containmentPairs(docs.unionByName(concats), 0.9)
-          .orderBy("doc_a", "doc_b")
-      },
-      Some("WITH d AS (SELECT doc_id, text FROM documents " +
-        "UNION ALL SELECT a.doc_id + 20000 AS doc_id, " +
-        "a.text || ' ' || b.text AS text FROM documents a " +
-        "JOIN documents b ON b.doc_id = a.doc_id + 1 " +
-        "WHERE a.doc_id % 10 = 0), " +
-        "toks AS (SELECT doc_id, " + toksSql + " AS t FROM d), " +
-        "ngr AS (SELECT doc_id, list_distinct(" +
-        "[t[i] || ' ' || t[i+1] || ' ' || t[i+2] " +
-        "FOR i IN range(1, len(t) - 1)]) AS ng FROM toks WHERE len(t) >= 3), " +
-        "posting AS (SELECT doc_id, unnest(ng) AS g, len(ng) AS n FROM ngr), " +
-        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "count(*) AS common, any_value(a.n) AS na, any_value(b.n) AS nb " +
-        "FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id " +
-        "GROUP BY 1, 2) " +
-        "SELECT doc_a, doc_b, " +
-        "CAST(common AS DOUBLE) / na AS containment_a, " +
-        "CAST(common AS DOUBLE) / nb AS containment_b FROM pairs " +
-        "WHERE greatest(CAST(common AS DOUBLE) / na, " +
-        "CAST(common AS DOUBLE) / nb) >= 0.9 " +
-        "ORDER BY doc_a, doc_b")),
-
-    // Duplicate clusters: connected components over the near-dup pair set
-    // (min-doc_id labels). Oracle: recursive-CTE transitive closure over
-    // the same pair SQL.
-    Q("q_dedup_clusters",
-      (s, d) => Dedup.duplicateClusters(
-        Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.5))
-        .orderBy("doc_id"),
-      Some("WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM " +
-        s"($ngramJaccardOracle)), " +
-        "e AS (SELECT doc_a AS src, doc_b AS dst FROM p " +
-        "UNION SELECT doc_b, doc_a FROM p), " +
-        "reach AS (SELECT src, dst FROM e " +
-        "UNION SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src) " +
-        "SELECT src AS doc_id, least(src, min(dst)) AS cluster_id " +
-        "FROM reach GROUP BY src ORDER BY doc_id")),
-
-    // The full dedup verdict: every doc, its cluster (self when unpaired),
-    // and the keep flag (cluster min is the kept representative).
-    // `filter(keep)` is the deduplicated corpus.
-    Q("q_dedup_decisions",
-      (s, d) => Dedup.dedupDecisions(
-        Tables.documents(s, d),
-        Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.5))
-        .orderBy("doc_id"),
-      Some("WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM " +
-        s"($ngramJaccardOracle)), " +
-        "e AS (SELECT doc_a AS src, doc_b AS dst FROM p " +
-        "UNION SELECT doc_b, doc_a FROM p), " +
-        "reach AS (SELECT src, dst FROM e " +
-        "UNION SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src), " +
-        "cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id " +
-        "FROM reach GROUP BY src) " +
-        "SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id, " +
-        "COALESCE(cl.cluster_id, d.doc_id) = d.doc_id AS keep " +
-        "FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id " +
-        "ORDER BY d.doc_id")),
-
-    // Duplicate-cluster SIZE HISTOGRAM: how many clusters of each size the
-    // near-dup graph produces (singletons included) — the one-glance dedup
-    // audit (a fat head of large clusters means boilerplate or a crawler
-    // loop; the deduped corpus size is Σ n_clusters).
-    Q("q_dedup_cluster_sizes",
-      (s, d) => Dedup.dedupDecisions(
-          Tables.documents(s, d),
-          Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.5))
-        .groupBy(col("cluster_id"))
-        .agg(count(lit(1)).as("sz"))
-        .groupBy(col("sz").as("cluster_size"))
-        .agg(count(lit(1)).as("n_clusters"))
-        .orderBy("cluster_size"),
-      Some(clusterSizesOracle)),
-
-    // The size histogram read from the PERSISTED cluster table instead of
-    // an embedded recompute — same oracle as q_dedup_cluster_sizes, so
-    // hash equality certifies the stored decisions (write→read fidelity,
-    // the q_split_leakage_safe_indexed twin over the same index artifact).
-    Q("q_dedup_cluster_sizes_indexed",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val name = "graft_cl_hist_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        Dedup.writeClusterTable(docs, Dedup.ngramJaccardPairs(docs, 0.5), name)
-        try Dedup.clusterTable(s, name)
-          .groupBy(col("cluster_id"))
-          .agg(count(lit(1)).as("sz"))
-          .groupBy(col("sz").as("cluster_size"))
-          .agg(count(lit(1)).as("n_clusters"))
-          .orderBy("cluster_size").localCheckpoint(true)
-        finally Dedup.dropClusterTable(s, name)
-      },
-      Some(clusterSizesOracle)),
-
-    // TARGETED DELETION from the cluster table — the one family where
-    // deletion must RE-ELECT: clones carry NEGATIVE ids (-doc_id - 1),
-    // so while present they steal both the cluster label (min id) and
-    // the keep verdict from every 50th document's cluster; deleting them
-    // must hand both back. deleteFromClusterTable re-clusters ONLY the
-    // touched components on the surviving-member pair subgraph, and the
-    // result must equal the clusters-of-documents-alone recursive-CTE
-    // oracle exactly (components can only split when vertices leave, so
-    // the scoped recompute IS the full rebuild's answer).
-    Q("q_dedup_cluster_sizes_deleted",
-      (s, d) => {
-        val docs = Tables.documents(s, d).select("doc_id", "text")
-        val clones = docs.filter(col("doc_id") % 50 === 0)
-          .select((-col("doc_id") - 1).as("doc_id"), col("text"))
-        val all = docs.unionByName(clones)
-        val pairs = Dedup.ngramJaccardPairs(all, 0.5).localCheckpoint(true)
-        val name = "graft_cl_del_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        Dedup.writeClusterTable(all, pairs, name)
-        val cloneIds = clones.select("doc_id").collect()
-          .map(_.getLong(0)).toSeq
-        try {
-          Dedup.deleteFromClusterTable(s, name, cloneIds, pairs)
-          Dedup.clusterTable(s, name)
-            .groupBy(col("cluster_id"))
-            .agg(count(lit(1)).as("sz"))
-            .groupBy(col("sz").as("cluster_size"))
-            .agg(count(lit(1)).as("n_clusters"))
-            .orderBy("cluster_size").localCheckpoint(true)
-        } finally Dedup.dropClusterTable(s, name)
-      },
-      Some(clusterSizesOracle)),
-
-    // BLOOM PRE-SCREEN for incremental dedup, both invariant directions
-    // in one hash-gated report: the 'overlap' arm screens the batch
-    // against a filter built over ALL docs (itself included), so every
-    // row MUST come back maybe_seen ∧ actually_seen — the
-    // no-false-negative proof; the 'disjoint' arm screens against the
-    // doc_id%7≠0 corpus, where rows surface as definitely-new or as
-    // measured false positives. The exact text-equality truth rides in
-    // each row.
-    Q("q_dedup_bloom_screen",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val batch = docs.filter(col("doc_id") % 7 === 0)
-        def arm(seen: org.apache.spark.sql.DataFrame, mode: String) =
-          Dedup.bloomScreen(batch, Dedup.bloomBuild(seen))
-            .join(
-              batch.join(seen.select(col("text")).distinct(),
-                  Seq("text"), "left_semi")
-                .select(col("doc_id"), lit(true).as("actually_seen")),
-              Seq("doc_id"), "left")
-            .select(lit(mode).as("mode"), col("doc_id"), col("maybe_seen"),
-              coalesce(col("actually_seen"), lit(false)).as("actually_seen"))
-            .withColumn("false_positive",
-              col("maybe_seen") && !col("actually_seen"))
-        arm(docs.filter(col("doc_id") % 7 =!= 0), "disjoint")
-          .unionByName(arm(docs, "overlap"))
-          .orderBy("mode", "doc_id")
-      },
-      Some(bloomScreenOracle)),
-
-    // BEST-COPY per NEAR-DUP cluster: canonical selection by quality
-    // (longest copy, score = n_chars) instead of the arbitrary min-id
-    // representative — exactBest lifted from the exact-digest group to
-    // the connected component; keep=false rows are the dedup decision
-    // list. The oracle replays components + one pick window.
-    Q("q_dedup_cluster_best",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        Dedup.clusterBest(docs, Dedup.ngramJaccardPairs(docs, 0.5),
-            col("n_chars").cast("long"))
-          .orderBy("doc_id")
-      },
-      Some(clusterBestOracle)),
-
-    // SimHash replayed end-to-end in SQL: FNV-1a 64 per token over its
-    // UTF-8 BYTES (code points are expanded to UTF-8 in SQL, so multi-byte
-    // text hashes identically to the engine's getBytes walk; HUGEINT
-    // arithmetic masked to 64 bits — DuckDB BIGINT throws on the wrap the
-    // hash relies on), bit votes, 4×16-bit band join, Hamming verify.
-    Q("q_dedup_simhash",
-      (s, d) => Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 3)
-        .orderBy("doc_a", "doc_b"),
-      Some("WITH t AS (SELECT doc_id, " + toksSql + " AS toks FROM documents), " +
-        "tok AS (SELECT doc_id, unnest(toks) AS tk FROM t), " +
-        "cps AS (SELECT doc_id, tk, " +
-        "[unicode(c) FOR c IN regexp_extract_all(tk, '.')] AS cp FROM tok), " +
-        "tb AS (SELECT doc_id, flatten([" +
-        "CASE WHEN c < 128 THEN [c] " +
-        "WHEN c < 2048 THEN [192 + c // 64, 128 + c % 64] " +
-        "WHEN c < 65536 THEN [224 + c // 4096, 128 + (c // 64) % 64, 128 + c % 64] " +
-        "ELSE [240 + c // 262144, 128 + (c // 4096) % 64, " +
-        "128 + (c // 64) % 64, 128 + c % 64] END FOR c IN cp]) AS bs FROM cps), " +
-        "th AS (SELECT doc_id, list_reduce(" +
-        "list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
-        "[CAST(b AS HUGEINT) FOR b IN bs]), " +
-        "(acc, x) -> (xor(acc, x) * 1099511628211) % 18446744073709551616) AS h " +
-        "FROM tb), " +
-        "bits AS (SELECT doc_id, b, sum(CASE WHEN (h // CAST(power(2, b) AS HUGEINT)) " +
-        "% 2 = 1 THEN 1 ELSE -1 END) AS vote " +
-        "FROM th, (SELECT unnest(range(64)) AS b) bl GROUP BY doc_id, b), " +
-        "sig AS (SELECT doc_id, sum(CASE WHEN vote > 0 " +
-        "THEN CAST(power(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS s " +
-        "FROM bits GROUP BY doc_id), " +
-        "banded AS (SELECT doc_id, s, b AS band, " +
-        "CAST((s // CAST(power(2, 16 * b) AS HUGEINT)) % 65536 AS BIGINT) AS chunk " +
-        "FROM sig, (SELECT unnest(range(4)) AS b) bb), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.s AS sa, b.doc_id AS doc_b, b.s AS sb " +
-        "FROM banded a JOIN banded b ON a.band = b.band AND a.chunk = b.chunk " +
-        "AND a.doc_id < b.doc_id), " +
-        "ham AS (SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming FROM cand) " +
-        "SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM ham " +
-        "WHERE hamming <= 3 ORDER BY doc_a, doc_b")),
-
-    // Sign-bit LSH bands (width auto-sized from the corpus count exactly as
-    // Dedup.embeddingNearDups does) + exact fold-left cosine verify.
-    Q("q_dedup_embedding",
-      (s, d) => Dedup.embeddingNearDups(Tables.embeddings(s, d), 0.35)
-        .orderBy("vec_a", "vec_b"),
-      Some(s"WITH $normEmbCte, " +
-        "p AS (SELECT least(16, greatest(2, CAST(ceil(" +
-        "ln((SELECT count(*) FROM embeddings) / 128.0) / ln(2.0)) AS INT))) AS bpb), " +
-        "banded AS (SELECT vec_id, v, b AS band, " +
-        "CAST(list_sum([CASE WHEN v[b * bpb + j + 1] >= 0 " +
-        "THEN CAST(power(2, j) AS BIGINT) ELSE 0 END FOR j IN range(0, bpb)]) " +
-        "AS BIGINT) AS chunk " +
-        "FROM nv, p, (SELECT unnest(range(4)) AS b) bb), " +
-        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, a.v AS va, " +
-        "b.vec_id AS vec_b, b.v AS vb " +
-        "FROM banded a JOIN banded b ON a.band = b.band AND a.chunk = b.chunk " +
-        "AND a.vec_id < b.vec_id), " +
-        s"sc AS (SELECT vec_a, vec_b, ${dotSql("va", "vb")} AS cosine FROM cand) " +
-        "SELECT vec_a, vec_b, cosine FROM sc WHERE cosine >= 0.35 " +
-        "ORDER BY vec_a, vec_b")),
-
-    Q("q_sim_topk_brute",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10)
-          .orderBy("query_id", "rank")
-      },
-      Some(s"WITH $normEmbCte, " +
-        "q AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id % 100 = 0), " +
-        "sc AS (SELECT query_id, c.vec_id AS neighbor_id, " +
-        s"${dotSql("qv", "c.v")} AS score " +
-        "FROM nv c, q WHERE c.vec_id <> q.query_id), " +
-        topKSql("sc", 10))),
-
-    // Metadata-FILTERED retrieval: each query's neighbors restricted to its
-    // own `label` category — the attribute equality turns brute force's
-    // broadcast fan-out into a hash equi-join on the attribute (per-query
-    // candidates = one category's partition, pruned at the scan).
-    Q("q_sim_topk_filtered",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        Similarity.attributeFilteredTopK(emb,
-            emb.filter(col("vec_id") % 100 === 0), k = 10, attrCol = "label")
-          .orderBy("query_id", "rank")
-      },
-      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
-        "label FROM embeddings), " +
-        "n AS (SELECT vec_id, v, label, sqrt(" +
-        foldSumSql("[x * x FOR x IN v]") + ") AS nrm FROM e), " +
-        "nv AS (SELECT vec_id, [x / nrm FOR x IN v] AS v, label FROM n " +
-        "WHERE nrm > 0), " +
-        "q AS (SELECT vec_id AS query_id, v AS qv, label FROM nv " +
-        "WHERE vec_id % 100 = 0), " +
-        "sc AS (SELECT query_id, c.vec_id AS neighbor_id, " +
-        s"${dotSql("qv", "c.v")} AS score FROM nv c " +
-        "JOIN q ON c.label = q.label AND c.vec_id <> q.query_id), " +
-        topKSql("sc", 10))),
-
-    // Scalar (int8) quantization: per-dim min/max trained by one exact
-    // selection aggregate (no k-means), queries scored against the
-    // dequantized codes — the 4×-compression / low-distortion point on
-    // the quantization curve (PQ holds the 32× end). The oracle replays
-    // train, encode, decode, and the dim-ordered score fold.
-    Q("q_sim_topk_sq8",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        Similarity.sqTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10)
-          .orderBy("query_id", "rank")
-      },
-      Some(sq8Oracle)),
-
-    // The persisted SQ access path under the same hash gate: build the
-    // params+codes tables, answer FROM them, compare against the identical
-    // from-scratch oracle — write→read fidelity (every retrieval stack now
-    // has a gated persisted path: BM25, IVF, PQ, MinHash, bigram LM, SQ8).
-    Q("q_sim_topk_sq8_indexed",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val name = "graft_sq_idx_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        Similarity.writeSqIndex(emb, name)
-        try Similarity.sqSearchIndexed(s, name,
-            emb.filter(col("vec_id") % 100 === 0), k = 10)
-          .orderBy("query_id", "rank").localCheckpoint(true)
-        finally Similarity.dropSqIndex(s, name)
-      },
-      Some(sq8Oracle)),
-
-    // Two-stage retrieval: SQ8 shortlist (the memory-bound codes scan) →
-    // EXACT rescoring of |queries|×40 raw vectors (FAISS IndexRefineFlat
-    // semantics). Compression error then only affects shortlist
-    // membership, never final order — the oracle replays both stages.
-    Q("q_sim_topk_sq8_refined",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        Similarity.sqRefinedTopK(emb,
-            emb.filter(col("vec_id") % 100 === 0), k = 10, shortlist = 40)
-          .orderBy("query_id", "rank")
-      },
-      Some(s"WITH $sq8ScoredCtes, ${shortlistCte("sc", 40, "sl")}, " +
-        refineTailSql("sl", 10))),
-
-    // FULLY-PERSISTED two-stage retrieval: ADC shortlist from the stored
-    // SQ codes, exact rescore from the stored vec_id-BUCKETED raw-vector
-    // table via a shortlist-id IN filter (bucket-pruned point reads —
-    // the refine family's deployment shape). Same oracle as the
-    // from-scratch refined query = write→read fidelity for BOTH tables.
-    Q("q_sim_topk_sq8_refined_indexed",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val tag = java.util.UUID.randomUUID().toString.replace("-", "")
-        val sqName = "graft_sqr_idx_" + tag
-        val vecName = "graft_vec_idx_" + tag
-        Similarity.writeSqIndex(emb, sqName)
-        Similarity.writeVecTable(emb, vecName)
-        try Similarity.sqRefinedSearchIndexed(s, sqName, vecName,
-            emb.filter(col("vec_id") % 100 === 0), k = 10, shortlist = 40)
-          .orderBy("query_id", "rank").localCheckpoint(true)
-        finally {
-          Similarity.dropSqIndex(s, sqName)
-          Similarity.dropVecTable(s, vecName)
-        }
-      },
-      Some(s"WITH $sq8ScoredCtes, ${shortlistCte("sc", 40, "sl")}, " +
-        refineTailSql("sl", 10))),
-
-    // Matryoshka (prefix-dimension) retrieval: coarse scores over the
-    // FIRST 16 of 64 dims (a slice projection — no training pass at all),
-    // exact full-dim refine on the 40-deep shortlist.
-    Q("q_sim_topk_mrl",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        Similarity.mrlRefinedTopK(emb,
-            emb.filter(col("vec_id") % 100 === 0), k = 10,
-            prefixDims = 16, shortlist = 40)
-          .orderBy("query_id", "rank")
-      },
-      Some(s"WITH $normEmbCte, " +
-        "q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv " +
-        "WHERE vec_id % 100 = 0), " +
-        "scp AS (SELECT query_id, c.vec_id AS neighbor_id, " +
-        s"${foldSumSql("[q0.qv[i] * c.v[i] FOR i IN range(1, 17)]")} " +
-        "AS score FROM nv c, q0 WHERE c.vec_id <> q0.query_id), " +
-        s"${shortlistCte("scp", 40, "sl")}, " + refineTailSql("sl", 10))),
-
-    // RETRIEVAL EVAL — MRR + precision@10 of the brute-force stack under
-    // label relevance (neighbor relevant ⟺ shares the anchor's label):
-    // the per-query eval report beside the recall certificates. Exact
-    // counts, exact-rational MRR; deliberately no ln-based NDCG in the
-    // hash-gated surface (libm ln drifts between engines).
-    Q("q_sim_eval_mrr",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val qs = emb.filter(col("vec_id") % 100 === 0)
-        Similarity.retrievalEval(
-            Similarity.bruteForceTopK(emb, qs, k = 10), emb, k = 10)
-          .orderBy("query_id")
-      },
-      Some(s"WITH $normEmbCte, " +
-        "q AS (SELECT vec_id AS query_id, v AS qv FROM nv " +
-        "WHERE vec_id % 100 = 0), " +
-        "sc AS (SELECT query_id, c.vec_id AS neighbor_id, " +
-        s"${dotSql("qv", "c.v")} AS score " +
-        "FROM nv c, q WHERE c.vec_id <> q.query_id), " +
-        "rr AS (SELECT query_id, neighbor_id, " +
-        "row_number() OVER (PARTITION BY query_id " +
-        "ORDER BY score DESC, neighbor_id) AS rank FROM sc), " +
-        "res AS (SELECT * FROM rr WHERE rank <= 10), " +
-        "lb AS (SELECT vec_id, label FROM embeddings), " +
-        "j AS (SELECT res.query_id, res.rank, " +
-        "(ql.label IS NOT NULL AND ql.label = nb.label) AS rel FROM res " +
-        "LEFT JOIN lb ql ON ql.vec_id = res.query_id " +
-        "LEFT JOIN lb nb ON nb.vec_id = res.neighbor_id), " +
-        "g AS (SELECT query_id, count(*) AS n_retrieved, " +
-        "sum(CASE WHEN rel THEN 1 ELSE 0 END) AS n_rel, " +
-        "min(CASE WHEN rel THEN rank END) AS fr FROM j GROUP BY query_id) " +
-        "SELECT query_id, CAST(n_retrieved AS BIGINT) AS n_retrieved, " +
-        "CAST(n_rel AS BIGINT) AS n_relevant, " +
-        "CAST(n_rel AS DOUBLE) / CAST(10 AS DOUBLE) AS precision_at_k, " +
-        "COALESCE(CAST(1 AS DOUBLE) / CAST(fr AS DOUBLE), " +
-        "CAST(0 AS DOUBLE)) AS mrr FROM g ORDER BY query_id")),
-
-    // HARD-NEGATIVE MINING — contrastive training data: per labeled
-    // anchor, the k nearest vectors with a DIFFERENT label (the
-    // confusable negatives). The label inequality keeps it a broadcast
-    // scoring join (q_sim_topk_brute class); NULL-label rows drop out on
-    // both sides.
-    Q("q_sim_hard_negatives",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        Similarity.hardNegatives(emb,
-            emb.filter(col("vec_id") % 100 === 0), k = 10)
-          .orderBy("query_id", "rank")
-      },
-      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
-        "label FROM embeddings), " +
-        "n AS (SELECT vec_id, v, label, sqrt(" +
-        foldSumSql("[x * x FOR x IN v]") + ") AS nrm FROM e), " +
-        "nv AS (SELECT vec_id, [x / nrm FOR x IN v] AS v, label FROM n " +
-        "WHERE nrm > 0), " +
-        "q AS (SELECT vec_id AS query_id, v AS qv, label FROM nv " +
-        "WHERE vec_id % 100 = 0 AND label IS NOT NULL), " +
-        "sc AS (SELECT query_id, c.vec_id AS neighbor_id, " +
-        s"${dotSql("qv", "c.v")} AS score FROM nv c " +
-        "JOIN q ON c.label <> q.label), " +
-        topKSql("sc", 10))),
-
-    // CONTRASTIVE TRIPLETS — the complete training-row factory (the
-    // query above mines only the negative half): per labeled anchor, the
-    // nearest same-label vector crossed with the 4 nearest
-    // different-label vectors, one (anchor, positive, negative) row per
-    // combination with the pos−neg margin. One corpus stream scores both
-    // arms; one (query, same-flag)-keyed window ranks them; the cross is
-    // |anchors|·1·4 bounded rows.
-    Q("q_sim_triplets",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        Similarity.contrastiveTriplets(emb,
-            emb.filter(col("vec_id") % 100 === 0),
-            positives = 1, negatives = 4)
-          .orderBy("query_id", "pos_rank", "neg_rank")
-      },
-      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
-        "label FROM embeddings), " +
-        "n AS (SELECT vec_id, v, label, sqrt(" +
-        foldSumSql("[x * x FOR x IN v]") + ") AS nrm FROM e), " +
-        "nv AS (SELECT vec_id, [x / nrm FOR x IN v] AS v, label FROM n " +
-        "WHERE nrm > 0), " +
-        "q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel " +
-        "FROM nv WHERE vec_id % 100 = 0 AND label IS NOT NULL), " +
-        "sc AS (SELECT query_id, (c.label = qlabel) AS same, " +
-        "c.vec_id AS neighbor_id, " +
-        s"${dotSql("qv", "c.v")} AS score FROM nv c " +
-        "JOIN q ON c.vec_id <> q.query_id WHERE c.label IS NOT NULL), " +
-        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id, same " +
-        "ORDER BY score DESC, neighbor_id) AS rank FROM sc), " +
-        "p AS (SELECT query_id, neighbor_id AS positive_id, " +
-        "CAST(rank AS INT) AS pos_rank, score AS pos_score FROM r " +
-        "WHERE same AND rank <= 1), " +
-        "g AS (SELECT query_id, neighbor_id AS negative_id, " +
-        "CAST(rank AS INT) AS neg_rank, score AS neg_score FROM r " +
-        "WHERE NOT same AND rank <= 4) " +
-        "SELECT p.query_id, positive_id, pos_rank, pos_score, " +
-        "negative_id, neg_rank, neg_score, " +
-        "pos_score - neg_score AS margin " +
-        "FROM p JOIN g USING (query_id) " +
-        "ORDER BY query_id, pos_rank, neg_rank")),
-
-    // IVF multi-probe: 8 leading sign bits as the coarse quantizer, probes
-    // = {bucket, bucket^1, bucket^2}, per-bucket scoring, exact top-k.
-    Q("q_sim_topk_ivf",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10)
-          .orderBy("query_id", "rank")
-      },
-      Some(s"WITH $normEmbCte, " +
-        "c AS (SELECT vec_id, v, CAST(list_sum([CASE WHEN v[j + 1] >= 0 " +
-        "THEN CAST(power(2, j) AS BIGINT) ELSE 0 END FOR j IN range(0, 8)]) " +
-        "AS BIGINT) AS bucket FROM nv), " +
-        "q0 AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket " +
-        "FROM c WHERE vec_id % 100 = 0), " +
-        "q AS (SELECT query_id, qv, xor(qbucket, m) AS bucket " +
-        "FROM q0, (SELECT unnest([0, 1, 2]) AS m) mm), " +
-        "sc AS (SELECT query_id, c.vec_id AS neighbor_id, " +
-        s"${dotSql("qv", "c.v")} AS score " +
-        "FROM c JOIN q USING (bucket) WHERE c.vec_id <> q.query_id), " +
-        topKSql("sc", 10))),
-
-    // Sequence packing: docs → fixed-token training sequences, shard-local
-    // running sums (8 shards here; the window sort never sees more than a
-    // shard). Quota semantics: a doc belongs to the pack its first token
-    // lands in.
-    // TOKEN-BALANCED shard assignment: serpentine deal over docs ranked
-    // by token count desc — max−min shard imbalance bounded by one doc's
-    // tokens. The rank is histogram + per-count window (no global sort);
-    // the oracle replays histogram, rank, and the serpentine CASE.
-    Q("q_pack_shards",
-      (s, d) => graft.functions.Sampling.balancedShards(
-        Tables.documents(s, d), shards = 8)
-        .orderBy("doc_id"),
-      Some("WITH tc AS (SELECT doc_id, " +
-        s"CAST(len($toksSql) AS BIGINT) AS token_count FROM documents " +
-        "WHERE text IS NOT NULL), " +
-        "hist AS (SELECT token_count, count(*) AS c FROM tc GROUP BY 1), " +
-        "hc AS (SELECT token_count, CAST(COALESCE(sum(c) OVER (" +
-        "ORDER BY token_count DESC ROWS BETWEEN UNBOUNDED PRECEDING AND " +
-        "1 PRECEDING), 0) AS BIGINT) AS higher FROM hist), " +
-        "rk AS (SELECT tc.doc_id, tc.token_count, hc.higher + " +
-        "row_number() OVER (PARTITION BY tc.token_count ORDER BY tc.doc_id) " +
-        "AS rank FROM tc JOIN hc USING (token_count)) " +
-        "SELECT doc_id, token_count, " +
-        "CAST(CASE WHEN ((rank - 1) // 8) % 2 = 0 THEN (rank - 1) % 8 " +
-        "ELSE 7 - (rank - 1) % 8 END AS BIGINT) AS shard " +
-        "FROM rk ORDER BY doc_id")),
-
-    Q("q_pack_sequences",
-      (s, d) => graft.functions.Sampling.packSequences(
-        Tables.documents(s, d), seqTokens = 512, shards = 8)
-        .orderBy("doc_id"),
-      Some("WITH t AS (SELECT doc_id, " +
-        s"CAST(len($toksSql) AS BIGINT) AS token_count, " +
-        "doc_id % 8 AS shard FROM documents), " +
-        "c AS (SELECT *, COALESCE(sum(token_count) OVER (PARTITION BY shard " +
-        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
-        "AS cum FROM t) " +
-        "SELECT doc_id, token_count, shard, " +
-        "CAST(floor(cum / 512.0) AS BIGINT) AS pack_id, " +
-        // DuckDB window SUM(BIGINT) → HUGEINT; cast to match Spark's int64.
-        "CAST(cum % 512 AS BIGINT) AS pack_offset FROM c ORDER BY doc_id")),
-
-    // The END-TO-END curation pipeline: filter verdict → exact dedup →
-    // domain cap → content-keyed split → train-split packing, one manifest
-    // row per surviving document. The oracle replays ALL FIVE stages in a
-    // single composed query — the flagship demonstration that the gated
-    // operators compose without semantic drift.
-    Q("q_pipeline_curate",
-      (s, d) => graft.functions.Curate.curate(Tables.documents(s, d))
-        .orderBy("doc_id"),
-      Some(curateOracle)),
-
-    // Gopher-style repetition filters (Rae et al. §A1.1): fraction of
-    // characters under the most frequent word 2-gram, and under redundant
-    // occurrences of duplicated 5-grams. Integer-exact until one final
-    // double division, so the replay is bit-identical.
-    Q("q_text_repetition",
-      (s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))
-        .orderBy("doc_id"),
-      Some(s"WITH $repCtes " +
-        "SELECT t.doc_id, top_2gram, top_2gram_char_frac, " +
-        "COALESCE(dup_5gram_char_frac, 0.0) AS dup_5gram_char_frac " +
-        "FROM top2 t LEFT JOIN dup5 d ON t.doc_id = d.doc_id " +
-        "ORDER BY t.doc_id")),
-
-    // CORPUS-INTERNAL trigram novelty — the diversity audit beside the
-    // within-doc repetition screen: per doc, the fraction of its distinct
-    // trigrams occurring in NO other document (templated phrasing scores
-    // low even when every page is unique). One trigram-keyed exchange;
-    // novelty = one IEEE division of exact counts.
-    Q("q_text_trigram_novelty",
-      (s, d) => TextAnalysis.trigramNovelty(Tables.documents(s, d))
-        .orderBy("doc_id"),
-      Some(s"WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents " +
-        "WHERE text IS NOT NULL), " +
-        "g0 AS (SELECT doc_id, list_distinct(" +
-        "[array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) " +
-        "AS gs FROM tk), " +
-        "gx AS (SELECT doc_id, unnest(gs) AS g FROM g0), " +
-        "pd AS (SELECT doc_id, count(*) AS n_tri, " +
-        "count(*) FILTER (df = 1) AS n_unique FROM " +
-        "(SELECT doc_id, count(*) OVER (PARTITION BY g) AS df FROM gx) " +
-        "GROUP BY doc_id) " +
-        "SELECT tk.doc_id, " +
-        "CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_trigrams, " +
-        "CAST(COALESCE(n_unique, 0) AS BIGINT) AS n_unique, " +
-        "CASE WHEN n_tri > 0 THEN " +
-        "CAST(n_unique AS DOUBLE) / CAST(n_tri AS DOUBLE) END AS novelty " +
-        "FROM tk LEFT JOIN pd ON tk.doc_id = pd.doc_id " +
-        "ORDER BY tk.doc_id")),
-
-    // PII scrub pass: detection counts + tag redaction, engine-portable
-    // regexes (the driver corpus is PII-free, so counts replay as zeros and
-    // redaction as identity — the POSITIVE arms are pinned by PipelineSpec
-    // fixtures, same contract as the multimodal decoders).
-    Q("q_text_pii",
-      (s, d) => TextAnalysis.piiScan(Tables.documents(s, d))
-        .orderBy("doc_id"),
-      Some("SELECT doc_id, " +
-        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRx}')) AS BIGINT) AS n_emails, " +
-        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.PhoneRx}')) AS BIGINT) AS n_phones, " +
-        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.Ipv4Rx}')) AS BIGINT) AS n_ipv4, " +
-        s"regexp_replace(regexp_replace(regexp_replace(text, " +
-        s"'${TextAnalysis.EmailRx}', '<EMAIL>', 'g'), " +
-        s"'${TextAnalysis.Ipv4Rx}', '<IP>', 'g'), " +
-        s"'${TextAnalysis.PhoneRx}', '<PHONE>', 'g') AS redacted " +
-        "FROM documents ORDER BY doc_id")),
-
-    // MARKUP STRIP — crawl-edge HTML-ish cleaning: the fixture wraps each
-    // doc in tags + entities (corpus text has none), the operator strips
-    // tags to spaces, unescapes the four standard entities (&amp; last),
-    // collapses whitespace. Both the wrap and the strip replay verbatim.
-    Q("q_text_markup",
-      (s, d) => {
-        val wrapped = Tables.documents(s, d).select(col("doc_id"),
-          concat(lit("<div class=\"d\">"), col("text"),
-            lit("</div> &amp; <br/>10 &lt; 20")).as("text"))
-        TextAnalysis.markupStats(wrapped).orderBy("doc_id")
-      },
-      Some("WITH w AS (SELECT doc_id, '<div class=\"d\">' || text || " +
-        "'</div> &amp; <br/>10 &lt; 20' AS text FROM documents) " +
-        "SELECT doc_id, " +
-        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.TagRx}')) " +
-        "AS BIGINT) AS n_tags, " +
-        "CAST(length(text) AS BIGINT) AS n_chars_raw, " +
-        "trim(regexp_replace(regexp_replace(regexp_replace(" +
-        "regexp_replace(regexp_replace(regexp_replace(text, " +
-        s"'${TextAnalysis.TagRx}', ' ', 'g'), " +
-        "'&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '\"', 'g'), " +
-        "'&amp;', '&', 'g'), '\\s+', ' ', 'g')) AS clean_text, " +
-        "CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(" +
-        "regexp_replace(regexp_replace(regexp_replace(text, " +
-        s"'${TextAnalysis.TagRx}', ' ', 'g'), " +
-        "'&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '\"', 'g'), " +
-        "'&amp;', '&', 'g'), '\\s+', ' ', 'g'))) AS BIGINT) " +
-        "AS n_chars_clean FROM w ORDER BY doc_id")),
-
-    // LINK-DENSITY spam signal (C4 drops link farms): every 5th doc gets
-    // two URLs appended; URL count, link-char fraction, spam verdict.
-    // LINK-GRAPH DOMAIN AUTHORITY: weighted PageRank over the corpus's
-    // outlink graph (source domain → linked host, self-links dropped),
-    // 3 fixed power iterations at damping 0.85 with dangling mass
-    // redistributed — the Common-Crawl quality prior as an oracle-gated
-    // number. The fixture spikes every 5th document with a rotating
-    // site{0..6} link and every 3rd with a shared hub link, so the graph
-    // has fan-in skew, dangling targets, AND multi-edge weights; the
-    // oracle unrolls the same iterations as CTEs with the same pinned
-    // fold orders (the k-means-replay discipline applied to PageRank).
-    Q("q_text_domain_rank",
-      (s, d) => TextAnalysis.domainAuthority(
-          domainRankFixture(s, d), iters = 3, damping = 0.85)
-        .orderBy("domain"),
-      Some(domainRankOracle(iters = 3, damping = 0.85))),
-
-    // AUTHORITY-GATED CURATION ARM: the PageRank prior composed into the
-    // filter pipeline — per document, its source domain's authority and
-    // keep = rank >= alpha/N (authority at least alpha× the uniform
-    // share, the scale-free low-authority drop). Same spiked link-graph
-    // fixture as q_text_domain_rank; the oracle re-renders the identical
-    // rank CTE chain under one composed query (the q_text_fertility
-    // composition discipline).
-    Q("q_text_authority_verdict",
-      (s, d) => TextAnalysis.authorityVerdict(
-          domainRankFixture(s, d), alpha = 0.5, iters = 3, damping = 0.85)
-        .orderBy("doc_id"),
-      Some(authorityVerdictOracle(iters = 3, damping = 0.85, alpha = 0.5))),
-
-    Q("q_text_links",
-      (s, d) => {
-        val spiked = Tables.documents(s, d).select(col("doc_id"),
-          concat(col("text"),
-            when(pmod(col("doc_id"), lit(5L)) === 0,
-              lit(" see https://example.com/a and" +
-                " https://foo.example.org/path?q=1"))
-              .otherwise(lit(""))).as("text"))
-        TextAnalysis.linkStats(spiked).orderBy("doc_id")
-      },
-      Some("WITH w AS (SELECT doc_id, text || CASE WHEN doc_id % 5 = 0 " +
-        "THEN ' see https://example.com/a and" +
-        " https://foo.example.org/path?q=1' ELSE '' END AS text " +
-        "FROM documents) " +
-        "SELECT doc_id, " +
-        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.UrlRx}')) " +
-        "AS BIGINT) AS n_links, " +
-        "CAST(length(text) - length(regexp_replace(text, " +
-        s"'${TextAnalysis.UrlRx}', '', 'g')) AS BIGINT) AS n_link_chars, " +
-        "CAST(length(text) AS BIGINT) AS n_chars, " +
-        "CASE WHEN length(text) > 0 THEN " +
-        "CAST(length(text) - length(regexp_replace(text, " +
-        s"'${TextAnalysis.UrlRx}', '', 'g')) AS DOUBLE) " +
-        "/ CAST(length(text) AS DOUBLE) END AS link_char_frac, " +
-        "COALESCE(CASE WHEN length(text) > 0 THEN " +
-        "CAST(length(text) - length(regexp_replace(text, " +
-        s"'${TextAnalysis.UrlRx}', '', 'g')) AS DOUBLE) " +
-        "/ CAST(length(text) AS DOUBLE) END " +
-        s"> ${TextAnalysis.LinkSpamMin}, false) AS is_link_spam " +
-        "FROM w ORDER BY doc_id")),
-
-    // CODE-DETECTION routing signal: every 7th doc gets a code prefix;
-    // punctuation + keyword markers per token, is_code at the density
-    // threshold — the cheap router in front of the trained classifier.
-    Q("q_text_code",
-      (s, d) => {
-        val spiked = Tables.documents(s, d).select(col("doc_id"),
-          concat(
-            when(pmod(col("doc_id"), lit(7L)) === 0,
-              lit("def f(x): return {x; y()} ")).otherwise(lit("")),
-            col("text")).as("text"))
-        TextAnalysis.codeSignals(spiked).orderBy("doc_id")
-      },
-      Some("WITH w AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 " +
-        "THEN 'def f(x): return {x; y()} ' ELSE '' END || text AS text " +
-        "FROM documents) " +
-        "SELECT doc_id, " +
-        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.CodePunctRx}')) " +
-        "AS BIGINT) AS n_code_punct, " +
-        "CAST(len(regexp_extract_all(text, " +
-        s"'${TextAnalysis.CodeKeywordRx}')) AS BIGINT) AS n_code_keywords, " +
-        s"CAST(len($toksSql) AS BIGINT) AS token_count, " +
-        s"CASE WHEN len($toksSql) > 0 THEN " +
-        "CAST(len(regexp_extract_all(text, " +
-        s"'${TextAnalysis.CodePunctRx}')) + " +
-        "len(regexp_extract_all(text, " +
-        s"'${TextAnalysis.CodeKeywordRx}')) AS DOUBLE) " +
-        s"/ CAST(len($toksSql) AS DOUBLE) END AS marker_density, " +
-        s"COALESCE(CASE WHEN len($toksSql) > 0 THEN " +
-        "CAST(len(regexp_extract_all(text, " +
-        s"'${TextAnalysis.CodePunctRx}')) + " +
-        "len(regexp_extract_all(text, " +
-        s"'${TextAnalysis.CodeKeywordRx}')) AS DOUBLE) " +
-        s"/ CAST(len($toksSql) AS DOUBLE) END " +
-        s">= ${TextAnalysis.CodeMarkerMin}, false) AS is_code " +
-        "FROM w ORDER BY doc_id")),
-
-    // ENCODING / MOJIBAKE QA — crawl-ingest hygiene: ASCII fraction,
-    // stray control chars, U+FFFD replacement chars, Latin-1-mojibake
-    // markers, and a verdict. All four regex classes and the 0.6 ratio
-    // threshold render from the SAME Scala constants into both engines;
-    // integer-exact until the one final division.
-    Q("q_text_encoding",
-      (s, d) => TextAnalysis.encodingStats(Tables.documents(s, d))
-        .orderBy("doc_id"),
-      Some("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
-        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.AsciiRx}')) AS BIGINT) AS n_ascii, " +
-        s"CASE WHEN length(text) > 0 THEN " +
-        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.AsciiRx}')) AS DOUBLE) " +
-        "/ CAST(length(text) AS DOUBLE) END AS ascii_ratio, " +
-        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.BadControlRx}')) AS BIGINT) AS n_control, " +
-        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.ReplacementRx}')) AS BIGINT) AS n_replacement, " +
-        s"CAST(len(regexp_extract_all(text, '${TextAnalysis.MojibakeRx}')) AS BIGINT) AS n_mojibake, " +
-        "COALESCE(length(text) > 0 " +
-        s"AND len(regexp_extract_all(text, '${TextAnalysis.BadControlRx}')) = 0 " +
-        s"AND len(regexp_extract_all(text, '${TextAnalysis.ReplacementRx}')) = 0 " +
-        s"AND CAST(len(regexp_extract_all(text, '${TextAnalysis.AsciiRx}')) AS DOUBLE) " +
-        s"/ CAST(length(text) AS DOUBLE) >= ${TextAnalysis.AsciiCleanMin}, " +
-        "false) AS encoding_ok FROM documents ORDER BY doc_id")),
-
-    // Unicode NFC normalization — the pre-hash canonicalization pass
-    // (composed vs decomposed encodings of identical text would dodge
-    // every dedup hash). Engine: native expression over java.text
-    // .Normalizer; oracle: DuckDB's nfc_normalize — both implement the
-    // same Unicode canonical composition, so the replay is the standard
-    // itself. Corpus is ASCII-clean (changed all-false); the composed/
-    // decomposed positive arms are pinned in PipelineSpec, the PII
-    // contract.
-    Q("q_text_nfc",
-      (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"),
-          TextAnalysis.nfc(col("text")).as("normalized"),
-          coalesce(TextAnalysis.nfc(col("text")) =!= col("text"), lit(false))
-            .as("changed"))
-        .orderBy("doc_id"),
-      Some("SELECT doc_id, nfc_normalize(text) AS normalized, " +
-        "COALESCE(nfc_normalize(text) != text, false) AS changed " +
-        "FROM documents ORDER BY doc_id")),
-
-    // BLOCKLIST screening — the policy-filter stage: which of a fixed
-    // phrase list appears in each document. Engine: ONE pass per document
-    // over an Aho-Corasick automaton carried into codegen as config
-    // (functions/Blocklist.scala) — at 100 TB with thousands of phrases
-    // this replaces K contains() scans per row with one. Oracle: the same
-    // presence predicate replayed per pattern as instr(), first_match as
-    // the pattern-order COALESCE — both sides rendered from the ONE
-    // BlockPatterns constant.
-    Q("q_text_blocklist",
-      (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"), col("text"),
-          graft.functions.Blocklist.matches(col("text"), BlockPatterns).as("m"))
-        .select(col("doc_id"),
-          size(col("m")).cast("long").as("n_flagged"),
-          get(col("m"), lit(0)).as("first_match"),
-          (size(col("m")) > 0).as("blocked"),
-          // total greedy non-overlapping occurrences — the severity signal
-          // (one hit vs fifty); semantics chosen = replace()-arithmetic so
-          // the oracle replays it with string builtins
-          graft.functions.Blocklist.countMatches(col("text"), BlockPatterns)
-            .as("n_hits"))
-        .orderBy("doc_id"),
-      Some("SELECT doc_id, " +
-        "CAST(" + BlockPatterns.map(p =>
-          s"(CASE WHEN ${blockHitSql(p)} THEN 1 ELSE 0 END)").mkString(" + ") +
-        " AS BIGINT) AS n_flagged, " +
-        "COALESCE(" + BlockPatterns.map(p =>
-          s"CASE WHEN ${blockHitSql(p)} THEN '$p' END").mkString(", ") +
-        ") AS first_match, " +
-        "(" + BlockPatterns.map(blockHitSql).mkString(" OR ") + ") AS blocked, " +
-        "CAST(" + BlockPatterns.map(p =>
-          s"((length(text) - length(replace(text, '$p', ''))) // ${p.length})")
-          .mkString(" + ") +
-        " AS BIGINT) AS n_hits " +
-        "FROM documents ORDER BY doc_id")),
-
-    // CASE/UNICODE-INSENSITIVE blocklist screen: the pattern list is
-    // authored in arbitrary case ("DROP Database") and still flags the
-    // lowercase corpus — both sides fold NFC + lowercase INSIDE the same
-    // single automaton pass (not K lower() passes). first_match reports
-    // the ORIGINAL pattern string; the oracle folds text with
-    // lower(nfc_normalize(..)) and patterns at SQL-build time from the
-    // shared constant.
-    Q("q_text_blocklist_ci",
-      (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"), col("text"),
-          graft.functions.Blocklist.matches(col("text"), BlockPatternsCi,
-            normalized = true).as("m"))
-        .select(col("doc_id"),
-          size(col("m")).cast("long").as("n_flagged"),
-          get(col("m"), lit(0)).as("first_match"),
-          (size(col("m")) > 0).as("blocked"),
-          graft.functions.Blocklist.countMatches(col("text"), BlockPatternsCi,
-            normalized = true).as("n_hits"))
-        .orderBy("doc_id"),
-      Some("SELECT doc_id, " +
-        "CAST(" + BlockPatternsCi.map(p =>
-          s"(CASE WHEN ${blockHitCiSql(p)} THEN 1 ELSE 0 END)").mkString(" + ") +
-        " AS BIGINT) AS n_flagged, " +
-        "COALESCE(" + BlockPatternsCi.map(p =>
-          s"CASE WHEN ${blockHitCiSql(p)} THEN '$p' END").mkString(", ") +
-        ") AS first_match, " +
-        "(" + BlockPatternsCi.map(blockHitCiSql).mkString(" OR ") + ") AS blocked, " +
-        "CAST(" + BlockPatternsCi.map { p =>
-          val f = ciFold(p)
-          "((length(lower(nfc_normalize(text))) - " +
-            s"length(replace(lower(nfc_normalize(text)), '$f', ''))) // ${f.length})"
-        }.mkString(" + ") +
-        " AS BIGINT) AS n_hits " +
-        "FROM documents ORDER BY doc_id")),
-
-    // WINSORIZED per-source stats — robust corpus reporting: exact
-    // discrete percentile cuts (k-th smallest at ⌈p·n⌉, no interpolation
-    // formula to drift between engines), clamp, then integer-exact means
-    // with one final division each. The oracle replays rank, cuts, clamp,
-    // and division op-for-op.
-    Q("q_quality_winsorized",
-      (s, d) => graft.functions.DataQuality.winsorizedStats(
-          Tables.documents(s, d).filter(col("text").isNotNull)
-            .select(col("source"),
-              size(TextAnalysis.tokens(col("text"))).as("token_count")),
-          "token_count", "source")
-        .orderBy("source"),
-      Some(s"WITH t AS (SELECT source, CAST(len($toksSql) AS BIGINT) AS v " +
-        "FROM documents WHERE text IS NOT NULL), " +
-        "r AS (SELECT source, v, " +
-        "CAST(row_number() OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS rn, " +
-        "count(*) OVER (PARTITION BY source) AS n FROM t), " +
-        "c AS (SELECT source, " +
-        "min(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * n) AS BIGINT)) " +
-        "THEN v END) AS lo_cut, " +
-        "min(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN v END) AS hi_cut " +
-        "FROM r GROUP BY 1) " +
-        "SELECT source, count(*) AS n, lo_cut, hi_cut, " +
-        "CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_raw, " +
-        "CAST(sum(least(greatest(v, lo_cut), hi_cut)) AS DOUBLE) " +
-        "/ CAST(count(*) AS DOUBLE) AS mean_winsorized " +
-        "FROM r JOIN c USING (source) GROUP BY source, lo_cut, hi_cut " +
-        "ORDER BY source")),
-
-    // K-ANONYMITY enforcement (the quasi-identifier privacy gate that
-    // follows the PII scan's direct-identifier scrub): any
-    // (nation, segment) class under k=10 customers is re-identifying, so
-    // both quasi columns are suppressed on those rows. The class table is
-    // combinatorics-bounded (125 classes at every sf) and broadcasts; the
-    // oracle replays the null-safe class join and the CASE suppression.
-    Q("q_privacy_kanon",
-      (s, d) => graft.functions.DataQuality.kAnonymize(
-          Tables.customer(s, d), Seq("c_nationkey", "c_mktsegment"), k = 10)
-        .orderBy("c_custkey"),
-      Some("WITH g AS (SELECT c_nationkey AS qn, c_mktsegment AS qs, " +
-        "CAST(count(*) AS BIGINT) AS class_size FROM customer GROUP BY 1, 2) " +
-        "SELECT c_custkey, c_name, " +
-        "CASE WHEN class_size >= 10 THEN c_nationkey END AS c_nationkey, " +
-        "c_acctbal, " +
-        "CASE WHEN class_size >= 10 THEN c_mktsegment END AS c_mktsegment, " +
-        "class_size, class_size < 10 AS suppressed " +
-        "FROM customer JOIN g ON c_nationkey IS NOT DISTINCT FROM qn " +
-        "AND c_mktsegment IS NOT DISTINCT FROM qs ORDER BY c_custkey")),
-
-    // IVF with the TRAINED coarse quantizer (spherical k-means on a
-    // 256-vector id-mix sample, 2 Lloyd rounds, 8 centroids, 4 probes —
-    // the default probe count tuned against the recall@10 ≥ 0.8 floor;
-    // the sample permutation is the shared sampleHashSql). The oracle
-    // replays the ENTIRE fit — init, tie-broken assignment, fold-ordered
-    // means, renormalization — so a single drifted double anywhere in
-    // training would flip an assignment and fail the hash.
-    Q("q_sim_topk_ivf_trained",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        Similarity.ivfTrainedTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10)
-          .orderBy("query_id", "rank")
-      },
-      Some(ivfTrainedOracle(dim = 64, sampleSize = 256, centroids = 8,
-        iters = 2, nprobe = 4, topk = 10))),
-
-    // The PERSISTED-index graph build: same edges as q_sim_knn_graph
-    // (same oracle — write→read fidelity), but both sides of the cell
-    // join READ the bucketed assignments table and the fit was paid at
-    // writeAnnIndex time. The artifact search, SemDeDup, and the graph
-    // build now share. Unique name + eager materialization + finally-drop.
-    Q("q_sim_knn_graph_indexed",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val name = "graft_knn_idx_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        Similarity.writeAnnIndex(emb, name, centroids = 8,
-          sampleSize = 256, iters = 2)
-        try Similarity.knnGraphIndexed(s, name, k = 5, nprobe = 2)
-          .orderBy("query_id", "rank").localCheckpoint(true)
-        finally Similarity.dropAnnIndex(s, name)
-      },
-      Some(ivfTrainedScoredCtes(dim = 64, sampleSize = 256, centroids = 8,
-        iters = 2, nprobe = 2, queryWhere = "") + ", " + topKSql("sc", 5))),
-
-    // SOFT quality sampling: keep-probability ∝ the classifier score
-    // (clamped to [0,1]) keyed on the content hash — the FineWeb-style
-    // soft cut that keeps mid-quality documents in proportion instead of
-    // discarding them. Composes two certified fragments: the classifier
-    // oracle (as a subquery) and the fingerprint-bucket machinery.
-    Q("q_sample_soft_quality",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val scored = TextAnalysis.classifierScoreInline(docs,
-            classifierWeights, bias = classifierBias,
-            thresholdMicros = classifierThreshold)
-          .select(col("doc_id"), col("score"))
-        graft.functions.Sampling.softQualitySample(
-            docs.join(scored, Seq("doc_id")), col("score"))
-          .select("doc_id", "score").orderBy("doc_id")
-      },
-      Some(s"$fpCte, scq AS (SELECT * FROM ($classifierOracle)) " +
-        "SELECT f.doc_id, scq.score FROM fp f JOIN scq USING (doc_id) " +
-        "WHERE f.fingerprint % 10000 < CAST(round(" +
-        "least(greatest(scq.score, 0), 1) * 10000) AS BIGINT) " +
-        "ORDER BY f.doc_id")),
-
-    // k-NN GRAPH over the whole corpus: every vector's 5 nearest under
-    // the trained quantizer's probe pruning — the artifact semantic
-    // dedup, graph clustering, and hard-negative mining consume. NO
-    // driver-side query collect: the corpus is both sides, probe
-    // selection is a scan-side ranking of the literal centroid table
-    // (score desc, cid asc — the training tie rule), and the oracle is
-    // the trained-IVF replay with the query CTE widened to ALL vectors.
-    Q("q_sim_knn_graph",
-      (s, d) => Similarity.knnGraph(Tables.embeddings(s, d), k = 5,
-          nprobe = 2)
-        .orderBy("query_id", "rank"),
-      Some(ivfTrainedScoredCtes(dim = 64, sampleSize = 256, centroids = 8,
-        iters = 2, nprobe = 2, queryWhere = "") + ", " + topKSql("sc", 5))),
-
-    // The PERSISTED trained-IVF index: same fit, same oracle, but the
-    // corpus assignment is paid once at writeAnnIndex time and the search
-    // reads only the probed cells' buckets — the interactive ANN access
-    // path at 100 TB. Unique table name per invocation + eager
-    // materialization + finally-drop: the q_text_bm25_indexed pattern
-    // (concurrent bench/verify processes share the warehouse).
-    Q("q_sim_topk_ivf_indexed",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val name = "graft_ann_idx_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        Similarity.writeAnnIndex(emb, name, centroids = 8,
-          sampleSize = 256, iters = 2)
-        try Similarity.annSearchIndexed(s, name,
-          emb.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 4)
-          .orderBy("query_id", "rank").localCheckpoint(true)
-        finally Similarity.dropAnnIndex(s, name)
-      },
-      Some(ivfTrainedOracle(dim = 64, sampleSize = 256, centroids = 8,
-        iters = 2, nprobe = 4, topk = 10))),
-
-    // INCREMENTAL ANN index maintenance: build the index on the first 300
-    // vectors, UPSERT the rest as an ingest batch — assigned against the
-    // persisted centroids, appended under the table's bucket spec,
-    // O(batch) not O(corpus) — then search the grown index. The quantizer
-    // is FROZEN at build time (the standard IVF maintenance trade), so the
-    // oracle replays exactly that contract: the k-means fit samples ONLY
-    // the initial slice (sampleWhere) while assignment and scoring cover
-    // initial ∪ batch. The hash gate therefore proves the full upsert
-    // semantics — frozen-quantizer assignment of the batch + pruned search
-    // over the grown index. (Upsert ≡ one full rebuild additionally holds
-    // whenever the union's training sample is contained in the initial
-    // corpus — BucketedSpec pins that equivalence on a fixture built to
-    // satisfy the containment.)
-    Q("q_sim_topk_ivf_upsert",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val name = "graft_ann_ups_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        Similarity.writeAnnIndex(emb.filter(col("vec_id") < 300), name,
-          centroids = 8, sampleSize = 256, iters = 2)
-        try {
-          Similarity.upsertAnnIndex(s, name, emb.filter(col("vec_id") >= 300))
-          Similarity.annSearchIndexed(s, name,
-            emb.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 4)
-            .orderBy("query_id", "rank").localCheckpoint(true)
-        } finally Similarity.dropAnnIndex(s, name)
-      },
-      Some(ivfTrainedOracle(dim = 64, sampleSize = 256, centroids = 8,
-        iters = 2, nprobe = 4, topk = 10,
-        sampleWhere = "WHERE vec_id < 300"))),
-
-    // TARGETED DELETION from the ANN index — the upsert gate's MIRROR,
-    // exercising BOTH deletion halves through one hash: exact clones of
-    // every query vector are upserted (each would answer at cosine 1.0,
-    // rank 1), tombstoned via deleteFromAnnIndex, then COMPACTED (the
-    // staged bucket-spec rewrite physically purges them), and the search
-    // over the rewritten table must answer exactly the frozen-quantizer
-    // oracle over the original corpus.
-    Q("q_sim_topk_ivf_deleted",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val qs = emb.filter(col("vec_id") % 100 === 0)
-        val name = "graft_ann_del_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        Similarity.writeAnnIndex(emb, name, centroids = 8,
-          sampleSize = 256, iters = 2)
-        val cloneIds = qs.select("vec_id").collect()
-          .map(_.getLong(0) + 10000000L).toSeq
-        try {
-          Similarity.upsertAnnIndex(s, name,
-            qs.select((col("vec_id") + 10000000L).as("vec_id"),
-              col("embedding")))
-          Similarity.deleteFromAnnIndex(s, name, cloneIds)
-          Similarity.compactAnnIndex(s, name)
-          Similarity.annSearchIndexed(s, name, qs, k = 10, nprobe = 4)
-            .orderBy("query_id", "rank").localCheckpoint(true)
-        } finally Similarity.dropAnnIndex(s, name)
-      },
-      Some(ivfTrainedOracle(dim = 64, sampleSize = 256, centroids = 8,
-        iters = 2, nprobe = 4, topk = 10))),
-
-    // RECALL@10 of the trained-IVF path against brute force — the
-    // evaluation operator that turns an ANN configuration claim into a
-    // measured, oracle-certified number per query (and lets a deployment
-    // tune nprobe/centroids against real recall instead of folklore). The
-    // oracle replays BOTH retrieval stacks and the intersection count.
-    Q("q_sim_recall_ivf",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val qs = emb.filter(col("vec_id") % 100 === 0)
-        Similarity.recallAtK(
-          Similarity.ivfTrainedTopK(emb, qs, k = 10),
-          Similarity.bruteForceTopK(emb, qs, k = 10), k = 10)
-          .orderBy("query_id")
-      },
-      Some(ivfRecallOracle(dim = 64, sampleSize = 256, centroids = 8,
-        iters = 2, nprobe = 4, topk = 10))),
-
-    // RECALL@10 of the plain-PQ ADC stack — quantization loss as a
-    // measured number (what m/ksub buy or cost), same oracle-certified
-    // evaluation shape as q_sim_recall_ivf. Runs at the recall-tuned
-    // default config (m=16/ksub=32, 16× compression) — the max-compression
-    // point (m=8/ksub=16) is pinned by the q_sim_topk_pq* family.
-    Q("q_sim_recall_pq",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val qs = emb.filter(col("vec_id") % 100 === 0)
-        Similarity.recallAtK(
-          Similarity.pqTopK(emb, qs, k = 10, m = 16, ksub = 32,
-            sampleSize = 256, iters = 2),
-          Similarity.bruteForceTopK(emb, qs, k = 10), k = 10)
-          .orderBy("query_id")
-      },
-      Some(pqRecallOracle(dim = 64, m = 16, ksub = 32, sampleSize = 256,
-        iters = 2, topk = 10))),
-
-    // RECALL@10 of the composed IVF+PQ stack — the production ANN shape's
-    // end-to-end accuracy (cell-pruning misses + quantization loss
-    // together), the number a deployment tunes nprobe/m/ksub against.
-    Q("q_sim_recall_ivfpq",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val qs = emb.filter(col("vec_id") % 100 === 0)
-        Similarity.recallAtK(
-          Similarity.ivfPqTopK(emb, qs, k = 10, centroids = 8, nprobe = 4,
-            m = 16, ksub = 32, sampleSize = 256, iters = 2),
-          Similarity.bruteForceTopK(emb, qs, k = 10), k = 10)
-          .orderBy("query_id")
-      },
-      Some(ivfPqRecallOracle(dim = 64, sampleSize = 256, centroids = 8,
-        m = 16, ksub = 32, iters = 2, nprobe = 4, topk = 10))),
-
-    // RECALL@10 of the TRUE-IVFADC stack (residual encoding) at the SAME
-    // bits as q_sim_recall_ivfpq — the residual-vs-raw recall gain as two
-    // oracle-certified numbers side by side (BucketedSpec asserts the
-    // ordering; this query certifies the values).
-    Q("q_sim_recall_ivfpq_res",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val qs = emb.filter(col("vec_id") % 100 === 0)
-        Similarity.recallAtK(
-          Similarity.ivfPqResidualTopK(emb, qs, k = 10, centroids = 8,
-            nprobe = 4, m = 16, ksub = 32, sampleSize = 256, iters = 2),
-          Similarity.bruteForceTopK(emb, qs, k = 10), k = 10)
-          .orderBy("query_id")
-      },
-      Some(ivfPqResRecallOracle(dim = 64, sampleSize = 256, centroids = 8,
-        m = 16, ksub = 32, iters = 2, nprobe = 4, topk = 10))),
-
-    // The PERSISTED ground-truth variants of the three heaviest recall
-    // rows: brute-force exact top-10 of the pinned eval set is a build
-    // artifact (writeGroundTruth, query_id-bucketed), and every
-    // quantizer-configuration evaluation re-READS it instead of
-    // re-scanning the corpus per run — the index discipline applied to
-    // evaluation. SAME oracles as the one-shot twins: hash equality
-    // certifies write→read fidelity of the truth table end-to-end
-    // through the recall arithmetic. Unique name + eager
-    // materialization + finally-drop (the q_text_bm25_indexed pattern).
-    Q("q_sim_recall_pq_indexed",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val qs = emb.filter(col("vec_id") % 100 === 0)
-        val name = "graft_gt_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        Similarity.writeGroundTruth(emb, qs, k = 10, name)
-        try Similarity.recallAtKIndexed(s, name,
-            Similarity.pqTopK(emb, qs, k = 10, m = 16, ksub = 32,
-              sampleSize = 256, iters = 2), k = 10)
-          .orderBy("query_id").localCheckpoint(true)
-        finally Similarity.dropGroundTruth(s, name)
-      },
-      Some(pqRecallOracle(dim = 64, m = 16, ksub = 32, sampleSize = 256,
-        iters = 2, topk = 10))),
-
-    Q("q_sim_recall_ivfpq_indexed",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val qs = emb.filter(col("vec_id") % 100 === 0)
-        val name = "graft_gt_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        Similarity.writeGroundTruth(emb, qs, k = 10, name)
-        try Similarity.recallAtKIndexed(s, name,
-            Similarity.ivfPqTopK(emb, qs, k = 10, centroids = 8, nprobe = 4,
-              m = 16, ksub = 32, sampleSize = 256, iters = 2), k = 10)
-          .orderBy("query_id").localCheckpoint(true)
-        finally Similarity.dropGroundTruth(s, name)
-      },
-      Some(ivfPqRecallOracle(dim = 64, sampleSize = 256, centroids = 8,
-        m = 16, ksub = 32, iters = 2, nprobe = 4, topk = 10))),
-
-    Q("q_sim_recall_ivfpq_res_indexed",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val qs = emb.filter(col("vec_id") % 100 === 0)
-        val name = "graft_gt_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        Similarity.writeGroundTruth(emb, qs, k = 10, name)
-        try Similarity.recallAtKIndexed(s, name,
-            Similarity.ivfPqResidualTopK(emb, qs, k = 10, centroids = 8,
-              nprobe = 4, m = 16, ksub = 32, sampleSize = 256, iters = 2),
-            k = 10)
-          .orderBy("query_id").localCheckpoint(true)
-        finally Similarity.dropGroundTruth(s, name)
-      },
-      Some(ivfPqResRecallOracle(dim = 64, sampleSize = 256, centroids = 8,
-        m = 16, ksub = 32, iters = 2, nprobe = 4, topk = 10))),
-
-    // PRODUCT QUANTIZATION top-k: 64-dim floats → 8 sub-codes (32× memory
-    // cut), search = code scan + per-query lookup tables (ADC). The
-    // memory-bound regime's ANN at 100 TB — the codes table fits where
-    // the raw vectors don't. Oracle replays all 8 per-subspace k-means
-    // fits, the corpus encode, and the LUT-equivalent sub-dot sums.
-    Q("q_sim_topk_pq",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        Similarity.pqTopK(emb, emb.filter(col("vec_id") % 100 === 0),
-          k = 10, m = 8, ksub = 16, sampleSize = 256, iters = 2)
-          .orderBy("query_id", "rank")
-      },
-      Some(pqOracle(dim = 64, m = 8, ksub = 16, sampleSize = 256,
-        iters = 2, topk = 10))),
-
-    // The PERSISTED PQ index: same fit, same oracle, but train+encode are
-    // paid at writePqIndex time and the search scans only the ~30×-smaller
-    // codes table — the interactive ADC access path (the ivf_indexed /
-    // bm25_indexed pattern: unique name per invocation, finally-drop).
-    Q("q_sim_topk_pq_indexed",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val name = "graft_pq_idx_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        Similarity.writePqIndex(emb, name, m = 8, ksub = 16,
-          sampleSize = 256, iters = 2)
-        try Similarity.pqSearchIndexed(s, name,
-          emb.filter(col("vec_id") % 100 === 0), k = 10)
-          .orderBy("query_id", "rank").localCheckpoint(true)
-        finally Similarity.dropPqIndex(s, name)
-      },
-      Some(pqOracle(dim = 64, m = 8, ksub = 16, sampleSize = 256,
-        iters = 2, topk = 10))),
-
-    // IVF + PQ composed: coarse cells prune the scan to nprobe/centroids
-    // of the corpus, PQ codes + lookup tables score what remains — the
-    // production ANN shape (IO fraction and per-row arithmetic both drop).
-    // The oracle composes both fit chains verbatim and scores only the
-    // probed cells' codes.
-    Q("q_sim_topk_ivfpq",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") % 100 === 0),
-          k = 10, centroids = 8, nprobe = 4, m = 8, ksub = 16,
-          sampleSize = 256, iters = 2)
-          .orderBy("query_id", "rank")
-      },
-      Some(ivfPqOracle(dim = 64, sampleSize = 256, centroids = 8,
-        m = 8, ksub = 16, iters = 2, nprobe = 4, topk = 10))),
-
-    // TRUE IVFADC (Jégou et al. 2011): same cell pruning + code budget as
-    // q_sim_topk_ivfpq, but codes quantize the residual to the assigned
-    // coarse centroid and the score adds the per-(query, cell) base term
-    // dot(q, c) before ranking. The oracle replays the residual fit/encode
-    // over the residual relations verbatim and the base-plus-fold score.
-    Q("q_sim_topk_ivfpq_res",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        Similarity.ivfPqResidualTopK(emb,
-          emb.filter(col("vec_id") % 100 === 0),
-          k = 10, centroids = 8, nprobe = 4, m = 8, ksub = 16,
-          sampleSize = 256, iters = 2)
-          .orderBy("query_id", "rank")
-      },
-      Some(ivfPqResOracle(dim = 64, sampleSize = 256, centroids = 8,
-        m = 8, ksub = 16, iters = 2, nprobe = 4, topk = 10))),
-
-    // IVFADC + REFINE — the full production retrieval stack: cell pruning
-    // bounds candidates, residual-PQ ADC scores codes, and only the
-    // 40-deep shortlist touches raw vectors for the EXACT final order
-    // (refine is what ADC distortion needs; IVF-Flat's exact candidate
-    // scores would gain nothing). Max-compression m=8/ksub=16 — the
-    // config where refine matters most.
-    Q("q_sim_topk_ivfadc_refined",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        Similarity.ivfAdcRefinedTopK(emb,
-            emb.filter(col("vec_id") % 100 === 0),
-            k = 10, shortlist = 40, centroids = 8, nprobe = 4,
-            m = 8, ksub = 16, sampleSize = 256, iters = 2)
-          .orderBy("query_id", "rank")
-      },
-      Some(ivfPqResScoredCtes(dim = 64, sampleSize = 256, centroids = 8,
-        m = 8, ksub = 16, iters = 2, nprobe = 4) + ", " +
-        s"${shortlistCte("sc", 40, "sl")}, " + refineTailSql("sl", 10))),
-
-    // The PERSISTED IVFADC index: same fit, same oracle — train+encode
-    // paid at writeIvfPqResIndex time, search reads only the probed
-    // cells' buckets of the m-int codes table (bucket pruning × ADC, the
-    // production ANN access shape). Hash equality against the one-shot
-    // oracle certifies write→read fidelity.
-    Q("q_sim_topk_ivfpq_res_indexed",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val name = "graft_ivfadc_idx_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        Similarity.writeIvfPqResIndex(emb, name, centroids = 8, m = 8,
-          ksub = 16, sampleSize = 256, iters = 2)
-        try Similarity.ivfPqResSearchIndexed(s, name,
-          emb.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 4)
-          .orderBy("query_id", "rank").localCheckpoint(true)
-        finally Similarity.dropIvfPqResIndex(s, name)
-      },
-      Some(ivfPqResOracle(dim = 64, sampleSize = 256, centroids = 8,
-        m = 8, ksub = 16, iters = 2, nprobe = 4, topk = 10))),
-
-    // IVF cell-balance report: per trained cell, member count / id range /
-    // corpus share — probe cost IS share summed over probed cells, so a
-    // skewed fit silently inflates every search; this query makes that
-    // drift a number (the re-fit cadence signal). The oracle replays the
-    // fit + assignment and the integer-exact share division.
-    Q("q_sim_cell_stats",
-      (s, d) => Similarity.cellStats(Tables.embeddings(s, d),
-          centroids = 8, sampleSize = 256, iters = 2)
-        .orderBy("cluster"),
-      Some(ivfFitCte(dim = 64, sampleSize = 256, centroids = 8, iters = 2) +
-        " SELECT CAST(bucket AS INT) AS cluster, " +
-        "CAST(count(*) AS BIGINT) AS n_members, " +
-        "min(vec_id) AS min_vec, max(vec_id) AS max_vec, " +
-        "CAST(count(*) AS DOUBLE) / CAST((SELECT count(*) FROM cass) AS DOUBLE) " +
-        "AS share " +
-        "FROM cass GROUP BY bucket ORDER BY cluster")),
-
-    // Two-stage HYBRID retrieval: BM25 top-50 lexical candidates (stage 1,
-    // corpus-wide but term-df-bounded) reranked by embedding cosine to a
-    // query vector (stage 2, touches 50 rows). The candidate set and the
-    // 1-row query vector broadcast; the corpus streams once per stage.
-    // Both stages' scores surface (bm25_rank + cosine + final rank), and
-    // the oracle replays the full two-stage stack — the rational-idf BM25
-    // chain feeding the fold-left cosine — in one composed query.
-    Q("q_sim_hybrid_rerank",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val cands = TextAnalysis.bm25Search(Tables.documents(s, d), Bm25Terms, k = 50)
-        Similarity.rerankCandidates(cands, emb,
-          emb.filter(col("vec_id") === 0), k = 10)
-          .orderBy("rank")
-      },
-      Some(s"WITH ${bm25Ctes(Bm25Terms, 1.2, 0.75)}, " +
-        "cand AS (SELECT doc_id, CAST(rank AS INT) AS bm25_rank FROM r " +
-        "WHERE rank <= 50), " +
-        s"$normEmbCte, " +
-        "qn AS (SELECT v AS qv FROM nv WHERE vec_id = 0), " +
-        "sc AS (SELECT cand.doc_id, bm25_rank, " +
-        dotSql("qv", "nv.v") + " AS cosine " +
-        "FROM cand JOIN nv ON nv.vec_id = cand.doc_id CROSS JOIN qn), " +
-        "rr AS (SELECT *, row_number() OVER (ORDER BY cosine DESC, doc_id) " +
-        "AS rank FROM sc) " +
-        "SELECT doc_id, bm25_rank, cosine, CAST(rank AS INT) AS rank " +
-        "FROM rr WHERE rank <= 10 ORDER BY rank")),
-
-    // Semantic contamination screen: every non-benchmark vector's max
-    // cosine against the 10-vector "benchmark" slice (vec_id % 50 = 0) —
-    // the paraphrase-leak check the trigram screen can't do. Benchmark
-    // broadcasts; the corpus never shuffles (scan-side partial max).
-    Q("q_sim_contamination",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        Dedup.semanticContamination(
-          emb.filter(col("vec_id") % 50 =!= 0),
-          emb.filter(col("vec_id") % 50 === 0),
-          threshold = 0.35)
-          .orderBy("vec_id")
-      },
-      Some(s"WITH $normEmbCte, " +
-        "b AS (SELECT vec_id AS bench_id, v AS bv FROM nv WHERE vec_id % 50 = 0), " +
-        "c AS (SELECT vec_id, v FROM nv WHERE vec_id % 50 <> 0), " +
-        "m AS (SELECT c.vec_id, max(" + dotSql("c.v", "b.bv") + ") AS max_bench_sim " +
-        "FROM c CROSS JOIN b GROUP BY c.vec_id) " +
-        // COALESCE mirrors the operator's documented empty/all-zero-norm-
-        // benchmark contract (max_bench_sim NULL → contaminated FALSE) even
-        // though the gated corpus never exercises it
-        "SELECT vec_id, max_bench_sim, " +
-        "COALESCE(max_bench_sim >= 0.35, false) AS contaminated " +
-        "FROM m ORDER BY vec_id")),
-
-    // SemDeDup: semantic dedup via the SAME trained quantizer — cluster,
-    // then drop any vector with cosine ≥ 0.35 to a lower-id cluster-mate.
-    // The oracle replays fit + assignment + the pairwise max, so it gates
-    // the training determinism AND the keep rule end to end.
-    Q("q_dedup_semantic",
-      (s, d) => Dedup.semanticDedup(Tables.embeddings(s, d), threshold = 0.35)
-        .orderBy("vec_id"),
-      Some(semanticDedupOracle(dim = 64, sampleSize = 256, centroids = 8,
-        iters = 2, threshold = 0.35))),
-
-    // SEMANTIC CLUSTERS: connected components over the k-NN graph's
-    // ≥0.35-cosine edges — the GROUP artifact (cluster-balanced sampling,
-    // per-cluster best copy, diversity audits) where q_dedup_semantic is
-    // the per-vector keep verdict; components may span cells through
-    // probed-cell edge chains. The oracle composes the trained-IVF knn
-    // replay with the recursive-closure CTEs of the text clustering.
-    Q("q_dedup_semantic_clusters",
-      (s, d) => Dedup.semanticClusters(Tables.embeddings(s, d),
-          threshold = 0.35, k = 5, nprobe = 2)
-        .orderBy("vec_id"),
-      Some("WITH RECURSIVE " +
-        ivfTrainedScoredCtes(dim = 64, sampleSize = 256, centroids = 8,
-          iters = 2, nprobe = 2, queryWhere = "").stripPrefix("WITH ") + ", " +
-        "rk2 AS (SELECT query_id, neighbor_id, score, row_number() OVER " +
-        "(PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank " +
-        "FROM sc), " +
-        "kedge AS (SELECT query_id AS ka, neighbor_id AS kb FROM rk2 " +
-        "WHERE rank <= 5 AND score >= 0.35), " +
-        "e2 AS (SELECT ka AS src, kb AS dst FROM kedge " +
-        "UNION SELECT kb, ka FROM kedge), " +
-        "reach2 AS (SELECT src, dst FROM e2 " +
-        "UNION SELECT r2.src, e2.dst FROM reach2 r2 JOIN e2 ON r2.dst = e2.src), " +
-        "comp2 AS (SELECT src AS vec_id, least(src, min(dst)) AS cluster_id " +
-        "FROM reach2 GROUP BY src) " +
-        "SELECT em.vec_id, COALESCE(comp2.cluster_id, em.vec_id) " +
-        "AS cluster_id FROM embeddings em LEFT JOIN comp2 USING (vec_id) " +
-        "ORDER BY em.vec_id")),
-
-    // SemDeDup answered from the PERSISTED ANN index: the k-means fit +
-    // corpus assignment (the expensive half at 100 TB) is exactly what
-    // writeAnnIndex stores, so the dedup pass reads it instead of
-    // re-fitting — search and dedup share one index artifact. Same
-    // oracle as q_dedup_semantic = write→read fidelity.
-    Q("q_dedup_semantic_indexed",
-      (s, d) => {
-        val name = "graft_sem_idx_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        Similarity.writeAnnIndex(Tables.embeddings(s, d), name,
-          centroids = 8, sampleSize = 256, iters = 2)
-        try Dedup.semanticDedupIndexed(s, name, threshold = 0.35)
-          .orderBy("vec_id").localCheckpoint(true)
-        finally Similarity.dropAnnIndex(s, name)
-      },
-      Some(semanticDedupOracle(dim = 64, sampleSize = 256, centroids = 8,
-        iters = 2, threshold = 0.35))),
-
-    Q("q_multimodal_features",
-      (s, d) => Multimodal.extractFeatures(
-        Multimodal.mediaFromDocuments(Tables.documents(s, d)))
-        .toDF().orderBy("doc_id"),
-      Some("SELECT doc_id, " +
-        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
-        "ELSE 'video' END AS media_type, " +
-        "strlen(text) AS n_bytes, " +
-        "strlen(text) % 640 + 1 AS width, " +
-        "(strlen(text) * 7) % 480 + 1 AS height, " +
-        "CAST(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 3 END AS BIGINT) AS channels, " +
-        "CASE WHEN doc_id % 3 = 2 THEN strlen(text) % 30 + 1 ELSE CAST(1 AS BIGINT) END " +
-        "AS duration_frames FROM documents ORDER BY doc_id")),
-
-    // Resize SCHEDULE: fit each image/video into a 320×240 box preserving
-    // aspect — integer compares + one exact IEEE division per side, the
-    // contract a real resampler plugs into (decode itself stays the
-    // stubbed step). Pure projection over the features frame.
-    Q("q_multimodal_resize",
-      (s, d) => Multimodal.resizePlan(
-        Multimodal.extractFeatures(
-          Multimodal.mediaFromDocuments(Tables.documents(s, d))),
-        targetW = 320, targetH = 240)
-        .orderBy("doc_id"),
-      Some("WITH f AS (SELECT doc_id, " +
-        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
-        "ELSE 'video' END AS media_type, " +
-        "strlen(text) % 640 + 1 AS width, " +
-        "(strlen(text) * 7) % 480 + 1 AS height FROM documents) " +
-        "SELECT doc_id, media_type, CAST(width AS BIGINT) AS width, " +
-        "CAST(height AS BIGINT) AS height, " +
-        "CASE WHEN width * 240 >= height * 320 THEN CAST(320 AS BIGINT) " +
-        "ELSE greatest(CAST(1 AS BIGINT), " +
-        "CAST(floor(width * 240 / height) AS BIGINT)) END AS out_width, " +
-        "CASE WHEN width * 240 >= height * 320 THEN " +
-        "greatest(CAST(1 AS BIGINT), " +
-        "CAST(floor(height * 320 / width) AS BIGINT)) " +
-        "ELSE CAST(240 AS BIGINT) END AS out_height " +
-        "FROM f WHERE media_type IN ('image', 'video') ORDER BY doc_id")),
-
-    // Frame-sample SCHEDULE: 4 evenly spaced frame indexes per video
-    // (slot j → ⌊j·frames/4⌋); slots stay explicit so short videos repeat
-    // frames instead of shrinking the loader's tensor shape.
-    Q("q_multimodal_frames",
-      (s, d) => Multimodal.frameSamplePlan(
-        Multimodal.extractFeatures(
-          Multimodal.mediaFromDocuments(Tables.documents(s, d))), k = 4)
-        .orderBy("doc_id", "slot"),
-      Some("WITH f AS (SELECT doc_id, strlen(text) % 30 + 1 AS duration_frames " +
-        "FROM documents WHERE doc_id % 3 = 2), " +
-        "s AS (SELECT doc_id, unnest(range(0, 4)) AS slot, duration_frames " +
-        "FROM f) " +
-        "SELECT doc_id, CAST(slot AS BIGINT) AS slot, " +
-        "CAST(floor(slot * duration_frames / 4) AS BIGINT) AS frame_idx " +
-        "FROM s ORDER BY doc_id, slot")),
-
-    // Perceptual 64-bit dHash per document — the multimodal dedup
-    // signature. The driver corpus feeds UTF-8 text, so this replays the
-    // deterministic CONTENT arm (normalized code points % 256 sampled
-    // into the 9×8 grid); the PIXEL arm (ImageIO + native PPM decode,
-    // box-mean grid) is pinned by PipelineSpec on real encoded images.
-    // The oracle rebuilds the 64-bit word as a HUGEINT power sum and
-    // folds it to signed BIGINT — bit-exact against the engine's Long.
-    Q("q_multimodal_phash",
-      (s, d) => Multimodal.contentDhash(Tables.documents(s, d))
-        .orderBy("doc_id"),
-      Some(dhashSigCtes +
-        " SELECT doc_id, " + dhashSignedSql + " AS dhash " +
-        "FROM dsig ORDER BY doc_id")),
-
-    // Near-duplicate pairs over those signatures: the SimHash banding
-    // machinery (4×16-bit bands, full-signature Hamming verify) applied
-    // to the perceptual hash — never all-pairs. Fixture: the corpus plus
-    // a RE-CRAWL of itself under shifted ids (the re-ingest dedup
-    // scenario) — every original pairs with its re-crawl at Hamming 0,
-    // while this corpus's distinct documents all sit ≥ 13 bits apart
-    // (measured), so the expected pair set is exactly the copies.
-    Q("q_multimodal_phash_pairs",
-      (s, d) => {
-        val docs = Tables.documents(s, d).select("doc_id", "text")
-        val recrawl = docs.select(
-          (col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
-        Multimodal.phashNearDups(
-          Multimodal.contentDhash(docs.unionByName(recrawl)), maxHamming = 6)
-          .orderBy("doc_a", "doc_b")
-      },
-      Some("WITH d2 AS (SELECT doc_id, text FROM documents UNION ALL " +
-        "SELECT doc_id + 10000000 AS doc_id, text FROM documents), " +
-        dhashSigCtesBody("d2") + ", " +
-        "banded AS (SELECT doc_id, s, b AS band, " +
-        "CAST((s // CAST(power(2, 16 * b) AS HUGEINT)) % 65536 AS BIGINT) AS chunk " +
-        "FROM dsig, (SELECT unnest(range(4)) AS b) bb), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.s AS sa, " +
-        "b.doc_id AS doc_b, b.s AS sb " +
-        "FROM banded a JOIN banded b ON a.band = b.band AND a.chunk = b.chunk " +
-        "AND a.doc_id < b.doc_id), " +
-        "ham AS (SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming FROM cand) " +
-        "SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM ham " +
-        "WHERE hamming <= 6 ORDER BY doc_a, doc_b")),
-
-    // TARGETED DELETION from the signature table — the upsert gate's
-    // MIRROR for the multimodal family (takedowns are precisely where
-    // removed media must stop matching): the seen table is written WITH
-    // signature clones of every third document (ids +20,000,000 — each
-    // would pair with its re-crawl twin at Hamming 0), the clones are
-    // tombstone-deleted, and screening the re-crawl (+10,000,000) must
-    // yield exactly the batch×originals pair set.
-    Q("q_multimodal_phash_deleted",
-      (s, d) => {
-        val docs = Tables.documents(s, d).select("doc_id", "text")
-        val clones = docs.filter(col("doc_id") % 3 === 0).select(
-          (col("doc_id") + lit(20000000L)).as("doc_id"), col("text"))
-        val batch = docs.select(
-          (col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
-        val name = "graft_ph_del_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        Multimodal.writeSignatureTable(
-          Multimodal.contentDhash(docs.unionByName(clones)), name)
-        val cloneIds = docs.filter(col("doc_id") % 3 === 0)
-          .select("doc_id").collect().map(_.getLong(0) + 20000000L).toSeq
-        try {
-          Multimodal.deleteFromPhashTable(s, name, cloneIds)
-          Multimodal.screenSignatures(s, name,
-              Multimodal.contentDhash(batch), maxHamming = 6)
-            .orderBy("batch_doc", "seen_doc").localCheckpoint(true)
-        } finally Multimodal.dropPhashTable(s, name)
-      },
-      Some("WITH d2 AS (SELECT doc_id, text FROM documents UNION ALL " +
-        "SELECT doc_id + 10000000 AS doc_id, text FROM documents), " +
-        dhashSigCtesBody("d2") + ", " +
-        "banded AS (SELECT doc_id, s, b AS band, " +
-        "CAST((s // CAST(power(2, 16 * b) AS HUGEINT)) % 65536 AS BIGINT) AS chunk " +
-        "FROM dsig, (SELECT unnest(range(4)) AS b) bb), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS batch_doc, a.s AS sa, " +
-        "b.doc_id AS seen_doc, b.s AS sb " +
-        "FROM banded a JOIN banded b ON a.band = b.band AND a.chunk = b.chunk " +
-        "AND a.doc_id >= 10000000 AND b.doc_id < 10000000), " +
-        "ham AS (SELECT batch_doc, seen_doc, bit_count(xor(sa, sb)) AS hamming " +
-        "FROM cand) " +
-        "SELECT batch_doc, seen_doc, CAST(hamming AS INT) AS hamming FROM ham " +
-        "WHERE hamming <= 6 ORDER BY batch_doc, seen_doc")),
-
-    // VIDEO (fourth modality), signature arm: each document's normalized
-    // text splits into 4 contiguous codepoint segments ("frames" — the
-    // frameSamplePlan schedule made real at the content level, the
-    // contentDhash convention lifted to sequences) and every segment
-    // signs with the same 9×8 dHash as the still-content signature. The
-    // PIXEL arm — all stored frames of real animated GIFs through the
-    // JDK multi-frame reader, luma + box-mean per sampled frame — is
-    // pinned by PipelineSpec on constructed animations (the pixel-vs-
-    // content split the still q_multimodal_phash documents). The oracle
-    // replays segmentation + per-segment grid + HUGEINT bit fold keyed
-    // (doc_id, slot).
-    Q("q_multimodal_video_phash",
-      (s, d) => Multimodal.contentVideoDhash(Tables.documents(s, d), k = 4)
-        .orderBy("doc_id", "slot"),
-      Some("WITH dn AS (SELECT doc_id, " +
-        "lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm " +
-        "FROM documents), " +
-        "vseg AS (SELECT doc_id, j AS slot, " +
-        "substring(norm, (j * length(norm)) // 4 + 1, " +
-        "((j + 1) * length(norm)) // 4 - (j * length(norm)) // 4) AS seg " +
-        "FROM dn, (SELECT unnest(range(4)) AS j) jj " +
-        "WHERE length(norm) > 0), " +
-        "vs AS (SELECT doc_id, slot, seg FROM vseg WHERE length(seg) > 0), " +
-        "dcp AS (SELECT doc_id, slot, [unicode(c) % 256 FOR c IN " +
-        "regexp_extract_all(seg, '.')] AS cp FROM vs), " +
-        "dg AS (SELECT doc_id, slot, [cp[(j * len(cp)) // 72 + 1] " +
-        "FOR j IN range(0, 72)] AS g FROM dcp), " +
-        "dsig AS (SELECT doc_id, slot, " +
-        "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
-        "[CASE WHEN g[(k // 8) * 9 + (k % 8) + 2] > g[(k // 8) * 9 + (k % 8) + 1] " +
-        "THEN CAST(power(2, k) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END " +
-        "FOR k IN range(0, 64)]), (acc, x) -> acc + x) AS s FROM dg) " +
-        "SELECT doc_id, CAST(slot AS BIGINT) AS slot, " + dhashSignedSql +
-        " AS dhash FROM dsig ORDER BY doc_id, slot")),
-
-    // VIDEO near-dup pairs: banded per-frame Hamming candidates with the
-    // SLOT in the band key (only aligned frames of two videos ever meet)
-    // + the frame-majority verdict (≥ 3 of 4 slots within Hamming 6).
-    // Fixture: the corpus plus its re-crawl under shifted ids — every
-    // original pairs with its twin at 4/4 matched frames, while distinct
-    // documents need 3 independently colliding quarter-segments to
-    // false-positive. The oracle replays candidates, the per-pair
-    // matched-slot count, and the majority cut.
-    Q("q_multimodal_video_pairs",
-      (s, d) => {
-        val docs = Tables.documents(s, d).select("doc_id", "text")
-        val recrawl = docs.select(
-          (col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
-        Multimodal.videoNearDups(
-          Multimodal.contentVideoDhash(docs.unionByName(recrawl), k = 4),
-          maxHamming = 6, minMatchFrac = 0.75)
-          .orderBy("doc_a", "doc_b")
-      },
-      Some("WITH d2 AS (SELECT doc_id, text FROM documents UNION ALL " +
-        "SELECT doc_id + 10000000 AS doc_id, text FROM documents), " +
-        "dn AS (SELECT doc_id, " +
-        "lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm FROM d2), " +
-        "vseg AS (SELECT doc_id, j AS slot, " +
-        "substring(norm, (j * length(norm)) // 4 + 1, " +
-        "((j + 1) * length(norm)) // 4 - (j * length(norm)) // 4) AS seg " +
-        "FROM dn, (SELECT unnest(range(4)) AS j) jj " +
-        "WHERE length(norm) > 0), " +
-        "vs AS (SELECT doc_id, slot, seg FROM vseg WHERE length(seg) > 0), " +
-        "dcp AS (SELECT doc_id, slot, [unicode(c) % 256 FOR c IN " +
-        "regexp_extract_all(seg, '.')] AS cp FROM vs), " +
-        "dg AS (SELECT doc_id, slot, [cp[(j * len(cp)) // 72 + 1] " +
-        "FOR j IN range(0, 72)] AS g FROM dcp), " +
-        "dsig AS (SELECT doc_id, slot, " +
-        "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
-        "[CASE WHEN g[(k // 8) * 9 + (k % 8) + 2] > g[(k // 8) * 9 + (k % 8) + 1] " +
-        "THEN CAST(power(2, k) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END " +
-        "FOR k IN range(0, 64)]), (acc, x) -> acc + x) AS s FROM dg), " +
-        "banded AS (SELECT doc_id, slot, s, b AS band, " +
-        "CAST((s // CAST(power(2, 16 * b) AS HUGEINT)) % 65536 AS BIGINT) AS chunk " +
-        "FROM dsig, (SELECT unnest(range(4)) AS b) bb), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "a.slot AS slot, a.s AS sa, b.s AS sb " +
-        "FROM banded a JOIN banded b ON a.slot = b.slot " +
-        "AND a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id), " +
-        "fm AS (SELECT doc_a, doc_b, count(*) AS n_matched FROM cand " +
-        "WHERE bit_count(xor(sa, sb)) <= 6 GROUP BY 1, 2), " +
-        "ns AS (SELECT doc_id, count(*) AS n FROM dsig GROUP BY 1) " +
-        "SELECT doc_a, doc_b, CAST(n_matched AS BIGINT) AS n_matched, " +
-        "CAST(greatest(na.n, nb.n) AS BIGINT) AS n_slots, " +
-        "CAST(n_matched AS DOUBLE) / greatest(na.n, nb.n) AS match_frac " +
-        "FROM fm JOIN ns na ON fm.doc_a = na.doc_id " +
-        "JOIN ns nb ON fm.doc_b = nb.doc_id " +
-        "WHERE CAST(n_matched AS DOUBLE) / greatest(na.n, nb.n) >= 0.75 " +
-        "ORDER BY doc_a, doc_b")))
+  // The training-data-pipeline registrations live in graft.queries
+  // modules (round-14 decomposition); concatenation preserves the
+  // registry contract.
+  private val pipelineQueries: Seq[Q] =
+    graft.queries.TextQueries.queries ++ graft.queries.SimQueries.queries ++
+      graft.queries.DedupQueries.queries ++ graft.queries.MiscQueries.queries
 
   // -------------------------------------------------------------------------
   // General relational capability: aggregation, joins (broadcast), window

@@ -1,0 +1,733 @@
+package graft.queries
+
+import graft.functions.{Bpe, Dedup, MinhashIndex, Multimodal, Similarity, Takedown, TextAnalysis, Unigram}
+import graft.oracles.PipelineOracles._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity / ANN query registrations (q_sim_*) — extracted verbatim from SparkEntry (round-14
+  * decomposition, VERDICT r13 item 8): SparkEntry concatenates these
+  * module lists, so the driver-contract maps are unchanged while no
+  * single file holds the whole registry. The conventions (identical
+  * aliases both sides, total ORDER BY, DOUBLE at the money boundary)
+  * are documented on [[graft.SparkEntry]].
+  */
+private[graft] object SimQueries {
+
+  private[graft] val queries: Seq[Q] = Seq(
+
+    Q("q_sim_topk_brute",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"WITH $normEmbCte, " +
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id % 100 = 0), " +
+        "sc AS (SELECT query_id, c.vec_id AS neighbor_id, " +
+        s"${dotSql("qv", "c.v")} AS score " +
+        "FROM nv c, q WHERE c.vec_id <> q.query_id), " +
+        topKSql("sc", 10))),
+
+
+    // Metadata-FILTERED retrieval: each query's neighbors restricted to its
+    // own `label` category — the attribute equality turns brute force's
+    // broadcast fan-out into a hash equi-join on the attribute (per-query
+    // candidates = one category's partition, pruned at the scan).
+    Q("q_sim_topk_filtered",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.attributeFilteredTopK(emb,
+            emb.filter(col("vec_id") % 100 === 0), k = 10, attrCol = "label")
+          .orderBy("query_id", "rank")
+      },
+      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+        "label FROM embeddings), " +
+        "n AS (SELECT vec_id, v, label, sqrt(" +
+        foldSumSql("[x * x FOR x IN v]") + ") AS nrm FROM e), " +
+        "nv AS (SELECT vec_id, [x / nrm FOR x IN v] AS v, label FROM n " +
+        "WHERE nrm > 0), " +
+        "q AS (SELECT vec_id AS query_id, v AS qv, label FROM nv " +
+        "WHERE vec_id % 100 = 0), " +
+        "sc AS (SELECT query_id, c.vec_id AS neighbor_id, " +
+        s"${dotSql("qv", "c.v")} AS score FROM nv c " +
+        "JOIN q ON c.label = q.label AND c.vec_id <> q.query_id), " +
+        topKSql("sc", 10))),
+
+
+    // Scalar (int8) quantization: per-dim min/max trained by one exact
+    // selection aggregate (no k-means), queries scored against the
+    // dequantized codes — the 4×-compression / low-distortion point on
+    // the quantization curve (PQ holds the 32× end). The oracle replays
+    // train, encode, decode, and the dim-ordered score fold.
+    Q("q_sim_topk_sq8",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.sqTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(sq8Oracle)),
+
+
+    // The persisted SQ access path under the same hash gate: build the
+    // params+codes tables, answer FROM them, compare against the identical
+    // from-scratch oracle — write→read fidelity (every retrieval stack now
+    // has a gated persisted path: BM25, IVF, PQ, MinHash, bigram LM, SQ8).
+    Q("q_sim_topk_sq8_indexed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val name = "graft_sq_idx_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Similarity.writeSqIndex(emb, name)
+        try Similarity.sqSearchIndexed(s, name,
+            emb.filter(col("vec_id") % 100 === 0), k = 10)
+          .orderBy("query_id", "rank").localCheckpoint(true)
+        finally Similarity.dropSqIndex(s, name)
+      },
+      Some(sq8Oracle)),
+
+
+    // Two-stage retrieval: SQ8 shortlist (the memory-bound codes scan) →
+    // EXACT rescoring of |queries|×40 raw vectors (FAISS IndexRefineFlat
+    // semantics). Compression error then only affects shortlist
+    // membership, never final order — the oracle replays both stages.
+    Q("q_sim_topk_sq8_refined",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.sqRefinedTopK(emb,
+            emb.filter(col("vec_id") % 100 === 0), k = 10, shortlist = 40)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"WITH $sq8ScoredCtes, ${shortlistCte("sc", 40, "sl")}, " +
+        refineTailSql("sl", 10))),
+
+
+    // FULLY-PERSISTED two-stage retrieval: ADC shortlist from the stored
+    // SQ codes, exact rescore from the stored vec_id-BUCKETED raw-vector
+    // table via a shortlist-id IN filter (bucket-pruned point reads —
+    // the refine family's deployment shape). Same oracle as the
+    // from-scratch refined query = write→read fidelity for BOTH tables.
+    Q("q_sim_topk_sq8_refined_indexed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+        val sqName = "graft_sqr_idx_" + tag
+        val vecName = "graft_vec_idx_" + tag
+        Similarity.writeSqIndex(emb, sqName)
+        Similarity.writeVecTable(emb, vecName)
+        try Similarity.sqRefinedSearchIndexed(s, sqName, vecName,
+            emb.filter(col("vec_id") % 100 === 0), k = 10, shortlist = 40)
+          .orderBy("query_id", "rank").localCheckpoint(true)
+        finally {
+          Similarity.dropSqIndex(s, sqName)
+          Similarity.dropVecTable(s, vecName)
+        }
+      },
+      Some(s"WITH $sq8ScoredCtes, ${shortlistCte("sc", 40, "sl")}, " +
+        refineTailSql("sl", 10))),
+
+
+    // Matryoshka (prefix-dimension) retrieval: coarse scores over the
+    // FIRST 16 of 64 dims (a slice projection — no training pass at all),
+    // exact full-dim refine on the 40-deep shortlist.
+    Q("q_sim_topk_mrl",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.mrlRefinedTopK(emb,
+            emb.filter(col("vec_id") % 100 === 0), k = 10,
+            prefixDims = 16, shortlist = 40)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"WITH $normEmbCte, " +
+        "q0 AS (SELECT vec_id AS query_id, v AS qv FROM nv " +
+        "WHERE vec_id % 100 = 0), " +
+        "scp AS (SELECT query_id, c.vec_id AS neighbor_id, " +
+        s"${foldSumSql("[q0.qv[i] * c.v[i] FOR i IN range(1, 17)]")} " +
+        "AS score FROM nv c, q0 WHERE c.vec_id <> q0.query_id), " +
+        s"${shortlistCte("scp", 40, "sl")}, " + refineTailSql("sl", 10))),
+
+
+    // RETRIEVAL EVAL — MRR + precision@10 of the brute-force stack under
+    // label relevance (neighbor relevant ⟺ shares the anchor's label):
+    // the per-query eval report beside the recall certificates. Exact
+    // counts, exact-rational MRR; deliberately no ln-based NDCG in the
+    // hash-gated surface (libm ln drifts between engines).
+    Q("q_sim_eval_mrr",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") % 100 === 0)
+        Similarity.retrievalEval(
+            Similarity.bruteForceTopK(emb, qs, k = 10), emb, k = 10)
+          .orderBy("query_id")
+      },
+      Some(s"WITH $normEmbCte, " +
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM nv " +
+        "WHERE vec_id % 100 = 0), " +
+        "sc AS (SELECT query_id, c.vec_id AS neighbor_id, " +
+        s"${dotSql("qv", "c.v")} AS score " +
+        "FROM nv c, q WHERE c.vec_id <> q.query_id), " +
+        "rr AS (SELECT query_id, neighbor_id, " +
+        "row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY score DESC, neighbor_id) AS rank FROM sc), " +
+        "res AS (SELECT * FROM rr WHERE rank <= 10), " +
+        "lb AS (SELECT vec_id, label FROM embeddings), " +
+        "j AS (SELECT res.query_id, res.rank, " +
+        "(ql.label IS NOT NULL AND ql.label = nb.label) AS rel FROM res " +
+        "LEFT JOIN lb ql ON ql.vec_id = res.query_id " +
+        "LEFT JOIN lb nb ON nb.vec_id = res.neighbor_id), " +
+        "g AS (SELECT query_id, count(*) AS n_retrieved, " +
+        "sum(CASE WHEN rel THEN 1 ELSE 0 END) AS n_rel, " +
+        "min(CASE WHEN rel THEN rank END) AS fr FROM j GROUP BY query_id) " +
+        "SELECT query_id, CAST(n_retrieved AS BIGINT) AS n_retrieved, " +
+        "CAST(n_rel AS BIGINT) AS n_relevant, " +
+        "CAST(n_rel AS DOUBLE) / CAST(10 AS DOUBLE) AS precision_at_k, " +
+        "COALESCE(CAST(1 AS DOUBLE) / CAST(fr AS DOUBLE), " +
+        "CAST(0 AS DOUBLE)) AS mrr FROM g ORDER BY query_id")),
+
+
+    // HARD-NEGATIVE MINING — contrastive training data: per labeled
+    // anchor, the k nearest vectors with a DIFFERENT label (the
+    // confusable negatives). The label inequality keeps it a broadcast
+    // scoring join (q_sim_topk_brute class); NULL-label rows drop out on
+    // both sides.
+    Q("q_sim_hard_negatives",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.hardNegatives(emb,
+            emb.filter(col("vec_id") % 100 === 0), k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+        "label FROM embeddings), " +
+        "n AS (SELECT vec_id, v, label, sqrt(" +
+        foldSumSql("[x * x FOR x IN v]") + ") AS nrm FROM e), " +
+        "nv AS (SELECT vec_id, [x / nrm FOR x IN v] AS v, label FROM n " +
+        "WHERE nrm > 0), " +
+        "q AS (SELECT vec_id AS query_id, v AS qv, label FROM nv " +
+        "WHERE vec_id % 100 = 0 AND label IS NOT NULL), " +
+        "sc AS (SELECT query_id, c.vec_id AS neighbor_id, " +
+        s"${dotSql("qv", "c.v")} AS score FROM nv c " +
+        "JOIN q ON c.label <> q.label), " +
+        topKSql("sc", 10))),
+
+
+    // CONTRASTIVE TRIPLETS — the complete training-row factory (the
+    // query above mines only the negative half): per labeled anchor, the
+    // nearest same-label vector crossed with the 4 nearest
+    // different-label vectors, one (anchor, positive, negative) row per
+    // combination with the pos−neg margin. One corpus stream scores both
+    // arms; one (query, same-flag)-keyed window ranks them; the cross is
+    // |anchors|·1·4 bounded rows.
+    Q("q_sim_triplets",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.contrastiveTriplets(emb,
+            emb.filter(col("vec_id") % 100 === 0),
+            positives = 1, negatives = 4)
+          .orderBy("query_id", "pos_rank", "neg_rank")
+      },
+      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+        "label FROM embeddings), " +
+        "n AS (SELECT vec_id, v, label, sqrt(" +
+        foldSumSql("[x * x FOR x IN v]") + ") AS nrm FROM e), " +
+        "nv AS (SELECT vec_id, [x / nrm FOR x IN v] AS v, label FROM n " +
+        "WHERE nrm > 0), " +
+        "q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel " +
+        "FROM nv WHERE vec_id % 100 = 0 AND label IS NOT NULL), " +
+        "sc AS (SELECT query_id, (c.label = qlabel) AS same, " +
+        "c.vec_id AS neighbor_id, " +
+        s"${dotSql("qv", "c.v")} AS score FROM nv c " +
+        "JOIN q ON c.vec_id <> q.query_id WHERE c.label IS NOT NULL), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id, same " +
+        "ORDER BY score DESC, neighbor_id) AS rank FROM sc), " +
+        "p AS (SELECT query_id, neighbor_id AS positive_id, " +
+        "CAST(rank AS INT) AS pos_rank, score AS pos_score FROM r " +
+        "WHERE same AND rank <= 1), " +
+        "g AS (SELECT query_id, neighbor_id AS negative_id, " +
+        "CAST(rank AS INT) AS neg_rank, score AS neg_score FROM r " +
+        "WHERE NOT same AND rank <= 4) " +
+        "SELECT p.query_id, positive_id, pos_rank, pos_score, " +
+        "negative_id, neg_rank, neg_score, " +
+        "pos_score - neg_score AS margin " +
+        "FROM p JOIN g USING (query_id) " +
+        "ORDER BY query_id, pos_rank, neg_rank")),
+
+
+    // IVF multi-probe: 8 leading sign bits as the coarse quantizer, probes
+    // = {bucket, bucket^1, bucket^2}, per-bucket scoring, exact top-k.
+    Q("q_sim_topk_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"WITH $normEmbCte, " +
+        "c AS (SELECT vec_id, v, CAST(list_sum([CASE WHEN v[j + 1] >= 0 " +
+        "THEN CAST(power(2, j) AS BIGINT) ELSE 0 END FOR j IN range(0, 8)]) " +
+        "AS BIGINT) AS bucket FROM nv), " +
+        "q0 AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket " +
+        "FROM c WHERE vec_id % 100 = 0), " +
+        "q AS (SELECT query_id, qv, xor(qbucket, m) AS bucket " +
+        "FROM q0, (SELECT unnest([0, 1, 2]) AS m) mm), " +
+        "sc AS (SELECT query_id, c.vec_id AS neighbor_id, " +
+        s"${dotSql("qv", "c.v")} AS score " +
+        "FROM c JOIN q USING (bucket) WHERE c.vec_id <> q.query_id), " +
+        topKSql("sc", 10))),
+
+
+    // IVF with the TRAINED coarse quantizer (spherical k-means on a
+    // 256-vector id-mix sample, 2 Lloyd rounds, 8 centroids, 4 probes —
+    // the default probe count tuned against the recall@10 ≥ 0.8 floor;
+    // the sample permutation is the shared sampleHashSql). The oracle
+    // replays the ENTIRE fit — init, tie-broken assignment, fold-ordered
+    // means, renormalization — so a single drifted double anywhere in
+    // training would flip an assignment and fail the hash.
+    Q("q_sim_topk_ivf_trained",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTrainedTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfTrainedOracle(dim = 64, sampleSize = 256, centroids = 8,
+        iters = 2, nprobe = 4, topk = 10))),
+
+
+    // The PERSISTED-index graph build: same edges as q_sim_knn_graph
+    // (same oracle — write→read fidelity), but both sides of the cell
+    // join READ the bucketed assignments table and the fit was paid at
+    // writeAnnIndex time. The artifact search, SemDeDup, and the graph
+    // build now share. Unique name + eager materialization + finally-drop.
+    Q("q_sim_knn_graph_indexed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val name = "graft_knn_idx_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Similarity.writeAnnIndex(emb, name, centroids = 8,
+          sampleSize = 256, iters = 2)
+        try Similarity.knnGraphIndexed(s, name, k = 5, nprobe = 2)
+          .orderBy("query_id", "rank").localCheckpoint(true)
+        finally Similarity.dropAnnIndex(s, name)
+      },
+      Some(ivfTrainedScoredCtes(dim = 64, sampleSize = 256, centroids = 8,
+        iters = 2, nprobe = 2, queryWhere = "") + ", " + topKSql("sc", 5))),
+
+
+    // k-NN GRAPH over the whole corpus: every vector's 5 nearest under
+    // the trained quantizer's probe pruning — the artifact semantic
+    // dedup, graph clustering, and hard-negative mining consume. NO
+    // driver-side query collect: the corpus is both sides, probe
+    // selection is a scan-side ranking of the literal centroid table
+    // (score desc, cid asc — the training tie rule), and the oracle is
+    // the trained-IVF replay with the query CTE widened to ALL vectors.
+    Q("q_sim_knn_graph",
+      (s, d) => Similarity.knnGraph(Tables.embeddings(s, d), k = 5,
+          nprobe = 2)
+        .orderBy("query_id", "rank"),
+      Some(ivfTrainedScoredCtes(dim = 64, sampleSize = 256, centroids = 8,
+        iters = 2, nprobe = 2, queryWhere = "") + ", " + topKSql("sc", 5))),
+
+
+    // The PERSISTED trained-IVF index: same fit, same oracle, but the
+    // corpus assignment is paid once at writeAnnIndex time and the search
+    // reads only the probed cells' buckets — the interactive ANN access
+    // path at 100 TB. Unique table name per invocation + eager
+    // materialization + finally-drop: the q_text_bm25_indexed pattern
+    // (concurrent bench/verify processes share the warehouse).
+    Q("q_sim_topk_ivf_indexed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val name = "graft_ann_idx_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Similarity.writeAnnIndex(emb, name, centroids = 8,
+          sampleSize = 256, iters = 2)
+        try Similarity.annSearchIndexed(s, name,
+          emb.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 4)
+          .orderBy("query_id", "rank").localCheckpoint(true)
+        finally Similarity.dropAnnIndex(s, name)
+      },
+      Some(ivfTrainedOracle(dim = 64, sampleSize = 256, centroids = 8,
+        iters = 2, nprobe = 4, topk = 10))),
+
+
+    // INCREMENTAL ANN index maintenance: build the index on the first 300
+    // vectors, UPSERT the rest as an ingest batch — assigned against the
+    // persisted centroids, appended under the table's bucket spec,
+    // O(batch) not O(corpus) — then search the grown index. The quantizer
+    // is FROZEN at build time (the standard IVF maintenance trade), so the
+    // oracle replays exactly that contract: the k-means fit samples ONLY
+    // the initial slice (sampleWhere) while assignment and scoring cover
+    // initial ∪ batch. The hash gate therefore proves the full upsert
+    // semantics — frozen-quantizer assignment of the batch + pruned search
+    // over the grown index. (Upsert ≡ one full rebuild additionally holds
+    // whenever the union's training sample is contained in the initial
+    // corpus — BucketedSpec pins that equivalence on a fixture built to
+    // satisfy the containment.)
+    Q("q_sim_topk_ivf_upsert",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val name = "graft_ann_ups_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Similarity.writeAnnIndex(emb.filter(col("vec_id") < 300), name,
+          centroids = 8, sampleSize = 256, iters = 2)
+        try {
+          Similarity.upsertAnnIndex(s, name, emb.filter(col("vec_id") >= 300))
+          Similarity.annSearchIndexed(s, name,
+            emb.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 4)
+            .orderBy("query_id", "rank").localCheckpoint(true)
+        } finally Similarity.dropAnnIndex(s, name)
+      },
+      Some(ivfTrainedOracle(dim = 64, sampleSize = 256, centroids = 8,
+        iters = 2, nprobe = 4, topk = 10,
+        sampleWhere = "WHERE vec_id < 300"))),
+
+
+    // TARGETED DELETION from the ANN index — the upsert gate's MIRROR,
+    // exercising BOTH deletion halves through one hash: exact clones of
+    // every query vector are upserted (each would answer at cosine 1.0,
+    // rank 1), tombstoned via deleteFromAnnIndex, then COMPACTED (the
+    // staged bucket-spec rewrite physically purges them), and the search
+    // over the rewritten table must answer exactly the frozen-quantizer
+    // oracle over the original corpus.
+    Q("q_sim_topk_ivf_deleted",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") % 100 === 0)
+        val name = "graft_ann_del_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Similarity.writeAnnIndex(emb, name, centroids = 8,
+          sampleSize = 256, iters = 2)
+        val cloneIds = qs.select("vec_id").collect()
+          .map(_.getLong(0) + 10000000L).toSeq
+        try {
+          Similarity.upsertAnnIndex(s, name,
+            qs.select((col("vec_id") + 10000000L).as("vec_id"),
+              col("embedding")))
+          Similarity.deleteFromAnnIndex(s, name, cloneIds)
+          Similarity.compactAnnIndex(s, name)
+          Similarity.annSearchIndexed(s, name, qs, k = 10, nprobe = 4)
+            .orderBy("query_id", "rank").localCheckpoint(true)
+        } finally Similarity.dropAnnIndex(s, name)
+      },
+      Some(ivfTrainedOracle(dim = 64, sampleSize = 256, centroids = 8,
+        iters = 2, nprobe = 4, topk = 10))),
+
+
+    // RECALL@10 of the trained-IVF path against brute force — the
+    // evaluation operator that turns an ANN configuration claim into a
+    // measured, oracle-certified number per query (and lets a deployment
+    // tune nprobe/centroids against real recall instead of folklore). The
+    // oracle replays BOTH retrieval stacks and the intersection count.
+    Q("q_sim_recall_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") % 100 === 0)
+        Similarity.recallAtK(
+          Similarity.ivfTrainedTopK(emb, qs, k = 10),
+          Similarity.bruteForceTopK(emb, qs, k = 10), k = 10)
+          .orderBy("query_id")
+      },
+      Some(ivfRecallOracle(dim = 64, sampleSize = 256, centroids = 8,
+        iters = 2, nprobe = 4, topk = 10))),
+
+
+    // RECALL@10 of the plain-PQ ADC stack — quantization loss as a
+    // measured number (what m/ksub buy or cost), same oracle-certified
+    // evaluation shape as q_sim_recall_ivf. Runs at the recall-tuned
+    // default config (m=16/ksub=32, 16× compression) — the max-compression
+    // point (m=8/ksub=16) is pinned by the q_sim_topk_pq* family.
+    Q("q_sim_recall_pq",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") % 100 === 0)
+        Similarity.recallAtK(
+          Similarity.pqTopK(emb, qs, k = 10, m = 16, ksub = 32,
+            sampleSize = 256, iters = 2),
+          Similarity.bruteForceTopK(emb, qs, k = 10), k = 10)
+          .orderBy("query_id")
+      },
+      Some(pqRecallOracle(dim = 64, m = 16, ksub = 32, sampleSize = 256,
+        iters = 2, topk = 10))),
+
+
+    // RECALL@10 of the composed IVF+PQ stack — the production ANN shape's
+    // end-to-end accuracy (cell-pruning misses + quantization loss
+    // together), the number a deployment tunes nprobe/m/ksub against.
+    Q("q_sim_recall_ivfpq",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") % 100 === 0)
+        Similarity.recallAtK(
+          Similarity.ivfPqTopK(emb, qs, k = 10, centroids = 8, nprobe = 4,
+            m = 16, ksub = 32, sampleSize = 256, iters = 2),
+          Similarity.bruteForceTopK(emb, qs, k = 10), k = 10)
+          .orderBy("query_id")
+      },
+      Some(ivfPqRecallOracle(dim = 64, sampleSize = 256, centroids = 8,
+        m = 16, ksub = 32, iters = 2, nprobe = 4, topk = 10))),
+
+
+    // RECALL@10 of the TRUE-IVFADC stack (residual encoding) at the SAME
+    // bits as q_sim_recall_ivfpq — the residual-vs-raw recall gain as two
+    // oracle-certified numbers side by side (BucketedSpec asserts the
+    // ordering; this query certifies the values).
+    Q("q_sim_recall_ivfpq_res",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") % 100 === 0)
+        Similarity.recallAtK(
+          Similarity.ivfPqResidualTopK(emb, qs, k = 10, centroids = 8,
+            nprobe = 4, m = 16, ksub = 32, sampleSize = 256, iters = 2),
+          Similarity.bruteForceTopK(emb, qs, k = 10), k = 10)
+          .orderBy("query_id")
+      },
+      Some(ivfPqResRecallOracle(dim = 64, sampleSize = 256, centroids = 8,
+        m = 16, ksub = 32, iters = 2, nprobe = 4, topk = 10))),
+
+
+    // The PERSISTED ground-truth variants of the three heaviest recall
+    // rows: brute-force exact top-10 of the pinned eval set is a build
+    // artifact (writeGroundTruth, query_id-bucketed), and every
+    // quantizer-configuration evaluation re-READS it instead of
+    // re-scanning the corpus per run — the index discipline applied to
+    // evaluation. SAME oracles as the one-shot twins: hash equality
+    // certifies write→read fidelity of the truth table end-to-end
+    // through the recall arithmetic. Unique name + eager
+    // materialization + finally-drop (the q_text_bm25_indexed pattern).
+    Q("q_sim_recall_pq_indexed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") % 100 === 0)
+        val name = "graft_gt_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Similarity.writeGroundTruth(emb, qs, k = 10, name)
+        try Similarity.recallAtKIndexed(s, name,
+            Similarity.pqTopK(emb, qs, k = 10, m = 16, ksub = 32,
+              sampleSize = 256, iters = 2), k = 10)
+          .orderBy("query_id").localCheckpoint(true)
+        finally Similarity.dropGroundTruth(s, name)
+      },
+      Some(pqRecallOracle(dim = 64, m = 16, ksub = 32, sampleSize = 256,
+        iters = 2, topk = 10))),
+
+
+    Q("q_sim_recall_ivfpq_indexed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") % 100 === 0)
+        val name = "graft_gt_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Similarity.writeGroundTruth(emb, qs, k = 10, name)
+        try Similarity.recallAtKIndexed(s, name,
+            Similarity.ivfPqTopK(emb, qs, k = 10, centroids = 8, nprobe = 4,
+              m = 16, ksub = 32, sampleSize = 256, iters = 2), k = 10)
+          .orderBy("query_id").localCheckpoint(true)
+        finally Similarity.dropGroundTruth(s, name)
+      },
+      Some(ivfPqRecallOracle(dim = 64, sampleSize = 256, centroids = 8,
+        m = 16, ksub = 32, iters = 2, nprobe = 4, topk = 10))),
+
+
+    Q("q_sim_recall_ivfpq_res_indexed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") % 100 === 0)
+        val name = "graft_gt_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Similarity.writeGroundTruth(emb, qs, k = 10, name)
+        try Similarity.recallAtKIndexed(s, name,
+            Similarity.ivfPqResidualTopK(emb, qs, k = 10, centroids = 8,
+              nprobe = 4, m = 16, ksub = 32, sampleSize = 256, iters = 2),
+            k = 10)
+          .orderBy("query_id").localCheckpoint(true)
+        finally Similarity.dropGroundTruth(s, name)
+      },
+      Some(ivfPqResRecallOracle(dim = 64, sampleSize = 256, centroids = 8,
+        m = 16, ksub = 32, iters = 2, nprobe = 4, topk = 10))),
+
+
+    // PRODUCT QUANTIZATION top-k: 64-dim floats → 8 sub-codes (32× memory
+    // cut), search = code scan + per-query lookup tables (ADC). The
+    // memory-bound regime's ANN at 100 TB — the codes table fits where
+    // the raw vectors don't. Oracle replays all 8 per-subspace k-means
+    // fits, the corpus encode, and the LUT-equivalent sub-dot sums.
+    Q("q_sim_topk_pq",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+          k = 10, m = 8, ksub = 16, sampleSize = 256, iters = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some(pqOracle(dim = 64, m = 8, ksub = 16, sampleSize = 256,
+        iters = 2, topk = 10))),
+
+
+    // The PERSISTED PQ index: same fit, same oracle, but train+encode are
+    // paid at writePqIndex time and the search scans only the ~30×-smaller
+    // codes table — the interactive ADC access path (the ivf_indexed /
+    // bm25_indexed pattern: unique name per invocation, finally-drop).
+    Q("q_sim_topk_pq_indexed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val name = "graft_pq_idx_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Similarity.writePqIndex(emb, name, m = 8, ksub = 16,
+          sampleSize = 256, iters = 2)
+        try Similarity.pqSearchIndexed(s, name,
+          emb.filter(col("vec_id") % 100 === 0), k = 10)
+          .orderBy("query_id", "rank").localCheckpoint(true)
+        finally Similarity.dropPqIndex(s, name)
+      },
+      Some(pqOracle(dim = 64, m = 8, ksub = 16, sampleSize = 256,
+        iters = 2, topk = 10))),
+
+
+    // IVF + PQ composed: coarse cells prune the scan to nprobe/centroids
+    // of the corpus, PQ codes + lookup tables score what remains — the
+    // production ANN shape (IO fraction and per-row arithmetic both drop).
+    // The oracle composes both fit chains verbatim and scores only the
+    // probed cells' codes.
+    Q("q_sim_topk_ivfpq",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+          k = 10, centroids = 8, nprobe = 4, m = 8, ksub = 16,
+          sampleSize = 256, iters = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfPqOracle(dim = 64, sampleSize = 256, centroids = 8,
+        m = 8, ksub = 16, iters = 2, nprobe = 4, topk = 10))),
+
+
+    // TRUE IVFADC (Jégou et al. 2011): same cell pruning + code budget as
+    // q_sim_topk_ivfpq, but codes quantize the residual to the assigned
+    // coarse centroid and the score adds the per-(query, cell) base term
+    // dot(q, c) before ranking. The oracle replays the residual fit/encode
+    // over the residual relations verbatim and the base-plus-fold score.
+    Q("q_sim_topk_ivfpq_res",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfPqResidualTopK(emb,
+          emb.filter(col("vec_id") % 100 === 0),
+          k = 10, centroids = 8, nprobe = 4, m = 8, ksub = 16,
+          sampleSize = 256, iters = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfPqResOracle(dim = 64, sampleSize = 256, centroids = 8,
+        m = 8, ksub = 16, iters = 2, nprobe = 4, topk = 10))),
+
+
+    // IVFADC + REFINE — the full production retrieval stack: cell pruning
+    // bounds candidates, residual-PQ ADC scores codes, and only the
+    // 40-deep shortlist touches raw vectors for the EXACT final order
+    // (refine is what ADC distortion needs; IVF-Flat's exact candidate
+    // scores would gain nothing). Max-compression m=8/ksub=16 — the
+    // config where refine matters most.
+    Q("q_sim_topk_ivfadc_refined",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfAdcRefinedTopK(emb,
+            emb.filter(col("vec_id") % 100 === 0),
+            k = 10, shortlist = 40, centroids = 8, nprobe = 4,
+            m = 8, ksub = 16, sampleSize = 256, iters = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfPqResScoredCtes(dim = 64, sampleSize = 256, centroids = 8,
+        m = 8, ksub = 16, iters = 2, nprobe = 4) + ", " +
+        s"${shortlistCte("sc", 40, "sl")}, " + refineTailSql("sl", 10))),
+
+
+    // The PERSISTED IVFADC index: same fit, same oracle — train+encode
+    // paid at writeIvfPqResIndex time, search reads only the probed
+    // cells' buckets of the m-int codes table (bucket pruning × ADC, the
+    // production ANN access shape). Hash equality against the one-shot
+    // oracle certifies write→read fidelity.
+    Q("q_sim_topk_ivfpq_res_indexed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val name = "graft_ivfadc_idx_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Similarity.writeIvfPqResIndex(emb, name, centroids = 8, m = 8,
+          ksub = 16, sampleSize = 256, iters = 2)
+        try Similarity.ivfPqResSearchIndexed(s, name,
+          emb.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 4)
+          .orderBy("query_id", "rank").localCheckpoint(true)
+        finally Similarity.dropIvfPqResIndex(s, name)
+      },
+      Some(ivfPqResOracle(dim = 64, sampleSize = 256, centroids = 8,
+        m = 8, ksub = 16, iters = 2, nprobe = 4, topk = 10))),
+
+
+    // IVF cell-balance report: per trained cell, member count / id range /
+    // corpus share — probe cost IS share summed over probed cells, so a
+    // skewed fit silently inflates every search; this query makes that
+    // drift a number (the re-fit cadence signal). The oracle replays the
+    // fit + assignment and the integer-exact share division.
+    Q("q_sim_cell_stats",
+      (s, d) => Similarity.cellStats(Tables.embeddings(s, d),
+          centroids = 8, sampleSize = 256, iters = 2)
+        .orderBy("cluster"),
+      Some(ivfFitCte(dim = 64, sampleSize = 256, centroids = 8, iters = 2) +
+        " SELECT CAST(bucket AS INT) AS cluster, " +
+        "CAST(count(*) AS BIGINT) AS n_members, " +
+        "min(vec_id) AS min_vec, max(vec_id) AS max_vec, " +
+        "CAST(count(*) AS DOUBLE) / CAST((SELECT count(*) FROM cass) AS DOUBLE) " +
+        "AS share " +
+        "FROM cass GROUP BY bucket ORDER BY cluster")),
+
+
+    // Two-stage HYBRID retrieval: BM25 top-50 lexical candidates (stage 1,
+    // corpus-wide but term-df-bounded) reranked by embedding cosine to a
+    // query vector (stage 2, touches 50 rows). The candidate set and the
+    // 1-row query vector broadcast; the corpus streams once per stage.
+    // Both stages' scores surface (bm25_rank + cosine + final rank), and
+    // the oracle replays the full two-stage stack — the rational-idf BM25
+    // chain feeding the fold-left cosine — in one composed query.
+    Q("q_sim_hybrid_rerank",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cands = TextAnalysis.bm25Search(Tables.documents(s, d), Bm25Terms, k = 50)
+        Similarity.rerankCandidates(cands, emb,
+          emb.filter(col("vec_id") === 0), k = 10)
+          .orderBy("rank")
+      },
+      Some(s"WITH ${bm25Ctes(Bm25Terms, 1.2, 0.75)}, " +
+        "cand AS (SELECT doc_id, CAST(rank AS INT) AS bm25_rank FROM r " +
+        "WHERE rank <= 50), " +
+        s"$normEmbCte, " +
+        "qn AS (SELECT v AS qv FROM nv WHERE vec_id = 0), " +
+        "sc AS (SELECT cand.doc_id, bm25_rank, " +
+        dotSql("qv", "nv.v") + " AS cosine " +
+        "FROM cand JOIN nv ON nv.vec_id = cand.doc_id CROSS JOIN qn), " +
+        "rr AS (SELECT *, row_number() OVER (ORDER BY cosine DESC, doc_id) " +
+        "AS rank FROM sc) " +
+        "SELECT doc_id, bm25_rank, cosine, CAST(rank AS INT) AS rank " +
+        "FROM rr WHERE rank <= 10 ORDER BY rank")),
+
+
+    // Semantic contamination screen: every non-benchmark vector's max
+    // cosine against the 10-vector "benchmark" slice (vec_id % 50 = 0) —
+    // the paraphrase-leak check the trigram screen can't do. Benchmark
+    // broadcasts; the corpus never shuffles (scan-side partial max).
+    Q("q_sim_contamination",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Dedup.semanticContamination(
+          emb.filter(col("vec_id") % 50 =!= 0),
+          emb.filter(col("vec_id") % 50 === 0),
+          threshold = 0.35)
+          .orderBy("vec_id")
+      },
+      Some(s"WITH $normEmbCte, " +
+        "b AS (SELECT vec_id AS bench_id, v AS bv FROM nv WHERE vec_id % 50 = 0), " +
+        "c AS (SELECT vec_id, v FROM nv WHERE vec_id % 50 <> 0), " +
+        "m AS (SELECT c.vec_id, max(" + dotSql("c.v", "b.bv") + ") AS max_bench_sim " +
+        "FROM c CROSS JOIN b GROUP BY c.vec_id) " +
+        // COALESCE mirrors the operator's documented empty/all-zero-norm-
+        // benchmark contract (max_bench_sim NULL → contaminated FALSE) even
+        // though the gated corpus never exercises it
+        "SELECT vec_id, max_bench_sim, " +
+        "COALESCE(max_bench_sim >= 0.35, false) AS contaminated " +
+        "FROM m ORDER BY vec_id"))
+  )
+}

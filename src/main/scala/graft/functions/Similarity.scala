@@ -1111,8 +1111,9 @@ object Similarity {
     val cents = trainCentroids(c, centroids, sampleSize, iters)
     val members = assignToCentroids(c, cents)
       .select(col("vec_id"), col("cluster").as("bucket"), col("v"))
-    val probed = c.select(col("vec_id").as("query_id"), col("v").as("qv"),
-      explode(probeCells(cents, nprobe)(col("v"))).as("bucket"))
+    val probed = withProbeCells(c, cents, nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(col("__probes")).as("bucket"))
     knnScore(probed, members, k)
   }
 
@@ -1135,32 +1136,57 @@ object Similarity {
     val live = graft.sources.Tables.minusDeletes(spark, name,
       spark.table(s"${name}_assignments"), "vec_id")
     val members = live.select(col("vec_id"), col("bucket"), col("v"))
-    val probed = live
+    val probed = withProbeCells(live, cents, nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        explode(probeCells(cents, nprobe)(col("v"))).as("bucket"))
+        explode(col("__probes")).as("bucket"))
     knnScore(probed, members, k)
   }
 
   /** Scan-side probe-cell selection shared by the one-shot and indexed
-    * graph builds: rank the literal centroid table per row with the
-    * training tie rule (score desc, cid asc) via an array comparator —
-    * no window, no shuffle — and keep the first nprobe cell ids. At
-    * [[twoLevelThreshold]]+ cells this routes through
-    * [[twoLevelProbes]] (same output contract, ~2·√cells dots per row).
+    * graph builds: attach `__probes` = the nprobe probe-cell ids of each
+    * row's `v`, ranked with the training tie rule (score desc, cid asc)
+    * — no window, no shuffle. Below [[twoLevelThreshold]] cells, one
+    * flat comparator rank over all cells; at and above it, the
+    * two-level form, DataFrame-LEVEL so the super ranking materializes
+    * ONCE per row: codegen's subexpression elimination excludes CaseWhen
+    * branches, so an expression-shaped variant re-evaluated the
+    * super-rank inside every branch CONDITION — S sorts + S·√cells dots
+    * per row — and measured +4 s on the x30 graph ladder (the __sid
+    * idiom of [[assignTwoLevel]], applied to probes).
     */
-  private def probeCells(cents: Array[Array[Double]], nprobe: Int)
-      (v: Column): Column =
-    if (cents.length >= twoLevelThreshold)
-      twoLevelProbes(superQuantizer(cents), cents, nprobe)(v)
-    else {
+  private def withProbeCells(df: DataFrame, cents: Array[Array[Double]],
+      nprobe: Int): DataFrame =
+    if (cents.length < twoLevelThreshold) {
       val ranked = array_sort(
-        zip_with(centroidScores(cents)(v),
+        zip_with(centroidScores(cents)(col("v")),
           sequence(lit(0), lit(cents.length - 1)),
           (s, i) => struct(s.as("s"), i.as("cid"))),
         (l, r) => when(l.getField("s") > r.getField("s"), -1)
           .when(l.getField("s") < r.getField("s"), 1)
           .otherwise(l.getField("cid") - r.getField("cid")).cast("int"))
-      slice(ranked, 1, nprobe).getField("cid")
+      df.withColumn("__probes", slice(ranked, 1, nprobe).getField("cid"))
+    } else {
+      val h = superQuantizer(cents)
+      val s = h.supers.length
+      val sizes = h.children.map(_.length).sorted
+      var cum = 0; var p = 0
+      while (p < sizes.length && cum < nprobe) { cum += sizes(p); p += 1 }
+      val probeSupers = math.min(s, p + 1)
+      val sRanked = sort_array(array(h.supers.indices.map { i =>
+        struct((-dot(col("v"),
+            array(h.supers(i).map(lit).toIndexedSeq: _*))).as("negs"),
+          lit(i).as("sid"))
+      }.toIndexedSeq: _*))
+      val branches = h.children.indices.map { i =>
+        when(array_contains(col("__picked"), lit(i)),
+          scoredChildren(cents, h.children(i))(col("v")))
+          .otherwise(emptyScored)
+      }
+      df.withColumn("__picked",
+          slice(sRanked, 1, probeSupers).getField("sid"))
+        .withColumn("__probes",
+          slice(sort_array(concat(branches: _*)), 1, nprobe).getField("cid"))
+        .drop("__picked")
     }
 
   /** The graph scoring tail shared by both builds: cell join, self-edge
@@ -1400,33 +1426,6 @@ object Similarity {
     */
   private def emptyScored: Column =
     slice(array(struct(lit(0.0).as("negs"), lit(0).as("cid"))), 1, 0)
-
-  /** Two-level probe selection: rank supers (score desc, sid asc), take
-    * enough supers that ANY such choice is guaranteed ≥ nprobe candidate
-    * cells (computed driver-side from the child-list sizes) plus one for
-    * recall margin, then rank only those supers' children and keep the
-    * nprobe best — the [[probeCells]] contract at ~2·√cells dots per
-    * row instead of `cells`, all inside whole-stage codegen.
-    */
-  private def twoLevelProbes(h: CoarseHierarchy,
-      cents: Array[Array[Double]], nprobe: Int)(v: Column): Column = {
-    val s = h.supers.length
-    val sizes = h.children.map(_.length).sorted
-    var cum = 0; var p = 0
-    while (p < sizes.length && cum < nprobe) { cum += sizes(p); p += 1 }
-    val probeSupers = math.min(s, p + 1)
-    val sRanked = sort_array(array(h.supers.indices.map { i =>
-      struct((-dot(v, array(h.supers(i).map(lit).toIndexedSeq: _*))).as("negs"),
-        lit(i).as("sid"))
-    }.toIndexedSeq: _*))
-    val picked = slice(sRanked, 1, probeSupers).getField("sid")
-    val branches = h.children.indices.map { i =>
-      when(array_contains(picked, lit(i)),
-        scoredChildren(cents, h.children(i))(v))
-        .otherwise(emptyScored)
-    }
-    slice(sort_array(concat(branches: _*)), 1, nprobe).getField("cid")
-  }
 
   /** Normalized corpus with each vector's best trained centroid as an int
     * `cluster` column (argmax dot, ties to the lowest cid — the training

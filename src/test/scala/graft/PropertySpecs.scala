@@ -195,6 +195,52 @@ object RollingHashProps extends Properties("RollingHashKernel") {
     }
 }
 
+/** Byte-level BPE invariants: the byte alphabet is a bijection on
+  * 0..255, and encode→decode is the IDENTITY for any valid-unicode word
+  * under ANY merge table over the alphabet — merges only concatenate
+  * existing symbols, so the symbol space is closed over alphabet chars
+  * and no byte is ever lost or reordered (the zero-OOV guarantee).
+  */
+object BpeBytesProps extends Properties("BpeByteLevel") {
+  import graft.functions.Bpe
+
+  // controls/whitespace (shifted symbols), ASCII, BMP, and astral chars
+  private val genCodePoint: Gen[Int] = Gen.frequency(
+    1 -> Gen.choose(0x00, 0x1F),
+    4 -> Gen.choose(0x20, 0x7E),
+    2 -> Gen.choose(0xA0, 0x2FFF),
+    1 -> Gen.choose(0x10000, 0x10FFFF))
+  private val genWord: Gen[String] =
+    Gen.nonEmptyListOf(genCodePoint)
+      .map(_.flatMap(Character.toChars(_)).mkString)
+  private val genSym: Gen[String] =
+    Gen.choose(1, 3).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf(Bpe.byteSymbols.toIndexedSeq)).map(_.mkString))
+  private val genMerges: Gen[Seq[Bpe.Merge]] =
+    Gen.listOf(Gen.zip(genSym, genSym)).map(_.zipWithIndex.map {
+      case ((l, r), i) => Bpe.Merge(i, l, r, 1L)
+    })
+
+  property("alphabet is a 256-symbol bijection of printable BMP chars") =
+    forAll(Gen.choose(0, 255)) { b =>
+      val s = Bpe.byteSymbols(b)
+      s.length == 1 && !s.charAt(0).isWhitespace &&
+        Bpe.charToByte(s.charAt(0)) == b.toByte
+    }
+
+  property("encode -> decode is the identity under any alphabet merge table") =
+    forAll(genWord, genMerges) { (w, ms) =>
+      Bpe.decodeBytes(Bpe.segmentWord(w, ms, byteLevel = true)) == w
+    }
+
+  property("segmentation conserves the exact UTF-8 byte count") =
+    forAll(genWord, genMerges) { (w, ms) =>
+      val syms = Bpe.segmentWord(w, ms, byteLevel = true)
+      val bytes = syms.map(_.replace(Bpe.EndMarker, "").length).sum
+      bytes == w.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    }
+}
+
 /** Unigram-LM trainer invariants: every output is a probability model
   * with full character coverage at or under the size target, and the
   * Viterbi kernel always yields a finite score that any explicit

@@ -14,6 +14,55 @@ class TakedownSpec extends SparkSpec {
   import spark.implicits._
   import graft.functions.{Dedup, Multimodal, Similarity, Takedown, TextAnalysis}
 
+  test("streaming takedown gate: stream ≡ batch, replayed trigger is a ledger no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val bm = s"tds_bm_$uid"
+    val docs = Seq(
+      (1L, "apple banana apple kiwi"),
+      (2L, "apple cherry plum plum"),
+      (3L, "banana banana banana mango")).toDF("doc_id", "text")
+    val clones = Seq(
+      (201L, "apple banana apple kiwi"),
+      (203L, "banana banana banana mango")).toDF("doc_id", "text")
+    TextAnalysis.writeSearchIndex(docs.unionByName(clones), bm, buckets = 2)
+    TextAnalysis.writeSearchIndex(docs, s"${bm}_ref", buckets = 2)
+    try {
+      val registry = Seq(Takedown.SearchIndex(bm))
+      val in = MemoryStream[(String, Long)]
+      val q = graft.streaming.TakedownStream.takedownGateSink(
+          in.toDF().toDF("batch_id", "doc_id"), registry)
+        .start()
+      try {
+        // two request batches arrive across two triggers
+        in.addData(("req-a", 201L))
+        q.processAllAvailable()
+        in.addData(("req-b", 203L), ("req-b", 999L)) // 999 foreign: no-op
+        q.processAllAvailable()
+        def rows(name: String) =
+          TextAnalysis.bm25SearchIndexed(spark, name, Seq("apple", "banana"), 5)
+            .collect().map(_.toSeq).toSeq
+        assert(rows(bm) == rows(s"${bm}_ref"),
+          "streamed takedowns must equal the rebuild-without ranking")
+        // a REPLAYED trigger (at-least-once delivery re-sends both
+        // batches) is a ledger no-op: reads unchanged, no new ledger rows
+        in.addData(("req-a", 201L), ("req-b", 203L), ("req-b", 999L))
+        q.processAllAvailable()
+        assert(rows(bm) == rows(s"${bm}_ref"))
+        val ledger = spark.table(s"${bm}_takedowns")
+          .select("batch_id").orderBy("batch_id")
+          .as[String].collect().toSeq
+        assert(ledger == Seq("req-a", "req-b"),
+          s"replay must not re-apply: $ledger")
+      } finally q.stop()
+    } finally {
+      TextAnalysis.dropSearchIndex(spark, bm)
+      TextAnalysis.dropSearchIndex(spark, s"${bm}_ref")
+      Takedown.dropLedger(spark, bm)
+    }
+  }
+
   test("deleteEverywhere: mixed registry end-to-end, idempotent retry, ledger") {
     val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val ann = s"td_ann_$uid"; val cl = s"td_cl_$uid"

@@ -116,6 +116,65 @@ object Takedown {
     }
   }
 
+  /** The amortized PHYSICAL purge across a registry: fold every
+    * tombstone-family artifact's `_deletes` into its tables (bytes leave
+    * disk here — the compliance end-state) on the compaction cadence,
+    * one call. ClusterTable and LmTable are no-ops by design: their
+    * deletes are exact in-place rewrites already (no tombstones to
+    * fold).
+    */
+  def compactEverywhere(spark: SparkSession,
+      registry: Seq[Artifact]): Unit =
+    registry.foreach {
+      case SearchIndex(n) => TextAnalysis.compactSearchIndex(spark, n)
+      case MinhashLsh(n) => MinhashIndex.compact(spark, n)
+      case AnnIndex(n) => Similarity.compactAnnIndex(spark, n)
+      case PhashTable(n) => Multimodal.compactPhashTable(spark, n)
+      case ClusterTable(_, _) | LmTable(_, _) => ()
+    }
+
+  /** COMPLIANCE AUDIT: per artifact, how many LIVE rows (post-tombstone
+    * reads — what any consumer can still see) reference the given ids.
+    * The number a takedown report quotes; every row must be 0 after
+    * [[deleteEverywhere]]. One pruned read per artifact, `ids` joined
+    * as a broadcast-scale frame.
+    */
+  def residualReferences(spark: SparkSession, ids: Seq[Long],
+      registry: Seq[Artifact]): Seq[(String, String, Long)] = {
+    require(ids.nonEmpty, "empty audit batch")
+    import spark.implicits._
+    val idsDf = ids.toDF("__id")
+    def residual(df: DataFrame, idCol: String): Long =
+      df.join(org.apache.spark.sql.functions.broadcast(idsDf),
+        col(idCol) === col("__id")).count()
+    registry.map { a =>
+      val n = a match {
+        case SearchIndex(nm) => residual(
+          graft.sources.Tables.minusDeletes(spark, nm,
+            spark.table(s"${nm}_postings"), "doc_id"), "doc_id")
+        case MinhashLsh(nm) => residual(
+          graft.sources.Tables.minusDeletes(spark, nm,
+            spark.table(s"${nm}_sets"), "doc_id"), "doc_id")
+        case AnnIndex(nm) => residual(
+          graft.sources.Tables.minusDeletes(spark, nm,
+            spark.table(s"${nm}_assignments"), "vec_id"), "vec_id")
+        case PhashTable(nm) => residual(
+          graft.sources.Tables.minusDeletes(spark, nm,
+            spark.table(nm), "doc_id"), "doc_id")
+        case ClusterTable(nm, _) =>
+          residual(spark.table(s"${nm}_clusters"), "doc_id")
+        case LmTable(nm, _) =>
+          // count-unlearning leaves no per-doc rows; the auditable residue
+          // is a doc-keyed artifact only if the caller persisted one —
+          // the LM's own tables are aggregate counts, so residual = 0 by
+          // construction once deleteFromLmTable ran (gated by the
+          // rebuild-minus-deleted hash equality, q_text_bigram_deleted)
+          val _ = nm; 0L
+      }
+      (a.tag, a.name, n)
+    }
+  }
+
   /** Drop an artifact's takedown ledger — pair with the family's own
     * `drop*` when retiring the artifact. */
   def dropLedger(spark: SparkSession, name: String): Unit =

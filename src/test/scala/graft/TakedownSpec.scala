@@ -125,6 +125,13 @@ class TakedownSpec extends SparkSpec {
           registry :+ Takedown.PhashTable(ph))
       }
 
+      // the audit can DETECT: before deletion every row-keyed artifact
+      // still references the clones (the LM is aggregate-count-keyed, 0
+      // by construction)
+      val pre = Takedown.residualReferences(spark, ids ++ annIds, registry)
+      assert(pre.filter(_._1 != "lm").forall(_._3 > 0L),
+        s"pre-delete audit must see the clones: $pre")
+
       val first = Takedown.deleteEverywhere(spark, "b1", ids ++ annIds, registry)
       assert(first.forall(_._3), s"first run must apply everywhere: $first")
 
@@ -184,6 +191,19 @@ class TakedownSpec extends SparkSpec {
         assert(rows.length == 1 && rows.head.head == "b1",
           s"ledger for $n: $rows")
       }
+
+      // compliance audit: zero LIVE rows reference the deleted ids
+      val audit = Takedown.residualReferences(spark, ids ++ annIds, registry)
+      assert(audit.forall(_._3 == 0L), s"residual references remain: $audit")
+
+      // physical purge: tombstones fold in, reads unchanged, audit still 0
+      Takedown.compactEverywhere(spark, registry)
+      for (n <- Seq(ann, ph))
+        assert(!spark.catalog.tableExists(s"${n}_deletes"),
+          s"$n tombstones must be folded by compactEverywhere")
+      assert(reads() == after, "compaction must not change any read")
+      assert(Takedown.residualReferences(spark, ids ++ annIds, registry)
+        .forall(_._3 == 0L))
     } finally {
       Similarity.dropAnnIndex(spark, ann); Takedown.dropLedger(spark, ann)
       Dedup.dropClusterTable(spark, cl); Takedown.dropLedger(spark, cl)

@@ -796,6 +796,84 @@ private[graft] object PipelineOracles {
     ivfTrainedScoredCtes(dim, sampleSize, centroids, iters, nprobe,
       sampleWhere) + ", " + topKSql("sc", topk)
 
+  /** DuckDB replay of the TWO-LEVEL knn graph
+    * ([[graft.functions.Similarity.superQuantizer]] +
+    * `assignTwoLevel`/`withProbeCells` at `twoLevelThreshold`+ cells):
+    * the flat k-means fit CTEs are reused verbatim, then the super fit
+    * runs the SAME spherical-Lloyd replay OVER THE CENTROID ROWS (init =
+    * first ⌈√cells⌋ centroids by cid, 2 rounds, dot-desc/sid-asc ties,
+    * cid-ordered mean folds, empty/zero-norm keep previous), empty
+    * supers drop via the final-assignment DISTINCT, the probe-super
+    * count replays the worst-case-coverage rule (smallest p whose
+    * ascending child-size cumsum ≥ nprobe, +1 margin, capped at the
+    * kept-super count), and both the member assignment and the probe
+    * selection rank ONLY the chosen supers' children. One drifted double
+    * anywhere — a super mean, a kept-set membership, a probe count —
+    * moves an edge and fails the hash.
+    */
+  private[graft] def twoLevelGraphOracle(dim: Int, sampleSize: Int,
+      centroids: Int, iters: Int, nprobe: Int, topk: Int): String = {
+    val s0 = math.max(2, math.round(math.sqrt(centroids.toDouble)).toInt)
+    val meanElem = foldSumSql("list_transform(vs, x -> x[i])")
+    val srounds = (1 to 2).map { it =>
+      s"sa$it AS (SELECT cid, cv, sid FROM (" +
+        "SELECT c.cid, c.cv, s.sid, row_number() OVER (PARTITION BY c.cid " +
+        s"ORDER BY ${dotSql("c.cv", "s.sv")} DESC, s.sid) AS rn " +
+        s"FROM c$iters c CROSS JOIN su${it - 1} s) WHERE rn = 1), " +
+        s"sg$it AS (SELECT sid, list(cv ORDER BY cid) AS vs " +
+        s"FROM sa$it GROUP BY sid), " +
+        s"sm$it AS (SELECT sid, mv, " +
+        s"sqrt(${foldSumSql("[x * x FOR x IN mv]")}) AS nrm " +
+        s"FROM (SELECT sid, [$meanElem / len(vs) " +
+        s"FOR i IN range(1, ${dim + 1})] AS mv FROM sg$it)), " +
+        s"su$it AS (SELECT p.sid, " +
+        "CASE WHEN m.sid IS NULL OR m.nrm <= 0 THEN p.sv " +
+        "ELSE [x / m.nrm FOR x IN m.mv] END AS sv " +
+        s"FROM su${it - 1} p LEFT JOIN sm$it m ON p.sid = m.sid)"
+    }.mkString(", ")
+    ivfFitCte(dim, sampleSize, centroids, iters) + ", " +
+      s"su0 AS (SELECT cid AS sid, cv AS sv FROM c$iters WHERE cid < $s0), " +
+      srounds + ", " +
+      "sfin AS (SELECT cid, sid FROM (SELECT c.cid, s.sid, " +
+      "row_number() OVER (PARTITION BY c.cid " +
+      s"ORDER BY ${dotSql("c.cv", "s.sv")} DESC, s.sid) AS rn " +
+      s"FROM c$iters c CROSS JOIN su2 s) WHERE rn = 1), " +
+      "sk AS (SELECT s.sid, s.sv FROM su2 s " +
+      "JOIN (SELECT DISTINCT sid FROM sfin) k ON s.sid = k.sid), " +
+      "ssz AS (SELECT sid, count(*) AS sz FROM sfin GROUP BY sid), " +
+      "spn AS (SELECT least((SELECT count(*) FROM sk), COALESCE((" +
+      "SELECT min(k) FROM (SELECT row_number() OVER (ORDER BY sz, sid) AS k, " +
+      "sum(sz) OVER (ORDER BY sz, sid " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
+      s"FROM ssz) q0 WHERE cum >= $nprobe), " +
+      "(SELECT count(*) FROM ssz)) + 1) AS pp), " +
+      "vsup AS (SELECT vec_id, v, sid FROM (SELECT nv.vec_id, nv.v, s.sid, " +
+      "row_number() OVER (PARTITION BY nv.vec_id " +
+      s"ORDER BY ${dotSql("nv.v", "s.sv")} DESC, s.sid) AS rn " +
+      "FROM nv CROSS JOIN sk s) q1 WHERE rn = 1), " +
+      "cass2 AS (SELECT vec_id, v, bucket FROM (" +
+      "SELECT vs.vec_id, vs.v, f.cid AS bucket, " +
+      "row_number() OVER (PARTITION BY vs.vec_id " +
+      s"ORDER BY ${dotSql("vs.v", "c.cv")} DESC, c.cid) AS rn " +
+      s"FROM vsup vs JOIN sfin f ON f.sid = vs.sid " +
+      s"JOIN c$iters c ON c.cid = f.cid) q2 WHERE rn = 1), " +
+      "vpick AS (SELECT vec_id, v, sid FROM (SELECT nv.vec_id, nv.v, s.sid, " +
+      "row_number() OVER (PARTITION BY nv.vec_id " +
+      s"ORDER BY ${dotSql("nv.v", "s.sv")} DESC, s.sid) AS rn " +
+      "FROM nv CROSS JOIN sk s) q3 CROSS JOIN spn WHERE rn <= spn.pp), " +
+      "vprobe AS (SELECT vec_id, qv, bucket FROM (" +
+      "SELECT vp.vec_id, vp.v AS qv, f.cid AS bucket, " +
+      "row_number() OVER (PARTITION BY vp.vec_id " +
+      s"ORDER BY ${dotSql("vp.v", "c.cv")} DESC, c.cid) AS rn " +
+      s"FROM vpick vp JOIN sfin f ON f.sid = vp.sid " +
+      s"JOIN c$iters c ON c.cid = f.cid) q4 WHERE rn <= $nprobe), " +
+      "sc AS (SELECT p.vec_id AS query_id, m.vec_id AS neighbor_id, " +
+      s"${dotSql("p.qv", "m.v")} AS score " +
+      "FROM vprobe p JOIN cass2 m USING (bucket) " +
+      "WHERE m.vec_id <> p.vec_id), " +
+      topKSql("sc", topk)
+  }
+
   /** Left-fold squared L2 distance of two DuckDB double-list expressions —
     * the engine-portable rendering of `acc += (x - c) * (x - c)`.
     */

@@ -327,6 +327,20 @@ private[graft] object SimQueries {
       Some(ivfTrainedScoredCtes(dim = 64, sampleSize = 256, centroids = 8,
         iters = 2, nprobe = 2, queryWhere = "") + ", " + topKSql("sc", 5))),
 
+    // The k-NN graph at 96 cells — ABOVE twoLevelThreshold, so member
+    // assignment and probe selection run the TWO-LEVEL coarse quantizer
+    // (r14): this gate hash-pins the hierarchical rule itself — the
+    // super fit over the centroid rows, empty-super drop, the
+    // worst-case-coverage probe-super count, and the children-only
+    // argmax — via a full DuckDB replay (twoLevelGraphOracle), where the
+    // 8-cell graph above pins the flat path.
+    Q("q_sim_knn_graph_2lvl",
+      (s, d) => Similarity.knnGraph(Tables.embeddings(s, d), k = 5,
+          centroids = 96, nprobe = 3, sampleSize = 384, iters = 2)
+        .orderBy("query_id", "rank"),
+      Some(twoLevelGraphOracle(dim = 64, sampleSize = 384, centroids = 96,
+        iters = 2, nprobe = 3, topk = 5))),
+
 
     // The PERSISTED trained-IVF index: same fit, same oracle, but the
     // corpus assignment is paid once at writeAnnIndex time and the search

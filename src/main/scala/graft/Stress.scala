@@ -656,10 +656,30 @@ object Stress {
     val idOff = 1000000L // multiple of 10: preserves doc_id % 10 structure
     val root = s"/tmp/graft_ladder/$kind"
 
+    // rung marker carries a fingerprint of the SOURCE fixture (total
+    // parquet bytes) so regenerated fixtures invalidate cached rungs —
+    // round-14 lesson: /tmp rung dirs survived an embeddings-fixture
+    // regeneration (500 → 2000 base rows) and two rounds of knn ladder
+    // numbers silently measured the OLD corpus size
+    def srcStamp(): String =
+      Seq("documents.parquet", "events.parquet", "embeddings.parquet")
+        .map { f =>
+          val d = new java.io.File(s"$sfDir/$f")
+          val files = Option(d.listFiles()).map(_.toSeq).getOrElse(
+            if (d.isFile) Seq(d) else Seq.empty)
+          files.map(_.length()).sum
+        }.mkString(":")
+
     def replicate(k: Int): String = {
       val dir = s"$root/x$k"
       val done = new java.io.File(s"$dir/_LADDER_OK")
-      if (!done.exists()) {
+      val stamp = srcStamp()
+      val fresh = done.exists() && {
+        val s = new String(java.nio.file.Files.readAllBytes(done.toPath),
+          "UTF-8")
+        s == stamp
+      }
+      if (!fresh) {
         val rep = spark.range(k).withColumnRenamed("id", "replica")
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
           .crossJoin(rep)
@@ -686,7 +706,8 @@ object Stress {
               col("embedding"), col("label"))
             .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
         }
-        done.getParentFile.mkdirs(); done.createNewFile()
+        done.getParentFile.mkdirs()
+        java.nio.file.Files.write(done.toPath, stamp.getBytes("UTF-8"))
       }
       dir
     }

@@ -1224,15 +1224,45 @@ object Dedup {
     */
   def upsertLineDfTable(spark: org.apache.spark.sql.SparkSession,
       name: String, batch: DataFrame, lineSep: String = "\n",
-      textCol: String = "text", sourceCol: String = "source"): Unit = {
+      textCol: String = "text", sourceCol: String = "source"): Unit =
+    foldLineDfPartials(spark, name, batch, lineSep, textCol, sourceCol,
+      sign = 1L)
+
+  /** UNLEARN documents from the line-df state — deletion for the
+    * partial-row family (the [[graft.functions.TextAnalysis.deleteFromLmTable]]
+    * story at line granularity): append NEGATIVE partial rows for the
+    * deleted documents' per-(source, line) distinct-doc counts and
+    * per-source doc totals. Readers SUM partials, and counts are
+    * integers, so unlearning is EXACT — the summed state equals a
+    * rebuild without the deleted docs to the bit (q_takedown_quantized
+    * certifies it through the incremental-strip oracle). O(deleted
+    * batch), nothing rewrites.
+    *
+    * `deletedDocs` must be the documents AS INGESTED and not yet
+    * unlearned (subtract what was added — the same can't-see contract
+    * the upsert documents; a replay would double-subtract, which is
+    * exactly what the takedown ledger exists to prevent).
+    */
+  def deleteFromLineDfTable(spark: org.apache.spark.sql.SparkSession,
+      name: String, deletedDocs: DataFrame, lineSep: String = "\n",
+      textCol: String = "text", sourceCol: String = "source"): Unit =
+    foldLineDfPartials(spark, name, deletedDocs, lineSep, textCol, sourceCol,
+      sign = -1L)
+
+  /** The shared partial-row fold behind upsert (+1) and unlearn (−1):
+    * both append under the tables' own specs; only the sign differs.
+    */
+  private def foldLineDfPartials(spark: org.apache.spark.sql.SparkSession,
+      name: String, batch: DataFrame, lineSep: String, textCol: String,
+      sourceCol: String, sign: Long): Unit = {
     graft.sources.Tables.requireIdent(name)
     val d = boilerDocs(batch, textCol, sourceCol)
     graft.sources.Tables.appendBucketed(spark, s"${name}_linedf",
       boilerLines(d, lineSep, textCol)
         .groupBy(col("__src").as("src"), col("line"))
-        .agg(countDistinct(col("doc_id")).as("cnt")))
+        .agg((lit(sign) * countDistinct(col("doc_id"))).as("cnt")))
     d.groupBy(col("__src").as("src"))
-      .agg(count(lit(1)).as("n_docs"))
+      .agg((lit(sign) * count(lit(1))).as("n_docs"))
       .write.mode("append").format("parquet")
       .saveAsTable(s"${name}_srctotals")
   }

@@ -1308,7 +1308,58 @@ object Similarity {
   /** Drop a [[writeGroundTruth]] table (stale-dir-surviving drop). */
   def dropGroundTruth(spark: org.apache.spark.sql.SparkSession,
       name: String): Unit =
-    graft.sources.Tables.dropManagedTables(spark, Seq(s"${name}_truth"))
+    graft.sources.Tables.dropManagedTables(
+      spark, Seq(s"${name}_truth", s"${name}_deletes"))
+
+  /** TARGETED DELETION from a ground-truth table — the truth rows are
+    * doc-keyed persisted artifact state like any index (a deleted corpus
+    * vector must stop being FINDABLE here too, and an eval query drawn
+    * from the corpus must stop being referenced as a query): O(batch)
+    * tombstone append; [[liveGroundTruth]] drops every row the ids touch
+    * on EITHER side (query_id or neighbor_id). Semantics caveat, by
+    * design: the surviving rows are the old truth MINUS the deleted ids,
+    * not a fresh brute-force top-k — per-query lists can hold fewer than
+    * k rows until [[writeGroundTruth]] is rerun (recall read against a
+    * tombstoned truth is a compliance state, not an eval-freshness
+    * state; TakedownSpec pins both the zero-residual audit and the
+    * shrunken-list shape).
+    */
+  def deleteFromGroundTruth(spark: org.apache.spark.sql.SparkSession,
+      name: String, ids: Seq[Long]): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    graft.sources.Tables.appendDeletes(spark, name, "vec_id", ids)
+  }
+
+  /** The post-tombstone ground-truth read every consumer sees: rows whose
+    * query_id OR neighbor_id is tombstoned are gone (two broadcast
+    * anti-joins against the KB-scale deletes table — map-side probes on
+    * the pruned truth read).
+    */
+  private[graft] def liveGroundTruth(spark: org.apache.spark.sql.SparkSession,
+      name: String): DataFrame = {
+    val t = spark.table(s"${name}_truth")
+    if (!spark.catalog.tableExists(s"${name}_deletes")) t
+    else {
+      val del = broadcast(
+        spark.table(s"${name}_deletes").select("vec_id").distinct())
+      t.join(del, t("query_id") === del("vec_id"), "left_anti")
+        .join(del, t("neighbor_id") === del("vec_id"), "left_anti")
+    }
+  }
+
+  /** Fold ground-truth tombstones into a stage-and-swap rewrite (under
+    * the table's own query_id bucket spec) and clear them — the
+    * amortized physical purge ([[compactSqIndex]]'s contract).
+    */
+  def compactGroundTruth(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    if (spark.catalog.tableExists(s"${name}_deletes")) {
+      graft.sources.Tables.rewriteBucketed(spark, s"${name}_truth",
+        liveGroundTruth(spark, name))
+      graft.sources.Tables.dropDeletes(spark, name)
+    }
+  }
 
   /** [[recallAtK]] against a PERSISTED [[writeGroundTruth]] table — same
     * numbers as the one-shot evaluation at the same (corpus, queries, k)
@@ -1320,7 +1371,7 @@ object Similarity {
   def recallAtKIndexed(spark: org.apache.spark.sql.SparkSession,
       name: String, approx: DataFrame, k: Int): DataFrame = {
     graft.sources.Tables.requireIdent(name)
-    recallAtK(approx, spark.table(s"${name}_truth"), k)
+    recallAtK(approx, liveGroundTruth(spark, name), k)
   }
 
   /** Dot scores of a vector against every trained centroid, as an array of

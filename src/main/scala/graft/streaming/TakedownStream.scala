@@ -14,9 +14,23 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * Idempotency across RETRIED TRIGGERS (the foreachBatch at-least-once
   * contract) is exactly the orchestrator's per-artifact batch LEDGER: a
   * replayed micro-batch re-issues the same batch_ids, every artifact
-  * finds them applied, and the whole trigger is a read-only no-op —
-  * load-bearing for the subtractive LM family, which a blind replay
-  * would double-unlearn. No extra state store, no dedup topic.
+  * finds them applied WITH THE SAME ids hash, and the whole trigger is a
+  * read-only no-op — load-bearing for the subtractive LM/line-df
+  * families, which a blind replay would double-unlearn. No extra state
+  * store, no dedup topic.
+  *
+  * SPLIT-BATCH GUARD: foreachBatch gives no atomic-request-batch
+  * guarantee — a source rate limit (Kafka `maxOffsetsPerTrigger`, file
+  * `maxFilesPerTrigger`) can split one batch_id's rows across two
+  * triggers. The first fragment applies and records its ids hash; the
+  * second fragment then arrives as a "duplicate" batch_id with DIFFERENT
+  * ids and the ledger throws LOUDLY ([[Takedown.deleteEverywhere]]'s
+  * hash validation) instead of silently skipping it — silent
+  * non-deletion is the one unacceptable failure here. Operationally:
+  * either size the source limits above the request-batch size, or
+  * aggregate rows per batch_id upstream (watermark + complete-batch
+  * marker) before this sink; a tripped guard names the batch, and the
+  * recovery is re-issuing the missing ids under a fresh batchId.
   *
   * Scale shape: takedown requests are legal-process-scale, not
   * corpus-scale — the per-trigger collect is bounded by the LOUD

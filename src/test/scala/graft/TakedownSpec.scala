@@ -211,4 +211,277 @@ class TakedownSpec extends SparkSpec {
       Multimodal.dropPhashTable(spark, ph); Takedown.dropLedger(spark, ph)
     }
   }
+
+  // shared quantized-family fixture: 40 clustered 8-dim vectors + 4 clones
+  private def quantFixture() = {
+    val rnd = new scala.util.Random(43)
+    val base = (0 until 40).map { i =>
+      val v = Array.fill(8)(0.05 + rnd.nextDouble() * 0.1)
+      v(i % 4) = 1.0 + rnd.nextDouble()
+      (i.toLong, v.map(_.toFloat).toSeq)
+    }
+    val clones = base.filter(_._1 % 10 == 0)
+      .map { case (id, v) => (id + 500L, v) }
+    (base.toDF("vec_id", "embedding"), clones.toDF("vec_id", "embedding"),
+      clones.map(_._1))
+  }
+
+  test("quantized index families: deleteEverywhere reaches SQ/PQ/IVFADC, " +
+      "tombstoned ≡ compacted, residual audit 0") {
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val sq = s"td_sq_$uid"; val pq = s"td_pq_$uid"; val iv = s"td_iv_$uid"
+    val (vecs, clones, cloneIds) = quantFixture()
+    val all = vecs.unionByName(clones)
+    val queries = vecs.filter($"vec_id" % 10 === 0)
+    Similarity.writeSqIndex(all, sq)
+    Similarity.writePqIndex(all, pq, m = 4, ksub = 8, sampleSize = 64)
+    Similarity.writeIvfPqResIndex(all, iv, centroids = 4, m = 4, ksub = 8,
+      sampleSize = 64, buckets = 2)
+    try {
+      val registry = Seq(Takedown.SqIndex(sq), Takedown.PqIndex(pq),
+        Takedown.IvfPqResIndex(iv))
+      def reads(): Seq[Seq[Any]] =
+        Similarity.sqSearchIndexed(spark, sq, queries, k = 5)
+          .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq ++
+          (Similarity.pqSearchIndexed(spark, pq, queries, k = 5)
+            .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq ++
+          Similarity.ivfPqResSearchIndexed(spark, iv, queries, k = 5,
+              nprobe = 2)
+            .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq)
+      val before = reads()
+      val pre = Takedown.residualReferences(spark, cloneIds, registry)
+      assert(pre.forall(_._3 > 0L), s"pre-delete audit must see clones: $pre")
+
+      val first = Takedown.deleteEverywhere(spark, "q1", cloneIds, registry)
+      assert(first.forall(_._3), s"first run must apply everywhere: $first")
+      val after = reads()
+      assert(after != before,
+        "deleting clone codes must change at least one quantized read")
+      assert(Takedown.residualReferences(spark, cloneIds, registry)
+        .forall(_._3 == 0L), "live codes must not reference deleted ids")
+
+      // SQ params are exact whole-corpus min/max — copies don't move them,
+      // so the SQ read must equal a REBUILD without the clones to the bit
+      val sqRef = s"td_sqref_$uid"
+      Similarity.writeSqIndex(vecs, sqRef)
+      try assert(
+        Similarity.sqSearchIndexed(spark, sq, queries, k = 5)
+          .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq ==
+          Similarity.sqSearchIndexed(spark, sqRef, queries, k = 5)
+            .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq,
+        "SQ tombstoned reads must equal rebuild-without-deleted")
+      finally Similarity.dropSqIndex(spark, sqRef)
+
+      // retry skips; physical purge folds tombstones, reads unchanged
+      val retry = Takedown.deleteEverywhere(spark, "q1", cloneIds, registry)
+      assert(retry.forall(!_._3), s"retry must skip everywhere: $retry")
+      Takedown.compactEverywhere(spark, registry)
+      for (n <- Seq(sq, pq, iv))
+        assert(!spark.catalog.tableExists(s"${n}_deletes"),
+          s"$n tombstones must fold on compactEverywhere")
+      assert(reads() == after, "compaction must not change any read")
+    } finally {
+      Similarity.dropSqIndex(spark, sq); Takedown.dropLedger(spark, sq)
+      Similarity.dropPqIndex(spark, pq); Takedown.dropLedger(spark, pq)
+      Similarity.dropIvfPqResIndex(spark, iv); Takedown.dropLedger(spark, iv)
+    }
+  }
+
+  test("ground truth + line-df: deleteEverywhere reaches both; truth rows " +
+      "drop on either side; line-df unlearn equals rebuild-without") {
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val gt = s"td_gt_$uid"; val ldf = s"td_ldf_$uid"
+    val (vecs, clones, cloneIds) = quantFixture()
+    val queries = vecs.filter($"vec_id" % 10 === 0)
+    // clone 510 IS a query id clone: deleting it must drop rows on the
+    // query_id side too, not just neighbor_id
+    Similarity.writeGroundTruth(vecs.unionByName(clones),
+      queries.unionByName(clones.filter($"vec_id" === 510L)), k = 3,
+      name = gt, buckets = 2)
+
+    // seen state = 4 originals + 2 s2 clones carrying "cloned promo
+    // line"; the BATCH (new docs, not in the state) has that line too.
+    // With clones: s2 n_docs = 4+1, df = 2+1 = 3 ≥ thr 3 → stripped.
+    // After unlearning the clones: n_docs = 2+1, df = 0+1 < thr 2 →
+    // kept. The takedown provably flips a verdict.
+    val seenDocs = Seq(
+      (1L, "alpha beta\ncommon s1 footer", "s1"),
+      (2L, "gamma delta\ncommon s1 footer", "s1"),
+      (3L, "iota kappa\nlambda mu", "s2"),
+      (4L, "nu xi\nomicron pi", "s2"))
+      .toDF("doc_id", "text", "source")
+    val cloneDocs = Seq(
+      (103L, "cloned promo line\nrho sigma", "s2"),
+      (104L, "cloned promo line\ntau upsilon", "s2"))
+      .toDF("doc_id", "text", "source")
+    Dedup.writeLineDfTable(seenDocs.unionByName(cloneDocs), ldf, buckets = 2)
+    try {
+      val registry = Seq(Takedown.GroundTruth(gt),
+        Takedown.LineDf(ldf, cloneDocs))
+      val batch = Seq(
+        (11L, "fresh one\ncommon s1 footer", "s1"),
+        (14L, "cloned promo line\nbrand new line", "s2"))
+        .toDF("doc_id", "text", "source")
+      def strip() = Dedup.boilerplateStripAgainst(spark, ldf, batch)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val preStrip = strip()
+      val pre = Takedown.residualReferences(
+        spark, cloneIds ++ Seq(103L, 104L), registry)
+      assert(pre.find(_._1 == "gtruth").exists(_._3 > 0L),
+        s"pre-delete truth must reference clones: $pre")
+
+      val ids = cloneIds ++ Seq(103L, 104L)
+      val first = Takedown.deleteEverywhere(spark, "g1", ids, registry)
+      assert(first.forall(_._3), s"first run must apply everywhere: $first")
+
+      // truth: no live row references a deleted id on EITHER side; the
+      // 510-keyed query list is gone entirely (shrunken-truth contract)
+      assert(Takedown.residualReferences(spark, ids, registry)
+        .forall(_._3 == 0L))
+      val liveTruth = Similarity.recallAtKIndexed(spark, gt,
+        Similarity.bruteForceTopK(vecs, queries, 3), 3)
+      assert(liveTruth.filter($"query_id" === 510L).isEmpty,
+        "deleted query id must leave the truth")
+      assert(liveTruth.count() > 0, "surviving queries still evaluate")
+
+      // line-df: the unlearned state answers EXACTLY like a rebuild
+      // without the clones (integer partials — exact to the bit)
+      val ldfRef = s"td_ldfref_$uid"
+      Dedup.writeLineDfTable(seenDocs, ldfRef, buckets = 2)
+      try {
+        val refStrip = Dedup.boilerplateStripAgainst(spark, ldfRef, batch)
+          .orderBy("doc_id").collect().map(_.toSeq).toSeq
+        val postStrip = strip()
+        assert(postStrip == refStrip,
+          "line-df unlearn must equal rebuild-without-deleted")
+        assert(postStrip != preStrip,
+          "the clones must have changed strip verdicts (else no-op gate)")
+      } finally Dedup.dropLineDfTable(spark, ldfRef)
+
+      // retry skips both (subtractive line-df: load-bearing), compaction
+      // folds the truth tombstones physically
+      val retry = Takedown.deleteEverywhere(spark, "g1", ids, registry)
+      assert(retry.forall(!_._3), s"retry must skip: $retry")
+      assert(strip() == strip(), "idempotent reads")
+      Takedown.compactEverywhere(spark, registry)
+      assert(!spark.catalog.tableExists(s"${gt}_deletes"))
+      assert(Takedown.residualReferences(spark, ids, registry)
+        .forall(_._3 == 0L))
+    } finally {
+      Similarity.dropGroundTruth(spark, gt); Takedown.dropLedger(spark, gt)
+      Dedup.dropLineDfTable(spark, ldf); Takedown.dropLedger(spark, ldf)
+    }
+  }
+
+  test("ledger ids-hash guard: a reused batchId with different ids throws " +
+      "loudly instead of silently skipping") {
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val ph = s"td_hash_$uid"
+    val sigs = Seq((1L, 11L), (2L, 22L), (3L, 33L)).toDF("doc_id", "dhash")
+    Multimodal.writeSignatureTable(sigs, ph, buckets = 2)
+    try {
+      val registry = Seq(Takedown.PhashTable(ph))
+      Takedown.deleteEverywhere(spark, "b-split", Seq(1L), registry)
+      // same ids, any order/dups: canonicalization makes it a clean skip
+      val r = Takedown.deleteEverywhere(spark, "b-split", Seq(1L, 1L), registry)
+      assert(r.forall(!_._3), "identical id set must skip")
+      // the split-trigger fragment: same batchId, different ids → loud
+      val e = intercept[IllegalStateException] {
+        Takedown.deleteEverywhere(spark, "b-split", Seq(2L), registry)
+      }
+      assert(e.getMessage.contains("DIFFERENT id set"), e.getMessage)
+      // id 2 was NOT silently dropped: a fresh batchId applies it
+      val r2 = Takedown.deleteEverywhere(spark, "b-split-2", Seq(2L), registry)
+      assert(r2.forall(_._3))
+      assert(Takedown.residualReferences(spark, Seq(1L, 2L), registry)
+        .forall(_._3 == 0L))
+    } finally {
+      Multimodal.dropPhashTable(spark, ph); Takedown.dropLedger(spark, ph)
+    }
+  }
+
+  test("auditRegistry names unregistered artifact families loudly") {
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val bm = s"td_aud_bm_$uid"; val sq = s"td_aud_sq_$uid"
+    val ldf = s"td_aud_ldf_$uid"
+    val docs = Seq((1L, "one two three", "s1"), (2L, "four five six", "s1"))
+      .toDF("doc_id", "text", "source")
+    val (vecs, _, _) = quantFixture()
+    TextAnalysis.writeSearchIndex(docs, bm, buckets = 2)
+    Similarity.writeSqIndex(vecs, sq)
+    Dedup.writeLineDfTable(docs, ldf, buckets = 2)
+    try {
+      // full registry → none of OUR names are flagged
+      val full = Seq(Takedown.SearchIndex(bm), Takedown.SqIndex(sq),
+        Takedown.LineDf(ldf, docs))
+      val ours = Set(bm.toLowerCase, sq.toLowerCase, ldf.toLowerCase)
+      assert(Takedown.auditRegistry(spark, full)
+        .forall(r => !ours(r._2)), "registered artifacts must not be flagged")
+      // drop the SQ index from the registry → it is NAMED, not silent
+      val partial = Seq(Takedown.SearchIndex(bm), Takedown.LineDf(ldf, docs))
+      val missing = Takedown.auditRegistry(spark, partial)
+      assert(missing.contains(("sq", sq.toLowerCase)),
+        s"unregistered SQ index must be flagged: $missing")
+      assert(!missing.exists(r => r._2 == bm.toLowerCase && r._1 == "bm25"))
+    } finally {
+      TextAnalysis.dropSearchIndex(spark, bm)
+      Similarity.dropSqIndex(spark, sq)
+      Dedup.dropLineDfTable(spark, ldf)
+    }
+  }
+
+  test("compactLedgers: tombstone-family rows outside the retain window " +
+      "fold away; a replayed old batch re-applies harmlessly; subtractive " +
+      "ledgers are retained") {
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val ph = s"td_lc_ph_$uid"; val lm = s"td_lc_lm_$uid"
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta"),
+      (101L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val deleted = docs.filter($"doc_id" === 101L)
+    val sigs = Seq((1L, 11L), (2L, 22L), (101L, 11L)).toDF("doc_id", "dhash")
+    Multimodal.writeSignatureTable(sigs, ph, buckets = 2)
+    TextAnalysis.writeLmTable(docs, lm, buckets = 2)
+    try {
+      // content-dependent families carry PER-BATCH frames: the registry
+      // for each batch names the same artifacts with that batch's docs
+      val registry = Seq(Takedown.PhashTable(ph),
+        Takedown.LmTable(lm, deleted))
+      val registry2 = Seq(Takedown.PhashTable(ph),
+        Takedown.LmTable(lm, docs.filter($"doc_id" === 999L)))
+      Takedown.deleteEverywhere(spark, "old-1", Seq(101L), registry)
+      Takedown.deleteEverywhere(spark, "new-1", Seq(999L), registry2)
+      val lmScore = TextAnalysis.bigramScoreIndexed(spark, lm,
+          docs.filter($"doc_id" < 100))
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      Takedown.compactEverywhere(spark, registry)
+      Takedown.compactLedgers(spark, registry, retainBatches = Seq("new-1"))
+      // phash ledger folded to the retain window; LM ledger untouched
+      assert(spark.table(s"${ph}_takedowns").select("batch_id")
+        .as[String].collect().toSeq == Seq("new-1"))
+      assert(spark.table(s"${lm}_takedowns").select("batch_id")
+        .orderBy("batch_id").as[String].collect().toSeq ==
+        Seq("new-1", "old-1"),
+        "subtractive LM ledger must retain all rows (replay protection)")
+      // a replay of the compacted-away batch re-applies HARMLESSLY on the
+      // tombstone family — and the LM family still skips via its ledger
+      val replay = Takedown.deleteEverywhere(spark, "old-1", Seq(101L), registry)
+      assert(replay.find(_._1 == "phash").exists(_._3),
+        "compacted-away tombstone batch re-applies")
+      assert(replay.find(_._1 == "lm").exists(!_._3),
+        "LM ledger must still protect against the double-unlearn")
+      val reads = Multimodal.screenSignatures(spark, ph,
+          Seq((1L, 11L)).toDF("doc_id", "dhash"), maxHamming = 0)
+        .orderBy("batch_doc", "seen_doc").collect().map(_.toSeq).toSeq
+      assert(!reads.exists(_.contains(101L)), "101 stays deleted")
+      assert(TextAnalysis.bigramScoreIndexed(spark, lm,
+          docs.filter($"doc_id" < 100))
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq == lmScore,
+        "LM must be unchanged by the replay")
+    } finally {
+      Multimodal.dropPhashTable(spark, ph); Takedown.dropLedger(spark, ph)
+      TextAnalysis.dropLmTable(spark, lm); Takedown.dropLedger(spark, lm)
+    }
+  }
 }

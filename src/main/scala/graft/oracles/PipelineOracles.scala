@@ -1176,6 +1176,57 @@ private[graft] object PipelineOracles {
   private[graft] lazy val sq8Oracle: String =
     s"WITH $sq8ScoredCtes, " + topKSql("sc", 10)
 
+  /** The incremental boilerplate-strip replay (full-corpus line-df over
+    * the wrapped fixture, verdicts restricted to the doc_id % 4 = 0
+    * batch) — shared verbatim by q_text_boilerplate_indexed and the
+    * composed takedown gate, where the post-unlearn state must answer
+    * EXACTLY like this from-scratch replay.
+    */
+  private[graft] lazy val boilerIndexedOracle: String =
+    "WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS sp " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "d2 AS (SELECT doc_id, source, 'SUBSCRIBE to our newsletter' || " +
+      "chr(10) || CASE WHEN doc_id % 7 = 0 THEN " +
+      "'a quote cited by a few pages of every site' || chr(10) " +
+      "ELSE '' END || array_to_string(" +
+      "[array_to_string(sp[i*12+1 : least((i+1)*12, len(sp))], ' ') " +
+      "FOR i IN range(0, (len(sp) + 11) // 12)], chr(10)) || " +
+      "chr(10) || '(c) 2026 ' || source AS text FROM t), " +
+      "ls AS (SELECT doc_id, source, string_split(text, chr(10)) AS sp2 " +
+      "FROM d2), " +
+      "lx AS (SELECT doc_id, source, u.idx AS idx, u.line AS line FROM " +
+      "(SELECT doc_id, source, unnest([{'idx': i - 1, 'line': sp2[i]} " +
+      "FOR i IN range(1, len(sp2) + 1)]) AS u FROM ls) q0), " +
+      "tot AS (SELECT source, count(*) AS n_docs FROM d2 GROUP BY source), " +
+      "dfq AS (SELECT source, line, count(DISTINCT doc_id) AS df " +
+      "FROM lx GROUP BY source, line), " +
+      "lk AS (SELECT lx.doc_id, lx.idx, lx.line, " +
+      "(dfq.df < greatest(2, CAST(ceil(0.5 * tot.n_docs) AS BIGINT))) " +
+      "AS keep FROM lx JOIN dfq USING (source, line) " +
+      "JOIN tot USING (source)) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, " +
+      "CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept, " +
+      "COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) " +
+      "ORDER BY idx), '') AS text " +
+      "FROM lk WHERE doc_id % 4 = 0 GROUP BY doc_id ORDER BY doc_id"
+
+  /** Composed oracle for q_takedown_quantized: after ONE deleteEverywhere
+    * batch, the SQ index must answer the plain-corpus SQ8 replay and the
+    * unlearned line-df state must answer the plain incremental-strip
+    * replay — both legs the EXISTING oracles verbatim as subqueries,
+    * unioned into one aligned relation (family, a, b, n, x, t).
+    */
+  private[graft] lazy val takedownQuantizedOracle: String =
+    "SELECT family, a, b, n, x, t FROM (" +
+      "SELECT 'sq' AS family, q.query_id AS a, q.neighbor_id AS b, " +
+      "CAST(q.rank AS BIGINT) AS n, q.score AS x, " +
+      s"CAST(NULL AS VARCHAR) AS t FROM ($sq8Oracle) q " +
+      "UNION ALL " +
+      "SELECT 'linedf' AS family, u.doc_id AS a, u.n_lines AS b, " +
+      "u.n_kept AS n, CAST(NULL AS DOUBLE) AS x, u.text AS t FROM (" +
+      boilerIndexedOracle + ") u" +
+      ") z ORDER BY family, a, b"
+
   /** Per-query shortlist CTE — stage 1 of the refine oracles: top `n` of a
     * scored CTE with the coarse rank carried as `coarse_rank`.
     */

@@ -427,6 +427,74 @@ private[graft] object DedupQueries {
       Some(takedownOracle)),
 
 
+    // TAKEDOWN across the QUANTIZED + SUBTRACTIVE families (the r14
+    // verdict's named gap): ONE batch through deleteEverywhere must reach
+    // a persisted SQ8 index (tombstoned codes — the read equals the
+    // plain-corpus SQ8 replay because exact-copy clones cannot move the
+    // min/max params: rebuild-without equality to the bit) AND the
+    // incremental line-df state (negative-partial count unlearning — the
+    // strip verdicts equal the from-scratch full-corpus replay; the
+    // clones carry the cross-page quote line, so a no-op unlearn would
+    // flip batch verdicts and fail the hash). The registry-completeness
+    // audit is exercised in the gated path: a registry missing the SQ
+    // index must NAME it. Retry of the same batchId skips both families
+    // via the ids-hashed ledger.
+    Q("q_takedown_quantized",
+      (s, d) => {
+        val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+        val sq = "graft_tdq_sq_" + uid
+        val ldf = "graft_tdq_ldf_" + uid
+        val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val qset = emb.filter(col("vec_id") % 100 === 0)
+        val sqClones = qset.select(
+          (col("vec_id") + 700000L).as("vec_id"), col("embedding"))
+        Similarity.writeSqIndex(emb.unionByName(sqClones), sq)
+        val wrapped = TextQueries.wrappedBoilerDocs(s, d)
+        val seen = wrapped.filter(col("doc_id") % 4 =!= 0)
+        val batch = wrapped.filter(col("doc_id") % 4 === 0)
+        val ldfClones = seen.select(
+          (col("doc_id") + 200000L).as("doc_id"), col("source"),
+          concat(lit("a quote cited by a few pages of every site\n" +
+            "(c) 2026 "), col("source")).as("text"))
+        Dedup.writeLineDfTable(seen.unionByName(ldfClones), ldf)
+        val sqIds = qset.select("vec_id").collect()
+          .map(_.getLong(0) + 700000L).toSeq
+        val ldfIds = seen.select("doc_id").collect()
+          .map(_.getLong(0) + 200000L).toSeq
+        try {
+          val reg = Seq(Takedown.SqIndex(sq), Takedown.LineDf(ldf, ldfClones))
+          // completeness audit: a registry missing the SQ index names it
+          val missing = Takedown.auditRegistry(s,
+            Seq(Takedown.LineDf(ldf, ldfClones)))
+          require(missing.contains(("sq", sq.toLowerCase)),
+            s"audit must flag the unregistered SQ index: $missing")
+          val first = Takedown.deleteEverywhere(s, "quant-1",
+            sqIds ++ ldfIds, reg)
+          require(first.forall(_._3), s"first run must apply: $first")
+          val retry = Takedown.deleteEverywhere(s, "quant-1",
+            sqIds ++ ldfIds, reg)
+          require(retry.forall(!_._3), s"retry must skip: $retry")
+          require(Takedown.residualReferences(s, sqIds ++ ldfIds, reg)
+            .forall(_._3 == 0L), "residual references must be zero")
+          val sqRead = Similarity.sqSearchIndexed(s, sq, qset, k = 10)
+            .select(lit("sq").as("family"), col("query_id").as("a"),
+              col("neighbor_id").as("b"), col("rank").cast("long").as("n"),
+              col("score").as("x"), lit(null).cast("string").as("t"))
+          val ldfRead = Dedup.boilerplateStripAgainst(s, ldf, batch,
+              minDocFrac = 0.5, minDocs = 2)
+            .select(lit("linedf").as("family"), col("doc_id").as("a"),
+              col("n_lines").as("b"), col("n_kept").as("n"),
+              lit(null).cast("double").as("x"), col("text").as("t"))
+          sqRead.unionByName(ldfRead).orderBy("family", "a", "b")
+            .localCheckpoint(true)
+        } finally {
+          Similarity.dropSqIndex(s, sq); Takedown.dropLedger(s, sq)
+          Dedup.dropLineDfTable(s, ldf); Takedown.dropLedger(s, ldf)
+        }
+      },
+      Some(takedownQuantizedOracle)),
+
+
     // Asymmetric containment (near-SUPERSET detection) over a corpus with
     // engineered swallows: every 10th document is concatenated with its
     // successor into a re-keyed super-document, so (part, whole) pairs sit

@@ -15,6 +15,28 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object TextQueries {
 
+  /** The multi-line WRAPPED corpus shared by the boilerplate queries and
+    * the takedown line-df gate: every document re-lined at 12 words,
+    * wrapped in per-source template chrome (banner + copyright footer)
+    * plus a cross-page quote on every 7th doc — the fixture whose strip
+    * verdicts the oracles replay (the identical construction renders in
+    * SQL inside [[graft.oracles.PipelineOracles.boilerIndexedOracle]]).
+    */
+  private[graft] def wrappedBoilerDocs(s: SparkSession,
+      d: String): DataFrame = {
+    val relined = expr(
+      "concat_ws('\n', transform(" +
+        "sequence(0, (size(split(text, ' ')) + 11) div 12 - 1), " +
+        "i -> concat_ws(' ', slice(split(text, ' '), i * 12 + 1, 12))))")
+    val quote = when(col("doc_id") % 7 === 0,
+      lit("a quote cited by a few pages of every site\n")).otherwise(lit(""))
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        concat(lit("SUBSCRIBE to our newsletter\n"), quote, relined,
+          lit("\n(c) 2026 "), col("source")).as("text"))
+  }
+
   /** The spiked link-graph fixture shared by q_text_domain_rank and
     * q_text_authority_verdict: every 5th doc links a rotating site{0..6}
     * host and every 3rd a shared hub, giving the graph fan-in skew,
@@ -728,17 +750,7 @@ private[graft] object TextQueries {
     // verdicts equal the from-scratch ones on the union.
     Q("q_text_boilerplate_indexed",
       (s, d) => {
-        val relined = expr(
-          "concat_ws('\n', transform(" +
-            "sequence(0, (size(split(text, ' ')) + 11) div 12 - 1), " +
-            "i -> concat_ws(' ', slice(split(text, ' '), i * 12 + 1, 12))))")
-        val quote = when(col("doc_id") % 7 === 0,
-          lit("a quote cited by a few pages of every site\n")).otherwise(lit(""))
-        val wrapped = Tables.documents(s, d)
-          .filter(col("text").isNotNull)
-          .select(col("doc_id"), col("source"),
-            concat(lit("SUBSCRIBE to our newsletter\n"), quote, relined,
-              lit("\n(c) 2026 "), col("source")).as("text"))
+        val wrapped = wrappedBoilerDocs(s, d)
         val seen = wrapped.filter(col("doc_id") % 4 =!= 0)
         val batch = wrapped.filter(col("doc_id") % 4 === 0)
         val name = "graft_ldf_" +
@@ -752,32 +764,7 @@ private[graft] object TextQueries {
             .orderBy("doc_id").localCheckpoint(true)
         } finally Dedup.dropLineDfTable(s, name)
       },
-      Some("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS sp " +
-        "FROM documents WHERE text IS NOT NULL), " +
-        "d2 AS (SELECT doc_id, source, 'SUBSCRIBE to our newsletter' || " +
-        "chr(10) || CASE WHEN doc_id % 7 = 0 THEN " +
-        "'a quote cited by a few pages of every site' || chr(10) " +
-        "ELSE '' END || array_to_string(" +
-        "[array_to_string(sp[i*12+1 : least((i+1)*12, len(sp))], ' ') " +
-        "FOR i IN range(0, (len(sp) + 11) // 12)], chr(10)) || " +
-        "chr(10) || '(c) 2026 ' || source AS text FROM t), " +
-        "ls AS (SELECT doc_id, source, string_split(text, chr(10)) AS sp2 " +
-        "FROM d2), " +
-        "lx AS (SELECT doc_id, source, u.idx AS idx, u.line AS line FROM " +
-        "(SELECT doc_id, source, unnest([{'idx': i - 1, 'line': sp2[i]} " +
-        "FOR i IN range(1, len(sp2) + 1)]) AS u FROM ls) q0), " +
-        "tot AS (SELECT source, count(*) AS n_docs FROM d2 GROUP BY source), " +
-        "dfq AS (SELECT source, line, count(DISTINCT doc_id) AS df " +
-        "FROM lx GROUP BY source, line), " +
-        "lk AS (SELECT lx.doc_id, lx.idx, lx.line, " +
-        "(dfq.df < greatest(2, CAST(ceil(0.5 * tot.n_docs) AS BIGINT))) " +
-        "AS keep FROM lx JOIN dfq USING (source, line) " +
-        "JOIN tot USING (source)) " +
-        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, " +
-        "CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept, " +
-        "COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) " +
-        "ORDER BY idx), '') AS text " +
-        "FROM lk WHERE doc_id % 4 = 0 GROUP BY doc_id ORDER BY doc_id")),
+      Some(boilerIndexedOracle)),
 
 
     // CONTEXT-LENGTH TRUNCATION report — the sequence-length planning

@@ -36,8 +36,26 @@ object Bpe {
   /** A word as its current symbol sequence with its corpus count. */
   final case class WordSyms(word: String, syms: Seq[String], cnt: Long)
 
-  /** End-of-word marker (paper convention). */
+  /** End-of-word marker (paper convention) — CHAR-LEVEL mode only. */
   val EndMarker = "</w>"
+
+  /** End-of-word marker for BYTE-LEVEL mode: one char OUTSIDE the
+    * 323-char byte alphabet (the first code point after the shifted
+    * range, U+0144). The char-level "</w>" cannot serve here: its four
+    * chars ('<','/','w','>') are all CONTENT byte symbols, so on a
+    * corpus whose text contains "</w>" (HTML-ish data) learned merges
+    * can assemble a content-derived "</w>" inside a symbol, and a
+    * decode that strips the marker as a SUBSTRING silently drops those
+    * four bytes — breaking the advertised zero-OOV round-trip identity.
+    * Out-of-band by construction: this char can enter a byte-level
+    * symbol ONLY as the marker atom, which is always the last atom of a
+    * word (merges are adjacent-pair, and the marker has no right
+    * neighbour), so [[decodeBytes]] strips AT MOST ONE trailing
+    * occurrence and content bytes are never touched. Single BMP char,
+    * so the trainer tie rules (UTF-8 order ≡ Java order on BMP) are
+    * unaffected.
+    */
+  val ByteEndMarker: String = (0x144).toChar.toString
 
   /** BYTE-LEVEL alphabet — the zero-OOV production-tokenizer regime
     * (GPT-2's `bytes_to_unicode`, Radford et al. 2019, public
@@ -76,18 +94,22 @@ object Bpe {
     val out = new scala.collection.mutable.ArrayBuffer[String](bytes.length + 1)
     var i = 0
     while (i < bytes.length) { out += byteSymbols(bytes(i) & 0xff); i += 1 }
-    out += EndMarker
+    out += ByteEndMarker
     out.toSeq
   }
 
   /** Invert a byte-level subword sequence back to text — the round-trip
-    * proof surface (BpeSpec pins it on non-BMP fixtures): strip end
-    * markers, map each alphabet character back to its byte, decode UTF-8.
+    * proof surface (BpeSpec pins it on non-BMP fixtures AND on text
+    * containing a literal "</w>"): strip the at-most-one trailing
+    * [[ByteEndMarker]] per symbol (out-of-band — see its scaladoc; a
+    * substring strip of a content-char marker would corrupt HTML-ish
+    * corpora), map each alphabet character back to its byte, decode
+    * UTF-8.
     */
   def decodeBytes(syms: Seq[String]): String = {
     val bb = new scala.collection.mutable.ArrayBuffer[Byte]()
     syms.foreach { s =>
-      val t = s.replace(EndMarker, "")
+      val t = s.stripSuffix(ByteEndMarker)
       t.foreach { c =>
         bb += charToByte.getOrElse(c,
           throw new IllegalArgumentException(

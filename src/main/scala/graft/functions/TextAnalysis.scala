@@ -905,6 +905,14 @@ object TextAnalysis {
       name: String, ids: Seq[Long]): Unit = {
     requireIndexName(name)
     require(ids.nonEmpty, "empty deletion batch")
+    // an index written before the doclens table existed cannot recover
+    // token-less documents' lengths from postings — deletion on it must
+    // fail with the remedy named, not a bare table-not-found
+    require(spark.catalog.tableExists(s"${name}_doclens"),
+      s"search index $name predates the ${name}_doclens table (built " +
+        "before per-doc lengths were persisted) — deletion cannot recover " +
+        "token-less documents' lengths from postings; rebuild the index " +
+        "with writeSearchIndex first")
     import spark.implicits._
     val idsDf = ids.toDF("doc_id")
     val rows = spark.table(s"${name}_doclens")
@@ -928,6 +936,10 @@ object TextAnalysis {
       name: String): Unit = {
     requireIndexName(name)
     if (spark.catalog.tableExists(s"${name}_deletes")) {
+      require(spark.catalog.tableExists(s"${name}_doclens"),
+        s"search index $name predates the ${name}_doclens table — " +
+          "compaction cannot fold its tombstones; rebuild the index " +
+          "with writeSearchIndex first")
       val g = correctedBm25Stats(spark, name).first()
       graft.sources.Tables.rewriteBucketed(spark, s"${name}_postings",
         graft.sources.Tables.minusDeletes(spark, name,

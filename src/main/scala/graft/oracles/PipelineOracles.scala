@@ -120,8 +120,10 @@ private[graft] object PipelineOracles {
     val syms = s"[($bpeBytesMapSql)[substring(hex(encode(word)), " +
       "2 * i + 1, 2)][1] " +
       "FOR i IN range(0, CAST(len(hex(encode(word))) AS INT) // 2)]"
+    // byte mode appends the out-of-band ByteEndMarker, not "</w>" (whose
+    // chars are content byte symbols — the HTML-corpus decode trap)
     val init = s"(${lit(sep)} || array_to_string($syms, ${lit(sep)}) || " +
-      s"${lit(sep + Bpe.EndMarker + sep)})"
+      s"${lit(sep + Bpe.ByteEndMarker + sep)})"
     bpeBytesMerges.sortBy(_.rank).foldLeft(init) { (e, m) =>
       s"replace($e, ${lit(sep + m.left + sep + m.right + sep)}, " +
         s"${lit(sep + m.left + m.right + sep)})"

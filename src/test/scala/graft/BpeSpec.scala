@@ -205,6 +205,34 @@ class BpeSpec extends SparkSpec {
     assert(viaExpr == viaRef, s"expression $viaExpr != reference $viaRef")
   }
 
+  test("byte-level round-trip survives literal '</w>' content (HTML-ish " +
+      "corpora): the end marker is out-of-band") {
+    // merges learned on repeated "</w>"-bearing words assemble
+    // content-derived "</w>" INSIDE symbols; a substring-strip decode
+    // would silently drop those four bytes
+    val merges = Bpe.learnMergesLocal(
+      Seq.fill(6)("</w> a</w>b x</w> </w> html</w>tag").map(identity),
+      numMerges = 24, byteLevel = true)
+    assert(merges.nonEmpty)
+    for (w <- Seq("</w>", "a</w>b", "x</w>", "html</w>tag", "pre</w>post",
+        "</w></w>", "café</w>")) {
+      val seg = Bpe.segmentWord(w, merges, byteLevel = true)
+      assert(Bpe.decodeBytes(seg) == w,
+        s"round-trip must be identity for '$w' (got " +
+          s"'${Bpe.decodeBytes(seg)}' via $seg)")
+    }
+    // a content-derived "</w>" really did land inside a learned symbol
+    // (else this test exercises nothing)
+    val assembled = Seq("</w>", "a</w>b", "x</w>").exists { w =>
+      Bpe.segmentWord(w, merges, byteLevel = true)
+        .exists(s => s.stripSuffix(Bpe.ByteEndMarker).contains("</w>"))
+    }
+    assert(assembled, "fixture must assemble a content '</w>' in a symbol")
+    // the marker char itself can never be CONTENT: it is outside the
+    // byte alphabet, so no input word can introduce it
+    assert(!Bpe.byteSymbols.contains(Bpe.ByteEndMarker))
+  }
+
   test("non-BMP characters segment by code point, never by UTF-16 unit") {
     // U+1F600 (😀) is a surrogate pair in UTF-16; a code-unit split would
     // produce two unpaired-surrogate symbols (malformed strings that also

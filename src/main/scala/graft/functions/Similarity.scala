@@ -67,7 +67,10 @@ object Similarity {
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .filter(col("nrm") > 0)
       .select(col("vec_id") +:
-        transform(col("v"), x => x / col("nrm")).as("v") +:
+        // native kernel, NOT transform(x / nrm): one HOF here would pin
+        // the whole fused scan stage (dots + probe ranks included) in
+        // interpreted eval — see VectorDivExpr; bit-equal arithmetic
+        VectorOps.vectorDiv(col("v"), col("nrm")).as("v") +:
         extra.map(col): _*)
 
   /** SCALAR (int8) quantization top-k — the 4×-compression counterpart of
@@ -1157,13 +1160,14 @@ object Similarity {
   private def withProbeCells(df: DataFrame, cents: Array[Array[Double]],
       nprobe: Int): DataFrame =
     if (cents.length < twoLevelThreshold) {
-      val ranked = array_sort(
-        zip_with(centroidScores(cents)(col("v")),
-          sequence(lit(0), lit(cents.length - 1)),
-          (s, i) => struct(s.as("s"), i.as("cid"))),
-        (l, r) => when(l.getField("s") > r.getField("s"), -1)
-          .when(l.getField("s") < r.getField("s"), 1)
-          .otherwise(l.getField("cid") - r.getField("cid")).cast("int"))
+      // the negated-score-struct sort_array idiom of the two-level arm,
+      // NOT zip_with + a comparator lambda: both are higher-order
+      // functions, unsupported by whole-stage codegen, and one HOF drags
+      // the entire probe projection into interpreted eval (the 25×
+      // penalty the r14 assign ladder measured). Natural struct order
+      // (negs asc, cid asc) IS the probe tie rule (score desc, cid asc).
+      val ranked = sort_array(
+        scoredChildren(cents, cents.indices.toArray)(col("v")))
       df.withColumn("__probes", slice(ranked, 1, nprobe).getField("cid"))
     } else {
       val h = superQuantizer(cents)

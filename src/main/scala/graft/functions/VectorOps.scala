@@ -39,11 +39,48 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
   override def prettyName: String = "dot_product"
 }
 
+/** Elementwise divide of an `array<double>` by a scalar — the
+  * normalization kernel (`v / ‖v‖`). The built-in rendering
+  * `transform(v, x -> x / nrm)` is a higher-order function: unsupported
+  * by whole-stage codegen, and ONE such node drags every projection
+  * fused with it into interpreted eval — which, with [[DotProductExpr]]
+  * dots and probe ranks living in the SAME scan-side stage, taxed the
+  * entire ANN/dedup query family (the r14-measured HOF penalty). Same
+  * shape as [[DotProductExpr]]: a fused loop codegen'd via a static
+  * call, arithmetic identical to the transform (one IEEE divide per
+  * element, in order) so results are bit-equal.
+  */
+case class VectorDivExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), DoubleType) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vector_div needs (array<double>, double), got $other")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.div(a.asInstanceOf[ArrayData], b.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.div($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "vector_div"
+}
+
 object VectorOps {
   import org.apache.spark.sql.functions._
 
   def dotProduct(a: Column, b: Column): Column =
     bridge.column(DotProductExpr(bridge.expression(a), bridge.expression(b)))
+
+  def vectorDiv(v: Column, s: Column): Column =
+    bridge.column(VectorDivExpr(bridge.expression(v), bridge.expression(s)))
 
   /** Sign-bit coarse quantizer shared by the LSH/IVF paths: packs the signs
     * of `bits` consecutive dimensions starting at `startDim` into a small
@@ -54,6 +91,16 @@ object VectorOps {
     (0 until bits).map { i =>
       when(element_at(v, startDim + i + 1) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** One IEEE divide per element, in order — bit-equal to
+    * `transform(v, x -> x / s)`. */
+  def div(a: ArrayData, s: Double): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = a.getDouble(i) / s; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   /** Strict left-to-right accumulation; length = min(|a|, |b|). */
   def dot(a: ArrayData, b: ArrayData): Double = {

@@ -54,11 +54,40 @@ object Stress {
         delprobe(spark, nc.toInt, per.toInt, dels.toInt)
       case "phashscale" :: groups :: per :: Nil =>
         phashScale(spark, groups.toInt, per.toInt)
+      case "assignplan" :: dir :: cells :: Nil =>
+        assignPlan(spark, dir, cells.toInt)
       case "linescale" :: docs :: lines :: pool :: Nil =>
         lineScale(spark, docs.toLong, lines.toInt, pool.toInt)
       case other => sys.error(s"unknown args: $other")
     }
     spark.stop()
+  }
+
+  /** PLAN-SIZE evidence for the broadcast-assignment bound
+    * (the two-level broadcast dispatch): at a given cell
+    * count, build the literal two-level and the broadcast assignment
+    * frames over `dir`'s embeddings and print each executed plan's
+    * rendered size plus one timed count — the literal plan grows with
+    * cells·dim doubles (every centroid folded into the expression tree),
+    * the broadcast plan is one CellProbeExpr node regardless of cells.
+    *
+    *   runMain graft.Stress assignplan /tmp/graft_ladder/assign/x100 855
+    */
+  private def assignPlan(spark: SparkSession, dir: String,
+      cells: Int): Unit = {
+    val emb = sources.Tables.embeddings(spark, dir)
+    def probe(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val planChars = df.queryExecution.executedPlan.toString.length
+      val t0 = System.nanoTime()
+      val n = df.filter(col("cluster") >= 0).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[assignplan] $name cells=$cells rows=$n " +
+        f"planChars=$planChars time=$sec%.2fs")
+    }
+    probe("literal_2lvl", functions.Similarity.assignProbe(emb, cells,
+      twoLevel = true, sampleSize = math.max(256, cells * 4)))
+    probe("broadcast", functions.Similarity.assignProbeBcast(emb, cells,
+      sampleSize = math.max(256, cells * 4)))
   }
 
   /** Near-twin corpus: pair generation + connected components end-to-end. */
@@ -805,6 +834,19 @@ object Stress {
             val n = emb.count()
             val cells = functions.Similarity.cellsFor(n)
             functions.Similarity.assignProbe(emb, cells, twoLevel = true,
+                sampleSize = math.max(256, cells * 4))
+              .filter(col("cluster") >= 0)
+          },
+          // the broadcast form (forced): same two-level rule as ONE
+          // CellProbeExpr node over a broadcast hierarchy — the claim to
+          // certify is time parity with assign_2lvl at policy cell
+          // counts while the PLAN stops growing with cells·dim
+          // (`Stress assignplan` prints the plan sizes)
+          "assign_bcast" -> { d =>
+            val emb = sources.Tables.embeddings(spark, d)
+            val n = emb.count()
+            val cells = functions.Similarity.cellsFor(n)
+            functions.Similarity.assignProbeBcast(emb, cells,
                 sampleSize = math.max(256, cells * 4))
               .filter(col("cluster") >= 0)
           })

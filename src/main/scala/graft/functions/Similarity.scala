@@ -1169,29 +1169,57 @@ object Similarity {
       val ranked = sort_array(
         scoredChildren(cents, cents.indices.toArray)(col("v")))
       df.withColumn("__probes", slice(ranked, 1, nprobe).getField("cid"))
-    } else {
-      val h = superQuantizer(cents)
-      val s = h.supers.length
-      val sizes = h.children.map(_.length).sorted
-      var cum = 0; var p = 0
-      while (p < sizes.length && cum < nprobe) { cum += sizes(p); p += 1 }
-      val probeSupers = math.min(s, p + 1)
-      val sRanked = sort_array(array(h.supers.indices.map { i =>
-        struct((-dot(col("v"),
-            array(h.supers(i).map(lit).toIndexedSeq: _*))).as("negs"),
-          lit(i).as("sid"))
-      }.toIndexedSeq: _*))
-      val branches = h.children.indices.map { i =>
-        when(array_contains(col("__picked"), lit(i)),
-          scoredChildren(cents, h.children(i))(col("v")))
-          .otherwise(emptyScored)
-      }
-      df.withColumn("__picked",
-          slice(sRanked, 1, probeSupers).getField("sid"))
-        .withColumn("__probes",
-          slice(sort_array(concat(branches: _*)), 1, nprobe).getField("cid"))
-        .drop("__picked")
+    } else probesBroadcast(df, cents, nprobe)
+
+  /** The folded-literal two-level probe form — retained as a FORCED-RULE
+    * surface for the equivalence spec and the plan-size A/B (`Stress
+    * assignplan`), no longer dispatched: the broadcast form beats it at
+    * every cell count (see the dispatch note above [[twoLevelThreshold]]).
+    */
+  private[graft] def probesTwoLevelLiteral(df: DataFrame,
+      cents: Array[Array[Double]], nprobe: Int): DataFrame = {
+    val h = superQuantizer(cents)
+    val probeSupers = probeSupersFor(h, nprobe)
+    val sRanked = sort_array(array(h.supers.indices.map { i =>
+      struct((-dot(col("v"),
+          array(h.supers(i).map(lit).toIndexedSeq: _*))).as("negs"),
+        lit(i).as("sid"))
+    }.toIndexedSeq: _*))
+    val branches = h.children.indices.map { i =>
+      when(array_contains(col("__picked"), lit(i)),
+        scoredChildren(cents, h.children(i))(col("v")))
+        .otherwise(emptyScored)
     }
+    df.withColumn("__picked",
+        slice(sRanked, 1, probeSupers).getField("sid"))
+      .withColumn("__probes",
+        slice(sort_array(concat(branches: _*)), 1, nprobe).getField("cid"))
+      .drop("__picked")
+  }
+
+  /** The broadcast two-level probe form (every ≥[[twoLevelThreshold]]
+    * path): the identical rule as ONE [[CellProbeExpr]] node —
+    * BucketedSpec pins probe-for-probe equality with the literal form
+    * on shared fixtures. */
+  private[graft] def probesBroadcast(df: DataFrame,
+      cents: Array[Array[Double]], nprobe: Int): DataFrame = {
+    val h = superQuantizer(cents)
+    val bc = df.sparkSession.sparkContext.broadcast(
+      VectorOps.BroadcastHierarchy(h.supers, h.children,
+        h.children.map(_.map(cents(_)))))
+    df.withColumn("__probes",
+      VectorOps.cellProbe(col("v"), bc, probeSupersFor(h, nprobe), nprobe))
+  }
+
+  /** Worst-case probe coverage: enough top supers that even the
+    * smallest-child-count supers cover `nprobe` cells, plus one — the
+    * rule both two-level probe forms share. */
+  private def probeSupersFor(h: CoarseHierarchy, nprobe: Int): Int = {
+    val sizes = h.children.map(_.length).sorted
+    var cum = 0; var p = 0
+    while (p < sizes.length && cum < nprobe) { cum += sizes(p); p += 1 }
+    math.min(h.supers.length, p + 1)
+  }
 
   /** The graph scoring tail shared by both builds: cell join, self-edge
     * drop, exact cosine, top-k window.
@@ -1394,13 +1422,52 @@ object Similarity {
     * N^(2/3) policy that turns the corpus-assignment term from N·cells =
     * N^(5/3) into N·√cells = N^(4/3) — the "going hierarchical" move the
     * cellsFor scaladoc names, as a pure assignment-side refactor: the
-    * cell-count rule and the candidate math are unchanged. (The next
-    * bound beyond this one is plan size: the centroid table is still a
-    * folded literal, so at cells where cells·dim literals stop being
-    * KB-scale the centroids move to a broadcast table — out of scope
-    * here, the rule is documented.)
+    * cell-count rule and the candidate math are unchanged. At and above
+    * this threshold the centroid payload also moves OUT of the plan into
+    * a broadcast hierarchy — [[assignBroadcast]] / [[probesBroadcast]],
+    * the same two-level rule as ONE [[CellProbeExpr]] node (see the
+    * measured A/B note below).
     */
   private[graft] val twoLevelThreshold = 64
+
+  /** Above [[twoLevelThreshold]] the centroid payload now ALWAYS moves
+    * out of the plan into a broadcast ([[CellProbeExpr]]): the measured
+    * A/B (`Stress assignplan`, SCALE.md round-15) shows the folded-
+    * literal two-level form loses at EVERY cell count — its plan grows
+    * as cells·dim doubles (184 KB of plan at 64 cells, 2.0 MB at 855)
+    * and the per-job analysis/codegen of that tree dominates end-to-end
+    * time (3.0 s vs 0.28 s at 64 cells, 407 s vs 2.5 s at 855; the
+    * literal form OOMs an 8 GB driver at 855). The broadcast plan is
+    * ONE expression node (~0.8 KB) regardless of cells, the payload
+    * ships once per executor as a TorrentBroadcast, and the kernel is a
+    * static call inside whole-stage codegen. The flat <threshold paths
+    * (every 8-cell oracle query) stay folded-literal — at that size the
+    * constant-folded plan IS the fastest form and the hashes are
+    * bit-pinned on it. The literal two-level forms ([[assignTwoLevel]],
+    * [[probesTwoLevelLiteral]]) are retained as forced-rule surfaces
+    * for the equivalence spec and the ladder A/B.
+    */
+
+  /** Build + broadcast the [[CellProbeExpr]] payload from trained
+    * centroids — one driver-side [[superQuantizer]] derivation, shipped
+    * once per executor. */
+  private def hierBroadcast(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[Array[Double]]): org.apache.spark.broadcast.Broadcast[
+        VectorOps.BroadcastHierarchy] = {
+    val h = superQuantizer(cents)
+    spark.sparkContext.broadcast(VectorOps.BroadcastHierarchy(
+      h.supers, h.children, h.children.map(_.map(cents(_)))))
+  }
+
+  /** Two-level assignment via the broadcast kernel — same rule, same
+    * ties as [[assignTwoLevel]] (BucketedSpec pins the equality); the
+    * n=1, probeSupers=1 probe IS the hierarchical argmax. */
+  private[graft] def assignBroadcast(nv: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    val bc = hierBroadcast(nv.sparkSession, cents)
+    nv.withColumn("cluster",
+      element_at(VectorOps.cellProbe(col("v"), bc, 1, 1), 1))
+  }
 
   /** A two-level coarse quantizer derived DETERMINISTICALLY from the
     * trained centroids: ~√cells super-centroids fit by the same local
@@ -1492,7 +1559,7 @@ object Similarity {
   private[functions] def assignToCentroids(nv: DataFrame,
       cents: Array[Array[Double]]): DataFrame =
     if (cents.length < twoLevelThreshold) assignFlat(nv, cents)
-    else assignTwoLevel(nv, cents)
+    else assignBroadcast(nv, cents)
 
   private[graft] def assignFlat(nv: DataFrame,
       cents: Array[Array[Double]]): DataFrame =
@@ -1543,6 +1610,16 @@ object Similarity {
     val c = normalized(corpus)
     val cents = trainCentroids(c, cells, sampleSize, iters)
     if (twoLevel) assignTwoLevel(c, cents) else assignFlat(c, cents)
+  }
+
+  /** [[assignProbe]]'s broadcast arm — the dispatched ≥threshold form
+    * under a FORCED rule, so the ladder can A/B it against the literal
+    * two-level arm at the same cell counts (`Stress ladder <sf>
+    * assign ...` / `Stress assignplan`). */
+  private[graft] def assignProbeBcast(corpus: DataFrame, cells: Int,
+      sampleSize: Int = 256, iters: Int = 2): DataFrame = {
+    val c = normalized(corpus)
+    assignBroadcast(c, trainCentroids(c, cells, sampleSize, iters))
   }
 
   /** Normalize an embedding frame and assign it under LITERAL centroids —

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Dot product over `array<double>` as a native Catalyst expression.
   *
@@ -73,8 +73,143 @@ case class VectorDivExpr(left: Expression, right: Expression) extends BinaryExpr
   override def prettyName: String = "vector_div"
 }
 
+/** Two-level probe-cell selection against a BROADCAST hierarchy — the
+  * coarse-assignment form of every ≥[[Similarity.twoLevelThreshold]]
+  * path: folding every centroid into plan literals bloats the task
+  * binary AND the plan tree (analysis, codegen source, explain output
+  * all carry cells·dim doubles — the measured A/B in SCALE.md r15 shows
+  * the literal form losing at every cell count and OOMing at 855),
+  * where this node is ONE expression whose payload ships once per
+  * executor as a TorrentBroadcast. Returns the top-`n` cell ids of the
+  * row's vector
+  * under the identical two-level rule the literal form evaluates —
+  * super ranking and candidate ordering both via Double.compare +
+  * lowest-id tie-break, matching the sort_array struct order and the
+  * first-max argmax ([[VectorOps.probeCells]] kernel; the n=1,
+  * probeSupers=1 case IS the assignment argmax). Codegen'd via a static
+  * call like [[DotProductExpr]], so the scan stage stays whole-stage
+  * compiled.
+  */
+case class CellProbeExpr(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[VectorOps.BroadcastHierarchy],
+    probeSupers: Int, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cell_probe needs array<double>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.probeCells(v.asInstanceOf[ArrayData], bc.value, probeSupers, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftHierBc", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorOps.probeCells($c, " +
+        s"$ref.value(), $probeSupers, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+
+  override def prettyName: String = "cell_probe"
+}
+
 object VectorOps {
   import org.apache.spark.sql.functions._
+
+  /** The broadcast payload of [[CellProbeExpr]]: the super-centroids,
+    * each super's child cell ids (cid-ascending), and the child
+    * centroid vectors in the same order — derived once driver-side from
+    * the trained centroids ([[Similarity.superQuantizer]]'s rule) and
+    * shipped once per executor.
+    */
+  final case class BroadcastHierarchy(supers: Array[Array[Double]],
+      childIds: Array[Array[Int]], childVecs: Array[Array[Array[Double]]])
+    extends Serializable
+
+  /** The [[CellProbeExpr]] kernel: score the √cells supers, keep the top
+    * `probeSupers` (Double.compare desc, first-max = lowest sid on
+    * ties), score ONLY their children, return the `n` best cell ids
+    * (negated-score asc, cid asc — Double.compare, so -0.0/NaN order
+    * exactly matches the literal form's sort_array struct compare).
+    * Per row ~probeSupers·√cells + √cells dots — the same flop bound as
+    * the literal two-level form.
+    */
+  def probeCells(v: ArrayData, hier: AnyRef, probeSupers: Int,
+      n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val h = hier.asInstanceOf[BroadcastHierarchy]
+    val s = h.supers.length
+    val ss = new Array[Double](s)
+    var i = 0
+    while (i < s) { ss(i) = dotV(v, h.supers(i)); i += 1 }
+    val p = math.min(probeSupers, s)
+    val picked = new Array[Int](p)
+    val usedS = new Array[Boolean](s)
+    var j = 0
+    while (j < p) {
+      var best = -1
+      var k = 0
+      while (k < s) {
+        if (!usedS(k) &&
+          (best < 0 || java.lang.Double.compare(ss(k), ss(best)) > 0)) best = k
+        k += 1
+      }
+      usedS(best) = true; picked(j) = best; j += 1
+    }
+    var total = 0
+    j = 0
+    while (j < p) { total += h.childIds(picked(j)).length; j += 1 }
+    val negs = new Array[Double](total)
+    val cids = new Array[Int](total)
+    var t = 0
+    j = 0
+    while (j < p) {
+      val sid = picked(j)
+      val ids = h.childIds(sid)
+      val vecs = h.childVecs(sid)
+      var c = 0
+      while (c < ids.length) {
+        negs(t) = -dotV(v, vecs(c)); cids(t) = ids(c); t += 1; c += 1
+      }
+      j += 1
+    }
+    val m = math.min(n, total)
+    val out = new Array[Int](m)
+    val usedC = new Array[Boolean](total)
+    var r = 0
+    while (r < m) {
+      var best = -1
+      var c = 0
+      while (c < total) {
+        if (!usedC(c) && (best < 0 || {
+          val cmp = java.lang.Double.compare(negs(c), negs(best))
+          cmp < 0 || (cmp == 0 && cids(c) < cids(best))
+        })) best = c
+        c += 1
+      }
+      usedC(best) = true; out(r) = cids(best); r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  private def dotV(a: ArrayData, b: Array[Double]): Double = {
+    val n = math.min(a.numElements(), b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b(i); i += 1 }
+    acc
+  }
+
+  def cellProbe(v: Column,
+      bc: org.apache.spark.broadcast.Broadcast[BroadcastHierarchy],
+      probeSupers: Int, n: Int): Column =
+    bridge.column(CellProbeExpr(bridge.expression(v), bc, probeSupers, n))
 
   def dotProduct(a: Column, b: Column): Column =
     bridge.column(DotProductExpr(bridge.expression(a), bridge.expression(b)))

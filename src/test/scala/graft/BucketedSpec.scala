@@ -645,6 +645,53 @@ class BucketedSpec extends SparkSpec {
     } finally Similarity.dropAnnIndex(spark, name)
   }
 
+  test("broadcast assignment/probes ≡ literal two-level, cell for cell " +
+      "(the dispatched ≥twoLevelThreshold form)") {
+    import graft.functions.Similarity
+    // the policy-test generator at 96 cells: both forms derive the same
+    // hierarchy from the same trained centroids, so assignment AND probe
+    // lists must agree row for row (Double.compare ties included)
+    val nClusters = 32; val per = 100; val dim = 16
+    val corpus = spark.range(nClusters.toLong * per).select(
+      col("id").as("vec_id"),
+      expr(s"transform(sequence(0, ${dim - 1}), " +
+        s"j -> sin((id div $per) * 131.7D + j * 17.3D) " +
+        s"+ 0.1D * sin(id * 37.9D + j * 5.1D))")
+        .cast("array<float>").as("embedding"))
+    val cells = 96
+    val nv = corpus.select($"vec_id",
+      $"embedding".cast("array<double>").as("v"))
+    val nrm = graft.functions.VectorOps.dotProduct($"v", $"v")
+    val unit = nv.select($"vec_id",
+      graft.functions.VectorOps.vectorDiv($"v", sqrt(nrm)).as("v"))
+      .localCheckpoint(true)
+    val cents = Similarity.trainCentroids(unit, cells,
+      sampleSize = math.max(256, cells * 4), iters = 2)
+    val lit2 = Similarity.assignTwoLevel(unit, cents)
+      .select("vec_id", "cluster").orderBy("vec_id")
+      .collect().map(_.toSeq).toSeq
+    val bca = Similarity.assignBroadcast(unit, cents)
+      .select("vec_id", "cluster").orderBy("vec_id")
+      .collect().map(_.toSeq).toSeq
+    assert(bca == lit2,
+      "broadcast assignment must equal the literal two-level argmax")
+    // every cell id is in range and multiple cells are used
+    assert(bca.map(_(1).asInstanceOf[Int]).forall(c => c >= 0 && c < cells))
+    assert(bca.map(_(1)).distinct.size > 8)
+    val litP = Similarity.probesTwoLevelLiteral(unit, cents, nprobe = 3)
+      .select($"vec_id", $"__probes").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq)).toSeq
+    val bcaP = Similarity.probesBroadcast(unit, cents, nprobe = 3)
+      .select($"vec_id", $"__probes").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq)).toSeq
+    assert(bcaP == litP,
+      "broadcast probe lists must equal the literal two-level ranks")
+    // NOTE deliberately NOT asserted: probe rank 1 ≠ assignment argmax in
+    // general — probes rank candidates across probeSupers supers, where
+    // assignment is confined to the single best super (both forms agree
+    // on each rule, which is what the two equalities above pin)
+  }
+
   test("pq: ADC code search recovers structured neighbors; deterministic across runs") {
     import graft.functions.Similarity
     val rnd = new scala.util.Random(13)

@@ -236,7 +236,9 @@ object BpeBytesProps extends Properties("BpeByteLevel") {
   property("segmentation conserves the exact UTF-8 byte count") =
     forAll(genWord, genMerges) { (w, ms) =>
       val syms = Bpe.segmentWord(w, ms, byteLevel = true)
-      val bytes = syms.map(_.replace(Bpe.EndMarker, "").length).sum
+      // the out-of-band ByteEndMarker is a suffix of at most one symbol
+      // (never content — it is outside the byte alphabet)
+      val bytes = syms.map(_.stripSuffix(Bpe.ByteEndMarker).length).sum
       bytes == w.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
     }
 }

@@ -56,6 +56,8 @@ object Stress {
         phashScale(spark, groups.toInt, per.toInt)
       case "assignplan" :: dir :: cells :: Nil =>
         assignPlan(spark, dir, cells.toInt)
+      case "substrplan" :: dir :: w :: Nil =>
+        substrPlan(spark, dir, w.toInt)
       case "linescale" :: docs :: lines :: pool :: Nil =>
         lineScale(spark, docs.toLong, lines.toInt, pool.toInt)
       case other => sys.error(s"unknown args: $other")
@@ -88,6 +90,44 @@ object Stress {
       twoLevel = true, sampleSize = math.max(256, cells * 4)))
     probe("broadcast", functions.Similarity.assignProbeBcast(emb, cells,
       sampleSize = math.max(256, cells * 4)))
+  }
+
+  /** Per-stage timing of [[graft.functions.Dedup.substringDedup]] over a
+    * rung dir — each stage is counted CUMULATIVELY (a stage's time
+    * includes its inputs; the delta between neighbours isolates it), so
+    * a ladder regression names a stage instead of a total.
+    *
+    *   runMain graft.Stress substrplan /tmp/graft_ladder/substr/x30 40
+    */
+  private def substrPlan(spark: SparkSession, dir: String, w: Int): Unit = {
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    val gc = new java.util.concurrent.atomic.AtomicLong
+    val shuf = new java.util.concurrent.atomic.AtomicLong
+    val cpu = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            spill.addAndGet(m.memoryBytesSpilled)
+            gc.addAndGet(m.jvmGCTime)
+            shuf.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            cpu.addAndGet(m.executorCpuTime / 1000000L)
+          }
+        }
+      })
+    val docs = sources.Tables.documents(spark, dir)
+    functions.Dedup.substringDedupStaged(docs, w).foreach {
+      case (name, df) =>
+        spill.set(0); gc.set(0); shuf.set(0); cpu.set(0)
+        val t0 = System.nanoTime()
+        val n = df.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[substrplan] $name rows=$n time=$sec%.2fs " +
+          f"cpuMs=${cpu.get} gcMs=${gc.get} " +
+          f"spillMB=${spill.get / 1048576} shufMB=${shuf.get / 1048576}")
+    }
   }
 
   /** Near-twin corpus: pair generation + connected components end-to-end. */
@@ -850,6 +890,18 @@ object Stress {
                 sampleSize = math.max(256, cells * 4))
               .filter(col("cluster") >= 0)
           })
+      else if (kind == "substr")
+        // substring-level exact dedup — one O(corpus code points)
+        // window-HASH shuffle (8-byte keys) + exact verify on the
+        // candidate (true-repeat) volume only: the claim to certify is
+        // the anchor-bucketed ~1.0 exponent (never the all-pairs or
+        // suffix-array-build shape). Replicas mutate text, so repeats
+        // stay within-replica and scale linearly with the corpus. The
+        // filter consumes n_removed so the count() cannot prune the
+        // verdicts.
+        Seq[(String, String => DataFrame)]("substring_dedup" -> (d =>
+          Dedup.substringDedup(docs(d), windowLen = 40)
+            .filter(col("n_removed") >= 0L)))
       else if (kind == "novelty")
         // trigram novelty — one trigram-keyed shuffle + doc rollup: the
         // claim to certify is a ~1.0 exponent (rows ∝ corpus tokens,

@@ -1085,6 +1085,135 @@ object Dedup {
             s => s.getField("line"))).as(textCol))
   }
 
+  /** SUBSTRING-LEVEL exact dedup — repeated-substring REMOVAL (the
+    * Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better" granularity, the one level between [[chunkDedup]] and
+    * [[lineDedup]]: a repeat need not align to any chunk or line
+    * boundary). Every `windowLen`-code-point sliding window of every
+    * document is a candidate unit; a window occurrence whose exact text
+    * occurred at a strictly earlier (doc_id, pos) anywhere in the
+    * corpus is a DUPLICATE, and every character covered by a duplicate
+    * window is excised (keep-first — the first occurrence survives,
+    * [[lineDedup]]'s rule). Overlapping duplicate windows merge into
+    * maximal spans, so a repeated passage of ANY length ≥ windowLen is
+    * removed as one span regardless of its offset in either document.
+    *
+    * Spark-native shape (suffix arrays don't distribute; this does):
+    *  1. ANCHOR pass — [[RollingHash.windowHashesCol]] emits all window
+    *     hashes in O(len) per document inside the scan (wrapping
+    *     mod-2^64 Karp–Rabin roll, a native codegen kernel), and the
+    *     corpus-sized shuffle carries (hash, doc_id, pos) — 8-byte
+    *     keys, never window text.
+    *  2. CANDIDATE spans — a count-over-hash-partition screen (the ONE
+    *     corpus-sized exchange) keeps only positions whose hash count
+    *     ≥ 2; they join text back doc-keyed: candidate volume is
+    *     true-repeat volume plus collisions (~0 at 64-bit), not corpus
+    *     volume.
+    *  3. EXTEND-AND-VERIFY — per exact window text, the first
+    *     occurrence is min(struct(doc_id, pos)) (a hash aggregate —
+    *     deliberately not a rank window: most keys are unique and
+    *     WindowExec's per-group machinery measured 1047 CPU-s at the
+    *     x30 rung); any non-min occurrence is a duplicate. Collisions
+    *     die here: the verdict never trusts a hash.
+    *  4. Span merge (gaps-and-islands per document) + rebuild from the
+    *     complement segments.
+    *
+    * Cost: one O(corpus code points) hash shuffle + O(repeats) exact
+    * work — the anchor-bucketed shape, never all-pairs (`Stress ladder
+    * substr` measures the exponent). Output one row per non-NULL-text
+    * document: (doc_id, n_chars, n_spans, n_removed, text) — text is
+    * '' when the whole document was a later duplicate, never NULL.
+    * Hash-gated by q_dedup_substrings (DuckDB replays the exact
+    * window/rank/island pipeline on window TEXT — the internal hash
+    * pre-screen needs no replay because step 3 re-verifies exactly).
+    */
+  def substringDedup(docs: DataFrame, windowLen: Int = 40,
+      textCol: String = "text"): DataFrame =
+    substringDedupStaged(docs, windowLen, textCol).last._2
+
+  /** The named intermediate stages of [[substringDedup]] — the stress
+    * probe times each one (`Stress substrplan`) so a ladder regression
+    * names its stage instead of a total. Last entry is the operator
+    * result. */
+  private[graft] def substringDedupStaged(docs: DataFrame,
+      windowLen: Int = 40,
+      textCol: String = "text"): Seq[(String, DataFrame)] = {
+    require(windowLen >= 8, "windowLen < 8 would excise natural language")
+    val d = docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"), col(textCol).as("__t"))
+    val hashed = d.select(col("doc_id"),
+      posexplode(RollingHash.windowHashesCol(col("__t"), windowLen))
+        .as(Seq("pos", "__h")))
+    // candidate screen as ONE corpus-sized exchange: count-over-hash-
+    // partition window. The alternatives both exchange the corpus frame
+    // TWICE (groupBy screen + join-back, with the hash aggregate
+    // degrading to its sort fallback on mostly-unique keys) and measured
+    // strictly slower on the ladder at every rung (SCALE.md r15).
+    val wHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h"))
+    val cand = hashed
+      .withColumn("__c", count(lit(1)).over(wHash))
+      .filter(col("__c") >= 2).select("doc_id", "pos")
+    val candTxt = cand.join(d, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(__t, pos + 1, $windowLen)").as("__win"))
+    // exact verify + keep-first WITHOUT a rank window: the first
+    // occurrence is min(struct(doc_id, pos)) per exact window text
+    // (lexicographic = the (doc_id, pos) total order), a hash aggregate;
+    // a duplicate is any occurrence that is not its group's min
+    val firsts = candTxt.groupBy(col("__win"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__f"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+    val dups = candTxt.join(firsts.hint("SHUFFLE_HASH"), Seq("__win"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("__f"))
+      .select("doc_id", "pos")
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = dups
+      .withColumn("__brk", when(col("pos") >
+        coalesce(max(col("pos") + windowLen).over(
+          wDoc.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(-1)), 1).otherwise(0))
+      .withColumn("__sid", sum(col("__brk")).over(wDoc))
+      .groupBy(col("doc_id"), col("__sid"))
+      .agg(min(col("pos")).as("__s"),
+        (max(col("pos")) + lit(windowLen)).as("__e"))
+    val wSpan = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("__s"))
+    val mids = spans.select(col("doc_id"),
+      coalesce(lag(col("__e"), 1).over(wSpan), lit(0)).as("__ss"),
+      col("__s").as("__se"))
+    val tails = spans.groupBy(col("doc_id")).agg(max(col("__e")).as("__ss"))
+      .join(d, Seq("doc_id"))
+      .select(col("doc_id"), col("__ss"), length(col("__t")).as("__se"))
+    val rebuilt = mids.unionByName(tails)
+      .filter(col("__se") > col("__ss"))
+      .join(d, Seq("doc_id"))
+      .select(col("doc_id"), col("__ss"),
+        expr("substring(__t, __ss + 1, __se - __ss)").as("__seg"))
+      .groupBy(col("doc_id"))
+      .agg(concat_ws("",
+        transform(array_sort(collect_list(struct(col("__ss"), col("__seg")))),
+          s => s.getField("__seg"))).as("__kept"))
+    val removed = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("__e") - col("__s")).as("n_removed"))
+    val out = d.join(removed, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        length(col("__t")).cast("long").as("n_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).cast("long").as("n_removed"),
+        // a doc with spans but no surviving segment was ENTIRELY a later
+        // duplicate: '' by contract, never a silent passthrough
+        when(col("n_spans").isNotNull, coalesce(col("__kept"), lit("")))
+          .otherwise(col("__t")).as(textCol))
+    Seq("hashed" -> hashed, "cand" -> cand, "candTxt" -> candTxt,
+      "dups" -> dups, "spans" -> spans, "rebuilt" -> rebuilt,
+      "result" -> out)
+  }
+
   /** PER-SOURCE BOILERPLATE strip — the template-removal regime
     * [[lineDedup]]'s global keep-first rule cannot express: a line that
     * appears in at least max(`minDocs`, ⌈`minDocFrac` · docs-in-source⌉)

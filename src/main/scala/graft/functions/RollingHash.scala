@@ -48,6 +48,45 @@ case class RollingHashExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "rolling_hash"
 }
 
+/** ALL W-code-point sliding-window hashes of a string in O(len) — the
+  * Karp–Rabin anchor kernel behind substring-level dedup
+  * ([[Dedup.substringDedup]]): one pass decodes the code points, one
+  * pass rolls `h' = (h − cp_out·31^{W-1})·31 + cp_in` in NATURAL
+  * mod-2^64 long arithmetic (wrapping multiply/subtract — no division,
+  * no 128-bit ops). Unlike [[RollingHashExpr]] these hashes are an
+  * ENGINE-INTERNAL pre-screen only: candidates are re-verified on the
+  * exact window text before any removal decision, so no oracle ever
+  * replays this arithmetic and collisions cost a verify, never a wrong
+  * answer. Returns one long per window (empty array when the text is
+  * shorter than W). Codegen'd via a static call ([[DotProductExpr]]'s
+  * pattern).
+  */
+case class WindowHashesExpr(child: Expression, w: Int)
+  extends UnaryExpression {
+  require(w >= 2, s"window length must be >= 2, got $w")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes() = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"window_hashes needs string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    RollingHash.windowHashes(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.windowHashes($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashesExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "window_hashes"
+}
+
 object RollingHash {
 
   /** Largest prime ≤ 2^58: (P-1)*31 + maxCodePoint < 2^63, so the update
@@ -57,6 +96,63 @@ object RollingHash {
 
   def rollingHash(s: Column): Column =
     bridge.column(RollingHashExpr(bridge.expression(s)))
+
+  def windowHashesCol(s: Column, w: Int): Column =
+    bridge.column(WindowHashesExpr(bridge.expression(s), w))
+
+  /** Static entry point for [[WindowHashesExpr]]: decode code points
+    * once, roll once — O(len) total, wrapping mod-2^64 arithmetic. */
+  def windowHashes(s: UTF8String,
+      w: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val cps = codePoints(s)
+    val n = cps.length
+    if (n < w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Long](0))
+    var pow = 1L // 31^(w-1) mod 2^64
+    var k = 1
+    while (k < w) { pow *= 31L; k += 1 }
+    val out = new Array[Long](n - w + 1)
+    var h = 0L
+    var i = 0
+    while (i < w) { h = h * 31L + cps(i); i += 1 }
+    out(0) = h
+    var p = 1
+    while (p <= n - w) {
+      h = (h - cps(p - 1) * pow) * 31L + cps(p + w - 1)
+      out(p) = h
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** UTF-8 → code-point array ([[compute]]'s decode loop, materialized
+    * once so the rolling pass is pure long arithmetic). */
+  private def codePoints(s: UTF8String): Array[Int] = {
+    val n = s.numBytes()
+    val out = new Array[Int](s.numChars())
+    var i = 0
+    var c = 0
+    while (i < n) {
+      val b0 = s.getByte(i) & 0xFF
+      var cp = b0
+      var len = 1
+      if (b0 >= 0x80) {
+        if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
+        else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
+        else if ((b0 & 0xF8) == 0xF0) { cp = b0 & 0x07; len = 4 }
+        var j = 1
+        while (j < len && i + j < n) {
+          cp = (cp << 6) | (s.getByte(i + j) & 0x3F)
+          j += 1
+        }
+      }
+      out(c) = cp
+      c += 1
+      i += len
+    }
+    out
+  }
 
   /** Static entry point shared by interpreted eval and generated code.
     * Iterates CODE POINTS (not UTF-16 chars) so supplementary-plane text

@@ -495,6 +495,68 @@ private[graft] object DedupQueries {
       Some(takedownQuantizedOracle)),
 
 
+    // SUBSTRING-LEVEL exact dedup (Lee et al. 2022 granularity — the one
+    // level between chunk and line dedup: repeats need not align to any
+    // boundary). Corpus = documents plus engineered part-copies: every
+    // 10th doc spawns a clone carrying the doc's first 120 chars at
+    // OFFSET 3 ("zz " prefix), so the repeated passage sits at different
+    // offsets in the two docs — invisible to tile/chunk alignment,
+    // excised here as one merged span. Keep-first by (doc_id, pos): the
+    // originals survive untouched, the clones lose their copied prefix.
+    // The engine's rolling-hash anchor pass is an internal pre-screen
+    // (candidates re-verify on exact window text), so the oracle replays
+    // the window/rank/island pipeline directly on window strings.
+    Q("q_dedup_substrings",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val clones = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 30000L).as("doc_id"),
+            concat(lit("zz "), expr("substring(text, 1, 120)"),
+              lit(" fresh tail "), col("doc_id").cast("string")).as("text"))
+        Dedup.substringDedup(docs.unionByName(clones), windowLen = 40)
+          .orderBy("doc_id")
+      },
+      Some("WITH d AS (SELECT doc_id, text FROM documents " +
+        "WHERE text IS NOT NULL " +
+        "UNION ALL SELECT doc_id + 30000 AS doc_id, " +
+        "'zz ' || substring(text, 1, 120) || ' fresh tail ' || " +
+        "CAST(doc_id AS VARCHAR) AS text FROM documents " +
+        "WHERE doc_id % 10 = 0 AND text IS NOT NULL), " +
+        "w AS (SELECT doc_id, u.pos AS pos, u.win AS win FROM (" +
+        "SELECT doc_id, unnest([{'pos': p, 'win': substring(text, " +
+        "CAST(p AS INT) + 1, 40)} " +
+        "FOR p IN range(0, greatest(len(text) - 39, 0))]) AS u FROM d) q0), " +
+        "occ AS (SELECT doc_id, pos, row_number() OVER (" +
+        "PARTITION BY win ORDER BY doc_id, pos) AS rk FROM w), " +
+        "dup AS (SELECT doc_id, pos FROM occ WHERE rk >= 2), " +
+        "isl AS (SELECT doc_id, pos, CASE WHEN pos > COALESCE(" +
+        "max(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) " +
+        "THEN 1 ELSE 0 END AS brk FROM dup), " +
+        "sids AS (SELECT doc_id, pos, sum(brk) OVER (" +
+        "PARTITION BY doc_id ORDER BY pos) AS sid FROM isl), " +
+        "spans AS (SELECT doc_id, sid, min(pos) AS s, max(pos) + 40 AS e " +
+        "FROM sids GROUP BY 1, 2), " +
+        "mids AS (SELECT doc_id, COALESCE(lag(e) OVER (" +
+        "PARTITION BY doc_id ORDER BY s), 0) AS ss, s AS se FROM spans), " +
+        "tails AS (SELECT doc_id, max(e) AS ss, any_value(len(text)) AS se " +
+        "FROM spans JOIN d USING (doc_id) GROUP BY doc_id), " +
+        "segs AS (SELECT * FROM mids UNION ALL SELECT * FROM tails), " +
+        "kept AS (SELECT doc_id, string_agg(substring(text, " +
+        "CAST(ss AS INT) + 1, CAST(se - ss AS INT)), '' ORDER BY ss) " +
+        "AS kept FROM segs JOIN d USING (doc_id) WHERE se > ss " +
+        "GROUP BY doc_id), " +
+        "rem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
+        "CAST(sum(e - s) AS BIGINT) AS n_removed FROM spans GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars, " +
+        "COALESCE(rem.n_spans, CAST(0 AS BIGINT)) AS n_spans, " +
+        "COALESCE(rem.n_removed, CAST(0 AS BIGINT)) AS n_removed, " +
+        "CASE WHEN rem.n_spans IS NOT NULL THEN COALESCE(kept.kept, '') " +
+        "ELSE d.text END AS text " +
+        "FROM d LEFT JOIN rem USING (doc_id) LEFT JOIN kept USING (doc_id) " +
+        "ORDER BY doc_id")),
+
+
     // Asymmetric containment (near-SUPERSET detection) over a corpus with
     // engineered swallows: every 10th document is concatenated with its
     // successor into a re-keyed super-document, so (part, whole) pairs sit

@@ -38,6 +38,60 @@ class RollingHashSpec extends SparkSpec {
     assert(viaDf == viaEval && viaDf == pinned.map(_._2))
   }
 
+  test("windowHashes: one rolled hash per window, equal to a direct " +
+      "per-window fold, multi-byte included; short text -> empty") {
+    // direct reference: mod-2^64 polynomial of each window's code points
+    def ref(s: String, w: Int): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      if (cps.length < w) Seq.empty
+      else (0 to cps.length - w).map { p =>
+        var h = 0L
+        (p until p + w).foreach(i => h = h * 31L + cps(i))
+        h
+      }
+    }
+    for (s <- Seq("abcabcabcd", "naïve café über 🎉 piñata data",
+        "aaaaaaaaaa", "short"); w <- Seq(2, 4, 7)) {
+      val viaDf = Seq(s).toDF("text")
+        .select(RollingHash.windowHashesCol($"text", w).as("hs"))
+        .as[Seq[Long]].head()
+      assert(viaDf == ref(s, w), s"windowHashes('$s', $w)")
+    }
+    assert(Seq("ab").toDF("text")
+      .select(RollingHash.windowHashesCol($"text", 7).as("hs"))
+      .as[Seq[Long]].head().isEmpty)
+  }
+
+  test("substringDedup: keep-first span removal at any offset; overlaps " +
+      "merge; full-duplicate doc empties; untouched docs pass through") {
+    import graft.functions.Dedup
+    // doc 1 holds the canonical passage; doc 2 repeats it mid-text (an
+    // offset no chunk/line boundary aligns with); doc 3 IS the passage;
+    // doc 4 shares nothing. W=10, passage length 20 -> 11 duplicate
+    // windows per copy merging into ONE 20-char span.
+    val passage = "ABCDEFGHIJKLMNOPQRST"
+    val docs = Seq(
+      (1L, s"the head $passage the tail"),
+      (2L, s"xx $passage and more words here"),
+      (3L, passage),
+      (4L, "совершенно unrelated text body"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, windowLen = 10)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    // doc 1: first occurrence by (doc_id, pos) -> untouched
+    assert(out(0) == ((1L, 38L, 0L, 0L, s"the head $passage the tail")))
+    // doc 2: the repeat excised as ONE merged span — and the maximal
+    // repeat is 22 chars, both flanking spaces included (doc 1 also has
+    // space-passage-space), which no boundary-aligned dedup would see
+    assert(out(1) == ((2L, 43L, 1L, 22L, "xxand more words here")))
+    // doc 3: entirely a later duplicate -> '' (never NULL/passthrough)
+    assert(out(2) == ((3L, 20L, 1L, 20L, "")))
+    // doc 4: no repeats -> passthrough (multi-byte text, code-point math)
+    assert(out(3) == ((4L, 30L, 0L, 0L, "совершенно unrelated text body")))
+  }
+
   test("fingerprint = hash of trim/collapse/lower normalization; null propagates") {
     val out = Seq((1L, "The  Quick\tBrown "), (2L, null: String))
       .toDF("doc_id", "text")

@@ -1168,6 +1168,22 @@ object Dedup {
     val dups = candTxt.join(firsts.hint("SHUFFLE_HASH"), Seq("__win"))
       .filter(struct(col("doc_id"), col("pos")) =!= col("__f"))
       .select("doc_id", "pos")
+    val (spans, rebuilt, out) = exciseWindows(d, dups, windowLen, textCol)
+    Seq("hashed" -> hashed, "cand" -> cand, "candTxt" -> candTxt,
+      "dups" -> dups, "spans" -> spans, "rebuilt" -> rebuilt,
+      "result" -> out)
+  }
+
+  /** The span-merge + rebuild tail shared by [[substringDedup]] and
+    * [[substringScrub]]: given the prepared (doc_id, __t) corpus and the
+    * (doc_id, pos) set of EXCISED window starts, merge overlapping
+    * [pos, pos+windowLen) intervals per document (gaps-and-islands) and
+    * rebuild each document from the complement segments. Windows here
+    * run over the per-doc removal sets only — tiny relative to the
+    * corpus. Returns (spans, rebuilt, result).
+    */
+  private def exciseWindows(d: DataFrame, dups: DataFrame, windowLen: Int,
+      textCol: String): (DataFrame, DataFrame, DataFrame) = {
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = dups
@@ -1205,13 +1221,65 @@ object Dedup {
         length(col("__t")).cast("long").as("n_chars"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_removed"), lit(0L)).cast("long").as("n_removed"),
-        // a doc with spans but no surviving segment was ENTIRELY a later
-        // duplicate: '' by contract, never a silent passthrough
+        // a doc with spans but no surviving segment was ENTIRELY excised:
+        // '' by contract, never a silent passthrough
         when(col("n_spans").isNotNull, coalesce(col("__kept"), lit("")))
           .otherwise(col("__t")).as(textCol))
-    Seq("hashed" -> hashed, "cand" -> cand, "candTxt" -> candTxt,
-      "dups" -> dups, "spans" -> spans, "rebuilt" -> rebuilt,
-      "result" -> out)
+    (spans, rebuilt, out)
+  }
+
+  /** SUBSTRING-LEVEL exact DECONTAMINATION — [[substringDedup]]'s
+    * machinery pointed at a benchmark: every corpus character covered by
+    * a `windowLen`-code-point window whose exact text occurs ANYWHERE in
+    * `benchmark` is excised (no keep-first here — eval text must leave
+    * the training corpus wherever and however often it appears; the
+    * benchmark itself is never modified). This is the character-exact
+    * complement of the token-n-gram contamination family
+    * ([[decontaminate]] / q_text_contamination_spans): n-gram screens
+    * miss re-tokenized or punctuation-shifted copies that character
+    * windows still catch.
+    *
+    * Scale shape: both sides anchor with the O(len) rolling-hash kernel;
+    * the corpus-sized exchange carries 8-byte hashes; the exact verify
+    * joins only hash-matched candidates on window TEXT (corpus side
+    * carries text for candidates only, benchmark side collapses to its
+    * distinct hash-matched windows — benchmark volume, not corpus
+    * volume). Output schema = [[substringDedup]]'s.
+    */
+  def substringScrub(corpus: DataFrame, benchmark: DataFrame,
+      windowLen: Int = 40, textCol: String = "text",
+      benchTextCol: String = "text"): DataFrame = {
+    require(windowLen >= 8, "windowLen < 8 would excise natural language")
+    val d = corpus.filter(col(textCol).isNotNull)
+      .select(col("doc_id"), col(textCol).as("__t"))
+    val b = benchmark.filter(col(benchTextCol).isNotNull)
+      .select(col(benchTextCol).as("__bt"))
+    val corpusH = d.select(col("doc_id"),
+      posexplode(RollingHash.windowHashesCol(col("__t"), windowLen))
+        .as(Seq("pos", "__h")))
+    val benchH = b.select(
+      posexplode(RollingHash.windowHashesCol(col("__bt"), windowLen))
+        .as(Seq("__bpos", "__h")))
+      .select(col("__h")).distinct()
+    val cand = corpusH.join(benchH.hint("SHUFFLE_HASH"), Seq("__h"),
+      "left_semi")
+    val candTxt = cand.join(d, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"), col("__h"),
+        expr(s"substring(__t, pos + 1, $windowLen)").as("__win"))
+    // exact verify: benchmark windows re-derive for hash-matched hashes
+    // only (benchmark volume), then equi-join on the window TEXT
+    val benchWins = b.select(
+      posexplode(RollingHash.windowHashesCol(col("__bt"), windowLen))
+        .as(Seq("__bpos", "__h")),
+      col("__bt"))
+      .join(candTxt.select(col("__h")).distinct().hint("SHUFFLE_HASH"),
+        Seq("__h"), "left_semi")
+      .select(expr(s"substring(__bt, __bpos + 1, $windowLen)").as("__win"))
+      .distinct()
+    val dups = candTxt.join(benchWins.hint("SHUFFLE_HASH"), Seq("__win"),
+      "left_semi").select("doc_id", "pos")
+    val (_, _, out) = exciseWindows(d, dups, windowLen, textCol)
+    out
   }
 
   /** PER-SOURCE BOILERPLATE strip — the template-removal regime

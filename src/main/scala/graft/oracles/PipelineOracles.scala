@@ -1212,6 +1212,51 @@ private[graft] object PipelineOracles {
       "ORDER BY idx), '') AS text " +
       "FROM lk WHERE doc_id % 4 = 0 GROUP BY doc_id ORDER BY doc_id"
 
+  /** The sliding-window CTE of a text relation `src(…, textCol)` →
+    * `out(doc-cols…, pos, win)` — shared by the substring-dedup and
+    * substring-scrub oracles. */
+  private[graft] def substringWindowsSql(src: String, keyCol: String,
+      out: String, w: Int): String =
+    s"$out AS (SELECT $keyCol, u.pos AS pos, u.win AS win FROM (" +
+      s"SELECT $keyCol, unnest([{'pos': p, 'win': substring(text, " +
+      s"CAST(p AS INT) + 1, $w)} " +
+      s"FOR p IN range(0, greatest(len(text) - ${w - 1}, 0))]) AS u " +
+      s"FROM $src) q_$out)"
+
+  /** The island-merge + complement-rebuild SQL tail shared by the
+    * substring-dedup and substring-scrub oracles: expects CTEs
+    * `d(doc_id, text)` (the corpus) and `dup(doc_id, pos)` (the excised
+    * window starts) in scope; emits the final (doc_id, n_chars, n_spans,
+    * n_removed, text) relation — the exact replay of
+    * [[graft.functions.Dedup]]'s exciseWindows tail. */
+  private[graft] def substringExciseTailSql(w: Int): String =
+    "isl AS (SELECT doc_id, pos, CASE WHEN pos > COALESCE(" +
+      s"max(pos + $w) OVER (PARTITION BY doc_id ORDER BY pos " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) " +
+      "THEN 1 ELSE 0 END AS brk FROM dup), " +
+      "sids AS (SELECT doc_id, pos, sum(brk) OVER (" +
+      "PARTITION BY doc_id ORDER BY pos) AS sid FROM isl), " +
+      s"spans AS (SELECT doc_id, sid, min(pos) AS s, max(pos) + $w AS e " +
+      "FROM sids GROUP BY 1, 2), " +
+      "mids AS (SELECT doc_id, COALESCE(lag(e) OVER (" +
+      "PARTITION BY doc_id ORDER BY s), 0) AS ss, s AS se FROM spans), " +
+      "tails AS (SELECT doc_id, max(e) AS ss, any_value(len(text)) AS se " +
+      "FROM spans JOIN d USING (doc_id) GROUP BY doc_id), " +
+      "segs AS (SELECT * FROM mids UNION ALL SELECT * FROM tails), " +
+      "kept AS (SELECT doc_id, string_agg(substring(text, " +
+      "CAST(ss AS INT) + 1, CAST(se - ss AS INT)), '' ORDER BY ss) " +
+      "AS kept FROM segs JOIN d USING (doc_id) WHERE se > ss " +
+      "GROUP BY doc_id), " +
+      "rem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
+      "CAST(sum(e - s) AS BIGINT) AS n_removed FROM spans GROUP BY doc_id) " +
+      "SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars, " +
+      "COALESCE(rem.n_spans, CAST(0 AS BIGINT)) AS n_spans, " +
+      "COALESCE(rem.n_removed, CAST(0 AS BIGINT)) AS n_removed, " +
+      "CASE WHEN rem.n_spans IS NOT NULL THEN COALESCE(kept.kept, '') " +
+      "ELSE d.text END AS text " +
+      "FROM d LEFT JOIN rem USING (doc_id) LEFT JOIN kept USING (doc_id) " +
+      "ORDER BY doc_id"
+
   /** Composed oracle for q_takedown_quantized: after ONE deleteEverywhere
     * batch, the SQ index must answer the plain-corpus SQ8 replay and the
     * unlearned line-df state must answer the plain incremental-strip

@@ -522,39 +522,40 @@ private[graft] object DedupQueries {
         "'zz ' || substring(text, 1, 120) || ' fresh tail ' || " +
         "CAST(doc_id AS VARCHAR) AS text FROM documents " +
         "WHERE doc_id % 10 = 0 AND text IS NOT NULL), " +
-        "w AS (SELECT doc_id, u.pos AS pos, u.win AS win FROM (" +
-        "SELECT doc_id, unnest([{'pos': p, 'win': substring(text, " +
-        "CAST(p AS INT) + 1, 40)} " +
-        "FOR p IN range(0, greatest(len(text) - 39, 0))]) AS u FROM d) q0), " +
+        substringWindowsSql("d", "doc_id", "w", 40) + ", " +
         "occ AS (SELECT doc_id, pos, row_number() OVER (" +
         "PARTITION BY win ORDER BY doc_id, pos) AS rk FROM w), " +
         "dup AS (SELECT doc_id, pos FROM occ WHERE rk >= 2), " +
-        "isl AS (SELECT doc_id, pos, CASE WHEN pos > COALESCE(" +
-        "max(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) " +
-        "THEN 1 ELSE 0 END AS brk FROM dup), " +
-        "sids AS (SELECT doc_id, pos, sum(brk) OVER (" +
-        "PARTITION BY doc_id ORDER BY pos) AS sid FROM isl), " +
-        "spans AS (SELECT doc_id, sid, min(pos) AS s, max(pos) + 40 AS e " +
-        "FROM sids GROUP BY 1, 2), " +
-        "mids AS (SELECT doc_id, COALESCE(lag(e) OVER (" +
-        "PARTITION BY doc_id ORDER BY s), 0) AS ss, s AS se FROM spans), " +
-        "tails AS (SELECT doc_id, max(e) AS ss, any_value(len(text)) AS se " +
-        "FROM spans JOIN d USING (doc_id) GROUP BY doc_id), " +
-        "segs AS (SELECT * FROM mids UNION ALL SELECT * FROM tails), " +
-        "kept AS (SELECT doc_id, string_agg(substring(text, " +
-        "CAST(ss AS INT) + 1, CAST(se - ss AS INT)), '' ORDER BY ss) " +
-        "AS kept FROM segs JOIN d USING (doc_id) WHERE se > ss " +
-        "GROUP BY doc_id), " +
-        "rem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
-        "CAST(sum(e - s) AS BIGINT) AS n_removed FROM spans GROUP BY doc_id) " +
-        "SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars, " +
-        "COALESCE(rem.n_spans, CAST(0 AS BIGINT)) AS n_spans, " +
-        "COALESCE(rem.n_removed, CAST(0 AS BIGINT)) AS n_removed, " +
-        "CASE WHEN rem.n_spans IS NOT NULL THEN COALESCE(kept.kept, '') " +
-        "ELSE d.text END AS text " +
-        "FROM d LEFT JOIN rem USING (doc_id) LEFT JOIN kept USING (doc_id) " +
-        "ORDER BY doc_id")),
+        substringExciseTailSql(40))),
+
+
+    // SUBSTRING-LEVEL exact DECONTAMINATION: the scrub machinery pointed
+    // at a benchmark — an eval set built FROM corpus text (every 17th
+    // doc's chars 31..180 wrapped in Q:/A: chrome, the
+    // benchmark-derived-from-crawl leakage case) must leave the corpus
+    // at EVERY occurrence (no keep-first), character-exact at any
+    // offset. The benchmark itself is untouched; corpus docs that share
+    // nothing pass through byte-identical.
+    Q("q_dedup_substring_scrub",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val bench = docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 900000L).as("bench_id"),
+            concat(lit("Q: "), expr("substring(text, 31, 150)"),
+              lit(" A: unknown")).as("text"))
+        Dedup.substringScrub(docs, bench, windowLen = 40)
+          .orderBy("doc_id")
+      },
+      Some("WITH d AS (SELECT doc_id, text FROM documents " +
+        "WHERE text IS NOT NULL), " +
+        "bz AS (SELECT doc_id AS bench_id, " +
+        "'Q: ' || substring(text, 31, 150) || ' A: unknown' AS text " +
+        "FROM documents WHERE doc_id % 17 = 0 AND text IS NOT NULL), " +
+        substringWindowsSql("bz", "bench_id", "bw0", 40) + ", " +
+        "bw AS (SELECT DISTINCT win FROM bw0), " +
+        substringWindowsSql("d", "doc_id", "w", 40) + ", " +
+        "dup AS (SELECT w.doc_id, w.pos FROM w JOIN bw USING (win)), " +
+        substringExciseTailSql(40))),
 
 
     // Asymmetric containment (near-SUPERSET detection) over a corpus with

@@ -92,6 +92,32 @@ class RollingHashSpec extends SparkSpec {
     assert(out(3) == ((4L, 30L, 0L, 0L, "совершенно unrelated text body")))
   }
 
+  test("substringScrub: benchmark text excised wherever it appears (all " +
+      "copies, any offset); benchmark-free docs pass through") {
+    import graft.functions.Dedup
+    val evalq = "WHATISTHECAPITALOFFRANCE" // 24 chars, W=10
+    val corpus = Seq(
+      (1L, s"intro $evalq outro"),            // one copy
+      (2L, s"a $evalq b $evalq c"),           // two copies, BOTH go
+      (3L, "nothing shared with the benchmark here"),
+      (4L, evalq))                            // doc IS the eval item
+      .toDF("doc_id", "text")
+    // bench flanks the item with NON-space chars, so the maximal shared
+    // substring is exactly the 24-char eval text (the windowHashes spec
+    // above already pins flank-inclusive sharing)
+    val bench = Seq((900L, s"Q:${evalq}A: Paris"))
+      .toDF("bench_id", "text")
+    val out = Dedup.substringScrub(corpus, bench, windowLen = 10)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSeq
+    assert(out(0) == ((1L, 1L, 24L, "intro  outro")))
+    assert(out(1) == ((2L, 2L, 48L, "a  b  c")),
+      "EVERY copy is excised — no keep-first in decontamination")
+    assert(out(2) == ((3L, 0L, 0L, "nothing shared with the benchmark here")))
+    assert(out(3) == ((4L, 1L, 24L, "")))
+  }
+
   test("fingerprint = hash of trim/collapse/lower normalization; null propagates") {
     val out = Seq((1L, "The  Quick\tBrown "), (2L, null: String))
       .toDF("doc_id", "text")

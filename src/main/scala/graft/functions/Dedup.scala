@@ -1282,6 +1282,155 @@ object Dedup {
     out
   }
 
+  /** PERSIST the substring-anchor state [[substringScrub]] derives from
+    * scratch — the incremental-maintenance artifact for the daily-crawl
+    * regime: screen today's batch against EVERYTHING seen at O(batch +
+    * matched) instead of re-hashing the seen corpus per run. Three
+    * tables:
+    *
+    *  - `<name>_winhash` (h, doc_id, pos): every window's rolling hash,
+    *    bucketed by h so the screen's semi-join bucket-prunes;
+    *  - `<name>_docs` (doc_id, text): the verify side, bucketed by
+    *    doc_id — exact window text re-derives from here for
+    *    hash-matched docs only (hashes are never trusted);
+    *  - `<name>_meta` (w): the window length, pinned — a screen at a
+    *    different W would silently miss repeats, so reads `require` it.
+    *
+    * Maintenance: [[upsertSubstringIndex]] appends a DISJOINT batch
+    * under the tables' own specs (O(batch));
+    * [[deleteFromSubstringIndex]] is the takedown surface (tombstones;
+    * both tables are doc-keyed, reads anti-join —
+    * [[Takedown.SubstringIndex]] wires it into deleteEverywhere);
+    * [[compactSubstringIndex]] folds. Torn-publish discipline: meta
+    * first, payload after, any failure drops all.
+    */
+  def writeSubstringIndex(seen: DataFrame, name: String,
+      windowLen: Int = 40, buckets: Int = 8,
+      textCol: String = "text"): Unit = {
+    require(windowLen >= 8, "windowLen < 8 would excise natural language")
+    graft.sources.Tables.requireIdent(name)
+    val spark = seen.sparkSession
+    dropSubstringIndex(spark, name)
+    try {
+      import spark.implicits._
+      Seq(windowLen).toDF("w")
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${name}_meta")
+      val d = seen.filter(col(textCol).isNotNull)
+        .select(col("doc_id"), col(textCol).as("text"))
+      graft.sources.Tables.writeBucketed(d, s"${name}_docs", "doc_id",
+        buckets)
+      graft.sources.Tables.writeBucketed(
+        substringIndexRows(spark.table(s"${name}_docs"), windowLen),
+        s"${name}_winhash", "h", buckets)
+    } catch {
+      case e: Throwable => dropSubstringIndex(spark, name); throw e
+    }
+  }
+
+  private def substringIndexRows(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(RollingHash.windowHashesCol(col("text"), w))
+        .as(Seq("pos", "h")))
+      .select(col("h"), col("doc_id"), col("pos"))
+
+  def dropSubstringIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit =
+    graft.sources.Tables.dropManagedTables(spark,
+      Seq(s"${name}_meta", s"${name}_winhash", s"${name}_docs",
+        s"${name}_deletes"))
+
+  /** Fold a DISJOINT batch of new documents into the index — O(batch)
+    * appends under the tables' own bucket specs (a re-sent document
+    * would double its windows; dedup upstream — the standing upsert
+    * contract). */
+  def upsertSubstringIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, batch: DataFrame, textCol: String = "text"): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    val w = substringIndexW(spark, name)
+    val d = batch.filter(col(textCol).isNotNull)
+      .select(col("doc_id"), col(textCol).as("text"))
+    graft.sources.Tables.appendBucketed(spark, s"${name}_docs", d)
+    graft.sources.Tables.appendBucketed(spark, s"${name}_winhash",
+      substringIndexRows(d, w))
+  }
+
+  /** TARGETED DELETION (takedowns): O(batch) tombstone append; the
+    * screen anti-joins both doc-keyed tables, so deleted documents stop
+    * contributing windows immediately; [[compactSubstringIndex]] is the
+    * amortized physical purge. Equality with an index rebuilt without
+    * the deleted docs is unconditional (windows are per-document) —
+    * hash-certified by q_dedup_substrings_indexed's deleted clones. */
+  def deleteFromSubstringIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, ids: Seq[Long]): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    graft.sources.Tables.appendDeletes(spark, name, "doc_id", ids)
+  }
+
+  /** Fold tombstones into both payload tables and clear them. */
+  def compactSubstringIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    if (spark.catalog.tableExists(s"${name}_deletes")) {
+      Seq(s"${name}_winhash", s"${name}_docs").foreach { t =>
+        graft.sources.Tables.rewriteBucketed(spark, t,
+          graft.sources.Tables.minusDeletes(spark, name, spark.table(t),
+            "doc_id"))
+      }
+      graft.sources.Tables.dropDeletes(spark, name)
+    }
+  }
+
+  /** [[substringScrub]] against a PERSISTED index: excise from `batch`
+    * every character covered by a window whose exact text occurs in the
+    * LIVE seen corpus — same verdicts as the one-shot scrub with the
+    * seen corpus as the benchmark (q_dedup_substrings_indexed shares
+    * that replay), but the seen side is never re-hashed: the batch's
+    * hashes semi-join the bucket-pruned `_winhash` read, and only
+    * hash-MATCHED seen docs re-derive window text from `_docs`. Cost is
+    * O(batch + matched), FLAT as the seen corpus grows.
+    */
+  def substringScreen(spark: org.apache.spark.sql.SparkSession,
+      name: String, batch: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    graft.sources.Tables.requireIdent(name)
+    val w = substringIndexW(spark, name)
+    val d = batch.filter(col(textCol).isNotNull)
+      .select(col("doc_id"), col(textCol).as("__t"))
+    val batchH = d.select(col("doc_id"),
+      posexplode(RollingHash.windowHashesCol(col("__t"), w))
+        .as(Seq("pos", "__h")))
+    val seenH = graft.sources.Tables.minusDeletes(spark, name,
+      spark.table(s"${name}_winhash"), "doc_id")
+    val cand = batchH.join(
+      seenH.select(col("h").as("__h")).distinct().hint("SHUFFLE_HASH"),
+      Seq("__h"), "left_semi")
+    val candTxt = cand.join(d, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"), col("__h"),
+        expr(s"substring(__t, pos + 1, $w)").as("__win"))
+    // exact verify: re-derive window text ONLY for seen docs that carry
+    // a hash-matched window (point-pruned _docs read, never a rescan)
+    val hitDocs = seenH
+      .join(candTxt.select(col("__h").as("h")).distinct()
+        .hint("SHUFFLE_HASH"), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+      .join(graft.sources.Tables.minusDeletes(spark, name,
+        spark.table(s"${name}_docs"), "doc_id"), Seq("doc_id"))
+      .select(expr(s"substring(text, pos + 1, $w)").as("__win"))
+      .distinct()
+    val dups = candTxt.join(hitDocs.hint("SHUFFLE_HASH"), Seq("__win"),
+      "left_semi").select("doc_id", "pos")
+    val (_, _, out) = exciseWindows(d, dups, w, textCol)
+    out
+  }
+
+  private def substringIndexW(spark: org.apache.spark.sql.SparkSession,
+      name: String): Int = {
+    require(spark.catalog.tableExists(s"${name}_meta"),
+      s"substring index $name has no meta table")
+    spark.table(s"${name}_meta").head().getInt(0)
+  }
+
   /** PER-SOURCE BOILERPLATE strip — the template-removal regime
     * [[lineDedup]]'s global keep-first rule cannot express: a line that
     * appears in at least max(`minDocs`, ⌈`minDocFrac` · docs-in-source⌉)

@@ -90,6 +90,11 @@ object Takedown {
   final case class IvfPqResIndex(name: String) extends Artifact {
     private[graft] def tag = "ivfpqres"
   }
+  /** Persisted substring-anchor index ([[Dedup.writeSubstringIndex]]) —
+    * both payload tables are doc-keyed. */
+  final case class SubstringIndex(name: String) extends Artifact {
+    private[graft] def tag = "substr"
+  }
   /** Persisted eval ground truth ([[Similarity.writeGroundTruth]]) —
     * doc-keyed on BOTH sides (query_id and neighbor_id). */
   final case class GroundTruth(name: String) extends Artifact {
@@ -163,6 +168,8 @@ object Takedown {
           case PqIndex(n) => Similarity.deleteFromPqIndex(spark, n, batch)
           case IvfPqResIndex(n) =>
             Similarity.deleteFromIvfPqResIndex(spark, n, batch)
+          case SubstringIndex(n) =>
+            Dedup.deleteFromSubstringIndex(spark, n, batch)
           case GroundTruth(n) =>
             Similarity.deleteFromGroundTruth(spark, n, batch)
           case PhashTable(n) => Multimodal.deleteFromPhashTable(spark, n, batch)
@@ -195,6 +202,7 @@ object Takedown {
       case SqIndex(n) => Similarity.compactSqIndex(spark, n)
       case PqIndex(n) => Similarity.compactPqIndex(spark, n)
       case IvfPqResIndex(n) => Similarity.compactIvfPqResIndex(spark, n)
+      case SubstringIndex(n) => Dedup.compactSubstringIndex(spark, n)
       case GroundTruth(n) => Similarity.compactGroundTruth(spark, n)
       case PhashTable(n) => Multimodal.compactPhashTable(spark, n)
       case ClusterTable(_, _) | LmTable(_, _) | LineDf(_, _, _, _, _) => ()
@@ -234,6 +242,9 @@ object Takedown {
         case SqIndex(nm) => residualCodes(nm)
         case PqIndex(nm) => residualCodes(nm)
         case IvfPqResIndex(nm) => residualCodes(nm)
+        case SubstringIndex(nm) => residual(
+          graft.sources.Tables.minusDeletes(spark, nm,
+            spark.table(s"${nm}_winhash"), "doc_id"), "doc_id")
         case GroundTruth(nm) =>
           // a truth row references an id on EITHER side; the live read
           // already dropped tombstoned rows, so any hit here is leakage
@@ -268,7 +279,8 @@ object Takedown {
     * (`_postings` → bm25, `_sets` → minhash, `_assignments` → ann,
     * `_codes`+`_params` → sq, `_codes`+`_centroids` → ivfpqres,
     * `_codes`+`_codebooks` → pq, `_clusters` → clusters,
-    * `_model`+`_ctx` → lm, `_linedf` → linedf, `_truth` → gtruth) and
+    * `_model`+`_ctx` → lm, `_winhash` → substr, `_linedf` → linedf,
+    * `_truth` → gtruth) and
     * returns every (family, name) found in the catalog but ABSENT from
     * the registry — loud rows, not silent retention. Callers gate with
     * `require(auditRegistry(...).isEmpty, ...)` before trusting a
@@ -298,6 +310,7 @@ object Takedown {
         } ++
         base("_clusters").map(("clusters", _)) ++
         base("_model").filter(b => names(s"${b}_ctx")).map(("lm", _)) ++
+        base("_winhash").map(("substr", _)) ++
         base("_linedf").map(("linedf", _)) ++
         base("_truth").map(("gtruth", _))
     val registered = registry

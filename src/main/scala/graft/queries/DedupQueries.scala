@@ -529,6 +529,48 @@ private[graft] object DedupQueries {
         substringExciseTailSql(40))),
 
 
+    // INCREMENTAL substring screen against a PERSISTED anchor index —
+    // the daily-crawl regime: the seen corpus is hashed ONCE
+    // (writeSubstringIndex: bucketed winhash + docs tables), today's
+    // batch screens at O(batch + matched). Built on half the seen
+    // corpus + UPSERT of the other half (certifies the fold), and the
+    // seen side additionally carries EXACT COPIES of every batch doc
+    // (ids +400000) that are then tombstone-DELETED: a deletion path
+    // that leaked even one clone window back into the screen would
+    // excise entire batch documents and fail the hash. The oracle is
+    // the from-scratch scrub replay of batch-vs-seen.
+    Q("q_dedup_substrings_indexed",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val seen = docs.filter(col("doc_id") % 4 =!= 0)
+        val batch = docs.filter(col("doc_id") % 4 === 0)
+        val clones = batch.select(
+          (col("doc_id") + 400000L).as("doc_id"), col("text"))
+        val name = "graft_ssi_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Dedup.writeSubstringIndex(
+          seen.filter(col("doc_id") % 2 === 0).unionByName(clones), name)
+        try {
+          Dedup.upsertSubstringIndex(s, name,
+            seen.filter(col("doc_id") % 2 =!= 0))
+          val cloneIds = batch.select("doc_id").collect()
+            .map(_.getLong(0) + 400000L).toSeq
+          Dedup.deleteFromSubstringIndex(s, name, cloneIds)
+          Dedup.substringScreen(s, name, batch)
+            .orderBy("doc_id").localCheckpoint(true)
+        } finally Dedup.dropSubstringIndex(s, name)
+      },
+      Some("WITH d AS (SELECT doc_id, text FROM documents " +
+        "WHERE text IS NOT NULL AND doc_id % 4 = 0), " +
+        "bz AS (SELECT doc_id AS bench_id, text FROM documents " +
+        "WHERE text IS NOT NULL AND doc_id % 4 <> 0), " +
+        substringWindowsSql("bz", "bench_id", "bw0", 40) + ", " +
+        "bw AS (SELECT DISTINCT win FROM bw0), " +
+        substringWindowsSql("d", "doc_id", "w", 40) + ", " +
+        "dup AS (SELECT w.doc_id, w.pos FROM w JOIN bw USING (win)), " +
+        substringExciseTailSql(40))),
+
+
     // SUBSTRING-LEVEL exact DECONTAMINATION: the scrub machinery pointed
     // at a benchmark — an eval set built FROM corpus text (every 17th
     // doc's chars 31..180 wrapped in Q:/A: chrome, the

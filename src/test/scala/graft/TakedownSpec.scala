@@ -403,30 +403,80 @@ class TakedownSpec extends SparkSpec {
   test("auditRegistry names unregistered artifact families loudly") {
     val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val bm = s"td_aud_bm_$uid"; val sq = s"td_aud_sq_$uid"
-    val ldf = s"td_aud_ldf_$uid"
+    val ldf = s"td_aud_ldf_$uid"; val ssi = s"td_aud_ssi_$uid"
     val docs = Seq((1L, "one two three", "s1"), (2L, "four five six", "s1"))
       .toDF("doc_id", "text", "source")
     val (vecs, _, _) = quantFixture()
     TextAnalysis.writeSearchIndex(docs, bm, buckets = 2)
     Similarity.writeSqIndex(vecs, sq)
     Dedup.writeLineDfTable(docs, ldf, buckets = 2)
+    Dedup.writeSubstringIndex(docs, ssi, windowLen = 8, buckets = 2)
     try {
       // full registry → none of OUR names are flagged
       val full = Seq(Takedown.SearchIndex(bm), Takedown.SqIndex(sq),
-        Takedown.LineDf(ldf, docs))
-      val ours = Set(bm.toLowerCase, sq.toLowerCase, ldf.toLowerCase)
+        Takedown.LineDf(ldf, docs), Takedown.SubstringIndex(ssi))
+      val ours = Set(bm, sq, ldf, ssi).map(_.toLowerCase)
       assert(Takedown.auditRegistry(spark, full)
         .forall(r => !ours(r._2)), "registered artifacts must not be flagged")
-      // drop the SQ index from the registry → it is NAMED, not silent
+      // drop the SQ + substring indexes from the registry → NAMED, not
+      // silent
       val partial = Seq(Takedown.SearchIndex(bm), Takedown.LineDf(ldf, docs))
       val missing = Takedown.auditRegistry(spark, partial)
       assert(missing.contains(("sq", sq.toLowerCase)),
         s"unregistered SQ index must be flagged: $missing")
+      assert(missing.contains(("substr", ssi.toLowerCase)),
+        s"unregistered substring index must be flagged: $missing")
       assert(!missing.exists(r => r._2 == bm.toLowerCase && r._1 == "bm25"))
     } finally {
       TextAnalysis.dropSearchIndex(spark, bm)
       Similarity.dropSqIndex(spark, sq)
       Dedup.dropLineDfTable(spark, ldf)
+      Dedup.dropSubstringIndex(spark, ssi)
+    }
+  }
+
+  test("substring index via deleteEverywhere: tombstoned screen equals " +
+      "rebuild-without; residual 0; compaction folds") {
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val ssi = s"td_ssi_$uid"
+    val seen = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog at dawn"),
+      (2L, "a completely different sentence lives in this document"))
+      .toDF("doc_id", "text")
+    // clone 101 copies the BATCH doc: if its windows survive deletion,
+    // the whole batch doc excises and the equality below fails
+    val batch = Seq(
+      (11L, "prefix the quick brown fox jumps over the lazy dog at dawn " +
+        "suffix")).toDF("doc_id", "text")
+    val clones = batch.select(($"doc_id" + 100L).as("doc_id"), $"text")
+    Dedup.writeSubstringIndex(seen.unionByName(clones), ssi,
+      windowLen = 12, buckets = 2)
+    val ref = s"${ssi}_ref"
+    Dedup.writeSubstringIndex(seen, ref, windowLen = 12, buckets = 2)
+    try {
+      val registry = Seq(Takedown.SubstringIndex(ssi))
+      assert(Takedown.residualReferences(spark, Seq(111L), registry)
+        .forall(_._3 > 0L), "pre-delete audit must see the clone")
+      val first = Takedown.deleteEverywhere(spark, "s1", Seq(111L), registry)
+      assert(first.forall(_._3))
+      def screen(n: String) = Dedup.substringScreen(spark, n, batch)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val after = screen(ssi)
+      assert(after == screen(ref),
+        "tombstoned screen must equal rebuild-without-deleted")
+      // the seen passage still excises (deletion removed ONLY the clone)
+      assert(after.head(3).asInstanceOf[Long] > 0L,
+        "the genuinely-seen passage must still be excised")
+      assert(Takedown.residualReferences(spark, Seq(111L), registry)
+        .forall(_._3 == 0L))
+      val retry = Takedown.deleteEverywhere(spark, "s1", Seq(111L), registry)
+      assert(retry.forall(!_._3))
+      Takedown.compactEverywhere(spark, registry)
+      assert(!spark.catalog.tableExists(s"${ssi}_deletes"))
+      assert(screen(ssi) == after)
+    } finally {
+      Dedup.dropSubstringIndex(spark, ssi); Takedown.dropLedger(spark, ssi)
+      Dedup.dropSubstringIndex(spark, ref)
     }
   }
 

@@ -597,6 +597,31 @@ object SparkEntry {
         "quantile_cont(value, 0.99) AS p99, TRUE AS p99_ok " +
         "FROM events GROUP BY 1 ORDER BY 1")),
 
+    // Cross-audience OVERLAP via HLL inclusion-exclusion (the sketch-merge
+    // path that never rescans): exact sizes/intersection/Jaccard per
+    // event-type pair + the TRUE verdict that |A|+|B|−est(A∪B) landed
+    // inside tol·|A∪B| — the family discipline of q_approx_distinct.
+    Q("q_approx_overlap",
+      (s, d) => graft.functions.Approx.overlapEstimate(
+        Tables.events(s, d), "event_type", "user_id")
+        .orderBy("set_a", "set_b"),
+      Some("WITH dv AS (SELECT DISTINCT event_type AS k, user_id AS v " +
+        "FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL), " +
+        "nn AS (SELECT k, count(*) AS n FROM dv GROUP BY 1), " +
+        "pr AS (SELECT na.k AS set_a, nb.k AS set_b, na.n AS n_a, " +
+        "nb.n AS n_b FROM nn na JOIN nn nb ON na.k < nb.k), " +
+        "ii AS (SELECT x.k AS set_a, y.k AS set_b, count(*) AS n_inter " +
+        "FROM dv x JOIN dv y ON x.v = y.v AND x.k < y.k GROUP BY 1, 2) " +
+        "SELECT set_a, set_b, CAST(n_a AS BIGINT) AS n_a, " +
+        "CAST(n_b AS BIGINT) AS n_b, " +
+        "CAST(COALESCE(n_inter, 0) AS BIGINT) AS n_inter, " +
+        "CASE WHEN n_a + n_b - COALESCE(n_inter, 0) > 0 THEN " +
+        "CAST(COALESCE(n_inter, 0) AS DOUBLE) / " +
+        "CAST(n_a + n_b - COALESCE(n_inter, 0) AS DOUBLE) " +
+        "ELSE CAST(0.0 AS DOUBLE) END AS jaccard, " +
+        "TRUE AS within_bound " +
+        "FROM pr LEFT JOIN ii USING (set_a, set_b) ORDER BY set_a, set_b")),
+
     // Heavy hitters over the corpus token stream: every term with >= 1/200
     // of all occurrences, exact counts. Two-pass sketch-then-verify
     // (per-partition Misra-Gries candidates, then one bounded-hash exact

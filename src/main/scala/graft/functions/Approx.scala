@@ -118,6 +118,57 @@ object Approx {
     * excluded (they are missing data, not a key). `share` is the one
     * double: a single division of two exact longs.
     */
+  /** Cross-set OVERLAP estimate — audience/source intersection sizing via
+    * HLL inclusion-exclusion, the question every mixing/dedup decision
+    * starts from ("how much of source A is also in source B?"). For every
+    * unordered pair of `setCol` values: exact distinct sizes, exact
+    * intersection, exact Jaccard, and the verdict that the SKETCH path's
+    * estimate `|A| + |B| − est(A ∪ B)` (the union sketch is
+    * [[org.apache.spark.sql.functions.hll_union]] of the two per-set
+    * Datasketches sketches — no rescan) landed within `tol · |A ∪ B|` of
+    * the exact intersection. The family's discipline (see the object
+    * scaladoc): the exact side replays in any engine, the verdict replays
+    * as literal TRUE.
+    *
+    * At 100 TB only the per-set sketch aggregate runs (one pass, KB
+    * state per set, mergeable partials); the exact arms here are the
+    * certificate. `setCol` is a partition-grade key (sources, event
+    * types, crawls) — the output is |sets|² pairs, so hundreds of sets
+    * are fine, millions are the wrong operator. NULL sets/values drop.
+    */
+  def overlapEstimate(df: DataFrame, setCol: String, valueCol: String,
+      lgK: Int = 14, tol: Double = 0.05): DataFrame = {
+    require(lgK >= 10 && lgK <= 21, "lgK outside Datasketches' 10..21")
+    val dd = df.filter(col(setCol).isNotNull && col(valueCol).isNotNull)
+    val sk = dd.groupBy(col(setCol).as("__k"))
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("__sk"),
+        countDistinct(col(valueCol)).as("__n"))
+    val a = sk.select(col("__k").as("set_a"), col("__sk").as("__ska"),
+      col("__n").as("n_a"))
+    val b = sk.select(col("__k").as("set_b"), col("__sk").as("__skb"),
+      col("__n").as("n_b"))
+    // |sets| rows per side by contract — the cross is pair-table-sized
+    val pairs = a.crossJoin(b).filter(col("set_a") < col("set_b"))
+    val dv = dd.select(col(setCol).as("__k"), col(valueCol).as("__v"))
+      .distinct()
+    val inter = dv.as("x").join(dv.as("y"),
+        col("x.__v") === col("y.__v") && col("x.__k") < col("y.__k"))
+      .groupBy(col("x.__k").as("set_a"), col("y.__k").as("set_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val unionExact = col("n_a") + col("n_b") - col("n_inter")
+    val interEst = col("n_a") + col("n_b") -
+      hll_sketch_estimate(hll_union(col("__ska"), col("__skb")))
+    pairs.join(inter, Seq("set_a", "set_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .select(col("set_a"), col("set_b"), col("n_a"), col("n_b"),
+        col("n_inter"),
+        when(unionExact > 0,
+          col("n_inter").cast("double") / unionExact.cast("double"))
+          .otherwise(lit(0.0)).as("jaccard"),
+        (abs(interEst - col("n_inter")).cast("double") <=
+          unionExact.cast("double") * tol).as("within_bound"))
+  }
+
   def heavyHitters(df: DataFrame, keyCol: String, denom: Long): DataFrame = {
     require(denom >= 2, "denom must be >= 2 (threshold share = 1/denom)")
     // Pass-1 state is O(denom) counters per partition; a silent clamp here

@@ -176,6 +176,59 @@ object Sampling {
         (col("cum") % seqTokens).as("pack_offset"))
   }
 
+  /** LENGTH-BUCKETED BATCHING — the inference/eval-time counterpart of
+    * [[packSequences]]: where packing CONCATENATES documents to fill a
+    * fixed token budget (pretraining), batched inference must keep
+    * documents separate and PAD every row of a batch to the batch's
+    * longest member — so batching arbitrary arrival order wastes
+    * compute on pad tokens, and the standard fix is sorting by length
+    * first so each batch is length-homogeneous (dynamic batching /
+    * bucketed sampling in every serving stack). This operator builds
+    * both arms — `length_sorted` and `arrival` — and reports the
+    * per-batch padding bill, so the gated output IS the measured win.
+    *
+    * Per batch: `n_docs`, `max_tokens` (the pad target),
+    * `sum_tokens` (real tokens), `pad_tokens = n_docs·max − sum`, and
+    * `pad_frac` (one IEEE division; 0 for an all-empty batch).
+    *
+    * Scale shape: the [[packSequences]] discipline — batches form WITHIN
+    * `doc_id mod shards` shards (one window sort per shard, `shards`
+    * parallel), never across the corpus: no global sort, no
+    * single-partition window, exactly a multi-worker dataloader's
+    * per-worker batching. Deterministic: shard by id, length ties break
+    * by doc_id, no RNG. NULL-text documents drop (no tokens to batch).
+    */
+  def lengthBatches(docs: DataFrame, batchSize: Int, shards: Int = 64,
+      textCol: String = "text"): DataFrame = {
+    require(batchSize > 0 && shards > 0, "positive batch size and shards")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("token_count"),
+        (col("doc_id") % shards).as("shard"))
+    def arm(name: String, order: Seq[Column]): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(order: _*)
+      base.withColumn("__rn", row_number().over(w))
+        .withColumn("batch_id",
+          floor((col("__rn") - 1).cast("double") / batchSize).cast("long"))
+        .groupBy("shard", "batch_id")
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("token_count")).as("max_tokens"),
+          sum(col("token_count")).as("sum_tokens"))
+        .withColumn("pad_tokens",
+          col("n_docs") * col("max_tokens") - col("sum_tokens"))
+        .withColumn("pad_frac",
+          when(col("max_tokens") > 0, col("pad_tokens").cast("double") /
+            (col("n_docs") * col("max_tokens")).cast("double"))
+            .otherwise(lit(0.0)))
+        .withColumn("arm", lit(name))
+    }
+    arm("length_sorted", Seq(col("token_count").desc, col("doc_id")))
+      .unionByName(arm("arrival", Seq(col("doc_id"))))
+      .select("arm", "shard", "batch_id", "n_docs", "max_tokens",
+        "sum_tokens", "pad_tokens", "pad_frac")
+  }
+
   /** Deterministic TRAINING SHUFFLE order: a pseudorandom-but-reproducible
     * rank for every document, keyed on (doc_id, seed) with pure 63-bit-safe
     * modular arithmetic — the shuffle a training loader applies between

@@ -566,6 +566,61 @@ object Similarity {
       .select(idCol, "bm25_rank", "cosine", "rank")
   }
 
+  /** RECIPROCAL-RANK FUSION — the standard score-free hybrid-retrieval
+    * combiner (Cormack et al., SIGIR 2009; the fusion Elasticsearch/
+    * OpenSearch/Vespa ship as their BM25+vector "hybrid" mode): each arm
+    * contributes `1 / (kConst + rank)` for every item it ranked, absent
+    * arms contribute 0, and items order by the fused sum. Rank-based
+    * fusion needs NO score calibration between arms — a BM25 score and a
+    * cosine live on incomparable scales, which is exactly why
+    * [[rerankCandidates]] (one arm re-SCORES the other's candidates) and
+    * this (arms stay independent and only RANKS meet) are different
+    * operators: RRF keeps an item that only one arm saw, rerank drops it.
+    *
+    * Determinism: the fused score folds arm terms LEFT-NESTED IN ARM
+    * ORDER — `(t1 + t2) + t3`, never a commuted or tree-shaped sum — so
+    * the IEEE result is bit-identical on any partitioning and the DuckDB
+    * oracle replays the same expression shape. Each term is one IEEE
+    * division of literals; ties in the fused double (same rank multiset)
+    * break by id ascending.
+    *
+    * Scale shape: every arm is already a top-N candidate list
+    * (evaluation-sized — KB, not corpus), so the full-outer join chain
+    * and the final rank are driver-trivial no matter the corpus size
+    * behind the arms; the corpus-scale work happened INSIDE each arm
+    * (bm25's df-bounded postings, ANN's probed cells). For multi-query
+    * fusion pass the query id in `keyCols` and it becomes the rank
+    * window's partition — still |queries|·N rows.
+    */
+  def rrfFuse(arms: Seq[(String, DataFrame)], k: Int, kConst: Int = 60,
+      keyCols: Seq[String] = Seq("doc_id")): DataFrame = {
+    require(arms.size >= 2, "RRF needs at least two arms")
+    require(arms.map(_._1).distinct.size == arms.size,
+      s"duplicate arm names: ${arms.map(_._1)}")
+    require(kConst > 0, "kConst must be positive")
+    val idCols = keyCols.map(col)
+    val renamed = arms.map { case (nm, df) =>
+      df.select(idCols :+ col("rank").cast("int").as(s"${nm}_rank"): _*)
+    }
+    val joined = renamed.reduce((a, b) => a.join(b, keyCols, "full_outer"))
+    val fused = arms.map { case (nm, _) =>
+      coalesce(
+        lit(1.0) / (lit(kConst.toDouble) + col(s"${nm}_rank").cast("double")),
+        lit(0.0))
+    }.reduceLeft(_ + _)
+    val itemCol = col(keyCols.last)
+    val partCols = keyCols.dropRight(1).map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCols: _*)
+      .orderBy(col("rrf_score").desc, itemCol)
+    val scored = joined.withColumn("rrf_score", fused)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    scored.select((keyCols.map(col) ++
+      arms.map { case (nm, _) => col(s"${nm}_rank") } ++
+      Seq(col("rrf_score"), col("rank"))): _*)
+  }
+
   /** PRODUCT QUANTIZATION top-k (FAISS IndexPQ semantics): vectors
     * compress to `m` sub-codes — the 64-dim float corpus (256 B/vector)
     * becomes m=8 bytes-ish of codes, a 32× memory cut — and search scans
@@ -1875,6 +1930,66 @@ object Similarity {
           .as("precision_at_k"),
         coalesce(lit(1.0) / col("__first").cast("double"), lit(0.0))
           .as("mrr"))
+  }
+
+  /** The nDCG@k rank-discount weights `1 / log2(r + 1)` for r = 1..k and
+    * their left-fold prefix sums (the ideal-DCG table), computed ONCE on
+    * the driver and baked into BOTH engines as literals — the
+    * [[retrievalEval]] scaladoc's libm objection (log2 is not
+    * correctly-rounded IEEE, so a runtime `log` call could drift between
+    * engines) dissolves when neither engine ever calls log: the weights
+    * are plan constants rendered from the same Scala doubles.
+    */
+  private[graft] def ndcgWeights(k: Int): (Seq[Double], Seq[Double]) = {
+    val w = (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+    (w, w.scanLeft(0.0)(_ + _).tail)
+  }
+
+  /** nDCG@k retrieval evaluation — the graded-position metric beside
+    * [[retrievalEval]]'s precision/MRR: per query,
+    * `DCG = Σ_r rel_r · w_r` over the retrieved ranks (binary label-match
+    * relevance, [[retrievalEval]]'s rule) and
+    * `nDCG = DCG / IDCG(n_relevant)` where IDCG packs the query's
+    * relevant hits into the top ranks.
+    *
+    * Exactness discipline: the discount weights and their prefix sums
+    * come from [[ndcgWeights]] as PLAN LITERALS; per-rank contributions
+    * aggregate as `max` (at most one row per (query, rank), so no
+    * float-sum ordering exists to drift) and fold into DCG LEFT-NESTED
+    * IN RANK ORDER; IDCG is a CASE lookup of the literal prefix table —
+    * every double op is replayed expression-for-expression by the DuckDB
+    * oracle. Evaluation-sized: |queries|·k rows against a broadcast
+    * label projection, one aggregate.
+    */
+  def ndcgAtK(results: DataFrame, corpus: DataFrame, k: Int,
+      labelCol: String = "label"): DataFrame = {
+    require(k >= 1 && k <= 100, "ndcgAtK supports 1 <= k <= 100")
+    val (w, prefix) = ndcgWeights(k)
+    val labels = corpus.select(col("vec_id"), col(labelCol))
+    val ql = labels.select(col("vec_id").as("query_id"),
+      col(labelCol).as("__ql"))
+    val nl = labels.select(col("vec_id").as("neighbor_id"),
+      col(labelCol).as("__nl"))
+    val rel = results.select(col("query_id"), col("neighbor_id"), col("rank"))
+      .join(broadcast(ql), Seq("query_id"), "left")
+      .join(broadcast(nl), Seq("neighbor_id"), "left")
+      .withColumn("__rel", col("__ql").isNotNull && col("__ql") === col("__nl"))
+    val terms = (1 to k).map(r =>
+      max(when(col("rank") === r && col("__rel"), lit(w(r - 1)))
+        .otherwise(lit(0.0))).as(s"__t$r"))
+    val g = rel.groupBy("query_id")
+      .agg(sum(when(col("__rel"), 1L).otherwise(0L)).as("n_relevant"),
+        terms: _*)
+    val dcg = (1 to k).map(r => col(s"__t$r")).reduceLeft(_ + _)
+    val idcg = (1 to k).foldLeft(
+      when(col("n_relevant") === 0, lit(0.0))) { (acc, r) =>
+      acc.when(col("n_relevant") === r, lit(prefix(r - 1)))
+    }.otherwise(lit(prefix(k - 1)))
+    g.withColumn("dcg", dcg)
+      .withColumn("__idcg", idcg)
+      .select(col("query_id"), col("n_relevant"), col("dcg"),
+        when(col("__idcg") > 0.0, col("dcg") / col("__idcg"))
+          .otherwise(lit(0.0)).as("ndcg"))
   }
 
   /** HARD-NEGATIVE MINING — the contrastive-training-data operator: for

@@ -393,6 +393,40 @@ private[graft] object MiscQueries {
         "CAST(cum % 512 AS BIGINT) AS pack_offset FROM c ORDER BY doc_id")),
 
 
+    // LENGTH-BUCKETED BATCHING — packSequences' inference-side twin:
+    // batches pad every row to their longest member, so the operator
+    // builds BOTH arms (length-sorted vs arrival order) within doc_id%8
+    // shards and the gated output IS the measured padding bill per
+    // batch. Exact integers until the one pad_frac division.
+    Q("q_pack_length_batches",
+      (s, d) => graft.functions.Sampling.lengthBatches(
+        Tables.documents(s, d), batchSize = 32, shards = 8)
+        .orderBy("arm", "shard", "batch_id"),
+      Some("WITH t AS (SELECT doc_id, " +
+        s"CAST(len($toksSql) AS BIGINT) AS tc, " +
+        "doc_id % 8 AS shard FROM documents WHERE text IS NOT NULL), " +
+        "a1 AS (SELECT shard, tc, CAST(floor(CAST(row_number() OVER " +
+        "(PARTITION BY shard ORDER BY tc DESC, doc_id) - 1 AS DOUBLE) " +
+        "/ 32.0) AS BIGINT) AS batch_id FROM t), " +
+        "a2 AS (SELECT shard, tc, CAST(floor(CAST(row_number() OVER " +
+        "(PARTITION BY shard ORDER BY doc_id) - 1 AS DOUBLE) " +
+        "/ 32.0) AS BIGINT) AS batch_id FROM t), " +
+        "b AS (SELECT 'length_sorted' AS arm, shard, batch_id, " +
+        "count(*) AS n_docs, max(tc) AS max_tokens, " +
+        "CAST(sum(tc) AS BIGINT) AS sum_tokens FROM a1 GROUP BY 1, 2, 3 " +
+        "UNION ALL SELECT 'arrival' AS arm, shard, batch_id, " +
+        "count(*) AS n_docs, max(tc) AS max_tokens, " +
+        "CAST(sum(tc) AS BIGINT) AS sum_tokens FROM a2 GROUP BY 1, 2, 3) " +
+        "SELECT arm, CAST(shard AS BIGINT) AS shard, batch_id, " +
+        "CAST(n_docs AS BIGINT) AS n_docs, max_tokens, sum_tokens, " +
+        "n_docs * max_tokens - sum_tokens AS pad_tokens, " +
+        "CASE WHEN max_tokens > 0 THEN " +
+        "CAST(n_docs * max_tokens - sum_tokens AS DOUBLE) / " +
+        "CAST(n_docs * max_tokens AS DOUBLE) " +
+        "ELSE CAST(0.0 AS DOUBLE) END AS pad_frac " +
+        "FROM b ORDER BY arm, shard, batch_id")),
+
+
     // The END-TO-END curation pipeline: filter verdict → exact dedup →
     // domain cap → content-keyed split → train-split packing, one manifest
     // row per surviving document. The oracle replays ALL FIVE stages in a

@@ -151,8 +151,8 @@ private[graft] object SimQueries {
     // RETRIEVAL EVAL — MRR + precision@10 of the brute-force stack under
     // label relevance (neighbor relevant ⟺ shares the anchor's label):
     // the per-query eval report beside the recall certificates. Exact
-    // counts, exact-rational MRR; deliberately no ln-based NDCG in the
-    // hash-gated surface (libm ln drifts between engines).
+    // counts, exact-rational MRR; nDCG lives in q_sim_eval_ndcg via
+    // driver-literal discount weights (no runtime ln on either engine).
     Q("q_sim_eval_mrr",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
@@ -184,6 +184,58 @@ private[graft] object SimQueries {
         "CAST(n_rel AS DOUBLE) / CAST(10 AS DOUBLE) AS precision_at_k, " +
         "COALESCE(CAST(1 AS DOUBLE) / CAST(fr AS DOUBLE), " +
         "CAST(0 AS DOUBLE)) AS mrr FROM g ORDER BY query_id")),
+
+
+    // nDCG@10 — the graded-position eval beside precision/MRR. The rank
+    // discounts 1/log2(r+1) and their prefix sums are DRIVER-computed
+    // literals baked into BOTH engines (neither calls log at runtime —
+    // the libm-drift objection in retrievalEval's scaladoc dissolves);
+    // per-rank contributions aggregate as max (≤1 row per (query, rank),
+    // no float-sum order exists) and fold left-nested in rank order.
+    Q("q_sim_eval_ndcg",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") % 100 === 0)
+        Similarity.ndcgAtK(
+            Similarity.bruteForceTopK(emb, qs, k = 10), emb, k = 10)
+          .orderBy("query_id")
+      },
+      Some {
+        val (ws, ps) = Similarity.ndcgWeights(10)
+        def wl(d: Double) = s"CAST('$d' AS DOUBLE)"
+        val termCols = (1 to 10).map(r =>
+          s"max(CASE WHEN rank = $r AND rel THEN ${wl(ws(r - 1))} " +
+            s"ELSE CAST(0.0 AS DOUBLE) END) AS t$r").mkString(", ")
+        val idcgCase = "CASE WHEN n_rel = 0 THEN CAST(0.0 AS DOUBLE) " +
+          (1 to 10).map(r =>
+            s"WHEN n_rel = $r THEN ${wl(ps(r - 1))} ").mkString +
+          s"ELSE ${wl(ps(9))} END"
+        s"WITH $normEmbCte, " +
+          "q AS (SELECT vec_id AS query_id, v AS qv FROM nv " +
+          "WHERE vec_id % 100 = 0), " +
+          "sc AS (SELECT query_id, c.vec_id AS neighbor_id, " +
+          s"${dotSql("qv", "c.v")} AS score " +
+          "FROM nv c, q WHERE c.vec_id <> q.query_id), " +
+          "rr AS (SELECT query_id, neighbor_id, " +
+          "row_number() OVER (PARTITION BY query_id " +
+          "ORDER BY score DESC, neighbor_id) AS rank FROM sc), " +
+          "res AS (SELECT * FROM rr WHERE rank <= 10), " +
+          "lb AS (SELECT vec_id, label FROM embeddings), " +
+          "j AS (SELECT res.query_id, res.rank, " +
+          "(ql.label IS NOT NULL AND ql.label = nb.label) AS rel FROM res " +
+          "LEFT JOIN lb ql ON ql.vec_id = res.query_id " +
+          "LEFT JOIN lb nb ON nb.vec_id = res.neighbor_id), " +
+          "g AS (SELECT query_id, " +
+          "sum(CASE WHEN rel THEN 1 ELSE 0 END) AS n_rel, " +
+          s"$termCols FROM j GROUP BY query_id), " +
+          "d AS (SELECT query_id, CAST(n_rel AS BIGINT) AS n_relevant, " +
+          (1 to 10).map(r => s"t$r").mkString(" + ") + " AS dcg, " +
+          s"$idcgCase AS idcg FROM g) " +
+          "SELECT query_id, n_relevant, dcg, " +
+          "CASE WHEN idcg > 0.0 THEN dcg / idcg " +
+          "ELSE CAST(0.0 AS DOUBLE) END AS ndcg " +
+          "FROM d ORDER BY query_id"
+      }),
 
 
     // HARD-NEGATIVE MINING — contrastive training data: per labeled
@@ -717,6 +769,50 @@ private[graft] object SimQueries {
         "AS rank FROM sc) " +
         "SELECT doc_id, bm25_rank, cosine, CAST(rank AS INT) AS rank " +
         "FROM rr WHERE rank <= 10 ORDER BY rank")),
+
+
+    // RECIPROCAL-RANK FUSION hybrid retrieval — the OTHER hybrid mode
+    // (q_sim_hybrid_rerank re-scores; RRF fuses independent rank lists
+    // score-free): BM25 top-50 and brute-cosine top-50 meet only as
+    // ranks, fused as 1/(60+r_lex) + 1/(60+r_sem) with absent arms
+    // contributing 0 — so a lexical-only hit stays retrievable, which
+    // rerank (inner join on the embedding) cannot do. Both arms are
+    // candidate-list-sized; the fuse is a KB-scale full-outer join. The
+    // oracle replays both arms verbatim (the bm25 CTE chain + the
+    // brute-cosine window) and the same left-nested IEEE fused sum.
+    Q("q_sim_hybrid_rrf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val lex = TextAnalysis.bm25Search(Tables.documents(s, d), Bm25Terms, k = 50)
+        val sem = Similarity.bruteForceTopK(
+            emb, emb.filter(col("vec_id") === 0), k = 50)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        Similarity.rrfFuse(Seq("bm25" -> lex, "cos" -> sem), k = 10)
+          .orderBy("rank")
+      },
+      Some(s"WITH ${bm25Ctes(Bm25Terms, 1.2, 0.75)}, " +
+        "bq AS (SELECT doc_id, CAST(rank AS INT) AS bm25_rank FROM r " +
+        "WHERE rank <= 50), " +
+        s"$normEmbCte, " +
+        "qn AS (SELECT v AS qv FROM nv WHERE vec_id = 0), " +
+        "sc AS (SELECT c.vec_id AS doc_id, " +
+        dotSql("qv", "c.v") + " AS score FROM nv c, qn WHERE c.vec_id <> 0), " +
+        "sq AS (SELECT doc_id, cos_rank FROM (SELECT doc_id, " +
+        "CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) " +
+        "AS cos_rank FROM sc) WHERE cos_rank <= 50), " +
+        "fj AS (SELECT COALESCE(bq.doc_id, sq.doc_id) AS doc_id, " +
+        "bm25_rank, cos_rank FROM bq FULL OUTER JOIN sq " +
+        "ON bq.doc_id = sq.doc_id), " +
+        "fz AS (SELECT doc_id, bm25_rank, cos_rank, " +
+        "COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + " +
+        "CAST(bm25_rank AS DOUBLE)), CAST(0.0 AS DOUBLE)) + " +
+        "COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + " +
+        "CAST(cos_rank AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS rrf_score " +
+        "FROM fj), " +
+        "rr AS (SELECT *, row_number() OVER (ORDER BY rrf_score DESC, " +
+        "doc_id) AS rank FROM fz) " +
+        "SELECT doc_id, bm25_rank, cos_rank, rrf_score, " +
+        "CAST(rank AS INT) AS rank FROM rr WHERE rank <= 10 ORDER BY rank")),
 
 
     // Semantic contamination screen: every non-benchmark vector's max

@@ -114,4 +114,28 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(merged - exact) / exact < 0.05,
       s"merged estimate $merged vs exact $exact")
   }
+
+  test("overlapEstimate: exact pair intersections, zero-overlap pairs kept, bounds hold") {
+    import spark.implicits._
+    val rows =
+      (1L to 100L).map(v => ("A", v)) ++
+        (51L to 150L).map(v => ("B", v)) ++
+        (200L to 210L).map(v => ("C", v)) ++
+        Seq((null.asInstanceOf[String], 1L)) // NULL set drops
+    val df = rows.toDF("src", "uid")
+    val out = graft.functions.Approx.overlapEstimate(df, "src", "uid")
+      .orderBy("set_a", "set_b")
+      .select("set_a", "set_b", "n_a", "n_b", "n_inter", "jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("A", "B", 100L, 100L, 50L, 50.0 / 150.0),
+      ("A", "C", 100L, 11L, 0L, 0.0),
+      ("B", "C", 100L, 11L, 0L, 0.0)),
+      "exact sizes/intersections diverged (zero-overlap pairs must be rows, not gaps)")
+    // the sketch verdict: at these cardinalities the Datasketches HLL is
+    // in its exact (coupon) range, so every bound holds deterministically
+    val verdicts = graft.functions.Approx.overlapEstimate(df, "src", "uid")
+      .select("within_bound").as[Boolean].collect()
+    assert(verdicts.forall(identity))
+  }
 }

@@ -1320,4 +1320,67 @@ class BucketedSpec extends SparkSpec {
       assert(got == expect, s"label $lbl slice diverged from brute force")
     }
   }
+
+  test("rrf fusion: exact reciprocal sums, one-arm-only items kept, id tiebreak") {
+    import graft.functions.Similarity
+    val armA = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val armB = Seq((3L, 1), (4L, 2)).toDF("doc_id", "rank")
+    val out = Similarity.rrfFuse(Seq("a" -> armA, "b" -> armB), k = 10)
+      .orderBy("rank")
+      .select("doc_id", "rrf_score", "rank")
+      .as[(Long, Double, Int)].collect().toSeq
+    // exact IEEE expectations: each term one division, left-nested add
+    val s3 = 1.0 / (60.0 + 3.0) + 1.0 / (60.0 + 1.0)
+    val s1 = 1.0 / (60.0 + 1.0)
+    val s2 = 1.0 / (60.0 + 2.0)
+    val s4 = 1.0 / (60.0 + 2.0)
+    assert(out == Seq((3L, s3, 1), (1L, s1, 2), (2L, s2, 3), (4L, s4, 4)),
+      "fused order/scores diverged (2 before 4 is the id tiebreak on equal doubles)")
+    // an item only one arm saw survives fusion (the property rerank lacks)
+    assert(out.map(_._1).contains(4L))
+    intercept[IllegalArgumentException] {
+      Similarity.rrfFuse(Seq("a" -> armA), k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.rrfFuse(Seq("a" -> armA, "a" -> armB), k = 5)
+    }
+    // multi-query fusion: ranking restarts per query_id
+    val qa = Seq((10L, 1L, 1), (10L, 2L, 2), (20L, 2L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val qb = Seq((10L, 2L, 1), (20L, 9L, 1)).toDF("query_id", "doc_id", "rank")
+    val fusedQ = Similarity.rrfFuse(Seq("a" -> qa, "b" -> qb), k = 10,
+      keyCols = Seq("query_id", "doc_id"))
+      .select("query_id", "doc_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(fusedQ == Set((10L, 2L, 1), (10L, 1L, 2), (20L, 2L, 1), (20L, 9L, 2)))
+  }
+
+  test("ndcg@k: hand-worked fixture, perfect ranking = 1.0, zero-relevant = 0.0") {
+    import graft.functions.Similarity
+    val corpus = Seq((100L, 1), (1L, 1), (2L, 0), (3L, 1), (200L, 2),
+      (4L, 0), (5L, 0), (300L, 3), (6L, 3), (7L, 3))
+      .toDF("vec_id", "label")
+    // q100: rel at ranks 1 and 3 → dcg = w1 + w3 = 1.0 + 0.5 = 1.5,
+    //       idcg(2) = 1.0 + 1/log2(3); q200: nothing relevant → 0;
+    // q300: rel at ranks 1,2 of 2 retrieved → dcg = idcg(2) → ndcg 1.0
+    val results = Seq(
+      (100L, 1L, 1), (100L, 2L, 2), (100L, 3L, 3),
+      (200L, 4L, 1), (200L, 5L, 2),
+      (300L, 6L, 1), (300L, 7L, 2))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.ndcgAtK(results, corpus, k = 10)
+      .orderBy("query_id")
+      .select("query_id", "n_relevant", "dcg", "ndcg")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    val w2 = 1.0 / (math.log(3.0) / math.log(2.0))
+    val idcg2 = 1.0 + w2
+    assert(out.size == 3)
+    assert(out(0) == ((100L, 2L, 1.0 + 0.5, (1.0 + 0.5) / idcg2)))
+    assert(out(1) == ((200L, 0L, 0.0, 0.0)))
+    assert(out(2) == ((300L, 2L, idcg2, 1.0)), "perfect prefix must score exactly 1.0")
+    // weight table sanity: w1 = 1 exactly, prefix sums are the left fold
+    val (ws, ps) = Similarity.ndcgWeights(10)
+    assert(ws.head == 1.0 && ps.head == ws.head)
+    assert(ps == ws.scanLeft(0.0)(_ + _).tail)
+  }
 }

@@ -2241,4 +2241,34 @@ class PipelineSpec extends SparkSpec {
     assert(Dedup.duplicatePassages(tri, chunkTokens = 2, minChunks = 1,
       maxChunkDf = 2).count() == 0L)
   }
+
+  test("length batches: hand-worked padding bill, sorted arm never pads more, NULL text drops") {
+    val fixture = Seq(
+      (0L, "a"), (1L, "a b b b"), (2L, "a b"), (3L, "a b c"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = graft.functions.Sampling.lengthBatches(fixture,
+        batchSize = 2, shards = 1)
+      .orderBy("arm", "shard", "batch_id")
+      .select("arm", "batch_id", "n_docs", "max_tokens", "sum_tokens",
+        "pad_tokens")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // arrival order (0,1),(2,3): max 4 sum 5 pad 3; max 3 sum 5 pad 1
+    // length-sorted (1,3),(2,0): max 4 sum 7 pad 1; max 2 sum 3 pad 1
+    assert(out == Seq(
+      ("arrival", 0L, 2L, 4L, 5L, 3L),
+      ("arrival", 1L, 2L, 3L, 5L, 1L),
+      ("length_sorted", 0L, 2L, 4L, 7L, 1L),
+      ("length_sorted", 1L, 2L, 2L, 3L, 1L)),
+      "padding arithmetic diverged from the hand-worked fixture")
+    assert(out.map(_._3).sum == 8L, "NULL-text doc must not be batched")
+    // the sorting theorem on the real corpus: total pad(sorted) <= pad(arrival)
+    val corpus = graft.sources.Tables.documents(spark, sf)
+    val bill = graft.functions.Sampling.lengthBatches(corpus,
+        batchSize = 16, shards = 4)
+      .groupBy("arm").agg(sum("pad_tokens").as("pad"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bill("length_sorted") <= bill("arrival"),
+      s"sorted arm padded more than arrival: $bill")
+  }
 }

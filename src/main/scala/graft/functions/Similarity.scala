@@ -1343,6 +1343,65 @@ object Similarity {
           sum(col("n_members")).over(w).cast("double")).as("share"))
   }
 
+  /** CENTROID-OCCUPANCY DRIFT — the index-lifecycle policy check between
+    * [[writeAnnIndex]] and a re-train: an IVF quantizer fit on last
+    * month's corpus serves new data only as long as new vectors OCCUPY
+    * its cells roughly the way the training distribution did; when a new
+    * batch piles into few cells (domain shift, a new language, an
+    * embedding-model change) probe-time candidate lists skew and recall
+    * quietly sags. Per cell: indexed vs batch member counts, occupancy
+    * shares (one IEEE division each), `shift = share_batch −
+    * share_indexed`, and the `drifted` verdict at `tol` — the row set a
+    * retrain trigger thresholds on (e.g. "retrain when any |shift| >
+    * 0.05" or on the count of drifted cells). Occupancy counts are
+    * INTEGERS, which is what keeps the whole report engine-replayable —
+    * a mean-distance drift statistic would need an unordered
+    * corpus-scale float sum no two engines fold alike.
+    *
+    * Scale shape: the fit is the usual bounded-sample driver fold
+    * ([[trainCentroids]]); both assignments are scan-side literal/
+    * broadcast projections ([[assignToCentroids]] — no join, no
+    * shuffle); the only exchange is two |cells|-group aggregates. Cells
+    * with zero members on either side stay rows (a batch abandoning a
+    * cell is drift too). Zero-norm vectors drop on both sides, the
+    * family's normalization contract.
+    */
+  def centroidDrift(indexed: DataFrame, batch: DataFrame, centroids: Int = 8,
+      sampleSize: Int = 256, iters: Int = 2, tol: Double = 0.05): DataFrame = {
+    require(tol > 0.0, "tol must be positive")
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val ci = normalized(indexed)
+    val cents = trainCentroids(ci, centroids, sampleSize, iters)
+    val ia = assignToCentroids(ci, cents)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_indexed"))
+    val ba = assignToCentroids(normalized(batch), cents)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_batch"))
+    val cells = cents.indices.map(_.toLong).toDF("cluster")
+      .select(col("cluster").cast("int").as("cluster"))
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val joined = cells
+      .join(ia, Seq("cluster"), "left").join(ba, Seq("cluster"), "left")
+      .na.fill(0L, Seq("n_indexed", "n_batch"))
+      .withColumn("__ni", sum(col("n_indexed")).over(w))
+      .withColumn("__nb", sum(col("n_batch")).over(w))
+    val shareI = when(col("__ni") > 0,
+      col("n_indexed").cast("double") / col("__ni").cast("double"))
+      .otherwise(lit(0.0))
+    val shareB = when(col("__nb") > 0,
+      col("n_batch").cast("double") / col("__nb").cast("double"))
+      .otherwise(lit(0.0))
+    joined
+      .withColumn("share_indexed", shareI)
+      .withColumn("share_batch", shareB)
+      .withColumn("shift", col("share_batch") - col("share_indexed"))
+      .select(col("cluster"), col("n_indexed"), col("n_batch"),
+        col("share_indexed"), col("share_batch"), col("shift"),
+        (abs(col("shift")) > tol).as("drifted"))
+  }
+
   /** Recall@k of an approximate top-k result against the exact one — the
     * "measure, don't guess" evaluation operator for every ANN path here:
     * an IVF configuration claim (centroids/nprobe) is only as good as its

@@ -742,6 +742,59 @@ private[graft] object SimQueries {
         "FROM cass GROUP BY bucket ORDER BY cluster")),
 
 
+    // CENTROID-OCCUPANCY DRIFT — the retrain-policy check of the ANN
+    // index lifecycle (write → upsert → delete → compact → EVALUATE →
+    // retrain): a "new batch" is synthesized as the %3==1 slice with
+    // REVERSED embeddings (a genuine distribution shift both engines
+    // construct identically), assigned under the FROZEN quantizer, and
+    // compared cell-by-cell against the training occupancy. Integer
+    // counts + two divisions per cell keep the whole report replayable;
+    // the oracle re-runs the complete k-means fit (the q_sim_cell_stats
+    // discipline) plus the batch assignment under the same tie rule.
+    Q("q_sim_drift_retrain",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val batch = emb.filter(col("vec_id") % 3 === 1)
+          .withColumn("embedding", reverse(col("embedding")))
+        Similarity.centroidDrift(emb, batch, centroids = 8,
+          sampleSize = 256, iters = 2, tol = 0.05)
+          .orderBy("cluster")
+      },
+      Some(ivfFitCte(dim = 64, sampleSize = 256, centroids = 8, iters = 2) +
+        ", b0 AS (SELECT vec_id, " +
+        "[v[len(v) + 1 - i] FOR i IN range(1, len(v) + 1)] AS v " +
+        "FROM e WHERE vec_id % 3 = 1), " +
+        "b1 AS (SELECT vec_id, v, sqrt(" +
+        foldSumSql("[x * x FOR x IN v]") + ") AS nrm FROM b0), " +
+        "bvv AS (SELECT vec_id, [x / nrm FOR x IN v] AS v FROM b1 " +
+        "WHERE nrm > 0), " +
+        "bass AS (SELECT vec_id, cid AS bucket FROM (" +
+        "SELECT bvv.vec_id, c.cid, row_number() OVER (PARTITION BY " +
+        s"bvv.vec_id ORDER BY ${dotSql("bvv.v", "c.cv")} DESC, c.cid) " +
+        "AS rn FROM bvv CROSS JOIN c2 c) WHERE rn = 1), " +
+        "cellz AS (SELECT cid FROM c2), " +
+        "ic AS (SELECT bucket AS cid, count(*) AS n_i FROM cass GROUP BY 1), " +
+        "bc AS (SELECT bucket AS cid, count(*) AS n_b FROM bass GROUP BY 1), " +
+        "rep AS (SELECT cellz.cid AS cluster, " +
+        "CAST(COALESCE(n_i, 0) AS BIGINT) AS n_indexed, " +
+        "CAST(COALESCE(n_b, 0) AS BIGINT) AS n_batch, " +
+        "(SELECT count(*) FROM cass) AS ni, " +
+        "(SELECT count(*) FROM bass) AS nb " +
+        "FROM cellz LEFT JOIN ic ON ic.cid = cellz.cid " +
+        "LEFT JOIN bc ON bc.cid = cellz.cid), " +
+        "sh AS (SELECT cluster, n_indexed, n_batch, " +
+        "CASE WHEN ni > 0 THEN CAST(n_indexed AS DOUBLE) / " +
+        "CAST(ni AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS share_indexed, " +
+        "CASE WHEN nb > 0 THEN CAST(n_batch AS DOUBLE) / " +
+        "CAST(nb AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS share_batch " +
+        "FROM rep) " +
+        "SELECT CAST(cluster AS INT) AS cluster, n_indexed, n_batch, " +
+        "share_indexed, share_batch, " +
+        "share_batch - share_indexed AS shift, " +
+        "abs(share_batch - share_indexed) > 0.05 AS drifted " +
+        "FROM sh ORDER BY cluster")),
+
+
     // Two-stage HYBRID retrieval: BM25 top-50 lexical candidates (stage 1,
     // corpus-wide but term-df-bounded) reranked by embedding cosine to a
     // query vector (stage 2, touches 50 rows). The candidate set and the

@@ -1383,4 +1383,29 @@ class BucketedSpec extends SparkSpec {
     assert(ws.head == 1.0 && ps.head == ws.head)
     assert(ps == ws.scanLeft(0.0)(_ + _).tail)
   }
+
+  test("centroid drift: self-batch is exactly zero shift; a collapsed batch is flagged") {
+    import graft.functions.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    // the batch IS the training distribution → identical integer counts,
+    // identical totals, bit-identical shares → shift exactly 0.0
+    val same = Similarity.centroidDrift(emb, emb, centroids = 8,
+      sampleSize = 256, iters = 2)
+      .select("n_indexed", "n_batch", "shift", "drifted")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(same.length == 8)
+    assert(same.forall { case (ni, nb, s, d) => ni == nb && s == 0.0 && !d },
+      "a batch drawn from the training distribution must show zero drift")
+    // a batch collapsed onto one vector occupies exactly one cell:
+    // share_batch = 1.0 there → flagged; every populated other cell
+    // shows negative shift
+    val one = emb.filter($"vec_id" === 0L)
+    val drift = Similarity.centroidDrift(emb, one, centroids = 8,
+      sampleSize = 256, iters = 2)
+      .select("n_batch", "share_batch", "drifted")
+      .as[(Long, Double, Boolean)].collect()
+    assert(drift.map(_._1).sum == 1L)
+    assert(drift.count(_._3) >= 1, "collapsed batch must flag drift")
+    assert(drift.filter(_._1 == 1L).forall(_._2 == 1.0))
+  }
 }

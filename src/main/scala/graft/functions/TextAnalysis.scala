@@ -1161,6 +1161,77 @@ object TextAnalysis {
         coalesce(col("link_char_frac") > LinkSpamMin, lit(false)))
   }
 
+  /** URL CANONICALIZATION — the crawl-frontier identity rule: the same
+    * page arrives as `HTTPS://WWW.Site.com:443/a/?utm_source=x#top` and
+    * `https://site.com/a`, and a frontier that treats those as two URLs
+    * fetches (and a corpus that keys on them stores) every popular page
+    * many times over. Canonical form applied here, each step standard
+    * crawler practice:
+    *   - scheme and host lowercase (RFC 3986 §6.2.2.1 — they are
+    *     case-insensitive; the PATH is not and keeps its case);
+    *   - leading `www.` stripped; the scheme's DEFAULT port stripped
+    *     (`:80` http / `:443` https), explicit non-default ports kept;
+    *   - fragment dropped (never sent to the server);
+    *   - tracking query params dropped (`utm_*`, `ref`, `fbclid`,
+    *     `gclid`), remaining params SORTED (order-insensitive servers,
+    *     order-sensitive strings), empty query dropped;
+    *   - trailing slashes trimmed off the path (root stays `/`).
+    * Returns NULL for strings with no `scheme://` — a frontier feeds
+    * this absolute URLs; relative-reference resolution is the crawler's
+    * job, not the canonicalizer's.
+    *
+    * Expression-only (regexp extraction + one short-array filter/sort —
+    * URLs are tens of bytes, so the two higher-order functions touch
+    * ≤ a handful of params per row, nothing like the 64-dim fold the
+    * ANN paths keep codegen-able), and every step replays in DuckDB
+    * (RE2-safe patterns: no backreferences, no lookaround).
+    */
+  def urlNormalize(u: Column): Column = {
+    val t = trim(u)
+    val scheme = lower(regexp_extract(t, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(
+      regexp_extract(t, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val noWww = regexp_replace(hostport, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
+    // path+query with the fragment already excluded by the [^#] class
+    val rest = regexp_extract(t,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val rawPath = regexp_extract(rest, "^([^?]*)", 1)
+    val path = when(regexp_replace(rawPath, "/+$", "") === "", lit("/"))
+      .otherwise(regexp_replace(rawPath, "/+$", ""))
+    val query = regexp_extract(rest, "\\?(.*)$", 1)
+    val kept = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[A-Za-z0-9_]*|ref|fbclid|gclid)=")))
+    val qs = array_join(kept, "&")
+    when(scheme === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(qs === "", lit("")).otherwise(concat(lit("?"), qs))))
+  }
+
+  /** CRAWL-FRONTIER DEDUP over [[urlNormalize]]: per document URL, its
+    * canonical form, the canonical group's variant count, and the
+    * `should_fetch` verdict (the group's lowest doc_id wins — first-seen). One
+    * canonical-keyed aggregate joined back on its own partitioning; at
+    * 100 TB the frontier shuffles canonical strings once. URLs that
+    * fail to parse (NULL canonical) keep `fetch = true` each — a
+    * frontier must not silently merge unparseable entries.
+    */
+  def urlFrontier(urls: DataFrame, urlCol: String = "url"): DataFrame = {
+    val canon = urls.select(col("doc_id"), col(urlCol).as("url"))
+      .withColumn("url_canonical", urlNormalize(col(urlCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url_canonical"))
+    canon
+      .withColumn("n_variants",
+        when(col("url_canonical").isNull, lit(1L))
+          .otherwise(count(lit(1)).over(w).cast("long")))
+      .withColumn("should_fetch",
+        col("url_canonical").isNull ||
+          col("doc_id") === min(col("doc_id")).over(w))
+  }
+
   /** LINK-GRAPH DOMAIN AUTHORITY — weighted PageRank over the corpus's
     * outlink graph, the Common-Crawl-era quality prior (a page hosted by
     * a domain many OTHER domains cite carries authority its own text

@@ -1258,6 +1258,81 @@ private[graft] object TextQueries {
             s"length(replace(lower(nfc_normalize(text)), '$f', ''))) // ${f.length})"
         }.mkString(" + ") +
         " AS BIGINT) AS n_hits " +
-        "FROM documents ORDER BY doc_id"))
+        "FROM documents ORDER BY doc_id")),
+
+
+    // URL CANONICALIZATION + crawl-frontier dedup: per-doc URLs are
+    // synthesized with every trap the canonicalizer must survive (upper
+    // scheme/host, www., default vs explicit ports, fragments, tracking
+    // params, unsorted params, trailing slashes, NULL sources), and the
+    // oracle replays the full normalization chain step for step (RE2-
+    // safe patterns; COALESCE mirrors Spark's ''-join of an empty
+    // param list). should_fetch = the canonical group's lowest doc_id.
+    Q("q_text_url_frontier",
+      (s, d) => {
+        val urls = Tables.documents(s, d).select(col("doc_id"),
+          concat(
+            lit("HTTPS://WWW."), col("source"), lit(".Example.COM"),
+            when(col("doc_id") % 3 === 0, lit(":443"))
+              .when(col("doc_id") % 3 === 1, lit(":8080"))
+              .otherwise(lit("")),
+            lit("/Posts/"), (col("doc_id") % 25).cast("string"),
+            when(col("doc_id") % 5 === 0,
+              concat(lit("?utm_source=feed&id="),
+                (col("doc_id") % 7).cast("string")))
+              .when(col("doc_id") % 5 === 1, lit("/?b=2&a=1&utm_campaign=x"))
+              .when(col("doc_id") % 5 === 2, lit("?ref=tw"))
+              .when(col("doc_id") % 5 === 3,
+                concat(lit("#sec-"), (col("doc_id") % 3).cast("string")))
+              .otherwise(lit(""))).as("url"))
+        graft.functions.TextAnalysis.urlFrontier(urls).orderBy("doc_id")
+      },
+      Some("WITH u AS (SELECT doc_id, " +
+        "'HTTPS://WWW.' || source || '.Example.COM' || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ':443' " +
+        "WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END || " +
+        "'/Posts/' || CAST(doc_id % 25 AS VARCHAR) || " +
+        "CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&id=' || " +
+        "CAST(doc_id % 7 AS VARCHAR) " +
+        "WHEN doc_id % 5 = 1 THEN '/?b=2&a=1&utm_campaign=x' " +
+        "WHEN doc_id % 5 = 2 THEN '?ref=tw' " +
+        "WHEN doc_id % 5 = 3 THEN '#sec-' || CAST(doc_id % 3 AS VARCHAR) " +
+        "ELSE '' END AS url FROM documents), " +
+        "c1 AS (SELECT doc_id, url, " +
+        "lower(regexp_extract(trim(url), " +
+        "'^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, " +
+        "lower(regexp_extract(trim(url), " +
+        "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport, " +
+        "regexp_extract(trim(url), " +
+        "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest FROM u), " +
+        "c2 AS (SELECT doc_id, url, scheme, " +
+        "CASE WHEN scheme = 'http' THEN " +
+        "regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$', '') " +
+        "WHEN scheme = 'https' THEN " +
+        "regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$', '') " +
+        "ELSE regexp_replace(hostport, '^www\\.', '') END AS host, " +
+        "regexp_extract(rest, '^([^?]*)', 1) AS rawpath, " +
+        "regexp_extract(rest, '\\?(.*)$', 1) AS query FROM c1), " +
+        "c2b AS (SELECT doc_id, url, scheme, host, rawpath, " +
+        "COALESCE(array_to_string(list_sort(list_filter(" +
+        "string_split(query, '&'), " +
+        "p -> p <> '' AND NOT regexp_matches(p, " +
+        "'^(utm_[A-Za-z0-9_]*|ref|fbclid|gclid)='))), '&'), '') AS qs " +
+        "FROM c2), " +
+        "c3 AS (SELECT doc_id, url, " +
+        "CASE WHEN scheme = '' OR scheme IS NULL THEN NULL " +
+        "ELSE scheme || '://' || host || " +
+        "CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/' " +
+        "ELSE regexp_replace(rawpath, '/+$', '') END || " +
+        "CASE WHEN qs = '' THEN '' ELSE '?' || qs END END " +
+        "AS url_canonical FROM c2b) " +
+        "SELECT doc_id, url, url_canonical, " +
+        "CAST(CASE WHEN url_canonical IS NULL THEN 1 " +
+        "ELSE count(*) OVER (PARTITION BY url_canonical) END AS BIGINT) " +
+        "AS n_variants, " +
+        "(url_canonical IS NULL OR " +
+        "doc_id = min(doc_id) OVER (PARTITION BY url_canonical)) " +
+        "AS should_fetch " +
+        "FROM c3 ORDER BY doc_id"))
   )
 }

@@ -2271,4 +2271,41 @@ class PipelineSpec extends SparkSpec {
     assert(bill("length_sorted") <= bill("arrival"),
       s"sorted arm padded more than arrival: $bill")
   }
+
+  test("url canonicalization: case/www/port/fragment/tracking/param-order/slash all collapse; scheme-less is NULL") {
+    import graft.functions.TextAnalysis
+    val cases = Seq(
+      // every variant of the same logical page...
+      (1L, "HTTPS://WWW.Site.COM:443/a/?utm_source=x#top"),
+      (2L, "https://site.com/a"),
+      (3L, "https://Site.com/a/"),
+      (4L, "https://www.site.com/a?fbclid=123"),
+      // ...and genuinely different pages
+      (5L, "https://site.com/A"),            // path case matters
+      (6L, "https://site.com:8080/a"),       // non-default port kept
+      (7L, "http://site.com:80/a"),          // http default stripped
+      (8L, "https://site.com/a?b=2&a=1"),    // params sorted
+      (9L, "https://site.com/a?a=1&b=2"),    // same page as 8
+      (10L, "not-a-url"),                    // no scheme -> NULL
+      (11L, "https://site.com"))             // empty path -> '/'
+      .toDF("doc_id", "url")
+    val out = TextAnalysis.urlFrontier(cases)
+      .select("doc_id", "url_canonical", "should_fetch")
+      .as[(Long, String, Boolean)].collect().sortBy(_._1)
+    val canon = out.map(o => o._1 -> o._2).toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(canon).distinct ==
+      Seq("https://site.com/a"), "variants of one page must collapse")
+    assert(canon(5L) == "https://site.com/A")
+    assert(canon(6L) == "https://site.com:8080/a")
+    assert(canon(7L) == "http://site.com/a")
+    assert(canon(8L) == "https://site.com/a?a=1&b=2")
+    assert(canon(8L) == canon(9L))
+    assert(canon(10L) == null, "scheme-less input must canonicalize to NULL")
+    assert(canon(11L) == "https://site.com/")
+    val fetch = out.map(o => o._1 -> o._3).toMap
+    // group {1,2,3,4}: only the lowest id fetches; NULL always fetches
+    assert(fetch(1L) && !fetch(2L) && !fetch(3L) && !fetch(4L))
+    assert(fetch(10L))
+    assert(fetch(8L) && !fetch(9L))
+  }
 }

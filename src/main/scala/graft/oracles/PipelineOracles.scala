@@ -52,6 +52,74 @@ private[graft] object PipelineOracles {
   private[graft] lazy val bpeBytesMerges: Seq[graft.functions.Bpe.Merge] =
     Bpe.learnMergesLocal(bpeBytesSeedCorpus, numMerges = 40, byteLevel = true)
 
+  /** WordPiece CONFIG for q_text_wordpiece: the same seed register,
+    * 48 likelihood-ratio merges ([[graft.functions.WordPiece
+    * .learnVocabLocal]] — exact integer cross-multiplied scores, no
+    * floating division in training), rendered into BOTH engines as the
+    * vocabulary literal (shared-rendered-constant rule).
+    */
+  private[graft] lazy val wpVocab: Seq[String] =
+    graft.functions.WordPiece.learnVocabLocal(bpeSeedCorpus, numMerges = 48)
+
+  /** The vocabulary as a DuckDB struct-list literal: `raw` = the piece
+    * without its `##` marker, `wi` = word-initial form. */
+  private[graft] lazy val wpVocabLitSql: String = {
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    "[" + wpVocab.map { v =>
+      val wi = !v.startsWith(graft.functions.WordPiece.ContMarker)
+      val raw =
+        if (wi) v else v.substring(graft.functions.WordPiece.ContMarker.length)
+      s"{'raw': ${lit(raw)}, 'wi': $wi}"
+    }.mkString(", ") + "]"
+  }
+
+  /** DuckDB replay of greedy longest-match WordPiece over every corpus
+    * word: a recursive CTE whose transitions are PURE SCALAR expressions
+    * over the vocabulary literal (no join in the recursive term), one
+    * chain per DISTINCT word — the engine's per-thread word memo, as SQL.
+    * At each position the candidates are the vocabulary pieces of the
+    * right position form that prefix-match; the longest wins (at most
+    * one piece per length can match, so there is no tie to break);
+    * no candidate at any position → the whole word is `[UNK]` — exactly
+    * [[graft.functions.WordPiece.segmentWord]].
+    */
+  private[graft] lazy val wpEncodeOracle: String = {
+    val lit = wpVocabLitSql
+    val matchCands = s"[v.raw FOR v IN $lit IF v.wi = (pos = 1) AND " +
+      "substr(word, CAST(pos AS INT), len(v.raw)) = v.raw]"
+    "WITH RECURSIVE " +
+      s"tkk AS (SELECT doc_id, unnest($toksSql) AS word, " +
+      s"generate_subscripts($toksSql, 1) AS ord FROM documents), " +
+      "dw AS (SELECT DISTINCT word FROM tkk WHERE word <> ''), " +
+      "st(word, pos, toks) AS (" +
+      "SELECT word, CAST(1 AS BIGINT), CAST([] AS VARCHAR[]) FROM dw " +
+      "UNION ALL " +
+      "SELECT word, " +
+      "CASE WHEN bl = 0 THEN len(word) + 1 ELSE pos + bl END, " +
+      "CASE WHEN bl = 0 THEN ['[UNK]'] ELSE toks || " +
+      "[CASE WHEN pos = 1 THEN bp ELSE '##' || bp END] END " +
+      "FROM (SELECT word, pos, toks, " +
+      "COALESCE(list_max([len(c) FOR c IN cands]), 0) AS bl, " +
+      "([c FOR c IN cands IF len(c) = " +
+      "COALESCE(list_max([len(c2) FOR c2 IN cands]), 0)])[1] AS bp " +
+      s"FROM (SELECT word, pos, toks, $matchCands AS cands " +
+      "FROM st WHERE pos <= len(word)))), " +
+      "fin AS (SELECT word, toks FROM st WHERE pos = len(word) + 1), " +
+      "seg AS (SELECT t.doc_id, t.ord, f.toks FROM tkk t " +
+      "JOIN fin f USING (word) WHERE t.word <> ''), " +
+      "agg AS (SELECT doc_id, " +
+      "CAST(sum(len(toks)) AS BIGINT) AS wp_token_count, " +
+      "CAST(sum(len([t FOR t IN toks IF t = '[UNK]'])) AS BIGINT) AS n_unk, " +
+      "string_agg(array_to_string(toks, ' '), ' ' ORDER BY ord) AS subwords " +
+      "FROM seg GROUP BY doc_id) " +
+      "SELECT d.doc_id, " +
+      "CAST(COALESCE(a.wp_token_count, 0) AS BIGINT) AS wp_token_count, " +
+      "CAST(COALESCE(a.n_unk, 0) AS BIGINT) AS n_unk, " +
+      "COALESCE(a.subwords, '') AS subwords " +
+      "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id " +
+      "ORDER BY d.doc_id"
+  }
+
   /** Fixed unigram-LM tokenizer config: trained once driver-side on the
     * SAME seed corpus as the BPE merges (deterministic — no RNG, fixed
     * iterations), then carried into [[graft.functions.UnigramScoreExpr]]

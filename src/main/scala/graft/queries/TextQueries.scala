@@ -235,6 +235,29 @@ private[graft] object TextQueries {
       Some(bpeEncodeOracle)),
 
 
+    // WORDPIECE apply — the THIRD tokenizer regime (BERT's): greedy
+    // longest-match-first over a likelihood-ratio-trained vocabulary,
+    // ## continuation pieces, hard [UNK] for untileable words — so
+    // n_unk is a first-class OOV-rate signal beside the token count.
+    // Native expression (vocab as a codegen reference object); the
+    // oracle replays the greedy walk as a recursive CTE with scalar
+    // transitions over the SAME rendered vocabulary, one chain per
+    // distinct word.
+    Q("q_text_wordpiece",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.WordPiece.encode(
+            TextAnalysis.tokens(col("text")), wpVocab).as("sub"))
+        .select(col("doc_id"),
+          size(col("sub")).cast("long").as("wp_token_count"),
+          size(filter(col("sub"),
+            t => t === graft.functions.WordPiece.Unk)).cast("long")
+            .as("n_unk"),
+          concat_ws(" ", col("sub")).as("subwords"))
+        .orderBy("doc_id"),
+      Some(wpEncodeOracle)),
+
+
     // BYTE-LEVEL tokenizer apply — the zero-OOV production regime
     // (GPT-2's bytes_to_unicode): words pre-map to the closed 256-symbol
     // byte alphabet, so NO input can ever fall outside the vocabulary,

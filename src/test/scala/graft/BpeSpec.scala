@@ -256,4 +256,49 @@ class BpeSpec extends SparkSpec {
       s"merge symbols must be whole code points, got ${learned.head}")
     hist.unpersist()
   }
+
+  test("wordpiece training: likelihood ratio picks the rarer-parts pair over the raw-frequency winner") {
+    import graft.functions.WordPiece
+    // "th" appears 4×, but t and h are everywhere (the+that+tha...);
+    // "qz" appears 3× and q/z appear NOWHERE else: ratio 3/(3·3) = 1/3
+    // beats 4/(f(t)·f(h)) by orders of magnitude. Raw-frequency BPE
+    // would fuse (t, ##h) first; WordPiece must fuse (q, ##z) first.
+    val seed = Seq(
+      "the the that that qz qz qz",
+      "tat hat hah tah")
+    val vocab = WordPiece.learnVocabLocal(seed, numMerges = 1,
+      minPairFreq = 2L)
+    assert(vocab.contains("qz"), s"expected the likelihood winner qz in $vocab")
+    assert(!vocab.exists(v => v == "th" || v == "ha" || v == "ta"),
+      s"a raw-frequency pair got fused first: $vocab")
+    // and the BPE trainer on the same corpus picks a raw-frequency
+    // winner (the (a,t) pair at freq 4 — lexicographic first of the
+    // freq-4 tie set), pinning that the two regimes genuinely differ
+    val bpeFirst = Bpe.learnMergesLocal(seed, numMerges = 1)
+    assert((bpeFirst.head.left, bpeFirst.head.right) != ("q", "z"),
+      "BPE must not pick the likelihood winner on this corpus")
+    assert(bpeFirst.head.freq == 4L)
+  }
+
+  test("wordpiece apply: greedy longest match, ## continuations, [UNK], expression ≡ driver") {
+    import graft.functions.WordPiece
+    val vocab = Seq("a", "b", "x", "##a", "##b", "ab", "##ab", "##bb")
+    // greedy: 'abab' -> ab ##ab (longest first), 'abbb' -> ab ##bb,
+    // 'ba' -> b ##a, 'axb' -> [UNK] ('x' has no ## form)
+    assert(WordPiece.segmentWord("abab", vocab) == Seq("ab", "##ab"))
+    assert(WordPiece.segmentWord("abbb", vocab) == Seq("ab", "##bb"))
+    assert(WordPiece.segmentWord("ba", vocab) == Seq("b", "##a"))
+    assert(WordPiece.segmentWord("axb", vocab) == Seq(WordPiece.Unk))
+    assert(WordPiece.segmentWord("xa", vocab) == Seq("x", "##a"))
+    // the native expression agrees with the driver reference word for word
+    val words = Seq("abab", "abbb", "ba", "axb", "xa", "ab")
+    val viaExpr = Seq((1L, words)).toDF("doc_id", "toks")
+      .select(WordPiece.encode($"toks", vocab).as("sub"))
+      .as[Seq[String]].collect().head
+    assert(viaExpr == words.flatMap(w => WordPiece.segmentWord(w, vocab)))
+    // determinism: training twice yields the identical vocabulary
+    val seed = Seq("scan the table", "scan the row", "the scan the scan")
+    assert(WordPiece.learnVocabLocal(seed, 8) ==
+      WordPiece.learnVocabLocal(seed, 8))
+  }
 }

@@ -1368,16 +1368,46 @@ object Similarity {
     */
   def centroidDrift(indexed: DataFrame, batch: DataFrame, centroids: Int = 8,
       sampleSize: Int = 256, iters: Int = 2, tol: Double = 0.05): DataFrame = {
-    require(tol > 0.0, "tol must be positive")
-    val spark = indexed.sparkSession
-    import spark.implicits._
     val ci = normalized(indexed)
     val cents = trainCentroids(ci, centroids, sampleSize, iters)
     val ia = assignToCentroids(ci, cents)
       .groupBy(col("cluster")).agg(count(lit(1)).as("n_indexed"))
     val ba = assignToCentroids(normalized(batch), cents)
       .groupBy(col("cluster")).agg(count(lit(1)).as("n_batch"))
-    val cells = cents.indices.map(_.toLong).toDF("cluster")
+    occupancyReport(indexed.sparkSession, cents.length, ia, ba, tol)
+  }
+
+  /** [[centroidDrift]] against a PERSISTED index's FROZEN quantizer —
+    * the deployed form: indexed occupancy comes from the live (post-
+    * tombstone) `_assignments` read, the batch assigns scan-side under
+    * the stored centroid literals, no retrain anywhere. This is the
+    * monitor a pipeline runs on every ingest slice
+    * ([[graft.streaming.EmbedStream.driftMonitorSink]] is its streaming
+    * face): persistent `drifted` rows are the rebuild trigger.
+    */
+  def centroidDriftIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexName: String,
+      batch: DataFrame, tol: Double = 0.05): DataFrame = {
+    val cents = spark.table(s"${indexName}_centroids").orderBy("cid")
+      .collect().map(_.getAs[scala.collection.Seq[Double]]("cv").toArray)
+    require(cents.nonEmpty, s"ANN index $indexName has no centroids")
+    val live = graft.sources.Tables.minusDeletes(spark, indexName,
+      spark.table(s"${indexName}_assignments"), "vec_id")
+    val ia = live.groupBy(col("bucket").as("cluster"))
+      .agg(count(lit(1)).as("n_indexed"))
+    val ba = assignBatch(batch, cents)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_batch"))
+    occupancyReport(spark, cents.length, ia, ba, tol)
+  }
+
+  /** Shared report tail of the drift family: per cell 0..`cellCount`−1,
+    * counts, shares (one IEEE division each), shift, verdict. */
+  private def occupancyReport(spark: org.apache.spark.sql.SparkSession,
+      cellCount: Int,
+      ia: DataFrame, ba: DataFrame, tol: Double): DataFrame = {
+    require(tol > 0.0, "tol must be positive")
+    import spark.implicits._
+    val cells = (0 until cellCount).map(_.toLong).toDF("cluster")
       .select(col("cluster").cast("int").as("cluster"))
     val w = org.apache.spark.sql.expressions.Window
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

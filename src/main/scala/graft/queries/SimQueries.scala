@@ -15,6 +15,47 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object SimQueries {
 
+  /** Shared oracle of the drift family: the full k-means fit replay
+    * (ivfFitCte), the reversed-slice batch normalized and assigned
+    * under the SAME tie rule, and the per-cell occupancy report —
+    * q_sim_drift_retrain (from-scratch) and q_sim_drift_indexed
+    * (persisted quantizer) must both hash-match it.
+    */
+  private lazy val driftOracle: String =
+    ivfFitCte(dim = 64, sampleSize = 256, centroids = 8, iters = 2) +
+        ", b0 AS (SELECT vec_id, " +
+        "[v[len(v) + 1 - i] FOR i IN range(1, len(v) + 1)] AS v " +
+        "FROM e WHERE vec_id % 3 = 1), " +
+        "b1 AS (SELECT vec_id, v, sqrt(" +
+        foldSumSql("[x * x FOR x IN v]") + ") AS nrm FROM b0), " +
+        "bvv AS (SELECT vec_id, [x / nrm FOR x IN v] AS v FROM b1 " +
+        "WHERE nrm > 0), " +
+        "bass AS (SELECT vec_id, cid AS bucket FROM (" +
+        "SELECT bvv.vec_id, c.cid, row_number() OVER (PARTITION BY " +
+        s"bvv.vec_id ORDER BY ${dotSql("bvv.v", "c.cv")} DESC, c.cid) " +
+        "AS rn FROM bvv CROSS JOIN c2 c) WHERE rn = 1), " +
+        "cellz AS (SELECT cid FROM c2), " +
+        "ic AS (SELECT bucket AS cid, count(*) AS n_i FROM cass GROUP BY 1), " +
+        "bc AS (SELECT bucket AS cid, count(*) AS n_b FROM bass GROUP BY 1), " +
+        "rep AS (SELECT cellz.cid AS cluster, " +
+        "CAST(COALESCE(n_i, 0) AS BIGINT) AS n_indexed, " +
+        "CAST(COALESCE(n_b, 0) AS BIGINT) AS n_batch, " +
+        "(SELECT count(*) FROM cass) AS ni, " +
+        "(SELECT count(*) FROM bass) AS nb " +
+        "FROM cellz LEFT JOIN ic ON ic.cid = cellz.cid " +
+        "LEFT JOIN bc ON bc.cid = cellz.cid), " +
+        "sh AS (SELECT cluster, n_indexed, n_batch, " +
+        "CASE WHEN ni > 0 THEN CAST(n_indexed AS DOUBLE) / " +
+        "CAST(ni AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS share_indexed, " +
+        "CASE WHEN nb > 0 THEN CAST(n_batch AS DOUBLE) / " +
+        "CAST(nb AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS share_batch " +
+        "FROM rep) " +
+        "SELECT CAST(cluster AS INT) AS cluster, n_indexed, n_batch, " +
+        "share_indexed, share_batch, " +
+        "share_batch - share_indexed AS shift, " +
+        "abs(share_batch - share_indexed) > 0.05 AS drifted " +
+        "FROM sh ORDER BY cluster"
+
   private[graft] val queries: Seq[Q] = Seq(
 
     Q("q_sim_topk_brute",
@@ -760,39 +801,28 @@ private[graft] object SimQueries {
           sampleSize = 256, iters = 2, tol = 0.05)
           .orderBy("cluster")
       },
-      Some(ivfFitCte(dim = 64, sampleSize = 256, centroids = 8, iters = 2) +
-        ", b0 AS (SELECT vec_id, " +
-        "[v[len(v) + 1 - i] FOR i IN range(1, len(v) + 1)] AS v " +
-        "FROM e WHERE vec_id % 3 = 1), " +
-        "b1 AS (SELECT vec_id, v, sqrt(" +
-        foldSumSql("[x * x FOR x IN v]") + ") AS nrm FROM b0), " +
-        "bvv AS (SELECT vec_id, [x / nrm FOR x IN v] AS v FROM b1 " +
-        "WHERE nrm > 0), " +
-        "bass AS (SELECT vec_id, cid AS bucket FROM (" +
-        "SELECT bvv.vec_id, c.cid, row_number() OVER (PARTITION BY " +
-        s"bvv.vec_id ORDER BY ${dotSql("bvv.v", "c.cv")} DESC, c.cid) " +
-        "AS rn FROM bvv CROSS JOIN c2 c) WHERE rn = 1), " +
-        "cellz AS (SELECT cid FROM c2), " +
-        "ic AS (SELECT bucket AS cid, count(*) AS n_i FROM cass GROUP BY 1), " +
-        "bc AS (SELECT bucket AS cid, count(*) AS n_b FROM bass GROUP BY 1), " +
-        "rep AS (SELECT cellz.cid AS cluster, " +
-        "CAST(COALESCE(n_i, 0) AS BIGINT) AS n_indexed, " +
-        "CAST(COALESCE(n_b, 0) AS BIGINT) AS n_batch, " +
-        "(SELECT count(*) FROM cass) AS ni, " +
-        "(SELECT count(*) FROM bass) AS nb " +
-        "FROM cellz LEFT JOIN ic ON ic.cid = cellz.cid " +
-        "LEFT JOIN bc ON bc.cid = cellz.cid), " +
-        "sh AS (SELECT cluster, n_indexed, n_batch, " +
-        "CASE WHEN ni > 0 THEN CAST(n_indexed AS DOUBLE) / " +
-        "CAST(ni AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS share_indexed, " +
-        "CASE WHEN nb > 0 THEN CAST(n_batch AS DOUBLE) / " +
-        "CAST(nb AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS share_batch " +
-        "FROM rep) " +
-        "SELECT CAST(cluster AS INT) AS cluster, n_indexed, n_batch, " +
-        "share_indexed, share_batch, " +
-        "share_batch - share_indexed AS shift, " +
-        "abs(share_batch - share_indexed) > 0.05 AS drifted " +
-        "FROM sh ORDER BY cluster")),
+      Some(driftOracle)),
+
+
+    // The PERSISTED-index drift path under the SAME oracle (write→read
+    // fidelity, the q_sim_topk_ivf_indexed discipline): indexed
+    // occupancy from the live assignments read, batch assigned under
+    // the STORED centroids, report hash-equal to the from-scratch
+    // monitor. This is exactly what the streaming face
+    // (EmbedStream.driftMonitorSink) runs per micro-batch.
+    Q("q_sim_drift_indexed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val batch = emb.filter(col("vec_id") % 3 === 1)
+          .withColumn("embedding", reverse(col("embedding")))
+        val name = "graft_drift_idx_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Similarity.writeAnnIndex(emb, name)
+        try Similarity.centroidDriftIndexed(s, name, batch, tol = 0.05)
+          .orderBy("cluster").localCheckpoint(true)
+        finally Similarity.dropAnnIndex(s, name)
+      },
+      Some(driftOracle)),
 
 
     // Two-stage HYBRID retrieval: BM25 top-50 lexical candidates (stage 1,

@@ -41,6 +41,35 @@ object EmbedStream {
         semanticGateBatch(batch.toDF(), indexName, outDir, id, threshold)
     }
 
+  /** Streaming DRIFT MONITOR — the ANN retrain-policy check
+    * ([[graft.functions.Similarity.centroidDriftIndexed]]) run on every
+    * arriving embedding slice: each micro-batch assigns under the
+    * index's FROZEN quantizer, compares its cell occupancy against the
+    * live stored occupancy, and publishes the per-cell drift report to
+    * `outDir/batch=<id>` — the feed an alerting/rebuild trigger tails.
+    * READ-ONLY against the index (monitoring must not mutate what it
+    * monitors) and idempotent by construction: a replayed trigger
+    * recomputes the same report and overwrites the same partition.
+    * Empty micro-batches still publish a schema-stable (all-zero-batch)
+    * report — silence and "no drift" must be distinguishable.
+    */
+  def driftMonitorSink(vecs: DataFrame, indexName: String, outDir: String,
+      tol: Double = 0.05)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        driftMonitorBatch(batch.toDF(), indexName, outDir, id, tol)
+    }
+
+  /** One [[driftMonitorSink]] trigger — exposed for the StreamingSpec
+    * stream ≡ batch pin. */
+  private[graft] def driftMonitorBatch(batch: DataFrame, indexName: String,
+      outDir: String, id: Long, tol: Double): Unit = {
+    val report = Similarity.centroidDriftIndexed(
+      batch.sparkSession, indexName, batch, tol)
+    report.coalesce(1).write.mode("overwrite").parquet(s"$outDir/batch=$id")
+  }
+
   /** One [[semanticGateSink]] trigger — exposed so the retry contract is
     * directly testable (StreamingSpec replays a batch twice and asserts
     * byte-identical state).

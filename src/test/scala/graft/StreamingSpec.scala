@@ -967,4 +967,62 @@ class StreamingSpec extends SparkSpec {
       Seq("2024-01-01 10:00:00.0", "2024-01-01 11:00:00.0"))
     assert(out.map(_._3).toSeq == Seq(1L, 1L))
   }
+
+  test("streaming drift monitor: per-trigger report ≡ batch centroidDriftIndexed; replay identical; read-only") {
+    import graft.streaming.EmbedStream
+    import graft.functions.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(47)
+    def vec(region: Int): Seq[Float] = {
+      val v = Array.fill(8)((rnd.nextDouble() - 0.5) * 0.4)
+      v(region * 2) += 1.0
+      v.map(_.toFloat).toSeq
+    }
+    val indexed = (0 until 24).map(i => (i.toLong, vec(i % 4)))
+      .toDF("vec_id", "embedding")
+    // batch 1 mirrors the index mix; batch 2 collapses onto one region
+    val b1 = (100 until 108).map(i => (i.toLong, vec(i % 4)))
+    val b2 = (200 until 208).map(i => (i.toLong, vec(1)))
+    val out = java.nio.file.Files.createTempDirectory("graft_drift_mon")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_drift_ckpt")
+    Similarity.writeAnnIndex(indexed, "drift_mon_idx", centroids = 4,
+      sampleSize = 24, iters = 3)
+    try {
+      val before = spark.table("drift_mon_idx_assignments").count()
+      val in = MemoryStream[(Long, Seq[Float])]
+      val q = EmbedStream.driftMonitorSink(
+        in.toDF().toDF("vec_id", "embedding"), "drift_mon_idx",
+        out.toString, tol = 0.2)
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      def report(dir: String) = spark.read.parquet(dir)
+        .orderBy("cluster")
+        .select("cluster", "n_indexed", "n_batch", "shift", "drifted")
+        .as[(Int, Long, Long, Double, Boolean)].collect().toSeq
+      // stream ≡ batch, trigger for trigger
+      assert(report(s"$out/batch=0") ==
+        Similarity.centroidDriftIndexed(spark, "drift_mon_idx",
+          b1.toDF("vec_id", "embedding"), tol = 0.2).orderBy("cluster")
+          .select("cluster", "n_indexed", "n_batch", "shift", "drifted")
+          .as[(Int, Long, Long, Double, Boolean)].collect().toSeq)
+      val r2 = report(s"$out/batch=1")
+      assert(r2 ==
+        Similarity.centroidDriftIndexed(spark, "drift_mon_idx",
+          b2.toDF("vec_id", "embedding"), tol = 0.2).orderBy("cluster")
+          .select("cluster", "n_indexed", "n_batch", "shift", "drifted")
+          .as[(Int, Long, Long, Double, Boolean)].collect().toSeq)
+      // the collapsed batch is flagged; its whole mass sits in one cell
+      assert(r2.exists(_._5), s"collapsed batch must drift: $r2")
+      assert(r2.map(_._3).sum == 8L && r2.count(_._3 == 8L) == 1)
+      // monitoring is READ-ONLY: the index did not grow
+      assert(spark.table("drift_mon_idx_assignments").count() == before)
+      // replayed trigger overwrites with the identical report
+      EmbedStream.driftMonitorBatch(b2.toDF("vec_id", "embedding"),
+        "drift_mon_idx", out.toString, 1L, tol = 0.2)
+      assert(report(s"$out/batch=1") == r2)
+    } finally Similarity.dropAnnIndex(spark, "drift_mon_idx")
+  }
 }

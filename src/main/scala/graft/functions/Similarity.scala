@@ -1400,6 +1400,71 @@ object Similarity {
     occupancyReport(spark, cents.length, ia, ba, tol)
   }
 
+  /** DIVERSITY SELECTION — greedy farthest-point traversal (the k-center
+    * / coreset-seeding heuristic): pick the lowest-id vector, then k−1
+    * times the vector whose maximum cosine to ANYTHING already selected
+    * is smallest (the most novel remaining vector, ties to the lowest
+    * id). The selection a pipeline uses to seed a diverse eval set, pick
+    * annotation exemplars, or initialize quantizers far apart — the
+    * OPPOSITE selection pressure of near-dup removal (which deletes the
+    * redundant; this COLLECTS the spread).
+    *
+    * Output: one row per pick in selection order — `sel_rank`, `vec_id`,
+    * and `nearest_sel_cos`, the pick's max cosine to the earlier picks
+    * (NULL for the seed row); the column is the coverage radius curve —
+    * reading it top-down shows how fast the corpus's diversity
+    * exhausts.
+    *
+    * Scale shape: k corpus scans, each a scan-side projection against
+    * the ≤k selected vectors as PLAN LITERALS (the trainCentroids
+    * discipline — selection state is KBs on the driver, the corpus
+    * never shuffles; the per-iteration argmin is one TakeOrdered). The
+    * inherently sequential part is k driver steps, never a corpus-sized
+    * loop — `k ≤ 64` enforced loudly. Greedy farthest-first carries the
+    * classic 2-approximation guarantee for the k-center objective.
+    * Deterministic: exact IEEE dots (greatest() is order-free: max of
+    * doubles is associative and exact), id tiebreaks, no RNG.
+    */
+  def diversitySelect(corpus: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64,
+      "diversitySelect runs k sequential corpus scans — k must be 1..64")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nv = normalized(corpus).select(col("vec_id"), col("v"))
+    val first = nv.orderBy(col("vec_id")).limit(1)
+      .collect().headOption.getOrElse(
+        throw new IllegalArgumentException(
+          "diversitySelect: no nonzero-norm vectors"))
+    def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getAs[scala.collection.Seq[Double]]("v").toArray
+    val picks = scala.collection.mutable.ArrayBuffer[
+      (Long, Array[Double], Option[Double])](
+      (first.getLong(0), vecOf(first), None))
+    while (picks.size < k) {
+      val maxcos = picks.map { case (_, v, _) =>
+        dot(col("v"), array(v.map(lit).toIndexedSeq: _*))
+      }.reduceLeft(greatest(_, _))
+      val ids: Seq[Long] = picks.map(_._1).toSeq
+      val next: Array[org.apache.spark.sql.Row] =
+        nv.filter(!col("vec_id").isin(ids: _*))
+          .select(col("vec_id"), col("v"), maxcos.as("__mc"))
+          .orderBy(col("__mc").asc, col("vec_id").asc).limit(1)
+          .collect()
+      if (next.isEmpty) return picksDf(spark, picks.toSeq) // corpus < k rows
+      val r = next(0)
+      picks += ((r.getLong(0), vecOf(r), Some(r.getDouble(2))))
+    }
+    picksDf(spark, picks.toSeq)
+  }
+
+  private def picksDf(spark: org.apache.spark.sql.SparkSession,
+      picks: Seq[(Long, Array[Double], Option[Double])]): DataFrame = {
+    import spark.implicits._
+    picks.zipWithIndex
+      .map { case ((id, _, mc), i) => (i + 1, id, mc) }
+      .toDF("sel_rank", "vec_id", "nearest_sel_cos")
+  }
+
   /** Shared report tail of the drift family: per cell 0..`cellCount`−1,
     * counts, shares (one IEEE division each), shift, verdict. */
   private def occupancyReport(spark: org.apache.spark.sql.SparkSession,

@@ -825,6 +825,41 @@ private[graft] object SimQueries {
       Some(driftOracle)),
 
 
+    // DIVERSITY SELECTION — greedy farthest-point traversal (k-center
+    // seeding): lowest id first, then 5× the remaining vector with the
+    // SMALLEST max-cosine to anything selected. The oracle unrolls all
+    // six picks as CTEs (the k-means-replay discipline applied to
+    // farthest-first); nearest_sel_cos is the coverage-radius curve.
+    Q("q_sim_diversity",
+      (s, d) => Similarity.diversitySelect(Tables.embeddings(s, d), k = 6)
+        .orderBy("sel_rank"),
+      Some {
+        val k = 6
+        val sb = new StringBuilder(s"WITH $normEmbCte, ")
+        sb ++= "p1 AS (SELECT vec_id, v FROM nv ORDER BY vec_id LIMIT 1)"
+        for (i <- 2 to k) {
+          val prevs = (1 until i).map(j => s"p$j")
+          val mc =
+            if (prevs.size == 1) dotSql("nv.v", "p1.v")
+            else "greatest(" +
+              prevs.map(p => dotSql("nv.v", s"$p.v")).mkString(", ") + ")"
+          val excl = prevs.map(p => s"nv.vec_id <> $p.vec_id")
+            .mkString(" AND ")
+          sb ++= s", c$i AS (SELECT nv.vec_id AS vec_id, nv.v AS v, " +
+            s"$mc AS mc FROM nv, ${prevs.mkString(", ")} WHERE $excl)"
+          sb ++= s", p$i AS (SELECT vec_id, v, mc FROM c$i " +
+            "ORDER BY mc, vec_id LIMIT 1)"
+        }
+        sb ++= " SELECT CAST(1 AS INT) AS sel_rank, vec_id, " +
+          "CAST(NULL AS DOUBLE) AS nearest_sel_cos FROM p1"
+        for (i <- 2 to k)
+          sb ++= s" UNION ALL SELECT CAST($i AS INT) AS sel_rank, " +
+            s"vec_id, mc AS nearest_sel_cos FROM p$i"
+        sb ++= " ORDER BY sel_rank"
+        sb.toString
+      }),
+
+
     // Two-stage HYBRID retrieval: BM25 top-50 lexical candidates (stage 1,
     // corpus-wide but term-df-bounded) reranked by embedding cosine to a
     // query vector (stage 2, touches 50 rows). The candidate set and the

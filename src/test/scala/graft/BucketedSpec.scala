@@ -1408,4 +1408,39 @@ class BucketedSpec extends SparkSpec {
     assert(drift.count(_._3) >= 1, "collapsed batch must flag drift")
     assert(drift.filter(_._1 == 1L).forall(_._2 == 1.0))
   }
+
+  test("diversity selection: one pick per region before any repeat; radius curve non-decreasing") {
+    import graft.functions.Similarity
+    val rnd = new scala.util.Random(11)
+    // 4 tight clusters on orthogonal axes: farthest-first must visit all
+    // four regions before returning to any of them
+    val rows = (0 until 40).map { i =>
+      val v = Array.fill(8)((rnd.nextDouble() - 0.5) * 0.1)
+      v((i % 4) * 2) += 1.0
+      (i.toLong, v.map(_.toFloat).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.diversitySelect(emb, k = 8)
+      .orderBy("sel_rank")
+      .select("sel_rank", "vec_id", "nearest_sel_cos")
+      .as[(Int, Long, Option[Double])].collect().toSeq
+    assert(out.size == 8)
+    assert(out.head == ((1, 0L, None)), "seed must be the lowest id, cos NULL")
+    val regionOf = rows.map { case (id, _) => id -> id % 4 }.toMap
+    assert(out.take(4).map(r => regionOf(r._2)).distinct.size == 4,
+      s"first four picks must cover all four regions: $out")
+    // the coverage radius curve: each later pick is no more novel
+    val curve = out.drop(1).map(_._3.get)
+    assert(curve == curve.sorted,
+      s"nearest_sel_cos must be non-decreasing: $curve")
+    // determinism
+    val again = Similarity.diversitySelect(emb, k = 8)
+      .orderBy("sel_rank")
+      .select("sel_rank", "vec_id", "nearest_sel_cos")
+      .as[(Int, Long, Option[Double])].collect().toSeq
+    assert(again == out)
+    // k larger than the corpus stops at the corpus (every vector once)
+    val tiny = rows.take(3).toDF("vec_id", "embedding")
+    assert(Similarity.diversitySelect(tiny, k = 10).count() == 3L)
+  }
 }

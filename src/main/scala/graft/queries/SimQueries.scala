@@ -56,6 +56,37 @@ private[graft] object SimQueries {
         "abs(share_batch - share_indexed) > 0.05 AS drifted " +
         "FROM sh ORDER BY cluster"
 
+  /** Shared oracle of the RRF family: both arms replayed verbatim
+    * plus the left-nested IEEE fused sum — q_sim_hybrid_rrf
+    * (from-scratch BM25) and q_sim_hybrid_rrf_indexed (persisted
+    * postings) must both hash-match it (write→read fidelity for
+    * the hybrid stack).
+    */
+  private lazy val rrfOracle: String =
+    s"WITH ${bm25Ctes(Bm25Terms, 1.2, 0.75)}, " +
+        "bq AS (SELECT doc_id, CAST(rank AS INT) AS bm25_rank FROM r " +
+        "WHERE rank <= 50), " +
+        s"$normEmbCte, " +
+        "qn AS (SELECT v AS qv FROM nv WHERE vec_id = 0), " +
+        "sc AS (SELECT c.vec_id AS doc_id, " +
+        dotSql("qv", "c.v") + " AS score FROM nv c, qn WHERE c.vec_id <> 0), " +
+        "sq AS (SELECT doc_id, cos_rank FROM (SELECT doc_id, " +
+        "CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) " +
+        "AS cos_rank FROM sc) WHERE cos_rank <= 50), " +
+        "fj AS (SELECT COALESCE(bq.doc_id, sq.doc_id) AS doc_id, " +
+        "bm25_rank, cos_rank FROM bq FULL OUTER JOIN sq " +
+        "ON bq.doc_id = sq.doc_id), " +
+        "fz AS (SELECT doc_id, bm25_rank, cos_rank, " +
+        "COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + " +
+        "CAST(bm25_rank AS DOUBLE)), CAST(0.0 AS DOUBLE)) + " +
+        "COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + " +
+        "CAST(cos_rank AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS rrf_score " +
+        "FROM fj), " +
+        "rr AS (SELECT *, row_number() OVER (ORDER BY rrf_score DESC, " +
+        "doc_id) AS rank FROM fz) " +
+        "SELECT doc_id, bm25_rank, cos_rank, rrf_score, " +
+        "CAST(rank AS INT) AS rank FROM rr WHERE rank <= 10 ORDER BY rank"
+
   private[graft] val queries: Seq[Q] = Seq(
 
     Q("q_sim_topk_brute",
@@ -908,29 +939,31 @@ private[graft] object SimQueries {
         Similarity.rrfFuse(Seq("bm25" -> lex, "cos" -> sem), k = 10)
           .orderBy("rank")
       },
-      Some(s"WITH ${bm25Ctes(Bm25Terms, 1.2, 0.75)}, " +
-        "bq AS (SELECT doc_id, CAST(rank AS INT) AS bm25_rank FROM r " +
-        "WHERE rank <= 50), " +
-        s"$normEmbCte, " +
-        "qn AS (SELECT v AS qv FROM nv WHERE vec_id = 0), " +
-        "sc AS (SELECT c.vec_id AS doc_id, " +
-        dotSql("qv", "c.v") + " AS score FROM nv c, qn WHERE c.vec_id <> 0), " +
-        "sq AS (SELECT doc_id, cos_rank FROM (SELECT doc_id, " +
-        "CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) " +
-        "AS cos_rank FROM sc) WHERE cos_rank <= 50), " +
-        "fj AS (SELECT COALESCE(bq.doc_id, sq.doc_id) AS doc_id, " +
-        "bm25_rank, cos_rank FROM bq FULL OUTER JOIN sq " +
-        "ON bq.doc_id = sq.doc_id), " +
-        "fz AS (SELECT doc_id, bm25_rank, cos_rank, " +
-        "COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + " +
-        "CAST(bm25_rank AS DOUBLE)), CAST(0.0 AS DOUBLE)) + " +
-        "COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + " +
-        "CAST(cos_rank AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS rrf_score " +
-        "FROM fj), " +
-        "rr AS (SELECT *, row_number() OVER (ORDER BY rrf_score DESC, " +
-        "doc_id) AS rank FROM fz) " +
-        "SELECT doc_id, bm25_rank, cos_rank, rrf_score, " +
-        "CAST(rank AS INT) AS rank FROM rr WHERE rank <= 10 ORDER BY rank")),
+      Some(rrfOracle)),
+
+
+    // Hybrid RRF from the PERSISTED lexical index: the bm25 arm answers
+    // from the bucketed postings tables (bm25SearchIndexed), the
+    // semantic arm and the fuse are unchanged — SAME oracle as
+    // q_sim_hybrid_rrf, so hash equality certifies write→read fidelity
+    // THROUGH the fusion arithmetic (the deployed hybrid-search shape:
+    // per-query work is a postings read + a vector top-k + a KB fuse).
+    Q("q_sim_hybrid_rrf_indexed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val name = "graft_rrf_idx_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        TextAnalysis.writeSearchIndex(Tables.documents(s, d), name)
+        try {
+          val lex = TextAnalysis.bm25SearchIndexed(s, name, Bm25Terms, k = 50)
+          val sem = Similarity.bruteForceTopK(
+              emb, emb.filter(col("vec_id") === 0), k = 50)
+            .select(col("neighbor_id").as("doc_id"), col("rank"))
+          Similarity.rrfFuse(Seq("bm25" -> lex, "cos" -> sem), k = 10)
+            .orderBy("rank").localCheckpoint(true)
+        } finally TextAnalysis.dropSearchIndex(s, name)
+      },
+      Some(rrfOracle)),
 
 
     // Semantic contamination screen: every non-benchmark vector's max

@@ -100,6 +100,11 @@ object Takedown {
   final case class GroundTruth(name: String) extends Artifact {
     private[graft] def tag = "gtruth"
   }
+  /** Persisted crawl-frontier seen-set ([[TextAnalysis.writeFrontierTable]])
+    * — canonical URLs keyed by their first document. */
+  final case class FrontierTable(name: String) extends Artifact {
+    private[graft] def tag = "frontier"
+  }
   /** Perceptual-hash signature table — image or video
     * ([[Multimodal.writePhashTable]] / `writeVideoSignatureTable`). */
   final case class PhashTable(name: String) extends Artifact {
@@ -172,6 +177,8 @@ object Takedown {
             Dedup.deleteFromSubstringIndex(spark, n, batch)
           case GroundTruth(n) =>
             Similarity.deleteFromGroundTruth(spark, n, batch)
+          case FrontierTable(n) =>
+            TextAnalysis.deleteFromFrontierTable(spark, n, batch)
           case PhashTable(n) => Multimodal.deleteFromPhashTable(spark, n, batch)
           case ClusterTable(n, pairs) =>
             Dedup.deleteFromClusterTable(spark, n, batch, pairs)
@@ -204,6 +211,7 @@ object Takedown {
       case IvfPqResIndex(n) => Similarity.compactIvfPqResIndex(spark, n)
       case SubstringIndex(n) => Dedup.compactSubstringIndex(spark, n)
       case GroundTruth(n) => Similarity.compactGroundTruth(spark, n)
+      case FrontierTable(n) => TextAnalysis.compactFrontierTable(spark, n)
       case PhashTable(n) => Multimodal.compactPhashTable(spark, n)
       case ClusterTable(_, _) | LmTable(_, _) | LineDf(_, _, _, _, _) => ()
     }
@@ -253,6 +261,9 @@ object Takedown {
               col("query_id") === col("__id") ||
                 col("neighbor_id") === col("__id"), "left_semi")
             .count()
+        case FrontierTable(nm) => residual(
+          graft.sources.Tables.minusDeletes(spark, s"${nm}_frontier",
+            spark.table(s"${nm}_frontier"), "first_doc"), "first_doc")
         case PhashTable(nm) => residual(
           graft.sources.Tables.minusDeletes(spark, nm,
             spark.table(nm), "doc_id"), "doc_id")
@@ -311,6 +322,7 @@ object Takedown {
         base("_clusters").map(("clusters", _)) ++
         base("_model").filter(b => names(s"${b}_ctx")).map(("lm", _)) ++
         base("_winhash").map(("substr", _)) ++
+        base("_frontier").map(("frontier", _)) ++
         base("_linedf").map(("linedf", _)) ++
         base("_truth").map(("gtruth", _))
     val registered = registry

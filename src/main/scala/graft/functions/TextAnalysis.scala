@@ -1232,6 +1232,93 @@ object TextAnalysis {
           col("doc_id") === min(col("doc_id")).over(w))
   }
 
+  /** PERSISTED CRAWL FRONTIER — the incremental regime [[urlFrontier]]'s
+    * one-shot form cannot serve: a crawler's seen-set lives across
+    * ingests, so the canonical URLs persist as a managed
+    * `<name>_frontier` table (url_canonical-bucketed: screens and
+    * upserts probe bucket-pruned) holding `(url_canonical, first_doc)`,
+    * with the full artifact lifecycle every other persisted family has —
+    * upsert (O(batch)), screen, tombstone deletion, compaction, takedown
+    * registry + audit arms ([[graft.functions.Takedown.FrontierTable]]).
+    * Unparseable URLs are never stored: a NULL canonical cannot be a
+    * seen-set identity.
+    */
+  def writeFrontierTable(urls: DataFrame, name: String,
+      buckets: Int = 64, urlCol: String = "url"): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    val spark = urls.sparkSession
+    dropFrontierTable(spark, name)
+    graft.sources.Tables.writeBucketed(frontierRows(urls, urlCol),
+      s"${name}_frontier", "url_canonical", buckets)
+  }
+
+  private def frontierRows(urls: DataFrame, urlCol: String): DataFrame =
+    urls.select(col("doc_id"), urlNormalize(col(urlCol)).as("url_canonical"))
+      .filter(col("url_canonical").isNotNull)
+      .groupBy(col("url_canonical"))
+      .agg(min(col("doc_id")).as("first_doc"))
+
+  /** Fold a new ingest slice into the frontier: canonicals NOT already
+    * live append with their batch-first doc. O(batch) work — the seen
+    * side contributes one left-anti probe of the bucketed table. */
+  def upsertFrontierTable(spark: org.apache.spark.sql.SparkSession,
+      name: String, batch: DataFrame, urlCol: String = "url"): Unit = {
+    val novel = frontierRows(batch, urlCol)
+      .join(liveFrontier(spark, name).select(col("url_canonical")),
+        Seq("url_canonical"), "left_anti")
+    graft.sources.Tables.appendBucketed(spark, s"${name}_frontier", novel)
+  }
+
+  private def liveFrontier(spark: org.apache.spark.sql.SparkSession,
+      name: String): DataFrame =
+    graft.sources.Tables.minusDeletes(spark, s"${name}_frontier",
+      spark.table(s"${name}_frontier"), "first_doc")
+
+  /** Screen an arriving slice against the persisted seen-set:
+    * `should_fetch` ⟺ unparseable (NULL canonical — a frontier must not
+    * silently merge those), OR the canonical is live-unseen AND this is
+    * its first (lowest-doc_id) occurrence within the batch. Equals the
+    * one-shot [[urlFrontier]] verdict restricted to the batch whenever
+    * batches arrive in doc_id order (the q_text_url_frontier_indexed
+    * gate pins exactly that equality). */
+  def screenFrontier(spark: org.apache.spark.sql.SparkSession, name: String,
+      batch: DataFrame, urlCol: String = "url"): DataFrame = {
+    val canon = batch.select(col("doc_id"), col(urlCol).as("url"))
+      .withColumn("url_canonical", urlNormalize(col(urlCol)))
+    val seen = liveFrontier(spark, name)
+      .select(col("url_canonical"), lit(true).as("__seen"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url_canonical"))
+    canon.join(seen, Seq("url_canonical"), "left")
+      .withColumn("should_fetch",
+        col("url_canonical").isNull ||
+          (col("__seen").isNull &&
+            col("doc_id") === min(col("doc_id")).over(w)))
+      .select("doc_id", "url", "url_canonical", "should_fetch")
+  }
+
+  /** Takedown arm: tombstone every frontier row whose `first_doc` is in
+    * the batch — the canonical becomes re-fetchable, which is the
+    * compliant behavior for a removed document's URLs. O(batch). */
+  def deleteFromFrontierTable(spark: org.apache.spark.sql.SparkSession,
+      name: String, ids: Seq[Long]): Unit =
+    graft.sources.Tables.appendDeletes(spark, s"${name}_frontier",
+      "first_doc", ids)
+
+  /** Fold tombstones into the stored rows (stage-and-swap; bytes leave
+    * disk here). */
+  def compactFrontierTable(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    graft.sources.Tables.rewriteBucketed(spark, s"${name}_frontier",
+      liveFrontier(spark, name))
+    graft.sources.Tables.dropDeletes(spark, s"${name}_frontier")
+  }
+
+  def dropFrontierTable(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit =
+    graft.sources.Tables.dropManagedTables(spark,
+      Seq(s"${name}_frontier", s"${name}_frontier_deletes"))
+
   /** LINK-GRAPH DOMAIN AUTHORITY — weighted PageRank over the corpus's
     * outlink graph, the Common-Crawl-era quality prior (a page hosted by
     * a domain many OTHER domains cite carries authority its own text

@@ -15,6 +15,73 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object TextQueries {
 
+  /** Synthesized per-document URLs for the q_text_url_* gates — every
+    * canonicalization trap in one generator, rendered identically into
+    * both engines (shared-rendered-constant rule).
+    */
+  private def synthUrls(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      concat(
+        lit("HTTPS://WWW."), col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 3 === 0, lit(":443"))
+          .when(col("doc_id") % 3 === 1, lit(":8080"))
+          .otherwise(lit("")),
+        lit("/Posts/"), (col("doc_id") % 25).cast("string"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("?utm_source=feed&id="),
+            (col("doc_id") % 7).cast("string")))
+          .when(col("doc_id") % 5 === 1, lit("/?b=2&a=1&utm_campaign=x"))
+          .when(col("doc_id") % 5 === 2, lit("?ref=tw"))
+          .when(col("doc_id") % 5 === 3,
+            concat(lit("#sec-"), (col("doc_id") % 3).cast("string")))
+          .otherwise(lit(""))).as("url"))
+
+  private lazy val urlSynthSql: String =
+    "u AS (SELECT doc_id, " +
+      "'HTTPS://WWW.' || source || '.Example.COM' || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ':443' " +
+      "WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END || " +
+      "'/Posts/' || CAST(doc_id % 25 AS VARCHAR) || " +
+      "CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&id=' || " +
+      "CAST(doc_id % 7 AS VARCHAR) " +
+      "WHEN doc_id % 5 = 1 THEN '/?b=2&a=1&utm_campaign=x' " +
+      "WHEN doc_id % 5 = 2 THEN '?ref=tw' " +
+      "WHEN doc_id % 5 = 3 THEN '#sec-' || CAST(doc_id % 3 AS VARCHAR) " +
+      "ELSE '' END AS url FROM documents)"
+
+  /** DuckDB replay of [[graft.functions.TextAnalysis.urlNormalize]] —
+    * CTEs c1..c3 ending at (doc_id, url, url_canonical). */
+  private lazy val urlCanonSql: String =
+    "c1 AS (SELECT doc_id, url, " +
+      "lower(regexp_extract(trim(url), " +
+      "'^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, " +
+      "lower(regexp_extract(trim(url), " +
+      "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport, " +
+      "regexp_extract(trim(url), " +
+      "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest FROM u), " +
+      "c2 AS (SELECT doc_id, url, scheme, " +
+      "CASE WHEN scheme = 'http' THEN " +
+      "regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$', '') " +
+      "WHEN scheme = 'https' THEN " +
+      "regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$', '') " +
+      "ELSE regexp_replace(hostport, '^www\\.', '') END AS host, " +
+      "regexp_extract(rest, '^([^?]*)', 1) AS rawpath, " +
+      "regexp_extract(rest, '\\?(.*)$', 1) AS query FROM c1), " +
+      "c2b AS (SELECT doc_id, url, scheme, host, rawpath, " +
+      "COALESCE(array_to_string(list_sort(list_filter(" +
+      "string_split(query, '&'), " +
+      "p -> p <> '' AND NOT regexp_matches(p, " +
+      "'^(utm_[A-Za-z0-9_]*|ref|fbclid|gclid)='))), '&'), '') AS qs " +
+      "FROM c2), " +
+      "c3 AS (SELECT doc_id, url, " +
+      "CASE WHEN scheme = '' OR scheme IS NULL THEN NULL " +
+      "ELSE scheme || '://' || host || " +
+      "CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/' " +
+      "ELSE regexp_replace(rawpath, '/+$', '') END || " +
+      "CASE WHEN qs = '' THEN '' ELSE '?' || qs END END " +
+      "AS url_canonical FROM c2b)"
+
+
   /** The multi-line WRAPPED corpus shared by the boilerplate queries and
     * the takedown line-df gate: every document re-lined at 12 words,
     * wrapped in per-source template chrome (banner + copyright footer)
@@ -1292,63 +1359,9 @@ private[graft] object TextQueries {
     // safe patterns; COALESCE mirrors Spark's ''-join of an empty
     // param list). should_fetch = the canonical group's lowest doc_id.
     Q("q_text_url_frontier",
-      (s, d) => {
-        val urls = Tables.documents(s, d).select(col("doc_id"),
-          concat(
-            lit("HTTPS://WWW."), col("source"), lit(".Example.COM"),
-            when(col("doc_id") % 3 === 0, lit(":443"))
-              .when(col("doc_id") % 3 === 1, lit(":8080"))
-              .otherwise(lit("")),
-            lit("/Posts/"), (col("doc_id") % 25).cast("string"),
-            when(col("doc_id") % 5 === 0,
-              concat(lit("?utm_source=feed&id="),
-                (col("doc_id") % 7).cast("string")))
-              .when(col("doc_id") % 5 === 1, lit("/?b=2&a=1&utm_campaign=x"))
-              .when(col("doc_id") % 5 === 2, lit("?ref=tw"))
-              .when(col("doc_id") % 5 === 3,
-                concat(lit("#sec-"), (col("doc_id") % 3).cast("string")))
-              .otherwise(lit(""))).as("url"))
-        graft.functions.TextAnalysis.urlFrontier(urls).orderBy("doc_id")
-      },
-      Some("WITH u AS (SELECT doc_id, " +
-        "'HTTPS://WWW.' || source || '.Example.COM' || " +
-        "CASE WHEN doc_id % 3 = 0 THEN ':443' " +
-        "WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END || " +
-        "'/Posts/' || CAST(doc_id % 25 AS VARCHAR) || " +
-        "CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&id=' || " +
-        "CAST(doc_id % 7 AS VARCHAR) " +
-        "WHEN doc_id % 5 = 1 THEN '/?b=2&a=1&utm_campaign=x' " +
-        "WHEN doc_id % 5 = 2 THEN '?ref=tw' " +
-        "WHEN doc_id % 5 = 3 THEN '#sec-' || CAST(doc_id % 3 AS VARCHAR) " +
-        "ELSE '' END AS url FROM documents), " +
-        "c1 AS (SELECT doc_id, url, " +
-        "lower(regexp_extract(trim(url), " +
-        "'^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, " +
-        "lower(regexp_extract(trim(url), " +
-        "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport, " +
-        "regexp_extract(trim(url), " +
-        "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest FROM u), " +
-        "c2 AS (SELECT doc_id, url, scheme, " +
-        "CASE WHEN scheme = 'http' THEN " +
-        "regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$', '') " +
-        "WHEN scheme = 'https' THEN " +
-        "regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$', '') " +
-        "ELSE regexp_replace(hostport, '^www\\.', '') END AS host, " +
-        "regexp_extract(rest, '^([^?]*)', 1) AS rawpath, " +
-        "regexp_extract(rest, '\\?(.*)$', 1) AS query FROM c1), " +
-        "c2b AS (SELECT doc_id, url, scheme, host, rawpath, " +
-        "COALESCE(array_to_string(list_sort(list_filter(" +
-        "string_split(query, '&'), " +
-        "p -> p <> '' AND NOT regexp_matches(p, " +
-        "'^(utm_[A-Za-z0-9_]*|ref|fbclid|gclid)='))), '&'), '') AS qs " +
-        "FROM c2), " +
-        "c3 AS (SELECT doc_id, url, " +
-        "CASE WHEN scheme = '' OR scheme IS NULL THEN NULL " +
-        "ELSE scheme || '://' || host || " +
-        "CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/' " +
-        "ELSE regexp_replace(rawpath, '/+$', '') END || " +
-        "CASE WHEN qs = '' THEN '' ELSE '?' || qs END END " +
-        "AS url_canonical FROM c2b) " +
+      (s, d) => graft.functions.TextAnalysis.urlFrontier(synthUrls(s, d))
+        .orderBy("doc_id"),
+      Some(s"WITH $urlSynthSql, $urlCanonSql " +
         "SELECT doc_id, url, url_canonical, " +
         "CAST(CASE WHEN url_canonical IS NULL THEN 1 " +
         "ELSE count(*) OVER (PARTITION BY url_canonical) END AS BIGINT) " +
@@ -1356,6 +1369,48 @@ private[graft] object TextQueries {
         "(url_canonical IS NULL OR " +
         "doc_id = min(doc_id) OVER (PARTITION BY url_canonical)) " +
         "AS should_fetch " +
-        "FROM c3 ORDER BY doc_id"))
+        "FROM c3 ORDER BY doc_id")),
+
+
+    // The PERSISTED frontier (incremental crawl regime): the seen-set of
+    // docs < 400 is written as the url_canonical-bucketed `_frontier`
+    // table, the >= 400 slice screens against it ('fresh' arm), folds in
+    // via upsert, and a REPLAY of the same slice screens again
+    // ('replay' arm — everything parseable now seen, so only NULL
+    // canonicals keep should_fetch). The fresh arm hash-equals the
+    // one-shot urlFrontier verdict restricted to the slice (batches
+    // arrive in doc_id order, so seen-set membership ⟺ an earlier-id
+    // occurrence exists) — write→read→upsert fidelity in one gate.
+    Q("q_text_url_frontier_indexed",
+      (s, d) => {
+        val urls = synthUrls(s, d)
+        val name = "graft_frontier_idx_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        graft.functions.TextAnalysis.writeFrontierTable(
+          urls.filter(col("doc_id") < 400), name)
+        try {
+          val batch = urls.filter(col("doc_id") >= 400)
+          val fresh = graft.functions.TextAnalysis
+            .screenFrontier(s, name, batch)
+            .withColumn("arm", lit("fresh")).localCheckpoint(true)
+          graft.functions.TextAnalysis.upsertFrontierTable(s, name, batch)
+          val replay = graft.functions.TextAnalysis
+            .screenFrontier(s, name, batch)
+            .withColumn("arm", lit("replay")).localCheckpoint(true)
+          fresh.unionByName(replay).orderBy("arm", "doc_id")
+        } finally graft.functions.TextAnalysis.dropFrontierTable(s, name)
+      },
+      Some(s"WITH $urlSynthSql, $urlCanonSql, " +
+        "f AS (SELECT doc_id, url, url_canonical, " +
+        "(url_canonical IS NULL OR " +
+        "doc_id = min(doc_id) OVER (PARTITION BY url_canonical)) " +
+        "AS should_fetch FROM c3) " +
+        "SELECT 'fresh' AS arm, doc_id, url, url_canonical, should_fetch " +
+        "FROM f WHERE doc_id >= 400 " +
+        "UNION ALL " +
+        "SELECT 'replay' AS arm, doc_id, url, url_canonical, " +
+        "(url_canonical IS NULL) AS should_fetch " +
+        "FROM f WHERE doc_id >= 400 " +
+        "ORDER BY arm, doc_id"))
   )
 }

@@ -534,4 +534,60 @@ class TakedownSpec extends SparkSpec {
       TextAnalysis.dropLmTable(spark, lm); Takedown.dropLedger(spark, lm)
     }
   }
+
+  test("frontier table: screen/upsert lifecycle; deleteEverywhere re-opens a " +
+      "taken-down doc's canonical; audit sweeps _frontier") {
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val fr = s"td_front_$uid"
+    def urls(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "url")
+    val seen = urls(
+      (1L, "https://a.com/x"),
+      (2L, "HTTPS://WWW.A.com:443/x?utm_source=z"), // dup of 1
+      (3L, "https://b.com/y"))
+    TextAnalysis.writeFrontierTable(seen, fr, buckets = 2)
+    try {
+      // screen: seen canonicals blocked; new one fetches once per batch
+      val batch = urls(
+        (10L, "https://a.com/x/"),        // seen (slash variant)
+        (11L, "https://c.com/new"),       // novel -> fetch
+        (12L, "https://C.COM/new#frag"),  // same novel, higher id -> no
+        (13L, "garbage"))                 // unparseable -> always fetch
+      val s1 = TextAnalysis.screenFrontier(spark, fr, batch)
+        .select("doc_id", "should_fetch")
+        .as[(Long, Boolean)].collect().toMap
+      assert(s1 == Map(10L -> false, 11L -> true, 12L -> false, 13L -> true))
+      TextAnalysis.upsertFrontierTable(spark, fr, batch)
+      // replay after upsert: only the unparseable row still fetches
+      val s2 = TextAnalysis.screenFrontier(spark, fr, batch)
+        .select("doc_id", "should_fetch").as[(Long, Boolean)].collect().toMap
+      assert(s2 == Map(10L -> false, 11L -> false, 12L -> false, 13L -> true))
+      // takedown of doc 1 re-opens a.com/x (first_doc tombstoned);
+      // b.com/y (doc 3) stays seen
+      val rep = Takedown.deleteEverywhere(spark, "front-batch", Seq(1L),
+        Seq(Takedown.FrontierTable(fr)))
+      assert(rep == Seq(("frontier", fr, true)))
+      val s3 = TextAnalysis.screenFrontier(spark, fr,
+          urls((20L, "https://a.com/x"), (21L, "https://b.com/y")))
+        .select("doc_id", "should_fetch").as[(Long, Boolean)].collect().toMap
+      assert(s3 == Map(20L -> true, 21L -> false),
+        "a taken-down doc's canonical must become re-fetchable")
+      // residual audit counts the tombstoned row as gone; compaction
+      // purges it physically and the read is unchanged
+      assert(Takedown.residualReferences(spark, Seq(1L),
+        Seq(Takedown.FrontierTable(fr))) == Seq(("frontier", fr, 0L)))
+      Takedown.compactEverywhere(spark, Seq(Takedown.FrontierTable(fr)))
+      assert(!spark.catalog.tableExists(s"${fr}_frontier_deletes"))
+      val s4 = TextAnalysis.screenFrontier(spark, fr,
+          urls((20L, "https://a.com/x"), (21L, "https://b.com/y")))
+        .select("doc_id", "should_fetch").as[(Long, Boolean)].collect().toMap
+      assert(s4 == s3, "compaction must not change screen verdicts")
+      // the registry-completeness sweep knows the _frontier convention
+      val missing = Takedown.auditRegistry(spark, Seq.empty[Takedown.Artifact])
+      assert(missing.contains(("frontier", fr.toLowerCase)),
+        s"unregistered frontier must be flagged: $missing")
+    } finally {
+      TextAnalysis.dropFrontierTable(spark, fr)
+      Takedown.dropLedger(spark, fr)
+    }
+  }
 }

@@ -489,6 +489,29 @@ private[graft] object MiscQueries {
         "AND c_mktsegment IS NOT DISTINCT FROM qs ORDER BY c_custkey")),
 
 
+    // l-DIVERSITY audit — the homogeneity-attack check k-anonymity can't
+    // see: a class can be k-large yet uniform in its sensitive value.
+    // Sensitive = the account-balance band floor(bal/2000) (one IEEE
+    // division + floor, identical both engines); NULL sensitive counts
+    // as a value of its own (the all-NULL class must read 1, not 0).
+    Q("q_privacy_ldiversity",
+      (s, d) => graft.functions.DataQuality.lDiversity(
+          Tables.customer(s, d), Seq("c_nationkey", "c_mktsegment"),
+          floor(col("c_acctbal") / 2000.0), l = 2)
+        .orderBy(asc_nulls_last("c_nationkey"),
+          asc_nulls_last("c_mktsegment")),
+      Some("SELECT c_nationkey, c_mktsegment, " +
+        "CAST(count(*) AS BIGINT) AS class_size, " +
+        "CAST(count(DISTINCT floor(c_acctbal / 2000.0)) + " +
+        "max(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_sensitive, " +
+        "(count(DISTINCT floor(c_acctbal / 2000.0)) + " +
+        "max(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)) >= 2 " +
+        "AS l_diverse " +
+        "FROM customer GROUP BY 1, 2 " +
+        "ORDER BY c_nationkey NULLS LAST, c_mktsegment NULLS LAST")),
+
+
     // SOFT quality sampling: keep-probability ∝ the classifier score
     // (clamped to [0,1]) keyed on the content hash — the FineWeb-style
     // soft cut that keeps mid-quality documents in proportion instead of

@@ -942,6 +942,68 @@ private[graft] object SimQueries {
       Some(rrfOracle)),
 
 
+    // THREE-ARM RRF — lexical + semantic + a QUALITY PRIOR (the
+    // curation-time hybrid: candidates that are lexically relevant,
+    // semantically close, AND from the corpus's high-quality stratum
+    // fuse ahead). The prior arm is the top-50 docs by the certified
+    // quality score; the fused sum folds (bm25 + cos) + quality
+    // left-nested in arm order. Items any single arm surfaces remain
+    // retrievable — the N-arm generalization the 2-arm gate cannot pin.
+    Q("q_sim_hybrid_rrf3",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val emb = Tables.embeddings(s, d)
+        val lex = TextAnalysis.bm25Search(docs, Bm25Terms, k = 50)
+        val sem = Similarity.bruteForceTopK(
+            emb, emb.filter(col("vec_id") === 0), k = 50)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("__qs").desc, col("doc_id"))
+        val prior = docs.filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("__qs"))
+          .orderBy(col("__qs").desc, col("doc_id")).limit(50)
+          .withColumn("rank", row_number().over(w))
+          .select("doc_id", "rank")
+        Similarity.rrfFuse(
+            Seq("bm25" -> lex, "cos" -> sem, "quality" -> prior), k = 10)
+          .orderBy("rank")
+      },
+      Some(s"WITH ${bm25Ctes(Bm25Terms, 1.2, 0.75)}, " +
+        "bq AS (SELECT doc_id, CAST(rank AS INT) AS bm25_rank FROM r " +
+        "WHERE rank <= 50), " +
+        s"$normEmbCte, " +
+        "qn AS (SELECT v AS qv FROM nv WHERE vec_id = 0), " +
+        "sc AS (SELECT c.vec_id AS doc_id, " +
+        dotSql("qv", "c.v") + " AS score FROM nv c, qn WHERE c.vec_id <> 0), " +
+        "sq AS (SELECT doc_id, cos_rank FROM (SELECT doc_id, " +
+        "CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) " +
+        "AS cos_rank FROM sc) WHERE cos_rank <= 50), " +
+        "qs0 AS (SELECT doc_id, " + qualityScoreSql + " AS qsv " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "qb AS (SELECT doc_id, quality_rank FROM (SELECT doc_id, " +
+        "CAST(row_number() OVER (ORDER BY qsv DESC, doc_id) AS INT) " +
+        "AS quality_rank FROM qs0) WHERE quality_rank <= 50), " +
+        "fj1 AS (SELECT COALESCE(bq.doc_id, sq.doc_id) AS doc_id, " +
+        "bm25_rank, cos_rank FROM bq FULL OUTER JOIN sq " +
+        "ON bq.doc_id = sq.doc_id), " +
+        "fj2 AS (SELECT COALESCE(fj1.doc_id, qb.doc_id) AS doc_id, " +
+        "bm25_rank, cos_rank, quality_rank FROM fj1 FULL OUTER JOIN qb " +
+        "ON fj1.doc_id = qb.doc_id), " +
+        "fz AS (SELECT doc_id, bm25_rank, cos_rank, quality_rank, " +
+        "(COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + " +
+        "CAST(bm25_rank AS DOUBLE)), CAST(0.0 AS DOUBLE)) + " +
+        "COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + " +
+        "CAST(cos_rank AS DOUBLE)), CAST(0.0 AS DOUBLE))) + " +
+        "COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + " +
+        "CAST(quality_rank AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS rrf_score " +
+        "FROM fj2), " +
+        "rr AS (SELECT *, row_number() OVER (ORDER BY rrf_score DESC, " +
+        "doc_id) AS rank FROM fz) " +
+        "SELECT doc_id, bm25_rank, cos_rank, quality_rank, rrf_score, " +
+        "CAST(rank AS INT) AS rank FROM rr WHERE rank <= 10 ORDER BY rank")),
+
+
     // Hybrid RRF from the PERSISTED lexical index: the bm25 arm answers
     // from the bucketed postings tables (bm25SearchIndexed), the
     // semantic arm and the fuse are unchanged — SAME oracle as

@@ -1282,10 +1282,17 @@ object TextAnalysis {
     * batches arrive in doc_id order (the q_text_url_frontier_indexed
     * gate pins exactly that equality). */
   def screenFrontier(spark: org.apache.spark.sql.SparkSession, name: String,
-      batch: DataFrame, urlCol: String = "url"): DataFrame = {
+      batch: DataFrame, urlCol: String = "url",
+      excludeFirstDocs: Seq[Long] = Nil): DataFrame = {
     val canon = batch.select(col("doc_id"), col(urlCol).as("url"))
       .withColumn("url_canonical", urlNormalize(col(urlCol)))
-    val seen = liveFrontier(spark, name)
+    // excludeFirstDocs: the streaming gate's retry guard — frontier rows
+    // first seen by THIS batch's docs can only be a half-published prior
+    // attempt, and counting them as "seen" would flip the replayed
+    // verdicts ([[graft.streaming.DocsStream.frontierGateBatch]])
+    val live = liveFrontier(spark, name)
+    val seen = (if (excludeFirstDocs.isEmpty) live
+      else live.filter(!col("first_doc").isin(excludeFirstDocs: _*)))
       .select(col("url_canonical"), lit(true).as("__seen"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("url_canonical"))

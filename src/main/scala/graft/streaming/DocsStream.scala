@@ -272,4 +272,42 @@ object DocsStream {
       if (!novel.isEmpty) MinhashIndex.upsert(spark, indexName, novel, textCol)
     } finally { b.unpersist(); () }
   }
+
+  /** STREAMING CRAWL-FRONTIER GATE — the incremental frontier's
+    * streaming face ([[graft.functions.TextAnalysis.writeFrontierTable]]
+    * family): each micro-batch of `(doc_id, url)` rows screens against
+    * the persisted seen-set (`should_fetch` verdicts to
+    * `outDir/batch=<id>`) and folds its novel canonicals in. Idempotent
+    * replay, both sides (the [[minhashGateBatch]] discipline): the
+    * screen excludes frontier rows FIRST SEEN by this batch's own docs
+    * (only a half-published prior attempt can have written those, and
+    * counting them as seen would flip the replayed verdicts), and the
+    * upsert's left-anti probe makes re-folding a no-op.
+    */
+  def frontierGateSink(urls: DataFrame, frontierName: String, outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    urls.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        frontierGateBatch(batch.toDF(), frontierName, outDir, id)
+    }
+
+  /** One [[frontierGateSink]] trigger — exposed for the StreamingSpec
+    * replay pin. */
+  private[graft] def frontierGateBatch(batch: DataFrame, frontierName: String,
+      outDir: String, id: Long): Unit = {
+    import graft.functions.TextAnalysis
+    val b = batch.persist()
+    try {
+      val spark = b.sparkSession
+      val batchIds = b.select(col("doc_id")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val verdicts = TextAnalysis.screenFrontier(spark, frontierName, b,
+        excludeFirstDocs = batchIds).persist()
+      try {
+        (if (verdicts.isEmpty) verdicts.repartition(1) else verdicts)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      } finally { verdicts.unpersist(); () }
+      TextAnalysis.upsertFrontierTable(spark, frontierName, b)
+    } finally { b.unpersist(); () }
+  }
 }

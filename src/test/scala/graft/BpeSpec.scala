@@ -300,5 +300,14 @@ class BpeSpec extends SparkSpec {
     val seed = Seq("scan the table", "scan the row", "the scan the scan")
     assert(WordPiece.learnVocabLocal(seed, 8) ==
       WordPiece.learnVocabLocal(seed, 8))
+    // artifact round-trip (the saveMerges deployment shape): order and
+    // content survive, and the loaded vocabulary segments identically
+    val trained = WordPiece.learnVocabLocal(seed, 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_wp_vocab")
+    WordPiece.saveVocab(spark, trained, dir.toString)
+    val loaded = WordPiece.loadVocab(spark, dir.toString)
+    assert(loaded == trained)
+    assert(words.flatMap(w => WordPiece.segmentWord(w, loaded)) ==
+      words.flatMap(w => WordPiece.segmentWord(w, trained)))
   }
 }

@@ -1025,4 +1025,49 @@ class StreamingSpec extends SparkSpec {
       assert(report(s"$out/batch=1") == r2)
     } finally Similarity.dropAnnIndex(spark, "drift_mon_idx")
   }
+
+  test("streaming frontier gate: verdicts per trigger, novel canonicals fold once, replay idempotent") {
+    import graft.streaming.DocsStream
+    import graft.functions.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val fr = "front_gate_idx"
+    val seen = Seq((1L, "https://a.com/x"), (2L, "https://b.com/y"))
+      .toDF("doc_id", "url")
+    TextAnalysis.writeFrontierTable(seen, fr, buckets = 2)
+    val out = java.nio.file.Files.createTempDirectory("graft_front_gate")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_front_ckpt")
+    try {
+      val b1 = Seq(
+        (10L, "HTTPS://WWW.A.com:443/x"),   // seen -> no fetch
+        (11L, "https://c.com/p?utm_source=z"), // novel -> fetch
+        (12L, "https://c.com/p"))            // same canonical, higher id
+      val b2 = Seq(
+        (20L, "https://c.com/p#frag"),       // folded by batch 1 -> no
+        (21L, "not a url"),                  // unparseable -> fetch
+        (22L, "https://d.com/q"))            // novel -> fetch
+      val in = MemoryStream[(Long, String)]
+      val q = DocsStream.frontierGateSink(
+          in.toDF().toDF("doc_id", "url"), fr, out.toString)
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      def verdicts(dir: String) = spark.read.parquet(dir)
+        .select("doc_id", "should_fetch")
+        .as[(Long, Boolean)].collect().toMap
+      val v1 = verdicts(s"$out/batch=0")
+      val v2 = verdicts(s"$out/batch=1")
+      assert(v1 == Map(10L -> false, 11L -> true, 12L -> false))
+      assert(v2 == Map(20L -> false, 21L -> true, 22L -> true))
+      val grown = spark.table(s"${fr}_frontier").count()
+      assert(grown == 4L, s"frontier must hold a,b,c,d canonicals: $grown")
+      // replayed trigger: verdicts byte-identical, frontier unchanged
+      DocsStream.frontierGateBatch(b1.toDF("doc_id", "url"), fr,
+        out.toString, 0L)
+      assert(verdicts(s"$out/batch=0") == v1,
+        "a replayed trigger must reproduce the first attempt's verdicts")
+      assert(spark.table(s"${fr}_frontier").count() == 4L)
+    } finally TextAnalysis.dropFrontierTable(spark, fr)
+  }
 }

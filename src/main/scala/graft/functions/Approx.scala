@@ -148,7 +148,8 @@ object Approx {
     val b = sk.select(col("__k").as("set_b"), col("__sk").as("__skb"),
       col("__n").as("n_b"))
     // |sets| rows per side by contract — the cross is pair-table-sized
-    val pairs = a.crossJoin(b).filter(col("set_a") < col("set_b"))
+    // and the right side broadcasts (KB sketches per set)
+    val pairs = a.crossJoin(broadcast(b)).filter(col("set_a") < col("set_b"))
     val dv = dd.select(col(setCol).as("__k"), col(valueCol).as("__v"))
       .distinct()
     val inter = dv.as("x").join(dv.as("y"),

@@ -2006,6 +2006,63 @@ object Similarity {
     refineExact(sqTopK(corpus, queries, shortlist, levels), corpus, queries, k)
   }
 
+  /** BINARY QUANTIZATION top-k — the 1-bit end of the compression curve
+    * (SQ8 holds 8 bits/dim, PQ ~1–4, this is 1): each normalized vector
+    * collapses to its SIGN BITS packed into two 32-bit words, and
+    * candidate ranking is HAMMING DISTANCE — `bit_count(xor)` per word,
+    * two integer ops per pair instead of a 64-multiply dot. The memory
+    * story at 100 TB: 8 bytes/vector (32× under raw floats), and the
+    * distance is exact INTEGER arithmetic — which is also why the whole
+    * path replays bit-for-bit in any engine (no quantizer training, no
+    * float accumulation anywhere before the refine stage). Sign bits
+    * keep the angular structure Nearest-neighbor-wise (the classic
+    * SimHash/LSH cosine sketch); ranking quality is recovered by the
+    * standard [[refineExact]] rescore over the shortlist
+    * ([[bqRefinedTopK]] — the production two-stage BQ stack every
+    * vector store ships as "binary quantization with rescoring").
+    * Hamming ties (common with integer distances) break by neighbor id.
+    */
+  def bqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dims: Int = 64): DataFrame = {
+    val c = withSignWords(normalized(corpus), dims)
+    val q = withSignWords(normalized(queries), dims)
+      .select(col("vec_id").as("query_id"),
+        col("__b0").as("__q0w"), col("__b1").as("__q1w"))
+    val ham = bit_count(col("__b0").bitwiseXOR(col("__q0w"))) +
+      bit_count(col("__b1").bitwiseXOR(col("__q1w")))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (-ham).cast("double").as("score"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Two-stage BQ: Hamming shortlist → exact rescore ([[refineExact]]).
+    * Quantization error then only costs shortlist membership, never
+    * final-order placement — the [[sqRefinedTopK]] discipline at 1 bit.
+    */
+  def bqRefinedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      shortlist: Int = 40, dims: Int = 64): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    refineExact(bqTopK(corpus, queries, shortlist, dims),
+      corpus, queries, k)
+  }
+
+  /** Sign-bit packing of the leading `dims` normalized components into
+    * two long words (32 bits max per word: the largest addend is 2^31,
+    * so every rendered literal and word stays positive in any BIGINT
+    * engine). Missing components (vectors shorter than `dims`) read as
+    * 0-bits on both engines.
+    */
+  private def withSignWords(nv: DataFrame, dims: Int): DataFrame = {
+    require(dims % 2 == 0 && dims >= 2 && dims <= 64,
+      "dims must be even and <= 64 (two 32-bit sign words)")
+    val half = dims / 2
+    def pack(lo: Int, hi: Int): Column = (lo until hi).map(i =>
+      when(element_at(col("v"), i + 1) > 0.0, lit(1L << (i - lo)))
+        .otherwise(lit(0L))).reduceLeft(_ + _)
+    nv.withColumn("__b0", pack(0, half)).withColumn("__b1", pack(half, dims))
+  }
+
   /** True-IVFADC shortlist → exact refine — the full production retrieval
     * stack (FAISS `IndexIVFPQ` + `IndexRefineFlat`): cell pruning bounds
     * the candidate set, residual-PQ ADC scores it from codes alone, and

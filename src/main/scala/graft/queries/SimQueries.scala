@@ -87,6 +87,28 @@ private[graft] object SimQueries {
         "SELECT doc_id, bm25_rank, cos_rank, rrf_score, " +
         "CAST(rank AS INT) AS rank FROM rr WHERE rank <= 10 ORDER BY rank"
 
+  /** Shared CTEs of the BQ family: sign-word packing of every
+    * normalized vector (32 bits per word — the largest addend 2^31
+    * stays positive BIGINT in both engines) and the negated-Hamming
+    * scored relation `hs`. Pure integer arithmetic until the final
+    * cast, so the coarse stage is engine-exact by construction.
+    */
+  private lazy val bqCtes: String = {
+    def packSql(lo: Int, hi: Int): String =
+      (lo until hi).map(i =>
+        s"(CASE WHEN v[${i + 1}] > 0 THEN ${1L << (i - lo)} ELSE 0 END)")
+        .mkString(" + ")
+    s"WITH $normEmbCte, " +
+      "cp AS (SELECT vec_id, v, " +
+      s"CAST(${packSql(0, 32)} AS BIGINT) AS b0, " +
+      s"CAST(${packSql(32, 64)} AS BIGINT) AS b1 FROM nv), " +
+      "qp AS (SELECT vec_id AS query_id, v AS qv, b0 AS q0w, b1 AS q1w " +
+      "FROM cp WHERE vec_id % 100 = 0), " +
+      "hs AS (SELECT query_id, c.vec_id AS neighbor_id, " +
+      "CAST(-(bit_count(xor(c.b0, q0w)) + bit_count(xor(c.b1, q1w))) " +
+      "AS DOUBLE) AS score FROM cp c, qp WHERE c.vec_id <> query_id)"
+  }
+
   private[graft] val queries: Seq[Q] = Seq(
 
     Q("q_sim_topk_brute",
@@ -158,6 +180,35 @@ private[graft] object SimQueries {
         finally Similarity.dropSqIndex(s, name)
       },
       Some(sq8Oracle)),
+
+
+    // BINARY QUANTIZATION — the 1-bit end of the compression curve:
+    // sign bits packed into two 32-bit words, candidates ranked by
+    // bit_count(xor) Hamming distance (exact INTEGER arithmetic — the
+    // whole coarse stage replays bit-for-bit, no quantizer fit, no
+    // float sums). Ties break by neighbor id.
+    Q("q_sim_topk_bq",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bqTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(bqCtes + ", " + topKSql("hs", 10))),
+
+
+    // The production BQ stack: Hamming shortlist → exact full-dim
+    // rescore (refineExact) — quantization error costs shortlist
+    // membership only, never final order. Same refine replay as the
+    // SQ8/MRL/IVFADC refined twins.
+    Q("q_sim_topk_bq_refined",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bqRefinedTopK(emb,
+            emb.filter(col("vec_id") % 100 === 0), k = 10, shortlist = 40)
+          .orderBy("query_id", "rank")
+      },
+      Some(bqCtes + ", q0 AS (SELECT query_id, qv FROM qp), " +
+        shortlistCte("hs", 40, "sl") + ", " + refineTailSql("sl", 10))),
 
 
     // Two-stage retrieval: SQ8 shortlist (the memory-bound codes scan) →

@@ -2047,6 +2047,65 @@ object Similarity {
       corpus, queries, k)
   }
 
+  /** Persist the BQ sign-word table — 16 bytes/vector of (vec_id, b0,
+    * b1), the artifact whose WHOLE point is that it fits where vectors
+    * do not (32× under the raw floats). Row-independent like the SQ/PQ
+    * codes tables: deletion/compaction ride the shared codes-table
+    * machinery if ever needed; the search path is a full scan of 8-byte
+    * payloads + two integer ops per pair.
+    */
+  def writeBqIndex(corpus: DataFrame, name: String, dims: Int = 64): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    val spark = corpus.sparkSession
+    dropBqIndex(spark, name)
+    try withSignWords(normalized(corpus), dims)
+      .select(col("vec_id"), col("__b0").as("b0"), col("__b1").as("b1"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_words")
+    catch { case e: Throwable => dropBqIndex(spark, name); throw e }
+  }
+
+  def dropBqIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit =
+    graft.sources.Tables.dropManagedTables(spark, Seq(s"${name}_words"))
+
+  /** FULLY-PERSISTED two-stage BQ search ([[sqRefinedSearchIndexed]]'s
+    * shape at 1 bit): the Hamming shortlist scans the stored words
+    * table, the exact rescore reads the [[writeVecTable]] raw vectors
+    * bucket-pruned by the shortlist ids. SAME result as
+    * [[bqRefinedTopK]] — the gated write→read fidelity claim.
+    */
+  def bqRefinedSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+      bqName: String, vecName: String, queries: DataFrame, k: Int,
+      shortlist: Int = 40, dims: Int = 64): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    graft.sources.Tables.requireIdent(vecName)
+    val spark2 = spark
+    import spark2.implicits._
+    val q = withSignWords(normalized(queries), dims)
+      .select(col("vec_id").as("query_id"),
+        col("__b0").as("__q0w"), col("__b1").as("__q1w"))
+    val ham = bit_count(col("b0").bitwiseXOR(col("__q0w"))) +
+      bit_count(col("b1").bitwiseXOR(col("__q1w")))
+    val scored = spark.table(s"${bqName}_words")
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (-ham).cast("double").as("score"))
+    val cand = topKPerQuery(scored, shortlist)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val ids = cand.map(_._2).distinct.toSeq
+    val candDf = cand.toSeq.toDF("query_id", "neighbor_id", "coarse_rank")
+    val vt = spark.table(s"${vecName}_vectors")
+      .filter(col("vec_id").isin(ids: _*))
+    val qv = normalized(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    refineOrder(
+      vt.join(broadcast(candDf), col("vec_id") === col("neighbor_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"), col("coarse_rank"),
+          dot(col("qv"), col("v")).as("score")), k)
+  }
+
   /** Sign-bit packing of the leading `dims` normalized components into
     * two long words (32 bits max per word: the largest addend is 2^31,
     * so every rendered literal and word stays positive in any BIGINT

@@ -109,6 +109,10 @@ private[graft] object SimQueries {
       "AS DOUBLE) AS score FROM cp c, qp WHERE c.vec_id <> query_id)"
   }
 
+  private lazy val bqRefinedOracle: String =
+    bqCtes + ", q0 AS (SELECT query_id, qv FROM qp), " +
+      shortlistCte("hs", 40, "sl") + ", " + refineTailSql("sl", 10)
+
   private[graft] val queries: Seq[Q] = Seq(
 
     Q("q_sim_topk_brute",
@@ -207,8 +211,30 @@ private[graft] object SimQueries {
             emb.filter(col("vec_id") % 100 === 0), k = 10, shortlist = 40)
           .orderBy("query_id", "rank")
       },
-      Some(bqCtes + ", q0 AS (SELECT query_id, qv FROM qp), " +
-        shortlistCte("hs", 40, "sl") + ", " + refineTailSql("sl", 10))),
+      Some(bqRefinedOracle)),
+
+
+    // FULLY-PERSISTED BQ: Hamming shortlist from the stored 8-byte
+    // sign-word table, exact rescore from the stored vec_id-bucketed
+    // raw vectors — SAME oracle as the from-scratch refined twin
+    // (write->read fidelity; the sq8_refined_indexed discipline).
+    Q("q_sim_topk_bq_refined_indexed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+        val bqName = "graft_bq_idx_" + tag
+        val vecName = "graft_bqv_idx_" + tag
+        Similarity.writeBqIndex(emb, bqName)
+        Similarity.writeVecTable(emb, vecName)
+        try Similarity.bqRefinedSearchIndexed(s, bqName, vecName,
+            emb.filter(col("vec_id") % 100 === 0), k = 10, shortlist = 40)
+          .orderBy("query_id", "rank").localCheckpoint(true)
+        finally {
+          Similarity.dropBqIndex(s, bqName)
+          Similarity.dropVecTable(s, vecName)
+        }
+      },
+      Some(bqRefinedOracle)),
 
 
     // Two-stage retrieval: SQ8 shortlist (the memory-bound codes scan) →

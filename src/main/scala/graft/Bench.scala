@@ -47,6 +47,7 @@ object Bench {
     // codegen, and scheduler startup (touches no corpus data — IO still
     // counts against the queries that do it).
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    val warmPass = sys.env.getOrElse("SPARK_GRAFT_WARM", "1").toInt > 0
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
     // noop sink forces full computation of every output column — count()
@@ -61,6 +62,13 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: $e"); -1.0 }
     }
+    // Measured-warm pass 0 (round-15 lesson: the first interleaved pass
+    // absorbs per-query JIT + page cache and ran routinely 2-5x its warm
+    // time — q1_agg samples 2.97/1.14/0.61 — manufacturing 33 false >2x
+    // flags per close run that each needed standalone adjudication). Run
+    // every query once UNMEASURED before the measured passes; disable
+    // with SPARK_GRAFT_WARM=0 when a cold-cache number is wanted.
+    if (warmPass) names.foreach(once)
     val samples: Map[String, Seq[Double]] =
       (1 to runs).flatMap(_ => names.map(n => n -> once(n)))
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
@@ -150,9 +158,16 @@ object Bench {
         s""""per_query":$detail,"total":$total}""" + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $detailPath: $e") }
-    println(s"""{"queries":${jmap(med)},"runs":$runs,"noise":$noise,$failedJson,$adjJson""" +
-      s""""detail":"$detailPath","sf":"$sfDir",""" +
-      s""""metric":"total","unit":"sec","value":$total}""")
+    // The round driver records only the last ~2 KB of stdout, so the 215-
+    // entry query map CANNOT ride the headline line (15 straight rounds of
+    // BENCH_r*.json came back `parsed: null` because the tail landed
+    // mid-map). The full per-query map lives in the detail file; stdout
+    // gets exactly ONE compact line — the summary, alone, last — so the
+    // driver's tail always contains a complete parseable JSON object.
+    println(s"""{"metric":"total","unit":"sec","value":$total,""" +
+      s""""queries_count":${names.size},"runs":$runs,"warm_pass":$warmPass,""" +
+      s""""noise":$noise,$failedJson,$adjJson""" +
+      s""""detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -44,6 +44,8 @@ object Stress {
       case "blocklist" :: dir :: k :: Nil => blocklist(spark, dir, k.toInt)
       case "pqsize" :: dir :: Nil => pqsize(spark, dir)
       case "annscale" :: nc :: per :: Nil => annscale(spark, nc.toInt, per.toInt)
+      case "annbatch" :: nc :: per :: nq :: Nil =>
+        annbatch(spark, nc.toInt, per.toInt, nq.toLong)
       case "ladder" :: dir :: kind :: fs if fs.nonEmpty =>
         ladder(spark, dir, kind, fs.map(_.toInt))
       case "gtprobe" :: dir :: Nil => gtprobe(spark, dir)
@@ -56,6 +58,7 @@ object Stress {
         phashScale(spark, groups.toInt, per.toInt)
       case "assignplan" :: dir :: cells :: Nil =>
         assignPlan(spark, dir, cells.toInt)
+      case "pipelinestages" :: dir :: Nil => pipelineStages(spark, dir)
       case "substrplan" :: dir :: w :: Nil =>
         substrPlan(spark, dir, w.toInt)
       case "linescale" :: docs :: lines :: pool :: Nil =>
@@ -125,6 +128,50 @@ object Stress {
         val n = df.count()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[substrplan] $name rows=$n time=$sec%.2fs " +
+          f"cpuMs=${cpu.get} gcMs=${gc.get} " +
+          f"spillMB=${spill.get / 1048576} shufMB=${shuf.get / 1048576}")
+    }
+  }
+
+  /** Per-stage timing of the COMPOSED curation pipeline
+    * ([[graft.functions.Curate.curateFullStages]]) over a rung dir —
+    * the [[substrPlan]] discipline: each stage is counted CUMULATIVELY
+    * (its thunk rebuilds the whole prefix), so a regression names a
+    * stage boundary instead of a total, and the per-stage task metrics
+    * show where the spill/shuffle lives. Benchmark = every 97th doc
+    * (an eval set genuinely inside the corpus — the decontamination
+    * stage has real work to do).
+    *
+    *   runMain graft.Stress pipelinestages /tmp/graft_ladder/pipeline/x10
+    */
+  private def pipelineStages(spark: SparkSession, dir: String): Unit = {
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    val gc = new java.util.concurrent.atomic.AtomicLong
+    val shuf = new java.util.concurrent.atomic.AtomicLong
+    val cpu = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            spill.addAndGet(m.memoryBytesSpilled)
+            gc.addAndGet(m.jvmGCTime)
+            shuf.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            cpu.addAndGet(m.executorCpuTime / 1000000L)
+          }
+        }
+      })
+    val docs = sources.Tables.documents(spark, dir)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select("doc_id", "text")
+    functions.Curate.curateFullStages(docs, bench).foreach {
+      case (name, mk) =>
+        spill.set(0); gc.set(0); shuf.set(0); cpu.set(0)
+        val t0 = System.nanoTime()
+        val n = mk().count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[pipeline] $name rows=$n time=$sec%.2fs " +
           f"cpuMs=${cpu.get} gcMs=${gc.get} " +
           f"spillMB=${spill.get / 1048576} shufMB=${shuf.get / 1048576}")
     }
@@ -468,6 +515,60 @@ object Stress {
         f"(${pqS / searchS}%.1fx vs one-shot) rows=${idxOut.count()} " +
         f"pq↔ivfpq overlap=$overlap/$total (scan fraction 3/$centroids)")
     } finally Similarity.dropPqIndex(spark, "stress_pq_idx")
+  }
+
+  /** Batch-query ANN probe (round-16): [[Similarity.annSearchIndexed]]
+    * above its former 65,536-query hard cap — the cap is now a SWITCH to
+    * the distributed arm (scan-side probe selection + salted candidate
+    * join), so a query frame of any size runs without ever landing on
+    * the driver. Reports wall time of both arms at a shared sub-cap size
+    * (their results are hash-pinned equal by BucketedSpec) and then the
+    * above-cap run the old code refused: the "Done" evidence that the
+    * cap is gone.
+    */
+  private def annbatch(spark: SparkSession, nClusters: Int,
+      perCluster: Int, nQueries: Long): Unit = {
+    import graft.functions.Similarity
+    require(nQueries > 65536,
+      s"annbatch exists to demonstrate >65536 queries, got $nQueries")
+    val emb = structuredEmbeddings(spark, nClusters, perCluster, dim = 64)
+      .localCheckpoint(true)
+    val n = emb.count()
+    // query frame: nQueries fresh vectors from the same generator family,
+    // ids offset past the corpus so the self-match filter never bites
+    val queries = structuredEmbeddings(spark, nClusters,
+        (nQueries / nClusters + 1).toInt, dim = 64)
+      .limit(nQueries.toInt)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val centroids = math.max(8, nClusters / 2)
+    Similarity.writeAnnIndex(emb, "stress_annbatch_idx",
+      centroids = centroids, sampleSize = 512, iters = 2, buckets = 8)
+    try {
+      def run(df: => org.apache.spark.sql.DataFrame): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val out = df.localCheckpoint(true)
+        (out.count(), (System.nanoTime() - t0) / 1e9)
+      }
+      // both arms at a shared sub-cap query size, for the arm-vs-arm cost
+      val small = queries.limit(4096).localCheckpoint(true)
+      val (rowsDrv, sDrv) = run(Similarity.annSearchIndexed(spark,
+        "stress_annbatch_idx", small, k = 10, nprobe = 3))
+      val (rowsDist, sDist) = run(Similarity.annSearchIndexed(spark,
+        "stress_annbatch_idx", small, k = 10, nprobe = 3, maxQueries = 0))
+      require(rowsDrv == rowsDist,
+        s"arm row counts diverge: driver=$rowsDrv distributed=$rowsDist")
+      // the headline: a query set ABOVE the old cap, end to end
+      val (rowsBig, sBig) = run(Similarity.annSearchIndexed(spark,
+        "stress_annbatch_idx", queries, k = 10, nprobe = 3))
+      require(rowsBig >= rowsDist,
+        s"above-cap run returned fewer rows ($rowsBig) than the 4k run")
+      println(f"[stress] annbatch corpus=$n queries=$nQueries " +
+        f"centroids=$centroids nprobe=3: sub-cap 4096q driver=$sDrv%.1fs " +
+        f"distributed=$sDist%.1fs (rows=$rowsDrv); above-cap " +
+        f"${nQueries}q distributed=$sBig%.1fs rows=$rowsBig " +
+        f"(${sBig / sDist}%.1fx the 4k run for ${nQueries / 4096}x the queries)")
+    } finally Similarity.dropAnnIndex(spark, "stress_annbatch_idx")
   }
 
   /** PQ storage-footprint probe: write the L2-normalized float corpus and
@@ -890,6 +991,24 @@ object Stress {
                 sampleSize = math.max(256, cells * 4))
               .filter(col("cluster") >= 0)
           })
+      else if (kind == "pipeline")
+        // the COMPOSED curation pipeline end to end (filter verdict →
+        // near dedup → decontaminate → quality terciles → temperature
+        // mixture → pack): the claim to certify is ~1.0 on grow-shaped
+        // corpora — every stage is individually linear there (replicas
+        // share no shingles, so pair work, chunk-match df, and the
+        // per-source windows all grow with the corpus, never its
+        // square), and composing them adds boundaries, not exponents.
+        // Benchmark = every 97th doc, inside the corpus by construction,
+        // so the decontamination arm does real scrubbing at every rung.
+        // The filter consumes pack_id so count() cannot prune the
+        // packing window.
+        Seq[(String, String => DataFrame)]("pipeline_curate_full" -> { d =>
+          val ds = docs(d)
+          functions.Curate.curateFull(ds,
+              ds.filter(col("doc_id") % 97 === 0).select("doc_id", "text"))
+            .filter(col("pack_id") >= 0)
+        })
       else if (kind == "substr")
         // substring-level exact dedup — one O(corpus code points)
         // window-HASH shuffle (8-byte keys) + exact verify on the

@@ -140,9 +140,13 @@ object Approx {
       lgK: Int = 14, tol: Double = 0.05): DataFrame = {
     require(lgK >= 10 && lgK <= 21, "lgK outside Datasketches' 10..21")
     val dd = df.filter(col(setCol).isNotNull && col(valueCol).isNotNull)
+    // the per-set sketch aggregate feeds BOTH sides of the pair cross —
+    // materialize it once (|sets| rows of KB sketches by contract) so the
+    // input is not re-scanned and re-sketched per side (ADVICE r15)
     val sk = dd.groupBy(col(setCol).as("__k"))
       .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("__sk"),
         countDistinct(col(valueCol)).as("__n"))
+      .localCheckpoint(true)
     val a = sk.select(col("__k").as("set_a"), col("__sk").as("__ska"),
       col("__n").as("n_a"))
     val b = sk.select(col("__k").as("set_b"), col("__sk").as("__skb"),
@@ -150,8 +154,11 @@ object Approx {
     // |sets| rows per side by contract — the cross is pair-table-sized
     // and the right side broadcasts (KB sketches per set)
     val pairs = a.crossJoin(broadcast(b)).filter(col("set_a") < col("set_b"))
+    // same single-materialization discipline for the exact-certificate
+    // arm: the distinct pair frame is read twice by its self-join
     val dv = dd.select(col(setCol).as("__k"), col(valueCol).as("__v"))
       .distinct()
+      .localCheckpoint(true)
     val inter = dv.as("x").join(dv.as("y"),
         col("x.__v") === col("y.__v") && col("x.__k") < col("y.__k"))
       .groupBy(col("x.__k").as("set_a"), col("y.__k").as("set_b"))

@@ -84,4 +84,110 @@ object Curate {
         when(isTrain, floor(col("__cum") / seqTokens).cast("long")).as("pack_id"),
         when(isTrain, col("__cum") % seqTokens).as("pack_offset"))
   }
+
+  /** The FULL curation composition (round-16) — [[curate]]'s linear
+    * five-stage manifest widened to the production shape a 100 TB
+    * operator actually ships, every stage an individually-gated operator:
+    *
+    *  1. policy filter    — [[TextAnalysis.filterVerdict]] (C4/Gopher arms)
+    *  2. near dedup       — [[Dedup.ngramJaccardPairs]] →
+    *                        [[Dedup.dedupDecisions]] (exact dups are the
+    *                        Jaccard-1.0 pairs of the same shingle set, so
+    *                        one clustering pass removes both grades)
+    *  3. decontamination  — [[Dedup.decontaminate]] against a benchmark
+    *                        frame; docs scrubbed to empty DROP
+    *  4. quality buckets  — [[TextAnalysis.qualityScore]] terciles via
+    *                        [[Sampling.headMiddleTail]]; the tail bucket
+    *                        drops (CCNet's keep-head-and-middle policy)
+    *  5. temperature mix  — [[Sampling.temperatureMixture]] at
+    *                        `mixNum/mixDen` of the surviving count
+    *  6. packing          — [[Sampling.packSequences]] over the mixture
+    *
+    * Returned as NAMED STAGE THUNKS — each thunk builds its cumulative
+    * prefix from scratch, so a probe can time stage boundaries
+    * independently (`Stress pipeline`); `curateFull` runs the last thunk.
+    *
+    * Stage-boundary materialization (the composition question the
+    * standalone gates never face): the near-dup DECISION SET and the
+    * SCRUBBED TEXT are `localCheckpoint`ed — the two boundaries whose
+    * lazy recompute would re-run pair generation / the chunk-match join
+    * once per downstream window; every other boundary stays lazy because
+    * its recompute is a scan-side projection, cheaper than storing it.
+    * (At 100 TB the same two boundaries become stage TABLES —
+    * checkpointing is the single-job rendering of that choice; the
+    * decision table even has its own persisted form,
+    * [[Dedup.writeClusterTable]].)
+    *
+    * The eager steps inside stage construction (tercile cutoffs from a
+    * 256-row id-mix sample, the mixture's budget count) are the same
+    * driver-side bounded reads their standalone operators make.
+    */
+  def curateFullStages(docs0: DataFrame, benchmark: DataFrame,
+      jaccardThreshold: Double = 0.5, seqTokens: Long = 512,
+      shards: Int = 8, mixNum: Long = 3L, mixDen: Long = 5L,
+      textCol: String = "text", sourceCol: String = "source",
+      expectedLangCol: Option[String] = Some("lang"))
+      : Seq[(String, () => DataFrame)] = {
+    val docs = docs0.filter(col(textCol).isNotNull)
+
+    def kept() = docs
+      .join(TextAnalysis.filterVerdict(docs, textCol, expectedLangCol)
+        .filter(col("keep")).select("doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col(sourceCol), col(textCol))
+
+    def deduped() = {
+      val k = kept()
+      val keepIds = Dedup.dedupDecisions(k,
+          Dedup.ngramJaccardPairs(k.select(col("doc_id"), col(textCol)),
+            jaccardThreshold))
+        .filter(col("keep")).select("doc_id")
+        .localCheckpoint(true) // boundary 1: ids only — KB-scale
+      k.join(keepIds, Seq("doc_id"))
+    }
+
+    def scrubbed() = {
+      val d = deduped()
+      Dedup.decontaminate(d.select(col("doc_id"), col(textCol)), benchmark)
+        .filter(length(col(textCol)) > 0)
+        .select(col("doc_id"), col(textCol))
+        .join(d.select(col("doc_id"), col(sourceCol)), Seq("doc_id"))
+        .localCheckpoint(true) // boundary 2: the rewritten text
+    }
+
+    def bucketed() = Sampling.headMiddleTail(
+        scrubbed().withColumn("q_score",
+          TextAnalysis.qualityScore(col(textCol))),
+        scoreCol = "q_score")
+      .filter(col("bucket") =!= "tail")
+
+    def mixed() = {
+      val b = bucketed()
+      val budget = b.count() * mixNum / mixDen
+      b.join(Sampling.temperatureMixture(b, budget, sourceCol, textCol)
+        .filter(col("keep")).select("doc_id"), Seq("doc_id"))
+    }
+
+    def packed() = Sampling.packSequences(
+      mixed().select(col("doc_id"), col(textCol)), seqTokens, shards, textCol)
+
+    Seq(
+      "filter" -> (() => kept()),
+      "dedup" -> (() => deduped()),
+      "decontaminate" -> (() => scrubbed()),
+      "quality" -> (() => bucketed()),
+      "mixture" -> (() => mixed()),
+      "pack" -> (() => packed()))
+  }
+
+  /** The composed six-stage manifest — the artifact a training run loads.
+    * One row per packed document: (doc_id, token_count, shard, pack_id,
+    * pack_offset), token counts measured on the SCRUBBED text.
+    */
+  def curateFull(docs: DataFrame, benchmark: DataFrame,
+      jaccardThreshold: Double = 0.5, seqTokens: Long = 512,
+      shards: Int = 8, mixNum: Long = 3L, mixDen: Long = 5L,
+      textCol: String = "text", sourceCol: String = "source",
+      expectedLangCol: Option[String] = Some("lang")): DataFrame =
+    curateFullStages(docs, benchmark, jaccardThreshold, seqTokens, shards,
+      mixNum, mixDen, textCol, sourceCol, expectedLangCol).last._2()
 }

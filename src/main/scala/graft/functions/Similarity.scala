@@ -486,6 +486,19 @@ object Similarity {
     * the same left-to-right fold as [[VectorOps.dotProduct]] and
     * [[trainCentroids]], so the probe choice is bit-identical to the
     * all-Spark plan and to the DuckDB oracle's fold-left replay.
+    *
+    * `maxQueries` is a SWITCH, not a cap (round-16: it used to throw):
+    * at or below it, probe selection runs driver-side as described —
+    * every oracle-gated query stays on this bit-pinned path. ABOVE it,
+    * the whole query frame stays distributed: probe selection runs
+    * scan-side via [[withProbeCells]] (the identical score/tie rule the
+    * graph builds use), the probed-cell set — bounded by the CENTROID
+    * count, never the query count — is still a tiny control read that
+    * keeps the literal bucket-IN pruning, and the candidate join goes
+    * through [[graft.operators.Skew.saltedJoin]] instead of a broadcast
+    * (a query frame too big to collect is too big to broadcast, and
+    * `bucket` has at most `cells` distinct values — the exact hot-key
+    * shuffle shape salting exists for).
     */
   def annSearchIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
       queries: DataFrame, k: Int, nprobe: Int = 4,
@@ -496,37 +509,61 @@ object Similarity {
     require(cents.nonEmpty, s"ANN index $name has no centroids")
 
     val rawQ = asDouble(queries).limit(maxQueries + 1).collect()
-    require(rawQ.length <= maxQueries,
-      s"query set exceeds maxQueries=$maxQueries; batch it or raise the cap")
-    // driver-side normalize + probe selection, same arithmetic and tie
-    // rules as the Spark/oracle sides: left-fold dot, zero-norm queries
-    // dropped, top-nprobe cells by (score desc, cid asc)
-    val probeRows = rawQ.iterator.flatMap { r =>
-      val id = r.getLong(0)
-      val v = r.getAs[scala.collection.Seq[Double]]("v").toArray
-      val nrm = math.sqrt(dotD(v, v))
-      if (nrm > 0) {
-        val qv = v.map(_ / nrm)
-        cents.zipWithIndex
-          .map { case (cv, cid) => (dotD(qv, cv), cid) }
-          .sortBy { case (s, cid) => (-s, cid) }
-          .take(nprobe)
-          .map { case (_, cid) => (id, qv.toSeq, cid) }
-      } else Nil
-    }.toSeq
+    if (rawQ.length <= maxQueries) {
+      // driver-side normalize + probe selection, same arithmetic and tie
+      // rules as the Spark/oracle sides: left-fold dot, zero-norm queries
+      // dropped, top-nprobe cells by (score desc, cid asc)
+      val probeRows = rawQ.iterator.flatMap { r =>
+        val id = r.getLong(0)
+        val v = r.getAs[scala.collection.Seq[Double]]("v").toArray
+        val nrm = math.sqrt(dotD(v, v))
+        if (nrm > 0) {
+          val qv = v.map(_ / nrm)
+          cents.zipWithIndex
+            .map { case (cv, cid) => (dotD(qv, cv), cid) }
+            .sortBy { case (s, cid) => (-s, cid) }
+            .take(nprobe)
+            .map { case (_, cid) => (id, qv.toSeq, cid) }
+        } else Nil
+      }.toSeq
 
-    import spark.implicits._
-    val probes = probeRows.toDF("query_id", "qv", "bucket")
-    val cells = probeRows.map(_._3).distinct.sorted
-    val assigned = graft.sources.Tables.minusDeletes(spark, name,
-      spark.table(s"${name}_assignments")
-        .filter(col("bucket").isin(cells.map(Integer.valueOf): _*)),
-      "vec_id")
-    val scored = assigned.join(broadcast(probes), Seq("bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        dot(col("qv"), col("v")).as("score"))
-    topKPerQuery(scored, k)
+      import spark.implicits._
+      val probes = probeRows.toDF("query_id", "qv", "bucket")
+      val cells = probeRows.map(_._3).distinct.sorted
+      val assigned = graft.sources.Tables.minusDeletes(spark, name,
+        spark.table(s"${name}_assignments")
+          .filter(col("bucket").isin(cells.map(Integer.valueOf): _*)),
+        "vec_id")
+      val scored = assigned.join(broadcast(probes), Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          dot(col("qv"), col("v")).as("score"))
+      topKPerQuery(scored, k)
+    } else {
+      // DISTRIBUTED arm: the query frame never lands on the driver
+      val probed = withProbeCells(normalized(queries), cents, nprobe)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          explode(col("__probes")).as("bucket"))
+      val cells = probed.select("bucket").distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      val assigned = graft.sources.Tables.minusDeletes(spark, name,
+        spark.table(s"${name}_assignments")
+          .filter(col("bucket").isin(cells.map(Integer.valueOf): _*)),
+        "vec_id")
+      // salt count: enough sub-keys to spread one bucket's corpus rows
+      // over many reducers, CAPPED — the probe side replicates ×numSalts,
+      // so tying it to cluster cores (16k on a big cluster) would blow
+      // the small side up by the core count; 64 sub-keys per bucket is
+      // spread enough for AQE to finish the job
+      val scored = graft.operators.Skew.saltedJoin(
+          assigned, probed, "bucket",
+          numSalts = math.min(64,
+            math.max(1, spark.sparkContext.defaultParallelism)))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          dot(col("qv"), col("v")).as("score"))
+      topKPerQuery(scored, k)
+    }
   }
 
   /** Two-stage HYBRID retrieval, stage 2: rerank a small lexical candidate
@@ -1959,7 +1996,8 @@ object Similarity {
 
   def dropVecTable(spark: org.apache.spark.sql.SparkSession,
       name: String): Unit =
-    graft.sources.Tables.dropManagedTables(spark, Seq(s"${name}_vectors"))
+    graft.sources.Tables.dropManagedTables(
+      spark, Seq(s"${name}_vectors", s"${name}_deletes"))
 
   /** FULLY-PERSISTED two-stage search — both stages read stored artifacts
     * and neither touches the original corpus frame: the ADC shortlist
@@ -1983,7 +2021,8 @@ object Similarity {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     val ids = cand.map(_._2).distinct.toSeq
     val candDf = cand.toSeq.toDF("query_id", "neighbor_id", "coarse_rank")
-    val vt = spark.table(s"${vecName}_vectors")
+    val vt = graft.sources.Tables.minusDeletes(spark, vecName,
+      spark.table(s"${vecName}_vectors"), "vec_id")
       .filter(col("vec_id").isin(ids: _*))
     val q = normalized(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -2008,7 +2047,8 @@ object Similarity {
 
   /** BINARY QUANTIZATION top-k — the 1-bit end of the compression curve
     * (SQ8 holds 8 bits/dim, PQ ~1–4, this is 1): each normalized vector
-    * collapses to its SIGN BITS packed into two 32-bit words, and
+    * collapses to its SIGN BITS packed into `ceil(dims/32)` 32-bit
+    * words (any production width — 384/768/1536 — fits), and
     * candidate ranking is HAMMING DISTANCE — `bit_count(xor)` per word,
     * two integer ops per pair instead of a 64-multiply dot. The memory
     * story at 100 TB: 8 bytes/vector (32× under raw floats), and the
@@ -2026,10 +2066,8 @@ object Similarity {
       dims: Int = 64): DataFrame = {
     val c = withSignWords(normalized(corpus), dims)
     val q = withSignWords(normalized(queries), dims)
-      .select(col("vec_id").as("query_id"),
-        col("__b0").as("__q0w"), col("__b1").as("__q1w"))
-    val ham = bit_count(col("__b0").bitwiseXOR(col("__q0w"))) +
-      bit_count(col("__b1").bitwiseXOR(col("__q1w")))
+      .select(col("vec_id").as("query_id"), col("__bw").as("__qw"))
+    val ham = hammingSum(col("__bw"), col("__qw"), signWordCount(dims))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (-ham).cast("double").as("score"))
@@ -2047,26 +2085,75 @@ object Similarity {
       corpus, queries, k)
   }
 
-  /** Persist the BQ sign-word table — 16 bytes/vector of (vec_id, b0,
-    * b1), the artifact whose WHOLE point is that it fits where vectors
-    * do not (32× under the raw floats). Row-independent like the SQ/PQ
-    * codes tables: deletion/compaction ride the shared codes-table
-    * machinery if ever needed; the search path is a full scan of 8-byte
-    * payloads + two integer ops per pair.
+  /** Persist the BQ sign-word table — `ceil(dims/32)` 32-bit words per
+    * vector as an array column (dims/8 payload bytes: 8 for 64-d, 48 for
+    * 384-d, 192 for 1536-d — always 32× under the raw floats), the
+    * artifact whose WHOLE point is that it fits where vectors do not.
+    * Row-independent like the SQ/PQ codes tables: deletion/compaction
+    * ride the shared codes-table machinery if ever needed; the search
+    * path is a full scan of word arrays + one `bit_count(xor)` per word
+    * per pair.
     */
   def writeBqIndex(corpus: DataFrame, name: String, dims: Int = 64): Unit = {
     graft.sources.Tables.requireIdent(name)
     val spark = corpus.sparkSession
     dropBqIndex(spark, name)
     try withSignWords(normalized(corpus), dims)
-      .select(col("vec_id"), col("__b0").as("b0"), col("__b1").as("b1"))
+      .select(col("vec_id"), col("__bw").as("words"))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_words")
     catch { case e: Throwable => dropBqIndex(spark, name); throw e }
   }
 
   def dropBqIndex(spark: org.apache.spark.sql.SparkSession,
       name: String): Unit =
-    graft.sources.Tables.dropManagedTables(spark, Seq(s"${name}_words"))
+    graft.sources.Tables.dropManagedTables(
+      spark, Seq(s"${name}_words", s"${name}_deletes"))
+
+  /** TARGETED DELETION from the BQ sign-word index — `_words` rows are
+    * vec-keyed and row-independent, so the tombstone/anti-join/compact
+    * machinery applies unchanged (the [[deleteFromSqIndex]] family;
+    * round-16: a sign word IS re-findable content — Hamming search over
+    * a retained word reaches the doc — so the BQ family joins the
+    * takedown registry like every other index).
+    */
+  def deleteFromBqIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, ids: Seq[Long]): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    graft.sources.Tables.appendDeletes(spark, name, "vec_id", ids)
+  }
+
+  def compactBqIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    if (spark.catalog.tableExists(s"${name}_deletes")) {
+      graft.sources.Tables.rewriteTable(spark, s"${name}_words",
+        graft.sources.Tables.minusDeletes(spark, name,
+          spark.table(s"${name}_words"), "vec_id"))
+      graft.sources.Tables.dropDeletes(spark, name)
+    }
+  }
+
+  /** TARGETED DELETION from a [[writeVecTable]] raw-vector table — the
+    * most literally re-findable artifact of all (it holds the vectors
+    * themselves); tombstone on vec_id, compact folds into the bucketed
+    * table under its own spec (the [[compactAnnIndex]] shape).
+    */
+  def deleteFromVecTable(spark: org.apache.spark.sql.SparkSession,
+      name: String, ids: Seq[Long]): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    graft.sources.Tables.appendDeletes(spark, name, "vec_id", ids)
+  }
+
+  def compactVecTable(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    if (spark.catalog.tableExists(s"${name}_deletes")) {
+      graft.sources.Tables.rewriteBucketed(spark, s"${name}_vectors",
+        graft.sources.Tables.minusDeletes(spark, name,
+          spark.table(s"${name}_vectors"), "vec_id"))
+      graft.sources.Tables.dropDeletes(spark, name)
+    }
+  }
 
   /** FULLY-PERSISTED two-stage BQ search ([[sqRefinedSearchIndexed]]'s
     * shape at 1 bit): the Hamming shortlist scans the stored words
@@ -2082,11 +2169,10 @@ object Similarity {
     val spark2 = spark
     import spark2.implicits._
     val q = withSignWords(normalized(queries), dims)
-      .select(col("vec_id").as("query_id"),
-        col("__b0").as("__q0w"), col("__b1").as("__q1w"))
-    val ham = bit_count(col("b0").bitwiseXOR(col("__q0w"))) +
-      bit_count(col("b1").bitwiseXOR(col("__q1w")))
-    val scored = spark.table(s"${bqName}_words")
+      .select(col("vec_id").as("query_id"), col("__bw").as("__qw"))
+    val ham = hammingSum(col("words"), col("__qw"), signWordCount(dims))
+    val scored = graft.sources.Tables.minusDeletes(spark, bqName,
+        spark.table(s"${bqName}_words"), "vec_id")
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (-ham).cast("double").as("score"))
@@ -2095,7 +2181,8 @@ object Similarity {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     val ids = cand.map(_._2).distinct.toSeq
     val candDf = cand.toSeq.toDF("query_id", "neighbor_id", "coarse_rank")
-    val vt = spark.table(s"${vecName}_vectors")
+    val vt = graft.sources.Tables.minusDeletes(spark, vecName,
+      spark.table(s"${vecName}_vectors"), "vec_id")
       .filter(col("vec_id").isin(ids: _*))
     val qv = normalized(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -2106,21 +2193,41 @@ object Similarity {
           dot(col("qv"), col("v")).as("score")), k)
   }
 
+  /** Number of 32-bit sign words that cover `dims` packed dimensions. */
+  private def signWordCount(dims: Int): Int = (dims + 31) / 32
+
   /** Sign-bit packing of the leading `dims` normalized components into
-    * two long words (32 bits max per word: the largest addend is 2^31,
-    * so every rendered literal and word stays positive in any BIGINT
-    * engine). Missing components (vectors shorter than `dims`) read as
-    * 0-bits on both engines.
+    * `ceil(dims/32)` words held as ONE array<bigint> column `__bw` — 32
+    * bits max per word so the largest addend is 2^31 and every rendered
+    * literal and word stays positive in any BIGINT engine. Any dims ≥ 2
+    * works (round-16: the former two-word form hardwired dims ≤ 64,
+    * which no production embedding width — 384/768/1536 — satisfies);
+    * dims = 64 packs bit-identically to the old (b0, b1) pair, so every
+    * existing BQ hash is unchanged. Missing components (vectors shorter
+    * than `dims`) read as 0-bits on both engines.
     */
   private def withSignWords(nv: DataFrame, dims: Int): DataFrame = {
-    require(dims % 2 == 0 && dims >= 2 && dims <= 64,
-      "dims must be even and <= 64 (two 32-bit sign words)")
-    val half = dims / 2
-    def pack(lo: Int, hi: Int): Column = (lo until hi).map(i =>
-      when(element_at(col("v"), i + 1) > 0.0, lit(1L << (i - lo)))
-        .otherwise(lit(0L))).reduceLeft(_ + _)
-    nv.withColumn("__b0", pack(0, half)).withColumn("__b1", pack(half, dims))
+    require(dims >= 2, s"dims must be >= 2, got $dims")
+    val nWords = signWordCount(dims)
+    def pack(w: Int): Column = {
+      val lo = w * 32
+      val hi = math.min(lo + 32, dims)
+      (lo until hi).map(i =>
+        when(element_at(col("v"), i + 1) > 0.0, lit(1L << (i - lo)))
+          .otherwise(lit(0L))).reduceLeft(_ + _)
+    }
+    nv.withColumn("__bw", array((0 until nWords).map(pack): _*))
   }
+
+  /** Per-word Hamming distance between two sign-word arrays, UNROLLED —
+    * `element_at` + `bit_count` + `xor` stay inside whole-stage codegen,
+    * where a higher-order `aggregate()` lambda would not (the round-15
+    * de-HOF lesson from the flat probe path).
+    */
+  private def hammingSum(a: Column, b: Column, nWords: Int): Column =
+    (0 until nWords).map(w =>
+      bit_count(element_at(a, w + 1).bitwiseXOR(element_at(b, w + 1))))
+      .reduceLeft(_ + _)
 
   /** True-IVFADC shortlist → exact refine — the full production retrieval
     * stack (FAISS `IndexIVFPQ` + `IndexRefineFlat`): cell pruning bounds
@@ -2219,8 +2326,13 @@ object Similarity {
     * [[retrievalEval]]'s precision/MRR: per query,
     * `DCG = Σ_r rel_r · w_r` over the retrieved ranks (binary label-match
     * relevance, [[retrievalEval]]'s rule) and
-    * `nDCG = DCG / IDCG(n_relevant)` where IDCG packs the query's
-    * relevant hits into the top ranks.
+    * `nDCG = DCG / IDCG(min(R, k))` where R is the TOTAL number of
+    * relevant items in the CORPUS for the query's label (self excluded) —
+    * the standard trec_eval / sklearn normalization (round-16 fix: the
+    * first cut normalized by relevant-in-the-retrieved-LIST, so a ranking
+    * that found 1 of many relevant docs at rank 1 scored a flattering
+    * 1.0; `n_rel_total` now rides in the output so the denominator is
+    * auditable).
     *
     * Exactness discipline: the discount weights and their prefix sums
     * come from [[ndcgWeights]] as PLAN LITERALS; per-rank contributions
@@ -2229,7 +2341,7 @@ object Similarity {
     * IN RANK ORDER; IDCG is a CASE lookup of the literal prefix table —
     * every double op is replayed expression-for-expression by the DuckDB
     * oracle. Evaluation-sized: |queries|·k rows against a broadcast
-    * label projection, one aggregate.
+    * label projection, one aggregate plus a label-count broadcast.
     */
   def ndcgAtK(results: DataFrame, corpus: DataFrame, k: Int,
       labelCol: String = "label"): DataFrame = {
@@ -2240,6 +2352,14 @@ object Similarity {
       col(labelCol).as("__ql"))
     val nl = labels.select(col("vec_id").as("neighbor_id"),
       col(labelCol).as("__nl"))
+    // per-query TOTAL corpus relevance: the query's label-group size minus
+    // the query itself (queries are corpus members — ql is built from it)
+    val lc = labels.filter(col(labelCol).isNotNull)
+      .groupBy(col(labelCol).as("__lbl"))
+      .agg(count(lit(1)).as("__lcnt"))
+    val qt = ql.join(broadcast(lc), col("__ql") === col("__lbl"), "left")
+      .select(col("query_id"),
+        coalesce(col("__lcnt") - 1L, lit(0L)).as("n_rel_total"))
     val rel = results.select(col("query_id"), col("neighbor_id"), col("rank"))
       .join(broadcast(ql), Seq("query_id"), "left")
       .join(broadcast(nl), Seq("neighbor_id"), "left")
@@ -2250,14 +2370,17 @@ object Similarity {
     val g = rel.groupBy("query_id")
       .agg(sum(when(col("__rel"), 1L).otherwise(0L)).as("n_relevant"),
         terms: _*)
+      .join(broadcast(qt), Seq("query_id"))
     val dcg = (1 to k).map(r => col(s"__t$r")).reduceLeft(_ + _)
+    val m = least(col("n_rel_total"), lit(k.toLong))
     val idcg = (1 to k).foldLeft(
-      when(col("n_relevant") === 0, lit(0.0))) { (acc, r) =>
-      acc.when(col("n_relevant") === r, lit(prefix(r - 1)))
+      when(m === 0, lit(0.0))) { (acc, r) =>
+      acc.when(m === r, lit(prefix(r - 1)))
     }.otherwise(lit(prefix(k - 1)))
     g.withColumn("dcg", dcg)
       .withColumn("__idcg", idcg)
-      .select(col("query_id"), col("n_relevant"), col("dcg"),
+      .select(col("query_id"), col("n_relevant"), col("n_rel_total"),
+        col("dcg"),
         when(col("__idcg") > 0.0, col("dcg") / col("__idcg"))
           .otherwise(lit(0.0)).as("ndcg"))
   }

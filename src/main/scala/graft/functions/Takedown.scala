@@ -105,6 +105,18 @@ object Takedown {
   final case class FrontierTable(name: String) extends Artifact {
     private[graft] def tag = "frontier"
   }
+  /** Binary-quantization sign-word index ([[Similarity.writeBqIndex]]) —
+    * a retained sign word is re-findable content (Hamming search reaches
+    * the doc), so the family registers like every other index (round-16,
+    * the r14 "MISSING ONE" lesson applied to the newest artifact). */
+  final case class BqIndex(name: String) extends Artifact {
+    private[graft] def tag = "bq"
+  }
+  /** Raw-vector rescore table ([[Similarity.writeVecTable]]) — holds the
+    * vectors THEMSELVES, the most literally re-findable artifact. */
+  final case class VecTable(name: String) extends Artifact {
+    private[graft] def tag = "vec"
+  }
   /** Perceptual-hash signature table — image or video
     * ([[Multimodal.writePhashTable]] / `writeVideoSignatureTable`). */
   final case class PhashTable(name: String) extends Artifact {
@@ -179,6 +191,8 @@ object Takedown {
             Similarity.deleteFromGroundTruth(spark, n, batch)
           case FrontierTable(n) =>
             TextAnalysis.deleteFromFrontierTable(spark, n, batch)
+          case BqIndex(n) => Similarity.deleteFromBqIndex(spark, n, batch)
+          case VecTable(n) => Similarity.deleteFromVecTable(spark, n, batch)
           case PhashTable(n) => Multimodal.deleteFromPhashTable(spark, n, batch)
           case ClusterTable(n, pairs) =>
             Dedup.deleteFromClusterTable(spark, n, batch, pairs)
@@ -212,6 +226,8 @@ object Takedown {
       case SubstringIndex(n) => Dedup.compactSubstringIndex(spark, n)
       case GroundTruth(n) => Similarity.compactGroundTruth(spark, n)
       case FrontierTable(n) => TextAnalysis.compactFrontierTable(spark, n)
+      case BqIndex(n) => Similarity.compactBqIndex(spark, n)
+      case VecTable(n) => Similarity.compactVecTable(spark, n)
       case PhashTable(n) => Multimodal.compactPhashTable(spark, n)
       case ClusterTable(_, _) | LmTable(_, _) | LineDf(_, _, _, _, _) => ()
     }
@@ -264,6 +280,12 @@ object Takedown {
         case FrontierTable(nm) => residual(
           graft.sources.Tables.minusDeletes(spark, s"${nm}_frontier",
             spark.table(s"${nm}_frontier"), "first_doc"), "first_doc")
+        case BqIndex(nm) => residual(
+          graft.sources.Tables.minusDeletes(spark, nm,
+            spark.table(s"${nm}_words"), "vec_id"), "vec_id")
+        case VecTable(nm) => residual(
+          graft.sources.Tables.minusDeletes(spark, nm,
+            spark.table(s"${nm}_vectors"), "vec_id"), "vec_id")
         case PhashTable(nm) => residual(
           graft.sources.Tables.minusDeletes(spark, nm,
             spark.table(nm), "doc_id"), "doc_id")
@@ -290,7 +312,8 @@ object Takedown {
     * (`_postings` → bm25, `_sets` → minhash, `_assignments` → ann,
     * `_codes`+`_params` → sq, `_codes`+`_centroids` → ivfpqres,
     * `_codes`+`_codebooks` → pq, `_clusters` → clusters,
-    * `_model`+`_ctx` → lm, `_winhash` → substr, `_linedf` → linedf,
+    * `_model`+`_ctx` → lm, `_winhash` → substr, `_frontier` → frontier,
+    * `_words` → bq, `_vectors` → vec, `_linedf` → linedf,
     * `_truth` → gtruth) and
     * returns every (family, name) found in the catalog but ABSENT from
     * the registry — loud rows, not silent retention. Callers gate with
@@ -323,6 +346,8 @@ object Takedown {
         base("_model").filter(b => names(s"${b}_ctx")).map(("lm", _)) ++
         base("_winhash").map(("substr", _)) ++
         base("_frontier").map(("frontier", _)) ++
+        base("_words").map(("bq", _)) ++
+        base("_vectors").map(("vec", _)) ++
         base("_linedf").map(("linedf", _)) ++
         base("_truth").map(("gtruth", _))
     val registered = registry

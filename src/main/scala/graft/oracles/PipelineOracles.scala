@@ -1506,6 +1506,124 @@ private[graft] object PipelineOracles {
       "outd AS (SELECT src, count(DISTINCT dst) AS outd FROM e GROUP BY 1)"
   }
 
+  /** The SIX-STAGE composed-curation replay (q_pipeline_curate_full,
+    * round-16): every stage's individually-gated oracle re-rendered over
+    * the PREVIOUS stage's relation — filter ([[verdictCtes]]) → near-dup
+    * min-id components (the [[ngramJaccardOracle]] pair chain + the
+    * [[clusterAssignCtes]] recursive closure, over the kept docs) →
+    * decontamination (the q_text_decontaminate chunk-match + slice
+    * reconstruction, corpus = dedup survivors, benchmark = every 97th
+    * document) → quality terciles over the SCRUBBED text
+    * ([[qualityScoreSql]] + the q_sample_perplexity_buckets id-mix
+    * sample/cutoff replay; keep = score ≥ the middle cutoff) →
+    * temperature mixture (the q_sample_temperature apportionment replay,
+    * budget = ⌊3·n/5⌋ of the survivors, fingerprints over the scrubbed
+    * text) → 512-token/8-shard packing (the [[curateOracle]] cum/pack
+    * arithmetic). Constants mirror
+    * [[graft.functions.Curate.curateFullStages]]' defaults exactly.
+    */
+  private[graft] lazy val curateFullOracle: String = {
+    val mod = graft.functions.RollingHash.Modulus
+    val fpFold = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "[CAST(unicode(c) AS BIGINT) FOR c IN regexp_extract_all(" +
+      "lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '.')]), " +
+      s"(acc, x) -> (acc * 31 + x) % $mod)"
+    s"WITH RECURSIVE $verdictCtes, " +
+      // stage 1: policy filter
+      "kd AS (SELECT d.doc_id, d.source, d.text FROM documents d " +
+      "JOIN v ON d.doc_id = v.doc_id WHERE v.reasons = ''), " +
+      // stage 2: exact ngram-Jaccard pairs over the kept docs, then the
+      // min-id connected-component keep rule
+      s"ptk AS (SELECT doc_id, $toksSql AS t FROM kd), " +
+      "png AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] " +
+      "FOR i IN range(1, len(t) - 1)]) AS ng FROM ptk WHERE len(t) >= 3), " +
+      "pps AS (SELECT doc_id, unnest(ng) AS gsh, len(ng) AS n FROM png), " +
+      "ppr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common, " +
+      "any_value(a.n) AS na, any_value(b.n) AS nb FROM pps a " +
+      "JOIN pps b ON a.gsh = b.gsh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "pj AS (SELECT doc_a, doc_b FROM ppr " +
+      "WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5), " +
+      "pe AS (SELECT doc_a AS src, doc_b AS dst FROM pj " +
+      "UNION SELECT doc_b, doc_a FROM pj), " +
+      "preach AS (SELECT src, dst FROM pe " +
+      "UNION SELECT pr.src, pe.dst FROM preach pr JOIN pe ON pr.dst = pe.src), " +
+      "pcomp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id " +
+      "FROM preach GROUP BY src), " +
+      "dd AS (SELECT kd.* FROM kd LEFT JOIN pcomp USING (doc_id) " +
+      "WHERE COALESCE(pcomp.cluster_id, kd.doc_id) = kd.doc_id), " +
+      // stage 3: decontaminate the survivors against the benchmark slice
+      "bd AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0), " +
+      chunkFpCtes("dd", "c") + ", " + chunkFpCtes("bd", "b") + ", " +
+      "hot AS (SELECT f FROM cfp GROUP BY f HAVING count(*) > 64), " +
+      "rare AS (SELECT cfp.* FROM cfp ANTI JOIN hot USING (f)), " +
+      "m AS (SELECT r.doc_id AS corpus_doc, b.doc_id AS bench_doc, " +
+      "r.idx AS ia, b.idx AS ib FROM rare r JOIN bfp b ON r.f = b.f), " +
+      "r2 AS (SELECT corpus_doc, bench_doc, ia, ib, ia - ib AS diag, " +
+      "ia - row_number() OVER (PARTITION BY corpus_doc, bench_doc, " +
+      "ia - ib ORDER BY ia) AS grp FROM m), " +
+      "g AS (SELECT corpus_doc, bench_doc, " +
+      "CAST(min(ia) AS BIGINT) AS start_corpus, count(*) AS n_chunks " +
+      "FROM r2 GROUP BY corpus_doc, bench_doc, diag, grp), " +
+      "rm0 AS (SELECT corpus_doc AS doc_id, " +
+      "unnest(range(start_corpus, start_corpus + n_chunks)) AS idx FROM g " +
+      "WHERE n_chunks >= 2), " +
+      "rmd AS (SELECT DISTINCT doc_id, idx FROM rm0), " +
+      "rms AS (SELECT doc_id, list(idx ORDER BY idx) AS rms FROM rmd GROUP BY 1), " +
+      s"tall AS (SELECT doc_id, $toksSql AS t FROM dd), " +
+      "base AS (SELECT doc_id, t, CASE WHEN t IS NULL OR len(t) = 0 " +
+      "THEN 0 ELSE (len(t) - 1) // 16 + 1 END AS n_chunks FROM tall), " +
+      "sc0 AS (SELECT b.doc_id, CASE WHEN b.n_chunks = 0 THEN '' " +
+      "ELSE COALESCE(array_to_string(flatten([b.t[(i*16+1):(i*16+16)] " +
+      "FOR i IN range(0, b.n_chunks) " +
+      "IF NOT list_contains(COALESCE(r.rms, CAST([] AS BIGINT[])), i)]), " +
+      "' '), '') END AS text FROM base b LEFT JOIN rms r USING (doc_id)), " +
+      "scr AS (SELECT sc0.doc_id, sc0.text, dd.source FROM sc0 " +
+      "JOIN dd USING (doc_id) WHERE length(sc0.text) > 0), " +
+      // stage 4: quality terciles over the scrubbed text; keep ⟺ not tail
+      s"qs AS (SELECT doc_id, source, text, $qualityScoreSql AS q_score FROM scr), " +
+      "smq AS (SELECT q_score FROM qs " +
+      s"ORDER BY ${graft.functions.Similarity.sampleHashSql("doc_id")}, doc_id " +
+      "LIMIT 256), " +
+      "osq AS (SELECT q_score AS sv, " +
+      "row_number() OVER (ORDER BY q_score DESC) AS rk, " +
+      "count(*) OVER () AS nn FROM smq), " +
+      "cutq AS (SELECT max(CASE WHEN rk = (2 * nn + 2) // 3 THEN sv END) " +
+      "AS c2 FROM osq), " +
+      "gq2 AS (SELECT qs.* FROM qs CROSS JOIN cutq WHERE qs.q_score >= cutq.c2), " +
+      // stage 5: temperature mixture at budget = (3·n)/5 of the survivors
+      "bgt AS (SELECT (count(*) * 3) // 5 AS n FROM gq2), " +
+      "sct AS (SELECT source, CAST(count(*) AS BIGINT) AS n_source " +
+      "FROM gq2 GROUP BY 1), " +
+      "wtd AS (SELECT source, n_source, " +
+      "CAST(round(sqrt(CAST(n_source AS DOUBLE)) * 1048576) AS BIGINT) AS wt " +
+      "FROM sct), " +
+      "tot AS (SELECT source, n_source, wt, " +
+      "CAST(sum(wt) OVER () AS BIGINT) AS sum_wt FROM wtd), " +
+      "bs AS (SELECT source, n_source, bgt.n AS budget, " +
+      "(bgt.n * wt) // sum_wt AS base, (bgt.n * wt) % sum_wt AS rem " +
+      "FROM tot CROSS JOIN bgt), " +
+      "lo AS (SELECT *, CAST(budget - sum(base) OVER () AS BIGINT) AS leftover, " +
+      "row_number() OVER (ORDER BY rem DESC, source) AS rk FROM bs), " +
+      "qt AS (SELECT source, CAST(base + CASE WHEN rk <= leftover " +
+      "THEN 1 ELSE 0 END AS BIGINT) AS quota FROM lo), " +
+      s"mfp AS (SELECT doc_id, $fpFold AS fingerprint FROM gq2), " +
+      "mr AS (SELECT gg.doc_id, gg.source, " +
+      "row_number() OVER (PARTITION BY gg.source " +
+      "ORDER BY fingerprint ASC NULLS LAST, gg.doc_id) AS mix_rank " +
+      "FROM gq2 gg JOIN mfp USING (doc_id)), " +
+      "mx AS (SELECT mr.doc_id FROM mr JOIN qt USING (source) " +
+      "WHERE mix_rank <= quota), " +
+      // stage 6: 512-token / 8-shard packing of the mixture
+      s"tk2 AS (SELECT gq2.doc_id, CAST(len($toksSql) AS BIGINT) AS token_count, " +
+      "gq2.doc_id % 8 AS shard FROM gq2 JOIN mx USING (doc_id)), " +
+      "cum2 AS (SELECT doc_id, token_count, shard, " +
+      "COALESCE(sum(token_count) OVER (PARTITION BY shard ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM tk2) " +
+      "SELECT doc_id, token_count, CAST(shard AS BIGINT) AS shard, " +
+      "CAST(floor(cum / 512.0) AS BIGINT) AS pack_id, " +
+      "CAST(cum % 512 AS BIGINT) AS pack_offset FROM cum2 ORDER BY doc_id"
+  }
+
   private[graft] lazy val qualityScoreSql: String =
     "0.5 * least(CAST(len(" + toksSql + ") AS DOUBLE) / 100.0, 1.0) " +
       "+ 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) " +

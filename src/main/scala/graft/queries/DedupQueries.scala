@@ -376,19 +376,26 @@ private[graft] object DedupQueries {
 
 
     // TAKEDOWN ORCHESTRATOR end-to-end: ONE opt-out batch (every bm25
-    // clone + every minhash clone) issued through deleteEverywhere must
-    // reach BOTH artifact families — and the RETRY of the same batchId
-    // must skip both via the ledger (require()s pin applied/skipped in
+    // clone + every minhash clone + BQ sign-word clones + a frontier
+    // entry) issued through deleteEverywhere must reach ALL FOUR
+    // artifact families — and the RETRY of the same batchId must skip
+    // everywhere via the ledger (require()s pin applied/skipped in
     // the gated path; a double-applied batch would not change these
     // tombstone reads, but the report contract is what production
-    // retries rely on). The read composes both families' mirror oracles
-    // into one aligned relation.
+    // retries rely on). The BQ and frontier arms are require-gated
+    // inside the query (residual 0 + re-fetchability), so the pinned
+    // read — both text families' mirror oracles composed into one
+    // aligned relation — keeps its hash while the registry exercises
+    // the round-16 families (r14 lesson: an artifact missing from the
+    // sweep means the content is still findable).
     Q("q_takedown_everywhere",
       (s, d) => {
         val docs = Tables.documents(s, d).select("doc_id", "text")
         val uid = java.util.UUID.randomUUID().toString.replace("-", "")
         val bm = "graft_td_bm25_" + uid
         val mh = "graft_td_mh_" + uid
+        val bq = "graft_td_bq_" + uid
+        val fr = "graft_td_fr_" + uid
         val bmClones = docs.select(
           (col("doc_id") + 3000000L).as("doc_id"), col("text"))
         TextAnalysis.writeSearchIndex(docs.unionByName(bmClones), bm)
@@ -397,18 +404,52 @@ private[graft] object DedupQueries {
         val mhClones = batch.select(
           (col("doc_id") + 5000000L).as("doc_id"), col("text"))
         MinhashIndex.write(seen.unionByName(mhClones), mh)
+        val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val bqClones = emb.filter(col("vec_id") % 100 === 0).select(
+          (col("vec_id") + 9000000L).as("vec_id"), col("embedding"))
+        Similarity.writeBqIndex(emb.unionByName(bqClones), bq)
+        TextAnalysis.writeFrontierTable(
+          docs.select(col("doc_id"),
+            concat(lit("https://td.example/doc/"), col("doc_id")).as("url")),
+          fr)
         val bmIds = docs.select("doc_id").collect()
           .map(_.getLong(0) + 3000000L).toSeq
         val mhIds = batch.select("doc_id").collect()
           .map(_.getLong(0) + 5000000L).toSeq
+        val bqIds = emb.filter(col("vec_id") % 100 === 0)
+          .select("vec_id").collect().map(_.getLong(0) + 9000000L).toSeq
+        val frIds = docs.select("doc_id").orderBy("doc_id").limit(3)
+          .collect().map(_.getLong(0)).toSeq
         try {
-          val reg = Seq(Takedown.SearchIndex(bm), Takedown.MinhashLsh(mh))
-          val first = Takedown.deleteEverywhere(s, "opt-out-1",
-            bmIds ++ mhIds, reg)
+          val reg = Seq(Takedown.SearchIndex(bm), Takedown.MinhashLsh(mh),
+            Takedown.BqIndex(bq), Takedown.FrontierTable(fr))
+          // batch 1: the clone ids (all in disjoint high ranges — none is
+          // a live doc, so the pinned bm25/minhash reads keep their hash)
+          val cloneIds = bmIds ++ mhIds ++ bqIds
+          val first = Takedown.deleteEverywhere(s, "opt-out-1", cloneIds, reg)
           require(first.forall(_._3), s"first run must apply everywhere: $first")
-          val retry = Takedown.deleteEverywhere(s, "opt-out-1",
-            bmIds ++ mhIds, reg)
+          val retry = Takedown.deleteEverywhere(s, "opt-out-1", cloneIds, reg)
           require(retry.forall(!_._3), s"retry must skip everywhere: $retry")
+          require(Takedown.auditRegistry(s, reg).forall(r =>
+            !Set(bm, mh, bq, fr).map(_.toLowerCase)(r._2)),
+            "the 4-family registry must pass the completeness sweep")
+          val resid = Takedown.residualReferences(s, cloneIds, reg)
+          require(resid.forall(_._3 == 0L), s"live residue after delete: $resid")
+          // batch 2, frontier only: take down three REAL docs — their
+          // canonicals must re-open for fetching (the crawl-frontier
+          // compliance semantic), require-gated so the text-family reads
+          // are untouched
+          Takedown.deleteEverywhere(s, "opt-out-2", frIds,
+            Seq(Takedown.FrontierTable(fr)))
+          require(Takedown.residualReferences(s, frIds,
+            Seq(Takedown.FrontierTable(fr))).forall(_._3 == 0L),
+            "frontier rows must be gone for the taken-down docs")
+          val refetch = TextAnalysis.screenFrontier(s, fr,
+              docs.filter(col("doc_id").isin(frIds: _*)).select(col("doc_id"),
+                concat(lit("https://td.example/doc/"), col("doc_id")).as("url")))
+            .filter(col("should_fetch")).count()
+          require(refetch == frIds.size.toLong,
+            s"taken-down canonicals must re-open: $refetch of ${frIds.size}")
           val bmRead = TextAnalysis.bm25SearchIndexed(s, bm, Bm25Terms, k = 15)
             .select(lit("bm25").as("family"), col("doc_id").as("a"),
               col("rank").cast("long").as("b"),
@@ -422,6 +463,8 @@ private[graft] object DedupQueries {
         } finally {
           TextAnalysis.dropSearchIndex(s, bm); Takedown.dropLedger(s, bm)
           MinhashIndex.drop(s, mh); Takedown.dropLedger(s, mh)
+          Similarity.dropBqIndex(s, bq); Takedown.dropLedger(s, bq)
+          TextAnalysis.dropFrontierTable(s, fr); Takedown.dropLedger(s, fr)
         }
       },
       Some(takedownOracle)),

@@ -438,6 +438,24 @@ private[graft] object MiscQueries {
       Some(curateOracle)),
 
 
+    // The FULL six-stage composition (round-16): filter verdict → near-dup
+    // min-id clustering → decontamination against an in-corpus benchmark
+    // (every 97th doc) → quality terciles over the SCRUBBED text (tail
+    // drops) → temperature mixture at 3/5 of the survivors → 512-token
+    // packing. Every stage is an individually-gated operator; this gate
+    // certifies the COMPOSITION — stage boundaries, scrubbed-text
+    // re-scoring, the mixture's budget arithmetic — against one oracle
+    // that replays all six stages relation-by-relation.
+    Q("q_pipeline_curate_full",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.functions.Curate.curateFull(docs,
+            docs.filter(col("doc_id") % 97 === 0).select("doc_id", "text"))
+          .orderBy("doc_id")
+      },
+      Some(curateFullOracle)),
+
+
     // WINSORIZED per-source stats — robust corpus reporting: exact
     // discrete percentile cuts (k-th smallest at ⌈p·n⌉, no interpolation
     // formula to drift between engines), clamp, then integer-exact means

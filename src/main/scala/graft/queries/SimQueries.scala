@@ -87,31 +87,41 @@ private[graft] object SimQueries {
         "SELECT doc_id, bm25_rank, cos_rank, rrf_score, " +
         "CAST(rank AS INT) AS rank FROM rr WHERE rank <= 10 ORDER BY rank"
 
-  /** Shared CTEs of the BQ family: sign-word packing of every
-    * normalized vector (32 bits per word — the largest addend 2^31
+  /** Shared CTEs of the BQ family, parameterized by packed width: sign
+    * packing of the leading `dims` normalized components into
+    * `ceil(dims/32)` words (32 bits per word — the largest addend 2^31
     * stays positive BIGINT in both engines) and the negated-Hamming
-    * scored relation `hs`. Pure integer arithmetic until the final
-    * cast, so the coarse stage is engine-exact by construction.
+    * scored relation `hs`, folded word by word. Pure integer arithmetic
+    * until the final cast, so the coarse stage is engine-exact by
+    * construction at ANY width.
     */
-  private lazy val bqCtes: String = {
+  private def bqCtes(dims: Int): String = {
+    val nWords = (dims + 31) / 32
     def packSql(lo: Int, hi: Int): String =
       (lo until hi).map(i =>
         s"(CASE WHEN v[${i + 1}] > 0 THEN ${1L << (i - lo)} ELSE 0 END)")
         .mkString(" + ")
+    val words = (0 until nWords).map { w =>
+      val lo = w * 32; val hi = math.min(lo + 32, dims)
+      s"CAST(${packSql(lo, hi)} AS BIGINT) AS b$w"
+    }.mkString(", ")
+    val qWords = (0 until nWords).map(w => s"b$w AS q${w}w").mkString(", ")
+    val ham = (0 until nWords)
+      .map(w => s"bit_count(xor(c.b$w, q${w}w))").mkString(" + ")
     s"WITH $normEmbCte, " +
-      "cp AS (SELECT vec_id, v, " +
-      s"CAST(${packSql(0, 32)} AS BIGINT) AS b0, " +
-      s"CAST(${packSql(32, 64)} AS BIGINT) AS b1 FROM nv), " +
-      "qp AS (SELECT vec_id AS query_id, v AS qv, b0 AS q0w, b1 AS q1w " +
+      s"cp AS (SELECT vec_id, v, $words FROM nv), " +
+      s"qp AS (SELECT vec_id AS query_id, v AS qv, $qWords " +
       "FROM cp WHERE vec_id % 100 = 0), " +
       "hs AS (SELECT query_id, c.vec_id AS neighbor_id, " +
-      "CAST(-(bit_count(xor(c.b0, q0w)) + bit_count(xor(c.b1, q1w))) " +
+      s"CAST(-($ham) " +
       "AS DOUBLE) AS score FROM cp c, qp WHERE c.vec_id <> query_id)"
   }
 
-  private lazy val bqRefinedOracle: String =
-    bqCtes + ", q0 AS (SELECT query_id, qv FROM qp), " +
+  private def bqRefinedOracleAt(dims: Int): String =
+    bqCtes(dims) + ", q0 AS (SELECT query_id, qv FROM qp), " +
       shortlistCte("hs", 40, "sl") + ", " + refineTailSql("sl", 10)
+
+  private lazy val bqRefinedOracle: String = bqRefinedOracleAt(64)
 
   private[graft] val queries: Seq[Q] = Seq(
 
@@ -197,7 +207,22 @@ private[graft] object SimQueries {
         Similarity.bqTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10)
           .orderBy("query_id", "rank")
       },
-      Some(bqCtes + ", " + topKSql("hs", 10))),
+      Some(bqCtes(64) + ", " + topKSql("hs", 10))),
+
+
+    // Non-64-dim BQ (round-16: the packing formerly hardwired two 32-bit
+    // words = dims <= 64, a blocker for production widths): the same
+    // Hamming top-k over the leading 48 components — an MRL-style prefix
+    // slice — exercising the partial trailing word (32 + 16 bits). The
+    // oracle replays the identical ceil(dims/32)-word fold.
+    Q("q_sim_topk_bq48",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bqTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+            k = 10, dims = 48)
+          .orderBy("query_id", "rank")
+      },
+      Some(bqCtes(48) + ", " + topKSql("hs", 10))),
 
 
     // The production BQ stack: Hamming shortlist → exact full-dim
@@ -235,6 +260,31 @@ private[graft] object SimQueries {
         }
       },
       Some(bqRefinedOracle)),
+
+
+    // The persisted BQ path at a NON-64 width (round-16): the migrated
+    // array<bigint> `words` schema written at dims=48, Hamming shortlist
+    // read back from it, exact rescore from the stored vectors — gating
+    // that the schema migration holds end-to-end where the old two-column
+    // (b0, b1) layout could not exist.
+    Q("q_sim_topk_bq48_refined_indexed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+        val bqName = "graft_bq48_idx_" + tag
+        val vecName = "graft_bq48v_idx_" + tag
+        Similarity.writeBqIndex(emb, bqName, dims = 48)
+        Similarity.writeVecTable(emb, vecName)
+        try Similarity.bqRefinedSearchIndexed(s, bqName, vecName,
+            emb.filter(col("vec_id") % 100 === 0), k = 10, shortlist = 40,
+            dims = 48)
+          .orderBy("query_id", "rank").localCheckpoint(true)
+        finally {
+          Similarity.dropBqIndex(s, bqName)
+          Similarity.dropVecTable(s, vecName)
+        }
+      },
+      Some(bqRefinedOracleAt(48))),
 
 
     // Two-stage retrieval: SQ8 shortlist (the memory-bound codes scan) →
@@ -341,6 +391,8 @@ private[graft] object SimQueries {
     // the libm-drift objection in retrievalEval's scaladoc dissolves);
     // per-rank contributions aggregate as max (≤1 row per (query, rank),
     // no float-sum order exists) and fold left-nested in rank order.
+    // IDCG normalizes by min(corpus-total relevant, k) — the standard
+    // trec_eval rule (round-16 fix; was list-conditional).
     Q("q_sim_eval_ndcg",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
@@ -355,9 +407,9 @@ private[graft] object SimQueries {
         val termCols = (1 to 10).map(r =>
           s"max(CASE WHEN rank = $r AND rel THEN ${wl(ws(r - 1))} " +
             s"ELSE CAST(0.0 AS DOUBLE) END) AS t$r").mkString(", ")
-        val idcgCase = "CASE WHEN n_rel = 0 THEN CAST(0.0 AS DOUBLE) " +
+        val idcgCase = "CASE WHEN m = 0 THEN CAST(0.0 AS DOUBLE) " +
           (1 to 10).map(r =>
-            s"WHEN n_rel = $r THEN ${wl(ps(r - 1))} ").mkString +
+            s"WHEN m = $r THEN ${wl(ps(r - 1))} ").mkString +
           s"ELSE ${wl(ps(9))} END"
         s"WITH $normEmbCte, " +
           "q AS (SELECT vec_id AS query_id, v AS qv FROM nv " +
@@ -370,6 +422,12 @@ private[graft] object SimQueries {
           "ORDER BY score DESC, neighbor_id) AS rank FROM sc), " +
           "res AS (SELECT * FROM rr WHERE rank <= 10), " +
           "lb AS (SELECT vec_id, label FROM embeddings), " +
+          "lcn AS (SELECT label, count(*) AS lcnt FROM lb " +
+          "WHERE label IS NOT NULL GROUP BY label), " +
+          "qt AS (SELECT ql.vec_id AS query_id, " +
+          "CAST(COALESCE(lcn.lcnt - 1, 0) AS BIGINT) AS nrt " +
+          "FROM lb ql LEFT JOIN lcn ON ql.label = lcn.label " +
+          "WHERE ql.vec_id % 100 = 0), " +
           "j AS (SELECT res.query_id, res.rank, " +
           "(ql.label IS NOT NULL AND ql.label = nb.label) AS rel FROM res " +
           "LEFT JOIN lb ql ON ql.vec_id = res.query_id " +
@@ -377,13 +435,16 @@ private[graft] object SimQueries {
           "g AS (SELECT query_id, " +
           "sum(CASE WHEN rel THEN 1 ELSE 0 END) AS n_rel, " +
           s"$termCols FROM j GROUP BY query_id), " +
-          "d AS (SELECT query_id, CAST(n_rel AS BIGINT) AS n_relevant, " +
-          (1 to 10).map(r => s"t$r").mkString(" + ") + " AS dcg, " +
-          s"$idcgCase AS idcg FROM g) " +
-          "SELECT query_id, n_relevant, dcg, " +
+          "d AS (SELECT g.query_id, CAST(n_rel AS BIGINT) AS n_relevant, " +
+          "qt.nrt AS n_rel_total, LEAST(qt.nrt, 10) AS m, " +
+          (1 to 10).map(r => s"t$r").mkString(" + ") + " AS dcg " +
+          "FROM g JOIN qt ON g.query_id = qt.query_id), " +
+          s"dd AS (SELECT query_id, n_relevant, n_rel_total, dcg, " +
+          s"$idcgCase AS idcg FROM d) " +
+          "SELECT query_id, n_relevant, n_rel_total, dcg, " +
           "CASE WHEN idcg > 0.0 THEN dcg / idcg " +
           "ELSE CAST(0.0 AS DOUBLE) END AS ndcg " +
-          "FROM d ORDER BY query_id"
+          "FROM dd ORDER BY query_id"
       }),
 
 

@@ -310,4 +310,43 @@ class BpeSpec extends SparkSpec {
     assert(words.flatMap(w => WordPiece.segmentWord(w, loaded)) ==
       words.flatMap(w => WordPiece.segmentWord(w, trained)))
   }
+
+  test("wordpiece training: Unicode-general seed — whole codepoints, UTF-8 tie-break, deterministic") {
+    import graft.functions.WordPiece
+    // non-BMP input seeds whole codepoints, never split surrogate halves
+    assert(WordPiece.initialSyms("😀a") == Seq("😀", "##a"))
+    assert(WordPiece.initialSyms("über") == Seq("ü", "##b", "##e", "##r"))
+    // tie-break is UTF-8 binary (codepoint) order, NOT Java's UTF-16
+    // code-unit order: 'ｚ' (U+FF5A) < '😀' (U+1F600) by codepoint, but a
+    // UTF-16 comparison ranks the surrogate pair LOWER (0xD83D < 0xFF5A).
+    // Both candidate pairs tie exactly (freq 2, all symbol freqs 2), so
+    // the fused winner reveals which order the trainer uses — and it must
+    // match what a DuckDB / byte-order replay of training would pick.
+    val tieSeed = Seq("ｚｚ ｚｚ 😀😀 😀😀")
+    val tieVocab = WordPiece.learnVocabLocal(tieSeed, numMerges = 1,
+      minPairFreq = 2L)
+    assert(tieVocab.contains("ｚｚ"),
+      s"UTF-8 tie-break must fuse the smaller codepoint pair first: $tieVocab")
+    assert(!tieVocab.contains("😀😀"),
+      s"UTF-16 code-unit order leaked into the tie-break: $tieVocab")
+    // multilingual seed: deterministic training, likelihood ordering still
+    // favors rarer-parts pairs, and apply round-trips through the native
+    // expression (the former ASCII-only require threw on all of this)
+    val seed = Seq(
+      "der Ofen der Ölofen Öl Öl Öl",
+      "schön schön grün grün füße füße")
+    val v1 = WordPiece.learnVocabLocal(seed, 6)
+    val v2 = WordPiece.learnVocabLocal(seed, 6)
+    assert(v1 == v2, "non-ASCII training must be deterministic")
+    val wordsU = Seq("ｚｚ😀", "über", "schön", "Öl")
+    val viaExpr = Seq((1L, wordsU)).toDF("doc_id", "toks")
+      .select(WordPiece.encode($"toks", v1 ++ tieVocab).as("sub"))
+      .as[Seq[String]].collect().head
+    assert(viaExpr ==
+      wordsU.flatMap(w => WordPiece.segmentWord(w, v1 ++ tieVocab)),
+      "expression and driver reference must agree on non-ASCII input")
+    // greedy matching never tiles across a broken surrogate: a word whose
+    // only cover would require splitting 😀 in half is [UNK], not garbage
+    assert(WordPiece.segmentWord("😀", Seq("a")) == Seq(WordPiece.Unk))
+  }
 }

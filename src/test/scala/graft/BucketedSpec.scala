@@ -212,6 +212,41 @@ class BucketedSpec extends SparkSpec {
     } finally Similarity.dropAnnIndex(spark, "ann_test_idx")
   }
 
+  test("ann index: distributed probe arm (queries above maxQueries) ≡ driver arm, pruning retained") {
+    import graft.functions.Similarity
+    val rnd = new scala.util.Random(13)
+    val corpus = ((0 until 40).map { i =>
+      val base = Array.fill(8)(0.05 + rnd.nextDouble() * 0.1)
+      base(i % 4) = 1.0 + rnd.nextDouble()
+      (i.toLong, base.map(_.toFloat).toSeq)
+    } :+ (40L, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    // zero-norm query included: both arms must DROP it, not crash
+    val queries = corpus.filter($"vec_id" % 10 === 0)
+    Similarity.writeAnnIndex(corpus, "ann_dist_idx",
+      centroids = 4, sampleSize = 32, iters = 2, buckets = 8)
+    try {
+      val driver = Similarity.annSearchIndexed(spark, "ann_dist_idx",
+        queries, k = 5, nprobe = 2).orderBy("query_id", "rank")
+      // maxQueries = 0 forces EVERY query set onto the distributed arm:
+      // scan-side probe selection + salted candidate join must reproduce
+      // the driver arm's results row for row (same score fold, same
+      // (score desc, cid asc) probe ties)
+      val dist = Similarity.annSearchIndexed(spark, "ann_dist_idx",
+        queries, k = 5, nprobe = 2, maxQueries = 0)
+        .orderBy("query_id", "rank")
+      val a = driver.collect().map(_.toSeq).toSeq
+      val b = dist.collect().map(_.toSeq).toSeq
+      assert(a.nonEmpty && a == b, s"distributed arm $b != driver arm $a")
+      // the probed-cell set is still a literal bucket-IN: pruning survives
+      val plan = dist.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      val m = sel.findFirstMatchIn(plan)
+      assert(m.nonEmpty, s"distributed-arm scan must be bucket-pruned:\n$plan")
+      assert(m.get.group(1).toInt < m.get.group(2).toInt,
+        s"pruning must select a strict subset of buckets: ${m.get.matched}")
+    } finally Similarity.dropAnnIndex(spark, "ann_dist_idx")
+  }
+
   test("ann index upsert: grown index ≡ one full build; pruning retained") {
     import graft.functions.Similarity
     val rnd = new scala.util.Random(11)
@@ -1358,26 +1393,34 @@ class BucketedSpec extends SparkSpec {
   test("ndcg@k: hand-worked fixture, perfect ranking = 1.0, zero-relevant = 0.0") {
     import graft.functions.Similarity
     val corpus = Seq((100L, 1), (1L, 1), (2L, 0), (3L, 1), (200L, 2),
-      (4L, 0), (5L, 0), (300L, 3), (6L, 3), (7L, 3))
+      (4L, 0), (5L, 0), (300L, 3), (6L, 3), (7L, 3),
+      (400L, 4), (8L, 4), (9L, 4))
       .toDF("vec_id", "label")
     // q100: rel at ranks 1 and 3 → dcg = w1 + w3 = 1.0 + 0.5 = 1.5,
     //       idcg(2) = 1.0 + 1/log2(3); q200: nothing relevant → 0;
-    // q300: rel at ranks 1,2 of 2 retrieved → dcg = idcg(2) → ndcg 1.0
+    // q300: rel at ranks 1,2 of 2 retrieved → dcg = idcg(2) → ndcg 1.0;
+    // q400: 2 relevant EXIST in the corpus but only 1 was retrieved —
+    //       standard nDCG must charge the miss (IDCG over min(R, k),
+    //       NOT over relevant-in-list, which scored this a flattering 1.0)
     val results = Seq(
       (100L, 1L, 1), (100L, 2L, 2), (100L, 3L, 3),
       (200L, 4L, 1), (200L, 5L, 2),
-      (300L, 6L, 1), (300L, 7L, 2))
+      (300L, 6L, 1), (300L, 7L, 2),
+      (400L, 8L, 1))
       .toDF("query_id", "neighbor_id", "rank")
     val out = Similarity.ndcgAtK(results, corpus, k = 10)
       .orderBy("query_id")
-      .select("query_id", "n_relevant", "dcg", "ndcg")
-      .as[(Long, Long, Double, Double)].collect().toSeq
+      .select("query_id", "n_relevant", "n_rel_total", "dcg", "ndcg")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
     val w2 = 1.0 / (math.log(3.0) / math.log(2.0))
     val idcg2 = 1.0 + w2
-    assert(out.size == 3)
-    assert(out(0) == ((100L, 2L, 1.0 + 0.5, (1.0 + 0.5) / idcg2)))
-    assert(out(1) == ((200L, 0L, 0.0, 0.0)))
-    assert(out(2) == ((300L, 2L, idcg2, 1.0)), "perfect prefix must score exactly 1.0")
+    assert(out.size == 4)
+    assert(out(0) == ((100L, 2L, 2L, 1.0 + 0.5, (1.0 + 0.5) / idcg2)))
+    assert(out(1) == ((200L, 0L, 0L, 0.0, 0.0)))
+    assert(out(2) == ((300L, 2L, 2L, idcg2, 1.0)),
+      "perfect complete retrieval must score exactly 1.0")
+    assert(out(3) == ((400L, 1L, 2L, 1.0, 1.0 / idcg2)),
+      "a partial retrieval must be charged for the corpus-level miss")
     // weight table sanity: w1 = 1 exactly, prefix sums are the left fold
     val (ws, ps) = Similarity.ndcgWeights(10)
     assert(ws.head == 1.0 && ps.head == ws.head)
@@ -1434,6 +1477,53 @@ class BucketedSpec extends SparkSpec {
     assert(r40 >= 0.55, s"1-bit + rescore recall@10 fell to $r40 at sl=40")
     assert(r100 >= 0.75, s"recall@10 fell to $r100 at sl=100")
     assert(r100 >= r40, "a deeper shortlist can only help recall")
+  }
+
+  test("binary quantization widths: production-shaped dims > 64 pack, search, and persist (round-16)") {
+    import graft.functions.Similarity
+    // an 80-dim corpus — the former two-word packing (hardwired
+    // dims <= 64) could not represent this width at all; 80 also
+    // exercises the partial trailing word (32 + 32 + 16 bits)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 120).map { i =>
+      (i.toLong, Seq.fill(80)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val qs = emb.filter($"vec_id" % 20 === 0)
+    val exact = Similarity.bruteForceTopK(emb, qs, 5)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSeq
+    // full shortlist => the exact rescore IS brute force, at any width
+    val full = Similarity.bqRefinedTopK(emb, qs, 5, shortlist = 120,
+        dims = 80)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(full == exact, "full-shortlist 80-dim BQ must equal brute force")
+    // persisted twin: the migrated array<bigint> words schema carries
+    // ceil(80/32) = 3 words per vector and answers identically
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val bqName = "graft_bq80_" + tag
+    val vecName = "graft_bq80v_" + tag
+    Similarity.writeBqIndex(emb, bqName, dims = 80)
+    Similarity.writeVecTable(emb, vecName)
+    try {
+      val wordCounts = spark.table(s"${bqName}_words")
+        .select(size($"words")).distinct().as[Int].collect().toSeq
+      assert(wordCounts == Seq(3),
+        s"80-dim index must store 3 sign words/vector, got $wordCounts")
+      val indexed = Similarity.bqRefinedSearchIndexed(spark, bqName,
+          vecName, qs, k = 5, shortlist = 120, dims = 80)
+        .orderBy("query_id", "rank")
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSeq
+      assert(indexed == exact,
+        "persisted 80-dim BQ search must equal the from-scratch result")
+    } finally {
+      Similarity.dropBqIndex(spark, bqName)
+      Similarity.dropVecTable(spark, vecName)
+    }
   }
 
   test("diversity selection: one pick per region before any repeat; radius curve non-decreasing") {

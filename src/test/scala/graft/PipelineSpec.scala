@@ -930,6 +930,68 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("curateFull: six-stage composition — each boundary only shrinks, every stage's rule visible") {
+    val base = "the red fox and his kit ran out of the old barn is " +
+      "with them came four more foxes over green hills toward warm sun " +
+      "while birds sang songs about long summer days ahead"
+    def variant(i: Int) = base.replace("red", s"shade$i")
+      .replace("green", s"tint$i").replace("warm", s"heat$i")
+      .replace("long", s"len$i").replace("old", s"age$i")
+    val fix = (
+      (1 to 8).map(i => (i.toLong, variant(i), "en",
+        if (i <= 5) "A" else "B")) ++ Seq(
+        (20L, "word " * 10, "en", "A"),      // fails the filter
+        (21L, variant(1), "en", "A"),        // exact dup of 1 → collapses
+        (22L, variant(7), "en", "B")))       // exact dup of 7 → collapses
+      .toDF("doc_id", "text", "lang", "source")
+    // benchmark IS doc 3's text: decontamination must scrub doc 3 to ''
+    // and drop it — the visible-removal contract
+    val bench = Seq((900L, variant(3))).toDF("doc_id", "text")
+    val stages = Curate.curateFullStages(fix, bench,
+      seqTokens = 16, shards = 1, mixNum = 1L, mixDen = 1L)
+    assert(stages.map(_._1) ==
+      Seq("filter", "dedup", "decontaminate", "quality", "mixture", "pack"))
+    def ids(df: DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    val byName = stages.toMap
+    val afterFilter = ids(byName("filter")())
+    val afterDedup = ids(byName("dedup")())
+    val afterScrub = ids(byName("decontaminate")())
+    val afterQuality = ids(byName("quality")())
+    val afterMix = ids(byName("mixture")())
+    val packed = byName("pack")().orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // stage rules, each visible in membership
+    assert(!afterFilter(20L), "the filter-failing doc must drop at stage 1")
+    assert(afterFilter(21L) && afterFilter(22L))
+    assert(!afterDedup(21L) && !afterDedup(22L),
+      "exact dups must collapse to their min-id representative")
+    assert(afterDedup(1L) && afterDedup(7L))
+    assert(!afterScrub(3L),
+      "a doc that IS a benchmark item must scrub to empty and drop")
+    assert(afterScrub(1L))
+    // boundaries only shrink
+    assert(afterDedup.subsetOf(afterFilter))
+    assert(afterScrub.subsetOf(afterDedup))
+    assert(afterQuality.subsetOf(afterScrub))
+    assert(afterMix.subsetOf(afterQuality))
+    assert(packed.map(_._1).toSet == afterMix,
+      "pack emits exactly the mixture's survivors")
+    // full budget (mixNum/mixDen = 1) still drops the tail tercile only
+    assert(afterMix == afterQuality,
+      "a full mixture budget must keep every quality survivor")
+    // pack invariants: one shard → pack offsets are the running sum
+    val cums = packed.map(_._2).scanLeft(0L)(_ + _).init
+    packed.zip(cums).foreach { case ((_, _, _, pid, poff), cum) =>
+      assert(pid == cum / 16 && poff == cum % 16)
+    }
+    // composition is rerun-stable end to end
+    val again = Curate.curateFull(fix, bench,
+      seqTokens = 16, shards = 1, mixNum = 1L, mixDen = 1L)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(again == packed, "curateFull must be deterministic")
+  }
+
   test("shuffle order: reproducible permutation key, seed-sensitive") {
     val ids = (0L until 500L)
     val d = ids.map(i => Tuple1(i)).toDF("doc_id")

@@ -590,4 +590,69 @@ class TakedownSpec extends SparkSpec {
       Takedown.dropLedger(spark, fr)
     }
   }
+
+  test("bq words + raw-vector tables: deleteEverywhere reaches both, search " +
+      "honors tombstones, residual 0, audit sweeps _words and _vectors") {
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val bq = s"td_bq_$uid"; val vt = s"td_vec_$uid"
+    val (base, clones, cloneIds) = quantFixture()
+    // exact-copy clones would surface at Hamming distance 0 — the
+    // strongest possible leak if deletion misses either artifact
+    val corpus = base.unionByName(clones)
+    graft.functions.Similarity.writeBqIndex(corpus, bq, dims = 8)
+    graft.functions.Similarity.writeVecTable(corpus, vt)
+    try {
+      val queries = base.filter($"vec_id" % 10 === 0)
+      val reg = Seq(Takedown.BqIndex(bq), Takedown.VecTable(vt))
+      // completeness sweep: an EMPTY registry must name both families —
+      // the r14 "MISSING ONE means the content is still findable" lesson
+      // applied to the two newest artifact kinds
+      val missing = Takedown.auditRegistry(spark, Seq.empty[Takedown.Artifact])
+      assert(missing.contains(("bq", bq.toLowerCase)),
+        s"unregistered BQ words index must be flagged: $missing")
+      assert(missing.contains(("vec", vt.toLowerCase)),
+        s"unregistered raw-vector table must be flagged: $missing")
+      assert(Takedown.auditRegistry(spark, reg)
+        .forall(r => r._2 != bq.toLowerCase && r._2 != vt.toLowerCase))
+      // delete the clones through the orchestrator; retry is a ledger skip
+      val first = Takedown.deleteEverywhere(spark, "bqvec-1", cloneIds, reg)
+      assert(first == Seq(("bq", bq, true), ("vec", vt, true)))
+      val retry = Takedown.deleteEverywhere(spark, "bqvec-1", cloneIds, reg)
+      assert(retry == Seq(("bq", bq, false), ("vec", vt, false)))
+      // the persisted two-stage search must answer as if the clones never
+      // existed: rebuild-without equality
+      val cleanBq = s"${bq}_clean"; val cleanVt = s"${vt}_clean"
+      graft.functions.Similarity.writeBqIndex(base, cleanBq, dims = 8)
+      graft.functions.Similarity.writeVecTable(base, cleanVt)
+      try {
+        def read(b: String, v: String) =
+          graft.functions.Similarity.bqRefinedSearchIndexed(spark, b, v,
+              queries, k = 5, shortlist = 20, dims = 8)
+            .orderBy("query_id", "rank")
+            .select("query_id", "neighbor_id", "rank")
+            .as[(Long, Long, Int)].collect().toSeq
+        val tombstoned = read(bq, vt)
+        val rebuilt = read(cleanBq, cleanVt)
+        assert(tombstoned.nonEmpty && tombstoned == rebuilt,
+          "tombstoned BQ+vec search must equal rebuild-without-deleted")
+        // residual audit: zero live references to the deleted ids
+        assert(Takedown.residualReferences(spark, cloneIds, reg) ==
+          Seq(("bq", bq, 0L), ("vec", vt, 0L)))
+        // physical purge; read unchanged
+        Takedown.compactEverywhere(spark, reg)
+        assert(!spark.catalog.tableExists(s"${bq}_deletes"))
+        assert(!spark.catalog.tableExists(s"${vt}_deletes"))
+        assert(read(bq, vt) == rebuilt,
+          "compaction must not change search results")
+      } finally {
+        graft.functions.Similarity.dropBqIndex(spark, cleanBq)
+        graft.functions.Similarity.dropVecTable(spark, cleanVt)
+      }
+    } finally {
+      graft.functions.Similarity.dropBqIndex(spark, bq)
+      graft.functions.Similarity.dropVecTable(spark, vt)
+      Takedown.dropLedger(spark, bq)
+      Takedown.dropLedger(spark, vt)
+    }
+  }
 }

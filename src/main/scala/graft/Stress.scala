@@ -542,8 +542,15 @@ object Stress {
       .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
       .localCheckpoint(true)
     val centroids = math.max(8, nClusters / 2)
+    // buckets ≈ cores: in the distributed arm the candidate join keys on
+    // `bucket` and the bucketed side arrives exchange-free, so the
+    // per-bucket product parallelism IS the file-bucket count — an
+    // 8-bucket index (the small-fixture default) serializes 32 cores
+    // down to 8 tasks (measured 395 s vs 136 s at 70k queries). Sizing
+    // buckets to the executor width at build time is the documented
+    // contract; this probe practices it.
     Similarity.writeAnnIndex(emb, "stress_annbatch_idx",
-      centroids = centroids, sampleSize = 512, iters = 2, buckets = 8)
+      centroids = centroids, sampleSize = 512, iters = 2, buckets = 32)
     try {
       def run(df: => org.apache.spark.sql.DataFrame): (Long, Double) = {
         val t0 = System.nanoTime()
@@ -855,6 +862,19 @@ object Stress {
           .crossJoin(rep)
         val text =
           if (kind == "twins") col("text")
+          else if (kind == "pipeline")
+            // pipeline rungs must SURVIVE the policy filter: re-tag only
+            // LONG tokens (>= 4 chars), leaving stopwords and language
+            // markers intact — replicas then pass the lang/stopword/
+            // quality arms (all-token re-tagging left rows=|x1| at every
+            // rung: only replica 0 survived and the ladder measured a
+            // constant pipeline behind a growing scan), while the
+            // mutated long tokens keep cross-replica shingle overlap
+            // and chunk fingerprints disjoint — near-dup density and
+            // contamination stay CONSTANT per replica, the grow regime.
+            when(col("replica") === 0, col("text")).otherwise(
+              regexp_replace(col("text"), lit("\\S{4,}"),
+                concat(lit("r"), col("replica"), lit("_$0"))))
           else when(col("replica") === 0, col("text")).otherwise(
             regexp_replace(col("text"), lit("\\S+"),
               concat(lit("r"), col("replica"), lit("_$0"))))

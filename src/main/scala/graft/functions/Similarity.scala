@@ -494,11 +494,14 @@ object Similarity {
     * scan-side via [[withProbeCells]] (the identical score/tie rule the
     * graph builds use), the probed-cell set — bounded by the CENTROID
     * count, never the query count — is still a tiny control read that
-    * keeps the literal bucket-IN pruning, and the candidate join goes
-    * through [[graft.operators.Skew.saltedJoin]] instead of a broadcast
-    * (a query frame too big to collect is too big to broadcast, and
-    * `bucket` has at most `cells` distinct values — the exact hot-key
-    * shuffle shape salting exists for).
+    * keeps the literal bucket-IN pruning, and the candidate join keys
+    * on `bucket` itself so the bucketed side arrives exchange-free and
+    * PRUNED. Parallelism of that join is the index's file-bucket count
+    * — size `buckets` ≈ executor slots at [[writeAnnIndex]] time (the
+    * annbatch probe measured the violation: 8 buckets serialized 32
+    * cores to 395 s where 32 buckets ran 214 s). A salted join was
+    * measured and rejected here — it demotes the bucketed scan and
+    * silently reads the whole index (SCALE.md round-16).
     */
   def annSearchIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
       queries: DataFrame, k: Int, nprobe: Int = 4,
@@ -550,15 +553,20 @@ object Similarity {
         spark.table(s"${name}_assignments")
           .filter(col("bucket").isin(cells.map(Integer.valueOf): _*)),
         "vec_id")
-      // salt count: enough sub-keys to spread one bucket's corpus rows
-      // over many reducers, CAPPED — the probe side replicates ×numSalts,
-      // so tying it to cluster cores (16k on a big cluster) would blow
-      // the small side up by the core count; 64 sub-keys per bucket is
-      // spread enough for AQE to finish the job
-      val scored = graft.operators.Skew.saltedJoin(
-          assigned, probed, "bucket",
-          numSalts = math.min(64,
-            math.max(1, spark.sparkContext.defaultParallelism)))
+      // The candidate join keys on `bucket` ITSELF — the column the
+      // assignments table is bucketed by — so the bucketed side stays
+      // exchange-free AND keeps its literal-IN bucket pruning. A salted
+      // variant was measured and REJECTED here: joining on
+      // (bucket, salt) makes the bucketing useless to the planner,
+      // Spark's DisableUnnecessaryBucketedScan demotes the scan, and
+      // bucket pruning silently disappears — a full index read at
+      // 100 TB costs more than the per-bucket skew the salt would fix.
+      // Per-bucket product parallelism therefore comes from the index's
+      // bucket count (size `buckets` ≥ cores at writeAnnIndex time);
+      // AQE absorbs residual imbalance on the shuffled probe side, and
+      // Catalyst is free to broadcast the probe frame only when its
+      // MEASURED (checkpoint/shuffle-stat) size is genuinely small.
+      val scored = assigned.join(probed, Seq("bucket"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           dot(col("qv"), col("v")).as("score"))

@@ -63,8 +63,15 @@ object Skew {
     // happens map-side, before the exchange.
     val smallSalted = small.withColumn(SaltCol,
       explode(sequence(lit(0), lit(numSalts - 1))))
+    // Pin the join to SHUFFLED-HASH (round-16, measured by the annbatch
+    // probe): if Catalyst instead picks a broadcast join — which it will
+    // try whenever its pre-explode size estimate looks small — the
+    // replication is pure overhead (a broadcast join has no shuffle to
+    // spread) and a genuinely large replicated side OOMs the driver
+    // build (13M-row probe frame → notEnoughMemoryToBuildAndBroadcast).
+    // Salting exists exactly for the shuffled case, so force it.
     bigSalted
-      .join(smallSalted, Seq(key, SaltCol), joinType)
+      .join(smallSalted.hint("shuffle_hash"), Seq(key, SaltCol), joinType)
       .drop(SaltCol)
   }
 }

@@ -661,4 +661,242 @@ object Sampling {
         .when(col(scoreCol) >= c2, "middle")
         .otherwise("tail").as("bucket"))
   }
+
+  // ---------------------------------------------------------------------
+  // DSIR — Data Selection via Importance Resampling (Xie et al.,
+  // NeurIPS 2023): pick raw-corpus documents whose hashed-n-gram feature
+  // distribution looks like a TARGET corpus. Reference behavior class:
+  // audience-manager has no data-selection operator; this family is part
+  // of the LLM-pipeline extension surface (driver brief), built on the
+  // same bit-portable discipline as the samplers above.
+  //
+  // The published method: hash bigram features into B buckets, fit
+  // add-one-smoothed bag-of-buckets models p (target) and q (raw), weight
+  // each document by log p(doc) − log q(doc) = Σ_b c_b·(log p_b − log q_b),
+  // then resample by weight. The ln that formula needs is libm-dependent
+  // (measured here: JVM Math.log and DuckDB ln disagree by 1 ulp on ~0.09%
+  // of arguments), so raw double log-weights would break the engine's
+  // cross-engine hash gate. Fix: FIXED-POINT log-ratios. Each bucket's
+  // log-ratio is quantized ONCE to a 2^-20 grid (lrq = round(2^20·lr), a
+  // BIGINT), and the per-document weight becomes an EXACT INTEGER sum of
+  // lrq over the document's feature occurrences — no float accumulation,
+  // no fold-order pinning, nothing downstream of the B quantizations can
+  // diverge. The only cross-engine surface left is B lns, each protected
+  // by the rounding grid: a 1-ulp ln disagreement flips a bucket's lrq
+  // only if 2^20·lr lands within ~1 ulp of a half-integer (~2^-30 per
+  // bucket — and for FIXED gate data either it happens or it doesn't;
+  // the oracle gate verifies the actual corpus, not an expectation).
+  // ---------------------------------------------------------------------
+
+  /** 2^20 — the fixed-point scale for [[dsirLogRatios]], the same grid
+    * [[temperatureMixture]] uses for its √n weights.
+    */
+  val DsirScale: Double = 1048576.0
+
+  /** Hashed-bigram feature bucket: the 58-bit prime-field rolling hash
+    * (engine-portable, see [[TextAnalysis.fingerprint]]) of `"w1 w2"`,
+    * mod `buckets`. One value per bigram OCCURRENCE — DSIR's
+    * bag-of-hashed-ngrams feature stream.
+    */
+  private def dsirBuckets(docs: DataFrame, buckets: Int,
+      textCol: String): DataFrame =
+    TextAnalysis.bigramOccurrences(docs, textCol)
+      .select(col("doc_id"),
+        (RollingHash.rollingHash(
+          concat(col("w1"), lit(" "), col("w2"))) % buckets).as("bucket"))
+
+  /** Fit the DSIR importance model: one row per bucket in [0, buckets) —
+    * (bucket, ct, cr, lrq) where ct/cr are the target/raw occurrence
+    * counts and lrq is the fixed-point quantized log importance ratio
+    *
+    *   lrq = round(2^20 · (ln((ct+1)/(cr+1)) + ln((Nr+B)/(Nt+B))))
+    *
+    * — add-one smoothing over B buckets, the paper's bag-of-hashed-ngrams
+    * model, with the totals term folded in per bucket so a document's
+    * weight is a plain sum over its occurrences. The bucket spine is
+    * `range(B)`, so EVERY bucket has a row and scoring never sees a miss
+    * (an unseen bucket carries the pure-prior ratio ct=cr=0).
+    *
+    * Scale shape: two map-side-combinable hash aggregates (corpus →
+    * B rows), then arithmetic on B-row frames — the corpus is scanned
+    * once per side and everything after the aggregates is KB-scale.
+    * Both ln arguments are single IEEE divisions of exact-integer
+    * doubles (counts < 2^53 up to ~9e15 bigram occurrences — beyond a
+    * 100 TB corpus), so the pre-quantization doubles are bit-identical
+    * in any engine up to the libm ln itself (bounded above).
+    */
+  def dsirLogRatios(raw: DataFrame, target: DataFrame, buckets: Int = 2048,
+      textCol: String = "text"): DataFrame = {
+    require(buckets > 0 && buckets <= 65536,
+      s"buckets must be in (0, 65536], got $buckets")
+    val ct = dsirBuckets(target, buckets, textCol)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val cr = dsirBuckets(raw, buckets, textCol)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val spine = raw.sparkSession.range(buckets.toLong)
+      .select(col("id").as("bucket"))
+    val counts = spine
+      .join(ct, Seq("bucket"), "left")
+      .join(cr, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    // Totals via an unbounded window over the B-row counts frame (the
+    // [[temperatureMixture]] sum_wt idiom) — NOT counts.crossJoin(agg):
+    // the cross join would duplicate the counts subtree and Catalyst
+    // would re-expand it, scanning both corpora a second time. The
+    // window runs on one B-row partition — KB-scale.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    counts
+      .withColumn("__nt", sum(col("ct")).over(wAll))
+      .withColumn("__nr", sum(col("cr")).over(wAll))
+      .select(col("bucket"), col("ct"), col("cr"),
+        round((log((col("ct") + lit(1L)).cast("double") /
+            (col("cr") + lit(1L)).cast("double")) +
+          log((col("__nr") + lit(buckets.toLong)).cast("double") /
+            (col("__nt") + lit(buckets.toLong)).cast("double"))) *
+          lit(DsirScale)).cast("long").as("lrq"))
+  }
+
+  /** Score every document against a [[dsirLogRatios]] model: (doc_id,
+    * n_feats, weight_q, log_weight). `weight_q` is the exact BIGINT sum
+    * of lrq over the document's bigram occurrences; `log_weight` is
+    * weight_q/2^20 — an exact power-of-two rescale of an integer below
+    * 2^53, so it is bit-identical everywhere despite being a double.
+    * Documents with < 2 tokens have no features: n_feats 0, NULL weights
+    * (the [[unigramScore]] contract — a gate must not pretend to have
+    * scored what it cannot see). `buckets` must match the model's fit
+    * (the hash is applied scan-side; a mismatch would silently score
+    * against the wrong cells — the indexed path reads it from the stored
+    * params instead of trusting the caller).
+    *
+    * Scale shape: one corpus scan to occurrences, one broadcast join
+    * against the B-row model, one hash aggregate keyed on doc_id.
+    */
+  def dsirScore(docs: DataFrame, logRatios: DataFrame, buckets: Int,
+      textCol: String = "text"): DataFrame = {
+    val perDoc = dsirBuckets(docs, buckets, textCol)
+      .join(broadcast(logRatios.select(col("bucket"), col("lrq"))),
+        Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lrq")).as("weight_q"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        col("weight_q"),
+        (col("weight_q").cast("double") / lit(DsirScale)).as("log_weight"))
+  }
+
+  /** Temperature-0 DSIR selection: keep the `n` highest-weight documents
+    * (ties by doc_id asc), as a `keep` flag on every scored row — the
+    * deterministic argmax-k reading of the paper's Gumbel-top-k resample
+    * (the engine's no-RNG rule; the spec gates a hash-Gumbel variant for
+    * pipelines that want the sampled reading). NULL weights never keep.
+    *
+    * NO global sort: the threshold row (n-th best by (weight_q desc,
+    * doc_id asc)) comes from a distributed TakeOrdered — per-partition
+    * top-n, driver merge of n keys — and `keep` is a scan-side
+    * lexicographic comparison against that broadcast threshold. At
+    * 100 TB the corpus is never exchanged; only n (weight, id) pairs
+    * move.
+    */
+  def dsirSelect(scored: DataFrame, n: Int): DataFrame = {
+    require(n > 0, s"selection size must be positive, got $n")
+    val th = scored.filter(col("weight_q").isNotNull)
+      .orderBy(col("weight_q").desc, col("doc_id").asc)
+      .limit(n)
+      .agg(min(struct(col("weight_q").as("w"), (-col("doc_id")).as("nd")))
+        .as("__th"))
+    scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("n_feats"), col("weight_q"),
+        col("log_weight"),
+        (col("weight_q").isNotNull && col("__th").isNotNull &&
+          (col("weight_q") > col("__th.w") ||
+            (col("weight_q") === col("__th.w") &&
+              -col("doc_id") >= col("__th.nd")))).as("keep"))
+  }
+
+  /** Gumbel-top-n DSIR resampling — the paper's SAMPLED reading: each
+    * document keys on log_weight/temperature + g where g = −ln(−ln(u))
+    * and u is the doc-id-keyed LCG uniform ([[Similarity.sampleHashSql]],
+    * the engine's no-RNG rule: reruns reproduce the draw bit-for-bit).
+    * The Gumbel ln is libm arithmetic, so this variant is SPEC-gated,
+    * not oracle-gated (the [[TextAnalysis.bigramPerplexity]] precedent);
+    * [[dsirSelect]] is the temperature-0 deterministic reading the hash
+    * gate certifies. Same TakeOrdered-threshold shape — no global sort.
+    */
+  def dsirSelectGumbel(scored: DataFrame, n: Int,
+      temperature: Double = 1.0): DataFrame = {
+    require(n > 0, s"selection size must be positive, got $n")
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val u = (expr(graft.functions.Similarity.sampleHashSql("doc_id"))
+      .cast("double") + lit(1.0)) / lit(2147483648.0)
+    val key = (col("log_weight") / lit(temperature) - log(-log(u))).as("__key")
+    val keyed = scored.withColumn("__key",
+      when(col("weight_q").isNotNull, key))
+    val th = keyed.filter(col("__key").isNotNull)
+      .orderBy(col("__key").desc, col("doc_id").asc)
+      .limit(n)
+      .agg(min(struct(col("__key").as("k"), (-col("doc_id")).as("nd")))
+        .as("__th"))
+    keyed.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("n_feats"), col("weight_q"),
+        col("log_weight"),
+        (col("__key").isNotNull && col("__th").isNotNull &&
+          (col("__key") > col("__th.k") ||
+            (col("__key") === col("__th.k") &&
+              -col("doc_id") >= col("__th.nd")))).as("keep"))
+  }
+
+  /** Persist a [[dsirLogRatios]] model as catalog tables: `{name}_ratios`
+    * (bucket, ct, cr, lrq) + a one-row `{name}_params` (buckets) the
+    * scoring path reads instead of trusting a caller-supplied width
+    * (the [[graft.functions.TextAnalysis.writeLmTable]] deployment shape:
+    * fit once on the reference corpora at ingest, stream any batch
+    * through scoring). Params first, payload after, failure drops both —
+    * torn-publish discipline. The model holds per-BUCKET aggregate
+    * counts only (no document content, no per-document rows), so it is
+    * not a takedown-registry family: nothing in it can re-surface a
+    * deleted document.
+    */
+  def writeDsirModel(spark: org.apache.spark.sql.SparkSession, name: String,
+      raw: DataFrame, target: DataFrame, buckets: Int = 2048,
+      textCol: String = "text"): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    dropDsirModel(spark, name)
+    try {
+      spark.range(1).select(lit(buckets).cast("long").as("buckets"))
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${name}_params")
+      dsirLogRatios(raw, target, buckets, textCol)
+        .coalesce(1)
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${name}_ratios")
+    } catch {
+      case e: Throwable => dropDsirModel(spark, name); throw e
+    }
+  }
+
+  /** Score a batch against a stored [[writeDsirModel]] model — identical
+    * results to the from-scratch [[dsirScore]] on the same corpora
+    * (the oracle twin asserts hash equality: write→read fidelity).
+    */
+  def dsirScoreIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
+      docs: DataFrame, textCol: String = "text"): DataFrame = {
+    graft.sources.Tables.requireIdent(name)
+    val buckets = spark.table(s"${name}_params")
+      .select(col("buckets")).head().getLong(0).toInt
+    dsirScore(docs, spark.table(s"${name}_ratios"), buckets, textCol)
+  }
+
+  /** Drop both DSIR model tables and their directories. */
+  def dropDsirModel(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    graft.sources.Tables.dropManagedTables(
+      spark, Seq(s"${name}_params", s"${name}_ratios"))
+  }
 }

@@ -697,8 +697,10 @@ object TextAnalysis {
 
   /** (doc_id, pos, w1, w2) bigram occurrence rows, 1-based pos, built by a
     * scan-side `transform` over the token array — no explode-and-self-join.
+    * Shared with [[Sampling.dsirLogRatios]]/[[Sampling.dsirScore]] (the
+    * DSIR hashed-bigram feature stream is this same occurrence frame).
     */
-  private def bigramOccurrences(docs: DataFrame, textCol: String): DataFrame = {
+  private[functions] def bigramOccurrences(docs: DataFrame, textCol: String): DataFrame = {
     val t = tokens(col(textCol))
     docs
       .select(col("doc_id"), t.as("__t"))

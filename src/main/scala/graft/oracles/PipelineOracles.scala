@@ -309,6 +309,63 @@ private[graft] object PipelineOracles {
       "ORDER BY source, epoch, doc_id"
   }
 
+  /** DSIR constants, rendered into BOTH the Scala queries and the oracle
+    * SQL (the mixQuota shared-rendered-constant rule): target sources,
+    * bucket count, selection size.
+    */
+  private[graft] val dsirTargetSources = Seq("src0", "src1", "src2")
+  private[graft] val dsirBucketCount = 2048
+  private[graft] val dsirKeepN = 200
+
+  /** From-scratch DuckDB replay of the full DSIR chain (Sampling
+    * .dsirLogRatios → dsirScore → dsirSelect): tokenize, bigram, the
+    * 58-bit rolling-hash bucket fold (the fpCte hash over "w1 w2"),
+    * target/raw bucket counts on a range(B) spine, the fixed-point
+    * quantized log-ratio (round to the 2^20 grid — the ONLY float step;
+    * everything after is exact integer arithmetic), per-doc BIGINT weight
+    * sums, and the top-n keep flag via a global rank (the oracle may
+    * sort; the engine uses a TakeOrdered threshold). Shared verbatim by
+    * q_sample_dsir and its persisted twin — hash equality between the two
+    * certifies write→read fidelity of the model tables.
+    */
+  private[graft] lazy val dsirOracle: String = {
+    val b = dsirBucketCount
+    val targets = inListSql(dsirTargetSources)
+    s"WITH tk AS (SELECT doc_id, source, $toksSql AS t FROM documents " +
+      s"WHERE text IS NOT NULL AND len($toksSql) >= 2), " +
+      "bg AS (SELECT doc_id, source, unnest([t[i] || ' ' || t[i+1] " +
+      "FOR i IN range(1, len(t))]) AS g FROM tk), " +
+      "hb AS (SELECT doc_id, source, list_reduce(" +
+      "list_prepend(CAST(0 AS BIGINT), " +
+      "[CAST(unicode(c) AS BIGINT) FOR c IN regexp_extract_all(g, '.')]), " +
+      s"(acc, x) -> (acc * 31 + x) % ${graft.functions.RollingHash.Modulus}) " +
+      s"% $b AS bucket FROM bg), " +
+      s"ctb AS (SELECT bucket, count(*) AS ct FROM hb " +
+      s"WHERE source IN $targets GROUP BY 1), " +
+      "crb AS (SELECT bucket, count(*) AS cr FROM hb GROUP BY 1), " +
+      s"sp AS (SELECT unnest(range(0, $b)) AS bucket), " +
+      "cnts AS (SELECT sp.bucket, COALESCE(ct, 0) AS ct, " +
+      "COALESCE(cr, 0) AS cr FROM sp " +
+      "LEFT JOIN ctb USING (bucket) LEFT JOIN crb USING (bucket)), " +
+      "tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, " +
+      "CAST(sum(cr) AS BIGINT) AS nr FROM cnts), " +
+      "lr AS (SELECT bucket, CAST(round((" +
+      "ln(CAST(ct + 1 AS DOUBLE) / CAST(cr + 1 AS DOUBLE)) + " +
+      s"ln(CAST(nr + $b AS DOUBLE) / CAST(nt + $b AS DOUBLE))) " +
+      "* 1048576.0) AS BIGINT) AS lrq FROM cnts CROSS JOIN tot), " +
+      "pd AS (SELECT hb.doc_id, count(*) AS n_feats, " +
+      "CAST(sum(lrq) AS BIGINT) AS weight_q " +
+      "FROM hb JOIN lr USING (bucket) GROUP BY 1), " +
+      "sc AS (SELECT d.doc_id, COALESCE(n_feats, 0) AS n_feats, weight_q, " +
+      "CAST(weight_q AS DOUBLE) / 1048576.0 AS log_weight " +
+      "FROM documents d LEFT JOIN pd USING (doc_id)), " +
+      "rk AS (SELECT *, row_number() OVER (" +
+      "ORDER BY weight_q DESC NULLS LAST, doc_id) AS rn FROM sc) " +
+      "SELECT doc_id, n_feats, weight_q, log_weight, " +
+      s"weight_q IS NOT NULL AND rn <= $dsirKeepN AS keep " +
+      "FROM rk ORDER BY doc_id"
+  }
+
   /** DuckDB CTE `fp`: the content fingerprint of every document — an exact
     * replay of RollingHash.compute (left fold of acc*31+codepoint mod
     * 2^58-27 over the normalized text). Shared by the fingerprint query and

@@ -299,6 +299,59 @@ private[graft] object MiscQueries {
         "ORDER BY doc_id")),
 
 
+    // DSIR data selection (Xie et al., NeurIPS 2023): hashed-bigram
+    // importance weights — target = three sources, raw = the whole
+    // corpus; fixed-point 2^20-quantized per-bucket log-ratios (the ONLY
+    // float step — per-doc weights are exact BIGINT sums over bucket
+    // occurrences, so no fold-order pinning is needed), temperature-0
+    // top-200 keep flag via a broadcast TakeOrdered threshold (the
+    // corpus is never globally sorted). The oracle replays tokenize →
+    // bigram → rolling-hash bucket → spine counts → quantized ratio →
+    // integer weight sum → rank from scratch.
+    Q("q_sample_dsir",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // Materialize the B-row model once (KB-scale): dsirSelect's
+        // threshold+flag shape references the scored frame twice, and a
+        // lazy model subtree would re-scan both corpora inside each copy.
+        val model = graft.functions.Sampling.dsirLogRatios(
+            docs,
+            docs.filter(col("source").isin(dsirTargetSources: _*)),
+            dsirBucketCount)
+          .localCheckpoint(true)
+        graft.functions.Sampling.dsirSelect(
+          graft.functions.Sampling.dsirScore(docs, model, dsirBucketCount),
+          dsirKeepN)
+          .orderBy("doc_id")
+      },
+      Some(dsirOracle)),
+
+
+    // The persisted-model access path under the SAME oracle: fit the
+    // DSIR ratio tables once, score the corpus FROM the stored tables
+    // (bucket width read from the params row, never trusted from the
+    // call site) — hash equality against the identical from-scratch
+    // oracle is write→read fidelity for the model artifact (the
+    // q_text_bigram_indexed pattern). The model holds per-bucket
+    // aggregate counts only — no document content — so it is not a
+    // takedown-registry family.
+    Q("q_sample_dsir_indexed",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val name = "graft_dsir_idx_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        graft.functions.Sampling.writeDsirModel(s, name, docs,
+          docs.filter(col("source").isin(dsirTargetSources: _*)),
+          dsirBucketCount)
+        try graft.functions.Sampling.dsirSelect(
+            graft.functions.Sampling.dsirScoreIndexed(s, name, docs),
+            dsirKeepN)
+          .orderBy("doc_id").localCheckpoint(true)
+        finally graft.functions.Sampling.dropDsirModel(s, name)
+      },
+      Some(dsirOracle)),
+
+
     // CCNet HEAD/MIDDLE/TAIL (Wenzek et al. 2020): LM-quality terciles
     // with cutoffs from a deterministic id-mix SAMPLE of the per-doc
     // scores (never a global sort — corpus assignment is one scan-side
@@ -306,8 +359,14 @@ private[graft] object MiscQueries {
     // chain, the sample selection, the rank-k cutoffs, and the CASE.
     Q("q_sample_perplexity_buckets",
       (s, d) => graft.functions.Sampling.headMiddleTail(
+        // Materialize the narrow (doc_id, score) frame once: headMiddleTail
+        // references it twice (256-row sample pass + bucket pass) and a
+        // lazy subtree would re-run the whole bigram-LM chain for the
+        // second pass — at 100 TB a 16-byte-per-doc score table is the
+        // standard artifact; re-training the LM is not.
         TextAnalysis.bigramScore(Tables.documents(s, d))
-          .select("doc_id", "bigram_score"), sampleSize = 256)
+          .select("doc_id", "bigram_score").localCheckpoint(true),
+        sampleSize = 256)
         .orderBy("doc_id"),
       Some(bigramLmCtes + ", " +
         "dsq AS (SELECT doc_id, s / CAST(n AS DOUBLE) AS bigram_score FROM sc), " +

@@ -2370,4 +2370,128 @@ class PipelineSpec extends SparkSpec {
     assert(fetch(10L))
     assert(fetch(8L) && !fetch(9L))
   }
+
+  // ---- DSIR (hashed-bigram importance resampling) ----
+
+  private def dsirDocs(rows: (Long, String, String)*): DataFrame =
+    rows.toDF("doc_id", "text", "source")
+
+  private val dsirFixture = dsirDocs(
+    (1L, "alpha beta alpha beta gamma", "tgt"),
+    (2L, "alpha beta delta epsilon", "tgt"),
+    (3L, "zeta eta theta iota kappa", "raw"),
+    (4L, "theta iota kappa zeta eta", "raw"),
+    (5L, "alpha beta gamma delta", "raw"), // target-like content, raw source
+    (6L, "solo", "raw"),                   // 1 token -> no bigram features
+    (7L, null.asInstanceOf[String], "raw"))
+
+  private def dsirTarget = dsirFixture.filter($"source" === "tgt")
+
+  test("dsir model: full range(B) spine, counts conserved, lrq on the 2^20 grid") {
+    val b = 64
+    val m = Sampling.dsirLogRatios(dsirFixture, dsirTarget, b).collect()
+    assert(m.length == b)
+    assert(m.map(_.getAs[Long]("bucket")).sorted.toSeq == (0L until b).toSeq)
+    val nt = m.map(_.getAs[Long]("ct")).sum
+    val nr = m.map(_.getAs[Long]("cr")).sum
+    // bigram occurrence totals: doc1 has 4, doc2 has 3 (target); raw adds
+    // doc3 4, doc4 4, doc5 3; doc6/doc7 contribute none
+    assert(nt == 7 && nr == 18)
+    m.foreach { r =>
+      val exact = math.log((r.getAs[Long]("ct") + 1.0) / (r.getAs[Long]("cr") + 1.0)) +
+        math.log((nr + b).toDouble / (nt + b).toDouble)
+      assert(math.abs(r.getAs[Long]("lrq") - 1048576.0 * exact) <= 0.5 + 1e-6,
+        s"bucket ${r.getAs[Long]("bucket")}: lrq off the quantization grid")
+    }
+  }
+
+  test("dsir score: weight is the exact integer sum of the doc's bucket lrq; featless and NULL docs keep the unigramScore contract") {
+    val b = 64
+    val model = Sampling.dsirLogRatios(dsirFixture, dsirTarget, b)
+    val lrq = model.collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("lrq")).toMap
+    // independent replay of the feature stream: tokenize + rolling hash in Scala
+    def bucketsOf(text: String): Seq[Long] = {
+      val t = text.trim.split("\\s+").toSeq
+      t.zip(t.tail).map { case (w1, w2) =>
+        graft.functions.RollingHash.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"$w1 $w2")) % b
+      }
+    }
+    val out = Sampling.dsirScore(dsirFixture, model, b).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    dsirFixture.collect().foreach { d =>
+      val id = d.getAs[Long]("doc_id")
+      val text = d.getAs[String]("text")
+      if (text == null || text.trim.split("\\s+").length < 2) {
+        assert(out(id).getAs[Long]("n_feats") == 0L)
+        assert(out(id).isNullAt(out(id).fieldIndex("weight_q")))
+        assert(out(id).isNullAt(out(id).fieldIndex("log_weight")))
+      } else {
+        val bs = bucketsOf(text)
+        assert(out(id).getAs[Long]("n_feats") == bs.length)
+        assert(out(id).getAs[Long]("weight_q") == bs.map(lrq).sum,
+          s"doc $id: weight_q must be the exact integer lrq sum")
+        assert(out(id).getAs[Double]("log_weight") ==
+          bs.map(lrq).sum.toDouble / 1048576.0)
+      }
+    }
+  }
+
+  test("dsir semantic: target-distribution docs outweigh off-distribution docs, wherever they came from") {
+    val model = Sampling.dsirLogRatios(dsirFixture, dsirTarget, 64)
+    val w = Sampling.dsirScore(dsirFixture, model, 64).collect()
+      .filter(!_.isNullAt(2)).map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("weight_q")).toMap
+    // doc5 shares the target's bigrams despite its raw source; docs 3/4 do not
+    assert(w(5L) > w(3L) && w(5L) > w(4L),
+      "target-LIKE content must outscore off-distribution content")
+    assert(Seq(1L, 2L).map(w).min > Seq(3L, 4L).map(w).max)
+  }
+
+  test("dsir select: threshold ties break toward lower doc_id; NULL weights never keep; short corpus keeps everything scored") {
+    val scored = Seq(
+      (1L, 3L, Option(100L), Option(100.0 / 1048576)),
+      (2L, 3L, Option(500L), Option(500.0 / 1048576)),
+      (3L, 3L, Option(100L), Option(100.0 / 1048576)),
+      (4L, 3L, Option(100L), Option(100.0 / 1048576)),
+      (5L, 0L, None: Option[Long], None: Option[Double]))
+      .toDF("doc_id", "n_feats", "weight_q", "log_weight")
+    val keep = Sampling.dsirSelect(scored, 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(keep == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false, 5L -> false),
+      "n=2: the 500 plus the LOWEST-id 100; the tied 3/4 stay out")
+    val all = Sampling.dsirSelect(scored, 10).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(all == Map(1L -> true, 2L -> true, 3L -> true, 4L -> true, 5L -> false),
+      "n beyond the scored count keeps every non-NULL row, never the NULL one")
+  }
+
+  test("dsir indexed: stored-model scoring equals from-scratch; params row pins the bucket width") {
+    val name = "graft_test_dsir_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    Sampling.writeDsirModel(spark, name, dsirFixture, dsirTarget, buckets = 32)
+    try {
+      assert(spark.table(s"${name}_params").head().getAs[Long]("buckets") == 32L)
+      val fresh = Sampling.dsirScore(dsirFixture,
+        Sampling.dsirLogRatios(dsirFixture, dsirTarget, 32), 32)
+        .orderBy("doc_id").collect().toSeq
+      val stored = Sampling.dsirScoreIndexed(spark, name, dsirFixture)
+        .orderBy("doc_id").collect().toSeq
+      assert(stored == fresh, "write -> read must not change a single cell")
+    } finally Sampling.dropDsirModel(spark, name)
+  }
+
+  test("dsir gumbel: deterministic across reruns, exact-n keep, and the draw actually perturbs the temperature-0 order") {
+    val scored = (1L to 30L).map(i =>
+      (i, 3L, Option(1000L - i), Option((1000.0 - i) / 1048576)))
+      .toDF("doc_id", "n_feats", "weight_q", "log_weight")
+    def kept(df: DataFrame): Set[Long] = df.collect()
+      .filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("doc_id")).toSet
+    val g1 = kept(Sampling.dsirSelectGumbel(scored, 10, temperature = 50.0))
+    val g2 = kept(Sampling.dsirSelectGumbel(scored, 10, temperature = 50.0))
+    assert(g1 == g2, "hash-derived Gumbel draws must replay bit-for-bit")
+    assert(g1.size == 10)
+    val t0 = kept(Sampling.dsirSelect(scored, 10))
+    assert(t0 == (1L to 10L).toSet)
+    assert(g1 != t0, "at high temperature the Gumbel draw must escape the argmax set")
+  }
 }

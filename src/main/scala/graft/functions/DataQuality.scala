@@ -243,6 +243,86 @@ object DataQuality {
       .withColumn("l_diverse", col("n_sensitive") >= l)
   }
 
+  /** t-CLOSENESS audit (Li, Li, Venkatasubramanian, ICDE 2007) — the
+    * third rung of the privacy ladder after [[kAnonymize]] and
+    * [[lDiversity]]: a class can be k-large AND l-diverse yet still leak
+    * when its sensitive-value DISTRIBUTION skews far from the table's
+    * (the skewness attack — "diverse but all-severe"). Reports each
+    * quasi-identifier class with the ordered-domain Earth Mover's
+    * Distance between its sensitive distribution and the global one,
+    * and the `t_close` verdict (EMD ≤ t). EMD over an ordered domain is
+    * the mean absolute cumulative-probability gap:
+    * Σ_i |Cc_i/n − Cg_i/N| / (m−1).
+    *
+    * Determinism (the [[Sampling.dsirLogRatios]] fixed-point rule): each
+    * domain row's |p−q| gap is two exact-integer IEEE divisions, one
+    * subtraction, then ONE quantization to the 2^-30 grid; the per-class
+    * sum is an exact BIGINT fold (no float fold-order), and the final
+    * emd is two IEEE divisions of that integer. Metric error vs exact
+    * EMD ≤ m·2^-31 — far below any policy threshold. A NULL sensitive
+    * value is its own domain category, ordered LAST on both engines
+    * (asc_nulls_last / ASC NULLS LAST); an m=1 domain is EMD 0 by
+    * definition.
+    *
+    * Scale shape: ONE corpus scan into the (quasi × value) count table,
+    * which localCheckpoints — it is combinatorics-bounded (classes ×
+    * domain values), and everything downstream (global domain windows,
+    * the classes × m spine, per-class cum sums) runs on that bounded
+    * frame; a lazy subtree would re-scan the corpus three times.
+    * Overflow bound: counts are exact BIGINTs; the quantized terms are
+    * ≤ 2^30 each, so a class sum stays < 2^63 up to 2^33 domain values —
+    * bucket a continuous sensitive attribute (as the gate query does)
+    * long before that.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String], sensitive: Column,
+      t: Double): DataFrame = {
+    require(quasiCols.nonEmpty && t >= 0, "need quasi columns and t >= 0")
+    val w = org.apache.spark.sql.expressions.Window
+    val qs = quasiCols.map(col)
+    val cv = df.select(qs :+ sensitive.as("__v"): _*)
+      .groupBy(qs :+ col("__v"): _*).agg(count(lit(1)).as("__cc"))
+      .localCheckpoint(true) // bounded: classes × domain values
+    val wDomCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v").asc_nulls_last)
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
+    val dom = cv.groupBy(col("__v")).agg(sum(col("__cc")).cast("long").as("__gc"))
+      .select(col("__v"),
+        sum(col("__gc")).over(wDomCum).cast("long").as("__cg"),
+        sum(col("__gc")).over(wAll).cast("long").as("__nn"),
+        count(lit(1)).over(wAll).as("__m"))
+    val classes = cv.groupBy(qs: _*)
+      .agg(sum(col("__cc")).cast("long").as("class_size"))
+    // classes × domain spine with a null-safe probe back into cv: both the
+    // quasi keys and the domain value can be NULL, so equi-join keys would
+    // silently drop those rows.
+    val cvR = quasiCols.foldLeft(cv.withColumnRenamed("__v", "__pv"))(
+      (d, c) => d.withColumnRenamed(c, s"__p_$c"))
+    val probe = quasiCols.map(c => col(c) <=> col(s"__p_$c"))
+      .reduce(_ && _) && (col("__v") <=> col("__pv"))
+    val wClsCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(qs: _*).orderBy(col("__v").asc_nulls_last)
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    classes.crossJoin(broadcast(dom))
+      .join(cvR, probe, "left")
+      .select(qs :+ col("class_size") :+ col("__v") :+ col("__cg") :+
+        col("__nn") :+ col("__m") :+ coalesce(col("__cc"), lit(0L)).as("__c"): _*)
+      .withColumn("__ccum", sum(col("__c")).over(wClsCum).cast("long"))
+      .withColumn("__tq",
+        round(abs(col("__ccum").cast("double") / col("class_size").cast("double") -
+          col("__cg").cast("double") / col("__nn").cast("double")) *
+          lit(1073741824.0)).cast("long"))
+      .groupBy(qs :+ col("class_size") :+ col("__m"): _*)
+      .agg(sum(col("__tq")).as("__sum"))
+      .select(qs :+ col("class_size") :+
+        when(col("__m") > 1L,
+          col("__sum").cast("double") / lit(1073741824.0) /
+            (col("__m") - lit(1L)).cast("double"))
+          .otherwise(lit(0.0)).as("emd"): _*)
+      .withColumn("t_close", col("emd") <= t)
+  }
+
   /** SCHEMA-WIDE PII COLUMN PROFILE — the table-level complement of
     * [[TextAnalysis.piiScan]]'s per-document scrub: for every requested
     * string column, how many values CONTAIN an email / phone / IPv4

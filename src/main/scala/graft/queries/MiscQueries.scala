@@ -589,6 +589,53 @@ private[graft] object MiscQueries {
         "ORDER BY c_nationkey NULLS LAST, c_mktsegment NULLS LAST")),
 
 
+    // t-CLOSENESS (Li et al., ICDE 2007): the skewness-attack audit the
+    // first two privacy gates can't see — ordered-domain EMD between each
+    // class's sensitive distribution and the table's, same fixture as
+    // l-diversity (customer, quasi = nation × segment, sensitive =
+    // 2000-wide acctbal buckets). Per-domain-row gaps quantize ONCE to
+    // the 2^-30 grid (the DSIR fixed-point rule) so the per-class sum is
+    // an exact BIGINT and the oracle replay is bit-stable; the oracle
+    // rebuilds the count table, the ordered global cumulative, the
+    // classes × domain spine (null-safe probe), and the quantized fold.
+    Q("q_privacy_tcloseness",
+      (s, d) => graft.functions.DataQuality.tCloseness(
+          Tables.customer(s, d), Seq("c_nationkey", "c_mktsegment"),
+          floor(col("c_acctbal") / 2000.0), t = 0.2)
+        .orderBy(asc_nulls_last("c_nationkey"),
+          asc_nulls_last("c_mktsegment")),
+      Some("WITH cv AS (SELECT c_nationkey, c_mktsegment, " +
+        "floor(c_acctbal / 2000.0) AS v, count(*) AS cc " +
+        "FROM customer GROUP BY 1, 2, 3), " +
+        "dom AS (SELECT v, CAST(sum(cc) AS BIGINT) AS gc FROM cv GROUP BY 1), " +
+        "domc AS (SELECT v, CAST(sum(gc) OVER (ORDER BY v ASC NULLS LAST " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cg, " +
+        "CAST(sum(gc) OVER () AS BIGINT) AS nn, " +
+        "CAST(count(*) OVER () AS BIGINT) AS m FROM dom), " +
+        "cls AS (SELECT c_nationkey, c_mktsegment, " +
+        "CAST(sum(cc) AS BIGINT) AS class_size FROM cv GROUP BY 1, 2), " +
+        "sp AS (SELECT cls.c_nationkey, cls.c_mktsegment, cls.class_size, " +
+        "domc.v, domc.cg, domc.nn, domc.m FROM cls CROSS JOIN domc), " +
+        "j AS (SELECT sp.*, COALESCE(cv.cc, 0) AS c FROM sp LEFT JOIN cv " +
+        "ON sp.c_nationkey IS NOT DISTINCT FROM cv.c_nationkey " +
+        "AND sp.c_mktsegment IS NOT DISTINCT FROM cv.c_mktsegment " +
+        "AND sp.v IS NOT DISTINCT FROM cv.v), " +
+        "cum AS (SELECT *, CAST(sum(c) OVER (PARTITION BY c_nationkey, " +
+        "c_mktsegment ORDER BY v ASC NULLS LAST ROWS UNBOUNDED PRECEDING) " +
+        "AS BIGINT) AS ccum FROM j), " +
+        "terms AS (SELECT c_nationkey, c_mktsegment, class_size, m, " +
+        "CAST(round(abs(CAST(ccum AS DOUBLE) / CAST(class_size AS DOUBLE) - " +
+        "CAST(cg AS DOUBLE) / CAST(nn AS DOUBLE)) * 1073741824.0) AS BIGINT) " +
+        "AS tq FROM cum), " +
+        "cl AS (SELECT c_nationkey, c_mktsegment, class_size, " +
+        "CASE WHEN m > 1 THEN CAST(CAST(sum(tq) AS BIGINT) AS DOUBLE) " +
+        "/ 1073741824.0 / CAST(m - 1 AS DOUBLE) ELSE 0.0 END AS emd " +
+        "FROM terms GROUP BY 1, 2, 3, m) " +
+        "SELECT c_nationkey, c_mktsegment, class_size, emd, " +
+        "emd <= 0.2 AS t_close FROM cl " +
+        "ORDER BY c_nationkey NULLS LAST, c_mktsegment NULLS LAST")),
+
+
     // SOFT quality sampling: keep-probability ∝ the classifier score
     // (clamped to [0,1]) keyed on the content hash — the FineWeb-style
     // soft cut that keeps mid-quality documents in proportion instead of

@@ -187,6 +187,41 @@ object DocsStream {
         } finally { b.unpersist(); () }
     }
 
+  /** Streaming DSIR gate against a persisted importance model
+    * ([[graft.functions.Sampling.writeDsirModel]]): each arriving
+    * document is scored by the stored hashed-bigram log-ratio table
+    * (bucket width from the model's params row) and kept iff its exact
+    * BIGINT weight reaches `minWeightQ` — the streaming deployment of
+    * DSIR: the model fits ONCE on the reference corpora at ingest and a
+    * weight threshold (e.g. [[graft.functions.Sampling.dsirSelect]]'s
+    * n-th-best weight on the fit corpus) replaces batch top-n, which an
+    * unbounded stream cannot rank. Unscorable docs (< 2 tokens, NULL
+    * text → NULL weight) drop, the [[lmGateSink]] contract. Stream ≡
+    * batch per trigger (StreamingSpec asserts against
+    * `dsirScoreIndexed.filter(weight_q >= minWeightQ)` on the
+    * concatenated corpus — scoring is per-document, so trigger
+    * boundaries cannot change a verdict); output re-writes its own
+    * `batch=N` partition, so a retried trigger is idempotent.
+    */
+  def dsirGateSink(docs: DataFrame, modelName: String, outDir: String,
+      minWeightQ: Long)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = batch.toDF().persist()
+        try {
+          val keep = graft.functions.Sampling
+            .dsirScoreIndexed(b.sparkSession, modelName, b)
+            .filter(col("weight_q") >= minWeightQ)
+            .select("doc_id", "n_feats", "weight_q", "log_weight")
+          val out = b.join(keep, Seq("doc_id")).persist()
+          try {
+            (if (out.isEmpty) out.repartition(1) else out)
+              .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          } finally { out.unpersist(); () }
+        } finally { b.unpersist(); () }
+    }
+
   /** Streaming NEAR-dup gate against a persisted MinHash index
     * ([[graft.functions.MinhashIndex]]) — the lexical analog of what
     * [[incrementalDedupStream]] does for exact duplicates, closing the

@@ -2011,6 +2011,44 @@ class PipelineSpec extends SparkSpec {
       ("d", 2L, 2L, true)))  // NULL adds one value next to 'flu'
   }
 
+  test("t-closeness: EMD matches the hand-computed ordered-domain value; skewed class flagged; NULL is a domain category") {
+    // domain (ordered): 1, 2, 3 — global counts 4, 2, 2 (N=8, m=3)
+    val rows = Seq(
+      (1L, "a", 1), (2L, "a", 1), (3L, "a", 1), (4L, "a", 1), // all-low skew
+      (5L, "b", 2), (6L, "b", 3), (7L, "b", 1), (8L, "b", 3))
+      .toDF("id", "region", "severity")
+    val out = DataQuality.tCloseness(rows, Seq("region"), col("severity"), t = 0.2)
+      .orderBy("region").collect()
+      .map(r => (r.getAs[String]("region"), r.getAs[Long]("class_size"),
+        r.getAs[Double]("emd"), r.getAs[Boolean]("t_close")))
+    // global counts: 1→5 (four from a, one from b), 2→1, 3→2; N=8, m=3;
+    // global cum q = (5/8, 6/8, 1).
+    // class a: cum p = (1, 1, 1)      → EMD = (3/8 + 2/8 + 0)/2 = 0.3125
+    // class b: cum p = (1/4, 2/4, 1)  → EMD = (3/8 + 2/8 + 0)/2 = 0.3125
+    // (all gaps are exact binary fractions, so the 2^-30 grid is exact)
+    assert(out.length == 2)
+    assert(out(0)._1 == "a" && out(0)._2 == 4L && out(0)._3 == 0.3125 && !out(0)._4)
+    assert(out(1)._1 == "b" && out(1)._2 == 4L && out(1)._3 == 0.3125 && !out(1)._4)
+
+    // identical-to-global class → EMD 0; NULL category participates
+    val rows2 = Seq(
+      (1L, "x", Option(1)), (2L, "x", None: Option[Int]),
+      (3L, "y", Option(1)), (4L, "y", None: Option[Int]))
+      .toDF("id", "region", "severity")
+    val out2 = DataQuality.tCloseness(rows2, Seq("region"), col("severity"), t = 0.0)
+      .orderBy("region").collect()
+    out2.foreach { r =>
+      assert(r.getAs[Double]("emd") == 0.0 && r.getAs[Boolean]("t_close"))
+    }
+
+    // single-value domain: EMD 0 by definition (m = 1 guard)
+    val rows3 = Seq((1L, "x", 7), (2L, "y", 7)).toDF("id", "region", "severity")
+    DataQuality.tCloseness(rows3, Seq("region"), col("severity"), t = 0.0)
+      .collect().foreach { r =>
+        assert(r.getAs[Double]("emd") == 0.0 && r.getAs[Boolean]("t_close"))
+      }
+  }
+
   test("chunk windows: overlapping stride slices, ragged tail, null docs emit nothing") {
     val fixture = Seq(
       (1L, "a b c d e"),                 // n=5, w=3, s=2 → starts 0,2

@@ -349,6 +349,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DSIR gate: stored-model weights gate the stream exactly like batch; unscorable docs drop") {
+    import graft.streaming.DocsStream
+    import graft.functions.Sampling
+    implicit val sqlCtx = spark.sqlContext
+    // fit: target = alpha/beta bigrams, raw adds zeta/eta off-distribution
+    val raw = Seq((100L, "alpha beta alpha beta"), (101L, "alpha beta gamma"),
+      (102L, "zeta eta theta zeta"), (103L, "theta zeta eta"))
+      .toDF("doc_id", "text")
+    val target = raw.filter($"doc_id" <= 101L)
+    val name = "graft_dsir_gate_idx"
+    Sampling.writeDsirModel(spark, name, raw, target, buckets = 64)
+    val out = java.nio.file.Files.createTempDirectory("graft_dsir_gate")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dsir_gate_ckpt")
+    // stream: target-like (keep), off-distribution (drop), unscorable (drop)
+    val b1 = Seq((1L, "alpha beta alpha"), (2L, "zeta eta theta"))
+    val b2 = Seq((3L, "alpha beta gamma alpha beta"), (4L, "solo"))
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = DocsStream.dsirGateSink(in.toDF().toDF("doc_id", "text"),
+          name, out.toString, minWeightQ = 0L)
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+        val gated = spark.read.parquet(out.toString)
+        val kept = gated.select("doc_id").as[Long].collect().sorted.toSeq
+        // stream ≡ batch: same docs pass the same stored-model threshold
+        val scored = Sampling.dsirScoreIndexed(spark, name,
+          (b1 ++ b2).toDF("doc_id", "text"))
+        val batchKept = scored.filter($"weight_q" >= 0L)
+          .select("doc_id").as[Long].collect().sorted.toSeq
+        assert(kept == batchKept && kept == Seq(1L, 3L))
+        // the off-distribution doc really scored NEGATIVE, not unscorable
+        assert(scored.filter($"doc_id" === 2L)
+          .select("weight_q").as[Long].head() < 0L)
+        // survivors carry exact weights and land in their trigger's partition
+        assert(gated.filter($"doc_id" === 1L).select("batch").as[Int].head() == 0)
+        assert(gated.filter($"doc_id" === 3L).select("batch").as[Int].head() == 1)
+        val w1stream = gated.filter($"doc_id" === 1L)
+          .select("weight_q").as[Long].head()
+        val w1batch = scored.filter($"doc_id" === 1L)
+          .select("weight_q").as[Long].head()
+        assert(w1stream == w1batch)
+      } finally q.stop()
+    } finally Sampling.dropDsirModel(spark, name)
+  }
+
   test("streaming LM gate: stored-model scoring gates the stream exactly like batch; unscorable docs drop") {
     import graft.streaming.DocsStream
     import graft.functions.TextAnalysis

@@ -174,6 +174,22 @@ object SparkEntry {
       Some("SELECT doc_id, text, lang, source, n_chars FROM documents " +
         "ORDER BY doc_id")),
 
+    // ORC round-trip: write the corpus out as ORC, read it back, answer
+    // from the ORC copy; the oracle answers from the parquet table
+    // directly, so hash equality certifies the columnar write→read
+    // cycle (types, NULLs, full text) loses nothing. Unlike the CSV arm
+    // there is no sentinel caveat: ORC nulls are typed.
+    Q("q_source_orc_roundtrip",
+      (s, d) => withScratchDir("graft_orc") { dir =>
+        val docs = Tables.documents(s, d)
+        val path = dir.resolve("docs").toString
+        graft.sources.TextFormats.writeOrc(docs, path)
+        graft.sources.TextFormats.readOrc(s, path, docs.schema)
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text, lang, source, n_chars FROM documents " +
+        "ORDER BY doc_id")),
+
     // Segment GROWTH over runs: the run-history table (beyond-parity
     // observability — the reference catalog keeps only the latest
     // row_count, so size-over-time is unqueryable there). One rule runs at

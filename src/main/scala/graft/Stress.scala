@@ -1029,6 +1029,29 @@ object Stress {
               ds.filter(col("doc_id") % 97 === 0).select("doc_id", "text"))
             .filter(col("pack_id") >= 0)
         })
+      else if (kind == "dsir")
+        // DSIR fit + score + select end to end: the claim to certify is
+        // ~1.0 — the fit is two map-side-combinable aggregates to a
+        // B-row frame, scoring is a broadcast model join + one doc_id
+        // aggregate, and selection is a TakeOrdered threshold (never a
+        // global sort), so every stage tracks corpus bigram volume.
+        // Replicas mutate long tokens, so the bucket distributions keep
+        // shifting with the corpus — the model refits at every rung (the
+        // fit-per-rung regime; production fits once). The filter
+        // consumes BOTH keep (forces the threshold branch) and n_feats
+        // (forces the score aggregate) so count() cannot prune either.
+        Seq[(String, String => DataFrame)]("dsir_select" -> { d =>
+          val ds = docs(d)
+          val model = functions.Sampling.dsirLogRatios(ds,
+              ds.filter(col("source").isin(
+                oracles.PipelineOracles.dsirTargetSources: _*)),
+              oracles.PipelineOracles.dsirBucketCount)
+            .localCheckpoint(true)
+          functions.Sampling.dsirSelect(
+              functions.Sampling.dsirScore(ds, model,
+                oracles.PipelineOracles.dsirBucketCount), 200)
+            .filter(col("keep") || col("n_feats") >= 0L)
+        })
       else if (kind == "substr")
         // substring-level exact dedup — one O(corpus code points)
         // window-HASH shuffle (8-byte keys) + exact verify on the

@@ -86,4 +86,24 @@ object TextFormats {
       .option("nullValue", "\\N")
       .option("emptyValue", "")
       .csv(path)
+
+  /** Write as ORC (zlib default) — the second COLUMNAR interchange
+    * format beside parquet: unlike the line formats above it keeps
+    * types, NULLs, and nested values natively (no sentinel caveats) and
+    * Spark's reader retains column pruning and predicate pushdown, so
+    * ORC-landed data can be queried in place before conversion. Still
+    * the ingest edge — the engine's working format stays parquet.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** Read ORC. The schema is self-describing (footer-typed like
+    * parquet); pass one only to assert a contract — mismatches surface
+    * as analysis errors, not permissive NULLs.
+    */
+  def readOrc(spark: SparkSession, path: String,
+      schema: StructType = null): DataFrame = {
+    val r = spark.read
+    (if (schema != null) r.schema(schema) else r).orc(path)
+  }
 }

@@ -184,6 +184,9 @@ class TablesSpec extends SparkSpec {
       }
     }
     roundtrip(TextFormats.writeJsonl, TextFormats.readJsonl, "jsonl")
+    // ORC: columnar and typed — embedded newlines, the CSV sentinel
+    // string, empty-vs-NULL all round-trip with no caveat at all
+    roundtrip(TextFormats.writeOrc, TextFormats.readOrc(_, _, _), "orc")
     // CSV: multiLine needed for embedded newlines on read — pinned here
     // so the limitation is DOCUMENTED by a test rather than discovered:
     // the default line-split reader cannot carry row 4, so assert the

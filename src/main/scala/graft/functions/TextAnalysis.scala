@@ -1117,6 +1117,59 @@ object TextAnalysis {
     * awareness; that nuance is documented, not hidden). Pure per-row
     * projection: scan speed, zero exchanges.
     */
+  /** C4-style page cleaning (Raffel et al., JMLR 2020 §2.2 — the
+    * published rule set behind the C4 corpus), line level + page level:
+    *
+    *  - a LINE survives iff it ends in terminal punctuation (period,
+    *    exclamation, question mark, or closing quote — the paper's set),
+    *    has at least `minWords` whitespace words, and does not mention
+    *    "javascript" (case-insensitive);
+    *  - a PAGE survives iff its CLEANED text still has at least
+    *    `minSentences` sentences (terminal-punctuation count), and the
+    *    original page contains neither "lorem ipsum" (case-insensitive)
+    *    nor a curly brace (the paper's code-page heuristic).
+    *
+    * The paper's remaining rules are separate engine families: its
+    * bad-words page filter is [[blocklist]] composition, and its
+    * three-sentence-span dedup is the chunk-dedup family. Output keeps
+    * EVERY document with flags and counts — (doc_id, n_lines, n_kept,
+    * n_sentences, page_keep, text = cleaned) — the filter-verdict
+    * discipline: callers filter on `page_keep`, audits read the counts.
+    * NULL text reads as empty (one empty line, nothing kept).
+    *
+    * Scale shape: pure scan-side string work (split / filter lambda /
+    * array_join / regexp_count) inside whole-stage codegen — no
+    * shuffle, no model, no driver state. Determinism: counting and
+    * string ops only, no floats.
+    */
+  def c4Clean(docs: DataFrame, minWords: Int = 3, minSentences: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    require(minWords >= 1 && minSentences >= 0, "bad C4 thresholds")
+    val t = coalesce(col(textCol), lit(""))
+    docs
+      .select(col("doc_id"), t.as("__t"), split(t, "\n").as("__ls"))
+      .select(col("doc_id"), col("__t"), col("__ls"),
+        filter(col("__ls"), l =>
+          rtrim(l).rlike("[.!?\"]$") &&
+            size(split(trim(l), "\\s+")) >= minWords &&
+            !lower(l).contains("javascript")).as("__kl"))
+      .select(col("doc_id"),
+        size(col("__ls")).cast("long").as("n_lines"),
+        size(col("__kl")).cast("long").as("n_kept"),
+        col("__t"),
+        array_join(col("__kl"), "\n").as("text"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        regexp_count(col("text"), lit("[.!?]")).cast("long")
+          .as("n_sentences"),
+        col("__t"), col("text"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        col("n_sentences"),
+        (col("n_sentences") >= minSentences &&
+          !lower(col("__t")).contains("lorem ipsum") &&
+          !col("__t").contains("{")).as("page_keep"),
+        col("text"))
+  }
+
   def stripMarkup(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(

@@ -746,6 +746,70 @@ private[graft] object TextQueries {
     // document into 12-token lines first (deterministic, replayed
     // verbatim) — the duplicate-span families then collide as exact
     // repeated lines (96 at sf0.01, measured).
+    // C4 PAGE CLEANING (Raffel et al. 2020 §2.2): the published line
+    // rules (terminal punctuation, ≥3 words, no "javascript") and page
+    // rules (≥5 sentences after cleaning, no "lorem ipsum", no curly
+    // brace). Same 12-token relining as q_text_line_dedup, except each
+    // line takes a deterministic terminal-punctuation cycle (i%3 →
+    // '.', '?', none — the raw corpus has NO punctuation, so without it
+    // the terminal rule would drop every line and gate nothing); the
+    // trigger strings are likewise absent, so the fixture injects them
+    // (every 5th doc a javascript line, every 11th a lorem-ipsum tail
+    // line, every 7th a braced code line) — each rule fires AND each
+    // rule's survivors exist. The oracle replays the relining, the
+    // punctuation cycle, the injections, the line filter, and the
+    // sentence count verbatim.
+    Q("q_text_c4_clean",
+      (s, d) => {
+        val relined = Tables.documents(s, d).select(col("doc_id"), expr(
+          "concat_ws('\n', transform(" +
+            "sequence(0, (size(split(text, ' ')) + 11) div 12 - 1), " +
+            "i -> concat(concat_ws(' ', slice(split(text, ' '), " +
+            "i * 12 + 1, 12)), CASE WHEN i % 3 = 0 THEN '.' " +
+            "WHEN i % 3 = 1 THEN '?' ELSE '' END)))")
+          .as("text"))
+        val wrapped = relined.select(col("doc_id"), concat(
+          when(col("doc_id") % 5 === 0,
+            lit("powered by JavaScript analytics here.\n")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 11 === 0,
+            lit("\nLorem Ipsum dolor sit amet placeholder.")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nfunction f() { return 1; }")).otherwise(lit("")))
+          .as("text"))
+        TextAnalysis.c4Clean(wrapped).orderBy("doc_id")
+      },
+      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp " +
+        "FROM documents), " +
+        "d2 AS (SELECT doc_id, array_to_string(" +
+        "[array_to_string(sp[i*12+1 : least((i+1)*12, len(sp))], ' ') || " +
+        "(CASE WHEN i % 3 = 0 THEN '.' WHEN i % 3 = 1 THEN '?' " +
+        "ELSE '' END) " +
+        "FOR i IN range(0, (len(sp) + 11) // 12)], chr(10)) AS text FROM t), " +
+        "w AS (SELECT doc_id, " +
+        "(CASE WHEN doc_id % 5 = 0 THEN 'powered by JavaScript analytics " +
+        "here.' || chr(10) ELSE '' END) || text || " +
+        "(CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'Lorem Ipsum dolor sit " +
+        "amet placeholder.' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'function f() { return " +
+        "1; }' ELSE '' END) AS text FROM d2), " +
+        "c AS (SELECT doc_id, text, [l FOR l IN string_split(text, chr(10)) " +
+        "IF regexp_matches(rtrim(l), '[.!?\"]$') " +
+        "AND len(string_split_regex(trim(l), '\\s+')) >= 3 " +
+        "AND NOT contains(lower(l), 'javascript')] AS kl FROM w), " +
+        "k AS (SELECT doc_id, " +
+        "CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines, " +
+        "CAST(len(kl) AS BIGINT) AS n_kept, " +
+        "COALESCE(array_to_string(kl, chr(10)), '') AS ctext, " +
+        "text AS orig FROM c) " +
+        "SELECT doc_id, n_lines, n_kept, " +
+        "CAST(len(regexp_extract_all(ctext, '[.!?]')) AS BIGINT) " +
+        "AS n_sentences, " +
+        "(len(regexp_extract_all(ctext, '[.!?]')) >= 5 " +
+        "AND NOT contains(lower(orig), 'lorem ipsum') " +
+        "AND NOT contains(orig, '{')) AS page_keep, " +
+        "ctext AS text FROM k ORDER BY doc_id")),
+
     Q("q_text_line_dedup",
       (s, d) => {
         val relined = Tables.documents(s, d).select(col("doc_id"), expr(

@@ -2049,6 +2049,37 @@ class PipelineSpec extends SparkSpec {
       }
   }
 
+  test("c4 clean: every published rule fires independently; NULL text reads empty") {
+    val keptLine = "this line ends with a period."
+    val rows = Seq(
+      // every line-rule arm on one page (plus enough sentences to keep it)
+      (1L, Seq(keptLine, "does it end in a question?", "a quoted line ends\"",
+        "no terminal punctuation here", "two words.",
+        "a javascript tracker line.", keptLine, keptLine,
+        keptLine).mkString("\n")),
+      (2L, (keptLine + "\n") * 4 + keptLine),      // exactly 5 sentences
+      (3L, (keptLine + "\n") * 3 + keptLine),      // only 4 → page drops
+      (4L, (keptLine + "\n") * 5 + "Lorem ipsum dolor."), // page poison (ci)
+      (5L, (keptLine + "\n") * 5 + "code { brace }."),    // brace poison
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.c4Clean(rows).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_lines"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_sentences"),
+        r.getAs[Boolean]("page_keep"), r.getAs[String]("text"))).toSeq
+    // doc 1: period, question, close-quote survive; bare line (no
+    // terminal), "two words." (<3 words), javascript line all drop
+    assert(out(0)._2 == 9L && out(0)._3 == 6L && out(0)._5,
+      s"line rules: ${out(0)}")
+    assert(!out(0)._6.contains("javascript") &&
+      !out(0)._6.contains("no terminal") && !out(0)._6.contains("two words"))
+    assert(out(1)._4 == 5L && out(1)._5, "5 sentences is enough")
+    assert(out(2)._4 == 4L && !out(2)._5, "4 sentences is not")
+    assert(out(3)._3 == 6L && !out(3)._5, "lorem ipsum poisons the page")
+    assert(!out(4)._5, "a curly brace poisons the page")
+    assert(out(5) == (6L, 1L, 0L, 0L, false, ""), "NULL text reads empty")
+  }
+
   test("chunk windows: overlapping stride slices, ragged tail, null docs emit nothing") {
     val fixture = Seq(
       (1L, "a b c d e"),                 // n=5, w=3, s=2 → starts 0,2

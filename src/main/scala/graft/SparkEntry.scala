@@ -174,6 +174,27 @@ object SparkEntry {
       Some("SELECT doc_id, text, lang, source, n_chars FROM documents " +
         "ORDER BY doc_id")),
 
+    // Compressed-JSONL round-trip (the crawl-dump wire format:
+    // .jsonl.gz): write gzip-compressed line files, read them back by
+    // extension, answer from the compressed copy against the
+    // parquet-answering oracle — certifies the codec cycle AND that the
+    // reader's extension-based decompression engages (a broken codec
+    // read would surface as permissive-mode NULL rows and hash-fail).
+    // gzip, not zstd: Hadoop's TEXT-output zstd codec needs the native
+    // hadoop lib this container lacks (parquet/orc zstd ride zstd-jni
+    // and are unaffected); gzip is the JVM-built-in and the decades-long
+    // crawl default.
+    Q("q_source_jsonl_gz_roundtrip",
+      (s, d) => withScratchDir("graft_jsonl_gz") { dir =>
+        val docs = Tables.documents(s, d)
+        val path = dir.resolve("docs").toString
+        graft.sources.TextFormats.writeJsonl(docs, path, codec = "gzip")
+        graft.sources.TextFormats.readJsonl(s, path, docs.schema)
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text, lang, source, n_chars FROM documents " +
+        "ORDER BY doc_id")),
+
     // ORC round-trip: write the corpus out as ORC, read it back, answer
     // from the ORC copy; the oracle answers from the parquet table
     // directly, so hash equality certifies the columnar write→read

@@ -29,9 +29,18 @@ import org.apache.spark.sql.types.StructType
   */
 object TextFormats {
 
-  /** Write as JSON Lines (one object per row, newline-delimited). */
-  def writeJsonl(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").json(path)
+  /** Write as JSON Lines (one object per row, newline-delimited).
+    * `codec` compresses each part file ("gzip", "none"; zstd text
+    * output needs the native-hadoop lib — parquet/orc zstd ride
+    * zstd-jni and are unaffected); Spark's reader decompresses by
+    * file EXTENSION transparently, so [[readJsonl]] needs no flag. The
+    * scale caveat to know: gzip/zstd part files are NOT splittable — one
+    * task per file on read — so the writer's parallelism (one part per
+    * partition) decides read parallelism; repartition before writing
+    * compressed landings.
+    */
+  def writeJsonl(df: DataFrame, path: String, codec: String = "none"): Unit =
+    df.write.mode("overwrite").option("compression", codec).json(path)
 
   /** Read JSON Lines under an EXPLICIT schema. Fields absent from a row
     * read as NULL; malformed lines null out every field (PERMISSIVE) —

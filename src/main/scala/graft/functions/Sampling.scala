@@ -899,4 +899,97 @@ object Sampling {
     graft.sources.Tables.dropManagedTables(
       spark, Seq(s"${name}_params", s"${name}_ratios"))
   }
+
+  // ---------------------------------------------------------------------
+  // Moore–Lewis cross-entropy difference selection (ACL 2010,
+  // "Intelligent Selection of Language Model Training Data") — the
+  // classic ancestor of [[dsirLogRatios]]: score each document by
+  // H_raw(doc) − H_target(doc), i.e. the mean log-probability GAP
+  // between an in-domain LM and a general LM, and keep the top-n.
+  // Where DSIR hashes features into B buckets, Moore–Lewis keeps the
+  // full (Zipf-bounded) bigram vocabulary — sharper, costlier models.
+  // Same fixed-point discipline: each occurrence's two log-probs
+  // quantize ONCE to the 2^20 grid, their difference is an exact
+  // integer, and the per-doc sum is an exact BIGINT (|Δlq| ≤ ~2·36·2^20
+  // per occurrence — the sum stays in BIGINT past 10^11 bigrams/doc).
+  // ---------------------------------------------------------------------
+
+  /** Score every document by the quantized cross-entropy difference
+    * between an add-k bigram LM fit on `target` (in-domain) and one fit
+    * on `docs` (the general corpus): (doc_id, n_bigrams, diff_q,
+    * ce_diff) where diff_q = Σ_occ (lq_target − lq_raw) is an exact
+    * BIGINT and ce_diff = diff_q / n / 2^20 — higher = more
+    * target-like. Unseen bigrams/contexts take the add-k smoothing mass
+    * (the [[TextAnalysis.bigramScore]] contract); documents with < 2
+    * tokens score NULL. V is each model's OWN training vocabulary.
+    *
+    * Scale shape: two Zipf-bounded model fits (hash aggregates), then
+    * the scoring pass joins the occurrence stream to the four model
+    * tables on term keys — postings-style equi-joins, one doc_id
+    * aggregate. The per-occurrence `ln` is protected by the 2^-20
+    * rounding grid (the [[dsirLogRatios]] cross-engine argument).
+    */
+  def crossEntropyScore(docs: DataFrame, target: DataFrame,
+      addK: Double = 1.0, textCol: String = "text"): DataFrame = {
+    require(addK > 0, "addK must be positive (unseen mass)")
+    def fit(corpus: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      val m = TextAnalysis.bigramOccurrences(corpus, textCol)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      val ctx = m.groupBy(col("w1")).agg(sum(col("c")).cast("long").as("cw"))
+      val v = corpus
+        .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+        .agg(countDistinct(col("term")).as("v"))
+      (m, ctx, v)
+    }
+    val (mt, ct, vt) = fit(target)
+    val (mr, cr, vr) = fit(docs)
+    def lq(c: Column, cw: Column, v: Column): Column =
+      round(log((coalesce(c, lit(0L)).cast("double") + lit(addK)) /
+        (coalesce(cw, lit(0L)).cast("double") +
+          lit(addK) * v.cast("double"))) * lit(DsirScale)).cast("long")
+    val perDoc = TextAnalysis.bigramOccurrences(docs, textCol)
+      .join(mt.select(col("w1"), col("w2"), col("c").as("__ct")),
+        Seq("w1", "w2"), "left")
+      .join(ct.select(col("w1"), col("cw").as("__cwt")), Seq("w1"), "left")
+      .join(mr.select(col("w1"), col("w2"), col("c").as("__cr")),
+        Seq("w1", "w2"), "left")
+      .join(cr.select(col("w1"), col("cw").as("__cwr")), Seq("w1"), "left")
+      .crossJoin(broadcast(vt.select(col("v").as("__vt"))))
+      .crossJoin(broadcast(vr.select(col("v").as("__vr"))))
+      .select(col("doc_id"),
+        (lq(col("__ct"), col("__cwt"), col("__vt")) -
+          lq(col("__cr"), col("__cwr"), col("__vr"))).as("__d"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__d")).as("diff_q"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("diff_q"),
+        (col("diff_q").cast("double") / col("n_bigrams").cast("double") /
+          lit(DsirScale)).as("ce_diff"))
+  }
+
+  /** Keep the `n` most target-like documents by [[crossEntropyScore]]'s
+    * ce_diff (ties by doc_id asc) — the [[dsirSelect]] TakeOrdered-
+    * threshold shape keyed on the mean (length-normalized, per the
+    * paper) instead of the integer sum: the mean is two IEEE divisions
+    * of exact integers, so it is bit-identical cross-engine and safe to
+    * threshold on. NULL scores (featless docs) never keep; the corpus
+    * is never globally sorted.
+    */
+  def crossEntropySelect(scored: DataFrame, n: Int): DataFrame = {
+    require(n > 0, s"selection size must be positive, got $n")
+    val th = scored.filter(col("ce_diff").isNotNull)
+      .orderBy(col("ce_diff").desc, col("doc_id").asc)
+      .limit(n)
+      .agg(min(struct(col("ce_diff").as("s"), (-col("doc_id")).as("nd")))
+        .as("__th"))
+    scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("n_bigrams"), col("diff_q"), col("ce_diff"),
+        (col("ce_diff").isNotNull && col("__th").isNotNull &&
+          (col("ce_diff") > col("__th.s") ||
+            (col("ce_diff") === col("__th.s") &&
+              -col("doc_id") >= col("__th.nd")))).as("keep"))
+  }
 }

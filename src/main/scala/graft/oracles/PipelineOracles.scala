@@ -366,6 +366,53 @@ private[graft] object PipelineOracles {
       "FROM rk ORDER BY doc_id"
   }
 
+  /** From-scratch DuckDB replay of Moore–Lewis cross-entropy difference
+    * selection (Sampling.crossEntropyScore → crossEntropySelect): fit
+    * BOTH add-1 bigram LMs (target = the [[dsirTargetSources]] slice,
+    * raw = the whole corpus, each with its own vocabulary), quantize
+    * each occurrence's two log-probs to the 2^20 grid, sum the exact
+    * integer differences per doc, length-normalize (two exact-int IEEE
+    * divisions), and keep the top-[[dsirKeepN]] by (ce_diff desc,
+    * doc_id). The oracle may rank globally; the engine thresholds.
+    */
+  private[graft] lazy val crossEntropyOracle: String = {
+    val targets = inListSql(dsirTargetSources)
+    s"WITH tk AS (SELECT doc_id, source, $toksSql AS t FROM documents " +
+      "WHERE text IS NOT NULL), " +
+      "x AS (SELECT doc_id, source, t, unnest(range(1, len(t))) AS i " +
+      "FROM tk WHERE len(t) >= 2), " +
+      "bg AS (SELECT doc_id, source, t[i] AS w1, t[i+1] AS w2 FROM x), " +
+      "c12r AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2), " +
+      "c1r AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw FROM c12r " +
+      "GROUP BY 1), " +
+      "vr AS (SELECT count(DISTINCT term) AS v FROM " +
+      "(SELECT unnest(t) AS term FROM tk)), " +
+      "c12t AS (SELECT w1, w2, count(*) AS c FROM bg " +
+      s"WHERE source IN $targets GROUP BY 1, 2), " +
+      "c1t AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw FROM c12t " +
+      "GROUP BY 1), " +
+      "vt AS (SELECT count(DISTINCT term) AS v FROM " +
+      s"(SELECT unnest(t) AS term FROM tk WHERE source IN $targets)), " +
+      "sc AS (SELECT bg.doc_id, count(*) AS n, CAST(sum(" +
+      "CAST(round(ln((COALESCE(c12t.c, 0) + 1.0) / " +
+      "(COALESCE(c1t.cw, 0) + 1.0 * vt.v)) * 1048576.0) AS BIGINT) - " +
+      "CAST(round(ln((COALESCE(c12r.c, 0) + 1.0) / " +
+      "(COALESCE(c1r.cw, 0) + 1.0 * vr.v)) * 1048576.0) AS BIGINT)" +
+      ") AS BIGINT) AS dq " +
+      "FROM bg LEFT JOIN c12t USING (w1, w2) LEFT JOIN c1t USING (w1) " +
+      "LEFT JOIN c12r USING (w1, w2) LEFT JOIN c1r USING (w1) " +
+      "CROSS JOIN vt CROSS JOIN vr GROUP BY 1), " +
+      "rk AS (SELECT d.doc_id, CAST(COALESCE(n, 0) AS BIGINT) " +
+      "AS n_bigrams, dq AS diff_q, " +
+      "CAST(dq AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0 AS ce_diff " +
+      "FROM documents d LEFT JOIN sc USING (doc_id)), " +
+      "rr AS (SELECT *, row_number() OVER (" +
+      "ORDER BY ce_diff DESC NULLS LAST, doc_id) AS rn FROM rk) " +
+      "SELECT doc_id, n_bigrams, diff_q, ce_diff, " +
+      s"ce_diff IS NOT NULL AND rn <= $dsirKeepN AS keep " +
+      "FROM rr ORDER BY doc_id"
+  }
+
   /** DuckDB CTE `fp`: the content fingerprint of every document — an exact
     * replay of RollingHash.compute (left fold of acc*31+codepoint mod
     * 2^58-27 over the normalized text). Shared by the fingerprint query and

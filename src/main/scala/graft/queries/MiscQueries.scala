@@ -352,6 +352,27 @@ private[graft] object MiscQueries {
       Some(dsirOracle)),
 
 
+    // MOORE–LEWIS cross-entropy difference selection (ACL 2010) — the
+    // classic in-domain data selector, completing the selection family
+    // triangle beside the hashed-feature DSIR and the CCNet terciles:
+    // two full bigram LMs (target slice + whole corpus), per-occurrence
+    // quantized log-prob gaps summed as exact BIGINTs, length-normalized
+    // mean thresholded by a broadcast TakeOrdered(200). The scored frame
+    // localCheckpoints (narrow) so the two select passes fit the models
+    // once.
+    Q("q_sample_crossentropy",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.functions.Sampling.crossEntropySelect(
+          graft.functions.Sampling.crossEntropyScore(
+            docs, docs.filter(col("source").isin(dsirTargetSources: _*)))
+            .localCheckpoint(true),
+          dsirKeepN)
+          .orderBy("doc_id")
+      },
+      Some(crossEntropyOracle)),
+
+
     // CCNet HEAD/MIDDLE/TAIL (Wenzek et al. 2020): LM-quality terciles
     // with cutoffs from a deterministic id-mix SAMPLE of the per-doc
     // scores (never a global sort — corpus assignment is one scan-side

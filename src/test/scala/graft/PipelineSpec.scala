@@ -2549,6 +2549,64 @@ class PipelineSpec extends SparkSpec {
     } finally Sampling.dropDsirModel(spark, name)
   }
 
+  test("cross-entropy selection: target-like docs score higher; exact quantized weights vs an independent replay; featless docs NULL") {
+    val scored = Sampling.crossEntropyScore(dsirFixture, dsirTarget).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // featless docs (1 token / NULL text) carry the unigramScore contract
+    Seq(6L, 7L).foreach { id =>
+      assert(scored(id).getAs[Long]("n_bigrams") == 0L)
+      assert(scored(id).isNullAt(scored(id).fieldIndex("diff_q")))
+      assert(scored(id).isNullAt(scored(id).fieldIndex("ce_diff")))
+    }
+    val ce = scored.collect { case (id, r) if !r.isNullAt(3) =>
+      id -> r.getAs[Double]("ce_diff") }
+    // doc5 shares the target's bigrams despite its raw source; 3/4 do not
+    assert(ce(5L) > ce(3L) && ce(5L) > ce(4L))
+    assert(Seq(1L, 2L).map(ce).min > Seq(3L, 4L).map(ce).max)
+    // independent replay: per-occurrence quantized log-prob gap in Scala
+    val toks = Map( // fixture docs with >= 2 tokens
+      1L -> "alpha beta alpha beta gamma", 2L -> "alpha beta delta epsilon",
+      3L -> "zeta eta theta iota kappa", 4L -> "theta iota kappa zeta eta",
+      5L -> "alpha beta gamma delta").map { case (k, v) =>
+        k -> v.split(" ").toSeq }
+    val tgtIds = Seq(1L, 2L)
+    def model(ids: Seq[Long]) = {
+      val bgs = ids.flatMap(i => toks(i).zip(toks(i).tail))
+      (bgs.groupBy(identity).map { case (k, v) => k -> v.size.toLong },
+        bgs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong },
+        ids.flatMap(toks).distinct.size.toLong)
+    }
+    val (mT, cT, vT) = model(tgtIds)
+    val (mR, cR, vR0) = model(toks.keys.toSeq)
+    // the raw VOCABULARY also counts 1-token docs ("solo" contributes a
+    // term but no bigram) — the engine's V is the whole training corpus
+    val vR = vR0 + 1
+    def lq(m: Map[(String, String), Long], c: Map[String, Long], v: Long)(
+        bg: (String, String)): Long =
+      math.round(math.log((m.getOrElse(bg, 0L) + 1.0) /
+        (c.getOrElse(bg._1, 0L) + 1.0 * v)) * 1048576.0)
+    toks.keys.foreach { id =>
+      val bgs = toks(id).zip(toks(id).tail)
+      val expected = bgs.map(b => lq(mT, cT, vT)(b) - lq(mR, cR, vR)(b)).sum
+      assert(scored(id).getAs[Long]("diff_q") == expected,
+        s"doc $id: diff_q must be the exact quantized gap sum")
+      assert(scored(id).getAs[Double]("ce_diff") ==
+        expected.toDouble / bgs.length / 1048576.0)
+    }
+  }
+
+  test("cross-entropy select: threshold ties break toward lower doc_id; NULLs never keep") {
+    val scored = Seq(
+      (1L, 3L, Option(300L), Option(1.0)),
+      (2L, 3L, Option(900L), Option(3.0)),
+      (3L, 3L, Option(300L), Option(1.0)),
+      (4L, 0L, None: Option[Long], None: Option[Double]))
+      .toDF("doc_id", "n_bigrams", "diff_q", "ce_diff")
+    val keep = Sampling.crossEntropySelect(scored, 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(keep == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
+  }
+
   test("dsir gumbel: deterministic across reruns, exact-n keep, and the draw actually perturbs the temperature-0 order") {
     val scored = (1L to 30L).map(i =>
       (i, 3L, Option(1000L - i), Option((1000.0 - i) / 1048576)))

@@ -183,7 +183,10 @@ class TablesSpec extends SparkSpec {
           .forEach(p => java.nio.file.Files.deleteIfExists(p))
       }
     }
-    roundtrip(TextFormats.writeJsonl, TextFormats.readJsonl, "jsonl")
+    roundtrip(TextFormats.writeJsonl(_, _), TextFormats.readJsonl, "jsonl")
+    // gzip-compressed JSONL: same adversarial content through the codec
+    roundtrip(TextFormats.writeJsonl(_, _, codec = "gzip"),
+      TextFormats.readJsonl, "jsonl_gz")
     // ORC: columnar and typed — embedded newlines, the CSV sentinel
     // string, empty-vs-NULL all round-trip with no caveat at all
     roundtrip(TextFormats.writeOrc, TextFormats.readOrc(_, _, _), "orc")

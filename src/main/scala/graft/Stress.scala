@@ -1052,6 +1052,23 @@ object Stress {
                 oracles.PipelineOracles.dsirBucketCount), 200)
             .filter(col("keep") || col("n_feats") >= 0L)
         })
+      else if (kind == "ce")
+        // Moore–Lewis fit + score + select end to end: the claim to
+        // certify is ~1.0 — both LM fits are Zipf-bounded hash
+        // aggregates, scoring is four postings equi-joins over the
+        // occurrence stream, selection a TakeOrdered threshold. Mutated
+        // replica tokens GROW the model vocabularies with the corpus
+        // (the regime where a full-vocab selector is costlier than
+        // DSIR's fixed B — the ladder prices exactly that trade).
+        Seq[(String, String => DataFrame)]("ce_select" -> { d =>
+          val ds = docs(d)
+          functions.Sampling.crossEntropySelect(
+              functions.Sampling.crossEntropyScore(ds,
+                ds.filter(col("source").isin(
+                  oracles.PipelineOracles.dsirTargetSources: _*)))
+                .localCheckpoint(true), 200)
+            .filter(col("keep") || col("n_bigrams") >= 0L)
+        })
       else if (kind == "substr")
         // substring-level exact dedup — one O(corpus code points)
         // window-HASH shuffle (8-byte keys) + exact verify on the

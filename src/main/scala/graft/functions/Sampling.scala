@@ -943,6 +943,45 @@ object Sampling {
     }
     val (mt, ct, vt) = fit(target)
     val (mr, cr, vr) = fit(docs)
+    ceScoreAgainst(docs, mt, ct, vt, mr, cr, vr, addK, textCol)
+  }
+
+  /** [[crossEntropyScore]] against two STORED
+    * [[TextAnalysis.writeLmTable]] models (target = in-domain, raw =
+    * general) — identical results to the from-scratch path when the
+    * models were trained on the same corpora (the oracle twin asserts
+    * hash equality), but training never re-runs: the batch's occurrence
+    * stream joins the stored bucketed count tables. Because the models
+    * ARE writeLmTable artifacts, the whole LM deletion story
+    * ([[TextAnalysis.deleteFromLmTable]] exact count-unlearning) applies
+    * to the selection models for free.
+    */
+  def crossEntropyScoreIndexed(spark: org.apache.spark.sql.SparkSession,
+      targetName: String, rawName: String, docs: DataFrame,
+      addK: Double = 1.0, textCol: String = "text"): DataFrame = {
+    graft.sources.Tables.requireIdent(targetName)
+    graft.sources.Tables.requireIdent(rawName)
+    require(addK > 0, "addK must be positive (unseen mass)")
+    def stored(name: String) = (
+      spark.table(s"${name}_model")
+        .select(col("w1"), col("w2"), col("c12").as("c")),
+      spark.table(s"${name}_ctx").select(col("w1"), col("c1").as("cw")),
+      spark.table(s"${name}_globals").select(col("v")))
+    val (mt, ct, vt) = stored(targetName)
+    val (mr, cr, vr) = stored(rawName)
+    ceScoreAgainst(docs, mt, ct, vt, mr, cr, vr, addK, textCol)
+  }
+
+  /** The shared Moore–Lewis scoring tail: occurrence stream × the four
+    * model tables (c: (w1,w2,c), ctx: (w1,cw), one-row v per side) —
+    * identical between the self-fit and stored-model paths, which is
+    * what makes [[crossEntropyScoreIndexed]] a pure access-path swap
+    * (the bigramScoreIndexed discipline).
+    */
+  private def ceScoreAgainst(docs: DataFrame,
+      mt: DataFrame, ct: DataFrame, vt: DataFrame,
+      mr: DataFrame, cr: DataFrame, vr: DataFrame,
+      addK: Double, textCol: String): DataFrame = {
     def lq(c: Column, cw: Column, v: Column): Column =
       round(log((coalesce(c, lit(0L)).cast("double") + lit(addK)) /
         (coalesce(cw, lit(0L)).cast("double") +

@@ -373,6 +373,34 @@ private[graft] object MiscQueries {
       Some(crossEntropyOracle)),
 
 
+    // The persisted Moore–Lewis access path under the SAME oracle: both
+    // LMs are writeLmTable artifacts (bucketed c12/c1 tables + the
+    // vocab globals row), so scoring reads stored models instead of
+    // refitting — hash equality against the identical from-scratch
+    // oracle certifies write→read fidelity of BOTH models, and the LM
+    // family's exact count-unlearning (deleteFromLmTable) reaches the
+    // selection models for free.
+    Q("q_sample_crossentropy_indexed",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+        val (tn, rn) = (s"graft_ce_tgt_$tag", s"graft_ce_raw_$tag")
+        TextAnalysis.writeLmTable(
+          docs.filter(col("source").isin(dsirTargetSources: _*)), tn)
+        TextAnalysis.writeLmTable(docs, rn)
+        try graft.functions.Sampling.crossEntropySelect(
+            graft.functions.Sampling.crossEntropyScoreIndexed(
+              s, tn, rn, docs).localCheckpoint(true),
+            dsirKeepN)
+          .orderBy("doc_id").localCheckpoint(true)
+        finally {
+          TextAnalysis.dropLmTable(s, tn)
+          TextAnalysis.dropLmTable(s, rn)
+        }
+      },
+      Some(crossEntropyOracle)),
+
+
     // CCNet HEAD/MIDDLE/TAIL (Wenzek et al. 2020): LM-quality terciles
     // with cutoffs from a deterministic id-mix SAMPLE of the per-doc
     // scores (never a global sort — corpus assignment is one scan-side

@@ -2607,6 +2607,24 @@ class PipelineSpec extends SparkSpec {
     assert(keep == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
   }
 
+  test("cross-entropy indexed: stored-LM scoring equals from-scratch cell for cell") {
+    import graft.functions.TextAnalysis
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (tn, rn) = (s"graft_test_cet_$tag", s"graft_test_cer_$tag")
+    TextAnalysis.writeLmTable(dsirTarget, tn, buckets = 4)
+    TextAnalysis.writeLmTable(dsirFixture, rn, buckets = 4)
+    try {
+      val fresh = Sampling.crossEntropyScore(dsirFixture, dsirTarget)
+        .orderBy("doc_id").collect().toSeq
+      val stored = Sampling.crossEntropyScoreIndexed(spark, tn, rn, dsirFixture)
+        .orderBy("doc_id").collect().toSeq
+      assert(stored == fresh, "write -> read must not change a single cell")
+    } finally {
+      TextAnalysis.dropLmTable(spark, tn)
+      TextAnalysis.dropLmTable(spark, rn)
+    }
+  }
+
   test("dsir gumbel: deterministic across reruns, exact-n keep, and the draw actually perturbs the temperature-0 order") {
     val scored = (1L to 30L).map(i =>
       (i, 3L, Option(1000L - i), Option((1000.0 - i) / 1048576)))

@@ -1069,6 +1069,18 @@ object Stress {
                 .localCheckpoint(true), 200)
             .filter(col("keep") || col("n_bigrams") >= 0L)
         })
+      else if (kind == "tclose")
+        // t-closeness audit over the replicated docs corpus (quasi =
+        // lang × source, sensitive = 200-char length buckets): the
+        // claim to certify is ~1.0 — one corpus hash aggregate to the
+        // checkpointed class × value table, then KB-scale EMD
+        // arithmetic whose size does NOT grow with replicas (replicas
+        // keep lang/source, so classes stay constant while counts
+        // grow). The filter consumes emd so the verdict can't prune.
+        Seq[(String, String => DataFrame)]("tcloseness" -> (d =>
+          functions.DataQuality.tCloseness(docs(d), Seq("lang", "source"),
+              floor(col("n_chars").cast("double") / 200.0), t = 0.2)
+            .filter(col("emd") >= 0.0)))
       else if (kind == "substr")
         // substring-level exact dedup — one O(corpus code points)
         // window-HASH shuffle (8-byte keys) + exact verify on the

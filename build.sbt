@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST stdout line of `sbt runMain graft.Bench`
+// as JSON. Two sbt behaviors broke that for 16 rounds: forked output is
+// logged with an "[info] " prefix, and a "[success] Total time..." footer
+// lands after it. StdoutOutput forwards the forked process's stdout
+// verbatim; showSuccess drops the footer.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -29,6 +29,18 @@ import org.apache.spark.sql.SparkSession
   * from SPARK_GRAFT_BASELINE (default BASELINE.md — table rows
   * `| q_x | secs | ...` and prose rows `**q_x 1.23 s**`); with no
   * baseline file only the spread trigger fires.
+  *
+  * TWO-TIER REGISTRY (round-17): with 226+ queries the flat 1-warm +
+  * 3-measured protocol costs ~25 min of close-run wall and most of it
+  * re-measures sub-noise rows whose medians carry no signal (shared-JVM
+  * codegen-cache churn swamps sub-0.5 s timings — the documented
+  * q_text_c4_clean 0.30→0.74 s effect). Default (SPARK_GRAFT_TIER=auto):
+  * every query runs the warm pass + measured pass 1; passes 2..runs
+  * re-measure only the HEAVY tier — baseline > SPARK_GRAFT_HEAVY_MIN
+  * (0.5 s), no baseline row yet, or named in SPARK_GRAFT_TOUCHED.
+  * SPARK_GRAFT_TIER=full restores the flat protocol. Per-query detail
+  * rows carry their tier; light rows' "median" is their single measured
+  * sample.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -43,6 +55,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec warns "No Partition Defined ... single partition" on every
+    // single-partition window. Every such site in this engine is a KB-scale
+    // model/quota/histogram frame BY DESIGN (audited round 16 — e.g. the
+    // B=2048 DSIR totals in Sampling.scala); at 226 queries x 4 passes the
+    // spam was 90% of the driver's 2 KB stdout tail and nearly crowded out
+    // the summary line. Silence that one logger; real regressions on
+    // corpus-scale frames would show up as timings, not this warning.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     // Synthetic warmup so the first measured query doesn't absorb JVM,
     // codegen, and scheduler startup (touches no corpus data — IO still
     // counts against the queries that do it).
@@ -62,6 +84,42 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: $e"); -1.0 }
     }
+    // Baselines parse up front: the two-tier registry below keys on them
+    // (and the flag self-adjudication reuses the same map).
+    val baselines: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md")
+      try {
+        val text = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8")
+        val tableRow = """\|\s*(q[\w]+)\s*\|\s*([0-9]+\.[0-9]+)\s*\|""".r
+        val proseRow = """\*\*(q[\w]+)\s+([0-9]+\.[0-9]+)\s?s\*\*""".r
+        (tableRow.findAllMatchIn(text) ++ proseRow.findAllMatchIn(text))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Exception => Map.empty }
+    }
+    // TWO-TIER registry (round-17: 226 queries × (1 warm + 3 measured)
+    // = ~25 min of close-run wall, growing ~15 queries/round, and the
+    // sub-noise rows' medians carry no signal beyond their first sample —
+    // the shared-JVM codegen-cache churn swamps them). Every query keeps
+    // its warm pass AND one measured pass (per-query visibility never
+    // drops to zero); extra passes 2..runs re-measure only the HEAVY
+    // tier — rows whose baseline exceeds heavyMin (default 0.5 s), rows
+    // with NO baseline yet (new this round — they need a median worth
+    // recording), and rows named in SPARK_GRAFT_TOUCHED (comma list — set
+    // it for queries whose plan changed this round). SPARK_GRAFT_TIER=full
+    // restores the flat protocol. Light rows report their single measured
+    // sample as the median (tier:"light" in the detail file) and the
+    // self-adjudication path below still standalone-re-runs any of them
+    // that flags.
+    val tier = sys.env.getOrElse("SPARK_GRAFT_TIER", "auto")
+    val heavyMin = sys.env.getOrElse("SPARK_GRAFT_HEAVY_MIN", "0.5").toDouble
+    val touched = sys.env.get("SPARK_GRAFT_TOUCHED")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val heavy: Set[String] =
+      if (tier == "full") names.toSet
+      else names.filter(n => touched(n) ||
+        baselines.get(n).forall(_ > heavyMin)).toSet
     // Measured-warm pass 0 (round-15 lesson: the first interleaved pass
     // absorbs per-query JIT + page cache and ran routinely 2-5x its warm
     // time — q1_agg samples 2.97/1.14/0.61 — manufacturing 33 false >2x
@@ -70,8 +128,10 @@ object Bench {
     // with SPARK_GRAFT_WARM=0 when a cold-cache number is wanted.
     if (warmPass) names.foreach(once)
     val samples: Map[String, Seq[Double]] =
-      (1 to runs).flatMap(_ => names.map(n => n -> once(n)))
-        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      (1 to runs).flatMap { pass =>
+        val ns = if (pass == 1) names else names.filter(heavy)
+        ns.map(n => n -> once(n))
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
 
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0).sorted
@@ -105,17 +165,6 @@ object Bench {
     val spreadMap = spread.toMap
 
     // ---- self-adjudication of interleaved flags (see scaladoc) ----
-    val baselines: Map[String, Double] = {
-      val path = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md")
-      try {
-        val text = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(path)), "UTF-8")
-        val tableRow = """\|\s*(q[\w]+)\s*\|\s*([0-9]+\.[0-9]+)\s*\|""".r
-        val proseRow = """\*\*(q[\w]+)\s+([0-9]+\.[0-9]+)\s?s\*\*""".r
-        (tableRow.findAllMatchIn(text) ++ proseRow.findAllMatchIn(text))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Exception => Map.empty }
-    }
     val adjRuns = sys.env.getOrElse("SPARK_GRAFT_ADJ_RUNS", "3").toInt
     val flagged = names.filter { n =>
       val m = medMap(n)
@@ -129,6 +178,7 @@ object Bench {
     val detail = names.map { n =>
       "\"" + n + "\":{\"median\":" + medMap(n) +
         ",\"spread\":" + spreadMap(n) +
+        ",\"tier\":\"" + (if (heavy(n)) "heavy" else "light") + "\"" +
         ",\"samples\":[" + samples(n).map(round3).mkString(",") + "]" +
         (if (adjSamples.contains(n))
           ",\"adjudicated\":" + adj.toMap.apply(n) +
@@ -154,7 +204,9 @@ object Bench {
         s""""unbaselined_queries":[${unbaselined.map("\"" + _._1 + "\"").mkString(",")}],""" +
         s""""adjudicated":${jmap(adj)},"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-      (s"""{"runs":$runs,"sf":"$sfDir","noise":$noise,$failedJson,$adjJson""" +
+      (s"""{"runs":$runs,"sf":"$sfDir","tier":"$tier",""" +
+        s""""heavy_count":${names.count(heavy)},""" +
+        s""""noise":$noise,$failedJson,$adjJson""" +
         s""""per_query":$detail,"total":$total}""" + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $detailPath: $e") }
@@ -164,10 +216,15 @@ object Bench {
     // mid-map). The full per-query map lives in the detail file; stdout
     // gets exactly ONE compact line — the summary, alone, last — so the
     // driver's tail always contains a complete parseable JSON object.
+    // stop() BEFORE the summary so no Spark log line can land after it:
+    // with run/outputStrategy := StdoutOutput and showSuccess := false in
+    // build.sbt the summary below is the process's (and sbt's) final
+    // stdout line, parseable by the driver's tail-JSON read.
+    spark.stop()
     println(s"""{"metric":"total","unit":"sec","value":$total,""" +
       s""""queries_count":${names.size},"runs":$runs,"warm_pass":$warmPass,""" +
+      s""""tier":"$tier","heavy_count":${names.count(heavy)},""" +
       s""""noise":$noise,$failedJson,$adjJson""" +
       s""""detail":"$detailPath","sf":"$sfDir"}""")
-    spark.stop()
   }
 }

@@ -46,6 +46,8 @@ object Stress {
       case "annscale" :: nc :: per :: Nil => annscale(spark, nc.toInt, per.toInt)
       case "annbatch" :: nc :: per :: nq :: Nil =>
         annbatch(spark, nc.toInt, per.toInt, nq.toLong)
+      case "pqbatch" :: nc :: per :: nq :: Nil =>
+        pqbatch(spark, nc.toInt, per.toInt, nq.toLong)
       case "ladder" :: dir :: kind :: fs if fs.nonEmpty =>
         ladder(spark, dir, kind, fs.map(_.toInt))
       case "gtprobe" :: dir :: Nil => gtprobe(spark, dir)
@@ -576,6 +578,59 @@ object Stress {
         f"${nQueries}q distributed=$sBig%.1fs rows=$rowsBig " +
         f"(${sBig / sDist}%.1fx the 4k run for ${nQueries / 4096}x the queries)")
     } finally Similarity.dropAnnIndex(spark, "stress_annbatch_idx")
+  }
+
+  /** ABOVE-CAP batch search on the PQ family — [[annbatch]]'s sibling for
+    * the round-17 distributed PQ arms: builds a true-IVFADC index, runs a
+    * shared sub-cap query set through BOTH arms (BucketedSpec pins their
+    * row-for-row equality; this probe records the cost delta), then the
+    * headline — a query set above the 65,536 cap the five PQ search paths
+    * used to `require`-throw at, end to end on the distributed arm
+    * (scan-side LUTs from broadcast codebooks, plain bucket join, pruning
+    * retained).
+    */
+  private def pqbatch(spark: SparkSession, nClusters: Int,
+      perCluster: Int, nQueries: Long): Unit = {
+    import graft.functions.Similarity
+    require(nQueries > 65536,
+      s"pqbatch exists to demonstrate >65536 queries, got $nQueries")
+    val emb = structuredEmbeddings(spark, nClusters, perCluster, dim = 64)
+      .localCheckpoint(true)
+    val n = emb.count()
+    val queries = structuredEmbeddings(spark, nClusters,
+        (nQueries / nClusters + 1).toInt, dim = 64)
+      .limit(nQueries.toInt)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val centroids = math.max(8, nClusters / 2)
+    // buckets ≈ cores — the annbatch-measured contract: the distributed
+    // arm's candidate join parallelism IS the file-bucket count
+    Similarity.writeIvfPqResIndex(emb, "stress_pqbatch_idx",
+      centroids = centroids, m = 16, ksub = 32, sampleSize = 512,
+      iters = 2, buckets = 32)
+    try {
+      def run(df: => org.apache.spark.sql.DataFrame): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val out = df.localCheckpoint(true)
+        (out.count(), (System.nanoTime() - t0) / 1e9)
+      }
+      val small = queries.limit(4096).localCheckpoint(true)
+      val (rowsDrv, sDrv) = run(Similarity.ivfPqResSearchIndexed(spark,
+        "stress_pqbatch_idx", small, k = 10, nprobe = 3))
+      val (rowsDist, sDist) = run(Similarity.ivfPqResSearchIndexed(spark,
+        "stress_pqbatch_idx", small, k = 10, nprobe = 3, maxQueries = 0))
+      require(rowsDrv == rowsDist,
+        s"arm row counts diverge: driver=$rowsDrv distributed=$rowsDist")
+      val (rowsBig, sBig) = run(Similarity.ivfPqResSearchIndexed(spark,
+        "stress_pqbatch_idx", queries, k = 10, nprobe = 3))
+      require(rowsBig >= rowsDist,
+        s"above-cap run returned fewer rows ($rowsBig) than the 4k run")
+      println(f"[stress] pqbatch corpus=$n queries=$nQueries " +
+        f"centroids=$centroids nprobe=3 m=16 ksub=32: sub-cap 4096q " +
+        f"driver=$sDrv%.1fs distributed=$sDist%.1fs (rows=$rowsDrv); " +
+        f"above-cap ${nQueries}q distributed=$sBig%.1fs rows=$rowsBig " +
+        f"(${sBig / sDist}%.1fx the 4k run for ${nQueries / 4096}x the queries)")
+    } finally Similarity.dropIvfPqResIndex(spark, "stress_pqbatch_idx")
   }
 
   /** PQ storage-footprint probe: write the L2-normalized float corpus and

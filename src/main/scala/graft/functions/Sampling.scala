@@ -741,11 +741,21 @@ object Sampling {
       .select(col("bucket"),
         coalesce(col("ct"), lit(0L)).as("ct"),
         coalesce(col("cr"), lit(0L)).as("cr"))
-    // Totals via an unbounded window over the B-row counts frame (the
-    // [[temperatureMixture]] sum_wt idiom) — NOT counts.crossJoin(agg):
-    // the cross join would duplicate the counts subtree and Catalyst
-    // would re-expand it, scanning both corpora a second time. The
-    // window runs on one B-row partition — KB-scale.
+    quantizeRatios(counts, buckets)
+  }
+
+  /** The lrq quantization over a (bucket, ct, cr) counts frame — ONE
+    * definition shared by the fit ([[dsirLogRatios]]) and the unlearn
+    * ([[deleteFromDsirModel]]), so "subtract then re-quantize" is the
+    * refit expression on the refit integers to the bit.
+    *
+    * Totals via an unbounded window over the B-row counts frame (the
+    * [[temperatureMixture]] sum_wt idiom) — NOT counts.crossJoin(agg):
+    * the cross join would duplicate the counts subtree and Catalyst
+    * would re-expand it, scanning both corpora a second time. The
+    * window runs on one B-row partition — KB-scale.
+    */
+  private def quantizeRatios(counts: DataFrame, buckets: Int): DataFrame = {
     val wAll = org.apache.spark.sql.expressions.Window
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
@@ -858,9 +868,12 @@ object Sampling {
     * fit once on the reference corpora at ingest, stream any batch
     * through scoring). Params first, payload after, failure drops both —
     * torn-publish discipline. The model holds per-BUCKET aggregate
-    * counts only (no document content, no per-document rows), so it is
-    * not a takedown-registry family: nothing in it can re-surface a
-    * deleted document.
+    * counts only (no document content, no per-document rows), so nothing
+    * in it can RE-SURFACE a deleted document — but a removed document's
+    * bigrams still shape the selection weights, the same influence story
+    * as the bigram LM, so the family registers in
+    * [[Takedown.DsirModel]] with [[deleteFromDsirModel]] count-unlearning
+    * (round-17; residual references are 0 by construction).
     */
   def writeDsirModel(spark: org.apache.spark.sql.SparkSession, name: String,
       raw: DataFrame, target: DataFrame, buckets: Int = 2048,
@@ -890,6 +903,52 @@ object Sampling {
     val buckets = spark.table(s"${name}_params")
       .select(col("buckets")).head().getLong(0).toInt
     dsirScore(docs, spark.table(s"${name}_ratios"), buckets, textCol)
+  }
+
+  /** UNLEARN fit documents from a stored [[writeDsirModel]] model — the
+    * [[TextAnalysis.deleteFromLmTable]] story for the DSIR family: a
+    * takedown that removes a document from the corpus must also remove
+    * its bigrams from the selection model, or the deleted text keeps
+    * steering what gets selected. Subtract the deleted documents' exact
+    * per-bucket occurrence counts from the stored side (`"raw"` or
+    * `"target"` — whichever fit corpus the documents belonged to) and
+    * re-quantize lrq through [[quantizeRatios]], the fit's own
+    * expression: counts are integers, so the unlearned model equals a
+    * refit without the deleted docs TO THE BIT (TakedownSpec pins it on
+    * the ratio table).
+    *
+    * `deletedDocs` must be the fit documents AS INGESTED (subtract what
+    * was added — the [[TextAnalysis.deleteFromLmTable]] contract); a
+    * batch that was never fit would drive a bucket negative, which
+    * throws loudly instead of publishing a corrupt model. Cost:
+    * O(deleted docs) occurrence counting + one stage-and-swap rewrite of
+    * the B-row ratio table — never a fit-corpus re-scan.
+    */
+  def deleteFromDsirModel(spark: org.apache.spark.sql.SparkSession,
+      name: String, deletedDocs: DataFrame, side: String = "raw",
+      textCol: String = "text"): Unit = {
+    graft.sources.Tables.requireIdent(name)
+    require(side == "raw" || side == "target",
+      s"side must be 'raw' or 'target', got '$side'")
+    val buckets = spark.table(s"${name}_params")
+      .select(col("buckets")).head().getLong(0).toInt
+    val d = dsirBuckets(deletedDocs, buckets, textCol)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("__d"))
+    val cur = spark.table(s"${name}_ratios")
+    val newCounts = cur.join(d, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (if (side == "target") col("ct") - coalesce(col("__d"), lit(0L))
+         else col("ct")).as("ct"),
+        (if (side == "raw") col("cr") - coalesce(col("__d"), lit(0L))
+         else col("cr")).as("cr"))
+      .localCheckpoint(true) // B-row frame; checked then rewritten below
+    val neg = newCounts.filter(col("ct") < 0 || col("cr") < 0).count()
+    require(neg == 0,
+      s"unlearn batch drives $neg bucket count(s) negative on side '$side'" +
+        s" of DSIR model $name — the batch contains documents that were " +
+        "never fit (or were already unlearned); refusing to publish")
+    graft.sources.Tables.rewriteTable(spark, s"${name}_ratios",
+      quantizeRatios(newCounts, buckets).coalesce(1))
   }
 
   /** Drop both DSIR model tables and their directories. */

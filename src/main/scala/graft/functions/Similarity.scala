@@ -367,7 +367,8 @@ object Similarity {
     * two-table index must never look queryable.
     */
   def writeAnnIndex(corpus: DataFrame, name: String, centroids: Int = 8,
-      sampleSize: Int = 256, iters: Int = 2, buckets: Int = 8): Unit = {
+      sampleSize: Int = 256, iters: Int = 2, buckets: Int = 8,
+      format: String = "parquet"): Unit = {
     graft.sources.Tables.requireIdent(name)
     val spark = corpus.sparkSession
     dropAnnIndex(spark, name)
@@ -375,14 +376,19 @@ object Similarity {
     val cents = trainCentroids(c, centroids, sampleSize, iters)
     try {
       import spark.implicits._
+      // format is a STORAGE choice only (round-17: proves the index layer
+      // is not parquet-hardwired — ORC round-trips with hash-unchanged
+      // search results, BucketedSpec): bucket spec, pruning, and every
+      // maintenance path (append/rewrite read the catalog provider) are
+      // format-agnostic.
       cents.zipWithIndex
         .map { case (cv, cid) => (cid, cv.toSeq) }.toSeq
         .toDF("cid", "cv")
-        .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_centroids")
+        .write.mode("overwrite").format(format).saveAsTable(s"${name}_centroids")
       graft.sources.Tables.writeBucketed(
         assignToCentroids(c, cents)
           .select(col("cluster").as("bucket"), col("vec_id"), col("v")),
-        s"${name}_assignments", "bucket", buckets)
+        s"${name}_assignments", "bucket", buckets, format)
     } catch {
       case e: Throwable => dropAnnIndex(spark, name); throw e
     }
@@ -706,13 +712,18 @@ object Similarity {
     val books = trainPqCodebooks(c, m, ksub, sampleSize, iters)
     val codes = pqEncode(c, books)
 
+    // maxQueries is a SWITCH, not a cap (round-17; it used to throw): at
+    // or below it the LUTs build driver-side (bit-pinned oracle path);
+    // above, they build scan-side from broadcast codebooks and the flat
+    // product runs as an explicit cartesian — flat PQ's honest cost model.
     val rawQ = asDouble(queries).limit(maxQueries + 1).collect()
-    require(rawQ.length <= maxQueries,
-      s"query set exceeds maxQueries=$maxQueries; batch it or raise the cap")
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val luts = adcLutRows(rawQ, books, m, ksub).toDF("query_id", "lut")
-    topKPerQuery(adcScoresFlat(codes, luts, m, ksub), k)
+    if (rawQ.length <= maxQueries) {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val luts = adcLutRows(rawQ, books, m, ksub).toDF("query_id", "lut")
+      topKPerQuery(adcScoresFlat(codes, luts, m, ksub), k)
+    } else topKPerQuery(
+      adcScoresFlatDist(codes, adcLutsDistributed(queries, books), m, ksub), k)
   }
 
   /** Per-subspace plain-k-means codebooks over a `sampleSize`-vector
@@ -793,11 +804,25 @@ object Similarity {
     }
   }
 
-  /** The `codes` column expression: per sub-space argmin L2 distance over
-    * the literal codebook — evaluates inside the scan like
-    * [[centroidScores]], m times.
+  /** The `codes` column: per sub-space argmin L2 distance over the
+    * BROADCAST codebooks — ONE native [[VectorOps.PqCodesExpr]] node
+    * (round-17: the literal HOF form below was m·ksub interpreted
+    * aggregate/zip_with sub-distances per row — 512 at the defaults —
+    * dragging every index-build scan out of whole-stage codegen; the
+    * same arithmetic now runs as a static-call kernel,
+    * [[pqCodesHof]] retained as the forced-rule equality surface).
     */
-  private def pqCodes(books: Array[Array[Array[Double]]],
+  private def pqCodes(books: Array[Array[Array[Double]]], nv: DataFrame,
+      v: Column = col("v")): Column =
+    VectorOps.pqCodesCol(v, nv.sparkSession.sparkContext.broadcast(
+      VectorOps.BroadcastBooks(books)))
+
+  /** The literal higher-order-function encode — retained as the
+    * equality-spec surface for [[pqCodes]]'s native kernel (BucketedSpec
+    * pins code-for-code equality incl. the short-vector NULL contract),
+    * no longer dispatched on any path.
+    */
+  private[graft] def pqCodesHof(books: Array[Array[Array[Double]]],
       v: Column = col("v")): Column = {
     val m = books.length
     val subDim = books(0)(0).length
@@ -819,7 +844,7 @@ object Similarity {
     */
   private[graft] def pqEncode(nv: DataFrame,
       books: Array[Array[Array[Double]]]): DataFrame =
-    nv.select(col("vec_id"), pqCodes(books).as("codes"))
+    nv.select(col("vec_id"), pqCodes(books, nv).as("codes"))
 
   /** Driver-side dot product — the probe-selection arithmetic every
     * IVF/PQ path shares (centroid ranking, ADC LUT entries).
@@ -878,19 +903,100 @@ object Similarity {
     * per-(query, cell) base term when the codes are cell residuals.
     */
   private def adcScores(enc: DataFrame, probes: DataFrame,
-      m: Int, ksub: Int, withBase: Boolean): DataFrame = {
+      m: Int, ksub: Int, withBase: Boolean,
+      broadcastProbes: Boolean = true): DataFrame = {
     val fold = adcFold(m, ksub)
-    enc.join(broadcast(probes), Seq("bucket"))
+    // Driver arms broadcast their (bounded, ≤maxQueries-row) probe frame;
+    // the distributed arms join plain — probes arrive via shuffle keyed on
+    // the SAME bucket column the IVFADC codes table is bucketed by, so the
+    // coded side stays exchange-free and keeps its literal-IN pruning (the
+    // annSearchIndexed candidate-join shape; a salted or broadcast pick at
+    // unbounded query count was measured into the ground in SCALE.md r16).
+    enc.join(if (broadcastProbes) broadcast(probes) else probes, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (if (withBase) col("base") + fold else fold).as("score"))
   }
 
+  /** DISTRIBUTED probe/LUT frame — the scan-side twin of [[adcProbeRows]]
+    * for query sets above the `maxQueries` switch: the query frame never
+    * lands on the driver. Probe selection runs via [[withProbeCells]]
+    * (identical score/tie rule), the ADC LUT computes per query row via
+    * [[VectorOps.adcLut]] against broadcast codebooks (bit-equal fold),
+    * and `base` — the residual paths' per-(query, cell) constant
+    * dot(q, c_cell) — computes from the literal centroid table with the
+    * same left-fold dot the driver arm uses. Raw-PQ callers drop `base`.
+    * One row per (query, probed cell): (query_id, bucket, lut, base).
+    */
+  private def adcProbesDistributed(queries: DataFrame,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      nprobe: Int): DataFrame = {
+    val bc = queries.sparkSession.sparkContext.broadcast(
+      VectorOps.BroadcastBooks(books))
+    val centsLit = typedLit(cents.map(_.toIndexedSeq).toIndexedSeq)
+    withProbeCells(normalized(queries), cents, nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        VectorOps.adcLut(col("v"), bc).as("lut"),
+        explode(col("__probes")).as("bucket"))
+      .withColumn("base", dot(col("qv"), element_at(centsLit, col("bucket") + 1)))
+      .drop("qv")
+      // The exchange is LOAD-BEARING, not a tuning knob: without it
+      // CollapseProject inlines the LUT expression into the post-join
+      // score fold and the m·ksub-entry table recomputes PER CANDIDATE
+      // row instead of per probe row — measured round-17 as the 70k-query
+      // pqbatch probe pinning ONE core inside adcLutKernel beneath the
+      // top-k sort (the join side also arrives pre-partitioned on the
+      // bucket key, and a limit()-truncated query frame stops serializing
+      // the whole probe build into its single inherited partition).
+      .repartition(col("bucket"))
+  }
+
+  /** DISTRIBUTED flat-LUT frame — [[adcLutRows]]'s scan-side twin for the
+    * non-IVF PQ paths above the `maxQueries` switch: (query_id, lut), one
+    * row per non-zero-norm query, LUT bit-equal to the driver build.
+    */
+  private def adcLutsDistributed(queries: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val bc = queries.sparkSession.sparkContext.broadcast(
+      VectorOps.BroadcastBooks(books))
+    normalized(queries).select(col("vec_id").as("query_id"),
+      VectorOps.adcLut(col("v"), bc).as("lut"))
+      // load-bearing exchange — see adcProbesDistributed: stops
+      // CollapseProject from re-deriving the LUT per cartesian pair and
+      // re-spreads a limit()-collapsed query frame
+      .repartition(col("query_id"))
+  }
+
+  /** DISTRIBUTED flat ADC scoring — [[adcScoresFlat]] without the
+    * broadcast: flat PQ semantics score EVERY (query, candidate) pair, so
+    * above the switch the join is an explicit cartesian (that product IS
+    * the flat-PQ cost model — the IVF variants are the scale path when
+    * pruning is wanted); neither side lands on the driver and parallelism
+    * is the partition product. Self-matches drop.
+    */
+  private def adcScoresFlatDist(codes: DataFrame, luts: DataFrame,
+      m: Int, ksub: Int): DataFrame =
+    codes.crossJoin(luts)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adcFold(m, ksub).as("score"))
+
   /** The scan-side ADC fold: Σ_m lut[m·ksub + code_m] over a row's codes
-    * against its query's broadcast `lut` — ONE shared definition of the
-    * +1 SQL array indexing, so no path can drift off-by-one alone.
+    * against its query's `lut` — ONE shared definition so no path can
+    * drift off-by-one alone. Round-17: a native codegen'd
+    * [[VectorOps.AdcFoldExpr]] (the HOF rendering was two nested
+    * higher-order functions on the hottest row count in the PQ family —
+    * interpreted eval made the 70k-query pqbatch probe unfinishable;
+    * [[adcFoldHof]] retained as the equality-spec surface).
     */
   private def adcFold(m: Int, ksub: Int): Column =
+    VectorOps.adcFold(col("codes"), col("lut"), m, ksub)
+
+  /** The HOF fold — the forced-rule equality surface for [[adcFold]]'s
+    * native kernel (BucketedSpec pins score-for-score equality incl. the
+    * NULL contracts), no longer dispatched on any path.
+    */
+  private[graft] def adcFoldHof(m: Int, ksub: Int): Column =
     aggregate(
       zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
         (code, mm) => element_at(col("lut"),
@@ -943,19 +1049,26 @@ object Similarity {
     val books = trainPqCodebooks(c, m, ksub, sampleSize, iters)
     // one corpus scan projects BOTH the cell and the codes
     val enc = assignToCentroids(c, cents)
-      .select(col("vec_id"), col("cluster").as("bucket"), pqCodes(books).as("codes"))
+      .select(col("vec_id"), col("cluster").as("bucket"),
+        pqCodes(books, c).as("codes"))
 
-    // driver-side probe selection + LUTs, same arithmetic as the oracle's
-    // qp CTE and the pqTopK LUTs (the annSearchIndexed contract)
+    // driver-side probe selection + LUTs at or below the maxQueries
+    // SWITCH, same arithmetic as the oracle's qp CTE and the pqTopK LUTs
+    // (the annSearchIndexed contract); above it the probe/LUT frame stays
+    // distributed — withProbeCells + scan-side LUTs, plain bucket join
     val rawQ = asDouble(queries).limit(maxQueries + 1).collect()
-    require(rawQ.length <= maxQueries,
-      s"query set exceeds maxQueries=$maxQueries; batch it or raise the cap")
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val probes = adcProbeRows(rawQ, cents, books, m, ksub, nprobe)
-      .map { case (id, cid, lut, _) => (id, cid, lut) } // raw codes: no base
-      .toDF("query_id", "bucket", "lut")
-    topKPerQuery(adcScores(enc, probes, m, ksub, withBase = false), k)
+    if (rawQ.length <= maxQueries) {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val probes = adcProbeRows(rawQ, cents, books, m, ksub, nprobe)
+        .map { case (id, cid, lut, _) => (id, cid, lut) } // raw codes: no base
+        .toDF("query_id", "bucket", "lut")
+      topKPerQuery(adcScores(enc, probes, m, ksub, withBase = false), k)
+    } else {
+      val probes = adcProbesDistributed(queries, cents, books, nprobe).drop("base")
+      topKPerQuery(adcScores(enc, probes, m, ksub, withBase = false,
+        broadcastProbes = false), k)
+    }
   }
 
   /** TRUE IVFADC — [[ivfPqTopK]] with RESIDUAL encoding (Jégou et al.
@@ -990,18 +1103,25 @@ object Similarity {
       .withColumn("rv", zip_with(col("v"),
         element_at(centsLit, col("cluster") + 1), (x, cc) => x - cc))
       .select(col("vec_id"), col("cluster").as("bucket"),
-        pqCodes(books, col("rv")).as("codes"))
+        pqCodes(books, c, col("rv")).as("codes"))
 
-    val rawQ = asDouble(queries).limit(maxQueries + 1).collect()
-    require(rawQ.length <= maxQueries,
-      s"query set exceeds maxQueries=$maxQueries; batch it or raise the cap")
     // probe rows carry the per-cell base term dot(q, c_cell) — the same
-    // double the probe ranking already computed
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val probes = adcProbeRows(rawQ, cents, books, m, ksub, nprobe)
-      .toDF("query_id", "bucket", "lut", "base")
-    topKPerQuery(adcScores(enc, probes, m, ksub, withBase = true), k)
+    // double the probe ranking already computed. maxQueries is a SWITCH:
+    // above it the probe/LUT/base frame computes scan-side
+    // (adcProbesDistributed — identical fold, tie, and base arithmetic)
+    // and joins the encoded corpus plain on the cell key.
+    val rawQ = asDouble(queries).limit(maxQueries + 1).collect()
+    if (rawQ.length <= maxQueries) {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val probes = adcProbeRows(rawQ, cents, books, m, ksub, nprobe)
+        .toDF("query_id", "bucket", "lut", "base")
+      topKPerQuery(adcScores(enc, probes, m, ksub, withBase = true), k)
+    } else {
+      val probes = adcProbesDistributed(queries, cents, books, nprobe)
+      topKPerQuery(adcScores(enc, probes, m, ksub, withBase = true,
+        broadcastProbes = false), k)
+    }
   }
 
   /** Materialize a PQ INDEX: the per-subspace codebooks (`<name>_codebooks`:
@@ -1078,14 +1198,18 @@ object Similarity {
     val books = Array.tabulate(m, ksub) { (mm, code) =>
       cbRows(mm * ksub + code).getAs[scala.collection.Seq[Double]]("cv").toArray
     }
+    val live = graft.sources.Tables.minusDeletes(spark, name,
+      spark.table(s"${name}_codes"), "vec_id")
+    // maxQueries is a SWITCH (round-17): above it the LUT frame computes
+    // scan-side from broadcast codebooks and the flat product is an
+    // explicit cartesian over the codes table — the pqTopK contract.
     val rawQ = asDouble(queries).limit(maxQueries + 1).collect()
-    require(rawQ.length <= maxQueries,
-      s"query set exceeds maxQueries=$maxQueries; batch it or raise the cap")
-    import spark.implicits._
-    val luts = adcLutRows(rawQ, books, m, ksub).toDF("query_id", "lut")
-    topKPerQuery(
-      adcScoresFlat(graft.sources.Tables.minusDeletes(spark, name,
-        spark.table(s"${name}_codes"), "vec_id"), luts, m, ksub), k)
+    if (rawQ.length <= maxQueries) {
+      import spark.implicits._
+      val luts = adcLutRows(rawQ, books, m, ksub).toDF("query_id", "lut")
+      topKPerQuery(adcScoresFlat(live, luts, m, ksub), k)
+    } else topKPerQuery(
+      adcScoresFlatDist(live, adcLutsDistributed(queries, books), m, ksub), k)
   }
 
   /** Materialize a TRUE-IVFADC index ([[ivfPqResidualTopK]]'s fit, paid
@@ -1127,7 +1251,7 @@ object Similarity {
           .withColumn("rv", zip_with(col("v"),
             element_at(centsLit, col("cluster") + 1), (x, cc) => x - cc))
           .select(col("cluster").as("bucket"), col("vec_id"),
-            pqCodes(books, col("rv")).as("codes")),
+            pqCodes(books, c, col("rv")).as("codes")),
         s"${name}_codes", "bucket", buckets)
     } catch {
       case e: Throwable => dropIvfPqResIndex(spark, name); throw e
@@ -1175,18 +1299,32 @@ object Similarity {
       cbRows(mm * ksub + code).getAs[scala.collection.Seq[Double]]("cv").toArray
     }
 
+    // maxQueries is a SWITCH (round-17, the annSearchIndexed shape): at
+    // or below it, probe selection + LUTs + base terms run driver-side —
+    // the bit-pinned oracle path. Above it the query frame stays
+    // distributed; the probed-cell set — bounded by the CENTROID count,
+    // never the query count — is still a tiny control read that keeps the
+    // literal bucket-IN pruning, and the candidate join keys on `bucket`
+    // itself so the bucketed codes side arrives exchange-free and PRUNED.
     val rawQ = asDouble(queries).limit(maxQueries + 1).collect()
-    require(rawQ.length <= maxQueries,
-      s"query set exceeds maxQueries=$maxQueries; batch it or raise the cap")
-    val probeRows = adcProbeRows(rawQ, cents, books, m, ksub, nprobe)
-    import spark.implicits._
-    val probes = probeRows.toDF("query_id", "bucket", "lut", "base")
-    val cells = probeRows.map(_._2).distinct.sorted
-    val enc = graft.sources.Tables.minusDeletes(spark, name,
-      spark.table(s"${name}_codes")
-        .filter(col("bucket").isin(cells.map(Integer.valueOf): _*)),
-      "vec_id")
-    topKPerQuery(adcScores(enc, probes, m, ksub, withBase = true), k)
+    def pruned(cells: Seq[Int]): DataFrame =
+      graft.sources.Tables.minusDeletes(spark, name,
+        spark.table(s"${name}_codes")
+          .filter(col("bucket").isin(cells.map(Integer.valueOf): _*)),
+        "vec_id")
+    if (rawQ.length <= maxQueries) {
+      val probeRows = adcProbeRows(rawQ, cents, books, m, ksub, nprobe)
+      import spark.implicits._
+      val probes = probeRows.toDF("query_id", "bucket", "lut", "base")
+      val enc = pruned(probeRows.map(_._2).distinct.sorted)
+      topKPerQuery(adcScores(enc, probes, m, ksub, withBase = true), k)
+    } else {
+      val probes = adcProbesDistributed(queries, cents, books, nprobe)
+      val cells = probes.select("bucket").distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      topKPerQuery(adcScores(pruned(cells), probes, m, ksub, withBase = true,
+        broadcastProbes = false), k)
+    }
   }
 
   /** k-NN GRAPH over the whole corpus — the artifact SemDeDup-style

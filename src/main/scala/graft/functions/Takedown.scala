@@ -135,6 +135,16 @@ object Takedown {
       extends Artifact {
     private[graft] def tag = "lm"
   }
+  /** DSIR importance model ([[Sampling.writeDsirModel]]) — per-bucket
+    * aggregate counts, nothing re-findable, but a deleted document's
+    * bigrams still steer selection weights (the LM influence story), so
+    * the family unlearns via [[Sampling.deleteFromDsirModel]].
+    * `deletedDocs` must be the fit documents AS INGESTED; `side` names
+    * which fit corpus ("raw" or "target") they belonged to. */
+  final case class DsirModel(name: String, deletedDocs: DataFrame,
+      side: String = "raw", textCol: String = "text") extends Artifact {
+    private[graft] def tag = "dsir"
+  }
   /** Incremental boilerplate line-df state ([[Dedup.writeLineDfTable]]);
     * `deletedDocs` must be the documents AS INGESTED (subtract what was
     * added — [[Dedup.deleteFromLineDfTable]]'s contract). */
@@ -150,7 +160,7 @@ object Takedown {
     * (legal-process cadence keeps them KB-scale).
     */
   private def subtractive(a: Artifact): Boolean = a match {
-    case LmTable(_, _) | LineDf(_, _, _, _, _) => true
+    case LmTable(_, _) | LineDf(_, _, _, _, _) | DsirModel(_, _, _, _) => true
     case _ => false
   }
 
@@ -198,6 +208,8 @@ object Takedown {
             Dedup.deleteFromClusterTable(spark, n, batch, pairs)
           case LmTable(n, docs) =>
             TextAnalysis.deleteFromLmTable(spark, n, docs)
+          case DsirModel(n, docs, side, tc) =>
+            Sampling.deleteFromDsirModel(spark, n, docs, side, tc)
           case LineDf(n, docs, sep, tc, sc) =>
             Dedup.deleteFromLineDfTable(spark, n, docs, sep, tc, sc)
         }
@@ -229,7 +241,8 @@ object Takedown {
       case BqIndex(n) => Similarity.compactBqIndex(spark, n)
       case VecTable(n) => Similarity.compactVecTable(spark, n)
       case PhashTable(n) => Multimodal.compactPhashTable(spark, n)
-      case ClusterTable(_, _) | LmTable(_, _) | LineDf(_, _, _, _, _) => ()
+      case ClusterTable(_, _) | LmTable(_, _) | LineDf(_, _, _, _, _) |
+          DsirModel(_, _, _, _) => ()
     }
 
   /** COMPLIANCE AUDIT: per artifact, how many LIVE rows (post-tombstone
@@ -299,6 +312,10 @@ object Takedown {
           // same aggregate-count shape: (src, line, cnt) partials carry
           // no doc ids; the unlearn zeroed the deleted docs' counts
           val _ = nm; 0L
+        case DsirModel(nm, _, _, _) =>
+          // per-bucket aggregate counts only; residual = 0 by
+          // construction once deleteFromDsirModel re-quantized
+          val _ = nm; 0L
       }
       (a.tag, a.name, n)
     }
@@ -314,7 +331,7 @@ object Takedown {
     * `_codes`+`_codebooks` → pq, `_clusters` → clusters,
     * `_model`+`_ctx` → lm, `_winhash` → substr, `_frontier` → frontier,
     * `_words` → bq, `_vectors` → vec, `_linedf` → linedf,
-    * `_truth` → gtruth) and
+    * `_truth` → gtruth, `_ratios`+`_params` → dsir) and
     * returns every (family, name) found in the catalog but ABSENT from
     * the registry — loud rows, not silent retention. Callers gate with
     * `require(auditRegistry(...).isEmpty, ...)` before trusting a
@@ -349,7 +366,9 @@ object Takedown {
         base("_words").map(("bq", _)) ++
         base("_vectors").map(("vec", _)) ++
         base("_linedf").map(("linedf", _)) ++
-        base("_truth").map(("gtruth", _))
+        base("_truth").map(("gtruth", _)) ++
+        base("_ratios").filter(b => names(s"${b}_params"))
+          .map(("dsir", _))
     val registered = registry
       .map(a => (a.tag, a.name.toLowerCase)).toSet
     found.filterNot(registered).sorted

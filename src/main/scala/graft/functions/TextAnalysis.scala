@@ -1129,9 +1129,10 @@ object TextAnalysis {
     *    original page contains neither "lorem ipsum" (case-insensitive)
     *    nor a curly brace (the paper's code-page heuristic).
     *
-    * The paper's remaining rules are separate engine families: its
-    * bad-words page filter is [[blocklist]] composition, and its
-    * three-sentence-span dedup is the chunk-dedup family. Output keeps
+    * The paper's remaining rules are separate engine families — its
+    * bad-words page filter is Blocklist composition, its three-sentence-
+    * span dedup the chunk-dedup family — COMPOSED end-to-end in
+    * [[c4Full]] (round-17). Output keeps
     * EVERY document with flags and counts — (doc_id, n_lines, n_kept,
     * n_sentences, page_keep, text = cleaned) — the filter-verdict
     * discipline: callers filter on `page_keep`, audits read the counts.
@@ -1168,6 +1169,90 @@ object TextAnalysis {
           !lower(col("__t")).contains("lorem ipsum") &&
           !col("__t").contains("{")).as("page_keep"),
         col("text"))
+  }
+
+  /** The COMPLETE C4 pipeline (Raffel et al. 2020 §2.2, all four rule
+    * families composed): [[c4Clean]]'s line+page rules, then the paper's
+    * bad-words page filter (one [[Blocklist]] automaton pass over the
+    * CLEANED text — a blocked page drops whole, the paper's reading),
+    * then its "discard all but one of any three-sentence span occurring
+    * more than once" — here at LINE granularity, which after the line
+    * rule is sentence granularity by construction (every surviving line
+    * ends in terminal punctuation): consecutive `spanLines`-line spans
+    * fingerprint via the 58-bit rolling hash, the FIRST occurrence
+    * ((doc_id, idx) ascending) of each span keeps its lines, and every
+    * line covered by a later occurrence drops; documents rebuild from
+    * surviving lines. Span dedup runs over ELIGIBLE pages only
+    * (page_keep ∧ ¬blocked) — a span's canonical copy must live in the
+    * corpus the pipeline ships.
+    *
+    * Output keeps EVERY document (filter-verdict discipline):
+    * (doc_id, page_keep, blocked, keep = eligible, n_span_dups = this
+    * doc's duplicate-span occurrences, n_lines_removed, text = the
+    * span-deduped text for eligible pages, the cleaned text otherwise).
+    *
+    * Scale shape: cleaning and the blocklist are scan-side projections;
+    * span fingerprints are one doc-keyed window (lead×2) over exploded
+    * lines — text never shuffles, 8-byte hashes do; first-occurrence
+    * ranking is one fingerprint-keyed window (the [[Dedup.chunkDedup]]
+    * exchange); the removal set is doc-keyed and the rebuild one
+    * doc-keyed aggregate. No driver state, no corpus² term.
+    */
+  def c4Full(docs: DataFrame, patterns: Seq[String], minWords: Int = 3,
+      minSentences: Int = 5, spanLines: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    require(patterns.nonEmpty, "bad-words pattern list must be non-empty")
+    require(spanLines >= 2, s"span must cover >= 2 lines, got $spanLines")
+    val cleaned = c4Clean(docs, minWords, minSentences, textCol)
+      .select(col("doc_id"), col("page_keep"), col("text"))
+    val screened = cleaned
+      .withColumn("blocked",
+        size(Blocklist.matches(col("text"), patterns)) > 0)
+      .withColumn("keep", col("page_keep") && !col("blocked"))
+    val lines = screened.filter(col("keep"))
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "line")
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("idx"))
+    val leads = (1 until spanLines).map(i => lead(col("line"), i).over(wDoc))
+    val spans = lines
+      .withColumn("__span",
+        concat_ws("\n", (col("line") +: leads): _*))
+      .withColumn("__last", leads.last)
+      .filter(col("__last").isNotNull)
+      .select(col("doc_id"), col("idx"), fingerprint(col("__span")).as("__f"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__f")).orderBy(col("doc_id"), col("idx"))
+    val dupSpans = spans
+      .withColumn("__rn", row_number().over(wf))
+      .filter(col("__rn") > 1)
+      .select(col("doc_id"), col("idx"))
+    val perDocDups = dupSpans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_span_dups"))
+    val removed = dupSpans
+      .select(col("doc_id"),
+        explode(sequence(col("idx"),
+          col("idx") + lit(spanLines - 1))).as("idx"))
+      .distinct()
+    val rebuilt = lines.join(removed, Seq("doc_id", "idx"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n_left"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("line")))),
+          x => x.getField("line")), "\n").as("__deduped"))
+    screened
+      .withColumn("__n_lines",
+        when(col("keep"), size(split(col("text"), "\n")).cast("long")))
+      .join(perDocDups, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("page_keep"), col("blocked"), col("keep"),
+        when(col("keep"), coalesce(col("n_span_dups"), lit(0L)))
+          .otherwise(lit(0L)).as("n_span_dups"),
+        when(col("keep"),
+            col("__n_lines") - coalesce(col("__n_left"), lit(0L)))
+          .otherwise(lit(0L)).as("n_lines_removed"),
+        when(col("keep"), coalesce(col("__deduped"), lit("")))
+          .otherwise(col("text")).as("text"))
   }
 
   def stripMarkup(text: Column): Column =

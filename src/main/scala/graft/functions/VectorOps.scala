@@ -120,8 +120,251 @@ case class CellProbeExpr(child: Expression,
   override def prettyName: String = "cell_probe"
 }
 
+/** Per-query ADC lookup table against BROADCAST PQ codebooks — the
+  * scan-side LUT build of the distributed PQ search arms. The driver-side
+  * arms precompute LUT[m·ksub] per collected query row; above the
+  * `maxQueries` switch the query frame never lands on the driver, so this
+  * node computes the identical table inside the query-side scan: entry
+  * `i = dot(v[subspace(i)], codebook(i/ksub)(i%ksub))`, strict
+  * left-to-right accumulation — bit-equal to [[Similarity]]'s driver
+  * `adcLut` (same slice clamping on short vectors). The codebooks are
+  * m·ksub·subDim doubles (KBs) and ship once per executor as a
+  * TorrentBroadcast, exactly the [[CellProbeExpr]] payload discipline;
+  * codegen'd via a static call so the projection stays whole-stage
+  * compiled.
+  */
+case class AdcLutExpr(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[VectorOps.BroadcastBooks])
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"adc_lut needs array<double>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.adcLutKernel(v.asInstanceOf[ArrayData], bc.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBooksBc", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorOps.adcLutKernel($c, $ref.value());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+
+  override def prettyName: String = "adc_lut"
+}
+
+/** The scan-side ADC score fold — Σ_mm lut[mm·ksub + codes[mm]] — as a
+  * native codegen'd expression. The built-in rendering
+  * `aggregate(zip_with(codes, sequence(0, m-1), ...), 0.0, _+_)` is TWO
+  * nested higher-order functions: unsupported by whole-stage codegen,
+  * per-row array allocation, interpreted eval of every lookup — and it
+  * sits on the hottest row count in the PQ family (candidates ≫ corpus ≫
+  * queries; the round-17 pqbatch probe at 70k queries × ~2400 candidates
+  * each did not finish inside 50 minutes on the HOF form). Same strict
+  * left-to-right accumulation in subspace order, same NULL contract as
+  * the HOF chain (null/short/over-long codes, null elements → NULL
+  * score), codegen'd via a static call. ONE documented divergence: a
+  * code past the LUT's range (impossible from a consistent encode —
+  * codes < ksub always index inside an m·ksub LUT) scores NULL here
+  * where Spark 4's ANSI element_at would throw; a scan kernel must not
+  * abort a 100 TB job on one corrupt row.
+  */
+case class AdcFoldExpr(left: Expression, right: Expression,
+    m: Int, ksub: Int) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"adc_fold needs (array<int> codes, array<double> lut), got $other")
+  }
+
+  override def nullSafeEval(c: Any, l: Any): Any =
+    VectorOps.adcFoldBoxed(c.asInstanceOf[ArrayData],
+      l.asInstanceOf[ArrayData], m, ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) => s"""
+      java.lang.Double graftAdc = graft.functions.VectorOps.adcFoldBoxed(
+        $c, $l, $m, $ksub);
+      if (graftAdc == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = graftAdc.doubleValue(); }""")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "adc_fold"
+}
+
+/** Scan-side PQ ENCODE — per subspace, argmin L2 distance over the
+  * broadcast codebook (strict <, ties to the lowest code) — as one
+  * native expression. The literal-folded form is m·ksub
+  * `aggregate(zip_with(slice(...)))` sub-distance HOFs per row (512 at
+  * the m=16/ksub=32 default): interpreted, allocation-heavy, and the
+  * whole index-build scan drops out of whole-stage codegen. Identical
+  * arithmetic (left-to-right (x−c)² folds) and NULL contract (a
+  * subspace the vector does not fully cover, or with a null element,
+  * encodes NULL — the zip_with-padding outcome); codebooks ship as the
+  * [[AdcLutExpr]] TorrentBroadcast payload.
+  */
+case class PqCodesExpr(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[VectorOps.BroadcastBooks])
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_codes needs array<double>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.pqCodesKernel(v.asInstanceOf[ArrayData], bc.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBooksBc", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorOps.pqCodesKernel($c, $ref.value());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+
+  override def prettyName: String = "pq_codes"
+}
+
 object VectorOps {
   import org.apache.spark.sql.functions._
+
+  /** The broadcast payload of [[AdcLutExpr]]: the trained per-subspace PQ
+    * codebooks, `books(m)(code)` a subDim-vector — KBs, shipped once per
+    * executor.
+    */
+  final case class BroadcastBooks(books: Array[Array[Array[Double]]])
+    extends Serializable
+
+  /** The [[AdcFoldExpr]] kernel. Boxed return: the fold is NULL whenever
+    * the HOF chain it replaces would be — codes length ≠ m (zip_with
+    * null-padding), a null code, an index outside the LUT
+    * (element_at's null), a null LUT slot.
+    */
+  def adcFoldBoxed(codes: ArrayData, lut: ArrayData,
+      m: Int, ksub: Int): java.lang.Double = {
+    if (codes.numElements() != m) return null
+    val lutLen = lut.numElements()
+    var acc = 0.0
+    var mm = 0
+    while (mm < m) {
+      if (codes.isNullAt(mm)) return null
+      val idx = mm * ksub + codes.getInt(mm)
+      if (idx < 0 || idx >= lutLen || lut.isNullAt(idx)) return null
+      acc += lut.getDouble(idx)
+      mm += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** The [[PqCodesExpr]] kernel: per subspace, left-to-right (x−c)² fold
+    * against each codeword, strict < argmin (first minimum = lowest
+    * code — array_position's first-match rule), NULL for any subspace
+    * the vector does not fully cover or that contains a null element.
+    */
+  def pqCodesKernel(v: ArrayData,
+      booksRef: AnyRef): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val books = booksRef.asInstanceOf[BroadcastBooks].books
+    val m = books.length
+    val ksub = books(0).length
+    val subDim = books(0)(0).length
+    val n = v.numElements()
+    val out = new Array[Any](m)
+    var mm = 0
+    while (mm < m) {
+      val off = mm * subDim
+      var nullSub = off + subDim > n
+      var d = 0
+      while (!nullSub && d < subDim) {
+        if (v.isNullAt(off + d)) nullSub = true
+        d += 1
+      }
+      if (nullSub) out(mm) = null
+      else {
+        var best = 0
+        var bestD = java.lang.Double.MAX_VALUE
+        var kk = 0
+        while (kk < ksub) {
+          val cw = books(mm)(kk)
+          var acc = 0.0
+          var i = 0
+          while (i < subDim) {
+            val x = v.getDouble(off + i) - cw(i)
+            acc += x * x
+            i += 1
+          }
+          if (kk == 0 || acc < bestD) { best = kk; bestD = acc }
+          kk += 1
+        }
+        out(mm) = best
+      }
+      mm += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def adcFold(codes: Column, lut: Column, m: Int, ksub: Int): Column =
+    bridge.column(AdcFoldExpr(bridge.expression(codes),
+      bridge.expression(lut), m, ksub))
+
+  def pqCodesCol(v: Column,
+      bc: org.apache.spark.broadcast.Broadcast[BroadcastBooks]): Column =
+    bridge.column(PqCodesExpr(bridge.expression(v), bc))
+
+  /** The [[AdcLutExpr]] kernel: LUT[i] = dot of the row vector's
+    * (i/ksub)-th subspace slice against codeword i%ksub, left-to-right
+    * accumulation, slice clamped at the vector end (short vectors
+    * contribute fewer terms — Array.slice semantics, matching the
+    * driver-side build).
+    */
+  def adcLutKernel(v: ArrayData,
+      booksRef: AnyRef): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val books = booksRef.asInstanceOf[BroadcastBooks].books
+    val m = books.length
+    val ksub = books(0).length
+    val subDim = books(0)(0).length
+    val n = v.numElements()
+    val out = new Array[Double](m * ksub)
+    var i = 0
+    while (i < out.length) {
+      val cw = books(i / ksub)(i % ksub)
+      val off = (i / ksub) * subDim
+      var acc = 0.0
+      var d = 0
+      while (d < subDim && off + d < n) {
+        acc += v.getDouble(off + d) * cw(d); d += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def adcLut(v: Column,
+      bc: org.apache.spark.broadcast.Broadcast[BroadcastBooks]): Column =
+    bridge.column(AdcLutExpr(bridge.expression(v), bc))
 
   /** The broadcast payload of [[CellProbeExpr]]: the super-centroids,
     * each super's child cell ids (cid-ascending), and the child

@@ -810,6 +810,117 @@ private[graft] object TextQueries {
         "AND NOT contains(orig, '{')) AS page_keep, " +
         "ctext AS text FROM k ORDER BY doc_id")),
 
+    // The COMPLETE C4 pipeline (Raffel et al. §2.2, all four rule families
+    // in one operator): the q_text_c4_clean fixture plus two injections —
+    // every 13th doc a fixed THREE-line promo block (survives the line
+    // filter; span dedup keeps only its first ELIGIBLE occurrence — doc 0
+    // is %5/%7/%11/%13/%17 all at once, blocked AND page-dropped, so its
+    // copy must NOT claim first occurrence: doc 13 keeps, 26/39/... lose
+    // theirs), and every 17th doc a bad-words line ("buy cheap pills") —
+    // the page-level blocklist drop. The oracle replays cleaning, the
+    // blocklist contains(), the 3-line-span rolling-hash fingerprints
+    // (lead×2 + the q_dedup_chunks fold), first-occurrence ranking, line
+    // removal, and the rebuild verbatim.
+    Q("q_text_c4_full",
+      (s, d) => {
+        val relined = Tables.documents(s, d).select(col("doc_id"), expr(
+          "concat_ws('\n', transform(" +
+            "sequence(0, (size(split(text, ' ')) + 11) div 12 - 1), " +
+            "i -> concat(concat_ws(' ', slice(split(text, ' '), " +
+            "i * 12 + 1, 12)), CASE WHEN i % 3 = 0 THEN '.' " +
+            "WHEN i % 3 = 1 THEN '?' ELSE '' END)))")
+          .as("text"))
+        val wrapped = relined.select(col("doc_id"), concat(
+          when(col("doc_id") % 5 === 0,
+            lit("powered by JavaScript analytics here.\n")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 11 === 0,
+            lit("\nLorem Ipsum dolor sit amet placeholder.")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nfunction f() { return 1; }")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit("\nshared promo span line one today.\nshared promo span " +
+              "line two today.\nshared promo span line three today."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 17 === 0,
+            lit("\nplease buy cheap pills today friend.")).otherwise(lit("")))
+          .as("text"))
+        TextAnalysis.c4Full(wrapped, Seq("buy cheap pills")).orderBy("doc_id")
+      },
+      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp " +
+        "FROM documents), " +
+        "d2 AS (SELECT doc_id, array_to_string(" +
+        "[array_to_string(sp[i*12+1 : least((i+1)*12, len(sp))], ' ') || " +
+        "(CASE WHEN i % 3 = 0 THEN '.' WHEN i % 3 = 1 THEN '?' " +
+        "ELSE '' END) " +
+        "FOR i IN range(0, (len(sp) + 11) // 12)], chr(10)) AS text FROM t), " +
+        "w AS (SELECT doc_id, " +
+        "(CASE WHEN doc_id % 5 = 0 THEN 'powered by JavaScript analytics " +
+        "here.' || chr(10) ELSE '' END) || text || " +
+        "(CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'Lorem Ipsum dolor sit " +
+        "amet placeholder.' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'function f() { return " +
+        "1; }' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'shared promo span " +
+        "line one today.' || chr(10) || 'shared promo span line two " +
+        "today.' || chr(10) || 'shared promo span line three today.' " +
+        "ELSE '' END) || " +
+        "(CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'please buy cheap " +
+        "pills today friend.' ELSE '' END) AS text FROM d2), " +
+        "c AS (SELECT doc_id, text, [l FOR l IN string_split(text, chr(10)) " +
+        "IF regexp_matches(rtrim(l), '[.!?\"]$') " +
+        "AND len(string_split_regex(trim(l), '\\s+')) >= 3 " +
+        "AND NOT contains(lower(l), 'javascript')] AS kl FROM w), " +
+        "pg AS (SELECT doc_id, " +
+        "COALESCE(array_to_string(kl, chr(10)), '') AS ctext, " +
+        "(len(regexp_extract_all(array_to_string(kl, chr(10)), '[.!?]')) " +
+        ">= 5 AND NOT contains(lower(text), 'lorem ipsum') " +
+        "AND NOT contains(text, '{')) AS page_keep, " +
+        "contains(array_to_string(kl, chr(10)), 'buy cheap pills') " +
+        "AS blocked FROM c), " +
+        "el AS (SELECT doc_id, string_split(ctext, chr(10)) AS sp2 " +
+        "FROM pg WHERE page_keep AND NOT blocked), " +
+        "lx AS (SELECT doc_id, u.idx AS idx, u.line AS line FROM " +
+        "(SELECT doc_id, unnest([{'idx': i - 1, 'line': sp2[i]} " +
+        "FOR i IN range(1, len(sp2) + 1)]) AS u FROM el) q0), " +
+        "s3 AS (SELECT doc_id, idx, line, " +
+        "lead(line, 1) OVER (PARTITION BY doc_id ORDER BY idx) AS l1, " +
+        "lead(line, 2) OVER (PARTITION BY doc_id ORDER BY idx) AS l2 " +
+        "FROM lx), " +
+        "fp AS (SELECT doc_id, idx, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "[CAST(unicode(ch) AS BIGINT) FOR ch IN regexp_extract_all(" +
+        "lower(regexp_replace(trim(" +
+        "line || chr(10) || l1 || chr(10) || l2" +
+        "), '\\s+', ' ', 'g')), '.')]), " +
+        s"(acc, x) -> (acc * 31 + x) % ${graft.functions.RollingHash.Modulus}) " +
+        "AS f FROM s3 WHERE l2 IS NOT NULL), " +
+        "dup AS (SELECT doc_id, idx FROM (SELECT doc_id, idx, " +
+        "row_number() OVER (PARTITION BY f ORDER BY doc_id, idx) AS rn " +
+        "FROM fp) q1 WHERE rn > 1), " +
+        "nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_span_dups " +
+        "FROM dup GROUP BY 1), " +
+        "rm AS (SELECT DISTINCT doc_id, ridx AS idx FROM " +
+        "(SELECT doc_id, unnest(range(idx, idx + 3)) AS ridx FROM dup) q2), " +
+        "kept AS (SELECT lx.doc_id, lx.idx, lx.line FROM lx " +
+        "LEFT JOIN rm ON lx.doc_id = rm.doc_id AND lx.idx = rm.idx " +
+        "WHERE rm.doc_id IS NULL), " +
+        "rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_left, " +
+        "string_agg(line, chr(10) ORDER BY idx) AS dtext " +
+        "FROM kept GROUP BY 1) " +
+        "SELECT pg.doc_id, pg.page_keep, pg.blocked, " +
+        "(pg.page_keep AND NOT pg.blocked) AS keep, " +
+        "CAST(CASE WHEN pg.page_keep AND NOT pg.blocked " +
+        "THEN COALESCE(nd.n_span_dups, 0) ELSE 0 END AS BIGINT) " +
+        "AS n_span_dups, " +
+        "CAST(CASE WHEN pg.page_keep AND NOT pg.blocked " +
+        "THEN len(string_split(pg.ctext, chr(10))) - " +
+        "COALESCE(rb.n_left, 0) ELSE 0 END AS BIGINT) AS n_lines_removed, " +
+        "CASE WHEN pg.page_keep AND NOT pg.blocked " +
+        "THEN COALESCE(rb.dtext, '') ELSE pg.ctext END AS text " +
+        "FROM pg LEFT JOIN nd USING (doc_id) LEFT JOIN rb USING (doc_id) " +
+        "ORDER BY pg.doc_id")),
+
     Q("q_text_line_dedup",
       (s, d) => {
         val relined = Tables.documents(s, d).select(col("doc_id"), expr(

@@ -208,9 +208,23 @@ object Tables {
     * must be `spark.table(name)`, not a parquet path — see
     * [[materializeTransactions]] for the path-based alternative.)
     */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.mode("overwrite").format("parquet")
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+      format: String = "parquet"): Unit = {
+    require(format == "parquet" || format == "orc",
+      s"bucketed index format must be parquet or orc, got '$format'")
+    df.write.mode("overwrite").format(format)
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+  }
+
+  /** The catalog-recorded provider of a managed table — read back by the
+    * append/rewrite paths so maintenance NEVER changes an index's storage
+    * format mid-life (an ORC-built index stays ORC through upserts,
+    * deletes, and compactions).
+    */
+  private def providerOf(spark: SparkSession, table: String): String =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .provider.getOrElse("parquet")
 
   /** Append under a [[writeBucketed]] table's OWN bucket spec (read from
     * the catalog, never from call-site parameters — a mismatched append
@@ -225,7 +239,7 @@ object Tables {
       .bucketSpec
       .getOrElse(throw new IllegalStateException(
         s"table $table has no bucket spec"))
-    df.write.mode("append").format("parquet")
+    df.write.mode("append").format(providerOf(spark, table))
       .bucketBy(spec.numBuckets, spec.bucketColumnNames.head)
       .sortBy(spec.sortColumnNames.head)
       .saveAsTable(table)
@@ -337,7 +351,7 @@ object Tables {
     val stage = s"${table}_stage"
     val old = s"${table}_old"
     dropManagedTables(spark, Seq(stage, old))
-    val w = df.write.mode("overwrite").format("parquet")
+    val w = df.write.mode("overwrite").format(providerOf(spark, table))
     spec.fold(w)(s => w.bucketBy(s.numBuckets, s.bucketColumnNames.head)
         .sortBy(s.sortColumnNames.head))
       .saveAsTable(stage)

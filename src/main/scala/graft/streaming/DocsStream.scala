@@ -222,6 +222,46 @@ object DocsStream {
         } finally { b.unpersist(); () }
     }
 
+  /** Streaming MOORE–LEWIS gate against two stored
+    * [[graft.functions.TextAnalysis.writeLmTable]] models (target =
+    * in-domain, raw = general) — the [[dsirGateSink]] deployment for the
+    * cross-entropy-difference selector: both LMs fit ONCE on the
+    * reference corpora at ingest, each arriving document scores via
+    * [[graft.functions.Sampling.crossEntropyScoreIndexed]] (exact
+    * fixed-point diff_q; ce_diff is two IEEE divisions of exact
+    * integers, bit-portable), and keeps iff `ce_diff >= minCeDiff` — a
+    * threshold (e.g. [[graft.functions.Sampling.crossEntropySelect]]'s
+    * n-th-best ce_diff on the fit corpus) replacing batch top-n, which
+    * an unbounded stream cannot rank. Unscorable docs (< 2 tokens, NULL
+    * text → NULL ce_diff) drop, the [[lmGateSink]] contract. Stream ≡
+    * batch per trigger (StreamingSpec asserts against
+    * `crossEntropyScoreIndexed.filter(ce_diff >= minCeDiff)` on the
+    * concatenated corpus — scoring is per-document against FROZEN
+    * models, so trigger boundaries cannot change a verdict); output
+    * re-writes its own `batch=N` partition, so a retried trigger is
+    * idempotent. Because the models are writeLmTable artifacts, takedown
+    * unlearning ([[graft.functions.TextAnalysis.deleteFromLmTable]])
+    * applies to the gate's models for free.
+    */
+  def ceGateSink(docs: DataFrame, targetName: String, rawName: String,
+      outDir: String, minCeDiff: Double)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = batch.toDF().persist()
+        try {
+          val keep = graft.functions.Sampling
+            .crossEntropyScoreIndexed(b.sparkSession, targetName, rawName, b)
+            .filter(col("ce_diff") >= minCeDiff)
+            .select("doc_id", "n_bigrams", "diff_q", "ce_diff")
+          val out = b.join(keep, Seq("doc_id")).persist()
+          try {
+            (if (out.isEmpty) out.repartition(1) else out)
+              .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          } finally { out.unpersist(); () }
+        } finally { b.unpersist(); () }
+    }
+
   /** Streaming NEAR-dup gate against a persisted MinHash index
     * ([[graft.functions.MinhashIndex]]) — the lexical analog of what
     * [[incrementalDedupStream]] does for exact duplicates, closing the

@@ -247,6 +247,171 @@ class BucketedSpec extends SparkSpec {
     } finally Similarity.dropAnnIndex(spark, "ann_dist_idx")
   }
 
+  test("ann index via ORC: search ≡ the parquet index, pruning retained, maintenance keeps the format") {
+    import graft.functions.Similarity
+    val rnd = new scala.util.Random(31)
+    val corpus = (0 until 48).map { i =>
+      val base = Array.fill(8)(0.05 + rnd.nextDouble() * 0.1)
+      base(i % 4) = 1.0 + rnd.nextDouble()
+      (i.toLong, base.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 12 === 0)
+    Similarity.writeAnnIndex(corpus, "ann_pq_fmt_idx",
+      centroids = 4, sampleSize = 32, iters = 2, buckets = 4)
+    Similarity.writeAnnIndex(corpus, "ann_orc_fmt_idx",
+      centroids = 4, sampleSize = 32, iters = 2, buckets = 4,
+      format = "orc")
+    try {
+      def rows(name: String) = Similarity.annSearchIndexed(spark, name,
+        queries, k = 5, nprobe = 2).orderBy("query_id", "rank")
+      val viaOrc = rows("ann_orc_fmt_idx")
+      val a = rows("ann_pq_fmt_idx").collect().map(_.toSeq).toSeq
+      val b = viaOrc.collect().map(_.toSeq).toSeq
+      assert(a.nonEmpty && a == b, "ORC index must answer like parquet")
+      // bucket pruning is format-agnostic
+      val plan = viaOrc.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      val m = sel.findFirstMatchIn(plan)
+      assert(m.nonEmpty && m.get.group(1).toInt < m.get.group(2).toInt,
+        s"ORC assignments scan must be bucket-pruned: $plan")
+      // delete + compact (the rewriteTable stage-swap) must keep the
+      // catalog provider — an ORC-built index stays ORC for life
+      Similarity.deleteFromAnnIndex(spark, "ann_orc_fmt_idx", Seq(0L))
+      Similarity.compactAnnIndex(spark, "ann_orc_fmt_idx")
+      val provider = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+          "ann_orc_fmt_idx_assignments")).provider
+      assert(provider.contains("orc"),
+        s"compaction must preserve the ORC provider, got $provider")
+      Similarity.deleteFromAnnIndex(spark, "ann_pq_fmt_idx", Seq(0L))
+      Similarity.compactAnnIndex(spark, "ann_pq_fmt_idx")
+      val a2 = rows("ann_pq_fmt_idx").collect().map(_.toSeq).toSeq
+      val b2 = rows("ann_orc_fmt_idx").collect().map(_.toSeq).toSeq
+      assert(a2.nonEmpty && a2 == b2,
+        "post-compaction ORC search must still answer like parquet")
+    } finally {
+      Similarity.dropAnnIndex(spark, "ann_pq_fmt_idx")
+      Similarity.dropAnnIndex(spark, "ann_orc_fmt_idx")
+    }
+  }
+
+  test("pq native kernels: codegen'd encode + ADC fold ≡ the HOF forms, incl. NULL contracts") {
+    import graft.functions.{Similarity, VectorOps}
+    // deterministic m=4/ksub=3/subDim=2 codebooks
+    val books = Array.tabulate(4, 3) { (mm, kk) =>
+      Array(0.1 * mm + 0.01 * kk, 0.2 * kk - 0.05 * mm)
+    }
+    val bc = spark.sparkContext.broadcast(VectorOps.BroadcastBooks(books))
+    // full vectors, a 5-dim short vector (subspace 2 partially covered,
+    // subspace 3 absent → both NULL codes), and an exactly-6-dim one
+    val vecs = Seq(
+      (1L, Seq(0.11, 0.39, -0.02, 0.18, 0.22, 0.05, -0.3, 0.4)),
+      (2L, Seq(0.0, 0.0, 0.1, 0.1, 0.2, 0.2, 0.3, 0.3)),
+      (3L, Seq(0.5, -0.5, 0.25, 0.0, 1.0)),
+      (4L, Seq(0.05, 0.15, 0.06, 0.16, 0.07, 0.17)))
+      .toDF("vec_id", "v")
+    val nat = vecs.select($"vec_id", VectorOps.pqCodesCol($"v", bc).as("c"))
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val hof = vecs.select($"vec_id", Similarity.pqCodesHof(books, $"v").as("c"))
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(nat == hof, s"native encode $nat != HOF encode $hof")
+    assert(nat(2)(1).asInstanceOf[scala.collection.Seq[Any]]
+      .drop(2).forall(_ == null), s"short vector must NULL-encode: ${nat(2)}")
+
+    // the fold: normal row, short codes, null code
+    val lut8 = Seq.tabulate(12)(i => 0.5 + 0.25 * i)
+    val folds = Seq(
+      (1L, Seq[Integer](2, 0, 1, 2), lut8),
+      (2L, Seq[Integer](1, 2), lut8),             // codes.length != m
+      (3L, Seq[Integer](0, null, 1, 0), lut8))    // null code
+      .toDF("vec_id", "codes", "lut")
+    def run(df: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.Column) = df
+      .select($"vec_id", c.as("s")).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getDouble(1))).toSeq
+    val natF = run(folds, VectorOps.adcFold($"codes", $"lut", 4, 3))
+    val hofF = run(folds, Similarity.adcFoldHof(4, 3))
+    assert(natF == hofF, s"native fold $natF != HOF fold $hofF")
+    assert(natF(0)._2 != null && natF(1)._2 == null && natF(2)._2 == null,
+      s"NULL contract: $natF")
+    // a code past the LUT (impossible from a consistent encode): Spark 4's
+    // ANSI element_at THROWS in the HOF form; the native kernel returns
+    // NULL instead — a scan kernel must not abort a 100 TB job on one
+    // corrupt row (the documented divergence, unreachable by construction)
+    val oob = Seq((4L, Seq[Integer](0, 1, 2, 9), lut8))
+      .toDF("vec_id", "codes", "lut")
+    assert(run(oob, VectorOps.adcFold($"codes", $"lut", 4, 3)) ==
+      Seq((4L, null)), "native fold must NULL an out-of-range code")
+    intercept[Exception] { run(oob, Similarity.adcFoldHof(4, 3)) }
+  }
+
+  test("pq family: distributed arms (queries above maxQueries) ≡ driver arms; ivfadc pruning retained") {
+    import graft.functions.Similarity
+    val rnd = new scala.util.Random(23)
+    val corpus = (0 until 48).map { i =>
+      val base = Array.fill(8)(0.05 + rnd.nextDouble() * 0.1)
+      base(i % 4) = 1.0 + rnd.nextDouble()
+      (i.toLong, base.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    // zero-norm query included: both arms must DROP it, not crash
+    val queries = corpus.filter($"vec_id" % 12 === 0)
+      .union(Seq((99L, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding"))
+    def eq(name: String, driver: org.apache.spark.sql.DataFrame,
+        dist: org.apache.spark.sql.DataFrame): Unit = {
+      val a = driver.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      val b = dist.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      assert(a.nonEmpty && a == b, s"$name: distributed arm $b != driver arm $a")
+    }
+    // one-shot paths: maxQueries = 0 forces EVERY query set onto the
+    // distributed arm — scan-side LUTs from broadcast codebooks must
+    // reproduce the driver-built LUTs row for row (same fold, same probe
+    // ties, same residual base terms)
+    eq("pqTopK",
+      Similarity.pqTopK(corpus, queries, k = 5,
+        m = 4, ksub = 8, sampleSize = 32, iters = 2),
+      Similarity.pqTopK(corpus, queries, k = 5,
+        m = 4, ksub = 8, sampleSize = 32, iters = 2, maxQueries = 0))
+    eq("ivfPqTopK",
+      Similarity.ivfPqTopK(corpus, queries, k = 5, centroids = 4,
+        nprobe = 2, m = 4, ksub = 8, sampleSize = 32, iters = 2),
+      Similarity.ivfPqTopK(corpus, queries, k = 5, centroids = 4,
+        nprobe = 2, m = 4, ksub = 8, sampleSize = 32, iters = 2,
+        maxQueries = 0))
+    eq("ivfPqResidualTopK",
+      Similarity.ivfPqResidualTopK(corpus, queries, k = 5, centroids = 4,
+        nprobe = 2, m = 4, ksub = 8, sampleSize = 32, iters = 2),
+      Similarity.ivfPqResidualTopK(corpus, queries, k = 5, centroids = 4,
+        nprobe = 2, m = 4, ksub = 8, sampleSize = 32, iters = 2,
+        maxQueries = 0))
+    // indexed paths
+    Similarity.writePqIndex(corpus, "pq_dist_idx",
+      m = 4, ksub = 8, sampleSize = 32, iters = 2)
+    try eq("pqSearchIndexed",
+      Similarity.pqSearchIndexed(spark, "pq_dist_idx", queries, k = 5),
+      Similarity.pqSearchIndexed(spark, "pq_dist_idx", queries, k = 5,
+        maxQueries = 0))
+    finally Similarity.dropPqIndex(spark, "pq_dist_idx")
+    Similarity.writeIvfPqResIndex(corpus, "ivfadc_dist_idx",
+      centroids = 4, m = 4, ksub = 8, sampleSize = 32, iters = 2, buckets = 4)
+    try {
+      val dist = Similarity.ivfPqResSearchIndexed(spark, "ivfadc_dist_idx",
+        queries, k = 5, nprobe = 2, maxQueries = 0)
+      eq("ivfPqResSearchIndexed",
+        Similarity.ivfPqResSearchIndexed(spark, "ivfadc_dist_idx",
+          queries, k = 5, nprobe = 2),
+        dist)
+      // the probed-cell set is still a literal bucket-IN: pruning survives
+      // the distributed arm (the control read is centroid-bounded)
+      val plan = dist.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      val m = sel.findFirstMatchIn(plan)
+      assert(m.nonEmpty, s"distributed-arm codes scan must be bucket-pruned:\n$plan")
+      assert(m.get.group(1).toInt < m.get.group(2).toInt,
+        s"pruning must select a strict subset of buckets: ${m.get.matched}")
+    } finally Similarity.dropIvfPqResIndex(spark, "ivfadc_dist_idx")
+  }
+
   test("ann index upsert: grown index ≡ one full build; pruning retained") {
     import graft.functions.Similarity
     val rnd = new scala.util.Random(11)

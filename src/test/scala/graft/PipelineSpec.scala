@@ -2080,6 +2080,52 @@ class PipelineSpec extends SparkSpec {
     assert(out(5) == (6L, 1L, 0L, 0L, false, ""), "NULL text reads empty")
   }
 
+  test("c4 full: blocklist drops pages whole; 3-line spans keep first eligible occurrence only") {
+    val l = (s: String) => s"$s line with enough words."
+    val promo = Seq(l("promo one"), l("promo two"), l("promo three"))
+    val body = (n: Int, tag: String) =>
+      (1 to n).map(i => l(s"$tag body $i")).mkString("\n")
+    val rows = Seq(
+      // doc 1: eligible, carries the promo span FIRST → keeps all lines
+      (1L, body(5, "a") + "\n" + promo.mkString("\n")),
+      // doc 2: eligible, same promo span → its three lines drop
+      (2L, body(5, "b") + "\n" + promo.mkString("\n")),
+      // doc 3: blocked page (bad words) — drops WHOLE even though clean
+      (3L, body(5, "c") + "\n" + l("please buy cheap pills now")),
+      // doc 4: page_keep false (brace) — ineligible, text = cleaned only
+      (4L, body(5, "d") + "\ncode { brace }."),
+      // doc 5: promo span again; doc 3/4 were ineligible so doc 1 is
+      // still the canonical copy → doc 5 loses the lines too
+      (5L, promo.mkString("\n") + "\n" + body(5, "e")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.c4Full(rows, Seq("buy cheap pills"),
+        minSentences = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("page_keep"),
+        r.getAs[Boolean]("blocked"), r.getAs[Boolean]("keep"),
+        r.getAs[Long]("n_span_dups"), r.getAs[Long]("n_lines_removed"),
+        r.getAs[String]("text"))).toSeq
+    // doc 1: first eligible occurrence — nothing removed
+    assert(out(0)._4 && out(0)._5 == 0L && out(0)._6 == 0L &&
+      out(0)._7.contains("promo one"), s"doc1: ${out(0)}")
+    // doc 2: exactly the pure promo span duplicates (mixed spans differ
+    // by the body lines), its 3 lines drop, body survives
+    assert(out(1)._4 && out(1)._5 == 1L && out(1)._6 == 3L &&
+      !out(1)._7.contains("promo") && out(1)._7.contains("b body 1"),
+      s"doc2: ${out(1)}")
+    // doc 3: blocked, whole page drops from the corpus; text stays the
+    // CLEANED text for audit, flags say why
+    assert(out(2)._2 && out(2)._3 && !out(2)._4 && out(2)._5 == 0L,
+      s"doc3: ${out(2)}")
+    // doc 4: page rule failed — ineligible, span stats zero
+    assert(!out(3)._2 && !out(3)._3 && !out(3)._4 && out(3)._6 == 0L,
+      s"doc4: ${out(3)}")
+    // doc 5: duplicate again (canonical copy is doc 1, ineligible docs
+    // never claimed it)
+    assert(out(4)._4 && out(4)._5 == 1L && out(4)._6 == 3L &&
+      !out(4)._7.contains("promo"), s"doc5: ${out(4)}")
+  }
+
   test("chunk windows: overlapping stride slices, ragged tail, null docs emit nothing") {
     val fixture = Seq(
       (1L, "a b c d e"),                 // n=5, w=3, s=2 → starts 0,2

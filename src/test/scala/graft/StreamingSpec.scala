@@ -396,6 +396,62 @@ class StreamingSpec extends SparkSpec {
     } finally Sampling.dropDsirModel(spark, name)
   }
 
+  test("streaming Moore-Lewis gate: stored two-LM ce_diff gates the stream exactly like batch; unscorable docs drop") {
+    import graft.streaming.DocsStream
+    import graft.functions.{Sampling, TextAnalysis}
+    implicit val sqlCtx = spark.sqlContext
+    // two frozen LMs: target = alpha/beta in-domain; raw adds a zeta/eta
+    // block heavy enough that raw assigns its bigrams MORE mass than the
+    // target's unseen-smoothing floor (1/Vt with a small vocab is easy to
+    // beat from below — the fixture must make raw genuinely dominant on
+    // the off-domain bigrams for ce_diff to go negative)
+    val raw = Seq((100L, "alpha beta alpha beta"), (101L, "alpha beta gamma"),
+      (102L, "zeta eta zeta eta zeta eta"))
+      .toDF("doc_id", "text")
+    val target = raw.filter($"doc_id" <= 101L)
+    val tName = "graft_ce_gate_t"; val rName = "graft_ce_gate_r"
+    TextAnalysis.writeLmTable(target, tName)
+    TextAnalysis.writeLmTable(raw, rName)
+    val out = java.nio.file.Files.createTempDirectory("graft_ce_gate")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ce_gate_ckpt")
+    // stream: target-like (keep), off-distribution (drop), unscorable (drop)
+    val b1 = Seq((1L, "alpha beta alpha"), (2L, "zeta eta zeta"))
+    val b2 = Seq((3L, "alpha beta gamma alpha beta"), (4L, "solo"))
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = DocsStream.ceGateSink(in.toDF().toDF("doc_id", "text"),
+          tName, rName, out.toString, minCeDiff = 0.0)
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+        val gated = spark.read.parquet(out.toString)
+        val kept = gated.select("doc_id").as[Long].collect().sorted.toSeq
+        // stream ≡ batch: same docs pass the same stored-model threshold
+        val scored = Sampling.crossEntropyScoreIndexed(spark, tName, rName,
+          (b1 ++ b2).toDF("doc_id", "text"))
+        val batchKept = scored.filter($"ce_diff" >= 0.0)
+          .select("doc_id").as[Long].collect().sorted.toSeq
+        assert(kept == batchKept && kept == Seq(1L, 3L))
+        // the off-distribution doc really scored NEGATIVE, not unscorable
+        assert(scored.filter($"doc_id" === 2L)
+          .select("ce_diff").as[Double].head() < 0.0)
+        // survivors carry the exact stored fixed-point diff and land in
+        // their trigger's partition
+        assert(gated.filter($"doc_id" === 1L).select("batch").as[Int].head() == 0)
+        assert(gated.filter($"doc_id" === 3L).select("batch").as[Int].head() == 1)
+        val d1stream = gated.filter($"doc_id" === 1L)
+          .select("diff_q").as[Long].head()
+        val d1batch = scored.filter($"doc_id" === 1L)
+          .select("diff_q").as[Long].head()
+        assert(d1stream == d1batch)
+      } finally q.stop()
+    } finally {
+      TextAnalysis.dropLmTable(spark, tName)
+      TextAnalysis.dropLmTable(spark, rName)
+    }
+  }
+
   test("streaming LM gate: stored-model scoring gates the stream exactly like batch; unscorable docs drop") {
     import graft.streaming.DocsStream
     import graft.functions.TextAnalysis

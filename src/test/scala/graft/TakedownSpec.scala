@@ -373,6 +373,91 @@ class TakedownSpec extends SparkSpec {
     }
   }
 
+  test("dsir model: deleteEverywhere unlearn equals refit-without; retry " +
+      "skips; never-fit batch throws; audit sweep finds the family") {
+    import graft.functions.Sampling
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val dm = s"td_dsir_$uid"
+    // target = in-domain; raw = crawl INCLUDING the two docs that will be
+    // taken down — their bigrams shape cr and the totals term
+    val target = Seq(
+      (1L, "clean science text about physics and method"),
+      (2L, "careful method and physics discussion text"))
+      .toDF("doc_id", "text")
+    val keptRaw = Seq(
+      (10L, "random crawl chatter about shoes and sales"),
+      (11L, "physics method text buried in crawl noise"))
+      .toDF("doc_id", "text")
+    val deletedRaw = Seq(
+      (12L, "spam spam click here buy now spam spam"),
+      (13L, "more spam and sales chatter click now"))
+      .toDF("doc_id", "text")
+    Sampling.writeDsirModel(spark, dm, keptRaw.unionByName(deletedRaw),
+      target, buckets = 64)
+    try {
+      val registry = Seq(Takedown.DsirModel(dm, deletedRaw, side = "raw"))
+      // the family is sweep-visible: drop it from a registry → loud row
+      val missing = Takedown.auditRegistry(spark, Seq.empty[Takedown.Artifact]
+        :+ Takedown.SearchIndex("nonexistent"))
+      assert(missing.contains(("dsir", dm.toLowerCase)),
+        s"unregistered DSIR model must be flagged: $missing")
+
+      val pre = spark.table(s"${dm}_ratios")
+        .orderBy("bucket").collect().map(_.toSeq).toSeq
+      val first = Takedown.deleteEverywhere(spark, "d1",
+        Seq(12L, 13L), registry)
+      assert(first.forall(_._3), s"first run must apply: $first")
+
+      // the unlearned ratio table equals a refit WITHOUT the deleted
+      // docs, row for row including the quantized lrq (integer counts +
+      // the shared quantize expression — exact to the bit)
+      val ref = s"td_dsirref_$uid"
+      Sampling.writeDsirModel(spark, ref, keptRaw, target, buckets = 64)
+      try {
+        val unlearned = spark.table(s"${dm}_ratios")
+          .orderBy("bucket").collect().map(_.toSeq).toSeq
+        val refit = spark.table(s"${ref}_ratios")
+          .orderBy("bucket").collect().map(_.toSeq).toSeq
+        assert(unlearned == refit,
+          "DSIR unlearn must equal refit-without-deleted to the bit")
+        assert(unlearned != pre,
+          "the deleted docs must have changed the model (else no-op gate)")
+        // and the scoring face agrees end to end
+        val batch = Seq((20L, "physics method text"),
+          (21L, "buy now sales chatter")).toDF("doc_id", "text")
+        val a = Sampling.dsirScoreIndexed(spark, dm, batch)
+          .orderBy("doc_id").collect().map(_.toSeq).toSeq
+        val b = Sampling.dsirScoreIndexed(spark, ref, batch)
+          .orderBy("doc_id").collect().map(_.toSeq).toSeq
+        assert(a == b, "unlearned scoring must equal refit scoring")
+      } finally Sampling.dropDsirModel(spark, ref)
+
+      // retry = ledger skip (subtractive family: double-apply would
+      // double-subtract) and residual is 0 by construction
+      val retry = Takedown.deleteEverywhere(spark, "d1",
+        Seq(12L, 13L), registry)
+      assert(retry.forall(!_._3), s"retry must skip: $retry")
+      assert(Takedown.residualReferences(spark, Seq(12L, 13L), registry)
+        .forall(_._3 == 0L))
+
+      // an over-subtraction (here: the FULL original raw corpus against a
+      // model that already unlearned deletedRaw — more occurrences than
+      // remain, so SOME bucket must go negative by pigeonhole) → loud
+      // throw, model unchanged
+      val before = spark.table(s"${dm}_ratios")
+        .orderBy("bucket").collect().map(_.toSeq).toSeq
+      intercept[IllegalArgumentException] {
+        Sampling.deleteFromDsirModel(spark, dm,
+          keptRaw.unionByName(deletedRaw), side = "raw")
+      }
+      val after = spark.table(s"${dm}_ratios")
+        .orderBy("bucket").collect().map(_.toSeq).toSeq
+      assert(before == after, "failed unlearn must not publish")
+    } finally {
+      Sampling.dropDsirModel(spark, dm); Takedown.dropLedger(spark, dm)
+    }
+  }
+
   test("ledger ids-hash guard: a reused batchId with different ids throws " +
       "loudly instead of silently skipping") {
     val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)

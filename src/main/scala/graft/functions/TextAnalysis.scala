@@ -1048,6 +1048,175 @@ object TextAnalysis {
       .na.fill(0.0, Seq("dup_5gram_char_frac"))
   }
 
+  /** The COMPLETE Gopher repetition table (Rae et al. 2021 Table A1 —
+    * the full §A1.1 rule set, where [[repetitionStats]] carries the two
+    * flagship signals): per document,
+    *
+    *  - `dup_line_frac` / `dup_line_char_frac` — beyond-first occurrences
+    *    of duplicated LINES (split on `\n`, empties dropped), as a
+    *    fraction of line count and of line characters;
+    *  - `dup_para_frac` / `dup_para_char_frac` — the same over
+    *    PARAGRAPHS (split on blank lines, `\n{2,}`);
+    *  - `top_{2,3,4}gram_char_frac` — characters covered by the single
+    *    most frequent word n-gram (count × n-gram length / text length,
+    *    ties broken by n-gram ascending — the [[repetitionStats]] rule);
+    *  - `dup_{5..10}gram_char_frac` — characters of tokens COVERED by at
+    *    least one occurrence of a duplicated n-gram, as a fraction of
+    *    total token characters. This is the paper's position-coverage
+    *    semantic (overlapping duplicate spans count each token once),
+    *    NOT the beyond-first-occurrence sum the 5-gram flagship uses —
+    *    both are published readings; the column families keep them
+    *    distinguishable.
+    *
+    * Every ratio is exact-integer until one final double division of two
+    * exact counts, so results are engine-bit-identical. Thresholding is
+    * the caller's policy (Gopher drops at 0.30/0.20 for lines/paragraphs
+    * by fraction, 0.20/0.19/0.18 for top-2/3/4, 0.15..0.10 for
+    * dup-5..10).
+    *
+    * Scale shape: every Table A1 signal is PER-DOCUMENT, so the operator
+    * is ONE corpus scan with ZERO exchanges — a single codegen'd
+    * [[GopherStatsExpr]] kernel computes all thirteen fractions inside
+    * the scan partition (per-doc hash maps bounded by document token
+    * count), and the embarrassingly-parallel shape survives any corpus
+    * size by construction. The relational explode→aggregate form that a
+    * SQL engine would run ([[gopherRepetitionRelational]]) is retained
+    * as the spec-pinned equality surface; measured at sf0.1 it cost
+    * 13.2 s against the kernel's sub-second scan — the difference being
+    * one (doc, n, gram)-keyed shuffle of every occurrence string plus a
+    * corpus-scale checkpoint, neither of which the statistic needs.
+    */
+  /** The interpreted higher-order-function form of
+    * [[GramOccurrencesExpr]] — retained ONLY as the equality surface the
+    * kernel is spec-pinned against (the PqCodesExpr discipline); never on
+    * a hot path.
+    */
+  private[graft] def gramOccurrencesHof(tk: Column, maxN: Int): Column =
+    flatten(array((1 to maxN).map { n =>
+      when(size(tk) >= n, transform(sequence(lit(0), size(tk) - n), i =>
+          struct(lit(n).as("n"), (i + 1).cast("int").as("start"),
+            concat_ws(" ",
+              (0 until n).map(j => element_at(tk, i + j + 1)): _*).as("g"))))
+        .otherwise(array().cast(
+          "array<struct<n:int,start:int,g:string>>"))
+    }: _*))
+
+  def gopherRepetition(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.bridge.column(GopherStatsExpr(
+          org.apache.spark.sql.graft.bridge.expression(col(textCol))))
+          .as("__r"))
+      .select(col("doc_id"), col("__r.*"))
+
+  /** The relational explode→aggregate form of [[gopherRepetition]] — the
+    * shape the DuckDB oracle replays, retained ONLY as the equality
+    * surface the scan-side kernel is spec-pinned against (the
+    * PqCodesExpr discipline); never on a hot path. One tagged explode
+    * (grams n = 1..10 via [[GramOccurrencesExpr]], lines as sentinel
+    * n = 0, paragraphs as n = −1), one (doc, n, unit)-keyed aggregate
+    * carrying occurrence-start lists, checkpointed once for its five
+    * consumers.
+    */
+  private[graft] def gopherRepetitionRelational(docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val spine = docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"), length(col(textCol)).cast("long").as("n_chars"),
+        tokens(col(textCol)).as("__toks"), col(textCol).as("__text"))
+
+    // one tagged occurrence stream: grams (n >= 1, native kernel), lines
+    // (n = 0), paragraphs (n = -1) — a single explode and a single
+    // (doc_id, n, g)-keyed exchange carry all three granularities
+    def nonEmpty(c: Column) = filter(c, v => length(v) > 0)
+    def tagged(n: Int, units: Column) = transform(nonEmpty(units),
+      v => struct(lit(n).as("n"), lit(0).as("start"), v.as("g")))
+        .cast("array<struct<n:int,start:int,g:string>>")
+    val occAll = concat(
+      gramOccurrences(col("__toks"), 10),
+      tagged(0, split(col("__text"), "\n")),
+      tagged(-1, split(col("__text"), "\n{2,}")))
+    val counts = spine
+      .select(col("doc_id"), col("n_chars"), explode(occAll).as("o"))
+      .select(col("doc_id"), col("n_chars"), col("o.n").as("n"),
+        col("o.start").as("start"), col("o.g").as("g"))
+      .groupBy(col("doc_id"), col("n"), col("g"))
+      .agg(first(col("n_chars")).as("n_chars"), count(lit(1)).as("c"),
+        collect_list(col("start")).as("starts"))
+      .localCheckpoint(true)
+
+    // lines + paragraphs from the sentinel rows
+    val lp = counts.filter(col("n") <= 0)
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("c")).as("n_units"),
+        sum(col("c") - 1).as("dup_units"),
+        sum(col("c") * length(col("g"))).as("unit_chars"),
+        sum((col("c") - 1) * length(col("g"))).as("dup_unit_chars"))
+      .groupBy(col("doc_id"))
+      .pivot("n", Seq(0, -1))
+      .agg(first(when(col("n_units") > 0,
+          col("dup_units").cast("double") / col("n_units"))).as("frac"),
+        first(when(col("unit_chars") > 0,
+          col("dup_unit_chars").cast("double") / col("unit_chars")))
+          .as("char_frac"))
+      .withColumnsRenamed(Map(
+        "0_frac" -> "L_frac", "0_char_frac" -> "L_char_frac",
+        "-1_frac" -> "P_frac", "-1_char_frac" -> "P_char_frac"))
+
+    // top-{2,3,4}-gram char fraction: min_by on (-count, gram) — one
+    // aggregate with map-side partials, the repetitionStats rule
+    val top = counts.filter(col("n").between(2, 4))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(min_by(
+        (col("c") * length(col("g"))).cast("double") / col("n_chars"),
+        struct((-col("c")).as("nc"), col("g"))).as("f"))
+      .groupBy(col("doc_id")).pivot("n", Seq(2, 3, 4)).agg(first(col("f")))
+      .select(col("doc_id"), col("2").as("top_2gram_char_frac"),
+        col("3").as("top_3gram_char_frac"),
+        col("4").as("top_4gram_char_frac"))
+
+    // duplicate-span token coverage for n = 5..10: explode only the
+    // duplicated grams' occurrence spans, dedup positions, price them by
+    // token length from the n = 1 rows
+    val tokLen = counts.filter(col("n") === 1)
+      .select(col("doc_id"), explode(col("starts")).as("pos"),
+        length(col("g")).cast("long").as("len"))
+    val tokChars = counts.filter(col("n") === 1)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * length(col("g"))).as("tok_chars"))
+    val covered = counts.filter(col("n") >= 5 && col("c") > 1)
+      .select(col("doc_id"), col("n"), explode(col("starts")).as("start"))
+      .select(col("doc_id"), col("n"),
+        explode(sequence(col("start"), col("start") + col("n") - 1))
+          .as("pos"))
+      .distinct()
+      .join(tokLen, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("len")).as("cov_chars"))
+      .join(tokChars, Seq("doc_id"))
+      .select(col("doc_id"), col("n"),
+        (col("cov_chars").cast("double") / col("tok_chars")).as("f"))
+      .groupBy(col("doc_id")).pivot("n", Seq(5, 6, 7, 8, 9, 10))
+      .agg(first(col("f")))
+      .select(col("doc_id") +: (5 to 10).map(n =>
+        col(s"$n").as(s"dup_${n}gram_char_frac")): _*)
+
+    spine.select(col("doc_id"))
+      .join(lp, Seq("doc_id"), "left")
+      .join(top, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("L_frac").as("dup_line_frac"),
+        col("L_char_frac").as("dup_line_char_frac"),
+        col("P_frac").as("dup_para_frac"),
+        col("P_char_frac").as("dup_para_char_frac"),
+        col("top_2gram_char_frac"), col("top_3gram_char_frac"),
+        col("top_4gram_char_frac"),
+        col("dup_5gram_char_frac"), col("dup_6gram_char_frac"),
+        col("dup_7gram_char_frac"), col("dup_8gram_char_frac"),
+        col("dup_9gram_char_frac"), col("dup_10gram_char_frac"))
+      .na.fill(0.0)
+  }
+
   /** CORPUS-INTERNAL TRIGRAM NOVELTY — the diversity signal beside the
     * within-doc repetition screen and the vs-benchmark contamination
     * screen: per document, the fraction of its DISTINCT trigrams that
@@ -1902,6 +2071,198 @@ object TextAnalysis {
       if (n == str) s else org.apache.spark.unsafe.types.UTF8String.fromString(n)
     }
 
+  /** All word n-gram occurrences, n = 1..maxN, as a Column — see
+    * [[GramOccurrencesExpr]]. */
+  def gramOccurrences(tokens: Column, maxN: Int): Column =
+    org.apache.spark.sql.graft.bridge.column(GramOccurrencesExpr(
+      org.apache.spark.sql.graft.bridge.expression(tokens), maxN))
+
+  /** Column face of [[GopherStatsExpr]]. */
+  def gopherStatsCol(text: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(GopherStatsExpr(
+      org.apache.spark.sql.graft.bridge.expression(text)))
+
+  private val GopherParaPattern = java.util.regex.Pattern.compile("\n{2,}")
+  private val GopherTokPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** Code-point comparison — identical to UTF-8 byte order and to
+    * DuckDB's default binary string collation; Java's UTF-16
+    * `String.compareTo` disagrees beyond the BMP, and the top-gram
+    * tie-break hangs on this order.
+    */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Static kernel behind [[GopherStatsExpr]]: the full Rae et al. Table
+    * A1 per-document statistic in one pass — duplicate line/paragraph
+    * fractions (count and characters), top-{2,3,4}-gram character
+    * fractions (ties code-point-ascending), and duplicate-{5..10}-gram
+    * position-coverage fractions. All counters are exact longs until the
+    * final double divisions, so results are bit-identical to the
+    * relational replay ([[gopherRepetitionRelational]], spec-pinned).
+    * Character counts are CODE POINTS (Spark `length` / DuckDB
+    * `length`). Per-document memory is O(tokens × maxN) transient map
+    * entries.
+    */
+  def gopherStats(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val text = s.toString
+    def cpLen(u: String): Long = u.codePointCount(0, u.length).toLong
+
+    // duplicate-unit stats over non-empty units: (frac, charFrac)
+    def dupStats(units: Array[String]): (Double, Double) = {
+      val m = new java.util.HashMap[String, Integer]()
+      var n = 0L; var chars = 0L
+      var i = 0
+      while (i < units.length) {
+        val u = units(i)
+        if (u.nonEmpty) { n += 1; chars += cpLen(u); m.merge(u, 1, _ + _) }
+        i += 1
+      }
+      var dups = 0L; var dupChars = 0L
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue.intValue()
+        if (c > 1) { dups += c - 1; dupChars += (c - 1).toLong * cpLen(e.getKey) }
+      }
+      (if (n > 0) dups.toDouble / n else 0.0,
+        if (chars > 0) dupChars.toDouble / chars else 0.0)
+    }
+    val (lf, lcf) = dupStats(text.split("\n", -1))
+    val (pf, pcf) = dupStats(GopherParaPattern.split(text, -1))
+
+    val nChars = cpLen(text)
+    val trimmed = {
+      // Spark `trim` strips ASCII space only — match it exactly
+      var b = 0; var e = text.length
+      while (b < e && text.charAt(b) == ' ') b += 1
+      while (e > b && text.charAt(e - 1) == ' ') e -= 1
+      text.substring(b, e)
+    }
+    val toks = GopherTokPattern.split(trimmed, -1)
+    val t = toks.length
+    val tokLen = new Array[Long](t)
+    var tokChars = 0L
+    var i = 0
+    while (i < t) { tokLen(i) = cpLen(toks(i)); tokChars += tokLen(i); i += 1 }
+
+    val top = new Array[Double](3) // n = 2, 3, 4
+    val cov = new Array[Double](6) // n = 5..10
+    val sb = new java.lang.StringBuilder()
+    var n = 2
+    while (n <= 10) {
+      if (t >= n) {
+        // gram -> positions (0-based starts); counts are list sizes
+        val m = new java.util.HashMap[String, java.util.ArrayList[Integer]]()
+        var p = 0
+        while (p <= t - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(p + j))
+            j += 1
+          }
+          m.computeIfAbsent(sb.toString,
+            _ => new java.util.ArrayList[Integer]()).add(p)
+          p += 1
+        }
+        if (n <= 4) {
+          var bestC = 0L; var bestG: String = null
+          val it = m.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val c = e.getValue.size().toLong
+            if (c > bestC || (c == bestC && cpCompare(e.getKey, bestG) < 0)) {
+              bestC = c; bestG = e.getKey
+            }
+          }
+          if (bestG != null && nChars > 0)
+            top(n - 2) = (bestC * cpLen(bestG)).toDouble / nChars
+        } else {
+          val covered = new Array[Boolean](t)
+          val it = m.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val ps = e.getValue
+            if (ps.size() > 1) {
+              var k = 0
+              while (k < ps.size()) {
+                val st = ps.get(k).intValue()
+                var q = st
+                while (q < st + n) { covered(q) = true; q += 1 }
+                k += 1
+              }
+            }
+          }
+          var covChars = 0L
+          var q = 0
+          while (q < t) { if (covered(q)) covChars += tokLen(q); q += 1 }
+          if (tokChars > 0)
+            cov(n - 5) = covChars.toDouble / tokChars
+        }
+      }
+      n += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](lf, lcf, pf, pcf, top(0), top(1), top(2),
+        cov(0), cov(1), cov(2), cov(3), cov(4), cov(5)))
+  }
+
+  /** Static kernel behind [[GramOccurrencesExpr]]: token bytes decode
+    * once, each start position appends into one shared byte buffer and
+    * snapshots every prefix — O(Σ gram bytes) total with no interpreted
+    * expression nodes.
+    */
+  def gramOccurrences(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      maxN: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val t = toks.numElements()
+    val tb = new Array[Array[Byte]](t)
+    var i = 0
+    while (i < t) {
+      val u = toks.getUTF8String(i)
+      tb(i) = if (u == null) Array.emptyByteArray else u.getBytes
+      i += 1
+    }
+    var total = 0
+    i = 0
+    while (i < t) { total += math.min(maxN, t - i); i += 1 }
+    val out = new Array[Any](total)
+    var r = 0
+    i = 0
+    while (i < t) {
+      val lim = math.min(maxN, t - i)
+      var cap = 0
+      var j = 0
+      while (j < lim) { cap += tb(i + j).length + 1; j += 1 }
+      val buf = new Array[Byte](cap)
+      var blen = 0
+      j = 0
+      while (j < lim) {
+        if (j > 0) { buf(blen) = ' '.toByte; blen += 1 }
+        val b = tb(i + j)
+        System.arraycopy(b, 0, buf, blen, b.length)
+        blen += b.length
+        out(r) = new GenericInternalRow(Array[Any](j + 1, i + 1,
+          UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, 0, blen))))
+        r += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def chunkWindows(docs: DataFrame, windowTokens: Int = 32, stride: Int = 16,
       textCol: String = "text"): DataFrame = {
     require(windowTokens > 0, "window must be positive")
@@ -1970,6 +2331,98 @@ object TextAnalysis {
         when(col("tokens_total") > 0, col("tokens_lost").cast("double") /
           col("tokens_total").cast("double")).as("frac_tokens_lost"))
   }
+}
+
+/** The complete per-document Gopher repetition statistic (Rae et al.
+  * 2021 Table A1) as ONE native expression: string → struct of thirteen
+  * doubles, computed by the [[TextAnalysis.gopherStats]] kernel inside
+  * the scan partition — the signal is per-document, so the operator
+  * needs no exchange at all (see [[TextAnalysis.gopherRepetition]]).
+  * Codegen emits a static call (the NfcNormalizeExpr pattern).
+  */
+case class GopherStatsExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = StructType(
+    (Seq("dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+      "dup_para_char_frac", "top_2gram_char_frac", "top_3gram_char_frac",
+      "top_4gram_char_frac") ++ (5 to 10).map(n => s"dup_${n}gram_char_frac"))
+      .map(StructField(_, DoubleType, nullable = false)))
+
+  override def checkInputDataTypes() = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"gopher_stats needs string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextAnalysis.gopherStats(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextAnalysis.gopherStats($c)")
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : GopherStatsExpr = copy(child = newChild)
+
+  override def prettyName: String = "gopher_stats"
+}
+
+/** Every word n-gram occurrence for n = 1..maxN as ONE native pass —
+  * the [[graft.functions.PqCodesExpr]] discipline applied to
+  * [[TextAnalysis.gopherRepetition]]'s hottest projection: the
+  * higher-order-function form (ten nested `transform`s, each gram built
+  * by an interpreted `concat_ws` of `element_at`s) ran outside
+  * whole-stage codegen and dominated the operator's runtime (measured
+  * 3.7 s of an 8 s core at sf0.1). This expression emits the identical
+  * occurrence set — `(n, start, g)` with 1-based starts, gram text
+  * joined by single spaces — from one compiled loop per document: token
+  * bytes are decoded once, each start position grows one shared byte
+  * buffer left-to-right, and every prefix snapshot is one
+  * `UTF8String.fromBytes` copy. Null token elements render as empty
+  * strings (unreachable from [[TextAnalysis.tokens]]); a null array is
+  * null-preserved.
+  */
+case class GramOccurrencesExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression, maxN: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types._
+  require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("start", IntegerType, nullable = false),
+    StructField("g", StringType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"gram_occurrences needs array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextAnalysis.gramOccurrences(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], maxN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextAnalysis.gramOccurrences($c, $maxN)")
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : GramOccurrencesExpr = copy(child = newChild)
+
+  override def prettyName: String = "gram_occurrences"
 }
 
 /** Unicode NFC normalization as a native expression (string → string,

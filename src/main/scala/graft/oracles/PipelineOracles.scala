@@ -486,6 +486,111 @@ private[graft] object PipelineOracles {
       "/ any_value(n_chars) AS dup_5gram_char_frac " +
       "FROM c5 WHERE c > 1 GROUP BY doc_id)"
 
+  /** DuckDB replay of q_text_gopher_repetition's INJECTED corpus — the
+    * same three global regex passes as the Spark side: every 6th
+    * token-separating space → line break, every 2nd line break →
+    * paragraph break, then the two deterministic duplicate injections
+    * (doc_id % 5 = 0 re-appends paragraph 1; else doc_id % 3 = 0
+    * re-appends line 1 — the %5 branch wins on %15, same CASE order).
+    * Patterns use RE2's \n escape; REPLACEMENT newlines are chr(10)
+    * because replacement-string escape handling is engine-specific.
+    */
+  private[graft] val gopherInjSql: String =
+    "injl AS (SELECT doc_id, regexp_replace(text, " +
+      "'(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ', '\\1' || chr(10), 'g') AS l " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "injp AS (SELECT doc_id, l, regexp_replace(l, " +
+      "'([^\\n]+\\n[^\\n]+)\\n', '\\1' || chr(10) || chr(10), 'g') AS p " +
+      "FROM injl), " +
+      "inj AS (SELECT doc_id, p || CASE " +
+      "WHEN doc_id % 5 = 0 THEN chr(10) || chr(10) || " +
+      "regexp_extract(p, '^[^\\n]*\\n?[^\\n]*') " +
+      "WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) || " +
+      "regexp_extract(l, '^[^\\n]*') " +
+      "ELSE '' END AS text FROM injp)"
+
+  /** DuckDB replay of [[graft.functions.TextAnalysis.gopherRepetition]]
+    * over the injected corpus — the complete Rae et al. Table A1: tagged
+    * line/paragraph duplicate fractions, top-{2,3,4}-gram char fractions
+    * (row_number ties on gram ascending = the min_by rule), and
+    * position-coverage duplicate-{5..10}-gram char fractions (DISTINCT
+    * covered token positions priced by token length). Integer-exact until
+    * the final double divisions.
+    */
+  private[graft] lazy val gopherRepOracle: String = {
+    val covCols = (5 to 10).map(n =>
+      s"COALESCE(covp.d$n, 0.0) AS dup_${n}gram_char_frac").mkString(", ")
+    val covPiv = (5 to 10).map(n =>
+      s"max(CASE WHEN n = $n THEN f END) AS d$n").mkString(", ")
+    s"WITH $gopherInjSql, " +
+      "base AS (SELECT doc_id, text, " +
+      "CAST(length(text) AS BIGINT) AS n_chars, " +
+      "regexp_split_to_array(trim(text), '\\s+') AS tk FROM inj), " +
+      // lines + paragraphs, tagged
+      "lu AS (" +
+      "SELECT doc_id, 'L' AS tag, unnest(list_filter(" +
+      "string_split(text, chr(10)), x -> length(x) > 0)) AS v FROM inj " +
+      "UNION ALL SELECT doc_id, 'P' AS tag, unnest(list_filter(" +
+      "regexp_split_to_array(text, '\\n{2,}'), x -> length(x) > 0)) AS v " +
+      "FROM inj), " +
+      "lc AS (SELECT doc_id, tag, v, count(*) AS c FROM lu GROUP BY 1,2,3), " +
+      "la AS (SELECT doc_id, tag, sum(c) AS nu, sum(c - 1) AS du, " +
+      "sum(c * length(v)) AS uc, sum((c - 1) * length(v)) AS duc " +
+      "FROM lc GROUP BY 1, 2), " +
+      "lp AS (SELECT doc_id, " +
+      "max(CASE WHEN tag = 'L' AND nu > 0 " +
+      "THEN CAST(du AS DOUBLE) / nu END) AS lf, " +
+      "max(CASE WHEN tag = 'L' AND uc > 0 " +
+      "THEN CAST(duc AS DOUBLE) / uc END) AS lcf, " +
+      "max(CASE WHEN tag = 'P' AND nu > 0 " +
+      "THEN CAST(du AS DOUBLE) / nu END) AS pf, " +
+      "max(CASE WHEN tag = 'P' AND uc > 0 " +
+      "THEN CAST(duc AS DOUBLE) / uc END) AS pcf FROM la GROUP BY 1), " +
+      // all n-gram occurrences, n = 1..10, with 1-based starts
+      "occ AS (SELECT doc_id, n_chars, u['n'] AS n, u['s'] AS s, " +
+      "u['g'] AS g FROM (SELECT doc_id, n_chars, unnest(flatten(" +
+      "[[{'n': n, 's': i, 'g': array_to_string(tk[i : i+n-1], ' ')} " +
+      "FOR i IN range(1, len(tk) - n + 2)] FOR n IN range(1, 11)])) AS u " +
+      "FROM base) q4), " +
+      "cnt AS (SELECT doc_id, n, g, any_value(n_chars) AS n_chars, " +
+      "count(*) AS c, list(s) AS starts FROM occ GROUP BY 1, 2, 3), " +
+      "topp AS (SELECT doc_id, " +
+      "max(CASE WHEN n = 2 THEN f END) AS t2, " +
+      "max(CASE WHEN n = 3 THEN f END) AS t3, " +
+      "max(CASE WHEN n = 4 THEN f END) AS t4 FROM (" +
+      "SELECT doc_id, n, CAST(c * length(g) AS DOUBLE) / n_chars AS f " +
+      "FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n " +
+      "ORDER BY c DESC, g) AS rn FROM cnt WHERE n BETWEEN 2 AND 4) q5 " +
+      "WHERE rn = 1) q6 GROUP BY doc_id), " +
+      "tl AS (SELECT doc_id, unnest(starts) AS pos, " +
+      "CAST(length(g) AS BIGINT) AS len FROM cnt WHERE n = 1), " +
+      "tc AS (SELECT doc_id, sum(c * length(g)) AS tok_chars FROM cnt " +
+      "WHERE n = 1 GROUP BY 1), " +
+      "cov0 AS (SELECT DISTINCT doc_id, n, pos FROM (" +
+      "SELECT doc_id, n, unnest(flatten([range(s, s + n) FOR s IN starts])) " +
+      "AS pos FROM cnt WHERE n >= 5 AND c > 1) q7), " +
+      "cov AS (SELECT c0.doc_id, c0.n, sum(tl.len) AS cov_chars " +
+      "FROM cov0 c0 JOIN tl ON c0.doc_id = tl.doc_id AND c0.pos = tl.pos " +
+      "GROUP BY 1, 2), " +
+      s"covp AS (SELECT cov.doc_id, $covPiv FROM (" +
+      "SELECT cov.doc_id AS doc_id, cov.n AS n, " +
+      "CAST(cov_chars AS DOUBLE) / tok_chars AS f " +
+      "FROM cov JOIN tc ON cov.doc_id = tc.doc_id) cov GROUP BY 1) " +
+      "SELECT b.doc_id, " +
+      "COALESCE(lp.lf, 0.0) AS dup_line_frac, " +
+      "COALESCE(lp.lcf, 0.0) AS dup_line_char_frac, " +
+      "COALESCE(lp.pf, 0.0) AS dup_para_frac, " +
+      "COALESCE(lp.pcf, 0.0) AS dup_para_char_frac, " +
+      "COALESCE(topp.t2, 0.0) AS top_2gram_char_frac, " +
+      "COALESCE(topp.t3, 0.0) AS top_3gram_char_frac, " +
+      "COALESCE(topp.t4, 0.0) AS top_4gram_char_frac, " +
+      s"$covCols FROM (SELECT doc_id FROM inj) b " +
+      "LEFT JOIN lp ON b.doc_id = lp.doc_id " +
+      "LEFT JOIN topp ON b.doc_id = topp.doc_id " +
+      "LEFT JOIN covp ON b.doc_id = covp.doc_id " +
+      "ORDER BY b.doc_id"
+  }
+
   private[graft] def inListSql(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 

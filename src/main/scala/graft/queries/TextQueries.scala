@@ -302,6 +302,43 @@ private[graft] object TextQueries {
       Some(bpeEncodeOracle)),
 
 
+    // Tokenizer ARTIFACT round-trip under the ORACLE gate — the
+    // [[Bpe.saveMerges]] deployment shape (train once, ship KBs, every
+    // downstream job loads the artifact) certified by hash equality with
+    // q_text_bpe_encode: the merge table is written to a parquet
+    // artifact, loaded back rank-sorted, and the LOADED merges drive the
+    // same codegen encode. Rank order is the table's semantics, so any
+    // write→read reordering or symbol corruption flips the greedy fold
+    // and the hash. BpeSpec pins the round-trip structurally; this row
+    // makes it a correctness-gate citizen like every other persisted
+    // index family (_postings, _model, _words).
+    Q("q_text_bpe_encode_indexed",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_bpe_idx").toString
+        Bpe.saveMerges(s, bpeMerges, dir)
+        // loadMerges materializes the KB-scale artifact into the codegen
+        // reference object, so the temp dir can go before the (lazy)
+        // encode runs
+        val loaded =
+          try Bpe.loadMerges(s, dir)
+          finally {
+            import java.nio.file.{Files, Path}
+            import java.util.Comparator
+            Files.walk(Path.of(dir)).sorted(Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
+          }
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            Bpe.encode(TextAnalysis.tokens(col("text")), loaded).as("sub"))
+          .select(col("doc_id"),
+            size(col("sub")).cast("long").as("bpe_token_count"),
+            concat_ws(" ", col("sub")).as("subwords"))
+          .orderBy("doc_id")
+      },
+      Some(bpeEncodeOracle)),
+
+
     // WORDPIECE apply — the THIRD tokenizer regime (BERT's): greedy
     // longest-match-first over a likelihood-ratio-trained vocabulary,
     // ## continuation pieces, hard [UNK] for untileable words — so
@@ -1231,6 +1268,45 @@ private[graft] object TextQueries {
         "COALESCE(dup_5gram_char_frac, 0.0) AS dup_5gram_char_frac " +
         "FROM top2 t LEFT JOIN dup5 d ON t.doc_id = d.doc_id " +
         "ORDER BY t.doc_id")),
+
+
+    // The COMPLETE Gopher repetition table (Rae et al. 2021 Table A1,
+    // all twelve §A1.1 signals) over a deterministically INJECTED
+    // corpus: documents reflow to 6-word lines / 2-line paragraphs, then
+    // doc_id % 5 = 0 re-appends its first paragraph (duplicate paragraph
+    // + lines + 5..10-gram spans) and doc_id % 3 = 0 its first line
+    // (duplicate line + 5/6-gram spans only) — every signal family fires
+    // with survivors AND non-hits at the gate, the q_text_boilerplate
+    // injection discipline. Coverage fractions use the paper's
+    // position-coverage semantic (DISTINCT covered token positions
+    // priced by token length); line/paragraph and top-gram arms are
+    // beyond-first counts and the repetitionStats argmax rule. One
+    // tagged line+paragraph aggregate, one n=1..10 occurrence explode
+    // with a checkpointed count table — see the operator's scaladoc for
+    // the 100 TB shape.
+    Q("q_text_gopher_repetition",
+      (s, d) => {
+        // reflow as three codegen-native global regex passes (the
+        // transform/slice/array_join HOF form of the same reflow ran
+        // interpreted and cost ~2 s of a 2.4 s query): every 6th
+        // token-separating space becomes a line break, every 2nd line
+        // break a paragraph break, and the injected duplicates are the
+        // regex-extracted first line / first paragraph
+        val injected = Tables.documents(s, d)
+          .filter(col("text").isNotNull)
+          .withColumn("__l", regexp_replace(col("text"),
+            "(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ", "$1\n"))
+          .withColumn("__p", regexp_replace(col("__l"),
+            "([^\n]+\n[^\n]+)\n", "$1\n\n"))
+          .select(col("doc_id"), concat(col("__p"),
+            expr("CASE WHEN doc_id % 5 = 0 " +
+              "THEN '\\n\\n' || regexp_extract(__p, '^[^\\n]*\\n?[^\\n]*', 0) " +
+              "WHEN doc_id % 3 = 0 " +
+              "THEN '\\n\\n' || regexp_extract(__l, '^[^\\n]*', 0) " +
+              "ELSE '' END")).as("text"))
+        TextAnalysis.gopherRepetition(injected).orderBy("doc_id")
+      },
+      Some(gopherRepOracle)),
 
 
     // CORPUS-INTERNAL trigram novelty — the diversity audit beside the

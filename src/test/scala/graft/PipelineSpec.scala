@@ -433,6 +433,69 @@ class PipelineSpec extends SparkSpec {
       "6 identical 5-grams ⇒ 5 redundant × 9 chars over 19")
   }
 
+  test("gopher repetition: full Table A1 signals computed exactly on known fixtures") {
+    // doc 1 — "x y\nx y\n\nx y\nz w": lines [x y, x y, x y, z w] (the
+    // blank between paragraphs drops), so 2 redundant of 4 and 6 of 12
+    // chars; paragraphs ["x y\nx y", "x y\nz w"] distinct; tokens
+    // x y x y x y z w over n_chars = 16: top 2-gram "x y"×3 (9/16),
+    // top 3-gram tie c=2 between "x y x" and "y x y" resolves gram-asc
+    // (10/16), top 4-gram "x y x y"×2 (14/16); no duplicated 5-gram.
+    // doc 2 — 13 single-char tokens with "a b c d e f" repeated: dup
+    // 5-grams (a b c d e / b c d e f, both ×2) cover positions 1..12,
+    // dup 6-gram (a b c d e f ×2) covers the same 12 of 13 token chars;
+    // no 7-gram repeats (the 13th token g breaks the run).
+    val corpus = docs(
+      (1L, "x y\nx y\n\nx y\nz w"),
+      (2L, "a b c d e f a b c d e f g"))
+    val out = TextAnalysis.gopherRepetition(corpus)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Double]("dup_line_frac") == 2.0 / 4)
+    assert(r1.getAs[Double]("dup_line_char_frac") == 6.0 / 12)
+    assert(r1.getAs[Double]("dup_para_frac") == 0.0)
+    assert(r1.getAs[Double]("dup_para_char_frac") == 0.0)
+    assert(r1.getAs[Double]("top_2gram_char_frac") == 9.0 / 16)
+    assert(r1.getAs[Double]("top_3gram_char_frac") == 10.0 / 16,
+      "c=2 tie between 'x y x' and 'y x y' must resolve gram-ascending")
+    assert(r1.getAs[Double]("top_4gram_char_frac") == 14.0 / 16)
+    assert(r1.getAs[Double]("dup_5gram_char_frac") == 0.0)
+    assert(r1.getAs[Double]("dup_10gram_char_frac") == 0.0)
+    val r2 = out(2L)
+    assert(r2.getAs[Double]("dup_5gram_char_frac") == 12.0 / 13,
+      "overlapping duplicate spans count each covered token ONCE")
+    assert(r2.getAs[Double]("dup_6gram_char_frac") == 12.0 / 13)
+    assert(r2.getAs[Double]("dup_7gram_char_frac") == 0.0)
+    assert(r2.getAs[Double]("dup_line_frac") == 0.0)
+  }
+
+  test("gopher repetition: scan-side kernel equals the relational form bit-for-bit") {
+    // LCG word soup with injected newlines, blank lines, repeated runs,
+    // and edge shapes (empty text, spaces, single token, sub-BMP only) —
+    // the kernel (one scan, zero exchanges) and the explode→aggregate
+    // relational form must agree on every double
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    def lcg(seed: Long): LazyList[Long] =
+      LazyList.iterate(seed)(x => (x * 6364136223846793005L + 1442695040888963407L))
+    val rows = (0 until 60).map { d =>
+      val rs = lcg(d * 977L + 13).map(x => math.abs(x % 997)).drop(2)
+      val toks = rs.take(30 + (d % 25)).zipWithIndex.map { case (r, i) =>
+        val w = words((r % words.size).toInt)
+        val sep = if (i > 0 && i % 7 == 0) "\n" else if (i > 0 && i % 13 == 0) "\n\n" else " "
+        sep + w
+      }.mkString
+      // every 4th doc repeats its own first 14 "chars worth" of tokens
+      val text = if (d % 4 == 0) toks + "\n\n" + toks.take(60) else toks
+      (d.toLong, text)
+    } ++ Seq((100L, ""), (101L, "   "), (102L, "solo"), (103L, "x\n\n\nx\nx"))
+    val corpus = docs(rows: _*)
+    val kernel = TextAnalysis.gopherRepetition(corpus)
+      .orderBy("doc_id").collect()
+    val relational = TextAnalysis.gopherRepetitionRelational(corpus)
+      .orderBy("doc_id").collect()
+    assert(kernel.length == relational.length)
+    kernel.zip(relational).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
   test("pii scan: detection counts and tag redaction on positive fixtures") {
     val corpus = docs(
       (1L, "contact bob.smith+x@corp.example.com or 10.0.255.1 today"),

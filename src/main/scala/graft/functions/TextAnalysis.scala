@@ -455,6 +455,124 @@ object TextAnalysis {
         (col("__s") / col("__n").cast("double")).as("bigram_score"))
   }
 
+  /** MIN-K% PROB membership audit (Shi et al., ICLR 2024 "Detecting
+    * Pretraining Data from Large Language Models") rendered onto the
+    * engine's rational bigram LM: fit the model on `corpus` (the
+    * training set under audit), then score each CANDIDATE document by
+    * the mean probability of its k%-LOWEST-probability bigram positions
+    * — members lack the deep-outlier positions that unseen text hits
+    * (novel bigrams fall to the add-k smoothing floor), so a LOW min-k
+    * mean flags a non-member. This is the published test's exact shape
+    * (bottom-k mean over per-position model probabilities) with the
+    * paper's LLM log-probs replaced by the engine's exact-rational
+    * bigram probabilities, which keeps every value engine-bit-identical:
+    * p is one IEEE division of exact counts, the bottom-k selection
+    * sorts on (p, pos), k-of-n is integer arithmetic
+    * (`m = ceil(n/5) = (n+4) div 5` at the default k = 20%), and the
+    * mean folds in the sorted order. Documents with <2 tokens report
+    * n_bigrams 0 and NULL min_k_prob.
+    *
+    * Scale shape: the fit is [[bigramScore]]'s (Zipf-bounded hash
+    * aggregates); scoring joins candidate occurrences to the model on
+    * term keys (postings equi-joins); the bottom-k fold is per-document
+    * (collect_list bounded by document length). Nothing keys wider than
+    * a term pair.
+    */
+  def minKProb(corpus: DataFrame, candidates: DataFrame, addK: Double = 1.0,
+      textCol: String = "text"): DataFrame = {
+    require(addK > 0, "addK must be positive (unseen mass)")
+    val occ = bigramOccurrences(corpus, textCol)
+    val model = occ.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val ctx = model.groupBy(col("w1"))
+      .agg(sum(col("c12")).cast("long").as("c1"))
+    val vTbl = corpus
+      .select(explode(tokens(col(textCol))).as("term"))
+      .agg(countDistinct(col("term")).as("__v"))
+    val p = (coalesce(col("c12"), lit(0L)).cast("double") + lit(addK)) /
+      (coalesce(col("c1"), lit(0L)).cast("double") +
+        lit(addK) * col("__v").cast("double"))
+    val perDoc = bigramOccurrences(candidates, textCol)
+      .join(model, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vTbl))
+      .select(col("doc_id"), col("pos"), p.as("__p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n"),
+        array_sort(collect_list(struct(col("__p"), col("pos")))).as("__ps"))
+      .select(col("doc_id"), col("__n"),
+        ((col("__n") + 4) / lit(5)).cast("int").as("__m"), col("__ps"))
+      .select(col("doc_id"), col("__n"), col("__m"),
+        (aggregate(slice(col("__ps"), lit(1), col("__m")), lit(0.0),
+          (acc, x) => acc + x.getField("__p")) /
+          col("__m").cast("double")).as("__mk"))
+    candidates.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__n"), lit(0L)).as("n_bigrams"),
+        col("__mk").as("min_k_prob"))
+  }
+
+  /** CANARY EXPOSURE audit (Carlini et al., USENIX Security 2019 "The
+    * Secret Sharer") rendered onto the rational bigram LM: candidate
+    * sequences per repetition class are CONFIGURATION (generated by the
+    * engine's doc-id LCG over a fixed vocabulary and rendered as
+    * literals into both engines — the classifierWeights discipline);
+    * class c's canary (candidate 0) is inserted into the corpus c
+    * times, the model refits, and every candidate scores its sequence
+    * probability (ordered product of per-bigram rational probabilities).
+    * The audit metric is the canary's RANK among its class's candidates
+    * (score descending, candidate-id ascending) — the monotone core of
+    * the paper's exposure = log2(M) − log2(rank), kept in exact integers
+    * rather than libm logs. A rank that falls toward 1 as repetitions
+    * grow is the memorization ladder the audit exists to surface.
+    *
+    * `candidates` columns: (reps, cand_id, ctext). Output: one row per
+    * class — (reps, n_candidates, canary_rank, canary_score), canary =
+    * cand_id 0. The caller builds the corpus WITH the injected canary
+    * documents ([[graft.oracles.PipelineOracles.canaryCandidates]]).
+    */
+  def canaryRank(corpus: DataFrame, candidates: DataFrame,
+      addK: Double = 1.0, textCol: String = "text"): DataFrame = {
+    require(addK > 0, "addK must be positive (unseen mass)")
+    val occ = bigramOccurrences(corpus, textCol)
+    val model = occ.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val ctx = model.groupBy(col("w1"))
+      .agg(sum(col("c12")).cast("long").as("c1"))
+    val vTbl = corpus
+      .select(explode(tokens(col(textCol))).as("term"))
+      .agg(countDistinct(col("term")).as("__v"))
+    val p = (coalesce(col("c12"), lit(0L)).cast("double") + lit(addK)) /
+      (coalesce(col("c1"), lit(0L)).cast("double") +
+        lit(addK) * col("__v").cast("double"))
+    val scored = bigramOccurrences(
+        candidates.select((col("reps") * 1000 + col("cand_id"))
+          .cast("long").as("doc_id"), col("ctext")), "ctext")
+      .join(model, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vTbl))
+      .select(col("doc_id"), col("pos"), p.as("__p"))
+      .groupBy(col("doc_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("pos"), col("__p")))),
+        lit(1.0), (acc, x) => acc * x.getField("__p")).as("__s"))
+      .select((col("doc_id") / 1000).cast("long").as("reps"),
+        pmod(col("doc_id"), lit(1000L)).cast("long").as("cand_id"),
+        col("__s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("reps")).orderBy(col("__s").desc, col("cand_id"))
+    scored
+      .select(col("reps"), col("cand_id"), col("__s"),
+        row_number().over(w).cast("long").as("__rk"))
+      .groupBy(col("reps"))
+      .agg(count(lit(1)).as("n_candidates"),
+        min(when(col("cand_id") === 0, col("__rk"))).as("canary_rank"),
+        min(when(col("cand_id") === 0, col("__s"))).as("canary_score"))
+      .select(col("reps"), col("n_candidates"), col("canary_rank"),
+        col("canary_score"))
+  }
+
   /** Materialize a persisted BIGRAM LANGUAGE MODEL: the (w1, w2, c12)
     * count table and the (w1, c1) context-total table, both bucketed by
     * the context key the scoring joins use, plus a one-row vocabulary

@@ -1607,6 +1607,121 @@ private[graft] object PipelineOracles {
       "FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) " +
       "CROSS JOIN v GROUP BY 1)"
 
+  /** Shared model-fit CTE chain over CTE `corpus`(doc_id, text): bigram
+    * counts c12(w1,w2,c), context totals c1(w1,cw), vocabulary v(v) —
+    * the [[bigramLmCtes]] fit re-rendered source-parameterized for the
+    * membership/canary audits (their corpus is not the bare documents
+    * table).
+    */
+  private[graft] val lmFitFromCorpusSql: String =
+    "tk AS (SELECT doc_id, " + toksSql + " AS t FROM corpus), " +
+      "x AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk " +
+      "WHERE len(t) >= 2), " +
+      "bg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS w1, " +
+      "t[i+1] AS w2 FROM x), " +
+      "c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2), " +
+      "c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw FROM c12 GROUP BY 1), " +
+      "v AS (SELECT count(DISTINCT term) AS v FROM " +
+      "(SELECT unnest(t) AS term FROM tk))"
+
+  /** Smoothed conditional probability under the [[lmFitFromCorpusSql]]
+    * model with LEFT-joined counts (unseen bigrams live on the add-1
+    * mass — the cross-corpus semantics of TextAnalysis.scoreAgainstLm).
+    */
+  private[graft] val lmProbSql: String =
+    "(CAST(COALESCE(c12.c, 0) AS DOUBLE) + 1.0) / " +
+      "(CAST(COALESCE(c1.cw, 0) AS DOUBLE) + 1.0 * CAST(v.v AS DOUBLE))"
+
+  /** DuckDB replay of [[graft.functions.TextAnalysis.minKProb]] for
+    * q_privacy_min_k_prob: members are the corpus documents, non-members
+    * their token-REVERSED twins (same unigrams, mostly-novel bigrams —
+    * the in-distribution non-member the published test is hardest on);
+    * per candidate, the mean of the bottom ceil(n/5) per-position
+    * probabilities, selection ordered (p, pos), fold in that order.
+    */
+  private[graft] lazy val minKProbOracle: String =
+    "WITH corpus AS (SELECT doc_id, text FROM documents " +
+      "WHERE text IS NOT NULL), " +
+      lmFitFromCorpusSql + ", " +
+      "cand AS (SELECT doc_id, text, TRUE AS member FROM corpus " +
+      "UNION ALL SELECT doc_id + 1000000 AS doc_id, " +
+      "array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text, " +
+      "FALSE AS member FROM corpus), " +
+      "ctk AS (SELECT doc_id, " + toksSql + " AS t FROM cand), " +
+      "cx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM ctk " +
+      "WHERE len(t) >= 2), " +
+      "cbg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS w1, " +
+      "t[i+1] AS w2 FROM cx), " +
+      s"ps AS (SELECT cbg.doc_id, cbg.pos, $lmProbSql AS p " +
+      "FROM cbg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1) " +
+      "CROSS JOIN v), " +
+      "ag AS (SELECT doc_id, count(*) AS n, (count(*) + 4) // 5 AS m, " +
+      "list(p ORDER BY p, pos) AS ps FROM ps GROUP BY 1), " +
+      "res AS (SELECT doc_id, n, list_reduce(" +
+      "list_prepend(CAST(0.0 AS DOUBLE), ps[1:m]), " +
+      "(acc, x) -> acc + x) / CAST(m AS DOUBLE) AS mk FROM ag) " +
+      "SELECT c.doc_id, c.member, " +
+      "CAST(COALESCE(res.n, 0) AS BIGINT) AS n_bigrams, " +
+      "res.mk AS min_k_prob FROM cand c " +
+      "LEFT JOIN res ON c.doc_id = res.doc_id ORDER BY c.doc_id"
+
+  /** Canary-audit CONFIGURATION (the classifierWeights discipline:
+    * generated once by the engine's LCG over a fixed corpus-register
+    * vocabulary, rendered as literals into both engines). Classes are
+    * insertion-repetition counts; candidate 0 of each class is the
+    * inserted canary.
+    */
+  private[graft] val canaryClasses: Seq[Int] = Seq(0, 1, 4, 16)
+  private[graft] val canaryCandPerClass: Int = 32
+  private[graft] val canaryVocab: Seq[String] = Seq("spark", "query",
+    "join", "window", "agg", "stream", "vector", "filter", "merge",
+    "sort", "hash", "scan")
+  private def canaryLcg(x: Long): Long =
+    ((x % 2147483647L) * 1103515245L + 12345L) % 2147483647L
+  private[graft] lazy val canaryCandidates: Seq[(Int, Int, String)] =
+    for { c <- canaryClasses; k <- 0 until canaryCandPerClass } yield (c, k,
+      (0 until 5).map(p => canaryVocab(
+        (canaryLcg(c * 100003L + k * 101L + p * 7L + 1L) %
+          canaryVocab.size).toInt)).mkString(" "))
+
+  /** DuckDB replay of [[graft.functions.TextAnalysis.canaryRank]] for
+    * q_privacy_canary_rank: the rendered candidate table, the canary
+    * documents derived from it (reps copies of candidate 0), the refit
+    * model over corpus + canaries, ordered-product sequence scores, and
+    * the per-class rank of the canary (score DESC, cand_id ASC).
+    */
+  private[graft] lazy val canaryRankOracle: String = {
+    val values = canaryCandidates.map { case (c, k, t) =>
+      s"($c, $k, '$t')" }.mkString(", ")
+    s"WITH cands(reps, cand_id, ctext) AS (VALUES $values), " +
+      "cdocs AS (SELECT CAST(2000000 + reps * 1000 + i AS BIGINT) " +
+      "AS doc_id, ctext AS text FROM (SELECT reps, ctext, " +
+      "unnest(range(reps)) AS i FROM cands WHERE cand_id = 0) q0), " +
+      "corpus AS (SELECT doc_id, text FROM documents " +
+      "WHERE text IS NOT NULL " +
+      "UNION ALL SELECT doc_id, text FROM cdocs), " +
+      lmFitFromCorpusSql + ", " +
+      "ctk AS (SELECT reps, cand_id, " +
+      "regexp_split_to_array(trim(ctext), '\\s+') AS t FROM cands), " +
+      "cx AS (SELECT reps, cand_id, t, unnest(range(1, len(t))) AS i " +
+      "FROM ctk), " +
+      "cbg AS (SELECT reps, cand_id, CAST(i AS BIGINT) AS pos, " +
+      "t[i] AS w1, t[i+1] AS w2 FROM cx), " +
+      s"ps AS (SELECT cbg.reps, cbg.cand_id, cbg.pos, $lmProbSql AS p " +
+      "FROM cbg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1) " +
+      "CROSS JOIN v), " +
+      "sc AS (SELECT reps, cand_id, list_reduce(" +
+      "list_prepend(CAST(1.0 AS DOUBLE), list(p ORDER BY pos)), " +
+      "(acc, x) -> acc * x) AS s FROM ps GROUP BY 1, 2), " +
+      "rk AS (SELECT reps, cand_id, s, row_number() OVER (" +
+      "PARTITION BY reps ORDER BY s DESC, cand_id) AS r FROM sc) " +
+      "SELECT CAST(rk.reps AS BIGINT) AS reps, " +
+      "CAST(cnt.n AS BIGINT) AS n_candidates, " +
+      "CAST(rk.r AS BIGINT) AS canary_rank, rk.s AS canary_score " +
+      "FROM rk JOIN (SELECT reps, count(*) AS n FROM rk GROUP BY 1) cnt " +
+      "USING (reps) WHERE rk.cand_id = 0 ORDER BY reps"
+  }
+
   private[graft] val bigramLmOracle: String =
     bigramLmCtes +
       " SELECT d.doc_id, CAST(COALESCE(sc.n, 0) AS BIGINT) AS n_bigrams, " +

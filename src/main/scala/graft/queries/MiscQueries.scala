@@ -685,6 +685,57 @@ private[graft] object MiscQueries {
         "ORDER BY c_nationkey NULLS LAST, c_mktsegment NULLS LAST")),
 
 
+    // MIN-K% PROB membership audit (Shi et al. ICLR 2024) — the
+    // MEMORIZATION side of the privacy ladder: fit the rational bigram
+    // LM on the corpus, then score members (the documents themselves)
+    // and in-distribution NON-members (token-reversed twins, same
+    // unigrams / mostly-novel bigrams) by the mean of their bottom-20%
+    // per-position probabilities. Bottom-k selection orders (p, pos),
+    // k-of-n is integer arithmetic, the mean folds in sorted order —
+    // engine-bit-identical; PipelineSpec pins the member/non-member
+    // separation the audit exists to surface.
+    Q("q_privacy_min_k_prob",
+      (s, d) => {
+        val base = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"))
+        val cands = base.withColumn("member", lit(true))
+          .unionByName(base.select(
+              (col("doc_id") + 1000000L).as("doc_id"),
+              array_join(reverse(split(col("text"), " ")), " ").as("text"))
+            .withColumn("member", lit(false)))
+        TextAnalysis.minKProb(base, cands.select("doc_id", "text"))
+          .join(cands.select(col("doc_id"), col("member")), Seq("doc_id"))
+          .select(col("doc_id"), col("member"), col("n_bigrams"),
+            col("min_k_prob"))
+          .orderBy("doc_id")
+      },
+      Some(minKProbOracle)),
+
+
+    // CANARY EXPOSURE audit (Carlini et al. 2019, "The Secret Sharer"):
+    // LCG-generated candidate sequences per repetition class are
+    // rendered CONFIGURATION (the classifierWeights discipline); each
+    // class's canary is inserted reps ∈ {0,1,4,16} times, the bigram LM
+    // refits on corpus+canaries, and the gated number is the canary's
+    // per-class RANK among candidates by ordered-product sequence
+    // probability — the exact-integer monotone core of the paper's
+    // exposure metric. The falling rank across the repetition ladder IS
+    // the memorization signal; PipelineSpec pins it.
+    Q("q_privacy_canary_rank",
+      (s, d) => {
+        import s.implicits._
+        val cands = canaryCandidates.toDF("reps", "cand_id", "ctext")
+        val canaryDocs = canaryCandidates.filter(_._2 == 0)
+          .flatMap { case (c, _, t) =>
+            (0 until c).map(i => (2000000L + c * 1000L + i, t)) }
+          .toDF("doc_id", "text")
+        val corpus = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text")).unionByName(canaryDocs)
+        TextAnalysis.canaryRank(corpus, cands).orderBy("reps")
+      },
+      Some(canaryRankOracle)),
+
+
     // SOFT quality sampling: keep-probability ∝ the classifier score
     // (clamped to [0,1]) keyed on the content hash — the FineWeb-style
     // soft cut that keeps mid-quality documents in proportion instead of

@@ -496,6 +496,77 @@ class PipelineSpec extends SparkSpec {
     kernel.zip(relational).foreach { case (a, b) => assert(a == b, s"$a != $b") }
   }
 
+  test("min-k% prob: bottom-k mean computed exactly on a hand-worked model") {
+    // corpus "a b a b c" + "a b a": c12 = {ab:3, ba:2, bc:1},
+    // c1 = {a:3, b:3}, V = 3 ⇒ p(ab)=4/6, p(ba)=3/6, p(bc)=2/6,
+    // p(unseen, ctx c)=1/3 (c1=0), p(unseen, ctx a or b)=1/6
+    val corpus = docs((1L, "a b a b c"), (2L, "a b a"))
+    val cands = docs(
+      (10L, "c a b"),           // n=2, m=1 ⇒ bottom-1 = p(ca)=1/3
+      (11L, "a"),               // no bigrams ⇒ n=0, NULL
+      (13L, "a b a b a b a"))   // n=6, m=2 ⇒ bottom-2 = {1/2, 1/2}
+    val out = TextAnalysis.minKProb(corpus, cands)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(10L).getAs[Long]("n_bigrams") == 2L)
+    assert(out(10L).getAs[Double]("min_k_prob") == 1.0 / 3)
+    assert(out(11L).getAs[Long]("n_bigrams") == 0L)
+    assert(out(11L).isNullAt(out(11L).fieldIndex("min_k_prob")))
+    assert(out(13L).getAs[Double]("min_k_prob") == 0.5)
+  }
+
+  test("min-k% prob: members separate from reversed-twin non-members") {
+    // LCG word soup; non-members are token-reversed twins (same
+    // unigrams, mostly-novel bigrams) — the audit must rank members
+    // above their own twins more often than not
+    val words = Vector("red", "blue", "green", "dog", "cat", "fox", "run",
+      "jump", "eat", "see")
+    val rows = (0 until 40).map { d =>
+      val toks = (0 until 25).map { i =>
+        words((math.abs((d * 7919L + i * 104729L + 17) * 2654435761L) %
+          words.size).toInt)
+      }
+      (d.toLong, toks.mkString(" "))
+    }
+    val corpus = docs(rows: _*)
+    val twins = corpus.select((col("doc_id") + 1000L).as("doc_id"),
+      array_join(reverse(split(col("text"), " ")), " ").as("text"))
+    val out = TextAnalysis.minKProb(corpus, corpus.unionByName(twins))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("min_k_prob")).toMap
+    val wins = (0 until 40).count(d => out(d.toLong) > out(d + 1000L))
+    val losses = (0 until 40).count(d => out(d.toLong) < out(d + 1000L))
+    assert(wins > losses,
+      s"members must beat their reversed twins on balance ($wins vs $losses)")
+  }
+
+  test("canary rank: the memorization ladder falls toward rank 1 with repetitions") {
+    import graft.oracles.PipelineOracles.{canaryCandidates, canaryClasses}
+    import spark.implicits._
+    // small host corpus so the inserted canaries dominate their bigrams
+    val host = docs((0 until 30).map(d =>
+      (d.toLong, s"spark query join window agg stream doc$d")): _*)
+    val cands = canaryCandidates.toDF("reps", "cand_id", "ctext")
+    val canaryDocs = canaryCandidates.filter(_._2 == 0)
+      .flatMap { case (c, _, t) =>
+        (0 until c).map(i => (2000000L + c * 1000L + i, t)) }
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.canaryRank(host.unionByName(canaryDocs), cands)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == canaryClasses.map(_.toLong).toSet)
+    canaryClasses.foreach { c =>
+      assert(out(c.toLong).getAs[Long]("n_candidates") == 32L)
+      val rk = out(c.toLong).getAs[Long]("canary_rank")
+      assert(rk >= 1L && rk <= 32L)
+    }
+    val ranks = canaryClasses.map(c => out(c.toLong).getAs[Long]("canary_rank"))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => b <= a },
+      s"rank must be non-increasing along the repetition ladder: $ranks")
+    assert(ranks.last == 1L,
+      s"the 16x-inserted canary must rank first, got ${ranks.last}")
+    val scores = canaryClasses.map(c => out(c.toLong).getAs[Double]("canary_score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => b > a },
+      "canary sequence probability must grow with insertions")
+  }
+
   test("pii scan: detection counts and tag redaction on positive fixtures") {
     val corpus = docs(
       (1L, "contact bob.smith+x@corp.example.com or 10.0.255.1 today"),

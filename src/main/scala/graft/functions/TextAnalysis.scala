@@ -489,6 +489,31 @@ object TextAnalysis {
     val vTbl = corpus
       .select(explode(tokens(col(textCol))).as("term"))
       .agg(countDistinct(col("term")).as("__v"))
+    minKTail(candidates, model, ctx, vTbl, addK, textCol)
+  }
+
+  /** [[minKProb]] against a persisted [[writeLmTable]] model — the
+    * published deployment (the audit model trains once on the corpus
+    * under audit; suspect sets stream through scoring). A pure
+    * access-path swap of the fit tables, certified by the SAME oracle
+    * hash as the inline row (the bigramScoreIndexed discipline).
+    */
+  def minKProbIndexed(spark: org.apache.spark.sql.SparkSession,
+      name: String, candidates: DataFrame, addK: Double = 1.0,
+      textCol: String = "text"): DataFrame = {
+    requireIndexName(name)
+    require(addK > 0, "addK must be positive (unseen mass)")
+    minKTail(candidates, spark.table(s"${name}_model"),
+      spark.table(s"${name}_ctx"),
+      spark.table(s"${name}_globals").select(col("v").as("__v")),
+      addK, textCol)
+  }
+
+  /** The shared bottom-k scoring tail of [[minKProb]] /
+    * [[minKProbIndexed]]. */
+  private def minKTail(candidates: DataFrame, model: DataFrame,
+      ctx: DataFrame, vTbl: DataFrame, addK: Double,
+      textCol: String): DataFrame = {
     val p = (coalesce(col("c12"), lit(0L)).cast("double") + lit(addK)) /
       (coalesce(col("c1"), lit(0L)).cast("double") +
         lit(addK) * col("__v").cast("double"))

@@ -712,6 +712,33 @@ private[graft] object MiscQueries {
       Some(minKProbOracle)),
 
 
+    // Min-K against the PERSISTED LM — the published deployment: the
+    // audit model trains once (writeLmTable on the corpus under audit),
+    // suspect sets stream through stored-model scoring. Same oracle
+    // hash as the inline row certifies the access-path swap.
+    Q("q_privacy_min_k_prob_indexed",
+      (s, d) => {
+        val base = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"))
+        val cands = base.withColumn("member", lit(true))
+          .unionByName(base.select(
+              (col("doc_id") + 1000000L).as("doc_id"),
+              array_join(reverse(split(col("text"), " ")), " ").as("text"))
+            .withColumn("member", lit(false)))
+        val name = "graft_mink_idx_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        TextAnalysis.writeLmTable(base, name)
+        try TextAnalysis.minKProbIndexed(s, name,
+            cands.select("doc_id", "text"))
+          .join(cands.select(col("doc_id"), col("member")), Seq("doc_id"))
+          .select(col("doc_id"), col("member"), col("n_bigrams"),
+            col("min_k_prob"))
+          .orderBy("doc_id").localCheckpoint(true)
+        finally TextAnalysis.dropLmTable(s, name)
+      },
+      Some(minKProbOracle)),
+
+
     // CANARY EXPOSURE audit (Carlini et al. 2019, "The Secret Sharer"):
     // LCG-generated candidate sequences per repetition class are
     // rendered CONFIGURATION (the classifierWeights discipline); each

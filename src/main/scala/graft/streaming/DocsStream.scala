@@ -187,6 +187,63 @@ object DocsStream {
         } finally { b.unpersist(); () }
     }
 
+  /** Streaming GOPHER REPETITION gate (Rae et al. 2021 §A1.1): each
+    * arriving document computes the full Table A1 statistic via the
+    * scan-side [[graft.functions.TextAnalysis.gopherRepetition]] kernel
+    * and is kept iff EVERY signal sits at or under its threshold —
+    * defaults are the paper's published caps (0.30/0.30 duplicate
+    * line/paragraph fractions, 0.20/0.20 by characters, 0.20/0.18/0.16
+    * top-{2,3,4}-gram, 0.15..0.10 duplicate-{5..10}-gram). The signal
+    * is per-document, so per-batch scoring is stateless and trigger
+    * boundaries cannot change a verdict (StreamingSpec asserts
+    * stream ≡ batch); NULL-text documents drop (a gate admits what it
+    * can vouch for — the [[lmGateSink]] contract), and a retried
+    * trigger re-writes its own `batch=N` partition idempotently.
+    */
+  def gopherGateSink(docs: DataFrame, outDir: String,
+      maxDupLineFrac: Double = 0.30, maxDupParaFrac: Double = 0.30,
+      maxDupLineCharFrac: Double = 0.20, maxDupParaCharFrac: Double = 0.20,
+      maxTopGramFrac: Seq[Double] = Seq(0.20, 0.18, 0.16),
+      maxDupGramFrac: Seq[Double] = Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10))
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(maxTopGramFrac.length == 3 && maxDupGramFrac.length == 6,
+      "need 3 top-gram and 6 dup-gram thresholds")
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = batch.toDF().persist()
+        try {
+          val keep = gopherKeep(b, maxDupLineFrac, maxDupParaFrac,
+            maxDupLineCharFrac, maxDupParaCharFrac, maxTopGramFrac,
+            maxDupGramFrac)
+          val out = b.join(keep, Seq("doc_id")).persist()
+          try {
+            (if (out.isEmpty) out.repartition(1) else out)
+              .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          } finally { out.unpersist(); () }
+        } finally { b.unpersist(); () }
+    }
+  }
+
+  /** The batch form of [[gopherGateSink]]'s verdict — the keep set as
+    * (doc_id) rows, shared by the sink and StreamingSpec's stream ≡
+    * batch assertion. */
+  private[graft] def gopherKeep(docs: DataFrame,
+      maxDupLineFrac: Double, maxDupParaFrac: Double,
+      maxDupLineCharFrac: Double, maxDupParaCharFrac: Double,
+      maxTopGramFrac: Seq[Double], maxDupGramFrac: Seq[Double]): DataFrame = {
+    val stats = graft.functions.TextAnalysis.gopherRepetition(docs)
+    val conds = Seq(
+      col("dup_line_frac") <= maxDupLineFrac,
+      col("dup_para_frac") <= maxDupParaFrac,
+      col("dup_line_char_frac") <= maxDupLineCharFrac,
+      col("dup_para_char_frac") <= maxDupParaCharFrac) ++
+      (2 to 4).zip(maxTopGramFrac).map { case (n, t) =>
+        col(s"top_${n}gram_char_frac") <= t } ++
+      (5 to 10).zip(maxDupGramFrac).map { case (n, t) =>
+        col(s"dup_${n}gram_char_frac") <= t }
+    stats.filter(conds.reduce(_ && _)).select(col("doc_id"))
+  }
+
   /** Streaming DSIR gate against a persisted importance model
     * ([[graft.functions.Sampling.writeDsirModel]]): each arriving
     * document is scored by the stored hashed-bigram log-ratio table

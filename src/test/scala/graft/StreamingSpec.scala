@@ -396,6 +396,47 @@ class StreamingSpec extends SparkSpec {
     } finally Sampling.dropDsirModel(spark, name)
   }
 
+  test("streaming Gopher repetition gate: per-document Table A1 screen gates the stream exactly like batch") {
+    import graft.streaming.DocsStream
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_gopher_gate")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gopher_gate_ckpt")
+    // clean prose (keep), 2-gram spam (drop: top-2-gram ≈ 0.5),
+    // duplicated line (drop: dup_line_frac 1/3 > 0.30 AND 5/6-gram
+    // coverage 12/18 > caps), clean multi-line page (keep)
+    val b1 = Seq(
+      (1L, (1 to 30).map(i => s"w$i").mkString(" ")),
+      (2L, ("spam ham " * 40).trim))
+    val b2 = Seq(
+      (3L, "x y z a b c\nx y z a b c\nq r s t u v"),
+      // clean multi-line page, long enough that its (unique) top n-grams
+      // sit under the character-fraction caps
+      (4L, (31 to 66).map(i => s"v$i").grouped(6)
+        .map(_.mkString(" ")).mkString("\n")))
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = DocsStream.gopherGateSink(in.toDF().toDF("doc_id", "text"),
+          out.toString)
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+        val gated = spark.read.parquet(out.toString)
+        val kept = gated.select("doc_id").as[Long].collect().sorted.toSeq
+        // stream ≡ batch: trigger boundaries cannot change a per-doc verdict
+        val batchKept = DocsStream.gopherKeep(
+            (b1 ++ b2).toDF("doc_id", "text"),
+            0.30, 0.30, 0.20, 0.20, Seq(0.20, 0.18, 0.16),
+            Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10))
+          .as[Long].collect().sorted.toSeq
+        assert(kept == batchKept && kept == Seq(1L, 4L))
+        // survivors land in their own trigger's partition
+        assert(gated.filter($"doc_id" === 1L).select("batch").as[Int].head() == 0)
+        assert(gated.filter($"doc_id" === 4L).select("batch").as[Int].head() == 1)
+      } finally q.stop()
+    } finally ()
+  }
+
   test("streaming Moore-Lewis gate: stored two-LM ce_diff gates the stream exactly like batch; unscorable docs drop") {
     import graft.streaming.DocsStream
     import graft.functions.{Sampling, TextAnalysis}

@@ -568,6 +568,28 @@ object TextAnalysis {
     val vTbl = corpus
       .select(explode(tokens(col(textCol))).as("term"))
       .agg(countDistinct(col("term")).as("__v"))
+    canaryTail(candidates, model, ctx, vTbl, addK)
+  }
+
+  /** [[canaryRank]] against a persisted [[writeLmTable]] model — the
+    * audit face that composes with EXACT UNLEARNING: insert canaries,
+    * fit the stored model, read rank 1; [[deleteFromLmTable]] the canary
+    * documents and the SAME audit reads the uninserted baseline rank,
+    * because unlearning is count-exact (TakedownSpec pins the loop).
+    */
+  def canaryRankIndexed(spark: org.apache.spark.sql.SparkSession,
+      name: String, candidates: DataFrame, addK: Double = 1.0): DataFrame = {
+    requireIndexName(name)
+    require(addK > 0, "addK must be positive (unseen mass)")
+    canaryTail(candidates, spark.table(s"${name}_model"),
+      spark.table(s"${name}_ctx"),
+      spark.table(s"${name}_globals").select(col("v").as("__v")), addK)
+  }
+
+  /** The shared sequence-probability ranking tail of [[canaryRank]] /
+    * [[canaryRankIndexed]]. */
+  private def canaryTail(candidates: DataFrame, model: DataFrame,
+      ctx: DataFrame, vTbl: DataFrame, addK: Double): DataFrame = {
     val p = (coalesce(col("c12"), lit(0L)).cast("double") + lit(addK)) /
       (coalesce(col("c1"), lit(0L)).cast("double") +
         lit(addK) * col("__v").cast("double"))

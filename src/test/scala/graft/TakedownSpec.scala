@@ -740,4 +740,43 @@ class TakedownSpec extends SparkSpec {
       Takedown.dropLedger(spark, vt)
     }
   }
+
+  test("canary audit closes the unlearning loop: deleteFromLmTable restores the baseline rank") {
+    import graft.oracles.PipelineOracles.canaryCandidates
+    // the memorization audit DRIVES the takedown, and exact unlearning is
+    // verified by the audit itself: insert the 16x canary, fit the stored
+    // LM, read rank 1; unlearn the canary documents and the SAME audit
+    // must read exactly what a from-scratch fit without them reads
+    val host = (0 until 30).map(d =>
+      (d.toLong, s"spark query join window agg stream doc$d"))
+      .toDF("doc_id", "text")
+    val cands = canaryCandidates.toDF("reps", "cand_id", "ctext")
+    val canaryDocs = canaryCandidates.filter(t => t._1 == 16 && t._2 == 0)
+      .flatMap { case (c, _, t) =>
+        (0 until c).map(i => (2000000L + c * 1000L + i, t)) }
+      .toDF("doc_id", "text")
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val poisoned = s"graft_canary_a_$uid"; val clean = s"graft_canary_b_$uid"
+    try {
+      TextAnalysis.writeLmTable(host.unionByName(canaryDocs), poisoned)
+      TextAnalysis.writeLmTable(host, clean)
+      def audit(name: String) =
+        TextAnalysis.canaryRankIndexed(spark, name, cands)
+          .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+          .sortBy(_._1).toSeq
+      val before = audit(poisoned)
+      assert(before.find(_._1 == 16L).get._2 == 1L,
+        "the 16x-inserted canary must rank first before unlearning")
+      TextAnalysis.deleteFromLmTable(spark, poisoned, canaryDocs)
+      val after = audit(poisoned)
+      val baseline = audit(clean)
+      assert(after == baseline,
+        "unlearned model must audit EXACTLY like a fit that never saw the canaries")
+      assert(after.find(_._1 == 16L).get._2 > 1L,
+        "the canary's memorization signal must be gone after unlearning")
+    } finally {
+      TextAnalysis.dropLmTable(spark, poisoned)
+      TextAnalysis.dropLmTable(spark, clean)
+    }
+  }
 }

@@ -763,6 +763,31 @@ private[graft] object MiscQueries {
       Some(canaryRankOracle)),
 
 
+    // The canary audit against the PERSISTED LM — the deployment that
+    // composes with exact unlearning (TakedownSpec closes that loop:
+    // deleteFromLmTable on the canaries restores the baseline audit
+    // bit-for-bit). Same oracle hash as the inline row certifies the
+    // stored-model access path.
+    Q("q_privacy_canary_rank_indexed",
+      (s, d) => {
+        import s.implicits._
+        val cands = canaryCandidates.toDF("reps", "cand_id", "ctext")
+        val canaryDocs = canaryCandidates.filter(_._2 == 0)
+          .flatMap { case (c, _, t) =>
+            (0 until c).map(i => (2000000L + c * 1000L + i, t)) }
+          .toDF("doc_id", "text")
+        val corpus = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text")).unionByName(canaryDocs)
+        val name = "graft_canary_idx_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        TextAnalysis.writeLmTable(corpus, name)
+        try TextAnalysis.canaryRankIndexed(s, name, cands)
+          .orderBy("reps").localCheckpoint(true)
+        finally TextAnalysis.dropLmTable(s, name)
+      },
+      Some(canaryRankOracle)),
+
+
     // SOFT quality sampling: keep-probability ∝ the classifier score
     // (clamped to [0,1]) keyed on the content hash — the FineWeb-style
     // soft cut that keeps mid-quality documents in proportion instead of

@@ -1148,6 +1148,28 @@ object Stress {
         Seq[(String, String => DataFrame)]("substring_dedup" -> (d =>
           Dedup.substringDedup(docs(d), windowLen = 40)
             .filter(col("n_removed") >= 0L)))
+      else if (kind == "gopher")
+        // the full Gopher Table A1 statistic over the reflow-injected
+        // corpus — the claim to certify is ~1.0 with a SMALL constant:
+        // the operator is one scan-side kernel with zero exchanges, so
+        // rung time should track corpus bytes and nothing else. The
+        // filter consumes a kernel output column so the ladder's count()
+        // cannot prune the statistic.
+        Seq[(String, String => DataFrame)]("gopher_repetition" -> { d =>
+          val injected = docs(d)
+            .withColumn("__l", regexp_replace(col("text"),
+              "(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ", "$1\n"))
+            .withColumn("__p", regexp_replace(col("__l"),
+              "([^\n]+\n[^\n]+)\n", "$1\n\n"))
+            .select(col("doc_id"), concat(col("__p"),
+              expr("CASE WHEN doc_id % 5 = 0 " +
+                "THEN '\\n\\n' || regexp_extract(__p, '^[^\\n]*\\n?[^\\n]*', 0) " +
+                "WHEN doc_id % 3 = 0 " +
+                "THEN '\\n\\n' || regexp_extract(__l, '^[^\\n]*', 0) " +
+                "ELSE '' END")).as("text"))
+          functions.TextAnalysis.gopherRepetition(injected)
+            .filter(col("dup_5gram_char_frac") >= 0.0)
+        })
       else if (kind == "novelty")
         // trigram novelty — one trigram-keyed shuffle + doc rollup: the
         // claim to certify is a ~1.0 exponent (rows ∝ corpus tokens,

@@ -380,6 +380,41 @@ object Dedup {
     */
   val MaxIndexJoinRows: Long = 20000000L
 
+  /** The cost-model statistics behind [[ngramJaccardPairs]]'s regime
+    * switch, as a first-class relation — the operational "dedup plan"
+    * surface an operator of a 100 TB corpus reads BEFORE committing to a
+    * near-dup pass: corpus size in shingle terms, the exact
+    * inverted-index candidate-join volume Σ df·(df−1)/2, the hottest
+    * shingle's document frequency, and the regime the switch would pick
+    * at the given caps (the SAME decision rule, printed instead of
+    * acted on). All counts are exact integers (the join volume uses
+    * integer `div` — df·(df−1) is always even); one scan + one
+    * shingle-keyed aggregate + two one-row frames, nothing else.
+    */
+  def dedupPlanStats(docs: DataFrame, textCol: String = "text",
+      maxDocFreq: Long = 1000L,
+      maxIndexJoinRows: Long = MaxIndexJoinRows): DataFrame = {
+    val posting = docs
+      .select(col("doc_id"), ngrams(col(textCol)).as("ng"))
+      .filter(size(col("ng")) > 0)
+      .select(col("doc_id"), explode(col("ng")).as("g"))
+    val docsRow = posting.agg(
+      countDistinct(col("doc_id")).cast("long").as("n_docs"))
+    val shingleRow = posting.groupBy(col("g")).count()
+      .withColumnRenamed("count", "df")
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        sum(col("df")).cast("long").as("n_postings"),
+        sum(expr("df * (df - 1) div 2")).cast("long")
+          .as("candidate_join_rows"),
+        max(col("df")).cast("long").as("max_df"))
+    docsRow.crossJoin(shingleRow)
+      .select(col("n_docs"), col("n_shingles"), col("n_postings"),
+        col("candidate_join_rows"), col("max_df"),
+        when(col("candidate_join_rows") <= maxIndexJoinRows &&
+            col("max_df") <= maxDocFreq, lit("count-join"))
+          .otherwise(lit("prefix-filter")).as("regime"))
+  }
+
   /** Exact Jaccard from inverted-index join counts: `common` is the number
     * of shared shingles, set sizes ride along on the postings.
     */

@@ -157,15 +157,42 @@ private[graft] object PipelineOracles {
     * shared by the encode oracle and the fertility oracle (both splice it
     * over a `word` column and split on the U+001F separator).
     */
-  private[graft] lazy val bpeFoldedSql: String = {
+  private[graft] def bpeFoldedSqlFor(
+      merges: Seq[graft.functions.Bpe.Merge]): String = {
     val sep = "\u001f"
     def lit(s: String) = "'" + s.replace("'", "''") + "'"
     val init = s"(${lit(sep)} || array_to_string(string_split(word, ''), " +
       s"${lit(sep)}) || ${lit(sep + Bpe.EndMarker + sep)})"
-    bpeMerges.sortBy(_.rank).foldLeft(init) { (e, m) =>
+    merges.sortBy(_.rank).foldLeft(init) { (e, m) =>
       s"replace($e, ${lit(sep + m.left + sep + m.right + sep)}, " +
         s"${lit(sep + m.left + m.right + sep)})"
     }
+  }
+
+  private[graft] lazy val bpeFoldedSql: String = bpeFoldedSqlFor(bpeMerges)
+
+  /** DuckDB replay of q_text_bpe_compression_curve: the SAME rank-sorted
+    * merge table truncated at each vocabulary checkpoint (rank order is
+    * the artifact's semantics, so prefix-truncation IS the tokenizer at
+    * that checkpoint), each arm the standard sep-bounded replace() fold.
+    */
+  private[graft] lazy val bpeCompressionOracle: String = {
+    val sep = "\u001f"
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    val arms = Seq(0, 8, 16, 32).map { k =>
+      val folded = bpeFoldedSqlFor(bpeMerges.take(k))
+      s"SELECT CAST($k AS BIGINT) AS n_merges, " +
+        s"CAST(sum(len(string_split(trim($folded, ${lit(sep)}), " +
+        s"${lit(sep)}))) AS BIGINT) AS total_tokens, " +
+        "CAST(sum(length(word)) AS BIGINT) AS total_chars " +
+        "FROM tk WHERE word <> ''"
+    }
+    s"WITH tk AS (SELECT doc_id, unnest($toksSql) AS word " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "u AS (" + arms.mkString(" UNION ALL ") + ") " +
+      "SELECT n_merges, total_tokens, total_chars, " +
+      "CAST(total_chars AS DOUBLE) / CAST(total_tokens AS DOUBLE) " +
+      "AS chars_per_token FROM u ORDER BY n_merges"
   }
 
   /** BYTE-LEVEL init segmentation of `word` in DuckDB: the UTF-8 bytes

@@ -284,6 +284,37 @@ private[graft] object DedupQueries {
       Some(ngramJaccardOracle)),
 
 
+    // The near-dup COST MODEL as a first-class relation: the exact
+    // Σ df·(df−1)/2 candidate-join volume, hottest-shingle df, and the
+    // regime ngramJaccardPairs' switch would pick at the production caps
+    // — what an operator reads before committing a 100 TB near-dup pass
+    // (and the number the round-11 twins ladder showed crossing the
+    // threshold between x3 and x10). Caps render from the SAME Scala
+    // constants the operator reads (no-silent-divergence rule).
+    Q("q_dedup_plan_stats",
+      (s, d) => Dedup.dedupPlanStats(Tables.documents(s, d)),
+      Some("WITH toks AS (SELECT doc_id, " + toksSql + " AS t " +
+        "FROM documents), " +
+        "ngrams AS (SELECT doc_id, " +
+        "list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] " +
+        "FOR i IN range(1, len(t) - 1)]) AS ng FROM toks " +
+        "WHERE len(t) >= 3), " +
+        "p AS (SELECT doc_id, unnest(ng) AS g FROM ngrams " +
+        "WHERE len(ng) > 0), " +
+        "dr AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs " +
+        "FROM p), " +
+        "dft AS (SELECT g, count(*) AS df FROM p GROUP BY 1), " +
+        "sr AS (SELECT CAST(count(*) AS BIGINT) AS n_shingles, " +
+        "CAST(sum(df) AS BIGINT) AS n_postings, " +
+        "CAST(sum(df * (df - 1) // 2) AS BIGINT) AS candidate_join_rows, " +
+        "CAST(max(df) AS BIGINT) AS max_df FROM dft) " +
+        "SELECT n_docs, n_shingles, n_postings, candidate_join_rows, " +
+        "max_df, CASE WHEN candidate_join_rows <= " +
+        graft.functions.Dedup.MaxIndexJoinRows +
+        " AND max_df <= 1000 THEN 'count-join' " +
+        "ELSE 'prefix-filter' END AS regime FROM dr CROSS JOIN sr")),
+
+
     // MinHash+LSH emits exactly the verified-Jaccard pairs. The exact
     // oracle demands banding recall ~1 at the 0.5 threshold, so this query
     // runs the high-recall config: 64 minima in 32 bands of 2 gives

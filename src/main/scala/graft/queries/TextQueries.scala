@@ -339,6 +339,33 @@ private[graft] object TextQueries {
       Some(bpeEncodeOracle)),
 
 
+    // Tokenizer VOCABULARY-SIZE sweep — the compression curve a
+    // tokenizer choice is priced on: the SAME rank-ordered merge table
+    // truncated at checkpoints {0, 8, 16, 32} (prefix-truncation IS the
+    // tokenizer at that checkpoint, because rank order is the artifact's
+    // semantics), each arm re-encoding the corpus and reporting exact
+    // token/char totals + chars-per-token. The 0-merge arm is the
+    // character-level baseline every curve is read against.
+    Q("q_text_bpe_compression_curve",
+      (s, d) => {
+        val arms = Seq(0, 8, 16, 32).map { k =>
+          val t = TextAnalysis.tokens(col("text"))
+          Tables.documents(s, d).filter(col("text").isNotNull)
+            .select(Bpe.encode(t, bpeMerges.take(k)).as("sub"),
+              length(array_join(filter(t, w => length(w) > 0), ""))
+                .cast("long").as("__wc"))
+            .agg(sum(size(col("sub"))).cast("long").as("total_tokens"),
+              sum(col("__wc")).as("total_chars"))
+            .select(lit(k.toLong).as("n_merges"), col("total_tokens"),
+              col("total_chars"),
+              (col("total_chars").cast("double") /
+                col("total_tokens").cast("double")).as("chars_per_token"))
+        }
+        arms.reduce(_ unionByName _).orderBy("n_merges")
+      },
+      Some(bpeCompressionOracle)),
+
+
     // WORDPIECE apply — the THIRD tokenizer regime (BERT's): greedy
     // longest-match-first over a likelihood-ratio-trained vocabulary,
     // ## continuation pieces, hard [UNK] for untileable words — so

@@ -496,6 +496,37 @@ class PipelineSpec extends SparkSpec {
     kernel.zip(relational).foreach { case (a, b) => assert(a == b, s"$a != $b") }
   }
 
+  test("dedup plan stats: exact cost counts and the regime the switch would pick") {
+    // shingles: doc1/doc2 share {a b c, b c d}, doc3 owns {x y z} ⇒
+    // df = {2, 2, 1}: postings 5, join rows 1+1+0 = 2, max df 2
+    val corpus = docs((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z"))
+    val r = Dedup.dedupPlanStats(corpus).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_shingles") == 3L)
+    assert(r.getAs[Long]("n_postings") == 5L)
+    assert(r.getAs[Long]("candidate_join_rows") == 2L)
+    assert(r.getAs[Long]("max_df") == 2L)
+    assert(r.getAs[String]("regime") == "count-join")
+    // the same statistics flip the verdict at tighter caps — both arms
+    assert(Dedup.dedupPlanStats(corpus, maxIndexJoinRows = 1L)
+      .collect()(0).getAs[String]("regime") == "prefix-filter")
+    assert(Dedup.dedupPlanStats(corpus, maxDocFreq = 1L)
+      .collect()(0).getAs[String]("regime") == "prefix-filter")
+  }
+
+  test("bpe compression curve: prefix-truncated merges ARE the vocabulary checkpoints") {
+    // corpus "ab ab b": merge 1 fuses (b, </w>) [freq 3], merge 2 fuses
+    // (a, b</w>) ⇒ encode totals 8 → 5 → 3 along the checkpoint ladder
+    val merges = Bpe.learnMergesLocal(Seq("ab ab b"), numMerges = 2)
+    val corpus = docs((1L, "ab ab b"))
+    val totals = Seq(0, 1, 2).map { k =>
+      corpus.select(Bpe.encode(TextAnalysis.tokens(col("text")),
+          merges.take(k)).as("sub"))
+        .agg(sum(size(col("sub")))).collect()(0).getLong(0)
+    }
+    assert(totals == Seq(8L, 5L, 3L))
+  }
+
   test("min-k% prob: bottom-k mean computed exactly on a hand-worked model") {
     // corpus "a b a b c" + "a b a": c12 = {ab:3, ba:2, bc:1},
     // c1 = {a:3, b:3}, V = 3 ⇒ p(ab)=4/6, p(ba)=3/6, p(bc)=2/6,

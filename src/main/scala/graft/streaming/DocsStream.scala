@@ -187,6 +187,39 @@ object DocsStream {
         } finally { b.unpersist(); () }
     }
 
+  /** Streaming MIN-K% PROB membership screen against a persisted
+    * [[graft.functions.TextAnalysis.writeLmTable]] audit model: each
+    * arriving candidate document scores the mean of its bottom-20%
+    * per-position probabilities under the STORED model
+    * ([[graft.functions.TextAnalysis.minKProbIndexed]]) and is kept iff
+    * `min_k_prob < maxMinK` — the leakage-screen deployment of Shi et
+    * al. 2024: before admitting crawled text into an EVALUATION set,
+    * drop documents the membership test flags as probable training-set
+    * members (suspiciously high bottom-k mass). Scoring is
+    * per-document, so per-batch screening is stateless and stream ≡
+    * batch exactly (StreamingSpec pins it); unscorable documents
+    * (< 2 tokens → NULL score) drop — a screen admits what it can vouch
+    * for; retried triggers overwrite their own `batch=N` partition.
+    */
+  def minKGateSink(docs: DataFrame, lmName: String, outDir: String,
+      maxMinK: Double, addK: Double = 1.0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = batch.toDF().persist()
+        try {
+          val keep = TextAnalysis
+            .minKProbIndexed(b.sparkSession, lmName, b, addK)
+            .filter(col("min_k_prob") < maxMinK)
+            .select("doc_id", "n_bigrams", "min_k_prob")
+          val out = b.join(keep, Seq("doc_id")).persist()
+          try {
+            (if (out.isEmpty) out.repartition(1) else out)
+              .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          } finally { out.unpersist(); () }
+        } finally { b.unpersist(); () }
+    }
+
   /** Streaming GOPHER REPETITION gate (Rae et al. 2021 §A1.1): each
     * arriving document computes the full Table A1 statistic via the
     * scan-side [[graft.functions.TextAnalysis.gopherRepetition]] kernel

@@ -396,6 +396,49 @@ class StreamingSpec extends SparkSpec {
     } finally Sampling.dropDsirModel(spark, name)
   }
 
+  test("streaming Min-K membership screen: stored-model audit gates the stream exactly like batch") {
+    import graft.streaming.DocsStream
+    import graft.functions.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    // audit model trained on "a b" prose; a member-looking doc (all
+    // high-probability bigrams ⇒ HIGH min-k ⇒ probable member ⇒ DROP
+    // from the eval set), a non-member (novel bigrams at the smoothing
+    // floor drag the bottom-k down ⇒ keep), an unscorable doc (drop)
+    val train = Seq((100L, "a b a b a b"), (101L, "a b c a b"))
+      .toDF("doc_id", "text")
+    val name = "graft_mink_gate_idx"
+    TextAnalysis.writeLmTable(train, name)
+    val out = java.nio.file.Files.createTempDirectory("graft_mink_gate")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mink_gate_ckpt")
+    val b1 = Seq((1L, "a b a b"), (2L, "z q w e r t"))
+    val b2 = Seq((3L, "b a b a"), (4L, "solo"))
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = DocsStream.minKGateSink(in.toDF().toDF("doc_id", "text"),
+          name, out.toString, maxMinK = 0.4)
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+        val gated = spark.read.parquet(out.toString)
+        val kept = gated.select("doc_id").as[Long].collect().sorted.toSeq
+        val batchKept = TextAnalysis.minKProbIndexed(spark, name,
+            (b1 ++ b2).toDF("doc_id", "text"))
+          .filter($"min_k_prob" < 0.4)
+          .select("doc_id").as[Long].collect().sorted.toSeq
+        assert(kept == batchKept && kept == Seq(2L),
+          s"only the non-member may enter the eval set, got $kept")
+        // the member-looking docs really scored HIGH, not unscorable
+        val scores = TextAnalysis.minKProbIndexed(spark, name,
+            (b1 ++ b2).toDF("doc_id", "text"))
+          .collect().map(r => r.getLong(0) ->
+            (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+        assert(scores(1L).get >= 0.4 && scores(3L).get >= 0.4)
+        assert(scores(4L).isEmpty)
+      } finally q.stop()
+    } finally TextAnalysis.dropLmTable(spark, name)
+  }
+
   test("streaming Gopher repetition gate: per-document Table A1 screen gates the stream exactly like batch") {
     import graft.streaming.DocsStream
     implicit val sqlCtx = spark.sqlContext

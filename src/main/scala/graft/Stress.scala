@@ -1124,6 +1124,23 @@ object Stress {
                 .localCheckpoint(true), 200)
             .filter(col("keep") || col("n_bigrams") >= 0L)
         })
+      else if (kind == "mink")
+        // Min-K membership audit end to end (fit + score members AND
+        // reversed-twin non-members): the claim to certify is the
+        // bigram-LM family's ~1.0 — mutated replica tokens GROW the
+        // model with the corpus (the ce rung's regime), scoring is the
+        // postings join over 2× corpus candidates, and the bottom-k
+        // fold is per-document. The filter consumes min_k_prob so the
+        // ladder's count() cannot prune the audit.
+        Seq[(String, String => DataFrame)]("min_k_prob" -> { d =>
+          val base = docs(d).filter(col("text").isNotNull)
+            .select(col("doc_id"), col("text"))
+          val cands = base.unionByName(base.select(
+            (col("doc_id") + 100000000L).as("doc_id"),
+            array_join(reverse(split(col("text"), " ")), " ").as("text")))
+          functions.TextAnalysis.minKProb(base, cands)
+            .filter(col("min_k_prob") >= 0.0 || col("n_bigrams") >= 0L)
+        })
       else if (kind == "tclose")
         // t-closeness audit over the replicated docs corpus (quasi =
         // lang × source, sensitive = 200-char length buckets): the

@@ -1251,6 +1251,45 @@ object TextAnalysis {
     * one (doc, n, gram)-keyed shuffle of every occurrence string plus a
     * corpus-scale checkpoint, neither of which the statistic needs.
     */
+  /** Rae et al. 2021's published repetition caps — the default policy of
+    * [[gopherVerdict]] and the streaming gate. */
+  val GopherLineFracCap: Double = 0.30
+  val GopherParaFracCap: Double = 0.30
+  val GopherLineCharCap: Double = 0.20
+  val GopherParaCharCap: Double = 0.20
+  val GopherTopGramCaps: Seq[Double] = Seq(0.20, 0.18, 0.16)
+  val GopherDupGramCaps: Seq[Double] = Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10)
+
+  /** The Gopher repetition POLICY verdict: every [[gopherRepetition]]
+    * signal at or under its cap → keep. One scan-side kernel projection
+    * + thirteen comparisons; the streaming gate
+    * (`DocsStream.gopherGateSink`) applies exactly this relation per
+    * trigger, so the oracle-gated batch row certifies the stream's rule
+    * too.
+    */
+  def gopherVerdict(docs: DataFrame,
+      maxDupLineFrac: Double = GopherLineFracCap,
+      maxDupParaFrac: Double = GopherParaFracCap,
+      maxDupLineCharFrac: Double = GopherLineCharCap,
+      maxDupParaCharFrac: Double = GopherParaCharCap,
+      maxTopGramFrac: Seq[Double] = GopherTopGramCaps,
+      maxDupGramFrac: Seq[Double] = GopherDupGramCaps,
+      textCol: String = "text"): DataFrame = {
+    require(maxTopGramFrac.length == 3 && maxDupGramFrac.length == 6,
+      "need 3 top-gram and 6 dup-gram thresholds")
+    val conds = Seq(
+      col("dup_line_frac") <= maxDupLineFrac,
+      col("dup_para_frac") <= maxDupParaFrac,
+      col("dup_line_char_frac") <= maxDupLineCharFrac,
+      col("dup_para_char_frac") <= maxDupParaCharFrac) ++
+      (2 to 4).zip(maxTopGramFrac).map { case (n, t) =>
+        col(s"top_${n}gram_char_frac") <= t } ++
+      (5 to 10).zip(maxDupGramFrac).map { case (n, t) =>
+        col(s"dup_${n}gram_char_frac") <= t }
+    gopherRepetition(docs, textCol)
+      .select(col("doc_id"), conds.reduce(_ && _).as("keep"))
+  }
+
   /** The interpreted higher-order-function form of
     * [[GramOccurrencesExpr]] — retained ONLY as the equality surface the
     * kernel is spec-pinned against (the PqCodesExpr discipline); never on

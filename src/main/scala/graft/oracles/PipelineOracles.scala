@@ -1692,6 +1692,28 @@ private[graft] object PipelineOracles {
       "res.mk AS min_k_prob FROM cand c " +
       "LEFT JOIN res ON c.doc_id = res.doc_id ORDER BY c.doc_id"
 
+  /** DuckDB replay of q_text_gopher_verdict: the FULL repetition oracle
+    * as a subquery, thirteen cap comparisons rendered from the SAME
+    * Scala constants the operator and the streaming gate read
+    * (no-silent-divergence rule; caps as CAST('…' AS DOUBLE) so both
+    * engines compare against the identical IEEE value).
+    */
+  private[graft] lazy val gopherVerdictOracle: String = {
+    import graft.functions.TextAnalysis._
+    def cap(d: Double) = s"CAST('$d' AS DOUBLE)"
+    val conds = Seq(
+      s"dup_line_frac <= ${cap(GopherLineFracCap)}",
+      s"dup_para_frac <= ${cap(GopherParaFracCap)}",
+      s"dup_line_char_frac <= ${cap(GopherLineCharCap)}",
+      s"dup_para_char_frac <= ${cap(GopherParaCharCap)}") ++
+      (2 to 4).zip(GopherTopGramCaps).map { case (n, t) =>
+        s"top_${n}gram_char_frac <= ${cap(t)}" } ++
+      (5 to 10).zip(GopherDupGramCaps).map { case (n, t) =>
+        s"dup_${n}gram_char_frac <= ${cap(t)}" }
+    s"SELECT doc_id, (${conds.mkString(" AND ")}) AS keep " +
+      s"FROM ($gopherRepOracle) g ORDER BY doc_id"
+  }
+
   /** Canary-audit CONFIGURATION (the classifierWeights discipline:
     * generated once by the engine's LCG over a fixed corpus-register
     * vocabulary, rendered as literals into both engines). Classes are

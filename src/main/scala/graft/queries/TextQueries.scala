@@ -1336,6 +1336,31 @@ private[graft] object TextQueries {
       Some(gopherRepOracle)),
 
 
+    // The Gopher POLICY verdict over the same injected corpus — the
+    // exact relation the streaming gate (gopherGateSink) applies per
+    // trigger, now oracle-gated: thirteen cap comparisons against the
+    // paper's published thresholds, rendered into both engines from the
+    // SAME Scala constants. The %3/%5 injection classes fail (their
+    // duplicate spans blow the coverage caps); everything else keeps.
+    Q("q_text_gopher_verdict",
+      (s, d) => {
+        val injected = Tables.documents(s, d)
+          .filter(col("text").isNotNull)
+          .withColumn("__l", regexp_replace(col("text"),
+            "(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ", "$1\n"))
+          .withColumn("__p", regexp_replace(col("__l"),
+            "([^\n]+\n[^\n]+)\n", "$1\n\n"))
+          .select(col("doc_id"), concat(col("__p"),
+            expr("CASE WHEN doc_id % 5 = 0 " +
+              "THEN '\\n\\n' || regexp_extract(__p, '^[^\\n]*\\n?[^\\n]*', 0) " +
+              "WHEN doc_id % 3 = 0 " +
+              "THEN '\\n\\n' || regexp_extract(__l, '^[^\\n]*', 0) " +
+              "ELSE '' END")).as("text"))
+        TextAnalysis.gopherVerdict(injected).orderBy("doc_id")
+      },
+      Some(gopherVerdictOracle)),
+
+
     // CORPUS-INTERNAL trigram novelty — the diversity audit beside the
     // within-doc repetition screen: per doc, the fraction of its distinct
     // trigrams occurring in NO other document (templated phrasing scores

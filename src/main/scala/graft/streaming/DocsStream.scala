@@ -263,19 +263,11 @@ object DocsStream {
   private[graft] def gopherKeep(docs: DataFrame,
       maxDupLineFrac: Double, maxDupParaFrac: Double,
       maxDupLineCharFrac: Double, maxDupParaCharFrac: Double,
-      maxTopGramFrac: Seq[Double], maxDupGramFrac: Seq[Double]): DataFrame = {
-    val stats = graft.functions.TextAnalysis.gopherRepetition(docs)
-    val conds = Seq(
-      col("dup_line_frac") <= maxDupLineFrac,
-      col("dup_para_frac") <= maxDupParaFrac,
-      col("dup_line_char_frac") <= maxDupLineCharFrac,
-      col("dup_para_char_frac") <= maxDupParaCharFrac) ++
-      (2 to 4).zip(maxTopGramFrac).map { case (n, t) =>
-        col(s"top_${n}gram_char_frac") <= t } ++
-      (5 to 10).zip(maxDupGramFrac).map { case (n, t) =>
-        col(s"dup_${n}gram_char_frac") <= t }
-    stats.filter(conds.reduce(_ && _)).select(col("doc_id"))
-  }
+      maxTopGramFrac: Seq[Double], maxDupGramFrac: Seq[Double]): DataFrame =
+    graft.functions.TextAnalysis.gopherVerdict(docs, maxDupLineFrac,
+        maxDupParaFrac, maxDupLineCharFrac, maxDupParaCharFrac,
+        maxTopGramFrac, maxDupGramFrac)
+      .filter(col("keep")).select(col("doc_id"))
 
   /** Streaming DSIR gate against a persisted importance model
     * ([[graft.functions.Sampling.writeDsirModel]]): each arriving

@@ -468,6 +468,44 @@ class PipelineSpec extends SparkSpec {
     assert(r2.getAs[Double]("dup_line_frac") == 0.0)
   }
 
+  test("gram occurrences: native kernel equals the HOF form, Unicode included") {
+    // the GramOccurrencesExpr equality surface its scaladoc promises:
+    // same (n, start, g) multiset as the interpreted transform chain —
+    // exercised on ASCII, multi-byte UTF-8, non-BMP emoji, a
+    // single-token doc, and the empty-token edge
+    val corpus = docs(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "café naïve café über naïve café straße émigré"),
+      (3L, "🎉 x 🎉 y 🎉 z 🎉"),
+      (4L, "solo"),
+      (5L, ""))
+    def explodeAll(c: org.apache.spark.sql.Column) = corpus
+      .select($"doc_id", explode(c).as("o"))
+      .select($"doc_id", $"o.n", $"o.start", $"o.g")
+      .orderBy("doc_id", "n", "start")
+      .collect().toSeq
+    val toks = TextAnalysis.tokens($"text")
+    val native = explodeAll(TextAnalysis.gramOccurrences(toks, 10))
+    val hof = explodeAll(TextAnalysis.gramOccurrencesHof(toks, 10))
+    assert(native.nonEmpty && native == hof)
+  }
+
+  test("gopher repetition: kernel equals relational on a Unicode corpus") {
+    // code-point lengths and the code-point tie-break order (= UTF-8
+    // byte order, ≠ Java UTF-16 order beyond the BMP) are load-bearing:
+    // 🎉 (U+1F389) must sort AFTER any BMP char in both engines' rule
+    val corpus = docs(
+      (1L, "🎉 fête 🎉 fête straße\n🎉 fête 🎉 fête straße\n\nnaïve über"),
+      (2L, "émigré 🚀 émigré 🚀 émigré 🚀 émigré 🚀"))
+    val k = TextAnalysis.gopherRepetition(corpus).orderBy("doc_id").collect()
+    val r = TextAnalysis.gopherRepetitionRelational(corpus)
+      .orderBy("doc_id").collect()
+    assert(k.toSeq == r.toSeq)
+    // doc 1's duplicated line really fired (sanity that the fixture bites)
+    assert(k(0).getAs[Double]("dup_line_frac") > 0.0)
+    assert(k(1).getAs[Double]("dup_5gram_char_frac") > 0.0)
+  }
+
   test("gopher repetition: scan-side kernel equals the relational form bit-for-bit") {
     // LCG word soup with injected newlines, blank lines, repeated runs,
     // and edge shapes (empty text, spaces, single token, sub-BMP only) —

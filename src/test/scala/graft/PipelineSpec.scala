@@ -490,6 +490,19 @@ class PipelineSpec extends SparkSpec {
     assert(native.nonEmpty && native == hof)
   }
 
+  test("gopher repetition: the physical plan carries ZERO exchanges") {
+    // the 100 TB property the operator exists for — per-document kernel
+    // work only, nothing to shuffle; a regression that re-introduces an
+    // aggregate or join must fail loudly here
+    val corpus = docs((1L, "a b c d e f"), (2L, "x y\nx y"))
+    val plan = TextAnalysis.gopherRepetition(corpus)
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e }
+    assert(exchanges.isEmpty,
+      s"gopherRepetition must stay exchange-free, found: $exchanges")
+  }
+
   test("gopher repetition: kernel equals relational on a Unicode corpus") {
     // code-point lengths and the code-point tie-break order (= UTF-8
     // byte order, ≠ Java UTF-16 order beyond the BMP) are load-bearing:

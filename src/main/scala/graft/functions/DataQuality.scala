@@ -274,6 +274,54 @@ object DataQuality {
     * bucket a continuous sensitive attribute (as the gate query does)
     * long before that.
     */
+  /** QUALITY-SIGNAL AGREEMENT audit: exact Spearman rank correlation
+    * between named per-document quality signals — the
+    * signal-redundancy analysis a filtering-ablation study runs before
+    * composing caps (two signals at ρ ≈ 1 gate the same documents; a
+    * low-ρ signal adds information). Each input is a (doc_id, score)
+    * frame; the audited universe is documents scored NON-NULL by every
+    * signal, sampled to `sampleSize` rows by the engine's deterministic
+    * doc-id LCG (ties by doc_id) — the 256-row-tercile discipline: the
+    * rank windows then run on a KB-scale frame at ANY corpus size, so
+    * the audit never needs a corpus-wide global sort. Ranks are
+    * row_number over (score, doc_id) — the deterministic tie-break
+    * variant of Spearman, stated in the column name's contract — and
+    * ρ = 1 − 6·Σd² / (n(n²−1)) is exact-integer until one final double
+    * division. One row per signal pair, input order.
+    */
+  def signalAgreement(signals: Seq[(String, DataFrame)],
+      sampleSize: Int = 1024): DataFrame = {
+    require(signals.size >= 2, "need at least two signals")
+    require(signals.map(_._1).distinct.size == signals.size,
+      "signal names must be unique")
+    val joined = signals.map { case (nm, df) =>
+      df.select(col("doc_id"), col("score").cast("double").as(s"__s_$nm"))
+        .filter(col(s"__s_$nm").isNotNull)
+    }.reduce(_.join(_, Seq("doc_id")))
+    val sample = joined
+      .orderBy(expr(Similarity.sampleHashSql("doc_id")), col("doc_id"))
+      .limit(sampleSize)
+      .localCheckpoint(true)
+    val ranked = signals.foldLeft(sample) { case (d, (nm, _)) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(s"__s_$nm"), col("doc_id"))
+      d.withColumn(s"__r_$nm", row_number().over(w).cast("long"))
+    }
+    val arms = signals.combinations(2).toSeq.map { pair =>
+      val (a, b) = (pair(0)._1, pair(1)._1)
+      val d = col(s"__r_$a") - col(s"__r_$b")
+      ranked.agg(count(lit(1)).as("n_docs"),
+          sum(d * d).cast("long").as("sum_d2"))
+        .select(lit(s"${a}_vs_$b").as("pair"), col("n_docs"),
+          col("sum_d2"),
+          when(col("n_docs") > 1, lit(1.0) -
+            lit(6.0) * col("sum_d2").cast("double") /
+              (col("n_docs") * (col("n_docs") * col("n_docs") - 1))
+                .cast("double")).as("spearman_rho"))
+    }
+    arms.reduce(_ unionByName _)
+  }
+
   def tCloseness(df: DataFrame, quasiCols: Seq[String], sensitive: Column,
       t: Double): DataFrame = {
     require(quasiCols.nonEmpty && t >= 0, "need quasi columns and t >= 0")

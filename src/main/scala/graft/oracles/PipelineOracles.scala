@@ -691,6 +691,57 @@ private[graft] object PipelineOracles {
       s"$classifierThreshold * b.n_tokens END AS keep " +
       "FROM base b LEFT JOIN hit h USING (doc_id) ORDER BY b.doc_id"
 
+  /** DuckDB replay of q_quality_signal_agreement: the three
+    * individually-gated signal fragments (quality formula, linear
+    * classifier, bigram LM) composed into one universe, the
+    * deterministic LCG sample, three rank windows over the ≤1024-row
+    * sample, and the exact-integer Spearman arithmetic — one arm per
+    * signal pair in the Spark side's combinations order.
+    */
+  private[graft] lazy val signalAgreementOracle: String = {
+    val lcg = "((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647"
+    def arm(a: String, b: String) =
+      s"SELECT '${a}_vs_$b' AS pair, CAST(count(*) AS BIGINT) AS n_docs, " +
+        s"CAST(sum((r_$a - r_$b) * (r_$a - r_$b)) AS BIGINT) AS sum_d2, " +
+        "CASE WHEN count(*) > 1 THEN 1.0 - " +
+        s"6.0 * CAST(sum((r_$a - r_$b) * (r_$a - r_$b)) AS DOUBLE) / " +
+        "CAST(count(*) * (count(*) * count(*) - 1) AS DOUBLE) END " +
+        "AS spearman_rho FROM r"
+    s"WITH ${bigramLmCtes.stripPrefix("WITH ")}, " +
+      s"q AS (SELECT doc_id, $qualityScoreSql AS s_quality " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "wt AS (SELECT * FROM (VALUES " +
+      classifierWeights.map { case (t, w) =>
+        s"('$t', CAST($w AS BIGINT))" }.mkString(", ") +
+      ") AS t(term, w)), " +
+      "tk2 AS (SELECT doc_id, unnest(" + toksSql + ") AS term " +
+      "FROM documents), " +
+      "hit2 AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS hit " +
+      "FROM tk2 JOIN wt USING (term) GROUP BY 1), " +
+      "cbase AS (SELECT doc_id, CAST(COALESCE(len(" + toksSql + "), 0) " +
+      "AS BIGINT) AS n_tokens FROM documents), " +
+      "c AS (SELECT b.doc_id, CASE WHEN b.n_tokens = 0 THEN NULL " +
+      s"ELSE CAST(COALESCE(h.hit, 0) + $classifierBias AS DOUBLE) / " +
+      "(CAST(b.n_tokens AS DOUBLE) * 1000000.0) END AS s_classifier " +
+      "FROM cbase b LEFT JOIN hit2 h USING (doc_id)), " +
+      "b2 AS (SELECT doc_id, s / CAST(n AS DOUBLE) AS s_bigram FROM sc), " +
+      "j AS (SELECT q.doc_id AS doc_id, s_quality, s_classifier, s_bigram " +
+      "FROM q JOIN c ON q.doc_id = c.doc_id " +
+      "JOIN b2 ON q.doc_id = b2.doc_id " +
+      "WHERE s_classifier IS NOT NULL), " +
+      s"smp AS (SELECT * FROM j ORDER BY $lcg, doc_id LIMIT 1024), " +
+      "r AS (SELECT doc_id, " +
+      "CAST(row_number() OVER (ORDER BY s_quality, doc_id) AS BIGINT) " +
+      "AS r_quality, " +
+      "CAST(row_number() OVER (ORDER BY s_classifier, doc_id) AS BIGINT) " +
+      "AS r_classifier, " +
+      "CAST(row_number() OVER (ORDER BY s_bigram, doc_id) AS BIGINT) " +
+      "AS r_bigram FROM smp) " +
+      arm("quality", "classifier") + " UNION ALL " +
+      arm("quality", "bigram") + " UNION ALL " +
+      arm("classifier", "bigram") + " ORDER BY pair"
+  }
+
   /** Blocklist phrase set for q_text_blocklist — multi-word phrases so the
     * Aho-Corasick automaton's cross-token matching is exercised, plus one
     * phrase absent from the corpus vocabulary (the never-hit arm). Rendered

@@ -685,6 +685,34 @@ private[graft] object MiscQueries {
         "ORDER BY c_nationkey NULLS LAST, c_mktsegment NULLS LAST")),
 
 
+    // QUALITY-SIGNAL AGREEMENT: exact Spearman rank correlation between
+    // the three gated quality signals (heuristic formula, linear
+    // classifier, bigram LM) over the deterministic 1024-doc LCG sample
+    // — the signal-redundancy audit a filtering ablation runs before
+    // composing caps (ρ ≈ 1 ⇒ two signals gate the same documents).
+    // Ranks are row_number over (score, doc_id) — the deterministic
+    // tie-break variant — and the rank windows run on a KB-scale frame
+    // at ANY corpus size (the tercile-sample discipline).
+    Q("q_quality_signal_agreement",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val quality = docs.filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("score"))
+        val classifier = TextAnalysis.classifierScoreInline(docs,
+            classifierWeights, bias = classifierBias,
+            thresholdMicros = classifierThreshold)
+          .select(col("doc_id"), col("score"))
+        val bigram = TextAnalysis.bigramScore(docs)
+          .select(col("doc_id"), col("bigram_score").as("score"))
+        graft.functions.DataQuality.signalAgreement(Seq(
+            "quality" -> quality, "classifier" -> classifier,
+            "bigram" -> bigram))
+          .orderBy("pair")
+      },
+      Some(signalAgreementOracle)),
+
+
     // MIN-K% PROB membership audit (Shi et al. ICLR 2024) — the
     // MEMORIZATION side of the privacy ladder: fit the rational bigram
     // LM on the corpus, then score members (the documents themselves)

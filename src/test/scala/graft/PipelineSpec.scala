@@ -547,6 +547,28 @@ class PipelineSpec extends SparkSpec {
     kernel.zip(relational).foreach { case (a, b) => assert(a == b, s"$a != $b") }
   }
 
+  test("signal agreement: exact Spearman on hand-worked ranks, ties and universe rules") {
+    import spark.implicits._
+    // a ascending, b exactly reversed (ρ = −1), t all-tied (ranks fall
+    // back to doc_id order = a's order ⇒ ρ = 1 vs a); doc 5 scored only
+    // by a drops from the universe
+    val a = Seq((1L, 0.1), (2L, 0.2), (3L, 0.3), (4L, 0.4), (5L, 0.5))
+      .toDF("doc_id", "score")
+    val b = Seq((1L, 0.9), (2L, 0.7), (3L, 0.5), (4L, 0.3))
+      .toDF("doc_id", "score")
+    val t = Seq((1L, 0.5), (2L, 0.5), (3L, 0.5), (4L, 0.5))
+      .toDF("doc_id", "score")
+    val out = DataQuality.signalAgreement(
+        Seq("a" -> a, "b" -> b, "t" -> t))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a_vs_b").getAs[Long]("n_docs") == 4L)
+    assert(out("a_vs_b").getAs[Long]("sum_d2") == 20L)
+    assert(out("a_vs_b").getAs[Double]("spearman_rho") == -1.0)
+    assert(out("a_vs_t").getAs[Double]("spearman_rho") == 1.0,
+      "tied scores must rank by doc_id - the deterministic variant")
+    assert(out("b_vs_t").getAs[Double]("spearman_rho") == -1.0)
+  }
+
   test("dedup plan stats: exact cost counts and the regime the switch would pick") {
     // shingles: doc1/doc2 share {a b c, b c d}, doc3 owns {x y z} ⇒
     // df = {2, 2, 1}: postings 5, join rows 1+1+0 = 2, max df 2

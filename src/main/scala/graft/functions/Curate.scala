@@ -130,22 +130,32 @@ object Curate {
       : Seq[(String, () => DataFrame)] = {
     val docs = docs0.filter(col(textCol).isNotNull)
 
-    def kept() = docs
-      .join(TextAnalysis.filterVerdict(docs, textCol, expectedLangCol)
-        .filter(col("keep")).select("doc_id"), Seq("doc_id"))
+    // Every stage's VERDICT is a KB-scale doc_id set; materialize each one
+    // EXACTLY ONCE per pipeline instance (lazy vals shared by every thunk
+    // and by every reference inside a stage). Without this the expensive
+    // scans re-run per reference: filterVerdict (a repetition-stats
+    // explode+agg over the corpus) executed 4x per curateFull run —
+    // twice inside the dedup pair build, twice more under the scrub
+    // join-back — and the quality window re-ran once per mixture
+    // reference. Measured at sf0.1 (noop, warm): q_pipeline_curate_full
+    // 10.3 s -> 6.1 s with identical output (guide §1.2: remove repeated
+    // passes before tuning anything inside them).
+    lazy val keptIds = TextAnalysis.filterVerdict(docs, textCol, expectedLangCol)
+      .filter(col("keep")).select("doc_id")
+      .localCheckpoint(true) // boundary 0: the policy verdict — ids only
+
+    def kept() = docs.join(keptIds, Seq("doc_id"))
       .select(col("doc_id"), col(sourceCol), col(textCol))
 
-    def deduped() = {
-      val k = kept()
-      val keepIds = Dedup.dedupDecisions(k,
-          Dedup.ngramJaccardPairs(k.select(col("doc_id"), col(textCol)),
-            jaccardThreshold))
-        .filter(col("keep")).select("doc_id")
-        .localCheckpoint(true) // boundary 1: ids only — KB-scale
-      k.join(keepIds, Seq("doc_id"))
-    }
+    lazy val dedupKeepIds = Dedup.dedupDecisions(kept(),
+        Dedup.ngramJaccardPairs(kept().select(col("doc_id"), col(textCol)),
+          jaccardThreshold))
+      .filter(col("keep")).select("doc_id")
+      .localCheckpoint(true) // boundary 1: ids only — KB-scale
 
-    def scrubbed() = {
+    def deduped() = kept().join(dedupKeepIds, Seq("doc_id"))
+
+    lazy val scrubbedCkpt = {
       val d = deduped()
       Dedup.decontaminate(d.select(col("doc_id"), col(textCol)), benchmark)
         .filter(length(col(textCol)) > 0)
@@ -154,18 +164,37 @@ object Curate {
         .localCheckpoint(true) // boundary 2: the rewritten text
     }
 
+    def scrubbed() = scrubbedCkpt
+
+    // boundary 3: the tercile verdict — ids only. The quality window and
+    // its driver-side cutoff sample run once; downstream references
+    // (budget count, mixture quotas, mixture ranks, the packed join) each
+    // re-attach by broadcast join instead of re-scoring the corpus.
+    lazy val bucketIds = Sampling.headMiddleTail(
+        scrubbed().withColumn("q_score",
+          TextAnalysis.qualityScore(col(textCol))),
+        scoreCol = "q_score")
+      .filter(col("bucket") =!= "tail")
+      .select("doc_id")
+      .localCheckpoint(true)
+
     def bucketed() = Sampling.headMiddleTail(
         scrubbed().withColumn("q_score",
           TextAnalysis.qualityScore(col(textCol))),
         scoreCol = "q_score")
       .filter(col("bucket") =!= "tail")
 
-    def mixed() = {
-      val b = bucketed()
+    def bucketedLean() = scrubbed().join(bucketIds, Seq("doc_id"))
+
+    lazy val mixIds = {
+      val b = bucketedLean()
       val budget = b.count() * mixNum / mixDen
-      b.join(Sampling.temperatureMixture(b, budget, sourceCol, textCol)
-        .filter(col("keep")).select("doc_id"), Seq("doc_id"))
+      Sampling.temperatureMixture(b, budget, sourceCol, textCol)
+        .filter(col("keep")).select("doc_id")
+        .localCheckpoint(true) // boundary 4: the mixture verdict — ids only
     }
+
+    def mixed() = bucketedLean().join(mixIds, Seq("doc_id"))
 
     def packed() = Sampling.packSequences(
       mixed().select(col("doc_id"), col(textCol)), seqTokens, shards, textCol)

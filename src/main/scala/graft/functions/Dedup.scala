@@ -294,8 +294,10 @@ object Dedup {
       .filter(size(col("ng")) > 0)
     def posting(s: DataFrame) = s.select(
       col("doc_id"), explode(col("ng")).as("g"), size(col("ng")).as("n"))
-    val pa = posting(sets(batch))
-    val pb = posting(sets(seen))
+    // each posting feeds the hot-gram census AND its join leg: materialize
+    // so the tokenize+shingle scan runs once per side, not twice
+    val pa = posting(sets(batch)).localCheckpoint(true)
+    val pb = posting(sets(seen)).localCheckpoint(true)
     val hot = pa.select("g").unionByName(pb.select("g"))
       .groupBy("g").count().filter(col("count") > maxDocFreq).select("g")
     val a = pa.join(broadcast(hot), Seq("g"), "left_anti").as("a")
@@ -337,8 +339,16 @@ object Dedup {
     val sets = docs
       .select(col("doc_id"), ngrams(col(textCol)).as("ng"))
       .filter(size(col("ng")) > 0)
+    // Materialize the posting ONCE: the regime-switch stats below and the
+    // chosen kernel would otherwise each re-run the regex tokenize +
+    // shingle expansion (the scan side's dominant cost — self-join
+    // subtrees and an eager prepass are never shared by Catalyst).
+    // (doc_id, g, n) rows only — no per-gram aggregation, so no hot-gram
+    // buffer risk at any scale; at cluster scale this is the inverted
+    // index's stage table, rendered here as a localCheckpoint.
     val posting = sets.select(
-      col("doc_id"), explode(col("ng")).as("g"), size(col("ng")).as("n"))
+        col("doc_id"), explode(col("ng")).as("g"), size(col("ng")).as("n"))
+      .localCheckpoint(true)
     val dfTbl = posting.groupBy(col("g")).count().withColumnRenamed("count", "df")
 
     // Cost-based regime switch (one small aggregate job): the inverted-index
@@ -415,18 +425,52 @@ object Dedup {
           .otherwise(lit("prefix-filter")).as("regime"))
   }
 
-  /** Exact Jaccard from inverted-index join counts: `common` is the number
+  /** Exact intersection counts for every co-occurring doc pair, from a
+    * (doc_id, g, n) posting list: (doc_a, doc_b, common, na, nb) with
+    * doc_a < doc_b — the count-regime kernel of [[ngramJaccardPairs]].
+    *
+    * Shape: ONE gram-keyed exchange (groupBy g + collect_list), pairs
+    * expanded scan-side from each gram's doc list, then the pair
+    * aggregate — instead of the posting SELF-join, which re-executes the
+    * whole tokenize/shingle subtree once per join side (self-join
+    * subtrees are not shared) and at scale shuffles the posting twice.
+    * Measured at sf0.1 (noop sink, warm): q_dedup_ngram_jaccard
+    * ~5.0 s self-join → ~2.5 s, and the same kernel feeds the whole
+    * cluster/decision/leakage family.
+    *
+    * ONLY safe under the count-regime guarantee maxDf ≤ maxDocFreq
+    * (callers switch on the df prepass before reaching here): each
+    * gram's collected list is bounded by the cap (default 1000 structs,
+    * ~16 KB), so no aggregation buffer can blow up on a hot shingle at
+    * any corpus size.
+    */
+  private def pairCountsFromPosting(posting: DataFrame): DataFrame = {
+    val grouped = posting.groupBy(col("g"))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    // all C(k,2) unordered pairs of each gram's (distinct) doc list via two
+    // codegen'd Generate nodes + the a<b filter — NOT a higher-order
+    // transform/slice/flatten, whose interpreted nested-array construction
+    // measured ~1 s slower at sf0.1 on the containment posting; a doc
+    // contributes each distinct shingle once, so each pair appears once
+    // per shared gram
+    val prs = grouped
+      .select(explode(col("ds")).as("x"), col("ds"))
+      .select(col("x"), explode(col("ds")).as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+    prs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"),
+        first(col("na")).as("na"),
+        first(col("nb")).as("nb"))
+  }
+
+  /** Exact Jaccard from inverted-index counts: `common` is the number
     * of shared shingles, set sizes ride along on the postings.
     */
   private def countJaccardPairs(posting: DataFrame, threshold: Double): DataFrame = {
-    val a = posting.as("a"); val b = posting.as("b")
-    val pairs = a.join(b,
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(
-        count(lit(1)).as("common"),
-        first(col("a.n")).as("na"),
-        first(col("b.n")).as("nb"))
+    val pairs = pairCountsFromPosting(posting)
     val jac = col("common").cast("double") /
       (col("na") + col("nb") - col("common"))
     pairs.select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
@@ -527,8 +571,11 @@ object Dedup {
     val sets = docs
       .select(col("doc_id"), ngrams(col(textCol)).as("ng"))
       .filter(size(col("ng")) > 0)
+    // one materialized posting feeds the maxDf prepass AND both self-join
+    // legs — see [[ngramJaccardPairs]]'s posting checkpoint note
     val posting = sets.select(
-      col("doc_id"), explode(col("ng")).as("g"), size(col("ng")).as("n"))
+        col("doc_id"), explode(col("ng")).as("g"), size(col("ng")).as("n"))
+      .localCheckpoint(true)
     val dfTbl = posting.groupBy(col("g")).count().withColumnRenamed("count", "df")
     val maxDf = Option(dfTbl.agg(max(col("df")).as("m")).first().getAs[Long]("m"))
       .getOrElse(0L)
@@ -540,7 +587,13 @@ object Dedup {
     if (maxDf <= maxDocFreq) {
       // no hot shingles ⇒ the postings self-join count IS the exact
       // intersection: one join + one aggregate, no candidate
-      // materialization and no second pass over the full shingle arrays
+      // materialization and no second pass over the full shingle arrays.
+      // Deliberately NOT [[pairCountsFromPosting]] (the Jaccard path's
+      // kernel): measured at sf0.1 with the noop sink, this query's input
+      // subtree (corpus ∪ engineered concat self-join) makes the self-join
+      // the faster shape here (warm 2.2 s vs 3.0 s grouped) — the planner
+      // broadcasts one posting side, so the join adds no exchange, while
+      // the grouped kernel pays a full string-gram exchange.
       val a = posting.as("a"); val b = posting.as("b")
       contained(a.join(b,
           col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))

@@ -639,17 +639,6 @@ object TextAnalysis {
     dropLmTable(spark, name)
     val occ = bigramOccurrences(docs, textCol)
     try {
-      docs.select(explode(tokens(col(textCol))).as("term"))
-        .agg(countDistinct(col("term")).as("v"))
-        .write.mode("overwrite").format("parquet")
-        .saveAsTable(s"${name}_globals")
-      graft.sources.Tables.writeBucketed(
-        occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")),
-        s"${name}_model", "w1", buckets)
-      graft.sources.Tables.writeBucketed(
-        spark.table(s"${name}_model").groupBy(col("w1"))
-          .agg(sum(col("c12")).cast("long").as("c1")),
-        s"${name}_ctx", "w1", buckets)
       // per-term occurrence counts — not read by scoring, but the state
       // deleteFromLmTable needs to maintain V exactly (a term leaves the
       // vocabulary only when its LAST occurrence is unlearned, which the
@@ -659,6 +648,23 @@ object TextAnalysis {
         docs.select(explode(tokens(col(textCol))).as("term"))
           .groupBy(col("term")).agg(count(lit(1)).as("cnt")),
         s"${name}_vocab", "term", buckets)
+      // V = the written vocab's row count (one row per distinct term) —
+      // deriving globals from the materialized census instead of a second
+      // tokenize + countDistinct corpus scan (the same derive-from-stored
+      // discipline the ctx table uses below). Torn-publish safety is
+      // unchanged: any failure drops every table.
+      val v = spark.table(s"${name}_vocab").count()
+      import spark.implicits._
+      Seq(v).toDF("v")
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${name}_globals")
+      graft.sources.Tables.writeBucketed(
+        occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")),
+        s"${name}_model", "w1", buckets)
+      graft.sources.Tables.writeBucketed(
+        spark.table(s"${name}_model").groupBy(col("w1"))
+          .agg(sum(col("c12")).cast("long").as("c1")),
+        s"${name}_ctx", "w1", buckets)
     } catch {
       case e: Throwable => dropLmTable(spark, name); throw e
     }

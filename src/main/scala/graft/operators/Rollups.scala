@@ -97,9 +97,16 @@ object Rollups {
         sum(col("amount").cast(Tables.MoneyExact)).as("cat_amount"),
         max(col("city_tier")).as("cat_tier"))
 
-  /** Seed (or fully rebuild) the day-partitioned partial store. */
+  /** Seed (or fully rebuild) the day-partitioned partial store. Clustered
+    * by `day` before the write (one exchange of the KB-scale partials) so
+    * each day directory gets ONE file instead of one per shuffle
+    * partition — a day-partitioned write from an un-clustered aggregate
+    * emits tasks × days tiny files (guide §6 small-files trap; the
+    * Iceberg `write.distribution-mode=hash` discipline).
+    */
   def writeDailyPartials(tx: DataFrame, path: String): Unit =
-    dailyPartials(tx).write.mode("overwrite").partitionBy("day").parquet(path)
+    dailyPartials(tx).repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
 
   /** Merge a delta batch into the partial store, rewriting ONLY the day
     * partitions the delta touches: existing partials for those days are
@@ -138,7 +145,8 @@ object Rollups {
     // dir): concurrent upserts with different checkpointDirs must never
     // misroute each other's files — see [[graft.Materializer]].
     val pinned = new graft.Materializer(checkpointDir)(merged)
-    pinned.write.mode("overwrite")
+    // cluster by day for the same one-file-per-day layout as the seed write
+    pinned.repartition(col("day")).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("day").parquet(path)
   }

@@ -212,7 +212,14 @@ object Tables {
       format: String = "parquet"): Unit = {
     require(format == "parquet" || format == "orc",
       s"bucketed index format must be parquet or orc, got '$format'")
-    df.write.mode("overwrite").format(format)
+    // Cluster to the bucket layout BEFORE the write: repartition(n, key)
+    // and bucketBy(n, key) share the same pmod(murmur3) placement, so each
+    // write task holds exactly one bucket and emits ONE file — an
+    // un-clustered bucketed write emits (input partitions × buckets) tiny
+    // files per index (guide §6), which every read-back then pays for in
+    // open/list overhead. Write parallelism equals the bucket count, the
+    // knob a cluster-scale caller already sizes to its fleet.
+    df.repartition(buckets, col(key)).write.mode("overwrite").format(format)
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
   }
 
@@ -239,7 +246,10 @@ object Tables {
       .bucketSpec
       .getOrElse(throw new IllegalStateException(
         s"table $table has no bucket spec"))
-    df.write.mode("append").format(providerOf(spark, table))
+    // same pre-clustering as [[writeBucketed]]: one file per bucket per
+    // append instead of one per (input partition × bucket)
+    df.repartition(spec.numBuckets, col(spec.bucketColumnNames.head))
+      .write.mode("append").format(providerOf(spark, table))
       .bucketBy(spec.numBuckets, spec.bucketColumnNames.head)
       .sortBy(spec.sortColumnNames.head)
       .saveAsTable(table)

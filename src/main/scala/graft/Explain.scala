@@ -27,6 +27,32 @@ object Explain {
       })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_JOBLOG=1: per-job wall times with their job-group
+    // descriptions — the composite index-build queries run dozens of jobs
+    // and this names where the seconds go (guide §1.5 / §7.1 without a UI).
+    if (sys.env.get("SPARK_GRAFT_JOBLOG").exists(_ == "1"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val starts =
+            new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val desc = Option(js.properties)
+              .flatMap(p => Option(p.getProperty("spark.job.description")))
+              .orElse(Option(js.properties)
+                .flatMap(p => Option(p.getProperty("callSite.short"))))
+              .getOrElse("")
+            starts.put(js.jobId, (System.nanoTime(), desc))
+          }
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            Option(starts.remove(je.jobId)).foreach { case (t0, desc) =>
+              val sec = (System.nanoTime() - t0) / 1e9
+              if (sec >= 0.05)
+                println(f"[job] ${je.jobId}%4d $sec%7.2fs  $desc")
+            }
+          }
+        })
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       println(s"=== $name ===")

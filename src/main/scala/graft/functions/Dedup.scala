@@ -659,6 +659,9 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct())
+    // carry each round's count forward: re-counting the previous
+    // (already materialized) frame cost one extra job per round
+    var edgeCount = edges.count()
     var iter = 0
     var converged = false
     while (!converged) {
@@ -666,9 +669,11 @@ object Dedup {
       // checkpoint FIRST, probe convergence on the materialized frame —
       // probing the un-checkpointed plan would execute the round twice
       val next = materialize(smallStar(largeStar(edges)))
+      val nextCount = next.count()
       // fixpoint = identical edge sets (both sides are distinct frames)
-      val changed = next.count() != edges.count() ||
+      val changed = nextCount != edgeCount ||
         next.exceptAll(edges).limit(1).count() > 0
+      edgeCount = nextCount
       // release the superseded copy's blocks — without this every round
       // pins another full edge-set copy in executor storage
       if (changed) { edges.unpersist(); edges = next }

@@ -1584,10 +1584,16 @@ object TextAnalysis {
     require(spanLines >= 2, s"span must cover >= 2 lines, got $spanLines")
     val cleaned = c4Clean(docs, minWords, minSentences, textCol)
       .select(col("doc_id"), col("page_keep"), col("text"))
+    // Materialize the screen verdict ONCE: three consumers reference it
+    // (the line explode feeding both the span fingerprints and the
+    // rebuild, plus the final join-back), and each lazy reference
+    // re-executes the whole regex-heavy c4Clean + blocklist subtree.
+    // Same stage-table trade as curateFullStages' scrub boundary.
     val screened = cleaned
       .withColumn("blocked",
         size(Blocklist.matches(col("text"), patterns)) > 0)
       .withColumn("keep", col("page_keep") && !col("blocked"))
+      .localCheckpoint(true)
     val lines = screened.filter(col("keep"))
       .select(col("doc_id"), posexplode(split(col("text"), "\n")))
       .withColumnRenamed("pos", "idx").withColumnRenamed("col", "line")
